@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session helpers shared by the engine, Verify, Bench and tests.
+  *
+  * The reference engine (see /root/reference, SURVEY.md §1.2) has
+  * pandas `errors="coerce"` semantics everywhere: bad casts/parses
+  * become null, never exceptions. Spark 4 defaults to ANSI mode
+  * (throw). `tune` pins the session to coerce semantics + the perf
+  * conf we want regardless of who built the session (the driver's
+  * Verify/Bench mains build their own).
+  */
+object Graft {
+
+  /** Idempotent, safe to call at the top of every query. */
+  def tune(spark: SparkSession): SparkSession = {
+    // Timestamp literals are built with java.sql.Timestamp.valueOf,
+    // which reads the JVM default zone — pin it to UTC to match the
+    // session timezone and the (naive-timestamp) oracle.
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    // The testdata's events.ts is TIMESTAMP(NANOS) parquet, which Spark
+    // has no timestamp type for — read as long and convert explicitly
+    // (see eventTs).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark
+  }
+
+  /** Standard local session for tests / ad-hoc runs. */
+  def session(master: String = "local[4]", shufflePartitions: Int = 8): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    tune(s)
+  }
+
+  /** Table loader for the driver testdata layout (`TESTDATA.md`). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts arrives as nanosecond longs (see tune) — truncate to the
+    * microsecond timestamp every other engine sees. Integer DIV, not
+    * double division: epoch-ns (~1.7e18) exceeds double's 53-bit
+    * mantissa.
+    */
+  def eventTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(call_function("div", nanos, lit(1000L)))
+}

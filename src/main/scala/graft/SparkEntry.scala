@@ -1,13 +1,839 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{HtmlToText, Normalize, Skills, TextAnalysis}
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline operators), each with an
+  * ANSI-SQL oracle the driver runs in DuckDB over the same parquet.
+  *
+  * Cross-engine determinism rules used throughout (so hash compare is
+  * exact, not approximate):
+  *  - double SUMs go through DECIMAL(18,4) (exact, associative) and are
+  *    cast back to double at the end;
+  *  - double divisions happen in double on both sides, in the same
+  *    operand order, then round(·, k);
+  *  - hashes that must match outside the JVM derive from md5 (hex →
+  *    15-char prefix → 60-bit int), not xxhash64;
+  *  - every top-k / dedup has a total-order tie-break;
+  *  - timestamps are compared against fixed literals (one batch `now`,
+  *    like the reference — never wall-clock) and emitted as formatted
+  *    strings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Graft.table(s, dir, n)
+
+  private def ts(s: String): java.sql.Timestamp = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    java.sql.Timestamp.valueOf(s)
+  }
+
+  private val dec: DataType = DecimalType(18, 4)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+
+  // ----- event snapshot frames shared by the merge-family queries -----
+  // "history" = latest event per (user,event_type) in the first half of
+  // January (signup excluded); "new batch" = same for the second half
+  // (error excluded) with blank notes. The exclusions guarantee all
+  // merge classes appear: signup keys insert, error keys preserve/
+  // remove, the rest update/unchange.
+
+  private val W1Lo = "2024-01-01 00:00:00"
+  private val W1Hi = "2024-01-15 00:00:00"
+  private val W2Hi = "2024-01-31 00:00:00"
+  private val BatchTs = "2024-02-01 00:00:00"
+  private val CmpCols = Seq("value", "published")
+
+  private def eventSnapshot(s: SparkSession, dir: String, lo: String, hi: String,
+      excludeType: String, blankNotes: Boolean, withId: Boolean = false): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts2", Graft.eventTs(col("ts")))
+      .filter(col("ts2") >= lit(ts(lo)) && col("ts2") < lit(ts(hi)) &&
+        col("event_type") =!= excludeType)
+      .withColumn("uk", concat(col("user_id").cast(StringType), lit("|"),
+        col("event_type")))
+    val latest = Merges.dedupKeepLatest(ev, "uk", Seq(col("ts2"), col("event_id")))
+    val base = latest.select(col("uk"), col("value"),
+      Normalize.tsFormat(col("ts2")).as("published"),
+      (if (blankNotes) lit("") else col("props")).as("notes"),
+      col("event_id"))
+    if (withId) base else base.drop("event_id")
+  }
+
+  private def hist(s: SparkSession, dir: String, withId: Boolean = false) =
+    eventSnapshot(s, dir, W1Lo, W1Hi, "signup", blankNotes = false, withId)
+  private def nw(s: SparkSession, dir: String, withId: Boolean = false) =
+    eventSnapshot(s, dir, W1Hi, W2Hi, "error", blankNotes = true, withId)
+
+  private def snapshotSql(lo: String, hi: String, excl: String,
+      blankNotes: Boolean, withId: Boolean = false): String = {
+    val notes = if (blankNotes) "''" else "props"
+    val idCol = if (withId) ", event_id" else ""
+    s"""SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS uk, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS published, $notes AS notes$idCol
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events
+             WHERE ts >= TIMESTAMP '$lo' AND ts < TIMESTAMP '$hi'
+               AND event_type <> '$excl')
+       WHERE rn = 1"""
+  }
+  private def histSql(withId: Boolean = false) =
+    snapshotSql(W1Lo, W1Hi, "signup", blankNotes = false, withId)
+  private def nwSql(withId: Boolean = false) =
+    snapshotSql(W1Hi, W2Hi, "error", blankNotes = true, withId)
+
+  // SQL fragments shared by merge oracles
+  private val ChangedSql =
+    "(n.value IS DISTINCT FROM h.value OR n.published IS DISTINCT FROM h.published)"
+
+  // ----- the skills dictionary / resume used by q21 + q33 -----
+  private val DictQ: Seq[String] = Seq(
+    "batch", "column", "filter", "hash", "join", "merge", "query",
+    "scan", "spark", "sql", "stream", "vector", "window").sorted
+  private val ResumeQ =
+    "staff engineer: spark sql pipelines, stream processing, hash join tuning, window queries"
+  private def dictValuesSql: String =
+    DictQ.map(d => s"('$d')").mkString("VALUES ", ", ", "")
+
+  /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
+    * reference's regional pipeline shape — ingest snapshot, SCD1 merge
+    * into history, filter stage, audit column (SURVEY §3.1-3.3).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.tune(spark)
+    val dir = "/root/testdata/sf0.001"
+    val merged = Merges.scd1(hist(spark, dir), nw(spark, dir), "uk", CmpCols)
+    merged
+      .filter(Filters.dateRange(Normalize.tsParse(col("published")), 45, ts(BatchTs)))
+      .filter(Filters.nonEmptyContent(Seq("uk", "published")))
+      .filter(Filters.keywordExclusion(Map("uk" -> Seq("totally-absent-keyword"))))
+      .withColumn("AS_OF_DT", Normalize.tsFormat(lit(ts(BatchTs))))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- core relational (SURVEY §2.2-§2.7) ----------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      Graft.tune(s)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast(TimestampType) <= lit(ts("1998-09-02 00:00:00")))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("sum_disc"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("n_rows"), 6))
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast(TimestampType)
+          .between(lit(ts("1996-01-01 00:00:00")), lit(ts("1996-03-31 00:00:00"))) &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+    }),
+
+    "q03_join_agg" -> ((s, dir) => {
+      Graft.tune(s)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+    }),
+
+    "q04_topk" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          Normalize.tsFormat(col("o_orderdate").cast(TimestampType)).as("order_date"))
+    }),
+
+    "q05_latest_per_user" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      Merges.dedupKeepLatest(ev, "user_id", Seq(col("ts2"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Normalize.tsFormat(col("ts2")).as("event_ts"), col("value"))
+    }),
+
+    "q06_union_tagged" -> ((s, dir) => {
+      Graft.tune(s)
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("src"), col("o_totalprice"))
+      val high = o.filter(col("o_totalprice") > 300000)
+        .select(lit("high_value").as("src"), col("o_totalprice"))
+      urgent.unionByName(high)
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
+    "q07_semi_join" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q08_anti_join" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q09_full_outer_indicator" -> ((s, dir) => {
+      Graft.tune(s)
+      val o = t(s, dir, "orders")
+        .withColumn("od", col("o_orderdate").cast(TimestampType))
+      val a = o.filter(col("od") >= lit(ts("1995-01-01 00:00:00")) &&
+          col("od") < lit(ts("1996-01-01 00:00:00")))
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_a"))
+      val b = o.filter(col("od") >= lit(ts("1996-01-01 00:00:00")) &&
+          col("od") < lit(ts("1997-01-01 00:00:00")))
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_b"))
+      a.join(b, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          when(col("n_a").isNotNull && col("n_b").isNotNull, "both")
+            .when(col("n_a").isNotNull, "left_only")
+            .otherwise("right_only").as("indicator"))
+    }),
+
+    "q10_change_detect" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      def half(lo: String, hi: String) = ev
+        .filter(col("ts2") >= lit(ts(lo)) && col("ts2") < lit(ts(hi)))
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      val a = half(W1Lo, W1Hi).withColumnRenamed("n", "n_a")
+      val b = half(W1Hi, W2Hi).withColumnRenamed("n", "n_b")
+      a.join(b, Seq("user_id", "event_type"), "full_outer")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"),
+          when(col("n_a").isNull, "new")
+            .when(col("n_b").isNull, "removed")
+            .when(col("n_a") === col("n_b"), "unchanged")
+            .otherwise("changed").as("status"))
+    }),
+
+    // ---------------- merge family (SURVEY §2.9) ----------------
+    "q11_scd1_merge" -> ((s, dir) => {
+      Graft.tune(s)
+      Merges.scd1(hist(s, dir), nw(s, dir), "uk", CmpCols)
+    }),
+
+    "q12_scd2_merge" -> ((s, dir) => {
+      Graft.tune(s)
+      val h = hist(s, dir)
+        .withColumn("effective_start", lit(ts(W1Hi)))
+        .withColumn("effective_end", lit(null).cast(TimestampType))
+        .withColumn("current_flag", lit(1))
+      val merged = Merges.scd2(h, nw(s, dir), "uk", CmpCols, ts(BatchTs),
+        dropStatus = false)
+      merged.select(col("uk"), col("value"), col("published"), col("notes"),
+        Normalize.tsFormat(col("effective_start")).as("eff_start"),
+        Normalize.tsFormat(col("effective_end")).as("eff_end"),
+        col("current_flag"), col("_status"))
+    }),
+
+    "q13_merge_upsert" -> ((s, dir) => {
+      Graft.tune(s)
+      Merges.mergeUpsert(hist(s, dir), nw(s, dir), "uk", CmpCols,
+        preserveNotesOnlyWhenChanged = true, dropStatus = false)
+    }),
+
+    "q14_append_dedup" -> ((s, dir) => {
+      Graft.tune(s)
+      val existing = hist(s, dir, withId = true).drop("value", "notes")
+      val incoming = nw(s, dir, withId = true).drop("value", "notes")
+      Merges.appendDedupNewWins(existing, incoming, "uk", Seq(col("event_id")))
+        .select(col("uk"), col("event_id"), col("published"))
+    }),
+
+    // ---------------- filter stage (SURVEY §2.2) ----------------
+    "q15_date_filter" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "orders")
+        .filter(Filters.dateRange(col("o_orderdate").cast(TimestampType), 365,
+          ts("1998-08-02 00:00:00")))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q16_content_filter" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .filter(Filters.nonEmptyContent(Seq("text", "lang")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+    }),
+
+    "q17_keyword_filter" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .filter(Filters.keywordExclusion(Map("text" -> Seq("stream", "vector"))))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---------------- scalar functions (SURVEY §2.8) ----------------
+    "q18_normalize" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(Normalize.collapseWs(lower(col("text"))), 1, 60).as("norm_text"))
+    }),
+
+    "q19_html_to_text" -> ((s, dir) => {
+      Graft.tune(s)
+      val html = concat(lit("<div><p>"), col("text"),
+        lit("</p><script>var x = 1;</script><br/>&amp;&nbsp;end</div>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(HtmlToText.htmlToText(html), 1, 100).as("clean_text"))
+    }),
+
+    "q20_ts_bucket" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          date_format(Graft.eventTs(col("ts")), "yyyy-MM-dd HH:00:00")
+            .as("hour_bucket"),
+          col("value"))
+    }),
+
+    "q21_skills_match" -> ((s, dir) => {
+      Graft.tune(s)
+      val resumeSkills = Skills.extractSkills(lit(ResumeQ), DictQ)
+      t(s, dir, "documents")
+        .withColumn("job_skills", Skills.extractSkills(col("text"), DictQ))
+        .select(col("doc_id"),
+          array_join(col("job_skills"), ",").as("job_skills"),
+          array_join(Skills.matchedSkills(col("job_skills"), resumeSkills), ",")
+            .as("matched_skills"),
+          array_join(Skills.missingSkills(col("job_skills"), resumeSkills), ",")
+            .as("missing_skills"),
+          Skills.matchPercentage(col("job_skills"), resumeSkills)
+            .as("match_percentage"))
+    }),
+
+    // ------------- dedup / text analysis (training-data ops) -------------
+    "q22_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Graft.tune(s).read
+        .parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    "q23_jaccard_pairs" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }),
+
+    "q24_minhash_pairs" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, numHashes = 128, bands = 32)
+    }),
+
+    "q25_simhash" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.withSimhash(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "q26_lang_id" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+    }),
+
+    "q27_text_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        f.getField("n_chars").cast(LongType).as("n_chars"),
+        f.getField("n_tokens").cast(LongType).as("n_tokens"),
+        TextAnalysis.tokenEstimate(col("text")).as("token_estimate"),
+        f.getField("punct_ratio").as("punct_ratio"),
+        f.getField("stop_ratio").as("stop_ratio"),
+        f.getField("mean_tok_len").as("mean_tok_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    }),
+
+    "q28_fingerprint_groups" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    }),
+
+    // ------------- similarity search (training-data ops) -------------
+    "q29_ann_topk" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 16), e, "vec_id", "embedding", k = 5)
+    }),
+
+    "q30_ivf_assign" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfAssign(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .select(col("vec_id"), col("centroid_id"))
+    }),
+
+    // ------------- streaming-equivalent windowed agg (§2.10) -------------
+    "q31_windowed_counts" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "events")
+        .withColumn("ts2", Graft.eventTs(col("ts")))
+        .groupBy(window(col("ts2"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(Normalize.tsFormat(col("w.start")).as("day"),
+          col("event_type"), col("n"), col("total_value"))
+    }),
+
+    // ------------- enrichment + multimodal (rows-only where noted) -------------
+    "q33_enrich_scored" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Enrichment.withLlmScore(docs, "text", ResumeQ,
+          new Enrichment.DeterministicScorer(DictQ), batchSize = 5)
+        .select(col("doc_id"), col("llm_score"))
+    }),
+
+    // no SQL oracle (imperative media decode) — driver rows-only check
+    "q34_multimodal_features" -> ((s, dir) => {
+      Graft.tune(s)
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        encode(col("text"), "UTF-8").cast(BinaryType).as("content"),
+        lit("application/octet-stream").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms"))
+      Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("feature"), 1).cast(DoubleType), 4).as("f0"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
+         COUNT(*) AS n_rows,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1996-03-31 00:00:00'
+           AND l_quantity < 10""",
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders, COUNT(DISTINCT c_custkey) AS n_cust
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "q04_topk" ->
+      """SELECT o_orderkey, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q05_latest_per_user" ->
+      """SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+
+    "q06_union_tagged" ->
+      """SELECT src, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM (SELECT 'urgent' AS src, o_totalprice FROM orders
+               WHERE o_orderpriority = '1-URGENT'
+               UNION ALL
+               SELECT 'high_value' AS src, o_totalprice FROM orders
+               WHERE o_totalprice > 300000)
+         GROUP BY src""",
+
+    "q07_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q09_full_outer_indicator" ->
+      """WITH a AS (SELECT o_custkey AS custkey, COUNT(*) AS n_a FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                    GROUP BY 1),
+            b AS (SELECT o_custkey AS custkey, COUNT(*) AS n_b FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                    GROUP BY 1)
+       SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+              COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+              CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL THEN 'both'
+                   WHEN n_a IS NOT NULL THEN 'left_only'
+                   ELSE 'right_only' END AS indicator
+       FROM a FULL OUTER JOIN b ON a.custkey = b.custkey""",
+
+    "q10_change_detect" ->
+      s"""WITH a AS (SELECT user_id, event_type, COUNT(*) AS n_a FROM events
+                     WHERE ts >= TIMESTAMP '$W1Lo' AND ts < TIMESTAMP '$W1Hi'
+                     GROUP BY 1, 2),
+             b AS (SELECT user_id, event_type, COUNT(*) AS n_b FROM events
+                     WHERE ts >= TIMESTAMP '$W1Hi' AND ts < TIMESTAMP '$W2Hi'
+                     GROUP BY 1, 2)
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               COALESCE(a.event_type, b.event_type) AS event_type,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+               CASE WHEN n_a IS NULL THEN 'new'
+                    WHEN n_b IS NULL THEN 'removed'
+                    WHEN n_a = n_b THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type""",
+
+    "q11_scd1_merge" ->
+      s"""WITH hist AS (${histSql()}), nw AS (${nwSql()})
+        SELECT COALESCE(n.uk, h.uk) AS uk,
+               CASE WHEN n.uk IS NOT NULL THEN n.value ELSE h.value END AS value,
+               CASE WHEN n.uk IS NOT NULL THEN n.published ELSE h.published END AS published,
+               CASE WHEN n.uk IS NOT NULL AND h.uk IS NOT NULL
+                      THEN COALESCE(NULLIF(TRIM(n.notes), ''), h.notes)
+                    WHEN n.uk IS NOT NULL THEN n.notes
+                    ELSE h.notes END AS notes
+        FROM nw n FULL OUTER JOIN hist h ON n.uk = h.uk""",
+
+    "q12_scd2_merge" ->
+      s"""WITH hist AS (${histSql()}), nw AS (${nwSql()}),
+           j AS (SELECT n.uk AS nuk, h.uk AS huk,
+                        n.value AS nv, n.published AS np, n.notes AS nn,
+                        h.value AS hv, h.published AS hp, h.notes AS hn,
+                        $ChangedSql AS ch
+                 FROM nw n FULL OUTER JOIN hist h ON n.uk = h.uk)
+        SELECT huk AS uk, hv AS value, hp AS published, hn AS notes,
+               '$W1Hi' AS eff_start, CAST(NULL AS VARCHAR) AS eff_end,
+               1 AS current_flag, 'unchanged' AS _status
+        FROM j WHERE nuk IS NOT NULL AND huk IS NOT NULL AND NOT ch
+        UNION ALL
+        SELECT huk, hv, hp, hn, '$W1Hi', '$BatchTs', 0, 'expire'
+        FROM j WHERE huk IS NOT NULL AND (nuk IS NULL OR ch)
+        UNION ALL
+        SELECT nuk, nv, np,
+               CASE WHEN huk IS NOT NULL
+                      THEN COALESCE(NULLIF(TRIM(nn), ''), hn) ELSE nn END,
+               '$BatchTs', CAST(NULL AS VARCHAR), 1, 'insert'
+        FROM j WHERE nuk IS NOT NULL AND (huk IS NULL OR ch)""",
+
+    "q13_merge_upsert" ->
+      s"""WITH hist AS (${histSql()}), nw AS (${nwSql()}),
+           j AS (SELECT n.uk AS nuk, h.uk AS huk,
+                        n.value AS nv, n.published AS np, n.notes AS nn,
+                        h.value AS hv, h.published AS hp, h.notes AS hn,
+                        $ChangedSql AS ch
+                 FROM nw n FULL OUTER JOIN hist h ON n.uk = h.uk)
+        SELECT COALESCE(nuk, huk) AS uk,
+               CASE WHEN nuk IS NOT NULL THEN nv ELSE hv END AS value,
+               CASE WHEN nuk IS NOT NULL THEN np ELSE hp END AS published,
+               CASE WHEN nuk IS NOT NULL AND huk IS NOT NULL AND ch
+                      THEN COALESCE(NULLIF(TRIM(nn), ''), hn)
+                    WHEN nuk IS NOT NULL AND huk IS NOT NULL THEN hn
+                    WHEN nuk IS NOT NULL THEN nn
+                    ELSE hn END AS notes,
+               CASE WHEN nuk IS NOT NULL AND huk IS NOT NULL AND ch THEN 'update'
+                    WHEN nuk IS NOT NULL AND huk IS NOT NULL THEN 'unchanged'
+                    WHEN nuk IS NOT NULL THEN 'insert'
+                    ELSE 'preserve' END AS _status
+        FROM j""",
+
+    "q14_append_dedup" ->
+      s"""WITH hist AS (${histSql(withId = true)}), nw AS (${nwSql(withId = true)})
+        SELECT uk, event_id, published
+        FROM (SELECT uk, event_id, published,
+                     row_number() OVER (PARTITION BY uk
+                       ORDER BY prio, event_id) AS rn
+              FROM (SELECT uk, event_id, published, 0 AS prio FROM nw
+                    UNION ALL
+                    SELECT uk, event_id, published, 1 AS prio FROM hist))
+        WHERE rn = 1""",
+
+    "q15_date_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-08-02 00:00:00' - INTERVAL 365 DAY
+         GROUP BY o_orderpriority""",
+
+    "q16_content_filter" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents
+         WHERE text IS NOT NULL AND TRIM(text) <> '' AND TRIM(text) <> 'nan'
+           AND lang IS NOT NULL AND TRIM(lang) <> '' AND TRIM(lang) <> 'nan'
+         GROUP BY lang""",
+
+    "q17_keyword_filter" ->
+      """SELECT source, COUNT(*) AS n FROM documents
+         WHERE NOT contains(lower(COALESCE(text, '')), 'stream')
+           AND NOT contains(lower(COALESCE(text, '')), 'vector')
+         GROUP BY source""",
+
+    "q18_normalize" ->
+      """SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60) AS norm_text
+         FROM documents""",
+
+    "q19_html_to_text" -> htmlToTextOracle,
+
+    "q20_ts_bucket" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:00:00') AS hour_bucket, value
+         FROM events WHERE event_type = 'purchase'""",
+
+    "q21_skills_match" -> {
+      s"""WITH dict(t) AS ($dictValuesSql),
+           resume AS (SELECT t FROM dict WHERE contains(lower('$ResumeQ'), t)),
+           job AS (SELECT doc_id, t FROM documents, dict
+                   WHERE contains(lower(COALESCE(text, '')), t)),
+           jn AS (SELECT doc_id, COUNT(*) AS n_job,
+                         string_agg(t, ',' ORDER BY t) AS job_str
+                  FROM job GROUP BY doc_id),
+           m AS (SELECT j.doc_id, COUNT(*) AS n_m,
+                        string_agg(j.t, ',' ORDER BY j.t) AS m_str
+                 FROM job j JOIN resume r ON j.t = r.t GROUP BY j.doc_id),
+           miss AS (SELECT j.doc_id, string_agg(j.t, ',' ORDER BY j.t) AS miss_str
+                    FROM job j LEFT JOIN resume r ON j.t = r.t
+                    WHERE r.t IS NULL GROUP BY j.doc_id)
+        SELECT d.doc_id,
+               COALESCE(jn.job_str, '') AS job_skills,
+               COALESCE(m.m_str, '') AS matched_skills,
+               COALESCE(miss.miss_str, '') AS missing_skills,
+               CASE WHEN jn.n_job IS NULL OR jn.n_job = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(m.n_m, 0) AS DOUBLE) / jn.n_job * 100, 2)
+               END AS match_percentage
+        FROM documents d
+        LEFT JOIN jn ON d.doc_id = jn.doc_id
+        LEFT JOIN m ON d.doc_id = m.doc_id
+        LEFT JOIN miss ON d.doc_id = miss.doc_id"""
+    },
+
+    "q22_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fingerprint,
+         MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+         FROM documents GROUP BY 1""",
+
+    "q23_jaccard_pairs" -> jaccardOracle(0.5),
+    "q24_minhash_pairs" -> jaccardOracle(0.8),
+
+    "q25_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '')) AS t
+           FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(t || '#0'), 1, 15)) AS BIGINT) AS hv
+               FROM tok),
+         bits AS (SELECT doc_id, i,
+                         SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                  FROM h CROSS JOIN range(60) AS r(i) GROUP BY doc_id, i),
+         fp AS (SELECT doc_id,
+                       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                                ELSE 0 END) AS simhash
+                FROM bits GROUP BY doc_id)
+       SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
+       FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""",
+
+    "q26_lang_id" -> langIdOracle,
+
+    "q27_text_stats" ->
+      """WITH base AS (
+           SELECT doc_id, COALESCE(text, '') AS t,
+                  list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         f AS (SELECT doc_id,
+                      length(t) AS n_chars,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(ceil(CAST(length(t) AS DOUBLE) / 4) AS BIGINT) AS token_estimate,
+                      length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g')) AS n_punct,
+                      len(list_filter(['the','and','of','to','in','is','that','it','for','with'],
+                                      w -> list_contains(toks, w))) AS n_stop
+               FROM base)
+       SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, n_tokens, token_estimate,
+              ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+              ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+              ROUND(CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_tok_len,
+              ROUND(greatest(
+                least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                + least(ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) * 5.0, 1.0) * 0.5
+                - least(ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) * 2.0, 1.0) * 0.2,
+                0.0), 4) AS quality_score
+       FROM f""",
+
+    "q28_fingerprint_groups" ->
+      """SELECT md5(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fingerprint,
+         COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+         FROM documents GROUP BY 1""",
+
+    "q29_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id < 16),
+         pairs AS (
+           SELECT query_id, e.vec_id AS neighbor_id,
+                  list_sum([qv[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                  sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, 65)])) AS nq,
+                  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS nc
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id),
+         scored AS (SELECT query_id, neighbor_id,
+                           ROUND(CASE WHEN nq * nc > 0 THEN d / (nq * nc) ELSE 0 END, 6) AS sim
+                    FROM pairs),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+       SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 5""",
+
+    "q30_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+         pairs AS (
+           SELECT e.vec_id, centroid_id,
+                  list_sum([cv[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                  sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS nc1,
+                  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS nc2
+           FROM embeddings e CROSS JOIN c),
+         scored AS (SELECT vec_id, centroid_id,
+                           ROUND(CASE WHEN nc1 * nc2 > 0 THEN d / (nc1 * nc2) ELSE 0 END, 6) AS sim
+                    FROM pairs),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id) AS rn FROM scored)
+       SELECT vec_id, centroid_id FROM ranked WHERE rn = 1""",
+
+    "q31_windowed_counts" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "q33_enrich_scored" ->
+      s"""WITH dict(t) AS ($dictValuesSql),
+           resume AS (SELECT t FROM dict WHERE contains(lower('$ResumeQ'), t)),
+           job AS (SELECT doc_id, t FROM documents, dict
+                   WHERE contains(lower(COALESCE(text, '')), t)),
+           jn AS (SELECT doc_id, COUNT(*) AS n_job FROM job GROUP BY doc_id),
+           m AS (SELECT j.doc_id, COUNT(*) AS n_m
+                 FROM job j JOIN resume r ON j.t = r.t GROUP BY j.doc_id)
+        SELECT d.doc_id,
+               CASE WHEN jn.n_job IS NULL OR jn.n_job = 0 THEN 0.0
+                    ELSE ROUND(CAST(COALESCE(m.n_m, 0) AS DOUBLE) / jn.n_job * 100, 2)
+               END AS llm_score
+        FROM documents d
+        LEFT JOIN jn ON d.doc_id = jn.doc_id
+        LEFT JOIN m ON d.doc_id = m.doc_id"""
+  )
+
+  /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the
+    * inverted-index exact pairs (q23) and the LSH-accelerated pairs
+    * (q24; recall at 128 hashes / 32 bands is ≈1 above 0.8 so the
+    * verified candidate set equals the exact set on this data).
+    */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH sets AS (
+         SELECT doc_id, list_distinct(
+           CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+2], ' ')
+                      FOR i IN range(1, len(toks) - 1)] END) AS sh
+         FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+               FROM documents)),
+       sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+       postings AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+                  FROM postings a JOIN postings b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+     SELECT id1, id2,
+            ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+     FROM common
+     JOIN sizes s1 ON common.id1 = s1.doc_id
+     JOIN sizes s2 ON common.id2 = s2.doc_id
+     WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= $threshold"""
+
+  /** Mirrors HtmlToText.htmlToText step by step; the nesting is built
+    * by fold so the SQL can't drift out of sync with the Scala chain.
+    */
+  private def htmlToTextOracle: String = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>" -> "' '",
+      "(?s)<!--.*?-->" -> "' '",
+      "<[^>]+>" -> "' '",
+      "&nbsp;" -> "' '",
+      "&amp;" -> "'&'",
+      "&lt;" -> "'<'",
+      "&gt;" -> "'>'",
+      "&quot;" -> "'\"'",
+      "&#39;" -> "chr(39)",
+      "&apos;" -> "chr(39)",
+      "&#\\d+;" -> "' '",
+      "\\s+" -> "' '"
+    )
+    val html =
+      "'<div><p>' || text || '</p><script>var x = 1;</script><br/>&amp;&nbsp;end</div>'"
+    val chained = steps.foldLeft(html) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', $rep, 'g')"
+    }
+    s"SELECT doc_id, substr(trim($chained), 1, 100) AS clean_text FROM documents"
+  }
+
+  private def langIdOracle: String = {
+    val hitExprs = TextAnalysis.StopwordLists.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter($lst, w -> list_contains(toks, w))) AS h_$lang"
+    }.mkString(",\n                  ")
+    // tie-break = language code ascending, matching TextAnalysis.langId
+    """WITH base AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       hits AS (SELECT doc_id, HITS FROM base),
+       mx AS (SELECT doc_id, h_en, h_de, h_es, h_fr,
+                     greatest(h_en, h_de, h_es, h_fr) AS m FROM hits)
+     SELECT doc_id,
+            CASE WHEN m = 0 THEN 'und'
+                 WHEN h_de = m THEN 'de'
+                 WHEN h_en = m THEN 'en'
+                 WHEN h_es = m THEN 'es'
+                 ELSE 'fr' END AS pred_lang
+     FROM mx""".replace("HITS", hitExprs)
+  }
 }

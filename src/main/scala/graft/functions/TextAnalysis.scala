@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for the training-data pipeline surface:
+  * tokenization, language ID, quality scoring, token counting and
+  * document fingerprinting. All pure `Column` compositions (codegen'd,
+  * no UDFs) so they run inside WholeStageCodegen over 100 TB of text.
+  *
+  * The tokenizer here is the single normalization shared by dedup
+  * (shingles), skills extraction and language ID so every operator
+  * agrees on token identity.
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric word tokens; empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Token count over whitespace-ish boundaries (BPE-ish regex variant:
+    * words, numbers and punctuation runs each count as one token).
+    */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A rough BPE-style token estimate: ceil(chars/4), the heuristic the
+    * reference uses for LLM batching (run_ats_enrichment.py:674-676).
+    */
+  def tokenEstimate(text: Column): Column =
+    ceil(length(coalesce(text, lit(""))).cast(DoubleType) / 4).cast(LongType)
+
+  /** Word n-gram shingles over `tokens`; one string per shingle,
+    * space-joined. Fewer than n tokens → single shingle of the whole
+    * text so short docs still participate in dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val count = size(ts)
+    when(count <= n, array(concat_ws(" ", ts)))
+      .otherwise(transform(
+        sequence(lit(1), count - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Distinct shingles — the set used for Jaccard similarity. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Per-language stopword lists for the n-gram language heuristic.
+    * Small on purpose: broadcastable as literals into codegen.
+    */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur")
+  )
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(array(words.map(lit): _*), w => array_contains(toks, w)))
+
+  /** Language-ID heuristic: argmax of stopword hits, ties broken by
+    * language code ascending, zero hits → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = StopwordLists.map { case (lang, words) =>
+      struct(hitCount(toks, words).as("hits"), lit(lang).as("lang"))
+    }
+    // max over (hits, -lang) with deterministic alphabetical tie-break:
+    // sort descending by hits, ascending by lang, take head.
+    val best = array_sort(
+      array(scored: _*),
+      (l, r) =>
+        when(l.getField("hits") > r.getField("hits"), -1)
+          .when(l.getField("hits") < r.getField("hits"), 1)
+          .when(l.getField("lang") < r.getField("lang"), -1)
+          .when(l.getField("lang") > r.getField("lang"), 1)
+          .otherwise(0)
+    ).getItem(0)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score features: length, punctuation ratio, stopword ratio,
+    * mean word length. Returns a struct; `qualityScore` collapses it to
+    * one [0,1] number.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nTokens = size(toks)
+    val nPunct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
+    val enStops = StopwordLists.head._2
+    val nStop = hitCount(toks, enStops)
+    struct(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(nPunct.cast(DoubleType) / greatest(nChars, lit(1)), 4).as("punct_ratio"),
+      round(nStop.cast(DoubleType) / greatest(nTokens, lit(1)), 4).as("stop_ratio"),
+      round(nChars.cast(DoubleType) / greatest(nTokens, lit(1)), 4).as("mean_tok_len")
+    )
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with some
+    * stopwords and sane punctuation. Deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens").cast(DoubleType) / 100.0, lit(1.0))
+    val stopScore = least(f.getField("stop_ratio") * 5.0, lit(1.0))
+    val punctPenalty = least(f.getField("punct_ratio") * 2.0, lit(1.0))
+    round(greatest(lenScore * 0.5 + stopScore * 0.5 - punctPenalty * 0.2, lit(0.0)), 4)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-collapsed, lowercased
+    * text — the normalize-then-hash exact-dup key. (A content-defined
+    * rolling-hash variant lives in Dedup.simhash for near-dup use.)
+    */
+  def fingerprint(text: Column): Column =
+    md5(Normalize.collapseWs(lower(coalesce(text, lit("")))))
+
+  /** A deterministic 60-bit integer hash derived from md5 — used where
+    * the hash value itself must be reproducible outside the JVM
+    * (unlike xxhash64, md5 is identical in every engine).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+}

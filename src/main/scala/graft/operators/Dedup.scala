@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for the training-data pipeline surface:
+  * exact, n-gram Jaccard (inverted index), MinHash+LSH, SimHash.
+  *
+  * Scale notes (the 100 TB story):
+  *  - Exact dedup is one hash-groupBy — a single shuffle on a 32-char
+  *    key, with map-side partial aggregation.
+  *  - Jaccard all-pairs is never computed as a cross join: an inverted
+  *    index on shingles turns it into a self-equi-join that only pairs
+  *    documents sharing at least one shingle. Ultra-frequent shingles
+  *    (the skew risk) can be dropped with `maxDocFreq` — standard
+  *    posting-list pruning.
+  *  - MinHash+LSH bounds candidate generation: b bands of r hashes;
+  *    only documents colliding in a band are paired, then candidates
+  *    are verified with exact Jaccard. Band buckets shuffle by
+  *    (band, key) — uniform by construction.
+  *  - SimHash reduces a document to a 60-bit integer; near-dups are
+  *    found by banding the bits (pigeonhole: hamming ≤ bands-1 ⟹ some
+  *    band equal) and verifying with `bit_count(xor)`.
+  *
+  * Expression-shape notes (hot-path critical): higher-order functions
+  * (transform/filter/aggregate) are NOT whole-stage-codegen'd, and any
+  * subexpression referenced inside their lambdas is re-evaluated per
+  * element. Tokens, shingle sets, signatures and hash arrays are
+  * therefore materialized as their OWN projections (CollapseProject
+  * keeps a projection when an expensive alias is referenced more than
+  * once) so each derivation is computed once per row, never once per
+  * array element. Inlining the tokenizer into the shingle lambda makes
+  * the whole stage O(len²) per document — measured 600+ s vs ~10 s on
+  * the sf0.1 corpus.
+  *
+  * Hash choice: `hashFn` defaults to xxhash64 (fastest, fine whenever
+  * the hash is internal, e.g. MinHash candidates that get re-verified
+  * with exact Jaccard). Use `md5Hash` when the hash VALUE is the
+  * observable output that must reproduce outside the JVM (SimHash
+  * fingerprints checked by the DuckDB oracle).
+  */
+object Dedup {
+
+  type HashFn = (Column, Int) => Column
+
+  /** md5-derived 60-bit hash — engine-portable (oracle-checkable). */
+  val md5Hash: HashFn = (c, seed) =>
+    TextAnalysis.md5Long(concat(c, lit("#" + seed)))
+
+  /** xxhash64-based hash — fastest on-cluster choice. */
+  val xxHash: HashFn = (c, seed) => xxhash64(c, lit(seed))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups: fingerprint → (canonical id, dup count).
+    * One shuffle; map-side combine.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Keep one canonical row per exact-duplicate group. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Merges.dedupKeepLatest(
+      df.withColumn("_fp", TextAnalysis.fingerprint(col(textCol))),
+      "_fp", Seq(-col(idCol))).drop("_fp")
+
+  // --------------------------------------------- shingle-set materialization
+
+  /** (_id, _sh) with the distinct word-n-gram set, built in staged
+    * projections: tokens → raw shingles → distinct. Each stage
+    * references the previous alias (an attribute), so the per-element
+    * lambdas never re-derive upstream arrays.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("_id"),
+        when(size(col("_toks")) <= n, array(concat_ws(" ", col("_toks"))))
+          .otherwise(transform(
+            sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))
+          .as("_shRaw"))
+      .select(col("_id"), array_distinct(col("_shRaw")).as("_sh"))
+
+  // ------------------------------------------------- n-gram Jaccard pairs
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted shingle
+    * index. Returns (id1, id2, jaccard) with id1 < id2.
+    * `maxDocFreq`: drop shingles appearing in more than this many docs
+    * (0 = keep all) to kill posting-list skew at scale.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sizes = sets.select(col("_id"), size(col("_sh")).as("_n"))
+    val postings0 = sets.select(col("_id"), explode(col("_sh")).as("_s"))
+    val postings =
+      if (maxDocFreq <= 0) postings0
+      else {
+        val hot = postings0.groupBy("_s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("_s")
+        postings0.join(hot, Seq("_s"), "left_anti")
+      }
+    val common = postings.as("a")
+      .join(postings.as("b"), col("a._s") === col("b._s") &&
+        col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+      .agg(count(lit(1)).as("_common"))
+    common
+      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
+      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
+      .withColumn("jaccard",
+        round(col("_common").cast(DoubleType) /
+          (col("_n1") + col("_n2") - col("_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // ----------------------------------------------------------- MinHash/LSH
+
+  /** (_id, _sh, _sig): shingle set + MinHash signature, signature
+    * materialized as its own projection.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, hashFn: HashFn): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("_id"), col("_sh"),
+        array((0 until numHashes).map(s =>
+          array_min(transform(col("_sh"), sh => hashFn(sh, s)))): _*).as("_sig"))
+
+  /** LSH candidate pairs: documents colliding in at least one of `bands`
+    * bands (each of `numHashes / bands` rows). Returns (id1, id2).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, hashFn: HashFn = xxHash): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes, hashFn)
+    val banded = sig.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("_sig"), b * r + 1, lit(r))))))
+      .select(col("_id"), col("pos").as("_band"), col("col").as("_key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"))
+      .distinct()
+  }
+
+  /** MinHash LSH dedup: candidates verified with exact Jaccard.
+    * Returns (id1, id2, jaccard) for verified pairs ≥ threshold.
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      hashFn: HashFn = xxHash): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, numHashes, bands, hashFn)
+    val sets = shingleSets(df, idCol, textCol, n)
+    cand
+      .join(sets.select(col("_id").as("id1"), col("_sh").as("_sh1")), "id1")
+      .join(sets.select(col("_id").as("id2"), col("_sh").as("_sh2")), "id2")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("_sh1"), col("_sh2"))).cast(DoubleType) /
+          size(array_union(col("_sh1"), col("_sh2"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  val SimhashBits = 60 // md5Long yields 60 reproducible bits
+
+  /** (idCol, simhash): 60-bit SimHash over word tokens — per-bit votes
+    * from each token's hash, bit set where votes are positive. Token
+    * hashes are materialized once per row; the per-bit vote loop then
+    * only walks the long array.
+    */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String,
+      hashFn: HashFn = md5Hash, outCol: String = "simhash"): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), transform(col("_toks"), t => hashFn(t, 0)).as("_hv"))
+      .select(col(idCol), aggregate(
+        transform(sequence(lit(0), lit(SimhashBits - 1)), i => {
+          val vote = aggregate(col("_hv"), lit(0), (acc, h) =>
+            acc + when(call_function("shiftright", h, i)
+              .bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+          when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+        }),
+        lit(0L), (acc, x) => acc.bitwiseOR(x)).as(outCol))
+
+  /** Column-level simhash (test/ad-hoc convenience; prefer `withSimhash`
+    * in plans — this form re-derives tokens inside the lambda).
+    */
+  def simhash(text: Column, hashFn: HashFn = md5Hash): Column = {
+    val hvs = transform(TextAnalysis.tokens(text), t => hashFn(t, 0))
+    aggregate(
+      zip_with(
+        aggregate(hvs, array_repeat(lit(0), SimhashBits), (acc, h) =>
+          zip_with(acc, sequence(lit(0), lit(SimhashBits - 1)), (a, i) =>
+            a + when(call_function("shiftright", h, i)
+              .bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))),
+        sequence(lit(0), lit(SimhashBits - 1)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found by
+    * banding the fingerprint into `maxHamming + 1` chunks (pigeonhole
+    * guarantees no missed pair) and verifying with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, hashFn: HashFn = md5Hash): DataFrame = {
+    val bands = maxHamming + 1
+    val chunk = SimhashBits / bands + (if (SimhashBits % bands == 0) 0 else 1)
+    val fp = withSimhash(df, idCol, textCol, hashFn, "_fp")
+      .withColumnRenamed(idCol, "_id")
+    val banded = fp.select(col("_id"), col("_fp"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("_fp"), b * chunk)
+          .bitwiseAND(lit((1L << chunk) - 1)))))
+      .select(col("_id"), col("_fp"), col("pos").as("_band"), col("col").as("_key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        col("a._fp").as("_fp1"), col("b._fp").as("_fp2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("_fp1").bitwiseXOR(col("_fp2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.Normalize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational filter operators (SURVEY.md §2.2, F1-F8).
+  *
+  * All filters are single `Column` predicates so Catalyst can fuse them
+  * (`CombineFilters`) and push them into the parquet scan
+  * (`PushDownPredicate`) — the reference hand-orders them
+  * (run_job_filter.py:329-348); we declare and let the optimizer order.
+  */
+object Filters {
+
+  /** F1: days-lookback date filter (reference: run_job_filter.py:112-152).
+    * Rows whose `tsCol` fails to parse are dropped (NaT semantics).
+    * `daysBack <= 0` disables the filter, as in the reference.
+    * `asOf` is a captured batch timestamp — one `now` per run
+    * (SURVEY §7.4), never per-row `current_timestamp()`.
+    */
+  def dateRange(tsCol: Column, daysBack: Int, asOf: java.sql.Timestamp): Column =
+    if (daysBack <= 0) lit(true)
+    else tsCol.isNotNull && tsCol >= (lit(asOf) - expr(s"INTERVAL $daysBack DAYS"))
+
+  /** F2: hours-lookback variant (reference: run_ats_enrichment.py:528-537). */
+  def hoursRange(tsCol: Column, hoursBack: Int, asOf: java.sql.Timestamp): Column =
+    if (hoursBack <= 0) lit(true)
+    else tsCol.isNotNull && tsCol >= (lit(asOf) - expr(s"INTERVAL $hoursBack HOURS"))
+
+  /** F3: non-empty-content filter — every required column must be
+    * non-null, non-whitespace, and not the literal 'nan' artifact
+    * (reference: run_job_filter.py:155-203).
+    */
+  def nonEmptyContent(requiredCols: Seq[String]): Column =
+    requiredCols.map(c => !Normalize.isBlankish(col(c))).reduce(_ && _)
+
+  /** F4: keyword exclusion — per (column → keywords) config, drop rows
+    * where any keyword appears in the column; case-insensitive by
+    * default; null column treated as non-match (pandas `na=False`)
+    * (reference: run_job_filter.py:206-237; config/config.yaml:103-183).
+    */
+  def keywordExclusion(
+      rules: Map[String, Seq[String]],
+      caseSensitive: Boolean = false): Column = {
+    val perCol = rules.toSeq.sortBy(_._1).flatMap { case (c, kws) =>
+      kws.map { kw =>
+        val (colE, kwE) =
+          if (caseSensitive) (Normalize.nullToEmpty(col(c)), lit(kw))
+          else (lower(Normalize.nullToEmpty(col(c))), lit(kw.toLowerCase))
+        !colE.contains(kwE)
+      }
+    }
+    if (perCol.isEmpty) lit(true) else perCol.reduce(_ && _)
+  }
+
+  /** F5: drop config rows with blank url / worksheet name
+    * (reference: src/etl/rss_feed_etl.py:55-61).
+    */
+  def requireNonBlank(cols: Seq[String]): Column =
+    cols.map(c => length(trim(Normalize.nullToEmpty(col(c)))) > 0).reduce(_ && _)
+
+  /** F6: primary-key validation — null/blank keys are invalid; returns
+    * (validRows, invalidCount, duplicateKeyCount). The reference rejects
+    * the frame on invalid keys and warns on duplicates
+    * (src/etl/scd1_manager.py:179-215). Runs as one aggregate job —
+    * never collects keys to the driver.
+    */
+  def validatePk(df: DataFrame, key: String): (DataFrame, Long, Long) = {
+    val invalidPred = col(key).isNull || trim(col(key)) === ""
+    val stats = df
+      .groupBy()
+      .agg(
+        sum(when(invalidPred, 1L).otherwise(0L)).as("invalid"),
+        (count(col(key)) - countDistinct(col(key))).as("dups"))
+      .collect()(0)
+    val invalid = Option(stats.getAs[Any]("invalid")).fold(0L)(_.toString.toLong)
+    val dups = Option(stats.getAs[Any]("dups")).fold(0L)(_.toString.toLong)
+    (df.filter(!invalidPred), invalid, dups)
+  }
+}

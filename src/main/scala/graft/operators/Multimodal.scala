@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batched decode/feature-extract
+  * operators.
+  *
+  * The actual media codecs are NOT in this environment, so the decode
+  * kernel is a deterministic fake behind `MediaDecoder` — but the
+  * Spark-side contract is real and tested: schema, partition-sized
+  * batching, and the executor-side iteration shape match what a real
+  * decoder (JNI/ffmpeg or a Python `mapInPandas` worker) plugs into.
+  *
+  * Scale notes: media blobs dominate row size, so operators here
+  * (a) never shuffle the binary column (feature extraction projects it
+  * away before any wide op), and (b) repartition by a size heuristic so
+  * one task's batch fits executor memory.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record: blob + typed metadata. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),        // image | audio | video
+    StructField("content", BinaryType),     // opaque encoded bytes
+    StructField("mime", StringType),
+    StructField("width", IntegerType),      // images/video
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)    // audio/video
+  ))
+
+  /** Decoded-feature row produced by `extractFeatures`. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("feature", ArrayType(FloatType))
+  ))
+
+  /** Pluggable decode kernel. A real implementation would wrap an image
+    * / audio library; `StubDecoder` is a deterministic fake keyed on the
+    * bytes so tests and oracles are stable.
+    */
+  trait MediaDecoder extends Serializable {
+    /** bytes → fixed-size feature vector (e.g. pooled pixels / MFCC). */
+    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  final class StubDecoder extends MediaDecoder {
+    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
+      // Deterministic pseudo-features: rolling checksum per stripe.
+      val out = new Array[Float](dim)
+      if (bytes != null && bytes.nonEmpty) {
+        var i = 0
+        while (i < bytes.length) {
+          out(i % dim) += (bytes(i) & 0xff) / 255.0f
+          i += 1
+        }
+        var d = 0
+        val stripe = math.max(bytes.length / dim, 1)
+        while (d < dim) { out(d) = out(d) / stripe; d += 1 }
+      }
+      out
+    }
+  }
+
+  /** Batched feature extraction: binary column in, feature vector out.
+    * Runs per-partition (the `mapInPandas` batch shape); the blob is
+    * projected away immediately so downstream ops never shuffle bytes.
+    */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = new StubDecoder,
+      dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val contentIdx = media.schema.fieldIndex("content")
+    val rdd = media.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(contentIdx) match {
+          case b: Array[Byte] => b
+          case _              => Array.emptyByteArray
+        }
+        val kind = Option(row.getString(kindIdx)).getOrElse("")
+        Row(row.getLong(idIdx), kind, bytes.length.toLong,
+          decoder.decodeFeatures(kind, bytes, dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, FeatureSchema)
+  }
+
+  /** Frame-sampling plan for video blobs: emits (media_id, frame_idx)
+    * sample points every `everyMs` without decoding — the schedule a
+    * real decoder would consume. Pure expressions.
+    */
+  def frameSamplePlan(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs)))
+          .as("sample_ms"))
+
+  /** Size-aware repartition so each task's media batch is ~`targetMb`.
+    * Call before `extractFeatures` on real data.
+    */
+  def repartitionBySize(media: DataFrame, totalBytes: Long, targetMb: Int = 128): DataFrame = {
+    val parts = math.max((totalBytes / (targetMb.toLong * 1024 * 1024)).toInt, 1)
+    media.repartition(parts)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design:
+  *  - `bruteForceTopK` broadcasts the (small) query set against the
+  *    corpus — a map-side-only broadcast nested loop; no shuffle except
+  *    the final per-query top-k aggregation. Correct baseline at any
+  *    corpus size as long as the QUERY side is broadcastable.
+  *  - `ivf*` is the scale path: k centroid rows partition the corpus
+  *    into cells (one broadcast-join assignment pass); a query probes
+  *    only its `nProbe` nearest cells, shrinking the scanned fraction
+  *    to ~nProbe/k of the corpus. Cell assignment is precomputable and
+  *    persistable (partitioned parquet by cell_id → partition pruning
+  *    does the probe selection for free).
+  *  - All math is pure `Column` expressions (zip_with + aggregate) in
+  *    double precision — codegen'd, deterministic element order.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast(DoubleType))
+
+  /** Dot product of two array<numeric> columns (element order fixed). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k: for every row of `queries`, the k nearest
+    * rows of `corpus` (self-matches excluded by id). Query side must be
+    * small — it is broadcast. Returns (query_id, neighbor_id, sim) with
+    * sim rounded to 6dp and ties broken by neighbor id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+  }
+
+  /** IVF cell assignment: nearest centroid per corpus row (cosine).
+    * `centroids` must be small (broadcast). Ties → lowest centroid id.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(idCol).as(centroidIdCol), col(vecCol).as("_centv")))
+    val scored = corpus.join(cents)
+      .withColumn("_sim", round(cosine(col(vecCol), col("_centv")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_sim").desc, col(centroidIdCol).asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "_sim", "_centv")
+  }
+
+  /** IVF top-k search: probe the `nProbe` nearest cells per query, then
+    * brute-force only within those cells. `assigned` = ivfAssign output.
+    */
+  def ivfTopK(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(idCol).as(centroidIdCol), col(vecCol).as("_centv")))
+    val qProbes = broadcast {
+      val scored = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+        .join(cents)
+        .withColumn("_sim", cosine(col("_qv"), col("_centv")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_sim").desc, col(centroidIdCol).asc)
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= nProbe)
+        .select(col("query_id"), col("_qv"), col(centroidIdCol))
+    }
+    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      col(centroidIdCol))
+    val scored = qProbes.join(c, Seq(centroidIdCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "sim")
+  }
+
+  /** Embedding near-duplicate pairs: corpus×corpus cosine ≥ threshold.
+    * Bucketed via IVF cells when `centroids` given (pairs only within a
+    * cell — the LSH-style scale path); exact all-pairs otherwise (only
+    * for small corpora / within-partition use).
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: Option[DataFrame] = None): DataFrame = {
+    val base = centroids match {
+      case Some(cents) =>
+        val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+        val a = assigned.select(col("centroid_id"), col(idCol).as("id1"),
+          col(vecCol).as("_v1"))
+        val b = assigned.select(col("centroid_id"), col(idCol).as("id2"),
+          col(vecCol).as("_v2"))
+        a.join(b, Seq("centroid_id")).filter(col("id1") < col("id2"))
+      case None =>
+        val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("_v1"))
+        val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("_v2"))
+        a.join(b, col("id1") < col("id2"))
+    }
+    base.withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators: dedup family + ANN search. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark sql engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "spark sql engines process completely different content")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized fingerprint") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() == 4)
+    assert(groups.filter($"n_docs" === 2).collect()(0)
+      .getAs[Long]("canonical_id") == 1L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("jaccard pairs finds near-dups above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates contain the true near-dups") {
+    val verified = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((1L, 4L)))
+    assert(verified.contains((1L, 2L)))
+  }
+
+  test("simhash: identical docs same fingerprint, near-dups close, distinct far") {
+    val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f)), // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.98f, 0.2f)), // close to 2
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k returns nearest neighbors") {
+    val top1 = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" < 2), vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1(0L) == 1L)
+    assert(top1(1L) == 0L)
+  }
+
+  test("IVF assignment routes vectors to nearest centroid; topk within probes") {
+    val centroids = vecs.filter($"vec_id" === 0L || $"vec_id" === 2L)
+    val assigned = Similarity.ivfAssign(vecs, centroids, "vec_id", "embedding")
+    val m = assigned.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 0L)
+    assert(m(3L) == 2L)
+    val res = Similarity.ivfTopK(vecs.filter($"vec_id" === 1L), assigned,
+      centroids, "vec_id", "embedding", k = 1, nProbe = 1)
+      .collect()
+    assert(res.length == 1 && res(0).getLong(1) == 0L)
+  }
+
+  test("embedding near-dup pairs via threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("text analysis: langId, token stats, fingerprint determinism") {
+    val df = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "el perro y la casa de los gatos es una"),
+      (3L, "xyzzy qwerty")
+    ).toDF("doc_id", "text")
+    val langs = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en")
+    assert(langs(2L) == "es")
+    assert(langs(3L) == "und")
+    val stats = df.filter($"doc_id" === 1L)
+      .select(TextAnalysis.tokenCount($"text")).collect()(0).getInt(0)
+    assert(stats == 9)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{HtmlToText, Normalize}
+import graft.operators.Filters
+import org.apache.spark.sql.functions._
+
+/** Filter + scalar-function semantics from SURVEY §2.2/§2.8 and
+  * FIXTURES.md §5 — cases the reference leaves untested.
+  */
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+
+  test("dateRange drops old, unparseable and null dates; <=0 disables") {
+    val df = Seq(
+      ("in", "2024-01-25 00:00:00"),
+      ("old", "2023-11-01 00:00:00"),
+      ("junk", "not a date"),
+      ("null", null)
+    ).toDF("id", "published")
+    val kept = df.filter(Filters.dateRange(Normalize.tsParse($"published"), 30, asOf))
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("in"))
+    assert(df.filter(Filters.dateRange(Normalize.tsParse($"published"), 0, asOf))
+      .count() == 4)
+  }
+
+  test("nonEmptyContent drops null / blank / whitespace / 'nan'") {
+    val df = Seq(
+      ("ok", "content"),
+      ("empty", ""),
+      ("ws", "   "),
+      ("nan", "nan"),
+      ("null", null)
+    ).toDF("id", "summary")
+    val kept = df.filter(Filters.nonEmptyContent(Seq("summary")))
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("ok"))
+  }
+
+  test("keywordExclusion is case-insensitive by default and null-safe") {
+    val df = Seq(
+      ("1", "Senior Data Engineer"),
+      ("2", "sales INTERN position"),
+      ("3", null),
+      ("4", "Manager of sales")
+    ).toDF("id", "title")
+    val kept = df.filter(Filters.keywordExclusion(
+        Map("title" -> Seq("intern", "Sales"))))
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("1", "3")) // null column is a non-match (na=False)
+    val cs = df.filter(Filters.keywordExclusion(
+        Map("title" -> Seq("SALES")), caseSensitive = true))
+      .select("id").as[String].collect().toSet
+    assert(cs == Set("1", "2", "3", "4")) // no literal 'SALES' anywhere
+  }
+
+  test("validatePk counts invalid and duplicate keys without collecting") {
+    val df = Seq("a", "a", "b", "", null).toDF("link")
+    val (valid, invalid, dups) = Filters.validatePk(df, "link")
+    assert(invalid == 2)
+    assert(dups == 1)
+    assert(valid.count() == 3)
+  }
+
+  test("htmlToText strips tags/scripts, decodes entities, collapses ws") {
+    val df = Seq(
+      "<p>Hello <b>world</b></p>",
+      "<script>var x = 1;</script>text &amp; more&nbsp;here",
+      "a\n\n  b"
+    ).toDF("html")
+    val out = df.select(HtmlToText.htmlToText($"html").as("t"))
+      .as[String].collect()
+    assert(out(0) == "Hello world")
+    assert(out(1) == "text & more here")
+    assert(out(2) == "a b")
+  }
+
+  test("preferNonBlank keeps history notes when new notes blank") {
+    val df = Seq(
+      ("", "old"), ("  ", "old2"), ("new", "old3"), (null, "old4")
+    ).toDF("n", "h")
+    val out = df.select(Normalize.preferNonBlank($"n", $"h").as("v"))
+      .as[String].collect().toSeq
+    assert(out == Seq("old", "old2", "new", "old4"))
+  }
+
+  test("tsParse coerces bad input to null across formats") {
+    val df = Seq(
+      "2024-01-10 12:00:00", "2024-01-10", "Wed, 10 Jan 2024 12:00:00 +0000",
+      "garbage"
+    ).toDF("s")
+    val out = df.select(Normalize.tsParse($"s").as("ts")).collect().map(_.get(0))
+    assert(out(0) != null && out(1) != null && out(2) != null)
+    assert(out(3) == null)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.model.Schemas
+import graft.operators.{Enrichment, Multimodal}
+import graft.pipeline.JobPipeline
+import graft.pipeline.JobPipeline.{FilterConfig, Scd1}
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline + enrichment + multimodal plumbing. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val batchTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+
+  test("regional pipeline: ingest → scd1 → filter → append, end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft").toString
+    val raw = Seq(
+      ("DE", "l1", "Data Engineer", "2024-01-28 10:00:00", "Feed", "rss",
+        "15min", "<p>Great&nbsp;role</p>"),
+      ("DE", "l2", "Sales Intern", "2024-01-29 10:00:00", "Feed", "rss",
+        "15min", "<b>selling</b>"),
+      ("DE", "l3", "Old Role", "2023-06-01 10:00:00", "Feed", "rss",
+        "15min", "stale"),
+      ("DE", "l4", "No Summary", "2024-01-28 11:00:00", "Feed", "rss",
+        "15min", "")
+    ).toDF("job_title", "link", "entry_title", "published", "feed_title",
+      "reader", "time_window", "summary")
+
+    val cfg = FilterConfig(daysBack = 30,
+      requiredCols = Seq("entry_title", "summary"),
+      keywordExclusions = Map("entry_title" -> Seq("intern")))
+    val out = JobPipeline.runRegion(spark, raw, s"$tmp/stage", s"$tmp/result",
+      Scd1, cfg, batchTs)
+    val links = out.select("link").as[String].collect().toSet
+    assert(links == Set("l1")) // l2 keyword, l3 too old, l4 empty summary
+    val row = out.collect()(0)
+    assert(row.getAs[String]("summary") == "Great role") // html cleaned
+    assert(row.getAs[String]("AS_OF_DT") == "2024-02-01 00:00:00")
+
+    // second run with an updated l1 merges, doesn't duplicate
+    val raw2 = Seq(
+      ("DE", "l1", "Data Engineer II", "2024-01-30 10:00:00", "Feed", "rss",
+        "15min", "<p>Better role</p>")
+    ).toDF("job_title", "link", "entry_title", "published", "feed_title",
+      "reader", "time_window", "summary")
+    val out2 = JobPipeline.runRegion(spark, raw2, s"$tmp/stage", s"$tmp/result",
+      Scd1, cfg, batchTs)
+    val stage = spark.read.parquet(s"$tmp/stage")
+    assert(stage.count() == 4) // l1 updated in place
+    assert(stage.filter($"link" === "l1").collect()(0)
+      .getAs[String]("entry_title") == "Data Engineer II")
+    assert(out2.filter($"link" === "l1").count() == 1)
+  }
+
+  test("enrichment: skills columns + deterministic scorer") {
+    val docs = Seq(
+      (1L, "we need python and spark and sql experience"),
+      (2L, "requires kubernetes and docker only"),
+      (3L, "no dictionary terms here at all")
+    ).toDF("doc_id", "text")
+    val resume = "python spark sql linux"
+    val enriched = Enrichment.withSkillsColumns(docs, "text", resume,
+      asOf = Some(batchTs))
+    val r1 = enriched.filter($"doc_id" === 1L).collect()(0)
+    assert(r1.getAs[scala.collection.Seq[String]]("matched_skills").toSeq == Seq("python", "spark", "sql"))
+    assert(r1.getAs[Double]("match_percentage") == 100.0)
+    val r2 = enriched.filter($"doc_id" === 2L).collect()(0)
+    assert(r2.getAs[Double]("match_percentage") == 0.0)
+    assert(r2.getAs[scala.collection.Seq[String]]("missing_skills").toSeq == Seq("docker", "kubernetes"))
+
+    val scored = Enrichment.withLlmScore(docs, "text", resume,
+      new Enrichment.DeterministicScorer(), batchSize = 2)
+    val s = scored.select($"doc_id", $"llm_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) == 100.0 && s(2L) == 0.0 && s(3L) == 0.0)
+  }
+
+  test("multimodal: stub decode produces stable features, plumbing intact") {
+    val media = Seq(
+      (1L, "image", "some image bytes".getBytes("UTF-8")),
+      (2L, "audio", "other audio bytes".getBytes("UTF-8")),
+      (3L, "image", Array.emptyByteArray)
+    ).toDF("media_id", "kind", "content")
+      .withColumn("mime", lit("application/octet-stream"))
+      .withColumn("width", lit(null).cast("int"))
+      .withColumn("height", lit(null).cast("int"))
+      .withColumn("duration_ms", lit(null).cast("bigint"))
+    val f = Multimodal.extractFeatures(media, dim = 4).cache()
+    assert(f.count() == 3)
+    assert(f.schema("feature").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val f1a = f.filter($"media_id" === 1L).collect()(0).getAs[scala.collection.Seq[Float]]("feature").toSeq
+    val f1b = Multimodal.extractFeatures(media, dim = 4)
+      .filter($"media_id" === 1L).collect()(0).getAs[scala.collection.Seq[Float]]("feature").toSeq
+    assert(f1a == f1b) // deterministic
+    assert(f.filter($"media_id" === 3L).collect()(0)
+      .getAs[Long]("n_bytes") == 0L)
+
+    val video = Seq((9L, "video", 10_000L)).toDF("media_id", "kind", "duration_ms")
+    val plan = Multimodal.frameSamplePlan(video, everyMs = 2500)
+    assert(plan.count() == 5) // 0,2500,5000,7500,10000
+  }
+
+  test("canonicalSelect self-heals missing columns") {
+    val df = Seq(("l1", "t")).toDF("link", "entry_title")
+    val out = graft.functions.Normalize.canonicalSelect(df, Schemas.FeedEntryCols)
+    assert(out.columns.toSeq == Schemas.FeedEntryCols)
+    assert(out.collect()(0).getAs[String]("notes") == "")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics (SURVEY §2.10): watermarked dedup and
+  * foreachBatch SCD sink driven synchronously by MemoryStream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(link: String, published: java.sql.Timestamp, title: String)
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming dedup drops re-polled duplicate keys within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val stream = mem.toDF.toDF("link", "published", "title")
+    val deduped = StreamingIngest.dedupStream(stream, "link", "published",
+      "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("l1", t("2024-01-01 10:00:00"), "A"),
+        ("l1", t("2024-01-01 10:00:00"), "A"), // same key+time re-polled
+        ("l2", t("2024-01-01 10:05:00"), "B"))
+      q.processAllAvailable()
+      mem.addData(
+        ("l1", t("2024-01-01 10:00:00"), "A"), // re-polled again, later batch
+        ("l3", t("2024-01-01 10:10:00"), "C"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("link").as[String].collect()
+      assert(out.sorted.toSeq == Seq("l1", "l2", "l3"))
+    } finally q.stop()
+  }
+
+  test("foreachBatch scd1 sink upserts into the table across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[(String, String, String)]
+    val stream = mem.toDF.toDF("link", "entry_title", "summary")
+    val q = StreamingIngest.scd1Sink(stream, s"$tmp/table", s"$tmp/ckpt",
+        "link", Seq("entry_title", "summary"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      mem.addData(("l1", "T1", "S1"), ("l2", "T2", "S2"))
+      q.awaitTermination(60000)
+    } finally q.stop()
+    val after1 = spark.read.parquet(s"$tmp/table")
+    assert(after1.count() == 2)
+
+    val q2 = StreamingIngest.scd1Sink(stream, s"$tmp/table", s"$tmp/ckpt",
+        "link", Seq("entry_title", "summary"),
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      mem.addData(("l1", "T1-updated", "S1"), ("l3", "T3", "S3"))
+      q2.awaitTermination(60000)
+    } finally q2.stop()
+    val after2 = spark.read.parquet(s"$tmp/table")
+    assert(after2.count() == 3)
+    assert(after2.filter($"link" === "l1").collect()(0)
+      .getAs[String]("entry_title") == "T1-updated")
+  }
+
+  test("windowed counts aggregate per tumbling day window") {
+    val ev = Seq(
+      ("2024-01-01 05:00:00", "click", 1.0),
+      ("2024-01-01 18:00:00", "click", 2.0),
+      ("2024-01-02 05:00:00", "view", 3.0)
+    ).toDF("ts_s", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = StreamingIngest.windowedCounts(ev, "ts", "1 day", "1 day",
+      Seq("event_type"))
+    val rows = out.select($"event_type", $"n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("click") == 2 && rows("view") == 1)
+  }
+}
