@@ -400,6 +400,28 @@ object SparkEntry {
         .select(col("vec_id"), col("centroid_id"))
     }),
 
+    "q32_embedding_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+    }),
+
+    // SQL surface: same engine through spark.sql over registered views,
+    // including the native cosine expression by its SQL name.
+    "q35_sql_surface" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               (SELECT ROUND(graft_cosine_sim(a.embedding, b.embedding), 6)
+                FROM embeddings_v a JOIN embeddings_v b
+                  ON a.vec_id = 0 AND b.vec_id = 1) AS sim01
+        FROM orders_v GROUP BY o_orderstatus""")
+    }),
+
     // ------------- streaming-equivalent windowed agg (§2.10) -------------
     "q31_windowed_counts" -> ((s, dir) => {
       Graft.tune(s)
@@ -736,6 +758,31 @@ object SparkEntry {
          ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                            ORDER BY sim DESC, centroid_id) AS rn FROM scored)
        SELECT vec_id, centroid_id FROM ranked WHERE rn = 1""",
+
+    "q32_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+                  list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                  sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                  sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       SELECT id1, id2,
+              ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS sim
+       FROM pairs
+       WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45""",
+
+    "q35_sql_surface" ->
+      """WITH s AS (
+           SELECT ROUND(
+             list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]) /
+             (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) *
+              sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) AS sim01
+           FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1)
+       SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+              (SELECT sim01 FROM s) AS sim01
+       FROM orders GROUP BY o_orderstatus""",
 
     "q31_windowed_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,

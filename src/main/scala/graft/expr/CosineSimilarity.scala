@@ -1,0 +1,99 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<float>` / `array<double>` columns.
+  *
+  * Why an Expression and not `zip_with` + `aggregate`: higher-order
+  * functions are excluded from whole-stage codegen and re-enter the
+  * interpreter per element — measured ~50 µs per 64-dim pair, which
+  * caps all-pairs similarity at ~20k pairs/s/core. This expression
+  * generates a tight primitive loop (~0.2 µs per pair), keeping ANN
+  * scoring inside WholeStageCodegen. Preference order per the design
+  * notes: compose built-ins (a) fails on performance here, so (b) a
+  * custom Expression is the right tier — no planner rule needed.
+  *
+  * Numeric contract (must stay bit-identical to the composed-built-ins
+  * form so the DuckDB oracle keeps matching): accumulate dot product
+  * and both squared norms in double, in element order; result =
+  * dot / (sqrt(na) * sqrt(nb)); 0.0 when either norm is zero; null
+  * only when an input array is null. Array elements are assumed
+  * non-null (embedding vectors).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0.0) dot / denom else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getX =
+        if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val getY =
+        if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      s"""
+        double dot = 0.0, na = 0.0, nb = 0.0;
+        int n = java.lang.Math.min($a.numElements(), $b.numElements());
+        for (int i = 0; i < n; i++) {
+          double x = $getX;
+          double y = $getY;
+          dot += x * y; na += x * x; nb += y * y;
+        }
+        double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+        ${ev.value} = denom > 0.0 ? dot / denom : 0.0;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  val FunctionName = "graft_cosine_sim"
+
+  /** Register in the session's function registry (idempotent) so both
+    * `call_function` and `spark.sql` can resolve it.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FunctionName,
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+}

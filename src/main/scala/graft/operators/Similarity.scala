@@ -35,8 +35,18 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via the native codegen'd expression
+    * (graft.expr.CosineSimilarity, registered by Graft.tune); 0 when
+    * either vector has zero norm. Bit-identical to `cosineComposed`.
+    */
+  def cosine(a: Column, b: Column): Column =
+    call_function(graft.expr.CosineSimilarity.FunctionName, a, b)
+
+  /** The same computation composed from built-in higher-order
+    * functions — reference semantics / sessions without the registered
+    * expression. ~250× slower per pair (interpreted).
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n > 0, d / n).otherwise(lit(0.0))

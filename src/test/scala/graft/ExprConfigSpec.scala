@@ -1,0 +1,72 @@
+package graft
+
+import graft.config.PipelineConfig
+import graft.operators.Similarity
+import graft.pipeline.JobPipeline.{FilterConfig, Scd2}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Native cosine expression, CSV source/sink, YAML config loader. */
+class ExprConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim is bit-identical to the composed-builtin form") {
+    val vecs = Seq(
+      (0L, Array(0.1f, -0.2f, 0.93f, 0.4f)),
+      (1L, Array(0.5f, 0.5f, 0.0f, -0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero norm → 0.0
+      (3L, Array(1.0f, 2.0f, 3.0f, 4.0f))
+    ).toDF("id", "v")
+    val pairs = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("native"),
+        Similarity.cosineComposed(col("a.v"), col("b.v")).as("composed"))
+      .collect()
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // SQL name resolves too
+    vecs.createOrReplaceTempView("v_t")
+    val viaSql = spark.sql(
+      """SELECT graft_cosine_sim(a.v, b.v) FROM v_t a JOIN v_t b
+         ON a.id = 0 AND b.id = 3""").collect()(0).getDouble(0)
+    assert(math.abs(viaSql) <= 1.0)
+  }
+
+  test("csv round-trip with empty-description drop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = Seq(("1", "desc one"), ("2", ""), ("3", "   "), ("4", "keep"))
+      .toDF("id", "description")
+    Tables.writeCsv(df, s"$tmp/out", singleFile = true)
+    val back = Tables.readCsv(spark, s"$tmp/out",
+      requireNonBlank = Some("description"))
+    assert(back.select("id").as[String].collect().toSet == Set("1", "4"))
+  }
+
+  test("yaml config parses strategy, columns and filter rules") {
+    val yaml =
+      """loading:
+        |  strategy: scd2
+        |columns: [job_title, link, entry_title]
+        |filter:
+        |  days_back: 14
+        |  required_columns: [entry_title]
+        |  case_sensitive: false
+        |  loading_mode: overwrite
+        |  exclude_keywords:
+        |    entry_title: [intern, staffing]
+        |    summary: [clearance]
+        |""".stripMargin
+    val p = PipelineConfig.parse(yaml)
+    assert(p.strategy == Scd2)
+    assert(p.columns == Seq("job_title", "link", "entry_title"))
+    assert(p.filter.daysBack == 14)
+    assert(p.filter.loadingMode == "overwrite")
+    assert(p.filter.keywordExclusions("entry_title") == Seq("intern", "staffing"))
+
+    val defaults = PipelineConfig.parse("{}")
+    assert(defaults.filter == FilterConfig(
+      keywordExclusions = Map.empty))
+  }
+}
