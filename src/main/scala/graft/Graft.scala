@@ -31,6 +31,8 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     graft.expr.CosineSimilarity.register(spark)
+    graft.expr.MinHashSignature.register(spark)
+    graft.expr.WordShingles.register(spark)
     spark
   }
 

@@ -12,7 +12,8 @@ object Scratch {
     Graft.tune(spark)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     for (q <- args.drop(1)) {
-      val df = SparkEntry.queries(q)(spark, dir)
+      val df = if (q == "entry") SparkEntry.entry(spark)
+        else SparkEntry.queries(q)(spark, dir)
       println(s"===== $q =====")
       df.explain("formatted")
       val t0 = System.nanoTime()
