@@ -422,6 +422,11 @@ object SparkEntry {
         FROM orders_v GROUP BY o_orderstatus""")
     }),
 
+    "q36_tfidf_similarity" -> ((s, dir) => {
+      Graft.tune(s)
+      TfIdf.similarity(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
+    }),
+
     // ------------- streaming-equivalent windowed agg (§2.10) -------------
     "q31_windowed_counts" -> ((s, dir) => {
       Graft.tune(s)
@@ -783,6 +788,38 @@ object SparkEntry {
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
               (SELECT sim01 FROM s) AS sim01
        FROM orders GROUP BY o_orderstatus""",
+
+    "q36_tfidf_similarity" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+           post AS (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '')) AS t
+                    FROM documents),
+           tf AS (SELECT doc_id, t, count(*) AS tf FROM post GROUP BY 1, 2),
+           dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+           w AS (SELECT doc_id, tf.t,
+                        CAST(ROUND(tf * (ln(CAST((SELECT n FROM nn) + 1 AS DOUBLE) / (df + 1)) + 1.0), 6)
+                             AS DECIMAL(18,6)) AS w
+                 FROM tf JOIN dfreq ON tf.t = dfreq.t),
+           dnorm AS (SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+                     FROM w GROUP BY 1),
+           qtf AS (SELECT t, count(*) AS tf FROM (
+                     SELECT unnest(list_filter(regexp_split_to_array(lower('$ResumeQ'), '[^a-z0-9]+'),
+                                               x -> x <> '')) AS t) GROUP BY 1),
+           qw AS (SELECT qtf.t,
+                         CAST(ROUND(qtf.tf * (ln(CAST((SELECT n FROM nn) + 1 AS DOUBLE) / (COALESCE(df, 0) + 1)) + 1.0), 6)
+                              AS DECIMAL(18,6)) AS qw
+                  FROM qtf LEFT JOIN dfreq ON qtf.t = dfreq.t),
+           qn AS (SELECT sqrt(CAST(SUM(qw * qw) AS DOUBLE)) AS qnrm FROM qw),
+           dots AS (SELECT doc_id, CAST(SUM(w * qw) AS DOUBLE) AS dot
+                    FROM w JOIN qw ON w.t = qw.t GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN dot IS NOT NULL AND nrm > 0 AND (SELECT qnrm FROM qn) > 0
+                    THEN ROUND(dot / (nrm * (SELECT qnrm FROM qn)), 6)
+                    ELSE 0.0 END AS sim
+        FROM documents d
+        LEFT JOIN dots ON d.doc_id = dots.doc_id
+        LEFT JOIN dnorm ON d.doc_id = dnorm.doc_id""",
 
     "q31_windowed_counts" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,

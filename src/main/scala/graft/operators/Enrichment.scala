@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Normalize, Skills}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,6 +63,40 @@ object Enrichment {
         Skills.matchPercentage(col("job_skills"), resumeSkills))
     asOf.fold(base)(ts =>
       base.withColumn("as_of_dt", Normalize.tsFormat(lit(ts))))
+  }
+
+  /** C16: sink-boundary projection — skills arrays become JSON strings,
+    * exactly the reference's `json.dumps(skills)` at write time
+    * (run_ats_enrichment.py:905-906). Arrays stay native until here.
+    */
+  def toSinkColumns(df: DataFrame): DataFrame = {
+    val arrayCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] => f.name
+    }
+    arrayCols.foldLeft(df)((d, c) => d.withColumn(c, to_json(col(c))))
+  }
+
+  /** C17: parse an LLM response into a (match_percentage, matched,
+    * missing) struct — `from_json` against the expected schema with a
+    * regexp_extract fallback for percent-only free text, clamped to
+    * [0,100] (reference: run_ats_enrichment.py:360-393,784-876).
+    */
+  def parseLlmResponse(response: Column): Column = {
+    val schema = StructType(Seq(
+      StructField("match_percentage", DoubleType),
+      StructField("matched_skills", ArrayType(StringType)),
+      StructField("missing_skills", ArrayType(StringType))))
+    val parsed = from_json(response, schema)
+    val pctFallback = regexp_extract(response, "(\\d{1,3}(?:\\.\\d+)?)\\s*%", 1)
+      .cast(DoubleType)
+    val pct = graft.functions.Normalize.clampPct(
+      coalesce(parsed.getField("match_percentage"), pctFallback))
+    struct(
+      pct.as("match_percentage"),
+      coalesce(parsed.getField("matched_skills"),
+        array().cast(ArrayType(StringType))).as("matched_skills"),
+      coalesce(parsed.getField("missing_skills"),
+        array().cast(ArrayType(StringType))).as("missing_skills"))
   }
 
   /** The imperative scorer boundary: adds `llm_score` by calling the

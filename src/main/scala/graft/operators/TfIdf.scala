@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** C20: TF-IDF cosine similarity of every document against a query text
+  * (the reference scores job descriptions against a resume,
+  * src/utils/ats_matcher.py:20-37, via sklearn TfidfVectorizer).
+  *
+  * Implemented relationally rather than with hashing-based spark.ml
+  * stages: an exploded (doc, term) postings table → term frequencies →
+  * document frequencies → smooth idf = ln((N+1)/(df+1)) + 1 → weights.
+  * This is the formulation that scales (no fixed-width hash vectors, no
+  * collisions, dictionary-free) and its arithmetic is reproducible:
+  * weights are rounded to 6dp and accumulated as DECIMAL(18,6) so the
+  * dot product and norms are exact, order-independent sums — the DuckDB
+  * oracle matches bit-for-bit.
+  *
+  * Query terms missing from the corpus still contribute to the query
+  * norm (df = 0) but cannot contribute to any dot product.
+  */
+object TfIdf {
+
+  private val wDec = DecimalType(18, 6)
+
+  /** (idCol, sim): TF-IDF cosine similarity in [0,1], 6dp, for every
+    * document (0.0 when nothing overlaps).
+    */
+  def similarity(docs: DataFrame, idCol: String, textCol: String,
+      queryText: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val n = docs.count()
+    val idf: Column => Column = df0 =>
+      log((lit(n + 1).cast(DoubleType)) / (df0 + lit(1))) + lit(1.0)
+
+    // (doc, term) postings with term frequency
+    val postings = docs
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+
+    val weights = tf.join(dfreq, "_t")
+      .select(col("_id"), col("_t"),
+        round(col("_tf") * idf(col("_df")), 6).cast(wDec).as("_w"))
+
+    val docNorm = weights.groupBy("_id")
+      .agg(sqrt(sum(col("_w") * col("_w")).cast(DoubleType)).as("_norm"))
+
+    // query vector: tf over the literal text, idf from the corpus
+    val qTf = Seq(queryText).toDF("_qtext")
+      .select(explode(TextAnalysis.tokens(col("_qtext"))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_tf"))
+    val qWeights = broadcast(
+      qTf.join(dfreq, Seq("_t"), "left_outer")
+        .select(col("_t"),
+          round(col("_tf") * idf(coalesce(col("_df"), lit(0L))), 6)
+            .cast(wDec).as("_qw")))
+    val qNorm = qWeights
+      .agg(sqrt(sum(col("_qw") * col("_qw")).cast(DoubleType)).as("_qnorm"))
+      .collect()(0).getDouble(0)
+
+    val dots = weights.join(qWeights, "_t")
+      .groupBy("_id")
+      .agg(sum(col("_w") * col("_qw")).cast(DoubleType).as("_dot"))
+
+    docs.select(col(idCol))
+      .join(dots.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .join(docNorm.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("_dot").isNotNull && col("_norm") > 0 && lit(qNorm) > 0,
+          round(col("_dot") / (col("_norm") * lit(qNorm)), 6))
+          .otherwise(lit(0.0)).as("sim"))
+  }
+}
