@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-aware joins and bucketed storage for
+  * shuffle-free merges. These are the knobs a 1000-executor deployment
+  * turns; local runs exercise the same plans.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: the build side is replicated
+    * `saltFactor` ways, the probe side gets a random-but-deterministic
+    * salt from a hash of a tie-break column, so one hot key spreads
+    * over `saltFactor` reducers instead of one straggler task.
+    * AQE's skew-join handles moderate skew automatically (enabled in
+    * Graft.tune); explicit salting is for the pathological keys AQE
+    * can't split (e.g. a single key bigger than one executor).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltFactor: Int, probeSaltSource: Column,
+      joinType: String = "inner"): DataFrame = {
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(probeSaltSource), lit(saltFactor)).cast("int"))
+    val replicated = build
+      .withColumn("_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Write a table bucketed by the merge key. Two tables bucketed the
+    * same way join with ZERO exchanges — the SCD merges become
+    * shuffle-free, which at 100 TB is the difference between a
+    * re-shuffle of the whole history per batch and a local merge.
+    * (Requires the session catalog; parquet + saveAsTable.)
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // DROP leaves the managed location behind when the previous run
+    // died mid-write; clear both so Overwrite can't hit
+    // LOCATION_ALREADY_EXISTS.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Count the shuffle exchanges in a DataFrame's executed plan —
+    * used by tests to prove bucketing/broadcast removed them. Descends
+    * through AQE wrappers (whose children are hidden from plain
+    * collect until execution).
+    */
+  def countExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def cnt(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => cnt(a.executedPlan)
+      case q: QueryStageExec        => cnt(q.plan)
+      case e: ShuffleExchangeLike   => 1 + e.children.map(cnt).sum
+      case other                    => other.children.map(cnt).sum
+    }
+    cnt(df.queryExecution.executedPlan)
+  }
+
+  /** Register both sides of a merge as bucketed tables and return the
+    * (history, batch) frames whose join needs no shuffle.
+    */
+  def bucketedPair(spark: SparkSession, hist: DataFrame, batch: DataFrame,
+      key: String, buckets: Int, histTable: String = "graft_hist_bucketed",
+      batchTable: String = "graft_batch_bucketed"): (DataFrame, DataFrame) = {
+    writeBucketed(hist, histTable, key, buckets)
+    writeBucketed(batch, batchTable, key, buckets)
+    (spark.table(histTable), spark.table(batchTable))
+  }
+}

@@ -69,16 +69,29 @@ object JobPipeline {
 
   /** Filter stage (reference: run_job_filter.py:257-410): one fused
     * predicate + audit column; Catalyst combines the three filters and
-    * prunes columns into the scan.
+    * prunes columns into the scan. The reference logs removed-row
+    * counts per step (run_job_filter.py:145-146,199-201,229-236) —
+    * that observable surface is provided as `observe` metrics
+    * (`filter_stage`: rows_in / rows_date_ok / rows_content_ok /
+    * rows_out) computed in the SAME pass, not as extra count() jobs.
     */
   def filterStage(staged: DataFrame, cfg: FilterConfig,
-      asOf: java.sql.Timestamp): DataFrame =
+      asOf: java.sql.Timestamp): DataFrame = {
+    val dateOk = Filters.dateRange(Normalize.tsParse(col("published")),
+      cfg.daysBack, asOf)
+    val contentOk = Filters.nonEmptyContent(cfg.requiredCols)
+    val keywordOk = Filters.keywordExclusion(cfg.keywordExclusions,
+      cfg.caseSensitive)
     staged
-      .filter(Filters.dateRange(Normalize.tsParse(col("published")),
-        cfg.daysBack, asOf))
-      .filter(Filters.nonEmptyContent(cfg.requiredCols))
-      .filter(Filters.keywordExclusion(cfg.keywordExclusions, cfg.caseSensitive))
+      .observe("filter_stage",
+        count(lit(1)).as("rows_in"),
+        sum(when(dateOk, 1L).otherwise(0L)).as("rows_date_ok"),
+        sum(when(dateOk && contentOk, 1L).otherwise(0L)).as("rows_content_ok"),
+        sum(when(dateOk && contentOk && keywordOk, 1L).otherwise(0L))
+          .as("rows_out"))
+      .filter(dateOk && contentOk && keywordOk)
       .withColumn("AS_OF_DT", Normalize.tsFormat(lit(asOf)))
+  }
 
   /** Result-table load (reference: run_job_filter.py:350-382). */
   def loadResult(existing: DataFrame, filtered: DataFrame, cfg: FilterConfig,

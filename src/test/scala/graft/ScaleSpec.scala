@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Merges, Scale}
+import org.apache.spark.sql.functions._
+
+/** Plan-level scale proofs: bucketed merges are shuffle-free, salted
+  * joins preserve results, filter-stage observe metrics report the
+  * reference's per-step counts in one pass.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed history + batch join without any shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hist = (1 to 1000).map(i => (s"k$i", s"old$i")).toDF("link", "v")
+      val batch = (500 to 1500).map(i => (s"k$i", s"new$i")).toDF("link", "v")
+      val (h, b) = Scale.bucketedPair(spark, hist, batch, "link", 8)
+      val joined = h.join(b, Seq("link"), "full_outer")
+      assert(Scale.countExchanges(joined) == 0) // co-located, no shuffle
+      // unbucketed baseline shuffles both sides
+      val baseline = hist.join(batch, Seq("link"), "full_outer")
+      assert(Scale.countExchanges(baseline) == 2)
+      // and the real merge over the bucketed pair stays correct
+      val merged = Merges.scd1(h, b, "link", Seq("v"), notesCol = None)
+      assert(merged.count() == 1500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val skewed = (1 to 2000).map(i =>
+      (if (i % 10 == 0) "cold" + i else "HOT", i.toLong)).toDF("key", "id")
+    val dim = Seq(("HOT", "hot-val")).toDF("key", "attr")
+      .union((10 to 2000 by 10).map(i => ("cold" + i, "cold-val")).toDF("key", "attr"))
+    val plain = skewed.join(dim, Seq("key")).select("id", "attr")
+    val salted = Scale.saltedJoin(skewed, dim, "key", 8, col("id"))
+      .select("id", "attr")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("filter stage emits per-step observe metrics in one pass") {
+    import graft.pipeline.JobPipeline
+    val batchTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val staged = Seq(
+      ("l1", "2024-01-28 10:00:00", "fine role"),
+      ("l2", "2020-01-01 00:00:00", "too old"),
+      ("l3", "2024-01-28 10:00:00", ""),
+      ("l4", "2024-01-28 10:00:00", "intern role")
+    ).toDF("link", "published", "summary")
+    val cfg = JobPipeline.FilterConfig(daysBack = 30,
+      requiredCols = Seq("summary"),
+      keywordExclusions = Map("summary" -> Seq("intern")))
+    val out = JobPipeline.filterStage(staged, cfg, batchTs)
+    val collected = out.collect() // metrics attach to this exact execution
+    assert(collected.map(_.getAs[String]("link")).toSeq == Seq("l1"))
+    val m = out.queryExecution.observedMetrics("filter_stage")
+    assert(m.getAs[Long]("rows_in") == 4)
+    assert(m.getAs[Long]("rows_date_ok") == 3)
+    assert(m.getAs[Long]("rows_content_ok") == 2)
+    assert(m.getAs[Long]("rows_out") == 1)
+  }
+}
