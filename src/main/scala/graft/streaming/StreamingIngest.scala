@@ -67,6 +67,43 @@ object StreamingIngest {
       spark.sparkContext.emptyRDD[Row], like.schema)
   }
 
+  /** Custom keyed state via flatMapGroupsWithState: emit a row only
+    * when a key's latest version CHANGES (the streaming form of the
+    * SCD change-detection gate, J5/M2). State = last seen
+    * (version-ordering value, payload hash) per key; unchanged
+    * re-polls of the same entry produce no output, so downstream sinks
+    * see exactly the reference's "only changed rows count as updates"
+    * semantics continuously instead of per cron run.
+    */
+  def changedOnlyStream[K: org.apache.spark.sql.Encoder,
+      V: org.apache.spark.sql.Encoder](
+      stream: org.apache.spark.sql.Dataset[V], keyFn: V => K,
+      versionFn: V => Long, payloadFn: V => String)(
+      implicit tupleEnc: org.apache.spark.sql.Encoder[(Long, String)]
+  ): org.apache.spark.sql.Dataset[V] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream.groupByKey(keyFn)
+      .flatMapGroupsWithState[(Long, String), V](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[V], state: GroupState[(Long, String)]) =>
+          // newest row in this micro-batch wins (M5 keep-latest)
+          val newest = rows.maxByOption(versionFn)
+          newest match {
+            case None => Iterator.empty
+            case Some(v) =>
+              val candidate = (versionFn(v), payloadFn(v))
+              val prior = state.getOption
+              val isNews = prior match {
+                case Some((pv, ph)) =>
+                  candidate._1 > pv && candidate._2 != ph
+                case None => true
+              }
+              if (isNews) { state.update(candidate); Iterator.single(v) }
+              else Iterator.empty
+          }
+      }
+  }
+
   /** Tumbling-window event aggregation with watermarking — the
     * streaming analytics the reference's per-run counters approximate.
     */

@@ -32,6 +32,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned storage prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val ev = (1 to 300).map(i =>
+      (i.toLong, s"2024-01-${"%02d".format(i % 30 + 1)}", i * 1.0))
+      .toDF("event_id", "day", "value")
+    ev.write.partitionBy("day").mode("overwrite").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter($"day" === "2024-01-05")
+    // only one partition directory is read
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters).length == 1)
+    assert(pruned.count() == 10)
+  }
+
   test("salted join equals plain join on skewed data") {
     val skewed = (1 to 2000).map(i =>
       (if (i % 10 == 0) "cold" + i else "HOT", i.toLong)).toDF("key", "id")

@@ -66,6 +66,28 @@ class StreamingSpec extends SparkSpec {
       .getAs[String]("entry_title") == "T1-updated")
   }
 
+  test("changedOnlyStream emits a key only when its payload changes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long, String)] // (link, version, payload)
+    val ds = mem.toDS()
+    val out = StreamingIngest.changedOnlyStream[String, (String, Long, String)](
+      ds, _._1, _._2, _._3)
+    val q = out.writeStream.format("memory").queryName("changed_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("l1", 1L, "A"), ("l2", 1L, "B"))
+      q.processAllAvailable()
+      mem.addData(("l1", 2L, "A"))           // re-poll, same payload → no emit
+      q.processAllAvailable()
+      mem.addData(("l1", 3L, "A2"), ("l2", 2L, "B")) // l1 changed, l2 not
+      q.processAllAvailable()
+      val rows = spark.table("changed_out")
+        .as[(String, Long, String)].collect().toSet
+      assert(rows == Set(("l1", 1L, "A"), ("l2", 1L, "B"), ("l1", 3L, "A2")))
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per tumbling day window") {
     val ev = Seq(
       ("2024-01-01 05:00:00", "click", 1.0),
