@@ -358,6 +358,14 @@ object SparkEntry {
       Dedup.withSimhash(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // banding is pigeonhole-complete for hamming ≤ 3, so the LSH output
+    // EQUALS exact all-pairs — oracle-checkable end to end.
+    "q37_simhash_pairs" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast(LongType).as("hamming"))
+    }),
+
     "q26_lang_id" -> ((s, dir) => {
       Graft.tune(s)
       t(s, dir, "documents")
@@ -699,6 +707,28 @@ object SparkEntry {
                 FROM bits GROUP BY doc_id)
        SELECT d.doc_id, CAST(COALESCE(fp.simhash, 0) AS BIGINT) AS simhash
        FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""",
+
+    "q37_simhash_pairs" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '')) AS t
+           FROM documents),
+         h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(t || '#0'), 1, 15)) AS BIGINT) AS hv
+               FROM tok),
+         bits AS (SELECT doc_id, i,
+                         SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                  FROM h CROSS JOIN range(60) AS r(i) GROUP BY doc_id, i),
+         fp AS (SELECT d.doc_id,
+                       CAST(COALESCE(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                                              ELSE 0 END), 0) AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+                GROUP BY d.doc_id)
+       SELECT a.doc_id AS id1, b.doc_id AS id2,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 
     "q26_lang_id" -> langIdOracle,
 
