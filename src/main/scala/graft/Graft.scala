@@ -33,6 +33,7 @@ object Graft {
     graft.expr.CosineSimilarity.register(spark)
     graft.expr.MinHashSignature.register(spark)
     graft.expr.WordShingles.register(spark)
+    graft.expr.SimHash60.register(spark)
     spark
   }
 

@@ -168,23 +168,15 @@ object Dedup {
 
   val SimhashBits = 60 // md5Long yields 60 reproducible bits
 
-  /** (idCol, simhash): 60-bit SimHash over word tokens — per-bit votes
-    * from each token's hash, bit set where votes are positive. Token
-    * hashes are materialized once per row; the per-bit vote loop then
-    * only walks the long array.
+  /** (idCol, simhash): 60-bit SimHash over word tokens via the native
+    * one-pass expression (graft.expr.SimHash60, registered by
+    * Graft.tune; md5-derived, oracle-reproducible).
     */
   def withSimhash(df: DataFrame, idCol: String, textCol: String,
-      hashFn: HashFn = md5Hash, outCol: String = "simhash"): DataFrame =
+      outCol: String = "simhash"): DataFrame =
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col(idCol), transform(col("_toks"), t => hashFn(t, 0)).as("_hv"))
-      .select(col(idCol), aggregate(
-        transform(sequence(lit(0), lit(SimhashBits - 1)), i => {
-          val vote = aggregate(col("_hv"), lit(0), (acc, h) =>
-            acc + when(call_function("shiftright", h, i)
-              .bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
-          when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
-        }),
-        lit(0L), (acc, x) => acc.bitwiseOR(x)).as(outCol))
+      .select(col(idCol),
+        call_function(graft.expr.SimHash60.FunctionName, col("_toks")).as(outCol))
 
   /** Column-level simhash (test/ad-hoc convenience; prefer `withSimhash`
     * in plans — this form re-derives tokens inside the lambda).
@@ -208,10 +200,10 @@ object Dedup {
     * guarantees no missed pair) and verifying with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, hashFn: HashFn = md5Hash): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val chunk = SimhashBits / bands + (if (SimhashBits % bands == 0) 0 else 1)
-    val fp = withSimhash(df, idCol, textCol, hashFn, "_fp")
+    val fp = withSimhash(df, idCol, textCol, "_fp")
       .withColumnRenamed(idCol, "_id")
     val banded = fp.select(col("_id"), col("_fp"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
