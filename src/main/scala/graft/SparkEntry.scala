@@ -430,6 +430,23 @@ object SparkEntry {
         FROM orders_v GROUP BY o_orderstatus""")
     }),
 
+    "q38_ivf_topk" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      val centroids = e.filter(col("vec_id") < 8)
+      val assigned = Similarity.ivfAssign(e, centroids, "vec_id", "embedding")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 16), assigned, centroids,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+    }),
+
+    "q39_frame_sample" -> ((s, dir) => {
+      Graft.tune(s)
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"), lit("video").as("kind"),
+        (col("n_chars") * 10).cast(LongType).as("duration_ms"))
+      Multimodal.frameSamplePlan(media, everyMs = 1000)
+    }),
+
     "q36_tfidf_similarity" -> ((s, dir) => {
       Graft.tune(s)
       TfIdf.similarity(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
@@ -818,6 +835,55 @@ object SparkEntry {
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
               (SELECT sim01 FROM s) AS sim01
        FROM orders GROUP BY o_orderstatus""",
+
+    "q38_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, centroid_id,
+                    ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS sim,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT e.vec_id, centroid_id, e.embedding,
+                          list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings e CROSS JOIN c) e)
+           WHERE rn = 1),
+         probes AS (
+           SELECT query_id, centroid_id FROM (
+             SELECT q.vec_id AS query_id, centroid_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT q.vec_id, centroid_id,
+                          list_sum([cv[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings q CROSS JOIN c WHERE q.vec_id < 16) q)
+           WHERE rn <= 2),
+         scored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+                  ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS sim
+           FROM probes p
+           JOIN cells ON cells.centroid_id = p.centroid_id
+           JOIN (SELECT a.vec_id AS qid, e2.vec_id,
+                        list_sum([a.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                        sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                        sqrt(list_sum([e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                 FROM embeddings a CROSS JOIN embeddings e2 WHERE a.vec_id < 16) e
+             ON e.qid = p.query_id AND e.vec_id = cells.vec_id
+           WHERE e.vec_id <> p.query_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+       SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 3""",
+
+    "q39_frame_sample" ->
+      """SELECT doc_id AS media_id,
+         unnest(generate_series(0, n_chars * 10, 1000)) AS sample_ms
+         FROM documents""",
 
     "q36_tfidf_similarity" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),

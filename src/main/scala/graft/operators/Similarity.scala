@@ -96,7 +96,7 @@ object Similarity {
     val qProbes = broadcast {
       val scored = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
         .join(cents)
-        .withColumn("_sim", cosine(col("_qv"), col("_centv")))
+        .withColumn("_sim", round(cosine(col("_qv"), col("_centv")), 6))
       val w = Window.partitionBy("query_id")
         .orderBy(col("_sim").desc, col(centroidIdCol).asc)
       scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= nProbe)
