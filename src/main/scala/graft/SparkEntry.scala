@@ -430,6 +430,25 @@ object SparkEntry {
         FROM orders_v GROUP BY o_orderstatus""")
     }),
 
+    // CSV sink+source round-trip (S4/S5): write a slice as CSV, read it
+    // back through the CSV source with schema + blank-drop — the oracle
+    // reads the same slice straight from parquet.
+    "q40_csv_roundtrip" -> ((s, dir) => {
+      Graft.tune(s)
+      val slice = t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv-q40").toString
+      graft.sources.Tables.writeCsv(slice, s"$tmp/docs")
+      graft.sources.Tables.readCsv(s, s"$tmp/docs",
+        requireNonBlank = Some("lang"),
+        schema = Some(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))))
+    }),
+
     "q38_ivf_topk" -> ((s, dir) => {
       Graft.tune(s)
       val e = t(s, dir, "embeddings")
@@ -835,6 +854,10 @@ object SparkEntry {
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
               (SELECT sim01 FROM s) AS sim01
        FROM orders GROUP BY o_orderstatus""",
+
+    "q40_csv_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id < 100 AND lang IS NOT NULL AND TRIM(lang) <> ''""",
 
     "q38_ivf_topk" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
