@@ -99,10 +99,18 @@ object Dedup {
           .filter(col("_df") > maxDocFreq).select("_s")
         postings0.join(hot, Seq("_s"), "left_anti")
       }
-    val common = postings.as("a")
-      .join(postings.as("b"), col("a._s") === col("b._s") &&
-        col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id1"), col("b._id").as("id2"))
+    // Pair generation by grouping the posting list per shingle and
+    // expanding ordered pairs — one shuffle on the shingle plus one on
+    // the pair, instead of building/probing a broadcast of all
+    // postings. `maxDocFreq` (above) caps the quadratic per-list
+    // expansion at scale.
+    val common = postings.groupBy("_s")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(flatten(transform(col("_ids"), (x, i) =>
+        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .agg(count(lit(1)).as("_common"))
     common
       .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
