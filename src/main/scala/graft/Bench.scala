@@ -1,6 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MapType
 object Bench {
+
+  /** Evaluate EVERY output column of the query, not just its row count:
+    * under a bare `count()` Catalyst prunes pure projections, so
+    * map-only queries (normalize, html-to-text, simhash, ...) would be
+    * measured as parquet scans. Hashing each row across all columns
+    * forces the full projection while still reducing to one driver row.
+    * Maps aren't hashable (Spark disallows it) — serialize them first.
+    */
+  private def forceAll(df: DataFrame): Long = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType => to_json(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    df.agg(count(lit(1)).as("_n"), sum(xxhash64(cols.toIndexedSeq: _*)).as("_h"))
+      .head().getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,7 +40,7 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val n = try { forceAll(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-26s $dt%8.2fs rows=$n")
       name -> dt

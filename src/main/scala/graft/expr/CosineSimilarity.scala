@@ -63,20 +63,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Every local must come from ctx.freshName: two instances of this
+      // expression in one generated function (filter + project sharing
+      // the same alias) otherwise redefine `i`/`dot`/... and javac's
+      // "Redefinition of local variable" kicks the WHOLE projection back
+      // to the interpreter.
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       val getX =
-        if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+        if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY =
-        if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-        double dot = 0.0, na = 0.0, nb = 0.0;
-        int n = java.lang.Math.min($a.numElements(), $b.numElements());
-        for (int i = 0; i < n; i++) {
-          double x = $getX;
-          double y = $getY;
-          dot += x * y; na += x * x; nb += y * y;
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $getX;
+          double $y = $getY;
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
-        double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-        ${ev.value} = denom > 0.0 ? dot / denom : 0.0;
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = $denom > 0.0 ? $dot / $denom : 0.0;
       """
     })
 

@@ -135,6 +135,37 @@ object Dedup {
         call_function(graft.expr.MinHashSignature.FunctionName,
           col("_sh"), lit(numHashes)).as("_sig"))
 
+  /** Explode a signature into one (_id, _band, _key) row per band
+    * WITHOUT a higher-order lambda: the generator's child projection
+    * evaluates `_sig` exactly once per document; the per-band slice
+    * happens per exploded row over an already-materialized array. The
+    * lambda form (`transform(sequence(...), b => slice(_sig, ...))`)
+    * risks CollapseProject re-inlining the signature expression into
+    * the lambda — `bands`× recompute per row, the HOF trap again.
+    */
+  private def bandRows(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("_id"), col("_sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("_band"))
+      .select(col("_id"), col("_band"),
+        slice(col("_sig"), col("_band") * r + 1, lit(r)).as("_key"))
+
+  /** Ordered same-bucket pairs from (_band, _key, _id) rows by
+    * posting-list expansion — ONE shuffle on the bucket key plus one on
+    * the pair, instead of a self-join that evaluates the whole upstream
+    * signature pipeline twice. Bucket sizes are bounded by the cluster
+    * sizes of true near-duplicates (band keys are ~uniform otherwise),
+    * so the per-list quadratic expansion is the candidate count itself.
+    */
+  private def bucketPairs(banded: DataFrame): DataFrame =
+    banded.groupBy(col("_band"), col("_key"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(flatten(transform(col("_ids"), (x, i) =>
+        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .distinct()
+
   /** LSH candidate pairs: documents colliding in at least one of `bands`
     * bands (each of `numHashes / bands` rows). Returns (id1, id2).
     */
@@ -142,26 +173,30 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val banded = sig.select(col("_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("_sig"), b * r + 1, lit(r))))))
-      .select(col("_id"), col("pos").as("_band"), col("col").as("_key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id1"), col("b._id").as("id2"))
-      .distinct()
+    bucketPairs(bandRows(minhashSignatures(df, idCol, textCol, n, numHashes),
+      bands, r))
   }
 
   /** MinHash LSH dedup: candidates verified with exact Jaccard.
     * Returns (id1, id2, jaccard) for verified pairs ≥ threshold.
+    *
+    * The shingle sets feed three consumers (signature derivation + both
+    * verify joins), so they are persisted once — without this the
+    * scan→shingle subtree re-runs per consumer, and at 100 TB that is
+    * two full extra passes over the corpus. Spill-safe
+    * (MEMORY_AND_DISK); at cluster scale a pre-shingled parquet
+    * checkpoint serves the same role.
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, n, numHashes, bands)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
     val sets = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sets.select(col("_id"),
+      call_function(graft.expr.MinHashSignature.FunctionName,
+        col("_sh"), lit(numHashes)).as("_sig"))
+    val cand = bucketPairs(bandRows(sig, bands, r))
     cand
       .join(sets.select(col("_id").as("id1"), col("_sh").as("_sh1")), "id1")
       .join(sets.select(col("_id").as("id2"), col("_sh").as("_sh2")), "id2")
@@ -213,17 +248,24 @@ object Dedup {
     val chunk = SimhashBits / bands + (if (SimhashBits % bands == 0) 0 else 1)
     val fp = withSimhash(df, idCol, textCol, "_fp")
       .withColumnRenamed(idCol, "_id")
+    // Band outside any lambda (explode the band index, then shift per
+    // row) and pair by posting-list expansion carrying (_id, _fp)
+    // structs — the fingerprint pipeline runs once, no self-join.
     val banded = fp.select(col("_id"), col("_fp"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("_fp"), b * chunk)
-          .bitwiseAND(lit((1L << chunk) - 1)))))
-      .select(col("_id"), col("_fp"), col("pos").as("_band"), col("col").as("_key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a._band") === col("b._band") && col("a._key") === col("b._key") &&
-          col("a._id") < col("b._id"))
-      .select(col("a._id").as("id1"), col("b._id").as("id2"),
-        col("a._fp").as("_fp1"), col("b._fp").as("_fp2"))
+        explode(sequence(lit(0), lit(bands - 1))).as("_band"))
+      .select(col("_id"), col("_fp"), col("_band"),
+        call_function("shiftright", col("_fp"), col("_band") * chunk)
+          .bitwiseAND(lit((1L << chunk) - 1)).as("_key"))
+    banded.groupBy(col("_band"), col("_key"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_fp")))).as("_xs"))
+      .filter(size(col("_xs")) > 1)
+      .select(explode(flatten(transform(col("_xs"), (x, i) =>
+        transform(slice(col("_xs"), i + 2, size(col("_xs"))),
+          y => struct(x.getField("_id").as("id1"), y.getField("_id").as("id2"),
+            x.getField("_fp").as("_fp1"), y.getField("_fp").as("_fp2"))))))
+        .as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"),
+        col("_p._fp1").as("_fp1"), col("_p._fp2").as("_fp2"))
       .distinct()
       .withColumn("hamming", bit_count(col("_fp1").bitwiseXOR(col("_fp2"))))
       .filter(col("hamming") <= maxHamming)

@@ -32,6 +32,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxDocFreq prunes hot shingles without losing qualifying pairs") {
+    val common = "alpha beta gamma delta"
+    val near = (1 to 20).map(w => s"w$w").mkString(" ")
+    val hotDocs = (
+      Seq((1L, s"$common $near one"), (2L, s"$common $near two")) ++
+        (3L to 12L).map(i => (i, s"$common u${i}a u${i}b u${i}c u${i}d"))
+      ).toDF("doc_id", "text")
+    // the shared prefix's interior shingles appear in all 12 docs —
+    // over the cap of 5
+    val maxDf = Dedup.shingleSets(hotDocs, "doc_id", "text", 3)
+      .select(explode($"_sh").as("s")).groupBy("s")
+      .agg(count(lit(1)).as("df")).agg(max($"df")).collect()(0).getLong(0)
+    assert(maxDf > 5)
+    def run(cap: Long) =
+      Dedup.jaccardPairs(hotDocs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDocFreq = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = run(0L)
+    val capped = run(5L)
+    // the qualifying pair set survives the prune (estimates for pairs
+    // that shared a hot shingle shrink, but stay over the threshold)
+    assert(uncapped.keySet == Set((1L, 2L)))
+    assert(capped.keySet == uncapped.keySet)
+    assert(capped((1L, 2L)) >= 0.5)
+    // and the prune really is in the plan, as a left-anti against the
+    // hot-shingle list
+    val plan = Dedup.jaccardPairs(hotDocs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDocFreq = 5L).queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"))
+  }
+
   test("minhash LSH candidates contain the true near-dups") {
     val verified = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.5, numHashes = 64, bands = 16)

@@ -34,6 +34,31 @@ class ExprConfigSpec extends SparkSpec {
     assert(math.abs(viaSql) <= 1.0)
   }
 
+  test("cosine codegen survives duplicated instances in one generated function") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val at = ArrayType(DoubleType, containsNull = false)
+    val e = graft.expr.CosineSimilarity(
+      BoundReference(0, at, nullable = true), BoundReference(1, at, nullable = true))
+    // Two instances in ONE generated function (what a filter + project
+    // sharing an alias produces). Before locals went through
+    // ctx.freshName this failed to compile ("Redefinition of local
+    // variable i") and silently deoptimized the projection to the
+    // interpreter; generate() throws on a compile error, so passing
+    // here proves the generated code is valid.
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(e, e), subexpressionEliminationEnabled = false)
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(0.5, -1.5, 2.0)),
+      ArrayData.toArrayData(Array(0.5, -1.5, 2.0)))
+    val out = proj(row)
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(out.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("csv round-trip with empty-description drop") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val df = Seq(("1", "desc one"), ("2", ""), ("3", "   "), ("4", "keep"))

@@ -60,6 +60,39 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("declared hot queries have scale-safe plan shapes") {
+    val dir = "/root/testdata/sf0.001"
+    // q32 runs through the IVF-bucketed branch: the pair join is an
+    // equi-join on the cell id. The only nested-loop allowed is the
+    // centroid ASSIGNMENT (corpus × k broadcast centroids, k bounded by
+    // the vec_id < 8 slice) — never a corpus × corpus all-pairs.
+    val q32 = SparkEntry.queries("q32_embedding_neardup")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(!q32.toString.contains("CartesianProduct"))
+    val bnlj = q32.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty) // the assign passes exist...
+    bnlj.foreach { j =>
+      val build = (j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }).toString
+      // ...and every one broadcasts only the bounded centroid slice
+      assert(build.contains("vec_id") && build.contains("< 8"), build)
+    }
+    // q23 carries the posting-list skew cap as a left-anti prune
+    val q23 = SparkEntry.queries("q23_jaccard_pairs")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(q23.contains("LeftAnti"))
+    // q24 materializes the shingle sets once and reuses them across the
+    // signature pipeline and both verify joins
+    val q24 = SparkEntry.queries("q24_minhash_pairs")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(q24.contains("InMemoryTableScan"))
+    assert(!q24.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("filter stage emits per-step observe metrics in one pass") {
     import graft.pipeline.JobPipeline
     val batchTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
