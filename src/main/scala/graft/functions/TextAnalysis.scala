@@ -15,9 +15,14 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Lowercased alphanumeric word tokens; empty tokens removed. */
+  /** Lowercased alphanumeric word tokens; empty tokens removed.
+    * `array_remove` rather than a `filter` lambda: higher-order
+    * functions are excluded from whole-stage codegen, and this is the
+    * innermost building block of every text operator. Identical output
+    * (split never yields nulls; array_remove drops every "" element).
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    array_remove(split(lower(text), "[^a-z0-9]+"), "")
 
   /** Token count over whitespace-ish boundaries (BPE-ish regex variant:
     * words, numbers and punctuation runs each count as one token).
@@ -56,8 +61,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur")
   )
 
+  /** Distinct stopwords of `words` present in `toks`. `array_intersect`
+    * rather than a membership lambda: the lambda form re-evaluates the
+    * captured token expression once per stopword (40× per row across
+    * the four languages of `langId`); this is one codegen'd pass.
+    * Counts are identical because each stopword list is distinct.
+    */
   private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(array(words.map(lit): _*), w => array_contains(toks, w)))
+    size(array_intersect(array(words.map(lit): _*), toks))
 
   /** Language-ID heuristic: argmax of stopword hits, ties broken by
     * language code ascending, zero hits → "und" (undetermined).
