@@ -63,11 +63,20 @@ object Normalize {
   def tsFormat(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   /** C11: UTC → a display timezone (reference converts to US/Central,
-    * core/etl.py:127-133). Session tz stays pinned UTC; conversion is
-    * explicit and only at the sink boundary.
+    * src/rss_feed_etl/core/etl.py:127-133). Session tz stays pinned
+    * UTC; conversion is explicit and only at the sink boundary.
+    * "UTC" is the identity, so callers can thread a config tz through
+    * unconditionally.
     */
   def toDisplayTz(c: Column, tz: String = "US/Central"): Column =
-    from_utc_timestamp(c, tz)
+    if (tz == "UTC") c else from_utc_timestamp(c, tz)
+
+  /** SCD2 effective-column format with UTC offset — the reference
+    * formats effective_start/end with `%Y-%m-%d %H:%M:%S%z`
+    * (src/etl/scd2_manager.py:178-182); 'Z' renders the same +0000
+    * style offset.
+    */
+  def tsFormatOffset(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ssZ")
 
   /** C14: missing event time falls back to a fixed batch timestamp
     * (reference: core/etl.py:137-139 uses `now`; we take the captured

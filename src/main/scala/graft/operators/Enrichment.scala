@@ -45,6 +45,107 @@ object Enrichment {
     }
   }
 
+  // ------------------------------------------------------------------
+  // C22 production plumbing: retry/backoff/rate-limit + token-budget
+  // batch halving (reference: run_ats_enrichment.py:219-286 retry loop
+  // honoring Retry-After; 672-760 recursive 60k-token split;
+  // src/utils/api_utils.py:12-53). Network-free and deterministic: the
+  // transport and the clock are injected, so specs drive failures and
+  // observe sleeps exactly.
+  // ------------------------------------------------------------------
+
+  /** One remote batched scoring call (the reference's
+    * `analyze_job_batch` API boundary). Implementations throw
+    * [[ScoreRateLimited]] on 429-style responses, [[ScoreFatalError]]
+    * for don't-retry failures (invalid key, the reference's 401 path),
+    * and anything else for transient failures.
+    */
+  trait BatchTransport extends Serializable {
+    def scoreBatch(jobTexts: Seq[String], resumeText: String): Seq[Double]
+  }
+
+  /** 429 with an optional Retry-After (seconds). */
+  final case class ScoreRateLimited(retryAfterSec: Option[Long])
+      extends RuntimeException("rate limited")
+
+  /** Don't-retry failure — the reference returns immediately on 401. */
+  final case class ScoreFatalError(msg: String) extends RuntimeException(msg)
+
+  /** Injectable sleep so retry timing is testable without waiting. */
+  trait Clock extends Serializable { def sleep(seconds: Long): Unit }
+  object SystemClock extends Clock {
+    def sleep(seconds: Long): Unit = Thread.sleep(seconds * 1000L)
+  }
+
+  /** Batched scorer with the reference's full failure policy:
+    *  - batches whose estimated prompt tokens exceed `maxTokens` are
+    *    recursively halved before any call is made
+    *    (run_ats_enrichment.py:672-700);
+    *  - each call retries up to `maxRetries`, sleeping `retryDelaySec`
+    *    between attempts, or the server's Retry-After on rate limits
+    *    (run_ats_enrichment.py:263-270);
+    *  - fatal errors skip retries; exhausted retries score the batch
+    *    0.0 — the reference keeps match_percentage at 0 when the API
+    *    gives up (run_ats_enrichment.py:286,784-800).
+    * Runs per partition inside `withLlmScoreBatched`, so 1000 executors
+    * each run their own independently rate-limited client.
+    */
+  final class RetryingScorer(
+      transport: BatchTransport,
+      maxRetries: Int = 3,
+      retryDelaySec: Long = 5L,
+      maxTokens: Long = 60000L,
+      clock: Clock = SystemClock) extends Serializable {
+
+    /** chars/4 token heuristic (run_ats_enrichment.py:674-676). */
+    def tokenEstimate(s: String): Long = (s.length.toLong + 3) / 4
+
+    def scoreBatch(jobTexts: Seq[String], resumeText: String): Seq[Double] = {
+      val total = tokenEstimate(resumeText) + jobTexts.map(tokenEstimate).sum
+      if (total > maxTokens && jobTexts.length > 1) {
+        val (first, second) = jobTexts.splitAt(jobTexts.length / 2)
+        scoreBatch(first, resumeText) ++ scoreBatch(second, resumeText)
+      } else callWithRetry(jobTexts, resumeText)
+    }
+
+    private def callWithRetry(jobTexts: Seq[String], resumeText: String): Seq[Double] = {
+      var attempt = 0
+      while (attempt < maxRetries) {
+        try return transport.scoreBatch(jobTexts, resumeText)
+        catch {
+          case ScoreRateLimited(retryAfter) =>
+            clock.sleep(retryAfter.getOrElse(retryDelaySec)); attempt += 1
+          case _: ScoreFatalError =>
+            return Seq.fill(jobTexts.size)(0.0)
+          case scala.util.control.NonFatal(_) =>
+            clock.sleep(retryDelaySec); attempt += 1
+        }
+      }
+      Seq.fill(jobTexts.size)(0.0)
+    }
+  }
+
+  /** `withLlmScore` for the batched production path: one transport call
+    * per `batchSize` rows (after any token-budget halving inside the
+    * scorer), per partition.
+    */
+  def withLlmScoreBatched(df: DataFrame, textCol: String, resumeText: String,
+      scorer: RetryingScorer, batchSize: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("llm_score", DoubleType, nullable = false))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val scored = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val texts = batch.map(r => Option(r.get(textIdx)).fold("")(_.toString))
+        batch.lazyZip(scorer.scoreBatch(texts, resumeText)).map {
+          (row, s) => Row.fromSeq(row.toSeq :+ s)
+        }
+      }
+    }
+    spark.createDataFrame(scored, outSchema)
+  }
+
   /** Declarative part of the enrichment: skills columns + match pct via
     * pure expressions (no UDF). `resumeText` is a scalar side input —
     * folded in as a literal (the Spark analogue of the reference reading

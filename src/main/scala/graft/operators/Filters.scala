@@ -60,6 +60,23 @@ object Filters {
   def requireNonBlank(cols: Seq[String]): Column =
     cols.map(c => length(trim(Normalize.nullToEmpty(col(c)))) > 0).reduce(_ && _)
 
+  /** O3: publish-date ordering with the reference's raw-string
+    * fallback (src/etl/rss_feed_etl.py:128-132, 300-303): sort by the
+    * parsed date desc + link asc; when NO date in the whole frame
+    * parses, fall back to ordering on the raw string desc + link asc.
+    * The parse probe is one scalar aggregate (the reference's
+    * `isnull().all()`), not a per-row collect.
+    */
+  def sortPublishedWithFallback(df: DataFrame, publishedCol: String,
+      linkCol: String): DataFrame = {
+    val parsed = Normalize.tsParse(col(publishedCol))
+    val anyParsed = df
+      .agg(max(when(parsed.isNotNull, 1).otherwise(0)).as("p"))
+      .collect()(0).getAs[Any]("p") == 1
+    if (anyParsed) df.orderBy(parsed.desc, col(linkCol).asc)
+    else df.orderBy(col(publishedCol).desc, col(linkCol).asc)
+  }
+
   /** F6: primary-key validation — null/blank keys are invalid; returns
     * (validRows, invalidCount, duplicateKeyCount). The reference rejects
     * the frame on invalid keys and warns on duplicates

@@ -37,13 +37,18 @@ object JobPipeline {
     * entries → canonical 9-col schema with cleaned summary, parsed
     * published (missing → batch time), blank notes.
     */
-  def normalizeEntries(raw: DataFrame, batchTs: java.sql.Timestamp): DataFrame = {
+  def normalizeEntries(raw: DataFrame, batchTs: java.sql.Timestamp,
+      displayTz: String = "UTC"): DataFrame = {
     val withCols = raw
       .withColumn("summary",
         HtmlToText.htmlToText(Normalize.nullToEmpty(col("summary"))))
+      // C11: the published string is emitted in the configured display
+      // timezone, matching the reference's parse → tz_convert → format
+      // on every ingest (src/rss_feed_etl/core/etl.py:127-133, default
+      // US/Central). Default UTC keeps the oracle-pinned outputs.
       .withColumn("published",
-        Normalize.tsFormat(Normalize.tsOrBatch(
-          Normalize.tsParse(col("published").cast("string")), batchTs)))
+        Normalize.tsFormat(Normalize.toDisplayTz(Normalize.tsOrBatch(
+          Normalize.tsParse(col("published").cast("string")), batchTs), displayTz)))
       .withColumn("notes",
         if (raw.columns.contains("notes")) Normalize.nullToEmpty(col("notes"))
         else lit(""))
@@ -107,9 +112,9 @@ object JobPipeline {
     */
   def runRegion(spark: SparkSession, rawBatch: DataFrame, stagePath: String,
       resultPath: String, strategy: Strategy, cfg: FilterConfig,
-      batchTs: java.sql.Timestamp): DataFrame = {
+      batchTs: java.sql.Timestamp, displayTz: String = "UTC"): DataFrame = {
     val history = readOrEmpty(spark, stagePath, Schemas.FeedEntrySchema)
-    val normalized = normalizeEntries(rawBatch, batchTs)
+    val normalized = normalizeEntries(rawBatch, batchTs, displayTz)
     val merged = etlStage(history, normalized, strategy, batchTs)
     merged.write.mode(SaveMode.Overwrite).parquet(stagePath)
 
@@ -123,6 +128,42 @@ object JobPipeline {
     val result = loadResult(existing, filtered, cfg)
     result.write.mode(SaveMode.Overwrite).parquet(resultPath + "_next")
     spark.read.parquet(resultPath + "_next")
+  }
+
+  /** One region's configuration for the multi-region orchestrator. */
+  final case class RegionConfig(
+      name: String,
+      rawBatch: DataFrame,
+      stagePath: String,
+      resultPath: String,
+      strategy: Strategy,
+      filter: FilterConfig,
+      displayTz: String = "UTC")
+
+  /** Per-region outcome for the run summary (A2 at orchestrator level). */
+  final case class RegionResult(
+      name: String, success: Boolean, rows: Long, error: Option[String])
+
+  /** Orchestrator parity with run_job_pipelines.py:169-244: run every
+    * configured region (the reference's texas/us/both dispatch), keep
+    * going when one fails (the reference loops all requested jobs and
+    * aggregates statuses), and fold per-region success + result rows
+    * into one summary. Returns (per-region results, all-succeeded) —
+    * the boolean is the reference's exit code.
+    */
+  def runRegions(spark: SparkSession, regions: Seq[RegionConfig],
+      batchTs: java.sql.Timestamp): (Seq[RegionResult], Boolean) = {
+    val results = regions.map { r =>
+      try {
+        val out = runRegion(spark, r.rawBatch, r.stagePath, r.resultPath,
+          r.strategy, r.filter, batchTs, r.displayTz)
+        RegionResult(r.name, success = true, out.count(), None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          RegionResult(r.name, success = false, 0L, Option(e.getMessage))
+      }
+    }
+    (results, results.nonEmpty && results.forall(_.success))
   }
 
   private def readOrEmpty(spark: SparkSession, path: String,

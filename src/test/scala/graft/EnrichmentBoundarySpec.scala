@@ -59,6 +59,99 @@ class EnrichmentBoundarySpec extends SparkSpec {
     assert(out(3).getDouble(0) == 0.0) // out of range → clamped to 0
   }
 
+  private class RecordingClock extends Enrichment.Clock {
+    val sleeps = scala.collection.mutable.Buffer[Long]()
+    def sleep(seconds: Long): Unit = sleeps += seconds
+  }
+
+  test("retrying scorer: transient failures back off and then succeed") {
+    val clock = new RecordingClock
+    var calls = 0
+    val transport = new Enrichment.BatchTransport {
+      def scoreBatch(jobs: Seq[String], resume: String): Seq[Double] = {
+        calls += 1
+        if (calls <= 2) throw new RuntimeException("connection reset")
+        jobs.map(_ => 42.0)
+      }
+    }
+    val scorer = new Enrichment.RetryingScorer(transport, maxRetries = 3,
+      retryDelaySec = 5L, clock = clock)
+    assert(scorer.scoreBatch(Seq("a", "b"), "resume") == Seq(42.0, 42.0))
+    assert(calls == 3)
+    assert(clock.sleeps.toSeq == Seq(5L, 5L))
+  }
+
+  test("retrying scorer honors Retry-After on rate limits") {
+    val clock = new RecordingClock
+    var calls = 0
+    val transport = new Enrichment.BatchTransport {
+      def scoreBatch(jobs: Seq[String], resume: String): Seq[Double] = {
+        calls += 1
+        if (calls == 1) throw Enrichment.ScoreRateLimited(Some(7L))
+        jobs.map(_ => 1.0)
+      }
+    }
+    val scorer = new Enrichment.RetryingScorer(transport, maxRetries = 3,
+      retryDelaySec = 5L, clock = clock)
+    assert(scorer.scoreBatch(Seq("x"), "resume") == Seq(1.0))
+    assert(clock.sleeps.toSeq == Seq(7L)) // server's value, not the default
+  }
+
+  test("retrying scorer: fatal errors skip retries; exhaustion scores 0") {
+    val clock = new RecordingClock
+    var fatalCalls = 0
+    val fatal = new Enrichment.BatchTransport {
+      def scoreBatch(jobs: Seq[String], resume: String): Seq[Double] = {
+        fatalCalls += 1; throw Enrichment.ScoreFatalError("invalid api key")
+      }
+    }
+    assert(new Enrichment.RetryingScorer(fatal, clock = clock)
+      .scoreBatch(Seq("a", "b"), "r") == Seq(0.0, 0.0))
+    assert(fatalCalls == 1 && clock.sleeps.isEmpty) // the reference's 401 path
+
+    var downCalls = 0
+    val down = new Enrichment.BatchTransport {
+      def scoreBatch(jobs: Seq[String], resume: String): Seq[Double] = {
+        downCalls += 1; throw new RuntimeException("500")
+      }
+    }
+    assert(new Enrichment.RetryingScorer(down, maxRetries = 3,
+      retryDelaySec = 2L, clock = clock).scoreBatch(Seq("a"), "r") == Seq(0.0))
+    assert(downCalls == 3)
+  }
+
+  test("token budget recursively halves oversized batches") {
+    val sizes = scala.collection.mutable.Buffer[Int]()
+    val transport = new Enrichment.BatchTransport {
+      def scoreBatch(jobs: Seq[String], resume: String): Seq[Double] = {
+        sizes += jobs.size
+        jobs.map(_.length.toDouble)
+      }
+    }
+    // 4 jobs × 100 tokens (400-char texts) against a 150-token budget:
+    // 4 → 2+2 → each still over → 1+1+1+1 single-job calls, like the
+    // reference's recursive split down to individual jobs.
+    val jobs = (1 to 4).map(i => i.toString * 400)
+    val scorer = new Enrichment.RetryingScorer(transport, maxTokens = 150L,
+      clock = new RecordingClock)
+    val out = scorer.scoreBatch(jobs, "")
+    assert(sizes.toSeq == Seq(1, 1, 1, 1))
+    assert(out == jobs.map(_.length.toDouble)) // order preserved
+  }
+
+  test("batched llm scoring runs through mapPartitions groups") {
+    val docs = Seq((1L, "aaaa"), (2L, "bbbbbbbb"), (3L, "")).toDF("doc_id", "text")
+    val transport = new Enrichment.BatchTransport {
+      def scoreBatch(jobs: Seq[String], resume: String): Seq[Double] =
+        jobs.map(_.length.toDouble)
+    }
+    val out = Enrichment.withLlmScoreBatched(docs, "text", "resume",
+      new Enrichment.RetryingScorer(transport), batchSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("llm_score"))
+      .toMap
+    assert(out == Map(1L -> 4.0, 2L -> 8.0, 3L -> 0.0))
+  }
+
   test("sink projection serializes array columns to JSON strings") {
     val df = Seq((1L, Seq("a", "b"), "keep")).toDF("id", "skills", "s")
     val out = Enrichment.toSinkColumns(df)

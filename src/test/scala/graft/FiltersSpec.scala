@@ -95,4 +95,20 @@ class FiltersSpec extends SparkSpec {
     assert(out(0) != null && out(1) != null && out(2) != null)
     assert(out(3) == null)
   }
+
+  test("sortPublished falls back to raw-string order when no date parses") {
+    import graft.operators.Filters
+    val parseable = Seq(
+      ("a", "2024-01-02 00:00:00"), ("b", "2024-01-03 00:00:00"),
+      ("c", "2024-01-01 00:00:00")
+    ).toDF("link", "published")
+    assert(Filters.sortPublishedWithFallback(parseable, "published", "link")
+      .select("link").as[String].collect().toSeq == Seq("b", "a", "c"))
+    // every date garbage → the reference's raw-string fallback ordering
+    val garbage = Seq(
+      ("a", "zz-later"), ("b", "aa-earlier"), ("c", "mm-middle")
+    ).toDF("link", "published")
+    assert(Filters.sortPublishedWithFallback(garbage, "published", "link")
+      .select("link").as[String].collect().toSeq == Seq("a", "c", "b"))
+  }
 }

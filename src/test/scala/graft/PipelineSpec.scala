@@ -52,6 +52,70 @@ class PipelineSpec extends SparkSpec {
     assert(out2.filter($"link" === "l1").count() == 1)
   }
 
+  test("resume reader dispatches on extension with the reference's errors") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-resume")
+    val md = tmp.resolve("resume.md")
+    java.nio.file.Files.writeString(md, "python spark sql linux")
+    val resume = Documents.readResume(md.toString)
+    assert(resume.contains("spark"))
+    // the read text feeds the enrichment stage as its side input
+    val docs = Seq((1L, "we need python and spark experience")).toDF("doc_id", "text")
+    val row = Enrichment.withSkillsColumns(docs, "text", resume).collect()(0)
+    assert(row.getAs[scala.collection.Seq[String]]("matched_skills").toSeq ==
+      Seq("python", "spark"))
+
+    intercept[java.io.FileNotFoundException](
+      Documents.readResume(tmp.resolve("missing.txt").toString))
+    val pdf = tmp.resolve("resume.pdf")
+    java.nio.file.Files.writeString(pdf, "not really a pdf")
+    val e = intercept[IllegalArgumentException](Documents.readResume(pdf.toString))
+    assert(e.getMessage.contains("Unsupported resume format"))
+  }
+
+  test("multi-region orchestrator runs all regions and aggregates outcomes") {
+    import graft.pipeline.JobPipeline.{RegionConfig, RegionResult}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-regions").toString
+    def raw(link: String) = Seq(
+      ("DE", link, "Data Engineer", "2024-01-28 10:00:00", "Feed", "rss",
+        "15min", "fine role")
+    ).toDF("job_title", "link", "entry_title", "published", "feed_title",
+      "reader", "time_window", "summary")
+    val cfg = FilterConfig(daysBack = 30, requiredCols = Seq("entry_title"))
+    val regions = Seq(
+      RegionConfig("texas", raw("tx1"), s"$tmp/tx/stage", s"$tmp/tx/result", Scd1, cfg),
+      RegionConfig("us", raw("us1"), s"$tmp/us/stage", s"$tmp/us/result", Scd1, cfg))
+    val (results, ok) = JobPipeline.runRegions(spark, regions, batchTs)
+    assert(ok)
+    assert(results.map(r => (r.name, r.success, r.rows)) ==
+      Seq(("texas", true, 1L), ("us", true, 1L)))
+
+    // one region failing (blank primary key) doesn't stop the other,
+    // and flips the aggregate status — the reference's exit-code fold
+    val bad = raw("").union(raw("ok1"))
+    val (results2, ok2) = JobPipeline.runRegions(spark, Seq(
+      RegionConfig("texas", bad, s"$tmp/tx2/stage", s"$tmp/tx2/result", Scd1, cfg),
+      RegionConfig("us", raw("us2"), s"$tmp/us2/stage", s"$tmp/us2/result", Scd1, cfg)),
+      batchTs)
+    assert(!ok2)
+    assert(results2.collect { case RegionResult("us", true, n, None) => n } == Seq(1L))
+    assert(results2.exists(r => r.name == "texas" && !r.success && r.error.nonEmpty))
+  }
+
+  test("display timezone converts the published string at ingest") {
+    val raw = Seq(
+      ("DE", "l1", "T", "2024-01-15 12:00:00", "Feed", "rss", "15min", "s")
+    ).toDF("job_title", "link", "entry_title", "published", "feed_title",
+      "reader", "time_window", "summary")
+    // January = CST = UTC-6, matching the reference's default US/Central
+    val central = JobPipeline.normalizeEntries(raw, batchTs, "US/Central")
+      .collect()(0).getAs[String]("published")
+    assert(central == "2024-01-15 06:00:00")
+    val utc = JobPipeline.normalizeEntries(raw, batchTs)
+      .collect()(0).getAs[String]("published")
+    assert(utc == "2024-01-15 12:00:00") // default stays oracle-pinned
+  }
+
   test("enrichment: skills columns + deterministic scorer") {
     val docs = Seq(
       (1L, "we need python and spark and sql experience"),

@@ -127,4 +127,11 @@ class ScdMergeSpec extends SparkSpec {
     assert(out.count() == 3)
     assert(out.filter($"link" === "k1").collect()(0).getAs[String]("v") == "new")
   }
+
+  test("scd2 effective columns format with UTC offset (%z parity)") {
+    import graft.functions.Normalize
+    val df = Seq(java.sql.Timestamp.valueOf("2024-01-15 06:30:00")).toDF("ts")
+    val s = df.select(Normalize.tsFormatOffset($"ts")).collect()(0).getString(0)
+    assert(s == "2024-01-15 06:30:00+0000") // session pinned UTC
+  }
 }
