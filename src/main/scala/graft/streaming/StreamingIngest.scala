@@ -57,6 +57,54 @@ object StreamingIngest {
         ()
       }
 
+  /** Incremental SCD1 sink: the table is laid out in `numBuckets`
+    * key-hash partitions, and each micro-batch rewrites ONLY the
+    * buckets its keys fall in (dynamic partition overwrite) — write
+    * volume per trigger is touched/numBuckets of the table instead of
+    * all of it, which is what a 100 TB history table needs from a
+    * plain-parquet sink. History for untouched buckets is never read
+    * either: the scan prunes to the touched partitions.
+    */
+  def scd1SinkBucketed(stream: DataFrame, tablePath: String, checkpoint: String,
+      key: String, compareCols: Seq[String], numBuckets: Int = 64,
+      trigger: Trigger = Trigger.ProcessingTime("15 minutes")): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          pmod(xxhash64(c), lit(numBuckets.toLong))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(tablePath))
+        // ≤ numBuckets longs — a bounded driver-side collect
+        val touched = batch.select(bucketOf(col(key)).as("_bucket"))
+          .distinct().collect().map(_.getLong(0))
+        val hist =
+          if (exists)
+            spark.read.parquet(tablePath)
+              .filter(col("_bucket").isin(touched: _*)) // partition-pruned
+              .drop("_bucket")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], batch.schema)
+        val merged = Merges.scd1(hist, batch, key, compareCols, notesCol = None)
+          .withColumn("_bucket", bucketOf(col(key)))
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode("overwrite").partitionBy("_bucket").parquet(tablePath)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        ()
+      }
+
+  /** Read a bucketed SCD1 table back without its layout column. */
+  def readBucketedTable(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(tablePath).drop("_bucket")
+
   private def readTableOrEmpty(spark: SparkSession, path: String,
       like: DataFrame): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -66,6 +66,46 @@ class StreamingSpec extends SparkSpec {
       .getAs[String]("entry_title") == "T1-updated")
   }
 
+  test("bucketed scd1 sink rewrites only the buckets the batch touches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bstream").toString
+    val mem = MemoryStream[(String, String, String)]
+    val stream = mem.toDF.toDF("link", "entry_title", "summary")
+    def run(data: (String, String, String)*): Unit = {
+      val q = StreamingIngest.scd1SinkBucketed(stream, s"$tmp/table",
+          s"$tmp/ckpt", "link", Seq("entry_title", "summary"), numBuckets = 8,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { mem.addData(data: _*); q.awaitTermination(60000) } finally q.stop()
+    }
+    run(("l1", "T1", "S1"), ("l2", "T2", "S2"), ("l3", "T3", "S3"))
+    assert(StreamingIngest.readBucketedTable(spark, s"$tmp/table").count() == 3)
+
+    def partFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$tmp/table")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = partFiles()
+    val touchedBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("l1")), lit(8L))).collect()(0).getLong(0)
+
+    run(("l1", "T1-updated", "S1"))
+    val t2 = StreamingIngest.readBucketedTable(spark, s"$tmp/table")
+    assert(t2.count() == 3)
+    assert(t2.filter($"link" === "l1").collect()(0)
+      .getAs[String]("entry_title") == "T1-updated")
+    val after = partFiles()
+    // dynamic partition overwrite: untouched bucket dirs keep the exact
+    // same part files; only l1's bucket is rewritten
+    val untouched = before.keySet - s"_bucket=$touchedBucket"
+    assert(untouched.nonEmpty)
+    untouched.foreach(d => assert(after(d) == before(d), d))
+    assert(after(s"_bucket=$touchedBucket") != before(s"_bucket=$touchedBucket"))
+  }
+
   test("changedOnlyStream emits a key only when its payload changes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
