@@ -358,6 +358,14 @@ object SparkEntry {
         n = 3, threshold = 0.8, numHashes = 128, bands = 32)
     }),
 
+    // near-dup clusters: jaccard pairs → connected components → every
+    // doc labeled with its cluster canonical (min doc id)
+    "q41_dedup_clusters" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100L)
+    }),
+
     "q25_simhash" -> ((s, dir) => {
       Graft.tune(s)
       Dedup.withSimhash(t(s, dir, "documents"), "doc_id", "text")
@@ -734,6 +742,23 @@ object SparkEntry {
 
     "q23_jaccard_pairs" -> jaccardOracle(0.5),
     "q24_minhash_pairs" -> jaccardOracle(0.8),
+
+    // transitive closure over the jaccard pair graph via recursive CTE;
+    // canonical = min reachable id (incl. self), singletons = self
+    "q41_dedup_clusters" ->
+      s"""WITH RECURSIVE jp AS (${jaccardOracle(0.5)}),
+           edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                     UNION SELECT id2, id1 FROM jp),
+           reach(a, b) AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT d.doc_id,
+                CAST(COALESCE(least(mn.m, d.doc_id), d.doc_id) AS BIGINT)
+                  AS canonical_id
+         FROM documents d
+         LEFT JOIN (SELECT a, MIN(b) AS m FROM reach GROUP BY a) mn
+           ON d.doc_id = mn.a""",
 
     "q25_simhash" ->
       """WITH tok AS (

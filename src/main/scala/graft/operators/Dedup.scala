@@ -207,6 +207,64 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over an (id1, id2) pair list by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until fixpoint. Rounds are
+    * bounded by the component diameter — near-duplicate clusters are
+    * shallow (duplicates of a common source), so this converges in a
+    * handful of rounds; each round is one join + one aggregation, all
+    * distributed (the driver only checks the converged flag). Labels
+    * persist per round and the edge list persists once so iterations
+    * never re-derive upstream similarity pipelines.
+    * Returns (id, canonical_id = component minimum).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .persist(lvl)
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id2"), col("label").as("_nl")), "id2")
+        .groupBy(col("id1").as("id")).agg(min(col("_nl")).as("_nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
+        .persist(lvl)
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("_old")), "id")
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
+  /** Near-duplicate clusters over a corpus: exact n-gram Jaccard pairs
+    * (inverted index + skew cap) → connected components → every
+    * document mapped to its cluster canonical (min doc id; singletons
+    * map to themselves).
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cc = connectedComponents(pairs)
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   val SimhashBits = 60 // md5Long yields 60 reproducible bits

@@ -71,6 +71,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(verified.contains((1L, 2L)))
   }
 
+  test("near-dup clusters: transitive closure with min-id canonicals") {
+    // 1-2, 2-4 similar (chain), 3 and 5 singletons at this threshold
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(4L) == 1L)
+    assert(clusters(3L) == 3L && clusters(5L) == 5L)
+
+    // a longer chain resolves transitively: a~b, b~c but a and c share
+    // nothing — all three still land in one component
+    val chain = Seq(
+      (10L, "one two three four five six seven eight"),
+      (11L, "one two three four five nine ten eleven"),
+      (12L, "five nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val cc = Dedup.connectedComponents(
+      Dedup.jaccardPairs(chain, "doc_id", "text", n = 3, threshold = 0.2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+
+    // empty pair list → empty components, all docs self-canonical
+    val lone = Seq((1L, "abc"), (2L, "totally different")).toDF("doc_id", "text")
+    val loneClusters = Dedup.nearDupClusters(lone, "doc_id", "text", 3, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loneClusters == Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("simhash: identical docs same fingerprint, near-dups close, distinct far") {
     val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
