@@ -379,6 +379,37 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("hamming").cast(LongType).as("hamming"))
     }),
 
+    // the curation composite: language + quality gates fused into one
+    // scan, the filter shape of a training-data cleaning pass
+    "q42_quality_filter" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType))
+        .filter(col("pred_lang") === "en" && col("quality_score") >= 0.3 &&
+          col("n_tokens").between(5, 10000))
+        .select(col("doc_id"), col("pred_lang"), col("quality_score"),
+          col("n_tokens"))
+    }),
+
+    // corpus-level curation report: per detected language, doc count,
+    // token mass and mean quality — the dataset card numbers
+    "q43_corpus_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          // quality_score is exact at 4dp → decimal sum is exact and
+          // order-independent; divide in double like the oracle
+          round(dsum(col("quality_score")) / count(lit(1)), 4)
+            .as("mean_quality"))
+    }),
+
     "q26_lang_id" -> ((s, dir) => {
       Graft.tune(s)
       t(s, dir, "documents")
@@ -803,6 +834,17 @@ object SparkEntry {
 
     "q26_lang_id" -> langIdOracle,
 
+    "q42_quality_filter" -> curationSql(
+      """SELECT doc_id, pred_lang, quality_score, n_tokens FROM scored
+         WHERE pred_lang = 'en' AND quality_score >= 0.3
+           AND n_tokens BETWEEN 5 AND 10000"""),
+
+    "q43_corpus_stats" -> curationSql(
+      """SELECT pred_lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_quality
+         FROM scored GROUP BY pred_lang"""),
+
     "q27_text_stats" ->
       """WITH base AS (
            SELECT doc_id, COALESCE(text, '') AS t,
@@ -1064,6 +1106,43 @@ object SparkEntry {
       s"regexp_replace($acc, '$pat', $rep, 'g')"
     }
     s"SELECT doc_id, substr(trim($chained), 1, 100) AS clean_text FROM documents"
+  }
+
+  /** Shared curation CTE: per-doc pred_lang (argmax stopword hits, ties
+    * by language code asc — mirrors TextAnalysis.langId) + 4dp quality
+    * score (mirrors TextAnalysis.qualityScore; the EN stopword hits
+    * double as the stop-ratio numerator, same as qualityFeatures).
+    */
+  private def curationSql(select: String): String = {
+    val hitExprs = TextAnalysis.StopwordLists.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter($lst, w -> list_contains(toks, w))) AS h_$lang"
+    }.mkString(",\n                ")
+    s"""WITH base AS (
+         SELECT doc_id, COALESCE(text, '') AS t,
+                list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       feat AS (SELECT doc_id,
+                  length(t) AS n_chars,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g')) AS n_punct,
+                  $hitExprs
+                FROM base),
+       scored AS (
+         SELECT doc_id, n_tokens,
+                CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                     WHEN h_de = greatest(h_en, h_de, h_es, h_fr) THEN 'de'
+                     WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                     WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                     ELSE 'fr' END AS pred_lang,
+                ROUND(greatest(
+                  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                  + least(ROUND(CAST(h_en AS DOUBLE) / greatest(n_tokens, 1), 4) * 5.0, 1.0) * 0.5
+                  - least(ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) * 2.0, 1.0) * 0.2,
+                  0.0), 4) AS quality_score
+         FROM feat)
+       $select"""
   }
 
   private def langIdOracle: String = {
