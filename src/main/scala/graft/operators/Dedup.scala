@@ -209,25 +209,36 @@ object Dedup {
 
   // ------------------------------------------------- near-dup clustering
 
-  /** Connected components over an (id1, id2) pair list by iterative
-    * min-label propagation: every node repeatedly adopts the smallest
-    * label among itself and its neighbors until fixpoint. Rounds are
-    * bounded by the component diameter — near-duplicate clusters are
-    * shallow (duplicates of a common source), so this converges in a
-    * handful of rounds; each round is one join + one aggregation, all
-    * distributed (the driver only checks the converged flag). Labels
-    * persist per round and the edge list persists once so iterations
-    * never re-derive upstream similarity pipelines.
-    * Returns (id, canonical_id = component minimum).
+  /** Connected components over an (id1, id2) pair list. Returns
+    * (id, canonical_id = component minimum).
+    *
+    * Two regimes, because the pair list of an LSH dedup is orders of
+    * magnitude smaller than the corpus it came from:
+    *  - pair graphs up to `driverThreshold` edges resolve with a
+    *    driver-side union-find after one collect — the graph is the
+    *    OUTPUT of the distributed similarity pipeline, and a few
+    *    million edges resolve in milliseconds where the iterative plan
+    *    pays multiple Spark jobs per round;
+    *  - larger graphs run iterative min-label propagation: every node
+    *    repeatedly adopts the smallest label among itself and its
+    *    neighbors until fixpoint. Rounds are bounded by the component
+    *    diameter (near-dup clusters are shallow); each round is one
+    *    join + one aggregation, fully distributed. Labels persist per
+    *    round and the edge list persists once, so iterations never
+    *    re-derive the upstream similarity pipeline.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Long = 1L << 22): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .persist(lvl)
+    val edgeCount = edges.count()
+    if (edgeCount <= driverThreshold)
+      return driverComponents(pairs.sparkSession, edges, edgeCount)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
@@ -247,6 +258,50 @@ object Dedup {
     }
     edges.unpersist()
     labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
+  /** Union-find over a collected edge list; canonical = component min.
+    * Ids stay whatever type the pair columns carry (keys compare by
+    * equality; min by the natural encoding of longs/strings).
+    */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, edgeCount: Long): DataFrame = {
+    val idType = edges.schema("id1").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val ord: Ordering[Any] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Long])
+      case org.apache.spark.sql.types.IntegerType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Int].toLong)
+      case _ => Ordering.by((x: Any) => x.toString)
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOfRoot(r) = minOfRoot.get(r).fold(id)(m => ord.min(m, id))
+    }
+    edges.unpersist()
+    val rows = parent.keys.toSeq.map { id =>
+      org.apache.spark.sql.Row(id, minOfRoot(find(id)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("canonical_id", idType))))
   }
 
   /** Near-duplicate clusters over a corpus: exact n-gram Jaccard pairs

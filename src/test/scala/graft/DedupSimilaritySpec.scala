@@ -86,10 +86,15 @@ class DedupSimilaritySpec extends SparkSpec {
       (11L, "one two three four five nine ten eleven"),
       (12L, "five nine ten eleven twelve thirteen")
     ).toDF("doc_id", "text")
-    val cc = Dedup.connectedComponents(
-      Dedup.jaccardPairs(chain, "doc_id", "text", n = 3, threshold = 0.2))
+    val chainPairs = Dedup.jaccardPairs(chain, "doc_id", "text", n = 3,
+      threshold = 0.2)
+    val cc = Dedup.connectedComponents(chainPairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // the distributed label-propagation regime resolves identically
+    val ccDist = Dedup.connectedComponents(chainPairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == cc)
 
     // empty pair list → empty components, all docs self-canonical
     val lone = Seq((1L, "abc"), (2L, "totally different")).toDF("doc_id", "text")
