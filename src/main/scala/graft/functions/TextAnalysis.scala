@@ -72,24 +72,24 @@ object TextAnalysis {
 
   /** Language-ID heuristic: argmax of stopword hits, ties broken by
     * language code ascending, zero hits → "und" (undetermined).
+    * Expressed as `greatest` + a CASE chain in language order rather
+    * than an `array_sort` comparator: a comparator lambda is a
+    * higher-order function, which excludes the whole projection from
+    * whole-stage codegen; this form is pure codegen'd arithmetic with
+    * the hit counts shared by subexpression elimination.
     */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scored = StopwordLists.map { case (lang, words) =>
-      struct(hitCount(toks, words).as("hits"), lit(lang).as("lang"))
+    val hits = StopwordLists.map { case (lang, words) =>
+      lang -> hitCount(toks, words)
     }
-    // max over (hits, -lang) with deterministic alphabetical tie-break:
-    // sort descending by hits, ascending by lang, take head.
-    val best = array_sort(
-      array(scored: _*),
-      (l, r) =>
-        when(l.getField("hits") > r.getField("hits"), -1)
-          .when(l.getField("hits") < r.getField("hits"), 1)
-          .when(l.getField("lang") < r.getField("lang"), -1)
-          .when(l.getField("lang") > r.getField("lang"), 1)
-          .otherwise(0)
-    ).getItem(0)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val m = greatest(hits.map(_._2): _*)
+    val byLang = hits.sortBy(_._1)
+    byLang.init
+      .foldLeft(when(m === 0, lit("und"))) { case (acc, (lang, h)) =>
+        acc.when(h === m, lit(lang))
+      }
+      .otherwise(lit(byLang.last._1))
   }
 
   /** Quality-score features: length, punctuation ratio, stopword ratio,
