@@ -89,9 +89,22 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    // Three consumers walk the shingle sets (postings + both sizes
+    // joins); persisting the sets caps the scan→shingle derivation at
+    // one pass, same as minhashDedupPairs.
     val sets = shingleSets(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.select(col("_id"), size(col("_sh")).as("_n"))
-    val postings0 = sets.select(col("_id"), explode(col("_sh")).as("_s"))
+    // Postings shuffle on a 64-bit shingle hash, not the 20-40 byte
+    // shingle string — the posting key crosses the wire ~3 times (skew
+    // cap, inverted index, pair aggregation), so this cuts shuffle
+    // volume several-fold. Set sizes come from the original distinct
+    // STRING sets, so a (vanishingly unlikely) intra-document hash
+    // collision cannot change them; the id1<id2 guard below drops any
+    // self-pair such a collision could fabricate. Output verified
+    // identical to the string-keyed form by the DuckDB oracle.
+    val postings0 = sets.select(col("_id"), explode(col("_sh")).as("_s0"))
+      .select(col("_id"), xxhash64(col("_s0")).as("_s"))
     val postings =
       if (maxDocFreq <= 0) postings0
       else {
@@ -110,6 +123,7 @@ object Dedup {
       .select(explode(flatten(transform(col("_ids"), (x, i) =>
         transform(slice(col("_ids"), i + 2, size(col("_ids"))),
           y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .filter(col("_p.id1") =!= col("_p.id2"))
       .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .agg(count(lit(1)).as("_common"))
     common
