@@ -43,6 +43,9 @@ object Graft {
       .builder()
       .master(master)
       .appName("graft")
+      // the production install path: native functions injected into the
+      // base registry of every session state (see plans.GraftExtensions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

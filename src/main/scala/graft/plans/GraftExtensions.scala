@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.expr.{CosineSimilarity, MinHashSignature, SimHash60, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers the engine's native
+  * expressions in the session's base function registry at
+  * session-build time, so pure-SQL users (spark-sql, thrift server,
+  * `spark.sql(...)` without `Graft.tune`) resolve them in every
+  * session state, including `newSession()` clones:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  *
+  * `Graft.tune` remains the imperative per-session equivalent (and
+  * additionally pins the coerce-semantics confs, which an extension
+  * cannot set).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier(CosineSimilarity.FunctionName),
+        info(CosineSimilarity.FunctionName, classOf[CosineSimilarity]),
+        exprs => CosineSimilarity(exprs(0), exprs(1))),
+      (FunctionIdentifier(MinHashSignature.FunctionName),
+        info(MinHashSignature.FunctionName, classOf[MinHashSignature]),
+        exprs => MinHashSignature(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())),
+      (FunctionIdentifier(WordShingles.FunctionName),
+        info(WordShingles.FunctionName, classOf[WordShingles]),
+        exprs => WordShingles(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())),
+      (FunctionIdentifier(SimHash60.FunctionName),
+        info(SimHash60.FunctionName, classOf[SimHash60]),
+        exprs => SimHash60(exprs.head))
+    )
+}

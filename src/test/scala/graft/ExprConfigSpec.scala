@@ -34,6 +34,25 @@ class ExprConfigSpec extends SparkSpec {
     assert(math.abs(viaSql) <= 1.0)
   }
 
+  test("session extension injects native functions into fresh session states") {
+    // newSession() builds a NEW SessionState: Graft.tune's temp-function
+    // registrations don't carry over, so resolution here proves the
+    // spark.sql.extensions path (plans.GraftExtensions) injected the
+    // functions into the base registry.
+    val fresh = spark.newSession()
+    val sim = fresh.sql(
+      "SELECT graft_cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+    val sh = fresh.sql("SELECT graft_shingles('a b c d', 3)")
+      .collect()(0).getAs[scala.collection.Seq[String]](0).toSeq
+    assert(sh == Seq("a b c", "b c d"))
+    assert(fresh.sql("SELECT graft_minhash_sig(array('x','y'), 16)")
+      .collect()(0).getAs[scala.collection.Seq[Long]](0).size == 16)
+    assert(fresh.sql("SELECT graft_simhash(array('x','y'))")
+      .collect()(0).getLong(0) != 0L)
+  }
+
   test("cosine codegen survives duplicated instances in one generated function") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
