@@ -39,20 +39,26 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    def onePass(tag: String): Map[String, Double] = named.map { case (name, fn) =>
+    def onePass(tag: String,
+        qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Map[String, Double] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { forceAll(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench $tag] $name%-26s $dt%8.2fs rows=$n")
       name -> dt
     }.toMap
-    // Two passes, per-query min: pass 1 carries one-time JIT + codegen
-    // compilation; pass 2 is the steady state a long-running engine
-    // actually delivers. The cache is cleared between passes so queries
-    // that persist intermediates recompute them honestly.
-    val p1 = onePass("1/2")
+    // Per-query min over two measurements, second pass only for queries
+    // whose first pass exceeded 1 s: pass 1 carries one-time JIT +
+    // codegen compilation and any transient machine stall, pass 2 is
+    // steady state; sub-second pass-1 queries evidently hit neither, so
+    // re-measuring them only costs wall-clock. The cache is cleared
+    // between passes so queries that persist intermediates recompute
+    // them honestly.
+    val p1 = onePass("1/2", named)
     spark.sharedState.cacheManager.clearCache()
-    val p2 = onePass("2/2")
+    val slow = named.filter { case (name, _) => p1.getOrElse(name, 0.0) > 1.0 }
+    val p2 = onePass("2/2", slow)
     val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

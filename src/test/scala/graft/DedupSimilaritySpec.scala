@@ -103,6 +103,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(loneClusters == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("jaccard pairs equal a scala brute-force model on random corpora") {
+    // independent model of the shingle/jaccard semantics (lowercase
+    // alnum tokens, word 3-grams, whole-text when short, distinct)
+    def model(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      if (toks.length <= 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (round <- 1 to 3) {
+      val corpus = (1L to 30L).map { id =>
+        val len = 4 + rnd.nextInt(8)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val expected = (for {
+        (i, ti) <- corpus; (j, tj) <- corpus if i < j
+        si = model(ti); sj = model(tj)
+        inter = (si & sj).size
+        jac = inter.toDouble / (si.size + sj.size - inter)
+        rounded = math.rint(jac * 1e6) / 1e6 if rounded >= 0.4
+      } yield (i, j) -> rounded).toMap
+      val got = Dedup.jaccardPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == expected, s"round $round")
+      // LSH-verified pairs are a subset of exact pairs with the same
+      // jaccard values (verification is exact)
+      val lsh = Dedup.minhashDedupPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", n = 3, threshold = 0.4, numHashes = 128, bands = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      lsh.foreach { case (k, v) => assert(expected.get(k).contains(v)) }
+    }
+  }
+
   test("simhash: identical docs same fingerprint, near-dups close, distinct far") {
     val fp = docs.select($"doc_id", Dedup.simhash($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
