@@ -463,6 +463,16 @@ object SparkEntry {
         threshold = 0.45, centroids = Some(e.filter(col("vec_id") < 8)))
     }),
 
+    // SRP-LSH cosine near-dup: the hyperplane-signature scale path
+    // (sign bits via the native cosine kernel, band collisions only,
+    // exact-cosine verify). Deterministic hyperplanes → the oracle
+    // embeds the identical ±1 constants.
+    "q44_srp_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      Similarity.srpNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, dim = 64)
+    }),
+
     // SQL surface: same engine through spark.sql over registered views,
     // including the native cosine expression by its SQL name.
     "q35_sql_surface" -> ((s, dir) => {
@@ -934,6 +944,8 @@ object SparkEntry {
        FROM pairs
        WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45""",
 
+    "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
+
     "q35_sql_surface" ->
       """WITH s AS (
            SELECT ROUND(
@@ -1106,6 +1118,44 @@ object SparkEntry {
       s"regexp_replace($acc, '$pat', $rep, 'g')"
     }
     s"SELECT doc_id, substr(trim($chained), 1, 100) AS clean_text FROM documents"
+  }
+
+  /** SRP oracle: the ±1 hyperplanes come from the same deterministic
+    * Scala derivation as the Spark side and are inlined as list
+    * literals; sign-of-dot ≡ sign-of-cosine, so the bit signatures,
+    * band keys, candidates and verified sims all agree exactly.
+    */
+  private def srpOracle(threshold: Double, bits: Int, bands: Int,
+      dim: Int): String = {
+    val r = bits / bands
+    val hps = Similarity.srpHyperplanes(bits, dim)
+    val bitExprs = hps.zipWithIndex.map { case (hp, b) =>
+      val lst = hp.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+      s"CASE WHEN list_sum([embedding[i]::DOUBLE * ($lst)[i] FOR i IN range(1, ${dim + 1})]) > 0 THEN 1 ELSE 0 END AS b$b"
+    }.mkString(",\n              ")
+    val keyExprs = (0 until bands).map { k =>
+      (0 until r).map(j => s"b${k * r + j} * ${1 << j}").mkString(" + ") +
+        s" AS k$k"
+    }.mkString(", ")
+    val bandCond = (0 until bands).map(k => s"a.k$k = b.k$k").mkString(" OR ")
+    s"""WITH bits AS (
+          SELECT vec_id, embedding,
+              $bitExprs
+          FROM embeddings),
+        keys AS (SELECT vec_id, embedding, $keyExprs FROM bits),
+        cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                        a.embedding AS e1, b.embedding AS e2
+                 FROM keys a JOIN keys b
+                   ON a.vec_id < b.vec_id AND ($bandCond)),
+        scored AS (SELECT id1, id2,
+              list_sum([e1[i]::DOUBLE * e2[i]::DOUBLE FOR i IN range(1, ${dim + 1})]) AS d,
+              sqrt(list_sum([e1[i]::DOUBLE * e1[i]::DOUBLE FOR i IN range(1, ${dim + 1})])) AS n1,
+              sqrt(list_sum([e2[i]::DOUBLE * e2[i]::DOUBLE FOR i IN range(1, ${dim + 1})])) AS n2
+            FROM cand)
+      SELECT id1, id2,
+             ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS sim
+      FROM scored
+      WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= $threshold"""
   }
 
   /** Shared curation CTE: per-doc pred_lang (argmax stopword hits, ties

@@ -170,7 +170,7 @@ object Dedup {
     * sizes of true near-duplicates (band keys are ~uniform otherwise),
     * so the per-list quadratic expansion is the candidate count itself.
     */
-  private def bucketPairs(banded: DataFrame): DataFrame =
+  private[operators] def bucketPairs(banded: DataFrame): DataFrame =
     banded.groupBy(col("_band"), col("_key"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)

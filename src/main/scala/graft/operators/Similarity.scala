@@ -113,6 +113,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim")
   }
 
+  // --------------------------------------- signed random projections (LSH)
+
+  /** Deterministic ±1 hyperplanes for signed-random-projection LSH:
+    * component i of hyperplane b is +1 when the top bit of
+    * md5("hp:b:i") is 0, else −1 — reproducible in any engine with
+    * md5, so the DuckDB oracle embeds the identical constants.
+    */
+  def srpHyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bits).map { b =>
+      (0 until dim).map { i =>
+        md.reset()
+        val d = md.digest(s"hp:$b:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** SRP near-dup pairs — the second cosine scale path next to IVF
+    * bucketing: `bits` sign-of-projection bits per vector (sign of the
+    * dot with a fixed hyperplane ≡ sign of the native cosine — one
+    * codegen'd kernel call per bit), banded into `bands` integer keys;
+    * only band collisions become candidates (posting-list expansion,
+    * no self-join), then candidates verify with exact cosine ≥
+    * threshold. Output = verified candidates: deterministic and
+    * oracle-checkable; recall rises with `bands` (collision
+    * probability per band is (1 − θ/π)^(bits/bands)).
+    */
+  def srpNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val r = bits / bands
+    val hps = srpHyperplanes(bits, dim)
+    val bitCols = hps.map(hp =>
+      when(cosine(col(vecCol), typedLit(hp)) > 0, 1).otherwise(0))
+    val keyCols = (0 until bands).map { k =>
+      (0 until r).map(j => bitCols(k * r + j) * (1 << j)).reduce(_ + _)
+    }
+    val banded = corpus
+      .select(col(idCol).as("_id"), array(keyCols: _*).as("_keys"))
+      .select(col("_id"), posexplode(col("_keys")))
+      .select(col("_id"), col("pos").as("_band"), col("col").as("_key"))
+    val cand = Dedup.bucketPairs(banded)
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    cand
+      .join(vecs.select(col("_vid").as("id1"), col("_v").as("_v1")), "id1")
+      .join(vecs.select(col("_vid").as("id2"), col("_v").as("_v2")), "id2")
+      .withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+  }
+
   /** Embedding near-duplicate pairs: corpus×corpus cosine ≥ threshold.
     * Bucketed via IVF cells when `centroids` given (pairs only within a
     * cell — the LSH-style scale path); exact all-pairs otherwise (only

@@ -185,6 +185,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("SRP near-dup pairs are exact-verified candidates") {
+    // hyperplanes are deterministic across calls (oracle contract)
+    assert(Similarity.srpHyperplanes(4, 8) == Similarity.srpHyperplanes(4, 8))
+    val srp = Similarity.srpNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.95, dim = 3, bits = 16, bands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // verified candidates ⊆ exact pairs, with identical sims
+    srp.foreach { case (k, v) => assert(exact.get(k).contains(v)) }
+    // an identical vector collides in EVERY band → always recalled
+    val withDup = vecs.union(Seq((9L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val dupPairs = Similarity.srpNearDupPairs(withDup, "vec_id", "embedding",
+        threshold = 0.99, dim = 3, bits = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.contains((0L, 9L)))
+  }
+
   test("text analysis: langId, token stats, fingerprint determinism") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
