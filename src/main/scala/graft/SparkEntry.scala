@@ -463,6 +463,15 @@ object SparkEntry {
         threshold = 0.45, centroids = Some(e.filter(col("vec_id") < 8)))
     }),
 
+    // feature hashing: sparse (doc, bucket, tf) term-frequency vectors
+    // with engine-portable md5 buckets — the HashingTF feature
+    // extraction of a training-data pipeline, kept relational
+    "q45_feature_hashing" -> ((s, dir) => {
+      Graft.tune(s)
+      TextAnalysis.hashingTf(t(s, dir, "documents"), "doc_id", "text",
+        numFeatures = 64)
+    }),
+
     // SRP-LSH cosine near-dup: the hyperplane-signature scale path
     // (sign bits via the native cosine kernel, band collisions only,
     // exact-cosine verify). Deterministic hyperplanes → the oracle
@@ -945,6 +954,16 @@ object SparkEntry {
        WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45""",
 
     "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
+
+    "q45_feature_hashing" ->
+      """SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket,
+           COUNT(*) AS tf
+         FROM (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t
+               FROM documents)
+         GROUP BY 1, 2""",
 
     "q35_sql_surface" ->
       """WITH s AS (

@@ -124,6 +124,19 @@ object TextAnalysis {
     round(greatest(lenScore * 0.5 + stopScore * 0.5 - punctPenalty * 0.2, lit(0.0)), 4)
   }
 
+  /** Feature hashing (HashingTF): token → md5-derived bucket in
+    * [0, numFeatures), emitted SPARSE as (id, bucket, tf) rows — the
+    * relational form scales (no fixed-width dense arrays through the
+    * shuffle) and densifies trivially at the consumer. md5 rather than
+    * xxhash64 so the bucket assignment reproduces outside the JVM.
+    */
+  def hashingTf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, numFeatures: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .groupBy(col(idCol), pmod(md5Long(col("_t")), lit(numFeatures.toLong))
+        .cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Document fingerprint: md5 of the whitespace-collapsed, lowercased
     * text — the normalize-then-hash exact-dup key. (A content-defined
     * rolling-hash variant lives in Dedup.simhash for near-dup use.)

@@ -217,5 +217,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val stats = df.filter($"doc_id" === 1L)
       .select(TextAnalysis.tokenCount($"text")).collect()(0).getInt(0)
     assert(stats == 9)
+
+    // feature hashing: buckets bounded, per-doc tf mass = token count,
+    // identical tokens land in identical buckets
+    val tf = TextAnalysis.hashingTf(df, "doc_id", "text", numFeatures = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(tf.forall { case (_, b, _) => b >= 0 && b < 16 })
+    assert(tf.filter(_._1 == 1L).map(_._3).sum == 9L)
+    val perDoc = tf.groupBy(_._1)
+    assert(perDoc.keySet == Set(1L, 2L, 3L))
   }
 }
