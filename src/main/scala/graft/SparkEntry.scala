@@ -463,6 +463,24 @@ object SparkEntry {
         threshold = 0.45, centroids = Some(e.filter(col("vec_id") < 8)))
     }),
 
+    // deterministic hash sampling: the reproducible train-split /
+    // subsample primitive — md5-based keep decision, no RNG state
+    "q46_hash_sample" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .filter(Filters.hashSample(col("doc_id"), 0.1))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // gap-based sessionization of the event stream (30-min gap):
+    // one shuffle on user, per-user ordered window, total-order ties
+    "q47_sessionize" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      Sessions.sessionStats(ev, "user_id", "ts2", "event_id",
+        gapSeconds = 1800, tsFormat = Normalize.tsFormat)
+    }),
+
     // feature hashing: sparse (doc, bucket, tf) term-frequency vectors
     // with engine-portable md5 buckets — the HashingTF feature
     // extraction of a training-data pipeline, kept relational
@@ -954,6 +972,30 @@ object SparkEntry {
        WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45""",
 
     "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
+
+    "q46_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000 < 100000""",
+
+    "q47_sessionize" ->
+      """WITH flags AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                       THEN 1 ELSE 0 END AS nf
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+                  CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM flags)
+       SELECT user_id, session_seq, COUNT(*) AS n_events,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+              CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+       FROM sess GROUP BY 1, 2""",
 
     "q45_feature_hashing" ->
       """SELECT doc_id,

@@ -60,6 +60,19 @@ object Filters {
   def requireNonBlank(cols: Seq[String]): Column =
     cols.map(c => length(trim(Normalize.nullToEmpty(col(c)))) > 0).reduce(_ && _)
 
+  /** Deterministic hash sampling: keep a row iff
+    * md5(key ∥ salt) mod 1e6 < fraction·1e6. The reproducible way to
+    * sample/split training data at any scale — no RNG state, stable
+    * under re-runs, re-partitioning and engine changes (md5-derived,
+    * so an external system selects the identical subset); different
+    * salts give independent samples (train/validation splits).
+    */
+  def hashSample(key: Column, fraction: Double, salt: String = ""): Column =
+    pmod(graft.functions.TextAnalysis.md5Long(
+      concat(key.cast(org.apache.spark.sql.types.StringType), lit(salt))),
+      lit(1000000L)) <
+      math.round(fraction * 1000000).toLong
+
   /** O3: publish-date ordering with the reference's raw-string
     * fallback (src/etl/rss_feed_etl.py:128-132, 300-303): sort by the
     * parsed date desc + link asc; when NO date in the whole frame

@@ -96,6 +96,37 @@ class FiltersSpec extends SparkSpec {
     assert(out(3) == null)
   }
 
+  test("hash sampling is deterministic, salted, and near the fraction") {
+    import graft.operators.Filters
+    val ids = (1L to 2000L).toDF("id")
+    def sample(salt: String) = ids.filter(Filters.hashSample($"id", 0.2, salt))
+      .as[Long].collect().toSet
+    val a = sample("")
+    assert(a == sample("")) // reproducible
+    assert(math.abs(a.size - 400) < 80) // ~20%
+    val b = sample("v2")
+    assert(b != a) // independent sample per salt
+    assert(math.abs(b.size - 400) < 80)
+  }
+
+  test("sessionize splits on gap and numbers sessions in order") {
+    import graft.operators.Sessions
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 101L, t("2024-01-01 10:00:00")),
+      (1L, 102L, t("2024-01-01 10:10:00")), // same session (10 min)
+      (1L, 103L, t("2024-01-01 11:00:00")), // gap 50 min → new session
+      (2L, 201L, t("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val stats = Sessions.sessionStats(ev, "user_id", "ts", "event_id",
+        gapSeconds = 1800, tsFormat = Normalize.tsFormat)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[String]("session_start"), r.getLong(5))).toMap
+    assert(stats((1L, 1L)) == ((2L, "2024-01-01 10:00:00", 600L)))
+    assert(stats((1L, 2L)) == ((1L, "2024-01-01 11:00:00", 0L)))
+    assert(stats((2L, 1L)) == ((1L, "2024-01-01 09:00:00", 0L)))
+  }
+
   test("sortPublished falls back to raw-string order when no date parses") {
     import graft.operators.Filters
     val parseable = Seq(
