@@ -21,4 +21,16 @@ class ContractSpec extends AnyFunSuite {
       assert(k.matches("q\\d+_[a-z0-9_]+"), s"bad query name: $k")
     }
   }
+
+  test("every query's output schema is unambiguous for the driver compare") {
+    // the driver sorts columns BY NAME before hashing — duplicate or
+    // unstable names would silently scramble the comparison
+    val spark = SparkSpec.session
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val cols = fn(spark, dir).columns.toSeq
+      assert(cols.distinct.size == cols.size, s"$name duplicate columns: $cols")
+      cols.foreach(c => assert(c.matches("[A-Za-z0-9_]+"), s"$name bad column: $c"))
+    }
+  }
 }
