@@ -463,6 +463,16 @@ object SparkEntry {
         threshold = 0.45, centroids = Some(e.filter(col("vec_id") < 8)))
     }),
 
+    // IVF centroid training: one k-means refinement (assign → exact
+    // decimal per-dimension means → re-assign); the step that turns
+    // the seeded IVF index into a data-fitted one
+    "q48_kmeans_refine" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeansRefineAssign(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding")
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -972,6 +982,45 @@ object SparkEntry {
        WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45""",
 
     "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
+
+    // mirror of kmeansRefineAssign: seed-assign (q30 semantics), exact
+    // decimal per-dimension means, re-assign against the refined lists
+    "q48_kmeans_refine" ->
+      """WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                     WHERE vec_id < 8),
+         cells1 AS (
+           SELECT vec_id, centroid_id, embedding FROM (
+             SELECT e.vec_id, centroid_id, e.embedding,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT e.vec_id, centroid_id, e.embedding,
+                          list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings e CROSS JOIN c0) e)
+           WHERE rn = 1),
+         means AS (
+           SELECT centroid_id, list(m ORDER BY i) AS cv FROM (
+             SELECT centroid_id, d.i AS i,
+                    ROUND(CAST(SUM(CAST(ROUND(embedding[d.i]::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                          / COUNT(*), 6) AS m
+             FROM cells1 CROSS JOIN range(1, 65) d(i)
+             GROUP BY 1, 2)
+           GROUP BY centroid_id),
+         final AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT e.vec_id, m.centroid_id,
+                          list_sum([m.cv[i] * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([m.cv[i] * m.cv[i] FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings e CROSS JOIN means m) e)
+           WHERE rn = 1)
+       SELECT vec_id, centroid_id FROM final""",
 
     "q46_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -113,6 +113,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim")
   }
 
+  // ------------------------------------------------- k-means refinement
+
+  /** One k-means recompute step over an `ivfAssign` output: each
+    * centroid becomes the per-dimension MEAN of its members.
+    * Distributed shape: posexplode to (cell, dim, value) rows → one
+    * aggregation keyed on (cell, dim) with map-side partial sums →
+    * re-assemble the vector. Arithmetic is engine-reproducible: member
+    * components round to 6dp and accumulate as DECIMAL(18,6) (exact,
+    * order-independent), then one double division and a final 6dp
+    * round — so refined centroids, and every cosine computed against
+    * them, hash-match the DuckDB oracle.
+    */
+  def kmeansRecompute(assigned: DataFrame, vecCol: String,
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val dec = DecimalType(18, 6)
+    assigned
+      .select(col(centroidIdCol), posexplode(col(vecCol)))
+      .select(col(centroidIdCol), col("pos"),
+        round(col("col").cast(DoubleType), 6).cast(dec).as("_v"))
+      .groupBy(col(centroidIdCol), col("pos"))
+      .agg(round(sum(col("_v")).cast(DoubleType) / count(lit(1)), 6).as("_m"))
+      .groupBy(col(centroidIdCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
+        s => s.getField("_m")).as(vecCol))
+  }
+
+  /** IVF with one k-means refinement: assign to the seed centroids,
+    * recompute each cell's mean, re-assign against the refined
+    * centroids. Returns the final (id, centroid_id) assignment; more
+    * iterations = more calls (each is two shuffles + a broadcast).
+    */
+  def kmeansRefineAssign(corpus: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val a1 = ivfAssign(corpus, seeds, idCol, vecCol)
+    val refined = kmeansRecompute(a1, vecCol)
+      .withColumnRenamed("centroid_id", idCol)
+    ivfAssign(corpus, refined, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+  }
+
   // --------------------------------------- signed random projections (LSH)
 
   /** Deterministic ±1 hyperplanes for signed-random-projection LSH:

@@ -185,6 +185,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("kmeans refinement: exact decimal means, stable reassignment") {
+    val seeds = vecs.filter($"vec_id" === 0L || $"vec_id" === 2L)
+    // seed assign: v4 (0,0,1) ties 0.0 to both seeds → lowest id (0)
+    val refined = Similarity.kmeansRecompute(
+        Similarity.ivfAssign(vecs, seeds, "vec_id", "embedding"), "embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Double]]("embedding").toSeq).toMap
+    assert(refined(0L) == Seq(0.663333, 0.033333, 0.333333)) // mean of v0,v1,v4
+    assert(refined(2L) == Seq(0.0, 0.99, 0.1))               // mean of v2,v3
+    val a2 = Similarity.kmeansRefineAssign(vecs, seeds, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2 == Map(0L -> 0L, 1L -> 0L, 4L -> 0L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("SRP near-dup pairs are exact-verified candidates") {
     // hyperplanes are deterministic across calls (oracle contract)
     assert(Similarity.srpHyperplanes(4, 8) == Similarity.srpHyperplanes(4, 8))
