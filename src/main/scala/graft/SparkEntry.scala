@@ -473,6 +473,43 @@ object SparkEntry {
         "vec_id", "embedding")
     }),
 
+    // test-set decontamination: corpus docs sharing any word-3-gram
+    // with the benchmark slice (source='src0'); benchmark shingles are
+    // broadcast, so the corpus never shuffles — only matched pairs do
+    "q49_decontaminate" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationReport(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+    }),
+
+    // token-budget sequence packing via the block-hierarchical prefix
+    // sum — bin = floor(exclusive-cumsum / budget), per-bin stats
+    "q50_pack_sequences" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.packSequences(t(s, dir, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 1024)
+    }),
+
+    // Gopher-style repetition signals: duplicate-token ratio and
+    // top-bigram mass, computed relationally (no per-row mode lambdas)
+    "q51_repetition" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // stratified sampling: per-language md5-threshold fractions
+    // (upsample low-resource languages) — deterministic, shuffle-free
+    "q53_stratified_sample" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.05, "zh" -> 0.5, "fr" -> 0.5,
+          "de" -> 0.5, "es" -> 0.5))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1026,6 +1063,64 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                % 1000000 < 100000""",
+
+    "q49_decontaminate" ->
+      """WITH sets AS (
+           SELECT doc_id, source, list_distinct(
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)] END) AS sh
+           FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                 FROM documents)),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM sets WHERE source = 'src0'),
+         post AS (SELECT doc_id, unnest(sh) AS s FROM sets WHERE source <> 'src0')
+       SELECT post.doc_id, COUNT(*) AS n_shared
+       FROM post JOIN bench ON post.s = bench.s
+       GROUP BY post.doc_id""",
+
+    "q50_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(len(list_filter(
+             regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+             x -> x <> '')) AS BIGINT) AS tok
+           FROM documents),
+         cum AS (SELECT doc_id, tok,
+                   SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+                 FROM toks)
+       SELECT CAST(FLOOR((c - tok) / 1024) AS BIGINT) AS bin_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(tok) AS BIGINT) AS total_tokens,
+              MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       FROM cum GROUP BY 1""",
+
+    "q51_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+             x -> x <> '') AS tk
+           FROM documents),
+         t2 AS (SELECT doc_id, tk,
+                  CAST(len(tk) AS BIGINT) AS total,
+                  CAST(len(list_distinct(tk)) AS BIGINT) AS dst
+                FROM toks WHERE len(tk) >= 2),
+         bgc AS (SELECT doc_id, g, COUNT(*) AS c
+                 FROM (SELECT doc_id, unnest([tk[i] || ' ' || tk[i + 1]
+                                              FOR i IN range(1, len(tk))]) AS g
+                       FROM t2)
+                 GROUP BY 1, 2),
+         bga AS (SELECT doc_id, MAX(c) AS maxg FROM bgc GROUP BY 1)
+       SELECT t2.doc_id,
+              ROUND(1.0 - CAST(dst AS DOUBLE) / total, 6) AS dup_token_ratio,
+              ROUND(CAST(maxg AS DOUBLE) / (total - 1), 6) AS top_bigram_ratio
+       FROM t2 JOIN bga USING (doc_id)""",
+
+    "q53_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 1000000
+               < CASE lang WHEN 'en' THEN 50000 ELSE 500000 END""",
 
     "q47_sessionize" ->
       """WITH flags AS (

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for the training-data pipeline surface:
+  * test-set decontamination, token-budget sequence packing (via a
+  * distributed prefix sum), repetition-based quality signals, and
+  * stratified sampling.
+  *
+  * Scale notes (the 100 TB story):
+  *  - Decontamination joins the corpus postings against the BENCHMARK
+  *    shingle set — benchmarks are tiny (MBs) next to the corpus (TBs),
+  *    so the benchmark side is broadcast and the whole check is one
+  *    map-side semi-join over the corpus scan: no shuffle of corpus
+  *    text at all, only the matched (doc, shingle) pairs move.
+  *  - Prefix sum is the textbook block-hierarchical form: per-block
+  *    partial sums (one map-side-combined aggregation), a cumulative
+  *    scan over the tiny block table (rows = corpus/blockSize — the
+  *    only single-partition step, ~25k rows per 100M docs at the
+  *    default block size), broadcast back, then a per-block window —
+  *    partitioned by block, so the big window runs fully parallel.
+  *  - Repetition stats are relational (explode → count → max/sum), not
+  *    per-row HOF mode computation: two shuffles keyed by (doc, gram),
+  *    both with map-side combine; no collect, no skew (grams are
+  *    per-document keys).
+  *  - Stratified sampling is the md5-hash-threshold sample of
+  *    [[Filters.hashSample]] with a per-group threshold — still purely
+  *    deterministic and engine-portable, so an external system can
+  *    reproduce the exact subset; no shuffle at all (scan + filter).
+  */
+object Corpus {
+
+  // --------------------------------------------------- decontamination
+
+  /** Shingle overlap between a corpus and a benchmark/eval set — the
+    * standard n-gram test-set decontamination check (the reference's
+    * dedup family generalized across two tables). Returns one row per
+    * CONTAMINATED corpus document: (idCol, n_shared) where n_shared
+    * counts the distinct word-n-grams the document shares with any
+    * benchmark document.
+    *
+    * The benchmark shingle set is deduplicated then broadcast: the
+    * corpus side never shuffles, so the cost is one scan of the corpus
+    * plus a hash lookup per (doc, shingle) — the only shuffle is the
+    * final per-document count aggregation over matched pairs.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("_sh")).as("_s")).distinct()
+    val corpusPostings = Dedup.shingleSets(corpus, idCol, textCol, n)
+      .select(col("_id"), explode(col("_sh")).as("_s"))
+    corpusPostings
+      .join(broadcast(benchShingles), Seq("_s"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The cleaning counterpart: corpus rows that share NO word-n-gram
+    * with the benchmark (broadcast anti-join on the matched id set).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, benchmark, idCol, textCol, n)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
+  // ------------------------------------------- prefix sum + packing
+
+  /** Token-budget sequence packing: assign each document (in ascending
+    * `orderCol` order) to the training-sequence bin where its first
+    * token lands, i.e. bin = floor(exclusive-prefix-sum / budget).
+    * Returns per-bin stats: (bin_id, n_docs, total_tokens, first_id,
+    * last_id). Deterministic — no RNG, no partition-order dependence.
+    *
+    * Uses [[Scale.prefixSum]], so the only non-parallel step is the
+    * cumulative scan over block partials (corpus/blockSize rows).
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: Column,
+      budget: Long, blockSize: Long = 1L << 12): DataFrame = {
+    val withTok = df.select(col(orderCol), tokenCol.cast(LongType).as("_tok"))
+    val cum = Scale.prefixSum(withTok, orderCol, "_tok", "_cum", blockSize)
+    cum
+      .withColumn("bin_id", floor((col("_cum") - col("_tok")) / budget))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("total_tokens"),
+        min(col(orderCol)).as("first_id"),
+        max(col(orderCol)).as("last_id"))
+  }
+
+  // ------------------------------------------------- repetition stats
+
+  /** Gopher-style repetition signals per document, computed
+    * relationally (explode + two keyed aggregations — scale-safe)
+    * rather than as per-row lambda mode-finding:
+    *  - dup_token_ratio: 1 − distinct/total over word tokens;
+    *  - top_bigram_ratio: occurrences of the most frequent word bigram
+    *    over total bigram count (ties on count don't matter — only the
+    *    max count is reported).
+    * Documents with fewer than 2 tokens are excluded (no bigram is
+    * defined, and a 1-token doc has trivially 0 repetition).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+      graft.functions.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+    // total/distinct need no explode: size + array_distinct are native
+    // single-pass array functions (codegen'd, no HOF lambda capture).
+    // total − 1 is also the bigram count, so only the MAX bigram
+    // frequency needs distributed computation.
+    val scalarStats = toks.select(col("_id"),
+      size(col("_toks")).cast(LongType).as("_total"),
+      size(array_distinct(col("_toks"))).cast(LongType).as("_distinct"))
+    // Contiguous bigrams via posexplode + lead — the generator's child
+    // projection materializes the token array ONCE per row (never
+    // re-tokenizes per element, unlike a transform() lambda that
+    // captures the token expression).
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val maxBigram = toks
+      .select(col("_id"), posexplode(col("_toks")).as(Seq("_p", "_t")))
+      .withColumn("_next", lead(col("_t"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col("_id"), concat(col("_t"), lit(" "), col("_next")).as("_g"))
+      .groupBy("_id", "_g").agg(count(lit(1)).as("_c"))
+      .groupBy("_id").agg(max(col("_c")).as("_maxg"))
+    scalarStats.join(maxBigram, "_id")
+      .select(col("_id").as(idCol),
+        round(lit(1.0) - col("_distinct").cast(DoubleType) / col("_total"), 6)
+          .as("dup_token_ratio"),
+        round(col("_maxg").cast(DoubleType) / (col("_total") - 1), 6)
+          .as("top_bigram_ratio"))
+  }
+
+  // ---------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sample: per-group fractions over the
+    * same md5-threshold mechanism as [[Filters.hashSample]] (so a
+    * group's sample is a SUBSET of any larger-fraction sample — nested
+    * samples for curriculum schedules). `rates` maps group value →
+    * fraction; groups not listed fall back to `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val threshold = rates.foldLeft(
+      lit(math.round(defaultRate * 1000000))) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(math.round(f * 1000000))).otherwise(acc)
+    }
+    df.filter(
+      pmod(graft.functions.TextAnalysis.md5Long(
+        concat(col(keyCol).cast(StringType), lit(salt))), lit(1000000L))
+        < threshold)
+  }
+}

@@ -51,6 +51,44 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Distributed inclusive prefix sum of `valueCol` in ascending
+    * `orderCol` order (orderCol must be numeric and unique — a doc id
+    * or event id). Adds `outCol`.
+    *
+    * A naive `sum().over(Window.orderBy(orderCol))` collapses the whole
+    * table into ONE partition — the classic global-window scale trap.
+    * This is the block-hierarchical form instead:
+    *   1. block id = floor(orderCol / blockSize);
+    *   2. per-block partial sums — an ordinary map-side-combined agg;
+    *   3. exclusive running offset across blocks — a window over the
+    *      BLOCK table only (rows = N/blockSize; the only serial step,
+    *      and broadcast-sized by construction);
+    *   4. offset + within-block running sum — a window PARTITIONED by
+    *      block, which parallelizes across the cluster.
+    * For 100 TB corpora where even N/blockSize overflows one task,
+    * apply the same construction recursively to the block table.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, blockSize: Long = 1L << 12): DataFrame = {
+    val blk = floor(col(orderCol) / blockSize)
+    val blockTotals = df.groupBy(blk.as("_blk"))
+      .agg(sum(col(valueCol)).as("_bsum"))
+    val blockOffsets = blockTotals.select(col("_blk"),
+      coalesce(
+        sum(col("_bsum")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("_blk"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L).cast(df.schema(valueCol).dataType)).as("_boff"))
+    df.withColumn("_blk", blk)
+      .join(broadcast(blockOffsets), Seq("_blk"))
+      .withColumn(outCol,
+        col("_boff") + sum(col(valueCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))
+            .orderBy(col(orderCol))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .drop("_blk", "_boff")
+  }
+
   /** Count the shuffle exchanges in a DataFrame's executed plan —
     * used by tests to prove bucketing/broadcast removed them. Descends
     * through AQE wrappers (whose children are hidden from plain

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Corpus, Scale}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: decontamination, prefix-sum packing,
+  * repetition signals, stratified sampling.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely different text with no overlap here at all"),
+    (3L, "quick brown fox phrases appear in this one too"),
+    (4L, "spam spam spam spam spam spam")
+  ).toDF("doc_id", "text")
+
+  private val bench = Seq(
+    (100L, "a quick brown fox story"),
+    (101L, "unrelated benchmark prompt")
+  ).toDF("doc_id", "text")
+
+  test("contaminationReport finds shared shingles, decontaminate removes them") {
+    val report = Corpus.contaminationReport(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // docs 1 and 3 share the 3-gram "quick brown fox" with bench doc 100
+    assert(report.keySet == Set(1L, 3L))
+    assert(report(1L) >= 1L && report(3L) >= 1L)
+    val clean = Corpus.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+  }
+
+  test("contamination plan broadcasts the benchmark side") {
+    val plan = Corpus.contaminationReport(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side should broadcast:\n$plan")
+  }
+
+  test("prefixSum matches single-partition window cumsum across blocks") {
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "v")
+    val got = Scale.prefixSum(df, "id", "v", "cum", blockSize = 8)
+      .orderBy("id").select("cum").as[Long].collect()
+    val exp = (0L until 100L).map(_ % 7).scanLeft(0L)(_ + _).tail
+    assert(got.toSeq == exp)
+  }
+
+  test("packSequences: bins are contiguous, sizes near budget, all docs kept") {
+    val df = (0L until 50L).map(i => (i, s"doc $i " + ("tok " * (i % 13).toInt)))
+      .toDF("doc_id", "text")
+    val bins = Corpus.packSequences(df, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), budget = 20)
+      .orderBy("bin_id")
+      .select("bin_id", "n_docs", "total_tokens", "first_id", "last_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(bins.map(_._2).sum == 50L) // every doc packed exactly once
+    // contiguity: each bin's id range ends where the next begins
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 + 1 == b._4)
+      case _ => ()
+    }
+    // a doc STARTS in its bin, so a bin holds < budget + its last doc's
+    // tokens; with max doc size 13*2+2 tokens the bound is budget + 28
+    assert(bins.forall(_._3 <= 20 + 28))
+  }
+
+  test("repetitionStats: high repetition scores high, unique text scores 0") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // all-dup tokens, one bigram
+      (2L, "alpha beta gamma delta"),       // no repetition
+      (3L, "x")                             // < 2 tokens → excluded
+    ).toDF("doc_id", "text")
+    val m = Corpus.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m.keySet == Set(1L, 2L))
+    assert(m(1L) == (0.75, 1.0))   // 1 distinct / 4 total; "spam spam" = 3/3
+    assert(m(2L) == (0.0, 0.333333)) // unique toks; bigram 1 of 3, round 6dp
+  }
+
+  test("stratifiedSample: per-group rates honored, nested in larger sample") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val s = Corpus.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.1, "fr" -> 0.6))
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // md5-threshold sampling is uniform: expect ~100 en, ~600 fr (±40%)
+    assert(byLang("en") > 60 && byLang("en") < 140, byLang)
+    assert(byLang("fr") > 450 && byLang("fr") < 750, byLang)
+    // nesting: the 0.1 en-sample is a subset of a 0.5 en-sample
+    val small = Corpus.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.1))
+      .select("doc_id").as[Long].collect().toSet
+    val big = Corpus.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    // unlisted group defaults to rate 0
+    assert(!small.exists(_ % 2 == 1))
+  }
+}
