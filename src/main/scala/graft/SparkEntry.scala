@@ -510,6 +510,68 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // PII scrub: email + digit-run redaction with an audit count —
+    // pure regexp column expressions, engine-portable patterns
+    "q52_pii_redact" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "events").select(
+        col("event_id"),
+        graft.functions.Redact.scrub(col("props")).as("props_clean"),
+        graft.functions.Redact.matchCount(col("props"),
+          graft.functions.Redact.digitsRe(2)).cast(LongType).as("n_redacted"))
+    }),
+
+    // as-of (point-in-time) join: each purchase gets the most recent
+    // prior view of the same user — tagged union + one shuffle + an
+    // ordered window, never a ts-inequality theta join (which plans as
+    // a nested loop and dies at scale)
+    "q54_asof_join" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts2"), col("value"))
+      val views = Joins.latestPerKeyTs(
+        ev.filter(col("event_type") === "view")
+          .withColumnRenamed("value", "view_value"),
+        "user_id", "ts2", "event_id", Seq("view_value"))
+      Joins.asofJoin(purchases, views, "user_id", "ts2", Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          Normalize.tsFormat(col("ts2")).as("purchase_ts"), col("value"),
+          Normalize.tsFormat(col("asof_ts")).as("view_ts"), col("view_value"))
+    }),
+
+    // strict ordered funnel: view → click → purchase, first-touch
+    // semantics; one conditional min-agg pass per stage, no self-joins
+    "q56_funnel" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      Sessions.funnel(ev, "user_id", "ts2", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // interval/range join by binning: value bands replicate to the
+    // fixed-width bins they overlap, the join runs as an EQUI-join on
+    // the bin + residual range predicate — no nested loop
+    "q57_range_join" -> ((s, dir) => {
+      Graft.tune(s)
+      val bands = s.range(0, 7).select(col("id").as("band_id"),
+        (col("id") * 75).cast(DoubleType).as("lo"),
+        ((col("id") + 1) * 75).cast(DoubleType).as("hi"))
+      Joins.rangeJoinBinned(t(s, dir, "events"), "value", bands,
+          "lo", "hi", binWidth = 50.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+    }),
+
+    // exact per-language length percentiles — relational histogram +
+    // cumulative ranges, NOT the value-buffering percentile aggregate
+    "q58_percentiles" -> ((s, dir) => {
+      Graft.tune(s)
+      Stats.percentiles(t(s, dir, "documents"), "lang", "n_chars",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1121,6 +1183,66 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                % 1000000
                < CASE lang WHEN 'en' THEN 50000 ELSE 500000 END""",
+
+    "q52_pii_redact" ->
+      """SELECT event_id,
+              regexp_replace(
+                regexp_replace(props,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                '[0-9]{2,}', '<NUM>', 'g') AS props_clean,
+              CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT)
+                AS n_redacted
+       FROM events""",
+
+    "q54_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+                      date_trunc('microseconds', ts) AS ts, event_type, value
+                    FROM events),
+         v AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+               FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, ts, value
+               FROM e WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, p.value,
+              strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, v.view_value
+       FROM p ASOF LEFT JOIN v
+         ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q56_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                      date_trunc('microseconds', ts) AS ts FROM events),
+         s1 AS (SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM e GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(t1) AS t1,
+                  min(CASE WHEN event_type = 'click' AND e.ts > t1
+                           THEN e.ts END) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(t1) AS t1, min(t2) AS t2,
+                  min(CASE WHEN event_type = 'purchase' AND e.ts > t2
+                           THEN e.ts END) AS t3
+                FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1)
+       SELECT COUNT(t1) AS n_stage_1, COUNT(t2) AS n_stage_2,
+              COUNT(t3) AS n_stage_3
+       FROM s3""",
+
+    "q57_range_join" ->
+      """WITH bands AS (SELECT i AS band_id, i * 75.0 AS lo,
+                               (i + 1) * 75.0 AS hi
+                        FROM range(0, 7) t(i))
+       SELECT band_id, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events JOIN bands ON value >= lo AND value < hi
+       GROUP BY 1""",
+
+    "q58_percentiles" ->
+      """SELECT lang,
+              ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+              ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+              ROUND(quantile_cont(n_chars, 0.90), 4) AS p90,
+              ROUND(quantile_cont(n_chars, 0.99), 4) AS p99
+       FROM documents GROUP BY 1""",
 
     "q47_sessionize" ->
       """WITH flags AS (

@@ -47,4 +47,43 @@ object Sessions {
         tsFormat(max(col(tsCol))).as("session_end"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("duration_sec"))
+
+  /** Strict ordered funnel over an event stream: how many entities
+    * reached each stage, where stage k requires an event of type
+    * `stages(k)` STRICTLY AFTER the timestamp that completed stage
+    * k−1 (first-touch semantics: the earliest qualifying event is the
+    * one that counts).
+    *
+    * One conditional min-aggregation per stage, each a single shuffle
+    * on the entity key with map-side combine — no self-joins of the
+    * event table against itself, so the cost is stages × one pass,
+    * independent of per-user event counts. Returns one row:
+    * (n_stage_1, ..., n_stage_k).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // first-stage time per user
+    var reached = events
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("_t1"))
+    var i = 1
+    while (i < stages.length) {
+      val prev = s"_t$i"
+      // stage-k time: earliest event of type k strictly after the
+      // stage-(k−1) time; null prev propagates to null (user never
+      // advanced). Earlier stage times ride along as min-of-constant.
+      val carries = (1 to i).map(k => min(col(s"_t$k")).as(s"_t$k"))
+      val nextT = min(when(col(typeCol) === stages(i) &&
+        col(tsCol) > col(prev), col(tsCol))).as(s"_t${i + 1}")
+      reached = events.join(reached, Seq(userCol))
+        .groupBy(col(userCol))
+        .agg(carries.head, (carries.tail :+ nextT): _*)
+      i += 1
+    }
+    reached.agg(
+      count(col("_t1")).as("n_stage_1"),
+      (2 to stages.length).map(k =>
+        count(col(s"_t$k")).as(s"n_stage_$k")): _*)
+  }
 }

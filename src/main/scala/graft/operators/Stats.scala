@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distribution statistics over corpus columns.
+  *
+  * Exact interpolated percentiles WITHOUT the built-in `percentile`
+  * aggregate: that aggregate buffers every value of a group in one
+  * task's memory, which at 100 TB (billions of rows per language
+  * group) is an OOM, not a plan. This form is relational:
+  *   1. count per (group, value) — one map-side-combined shuffle,
+  *      collapsing the data to its VALUE HISTOGRAM (distinct values
+  *      per group, e.g. document lengths → at most ~10^5 rows);
+  *   2. cumulative position range [_lo, _hi] per value — a window over
+  *      the histogram only, partitioned by group;
+  *   3. the percentile index h = (n−1)·p falls in exactly one value's
+  *      range; linear interpolation between the floor(h) and ceil(h)
+  *      values — conditional aggregates over the histogram.
+  * Identical semantics to Spark's `percentile` / DuckDB's
+  * `quantile_cont` (0-based (n−1)·p rank, linear interpolation).
+  */
+object Stats {
+
+  /** Exact per-group percentiles of `valueCol`. `ps` maps output
+    * column name → fraction in [0, 1]. Nulls are excluded (matching
+    * the built-in aggregates). Results rounded to `scale` decimals.
+    */
+  def percentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)], scale: Int = 4): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast(DoubleType).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val ord = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val all = Window.partitionBy(col(groupCol))
+    val hist = counts
+      .withColumn("_hi",
+        sum(col("_c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .withColumn("_lo", col("_hi") - col("_c") + 1)
+      .withColumn("_n", sum(col("_c")).over(all))
+    val aggs = ps.flatMap { case (nm, p) =>
+      val h = (col("_n") - 1).cast(DoubleType) * lit(p)
+      Seq(
+        max(when(col("_lo") <= floor(h) && floor(h) <= col("_hi"), col("_v")))
+          .as(s"_l_$nm"),
+        max(when(col("_lo") <= ceil(h) && ceil(h) <= col("_hi"), col("_v")))
+          .as(s"_u_$nm"),
+        max(h).as(s"_h_$nm"))
+    }
+    val outs = ps.map { case (nm, _) =>
+      round(col(s"_l_$nm") +
+        (col(s"_h_$nm") - floor(col(s"_h_$nm"))) *
+          (col(s"_u_$nm") - col(s"_l_$nm")), scale).as(nm)
+    }
+    hist.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: outs: _*)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.Redact
+import graft.operators.{Joins, Sessions, Stats}
+import org.apache.spark.sql.functions._
+
+/** As-of join, binned range join, funnel, exact percentiles, PII
+  * redaction.
+  */
+class JoinsStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsv(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the most recent right row at or before each left ts") {
+    val trades = Seq(
+      (1L, 10L, "2024-01-01 10:00:05", 100.0),
+      (2L, 10L, "2024-01-01 10:00:30", 101.0),
+      (3L, 20L, "2024-01-01 09:00:00", 50.0) // key with no quotes → nulls
+    ).map { case (id, k, t, v) => (id, k, tsv(t), v) }
+      .toDF("event_id", "user_id", "ts2", "value")
+    val quotes = Seq(
+      (10L, "2024-01-01 10:00:00", 1.0),
+      (10L, "2024-01-01 10:00:05", 2.0), // exact tie with trade 1 → matches
+      (10L, "2024-01-01 10:00:10", 3.0)
+    ).map { case (k, t, v) => (k, tsv(t), v) }
+      .toDF("user_id", "ts2", "quote")
+    val got = Joins.asofJoin(trades, quotes, "user_id", "ts2", Seq("quote"))
+      .select("event_id", "quote").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(2.0), 2L -> Some(3.0), 3L -> None))
+  }
+
+  test("asofJoin plan has no nested-loop join") {
+    val l = Seq((1L, 1L, tsv("2024-01-01 00:00:01"), 1.0))
+      .toDF("event_id", "user_id", "ts2", "value")
+    val r = Seq((1L, tsv("2024-01-01 00:00:00"), 2.0))
+      .toDF("user_id", "ts2", "v")
+    val plan = Joins.asofJoin(l, r, "user_id", "ts2", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rangeJoinBinned equals the naive theta join, without a nested loop") {
+    val points = (0 until 200).map(i => (i.toLong, i * 2.5)).toDF("id", "value")
+    val intervals = Seq((0L, 10.0, 80.0), (1L, 75.0, 90.0), (2L, 400.0, 500.0))
+      .toDF("band_id", "lo", "hi")
+    val binned = Joins.rangeJoinBinned(points, "value", intervals, "lo", "hi", 30.0)
+    val naive = points.join(intervals,
+      col("value") >= col("lo") && col("value") < col("hi"))
+    assert(binned.select("id", "band_id").as[(Long, Long)].collect().sorted.toSeq ==
+      naive.select("id", "band_id").as[(Long, Long)].collect().sorted.toSeq)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("funnel counts strictly-ordered first-touch stage completion") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "a", "2024-01-01 00:00:01"), (1L, "b", "2024-01-01 00:00:02"),
+      (1L, "c", "2024-01-01 00:00:03"),
+      // user 2: b before a — b must NOT count (strictly after first a)
+      (2L, "b", "2024-01-01 00:00:01"), (2L, "a", "2024-01-01 00:00:02"),
+      // user 3: a only
+      (3L, "a", "2024-01-01 00:00:01"),
+      // user 4: no a at all → no stages
+      (4L, "b", "2024-01-01 00:00:01"), (4L, "c", "2024-01-01 00:00:02")
+    ).map { case (u, t, s) => (u, t, tsv(s)) }.toDF("user_id", "typ", "ts2")
+    val row = Sessions.funnel(ev, "user_id", "ts2", "typ", Seq("a", "b", "c"))
+      .as[(Long, Long, Long)].head()
+    assert(row == ((3L, 1L, 1L)))
+  }
+
+  test("Stats.percentiles matches the built-in percentile aggregate") {
+    val df = (1 to 101).map(i => (if (i % 2 == 0) "a" else "b", i * 3 % 97))
+      .toDF("g", "v")
+    val got = Stats.percentiles(df, "g", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)))
+    val exp = df.groupBy("g").agg(
+        round(expr("percentile(v, 0.25)"), 4).as("p25"),
+        round(expr("percentile(v, 0.5)"), 4).as("p50"),
+        round(expr("percentile(v, 0.99)"), 4).as("p99"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("Redact.scrub replaces emails before digit runs, counts audit") {
+    val df = Seq(
+      ("contact bob99@example.com or 555-123-4567", 1),
+      ("no pii here", 2),
+      ("ids 12 and 3456", 3)
+    ).toDF("text", "id")
+    val out = df.select(col("id"), Redact.scrub(col("text")).as("clean"),
+        Redact.matchCount(col("text"), Redact.EmailRe).as("n_email"))
+      .as[(Int, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1)._1 == "contact <EMAIL> or <NUM>-<NUM>-<NUM>")
+    assert(out(1)._2 == 1)
+    assert(out(2) == (("no pii here", 0)))
+    assert(out(3)._1 == "ids <NUM> and <NUM>")
+  }
+}
