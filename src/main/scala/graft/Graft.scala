@@ -34,6 +34,7 @@ object Graft {
     graft.expr.MinHashSignature.register(spark)
     graft.expr.WordShingles.register(spark)
     graft.expr.SimHash60.register(spark)
+    graft.expr.WinnowFingerprints.register(spark)
     spark
   }
 

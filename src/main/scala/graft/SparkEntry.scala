@@ -572,6 +572,29 @@ object SparkEntry {
         Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
     }),
 
+    // BPE-ish tokenization: GPT-2-flavored pre-tokenizer regex count
+    // next to the chars/4 estimate — both pure codegen'd expressions
+    "q59_bpe_tokens" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.bpeTokenCount(col("text")).cast(LongType)
+            .as("n_bpe_tokens"))
+        .withColumn("chars_per_token",
+          when(col("n_bpe_tokens") > 0,
+            round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens"), 4)))
+    }),
+
+    // winnowing fingerprints (MOSS): char-8-gram md5 hashes, window-4
+    // minima, distinct — the position-free plagiarism sketch; one
+    // native linear pass per row, no corpus-chars-sized shuffle
+    "q60_winnow" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(call_function(graft.expr.WinnowFingerprints.FunctionName,
+          col("text"), lit(8), lit(4))).as("fingerprint"))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1235,6 +1258,32 @@ object SparkEntry {
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
        FROM events JOIN bands ON value >= lo AND value < hi
        GROUP BY 1""",
+
+    "q59_bpe_tokens" ->
+      """SELECT doc_id, n_chars,
+              CAST(len(regexp_extract_all(COALESCE(text, ''),
+                '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))
+                AS BIGINT) AS n_bpe_tokens,
+              ROUND(CAST(n_chars AS DOUBLE) /
+                NULLIF(len(regexp_extract_all(COALESCE(text, ''),
+                  '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+')), 0), 4)
+                AS chars_per_token
+       FROM documents""",
+
+    "q60_winnow" ->
+      """WITH n AS (SELECT doc_id,
+                      regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+                    FROM documents),
+         g AS (SELECT doc_id,
+                 [CAST(('0x' || substr(md5(s[i:i+7]), 1, 15)) AS BIGINT)
+                  FOR i IN range(1, len(s) - 6)] AS hs
+               FROM n WHERE len(s) >= 8),
+         wm AS (SELECT doc_id,
+                  unnest([list_min(hs[i:least(i + 3, len(hs))])
+                          FOR i IN range(1, greatest(len(hs) - 2, 2))])
+                    AS fingerprint
+                FROM g)
+       SELECT DISTINCT doc_id, fingerprint FROM wm""",
 
     "q58_percentiles" ->
       """SELECT lang,

@@ -35,6 +35,22 @@ object TextAnalysis {
   def tokenEstimate(text: Column): Column =
     ceil(length(coalesce(text, lit(""))).cast(DoubleType) / 4).cast(LongType)
 
+  /** GPT-2-flavored pre-tokenizer regex: contraction suffixes, then
+    * space-prefixed letter runs / digit runs / punctuation runs, then
+    * whitespace runs. Leftmost-first alternation — identical in Java
+    * regex and RE2-family engines (no lookaround, no backrefs), so the
+    * count is engine-portable.
+    */
+  val BpeTokenRe: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** Segment count under [[BpeTokenRe]] — the real-tokenizer-shaped
+    * token count (vs the chars/4 estimate), still a pure codegen'd
+    * column expression.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit(BpeTokenRe), lit(0)))
+
   /** Word n-gram shingles over `tokens`; one string per shingle,
     * space-joined. Fewer than n tokens → single shingle of the whole
     * text so short docs still participate in dedup.

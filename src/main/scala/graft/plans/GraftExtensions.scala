@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{CosineSimilarity, MinHashSignature, SimHash60, WordShingles}
+import graft.expr.{CosineSimilarity, MinHashSignature, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,11 @@ object GraftExtensions {
           exprs(1).eval().asInstanceOf[Number].intValue())),
       (FunctionIdentifier(SimHash60.FunctionName),
         info(SimHash60.FunctionName, classOf[SimHash60]),
-        exprs => SimHash60(exprs.head))
+        exprs => SimHash60(exprs.head)),
+      (FunctionIdentifier(WinnowFingerprints.FunctionName),
+        info(WinnowFingerprints.FunctionName, classOf[WinnowFingerprints]),
+        exprs => WinnowFingerprints(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()))
     )
 }

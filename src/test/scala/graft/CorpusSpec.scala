@@ -79,6 +79,41 @@ class CorpusSpec extends SparkSpec {
     assert(m(2L) == (0.0, 0.333333)) // unique toks; bigram 1 of 3, round 6dp
   }
 
+  test("winnow: shared substring of length >= k+w-1 shares a fingerprint") {
+    Graft.tune(spark)
+    val k = 8; val w = 4
+    val common = "anuncommonsharedfragmentxyz" // len 27 >= k+w-1 = 11
+    val df = Seq(
+      (1L, s"first document body $common and then some tail"),
+      (2L, s"totally different head $common closing words"),
+      (3L, "nothing in common with the others at all here")
+    ).toDF("doc_id", "text")
+    val fps = df.select($"doc_id",
+        explode(call_function(graft.expr.WinnowFingerprints.FunctionName,
+          $"text", lit(k), lit(w))).as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (d, xs) =>
+        d -> xs.map(_._2).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // density guarantee: selected ≈ 2/(w+1) of grams, never zero for
+    // docs with >= k normalized chars
+    assert(fps(3L).nonEmpty)
+    // short doc (< k chars after normalization) → empty, not error
+    val short = Seq((9L, "tiny!")).toDF("doc_id", "text")
+      .select(call_function(graft.expr.WinnowFingerprints.FunctionName,
+        $"text", lit(k), lit(w)).as("fps"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
+  test("bpeTokenCount segments contractions, words, digits, punct, space runs") {
+    val got = Seq("I'll pay $42.50 now").toDF("t")
+      .select(graft.functions.TextAnalysis.bpeTokenCount($"t")).as[Int].head()
+    // I | 'll | _pay | _$ | 42 | . | 50 | _now
+    assert(got == 8)
+    assert(Seq("").toDF("t")
+      .select(graft.functions.TextAnalysis.bpeTokenCount($"t")).as[Int].head() == 0)
+  }
+
   test("stratifiedSample: per-group rates honored, nested in larger sample") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
