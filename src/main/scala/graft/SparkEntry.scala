@@ -595,6 +595,16 @@ object SparkEntry {
           col("text"), lit(8), lit(4))).as("fingerprint"))
     }),
 
+    // sampled winnow near-dup audit: character-level fingerprint
+    // overlap pairs over a deterministic 20% hash sample — the
+    // compose-operators pattern (hashSample → winnowPairs)
+    "q61_winnow_pairs" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.winnowPairs(
+        t(s, dir, "documents").filter(Filters.hashSample(col("doc_id"), 0.2)),
+        "doc_id", "text", k = 8, w = 4, minShared = 20)
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1284,6 +1294,27 @@ object SparkEntry {
                     AS fingerprint
                 FROM g)
        SELECT DISTINCT doc_id, fingerprint FROM wm""",
+
+    "q61_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                               AS BIGINT) % 1000000 < 200000),
+         n AS (SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s FROM d),
+         g AS (SELECT doc_id,
+                 [CAST(('0x' || substr(md5(s[i:i+7]), 1, 15)) AS BIGINT)
+                  FOR i IN range(1, len(s) - 6)] AS hs
+               FROM n WHERE len(s) >= 8),
+         wm AS (SELECT doc_id,
+                  unnest([list_min(hs[i:least(i + 3, len(hs))])
+                          FOR i IN range(1, greatest(len(hs) - 2, 2))])
+                    AS fingerprint
+                FROM g),
+         dfp AS (SELECT DISTINCT doc_id, fingerprint FROM wm)
+       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+       FROM dfp a JOIN dfp b
+         ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING COUNT(*) >= 20""",
 
     "q58_percentiles" ->
       """SELECT lang,

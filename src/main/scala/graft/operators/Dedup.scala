@@ -221,6 +221,44 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  // ------------------------------------------------------- winnowing
+
+  /** Winnowing near-dup pairs: documents sharing at least `minShared`
+    * winnow fingerprints (char-`k`-gram hashes thinned by window-`w`
+    * minima — graft.expr.WinnowFingerprints). Character-level, so it
+    * catches near-dups that word-shingle Jaccard misses (insertions
+    * inside words, concatenated tokens).
+    *
+    * Same posting-list shape as [[jaccardPairs]]: one shuffle on the
+    * fingerprint, ordered-pair expansion per posting list, one shuffle
+    * on the pair. `maxDocFreq > 0` drops fingerprints present in more
+    * docs than the cap — the standard skew guard at corpus scale; note
+    * it redefines the count to "shared RARE fingerprints", so shared
+    * counts are not comparable across cap settings.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, maxDocFreq: Long = 0L): DataFrame = {
+    val fps = df.select(col(idCol).as("_id"),
+      explode(call_function(graft.expr.WinnowFingerprints.FunctionName,
+        col(textCol), lit(k), lit(w))).as("_fp"))
+    val kept =
+      if (maxDocFreq <= 0) fps
+      else {
+        val hot = fps.groupBy("_fp").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("_fp")
+        fps.join(hot, Seq("_fp"), "left_anti")
+      }
+    kept.groupBy("_fp")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(flatten(transform(col("_ids"), (x, i) =>
+        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------------- near-dup clustering
 
   /** Connected components over an (id1, id2) pair list. Returns

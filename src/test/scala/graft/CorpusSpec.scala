@@ -105,6 +105,26 @@ class CorpusSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("winnowPairs surfaces the near-dup pair; cap only removes hot fps") {
+    Graft.tune(spark)
+    val body = "the training corpus deduplication pipeline runs nightly " +
+      "over every shard and reports fingerprint collisions"
+    val df = Seq(
+      (1L, body),
+      (2L, body + " with one trailing edit"), // near-dup of 1
+      (3L, "entirely unrelated content about cooking pasta al dente")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowPairs(df, "doc_id", "text",
+        k = 8, w = 4, minShared = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // a generous cap keeps the same pairs (no fp is in >2 docs here)
+    val capped = graft.operators.Dedup.winnowPairs(df, "doc_id", "text",
+        k = 8, w = 4, minShared = 5, maxDocFreq = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped == pairs)
+  }
+
   test("bpeTokenCount segments contractions, words, digits, punct, space runs") {
     val got = Seq("I'll pay $42.50 now").toDF("t")
       .select(graft.functions.TextAnalysis.bpeTokenCount($"t")).as[Int].head()
