@@ -91,6 +91,34 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(q24.contains("InMemoryTableScan"))
     assert(!q24.contains("BroadcastNestedLoopJoin"))
+    // q49 decontamination broadcasts the benchmark shingle set — the
+    // corpus side must never shuffle for the join
+    val q49 = SparkEntry.queries("q49_decontaminate")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(q49.contains("BroadcastHashJoin"), q49)
+    // q54/q57: the as-of and range joins stay out of nested-loop land
+    Seq("q54_asof_join", "q57_range_join").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // q50's prefix sum must not sort the corpus in ONE partition: every
+    // global-order window runs over the block table only (bounded), so
+    // each Window node either carries a partition spec or is fed by the
+    // block aggregate (grouping on _blk), never by the raw doc scan
+    val q50 = SparkEntry.queries("q50_pack_sequences")(spark, dir)
+      .queryExecution.optimizedPlan
+    val globalWindows = q50.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    globalWindows.foreach { w =>
+      val aggsBelow = w.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"global-order window not over the block aggregate:\n$w")
+    }
   }
 
   test("filter stage emits per-step observe metrics in one pass") {
