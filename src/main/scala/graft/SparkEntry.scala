@@ -605,6 +605,20 @@ object SparkEntry {
         "doc_id", "text", k = 8, w = 4, minShared = 20)
     }),
 
+    // native session_window sessionization (batch form of the
+    // streaming primitive; merge-on-gap semantics, new session when
+    // the gap is >= 30 min — cross-checked against the relational
+    // sessionizer in StreamingSpec)
+    "q62_session_window" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      graft.streaming.StreamingIngest
+        .sessionWindowStats(ev, "ts2", "user_id", "30 minutes", None)
+        .select(col("user_id"), col("n_events"),
+          Normalize.tsFormat(col("session_start")).as("session_start"),
+          Normalize.tsFormat(col("session_end")).as("session_end"))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1315,6 +1329,24 @@ object SparkEntry {
        FROM dfp a JOIN dfp b
          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
        GROUP BY 1, 2 HAVING COUNT(*) >= 20""",
+
+    "q62_session_window" ->
+      """WITH e AS (SELECT user_id,
+                      date_trunc('microseconds', ts) AS ts FROM events),
+         f AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           >= 1800000000
+                      THEN 1 ELSE 0 END AS nf
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (SELECT user_id, ts,
+                 SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM f)
+       SELECT user_id, COUNT(*) AS n_events,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+       FROM s GROUP BY user_id, sid""",
 
     "q58_percentiles" ->
       """SELECT lang,

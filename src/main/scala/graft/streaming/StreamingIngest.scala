@@ -161,4 +161,24 @@ object StreamingIngest {
       .withWatermark(eventTimeCol, watermark)
       .groupBy(window(col(eventTimeCol), windowLen) +: dims.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Gap-based session aggregation via the engine's native
+    * `session_window` — the streaming sibling of
+    * [[graft.operators.Sessions.sessionize]]: windows merge while
+    * events arrive within `gap` of the session's current end, and the
+    * watermark lets state for closed sessions be evicted. Works
+    * identically over a batch frame (no watermark needed), where its
+    * output is cross-checked against the relational sessionizer.
+    */
+  def sessionWindowStats(stream: DataFrame, eventTimeCol: String,
+      userCol: String, gap: String, watermark: Option[String]): DataFrame = {
+    val src = watermark.fold(stream)(w => stream.withWatermark(eventTimeCol, w))
+    src
+      .groupBy(session_window(col(eventTimeCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(eventTimeCol)).as("session_start"),
+        max(col(eventTimeCol)).as("session_end"))
+      .select(col(userCol), col("n_events"),
+        col("session_start"), col("session_end"))
+  }
 }

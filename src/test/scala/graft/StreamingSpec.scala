@@ -41,25 +41,22 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val mem = MemoryStream[(String, String, String)]
     val stream = mem.toDF.toDF("link", "entry_title", "summary")
+    // AvailableNow snapshots available data at start — add BEFORE start
+    mem.addData(("l1", "T1", "S1"), ("l2", "T2", "S2"))
     val q = StreamingIngest.scd1Sink(stream, s"$tmp/table", s"$tmp/ckpt",
         "link", Seq("entry_title", "summary"),
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try {
-      mem.addData(("l1", "T1", "S1"), ("l2", "T2", "S2"))
-      q.awaitTermination(60000)
-    } finally q.stop()
+    try q.awaitTermination(60000) finally q.stop()
     val after1 = spark.read.parquet(s"$tmp/table")
     assert(after1.count() == 2)
 
+    mem.addData(("l1", "T1-updated", "S1"), ("l3", "T3", "S3"))
     val q2 = StreamingIngest.scd1Sink(stream, s"$tmp/table", s"$tmp/ckpt",
         "link", Seq("entry_title", "summary"),
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try {
-      mem.addData(("l1", "T1-updated", "S1"), ("l3", "T3", "S3"))
-      q2.awaitTermination(60000)
-    } finally q2.stop()
+    try q2.awaitTermination(60000) finally q2.stop()
     val after2 = spark.read.parquet(s"$tmp/table")
     assert(after2.count() == 3)
     assert(after2.filter($"link" === "l1").collect()(0)
@@ -72,11 +69,13 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(String, String, String)]
     val stream = mem.toDF.toDF("link", "entry_title", "summary")
     def run(data: (String, String, String)*): Unit = {
+      // AvailableNow snapshots available data at start — add BEFORE start
+      mem.addData(data: _*)
       val q = StreamingIngest.scd1SinkBucketed(stream, s"$tmp/table",
           s"$tmp/ckpt", "link", Seq("entry_title", "summary"), numBuckets = 8,
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try { mem.addData(data: _*); q.awaitTermination(60000) } finally q.stop()
+      try q.awaitTermination(60000) finally q.stop()
     }
     run(("l1", "T1", "S1"), ("l2", "T2", "S2"), ("l3", "T3", "S3"))
     assert(StreamingIngest.readBucketedTable(spark, s"$tmp/table").count() == 3)
@@ -140,5 +139,44 @@ class StreamingSpec extends SparkSpec {
     val rows = out.select($"event_type", $"n").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("click") == 2 && rows("view") == 1)
+  }
+
+  test("session_window stats agree with the relational sessionizer") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 10:10:00"), // session A
+      (1L, "2024-01-01 11:30:00"),                              // session B
+      (2L, "2024-01-01 09:00:00")
+    ).map { case (u, s) => (u, t(s)) }.toDF("user_id", "ts2")
+    val native = StreamingIngest
+      .sessionWindowStats(ev, "ts2", "user_id", "30 minutes", None)
+      .select($"user_id", $"n_events", $"session_start", $"session_end")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    val relational = graft.operators.Sessions
+      .sessionStats(ev, "user_id", "ts2", "user_id", 1799,
+        c => c) // gap >= 1800 starts a new session ⇔ "diff > 1799"
+      .select($"user_id", $"n_events",
+        $"session_start".cast("timestamp"), $"session_end".cast("timestamp"))
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    assert(native == relational)
+  }
+
+  test("session_window works as a watermarked stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingIngest.sessionWindowStats(
+      mem.toDF.toDF("user_id", "ts2"), "ts2", "user_id",
+      "30 minutes", Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:10:00")),
+        (1L, t("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted
+      assert(rows.toSeq == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
   }
 }
