@@ -619,6 +619,52 @@ object SparkEntry {
           Normalize.tsFormat(col("session_end")).as("session_end"))
     }),
 
+    // semi-structured extraction: JSON props → typed column feeding a
+    // relational aggregate (schema-on-read without a UDF)
+    "q63_json_extract" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          sum(col("k").cast(LongType)).as("sum_k"),
+          round(sum(col("k").cast(dec)).cast(DoubleType) / count(col("k")), 4)
+            .as("avg_k"))
+    }),
+
+    // pivot: per-user event-type counts as columns (the wide-table
+    // reshape; missing combinations coalesced to 0 like the oracle)
+    "q64_pivot" -> ((s, dir) => {
+      Graft.tune(s)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+    }),
+
+    // rollup: per-type revenue plus the grand-total grouping row in
+    // one pass (grouping sets, decimal-exact sums)
+    "q65_rollup" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // unpivot/melt: wide numeric columns → (metric, val) long form
+    "q66_unpivot" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          get_json_object(col("props"), "$.k").cast(DoubleType).as("k"))
+        .unpivot(Array(col("event_id")), Array(col("value"), col("k")),
+          "metric", "val")
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1347,6 +1393,34 @@ object SparkEntry {
               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
        FROM s GROUP BY user_id, sid""",
+
+    "q63_json_extract" ->
+      """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+              ROUND(CAST(SUM(CAST(k AS DECIMAL(18,4))) AS DOUBLE) / COUNT(k), 4)
+                AS avg_k
+       FROM (SELECT event_type,
+               CAST(props->>'$.k' AS INTEGER) AS k FROM events)
+       GROUP BY 1""",
+
+    "q64_pivot" ->
+      """SELECT user_id,
+              COUNT(*) FILTER (event_type = 'click') AS click,
+              COUNT(*) FILTER (event_type = 'error') AS error,
+              COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (event_type = 'signup') AS signup,
+              COUNT(*) FILTER (event_type = 'view') AS view
+       FROM events GROUP BY 1""",
+
+    "q65_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       FROM events GROUP BY ROLLUP(event_type)""",
+
+    "q66_unpivot" ->
+      """SELECT event_id, 'value' AS metric, value AS val FROM events
+       UNION ALL
+       SELECT event_id, 'k' AS metric,
+              CAST(props->>'$.k' AS DOUBLE) AS val FROM events""",
 
     "q58_percentiles" ->
       """SELECT lang,
