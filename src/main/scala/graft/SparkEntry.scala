@@ -665,6 +665,42 @@ object SparkEntry {
           "metric", "val")
     }),
 
+    // ranking window surface: top-3 docs per language by quality with
+    // dense_rank and a total-order tie-break (WindowGroupLimit prunes
+    // per-key rows map-side before the exchange)
+    "q67_ranked_topk" -> ((s, dir) => {
+      Graft.tune(s)
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      scored
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "quality_score")
+    }),
+
+    // retention cohorts: users grouped by first-activity week × weeks
+    // since — two aggregations and an equi-join, the classic product
+    // analytics matrix kept fully relational
+    "q68_retention" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", Graft.eventTs(col("ts"))).as("wk"))
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"),
+          floor(datediff(col("wk"), col("cohort_wk")) / 7).cast(IntegerType)
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(Normalize.tsFormat(col("cohort_wk")).as("cohort_week"),
+          col("week_offset"), col("n_users"))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1421,6 +1457,25 @@ object SparkEntry {
        UNION ALL
        SELECT event_id, 'k' AS metric,
               CAST(props->>'$.k' AS DOUBLE) AS val FROM events""",
+
+    "q67_ranked_topk" -> curationSql(
+      """SELECT lang, rnk, doc_id, quality_score FROM (
+           SELECT d.lang, s.doc_id, s.quality_score,
+                  dense_rank() OVER (PARTITION BY d.lang
+                    ORDER BY s.quality_score DESC, s.doc_id) AS rnk
+           FROM scored s JOIN documents d USING (doc_id))
+         WHERE rnk <= 3"""),
+
+    "q68_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                      date_trunc('week', ts) AS wk FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+       SELECT strftime(cohort_wk, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+              CAST(FLOOR(date_diff('day', cohort_wk, wk) / 7) AS INTEGER)
+                AS week_offset,
+              COUNT(DISTINCT e.user_id) AS n_users
+       FROM e JOIN c USING (user_id)
+       GROUP BY 1, 2""",
 
     "q58_percentiles" ->
       """SELECT lang,

@@ -42,6 +42,34 @@ class JoinsStatsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("asofJoin equals the naive max-right-per-left lookup on random data") {
+    val rnd = new scala.util.Random(42)
+    def randTs() = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        rnd.nextInt(100000) * 1000L)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(15) + 1).toLong, randTs(), rnd.nextDouble()))
+      .toDF("event_id", "user_id", "ts2", "value")
+    val rightRaw = (1 to 400).map(i =>
+      ((rnd.nextInt(15) + 1).toLong, randTs(), i.toLong, rnd.nextDouble()))
+      .toDF("user_id", "ts2", "rid", "v")
+    val right = Joins.latestPerKeyTs(rightRaw, "user_id", "ts2", "rid", Seq("v"))
+    val got = Joins.asofJoin(left, right, "user_id", "ts2", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id").orderBy(col("r_ts").desc_nulls_last)
+    val naive = left.join(
+        right.select(col("user_id").as("r_user"), col("ts2").as("r_ts"),
+          col("v")),
+        col("user_id") === col("r_user") && col("r_ts") <= col("ts2"),
+        "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("v"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == naive)
+  }
+
   test("rangeJoinBinned equals the naive theta join, without a nested loop") {
     val points = (0 until 200).map(i => (i.toLong, i * 2.5)).toDF("id", "value")
     val intervals = Seq((0L, 10.0, 80.0), (1L, 75.0, 90.0), (2L, 400.0, 500.0))
