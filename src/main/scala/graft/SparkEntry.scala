@@ -701,6 +701,24 @@ object SparkEntry {
           col("week_offset"), col("n_users"))
     }),
 
+    // data-quality report: expectations-style violation counts in ONE
+    // scan (conditional sums) — the generalization of the reference's
+    // PK validation (F6) to a whole-table contract
+    "q69_dq_report" -> ((s, dir) => {
+      Graft.tune(s)
+      val knownTypes = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("null_ids"),
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("null_ts"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("negative_values"),
+        sum(when(!col("event_type").isin(knownTypes: _*), 1L).otherwise(0L))
+          .as("unknown_types"),
+        sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
+          .otherwise(0L)).as("bad_props"),
+        countDistinct(col("event_id")).as("distinct_ids"))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1476,6 +1494,22 @@ object SparkEntry {
               COUNT(DISTINCT e.user_id) AS n_users
        FROM e JOIN c USING (user_id)
        GROUP BY 1, 2""",
+
+    "q69_dq_report" ->
+      """SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS null_ids,
+              CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS null_ts,
+              CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS negative_values,
+              CAST(SUM(CASE WHEN event_type NOT IN
+                ('click','error','purchase','signup','view')
+                THEN 1 ELSE 0 END) AS BIGINT) AS unknown_types,
+              CAST(SUM(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_props,
+              COUNT(DISTINCT event_id) AS distinct_ids
+       FROM events""",
 
     "q58_percentiles" ->
       """SELECT lang,
