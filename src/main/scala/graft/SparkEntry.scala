@@ -833,7 +833,9 @@ object SparkEntry {
         .select(col("doc_id"), col("llm_score"))
     }),
 
-    // no SQL oracle (imperative media decode) — driver rows-only check
+    // imperative media decode via the mapPartitions boundary; the stub
+    // decoder's integer-checksum arithmetic is reproduced exactly by
+    // the SQL oracle from hex(bytes)
     "q34_multimodal_features" -> ((s, dir) => {
       Graft.tune(s)
       val media = t(s, dir, "documents").select(
@@ -1510,6 +1512,21 @@ object SparkEntry {
                 AS BIGINT) AS bad_props,
               COUNT(DISTINCT event_id) AS distinct_ids
        FROM events""",
+
+    "q34_multimodal_features" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               hex(encode(text)) AS h,
+               octet_length(encode(text)) AS n
+             FROM documents)
+       SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+              CASE WHEN n = 0 THEN 0.0
+                   ELSE ROUND(CAST(CAST(
+                     list_sum([CAST(('0x' || substr(h, 2*i - 1, 2)) AS BIGINT)
+                               FOR i IN range(1, n + 1) IF (i - 1) % 8 = 0])
+                     / 255.0 / greatest(n // 8, 1) AS FLOAT) AS DOUBLE), 4)
+              END AS f0
+       FROM b""",
 
     "q58_percentiles" ->
       """SELECT lang,

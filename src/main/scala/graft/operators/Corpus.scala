@@ -82,7 +82,11 @@ object Corpus {
     */
   def packSequences(df: DataFrame, orderCol: String, tokenCol: Column,
       budget: Long, blockSize: Long = 1L << 12): DataFrame = {
+    // prefixSum scans its input twice (block partials + the join);
+    // persist the projected (id, tokens) pair — two longs per doc — so
+    // the tokenizer runs ONCE over the corpus, not once per consumer.
     val withTok = df.select(col(orderCol), tokenCol.cast(LongType).as("_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cum = Scale.prefixSum(withTok, orderCol, "_tok", "_cum", blockSize)
     cum
       .withColumn("bin_id", floor((col("_cum") - col("_tok")) / budget))
@@ -106,9 +110,12 @@ object Corpus {
     * defined, and a 1-token doc has trivially 0 repetition).
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Two consumers (scalar stats + the bigram branch) would each
+    // re-run the scan + tokenizer; persist the token arrays once.
     val toks = df.select(col(idCol).as("_id"),
       graft.functions.TextAnalysis.tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // total/distinct need no explode: size + array_distinct are native
     // single-pass array functions (codegen'd, no HOF lambda capture).
     // total − 1 is also the bigram count, so only the MAX bigram

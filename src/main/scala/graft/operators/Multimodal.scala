@@ -51,17 +51,25 @@ object Multimodal {
 
   final class StubDecoder extends MediaDecoder {
     def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
-      // Deterministic pseudo-features: rolling checksum per stripe.
+      // Deterministic pseudo-features: per-stripe byte checksums.
+      // Accumulation is INTEGER (exact, order-independent); floating
+      // point enters only in the final two divisions — so the value is
+      // reproducible bit-for-bit by any engine (the q34 oracle redoes
+      // this arithmetic in SQL from hex(bytes)).
       val out = new Array[Float](dim)
       if (bytes != null && bytes.nonEmpty) {
+        val acc = new Array[Long](dim)
         var i = 0
         while (i < bytes.length) {
-          out(i % dim) += (bytes(i) & 0xff) / 255.0f
+          acc(i % dim) += (bytes(i) & 0xffL)
           i += 1
         }
-        var d = 0
         val stripe = math.max(bytes.length / dim, 1)
-        while (d < dim) { out(d) = out(d) / stripe; d += 1 }
+        var d = 0
+        while (d < dim) {
+          out(d) = (acc(d) / 255.0 / stripe).toFloat
+          d += 1
+        }
       }
       out
     }

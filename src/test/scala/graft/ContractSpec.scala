@@ -10,10 +10,9 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
-  test("queries without oracle SQL are the known imperative ones") {
+  test("every query has oracle SQL (q34's stub decode is SQL-exact too)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q34_multimodal_features"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("query names are stable snake_case identifiers") {
