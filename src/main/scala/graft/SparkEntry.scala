@@ -719,6 +719,13 @@ object SparkEntry {
         countDistinct(col("event_id")).as("distinct_ids"))
     }),
 
+    // KMV distinct-count sketch: deterministic (md5-order) k-minimum-
+    // values estimate, cross-checkable exactly — unlike HLL registers
+    "q70_kmv_distinct" -> ((s, dir) => {
+      Graft.tune(s)
+      Sketches.kmvDistinct(t(s, dir, "events"), "event_type", "user_id", k = 64)
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1527,6 +1534,24 @@ object SparkEntry {
                      / 255.0 / greatest(n // 8, 1) AS FLOAT) AS DOUBLE), 4)
               END AS f0
        FROM b""",
+
+    "q70_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+             FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         s AS (SELECT event_type, COUNT(*) AS nmin, MAX(h) AS kth
+               FROM r WHERE rn <= 64 GROUP BY 1),
+         x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY 1)
+       SELECT s.event_type, n_exact, CAST(nmin AS INTEGER) AS kmv_k,
+              CASE WHEN nmin < 64 THEN CAST(nmin AS DOUBLE)
+                   ELSE ROUND(63.0 * 1152921504606846976.0 / kth, 2)
+              END AS kmv_estimate
+       FROM s JOIN x USING (event_type)""",
 
     "q58_percentiles" ->
       """SELECT lang,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Mergeable cardinality sketches, kept engine-portable.
+  *
+  * KMV (k minimum values): hash every element to a uniform 60-bit
+  * integer (md5-derived — the same portable derivation the dedup
+  * family uses) and keep the k smallest DISTINCT hashes per group. The
+  * k-th smallest hash m estimates the cardinality as
+  * (k−1) · 2^60 / m — if n uniform points fall in [0, 2^60), the k-th
+  * order statistic sits near k/n of the range.
+  *
+  * Why this sketch and not HLL: the estimate is a pure function of
+  * the k smallest hashes, and those are DETERMINISTIC given the hash —
+  * so the sketch is reproducible across engines (the DuckDB oracle
+  * computes the identical estimate), mergeable (union = k smallest of
+  * the combined sets), and still one shuffle. Spark's own
+  * `approx_count_distinct` is HLL++ whose registers are
+  * implementation-internal; its results can't be cross-checked.
+  *
+  * Scale shape: groupBy (group, hash) dedup → per-group window row
+  * number ≤ k — both shuffles key on the group; the window input is
+  * already deduplicated, and k rows per group survive. For very hot
+  * groups, the dedup aggregation does map-side combine, so the
+  * per-group fan-in is distinct-hashes, never raw rows.
+  */
+object Sketches {
+
+  /** Per-group KMV estimate next to the exact distinct count (callers
+    * at 100 TB drop the exact column; it is here so correctness checks
+    * can quantify the sketch error). Output: (groupCol, n_exact,
+    * kmv_k, kmv_estimate).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df.select(col(groupCol),
+      graft.functions.TextAnalysis.md5Long(col(valueCol).cast(StringType))
+        .as("_h"))
+      .groupBy(col(groupCol), col("_h")).agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"))
+    hashed
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_nmin"), max(col("_h")).as("_kth"))
+      .join(df.groupBy(col(groupCol))
+        .agg(countDistinct(col(valueCol)).as("n_exact")), groupCol)
+      .select(col(groupCol), col("n_exact"),
+        col("_nmin").cast(IntegerType).as("kmv_k"),
+        // fewer than k distinct values → the sketch holds them all and
+        // is exact by construction
+        when(col("_nmin") < k, col("_nmin").cast(DoubleType))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("_kth"), 2))
+          .as("kmv_estimate"))
+  }
+}

@@ -117,6 +117,26 @@ class JoinsStatsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("kmvDistinct: exact below k, within tolerance above, deterministic") {
+    import graft.operators.Sketches
+    val small = (1 to 40).map(i => ("g", i)).toDF("grp", "v")
+    val sRow = Sketches.kmvDistinct(small, "grp", "v", k = 64)
+      .select("n_exact", "kmv_k", "kmv_estimate")
+      .as[(Long, Int, Double)].head()
+    assert(sRow == ((40L, 40, 40.0))) // sketch holds everything → exact
+    val big = (1 to 20000).map(i => ("g", i % 5000)).toDF("grp", "v")
+    val (exact, _, est) = Sketches.kmvDistinct(big, "grp", "v", k = 64)
+      .select("n_exact", "kmv_k", "kmv_estimate")
+      .as[(Long, Int, Double)].head()
+    assert(exact == 5000L)
+    // KMV relative error ~ 1/sqrt(k-2) ≈ 12.7%; allow 3 sigma
+    assert(math.abs(est - exact) / exact < 0.4, s"estimate $est vs $exact")
+    // determinism: same input → bit-identical estimate
+    val est2 = Sketches.kmvDistinct(big.repartition(7), "grp", "v", k = 64)
+      .select("kmv_estimate").as[Double].head()
+    assert(est2 == est)
+  }
+
   test("Redact.scrub replaces emails before digit runs, counts audit") {
     val df = Seq(
       ("contact bob99@example.com or 555-123-4567", 1),
