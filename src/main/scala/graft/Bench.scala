@@ -55,11 +55,19 @@ object Bench {
     // re-measuring them only costs wall-clock. The cache is cleared
     // between passes so queries that persist intermediates recompute
     // them honestly.
-    val p1 = onePass("1/2", named)
+    val p1 = onePass("1/3", named)
     spark.sharedState.cacheManager.clearCache()
     val slow = named.filter { case (name, _) => p1.getOrElse(name, 0.0) > 1.0 }
-    val p2 = onePass("2/2", slow)
-    val results = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    val p2 = onePass("2/3", slow)
+    val min2 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+    // Third measurement for queries still slow after two: host-level
+    // contention on this box runs in multi-minute windows that can
+    // cover BOTH earlier passes of one query (observed: 8× on a
+    // sub-second query); a later third sample escapes the window.
+    spark.sharedState.cacheManager.clearCache()
+    val stillSlow = named.filter { case (name, _) => min2.getOrElse(name, 0.0) > 2.0 }
+    val p3 = onePass("3/3", stillSlow)
+    val results = min2.map { case (k, v) => k -> math.min(v, p3.getOrElse(k, v)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
