@@ -726,6 +726,21 @@ object SparkEntry {
       Sketches.kmvDistinct(t(s, dir, "events"), "event_type", "user_id", k = 64)
     }),
 
+    // the end-to-end curation pipeline: token gate → test-set
+    // decontamination → exact dedup → sequence packing, each stage the
+    // already-verified operator, composed — what a user actually runs
+    "q71_curation_pipeline" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      val gated = docs.filter(col("source") =!= "src0")
+        .filter(TextAnalysis.tokenCount(col("text")).between(5, 10000))
+      val clean = Corpus.decontaminate(gated,
+        docs.filter(col("source") === "src0"), "doc_id", "text", n = 3)
+      val deduped = Dedup.exactDedup(clean, "doc_id", "text")
+      Corpus.packSequences(deduped, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 1024)
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1552,6 +1567,49 @@ object SparkEntry {
                    ELSE ROUND(63.0 * 1152921504606846976.0 / kth, 2)
               END AS kmv_estimate
        FROM s JOIN x USING (event_type)""",
+
+    "q71_curation_pipeline" ->
+      """WITH corpus AS (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                 '[^a-z0-9]+'), x -> x <> '') AS tk
+             FROM documents WHERE source <> 'src0'),
+         gated AS (SELECT * FROM corpus WHERE len(tk) BETWEEN 5 AND 10000),
+         gsets AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                  ELSE [array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, len(tk) - 1)] END) AS sh
+           FROM gated),
+         bsets AS (SELECT list_distinct(
+             CASE WHEN len(tk) <= 3 THEN [array_to_string(tk, ' ')]
+                  ELSE [array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, len(tk) - 1)] END) AS sh
+           FROM (SELECT list_filter(regexp_split_to_array(
+                   lower(COALESCE(text, '')), '[^a-z0-9]+'),
+                   x -> x <> '') AS tk
+                 FROM documents WHERE source = 'src0')),
+         bench_sh AS (SELECT DISTINCT unnest(sh) AS s FROM bsets),
+         contaminated AS (
+           SELECT DISTINCT doc_id
+           FROM (SELECT doc_id, unnest(sh) AS s FROM gsets) p
+           JOIN bench_sh USING (s)),
+         clean AS (SELECT g.* FROM gated g
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         keep AS (SELECT doc_id, tk FROM (
+             SELECT doc_id, tk, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(COALESCE(text, '')),
+                 '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+             FROM clean)
+           WHERE rn = 1),
+         cum AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS tok,
+                   SUM(CAST(len(tk) AS BIGINT)) OVER (
+                     ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+                 FROM keep)
+       SELECT CAST(FLOOR((c - tok) / 1024) AS BIGINT) AS bin_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(tok) AS BIGINT) AS total_tokens,
+              MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       FROM cum GROUP BY 1""",
 
     "q58_percentiles" ->
       """SELECT lang,
