@@ -43,6 +43,11 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    require(!leftCols.contains("asof_ts"),
+      "left side may not already have an 'asof_ts' column")
+    require(rightCols.forall(c => !leftCols.contains(c)),
+      s"right payload ${rightCols.mkString(",")} collides with a left column" +
+        " — rename upstream")
     // kind orders right rows BEFORE a left row at the same (key, ts):
     // the window then includes the tied right row in the lookback.
     val taggedRight = right.select(
@@ -93,11 +98,14 @@ object Joins {
       binWidth: Double): DataFrame = {
     val binnedPoints = points.withColumn("_bin",
       floor(col(valueCol) / binWidth).cast("long"))
-    val binnedIntervals = intervals.withColumn("_bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        // hi is exclusive: a bin starting exactly at hi never matches
-        floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))))
+    // drop empty intervals FIRST: sequence(a, b) with b < a would
+    // generate a DESCENDING range and replicate into wrong bins
+    val binnedIntervals = intervals.filter(col(hiCol) > col(loCol))
+      .withColumn("_bin",
+        explode(sequence(
+          floor(col(loCol) / binWidth).cast("long"),
+          // hi is exclusive: a bin starting exactly at hi never matches
+          floor((col(hiCol) - lit(1e-9)) / binWidth).cast("long"))))
     binnedPoints.join(binnedIntervals, Seq("_bin"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("_bin")

@@ -38,9 +38,13 @@ object Sketches {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val hashed = df.select(col(groupCol),
-      graft.functions.TextAnalysis.md5Long(col(valueCol).cast(StringType))
-        .as("_h"))
+    // null values hash to null, which would sort FIRST and poison the
+    // k-th order statistic — exclude them (countDistinct skips nulls
+    // too, so the exact column stays consistent)
+    val hashed = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        graft.functions.TextAnalysis.md5Long(col(valueCol).cast(StringType))
+          .as("_h"))
       .groupBy(col(groupCol), col("_h")).agg(count(lit(1)).as("_cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"))
     hashed

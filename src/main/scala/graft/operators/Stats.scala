@@ -30,6 +30,9 @@ object Stats {
     */
   def percentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)], scale: Int = 4): DataFrame = {
+    require(ps.nonEmpty, "percentiles needs at least one (name, p)")
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"fractions must be in [0,1]: $ps")
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).cast(DoubleType).as("_v"))
       .agg(count(lit(1)).as("_c"))

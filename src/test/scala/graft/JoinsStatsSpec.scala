@@ -117,6 +117,20 @@ class JoinsStatsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("rangeJoinBinned ignores empty intervals; kmv ignores null values") {
+    val points = Seq((1L, 5.0)).toDF("id", "value")
+    val withEmpty = Seq((0L, 0.0, 10.0), (1L, 20.0, 20.0), (2L, 9.0, 3.0))
+      .toDF("band_id", "lo", "hi")
+    val got = Joins.rangeJoinBinned(points, "value", withEmpty, "lo", "hi", 4.0)
+      .select("band_id").as[Long].collect().toSeq
+    assert(got == Seq(0L)) // empty/inverted intervals match nothing
+    val withNulls = Seq(("g", Some(1)), ("g", None), ("g", Some(2)), ("g", None))
+      .toDF("grp", "v")
+    val r = graft.operators.Sketches.kmvDistinct(withNulls, "grp", "v", k = 8)
+      .select("n_exact", "kmv_estimate").as[(Long, Double)].head()
+    assert(r == ((2L, 2.0))) // nulls excluded on both the exact and sketch side
+  }
+
   test("kmvDistinct: exact below k, within tolerance above, deterministic") {
     import graft.operators.Sketches
     val small = (1 to 40).map(i => ("g", i)).toDF("grp", "v")
