@@ -121,6 +121,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("filters and projections reach the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q02_filter_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the shipdate range predicate must be pushed into the scan (the
+    // PushedFilters list is truncated in toString, so match its head)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    // ...and the scan must read only the 5 referenced columns, never
+    // the full 16-column lineitem schema (FileScan's untruncated
+    // output-attribute list)
+    val scanLine = plan.linesIterator
+      .find(_.contains("FileScan parquet")).getOrElse("")
+    val outList = scanLine.substring(scanLine.indexOf('['),
+      scanLine.indexOf(']') + 1)
+    assert(outList.contains("l_orderkey") && outList.contains("l_shipdate") &&
+      !outList.contains("l_extendedprice"), outList)
+  }
+
   test("filter stage emits per-step observe metrics in one pass") {
     import graft.pipeline.JobPipeline
     val batchTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
