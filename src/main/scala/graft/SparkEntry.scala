@@ -741,6 +741,24 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")), budget = 1024)
     }),
 
+    // vocabulary building: frequency-ranked contiguous term ids (the
+    // string-indexer step of a tokenizer pipeline); total-order ties
+    // by term so ids are engine-reproducible
+    "q72_vocab_build" -> ((s, dir) => {
+      Graft.tune(s)
+      val counts = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("term_freq"))
+        .filter(col("term_freq") >= 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("term_freq").desc, col("term"))
+      // the ranking window is global but runs over the VOCABULARY
+      // (distinct terms surviving the min-count cut), not the corpus —
+      // bounded input by construction, like the prefix-sum block table
+      counts.withColumn("term_id",
+        (row_number().over(w) - 1).cast(LongType))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1610,6 +1628,19 @@ object SparkEntry {
               CAST(SUM(tok) AS BIGINT) AS total_tokens,
               MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
        FROM cum GROUP BY 1""",
+
+    "q72_vocab_build" ->
+      """WITH c AS (
+           SELECT t AS term, COUNT(*) AS term_freq
+           FROM (SELECT unnest(list_filter(regexp_split_to_array(
+                   lower(COALESCE(text, '')), '[^a-z0-9]+'),
+                   x -> x <> '')) AS t
+                 FROM documents)
+           GROUP BY 1 HAVING COUNT(*) >= 5)
+       SELECT term, term_freq,
+              CAST(row_number() OVER (ORDER BY term_freq DESC, term) - 1
+                   AS BIGINT) AS term_id
+       FROM c""",
 
     "q58_percentiles" ->
       """SELECT lang,
