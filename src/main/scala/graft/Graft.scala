@@ -35,6 +35,7 @@ object Graft {
     graft.expr.WordShingles.register(spark)
     graft.expr.SimHash60.register(spark)
     graft.expr.WinnowFingerprints.register(spark)
+    graft.expr.BloomMightContain.register(spark)
     spark
   }
 

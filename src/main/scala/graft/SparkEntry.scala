@@ -759,6 +759,91 @@ object SparkEntry {
         (row_number().over(w) - 1).cast(LongType))
     }),
 
+    // cube grouping sets: all four (returnflag × linestatus) grouping
+    // combinations in one pass — rollup's big sibling, decimal-exact
+    "q73_cube" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // time-series window frames: per-user 4-row moving average (decimal
+    // sum / window count) + lag delta, ordered by (ts, event_id) — one
+    // shuffle on user, both windows share the same sort
+    "q74_moving_avg" -> ((s, dir) => {
+      Graft.tune(s)
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts2"), col("event_id"))
+      val w2 = w1.rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("ts2", Graft.eventTs(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          Normalize.tsFormat(col("ts2")).as("ts_s"),
+          round(sum(col("value").cast(dec)).over(w2).cast(DoubleType) /
+            count(lit(1)).over(w2), 6).as("moving_avg"),
+          round(col("value") - lag(col("value"), 1).over(w1), 6).as("delta"))
+    }),
+
+    // growth accounting: each user's first active day → daily new-user
+    // counts → running cumulative total. The running window is global
+    // but over the DAILY table (rows = distinct days), not the events
+    "q75_cumulative_users" -> ((s, dir) => {
+      Graft.tune(s)
+      val firstDay = t(s, dir, "events")
+        .withColumn("ts2", Graft.eventTs(col("ts")))
+        .groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts2"))).as("_day"))
+      val daily = firstDay.groupBy("_day").agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("_day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.select(Normalize.tsFormat(col("_day")).as("day"), col("n_new"),
+        sum(col("n_new")).over(w).as("cum_users"))
+    }),
+
+    // overlapping token-window chunking (64-token chunks every 48):
+    // the retrieval/embedding context-window splitter, zero-shuffle
+    "q76_chunk_docs" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+    }),
+
+    // ANN quality evaluation: recall@3 of the IVF probe search against
+    // exact brute-force ground truth, per query — the metric that
+    // decides nProbe/centroid count at scale
+    "q77_ivf_recall" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 16)
+      val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      val centroids = e.filter(col("vec_id") < 8)
+      val assigned = Similarity.ivfAssign(e, centroids, "vec_id", "embedding")
+      val approx = Similarity.ivfTopK(q, assigned, centroids,
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      Similarity.recallAtK(truth, approx, k = 3)
+    }),
+
+    // decontamination via Bloom pre-probe: identical output to q49 but
+    // the corpus postings are pruned by a ~10-bits/key filter inside
+    // the scan before the exact verify join (the benchmark-set-too-big-
+    // to-broadcast-a-hash-set scale path)
+    "q78_bloom_decontaminate" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationReportBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+    }),
+
+    // symmetric per-vector int8 quantization codes in long form — every
+    // code an exact integer, scale = max|component|
+    "q79_quantize_int8" -> ((s, dir) => {
+      Graft.tune(s)
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1641,6 +1726,134 @@ object SparkEntry {
               CAST(row_number() OVER (ORDER BY term_freq DESC, term) - 1
                    AS BIGINT) AS term_id
        FROM c""",
+
+    "q73_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q74_moving_avg" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w2 AS DOUBLE)
+                    / COUNT(*) OVER w2, 6) AS moving_avg,
+              ROUND(value - lag(value) OVER w1, 6) AS delta
+       FROM events
+       WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+              w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+
+    "q75_cumulative_users" ->
+      """WITH f AS (SELECT user_id, MIN(date_trunc('day', ts)) AS _day
+                    FROM events GROUP BY 1),
+           d AS (SELECT _day, COUNT(*) AS n_new FROM f GROUP BY 1)
+       SELECT strftime(_day, '%Y-%m-%d %H:%M:%S') AS day, n_new,
+              CAST(SUM(n_new) OVER (ORDER BY _day ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_users
+       FROM d""",
+
+    "q76_chunk_docs" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM documents),
+         starts AS (
+           SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+           FROM toks WHERE len(toks) > 0)
+       SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+              array_to_string(toks[start+1:start+64], ' ') AS chunk_text,
+              CAST(LEAST(len(toks) - start, 64) AS BIGINT) AS chunk_tokens
+       FROM starts""",
+
+    "q77_ivf_recall" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT e.vec_id, centroid_id,
+                          list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings e CROSS JOIN c) e)
+           WHERE rn = 1),
+         probes AS (
+           SELECT query_id, centroid_id FROM (
+             SELECT q.vec_id AS query_id, centroid_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT q.vec_id, centroid_id,
+                          list_sum([cv[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings q CROSS JOIN c WHERE q.vec_id < 16) q)
+           WHERE rn <= 2),
+         iscored AS (
+           SELECT p.query_id, e.vec_id AS neighbor_id,
+                  ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS sim
+           FROM probes p
+           JOIN cells ON cells.centroid_id = p.centroid_id
+           JOIN (SELECT a.vec_id AS qid, e2.vec_id,
+                        list_sum([a.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                        sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                        sqrt(list_sum([e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                 FROM embeddings a CROSS JOIN embeddings e2 WHERE a.vec_id < 16) e
+             ON e.qid = p.query_id AND e.vec_id = cells.vec_id
+           WHERE e.vec_id <> p.query_id),
+         iranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rn FROM iscored),
+         ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE rn <= 3),
+         tq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < 16),
+         tpairs AS (
+           SELECT query_id, e.vec_id AS neighbor_id,
+                  list_sum([qv[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                  sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, 65)])) AS nq,
+                  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS nc
+           FROM tq CROSS JOIN embeddings e WHERE e.vec_id <> query_id),
+         tscored AS (SELECT query_id, neighbor_id,
+                            ROUND(CASE WHEN nq * nc > 0 THEN d / (nq * nc) ELSE 0 END, 6) AS sim
+                     FROM tpairs),
+         tranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn FROM tscored),
+         truth AS (SELECT query_id, neighbor_id FROM tranked WHERE rn <= 3),
+         hits AS (SELECT t.query_id, COUNT(*) AS n_hits
+                  FROM truth t JOIN ivf i
+                    ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+                  GROUP BY 1)
+       SELECT q.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+              ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3, 6) AS recall
+       FROM (SELECT DISTINCT query_id FROM truth) q
+       LEFT JOIN hits h USING (query_id)""",
+
+    "q78_bloom_decontaminate" ->
+      """WITH sets AS (
+           SELECT doc_id, source, list_distinct(
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)] END) AS sh
+           FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                 FROM documents)),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM sets WHERE source = 'src0'),
+         post AS (SELECT doc_id, unnest(sh) AS s FROM sets WHERE source <> 'src0')
+       SELECT post.doc_id, COUNT(*) AS n_shared
+       FROM post JOIN bench ON post.s = bench.s
+       GROUP BY post.doc_id""",
+
+    "q79_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+                  FROM embeddings)
+       SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx,
+              CAST(CASE WHEN scale > 0
+                        THEN round(embedding[i]::DOUBLE / scale * 127, 0)
+                        ELSE 0 END AS BIGINT) AS code
+       FROM s CROSS JOIN range(1, 65) r(i)""",
 
     "q58_percentiles" ->
       """SELECT lang,

@@ -69,6 +69,65 @@ object Corpus {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** [[contaminationReport]] with a Bloom-filter pre-probe on the
+    * corpus postings: the benchmark shingle set is compiled into a
+    * ~10-bits/key Bloom filter (vs ~50+ bytes/key for a broadcast hash
+    * set), each corpus shingle probes the filter inside the scan's
+    * whole-stage-codegen'd filter, and only probable hits reach the
+    * exact string equi-join that removes false positives — so output
+    * is IDENTICAL to the exact report while the per-shingle join input
+    * shrinks to the contaminated fraction. This is the shape that
+    * keeps decontamination one corpus scan when the benchmark set
+    * outgrows a comfortable broadcast hash relation (100 TB story:
+    * 100M benchmark shingles ≈ 120 MB of filter vs multi-GB hash set).
+    */
+  def contaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)
+      .select(explode(col("_sh")).as("_s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Two distributed passes over the (small) benchmark side: one to
+    // size the filter, one to build it. The corpus side stays lazy.
+    val nBench = math.max(benchShingles.count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("_s", nBench, fpp)
+    val bloomLit = lit(graft.expr.BloomMightContain.toBytes(bloom))
+    val corpusPostings = Dedup.shingleSets(corpus, idCol, textCol, n)
+      .select(col("_id"), explode(col("_sh")).as("_s"))
+      .filter(call_function(graft.expr.BloomMightContain.FunctionName,
+        col("_s"), bloomLit))
+    corpusPostings
+      .join(broadcast(benchShingles), Seq("_s"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // --------------------------------------------------------- chunking
+
+  /** Split each document into overlapping token windows of `chunkSize`
+    * tokens every `stride` tokens — the context-window chunking step of
+    * an embedding / retrieval pipeline. Emits (id, chunk_id,
+    * chunk_text, chunk_tokens); the final chunk per document may be
+    * shorter than `chunkSize`. Purely per-row (tokenize → generate
+    * starts → slice): no shuffle at all, chunk ids are deterministic,
+    * and `stride >= 1` bounds output at ceil(n/stride) rows per doc.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    df.select(col(idCol),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0), col("_n") - 1, lit(stride))).as("_start"))
+      .select(col(idCol),
+        (col("_start") / stride).cast(LongType).as("chunk_id"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        least(col("_n") - col("_start"), lit(chunkSize)).cast(LongType)
+          .as("chunk_tokens"))
+  }
+
   // ------------------------------------------- prefix sum + packing
 
   /** Token-budget sequence packing: assign each document (in ascending

@@ -205,6 +205,47 @@ object Similarity {
       .select("id1", "id2", "sim")
   }
 
+  // ------------------------------------------------- recall evaluation
+
+  /** Recall@k of an approximate top-k result against exact ground
+    * truth: per query, |approx ∩ truth| / k. Both inputs are
+    * (query_id, neighbor_id, ...) top-k frames (e.g. [[ivfTopK]] vs
+    * [[bruteForceTopK]] with the same k). The semi-join keys on
+    * (query, neighbor) pairs — truth is k rows per query, so both
+    * sides are tiny relative to the corpus that produced them.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast(DoubleType) / k, 6))
+  }
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Symmetric per-vector int8 quantization: scale = max |component|,
+    * code_i = round(x_i / scale × 127) ∈ [−127, 127] — the 4×-storage
+    * compression step before an ANN index build. Long-form output
+    * (id, idx, code) so every code is an exact integer the oracle can
+    * reproduce; all arithmetic is double with a fixed operand order
+    * (cast → divide → scale → round), so codes are engine-identical.
+    * Per-row only — no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xs = asDouble(col(vecCol))
+    df.select(col(idCol),
+        array_max(transform(xs, x => abs(x))).as("_scale"),
+        posexplode(xs).as(Seq("_pos", "_x")))
+      .select(col(idCol), col("_pos").cast(LongType).as("idx"),
+        when(col("_scale") > 0,
+          round(col("_x") / col("_scale") * 127, 0)).otherwise(lit(0.0))
+          .cast(LongType).as("code"))
+  }
+
   /** Embedding near-duplicate pairs: corpus×corpus cosine ≥ threshold.
     * Bucketed via IVF cells when `centroids` given (pairs only within a
     * cell — the LSH-style scale path); exact all-pairs otherwise (only

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{CosineSimilarity, MinHashSignature, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{BloomMightContain, CosineSimilarity, MinHashSignature, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -47,6 +47,9 @@ object GraftExtensions {
         info(WinnowFingerprints.FunctionName, classOf[WinnowFingerprints]),
         exprs => WinnowFingerprints(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue()))
+          exprs(2).eval().asInstanceOf[Number].intValue())),
+      (FunctionIdentifier(BloomMightContain.FunctionName),
+        info(BloomMightContain.FunctionName, classOf[BloomMightContain]),
+        exprs => BloomMightContain(exprs(0), exprs(1)))
     )
 }

@@ -134,6 +134,38 @@ class CorpusSpec extends SparkSpec {
       .select(graft.functions.TextAnalysis.bpeTokenCount($"t")).as[Int].head() == 0)
   }
 
+  test("bloom decontamination matches the exact report and prunes in-scan") {
+    val exact = Corpus.contaminationReport(corpus, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSet
+    val bloomed = Corpus.contaminationReportBloom(corpus, bench, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSet
+    assert(bloomed == exact, s"bloom path must be exact: $bloomed vs $exact")
+    val plan = Corpus.contaminationReportBloom(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloommightcontain"),
+      s"bloom probe should sit in the corpus scan filter:\n$plan")
+  }
+
+  test("chunkDocuments: stride==size tiles exactly; overlap repeats the tail") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    // non-overlapping tiling reconstructs the token stream
+    val tiles = Corpus.chunkDocuments(df, "doc_id", "text", chunkSize = 4, stride = 4)
+      .orderBy("chunk_id").collect()
+    assert(tiles.map(_.getAs[String]("chunk_text")).mkString(" ") ==
+      (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(tiles.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(4L, 4L, 2L))
+    // empty doc emits no chunks
+    assert(tiles.forall(_.getAs[Long]("doc_id") == 1L))
+    // overlapping windows: chunk k starts at k*stride and repeats
+    // the previous chunk's last (size - stride) tokens
+    val over = Corpus.chunkDocuments(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("chunk_id").collect()
+    assert(over.head.getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(over(1).getAs[String]("chunk_text") == "t3 t4 t5 t6")
+    assert(over.length == 5)
+  }
+
   test("stratifiedSample: per-group rates honored, nested in larger sample") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

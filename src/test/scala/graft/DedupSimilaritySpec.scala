@@ -179,6 +179,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.length == 1 && res(0).getLong(1) == 0L)
   }
 
+  test("recallAtK: perfect match scores 1, disjoint scores 0, coverage for all queries") {
+    val truth = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" < 2), vecs, "vec_id", "embedding", k = 2)
+    // approx == truth → recall 1.0 everywhere
+    val perfect = Similarity.recallAtK(truth, truth, k = 2)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(perfect.values.forall(_ == 1.0), perfect)
+    assert(perfect.keySet == Set(0L, 1L))
+    // empty approx → every query present with recall 0
+    val none = Similarity.recallAtK(truth, truth.limit(0), k = 2)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(none.values.forall(_ == 0.0), none)
+    assert(none.keySet == Set(0L, 1L))
+  }
+
+  test("quantizeInt8: codes bounded, max component hits ±127, dequant error small") {
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect()
+    assert(q.forall { case (_, _, c) => c >= -127 && c <= 127 })
+    // every vector's largest |component| quantizes to exactly ±127
+    val maxPerVec = q.groupBy(_._1).map { case (_, rows) => rows.map(r => math.abs(r._3)).max }
+    assert(maxPerVec.forall(_ == 127L), maxPerVec)
+    // dequantization error ≤ scale/254 per component (half a code step)
+    val orig = vecs.collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+    }.toMap
+    q.foreach { case (id, idx, code) =>
+      val xs = orig(id)
+      val scale = xs.map(math.abs).max
+      val err = math.abs(xs(idx.toInt) - code.toDouble * scale / 127)
+      assert(err <= scale / 254 + 1e-12, s"vec $id idx $idx err $err")
+    }
+  }
+
   test("embedding near-dup pairs via threshold") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
