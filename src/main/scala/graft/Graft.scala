@@ -60,6 +60,22 @@ object Graft {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** [[table]] rebalanced to the session's core count. The harness
+    * testdata is one single-row-group parquet file per table, so a
+    * scan — and everything pipelined onto it up to the first exchange,
+    * including expensive per-row work like shingling — runs as ONE
+    * task no matter the split size. A production deployment reads
+    * thousands of splits and never needs this; here the text-heavy
+    * query declarations opt in so their tokenize/shingle stage uses
+    * all cores at the price of shuffling the (small) raw rows once.
+    * No-op when the scan already has enough parallelism.
+    */
+  def tableParallel(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores / 2) df else df.repartition(cores)
+  }
+
   /** events.ts arrives as nanosecond longs (see tune) — truncate to the
     * microsecond timestamp every other engine sees. Integer DIV, not
     * double division: epoch-ns (~1.7e18) exceeds double's 53-bit

@@ -28,6 +28,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Graft.table(s, dir, n)
 
+  /** Rebalanced read for queries whose FIRST stage does expensive
+    * per-row work (shingling, winnowing, per-term explosion): the
+    * harness tables are single-row-group files, so without this that
+    * stage runs on one core (see Graft.tableParallel).
+    */
+  private def tp(s: SparkSession, dir: String, n: String): DataFrame =
+    Graft.tableParallel(s, dir, n)
+
   private def ts(s: String): java.sql.Timestamp = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     java.sql.Timestamp.valueOf(s)
@@ -100,6 +108,27 @@ object SparkEntry {
     "staff engineer: spark sql pipelines, stream processing, hash join tuning, window queries"
   private def dictValuesSql: String =
     DictQ.map(d => s"('$d')").mkString("VALUES ", ", ", "")
+
+  /** Per-doc language + quality + token count over ONE materialized
+    * token array. The tokens come through `explode(array(tokens))` — a
+    * single-row Generate — deliberately: a plain Project alias gets
+    * re-inlined by predicate pushdown (the consumer's filter is
+    * substituted below the projection, duplicating the tokenizer regex
+    * ~12× per row in the pushed predicate), but predicates referencing
+    * a GENERATOR output cannot push through Generate, so the tokenizer
+    * provably runs once per row regardless of what the caller stacks
+    * on top. Measured 3× on the q42 filter shape at sf0.1.
+    */
+  private def scoredDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(array(TextAnalysis.tokens(coalesce(col("text"), lit("")))))
+          .as("_toks"))
+      .select(col("doc_id"),
+        TextAnalysis.langIdFromTokens(col("_toks")).as("pred_lang"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("_toks"))
+          .as("quality_score"),
+        size(col("_toks")).cast(LongType).as("n_tokens"))
 
   /** Flagship query (driver smoke-checks rows > 0 on sf0.001): the
     * reference's regional pipeline shape — ingest snapshot, SCD1 merge
@@ -348,13 +377,13 @@ object SparkEntry {
     // prunes nothing here and the uncapped oracle still matches.
     "q23_jaccard_pairs" -> ((s, dir) => {
       Graft.tune(s)
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardPairs(tp(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 100L)
     }),
 
     "q24_minhash_pairs" -> ((s, dir) => {
       Graft.tune(s)
-      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashDedupPairs(tp(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.8, numHashes = 128, bands = 32)
     }),
 
@@ -362,7 +391,7 @@ object SparkEntry {
     // doc labeled with its cluster canonical (min doc id)
     "q41_dedup_clusters" -> ((s, dir) => {
       Graft.tune(s)
-      Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.nearDupClusters(tp(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 100L)
     }),
 
@@ -383,10 +412,7 @@ object SparkEntry {
     // scan, the filter shape of a training-data cleaning pass
     "q42_quality_filter" -> ((s, dir) => {
       Graft.tune(s)
-      t(s, dir, "documents")
-        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
-        .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
-        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType))
+      scoredDocs(t(s, dir, "documents"))
         .filter(col("pred_lang") === "en" && col("quality_score") >= 0.3 &&
           col("n_tokens").between(5, 10000))
         .select(col("doc_id"), col("pred_lang"), col("quality_score"),
@@ -397,10 +423,7 @@ object SparkEntry {
     // token mass and mean quality — the dataset card numbers
     "q43_corpus_stats" -> ((s, dir) => {
       Graft.tune(s)
-      t(s, dir, "documents")
-        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
-        .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
-        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType))
+      scoredDocs(t(s, dir, "documents"))
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -478,7 +501,7 @@ object SparkEntry {
     // broadcast, so the corpus never shuffles — only matched pairs do
     "q49_decontaminate" -> ((s, dir) => {
       Graft.tune(s)
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       Corpus.contaminationReport(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
@@ -497,7 +520,7 @@ object SparkEntry {
     // top-bigram mass, computed relationally (no per-row mode lambdas)
     "q51_repetition" -> ((s, dir) => {
       Graft.tune(s)
-      Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+      Corpus.repetitionStats(tp(s, dir, "documents"), "doc_id", "text")
     }),
 
     // stratified sampling: per-language md5-threshold fractions
@@ -590,7 +613,7 @@ object SparkEntry {
     // native linear pass per row, no corpus-chars-sized shuffle
     "q60_winnow" -> ((s, dir) => {
       Graft.tune(s)
-      t(s, dir, "documents").select(col("doc_id"),
+      tp(s, dir, "documents").select(col("doc_id"),
         explode(call_function(graft.expr.WinnowFingerprints.FunctionName,
           col("text"), lit(8), lit(4))).as("fingerprint"))
     }),
@@ -601,7 +624,7 @@ object SparkEntry {
     "q61_winnow_pairs" -> ((s, dir) => {
       Graft.tune(s)
       Dedup.winnowPairs(
-        t(s, dir, "documents").filter(Filters.hashSample(col("doc_id"), 0.2)),
+        tp(s, dir, "documents").filter(Filters.hashSample(col("doc_id"), 0.2)),
         "doc_id", "text", k = 8, w = 4, minShared = 20)
     }),
 
@@ -731,7 +754,7 @@ object SparkEntry {
     // already-verified operator, composed — what a user actually runs
     "q71_curation_pipeline" -> ((s, dir) => {
       Graft.tune(s)
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val gated = docs.filter(col("source") =!= "src0")
         .filter(TextAnalysis.tokenCount(col("text")).between(5, 10000))
       val clean = Corpus.decontaminate(gated,
@@ -830,7 +853,7 @@ object SparkEntry {
     // to-broadcast-a-hash-set scale path)
     "q78_bloom_decontaminate" -> ((s, dir) => {
       Graft.tune(s)
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       Corpus.contaminationReportBloom(
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"),
@@ -842,6 +865,24 @@ object SparkEntry {
     "q79_quantize_int8" -> ((s, dir) => {
       Graft.tune(s)
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
+    // unigram LM quality score: mean token log-prob under the corpus's
+    // own add-one-smoothed unigram model — the cross-entropy proxy for
+    // ranking text quality; vocabulary broadcast, two corpus scans
+    "q80_lm_score" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.unigramLmScore(tp(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // daily resample + forward fill: last observation per (user, day),
+    // densified over each user's active range with gaps carried
+    // forward — grid output bounded by users × days, not event volume
+    "q81_gap_fill" -> ((s, dir) => {
+      Graft.tune(s)
+      operators.Sessions.gapFillDaily(
+        t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts"))),
+        "user_id", "ts2", "event_id", "value", Normalize.tsFormat)
     }),
 
     // deterministic hash sampling: the reproducible train-split /
@@ -877,7 +918,7 @@ object SparkEntry {
     // embeds the identical ±1 constants.
     "q44_srp_neardup" -> ((s, dir) => {
       Graft.tune(s)
-      Similarity.srpNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      Similarity.srpNearDupPairs(tp(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, dim = 64)
     }),
 
@@ -935,7 +976,7 @@ object SparkEntry {
 
     "q36_tfidf_similarity" -> ((s, dir) => {
       Graft.tune(s)
-      TfIdf.similarity(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
+      TfIdf.similarity(tp(s, dir, "documents"), "doc_id", "text", ResumeQ)
     }),
 
     // ------------- streaming-equivalent windowed agg (§2.10) -------------
@@ -1854,6 +1895,42 @@ object SparkEntry {
                         THEN round(embedding[i]::DOUBLE / scale * 127, 0)
                         ELSE 0 END AS BIGINT) AS code
        FROM s CROSS JOIN range(1, 65) r(i)""",
+
+    "q80_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                    lower(COALESCE(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS t
+           FROM documents),
+         counts AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1),
+         totals AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tt,
+                           CAST(COUNT(*) AS DOUBLE) AS vv FROM counts),
+         logp AS (SELECT t, CAST(ROUND(ln((cnt + 1) / (tt + vv)), 6)
+                               AS DECIMAL(18,6)) AS lp
+                  FROM counts CROSS JOIN totals)
+       SELECT doc_id, COUNT(*) AS n_tokens,
+              ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS lm_score
+       FROM toks JOIN logp USING (t) GROUP BY 1""",
+
+    "q81_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, day, value FROM (
+             SELECT user_id, date_trunc('day', ts) AS day, value,
+                    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                      ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+           WHERE rn = 1),
+         bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+                    FROM daily GROUP BY 1),
+         grid AS (SELECT user_id,
+                         unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                  FROM bounds)
+       SELECT g.user_id, strftime(g.day, '%Y-%m-%d %H:%M:%S') AS day,
+              LAST_VALUE(d.value IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+              d.value IS NOT NULL AS observed
+       FROM grid g
+       LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""",
 
     "q58_percentiles" ->
       """SELECT lang,

@@ -94,8 +94,15 @@ object TextAnalysis {
     * whole-stage codegen; this form is pure codegen'd arithmetic with
     * the hit counts shared by subexpression elimination.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over an already-materialized token array — use this
+    * form whenever the caller computes other token-derived features in
+    * the same projection, so the tokenizer (a regex split per call
+    * site after filter-pushdown alias substitution) runs ONCE per row
+    * in a lower projection instead of once per feature.
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val hits = StopwordLists.map { case (lang, words) =>
       lang -> hitCount(toks, words)
     }
@@ -112,9 +119,14 @@ object TextAnalysis {
     * mean word length. Returns a struct; `qualityScore` collapses it to
     * one [0,1] number.
     */
-  def qualityFeatures(text: Column): Column = {
+  def qualityFeatures(text: Column): Column =
+    qualityFeaturesFromTokens(text, tokens(coalesce(text, lit(""))))
+
+  /** [[qualityFeatures]] over a pre-materialized token array (see
+    * [[langIdFromTokens]] for why).
+    */
+  def qualityFeaturesFromTokens(text: Column, toks: Column): Column = {
     val t = coalesce(text, lit(""))
-    val toks = tokens(t)
     val nChars = length(t)
     val nTokens = size(toks)
     val nPunct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
@@ -132,8 +144,12 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: rewards mid-length docs with some
     * stopwords and sane punctuation. Deterministic arithmetic only.
     */
-  def qualityScore(text: Column): Column = {
-    val f = qualityFeatures(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(coalesce(text, lit(""))))
+
+  /** [[qualityScore]] over a pre-materialized token array. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val f = qualityFeaturesFromTokens(text, toks)
     val lenScore = least(f.getField("n_tokens").cast(DoubleType) / 100.0, lit(1.0))
     val stopScore = least(f.getField("stop_ratio") * 5.0, lit(1.0))
     val punctPenalty = least(f.getField("punct_ratio") * 2.0, lit(1.0))

@@ -128,6 +128,53 @@ object Corpus {
           .as("chunk_tokens"))
   }
 
+  // ------------------------------------------------ unigram LM scoring
+
+  /** Unigram language-model quality score: each document's mean token
+    * log-probability under the add-one-smoothed unigram model of the
+    * corpus itself — the cheap cross-entropy proxy used to rank text
+    * quality before training (low score = unusual token distribution).
+    *
+    * logp(t) = ln((count(t) + 1) / (T + V)) with T = total tokens,
+    * V = vocabulary size. Per-term log-probs are rounded to 6dp and
+    * accumulated as DECIMAL(18,6), so document sums are exact and
+    * order-independent (the same cross-engine determinism recipe as
+    * TfIdf weights); the per-doc mean divides once in double.
+    *
+    * Shape at scale: one aggregation collapses the corpus to its
+    * vocabulary histogram, the (small) log-prob table broadcasts back
+    * onto the postings, and one more aggregation scores documents —
+    * two corpus scans, no corpus-sized shuffle. In production the
+    * vocabulary table is the thing to materialize and reuse; caching
+    * the exploded postings would cost more than the second scan.
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    def toks(frame: DataFrame): DataFrame = frame.select(col(idCol).as("_id"),
+      explode(graft.functions.TextAnalysis.tokens(
+        coalesce(col(textCol), lit("")))).as("_t"))
+    val counts = toks(df).groupBy("_t").agg(count(lit(1)).as("_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // T and V are two scalars — one driver action over the (small)
+    // vocabulary histogram, same pattern as TfIdf's corpus count; the
+    // histogram is persisted because the totals action and the
+    // log-prob table both consume it
+    val trow = counts.agg(
+      sum(col("_cnt")).cast(DoubleType).as("_T"),
+      count(lit(1)).cast(DoubleType).as("_V")).head()
+    val denom = lit(trow.getDouble(0) + trow.getDouble(1))
+    // vocabulary key renamed for the join back onto the postings: both
+    // sides descend from the same scan, so a shared `_t` name would be
+    // an ambiguous self-join reference
+    val logp = counts.select(col("_t").as("_vt"),
+      round(log((col("_cnt") + 1) / denom), 6).cast(dec6).as("_lp"))
+    toks(df)
+      .join(broadcast(logp), col("_t") === col("_vt"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("_lp")).cast(DoubleType) / count(lit(1)), 4).as("lm_score"))
+  }
+
   // ------------------------------------------- prefix sum + packing
 
   /** Token-budget sequence packing: assign each document (in ascending

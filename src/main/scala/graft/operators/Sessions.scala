@@ -48,6 +48,45 @@ object Sessions {
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("duration_sec"))
 
+  /** Daily resample + forward fill: collapse events to one value per
+    * (entity, day) — the LAST observation of the day by (ts, tie) —
+    * then expand each entity's [first day, last day] range into a
+    * dense daily grid and carry the last observed value forward across
+    * the gaps. The standard time-series regularization step before
+    * joining event data against daily reference tables.
+    *
+    * Scale shape: one aggregation to the daily granularity (map-side
+    * combined), a per-entity MIN/MAX to size the grid, a generator to
+    * densify (output bounded by entities × days, independent of event
+    * volume), and one per-entity ordered window for the fill — no
+    * self-joins, values pass through untouched (no float arithmetic),
+    * so output is engine-exact.
+    */
+  def gapFillDaily(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, valueCol: String,
+      tsFormat: Column => Column): DataFrame = {
+    val day = date_trunc("day", col(tsCol))
+    val daily = events
+      .withColumn("_day", day)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(userCol), col("_day"))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .filter(col("_rn") === 1)
+      .select(col(userCol), col("_day"), col(valueCol).as("_v"))
+    val grid = daily.groupBy(col(userCol))
+      .agg(min(col("_day")).as("_lo"), max(col("_day")).as("_hi"))
+      .select(col(userCol),
+        explode(sequence(col("_lo"), col("_hi"),
+          expr("INTERVAL 1 DAY"))).as("_day"))
+    val fillW = Window.partitionBy(col(userCol)).orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(userCol, "_day"), "left_outer")
+      .select(col(userCol),
+        tsFormat(col("_day")).as("day"),
+        last(col("_v"), ignoreNulls = true).over(fillW).as("filled_value"),
+        col("_v").isNotNull.as("observed"))
+  }
+
   /** Strict ordered funnel over an event stream: how many entities
     * reached each stage, where stage k requires an event of type
     * `stages(k)` STRICTLY AFTER the timestamp that completed stage

@@ -31,6 +31,19 @@ object StreamingIngest {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicates(key, eventTimeCol)
 
+  /** [[dedupStream]] keyed on the KEY ALONE: a re-polled entry whose
+    * timestamp moved (feeds restate published times) still dedups,
+    * which `dropDuplicates(key, eventTime)` misses. Requires the
+    * watermark-bounded state variant — plain `dropDuplicates(key)`
+    * on a stream would grow key state forever; this form evicts keys
+    * once they age past the watermark horizon.
+    */
+  def dedupStreamByKey(stream: DataFrame, key: String, eventTimeCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Wire a deduped stream into an SCD1-merged parquet table via
     * foreachBatch. Each micro-batch: read current table state, merge,
     * overwrite. (On a real deployment the sink would be a transactional

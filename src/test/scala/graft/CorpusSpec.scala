@@ -166,6 +166,27 @@ class CorpusSpec extends SparkSpec {
     assert(over.length == 5)
   }
 
+  test("unigramLmScore: common-token docs outscore rare-token docs") {
+    val df = Seq(
+      (1L, "alpha alpha alpha alpha"),   // all high-frequency tokens
+      (2L, "alpha alpha zeta"),          // one rare token
+      (3L, "zeta yotta qoph")            // all rare tokens
+    ).toDF("doc_id", "text")
+    val scores = Corpus.unigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(scores(1L)._1 == 4L && scores(2L)._1 == 3L && scores(3L)._1 == 3L)
+    assert(scores(1L)._2 > scores(2L)._2 && scores(2L)._2 > scores(3L)._2, scores)
+    // hand-check doc 3 (zeta yotta qoph): counts alpha=6 zeta=2
+    // yotta=1 qoph=1 → T=10, V=4; logp = round6(ln((cnt+1)/14)),
+    // decimal-summed then round4 of the double mean
+    def lp(cnt: Long) = BigDecimal(math.log((cnt + 1.0) / 14.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp = BigDecimal((lp(2) + lp(1) + lp(1)).toDouble / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(scores(3L)._2 - exp) < 1e-9, s"${scores(3L)._2} vs $exp")
+  }
+
   test("stratifiedSample: per-group rates honored, nested in larger sample") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

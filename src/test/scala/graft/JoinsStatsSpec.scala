@@ -101,6 +101,29 @@ class JoinsStatsSpec extends SparkSpec {
     assert(row == ((3L, 1L, 1L)))
   }
 
+  test("gapFillDaily densifies the range and carries the last value forward") {
+    val ev = Seq(
+      // user 1: days 1 and 4 observed (two events on day 1 — later wins),
+      // days 2-3 are gaps to fill
+      (1L, 1L, 1.0, "2024-01-01 08:00:00"),
+      (2L, 1L, 2.0, "2024-01-01 09:00:00"),
+      (3L, 1L, 9.0, "2024-01-04 12:00:00"),
+      // user 2: single day → single-row grid
+      (4L, 2L, 5.0, "2024-01-02 00:30:00")
+    ).map { case (e, u, v, s) => (e, u, v, tsv(s)) }
+      .toDF("event_id", "user_id", "value", "ts2")
+    val got = Sessions.gapFillDaily(ev, "user_id", "ts2", "event_id", "value",
+        graft.functions.Normalize.tsFormat)
+      .orderBy("user_id", "day")
+      .as[(Long, String, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:00:00", 2.0, true), // event_id 2 is later that day
+      (1L, "2024-01-02 00:00:00", 2.0, false),
+      (1L, "2024-01-03 00:00:00", 2.0, false),
+      (1L, "2024-01-04 00:00:00", 9.0, true),
+      (2L, "2024-01-02 00:00:00", 5.0, true)))
+  }
+
   test("Stats.percentiles matches the built-in percentile aggregate") {
     val df = (1 to 101).map(i => (if (i % 2 == 0) "a" else "b", i * 3 % 97))
       .toDF("g", "v")

@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStreamByKey drops a re-polled key even when its timestamp moved") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val stream = mem.toDF.toDF("link", "published", "summary")
+    val deduped = StreamingIngest.dedupStreamByKey(stream, "link", "published",
+      "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_key_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("l1", t("2024-01-01 10:00:00"), "A"),
+        ("l1", t("2024-01-01 10:02:00"), "A'"), // same key, RESTATED time
+        ("l2", t("2024-01-01 10:05:00"), "B"))
+      q.processAllAvailable()
+      mem.addData(
+        ("l1", t("2024-01-01 10:07:00"), "A''")) // re-polled, still in horizon
+      q.processAllAvailable()
+      val out = spark.table("dedup_key_out").select("link").as[String].collect()
+      assert(out.sorted.toSeq == Seq("l1", "l2"),
+        s"timestamp-moved duplicates must still dedup: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch scd1 sink upserts into the table across batches") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
