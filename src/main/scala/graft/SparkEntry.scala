@@ -885,6 +885,32 @@ object SparkEntry {
         "user_id", "ts2", "event_id", "value", Normalize.tsFormat)
     }),
 
+    // fixed-width histogram: distribution EDA whose output is bounded
+    // by the value range over the bucket width, never the row count
+    "q82_histogram" -> ((s, dir) => {
+      Graft.tune(s)
+      Stats.fixedWidthHistogram(t(s, dir, "documents"), "n_chars", width = 500)
+    }),
+
+    // deterministic weighted sampling without replacement (A-ES top-k
+    // by ln(u)/w): longer docs proportionally likelier, md5-uniform u,
+    // engine-reproducible selection
+    "q83_weighted_sample" -> ((s, dir) => {
+      Graft.tune(s)
+      Filters.weightedSampleTopK(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), k = 20)
+        .select(col("doc_id"), col("n_chars"), col("sample_key"))
+    }),
+
+    // PMI collocations: top adjacent-bigram phrases by pointwise
+    // mutual information — the phrase-mining signal for tokenizer
+    // merges; hapax bigrams cut by min-count before the join
+    "q84_pmi_bigrams" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.pmiBigrams(tp(s, dir, "documents"), "doc_id", "text",
+        minCount = 25, k = 20)
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1931,6 +1957,55 @@ object SparkEntry {
               d.value IS NOT NULL AS observed
        FROM grid g
        LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""",
+
+    "q82_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 500) * 500 AS BIGINT) AS lo,
+              CAST((FLOOR(n_chars / 500) + 1) * 500 AS BIGINT) AS hi,
+              COUNT(*) AS n
+       FROM documents WHERE n_chars IS NOT NULL
+       GROUP BY 1, 2""",
+
+    "q83_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT doc_id, n_chars,
+                  ROUND(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) % 1000000 + 1) / 1000000.0)
+                        / CAST(n_chars AS DOUBLE), 9) AS sample_key
+           FROM documents WHERE n_chars > 0),
+         ranked AS (SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id)
+                      AS rn FROM keyed)
+       SELECT doc_id, n_chars, sample_key FROM ranked WHERE rn <= 20""",
+
+    "q84_pmi_bigrams" ->
+      """WITH t2 AS (
+           SELECT doc_id, tk FROM (
+             SELECT doc_id, list_filter(regexp_split_to_array(
+                      lower(COALESCE(text, '')), '[^a-z0-9]+'), x -> x <> '') AS tk
+             FROM documents)
+           WHERE len(tk) >= 2),
+         uni AS (SELECT t, COUNT(*) AS c
+                 FROM (SELECT unnest(tk) AS t FROM t2) GROUP BY 1),
+         totals AS (SELECT CAST(SUM(c) AS DOUBLE) AS ttok,
+                           CAST(SUM(c) AS DOUBLE) - (SELECT COUNT(*) FROM t2) AS tbg
+                    FROM uni),
+         bg AS (SELECT u.a AS a, u.b AS b FROM (
+                  SELECT unnest([{'a': tk[i], 'b': tk[i + 1]}
+                                 FOR i IN range(1, len(tk))]) AS u
+                  FROM t2)),
+         bgc AS (SELECT a, b, COUNT(*) AS cab FROM bg
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+         scored AS (
+           SELECT a || ' ' || b AS bigram, cab AS n_pairs,
+                  ROUND(ln((CAST(cab AS DOUBLE) / tbg) /
+                           ((CAST(ua.c AS DOUBLE) / ttok) *
+                            (CAST(ub.c AS DOUBLE) / ttok))), 6) AS pmi
+           FROM bgc
+           JOIN uni ua ON ua.t = bgc.a
+           JOIN uni ub ON ub.t = bgc.b
+           CROSS JOIN totals),
+         ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram)
+                      AS rn FROM scored)
+       SELECT bigram, n_pairs, pmi FROM ranked WHERE rn <= 20""",
 
     "q58_percentiles" ->
       """SELECT lang,

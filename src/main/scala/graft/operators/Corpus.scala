@@ -175,6 +175,59 @@ object Corpus {
         round(sum(col("_lp")).cast(DoubleType) / count(lit(1)), 4).as("lm_score"))
   }
 
+  // ------------------------------------------------ PMI collocations
+
+  /** Top-k adjacent-bigram collocations by pointwise mutual
+    * information: PMI(a,b) = ln(p(ab) / (p(a)·p(b))) with p(ab) over
+    * the bigram total and p(a), p(b) over the token total — the
+    * phrase-mining signal behind tokenizer merges and stopword-phrase
+    * lists. Only docs with ≥ 2 tokens participate (no bigram exists
+    * otherwise); bigrams rarer than `minCount` are cut before the
+    * expensive part, killing the hapax tail.
+    *
+    * Shape: the corpus collapses to unigram + bigram histograms (two
+    * map-side-combined aggregations; bigrams come from posexplode +
+    * lead — one shuffle on the doc key), the unigram table broadcasts
+    * onto the surviving bigrams, totals are two scalars. PMI rounds to
+    * 6dp with a total-order tie-break, so top-k is engine-exact.
+    */
+  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+        graft.functions.TextAnalysis.tokens(
+          coalesce(col(textCol), lit(""))).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("_tk")).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val bgc = toks
+      .select(col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
+      .withColumn("_next", lead(col("_t"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("_t").as("_a"), col("_next").as("_b"))
+      .agg(count(lit(1)).as("_cab"))
+      .filter(col("_cab") >= minCount)
+    // totals: token mass and bigram mass (= tokens − docs) — two
+    // scalars off the persisted histograms, TfIdf-style
+    val tTok = uni.agg(sum(col("_c"))).head().getLong(0).toDouble
+    val tBg = tTok - toks.count().toDouble
+    val pmi = round(log(
+      (col("_cab").cast(DoubleType) / tBg) /
+        ((col("_ca").cast(DoubleType) / tTok) *
+          (col("_cb").cast(DoubleType) / tTok))), 6)
+    val topW = Window.orderBy(col("pmi").desc, col("bigram"))
+    bgc
+      .join(broadcast(uni.select(col("_t").as("_a"), col("_c").as("_ca"))), "_a")
+      .join(broadcast(uni.select(col("_t").as("_b"), col("_c").as("_cb"))), "_b")
+      .select(concat(col("_a"), lit(" "), col("_b")).as("bigram"),
+        col("_cab").as("n_pairs"), pmi.as("pmi"))
+      .withColumn("_rn", row_number().over(topW))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   // ------------------------------------------- prefix sum + packing
 
   /** Token-budget sequence packing: assign each document (in ascending

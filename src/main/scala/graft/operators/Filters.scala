@@ -73,6 +73,34 @@ object Filters {
       lit(1000000L)) <
       math.round(fraction * 1000000).toLong
 
+  /** Deterministic weighted sampling without replacement (the A-ES /
+    * exponential-jumps scheme): each row ranks by ln(u)/w where u is
+    * its md5-uniform in (0,1] and w its weight — a monotone transform
+    * of the classic u^(1/w) key, so the top-k by this key IS a weighted
+    * sample without replacement, reproducible in any engine with md5
+    * and ln. Keys are rounded to 9dp with a total-order tie-break so
+    * the selected set is engine-identical. Rows with non-positive
+    * weight are excluded (their key degenerates to −∞).
+    *
+    * The global top-k window is map-side pruned (WindowGroupLimit), so
+    * the full sort never materializes — same shape as any ranked
+    * top-k. Returns the sampled rows + their `sample_key`.
+    */
+  def weightedSampleTopK(df: DataFrame, keyCol: String, weight: Column,
+      k: Int, salt: String = ""): DataFrame = {
+    val u = (pmod(graft.functions.TextAnalysis.md5Long(
+      concat(col(keyCol).cast(org.apache.spark.sql.types.StringType), lit(salt))),
+      lit(1000000L)) + 1) / lit(1000000.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sample_key").desc, col(keyCol))
+    df.filter(weight > 0)
+      .withColumn("sample_key",
+        round(log(u) / weight.cast(org.apache.spark.sql.types.DoubleType), 9))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** O3: publish-date ordering with the reference's raw-string
     * fallback (src/etl/rss_feed_etl.py:128-132, 300-303): sort by the
     * parsed date desc + link asc; when NO date in the whole frame

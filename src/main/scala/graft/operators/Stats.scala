@@ -61,4 +61,20 @@ object Stats {
       .agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol) +: outs: _*)
   }
+
+  /** Fixed-width histogram of a numeric column: bucket k covers
+    * [k·width, (k+1)·width). One map-side-combined aggregation whose
+    * output is bounded by the value RANGE over width, not the row
+    * count — the EDA primitive for distribution eyeballing at any
+    * scale. Nulls are excluded; empty buckets are absent (sparse).
+    */
+  def fixedWidthHistogram(df: DataFrame, valueCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / width).cast(LongType).as("_b"))
+      .agg(count(lit(1)).as("n"))
+      .select((col("_b") * width).as("lo"),
+        ((col("_b") + 1) * width).as("hi"), col("n"))
+  }
 }

@@ -187,6 +187,23 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(scores(3L)._2 - exp) < 1e-9, s"${scores(3L)._2} vs $exp")
   }
 
+  test("pmiBigrams: repeated collocation wins, hand-checked PMI") {
+    val df = Seq(
+      (1L, "alpha beta new york"),
+      (2L, "new york gamma delta"),
+      (3L, "alpha gamma beta delta")
+    ).toDF("doc_id", "text")
+    val got = Corpus.pmiBigrams(df, "doc_id", "text", minCount = 2, k = 5)
+      .as[(String, Long, Double)].collect().toSeq
+    // only "new york" appears twice; T=12 tokens, 9 bigrams →
+    // PMI = ln((2/9) / ((2/12)·(2/12))) = ln(8)
+    assert(got.map(_._1) == Seq("new york"), got)
+    assert(got.head._2 == 2L)
+    val exp = BigDecimal(math.log((2.0 / 9) / ((2.0 / 12) * (2.0 / 12))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.head._3 - exp) < 1e-9, s"${got.head._3} vs $exp")
+  }
+
   test("stratifiedSample: per-group rates honored, nested in larger sample") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

@@ -124,6 +124,40 @@ class JoinsStatsSpec extends SparkSpec {
       (2L, "2024-01-02 00:00:00", 5.0, true)))
   }
 
+  test("fixedWidthHistogram: edges, counts, nulls excluded, sparse buckets") {
+    val df = Seq[java.lang.Long](0L, 1L, 499L, 500L, 999L, 2500L, null)
+      .toDF("v")
+    val got = Stats.fixedWidthHistogram(df, "v", width = 500)
+      .orderBy("lo").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 500L, 3L), (500L, 1000L, 2L), (2500L, 3000L, 1L)))
+  }
+
+  test("weightedSampleTopK: brute-force agreement, weight monotonicity") {
+    import graft.operators.Filters
+    val df = (1L to 200L).map(i => (i, i % 7 + 1L)).toDF("doc_id", "w")
+    val got = Filters.weightedSampleTopK(df, "doc_id", $"w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // brute-force the same A-ES keys in Scala
+    def md5mod(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString
+        .take(15), 16) % 1000000L
+    }
+    val exp = (1L to 200L).map { i =>
+      val u = (md5mod(i.toString) + 1) / 1000000.0
+      val key = BigDecimal(math.log(u) / (i % 7 + 1).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, key)
+    }.sortBy { case (id, k) => (-k, id) }.take(10).map(_._1).toSet
+    assert(got == exp, s"got $got exp $exp")
+    // zero/negative weights are excluded outright
+    val withZero = Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "w")
+    val kept = Filters.weightedSampleTopK(withZero, "doc_id", $"w", k = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
   test("Stats.percentiles matches the built-in percentile aggregate") {
     val df = (1 to 101).map(i => (if (i % 2 == 0) "a" else "b", i * 3 % 97))
       .toDF("g", "v")
