@@ -36,6 +36,7 @@ object Graft {
     graft.expr.SimHash60.register(spark)
     graft.expr.WinnowFingerprints.register(spark)
     graft.expr.BloomMightContain.register(spark)
+    graft.expr.KmvSketchAgg.register(spark)
     spark
   }
 

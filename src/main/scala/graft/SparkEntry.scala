@@ -911,6 +911,15 @@ object SparkEntry {
         minCount = 25, k = 20)
     }),
 
+    // the KMV sketch as a NATIVE mergeable aggregate: bounded k-minima
+    // buffer per group per partition (≤ k longs cross the exchange),
+    // bit-identical estimates to the relational q70 form
+    "q85_kmv_agg" -> ((s, dir) => {
+      Graft.tune(s)
+      Sketches.kmvDistinctAgg(t(s, dir, "events"), "event_type", "user_id",
+        k = 64)
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -2006,6 +2015,22 @@ object SparkEntry {
          ranked AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram)
                       AS rn FROM scored)
        SELECT bigram, n_pairs, pmi FROM ranked WHERE rn <= 20""",
+
+    "q85_kmv_agg" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+             FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         s AS (SELECT event_type, COUNT(*) AS nmin, MAX(h) AS kth
+               FROM r WHERE rn <= 64 GROUP BY 1)
+       SELECT event_type, CAST(nmin AS INTEGER) AS kmv_k,
+              CASE WHEN nmin < 64 THEN CAST(nmin AS DOUBLE)
+                   ELSE ROUND(63.0 * 1152921504606846976.0 / kth, 2)
+              END AS kmv_estimate
+       FROM s""",
 
     "q58_percentiles" ->
       """SELECT lang,

@@ -63,4 +63,23 @@ object Sketches {
             lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("_kth"), 2))
           .as("kmv_estimate"))
   }
+
+  /** The same sketch as a NATIVE mergeable aggregate
+    * (graft.expr.KmvSketchAgg, registered by Graft.tune): partial
+    * aggregation keeps a bounded k-minima buffer per group per
+    * partition, so the exchange carries ≤ k longs per (group ×
+    * partition) instead of the full distinct-hash set — the form that
+    * survives billions of distinct values per group. Estimates are
+    * bit-identical to [[kmvDistinct]] (same hash, same arithmetic,
+    * same rounding); JoinsStatsSpec proves equality and partition
+    * invariance.
+    */
+  def kmvDistinctAgg(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(call_function(graft.expr.KmvSketchAgg.FunctionName,
+        col(valueCol).cast(StringType), lit(k)).as("_kmv"))
+      .select(col(groupCol),
+        col("_kmv.kmv_k").as("kmv_k"),
+        col("_kmv.kmv_estimate").as("kmv_estimate"))
 }

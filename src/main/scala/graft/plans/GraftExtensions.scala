@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BloomMightContain, CosineSimilarity, MinHashSignature, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{BloomMightContain, CosineSimilarity, KmvSketchAgg, MinHashSignature, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -50,6 +50,10 @@ object GraftExtensions {
           exprs(2).eval().asInstanceOf[Number].intValue())),
       (FunctionIdentifier(BloomMightContain.FunctionName),
         info(BloomMightContain.FunctionName, classOf[BloomMightContain]),
-        exprs => BloomMightContain(exprs(0), exprs(1)))
+        exprs => BloomMightContain(exprs(0), exprs(1))),
+      (FunctionIdentifier(KmvSketchAgg.FunctionName),
+        info(KmvSketchAgg.FunctionName, classOf[KmvSketchAgg]),
+        exprs => KmvSketchAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()))
     )
 }

@@ -188,6 +188,35 @@ class JoinsStatsSpec extends SparkSpec {
     assert(r == ((2L, 2.0))) // nulls excluded on both the exact and sketch side
   }
 
+  test("kmvDistinctAgg: bit-identical to relational KMV, partition-invariant, SQL-callable") {
+    import graft.operators.Sketches
+    val df = (0L until 3000L).map(i => (s"g${i % 3}", s"v${i % 997}"))
+      .toDF("grp", "v")
+    val rel = Sketches.kmvDistinct(df, "grp", "v", k = 32)
+      .select("grp", "kmv_k", "kmv_estimate")
+      .as[(String, Int, Double)].collect().toSet
+    val agg = Sketches.kmvDistinctAgg(df, "grp", "v", k = 32)
+      .as[(String, Int, Double)].collect().toSet
+    assert(agg == rel, s"agg $agg vs relational $rel")
+    // merge correctness: estimates must not depend on partitioning
+    val agg1 = Sketches.kmvDistinctAgg(df.repartition(1), "grp", "v", k = 32)
+      .as[(String, Int, Double)].collect().toSet
+    val agg13 = Sketches.kmvDistinctAgg(df.repartition(13), "grp", "v", k = 32)
+      .as[(String, Int, Double)].collect().toSet
+    assert(agg1 == agg && agg13 == agg)
+    // exact below k: tiny group holds every hash
+    val small = Seq(("g", "a"), ("g", "b"), ("g", "a")).toDF("grp", "v")
+    val (kk, est) = Sketches.kmvDistinctAgg(small, "grp", "v", k = 32)
+      .select("kmv_k", "kmv_estimate").as[(Int, Double)].head()
+    assert(kk == 2 && est == 2.0)
+    // registered for pure SQL use
+    df.createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      "SELECT grp, graft_kmv(v, 32).kmv_estimate AS e FROM kmv_in GROUP BY grp")
+      .as[(String, Double)].collect().toSet
+    assert(viaSql == rel.map(r => (r._1, r._3)))
+  }
+
   test("kmvDistinct: exact below k, within tolerance above, deterministic") {
     import graft.operators.Sketches
     val small = (1 to 40).map(i => ("g", i)).toDF("grp", "v")
