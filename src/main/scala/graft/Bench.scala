@@ -48,17 +48,15 @@ object Bench {
       System.err.println(f"[bench $tag] $name%-26s $dt%8.2fs rows=$n")
       name -> dt
     }.toMap
-    // Per-query min over two measurements, second pass only for queries
-    // whose first pass exceeded 1 s: pass 1 carries one-time JIT +
-    // codegen compilation and any transient machine stall, pass 2 is
-    // steady state; sub-second pass-1 queries evidently hit neither, so
-    // re-measuring them only costs wall-clock. The cache is cleared
-    // between passes so queries that persist intermediates recompute
-    // them honestly.
+    // Per-query min over two full measurements: pass 1 charges every
+    // query its one-time codegen compilation (~0.1-0.3 s even for
+    // sub-second queries — at 80+ queries that is a double-digit share
+    // of the total) plus any transient machine stall; pass 2 is steady
+    // state for everything. The cache is cleared between passes so
+    // queries that persist intermediates recompute them honestly.
     val p1 = onePass("1/3", named)
     spark.sharedState.cacheManager.clearCache()
-    val slow = named.filter { case (name, _) => p1.getOrElse(name, 0.0) > 1.0 }
-    val p2 = onePass("2/3", slow)
+    val p2 = onePass("2/3", named)
     val min2 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
     // Third measurement for queries still slow after two: host-level
     // contention on this box runs in multi-minute windows that can

@@ -42,6 +42,8 @@ case class KmvSketchAgg(
 
   override def children: Seq[Expression] = Seq(child)
 
+  override def prettyName: String = KmvSketchAgg.FunctionName
+
   override def nullable: Boolean = false
 
   override def dataType: DataType = StructType(Seq(

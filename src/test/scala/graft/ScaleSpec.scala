@@ -119,6 +119,27 @@ class ScaleSpec extends SparkSpec {
       assert(aggsBelow.nonEmpty,
         s"global-order window not over the block aggregate:\n$w")
     }
+    // q78's bloom probe must sit on the corpus side BELOW the exact
+    // join (scan-side pruning), and the exact join still broadcasts
+    val q78 = SparkEntry.queries("q78_bloom_decontaminate")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(q78.toLowerCase.contains("bloommightcontain") &&
+      q78.contains("BroadcastHashJoin"), q78)
+    // q80/q84 broadcast the (vocabulary-sized) log-prob / unigram
+    // tables onto the postings — the corpus-sized side never shuffles
+    // for those joins
+    Seq("q80_lm_score", "q84_pmi_bigrams").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // q85's native KMV aggregate runs under ObjectHashAggregate with a
+    // partial_graft_kmv stage — bounded partial buffers, true map-side
+    // combine before the exchange
+    val q85 = SparkEntry.queries("q85_kmv_agg")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(q85.contains("ObjectHashAggregate") &&
+      q85.contains("partial_graft_kmv"), q85)
   }
 
   test("filters and projections reach the parquet scan") {
