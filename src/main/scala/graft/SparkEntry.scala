@@ -920,6 +920,24 @@ object SparkEntry {
         k = 64)
     }),
 
+    // first-order Markov transitions between event types per user:
+    // P(next | current) from adjacent pairs; the normalizing window
+    // runs over the type×type matrix, never the events
+    "q86_transitions" -> ((s, dir) => {
+      Graft.tune(s)
+      operators.Sessions.transitionMatrix(
+        t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts"))),
+        "user_id", "ts2", "event_id", "event_type")
+    }),
+
+    // paragraph-level duplication: the boilerplate/template signal
+    // document-level dedup can't see — normalized-fragment md5s
+    // counted across documents, per-doc dup ratio
+    "q87_paragraph_dup" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.paragraphDupStats(tp(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -2031,6 +2049,38 @@ object SparkEntry {
                    ELSE ROUND(63.0 * 1152921504606846976.0 / kth, 2)
               END AS kmv_estimate
        FROM s""",
+
+    "q86_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+         m AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+                AS p
+       FROM m""",
+
+    "q87_paragraph_dup" ->
+      """WITH paras AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(trim(regexp_replace(lower(p),
+                         '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(COALESCE(text, ''), '\.')) AS p
+                 FROM documents)
+           WHERE trim(p) <> ''),
+         crossdoc AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM paras)
+                      GROUP BY fp HAVING COUNT(*) > 1),
+         perdoc AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY 1),
+         dup AS (SELECT doc_id, COUNT(*) AS n_dup_paras FROM paras
+                 WHERE fp IN (SELECT fp FROM crossdoc) GROUP BY 1)
+       SELECT p.doc_id, n_paras, COALESCE(n_dup_paras, 0) AS n_dup_paras,
+              ROUND(CAST(COALESCE(n_dup_paras, 0) AS DOUBLE) / n_paras, 6)
+                AS dup_ratio
+       FROM perdoc p LEFT JOIN dup USING (doc_id)""",
 
     "q58_percentiles" ->
       """SELECT lang,

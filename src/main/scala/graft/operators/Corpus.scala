@@ -175,6 +175,47 @@ object Corpus {
         round(sum(col("_lp")).cast(DoubleType) / count(lit(1)), 4).as("lm_score"))
   }
 
+  // -------------------------------------------- paragraph-level dedup
+
+  /** Per-document paragraph-duplication signal: split each document on
+    * `sep` (default sentence-ish '.'), normalize each fragment
+    * (whitespace-collapse + lowercase) to an md5 fingerprint, and
+    * report how much of the document consists of fragments that also
+    * appear in OTHER documents — boilerplate headers, license blocks
+    * and templated sentences that document-level dedup can't see.
+    * Output: (id, n_paras, n_dup_paras, dup_ratio).
+    *
+    * Shape: explode → two aggregations keyed on the fingerprint (both
+    * map-side combined; the cross-doc fingerprint table only keeps
+    * fingerprints seen in ≥ 2 documents) → semi-join back. Fragments
+    * move as 60-bit md5 hashes, never strings, after the first
+    * projection.
+    */
+  def paragraphDupStats(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\."): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("_id"),
+        explode(split(coalesce(col(textCol), lit("")), sep)).as("_p0"))
+      .select(col("_id"), graft.functions.TextAnalysis.md5Long(
+        graft.functions.Normalize.collapseWs(lower(col("_p0")))).as("_fp"),
+        trim(col("_p0")).as("_pt"))
+      .filter(col("_pt") =!= "")
+      .select(col("_id"), col("_fp"))
+    // fingerprints appearing in more than one distinct document
+    val crossDoc = paras.distinct()
+      .groupBy("_fp").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1)
+      .select("_fp")
+    val perDoc = paras.groupBy("_id").agg(count(lit(1)).as("n_paras"))
+    val dupPerDoc = paras.join(crossDoc, Seq("_fp"), "left_semi")
+      .groupBy("_id").agg(count(lit(1)).as("n_dup_paras"))
+    perDoc.join(dupPerDoc, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol), col("n_paras"),
+        coalesce(col("n_dup_paras"), lit(0L)).as("n_dup_paras"),
+        round(coalesce(col("n_dup_paras"), lit(0L)).cast(DoubleType) /
+          col("n_paras"), 6).as("dup_ratio"))
+  }
+
   // ------------------------------------------------ PMI collocations
 
   /** Top-k adjacent-bigram collocations by pointwise mutual

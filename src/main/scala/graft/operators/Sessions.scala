@@ -87,6 +87,27 @@ object Sessions {
         col("_v").isNotNull.as("observed"))
   }
 
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: P(next = b | current = a) from adjacent event pairs in
+    * (ts, tie) order. One shuffle on the entity key for the lead
+    * window, one map-side-combined aggregation to the (from, to)
+    * matrix — output bounded by event-type cardinality squared, so the
+    * normalizing window runs over the tiny matrix, never the events.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val norm = Window.partitionBy(col("from_type"))
+    events
+      .withColumn("_next", lead(col(typeCol), 1).over(order))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast(org.apache.spark.sql.types.DoubleType) /
+          sum(col("n")).over(norm), 6))
+  }
+
   /** Strict ordered funnel over an event stream: how many entities
     * reached each stage, where stage k requires an event of type
     * `stages(k)` STRICTLY AFTER the timestamp that completed stage

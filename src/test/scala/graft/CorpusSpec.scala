@@ -204,6 +204,22 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(got.head._3 - exp) < 1e-9, s"${got.head._3} vs $exp")
   }
 
+  test("paragraphDupStats: shared boilerplate detected across docs, whitespace-insensitive") {
+    val df = Seq(
+      (1L, "All rights reserved. Unique sentence one. Another unique bit"),
+      (2L, "all   RIGHTS\treserved. Completely different content here"),
+      (3L, "Nothing shared at all. Still nothing")
+    ).toDF("doc_id", "text")
+    val got = Corpus.paragraphDupStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the "all rights reserved" fragment matches across docs 1 and 2
+    // despite case/whitespace differences
+    assert(got(1L) == ((3L, 1L, 0.333333)), got)
+    assert(got(2L) == ((2L, 1L, 0.5)), got)
+    assert(got(3L) == ((2L, 0L, 0.0)), got)
+  }
+
   test("stratifiedSample: per-group rates honored, nested in larger sample") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")

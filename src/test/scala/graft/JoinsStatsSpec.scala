@@ -158,6 +158,26 @@ class JoinsStatsSpec extends SparkSpec {
     assert(kept == Seq(2L))
   }
 
+  test("transitionMatrix: per-source probabilities normalize, adjacency honored") {
+    val ev = Seq(
+      (1L, 1L, "a", "2024-01-01 00:00:01"), (2L, 1L, "b", "2024-01-01 00:00:02"),
+      (3L, 1L, "a", "2024-01-01 00:00:03"), (4L, 1L, "c", "2024-01-01 00:00:04"),
+      (5L, 2L, "a", "2024-01-01 00:00:01"), (6L, 2L, "b", "2024-01-01 00:00:02")
+    ).map { case (e, u, t0, s) => (e, u, t0, tsv(s)) }
+      .toDF("event_id", "user_id", "typ", "ts2")
+    val m = Sessions.transitionMatrix(ev, "user_id", "ts2", "event_id", "typ")
+      .as[(String, String, Long, Double)].collect()
+      .map { case (f, t0, n, p) => (f, t0) -> ((n, p)) }.toMap
+    // a→b twice (users 1,2), a→c once? no: user1 seq a,b,a,c → a→b, b→a, a→c
+    assert(m(("a", "b")) == ((2L, 0.666667)))
+    assert(m(("a", "c")) == ((1L, 0.333333)))
+    assert(m(("b", "a")) == ((1L, 1.0)))
+    // probabilities per from_type sum to ~1
+    m.toSeq.groupBy(_._1._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-4)
+    }
+  }
+
   test("Stats.percentiles matches the built-in percentile aggregate") {
     val df = (1 to 101).map(i => (if (i % 2 == 0) "a" else "b", i * 3 % 97))
       .toDF("g", "v")
