@@ -938,6 +938,19 @@ object SparkEntry {
       Corpus.paragraphDupStats(tp(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // the AQP rewrite end-to-end: plain COUNT(DISTINCT) code, the
+    // opt-in optimizer rule swaps in the KMV sketch at planning time.
+    // Runs on its own newSession() so the conf cannot leak into other
+    // queries' countDistincts (the rule reads SQLConf lazily, at
+    // optimization time)
+    "q88_approx_distinct" -> ((s, dir) => {
+      val s2 = Graft.tune(s.newSession())
+      s2.conf.set(graft.plans.ApproxCountDistinctRewrite.ConfKey, "true")
+      t(s2, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("approx_users"))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -2081,6 +2094,22 @@ object SparkEntry {
               ROUND(CAST(COALESCE(n_dup_paras, 0) AS DOUBLE) / n_paras, 6)
                 AS dup_ratio
        FROM perdoc p LEFT JOIN dup USING (doc_id)""",
+
+    "q88_approx_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+             FROM events),
+         r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         s AS (SELECT event_type, COUNT(*) AS nmin, MAX(h) AS kth
+               FROM r WHERE rn <= 64 GROUP BY 1)
+       SELECT event_type,
+              CAST(FLOOR(CASE WHEN nmin < 64 THEN CAST(nmin AS DOUBLE)
+                   ELSE ROUND(63.0 * 1152921504606846976.0 / kth, 2) END)
+                AS BIGINT) AS approx_users
+       FROM s""",
 
     "q58_percentiles" ->
       """SELECT lang,

@@ -18,8 +18,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * cannot set).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // opt-in AQP: COUNT(DISTINCT) → KMV sketch estimate when
+    // spark.graft.approxCountDistinct=true (no-op otherwise)
+    ext.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
+  }
 }
 
 object GraftExtensions {

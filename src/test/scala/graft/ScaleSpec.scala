@@ -142,6 +142,39 @@ class ScaleSpec extends SparkSpec {
       q85.contains("partial_graft_kmv"), q85)
   }
 
+  test("approx-count-distinct rewrite: opt-in, schema-preserving, exact below k") {
+    val s2 = Graft.tune(spark.newSession())
+    val sqlImplicits = s2.implicits
+    import sqlImplicits._
+    val df = (0L until 500L).map(i => (s"g${i % 2}", i % 40)).toDF("g", "v")
+    df.createOrReplaceTempView("acd_in") // registers in s2 (df built there)
+    def q = s2.sql("SELECT g, COUNT(DISTINCT v) AS n FROM acd_in GROUP BY g")
+    // conf off → plain count distinct, no sketch in the plan
+    val off = q
+    assert(!off.queryExecution.optimizedPlan.toString.contains("graft_kmv"))
+    val exact = off.as[(String, Long)].collect().toMap
+    // conf on → the sketch appears, schema is unchanged, and below
+    // k=64 distinct values the answer is still exact
+    s2.conf.set(graft.plans.ApproxCountDistinctRewrite.ConfKey, "true")
+    try {
+      val on = q
+      assert(on.queryExecution.optimizedPlan.toString.contains("graft_kmv"),
+        on.queryExecution.optimizedPlan.toString)
+      assert(on.schema("n").dataType == org.apache.spark.sql.types.LongType)
+      assert(on.as[(String, Long)].collect().toMap == exact)
+    } finally s2.conf.unset(graft.plans.ApproxCountDistinctRewrite.ConfKey)
+    // sibling sessions stay untouched while s2's conf is set (SQLConf
+    // is per-session): re-enable on s2 and check the base session
+    s2.conf.set(graft.plans.ApproxCountDistinctRewrite.ConfKey, "true")
+    try {
+      import spark.implicits._
+      val base = (0L until 10L).map(i => ("g", i)).toDF("g", "v")
+      assert(!base.groupBy("g")
+        .agg(org.apache.spark.sql.functions.countDistinct($"v"))
+        .queryExecution.optimizedPlan.toString.contains("graft_kmv"))
+    } finally s2.conf.unset(graft.plans.ApproxCountDistinctRewrite.ConfKey)
+  }
+
   test("filters and projections reach the parquet scan") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q02_filter_project")(spark, dir)
