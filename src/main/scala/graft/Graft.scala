@@ -37,6 +37,7 @@ object Graft {
     graft.expr.WinnowFingerprints.register(spark)
     graft.expr.BloomMightContain.register(spark)
     graft.expr.KmvSketchAgg.register(spark)
+    graft.expr.OrderedPairs.register(spark)
     // per-session injection of the opt-in AQP rewrite (a no-op unless
     // spark.graft.approxCountDistinct is set) — works on sessions
     // built without spark.sql.extensions, e.g. the driver's own

@@ -120,9 +120,8 @@ object Dedup {
     val common = postings.groupBy("_s")
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
-      .select(explode(flatten(transform(col("_ids"), (x, i) =>
-        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
       .filter(col("_p.id1") =!= col("_p.id2"))
       .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .agg(count(lit(1)).as("_common"))
@@ -174,9 +173,8 @@ object Dedup {
     banded.groupBy(col("_band"), col("_key"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
-      .select(explode(flatten(transform(col("_ids"), (x, i) =>
-        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
       .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .distinct()
 
@@ -251,9 +249,8 @@ object Dedup {
     kept.groupBy("_fp")
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
-      .select(explode(flatten(transform(col("_ids"), (x, i) =>
-        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("_p"))
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
       .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BloomMightContain, CosineSimilarity, KmvSketchAgg, MinHashSignature, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{BloomMightContain, CosineSimilarity, KmvSketchAgg, MinHashSignature, OrderedPairs, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -58,6 +58,9 @@ object GraftExtensions {
       (FunctionIdentifier(KmvSketchAgg.FunctionName),
         info(KmvSketchAgg.FunctionName, classOf[KmvSketchAgg]),
         exprs => KmvSketchAgg(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue()))
+          exprs(1).eval().asInstanceOf[Number].intValue())),
+      (FunctionIdentifier(OrderedPairs.FunctionName),
+        info(OrderedPairs.FunctionName, classOf[OrderedPairs]),
+        exprs => OrderedPairs(exprs.head))
     )
 }
