@@ -754,7 +754,7 @@ object SparkEntry {
     // already-verified operator, composed — what a user actually runs
     "q71_curation_pipeline" -> ((s, dir) => {
       Graft.tune(s)
-      val docs = tp(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val gated = docs.filter(col("source") =!= "src0")
         .filter(TextAnalysis.tokenCount(col("text")).between(5, 10000))
       val clean = Corpus.decontaminate(gated,
@@ -951,6 +951,18 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("approx_users"))
     }),
 
+    // cross-corpus incremental dedup: benchmark slice vs the rest of
+    // the corpus — two posting tables meet in ONE shingle-hash
+    // equi-join (no pair expansion), combined-df skew cap
+    "q89_cross_dedup" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = tp(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100L)
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -1042,7 +1054,7 @@ object SparkEntry {
 
     "q36_tfidf_similarity" -> ((s, dir) => {
       Graft.tune(s)
-      TfIdf.similarity(tp(s, dir, "documents"), "doc_id", "text", ResumeQ)
+      TfIdf.similarity(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
     }),
 
     // ------------- streaming-equivalent windowed agg (§2.10) -------------
@@ -2110,6 +2122,29 @@ object SparkEntry {
                    ELSE ROUND(63.0 * 1152921504606846976.0 / kth, 2) END)
                 AS BIGINT) AS approx_users
        FROM s""",
+
+    "q89_cross_dedup" ->
+      """WITH sets AS (
+           SELECT doc_id, source, list_distinct(
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)] END) AS sh
+           FROM (SELECT doc_id, source,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                 FROM documents)),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         postings AS (SELECT doc_id, source, unnest(sh) AS s FROM sets),
+         common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                    FROM postings a JOIN postings b ON a.s = b.s
+                    WHERE a.source = 'src0' AND b.source <> 'src0'
+                    GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+       FROM common
+       JOIN sizes s1 ON common.id_a = s1.doc_id
+       JOIN sizes s2 ON common.id_b = s2.doc_id
+       WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.5""",
 
     "q58_percentiles" ->
       """SELECT lang,

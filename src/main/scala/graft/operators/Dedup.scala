@@ -135,6 +135,53 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Cross-corpus near-dup pairs: (a, b) with a FROM `corpusA` and
+    * b FROM `corpusB` whose n-gram Jaccard ≥ threshold — the
+    * incremental-ingest dedup check (new crawl vs existing corpus, or
+    * corpus vs another vendor's dataset). Returns (id_a, id_b,
+    * jaccard); id spaces need not be disjoint.
+    *
+    * Unlike the self-join case there is no pair EXPANSION at all: the
+    * two posting tables meet in a plain shuffle hash equi-join on the
+    * 64-bit shingle hash, so cost is |postings_A| + |postings_B| plus
+    * the matched pairs. `maxDocFreq` caps a shingle's COMBINED
+    * document frequency (both corpora), killing the join's quadratic
+    * blowup on boilerplate shingles at scale.
+    */
+  def crossJaccardPairs(corpusA: DataFrame, corpusB: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      maxDocFreq: Long = 0L): DataFrame = {
+    def side(df: DataFrame): (DataFrame, DataFrame) = {
+      val sets = shingleSets(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sets.select(col("_id"), size(col("_sh")).as("_n"))
+      val postings = sets.select(col("_id"), explode(col("_sh")).as("_s0"))
+        .select(col("_id"), xxhash64(col("_s0")).as("_s"))
+      (postings, sizes)
+    }
+    val (pa0, sa) = side(corpusA)
+    val (pb0, sb) = side(corpusB)
+    val (pa, pb) =
+      if (maxDocFreq <= 0) (pa0, pb0)
+      else {
+        val hot = pa0.union(pb0).groupBy("_s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select("_s")
+        (pa0.join(hot, Seq("_s"), "left_anti"),
+          pb0.join(hot, Seq("_s"), "left_anti"))
+      }
+    val common = pa.select(col("_s"), col("_id").as("id_a"))
+      .join(pb.select(col("_s"), col("_id").as("id_b")), "_s")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_common"))
+    common
+      .join(sa.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .join(sb.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("_common").cast(DoubleType) /
+          (col("_na") + col("_nb") - col("_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ----------------------------------------------------------- MinHash/LSH
 
   /** (_id, _sh, _sig): shingle set + MinHash signature via the native

@@ -63,6 +63,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("LeftAnti"))
   }
 
+  test("OrderedPairs matches the composed transform-in-transform form") {
+    val arrays = Seq(
+      Seq.empty[Long], Seq(7L), Seq(1L, 2L), Seq(5L, 1L, 9L, 3L),
+      (1L to 12L).toSeq)
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("k", "ids")
+    val native = df.select($"k",
+        explode(call_function(graft.expr.OrderedPairs.FunctionName, $"ids"))
+          .as("p"))
+      .select($"k", $"p.id1", $"p.id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    val composed = df.select($"k",
+        explode(flatten(transform($"ids", (x, i) =>
+          transform(slice($"ids", i + 2, size($"ids")),
+            y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select($"k", $"p.id1", $"p.id2")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(native == composed) // same pairs, same order
+    assert(native.count(_._1 == 4L) == 12 * 11 / 2)
+  }
+
+  test("crossJaccardPairs: cross-corpus matches only, sizes from own side") {
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated archive entry about engines")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of a:1
+      (11L, "the quick brown fox jumps over the lazy dog"), // exact dup of a:1
+      (12L, "nothing in common with anything here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossJaccardPairs(a, b, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.keySet == Set((1L, 10L), (1L, 11L)), pairs)
+    assert(pairs((1L, 11L)) == 1.0)
+    assert(pairs((1L, 10L)) >= 0.5 && pairs((1L, 10L)) < 1.0)
+    // within-corpus duplicates are NOT this operator's business
+    val aa = Dedup.crossJaccardPairs(a, a.filter(lit(false)), "doc_id", "text",
+      n = 3, threshold = 0.1)
+    assert(aa.isEmpty)
+  }
+
   test("minhash LSH candidates contain the true near-dups") {
     val verified = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
       threshold = 0.5, numHashes = 64, bands = 16)
