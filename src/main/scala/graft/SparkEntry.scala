@@ -963,6 +963,21 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100L)
     }),
 
+    // deterministic negative sampling for contrastive training: per
+    // anchor, 4 md5-drawn partner ids from the dense pool, partner
+    // rows materialized by the caller-owned equi-join
+    "q90_negative_sample" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      val pool = docs.count()
+      Corpus.negativeSamples(docs.select("doc_id"), "doc_id", k = 4,
+          poolSize = pool)
+        .join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
+          "neg_id")
+        .select(col("doc_id"), col("neg_slot").cast(LongType).as("neg_slot"),
+          col("neg_id"), col("neg_lang"))
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -2145,6 +2160,19 @@ object SparkEntry {
        JOIN sizes s1 ON common.id_a = s1.doc_id
        JOIN sizes s2 ON common.id_b = s2.doc_id
        WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.5""",
+
+    "q90_negative_sample" ->
+      """WITH n AS (SELECT COUNT(*) AS pool FROM documents),
+         anchors AS (SELECT doc_id, unnest(range(0, 4)) AS neg_slot
+                     FROM documents),
+         drawn AS (SELECT doc_id, neg_slot,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+                            CAST(neg_slot AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % pool AS neg_id
+                   FROM anchors CROSS JOIN n)
+       SELECT d.doc_id, neg_slot, neg_id, dd.lang AS neg_lang
+       FROM drawn d JOIN documents dd ON d.neg_id = dd.doc_id
+       WHERE d.neg_id <> d.doc_id""",
 
     "q58_percentiles" ->
       """SELECT lang,

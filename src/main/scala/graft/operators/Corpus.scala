@@ -216,6 +216,35 @@ object Corpus {
           col("n_paras"), 6).as("dup_ratio"))
   }
 
+  // ------------------------------------------------ negative sampling
+
+  /** Deterministic negative sampling for contrastive training: for
+    * every anchor row, `k` pseudo-random partner ids drawn as
+    * md5(anchor # slot # salt) mod `poolSize` — collision with the
+    * anchor itself is dropped. Zero-shuffle (a per-row sequence
+    * explode and hash), reproducible in any engine with md5, and
+    * different salts give independent draws.
+    *
+    * Contract: partner ids are drawn from the DENSE domain
+    * [0, poolSize) — the standard post-packing layout (testdata doc
+    * ids are dense; after [[packSequences]]-style reindexing any
+    * corpus is). For sparse id spaces, join the output's `neg_id`
+    * against the pool to materialize partner rows (an equi-join the
+    * caller owns).
+    */
+  def negativeSamples(df: DataFrame, idCol: String, k: Int, poolSize: Long,
+      salt: String = ""): DataFrame = {
+    require(k > 0 && poolSize > 1, "need k > 0 and poolSize > 1")
+    df.select(col(idCol),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_slot"))
+      .withColumn("neg_id",
+        pmod(graft.functions.TextAnalysis.md5Long(
+          concat(col(idCol).cast(StringType), lit("#"),
+            col("neg_slot").cast(StringType), lit(salt))),
+          lit(poolSize)))
+      .filter(col("neg_id") =!= col(idCol))
+  }
+
   // ------------------------------------------------ PMI collocations
 
   /** Top-k adjacent-bigram collocations by pointwise mutual

@@ -220,6 +220,24 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, 0.0)), got)
   }
 
+  test("negativeSamples: in-pool, never self, deterministic, salt-independent") {
+    val df = (0L until 100L).toDF("doc_id")
+    val neg = Corpus.negativeSamples(df, "doc_id", k = 5, poolSize = 100L)
+      .as[(Long, Int, Long)].collect()
+    assert(neg.forall { case (_, _, n) => n >= 0 && n < 100 })
+    assert(neg.forall { case (a, _, n) => a != n })
+    val perAnchor = neg.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(c => c == 5 || c == 4)) // ≤1 self-collision
+    // reruns identical; a different salt draws a different set
+    val again = Corpus.negativeSamples(df, "doc_id", k = 5, poolSize = 100L)
+      .as[(Long, Int, Long)].collect()
+    assert(neg.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+    val salted = Corpus.negativeSamples(df, "doc_id", k = 5, poolSize = 100L,
+      salt = "s2").as[(Long, Int, Long)].collect()
+    assert(salted.map(_._3).toSeq != again.map(_._3).toSeq)
+  }
+
   test("stratifiedSample: per-group rates honored, nested in larger sample") {
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
