@@ -978,6 +978,32 @@ object SparkEntry {
           col("neg_id"), col("neg_lang"))
     }),
 
+    // the dedup pipeline in PURE SQL over the registered native
+    // kernels (graft_shingles + graft_pairs): what a spark-sql /
+    // thrift-server user writes with zero Scala — same inverted-index
+    // shape as q23, on a bounded slice
+    "q91_sql_jaccard" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .createOrReplaceTempView("docs_sql")
+      s.sql("""
+        WITH sets AS (SELECT doc_id, graft_shingles(text, 3) AS sh FROM docs_sql),
+          sizes AS (SELECT doc_id, size(sh) AS n FROM sets),
+          postings AS (SELECT doc_id, explode(sh) AS s FROM sets),
+          lists AS (SELECT s, sort_array(collect_list(doc_id)) AS ids
+                    FROM postings GROUP BY s),
+          pairs AS (SELECT p.id1 AS id1, p.id2 AS id2, COUNT(*) AS c
+                    FROM (SELECT ids FROM lists WHERE size(ids) > 1)
+                    LATERAL VIEW explode(graft_pairs(ids)) ex AS p
+                    GROUP BY 1, 2)
+        SELECT id1, id2,
+               ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+        FROM pairs
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.5""")
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -2173,6 +2199,29 @@ object SparkEntry {
        SELECT d.doc_id, neg_slot, neg_id, dd.lang AS neg_lang
        FROM drawn d JOIN documents dd ON d.neg_id = dd.doc_id
        WHERE d.neg_id <> d.doc_id""",
+
+    "q91_sql_jaccard" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)] END) AS sh
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                 FROM documents WHERE doc_id < 200)),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         postings AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+                    FROM postings a JOIN postings b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+       SELECT id1, id2,
+              ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+       FROM common
+       JOIN sizes s1 ON common.id1 = s1.doc_id
+       JOIN sizes s2 ON common.id2 = s2.doc_id
+       WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.5""",
 
     "q58_percentiles" ->
       """SELECT lang,
