@@ -40,9 +40,14 @@ object Graft {
     graft.expr.OrderedPairs.register(spark)
     // per-session injection of the opt-in AQP rewrite (a no-op unless
     // spark.graft.approxCountDistinct is set) — works on sessions
-    // built without spark.sql.extensions, e.g. the driver's own
-    spark.experimental.extraOptimizations =
-      Seq(graft.plans.ApproxCountDistinctRewrite)
+    // built without spark.sql.extensions, e.g. the driver's own.
+    // Append-if-absent: assignment would clobber user-installed rules
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ApproxCountDistinctRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxCountDistinctRewrite
+    }
     spark
   }
 

@@ -59,10 +59,14 @@ case class KmvSketchAgg(
     new java.util.TreeSet[java.lang.Long]()
 
   /** 60-bit md5-derived hash, identical to TextAnalysis.md5Long:
-    * conv(substring(md5(s), 1, 15), 16, 10).
+    * conv(substring(md5(s), 1, 15), 16, 10). The digest instance is
+    * thread-local: `getInstance` per row would put a JCA provider
+    * lookup + allocation in the aggregate's hot update path.
     */
   private def hash60(s: UTF8String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+    val md = KmvSketchAgg.localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
     // first 15 hex chars = 7.5 bytes: top nibble of d(7) is the last char
     var h = 0L
     var i = 0
@@ -136,6 +140,11 @@ case class KmvSketchAgg(
 
 object KmvSketchAgg {
   val FunctionName = "graft_kmv"
+
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -43,14 +43,28 @@ case class OrderedPairs(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
     val n = xs.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
-    var k = 0
+    // the engine's producers (sort_array ∘ collect_list) never emit
+    // null slots, but graft_pairs is a public SQL function — skip
+    // nulls rather than fabricate id-0 pairs from unset slot bits
+    val ids = new Array[Long](n)
+    var m = 0
     var i = 0
     while (i < n) {
-      val a = xs.getLong(i)
+      if (!xs.isNullAt(i)) { ids(m) = xs.getLong(i); m += 1 }
+      i += 1
+    }
+    val total = m.toLong * (m - 1) / 2
+    require(total <= Int.MaxValue,
+      s"graft_pairs: posting list of $m ids expands to $total pairs — " +
+        "cap the list (maxDocFreq) before pair expansion")
+    val out = new Array[Any](total.toInt)
+    var k = 0
+    i = 0
+    while (i < m) {
+      val a = ids(i)
       var j = i + 1
-      while (j < n) {
-        out(k) = InternalRow(a, xs.getLong(j))
+      while (j < m) {
+        out(k) = InternalRow(a, ids(j))
         k += 1
         j += 1
       }

@@ -201,6 +201,9 @@ object Corpus {
         trim(col("_p0")).as("_pt"))
       .filter(col("_pt") =!= "")
       .select(col("_id"), col("_fp"))
+      // three consumers (cross-doc table, per-doc totals, dup counts)
+      // would each re-run the split + normalize + md5 over the scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fingerprints appearing in more than one distinct document
     val crossDoc = paras.distinct()
       .groupBy("_fp").agg(count(lit(1)).as("_nd"))

@@ -48,8 +48,13 @@ object ApproxCountDistinctRewrite extends Rule[LogicalPlan] {
         agg.transformExpressions {
           case ae @ AggregateExpression(
               Count(Seq(child)), Complete, true, _, _) =>
+            // optimizer rules bypass ResolveTimeZone, so the injected
+            // Cast must carry the session zone itself — timestamp
+            // children would otherwise hit timeZoneId.get at runtime
             val sketch = ae.copy(
-              aggregateFunction = KmvSketchAgg(Cast(child, StringType), k),
+              aggregateFunction = KmvSketchAgg(
+                Cast(child, StringType,
+                  Some(SQLConf.get.sessionLocalTimeZone)), k),
               isDistinct = false)
             // struct field 1 = kmv_estimate; floor → BIGINT preserves
             // COUNT DISTINCT's type (and its exactness below k)

@@ -82,6 +82,12 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(native == composed) // same pairs, same order
     assert(native.count(_._1 == 4L) == 12 * 11 / 2)
+    // null slots (possible for ad-hoc SQL callers) are skipped, not
+    // fabricated into id-0 pairs
+    val withNull = spark.sql(
+      "SELECT graft_pairs(array(CAST(5 AS BIGINT), CAST(NULL AS BIGINT), CAST(9 AS BIGINT))) AS p")
+      .selectExpr("inline(p)").as[(Long, Long)].collect().toSeq
+    assert(withNull == Seq((5L, 9L)), withNull)
   }
 
   test("crossJaccardPairs: cross-corpus matches only, sizes from own side") {

@@ -163,6 +163,14 @@ class ScaleSpec extends SparkSpec {
       assert(on.schema("n").dataType == org.apache.spark.sql.types.LongType)
       assert(on.as[(String, Long)].collect().toMap == exact)
     } finally s2.conf.unset(graft.plans.ApproxCountDistinctRewrite.ConfKey)
+    // timestamp children need the injected Cast to carry a timezone
+    // (optimizer rules bypass ResolveTimeZone) — regression: this threw
+    s2.conf.set(graft.plans.ApproxCountDistinctRewrite.ConfKey, "true")
+    try {
+      val tdf = s2.sql(
+        "SELECT COUNT(DISTINCT TIMESTAMP '2024-01-01 00:00:00' + v * INTERVAL 1 HOUR) AS n FROM acd_in")
+      assert(tdf.as[Long].head() == 40L)
+    } finally s2.conf.unset(graft.plans.ApproxCountDistinctRewrite.ConfKey)
     // sibling sessions stay untouched while s2's conf is set (SQLConf
     // is per-session): re-enable on s2 and check the base session
     s2.conf.set(graft.plans.ApproxCountDistinctRewrite.ConfKey, "true")
