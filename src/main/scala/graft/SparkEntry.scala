@@ -1004,6 +1004,16 @@ object SparkEntry {
         WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.5""")
     }),
 
+    // per-group Pearson correlation + covariance with exact decimal
+    // moment sums (the built-in corr's streaming double accumulation
+    // is partition-order dependent — this one is reproducible)
+    "q92_correlation" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast(DoubleType).as("k"))
+      Stats.correlation(ev, "event_type", "value", "k")
+    }),
+
     // deterministic hash sampling: the reproducible train-split /
     // subsample primitive — md5-based keep decision, no RNG state
     "q46_hash_sample" -> ((s, dir) => {
@@ -2222,6 +2232,29 @@ object SparkEntry {
        JOIN sizes s1 ON common.id1 = s1.doc_id
        JOIN sizes s2 ON common.id2 = s2.doc_id
        WHERE ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) >= 0.5""",
+
+    "q92_correlation" ->
+      """WITH base AS (
+           SELECT event_type,
+                  CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS x,
+                  CAST(ROUND(TRY_CAST(props->>'$.k' AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS y
+           FROM events
+           WHERE value IS NOT NULL
+             AND TRY_CAST(props->>'$.k' AS DOUBLE) IS NOT NULL),
+         m AS (SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x*y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y*y) AS DOUBLE) AS syy
+               FROM base GROUP BY 1)
+       SELECT event_type, n,
+              ROUND((n*sxy - sx*sy) / (n*n), 6) AS covariance,
+              CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                   THEN ROUND((n*sxy - sx*sy) /
+                              (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+                   ELSE NULL END AS pearson_r
+       FROM m""",
 
     "q58_percentiles" ->
       """SELECT lang,

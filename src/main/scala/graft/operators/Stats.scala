@@ -62,6 +62,41 @@ object Stats {
       .select(col(groupCol) +: outs: _*)
   }
 
+  /** Per-group Pearson correlation (and covariance) of two numeric
+    * columns, engine-reproducible: inputs round to 6dp and cast to
+    * DECIMAL(18,6), so products are DECIMAL(37,12) — exact in both
+    * engines without precision-cap rounding — and the five moment
+    * sums accumulate exactly and order-independently (the built-in
+    * `corr`'s streaming double accumulation is partition-order
+    * dependent), then
+    * r = (nΣxy − ΣxΣy) / (√(nΣx² − Σx²) · √(nΣy² − Σy²)) evaluates
+    * once in double with a fixed operand order, rounded to 6dp. Rows
+    * with a null on either side are excluded (matching `corr`). One
+    * map-side-combined aggregation; output bounded by group count.
+    */
+  def correlation(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val mdec = DecimalType(18, 6)
+    def d(c: String): Column = round(col(c).cast(DoubleType), 6).cast(mdec)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(d(xCol)).cast(DoubleType).as("_sx"),
+        sum(d(yCol)).cast(DoubleType).as("_sy"),
+        sum(d(xCol) * d(yCol)).cast(DoubleType).as("_sxy"),
+        sum(d(xCol) * d(xCol)).cast(DoubleType).as("_sxx"),
+        sum(d(yCol) * d(yCol)).cast(DoubleType).as("_syy"))
+    val n = col("_n").cast(DoubleType)
+    val varX = n * col("_sxx") - col("_sx") * col("_sx")
+    val varY = n * col("_syy") - col("_sy") * col("_sy")
+    val cov = n * col("_sxy") - col("_sx") * col("_sy")
+    base.select(col(groupCol), col("_n").as("n"),
+      round(cov / (n * n), 6).as("covariance"),
+      when(varX > 0 && varY > 0,
+        round(cov / (sqrt(varX) * sqrt(varY)), 6))
+        .otherwise(lit(null).cast(DoubleType)).as("pearson_r"))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket k covers
     * [k·width, (k+1)·width). One map-side-combined aggregation whose
     * output is bounded by the value RANGE over width, not the row

@@ -257,6 +257,23 @@ class JoinsStatsSpec extends SparkSpec {
     assert(est2 == est)
   }
 
+  test("Stats.correlation: exact r on a known line, null exclusion, degenerate group") {
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("lin", 1.0, 3.0), ("lin", 2.0, 5.0), ("lin", 3.0, 7.0),   // y = 2x+1 → r=1
+      ("lin", 4.0, 9.0), ("lin", null, 99.0), ("lin", 5.0, null), // nulls dropped
+      ("flat", 1.0, 4.0), ("flat", 2.0, 4.0),                     // var(y)=0 → r null
+      ("neg", 1.0, 10.0), ("neg", 2.0, 8.0), ("neg", 3.0, 6.0)    // r = -1
+    ).toDF("g", "x", "y")
+    val got = Stats.correlation(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("lin")._1 == 4L && got("lin")._3.contains(1.0))
+    assert(got("flat")._3.isEmpty)
+    assert(got("neg")._3.contains(-1.0))
+    // covariance of lin group: E[xy]-E[x]E[y] = (3+10+21+36)/4 - 2.5*6 = 2.5
+    assert(got("lin")._2 == 2.5)
+  }
+
   test("Redact.scrub replaces emails before digit runs, counts audit") {
     val df = Seq(
       ("contact bob99@example.com or 555-123-4567", 1),
