@@ -1144,6 +1144,59 @@ object SparkEntry {
       Multimodal.extractFeatures(media, dim = 8)
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("feature"), 1).cast(DoubleType), 4).as("f0"))
+    }),
+
+    // canonical-doc selection per near-dup cluster: jaccard clusters →
+    // keep the highest-quality member (one max(struct) aggregation,
+    // no per-cluster sort window) + cluster size
+    "q93_cluster_pick" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(tp(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100L)
+      Dedup.clusterRepresentatives(clusters,
+        scoredDocs(docs).select(col("doc_id"), col("quality_score")),
+        "doc_id", "quality_score")
+    }),
+
+    // per-source frequency cap (the "at most N docs per domain" web
+    // curation gate): deterministic md5 pick order, WindowGroupLimit
+    // pre-prunes each map task to N rows per key before the shuffle
+    "q94_source_cap" -> ((s, dir) => {
+      Graft.tune(s)
+      Filters.perKeyCap(t(s, dir, "documents"), "source", "doc_id", n = 50)
+        .select(col("doc_id"), col("source"),
+          col("pick_order").cast(LongType).as("pick_order"))
+    }),
+
+    // per-type z-score outliers with exact decimal moment sums: one
+    // aggregation + broadcast stats join back — no window shuffle
+    "q95_outliers" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value"))
+      Stats.zscoreOutliers(ev, "event_type", "event_id", "value", z = 3.0)
+    }),
+
+    // Unicode NFC canonicalization via the native codegen'd expression
+    // (graft_nfc): decomposed combining marks re-compose, so visually
+    // identical docs fingerprint identically before dedup
+    "q96_unicode_nfc" -> ((s, dir) => {
+      Graft.tune(s)
+      val raw = coalesce(col("text"), lit(""))
+      val decomp = regexp_replace(raw, "e", "e\u0301")
+      val nfc = call_function(graft.expr.NfcNormalize.FunctionName, decomp)
+      t(s, dir, "documents").select(col("doc_id"),
+        length(decomp).cast(LongType).as("n_decomposed"),
+        length(nfc).cast(LongType).as("n_nfc"),
+        (nfc === regexp_replace(raw, "e", "\u00e9")).as("roundtrip_ok"))
+    }),
+
+    // top-k TF-IDF terms per document (keyword surfacing): postings →
+    // tf/df aggs → weight join → WindowGroupLimit-pruned per-doc top-k
+    "q97_tfidf_terms" -> ((s, dir) => {
+      Graft.tune(s)
+      TfIdf.topTerms(tp(s, dir, "documents"), "doc_id", "text", k = 3)
     })
   )
 
@@ -2410,7 +2463,90 @@ object SparkEntry {
                END AS llm_score
         FROM documents d
         LEFT JOIN jn ON d.doc_id = jn.doc_id
-        LEFT JOIN m ON d.doc_id = m.doc_id"""
+        LEFT JOIN m ON d.doc_id = m.doc_id""",
+
+    "q93_cluster_pick" ->
+      s"""WITH RECURSIVE jp AS (${jaccardOracle(0.5)}),
+           edges AS (SELECT id1 AS a, id2 AS b FROM jp
+                     UNION SELECT id2, id1 FROM jp),
+           reach(a, b) AS (
+             SELECT a, b FROM edges
+             UNION
+             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           clusters AS (
+             SELECT d.doc_id,
+                    CAST(COALESCE(least(mn.m, d.doc_id), d.doc_id) AS BIGINT)
+                      AS canonical_id
+             FROM documents d
+             LEFT JOIN (SELECT a, MIN(b) AS m FROM reach GROUP BY a) mn
+               ON d.doc_id = mn.a),
+           $curationCtes,
+           ranked AS (
+             SELECT c.canonical_id, c.doc_id, s.quality_score,
+                    row_number() OVER (PARTITION BY c.canonical_id
+                      ORDER BY s.quality_score DESC, c.doc_id) AS rn,
+                    COUNT(*) OVER (PARTITION BY c.canonical_id) AS cluster_size
+             FROM clusters c JOIN scored s USING (doc_id))
+         SELECT canonical_id, doc_id AS rep_id, quality_score AS rep_score,
+                CAST(cluster_size AS BIGINT) AS cluster_size
+         FROM ranked WHERE rn = 1""",
+
+    "q94_source_cap" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_order
+       FROM (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents)
+       WHERE rn <= 50""",
+
+    "q95_outliers" ->
+      """WITH base AS (
+           SELECT event_id, event_type,
+                  CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(v) AS DOUBLE) AS sx,
+                 CAST(SUM(v*v) AS DOUBLE) AS sxx
+               FROM base GROUP BY 1),
+         s AS (SELECT event_type, sx / n AS mean,
+                 sqrt(n*sxx - sx*sx) / n AS std
+               FROM m)
+       SELECT b.event_id, b.event_type, CAST(b.v AS DOUBLE) AS value,
+              ROUND((CAST(b.v AS DOUBLE) - mean) / std, 6) AS zscore
+       FROM base b JOIN s USING (event_type)
+       WHERE std > 0 AND abs((CAST(b.v AS DOUBLE) - mean) / std) > 3.0""",
+
+    "q96_unicode_nfc" ->
+      """WITH d AS (
+           SELECT doc_id, COALESCE(text, '') AS t,
+                  regexp_replace(COALESCE(text, ''), 'e', 'e' || chr(769), 'g')
+                    AS dc
+           FROM documents)
+       SELECT doc_id,
+              length(dc) AS n_decomposed,
+              length(nfc_normalize(dc)) AS n_nfc,
+              nfc_normalize(dc) = regexp_replace(t, 'e', chr(233), 'g')
+                AS roundtrip_ok
+       FROM d""",
+
+    "q97_tfidf_terms" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                       '[^a-z0-9]+'), x -> x <> '')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         w AS (SELECT doc_id, t,
+                 ROUND(tf * (ln(CAST(n + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS w
+               FROM tf JOIN df USING (t) CROSS JOIN n),
+         r AS (SELECT doc_id, t, w,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY w DESC, t) AS rnk
+               FROM w)
+       SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, t AS term, w AS weight
+       FROM r WHERE rnk <= 3"""
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the
@@ -2510,12 +2646,17 @@ object SparkEntry {
     * score (mirrors TextAnalysis.qualityScore; the EN stopword hits
     * double as the stop-ratio numerator, same as qualityFeatures).
     */
-  private def curationSql(select: String): String = {
+  /** The quality-score CTE chain (base → feat → scored) shared by every
+    * oracle that needs `scored(doc_id, n_tokens, pred_lang,
+    * quality_score)`; exposed separately so composite oracles (q93) can
+    * append it to their own WITH list.
+    */
+  private def curationCtes: String = {
     val hitExprs = TextAnalysis.StopwordLists.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
       s"len(list_filter($lst, w -> list_contains(toks, w))) AS h_$lang"
     }.mkString(",\n                ")
-    s"""WITH base AS (
+    s"""base AS (
          SELECT doc_id, COALESCE(text, '') AS t,
                 list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
                             x -> x <> '') AS toks
@@ -2538,9 +2679,12 @@ object SparkEntry {
                   + least(ROUND(CAST(h_en AS DOUBLE) / greatest(n_tokens, 1), 4) * 5.0, 1.0) * 0.5
                   - least(ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) * 2.0, 1.0) * 0.2,
                   0.0), 4) AS quality_score
-         FROM feat)
-       $select"""
+         FROM feat)"""
   }
+
+  private def curationSql(select: String): String =
+    s"""WITH $curationCtes
+       $select"""
 
   private def langIdOracle: String = {
     val hitExprs = TextAnalysis.StopwordLists.map { case (lang, words) =>

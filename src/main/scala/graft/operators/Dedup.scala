@@ -416,6 +416,30 @@ object Dedup {
         coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
   }
 
+  /** Canonical-document selection per near-dup cluster: given cluster
+    * labels (`idCol`, `canonical_id` — the [[nearDupClusters]] output)
+    * and a per-document score, emit one row per cluster with the
+    * highest-scoring member (ties → lowest id) and the cluster size.
+    * This is the step after clustering in every dedup pipeline: KEEP
+    * the best copy, drop the rest.
+    *
+    * Shape: a single map-side-combined aggregation via
+    * `max(struct(score, -id))` — no per-cluster sort window, no
+    * skew-prone `partitionBy(cluster)` ordering; output is bounded by
+    * the number of clusters.
+    */
+  def clusterRepresentatives(clusters: DataFrame, scores: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    clusters.join(scores, idCol)
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negid"))).as("_best"))
+      .select(col("canonical_id"),
+        (-col("_best.negid")).as("rep_id"),
+        col("_best.s").as("rep_score"),
+        col("cluster_size"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   val SimhashBits = 60 // md5Long yields 60 reproducible bits

@@ -101,6 +101,28 @@ object Filters {
       .drop("_rn")
   }
 
+  /** Per-key frequency cap: keep at most `n` rows per `keyCol`, chosen
+    * in deterministic md5 order of `idCol` (ties → id ascending). The
+    * web-corpus curation primitive "at most N documents per domain /
+    * source" — a cap that must be reproducible across runs and engines,
+    * which a `rand()`-ordered row_number is not.
+    *
+    * Scale shape: the `row_number <= n` filter triggers Spark's
+    * WindowGroupLimit rewrite, so each map task pre-prunes its groups
+    * to n rows BEFORE the shuffle — the exchange carries O(keys · n)
+    * rows, not the whole table, and no global sort materializes.
+    */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast(org.apache.spark.sql.types.StringType)),
+        col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .withColumnRenamed("_rn", "pick_order")
+  }
+
   /** O3: publish-date ordering with the reference's raw-string
     * fallback (src/etl/rss_feed_etl.py:128-132, 300-303): sort by the
     * parsed date desc + link asc; when NO date in the whole frame

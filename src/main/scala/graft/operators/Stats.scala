@@ -97,6 +97,41 @@ object Stats {
         .otherwise(lit(null).cast(DoubleType)).as("pearson_r"))
   }
 
+  /** Per-group z-score outlier detection with engine-reproducible
+    * moments: values round to 6dp and accumulate as DECIMAL(18,6) (the
+    * same exact-sum discipline as [[correlation]]), population
+    * mean/stddev derive from the sums once in double with a fixed
+    * operand order, and rows with |value − mean| / σ > `z` are flagged.
+    * Groups with zero variance produce no outliers.
+    *
+    * Shape: one map-side-combined aggregation (output bounded by group
+    * count) + a broadcast join of the tiny stats table back onto the
+    * stream — no window, no second shuffle of the data. At 100 TB the
+    * stats frame is a few rows per group; Spark broadcasts it
+    * automatically under the configured threshold.
+    */
+  def zscoreOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, z: Double = 3.0): DataFrame = {
+    val mdec = DecimalType(18, 6)
+    val v = round(col(valueCol).cast(DoubleType), 6).cast(mdec)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"),
+        sum(v).cast(DoubleType).as("_sx"),
+        sum(v * v).cast(DoubleType).as("_sxx"))
+    val n = col("_n").cast(DoubleType)
+    val mean = col("_sx") / n
+    val std = sqrt(n * col("_sxx") - col("_sx") * col("_sx")) / n
+    val zc = (col("_vd") - col("_mean")) / col("_std")
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("_vd", v.cast(DoubleType))
+      .join(broadcast(stats.select(col(groupCol), mean.as("_mean"), std.as("_std"))
+        .filter(col("_std") > 0)), Seq(groupCol))
+      .filter(abs(zc) > z)
+      .select(col(idCol), col(groupCol), col("_vd").as("value"),
+        round(zc, 6).as("zscore"))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket k covers
     * [k·width, (k+1)·width). One map-side-combined aggregation whose
     * output is bounded by the value RANGE over width, not the row

@@ -85,4 +85,38 @@ object TfIdf {
           round(col("_dot") / (col("_norm") * lit(qNorm)), 6))
           .otherwise(lit(0.0)).as("sim"))
   }
+
+  /** Top-`k` TF-IDF terms per document — the keyword/topic-surfacing
+    * primitive (and the feature a doc-level index stores). Same
+    * postings → tf → df → smooth-idf arithmetic as [[similarity]],
+    * weights rounded to 6dp so the ranking is engine-reproducible;
+    * ties break on term ascending.
+    *
+    * Shape: two map-side-combined aggregations (tf, df), a broadcast
+    * or shuffle join on term, then a per-doc `row_number <= k` that
+    * Spark rewrites to WindowGroupLimit — each map task keeps only k
+    * candidates per document before the exchange, so the sort never
+    * sees the full postings table.
+    */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val n = docs.count()
+    val idf: Column => Column = df0 =>
+      log((lit(n + 1).cast(DoubleType)) / (df0 + lit(1))) + lit(1.0)
+    val postings = docs
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val weights = tf.join(dfreq, "_t")
+      .select(col("_id"), col("_t"),
+        round(col("_tf") * idf(col("_df")), 6).as("_w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_w").desc, col("_t"))
+    weights.withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= k)
+      .select(col("_id").as(idCol), col("_rnk").cast(LongType).as("rnk"),
+        col("_t").as("term"), col("_w").as("weight"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BloomMightContain, CosineSimilarity, KmvSketchAgg, MinHashSignature, OrderedPairs, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{BloomMightContain, CosineSimilarity, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -61,6 +61,9 @@ object GraftExtensions {
           exprs(1).eval().asInstanceOf[Number].intValue())),
       (FunctionIdentifier(OrderedPairs.FunctionName),
         info(OrderedPairs.FunctionName, classOf[OrderedPairs]),
-        exprs => OrderedPairs(exprs.head))
+        exprs => OrderedPairs(exprs.head)),
+      (FunctionIdentifier(NfcNormalize.FunctionName),
+        info(NfcNormalize.FunctionName, classOf[NfcNormalize]),
+        exprs => NfcNormalize(exprs.head))
     )
 }

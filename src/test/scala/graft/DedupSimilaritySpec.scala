@@ -16,6 +16,27 @@ class DedupSimilaritySpec extends SparkSpec {
     (5L, "spark sql engines process completely different content")
   ).toDF("doc_id", "text")
 
+  test("clusterRepresentatives keeps the best-scoring member per cluster") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (4L, 1L), // one near-dup cluster, canonical 1
+      (3L, 3L), (5L, 5L)            // singletons
+    ).toDF("doc_id", "canonical_id")
+    val scores = Seq(
+      (1L, 0.4), (2L, 0.9), (4L, 0.9), // tie between 2 and 4 → lower id wins
+      (3L, 0.7), (5L, 0.1)
+    ).toDF("doc_id", "score")
+    val reps = Dedup.clusterRepresentatives(clusters, scores, "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(reps(1L) == ((2L, 0.9, 3L))) // best score, tie → min id, size 3
+    assert(reps(3L) == ((3L, 0.7, 1L)))
+    assert(reps(5L) == ((5L, 0.1, 1L)))
+    // shape: one aggregation, no sort window over the cluster key
+    val plan = Dedup.clusterRepresentatives(clusters, scores, "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("RunningWindow"))
+  }
+
   test("exact dedup groups by normalized fingerprint") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text")
     assert(groups.count() == 4)

@@ -43,6 +43,25 @@ class EnrichmentBoundarySpec extends SparkSpec {
     assert(sims.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("tfidf topTerms weighs tf against idf, k-bounded, map-side pruned") {
+    // N=3; idf(shared, df=3) = ln(4/4)+1 = 1.0; idf(df=1) = ln 2 + 1 ≈ 1.693
+    val docs = Seq(
+      (1L, "spark spark spark shared"),   // spark 3·1.693 ≈ 5.08 > shared 1.0
+      (2L, "unique shared shared"),       // shared 2·1.0 = 2.0 > unique 1.693
+      (3L, "shared")                      // one term → one row
+    ).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(top == Set(
+      (1L, 1L, "spark"), (1L, 2L, "shared"),
+      (2L, 1L, "shared"), (2L, 2L, "unique"),
+      (3L, 1L, "shared")))
+    // rank filter must map-side prune (WindowGroupLimit), not full-sort
+    val plan = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("llm response parsing: json, percent fallback, junk") {
     val df = Seq(
       """{"match_percentage": 72.5, "matched_skills": ["python"], "missing_skills": ["go"]}""",

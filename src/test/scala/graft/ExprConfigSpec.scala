@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
 class ExprConfigSpec extends SparkSpec {
   import spark.implicits._
 
+  test("graft_nfc composes decomposed marks, passes ASCII through, null-safe") {
+    val decomposed = "cafe\u0301"   // e + U+0301 combining acute (5 chars)
+    val precomposed = "caf\u00e9"   // precomposed U+00E9 (4 chars)
+    val df = Seq(
+      (1L, decomposed),
+      (2L, "plain ascii"),          // already NFC -> unchanged
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    df.createOrReplaceTempView("nfc_in")
+    val got = spark.sql("SELECT id, graft_nfc(s) AS n FROM nfc_in")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains(precomposed))
+    assert(got(1L).get.length == 4)
+    assert(got(2L).contains("plain ascii"))
+    assert(got(3L).isEmpty)
+    // the whole point: decomposed and precomposed forms of the same
+    // text fingerprint identically after normalization
+    val hashes = Seq(decomposed, precomposed).toDF("s")
+      .selectExpr("md5(graft_nfc(s)) AS h")
+      .collect().map(_.getString(0)).toSet
+    assert(hashes.size == 1)
+  }
+
   test("native cosine_sim is bit-identical to the composed-builtin form") {
     val vecs = Seq(
       (0L, Array(0.1f, -0.2f, 0.93f, 0.4f)),

@@ -142,4 +142,24 @@ class FiltersSpec extends SparkSpec {
     assert(Filters.sortPublishedWithFallback(garbage, "published", "link")
       .select("link").as[String].collect().toSeq == Seq("a", "c", "b"))
   }
+
+  test("perKeyCap keeps at most n per key, deterministically, map-side pruned") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "big" else "small"))
+      .toDF("id", "domain")
+    val capped = Filters.perKeyCap(df, "domain", "id", n = 5)
+    val byKey = capped.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byKey == Map("big" -> 5L, "small" -> 5L))
+    // deterministic: same pick set on a differently-partitioned input
+    val again = Filters.perKeyCap(df.repartition(7), "domain", "id", n = 5)
+      .select("id").as[Long].collect().toSet
+    assert(again == capped.select("id").as[Long].collect().toSet)
+    // pick_order is 1..n within each key
+    assert(capped.filter(col("pick_order") < 1 || col("pick_order") > 5)
+      .count() == 0)
+    // the rank filter must rewrite to WindowGroupLimit so each map task
+    // pre-prunes to n rows per key before the exchange
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
 }

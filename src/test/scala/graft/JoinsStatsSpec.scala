@@ -274,6 +274,26 @@ class JoinsStatsSpec extends SparkSpec {
     assert(got("lin")._2 == 2.5)
   }
 
+  test("zscoreOutliers flags only far-out values; zero-variance and null safe") {
+    // group "a": 20 values at 10.0 plus one at 1000 → the 1000 is >3σ out
+    val rows = (1 to 20).map(i => (i.toLong, "a", 10.0: java.lang.Double)) ++
+      Seq((21L, "a", 1000.0: java.lang.Double),
+        (22L, "a", null: java.lang.Double),   // excluded, not an outlier
+        (30L, "flat", 5.0: java.lang.Double), // zero variance → no outliers
+        (31L, "flat", 5.0: java.lang.Double))
+    val df = rows.toDF("id", "g", "v")
+    val out = Stats.zscoreOutliers(df, "g", "id", "v", z = 3.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(out.length == 1)
+    val (id, g, zs) = out.head
+    assert(id == 21L && g == "a" && zs > 4.0)
+    // no shuffle of the data side beyond the stats agg: the stats join
+    // back must be a broadcast, never a sort-merge over the stream
+    val plan = Stats.zscoreOutliers(df, "g", "id", "v", z = 3.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("Redact.scrub replaces emails before digit runs, counts audit") {
     val df = Seq(
       ("contact bob99@example.com or 555-123-4567", 1),
