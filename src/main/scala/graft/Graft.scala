@@ -39,6 +39,7 @@ object Graft {
     graft.expr.KmvSketchAgg.register(spark)
     graft.expr.OrderedPairs.register(spark)
     graft.expr.NfcNormalize.register(spark)
+    graft.expr.CmsSketchAgg.register(spark)
     // per-session injection of the opt-in AQP rewrite (a no-op unless
     // spark.graft.approxCountDistinct is set) — works on sessions
     // built without spark.sql.extensions, e.g. the driver's own.

@@ -1197,6 +1197,16 @@ object SparkEntry {
     "q97_tfidf_terms" -> ((s, dir) => {
       Graft.tune(s)
       TfIdf.topTerms(tp(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // count-min heavy hitters: ONE bounded 4×64 sketch over all events
+    // (native mergeable aggregate — d·w longs per partition cross the
+    // exchange, not per-key state), broadcast back, probe each user
+    "q98_cms_heavy" -> ((s, dir) => {
+      Graft.tune(s)
+      Sketches.cmsHeavyHitters(t(s, dir, "events"), "user_id",
+          depth = 4, width = 64, threshold = 75L)
+        .select(col("user_id"), col("n_exact"), col("cms_estimate"))
     })
   )
 
@@ -2546,7 +2556,30 @@ object SparkEntry {
                    ORDER BY w DESC, t) AS rnk
                FROM w)
        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, t AS term, w AS weight
-       FROM r WHERE rnk <= 3"""
+       FROM r WHERE rnk <= 3""",
+
+    "q98_cms_heavy" ->
+      """WITH rowb AS (
+           SELECT j,
+                  CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||
+                         CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS bkt,
+                  COUNT(*) AS c
+           FROM events CROSS JOIN range(4) AS r(j)
+           WHERE user_id IS NOT NULL
+           GROUP BY 1, 2),
+         keys AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+                  WHERE user_id IS NOT NULL GROUP BY 1),
+         probes AS (
+           SELECT k.user_id, k.n_exact, rowb.c
+           FROM keys k
+           CROSS JOIN range(4) AS r(j)
+           JOIN rowb ON rowb.j = r.j
+             AND rowb.bkt = CAST(('0x' || substr(md5(CAST(k.user_id AS VARCHAR)
+                   || '#' || CAST(r.j AS VARCHAR)), 1, 15)) AS BIGINT) % 64),
+         est AS (SELECT user_id, MIN(n_exact) AS n_exact, MIN(c) AS cms_estimate
+                 FROM probes GROUP BY 1)
+       SELECT user_id, n_exact, cms_estimate
+       FROM est WHERE cms_estimate >= 75"""
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the

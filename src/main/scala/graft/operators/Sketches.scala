@@ -82,4 +82,47 @@ object Sketches {
       .select(col(groupCol),
         col("_kmv.kmv_k").as("kmv_k"),
         col("_kmv.kmv_estimate").as("kmv_estimate"))
+
+  /** Probe a count-min sketch array (graft.expr.CmsSketchAgg output)
+    * for `key`'s estimated frequency: min over the depth rows of the
+    * key's bucket counter. Pure builtins (`element_at` + `least`), so
+    * the probe stays inside whole-stage codegen.
+    */
+  def cmsEstimate(sketch: Column, key: Column, depth: Int, width: Int): Column = {
+    val probes = (0 until depth).map { j =>
+      val bucket = pmod(graft.functions.TextAnalysis.md5Long(
+        concat(key.cast(StringType), lit("#" + j))), lit(width.toLong))
+      element_at(sketch, (bucket + lit(j * width) + lit(1)).cast(IntegerType))
+    }
+    if (probes.size == 1) probes.head else least(probes: _*)
+  }
+
+  /** Count-min heavy hitters: build ONE bounded d×w sketch over the
+    * whole column (the native mergeable aggregate — the exchange
+    * carries d·w longs per partition, never per-key state), broadcast
+    * the single sketch row back, probe every candidate key, and keep
+    * those whose ESTIMATE clears the threshold. CMS never
+    * underestimates, so the output is a superset of the true heavy
+    * hitters — the standard two-phase shape (sketch-gate, then exact
+    * count only the survivors) at 100 TB, where the candidate set here
+    * (`df`'s distinct keys) would come from a sample or a second CMS
+    * pass, not a full distinct.
+    *
+    * Output: (keyCol, n_exact, cms_estimate ≥ threshold). The exact
+    * count is included so callers (and the oracle) can see the
+    * collision overestimate; production drops it.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int, width: Int,
+      threshold: Long): DataFrame = {
+    val sketch = df.agg(call_function(graft.expr.CmsSketchAgg.FunctionName,
+      col(keyCol).cast(StringType), lit(depth), lit(width)).as("_sk"))
+    val exact = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
+    // one-row build side: the broadcast nested-loop join is a single
+    // sketch row fanned to every key — bounded and intentional
+    exact.join(broadcast(sketch))
+      .select(col(keyCol), col("n_exact"),
+        cmsEstimate(col("_sk"), col(keyCol), depth, width).as("cms_estimate"))
+      .filter(col("cms_estimate") >= threshold)
+  }
 }

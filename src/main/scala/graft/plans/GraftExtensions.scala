@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BloomMightContain, CosineSimilarity, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{BloomMightContain, CmsSketchAgg, CosineSimilarity, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -64,6 +64,11 @@ object GraftExtensions {
         exprs => OrderedPairs(exprs.head)),
       (FunctionIdentifier(NfcNormalize.FunctionName),
         info(NfcNormalize.FunctionName, classOf[NfcNormalize]),
-        exprs => NfcNormalize(exprs.head))
+        exprs => NfcNormalize(exprs.head)),
+      (FunctionIdentifier(CmsSketchAgg.FunctionName),
+        info(CmsSketchAgg.FunctionName, classOf[CmsSketchAgg]),
+        exprs => CmsSketchAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()))
     )
 }

@@ -257,6 +257,37 @@ class JoinsStatsSpec extends SparkSpec {
     assert(est2 == est)
   }
 
+  test("CMS sketch never underestimates, exact without collisions, partition-invariant") {
+    import graft.operators.Sketches
+    // 26 keys in a width-512 sketch: collisions are possible but the
+    // estimate must NEVER be below the true count (CMS invariant)
+    val rows = ('a' to 'z').flatMap(c => Seq.fill(c - 'a' + 1)(c.toString))
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Sketches.cmsHeavyHitters(df, "k", depth = 4, width = 512,
+        threshold = 0L)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 26)
+    ('a' to 'z').foreach { c =>
+      val (exact, est) = got(c.toString)
+      assert(exact == (c - 'a' + 1).toLong)
+      assert(est >= exact, s"CMS underestimated $c: $est < $exact")
+    }
+    // deterministic + mergeable: a differently-partitioned input builds
+    // the bit-identical sketch (merge is element-wise add)
+    val again = Sketches.cmsHeavyHitters(df.repartition(13), "k",
+        depth = 4, width = 512, threshold = 0L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == got)
+    // SQL surface: the raw aggregate returns the d·w counter array and
+    // total mass d × rows (every row increments one bucket per row-hash)
+    df.createOrReplaceTempView("cms_in")
+    val arr = spark.sql("SELECT graft_cms(k, 4, 512) FROM cms_in")
+      .head().getAs[scala.collection.Seq[Long]](0)
+    assert(arr.size == 4 * 512)
+    assert(arr.sum == 4L * rows.size)
+  }
+
   test("Stats.correlation: exact r on a known line, null exclusion, degenerate group") {
     val df = Seq[(String, java.lang.Double, java.lang.Double)](
       ("lin", 1.0, 3.0), ("lin", 2.0, 5.0), ("lin", 3.0, 7.0),   // y = 2x+1 → r=1
