@@ -1207,6 +1207,48 @@ object SparkEntry {
       Sketches.cmsHeavyHitters(t(s, dir, "events"), "user_id",
           depth = 4, width = 64, threshold = 75L)
         .select(col("user_id"), col("n_exact"), col("cms_estimate"))
+    }),
+
+    // out-of-vocabulary rate per doc against the min-count vocabulary
+    // (q72's): the tokenizer-coverage gate of a training pipeline —
+    // vocab is bounded → broadcast; docs with no tokens rate 0
+    "q99_oov_rate" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("_t"))
+      val vocab = toks.groupBy("_t").agg(count(lit(1)).as("_f"))
+        .filter(col("_f") >= 5).select(col("_t"), lit(1).as("_in"))
+      val per = toks.join(broadcast(vocab), Seq("_t"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(col("n_tokens").isNull, 0.0)
+            .otherwise(round(col("n_oov").cast(DoubleType) /
+              col("n_tokens"), 6)).as("oov_rate"))
+    }),
+
+    // robust (median/MAD) outliers per event type — the heavy-tail-safe
+    // sibling of q95: same data, median/MAD instead of mean/stddev
+    "q100_mad_outliers" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value"))
+      Stats.madOutliers(ev, "event_type", "event_id", "value", z = 3.5)
+    }),
+
+    // ordered event-type trajectory per user (first 10 events): the
+    // sequence-model input; WindowGroupLimit bounds the collected group
+    "q101_event_paths" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      Sessions.eventPaths(ev, "user_id", "ts2", "event_id", "event_type",
+        maxEvents = 10)
     })
   )
 
@@ -2579,7 +2621,52 @@ object SparkEntry {
          est AS (SELECT user_id, MIN(n_exact) AS n_exact, MIN(c) AS cms_estimate
                  FROM probes GROUP BY 1)
        SELECT user_id, n_exact, cms_estimate
-       FROM est WHERE cms_estimate >= 75"""
+       FROM est WHERE cms_estimate >= 75""",
+
+    "q99_oov_rate" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                       '[^a-z0-9]+'), x -> x <> '')) AS t
+           FROM documents),
+         vocab AS (SELECT t FROM tok GROUP BY t HAVING COUNT(*) >= 5),
+         per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov
+                 FROM tok LEFT JOIN vocab v USING (t) GROUP BY doc_id)
+       SELECT d.doc_id,
+              COALESCE(per.n_tokens, 0) AS n_tokens,
+              COALESCE(per.n_oov, 0) AS n_oov,
+              CASE WHEN per.n_tokens IS NULL THEN 0.0
+                   ELSE ROUND(CAST(per.n_oov AS DOUBLE) / per.n_tokens, 6)
+              END AS oov_rate
+       FROM documents d LEFT JOIN per USING (doc_id)""",
+
+    "q100_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         dev AS (SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS v,
+                   med.med, abs(CAST(e.value AS DOUBLE) - med.med) AS adev
+                 FROM events e JOIN med USING (event_type)
+                 WHERE e.value IS NOT NULL),
+         mad AS (SELECT event_type, ROUND(quantile_cont(adev, 0.5), 4) AS mad
+                 FROM dev GROUP BY 1)
+       SELECT event_id, event_type, v AS value,
+              ROUND((v - med) / (1.4826 * mad), 4) AS robust_z
+       FROM dev JOIN mad USING (event_type)
+       WHERE mad > 0 AND abs((v - med) / (1.4826 * mad)) > 3.5""",
+
+    "q101_event_paths" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events)
+       SELECT user_id,
+              string_agg(event_type, '>' ORDER BY rn) AS path,
+              COUNT(*) AS path_len
+       FROM r WHERE rn <= 10 GROUP BY user_id"""
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the

@@ -108,6 +108,33 @@ object Sessions {
           sum(col("n")).over(norm), 6))
   }
 
+  /** Per-entity ordered event-type path (trajectory extraction): the
+    * first `maxEvents` events' types joined into one `sep`-delimited
+    * string — the sequence-mining / behavior-model input shape
+    * ("view>click>purchase").
+    *
+    * Scale shape: the `row_number <= maxEvents` prefilter rewrites to
+    * WindowGroupLimit (each map task keeps maxEvents rows per entity
+    * BEFORE the shuffle), so the later `collect_list` aggregates a
+    * provably bounded group — never "all events of a hot user" —
+    * and sorts ≤ maxEvents structs per entity in memory.
+    */
+  def eventPaths(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, maxEvents: Int,
+      sep: String = ">"): DataFrame = {
+    require(maxEvents > 0, s"maxEvents must be positive: $maxEvents")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("_rn", row_number().over(order))
+      .filter(col("_rn") <= maxEvents)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_rn"), col(typeCol)))),
+          x => x.getField(typeCol)),
+        sep).as("path"),
+        count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("path_len"))
+  }
+
   /** Strict ordered funnel over an event stream: how many entities
     * reached each stage, where stage k requires an event of type
     * `stages(k)` STRICTLY AFTER the timestamp that completed stage

@@ -132,6 +132,35 @@ object Stats {
         round(zc, 6).as("zscore"))
   }
 
+  /** Robust (median/MAD) per-group outlier detection — the z-score
+    * variant's heavy-tail-safe sibling: a handful of extreme values
+    * inflate mean AND stddev, masking true outliers, while the median and
+    * the median-absolute-deviation ignore them. robust_z =
+    * (x − median) / (1.4826 · MAD), the standard normal-consistency
+    * scaling; rows with |robust_z| > `z` are flagged.
+    *
+    * Built on [[percentiles]] (value-histogram form, never buffering a
+    * group in memory): one pass for the median, one for the MAD over
+    * deviations, both broadcast back — three scans total, each
+    * shuffling only histogram-sized data. Zero-MAD groups produce no
+    * outliers (degenerate spread).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, z: Double = 3.5): DataFrame = {
+    val med = percentiles(df, groupCol, valueCol, Seq(("med", 0.5)))
+    val withMed = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("_adev", abs(col(valueCol).cast(DoubleType) - col("med")))
+    val mad = percentiles(withMed, groupCol, "_adev", Seq(("mad", 0.5)))
+    val rz = (col(valueCol).cast(DoubleType) - col("med")) /
+      (lit(1.4826) * col("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("mad") > 0 && abs(rz) > z)
+      .select(col(idCol), col(groupCol),
+        col(valueCol).cast(DoubleType).as("value"),
+        round(rz, 4).as("robust_z"))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket k covers
     * [k·width, (k+1)·width). One map-side-combined aggregation whose
     * output is bounded by the value RANGE over width, not the row

@@ -325,6 +325,38 @@ class JoinsStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("madOutliers flags the far value, survives zero-MAD groups") {
+    // values 1..9 + 100: median 5.5, MAD 2.5 → only the 100 clears 3.5
+    val a = (1 to 9).map(v => (v.toLong, "a", v.toDouble)) :+ ((10L, "a", 100.0))
+    // constant-with-one-spike group: MAD = 0 → no outliers by contract
+    val b = Seq((20L, "b", 5.0), (21L, "b", 5.0), (22L, "b", 5.0),
+      (23L, "b", 5.0), (24L, "b", 100.0))
+    val df = (a ++ b).toDF("id", "g", "v")
+    val out = Stats.madOutliers(df, "g", "id", "v", z = 3.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(out.length == 1)
+    assert(out.head._1 == 10L && out.head._2 == "a")
+    // robust_z = 94.5 / (1.4826 · 2.5) = 25.49575…, rounded to 4dp
+    assert(out.head._3 == 25.4958)
+  }
+
+  test("eventPaths orders by ts with tie-break, truncates at maxEvents") {
+    val ev = Seq(
+      (1L, 1L, "u1", "view"), (2L, 2L, "u1", "click"), (3L, 3L, "u1", "purchase"),
+      (4L, 4L, "u1", "view"),
+      (10L, 5L, "u2", "signup"), (10L, 6L, "u2", "view") // ts tie → event_id order
+    ).toDF("ts", "event_id", "user_id", "event_type")
+    val paths = Sessions.eventPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxEvents = 3)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(paths("u1") == (("view>click>purchase", 3L))) // 4th event truncated
+    assert(paths("u2") == (("signup>view", 2L)))
+    // the prefilter must map-side prune before the shuffle
+    val plan = Sessions.eventPaths(ev, "user_id", "ts", "event_id",
+      "event_type", maxEvents = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("Redact.scrub replaces emails before digit runs, counts audit") {
     val df = Seq(
       ("contact bob99@example.com or 555-123-4567", 1),
