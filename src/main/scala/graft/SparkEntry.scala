@@ -1249,6 +1249,31 @@ object SparkEntry {
       val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
       Sessions.eventPaths(ev, "user_id", "ts2", "event_id", "event_type",
         maxEvents = 10)
+    }),
+
+    // quantile normalization of quality scores WITHIN each language:
+    // percent_rank calibrates scores across languages whose raw
+    // distributions differ — the cross-lingual sampling-weight input.
+    // The window sorts per language group: the honest cost of exact
+    // ranks; ties share a rank so the output is engine-deterministic
+    "q102_quality_calibrated" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality_score"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scoredDocs(docs).select(col("doc_id"), col("quality_score")),
+          "doc_id")
+        .withColumn("quality_pct", round(percent_rank().over(w), 6))
+    }),
+
+    // near-subset detection: containment |A∩B| / min(|A|,|B|) catches a
+    // short doc quoted inside a long one, which jaccard's union term
+    // dilutes — the quote/boilerplate-absorption curation signal
+    "q103_containment_pairs" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.containmentPairs(tp(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6, maxDocFreq = 100L)
     })
   )
 
@@ -2666,7 +2691,36 @@ object SparkEntry {
        SELECT user_id,
               string_agg(event_type, '>' ORDER BY rn) AS path,
               COUNT(*) AS path_len
-       FROM r WHERE rn <= 10 GROUP BY user_id"""
+       FROM r WHERE rn <= 10 GROUP BY user_id""",
+
+    "q102_quality_calibrated" -> curationSql(
+      """SELECT s.doc_id, d.lang, s.quality_score,
+              ROUND(percent_rank() OVER (PARTITION BY d.lang
+                ORDER BY s.quality_score), 6) AS quality_pct
+         FROM scored s JOIN documents d USING (doc_id)"""),
+
+    "q103_containment_pairs" ->
+      """WITH sets AS (
+           SELECT doc_id, list_distinct(
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE [array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, len(toks) - 1)] END) AS sh
+           FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+                 FROM documents)),
+         sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+         postings AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+         common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+                    FROM postings a JOIN postings b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+       SELECT id1, id2,
+              ROUND(CAST(c AS DOUBLE) / least(s1.n, s2.n), 6) AS containment
+       FROM common
+       JOIN sizes s1 ON common.id1 = s1.doc_id
+       JOIN sizes s2 ON common.id2 = s2.doc_id
+       WHERE ROUND(CAST(c AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.6"""
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the

@@ -89,6 +89,44 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val (common, sizes) = commonAndSizes(df, idCol, textCol, n, maxDocFreq)
+    common
+      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
+      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
+      .withColumn("jaccard",
+        round(col("_common").cast(DoubleType) /
+          (col("_n1") + col("_n2") - col("_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Near-SUBSET detection: pairs whose n-gram CONTAINMENT
+    * |A ∩ B| / min(|A|, |B|) clears the threshold — catches a short
+    * document quoted/embedded inside a long one, which Jaccard misses
+    * (the union term dilutes asymmetric overlap: a 50-shingle doc fully
+    * contained in a 5000-shingle doc has jaccard ≈ 0.01 but
+    * containment 1.0). The quote/boilerplate-absorption signal of a
+    * curation pipeline. Same inverted-index shape and skew cap as
+    * [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val (common, sizes) = commonAndSizes(df, idCol, textCol, n, maxDocFreq)
+    common
+      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
+      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
+      .withColumn("containment",
+        round(col("_common").cast(DoubleType) / least(col("_n1"), col("_n2")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
+  }
+
+  /** Shared inverted-index core of [[jaccardPairs]] /
+    * [[containmentPairs]]: per-pair common-shingle counts + per-doc
+    * distinct-shingle sizes.
+    */
+  private def commonAndSizes(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Long): (DataFrame, DataFrame) = {
     // Three consumers walk the shingle sets (postings + both sizes
     // joins); persisting the sets caps the scan→shingle derivation at
     // one pass, same as minhashDedupPairs.
@@ -125,14 +163,7 @@ object Dedup {
       .filter(col("_p.id1") =!= col("_p.id2"))
       .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .agg(count(lit(1)).as("_common"))
-    common
-      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
-      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
-      .withColumn("jaccard",
-        round(col("_common").cast(DoubleType) /
-          (col("_n1") + col("_n2") - col("_common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    (common, sizes)
   }
 
   /** Cross-corpus near-dup pairs: (a, b) with a FROM `corpusA` and

@@ -16,6 +16,27 @@ class DedupSimilaritySpec extends SparkSpec {
     (5L, "spark sql engines process completely different content")
   ).toDF("doc_id", "text")
 
+  test("containmentPairs catches a quoted doc that jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val host = ("completely unrelated framing text opens this long document " +
+      "with many extra sentences about spark catalyst optimizers and " +
+      "distributed shuffle exchanges before finally citing " + quote +
+      " and then continuing with yet more unrelated trailing material " +
+      "about parquet encodings and broadcast joins at cluster scale")
+    val df = Seq((1L, quote), (2L, host)).toDF("doc_id", "text")
+    // every 3-shingle of the quote appears in the host → containment 1.0
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.9).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getLong(0) == 1L && cont.head.getLong(1) == 2L)
+    assert(cont.head.getDouble(2) == 1.0)
+    // jaccard's union term dilutes the same pair to ~|A|/|B| — far
+    // below any dedup threshold: the asymmetric case needs containment
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
   test("clusterRepresentatives keeps the best-scoring member per cluster") {
     val clusters = Seq(
       (1L, 1L), (2L, 1L), (4L, 1L), // one near-dup cluster, canonical 1
