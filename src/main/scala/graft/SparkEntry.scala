@@ -1274,6 +1274,15 @@ object SparkEntry {
       Graft.tune(s)
       Dedup.containmentPairs(tp(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.6, maxDocFreq = 100L)
+    }),
+
+    // temperature (α=0.3) multilingual rebalancing: the XLM-R/mT5
+    // sampling scheme — α-smoothed shares induce per-language keep
+    // rates (largest boost keeps 100%), deterministic md5 draw per doc
+    "q104_temperature_sample" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.3)
     })
   )
 
@@ -2720,7 +2729,28 @@ object SparkEntry {
        FROM common
        JOIN sizes s1 ON common.id1 = s1.doc_id
        JOIN sizes s2 ON common.id2 = s2.doc_id
-       WHERE ROUND(CAST(c AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.6"""
+       WHERE ROUND(CAST(c AS DOUBLE) / least(s1.n, s2.n), 6) >= 0.6""",
+
+    "q104_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         f AS (SELECT lang, n,
+                 CAST(n AS DOUBLE) / SUM(n) OVER () AS p
+               FROM c),
+         r AS (SELECT lang, n,
+                 pow(p, 0.3) / p AS r0
+               FROM f),
+         k AS (SELECT lang, n,
+                 ROUND(r0 / MAX(r0) OVER (), 6) AS keep_frac,
+                 CAST(ROUND(ROUND(r0 / MAX(r0) OVER (), 6) * 1000000)
+                      AS BIGINT) AS thr
+               FROM r)
+       SELECT k.lang, k.n AS n_docs, k.keep_frac,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+       FROM documents d
+       JOIN k ON d.lang = k.lang
+       WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 < k.thr
+       GROUP BY 1, 2, 3"""
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the

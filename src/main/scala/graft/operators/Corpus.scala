@@ -395,4 +395,62 @@ object Corpus {
         concat(col(keyCol).cast(StringType), lit(salt))), lit(1000000L))
         < threshold)
   }
+
+  /** Temperature (α-smoothed) multilingual rebalancing — the XLM-R /
+    * mT5 sampling scheme: group shares p_g are smoothed to q_g ∝ p_g^α
+    * (α < 1 boosts low-resource groups), which induces per-group keep
+    * rates r_g = (q_g / p_g) / max(q_g / p_g) — the largest boost
+    * keeps 100%, over-represented groups are downsampled. Each row's
+    * keep decision is the deterministic md5 draw from
+    * [[stratifiedSample]]'s contract, so the selection is reproducible
+    * across runs, partitionings and engines.
+    *
+    * Shape: one map-side-combined count per group (output = group
+    * count), rates derive on the tiny counts frame (a window over
+    * groups only), broadcast back, one scan filters. Returns the
+    * per-group summary (n_docs, keep_frac, n_kept); `sampled` exposes
+    * the surviving rows themselves for pipeline use.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+      alpha: Double, salt: String = ""): DataFrame = {
+    val fracs = temperatureFracs(df, groupCol, alpha)
+    df.join(broadcast(fracs), Seq(groupCol))
+      .filter(keepDraw(col(keyCol), salt) < col("_thr"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(fracs), Seq(groupCol))
+      .select(col(groupCol), col("_n").as("n_docs"),
+        col("keep_frac"), col("n_kept"))
+  }
+
+  /** The surviving rows of [[temperatureSample]]'s draw. */
+  def temperatureSampled(df: DataFrame, keyCol: String, groupCol: String,
+      alpha: Double, salt: String = ""): DataFrame = {
+    val fracs = temperatureFracs(df, groupCol, alpha)
+    df.join(broadcast(fracs.select(col(groupCol), col("_thr"))), Seq(groupCol))
+      .filter(keepDraw(col(keyCol), salt) < col("_thr"))
+      .drop("_thr")
+  }
+
+  private def keepDraw(key: Column, salt: String): Column =
+    pmod(graft.functions.TextAnalysis.md5Long(
+      concat(key.cast(StringType), lit(salt))), lit(1000000L))
+
+  private def temperatureFracs(df: DataFrame, groupCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val total = Window.partitionBy()
+    // r0_g = (n_g/N)^α / (n_g/N); keep_frac = r0_g / max(r0_g). The
+    // windows run over the GROUP COUNT table (a handful of rows), not
+    // the data — a driver-free global normalization.
+    counts
+      .withColumn("_p", col("_n").cast(DoubleType) /
+        sum(col("_n")).over(total).cast(DoubleType))
+      .withColumn("_r0", pow(col("_p"), lit(alpha)) / col("_p"))
+      .withColumn("keep_frac",
+        round(col("_r0") / max(col("_r0")).over(total), 6))
+      .withColumn("_thr", round(col("keep_frac") * 1000000).cast(LongType))
+      .select(col(groupCol), col("_n"), col("keep_frac"), col("_thr"))
+  }
 }

@@ -256,4 +256,29 @@ class CorpusSpec extends SparkSpec {
     // unlisted group defaults to rate 0
     assert(!small.exists(_ % 2 == 1))
   }
+
+  test("temperatureSample boosts low-resource groups, α=1 keeps everything") {
+    // 1600 en vs 400 fr: at α=0.3, r0 ∝ p^(α−1) so the rarer group gets
+    // the larger boost → fr keeps 100%, en is downsampled to
+    // (p_fr/p_en)^0.7 = 0.25^0.7 ≈ 0.379
+    val df = ((0L until 1600L).map(i => (i, "en")) ++
+      (2000L until 2400L).map(i => (i, "fr"))).toDF("doc_id", "lang")
+    val got = Corpus.temperatureSample(df, "doc_id", "lang", alpha = 0.3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got("fr")._1 == 400L && got("fr")._2 == 1.0 && got("fr")._3 == 400L)
+    assert(got("en")._1 == 1600L)
+    assert(math.abs(got("en")._2 - math.pow(0.25, 0.7)) < 1e-4)
+    // md5 draw is uniform → kept count tracks the rate (±25%)
+    val expected = 1600 * got("en")._2
+    assert(math.abs(got("en")._3 - expected) < expected * 0.25)
+    // α=1 is a no-op: q_g = p_g → every keep rate 1.0
+    val flat = Corpus.temperatureSample(df, "doc_id", "lang", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(flat == Map("en" -> 1600L, "fr" -> 400L))
+    // the sampled rows themselves match the summary counts
+    val rows = Corpus.temperatureSampled(df, "doc_id", "lang", alpha = 0.3)
+    assert(rows.count() == got("en")._3 + got("fr")._3)
+    assert(rows.columns.toSeq == Seq("lang", "doc_id"))
+  }
 }
