@@ -100,14 +100,57 @@ object TfIdf {
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    require(k > 0, s"k must be positive: $k")
     val n = docs.count()
-    val idf: Column => Column = df0 =>
-      log((lit(n + 1).cast(DoubleType)) / (df0 + lit(1))) + lit(1.0)
     val postings = docs
       .select(col(idCol).as("_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("_t"))
     val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    rankFromTf(tf, n, k, idCol)
+  }
+
+  /** Materialize the corpus term-frequency postings as a parquet table
+    * BUCKETED BY TERM — the cluster-scale amortization the per-query
+    * forms note in [[similarity]]: tokenize/explode/aggregate once,
+    * then every downstream consumer (df counts, weight joins, query
+    * dots) reads term-clustered, term-sorted buckets and the whole
+    * term-keyed dataflow runs WITHOUT a single exchange. At 100 TB the
+    * inverted index is built once per corpus snapshot, not per query.
+    */
+  def writePostings(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 32): Unit = {
+    val tf = docs
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    Scale.writeBucketed(tf, table, "_t", buckets)
+  }
+
+  /** [[topTerms]] over a materialized [[writePostings]] table. The df
+    * aggregation and the tf⋈df weight join both key on the bucket
+    * column, so neither shuffles (ScaleSpec proves exactly one
+    * exchange survives: the final per-doc ranking). `nDocs` is the
+    * corpus size for the idf; pass it from the snapshot metadata —
+    * the default recomputes it from the postings (token-less docs
+    * never reach the index, so supply the true count when they exist).
+    */
+  def topTermsFromPostings(spark: org.apache.spark.sql.SparkSession,
+      table: String, k: Int, nDocs: Long = -1L,
+      outIdCol: String = "doc_id"): DataFrame = {
+    val tf = spark.table(table)
+    val n = if (nDocs >= 0) nDocs
+      else tf.select(countDistinct(col("_id"))).head().getLong(0)
+    rankFromTf(tf, n, k, outIdCol)
+  }
+
+  /** Shared ranking tail of the topTerms family: smooth-idf weights
+    * from a (_id, _t, _tf) postings frame, then the
+    * WindowGroupLimit-pruned per-doc top-k.
+    */
+  private def rankFromTf(tf: DataFrame, nDocs: Long, k: Int,
+      outIdCol: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val idf: Column => Column = df0 =>
+      log((lit(nDocs + 1).cast(DoubleType)) / (df0 + lit(1))) + lit(1.0)
     val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
     val weights = tf.join(dfreq, "_t")
       .select(col("_id"), col("_t"),
@@ -116,7 +159,7 @@ object TfIdf {
       .partitionBy(col("_id")).orderBy(col("_w").desc, col("_t"))
     weights.withColumn("_rnk", row_number().over(w))
       .filter(col("_rnk") <= k)
-      .select(col("_id").as(idCol), col("_rnk").cast(LongType).as("rnk"),
+      .select(col("_id").as(outIdCol), col("_rnk").cast(LongType).as("rnk"),
         col("_t").as("term"), col("_w").as("weight"))
   }
 }

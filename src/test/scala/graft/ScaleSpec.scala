@@ -32,6 +32,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("materialized postings table: term-keyed dataflow is exchange-free") {
+    import graft.operators.TfIdf
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = Seq(
+      (1L, "spark sql engine spark"), (2L, "spark shuffle exchange"),
+      (3L, "sql exchange planner"), (4L, "engine planner shuffle sql")
+    ).toDF("doc_id", "text")
+    TfIdf.writePostings(docs, "doc_id", "text", "postings_spec_t", buckets = 4)
+    try {
+      val fromTable = TfIdf.topTermsFromPostings(spark, "postings_spec_t",
+        k = 2, nDocs = 4)
+      // identical to the from-scratch form on the same corpus
+      val direct = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+        .collect().map(_.toSeq).toSet
+      assert(fromTable.collect().map(_.toSeq).toSet == direct)
+      // the df aggregation AND the tf⋈df weight join both key on the
+      // bucket column, so the ONLY exchange left is the final per-doc
+      // ranking — build the index once, query it shuffle-free forever
+      assert(Scale.countExchanges(fromTable) == 1,
+        fromTable.queryExecution.executedPlan.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS postings_spec_t")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("date-partitioned storage prunes partitions at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = (1 to 300).map(i =>
