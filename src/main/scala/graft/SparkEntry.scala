@@ -1283,6 +1283,27 @@ object SparkEntry {
       Graft.tune(s)
       Corpus.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
         alpha = 0.3)
+    }),
+
+    // per-type winsorization into the [p05, p95] band: percentile
+    // bounds from the histogram form, broadcast back, one data scan
+    "q105_winsorize" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        col("value"))
+      Stats.winsorize(ev, "event_type", "value", pLo = 0.05, pHi = 0.95)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), col("lo"), col("hi"),
+          round(col("clipped"), 6).as("clipped"))
+    }),
+
+    // distinct-n lexical diversity per language: unique/total n-grams
+    // for n=1,2 — the corpus-health metric (low distinct-2 flags
+    // templated text); bigrams never cross doc boundaries
+    "q106_distinct_ngrams" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.distinctNgramRatios(t(s, dir, "documents"), "doc_id", "text",
+        "lang")
     })
   )
 
@@ -2750,7 +2771,44 @@ object SparkEntry {
        JOIN k ON d.lang = k.lang
        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                   AS BIGINT) % 1000000 < k.thr
-       GROUP BY 1, 2, 3"""
+       GROUP BY 1, 2, 3""",
+
+    "q105_winsorize" ->
+      """WITH b AS (
+           SELECT event_type,
+                  ROUND(quantile_cont(value, 0.05), 4) AS lo,
+                  ROUND(quantile_cont(value, 0.95), 4) AS hi
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+       SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value, b.lo, b.hi,
+              ROUND(least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi), 6)
+                AS clipped
+       FROM events e JOIN b USING (event_type)""",
+
+    "q106_distinct_ngrams" ->
+      """WITH toks AS (
+           SELECT lang, doc_id,
+                  list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents),
+         uni AS (
+           SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS distinct_1
+           FROM (SELECT lang, unnest(tk) AS t FROM toks) GROUP BY 1),
+         bg AS (
+           SELECT lang, COUNT(*) AS n_bigrams, COUNT(DISTINCT b) AS distinct_2
+           FROM (SELECT lang,
+                   [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+                     AS bs
+                 FROM toks WHERE len(tk) >= 2),
+                UNNEST(bs) AS u(b)
+           GROUP BY 1)
+       SELECT uni.lang, n_tokens, distinct_1,
+              ROUND(CAST(distinct_1 AS DOUBLE) / n_tokens, 6) AS ratio_1,
+              COALESCE(n_bigrams, 0) AS n_bigrams,
+              COALESCE(distinct_2, 0) AS distinct_2,
+              CASE WHEN n_bigrams IS NULL THEN NULL
+                   ELSE ROUND(CAST(distinct_2 AS DOUBLE) / n_bigrams, 6)
+              END AS ratio_2
+       FROM uni LEFT JOIN bg USING (lang)"""
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the

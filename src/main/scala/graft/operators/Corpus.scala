@@ -436,6 +436,43 @@ object Corpus {
     pmod(graft.functions.TextAnalysis.md5Long(
       concat(key.cast(StringType), lit(salt))), lit(1000000L))
 
+  /** Distinct-n lexical diversity per group: unique n-grams over total
+    * n-grams for n = 1, 2 — the corpus-health / generation-diversity
+    * metric (low distinct-2 flags templated or repetitive text).
+    * Bigrams never cross document boundaries (per-doc posexplode +
+    * lead, the q84 PMI shape). Two histogram aggregations whose
+    * output is bounded by the vocabulary, not the corpus.
+    */
+  def distinctNgramRatios(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        graft.functions.TextAnalysis.tokens(
+          coalesce(col(textCol), lit(""))).as("_tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(col("_g"), explode(col("_tk")).as("_t"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("_t")).as("distinct_1"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val bg = toks
+      .select(col("_g"), col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
+      .withColumn("_next", lead(col("_t"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col("_g"), concat(col("_t"), lit(" "), col("_next")).as("_b"))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("_b")).as("distinct_2"))
+    uni.join(bg, Seq("_g"), "left_outer")
+      .select(col("_g").as(groupCol), col("n_tokens"), col("distinct_1"),
+        round(col("distinct_1").cast(DoubleType) / col("n_tokens"), 6)
+          .as("ratio_1"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("distinct_2"), lit(0L)).as("distinct_2"),
+        when(col("n_bigrams").isNull, lit(null).cast(DoubleType))
+          .otherwise(round(col("distinct_2").cast(DoubleType) /
+            col("n_bigrams"), 6)).as("ratio_2"))
+  }
+
   private def temperatureFracs(df: DataFrame, groupCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")

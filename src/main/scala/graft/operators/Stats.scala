@@ -161,6 +161,23 @@ object Stats {
         round(rz, 4).as("robust_z"))
   }
 
+  /** Per-group winsorization: clip `valueCol` into its group's
+    * [pLo, pHi] percentile band — the standard outlier-taming
+    * preprocessing step before averaging/regression on heavy-tailed
+    * metrics. Bounds come from [[percentiles]] (histogram form) and
+    * broadcast back; the data itself is scanned once and never
+    * re-shuffled. Output adds `lo`, `hi` and the clipped value.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi: $pLo, $pHi")
+    val bounds = percentiles(df, groupCol, valueCol,
+      Seq(("lo", pLo), ("hi", pHi)))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clipped",
+        least(greatest(col(valueCol).cast(DoubleType), col("lo")), col("hi")))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket k covers
     * [k·width, (k+1)·width). One map-side-combined aggregation whose
     * output is bounded by the value RANGE over width, not the row

@@ -257,6 +257,27 @@ class CorpusSpec extends SparkSpec {
     assert(!small.exists(_ % 2 == 1))
   }
 
+  test("distinctNgramRatios: diversity drops on repeated text, no cross-doc bigrams") {
+    val df = Seq(
+      (1L, "varied", "alpha beta gamma delta"),
+      (2L, "varied", "epsilon zeta eta theta"),
+      (3L, "loop", "spam spam spam spam"),
+      (4L, "loop", "spam spam spam spam")
+    ).toDF("doc_id", "lang", "text")
+    val got = Corpus.distinctNgramRatios(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // varied: 8 tokens all distinct; 6 bigrams all distinct — NOT 7:
+    // "delta epsilon" would only exist if bigrams crossed doc 1 → doc 2
+    assert(got("varied") == ((8L, 8L, 1.0, 6L, 6L, 1.0)))
+    // loop: 8 tokens 1 distinct; 6 bigrams 1 distinct
+    assert(got("loop") == ((8L, 1L, 0.125, 6L, 1L, round6(1.0 / 6))))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("temperatureSample boosts low-resource groups, α=1 keeps everything") {
     // 1600 en vs 400 fr: at α=0.3, r0 ∝ p^(α−1) so the rarer group gets
     // the larger boost → fr keeps 100%, en is downsampled to

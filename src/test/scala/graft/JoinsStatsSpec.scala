@@ -325,6 +325,16 @@ class JoinsStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("winsorize clips into the percentile band, passes inliers through") {
+    // group of 1..100: p05 = 5.95, p95 = 95.05 ((n−1)·p interpolation)
+    val df = (1 to 100).map(v => (v.toLong, "a", v.toDouble)).toDF("id", "g", "v")
+    val out = Stats.winsorize(df, "g", "v", pLo = 0.05, pHi = 0.95)
+      .select("id", "clipped").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 5.95 && out(3L) == 5.95)   // below lo → clamped
+    assert(out(100L) == 95.05 && out(97L) == 95.05)
+    assert(out(50L) == 50.0 && out(6L) == 6.0)   // inliers untouched
+  }
+
   test("madOutliers flags the far value, survives zero-MAD groups") {
     // values 1..9 + 100: median 5.5, MAD 2.5 → only the 100 clears 3.5
     val a = (1 to 9).map(v => (v.toLong, "a", v.toDouble)) :+ ((10L, "a", 100.0))
