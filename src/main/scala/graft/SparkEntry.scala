@@ -1304,6 +1304,15 @@ object SparkEntry {
       Graft.tune(s)
       Corpus.distinctNgramRatios(t(s, dir, "documents"), "doc_id", "text",
         "lang")
+    }),
+
+    // Zipf rank-frequency slope per language: exact-decimal log-log
+    // least squares over the min-count vocabulary — natural text ≈ 1,
+    // far-off values flag synthetic/truncated corpora
+    "q107_zipf_slope" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.zipfSlope(t(s, dir, "documents"), "doc_id", "text", "lang",
+        minCount = 2L)
     })
   )
 
@@ -2808,7 +2817,32 @@ object SparkEntry {
               CASE WHEN n_bigrams IS NULL THEN NULL
                    ELSE ROUND(CAST(distinct_2 AS DOUBLE) / n_bigrams, 6)
               END AS ratio_2
-       FROM uni LEFT JOIN bg USING (lang)"""
+       FROM uni LEFT JOIN bg USING (lang)""",
+
+    "q107_zipf_slope" ->
+      """WITH vocab AS (
+           SELECT lang, t, COUNT(*) AS c
+           FROM (SELECT lang,
+                   unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                        '[^a-z0-9]+'), x -> x <> '')) AS t
+                 FROM documents)
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         pts AS (
+           SELECT lang,
+                  CAST(ROUND(ln(row_number() OVER (PARTITION BY lang
+                         ORDER BY c DESC, t)), 6) AS DECIMAL(18,6)) AS x,
+                  CAST(ROUND(ln(c), 6) AS DECIMAL(18,6)) AS y
+           FROM vocab),
+         m AS (SELECT lang, COUNT(*) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x*y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x*x) AS DOUBLE) AS sxx
+               FROM pts GROUP BY 1)
+       SELECT lang, n AS n_terms,
+              CASE WHEN (n*sxx - sx*sx) > 0
+                   THEN ROUND(-(n*sxy - sx*sy) / (n*sxx - sx*sx), 6)
+                   ELSE NULL END AS zipf_s
+       FROM m"""
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the

@@ -473,6 +473,46 @@ object Corpus {
             col("n_bigrams"), 6)).as("ratio_2"))
   }
 
+  /** Zipf rank-frequency slope per group: least-squares fit of
+    * ln(freq) against ln(rank) over the min-count vocabulary, returned
+    * as the positive Zipf exponent s (natural text ≈ 1; far-off values
+    * flag synthetic/templated or truncated corpora — a one-number
+    * corpus-health signal).
+    *
+    * The ranking window runs over the VOCABULARY (bounded by distinct
+    * terms, like q72's term-id assignment), and the fit reduces to the
+    * same exact-decimal moment sums as [[Stats.correlation]]: ln
+    * values round to 6dp, accumulate as DECIMAL(18,6), and the slope
+    * evaluates once in double with a fixed operand order — the DuckDB
+    * oracle matches bit-for-bit.
+    */
+  def zipfSlope(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minCount: Long = 2L): DataFrame = {
+    val mdec = DecimalType(18, 6)
+    val vocab = df.select(col(groupCol).as("_g"),
+        explode(graft.functions.TextAnalysis.tokens(
+          coalesce(col(textCol), lit("")))).as("_t"))
+      .groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+    val w = Window.partitionBy(col("_g")).orderBy(col("_c").desc, col("_t"))
+    val pts = vocab.withColumn("_r", row_number().over(w))
+      .select(col("_g"),
+        round(log(col("_r")), 6).cast(mdec).as("_x"),
+        round(log(col("_c")), 6).cast(mdec).as("_y"))
+    val m = pts.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_x")).cast(DoubleType).as("_sx"),
+        sum(col("_y")).cast(DoubleType).as("_sy"),
+        sum(col("_x") * col("_y")).cast(DoubleType).as("_sxy"),
+        sum(col("_x") * col("_x")).cast(DoubleType).as("_sxx"))
+    val n = col("_n").cast(DoubleType)
+    val den = n * col("_sxx") - col("_sx") * col("_sx")
+    m.select(col("_g").as(groupCol), col("_n").as("n_terms"),
+      when(den > 0,
+        round(-(n * col("_sxy") - col("_sx") * col("_sy")) / den, 6))
+        .otherwise(lit(null).cast(DoubleType)).as("zipf_s"))
+  }
+
   private def temperatureFracs(df: DataFrame, groupCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")

@@ -278,6 +278,28 @@ class CorpusSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("zipfSlope recovers the exponent of a constructed power law") {
+    // term k (k = 1..12) appears round(1000 / k) times → freq ∝ rank^-1
+    // exactly, so the log-log fit must recover s ≈ 1
+    val words = (1 to 12).flatMap { k =>
+      Seq.fill(math.round(1000.0 / k).toInt)(s"w$k")
+    }
+    val df = words.grouped(200).zipWithIndex
+      .map { case (w, i) => (i.toLong, "zipf", w.mkString(" ")) }
+      .toSeq.toDF("doc_id", "lang", "text")
+    val got = Corpus.zipfSlope(df, "doc_id", "text", "lang", minCount = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("zipf")._1 == 12L)
+    assert(math.abs(got("zipf")._2 - 1.0) < 0.01, got)
+    // uniform frequencies → zero slope
+    val flat = (1 to 10).flatMap(k => Seq.fill(50)(s"u$k"))
+    val fdf = Seq((1L, "flat", flat.mkString(" "))).toDF("doc_id", "lang", "text")
+    val fs = Corpus.zipfSlope(fdf, "doc_id", "text", "lang")
+      .collect().head.getDouble(2)
+    assert(math.abs(fs) < 1e-9)
+  }
+
   test("temperatureSample boosts low-resource groups, α=1 keeps everything") {
     // 1600 en vs 400 fr: at α=0.3, r0 ∝ p^(α−1) so the rarer group gets
     // the larger boost → fr keeps 100%, en is downsampled to
