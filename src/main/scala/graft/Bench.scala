@@ -63,7 +63,7 @@ object Bench {
     // cover BOTH earlier passes of one query (observed: 8× on a
     // sub-second query); a later third sample escapes the window.
     spark.sharedState.cacheManager.clearCache()
-    val stillSlow = named.filter { case (name, _) => min2.getOrElse(name, 0.0) > 2.0 }
+    val stillSlow = named.filter { case (name, _) => min2.getOrElse(name, 0.0) > 1.2 }
     val p3 = onePass("3/3", stillSlow)
     val results = min2.map { case (k, v) => k -> math.min(v, p3.getOrElse(k, v)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -28,6 +28,17 @@ object Graft {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // parallelismFirst (default true) only coalesces down to the core
+    // count — on a 32-thread local session every tiny shuffle still
+    // schedules 32 tasks of milliseconds each, pure dispatch overhead.
+    // false = coalesce to the advisory byte size. The advisory is kept
+    // SMALL (1m): stages with real shuffle volume (posting tables,
+    // pair expansions — compute-heavy per byte) keep their
+    // parallelism, while KB-sized reduction stages collapse to a task
+    // or two. A 16-64m advisory measurably serialized the dedup
+    // family's pair stages (byte-cheap, CPU-expensive).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     graft.expr.CosineSimilarity.register(spark)
