@@ -1313,6 +1313,24 @@ object SparkEntry {
       Graft.tune(s)
       Corpus.zipfSlope(t(s, dir, "documents"), "doc_id", "text", "lang",
         minCount = 2L)
+    }),
+
+    // the dataset card in one row: corpus size, language spread, exact
+    // dup mass, token mass, mean quality — the snapshot summary a
+    // curation run publishes; two aggregation jobs joined at one row
+    "q108_dataset_card" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      val counts = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(TextAnalysis.fingerprint(col("text"))))
+          .as("exact_dup_docs"))
+      val quality = scoredDocs(docs).agg(
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("quality_score").cast(DecimalType(18, 4)))
+          .cast(DoubleType) / count(lit(1)), 6).as("mean_quality"))
+      counts.join(quality)
     })
   )
 
@@ -2842,7 +2860,17 @@ object SparkEntry {
               CASE WHEN (n*sxx - sx*sx) > 0
                    THEN ROUND(-(n*sxy - sx*sy) / (n*sxx - sx*sx), 6)
                    ELSE NULL END AS zipf_s
-       FROM m"""
+       FROM m""",
+
+    "q108_dataset_card" -> curationSql(
+      """, fp AS (SELECT md5(trim(regexp_replace(lower(COALESCE(text, '')),
+                     '\s+', ' ', 'g'))) AS f FROM documents)
+         SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+                (SELECT COUNT(*) - COUNT(DISTINCT f) FROM fp) AS exact_dup_docs,
+                (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM scored) AS n_tokens,
+                (SELECT ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,4)))
+                          AS DOUBLE) / COUNT(*), 6) FROM scored) AS mean_quality""")
   )
 
   /** Exact all-pairs word-3-gram Jaccard in SQL — the oracle for both the
