@@ -1315,6 +1315,25 @@ object SparkEntry {
         minCount = 2L)
     }),
 
+    // JSONL round-trip (the LLM-corpus interchange format): write a
+    // slice as newline-delimited JSON, read it back schema-first —
+    // text with newlines/quotes must survive JSON escaping exactly
+    "q109_jsonl_roundtrip" -> ((s, dir) => {
+      Graft.tune(s)
+      val slice = t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-q109").toString
+      graft.sources.Tables.writeJsonl(slice, s"$tmp/docs")
+      graft.sources.Tables.readJsonl(s, s"$tmp/docs",
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType))))
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    }),
+
     // the dataset card in one row: corpus size, language spread, exact
     // dup mass, token mass, mean quality — the snapshot summary a
     // curation run publishes; two aggregation jobs joined at one row
@@ -2861,6 +2880,10 @@ object SparkEntry {
                    THEN ROUND(-(n*sxy - sx*sy) / (n*sxx - sx*sx), 6)
                    ELSE NULL END AS zipf_s
        FROM m""",
+
+    "q109_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, n_chars FROM documents
+         WHERE doc_id < 100""",
 
     "q108_dataset_card" -> curationSql(
       """, fp AS (SELECT md5(trim(regexp_replace(lower(COALESCE(text, '')),

@@ -45,4 +45,23 @@ object Tables {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
+
+  /** JSONL (newline-delimited JSON) source — the de-facto interchange
+    * format of LLM training corpora. Always pass the schema: schema
+    * inference is a full extra pass over the data (a non-starter at
+    * 100 TB) and infers types from whatever happens to be present.
+    * Malformed lines follow Spark's PERMISSIVE contract: they land in
+    * `_corrupt_record` (when the schema declares it) instead of
+    * failing the read — count them, route them, never lose the batch.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL sink. Like [[writeCsv]], coalesce only small exports. */
+  def writeJsonl(df: DataFrame, path: String,
+      singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).json(path)
+  }
 }
