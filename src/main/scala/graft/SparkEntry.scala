@@ -563,6 +563,25 @@ object SparkEntry {
           Normalize.tsFormat(col("asof_ts")).as("view_ts"), col("view_value"))
     }),
 
+    // as-of join with max-staleness tolerance (feature-store
+    // point-in-time contract): a view older than 1h at purchase time
+    // is NO match — stale features null out, plan unchanged
+    "q110_asof_tolerant" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts2"), col("value"))
+      val views = Joins.latestPerKeyTs(
+        ev.filter(col("event_type") === "view")
+          .withColumnRenamed("value", "view_value"),
+        "user_id", "ts2", "event_id", Seq("view_value"))
+      Joins.asofJoinTolerant(purchases, views, "user_id", "ts2",
+          Seq("view_value"), toleranceSeconds = 3600L)
+        .select(col("event_id"), col("user_id"),
+          Normalize.tsFormat(col("ts2")).as("purchase_ts"), col("value"),
+          Normalize.tsFormat(col("asof_ts")).as("view_ts"), col("view_value"))
+    }),
+
     // strict ordered funnel: view → click → purchase, first-touch
     // semantics; one conditional min-agg pass per stage, no self-joins
     "q56_funnel" -> ((s, dir) => {
@@ -1858,6 +1877,29 @@ object SparkEntry {
               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, v.view_value
        FROM p ASOF LEFT JOIN v
          ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q110_asof_tolerant" ->
+      """WITH e AS (SELECT event_id, user_id,
+                      date_trunc('microseconds', ts) AS ts, event_type, value
+                    FROM events),
+         v AS (SELECT user_id, ts, arg_max(value, event_id) AS view_value
+               FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id, user_id, ts, value
+               FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT p.event_id, p.user_id, p.ts AS pts, p.value,
+                      v.ts AS vts, v.view_value
+               FROM p ASOF LEFT JOIN v
+                 ON p.user_id = v.user_id AND p.ts >= v.ts),
+         fresh AS (SELECT *,
+                     vts IS NOT NULL AND date_diff('second', vts, pts) <= 3600
+                       AS ok
+                   FROM j)
+       SELECT event_id, user_id,
+              strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, value,
+              CASE WHEN ok THEN strftime(vts, '%Y-%m-%d %H:%M:%S') END
+                AS view_ts,
+              CASE WHEN ok THEN view_value END AS view_value
+       FROM fresh""",
 
     "q56_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

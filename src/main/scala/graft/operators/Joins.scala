@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Join operators Spark has no built-in physical form for: as-of
   * (point-in-time) joins and interval/range joins. Both are expressed
@@ -74,6 +75,31 @@ object Joins {
           (leftCols.filter(c => c != keyCol && c != tsCol).map(col) ++
             Seq(col("_c__ts").as("asof_ts")) ++
             rightCols.map(c => col(s"_c_$c").as(c))): _*)
+  }
+
+  /** [[asofJoin]] with a max-staleness tolerance — the feature-store
+    * point-in-time contract: a right-side match older than
+    * `toleranceSeconds` at the left row's timestamp is treated as NO
+    * match (payload and `asof_ts` null out) rather than serving an
+    * arbitrarily stale feature. Same single-shuffle tagged-union
+    * window; the tolerance is a pure post-projection, so the plan is
+    * unchanged. Second-granularity comparison (epoch floor), matching
+    * SQL `date_diff('second', …)`.
+    */
+  def asofJoinTolerant(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0: $toleranceSeconds")
+    val joined = asofJoin(left, right, keyCol, tsCol, rightCols)
+    val stale = col("asof_ts").isNull ||
+      (col(tsCol).cast(LongType) - col("asof_ts").cast(LongType)) >
+        toleranceSeconds
+    val masked = rightCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(stale, lit(null)).otherwise(col(c)))
+    }
+    masked.withColumn("asof_ts",
+      when(stale, lit(null).cast(joined.schema("asof_ts").dataType))
+        .otherwise(col("asof_ts")))
   }
 
   /** Reduce a frame to one row per (key, ts): the payload of the row

@@ -325,6 +325,30 @@ class JoinsStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("asofJoinTolerant nulls matches staler than the tolerance") {
+    val left = Seq(
+      (1L, "u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+      (2L, "u1", java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 6.0),
+      (3L, "u2", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 7.0)
+    ).toDF("id", "k", "ts", "v")
+    val right = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), "fresh-for-1"),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 09:30:00"), "future")
+    ).toDF("k", "ts", "payload")
+    val out = Joins.asofJoinTolerant(left, right, "k", "ts", Seq("payload"),
+        toleranceSeconds = 3600L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("payload"))).toMap
+    assert(out(1L).contains("fresh-for-1"))  // 30 min old → within 1h
+    assert(out(2L).isEmpty)                  // 3.5 h old → nulled
+    assert(out(3L).isEmpty)                  // right is in the future → no match
+    // untolerated form keeps the stale match — the contract difference
+    val loose = Joins.asofJoin(left, right, "k", "ts", Seq("payload"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("payload"))).toMap
+    assert(loose(2L).contains("fresh-for-1"))
+  }
+
   test("winsorize clips into the percentile band, passes inliers through") {
     // group of 1..100: p05 = 5.95, p95 = 95.05 ((n−1)·p interpolation)
     val df = (1 to 100).map(v => (v.toLong, "a", v.toDouble)).toDF("id", "g", "v")
