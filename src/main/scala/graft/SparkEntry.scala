@@ -563,6 +563,13 @@ object SparkEntry {
           Normalize.tsFormat(col("asof_ts")).as("view_ts"), col("view_value"))
     }),
 
+    // key-skew report for the join planner: distinct keys, heaviest
+    // key's share, Shannon entropy — decide salting BEFORE shuffling
+    "q111_skew_report" -> ((s, dir) => {
+      Graft.tune(s)
+      Stats.keySkewReport(t(s, dir, "events"), "user_id")
+    }),
+
     // as-of join with max-staleness tolerance (feature-store
     // point-in-time contract): a view older than 1h at purchase time
     // is NO match — stale features null out, plan unchanged
@@ -1877,6 +1884,20 @@ object SparkEntry {
               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, v.view_value
        FROM p ASOF LEFT JOIN v
          ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q111_skew_report" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events
+                    WHERE user_id IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_keys,
+                 MAX(c) AS mx FROM c),
+         e AS (SELECT CAST(SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / t.n) *
+                        ln(CAST(c.c AS DOUBLE) / t.n), 12)
+                      AS DECIMAL(28,12))) AS DOUBLE) AS s
+               FROM c CROSS JOIN t)
+       SELECT t.n AS n_rows, t.n_keys,
+              ROUND(CAST(t.mx AS DOUBLE) / t.n, 6) AS top_share,
+              ROUND(-e.s, 6) AS entropy
+       FROM t CROSS JOIN e""",
 
     "q110_asof_tolerant" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -178,6 +178,32 @@ object Stats {
         least(greatest(col(valueCol).cast(DoubleType), col("lo")), col("hi")))
   }
 
+  /** Key-distribution skew report — the pre-join diagnostic for
+    * `Scale.saltedJoin`: row count, distinct keys, the heaviest key's
+    * share of all rows, and the Shannon entropy of the key
+    * distribution (ln-based; uniform keys → ln(n_keys), one hot key →
+    * → 0). Entropy terms p·ln p round to 12dp and sum as
+    * DECIMAL(28,12), so the result is order-independent and
+    * engine-reproducible. One map-side-combined count per key; the
+    * summary aggregates the bounded key histogram.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
+    val edec = DecimalType(28, 12)
+    val totals = counts.agg(sum(col("_c")).as("_n"), count(lit(1)).as("n_keys"),
+      max(col("_c")).as("_max"))
+    val p = col("_c").cast(DoubleType) / col("_n").cast(DoubleType)
+    counts.join(broadcast(totals))
+      .select(col("_n"), col("n_keys"), col("_max"),
+        round(p * log(p), 12).cast(edec).as("_plp"))
+      .groupBy(col("_n"), col("n_keys"), col("_max"))
+      .agg(round(-sum(col("_plp")).cast(DoubleType), 6).as("entropy"))
+      .select(col("_n").as("n_rows"), col("n_keys"),
+        round(col("_max").cast(DoubleType) / col("_n"), 6).as("top_share"),
+        col("entropy"))
+  }
+
   /** Fixed-width histogram of a numeric column: bucket k covers
     * [k·width, (k+1)·width). One map-side-combined aggregation whose
     * output is bounded by the value RANGE over width, not the row

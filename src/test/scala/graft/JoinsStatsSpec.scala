@@ -325,6 +325,19 @@ class JoinsStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("keySkewReport: uniform keys max out entropy, a hot key collapses it") {
+    val uniform = (1 to 400).map(i => (i.toLong, s"k${i % 8}")).toDF("id", "k")
+    val u = Stats.keySkewReport(uniform, "k").collect().head
+    assert(u.getLong(0) == 400L && u.getLong(1) == 8L)
+    assert(u.getDouble(2) == 0.125)
+    assert(math.abs(u.getDouble(3) - math.log(8)) < 1e-6) // ln(8): uniform max
+    val hot = ((1 to 396).map(i => (i.toLong, "HOT")) ++
+      (397 to 400).map(i => (i.toLong, s"c$i"))).toDF("id", "k")
+    val h = Stats.keySkewReport(hot, "k").collect().head
+    assert(h.getDouble(2) == 0.99)       // top key owns 99% of rows
+    assert(h.getDouble(3) < 0.1)         // entropy near zero → salt this join
+  }
+
   test("asofJoinTolerant nulls matches staler than the tolerance") {
     val left = Seq(
       (1L, "u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
