@@ -570,6 +570,13 @@ object SparkEntry {
       Stats.keySkewReport(t(s, dir, "events"), "user_id")
     }),
 
+    // one-scan null/blank profile of the string columns — the
+    // data-profiling generalization of the q69 expectations report
+    "q112_null_profile" -> ((s, dir) => {
+      Graft.tune(s)
+      Stats.nullProfile(t(s, dir, "documents"), Seq("text", "lang", "source"))
+    }),
+
     // as-of join with max-staleness tolerance (feature-store
     // point-in-time contract): a view older than 1h at purchase time
     // is NO match — stale features null out, plan unchanged
@@ -1884,6 +1891,30 @@ object SparkEntry {
               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, v.view_value
        FROM p ASOF LEFT JOIN v
          ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q112_null_profile" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         p AS (
+           SELECT 'text' AS column_name,
+                  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  CAST(SUM(CASE WHEN text IS NULL OR TRIM(text) = ''
+                            OR TRIM(text) = 'nan' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+           FROM documents
+           UNION ALL
+           SELECT 'lang',
+                  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN lang IS NULL OR TRIM(lang) = ''
+                            OR TRIM(lang) = 'nan' THEN 1 ELSE 0 END) AS BIGINT)
+           FROM documents
+           UNION ALL
+           SELECT 'source',
+                  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(SUM(CASE WHEN source IS NULL OR TRIM(source) = ''
+                            OR TRIM(source) = 'nan' THEN 1 ELSE 0 END) AS BIGINT)
+           FROM documents)
+       SELECT column_name, n_null, n_blank,
+              ROUND(CAST(n_blank AS DOUBLE) / n.n, 6) AS blank_rate
+       FROM p CROSS JOIN n""",
 
     "q111_skew_report" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events

@@ -178,6 +178,31 @@ object Stats {
         least(greatest(col(valueCol).cast(DoubleType), col("lo")), col("hi")))
   }
 
+  /** Per-column null/blank profile in ONE scan: for each string
+    * column, how many rows are null and how many are blank-ish (null,
+    * whitespace-only, or the 'nan' stringification artifact — the
+    * `Normalize.isBlankish` contract the filter stage drops on). The
+    * generalized data-profiling sibling of the q69 expectations
+    * report; conditional sums all fold into a single aggregation, and
+    * `stack` reshapes the one-row result to (column, counts) rows.
+    */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullProfile needs at least one column")
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_null"),
+        sum(when(graft.functions.Normalize.isBlankish(col(c)), 1L)
+          .otherwise(0L)).as(s"${c}_blank"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', ${c}_null, ${c}_blank")
+      .mkString(", ")
+    row.select(col("_n"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_blank)"))
+      .select(col("column_name"), col("n_null"), col("n_blank"),
+        round(col("n_blank").cast(DoubleType) / col("_n"), 6).as("blank_rate"))
+  }
+
   /** Key-distribution skew report — the pre-join diagnostic for
     * `Scale.saltedJoin`: row count, distinct keys, the heaviest key's
     * share of all rows, and the Shannon entropy of the key
