@@ -2922,7 +2922,8 @@ object SparkEntry {
        SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value, b.lo, b.hi,
               ROUND(least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi), 6)
                 AS clipped
-       FROM events e JOIN b USING (event_type)""",
+       FROM events e JOIN b USING (event_type)
+       WHERE e.value IS NOT NULL""",
 
     "q106_distinct_ngrams" ->
       """WITH toks AS (

@@ -414,13 +414,15 @@ object Corpus {
   def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
       alpha: Double, salt: String = ""): DataFrame = {
     val fracs = temperatureFracs(df, groupCol, alpha)
-    df.join(broadcast(fracs), Seq(groupCol))
+    val kept = df.join(broadcast(fracs), Seq(groupCol))
       .filter(keepDraw(col(keyCol), salt) < col("_thr"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_kept"))
-      .join(broadcast(fracs), Seq(groupCol))
+    // left join FROM fracs: a group whose draw kept zero rows must
+    // still report (n_docs, keep_frac, n_kept=0), not vanish
+    fracs.join(kept, Seq(groupCol), "left_outer")
       .select(col(groupCol), col("_n").as("n_docs"),
-        col("keep_frac"), col("n_kept"))
+        col("keep_frac"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** The surviving rows of [[temperatureSample]]'s draw. */

@@ -173,7 +173,11 @@ object Stats {
     require(pLo < pHi, s"need pLo < pHi: $pLo, $pHi")
     val bounds = percentiles(df, groupCol, valueCol,
       Seq(("lo", pLo), ("hi", pHi)))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // null measurements are EXCLUDED, matching percentiles/madOutliers:
+    // Spark's least/greatest skip nulls, so a null value would
+    // otherwise "clip" to the lower bound — fabricated data
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(bounds), Seq(groupCol))
       .withColumn("clipped",
         least(greatest(col(valueCol).cast(DoubleType), col("lo")), col("hi")))
   }
@@ -195,8 +199,12 @@ object Stats {
           .otherwise(0L)).as(s"${c}_blank"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', ${c}_null, ${c}_blank")
-      .mkString(", ")
+    // backtick-quote generated references and escape the name literal:
+    // a column like "my-col" must not parse as `my - col_null`
+    val stackArgs = cols.map { c =>
+      val literal = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$literal', `${c}_null`, `${c}_blank`"
+    }.mkString(", ")
     row.select(col("_n"),
         expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_blank)"))
       .select(col("column_name"), col("n_null"), col("n_blank"),

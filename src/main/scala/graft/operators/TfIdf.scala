@@ -100,6 +100,7 @@ object TfIdf {
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k") // before the eager count()
     val n = docs.count()
     val postings = docs
       .select(col(idCol).as("_id"),
