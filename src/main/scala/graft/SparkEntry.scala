@@ -577,6 +577,30 @@ object SparkEntry {
       Stats.nullProfile(t(s, dir, "documents"), Seq("text", "lang", "source"))
     }),
 
+    // equal-frequency binning: per-language length quartiles (the
+    // curriculum/stratification feature) — histogram percentile
+    // bounds broadcast back, no ntile full-sort
+    "q113_quantile_bins" -> ((s, dir) => {
+      Graft.tune(s)
+      Stats.quantileBins(t(s, dir, "documents"), "lang", "n_chars",
+          Seq(0.25, 0.5, 0.75))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("bin").cast(LongType).as("bin"))
+    }),
+
+    // per-source exact-duplicate rate: which sources ship copy-paste —
+    // the source-level curation triage signal; one hash-groupBy
+    "q114_source_dup_rate" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round((col("n_docs") - col("n_distinct")).cast(DoubleType) /
+            col("n_docs"), 6).as("dup_rate"))
+    }),
+
     // as-of join with max-staleness tolerance (feature-store
     // point-in-time contract): a view older than 1h at purchase time
     // is NO match — stale features null out, plan unchanged
@@ -1891,6 +1915,33 @@ object SparkEntry {
               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts, v.view_value
        FROM p ASOF LEFT JOIN v
          ON p.user_id = v.user_id AND p.ts >= v.ts""",
+
+    "q113_quantile_bins" ->
+      """WITH b AS (
+           SELECT lang,
+                  ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+                  ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+                  ROUND(quantile_cont(n_chars, 0.75), 4) AS p75
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1)
+       SELECT d.doc_id, d.lang, d.n_chars,
+              CAST(1 + (CASE WHEN CAST(d.n_chars AS DOUBLE) > b.p25 THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(d.n_chars AS DOUBLE) > b.p50 THEN 1 ELSE 0 END)
+                     + (CASE WHEN CAST(d.n_chars AS DOUBLE) > b.p75 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS bin
+       FROM documents d JOIN b USING (lang)
+       WHERE d.n_chars IS NOT NULL""",
+
+    "q114_source_dup_rate" ->
+      """WITH f AS (
+           SELECT source,
+                  md5(trim(regexp_replace(lower(COALESCE(text, '')),
+                       '\s+', ' ', 'g'))) AS fp
+           FROM documents)
+       SELECT source, COUNT(*) AS n_docs,
+              COUNT(DISTINCT fp) AS n_distinct,
+              ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+                AS dup_rate
+       FROM f GROUP BY 1""",
 
     "q112_null_profile" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM documents),

@@ -211,6 +211,32 @@ object Stats {
         round(col("n_blank").cast(DoubleType) / col("_n"), 6).as("blank_rate"))
   }
 
+  /** Equal-frequency discretization: assign each row the quantile bin
+    * of its group's `valueCol` distribution (fractions `ps` ascending
+    * → bins 1..ps.size+1; bin b means value ≤ the b-th bound, last bin
+    * above all bounds). The feature-engineering binning step — e.g.
+    * length quartiles per language for curriculum/stratification —
+    * without `ntile`'s full per-group sort: bounds come from the
+    * histogram [[percentiles]] and broadcast back, the data is scanned
+    * once. Ties at a bound all land in the lower bin (deterministic).
+    * Null values are excluded.
+    */
+  def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps == ps.sorted && ps.forall(p => p > 0 && p < 1),
+      s"need ascending fractions in (0,1): $ps")
+    val named = ps.zipWithIndex.map { case (p, i) => (s"_b$i", p) }
+    val bounds = percentiles(df, groupCol, valueCol, named)
+    val v = col(valueCol).cast(DoubleType)
+    val bin = named.map { case (nm, _) =>
+      when(v > col(nm), 1).otherwise(0)
+    }.reduce(_ + _) + lit(1)
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bin", bin.cast(org.apache.spark.sql.types.IntegerType))
+      .drop(named.map(_._1): _*)
+  }
+
   /** Key-distribution skew report — the pre-join diagnostic for
     * `Scale.saltedJoin`: row count, distinct keys, the heaviest key's
     * share of all rows, and the Shannon entropy of the key

@@ -325,6 +325,20 @@ class JoinsStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("quantileBins yields balanced quartiles with ties to the lower bin") {
+    val df = (1 to 100).map(v => (v.toLong, "g", v.toDouble)).toDF("id", "g", "v")
+    val bins = Stats.quantileBins(df, "g", "v", Seq(0.25, 0.5, 0.75))
+      .select("id", "bin").as[(Long, Int)].collect().toMap
+    // bounds for 1..100 at (n−1)p interpolation: 25.75, 50.5, 75.25
+    assert(bins(1L) == 1 && bins(25L) == 1)
+    assert(bins(26L) == 2 && bins(50L) == 2)
+    assert(bins(51L) == 3 && bins(75L) == 3)
+    assert(bins(76L) == 4 && bins(100L) == 4)
+    val sizes = Stats.quantileBins(df, "g", "v", Seq(0.25, 0.5, 0.75))
+      .groupBy("bin").count().as[(Int, Long)].collect().toMap
+    assert(sizes == Map(1 -> 25L, 2 -> 25L, 3 -> 25L, 4 -> 25L))
+  }
+
   test("keySkewReport: uniform keys max out entropy, a hot key collapses it") {
     val uniform = (1 to 400).map(i => (i.toLong, s"k${i % 8}")).toDF("id", "k")
     val u = Stats.keySkewReport(uniform, "k").collect().head
