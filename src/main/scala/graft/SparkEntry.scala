@@ -588,6 +588,14 @@ object SparkEntry {
           col("bin").cast(LongType).as("bin"))
     }),
 
+    // bigram LM quality score: mean ln P(w|prev) with add-one
+    // smoothing — catches locally incoherent text the unigram model
+    // (q80) scores identically
+    "q115_bigram_lm" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.bigramLmScore(tp(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // per-source exact-duplicate rate: which sources ship copy-paste —
     // the source-level curation triage signal; one hash-groupBy
     "q114_source_dup_rate" -> ((s, dir) => {
@@ -1930,6 +1938,33 @@ object SparkEntry {
                    AS BIGINT) AS bin
        FROM documents d JOIN b USING (lang)
        WHERE d.n_chars IS NOT NULL""",
+
+    "q115_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(COALESCE(text, '')),
+                                '[^a-z0-9]+'), x -> x <> '') AS tk
+           FROM documents),
+         db AS (
+           SELECT doc_id, b[1] AS a, b[2] AS bb
+           FROM (SELECT doc_id,
+                   [[tk[i], tk[i+1]] FOR i IN range(1, len(tk))] AS bs
+                 FROM toks WHERE len(tk) >= 2),
+                UNNEST(bs) AS u(b)),
+         uni AS (SELECT t, COUNT(*) AS ca
+                 FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+         v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vs FROM uni),
+         bg AS (SELECT a, bb, COUNT(*) AS cab FROM db GROUP BY 1, 2),
+         logp AS (
+           SELECT bg.a, bg.bb,
+                  CAST(ROUND(ln(CAST(bg.cab + 1 AS DOUBLE) /
+                         (CAST(uni.ca AS DOUBLE) + v.vs)), 6)
+                       AS DECIMAL(18,6)) AS lp
+           FROM bg JOIN uni ON bg.a = uni.t CROSS JOIN v)
+       SELECT db.doc_id, COUNT(*) AS n_bigrams,
+              ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS lm2_score
+       FROM db JOIN logp ON db.a = logp.a AND db.bb = logp.bb
+       GROUP BY 1""",
 
     "q114_source_dup_rate" ->
       """WITH f AS (

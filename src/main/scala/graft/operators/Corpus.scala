@@ -175,6 +175,51 @@ object Corpus {
         round(sum(col("_lp")).cast(DoubleType) / count(lit(1)), 4).as("lm_score"))
   }
 
+  /** Bigram language-model quality score — [[unigramLmScore]]'s
+    * context-aware sibling: mean ln P(wᵢ | wᵢ₋₁) with add-one
+    * smoothing, P = (c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V). Catches locally
+    * incoherent text (shuffled words score low even when every word is
+    * common) that a unigram model scores identically. Same exact-sum
+    * discipline: log-probs round to 6dp, accumulate as DECIMAL(18,6).
+    *
+    * Shape: per-doc bigrams (the q84 posexplode+lead shape), bigram
+    * and unigram histograms (both map-side combined, vocabulary
+    * bounded), one scalar driver action for V, a shuffle join of doc
+    * bigrams onto the log-prob table keyed on the bigram, one per-doc
+    * aggregation. Documents with fewer than two tokens drop out.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    val toks = df.select(col(idCol).as("_id"),
+        graft.functions.TextAnalysis.tokens(
+          coalesce(col(textCol), lit(""))).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val docBigrams = toks
+      .select(col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
+      .withColumn("_next", lead(col("_t"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col("_id"), col("_t").as("_a"), col("_next").as("_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = df.select(explode(graft.functions.TextAnalysis.tokens(
+        coalesce(col(textCol), lit("")))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_ca"))
+    val vocabSize = uni.count().toDouble
+    val bg = docBigrams.groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_cab"))
+    val logp = bg.join(uni.select(col("_t").as("_a"), col("_ca")), "_a")
+      .select(col("_a").as("_la"), col("_b").as("_lb"),
+        round(log((col("_cab") + 1).cast(DoubleType) /
+          (col("_ca").cast(DoubleType) + lit(vocabSize))), 6)
+          .cast(dec6).as("_lp"))
+    docBigrams
+      .join(logp, col("_a") === col("_la") && col("_b") === col("_lb"))
+      .groupBy(col("_id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_lp")).cast(DoubleType) / count(lit(1)), 4)
+          .as("lm2_score"))
+  }
+
   // -------------------------------------------- paragraph-level dedup
 
   /** Per-document paragraph-duplication signal: split each document on

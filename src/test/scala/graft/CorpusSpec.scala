@@ -278,6 +278,26 @@ class CorpusSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("bigramLmScore ranks coherent text above shuffled words; unigram can't") {
+    // corpus dominated by the coherent phrase; doc 20 uses the SAME
+    // words in a never-seen order → identical unigram stats, rare
+    // bigrams
+    val coherent = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 19L).map(i => (i, coherent)) :+
+      ((20L, "dog the over quick jumps lazy brown fox the"))).toDF("doc_id", "text")
+    val lm2 = Corpus.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lm2(1L) > lm2(20L) + 1.0, lm2) // clearly separated
+    // the unigram model sees identical word histograms → equal scores
+    val lm1 = Corpus.unigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lm1(1L) == lm1(20L))
+    // short docs (<2 tokens) drop out rather than scoring on nothing
+    val tiny = Seq((1L, "word"), (2L, "two tokens")).toDF("doc_id", "text")
+    assert(Corpus.bigramLmScore(tiny, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("zipfSlope recovers the exponent of a constructed power law") {
     // term k (k = 1..12) appears round(1000 / k) times → freq ∝ rank^-1
     // exactly, so the log-log fit must recover s ≈ 1
