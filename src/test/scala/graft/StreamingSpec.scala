@@ -185,6 +185,34 @@ class StreamingSpec extends SparkSpec {
     assert(native == relational)
   }
 
+  test("native sketch aggregates run unchanged in a windowed stream") {
+    // the mergeable-aggregate contract (bounded buffer + merge) is
+    // exactly what streaming state requires: graft_cms/graft_kmv work
+    // in a watermarked windowed groupBy with no extra code
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = mem.toDF.toDF("ts", "uid")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day"))
+      .agg(
+        call_function("graft_cms", $"uid", lit(4), lit(64)).as("cms"),
+        call_function("graft_kmv", $"uid", lit(32)).as("kmv"))
+    val q = agg.writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (t("2024-01-01 10:00:00"), "u1"), (t("2024-01-01 11:00:00"), "u1"),
+        (t("2024-01-01 12:00:00"), "u2"), (t("2024-01-02 09:00:00"), "u3"))
+      q.processAllAvailable()
+      val rows = spark.table("sketch_out")
+        .select($"kmv.kmv_estimate",
+          graft.operators.Sketches.cmsEstimate($"cms", lit("u1"), 4, 64))
+        .as[(Double, Long)].collect().toSet
+      // day 1: 2 distinct users, u1 seen twice; day 2: 1 user, u1 absent
+      assert(rows == Set((2.0, 2L), (1.0, 0L)))
+    } finally q.stop()
+  }
+
   test("session_window works as a watermarked stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
