@@ -588,6 +588,17 @@ object SparkEntry {
           col("bin").cast(LongType).as("bin"))
     }),
 
+    // join-cardinality estimate from two CMS sketches (the AMS inner
+    // product): plan-time |orders ⋈ customer| without shuffling either
+    // side by key; exact from the bounded key histograms for the error
+    "q116_join_cardinality" -> ((s, dir) => {
+      Graft.tune(s)
+      Sketches.cmsJoinCardinality(
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey",
+        depth = 4, width = 2048)
+    }),
+
     // bigram LM quality score: mean ln P(w|prev) with add-one
     // smoothing — catches locally incoherent text the unigram model
     // (q80) scores identically
@@ -1938,6 +1949,36 @@ object SparkEntry {
                    AS BIGINT) AS bin
        FROM documents d JOIN b USING (lang)
        WHERE d.n_chars IS NOT NULL""",
+
+    "q116_join_cardinality" ->
+      """WITH ra AS (
+           SELECT j,
+                  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#' ||
+                         CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS bkt,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM orders CROSS JOIN range(4) AS r(j)
+           WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+         rb AS (
+           SELECT j,
+                  CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#' ||
+                         CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2048 AS bkt,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM customer CROSS JOIN range(4) AS r(j)
+           WHERE c_custkey IS NOT NULL GROUP BY 1, 2),
+         dots AS (SELECT ra.j, CAST(SUM(ra.c * rb.c) AS BIGINT) AS dp
+                  FROM ra JOIN rb ON ra.j = rb.j AND ra.bkt = rb.bkt
+                  GROUP BY 1),
+         est AS (SELECT MIN(COALESCE(dp, 0)) AS est_pairs
+                 FROM range(4) AS r(j) LEFT JOIN dots ON dots.j = r.j),
+         ca AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders
+                WHERE o_custkey IS NOT NULL GROUP BY 1),
+         cb AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer
+                WHERE c_custkey IS NOT NULL GROUP BY 1),
+         ex AS (SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT)
+                  AS exact_pairs
+                FROM ca JOIN cb USING (k))
+       SELECT CAST(est_pairs AS BIGINT) AS est_pairs, exact_pairs
+       FROM est CROSS JOIN ex""",
 
     "q115_bigram_lm" ->
       """WITH toks AS (

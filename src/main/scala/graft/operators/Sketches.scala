@@ -97,6 +97,45 @@ object Sketches {
     if (probes.size == 1) probes.head else least(probes: _*)
   }
 
+  /** Equi-join output-cardinality estimate from two count-min
+    * sketches: |A ⋈ B| = Σ_k c_A(k)·c_B(k) is estimated by the sketch
+    * INNER PRODUCT min_j Σ_b A[j][b]·B[j][b] (the classic AMS/CM
+    * application) — never an underestimate, collisions only inflate.
+    * The pre-join planning diagnostic at 100 TB: both sides reduce to
+    * d·w counters without shuffling either table by key, then the
+    * estimate is one row of array arithmetic; the exact count (for
+    * error reporting here) comes from joining the two bounded key
+    * histograms, never materializing the join itself.
+    *
+    * Output one row: (est_pairs, exact_pairs).
+    */
+  def cmsJoinCardinality(dfA: DataFrame, keyA: String, dfB: DataFrame,
+      keyB: String, depth: Int, width: Int): DataFrame = {
+    val skA = dfA.filter(col(keyA).isNotNull)
+      .agg(call_function(graft.expr.CmsSketchAgg.FunctionName,
+        col(keyA).cast(StringType), lit(depth), lit(width)).as("_sa"))
+    val skB = dfB.filter(col(keyB).isNotNull)
+      .agg(call_function(graft.expr.CmsSketchAgg.FunctionName,
+        col(keyB).cast(StringType), lit(depth), lit(width)).as("_sb"))
+    val rowDots = (0 until depth).map { j =>
+      aggregate(
+        zip_with(
+          slice(col("_sa"), j * width + 1, width),
+          slice(col("_sb"), j * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }
+    val est = if (rowDots.size == 1) rowDots.head else least(rowDots: _*)
+    val ca = dfA.filter(col(keyA).isNotNull)
+      .groupBy(col(keyA).as("_k")).agg(count(lit(1)).as("_ca"))
+    val cb = dfB.filter(col(keyB).isNotNull)
+      .groupBy(col(keyB).as("_k")).agg(count(lit(1)).as("_cb"))
+    val exact = ca.join(cb, "_k")
+      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("exact_pairs"))
+    skA.join(skB).select(est.as("est_pairs"))
+      .join(exact)
+  }
+
   /** Count-min heavy hitters: build ONE bounded d×w sketch over the
     * whole column (the native mergeable aggregate — the exchange
     * carries d·w longs per partition, never per-key state), broadcast

@@ -288,6 +288,26 @@ class JoinsStatsSpec extends SparkSpec {
     assert(arr.sum == 4L * rows.size)
   }
 
+  test("cmsJoinCardinality never underestimates; exact when collision-free") {
+    import graft.operators.Sketches
+    // A: key k appears k times (k=1..5); B: each key once → true join
+    // cardinality = 1+2+3+4+5 = 15
+    val a = (1 to 5).flatMap(k => Seq.fill(k)(k.toLong)).toDF("ka")
+    val b = (1 to 5).map(_.toLong).toDF("kb")
+    val (est, exact) = Sketches.cmsJoinCardinality(a, "ka", b, "kb",
+        depth = 4, width = 512)
+      .as[(Long, Long)].head()
+    assert(exact == 15L)
+    assert(est >= exact)       // CMS inner product never underestimates
+    assert(est == 15L)         // 5 keys in 512 buckets: collision-free
+    // disjoint key spaces → exact 0; estimate stays a non-negative bound
+    val c = (100 to 104).map(_.toLong).toDF("kc")
+    val (estD, exactD) = Sketches.cmsJoinCardinality(a, "ka", c, "kc",
+        depth = 4, width = 512)
+      .as[(Long, Long)].head()
+    assert(exactD == 0L && estD >= 0L)
+  }
+
   test("Stats.correlation: exact r on a known line, null exclusion, degenerate group") {
     val df = Seq[(String, java.lang.Double, java.lang.Double)](
       ("lin", 1.0, 3.0), ("lin", 2.0, 5.0), ("lin", 3.0, 7.0),   // y = 2x+1 → r=1
