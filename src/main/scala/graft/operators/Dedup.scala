@@ -163,7 +163,13 @@ object Dedup {
       .filter(col("_p.id1") =!= col("_p.id2"))
       .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .agg(count(lit(1)).as("_common"))
-    (common, sizes)
+    // Persist the pair-count table too (it is small — co-occurring
+    // pairs after aggregation, not postings): every caller joins
+    // `sizes` onto it twice, and the jaccard/containment/cluster
+    // queries over the same corpus share the whole inverted-index
+    // subtree through the cache instead of re-shuffling postings.
+    (common.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      sizes)
   }
 
   /** Cross-corpus near-dup pairs: (a, b) with a FROM `corpusA` and
