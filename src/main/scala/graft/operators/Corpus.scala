@@ -190,20 +190,14 @@ object Corpus {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dec6 = DecimalType(18, 6)
-    val toks = df.select(col(idCol).as("_id"),
-        graft.functions.TextAnalysis.tokens(
-          coalesce(col(textCol), lit(""))).as("_tk"))
-      .filter(size(col("_tk")) >= 2)
-    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
-    val docBigrams = toks
-      .select(col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
-      .withColumn("_next", lead(col("_t"), 1).over(w))
-      .filter(col("_next").isNotNull)
-      .select(col("_id"), col("_t").as("_a"), col("_next").as("_b"))
+    val docBigrams = bigramsFromToks(bigramToks(df, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted because both the vocabulary-size action and the
+    // log-prob join consume it (same reason as unigramLmScore)
     val uni = df.select(explode(graft.functions.TextAnalysis.tokens(
         coalesce(col(textCol), lit("")))).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_ca"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabSize = uni.count().toDouble
     val bg = docBigrams.groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("_cab"))
@@ -309,22 +303,38 @@ object Corpus {
     * onto the surviving bigrams, totals are two scalars. PMI rounds to
     * 6dp with a total-order tie-break, so top-k is engine-exact.
     */
-  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
-      minCount: Long, k: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("_id"),
+  /** (_id, _tk): tokenized docs that can form at least one bigram —
+    * the shared front of [[pmiBigrams]] and [[bigramLmScore]].
+    */
+  private def bigramToks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
         graft.functions.TextAnalysis.tokens(
           coalesce(col(textCol), lit(""))).as("_tk"))
       .filter(size(col("_tk")) >= 2)
+
+  /** (_id, _a, _b): within-document adjacent token pairs — the
+    * posexplode+lead derivation shared by the bigram operators so the
+    * two stay in lockstep.
+    */
+  private def bigramsFromToks(toks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    toks
+      .select(col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
+      .withColumn("_next", lead(col("_t"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .select(col("_id"), col("_t").as("_a"), col("_next").as("_b"))
+  }
+
+  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val toks = bigramToks(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = toks.select(explode(col("_tk")).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
-    val bgc = toks
-      .select(col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
-      .withColumn("_next", lead(col("_t"), 1).over(w))
-      .filter(col("_next").isNotNull)
-      .groupBy(col("_t").as("_a"), col("_next").as("_b"))
+    val bgc = bigramsFromToks(toks)
+      .groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("_cab"))
       .filter(col("_cab") >= minCount)
     // totals: token mass and bigram mass (= tokens − docs) — two

@@ -117,21 +117,34 @@ object Sketches {
     val skB = dfB.filter(col(keyB).isNotNull)
       .agg(call_function(graft.expr.CmsSketchAgg.FunctionName,
         col(keyB).cast(StringType), lit(depth), lit(width)).as("_sb"))
+    // dot products accumulate as DECIMAL(38,0): Long×Long bucket
+    // products overflow at ~5e8 counts per bucket (plausible at the
+    // advertised scale) and with ANSI off Spark would wrap SILENTLY,
+    // breaking the never-underestimate bound. DECIMAL(19,0)² fits
+    // precision 38 exactly; the Long output cast bounds the reported
+    // estimate at 9.2e18 pairs.
+    val cdec = DecimalType(19, 0)
+    val sdec = DecimalType(38, 0)
     val rowDots = (0 until depth).map { j =>
       aggregate(
         zip_with(
           slice(col("_sa"), j * width + 1, width),
           slice(col("_sb"), j * width + 1, width),
-          (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v)
+          (x, y) => x.cast(cdec) * y.cast(cdec)),
+        lit(java.math.BigDecimal.ZERO).cast(sdec),
+        (acc, v) => (acc + v).cast(sdec))
     }
-    val est = if (rowDots.size == 1) rowDots.head else least(rowDots: _*)
+    val est = (if (rowDots.size == 1) rowDots.head else least(rowDots: _*))
+      .cast(org.apache.spark.sql.types.LongType)
     val ca = dfA.filter(col(keyA).isNotNull)
       .groupBy(col(keyA).as("_k")).agg(count(lit(1)).as("_ca"))
     val cb = dfB.filter(col(keyB).isNotNull)
       .groupBy(col(keyB).as("_k")).agg(count(lit(1)).as("_cb"))
     val exact = ca.join(cb, "_k")
-      .agg(coalesce(sum(col("_ca") * col("_cb")), lit(0L)).as("exact_pairs"))
+      .agg(coalesce(
+        sum(col("_ca").cast(cdec) * col("_cb").cast(cdec))
+          .cast(org.apache.spark.sql.types.LongType),
+        lit(0L)).as("exact_pairs"))
     skA.join(skB).select(est.as("est_pairs"))
       .join(exact)
   }

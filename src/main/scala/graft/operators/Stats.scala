@@ -223,8 +223,9 @@ object Stats {
     */
   def quantileBins(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps == ps.sorted && ps.forall(p => p > 0 && p < 1),
-      s"need ascending fractions in (0,1): $ps")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1) &&
+      (ps.size < 2 || ps.sliding(2).forall(w => w(0) < w(1))),
+      s"need STRICTLY ascending fractions in (0,1): $ps")
     val named = ps.zipWithIndex.map { case (p, i) => (s"_b$i", p) }
     val bounds = percentiles(df, groupCol, valueCol, named)
     val v = col(valueCol).cast(DoubleType)

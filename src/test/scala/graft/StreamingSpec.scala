@@ -185,10 +185,13 @@ class StreamingSpec extends SparkSpec {
     assert(native == relational)
   }
 
-  test("native sketch aggregates run unchanged in a windowed stream") {
+  test("native sketch aggregates run unchanged in a watermarked windowed stream") {
     // the mergeable-aggregate contract (bounded buffer + merge) is
     // exactly what streaming state requires: graft_cms/graft_kmv work
-    // in a watermarked windowed groupBy with no extra code
+    // in a watermarked windowed groupBy with no extra code. APPEND
+    // mode, so a window only emits once the watermark finalizes it —
+    // this exercises the real state-eviction path, not a
+    // complete-mode re-dump where the watermark is inert.
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
     val agg = mem.toDF.toDF("ts", "uid")
@@ -198,18 +201,31 @@ class StreamingSpec extends SparkSpec {
         call_function("graft_cms", $"uid", lit(4), lit(64)).as("cms"),
         call_function("graft_kmv", $"uid", lit(32)).as("kmv"))
     val q = agg.writeStream.format("memory").queryName("sketch_out")
-      .outputMode("complete").start()
+      .outputMode("append").start()
     try {
       mem.addData(
         (t("2024-01-01 10:00:00"), "u1"), (t("2024-01-01 11:00:00"), "u1"),
-        (t("2024-01-01 12:00:00"), "u2"), (t("2024-01-02 09:00:00"), "u3"))
+        (t("2024-01-01 12:00:00"), "u2"))
       q.processAllAvailable()
-      val rows = spark.table("sketch_out")
+      // watermark = 11:00 → day-1 window still open, nothing emitted
+      assert(spark.table("sketch_out").count() == 0)
+      // day-2 event pushes the watermark past day-1's end → day 1
+      // finalizes with its sketch state and is emitted + evicted
+      mem.addData((t("2024-01-02 09:00:00"), "u3"))
+      q.processAllAvailable()
+      val day1 = spark.table("sketch_out")
+        .select($"kmv.kmv_estimate",
+          graft.operators.Sketches.cmsEstimate($"cms", lit("u1"), 4, 64))
+        .as[(Double, Long)].collect().toSeq
+      assert(day1 == Seq((2.0, 2L))) // 2 distinct users, u1 seen twice
+      // advance again → day 2 finalizes too
+      mem.addData((t("2024-01-03 09:00:00"), "u9"))
+      q.processAllAvailable()
+      val all = spark.table("sketch_out")
         .select($"kmv.kmv_estimate",
           graft.operators.Sketches.cmsEstimate($"cms", lit("u1"), 4, 64))
         .as[(Double, Long)].collect().toSet
-      // day 1: 2 distinct users, u1 seen twice; day 2: 1 user, u1 absent
-      assert(rows == Set((2.0, 2L), (1.0, 0L)))
+      assert(all == Set((2.0, 2L), (1.0, 0L))) // day 2: u3 only, u1 absent
     } finally q.stop()
   }
 
