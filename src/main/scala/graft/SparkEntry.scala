@@ -588,6 +588,19 @@ object SparkEntry {
           col("bin").cast(LongType).as("bin"))
     }),
 
+    // language-ID confusion matrix: predicted vs labeled language with
+    // per-cell counts — the classifier-evaluation query every heuristic
+    // (and model) gate needs before it filters a corpus
+    "q117_lang_confusion" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"))
+        .join(scoredDocs(docs).select(col("doc_id"), col("pred_lang")),
+          "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // join-cardinality estimate from two CMS sketches (the AMS inner
     // product): plan-time |orders ⋈ customer| without shuffling either
     // side by key; exact from the bounded key histograms for the error
@@ -1949,6 +1962,12 @@ object SparkEntry {
                    AS BIGINT) AS bin
        FROM documents d JOIN b USING (lang)
        WHERE d.n_chars IS NOT NULL""",
+
+    "q117_lang_confusion" ->
+      s"""WITH pred AS ($langIdOracle)
+        SELECT d.lang, p.pred_lang, COUNT(*) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2""",
 
     "q116_join_cardinality" ->
       """WITH ra AS (
