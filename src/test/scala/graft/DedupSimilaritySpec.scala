@@ -16,6 +16,28 @@ class DedupSimilaritySpec extends SparkSpec {
     (5L, "spark sql engines process completely different content")
   ).toDF("doc_id", "text")
 
+  test("containment dominates jaccard on every overlapping pair (property)") {
+    // deterministic pseudo-random docs over a small vocabulary so
+    // overlaps are plentiful; |A∩B|/min ≥ |A∩B|/|A∪B| must hold per pair
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val rng = new scala.util.Random(42)
+    val docs = (1L to 30L).map { i =>
+      val len = 4 + rng.nextInt(8)
+      (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = Dedup.containmentPairs(docs, "doc_id", "text", n = 2,
+        threshold = 0.0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j.nonEmpty && j.keySet == c.keySet) // same candidate pairs
+    j.foreach { case (pair, jac) =>
+      assert(c(pair) >= jac, s"containment < jaccard for $pair")
+      assert(c(pair) <= 1.0 && jac <= 1.0)
+    }
+  }
+
   test("containmentPairs catches a quoted doc that jaccard misses") {
     val quote = "the quick brown fox jumps over the lazy dog"
     val host = ("completely unrelated framing text opens this long document " +
