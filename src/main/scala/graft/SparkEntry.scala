@@ -588,6 +588,31 @@ object SparkEntry {
           col("bin").cast(LongType).as("bin"))
     }),
 
+    // audience-overlap matrix: |users(A) ∩ users(B)| and Jaccard for
+    // every event-type pair — the segment-overlap analytics staple;
+    // the distinct user×type table self-joins on user (bounded by
+    // distinct pairs, never raw events × events)
+    "q118_audience_overlap" -> ((s, dir) => {
+      Graft.tune(s)
+      val ut = t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("_n"))
+      val common = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("_n").as("_na"))), "type_a")
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("_n").as("_nb"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_common"),
+          round(col("n_common").cast(DoubleType) /
+            (col("_na") + col("_nb") - col("n_common")), 6).as("jaccard"))
+    }),
+
     // language-ID confusion matrix: predicted vs labeled language with
     // per-cell counts — the classifier-evaluation query every heuristic
     // (and model) gate needs before it filters a corpus
@@ -1962,6 +1987,21 @@ object SparkEntry {
                    AS BIGINT) AS bin
        FROM documents d JOIN b USING (lang)
        WHERE d.n_chars IS NOT NULL""",
+
+    "q118_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+         cm AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS n_common
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+       SELECT type_a, type_b, n_common,
+              ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+                AS jaccard
+       FROM cm
+       JOIN sz sa ON cm.type_a = sa.event_type
+       JOIN sz sb ON cm.type_b = sb.event_type""",
 
     "q117_lang_confusion" ->
       s"""WITH pred AS ($langIdOracle)
