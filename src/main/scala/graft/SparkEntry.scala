@@ -155,8 +155,13 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base"),
-          sum(col("l_extendedprice").cast(dec) *
-            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+          // round the scale-8 decimal to 4dp BEFORE the double cast:
+          // at sf0.1 the raw sum's scaled integer (~2.7e17) exceeds
+          // 2^53, where DuckDB's decimal→double conversion
+          // double-rounds one ulp away from BigDecimal's single
+          // rounding; at scale 4 the scaled integer is exact in double
+          round(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))), 4)
             .cast(DoubleType).as("sum_disc"),
           count(lit(1)).as("n_rows"))
         .withColumn("avg_qty", round(col("sum_qty") / col("n_rows"), 6))
@@ -1472,7 +1477,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc,
          COUNT(*) AS n_rows,
          ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
          FROM lineitem
