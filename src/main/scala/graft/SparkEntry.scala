@@ -2734,10 +2734,11 @@ object SparkEntry {
            WHERE value IS NOT NULL
              AND TRY_CAST(props->>'$.k' AS DOUBLE) IS NOT NULL),
          m AS (SELECT event_type, COUNT(*) AS n,
-                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                 CAST(SUM(x*y) AS DOUBLE) AS sxy,
-                 CAST(SUM(x*x) AS DOUBLE) AS sxx,
-                 CAST(SUM(y*y) AS DOUBLE) AS syy
+                 CAST(ROUND(SUM(x), 4) AS DOUBLE) AS sx,
+                 CAST(ROUND(SUM(y), 4) AS DOUBLE) AS sy,
+                 CAST(ROUND(SUM(x*y), 4) AS DOUBLE) AS sxy,
+                 CAST(ROUND(SUM(x*x), 4) AS DOUBLE) AS sxx,
+                 CAST(ROUND(SUM(y*y), 4) AS DOUBLE) AS syy
                FROM base GROUP BY 1)
        SELECT event_type, n,
               ROUND((n*sxy - sx*sy) / (n*n), 6) AS covariance,
@@ -2943,8 +2944,8 @@ object SparkEntry {
                   CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
            FROM events WHERE value IS NOT NULL),
          m AS (SELECT event_type, COUNT(*) AS n,
-                 CAST(SUM(v) AS DOUBLE) AS sx,
-                 CAST(SUM(v*v) AS DOUBLE) AS sxx
+                 CAST(ROUND(SUM(v), 4) AS DOUBLE) AS sx,
+                 CAST(ROUND(SUM(v*v), 4) AS DOUBLE) AS sxx
                FROM base GROUP BY 1),
          s AS (SELECT event_type, sx / n AS mean,
                  sqrt(n*sxx - sx*sx) / n AS std
@@ -3047,7 +3048,7 @@ object SparkEntry {
       """WITH r AS (
            SELECT user_id, event_type,
                   row_number() OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id) AS rn
+                    ORDER BY date_trunc('microseconds', ts), event_id) AS rn
            FROM events)
        SELECT user_id,
               string_agg(event_type, '>' ORDER BY rn) AS path,
@@ -3096,13 +3097,16 @@ object SparkEntry {
                  CAST(ROUND(ROUND(r0 / MAX(r0) OVER (), 6) * 1000000)
                       AS BIGINT) AS thr
                FROM r)
+       , kept AS (
+           SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM documents d
+           JOIN k ON d.lang = k.lang
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1000000 < k.thr
+           GROUP BY 1)
        SELECT k.lang, k.n AS n_docs, k.keep_frac,
-              CAST(COUNT(*) AS BIGINT) AS n_kept
-       FROM documents d
-       JOIN k ON d.lang = k.lang
-       WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) % 1000000 < k.thr
-       GROUP BY 1, 2, 3""",
+              COALESCE(kept.n_kept, 0) AS n_kept
+       FROM k LEFT JOIN kept USING (lang)""",
 
     "q105_winsorize" ->
       """WITH b AS (
@@ -3157,9 +3161,10 @@ object SparkEntry {
                   CAST(ROUND(ln(c), 6) AS DECIMAL(18,6)) AS y
            FROM vocab),
          m AS (SELECT lang, COUNT(*) AS n,
-                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-                 CAST(SUM(x*y) AS DOUBLE) AS sxy,
-                 CAST(SUM(x*x) AS DOUBLE) AS sxx
+                 CAST(ROUND(SUM(x), 4) AS DOUBLE) AS sx,
+                 CAST(ROUND(SUM(y), 4) AS DOUBLE) AS sy,
+                 CAST(ROUND(SUM(x*y), 4) AS DOUBLE) AS sxy,
+                 CAST(ROUND(SUM(x*x), 4) AS DOUBLE) AS sxx
                FROM pts GROUP BY 1)
        SELECT lang, n AS n_terms,
               CASE WHEN (n*sxx - sx*sx) > 0

@@ -58,6 +58,13 @@ case class CmsSketchAgg(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
+  // "#<j>" suffix bytes per row index, built once per operator instance
+  // — String.valueOf(j).getBytes in the hot update loop would allocate
+  // 2·depth objects per input row
+  @transient private lazy val rowSuffixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(j =>
+      ("#" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
@@ -67,9 +74,7 @@ case class CmsSketchAgg(
       while (j < depth) {
         md.reset()
         md.update(bytes)
-        md.update('#'.toByte)
-        // digits of j in ASCII (depth is small; j < 10 in practice)
-        md.update(String.valueOf(j).getBytes)
+        md.update(rowSuffixes(j))
         val d = md.digest()
         var h = 0L
         var i = 0

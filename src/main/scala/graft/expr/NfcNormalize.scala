@@ -46,12 +46,17 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
   val FunctionName = "graft_nfc"
 
-  /** Fast path: NFC normalization only ever changes strings containing
-    * non-ASCII code points, and `Normalizer.isNormalized` is a cheap
-    * scan — the common (already-normalized, mostly-ASCII web text) case
-    * avoids the String round-trip allocation entirely.
+  /** Fast path: pure-ASCII strings are NFC by definition, and the
+    * byte scan costs no allocation at all — the common web-text row
+    * returns the input UTF8String untouched. Non-ASCII rows fall back
+    * to one String conversion for `isNormalized` (cheap scan), and
+    * only strings that actually change pay the normalize+rebuild.
     */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -317,13 +317,17 @@ object Corpus {
     * posexplode+lead derivation shared by the bigram operators so the
     * two stay in lockstep.
     */
-  private def bigramsFromToks(toks: DataFrame): DataFrame = {
+  private def bigramsFromToks(toks: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
+    val carried = extraCols.map(col)
     toks
-      .select(col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
+      .select(col("_id") +: carried :+
+        posexplode(col("_tk")).as(Seq("_p", "_t")): _*)
       .withColumn("_next", lead(col("_t"), 1).over(w))
       .filter(col("_next").isNotNull)
-      .select(col("_id"), col("_t").as("_a"), col("_next").as("_b"))
+      .select(col("_id") +: carried :+
+        col("_t").as("_a") :+ col("_next").as("_b"): _*)
   }
 
   def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
@@ -510,15 +514,11 @@ object Corpus {
       .groupBy("_g")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("_t")).as("distinct_1"))
-    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
-    val bg = toks
-      .select(col("_g"), col("_id"), posexplode(col("_tk")).as(Seq("_p", "_t")))
-      .withColumn("_next", lead(col("_t"), 1).over(w))
-      .filter(col("_next").isNotNull)
-      .select(col("_g"), concat(col("_t"), lit(" "), col("_next")).as("_b"))
+    val bg = bigramsFromToks(toks, extraCols = Seq("_g"))
+      .select(col("_g"), concat(col("_a"), lit(" "), col("_b")).as("_bg"))
       .groupBy("_g")
       .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("_b")).as("distinct_2"))
+        countDistinct(col("_bg")).as("distinct_2"))
     uni.join(bg, Seq("_g"), "left_outer")
       .select(col("_g").as(groupCol), col("n_tokens"), col("distinct_1"),
         round(col("distinct_1").cast(DoubleType) / col("n_tokens"), 6)
@@ -556,12 +556,14 @@ object Corpus {
       .select(col("_g"),
         round(log(col("_r")), 6).cast(mdec).as("_x"),
         round(log(col("_c")), 6).cast(mdec).as("_y"))
+    // moment sums round to 4dp before the double cast (2^53
+    // decimal→double cross-engine hazard — see Stats.correlation)
     val m = pts.groupBy(col("_g"))
       .agg(count(lit(1)).as("_n"),
-        sum(col("_x")).cast(DoubleType).as("_sx"),
-        sum(col("_y")).cast(DoubleType).as("_sy"),
-        sum(col("_x") * col("_y")).cast(DoubleType).as("_sxy"),
-        sum(col("_x") * col("_x")).cast(DoubleType).as("_sxx"))
+        round(sum(col("_x")), 4).cast(DoubleType).as("_sx"),
+        round(sum(col("_y")), 4).cast(DoubleType).as("_sy"),
+        round(sum(col("_x") * col("_y")), 4).cast(DoubleType).as("_sxy"),
+        round(sum(col("_x") * col("_x")), 4).cast(DoubleType).as("_sxx"))
     val n = col("_n").cast(DoubleType)
     val den = n * col("_sxx") - col("_sx") * col("_sx")
     m.select(col("_g").as(groupCol), col("_n").as("n_terms"),

@@ -51,30 +51,34 @@ object Joins {
         " — rename upstream")
     // kind orders right rows BEFORE a left row at the same (key, ts):
     // the window then includes the tied right row in the lookback.
+    // The whole right payload travels as ONE struct: `last(ignoreNulls)`
+    // must skip the null slots contributed by LEFT rows but still pick
+    // the newest RIGHT row even when that row's payload FIELDS are
+    // null — per-column carries would resurrect an older row's value
+    // and disagree with the matched `asof_ts`.
     val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("_kind")) ++
-        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+        col(keyCol), col(tsCol),
+        lit(0).as("_kind"),
+        struct(col(tsCol).as("_ts") +:
+          rightCols.map(c => col(c).as(s"_r_$c")): _*).as("_r"))
       .withColumn("_asof_ts", col(tsCol)).drop(tsCol)
+    val rStructType = taggedRight.schema("_r").dataType
     val taggedLeft = left.select(
       Seq(col(keyCol), col(tsCol).as("_asof_ts"), lit(1).as("_kind")) ++
-        leftCols.filter(c => c != keyCol).map(col) ++
-        rightCols.map(c => lit(null).as(s"_r_$c")): _*)
+        leftCols.filter(c => c != keyCol).map(col) :+
+        lit(null).cast(rStructType).as("_r"): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_asof_ts"), col("_kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(taggedLeft.unionByName(taggedRight,
-      allowMissingColumns = true)) { (df, c) =>
-      df.withColumn(s"_c_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    // also carry the matched right timestamp for callers that want it
-    val carriedTs = carried.withColumn("_c__ts",
-      last(when(col("_kind") === 0, col("_asof_ts")), ignoreNulls = true).over(w))
-    carriedTs.filter(col("_kind") === 1)
+    val carried = taggedLeft.unionByName(taggedRight,
+        allowMissingColumns = true)
+      .withColumn("_c", last(col("_r"), ignoreNulls = true).over(w))
+    carried.filter(col("_kind") === 1)
       .select(
         col(keyCol) +: col("_asof_ts").as(tsCol) +:
           (leftCols.filter(c => c != keyCol && c != tsCol).map(col) ++
-            Seq(col("_c__ts").as("asof_ts")) ++
-            rightCols.map(c => col(s"_c_$c").as(c))): _*)
+            Seq(col("_c._ts").as("asof_ts")) ++
+            rightCols.map(c => col(s"_c._r_$c").as(c))): _*)
   }
 
   /** [[asofJoin]] with a max-staleness tolerance — the feature-store

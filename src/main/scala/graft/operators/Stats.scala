@@ -78,14 +78,18 @@ object Stats {
       yCol: String): DataFrame = {
     val mdec = DecimalType(18, 6)
     def d(c: String): Column = round(col(c).cast(DoubleType), 6).cast(mdec)
+    // moment sums round to 4dp BEFORE the double cast: the scale-12
+    // product sums otherwise exceed 2^53 scaled-integer range at large
+    // group counts, where DuckDB's decimal→double conversion
+    // double-rounds one ulp away from Spark's (see q01 / SKILL.md)
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("_n"),
-        sum(d(xCol)).cast(DoubleType).as("_sx"),
-        sum(d(yCol)).cast(DoubleType).as("_sy"),
-        sum(d(xCol) * d(yCol)).cast(DoubleType).as("_sxy"),
-        sum(d(xCol) * d(xCol)).cast(DoubleType).as("_sxx"),
-        sum(d(yCol) * d(yCol)).cast(DoubleType).as("_syy"))
+        round(sum(d(xCol)), 4).cast(DoubleType).as("_sx"),
+        round(sum(d(yCol)), 4).cast(DoubleType).as("_sy"),
+        round(sum(d(xCol) * d(yCol)), 4).cast(DoubleType).as("_sxy"),
+        round(sum(d(xCol) * d(xCol)), 4).cast(DoubleType).as("_sxx"),
+        round(sum(d(yCol) * d(yCol)), 4).cast(DoubleType).as("_syy"))
     val n = col("_n").cast(DoubleType)
     val varX = n * col("_sxx") - col("_sx") * col("_sx")
     val varY = n * col("_syy") - col("_sy") * col("_sy")
@@ -114,11 +118,13 @@ object Stats {
       valueCol: String, z: Double = 3.0): DataFrame = {
     val mdec = DecimalType(18, 6)
     val v = round(col(valueCol).cast(DoubleType), 6).cast(mdec)
+    // sums round to 4dp before the double cast (2^53 hazard — see
+    // correlation above)
     val stats = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("_n"),
-        sum(v).cast(DoubleType).as("_sx"),
-        sum(v * v).cast(DoubleType).as("_sxx"))
+        round(sum(v), 4).cast(DoubleType).as("_sx"),
+        round(sum(v * v), 4).cast(DoubleType).as("_sxx"))
     val n = col("_n").cast(DoubleType)
     val mean = col("_sx") / n
     val std = sqrt(n * col("_sxx") - col("_sx") * col("_sx")) / n

@@ -317,7 +317,8 @@ class CorpusSpec extends SparkSpec {
     val fdf = Seq((1L, "flat", flat.mkString(" "))).toDF("doc_id", "lang", "text")
     val fs = Corpus.zipfSlope(fdf, "doc_id", "text", "lang")
       .collect().head.getDouble(2)
-    assert(math.abs(fs) < 1e-9)
+    // ~0 up to the 4dp moment-sum rounding (the 2^53-safe cast contract)
+    assert(math.abs(fs) < 1e-4)
   }
 
   test("temperatureSample boosts low-resource groups, α=1 keeps everything") {

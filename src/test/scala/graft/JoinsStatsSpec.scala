@@ -394,6 +394,20 @@ class JoinsStatsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") ->
         Option(r.getAs[String]("payload"))).toMap
     assert(loose(2L).contains("fresh-for-1"))
+    // the matched row's payload is authoritative even when NULL: a
+    // newer right row with a null field must not resurrect an older
+    // row's value (asof_ts and payload always come from the same row)
+    val rightWithNull = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), "old-value"),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 09:45:00"),
+        null.asInstanceOf[String])
+    ).toDF("k", "ts", "payload")
+    val matched = Joins.asofJoin(left, rightWithNull, "k", "ts",
+        Seq("payload"))
+      .filter($"id" === 1L).head()
+    assert(matched.getAs[java.sql.Timestamp]("asof_ts") ==
+      java.sql.Timestamp.valueOf("2024-01-01 09:45:00"))
+    assert(matched.getAs[String]("payload") == null)
   }
 
   test("winsorize clips into the percentile band, passes inliers through") {
