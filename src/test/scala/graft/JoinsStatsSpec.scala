@@ -345,6 +345,26 @@ class JoinsStatsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("nullProfile counts nulls vs blank-ish separately, quotes odd names") {
+    val df = Seq(
+      (1L, "real text", "en"),
+      (2L, null.asInstanceOf[String], "en"),
+      (3L, "   ", "en"),     // whitespace-only → blank, not null
+      (4L, "nan", null.asInstanceOf[String]), // the stringified-NaN artifact
+      (5L, "ok", "fr")
+    ).toDF("id", "text", "lang")
+    val got = Stats.nullProfile(df, Seq("text", "lang"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("text") == ((1L, 3L, 0.6)))  // null + ws-only + 'nan'
+    assert(got("lang") == ((1L, 1L, 0.2)))
+    // a hyphenated column name must survive the generated stack() expr
+    val odd = df.withColumnRenamed("text", "my-col")
+    val oddGot = Stats.nullProfile(odd, Seq("my-col"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(oddGot("my-col") == 3L)
+  }
+
   test("quantileBins yields balanced quartiles with ties to the lower bin") {
     val df = (1 to 100).map(v => (v.toLong, "g", v.toDouble)).toDF("id", "g", "v")
     val bins = Stats.quantileBins(df, "g", "v", Seq(0.25, 0.5, 0.75))
