@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the ONE
+// JSON line Bench prints. sbt's default OutputStrategy for forked runs
+// is LoggedOutput, which re-prefixes every stdout line with "[info] "
+// and breaks that parse (BENCH_r01/r02 recorded parsed:null). Inherit
+// the real stdout/stderr instead so the JSON line passes through clean.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
