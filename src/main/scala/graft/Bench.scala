@@ -40,8 +40,10 @@ object Bench {
     "q104_temperature_sample", "q110_asof_tolerant", "q115_bigram_lm",
   )
   private def headline(all: Seq[String]): Seq[String] = {
+    // toIntOption: a registered name not shaped q<digits>... must be
+    // excluded from the parity set, not crash the bench at startup
     val parity = all.filter { n =>
-      n.drop(1).takeWhile(_.isDigit).toInt <= 40
+      n.drop(1).takeWhile(_.isDigit).toIntOption.exists(_ <= 40)
     }
     (parity ++ headlineExtensions.filter(all.contains)).distinct
   }
@@ -63,8 +65,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val full = sys.env.contains("SPARK_GRAFT_BENCH_FULL")
     val named =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_FULL")) all
+      if (full) all
       else { val keep = headline(all.map(_._1)).toSet; all.filter(p => keep(p._1)) }
     def onePass(tag: String,
         qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
@@ -94,13 +97,20 @@ object Bench {
     val p3 = onePass("3/3", stillSlow)
     val results = min2.map { case (k, v) => k -> math.min(v, p3.getOrElse(k, v)) }
     // Millisecond precision keeps the single JSON line short enough to
-    // survive log-tail truncation on the consumer side.
+    // survive log-tail truncation on the consumer side. Locale.ROOT
+    // formatting: under a comma-decimal default locale (de_DE etc.)
+    // f"$v%.3f" would emit 0,705 — invalid JSON, a parsed:null round.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Workload identity travels IN the artifact so a 56-query headline
+    // total is never cross-compared against a 117-query full total.
+    val workload = if (full) "full" else "headline"
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also drop the line as a repo artifact so the numbers stay
     // readable even if the harness's stdout capture mangles the log.
