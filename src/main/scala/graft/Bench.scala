@@ -85,6 +85,7 @@ object Bench {
     // state for everything. The cache is cleared between passes so
     // queries that persist intermediates recompute them honestly.
     val p1 = onePass("1/3", named)
+    Caches.release(spark)
     spark.sharedState.cacheManager.clearCache()
     val p2 = onePass("2/3", named)
     val min2 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
@@ -92,6 +93,7 @@ object Bench {
     // contention on this box runs in multi-minute windows that can
     // cover BOTH earlier passes of one query (observed: 8× on a
     // sub-second query); a later third sample escapes the window.
+    Caches.release(spark)
     spark.sharedState.cacheManager.clearCache()
     val stillSlow = named.filter { case (name, _) => min2.getOrElse(name, 0.0) > 1.2 }
     val p3 = onePass("3/3", stillSlow)

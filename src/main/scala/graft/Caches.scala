@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Ownership registry for operator-internal persisted intermediates.
+  *
+  * A few operators genuinely need a MEMORY_AND_DISK intermediate — the
+  * MinHash verify joins re-read the shingle sets, the LM scorers take
+  * a scalar action off the vocabulary histogram they then join — but a
+  * bare `.persist` inside an operator that returns a lazy DataFrame
+  * has no release point: the caller finishes its action and the cached
+  * partitions stay resident for the life of the session (the round-3
+  * cache-lifecycle leak). Routing every such persist through [[own]]
+  * gives the CALLER ownership: after consuming the returned frame,
+  * `Caches.release(spark)` drops everything the engine pinned in that
+  * session. Released frames stay correct — unpersist only removes the
+  * cache, recompute still works — so releasing early costs time, never
+  * results.
+  *
+  * Long-lived sessions (notebooks, servers) call `release` between
+  * logical jobs; `Verify` releases after every query, `Bench` between
+  * passes. Operators whose reuse is WITHIN one plan tree only were
+  * restructured to not persist at all (see `Dedup.pairCounts`).
+  */
+object Caches {
+
+  private val owned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for [[release]]. */
+  private[graft] def own(df: DataFrame): DataFrame = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    owned.add(df)
+    df
+  }
+
+  /** Unpersist every engine-pinned intermediate of `spark`'s session. */
+  def release(spark: SparkSession): Unit = {
+    val it = owned.iterator()
+    while (it.hasNext) {
+      val df = it.next()
+      if (df.sparkSession eq spark) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** [[release]] across all sessions (test teardown / shutdown). */
+  def releaseAll(): Unit = {
+    val it = owned.iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      it.remove()
+    }
+  }
+}

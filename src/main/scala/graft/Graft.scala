@@ -49,6 +49,7 @@ object Graft {
     graft.expr.BloomMightContain.register(spark)
     graft.expr.KmvSketchAgg.register(spark)
     graft.expr.OrderedPairs.register(spark)
+    graft.expr.PostingPairsAgg.register(spark)
     graft.expr.NfcNormalize.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     // per-session injection of the opt-in AQP rewrite (a no-op unless

@@ -85,7 +85,7 @@ object Corpus {
       idCol: String, textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
     val benchShingles = Dedup.shingleSets(benchmark, idCol, textCol, n)
       .select(explode(col("_sh")).as("_s")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     // Two distributed passes over the (small) benchmark side: one to
     // size the filter, one to build it. The corpus side stays lazy.
     val nBench = math.max(benchShingles.count(), 1L)
@@ -154,7 +154,7 @@ object Corpus {
       explode(graft.functions.TextAnalysis.tokens(
         coalesce(col(textCol), lit("")))).as("_t"))
     val counts = toks(df).groupBy("_t").agg(count(lit(1)).as("_cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     // T and V are two scalars — one driver action over the (small)
     // vocabulary histogram, same pattern as TfIdf's corpus count; the
     // histogram is persisted because the totals action and the
@@ -191,13 +191,13 @@ object Corpus {
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dec6 = DecimalType(18, 6)
     val docBigrams = bigramsFromToks(bigramToks(df, idCol, textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     // persisted because both the vocabulary-size action and the
     // log-prob join consume it (same reason as unigramLmScore)
     val uni = df.select(explode(graft.functions.TextAnalysis.tokens(
         coalesce(col(textCol), lit("")))).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_ca"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     val vocabSize = uni.count().toDouble
     val bg = docBigrams.groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("_cab"))
@@ -242,7 +242,7 @@ object Corpus {
       .select(col("_id"), col("_fp"))
       // three consumers (cross-doc table, per-doc totals, dup counts)
       // would each re-run the split + normalize + md5 over the scan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     // fingerprints appearing in more than one distinct document
     val crossDoc = paras.distinct()
       .groupBy("_fp").agg(count(lit(1)).as("_nd"))
@@ -333,10 +333,10 @@ object Corpus {
   def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
       minCount: Long, k: Int): DataFrame = {
     val toks = bigramToks(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     val uni = toks.select(explode(col("_tk")).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     val bgc = bigramsFromToks(toks)
       .groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("_cab"))
@@ -377,7 +377,7 @@ object Corpus {
     // persist the projected (id, tokens) pair — two longs per doc — so
     // the tokenizer runs ONCE over the corpus, not once per consumer.
     val withTok = df.select(col(orderCol), tokenCol.cast(LongType).as("_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     val cum = Scale.prefixSum(withTok, orderCol, "_tok", "_cum", blockSize)
     cum
       .withColumn("bin_id", floor((col("_cum") - col("_tok")) / budget))
@@ -406,7 +406,7 @@ object Corpus {
     val toks = df.select(col(idCol).as("_id"),
       graft.functions.TextAnalysis.tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     // total/distinct need no explode: size + array_distinct are native
     // single-pass array functions (codegen'd, no HOF lambda capture).
     // total − 1 is also the bigram count, so only the MAX bigram
@@ -509,7 +509,7 @@ object Corpus {
     val toks = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
         graft.functions.TextAnalysis.tokens(
           coalesce(col(textCol), lit(""))).as("_tk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.own)
     val uni = toks.select(col("_g"), explode(col("_tk")).as("_t"))
       .groupBy("_g")
       .agg(count(lit(1)).as("n_tokens"),

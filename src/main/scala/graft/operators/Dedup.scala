@@ -88,17 +88,13 @@ object Dedup {
     * (0 = keep all) to kill posting-list skew at scale.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    val (common, sizes) = commonAndSizes(df, idCol, textCol, n, maxDocFreq)
-    common
-      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
-      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
+      threshold: Double, maxDocFreq: Long = 0L): DataFrame =
+    pairCounts(df, idCol, textCol, n, maxDocFreq)
       .withColumn("jaccard",
         round(col("_common").cast(DoubleType) /
           (col("_n1") + col("_n2") - col("_common")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
-  }
 
   /** Near-SUBSET detection: pairs whose n-gram CONTAINMENT
     * |A ∩ B| / min(|A|, |B|) clears the threshold — catches a short
@@ -110,67 +106,55 @@ object Dedup {
     * [[jaccardPairs]].
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    val (common, sizes) = commonAndSizes(df, idCol, textCol, n, maxDocFreq)
-    common
-      .join(sizes.withColumnRenamed("_id", "id1").withColumnRenamed("_n", "_n1"), "id1")
-      .join(sizes.withColumnRenamed("_id", "id2").withColumnRenamed("_n", "_n2"), "id2")
+      threshold: Double, maxDocFreq: Long = 0L): DataFrame =
+    pairCounts(df, idCol, textCol, n, maxDocFreq)
       .withColumn("containment",
         round(col("_common").cast(DoubleType) / least(col("_n1"), col("_n2")), 6))
       .filter(col("containment") >= threshold)
       .select("id1", "id2", "containment")
-  }
+
+  /** (_id, _n, _s): one posting row per (document, distinct shingle),
+    * carrying the document's distinct-shingle COUNT alongside the
+    * 64-bit shingle hash. Shuffling the hash instead of the 20-40 byte
+    * shingle string cuts exchange volume several-fold; carrying `_n`
+    * (4 bytes) means downstream pair counts need no separate set-size
+    * join — and therefore no shared, persisted `sets` intermediate. A
+    * (vanishingly unlikely) intra-document hash collision cannot change
+    * `_n` (it counts the original distinct strings); the id1≠id2 guard
+    * in [[pairCounts]] drops any self-pair such a collision fabricates.
+    */
+  private def postingsWithSize(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s0"))
+      .select(col("_id"), col("_n"), xxhash64(col("_s0")).as("_s"))
 
   /** Shared inverted-index core of [[jaccardPairs]] /
-    * [[containmentPairs]]: per-pair common-shingle counts + per-doc
-    * distinct-shingle sizes.
+    * [[containmentPairs]]: (id1, id2, _common, _n1, _n2) — per-pair
+    * common-shingle counts with both documents' distinct-shingle sizes.
+    *
+    * Exactly two shuffles and ONE pass over the corpus: postings group
+    * by shingle hash under the capped native pair aggregate
+    * (graft_posting_pairs — bounded buffers, overflow = the maxDocFreq
+    * prune), pairs group by (id1, id2). No persisted intermediate: the
+    * old three-stage form (collect_list → hot-shingle anti-join →
+    * pair expansion → two set-size joins) needed the posting table
+    * twice and the shingle sets three times, forcing a MEMORY_AND_DISK
+    * persist that outlived the query (the round-3 cache-lifecycle
+    * leak).
     */
-  private def commonAndSizes(df: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocFreq: Long): (DataFrame, DataFrame) = {
-    // Three consumers walk the shingle sets (postings + both sizes
-    // joins); persisting the sets caps the scan→shingle derivation at
-    // one pass, same as minhashDedupPairs.
-    val sets = shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sets.select(col("_id"), size(col("_sh")).as("_n"))
-    // Postings shuffle on a 64-bit shingle hash, not the 20-40 byte
-    // shingle string — the posting key crosses the wire ~3 times (skew
-    // cap, inverted index, pair aggregation), so this cuts shuffle
-    // volume several-fold. Set sizes come from the original distinct
-    // STRING sets, so a (vanishingly unlikely) intra-document hash
-    // collision cannot change them; the id1<id2 guard below drops any
-    // self-pair such a collision could fabricate. Output verified
-    // identical to the string-keyed form by the DuckDB oracle.
-    val postings0 = sets.select(col("_id"), explode(col("_sh")).as("_s0"))
-      .select(col("_id"), xxhash64(col("_s0")).as("_s"))
-    val postings =
-      if (maxDocFreq <= 0) postings0
-      else {
-        val hot = postings0.groupBy("_s").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxDocFreq).select("_s")
-        postings0.join(hot, Seq("_s"), "left_anti")
-      }
-    // Pair generation by grouping the posting list per shingle and
-    // expanding ordered pairs — one shuffle on the shingle plus one on
-    // the pair, instead of building/probing a broadcast of all
-    // postings. `maxDocFreq` (above) caps the quadratic per-list
-    // expansion at scale.
-    val common = postings.groupBy("_s")
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
+  private def pairCounts(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Long): DataFrame =
+    postingsWithSize(df, idCol, textCol, n)
+      .groupBy("_s")
+      .agg(call_function(graft.expr.PostingPairsAgg.FunctionName,
+        col("_id"), col("_n"), lit(maxDocFreq)).as("_ps"))
+      .filter(col("_ps").isNotNull)
+      .select(explode(col("_ps")).as("_p"))
       .filter(col("_p.id1") =!= col("_p.id2"))
       .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
-      .agg(count(lit(1)).as("_common"))
-    // Persist the pair-count table too (it is small — co-occurring
-    // pairs after aggregation, not postings): every caller joins
-    // `sizes` onto it twice, and the jaccard/containment/cluster
-    // queries over the same corpus share the whole inverted-index
-    // subtree through the cache instead of re-shuffling postings.
-    (common.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      sizes)
-  }
+      .agg(count(lit(1)).as("_common"),
+        min(col("_p.n1")).as("_n1"), min(col("_p.n2")).as("_n2"))
 
   /** Cross-corpus near-dup pairs: (a, b) with a FROM `corpusA` and
     * b FROM `corpusB` whose n-gram Jaccard ≥ threshold — the
@@ -178,40 +162,54 @@ object Dedup {
     * corpus vs another vendor's dataset). Returns (id_a, id_b,
     * jaccard); id spaces need not be disjoint.
     *
-    * Unlike the self-join case there is no pair EXPANSION at all: the
-    * two posting tables meet in a plain shuffle hash equi-join on the
-    * 64-bit shingle hash, so cost is |postings_A| + |postings_B| plus
-    * the matched pairs. `maxDocFreq` caps a shingle's COMBINED
-    * document frequency (both corpora), killing the join's quadratic
-    * blowup on boilerplate shingles at scale.
+    * Both corpora reduce to (id, |set|, shingle-hash) postings in one
+    * pass each, no persisted intermediate (set sizes ride the posting
+    * rows, sign-tagged by side so one column carries both).
+    *  - capped (`maxDocFreq > 0`, the at-scale configuration): the
+    *    tagged postings union into ONE capped pair aggregation — the
+    *    cap applies to a shingle's COMBINED document frequency (both
+    *    corpora), with bounded buffers instead of the old second
+    *    df-counting pass + two anti-joins; cross-side pairs are
+    *    filtered out of the expansion by sign.
+    *  - uncapped: a plain shuffle hash equi-join of the two posting
+    *    tables on the shingle hash — no pair expansion and no
+    *    per-group buffering at all, so a hot shingle degrades to extra
+    *    join rows, never executor memory.
     */
   def crossJaccardPairs(corpusA: DataFrame, corpusB: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double,
       maxDocFreq: Long = 0L): DataFrame = {
-    def side(df: DataFrame): (DataFrame, DataFrame) = {
-      val sets = shingleSets(df, idCol, textCol, n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sets.select(col("_id"), size(col("_sh")).as("_n"))
-      val postings = sets.select(col("_id"), explode(col("_sh")).as("_s0"))
-        .select(col("_id"), xxhash64(col("_s0")).as("_s"))
-      (postings, sizes)
-    }
-    val (pa0, sa) = side(corpusA)
-    val (pb0, sb) = side(corpusB)
-    val (pa, pb) =
-      if (maxDocFreq <= 0) (pa0, pb0)
-      else {
-        val hot = pa0.union(pb0).groupBy("_s").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxDocFreq).select("_s")
-        (pa0.join(hot, Seq("_s"), "left_anti"),
-          pb0.join(hot, Seq("_s"), "left_anti"))
+    val pa = postingsWithSize(corpusA, idCol, textCol, n)
+    val pb = postingsWithSize(corpusB, idCol, textCol, n)
+    val common =
+      if (maxDocFreq <= 0) {
+        pa.select(col("_s"), col("_id").as("id_a"), col("_n").as("_na"))
+          .join(pb.select(col("_s"), col("_id").as("id_b"), col("_n").as("_nb")), "_s")
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("_common"),
+            min(col("_na")).as("_na"), min(col("_nb")).as("_nb"))
+      } else {
+        // side B's sizes ride negated: one (id, n) pair-expansion
+        // kernel serves both the self-join and the cross-corpus case,
+        // and the sign filter keeps only cross-side pairs
+        val tagged = pa.unionAll(
+          pb.select(col("_id"), negate(col("_n")).as("_n"), col("_s")))
+        tagged.groupBy("_s")
+          .agg(call_function(graft.expr.PostingPairsAgg.FunctionName,
+            col("_id"), col("_n"), lit(maxDocFreq)).as("_ps"))
+          .filter(col("_ps").isNotNull)
+          .select(explode(col("_ps")).as("_p"))
+          .filter((col("_p.n1") > 0) =!= (col("_p.n2") > 0))
+          .select(
+            when(col("_p.n1") > 0, col("_p.id1")).otherwise(col("_p.id2")).as("id_a"),
+            when(col("_p.n1") > 0, col("_p.id2")).otherwise(col("_p.id1")).as("id_b"),
+            greatest(col("_p.n1"), col("_p.n2")).as("_na"),
+            (-least(col("_p.n1"), col("_p.n2"))).as("_nb"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("_common"),
+            min(col("_na")).as("_na"), min(col("_nb")).as("_nb"))
       }
-    val common = pa.select(col("_s"), col("_id").as("id_a"))
-      .join(pb.select(col("_s"), col("_id").as("id_b")), "_s")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_common"))
     common
-      .join(sa.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
-      .join(sb.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
       .withColumn("jaccard",
         round(col("_common").cast(DoubleType) /
           (col("_na") + col("_nb") - col("_common")), 6))
@@ -280,15 +278,15 @@ object Dedup {
     * verify joins), so they are persisted once — without this the
     * scan→shingle subtree re-runs per consumer, and at 100 TB that is
     * two full extra passes over the corpus. Spill-safe
-    * (MEMORY_AND_DISK); at cluster scale a pre-shingled parquet
-    * checkpoint serves the same role.
+    * (MEMORY_AND_DISK), caller-released via [[graft.Caches]]; at
+    * cluster scale a pre-shingled parquet checkpoint serves the same
+    * role.
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.Caches.own(shingleSets(df, idCol, textCol, n))
     val sig = sets.select(col("_id"),
       call_function(graft.expr.MinHashSignature.FunctionName,
         col("_sh"), lit(numHashes)).as("_sig"))
@@ -356,21 +354,31 @@ object Dedup {
     *    repeatedly adopts the smallest label among itself and its
     *    neighbors until fixpoint. Rounds are bounded by the component
     *    diameter (near-dup clusters are shallow); each round is one
-    *    join + one aggregation, fully distributed. Labels persist per
-    *    round and the edge list persists once, so iterations never
-    *    re-derive the upstream similarity pipeline.
+    *    join + one aggregation, fully distributed. Per-round labels are
+    *    LOCAL-CHECKPOINTED, not persisted: the checkpoint truncates the
+    *    round's lineage (no O(rounds) plan nesting, no re-derivation of
+    *    the upstream similarity pipeline), prior rounds' blocks are
+    *    freed by the context cleaner once unreferenced, and the
+    *    returned frame leaves nothing registered in the SQL cache
+    *    manager. The edge list persists for the duration of the loop
+    *    and is released before returning.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverThreshold: Long = 1L << 22): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    // both edge directions in ONE pass over the pairs (explode, not a
+    // union of two selects that would evaluate the pair pipeline twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("_e"))
+      .select(col("_e.a").as("id1"), col("_e.b").as("id2"))
       .persist(lvl)
     val edgeCount = edges.count()
     if (edgeCount <= driverThreshold)
       return driverComponents(pairs.sparkSession, edges, edgeCount)
     var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = edgeCount == 0
     var i = 0
     while (!converged && i < maxIter) {
@@ -381,11 +389,10 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
-        .persist(lvl)
+        .localCheckpoint(true)
       converged = updated
         .join(labels.select(col("id"), col("label").as("_old")), "id")
         .filter(col("label") =!= col("_old")).isEmpty
-      labels.unpersist()
       labels = updated
       i += 1
     }
@@ -444,8 +451,10 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    // no persist here: connectedComponents consumes the pair list
+    // exactly once (single-pass edge explode) into its own bounded,
+    // released edge cache
     val pairs = jaccardPairs(df, idCol, textCol, n, threshold, maxDocFreq)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cc = connectedComponents(pairs)
     df.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")

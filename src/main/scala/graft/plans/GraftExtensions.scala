@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BloomMightContain, CmsSketchAgg, CosineSimilarity, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{BloomMightContain, CmsSketchAgg, CosineSimilarity, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -62,6 +62,10 @@ object GraftExtensions {
       (FunctionIdentifier(OrderedPairs.FunctionName),
         info(OrderedPairs.FunctionName, classOf[OrderedPairs]),
         exprs => OrderedPairs(exprs.head)),
+      (FunctionIdentifier(PostingPairsAgg.FunctionName),
+        info(PostingPairsAgg.FunctionName, classOf[PostingPairsAgg]),
+        exprs => PostingPairsAgg(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].longValue())),
       (FunctionIdentifier(NfcNormalize.FunctionName),
         info(NfcNormalize.FunctionName, classOf[NfcNormalize]),
         exprs => NfcNormalize(exprs.head)),

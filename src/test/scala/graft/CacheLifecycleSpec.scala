@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Cache-lifecycle contract (round-3 VERDICT items 2 and 8): operators
+  * either leave the SQL cache manager untouched (the restructured
+  * inverted-index family) or pin intermediates through [[Caches]] so
+  * the caller can release them. A long-lived session that runs dedup
+  * after dedup must not accumulate cached partitions forever.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content about spark sql engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "spark sql engines process completely different content")
+  ).toDF("doc_id", "text")
+
+  private def cacheEmpty: Boolean = spark.sharedState.cacheManager.isEmpty
+
+  test("inverted-index dedup family leaves no cache entries at all") {
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDocFreq = 100L).collect()
+    assert(cacheEmpty, "jaccardPairs left cached plans behind")
+    Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDocFreq = 100L).collect()
+    assert(cacheEmpty, "containmentPairs left cached plans behind")
+    Dedup.crossJaccardPairs(docs, docs, "doc_id", "text", n = 3,
+      threshold = 0.9, maxDocFreq = 100L).collect()
+    assert(cacheEmpty, "crossJaccardPairs (capped) left cached plans behind")
+    Dedup.crossJaccardPairs(docs, docs, "doc_id", "text", n = 3,
+      threshold = 0.9).collect()
+    assert(cacheEmpty, "crossJaccardPairs (uncapped) left cached plans behind")
+  }
+
+  test("connected components / clustering release their edge cache") {
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.nearDupClusters(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDocFreq = 100L).collect()
+    assert(cacheEmpty, "nearDupClusters (driver regime) leaked")
+    // the distributed label-propagation regime local-checkpoints labels
+    // (block cleanup via the context cleaner, not the cache manager)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5)
+    Dedup.connectedComponents(pairs, driverThreshold = 0L).collect()
+    assert(cacheEmpty, "connectedComponents (distributed regime) leaked")
+  }
+
+  test("Caches.own intermediates are caller-released, results unchanged") {
+    spark.sharedState.cacheManager.clearCache()
+    val before = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).collect().toSet
+    assert(!cacheEmpty, "minhash verify joins are expected to pin the shingle sets")
+    Caches.release(spark)
+    assert(cacheEmpty, "Caches.release left minhash entries behind")
+    // released caches only drop the cache, never the result
+    val after = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).collect().toSet
+    assert(after == before)
+    Caches.release(spark)
+    assert(cacheEmpty)
+  }
+
+  test("corpus-stats operators sweep clean after release") {
+    spark.sharedState.cacheManager.clearCache()
+    Corpus.unigramLmScore(docs, "doc_id", "text").collect()
+    Corpus.bigramLmScore(docs, "doc_id", "text").collect()
+    Corpus.paragraphDupStats(docs, "doc_id", "text").collect()
+    Corpus.pmiBigrams(docs, "doc_id", "text", minCount = 1L, k = 5).collect()
+    Corpus.repetitionStats(docs, "doc_id", "text").collect()
+    Corpus.packSequences(docs, "doc_id", length(col("text")), budget = 64L)
+      .collect()
+    Corpus.contaminationReportBloom(docs, docs.limit(2), "doc_id", "text", 3)
+      .collect()
+    Caches.release(spark)
+    assert(cacheEmpty, "a Corpus operator's pinned intermediate survived release")
+  }
+}

@@ -120,11 +120,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.keySet == Set((1L, 2L)))
     assert(capped.keySet == uncapped.keySet)
     assert(capped((1L, 2L)) >= 0.5)
-    // and the prune really is in the plan, as a left-anti against the
-    // hot-shingle list
+    // and the prune really is in the plan — the capped native pair
+    // aggregate (overflow = pruned), with no anti-join second pass and
+    // no cached intermediate left behind
     val plan = Dedup.jaccardPairs(hotDocs, "doc_id", "text", n = 3,
       threshold = 0.5, maxDocFreq = 5L).queryExecution.sparkPlan.toString
-    assert(plan.contains("LeftAnti"))
+    assert(plan.contains(graft.expr.PostingPairsAgg.FunctionName))
+    assert(!plan.contains("LeftAnti") && !plan.contains("InMemoryTableScan"))
   }
 
   test("OrderedPairs matches the composed transform-in-transform form") {

@@ -110,10 +110,17 @@ class ScaleSpec extends SparkSpec {
       // ...and every one broadcasts only the bounded centroid slice
       assert(build.contains("vec_id") && build.contains("< 8"), build)
     }
-    // q23 carries the posting-list skew cap as a left-anti prune
+    // q23 carries the posting-list skew cap inside the capped native
+    // pair aggregate (bounded buffers; overflow = pruned) — one corpus
+    // pass, no anti-join, no persisted intermediate. Reset caches
+    // first: an earlier suite's q24 pins the same shingle-set subtree,
+    // which the cache manager would substitute into q23's plan.
+    graft.Caches.release(spark)
+    spark.sharedState.cacheManager.clearCache()
     val q23 = SparkEntry.queries("q23_jaccard_pairs")(spark, dir)
       .queryExecution.sparkPlan.toString
-    assert(q23.contains("LeftAnti"))
+    assert(q23.contains(graft.expr.PostingPairsAgg.FunctionName))
+    assert(!q23.contains("InMemoryTableScan"))
     // q24 materializes the shingle sets once and reuses them across the
     // signature pipeline and both verify joins
     val q24 = SparkEntry.queries("q24_minhash_pairs")(spark, dir)
