@@ -30,6 +30,22 @@ import org.apache.spark.sql.types._
   */
 object Sketches {
 
+  /** DECIMAL types for overflow-proof count arithmetic: Long-sized
+    * counts as DECIMAL(19,0) so products fit precision 38 exactly.
+    */
+  private[graft] val cdec = DecimalType(19, 0)
+  private[graft] val sdec = DecimalType(38, 0)
+
+  /** Long projection that SATURATES at Long.MaxValue instead of
+    * casting: with ANSI off, an out-of-Long-range decimal casts to
+    * NULL, silently turning an overflowed pair count into "no answer"
+    * (or, post-coalesce, 0 — the opposite of a never-underestimate
+    * bound). `least` skips NULLs, so a NULL input (a DECIMAL(38,0)
+    * accumulator that itself overflowed) also saturates.
+    */
+  private[graft] def saturateToLong(c: Column): Column =
+    least(c.cast(sdec), lit(Long.MaxValue).cast(sdec)).cast(LongType)
+
   /** Per-group KMV estimate next to the exact distinct count (callers
     * at 100 TB drop the exact column; it is here so correctness checks
     * can quantify the sketch error). Output: (groupCol, n_exact,
@@ -121,10 +137,14 @@ object Sketches {
     // products overflow at ~5e8 counts per bucket (plausible at the
     // advertised scale) and with ANSI off Spark would wrap SILENTLY,
     // breaking the never-underestimate bound. DECIMAL(19,0)² fits
-    // precision 38 exactly; the Long output cast bounds the reported
-    // estimate at 9.2e18 pairs.
-    val cdec = DecimalType(19, 0)
-    val sdec = DecimalType(38, 0)
+    // precision 38 exactly. The Long outputs SATURATE at
+    // Long.MaxValue rather than cast: with ANSI off an
+    // out-of-Long-range decimal casts to NULL, which would turn the
+    // exact overflow case into "0 pairs" — the opposite of the bound.
+    // A NULL rowDot (DECIMAL(38,0) accumulator overflow) is skipped by
+    // `least`, which is correct: CMS takes the min over rows and an
+    // overflowed row is by definition not the min; all rows NULL
+    // saturates to Long.MaxValue.
     val rowDots = (0 until depth).map { j =>
       aggregate(
         zip_with(
@@ -134,17 +154,20 @@ object Sketches {
         lit(java.math.BigDecimal.ZERO).cast(sdec),
         (acc, v) => (acc + v).cast(sdec))
     }
-    val est = (if (rowDots.size == 1) rowDots.head else least(rowDots: _*))
-      .cast(org.apache.spark.sql.types.LongType)
+    val estDec = if (rowDots.size == 1) rowDots.head else least(rowDots: _*)
+    val est = saturateToLong(estDec)
     val ca = dfA.filter(col(keyA).isNotNull)
       .groupBy(col(keyA).as("_k")).agg(count(lit(1)).as("_ca"))
     val cb = dfB.filter(col(keyB).isNotNull)
       .groupBy(col(keyB).as("_k")).agg(count(lit(1)).as("_cb"))
+    // count distinguishes the empty join (genuinely 0 pairs) from a
+    // decimal-sum overflow (NULL sum over a NON-empty join → saturate).
     val exact = ca.join(cb, "_k")
-      .agg(coalesce(
-        sum(col("_ca").cast(cdec) * col("_cb").cast(cdec))
-          .cast(org.apache.spark.sql.types.LongType),
-        lit(0L)).as("exact_pairs"))
+      .agg(sum(col("_ca").cast(cdec) * col("_cb").cast(cdec)).as("_s"),
+        count(lit(1)).as("_c"))
+      .select(when(col("_c") === 0, lit(0L))
+        .otherwise(saturateToLong(col("_s")))
+        .as("exact_pairs"))
     skA.join(skB).select(est.as("est_pairs"))
       .join(exact)
   }

@@ -198,18 +198,25 @@ object Stats {
     */
   def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "nullProfile needs at least one column")
+    // col() PARSES backticks in its argument, so a name containing one
+    // must be fully quoted (doubling embedded backticks) to reference
+    // the column rather than error; aliases are literal, no quoting
+    def qcol(c: String): Column = col("`" + c.replace("`", "``") + "`")
     val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_null"),
-        sum(when(graft.functions.Normalize.isBlankish(col(c)), 1L)
+        sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"${c}_null"),
+        sum(when(graft.functions.Normalize.isBlankish(qcol(c)), 1L)
           .otherwise(0L)).as(s"${c}_blank"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     // backtick-quote generated references and escape the name literal:
-    // a column like "my-col" must not parse as `my - col_null`
+    // a column like "my-col" must not parse as `my - col_null`, and a
+    // backtick IN the name must be doubled inside the quoted identifier
+    // (the SQL-identifier escape) or the expr is malformed
     val stackArgs = cols.map { c =>
       val literal = c.replace("\\", "\\\\").replace("'", "\\'")
-      s"'$literal', `${c}_null`, `${c}_blank`"
+      val ident = c.replace("`", "``")
+      s"'$literal', `${ident}_null`, `${ident}_blank`"
     }.mkString(", ")
     row.select(col("_n"),
         expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_blank)"))
