@@ -8,12 +8,15 @@ import java.nio.file.{Files, Paths}
   * src/utils/file_utils.py:48-59 `read_resume`, dispatching on
   * extension and raising on missing files / unsupported formats).
   *
-  * The reference dispatches to PDF and DOCX extractors; those need
-  * binary parsers that are unavailable offline, so the supported
-  * offline-parseable formats here are plain text and markdown. The
-  * dispatch shape and the error contract (FileNotFound for a missing
-  * path, IllegalArgument naming the supported formats otherwise) are
-  * the reference's; a PDF/DOCX extractor slots in as another branch.
+  * Formats: plain text / markdown (read verbatim) and DOCX. A .docx is
+  * a zip archive whose body lives in `word/document.xml`, so the JDK's
+  * `java.util.zip` + DOM parser extract it with no dependency —
+  * mirroring the reference's extractor (file_utils.py:30-46), which
+  * walks paragraphs and appends each paragraph's text plus "\n". PDF
+  * needs a binary content-stream parser that is unavailable offline;
+  * it remains the one unsupported branch. The dispatch shape and error
+  * contract (FileNotFound for a missing path, IllegalArgument naming
+  * the supported formats otherwise) are the reference's.
   */
 object Documents {
 
@@ -26,8 +29,66 @@ object Documents {
     val lower = resumePath.toLowerCase
     if (TextExtensions.exists(lower.endsWith))
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    else if (lower.endsWith(".docx"))
+      extractTextFromDocx(resumePath)
     else
       throw new IllegalArgumentException(
-        "Unsupported resume format. Please provide a TXT or Markdown file.")
+        "Unsupported resume format. Please provide a TXT, Markdown or DOCX file.")
+  }
+
+  /** WordprocessingML text extraction: one output line per `w:p`
+    * paragraph (in document order), each the concatenation of its
+    * descendant `w:t` text runs, with `w:tab` as "\t" and `w:br` /
+    * `w:cr` as "\n" — the same paragraph contract as the reference's
+    * python-docx loop (file_utils.py:36-38: `text += para.text + "\n"`).
+    * Matching is on XML LOCAL names so any prefix bound to the
+    * wordprocessingml namespace (or the strict-OOXML variant) works.
+    */
+  private[sources] def extractTextFromDocx(docxPath: String): String = {
+    val zip = new java.util.zip.ZipFile(docxPath)
+    try {
+      val entry = zip.getEntry("word/document.xml")
+      if (entry == null)
+        throw new IllegalArgumentException(
+          s"Not a DOCX package (no word/document.xml): $docxPath")
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true) // getLocalName is null without this
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      val doc = dbf.newDocumentBuilder().parse(zip.getInputStream(entry))
+      doc.getDocumentElement.normalize()
+      val sb = new StringBuilder
+      def paragraphText(node: org.w3c.dom.Node, out: StringBuilder): Unit = {
+        var child = node.getFirstChild
+        while (child != null) {
+          if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
+            val local =
+              Option(child.getLocalName).getOrElse(child.getNodeName.split(':').last)
+            local match {
+              case "t"          => out.append(child.getTextContent)
+              case "tab"        => out.append('\t')
+              case "br" | "cr"  => out.append('\n')
+              case _            => paragraphText(child, out)
+            }
+          }
+          child = child.getNextSibling
+        }
+      }
+      def walk(node: org.w3c.dom.Node): Unit = {
+        var child = node.getFirstChild
+        while (child != null) {
+          if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
+            val local =
+              Option(child.getLocalName).getOrElse(child.getNodeName.split(':').last)
+            if (local == "p") {
+              paragraphText(child, sb)
+              sb.append('\n')
+            } else walk(child)
+          }
+          child = child.getNextSibling
+        }
+      }
+      walk(doc.getDocumentElement)
+      sb.toString
+    } finally zip.close()
   }
 }

@@ -73,6 +73,58 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("Unsupported resume format"))
   }
 
+  test("resume reader extracts DOCX paragraphs like the reference's extractor") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docx")
+    // a minimal WordprocessingML package: zip + word/document.xml with
+    // two paragraphs (the second split across runs, with a tab and a
+    // line break) and an empty third — reference joins each paragraph's
+    // text with a trailing newline (file_utils.py:36-38)
+    val documentXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |  <w:body>
+        |    <w:p><w:r><w:t>Jane Doe</w:t></w:r></w:p>
+        |    <w:p>
+        |      <w:r><w:t>python</w:t></w:r>
+        |      <w:r><w:t xml:space="preserve"> spark</w:t></w:r>
+        |      <w:r><w:tab/><w:t>sql</w:t></w:r>
+        |      <w:r><w:br/><w:t>linux</w:t></w:r>
+        |    </w:p>
+        |    <w:p/>
+        |    <w:sectPr/>
+        |  </w:body>
+        |</w:document>""".stripMargin
+    val docx = tmp.resolve("resume.docx")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(docx))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("[Content_Types].xml"))
+      zos.write("<Types/>".getBytes("UTF-8"))
+      zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      zos.write(documentXml.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    val text = Documents.readResume(docx.toString)
+    assert(text == "Jane Doe\npython spark\tsql\nlinux\n\n")
+    // extracted text drives the skills matcher exactly like txt/md input
+    val docs = Seq((1L, "we need python and spark experience")).toDF("doc_id", "text")
+    val row = Enrichment.withSkillsColumns(docs, "text", text).collect()(0)
+    assert(row.getAs[scala.collection.Seq[String]]("matched_skills").toSeq ==
+      Seq("python", "spark"))
+    // a zip without the document part is rejected, not silently empty
+    val bogus = tmp.resolve("empty.docx")
+    val z2 = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(bogus))
+    try {
+      z2.putNextEntry(new java.util.zip.ZipEntry("mimetype"))
+      z2.write("x".getBytes("UTF-8")); z2.closeEntry()
+    } finally z2.close()
+    val e2 = intercept[IllegalArgumentException](Documents.readResume(bogus.toString))
+    assert(e2.getMessage.contains("word/document.xml"))
+  }
+
   test("multi-region orchestrator runs all regions and aggregates outcomes") {
     import graft.pipeline.JobPipeline.{RegionConfig, RegionResult}
     val tmp = java.nio.file.Files.createTempDirectory("graft-regions").toString
