@@ -125,6 +125,115 @@ object Enrichment {
     }
   }
 
+  /** `BatchTransport` over `java.net.http` with the reference's wire
+    * contract (OpenRouter chat completions,
+    * run_ats_enrichment.py:219-286 status policy, 320-345 request
+    * shape): POST `{model, messages:[system, user(resume + numbered
+    * jobs)]}` with a Bearer key and Content-Type json; a 200 parses
+    * `choices[0].message.content` for the embedded JSON list of
+    * `{job_number, match_percentage}`; 401 is fatal — same key would
+    * fail again (py:263-265); 429 raises [[ScoreRateLimited]] with the
+    * server's Retry-After (py:266-269); any other status or a
+    * non-JSON body is transient, left to [[RetryingScorer]]'s backoff
+    * (py:270-283). The HttpClient and ObjectMapper are @transient
+    * lazy: the transport ships to executors as configuration and each
+    * task builds its own client — 1000 executors, 1000 independent
+    * rate-limited clients, exactly the `mapPartitions` boundary the
+    * SURVEY prescribes.
+    */
+  final class HttpBatchTransport(
+      apiUrl: String,
+      apiKey: String,
+      model: String,
+      timeoutSec: Long = 30L) extends BatchTransport {
+
+    @transient private lazy val http: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(timeoutSec))
+        .build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def scoreBatch(jobTexts: Seq[String], resumeText: String): Seq[Double] = {
+      // missing key: the reference refuses before any call (py:221-223)
+      if (apiKey == null || apiKey.isEmpty)
+        throw ScoreFatalError("API key is missing")
+      val jobsText = jobTexts.zipWithIndex
+        .map { case (t, i) => s"JOB #${i + 1}:\n$t" }.mkString("\n\n")
+      val root = mapper.createObjectNode()
+      root.put("model", model)
+      val msgs = root.putArray("messages")
+      val sys = msgs.addObject()
+      sys.put("role", "system")
+      sys.put("content", "You are an ATS (Applicant Tracking System) " +
+        "expert. Analyze the resume against multiple job descriptions " +
+        "and provide match percentages.")
+      val user = msgs.addObject()
+      user.put("role", "user")
+      user.put("content",
+        s"Resume:\n$resumeText\n\nJob Descriptions:\n$jobsText\n\n" +
+        "For each job, calculate the percentage match between this " +
+        "resume and the job description as an ATS would. Return the " +
+        "results in JSON format as a list of objects with job_number " +
+        "and match_percentage.")
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(apiUrl))
+        .timeout(java.time.Duration.ofSeconds(timeoutSec))
+        .header("Authorization", s"Bearer $apiKey")
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(root)))
+        .build()
+      val resp =
+        http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() match {
+        case 200 => parseScores(resp.body(), jobTexts.size)
+        case 401 => throw ScoreFatalError("API key is invalid or expired")
+        case 429 =>
+          val after = resp.headers().firstValue("Retry-After")
+          throw ScoreRateLimited(
+            if (after.isPresent) after.get.toLongOption else None)
+        case other =>
+          throw new RuntimeException(
+            s"API request failed with status code $other")
+      }
+    }
+
+    /** 200-body policy (py:248-262, 359-392): a body that isn't JSON
+      * or lacks the `choices[0].message.content` structure is
+      * TRANSIENT (the reference sleeps and retries it); a content
+      * string whose embedded JSON list won't parse scores the batch
+      * 0.0 with no retry (the reference's JSONDecodeError path).
+      * Scores map to jobs by list position, like the reference's
+      * `enumerate(batch_results)`.
+      */
+    private def parseScores(body: String, n: Int): Seq[Double] = {
+      val tree =
+        try mapper.readTree(body)
+        catch { case scala.util.control.NonFatal(_) =>
+          throw new RuntimeException("API response is not JSON")
+        }
+      val content = tree.path("choices").path(0).path("message").path("content")
+      if (!content.isTextual)
+        throw new RuntimeException("API response missing 'choices' structure")
+      val text = content.asText.trim
+      val start = text.indexOf('[')
+      val end = text.lastIndexOf(']') + 1
+      val out = Array.fill(n)(0.0)
+      if (start >= 0 && end > start) {
+        try {
+          val arr = mapper.readTree(text.substring(start, end))
+          var i = 0
+          while (i < arr.size() && i < n) {
+            out(i) = arr.get(i).path("match_percentage").asDouble(0.0)
+            i += 1
+          }
+        } catch { case scala.util.control.NonFatal(_) => () } // zeros
+      }
+      out.toSeq
+    }
+  }
+
   /** `withLlmScore` for the batched production path: one transport call
     * per `batchSize` rows (after any token-budget halving inside the
     * scorer), per partition.

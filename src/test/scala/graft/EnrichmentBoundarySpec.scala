@@ -171,6 +171,127 @@ class EnrichmentBoundarySpec extends SparkSpec {
     assert(out == Map(1L -> 4.0, 2L -> 8.0, 3L -> 0.0))
   }
 
+  // ------------------------------------------------------------------
+  // HttpBatchTransport against a throwaway local HTTP server — the
+  // real java.net.http stack end-to-end, fully offline.
+  // ------------------------------------------------------------------
+
+  private def chatBody(content: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val msg = root.putArray("choices").addObject().putObject("message")
+    msg.put("role", "assistant")
+    msg.put("content", content)
+    mapper.writeValueAsString(root)
+  }
+
+  private def withServer(
+      handler: com.sun.net.httpserver.HttpExchange => (Int, String, Map[String, String]))(
+      body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/chat/completions",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val (status, respBody, headers) = handler(ex)
+        headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+        val bytes = respBody.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try body(
+      s"http://127.0.0.1:${server.getAddress.getPort}/api/v1/chat/completions")
+    finally server.stop(0)
+  }
+
+  test("http transport: 200 round-trip carries auth, model, and batch order") {
+    val seen = scala.collection.mutable.Buffer[(String, String)]()
+    withServer { ex =>
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      val reqBody = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      seen += ((auth, reqBody))
+      (200, chatBody("Here are the results: " +
+        """[{"job_number": 1, "match_percentage": 85},""" +
+        """ {"job_number": 2, "match_percentage": 72.5}]"""),
+        Map("Content-Type" -> "application/json"))
+    } { url =>
+      val t = new Enrichment.HttpBatchTransport(url, "sk-test", "test/model")
+      assert(t.scoreBatch(Seq("job one text", "job two text"), "resume text")
+        == Seq(85.0, 72.5))
+    }
+    val (auth, reqBody) = seen.head
+    assert(auth == "Bearer sk-test")
+    assert(reqBody.contains(""""model":"test/model""""))
+    assert(reqBody.contains("Resume:\\nresume text"))
+    assert(reqBody.contains("JOB #1:\\njob one text"))
+    assert(reqBody.contains("JOB #2:\\njob two text"))
+  }
+
+  test("http transport: 429 Retry-After then 200 through the retrying scorer") {
+    val clock = new RecordingClock
+    var calls = 0
+    withServer { ex =>
+      ex.getRequestBody.readAllBytes()
+      calls += 1
+      if (calls == 1) (429, "slow down", Map("Retry-After" -> "7"))
+      else (200, chatBody("""[{"job_number": 1, "match_percentage": 60}]"""),
+        Map.empty[String, String])
+    } { url =>
+      val t = new Enrichment.HttpBatchTransport(url, "sk-test", "m")
+      val scorer = new Enrichment.RetryingScorer(t, maxRetries = 3,
+        retryDelaySec = 5L, clock = clock)
+      assert(scorer.scoreBatch(Seq("j"), "r") == Seq(60.0))
+    }
+    assert(calls == 2)
+    assert(clock.sleeps.toSeq == Seq(7L)) // the header's value, not default
+  }
+
+  test("http transport: 401 is fatal (one call, zeros); 500 retries; junk content zeros") {
+    val clock = new RecordingClock
+    var calls = 0
+    withServer { ex =>
+      ex.getRequestBody.readAllBytes(); calls += 1
+      (401, "bad key", Map.empty[String, String])
+    } { url =>
+      val t = new Enrichment.HttpBatchTransport(url, "sk-bad", "m")
+      val scorer = new Enrichment.RetryingScorer(t, maxRetries = 3, clock = clock)
+      assert(scorer.scoreBatch(Seq("a", "b"), "r") == Seq(0.0, 0.0))
+    }
+    assert(calls == 1 && clock.sleeps.isEmpty) // py:263-265 — no retry
+
+    var calls500 = 0
+    withServer { ex =>
+      ex.getRequestBody.readAllBytes(); calls500 += 1
+      (500, "boom", Map.empty[String, String])
+    } { url =>
+      val t = new Enrichment.HttpBatchTransport(url, "sk", "m")
+      val scorer = new Enrichment.RetryingScorer(t, maxRetries = 2,
+        retryDelaySec = 3L, clock = clock)
+      assert(scorer.scoreBatch(Seq("a"), "r") == Seq(0.0))
+    }
+    assert(calls500 == 2 && clock.sleeps.toSeq == Seq(3L, 3L))
+
+    // a 200 whose content has no parseable JSON list → zeros, no retry
+    var callsJunk = 0
+    withServer { ex =>
+      ex.getRequestBody.readAllBytes(); callsJunk += 1
+      (200, chatBody("I cannot answer that."), Map.empty[String, String])
+    } { url =>
+      val t = new Enrichment.HttpBatchTransport(url, "sk", "m")
+      assert(t.scoreBatch(Seq("a", "b"), "r") == Seq(0.0, 0.0))
+    }
+    assert(callsJunk == 1)
+
+    // an empty api key refuses before any HTTP call (py:221-223)
+    var callsKey = 0
+    withServer { ex => callsKey += 1; (200, "{}", Map.empty[String, String]) } { url =>
+      val t = new Enrichment.HttpBatchTransport(url, "", "m")
+      intercept[Enrichment.ScoreFatalError](t.scoreBatch(Seq("a"), "r"))
+    }
+    assert(callsKey == 0)
+  }
+
   test("sink projection serializes array columns to JSON strings") {
     val df = Seq((1L, Seq("a", "b"), "keep")).toDF("id", "skills", "s")
     val out = Enrichment.toSinkColumns(df)
