@@ -40,6 +40,18 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // ObjectHashAggregate (every TypedImperativeAggregate: posting
+    // pairs, KMV, CMS) falls back to SORT-BASED aggregation once a
+    // partition sees more than this many groups — and the default is
+    // 128, so the posting-pair kernel (tens of thousands of shingle
+    // groups per partition) always ran on the slow sort path. The
+    // in-memory map is safe to grow: every graft aggregate buffer is
+    // bounded (posting pairs by the maxDocFreq cap ≈ 1.6 KB worst
+    // case, KMV by k, CMS by d·w), so 2^19 groups tops out around
+    // ~0.8 GB/partition worst-case and far less in practice; beyond
+    // that the sort fallback is genuinely the right regime.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 19).toString)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     graft.expr.CosineSimilarity.register(spark)
     graft.expr.MinHashSignature.register(spark)

@@ -190,8 +190,15 @@ object Corpus {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dec6 = DecimalType(18, 6)
-    val docBigrams = bigramsFromToks(bigramToks(df, idCol, textCol))
-      .transform(graft.Caches.own)
+    // ONE corpus bigram pass: the per-(doc, bigram) histogram serves
+    // both consumers — the global bigram histogram is its sum (never a
+    // second derivation from the corpus), and the per-doc score
+    // weights each distinct bigram's log-prob by its in-doc count
+    // (k identical decimal terms sum to exactly k × term, so the
+    // weighted mean is bit-identical to the per-instance mean).
+    val docBg = bigramsFromToks(bigramToks(df, idCol, textCol))
+      .groupBy(col("_id"), col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_k"))
     // persisted because both the vocabulary-size action and the
     // log-prob join consume it (same reason as unigramLmScore)
     val uni = df.select(explode(graft.functions.TextAnalysis.tokens(
@@ -199,19 +206,19 @@ object Corpus {
       .groupBy("_t").agg(count(lit(1)).as("_ca"))
       .transform(graft.Caches.own)
     val vocabSize = uni.count().toDouble
-    val bg = docBigrams.groupBy(col("_a"), col("_b"))
-      .agg(count(lit(1)).as("_cab"))
+    val bg = docBg.groupBy(col("_a"), col("_b"))
+      .agg(sum(col("_k")).as("_cab"))
     val logp = bg.join(uni.select(col("_t").as("_a"), col("_ca")), "_a")
       .select(col("_a").as("_la"), col("_b").as("_lb"),
         round(log((col("_cab") + 1).cast(DoubleType) /
           (col("_ca").cast(DoubleType) + lit(vocabSize))), 6)
           .cast(dec6).as("_lp"))
-    docBigrams
+    docBg
       .join(logp, col("_a") === col("_la") && col("_b") === col("_lb"))
       .groupBy(col("_id").as(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("_lp")).cast(DoubleType) / count(lit(1)), 4)
-          .as("lm2_score"))
+      .agg(sum(col("_k")).as("n_bigrams"),
+        round(sum(col("_lp") * col("_k")).cast(DoubleType) /
+          sum(col("_k")), 4).as("lm2_score"))
   }
 
   // -------------------------------------------- paragraph-level dedup
@@ -313,27 +320,33 @@ object Corpus {
           coalesce(col(textCol), lit(""))).as("_tk"))
       .filter(size(col("_tk")) >= 2)
 
-  /** (_id, _a, _b): within-document adjacent token pairs — the
-    * posexplode+lead derivation shared by the bigram operators so the
-    * two stay in lockstep.
+  /** (_id, _a, _b): within-document adjacent token pairs — shared by
+    * the bigram operators so the two stay in lockstep. Adjacency lives
+    * INSIDE the token array, so the pair is a pure per-row projection:
+    * posexplode each position and read its successor with element_at.
+    * The old posexplode + lead-over-(_id order by _p) window paid a
+    * full shuffle + sort of the exploded token stream for information
+    * the row already had.
     */
   private def bigramsFromToks(toks: DataFrame,
       extraCols: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(col("_id")).orderBy(col("_p"))
     val carried = extraCols.map(col)
     toks
-      .select(col("_id") +: carried :+
+      .select(col("_id") +: carried :+ col("_tk") :+
         posexplode(col("_tk")).as(Seq("_p", "_t")): _*)
-      .withColumn("_next", lead(col("_t"), 1).over(w))
-      .filter(col("_next").isNotNull)
-      .select(col("_id") +: carried :+
-        col("_t").as("_a") :+ col("_next").as("_b"): _*)
+      .filter(col("_p") < size(col("_tk")) - 1)  // _p is 0-based
+      .select(col("_id") +: carried :+ col("_t").as("_a") :+
+        element_at(col("_tk"), col("_p") + 2).as("_b"): _*)  // 1-based
   }
 
   def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
       minCount: Long, k: Int): DataFrame = {
+    // toks deliberately NOT persisted: its three consumers re-tokenize
+    // (a cheap codegen'd projection), which measures faster than
+    // caching token ARRAYS (columnar encode/decode of variable-length
+    // arrays dominates — the same lesson as TfIdf's postings note) and
+    // keeps AQE fully active on every consumer's plan.
     val toks = bigramToks(df, idCol, textCol)
-      .transform(graft.Caches.own)
     val uni = toks.select(explode(col("_tk")).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_c"))
       .transform(graft.Caches.own)

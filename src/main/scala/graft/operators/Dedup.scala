@@ -365,6 +365,20 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverThreshold: Long = 1L << 22): DataFrame = {
+    // Regime probe and driver input in ONE bounded action: collect at
+    // most threshold+1 raw pairs. A short result is the complete graph
+    // (no persist, no count pass, no doubled edge list — union-find
+    // reads the pairs directly); an overflow falls through to the
+    // distributed path, which re-derives the pairs into the doubled,
+    // persisted edge list the propagation loop needs. The old shape
+    // paid persist-materialize + count + collect over 2× the rows on
+    // the small-graph path every dedup query takes at interactive
+    // scale.
+    val probeLimit = math.min(driverThreshold, (Int.MaxValue - 1).toLong).toInt
+    val probe = pairs.select(col("id1"), col("id2")).limit(probeLimit + 1).collect()
+    if (probe.length <= probeLimit)
+      return driverComponents(pairs.sparkSession, probe,
+        pairs.schema("id1").dataType)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both edge directions in ONE pass over the pairs (explode, not a
     // union of two selects that would evaluate the pair pipeline twice)
@@ -374,12 +388,9 @@ object Dedup {
         struct(col("id2").as("a"), col("id1").as("b")))).as("_e"))
       .select(col("_e.a").as("id1"), col("_e.b").as("id2"))
       .persist(lvl)
-    val edgeCount = edges.count()
-    if (edgeCount <= driverThreshold)
-      return driverComponents(pairs.sparkSession, edges, edgeCount)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    var converged = edgeCount == 0
+    var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
@@ -400,13 +411,13 @@ object Dedup {
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 
-  /** Union-find over a collected edge list; canonical = component min.
+  /** Union-find over a collected pair list; canonical = component min.
     * Ids stay whatever type the pair columns carry (keys compare by
     * equality; min by the natural encoding of longs/strings).
     */
   private def driverComponents(spark: org.apache.spark.sql.SparkSession,
-      edges: DataFrame, edgeCount: Long): DataFrame = {
-    val idType = edges.schema("id1").dataType
+      pairRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -415,7 +426,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.collect().foreach { row =>
+    pairRows.foreach { row =>
       val (a, b) = (row.get(0), row.get(1))
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
@@ -433,7 +444,6 @@ object Dedup {
       val r = find(id)
       minOfRoot(r) = minOfRoot.get(r).fold(id)(m => ord.min(m, id))
     }
-    edges.unpersist()
     val rows = parent.keys.toSeq.map { id =>
       org.apache.spark.sql.Row(id, minOfRoot(find(id)))
     }
