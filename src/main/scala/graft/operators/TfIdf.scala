@@ -33,9 +33,13 @@ object TfIdf {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val n = docs.count()
+    // corpus size and query norm stay IN the plan as one-row aggregates
+    // (broadcast into consumers), not driver actions: each eager scalar
+    // costs a full job round-trip before the real query even starts —
+    // measurable at interactive scale and a driver barrier at 100 TB.
+    val nRow = broadcast(docs.agg(count(lit(1)).as("_nd")))
     val idf: Column => Column = df0 =>
-      log((lit(n + 1).cast(DoubleType)) / (df0 + lit(1))) + lit(1.0)
+      log((col("_nd") + lit(1)).cast(DoubleType) / (df0 + lit(1))) + lit(1.0)
 
     // (doc, term) postings with term frequency
     // tf feeds dfreq + weights, and weights feeds docNorm + dots, so
@@ -53,7 +57,7 @@ object TfIdf {
     val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
     val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
 
-    val weights = tf.join(dfreq, "_t")
+    val weights = tf.crossJoin(nRow).join(dfreq, "_t")
       .select(col("_id"), col("_t"),
         round(col("_tf") * idf(col("_df")), 6).cast(wDec).as("_w"))
 
@@ -65,13 +69,12 @@ object TfIdf {
       .select(explode(TextAnalysis.tokens(col("_qtext"))).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_tf"))
     val qWeights = broadcast(
-      qTf.join(dfreq, Seq("_t"), "left_outer")
+      qTf.crossJoin(nRow).join(dfreq, Seq("_t"), "left_outer")
         .select(col("_t"),
           round(col("_tf") * idf(coalesce(col("_df"), lit(0L))), 6)
             .cast(wDec).as("_qw")))
-    val qNorm = qWeights
-      .agg(sqrt(sum(col("_qw") * col("_qw")).cast(DoubleType)).as("_qnorm"))
-      .collect()(0).getDouble(0)
+    val qNormRow = broadcast(qWeights
+      .agg(sqrt(sum(col("_qw") * col("_qw")).cast(DoubleType)).as("_qnorm")))
 
     val dots = weights.join(qWeights, "_t")
       .groupBy("_id")
@@ -80,9 +83,10 @@ object TfIdf {
     docs.select(col(idCol))
       .join(dots.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
       .join(docNorm.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .crossJoin(qNormRow)
       .select(col(idCol),
-        when(col("_dot").isNotNull && col("_norm") > 0 && lit(qNorm) > 0,
-          round(col("_dot") / (col("_norm") * lit(qNorm)), 6))
+        when(col("_dot").isNotNull && col("_norm") > 0 && col("_qnorm") > 0,
+          round(col("_dot") / (col("_norm") * col("_qnorm")), 6))
           .otherwise(lit(0.0)).as("sim"))
   }
 
@@ -100,13 +104,12 @@ object TfIdf {
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    require(k > 0, s"k must be positive: $k") // before the eager count()
-    val n = docs.count()
+    require(k > 0, s"k must be positive: $k")
     val postings = docs
       .select(col(idCol).as("_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("_t"))
     val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
-    rankFromTf(tf, n, k, idCol)
+    rankFromTf(tf, docs.agg(count(lit(1)).as("_nd")), k, idCol)
   }
 
   /** Materialize the corpus term-frequency postings as a parquet table
@@ -138,22 +141,24 @@ object TfIdf {
       table: String, k: Int, nDocs: Long = -1L,
       outIdCol: String = "doc_id"): DataFrame = {
     val tf = spark.table(table)
-    val n = if (nDocs >= 0) nDocs
-      else tf.select(countDistinct(col("_id"))).head().getLong(0)
-    rankFromTf(tf, n, k, outIdCol)
+    val nRow = if (nDocs >= 0) tf.sparkSession.range(1).select(lit(nDocs).as("_nd"))
+      else tf.select(countDistinct(col("_id")).as("_nd"))
+    rankFromTf(tf, nRow, k, outIdCol)
   }
 
   /** Shared ranking tail of the topTerms family: smooth-idf weights
     * from a (_id, _t, _tf) postings frame, then the
-    * WindowGroupLimit-pruned per-doc top-k.
+    * WindowGroupLimit-pruned per-doc top-k. `nDocsRow` is a one-row
+    * (_nd) frame broadcast into the weight projection — kept in the
+    * plan, never a driver action.
     */
-  private def rankFromTf(tf: DataFrame, nDocs: Long, k: Int,
+  private def rankFromTf(tf: DataFrame, nDocsRow: DataFrame, k: Int,
       outIdCol: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val idf: Column => Column = df0 =>
-      log((lit(nDocs + 1).cast(DoubleType)) / (df0 + lit(1))) + lit(1.0)
+      log((col("_nd") + lit(1)).cast(DoubleType) / (df0 + lit(1))) + lit(1.0)
     val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
-    val weights = tf.join(dfreq, "_t")
+    val weights = tf.crossJoin(broadcast(nDocsRow)).join(dfreq, "_t")
       .select(col("_id"), col("_t"),
         round(col("_tf") * idf(col("_df")), 6).as("_w"))
     val w = org.apache.spark.sql.expressions.Window
