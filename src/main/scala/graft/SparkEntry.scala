@@ -617,6 +617,14 @@ object SparkEntry {
     // every event-type pair — the segment-overlap analytics staple;
     // the distinct user×type table self-joins on user (bounded by
     // distinct pairs, never raw events × events)
+    // Okapi BM25 against the resume query — the lexical first-stage
+    // retriever next to the embedding ANN path; saturated tf (k1) and
+    // length normalization (b) with decimal-exact accumulation
+    "q119_bm25" -> ((s, dir) => {
+      Graft.tune(s)
+      TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
+    }),
+
     "q118_audience_overlap" -> ((s, dir) => {
       Graft.tune(s)
       val ut = t(s, dir, "events")
@@ -2012,6 +2020,35 @@ object SparkEntry {
                    AS BIGINT) AS bin
        FROM documents d JOIN b USING (lang)
        WHERE d.n_chars IS NOT NULL""",
+
+    "q119_bm25" ->
+      s"""WITH post AS (SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                      x -> x <> '')) AS t
+                 FROM documents),
+          tf AS (SELECT doc_id, t, count(*) AS tf FROM post GROUP BY 1, 2),
+          dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+          dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+          st AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                        (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS ttok),
+          qt AS (SELECT DISTINCT unnest(list_filter(
+                   regexp_split_to_array(lower('$ResumeQ'), '[^a-z0-9]+'),
+                   x -> x <> '')) AS t),
+          w AS (SELECT tf.doc_id,
+                  CAST(ROUND(
+                    ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                      * (tf * (1.2 + 1.0))
+                      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (ttok / nd)))),
+                    6) AS DECIMAL(18,6)) AS w
+                FROM tf
+                JOIN qt ON tf.t = qt.t
+                JOIN dfreq ON tf.t = dfreq.t
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN st),
+          sc AS (SELECT doc_id, ROUND(CAST(SUM(w) AS DOUBLE), 6) AS bm25
+                 FROM w GROUP BY 1)
+        SELECT d.doc_id, COALESCE(sc.bm25, 0.0) AS bm25
+        FROM documents d LEFT JOIN sc USING (doc_id)""",
 
     "q118_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -90,6 +90,60 @@ object TfIdf {
           .otherwise(lit(0.0)).as("sim"))
   }
 
+  /** Okapi BM25 relevance of every document against a query text — the
+    * standard lexical-retrieval scoring function (Robertson/Sparck
+    * Jones; the default in Lucene/Elasticsearch), and the usual
+    * first-stage retriever of a RAG or hard-negative-mining pipeline
+    * next to the embedding ANN path. Differs from [[similarity]]'s
+    * TF-IDF cosine by saturating term frequency (k1) and normalizing by
+    * document length (b):
+    *
+    *   score(D,Q) = Σ_{t ∈ Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Same reproducibility recipe as the rest of the family: every term
+    * contribution rounds to 6dp and accumulates as DECIMAL(18,6) (an
+    * exact, order-independent sum the DuckDB oracle matches
+    * bit-for-bit), constants are combined in-plan rather than
+    * pre-folded so both engines execute identical double arithmetic,
+    * and the corpus statistics (N, total token count) ride as one-row
+    * broadcast aggregates — no driver action. Docs sharing no term with
+    * the query score 0.0. Output: (idCol, bm25).
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryText: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val postings = docs
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    val dlen = tf.groupBy("_id").agg(sum(col("_tf")).as("_dl"))
+    val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val stats = broadcast(
+      docs.agg(count(lit(1)).as("_nd"))
+        .crossJoin(dlen.agg(sum(col("_dl")).cast(DoubleType).as("_ttok"))))
+    val qTerms = broadcast(Seq(queryText).toDF("_q")
+      .select(explode(TextAnalysis.tokens(col("_q"))).as("_t")).distinct())
+    val idf = log(lit(1.0) +
+      (col("_nd") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+    val wTerm = round(
+      idf * (col("_tf") * (lit(k1) + lit(1.0))) /
+        (col("_tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * (col("_dl") /
+            (col("_ttok") / col("_nd"))))), 6).cast(wDec)
+    val scores = tf.join(qTerms, "_t")
+      .join(dfreq, "_t")
+      .join(dlen, "_id")
+      .crossJoin(stats)
+      .select(col("_id"), wTerm.as("_w"))
+      .groupBy("_id")
+      .agg(round(sum(col("_w")).cast(DoubleType), 6).as("_score"))
+    docs.select(col(idCol))
+      .join(scores.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("_score"), lit(0.0)).as("bm25"))
+  }
+
   /** Top-`k` TF-IDF terms per document — the keyword/topic-surfacing
     * primitive (and the feature a doc-level index stores). Same
     * postings → tf → df → smooth-idf arithmetic as [[similarity]],

@@ -43,6 +43,29 @@ class EnrichmentBoundarySpec extends SparkSpec {
     assert(sims.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("bm25 saturates tf, normalizes length, zeroes disjoint docs") {
+    val docs = Seq(
+      (1L, "spark sql spark sql spark sql spark sql"), // high tf, short
+      (2L, "spark sql"),                               // tf=1, shortest
+      (3L, "spark sql " + Seq.fill(40)("filler").mkString(" ")), // long doc
+      (4L, "gardening tips for tomato plants")          // no overlap
+    ).toDF("doc_id", "text")
+    val got = TfIdf.bm25(docs, "doc_id", "text", "spark sql")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) == 0.0)                    // disjoint → exactly zero
+    assert(got.values.forall(_ >= 0.0))       // idf variant is positive
+    // tf saturation: doc 1 has 4× the tf of doc 2 but scores < 4× it
+    assert(got(1L) > got(2L) && got(1L) < 4 * got(2L))
+    // length normalization: same query tf as doc 2 but 21× the length
+    assert(got(3L) < got(2L))
+    // k1=0 removes tf sensitivity entirely: with b=0 every matching doc
+    // collapses to idf-only scoring regardless of tf or length
+    val flat = TfIdf.bm25(docs, "doc_id", "text", "spark sql",
+        k1 = 0.0, b = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flat(1L) == flat(2L) && flat(2L) == flat(3L))
+  }
+
   test("tfidf topTerms weighs tf against idf, k-bounded, map-side pruned") {
     // N=3; idf(shared, df=3) = ln(4/4)+1 = 1.0; idf(df=1) = ln 2 + 1 ≈ 1.693
     val docs = Seq(
