@@ -2026,14 +2026,15 @@ object SparkEntry {
                    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                       x -> x <> '')) AS t
                  FROM documents),
-          tf AS (SELECT doc_id, t, count(*) AS tf FROM post GROUP BY 1, 2),
-          dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-          dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
-          st AS (SELECT (SELECT count(*) FROM documents) AS nd,
-                        (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS ttok),
           qt AS (SELECT DISTINCT unnest(list_filter(
                    regexp_split_to_array(lower('$ResumeQ'), '[^a-z0-9]+'),
                    x -> x <> '')) AS t),
+          tf AS (SELECT doc_id, t, count(*) AS tf
+                 FROM post JOIN qt USING (t) GROUP BY 1, 2),
+          dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+          dl AS (SELECT doc_id, count(*) AS dl FROM post GROUP BY 1),
+          st AS (SELECT (SELECT count(*) FROM documents) AS nd,
+                        (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl) AS ttok),
           w AS (SELECT tf.doc_id,
                   CAST(ROUND(
                     ln(1.0 + (nd - df + 0.5) / (df + 0.5))
@@ -2041,7 +2042,6 @@ object SparkEntry {
                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (ttok / nd)))),
                     6) AS DECIMAL(18,6)) AS w
                 FROM tf
-                JOIN qt ON tf.t = qt.t
                 JOIN dfreq ON tf.t = dfreq.t
                 JOIN dl ON tf.doc_id = dl.doc_id
                 CROSS JOIN st),

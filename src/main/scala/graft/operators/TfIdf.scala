@@ -117,14 +117,22 @@ object TfIdf {
     val postings = docs
       .select(col(idCol).as("_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-    val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
-    val dlen = tf.groupBy("_id").agg(sum(col("_tf")).as("_dl"))
+    val qTerms = broadcast(Seq(queryText).toDF("_q")
+      .select(explode(TextAnalysis.tokens(col("_q"))).as("_t")).distinct())
+    // restrict the postings to query terms BEFORE any aggregation: the
+    // broadcast semi-filter runs inside the scan stage, so the big
+    // per-(doc, term) shuffle carries only query-term postings — at
+    // corpus scale that is the difference between shuffling the whole
+    // vocabulary and shuffling a handful of terms. Document length is
+    // a posting count per doc (= token count), the one full-corpus
+    // aggregation BM25 genuinely needs.
+    val qPost = postings.join(qTerms, "_t")
+    val tf = qPost.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
     val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val dlen = postings.groupBy("_id").agg(count(lit(1)).as("_dl"))
     val stats = broadcast(
       docs.agg(count(lit(1)).as("_nd"))
         .crossJoin(dlen.agg(sum(col("_dl")).cast(DoubleType).as("_ttok"))))
-    val qTerms = broadcast(Seq(queryText).toDF("_q")
-      .select(explode(TextAnalysis.tokens(col("_q"))).as("_t")).distinct())
     val idf = log(lit(1.0) +
       (col("_nd") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
     val wTerm = round(
@@ -132,7 +140,7 @@ object TfIdf {
         (col("_tf") + lit(k1) *
           (lit(1.0) - lit(b) + lit(b) * (col("_dl") /
             (col("_ttok") / col("_nd"))))), 6).cast(wDec)
-    val scores = tf.join(qTerms, "_t")
+    val scores = tf
       .join(dfreq, "_t")
       .join(dlen, "_id")
       .crossJoin(stats)
