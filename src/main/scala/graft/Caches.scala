@@ -30,9 +30,26 @@ object Caches {
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for [[release]]. */
   private[graft] def own(df: DataFrame): DataFrame = {
+    pruneStopped()
     df.persist(StorageLevel.MEMORY_AND_DISK)
     owned.add(df)
     df
+  }
+
+  /** Drop entries whose SparkContext has stopped: their cached blocks
+    * are gone with the executors, and holding the DataFrame would pin
+    * the whole dead-session object graph for the JVM's lifetime (a
+    * long-lived server creating sessions per job would otherwise
+    * accumulate one leaked session per job that skipped release).
+    */
+  private def pruneStopped(): Unit = {
+    val it = owned.iterator()
+    while (it.hasNext) {
+      val alive =
+        try !it.next().sparkSession.sparkContext.isStopped
+        catch { case _: Throwable => false }
+      if (!alive) it.remove()
+    }
   }
 
   /** Unpersist every engine-pinned intermediate of `spark`'s session. */

@@ -41,17 +41,21 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     // ObjectHashAggregate (every TypedImperativeAggregate: posting
-    // pairs, KMV, CMS) falls back to SORT-BASED aggregation once a
-    // partition sees more than this many groups — and the default is
-    // 128, so the posting-pair kernel (tens of thousands of shingle
-    // groups per partition) always ran on the slow sort path. The
-    // in-memory map is safe to grow: every graft aggregate buffer is
-    // bounded (posting pairs by the maxDocFreq cap ≈ 1.6 KB worst
-    // case, KMV by k, CMS by d·w), so 2^19 groups tops out around
-    // ~0.8 GB/partition worst-case and far less in practice; beyond
-    // that the sort fallback is genuinely the right regime.
+    // pairs, KMV, CMS — and plain collect_list) falls back to
+    // SORT-BASED aggregation once a partition sees more than this many
+    // groups — and the default is 128, so the posting-pair kernel
+    // (tens of thousands of shingle groups per partition) always ran
+    // on the slow sort path. 2^15 is a deliberate middle: the graft
+    // aggregates have BOUNDED buffers (posting pairs by the maxDocFreq
+    // cap ≈ 1.6 KB worst case, KMV by k, CMS by d·w → ≤ ~50 MB for
+    // 2^15 groups), but the conf is session-wide and also governs
+    // UNBOUNDED collect_list aggregations (dedup group/band lists,
+    // per-session event lists), where the sort fallback's spill path
+    // is the only memory-safety valve — so the threshold must stay
+    // low enough that a value-heavy partition still falls back well
+    // before it buffers everything on-heap.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (1 << 19).toString)
+      (1 << 15).toString)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     graft.expr.CosineSimilarity.register(spark)
     graft.expr.MinHashSignature.register(spark)

@@ -45,10 +45,7 @@ object Profile {
     }
 
     // ---- jaccard family (q23/q103/q41/q93/q89 kernel) ----
-    for (round <- 1 to 3) {
-      if (round == 3)
-        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-          (1 << 19).toString)
+    for (round <- 1 to 2) {
       val sets = Dedup.shingleSets(docsPar, "doc_id", "text", 3)
       time(s"r$round shingleSets")(sets.agg(sum(size(col("_sh")))).head())
       val postings = sets

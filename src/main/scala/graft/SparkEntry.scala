@@ -32,14 +32,20 @@ object SparkEntry {
     * JSONL): wiped and recreated on first use, so repeated Verify/Bench
     * invocations reuse ONE directory instead of littering a fresh
     * `Files.createTempDirectory` per call (VERDICT r3 #6). Within a
-    * run the sinks write SaveMode.Overwrite, so reuse is safe.
+    * run the sinks write SaveMode.Overwrite, so reuse is safe. Assumes
+    * one graft main per working directory at a time — the harness (and
+    * this box) runs Verify/Bench sequentially; concurrent processes
+    * should set distinct CWDs.
     */
   private lazy val scratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Paths.get("target", "graft-scratch")
     if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally stream.close()
     }
     java.nio.file.Files.createDirectories(root)
     root
@@ -613,10 +619,6 @@ object SparkEntry {
           col("bin").cast(LongType).as("bin"))
     }),
 
-    // audience-overlap matrix: |users(A) ∩ users(B)| and Jaccard for
-    // every event-type pair — the segment-overlap analytics staple;
-    // the distinct user×type table self-joins on user (bounded by
-    // distinct pairs, never raw events × events)
     // Okapi BM25 against the resume query — the lexical first-stage
     // retriever next to the embedding ANN path; saturated tf (k1) and
     // length normalization (b) with decimal-exact accumulation
@@ -625,6 +627,10 @@ object SparkEntry {
       TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
     }),
 
+    // audience-overlap matrix: |users(A) ∩ users(B)| and Jaccard for
+    // every event-type pair — the segment-overlap analytics staple;
+    // the distinct user×type table self-joins on user (bounded by
+    // distinct pairs, never raw events × events)
     "q118_audience_overlap" -> ((s, dir) => {
       Graft.tune(s)
       val ut = t(s, dir, "events")

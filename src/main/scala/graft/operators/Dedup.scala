@@ -345,41 +345,53 @@ object Dedup {
     *
     * Two regimes, because the pair list of an LSH dedup is orders of
     * magnitude smaller than the corpus it came from:
-    *  - pair graphs up to `driverThreshold` edges resolve with a
-    *    driver-side union-find after one collect — the graph is the
-    *    OUTPUT of the distributed similarity pipeline, and a few
-    *    million edges resolve in milliseconds where the iterative plan
-    *    pays multiple Spark jobs per round;
+    *  - pair graphs up to `driverThreshold` PAIRS (= 2× that many
+    *    directed edges) resolve with a driver-side union-find after
+    *    one collect — the graph is the OUTPUT of the distributed
+    *    similarity pipeline, and a few million pairs resolve in
+    *    milliseconds where the iterative plan pays multiple Spark jobs
+    *    per round;
     *  - larger graphs run iterative min-label propagation: every node
     *    repeatedly adopts the smallest label among itself and its
     *    neighbors until fixpoint. Rounds are bounded by the component
     *    diameter (near-dup clusters are shallow); each round is one
-    *    join + one aggregation, fully distributed. Per-round labels are
-    *    LOCAL-CHECKPOINTED, not persisted: the checkpoint truncates the
-    *    round's lineage (no O(rounds) plan nesting, no re-derivation of
-    *    the upstream similarity pipeline), prior rounds' blocks are
-    *    freed by the context cleaner once unreferenced, and the
-    *    returned frame leaves nothing registered in the SQL cache
-    *    manager. The edge list persists for the duration of the loop
-    *    and is released before returning.
+    *    join + one aggregation, fully distributed. Per-round labels
+    *    are checkpointed — RELIABLY when the context has a checkpoint
+    *    dir (survives executor loss; set one on a real cluster),
+    *    locally otherwise (lineage truncation without HDFS round-trips;
+    *    an executor loss mid-loop then fails the job, acceptable in
+    *    single-process or ephemeral runs). Either way the returned
+    *    frame leaves nothing in the SQL cache manager; the edge list
+    *    persists for the duration of the loop and is released before
+    *    returning.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      driverThreshold: Long = 1L << 22): DataFrame = {
+      driverThreshold: Long = 1L << 21): DataFrame = {
     // Regime probe and driver input in ONE bounded action: collect at
     // most threshold+1 raw pairs. A short result is the complete graph
     // (no persist, no count pass, no doubled edge list — union-find
     // reads the pairs directly); an overflow falls through to the
     // distributed path, which re-derives the pairs into the doubled,
-    // persisted edge list the propagation loop needs. The old shape
-    // paid persist-materialize + count + collect over 2× the rows on
-    // the small-graph path every dedup query takes at interactive
-    // scale.
+    // persisted edge list the propagation loop needs. Trade-off made
+    // deliberately: the small-graph path (every interactive dedup, and
+    // the common case by construction — the pair list is the pruned
+    // output of the similarity pipeline) drops from three actions
+    // (persist-materialize + count + collect, over 2× the rows) to one
+    // bounded collect; the rare over-threshold path re-runs the pair
+    // pipeline once more than before (the probe's limit stops its
+    // reduce side early, but the map side runs fully).
     val probeLimit = math.min(driverThreshold, (Int.MaxValue - 1).toLong).toInt
     val probe = pairs.select(col("id1"), col("id2")).limit(probeLimit + 1).collect()
     if (probe.length <= probeLimit)
       return driverComponents(pairs.sparkSession, probe,
         pairs.schema("id1").dataType)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // reliable checkpoints when the caller configured a checkpoint dir
+    // (cluster mode: survives executor loss); local otherwise
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def roundCheckpoint(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // both edge directions in ONE pass over the pairs (explode, not a
     // union of two selects that would evaluate the pair pipeline twice)
     val edges = pairs
@@ -388,19 +400,18 @@ object Dedup {
         struct(col("id2").as("a"), col("id1").as("b")))).as("_e"))
       .select(col("_e.a").as("id1"), col("_e.b").as("id2"))
       .persist(lvl)
-    var labels = edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    var labels = roundCheckpoint(edges.select(col("id1").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("id2"), col("label").as("_nl")), "id2")
         .groupBy(col("id1").as("id")).agg(min(col("_nl")).as("_nmin"))
-      val updated = labels
+      val updated = roundCheckpoint(labels
         .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label")))
       converged = updated
         .join(labels.select(col("id"), col("label").as("_old")), "id")
         .filter(col("label") =!= col("_old")).isEmpty

@@ -67,6 +67,9 @@ object Documents {
               case "t"          => out.append(child.getTextContent)
               case "tab"        => out.append('\t')
               case "br" | "cr"  => out.append('\n')
+              // floating text boxes live under a run's drawing —
+              // python-docx's para.text does not surface them
+              case "txbxContent" | "drawing" | "pict" => ()
               case _            => paragraphText(child, out)
             }
           }
@@ -82,7 +85,10 @@ object Documents {
             if (local == "p") {
               paragraphText(child, sb)
               sb.append('\n')
-            } else walk(child)
+            // the reference iterates python-docx doc.paragraphs =
+            // TOP-LEVEL body paragraphs only; paragraphs inside w:tbl
+            // table cells are not part of that contract
+            } else if (local != "tbl") walk(child)
           }
           child = child.getNextSibling
         }

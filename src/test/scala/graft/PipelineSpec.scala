@@ -91,6 +91,9 @@ class PipelineSpec extends SparkSpec {
         |      <w:r><w:tab/><w:t>sql</w:t></w:r>
         |      <w:r><w:br/><w:t>linux</w:t></w:r>
         |    </w:p>
+        |    <w:tbl><w:tr><w:tc>
+        |      <w:p><w:r><w:t>TABLE CELL EXCLUDED</w:t></w:r></w:p>
+        |    </w:tc></w:tr></w:tbl>
         |    <w:p/>
         |    <w:sectPr/>
         |  </w:body>
@@ -107,7 +110,10 @@ class PipelineSpec extends SparkSpec {
       zos.closeEntry()
     } finally zos.close()
     val text = Documents.readResume(docx.toString)
+    // table-cell paragraphs are excluded — python-docx doc.paragraphs
+    // (the reference's iteration) covers top-level body paragraphs only
     assert(text == "Jane Doe\npython spark\tsql\nlinux\n\n")
+    assert(!text.contains("TABLE CELL"))
     // extracted text drives the skills matcher exactly like txt/md input
     val docs = Seq((1L, "we need python and spark experience")).toDF("doc_id", "text")
     val row = Enrichment.withSkillsColumns(docs, "text", text).collect()(0)
