@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{Dedup, TfIdf}
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence checks for the hot kernels against
+  * brute-force Scala references (seeded generation, same pattern as
+  * MergePropertySpec — no scalatestplus bridge in the offline cache):
+  *
+  *  - the capped inverted-index pair kernel (graft_posting_pairs)
+  *    against per-pair set intersection over the same shingle
+  *    semantics, with and without the maxDocFreq prune;
+  *  - the distributed min-label-propagation regime of
+  *    connectedComponents against the driver union-find regime on the
+  *    same random graphs (the distributed loop otherwise only runs on
+  *    over-threshold graphs no spec exercises);
+  *  - BM25 against a direct mirror of the formula with the identical
+  *    double-operation order and 6dp decimal accumulation.
+  */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(1234)
+
+  // ---- reference tokenize/shingle semantics (TextAnalysis/WordShingles)
+
+  private def toks(s: String): Vector[String] =
+    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+
+  private def shingleSet(s: String, n: Int): Set[String] = {
+    val ts = toks(s)
+    if (ts.length <= n) Set(ts.mkString(" "))
+    else ts.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+
+  private def randomDoc(len: Int): String =
+    Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("jaccardPairs matches brute-force set intersection (8 random corpora)") {
+    for (trial <- 1 to 8) {
+      val docs = (0 until 6 + rnd.nextInt(8)).map(i =>
+        (i.toLong, randomDoc(3 + rnd.nextInt(8))))
+      val cap = if (trial % 2 == 0) 0L else 3L
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 2, threshold = 0.2, maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+      val sh = docs.map { case (id, t) => id -> shingleSet(t, 2) }.toMap
+      val df = sh.values.toSeq.flatten.groupBy(identity).map {
+        case (s, occ) => s -> occ.size.toLong
+      }
+      val expected = (for {
+        i <- docs.indices; j <- i + 1 until docs.size
+        a = docs(i)._1; b = docs(j)._1
+        common = (sh(a) & sh(b)).count(s => cap <= 0 || df(s) <= cap)
+        if common >= 1
+        jac = round6(common.toDouble / (sh(a).size + sh(b).size - common))
+        if jac >= 0.2
+      } yield (a, b) -> jac).toMap
+      assert(got == expected, s"trial $trial cap=$cap docs=$docs")
+    }
+  }
+
+  test("distributed label propagation equals driver union-find (4 random graphs)") {
+    for (trial <- 1 to 4) {
+      val ids = (0L until (6 + rnd.nextInt(8)).toLong).toVector
+      val pairs = (0 until 4 + rnd.nextInt(8)).map { _ =>
+        val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (pairs.nonEmpty) {
+        val pdf = pairs.toDF("id1", "id2")
+        val viaDriver = Dedup.connectedComponents(pdf)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // driverThreshold=0 forces the iterative regime on the same graph
+        val viaDist = Dedup.connectedComponents(pdf, driverThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaDist == viaDriver, s"trial $trial pairs=$pairs")
+        // sanity against a third, independent reference: union-find here
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+        }
+        pairs.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+        }
+        val members = parent.keys.toSeq.groupBy(find)
+        val expected = members.values.flatMap { ms =>
+          val m = ms.min; ms.map(_ -> m)
+        }.toMap
+        assert(viaDriver == expected, s"trial $trial pairs=$pairs")
+      }
+    }
+  }
+
+  test("bm25 matches a direct formula mirror (5 random corpora)") {
+    val (k1, b) = (1.2, 0.75)
+    for (trial <- 1 to 5) {
+      val docs = (0 until 5 + rnd.nextInt(6)).map(i =>
+        (i.toLong, randomDoc(2 + rnd.nextInt(10))))
+      val query = randomDoc(3)
+      val got = TfIdf.bm25(docs.toDF("doc_id", "text"), "doc_id", "text", query)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+      val docToks = docs.map { case (id, t) => id -> toks(t) }.toMap
+      val nd = docs.size.toLong
+      val ttok = docToks.values.map(_.size.toLong).sum.toDouble
+      val qts = toks(query).distinct
+      val dfm = qts.map(t => t -> docToks.values.count(_.contains(t)).toLong).toMap
+      for ((id, _) <- docs) {
+        val ts = docToks(id)
+        val dl = ts.size.toLong
+        val contribs = qts.flatMap { t =>
+          val tf = ts.count(_ == t).toLong
+          val df = dfm(t)
+          if (tf == 0) None
+          else {
+            val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+            val w = idf * (tf * (k1 + 1.0)) /
+              (tf + k1 * (1.0 - b + b * (dl / (ttok / nd))))
+            Some(java.math.BigDecimal.valueOf(round6(w)).setScale(6))
+          }
+        }
+        val expected =
+          if (contribs.isEmpty) 0.0
+          else round6(contribs.reduce(_.add(_)).doubleValue())
+        assert(math.abs(got(id) - expected) < 1.1e-6,
+          s"trial $trial doc=$id got=${got(id)} expected=$expected")
+      }
+    }
+  }
+}
