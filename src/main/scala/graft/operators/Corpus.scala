@@ -150,9 +150,16 @@ object Corpus {
     */
   def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dec6 = DecimalType(18, 6)
-    def toks(frame: DataFrame): DataFrame = frame.select(col(idCol).as("_id"),
-      explode(graft.functions.TextAnalysis.tokens(
-        coalesce(col(textCol), lit("")))).as("_t"))
+    // tokens hash to 64-bit keys INSIDE the scan stage (the same
+    // xxhash64-identity treatment as the dedup postings): the
+    // vocabulary histogram and the score join shuffle 8-byte keys,
+    // never token strings — the strings exist only inside the
+    // codegen'd projection
+    def toks(frame: DataFrame): DataFrame = frame
+      .select(col(idCol).as("_id"),
+        explode(graft.functions.TextAnalysis.tokens(
+          coalesce(col(textCol), lit("")))).as("_t0"))
+      .select(col("_id"), xxhash64(col("_t0")).as("_t"))
     val counts = toks(df).groupBy("_t").agg(count(lit(1)).as("_cnt"))
       .transform(graft.Caches.own)
     // T and V stay IN the plan as a one-row aggregate of the persisted
@@ -196,12 +203,16 @@ object Corpus {
     // (k identical decimal terms sum to exactly k × term, so the
     // weighted mean is bit-identical to the per-instance mean).
     val docBg = bigramsFromToks(bigramToks(df, idCol, textCol))
+      .select(col("_id"), xxhash64(col("_a")).as("_a"), xxhash64(col("_b")).as("_b"))
       .groupBy(col("_id"), col("_a"), col("_b"))
       .agg(count(lit(1)).as("_k"))
-    // persisted because both the vocabulary-size action and the
-    // log-prob join consume it (same reason as unigramLmScore)
+    // token strings hash to 64-bit keys before any exchange (the
+    // dedup-posting treatment): histograms and both log-prob joins
+    // shuffle 8-byte keys, never strings. Persisted because both the
+    // vocabulary-size aggregate and the log-prob join consume it.
     val uni = df.select(explode(graft.functions.TextAnalysis.tokens(
-        coalesce(col(textCol), lit("")))).as("_t"))
+        coalesce(col(textCol), lit("")))).as("_t0"))
+      .select(xxhash64(col("_t0")).as("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_ca"))
       .transform(graft.Caches.own)
     // vocabulary size stays IN the plan (one-row aggregate broadcast
