@@ -25,6 +25,12 @@ object TfIdf {
 
   private val wDec = DecimalType(18, 6)
 
+  /** Smooth idf ln((N+1)/(df+1)) + 1, with N read from the broadcast
+    * one-row `_nd` column every consumer cross-joins in.
+    */
+  private def smoothIdf(df0: Column): Column =
+    log((col("_nd") + lit(1)).cast(DoubleType) / (df0 + lit(1))) + lit(1.0)
+
   /** (idCol, sim): TF-IDF cosine similarity in [0,1], 6dp, for every
     * document (0.0 when nothing overlaps).
     */
@@ -38,8 +44,7 @@ object TfIdf {
     // costs a full job round-trip before the real query even starts —
     // measurable at interactive scale and a driver barrier at 100 TB.
     val nRow = broadcast(docs.agg(count(lit(1)).as("_nd")))
-    val idf: Column => Column = df0 =>
-      log((col("_nd") + lit(1)).cast(DoubleType) / (df0 + lit(1))) + lit(1.0)
+    val idf: Column => Column = smoothIdf
 
     // (doc, term) postings with term frequency
     // tf feeds dfreq + weights, and weights feeds docNorm + dots, so
@@ -217,12 +222,10 @@ object TfIdf {
   private def rankFromTf(tf: DataFrame, nDocsRow: DataFrame, k: Int,
       outIdCol: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val idf: Column => Column = df0 =>
-      log((col("_nd") + lit(1)).cast(DoubleType) / (df0 + lit(1))) + lit(1.0)
     val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
     val weights = tf.crossJoin(broadcast(nDocsRow)).join(dfreq, "_t")
       .select(col("_id"), col("_t"),
-        round(col("_tf") * idf(col("_df")), 6).as("_w"))
+        round(col("_tf") * smoothIdf(col("_df")), 6).as("_w"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_id")).orderBy(col("_w").desc, col("_t"))
     weights.withColumn("_rnk", row_number().over(w))

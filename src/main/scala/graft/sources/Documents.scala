@@ -57,13 +57,13 @@ object Documents {
       val doc = dbf.newDocumentBuilder().parse(zip.getInputStream(entry))
       doc.getDocumentElement.normalize()
       val sb = new StringBuilder
+      def localName(n: org.w3c.dom.Node): String =
+        Option(n.getLocalName).getOrElse(n.getNodeName.split(':').last)
       def paragraphText(node: org.w3c.dom.Node, out: StringBuilder): Unit = {
         var child = node.getFirstChild
         while (child != null) {
           if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
-            val local =
-              Option(child.getLocalName).getOrElse(child.getNodeName.split(':').last)
-            local match {
+            localName(child) match {
               case "t"          => out.append(child.getTextContent)
               case "tab"        => out.append('\t')
               case "br" | "cr"  => out.append('\n')
@@ -80,8 +80,7 @@ object Documents {
         var child = node.getFirstChild
         while (child != null) {
           if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
-            val local =
-              Option(child.getLocalName).getOrElse(child.getNodeName.split(':').last)
+            val local = localName(child)
             if (local == "p") {
               paragraphText(child, sb)
               sb.append('\n')

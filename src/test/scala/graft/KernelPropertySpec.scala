@@ -126,7 +126,7 @@ class KernelPropertySpec extends SparkSpec {
             val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
             val w = idf * (tf * (k1 + 1.0)) /
               (tf + k1 * (1.0 - b + b * (dl / (ttok / nd))))
-            Some(java.math.BigDecimal.valueOf(round6(w)).setScale(6))
+            Some(java.math.BigDecimal.valueOf(round6(w)))
           }
         }
         val expected =
