@@ -68,6 +68,21 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("identical docs: cap prunes every shingle to zero pairs; uncapped is all-1.0") {
+    val docs = (0L until 5L).map(i => (i, "alpha beta gamma delta eps"))
+    val df = docs.toDF("doc_id", "text")
+    // every shingle appears in all 5 docs → df=5 > cap=3 → every posting
+    // list overflows, so the prune leaves NO pairs at all
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", n = 2,
+      threshold = 0.0, maxDocFreq = 3L).isEmpty)
+    // uncapped, the same corpus is a clique of exact duplicates
+    val all = Dedup.jaccardPairs(df, "doc_id", "text", n = 2,
+        threshold = 0.9, maxDocFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.length == 5 * 4 / 2)
+    assert(all.forall(_._3 == 1.0))
+  }
+
   test("distributed label propagation equals driver union-find (4 random graphs)") {
     for (trial <- 1 to 4) {
       val ids = (0L until (6 + rnd.nextInt(8)).toLong).toVector
