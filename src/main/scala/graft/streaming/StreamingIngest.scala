@@ -118,6 +118,95 @@ object StreamingIngest {
   def readBucketedTable(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath).drop("_bucket")
 
+  /** St6: one SCD2 micro-batch merge — the unit of work [[scd2Sink]]
+    * runs per trigger, public so retries are testable directly.
+    *
+    * Semantics (reference: src/etl/scd2_manager.py:8-196 under re-poll):
+    *  - `batchIsSnapshot=true` — the micro-batch is a FULL feed poll,
+    *    exactly one reference cron run: current keys absent from the
+    *    batch are expired (the reference's remove path). Plain
+    *    [[Merges.scd2]].
+    *  - `batchIsSnapshot=false` (default) — the micro-batch is
+    *    INCREMENTAL (the usual streaming shape): keys absent from the
+    *    batch pass through untouched, nothing is expired by absence.
+    *    History is split by a semi/anti join on the batch's key set
+    *    (broadcast — a micro-batch's distinct keys are small) and only
+    *    the touched slice enters the merge join.
+    *
+    * Idempotence under foreachBatch retries: `batchTs` MUST be derived
+    * deterministically from the batch id (see [[scd2Sink]]), and the
+    * merge itself is a fixed point — replaying a committed batch finds
+    * every batch row equal to its current version, so change detection
+    * emits no expirations and no new versions and the table is
+    * byte-identical. That is what preserves exactly-one-current per key
+    * across retries (StreamingSpec asserts it).
+    *
+    * The batch must be unique per key (dedup upstream with
+    * [[dedupStreamByKey]]), same as the batch merges.
+    */
+  def scd2MergeBatch(tablePath: String, batch: DataFrame, key: String,
+      compareCols: Seq[String], batchTs: java.sql.Timestamp,
+      batchIsSnapshot: Boolean = false,
+      notesCol: Option[String] = Some("notes"),
+      carryNotes: Boolean = true): Unit = {
+    import graft.model.{Schemas => S}
+    import org.apache.spark.sql.types._
+    val spark = batch.sparkSession
+    val scd2Schema = StructType(batch.schema.fields ++ Seq(
+      StructField(S.EffectiveStart, TimestampType),
+      StructField(S.EffectiveEnd, TimestampType),
+      StructField(S.CurrentFlag, IntegerType)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hist =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
+        spark.read.parquet(tablePath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], scd2Schema)
+    val merged =
+      if (batchIsSnapshot)
+        Merges.scd2(hist, batch, key, compareCols, batchTs, notesCol, carryNotes)
+      else {
+        val keys = broadcast(batch.select(key).distinct())
+        val touched = hist.join(keys, Seq(key), "left_semi")
+        val untouched = hist.join(keys, Seq(key), "left_anti")
+        Merges.scd2(touched, batch, key, compareCols, batchTs, notesCol, carryNotes)
+          .unionByName(untouched)
+      }
+    merged.write.mode("overwrite").parquet(tablePath + "_tmp")
+    // atomic-enough swap for the offline harness (same note as scd1Sink)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tablePath + "_tmp"), dst)
+    ()
+  }
+
+  /** St6: wire a deduped stream into an SCD2-versioned parquet table via
+    * foreachBatch — the streaming form of batch M3 ([[Merges.scd2]]),
+    * closing SURVEY §2.10's last mapping.
+    *
+    * `batchTs` maps the micro-batch id to the version timestamp; it must
+    * be a pure function of the id (NOT `now()`) so a retried batch
+    * re-runs with the same timestamp and the merge stays a fixed point —
+    * Structured Streaming may re-invoke foreachBatch for a batch id
+    * whose work already committed, and a wall-clock timestamp would
+    * mint spurious versions on replay.
+    */
+  def scd2Sink(stream: DataFrame, tablePath: String, checkpoint: String,
+      key: String, compareCols: Seq[String],
+      batchTs: Long => java.sql.Timestamp,
+      batchIsSnapshot: Boolean = false,
+      notesCol: Option[String] = Some("notes"),
+      carryNotes: Boolean = true,
+      trigger: Trigger = Trigger.ProcessingTime("15 minutes")): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        scd2MergeBatch(tablePath, batch, key, compareCols, batchTs(id),
+          batchIsSnapshot, notesCol, carryNotes)
+      }
+
   private def readTableOrEmpty(spark: SparkSession, path: String,
       like: DataFrame): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

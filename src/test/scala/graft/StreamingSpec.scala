@@ -128,6 +128,87 @@ class StreamingSpec extends SparkSpec {
     assert(after(s"_bucket=$touchedBucket") != before(s"_bucket=$touchedBucket"))
   }
 
+  test("foreachBatch scd2 sink matches the batch scd2 result across snapshot batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2stream").toString
+    val mem = MemoryStream[(String, String, String)]
+    val stream = mem.toDF.toDF("link", "entry_title", "summary")
+    val ts0 = t("2024-01-01 00:00:00")
+    val tsOf = (id: Long) => new java.sql.Timestamp(ts0.getTime + id * 86400000L)
+    def run(data: (String, String, String)*): Unit = {
+      mem.addData(data: _*) // AvailableNow snapshots at start — add BEFORE start
+      val q = StreamingIngest.scd2Sink(stream, s"$tmp/table", s"$tmp/ckpt",
+          "link", Seq("entry_title", "summary"), tsOf, batchIsSnapshot = true,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    val snap1 = Seq(("l1", "T1", "S1"), ("l2", "T2", "S2"))
+    val snap2 = Seq(("l1", "T1-updated", "S1"), ("l2", "T2", "S2"), ("l3", "T3", "S3"))
+    run(snap1: _*)
+    run(snap2: _*)
+    val streamed = spark.read.parquet(s"$tmp/table")
+
+    // the same two snapshots through batch M3, same timestamps
+    val schema = org.apache.spark.sql.types.StructType(
+      snap1.toDF("link", "entry_title", "summary").schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("effective_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("effective_end",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("current_flag",
+          org.apache.spark.sql.types.IntegerType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val b1 = graft.operators.Merges.scd2(empty,
+      snap1.toDF("link", "entry_title", "summary"), "link",
+      Seq("entry_title", "summary"), tsOf(0))
+    val b2 = graft.operators.Merges.scd2(b1,
+      snap2.toDF("link", "entry_title", "summary"), "link",
+      Seq("entry_title", "summary"), tsOf(1))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(streamed.columns.sorted.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(streamed) == canon(b2))
+    // invariant: exactly one current version per key
+    val perKey = streamed.filter($"current_flag" === 1)
+      .groupBy("link").count().select("count").as[Long].collect()
+    assert(perKey.nonEmpty && perKey.forall(_ == 1))
+  }
+
+  test("scd2 incremental micro-batches: untouched keys pass through, replay is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2inc").toString
+    val path = s"$tmp/table"
+    val ts1 = t("2024-01-01 00:00:00"); val ts2 = t("2024-01-02 00:00:00")
+    def mb(rows: (String, String, String)*) =
+      rows.toDF("link", "entry_title", "summary")
+    val cmp = Seq("entry_title", "summary")
+    StreamingIngest.scd2MergeBatch(path, mb(("l1", "T1", "S1"), ("l2", "T2", "S2")),
+      "link", cmp, ts1)
+    StreamingIngest.scd2MergeBatch(path, mb(("l1", "T1-updated", "S1"), ("l3", "T3", "S3")),
+      "link", cmp, ts2)
+    val after2 = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    // l2 absent from the incremental batch: passes through, still current, NOT expired
+    val l2 = spark.read.parquet(path).filter($"link" === "l2").collect()
+    assert(l2.length == 1 && l2(0).getAs[Int]("current_flag") == 1 &&
+      l2(0).getAs[java.sql.Timestamp]("effective_start") == ts1 &&
+      l2(0).getAs[java.sql.Timestamp]("effective_end") == null)
+    // l1 versioned: expired ts1-row + current ts2-row
+    val l1 = spark.read.parquet(path).filter($"link" === "l1")
+    assert(l1.count() == 2 &&
+      l1.filter($"current_flag" === 1).collect()(0)
+        .getAs[String]("entry_title") == "T1-updated")
+    // foreachBatch retry: same batch, same deterministic ts → byte-identical table
+    StreamingIngest.scd2MergeBatch(path, mb(("l1", "T1-updated", "S1"), ("l3", "T3", "S3")),
+      "link", cmp, ts2)
+    val afterReplay = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    assert(afterReplay == after2, "replayed micro-batch must be a fixed point")
+    // invariant after replay: exactly one current per key
+    val perKey = spark.read.parquet(path).filter($"current_flag" === 1)
+      .groupBy("link").count().select("count").as[Long].collect()
+    assert(perKey.length == 3 && perKey.forall(_ == 1))
+  }
+
   test("changedOnlyStream emits a key only when its payload changes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
