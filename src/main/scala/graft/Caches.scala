@@ -28,6 +28,8 @@ object Caches {
   private val owned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
+  private val lastPruneNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Persist `df` (MEMORY_AND_DISK) and register it for [[release]]. */
   private[graft] def own(df: DataFrame): DataFrame = {
     pruneStopped()
@@ -41,13 +43,22 @@ object Caches {
     * the whole dead-session object graph for the JVM's lifetime (a
     * long-lived server creating sessions per job would otherwise
     * accumulate one leaked session per job that skipped release).
+    * Throttled to once per 10 s — the scan is O(owned) and own() can
+    * sit on an operator's per-query path; dead sessions only need to
+    * be reclaimed eventually, not on every persist.
     */
   private def pruneStopped(): Unit = {
+    val now = System.nanoTime()
+    val last = lastPruneNanos.get()
+    if (now - last < 10L * 1000 * 1000 * 1000) return
+    if (!lastPruneNanos.compareAndSet(last, now)) return
     val it = owned.iterator()
     while (it.hasNext) {
+      // NonFatal only: an OOME or interrupt during the liveness probe
+      // must propagate, not be misread as "context stopped"
       val alive =
         try !it.next().sparkSession.sparkContext.isStopped
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       if (!alive) it.remove()
     }
   }
@@ -59,7 +70,7 @@ object Caches {
       val df = it.next()
       if (df.sparkSession eq spark) {
         try df.unpersist(blocking = false)
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         it.remove()
       }
     }
@@ -70,7 +81,7 @@ object Caches {
     val it = owned.iterator()
     while (it.hasNext) {
       try it.next().unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       it.remove()
     }
   }

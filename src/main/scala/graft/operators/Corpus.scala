@@ -154,7 +154,12 @@ object Corpus {
     // xxhash64-identity treatment as the dedup postings): the
     // vocabulary histogram and the score join shuffle 8-byte keys,
     // never token strings — the strings exist only inside the
-    // codegen'd projection
+    // codegen'd projection. Accepted trade-off: a 64-bit collision
+    // silently merges two tokens' counts, and since the oracle groups
+    // by the token STRING a collision would also break the advertised
+    // bit-exact parity — accepted because the expected collision count
+    // is ~V²/2⁶⁵ (≈3e-9 at a 10M-token vocabulary), the same caveat
+    // the dedup postings carry
     def toks(frame: DataFrame): DataFrame = frame
       .select(col(idCol).as("_id"),
         explode(graft.functions.TextAnalysis.tokens(
@@ -208,8 +213,9 @@ object Corpus {
       .agg(count(lit(1)).as("_k"))
     // token strings hash to 64-bit keys before any exchange (the
     // dedup-posting treatment): histograms and both log-prob joins
-    // shuffle 8-byte keys, never strings. Persisted because both the
-    // vocabulary-size aggregate and the log-prob join consume it.
+    // shuffle 8-byte keys, never strings — same accepted ~V²/2⁶⁵
+    // collision caveat as unigramLmScore above. Persisted because both
+    // the vocabulary-size aggregate and the log-prob join consume it.
     val uni = df.select(explode(graft.functions.TextAnalysis.tokens(
         coalesce(col(textCol), lit("")))).as("_t0"))
       .select(xxhash64(col("_t0")).as("_t"))

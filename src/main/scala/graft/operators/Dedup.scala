@@ -387,7 +387,12 @@ object Dedup {
         pairs.schema("id1").dataType)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // reliable checkpoints when the caller configured a checkpoint dir
-    // (cluster mode: survives executor loss); local otherwise
+    // (cluster mode: survives executor loss); local otherwise. Reliable
+    // checkpoint FILES are only reclaimed by Spark when
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (default
+    // false) — long-lived cluster sessions calling this repeatedly
+    // should set it, or point the checkpoint dir at storage with a TTL;
+    // one obsolete dir per propagation round accumulates otherwise
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def roundCheckpoint(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true)
@@ -400,26 +405,30 @@ object Dedup {
         struct(col("id2").as("a"), col("id1").as("b")))).as("_e"))
       .select(col("_e.a").as("id1"), col("_e.b").as("id2"))
       .persist(lvl)
-    var labels = roundCheckpoint(edges.select(col("id1").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("id2"), col("label").as("_nl")), "id2")
-        .groupBy(col("id1").as("id")).agg(min(col("_nl")).as("_nmin"))
-      val updated = roundCheckpoint(labels
-        .join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label")))
-      converged = updated
-        .join(labels.select(col("id"), col("label").as("_old")), "id")
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels = updated
-      i += 1
-    }
-    edges.unpersist()
-    labels.select(col("id"), col("label").as("canonical_id"))
+    // finally-scoped: a propagation round failing (dead executor, bad
+    // UDF upstream) must not strand the edge list in the cache manager
+    // — this persist is operator-internal, invisible to Caches.release
+    try {
+      var labels = roundCheckpoint(edges.select(col("id1").as("id")).distinct()
+        .withColumn("label", col("id")))
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("id2"), col("label").as("_nl")), "id2")
+          .groupBy(col("id1").as("id")).agg(min(col("_nl")).as("_nmin"))
+        val updated = roundCheckpoint(labels
+          .join(neighborMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("_nmin"), col("label"))).as("label")))
+        converged = updated
+          .join(labels.select(col("id"), col("label").as("_old")), "id")
+          .filter(col("label") =!= col("_old")).isEmpty
+        labels = updated
+        i += 1
+      }
+      labels.select(col("id"), col("label").as("canonical_id"))
+    } finally edges.unpersist()
   }
 
   /** Union-find over a collected pair list; canonical = component min.

@@ -140,6 +140,14 @@ object Enrichment {
     * task builds its own client — 1000 executors, 1000 independent
     * rate-limited clients, exactly the `mapPartitions` boundary the
     * SURVEY prescribes.
+    *
+    * Prompt-shape deltas from run_ats_enrichment.py:331,344: the
+    * few-shot `like this: [...]` example is reproduced verbatim (it is
+    * what keeps the model's reply machine-parseable — without it an
+    * unparseable reply silently scores the whole batch 0.0), but the
+    * per-job `Title:/Description:` framing is not — scoreBatch receives
+    * each job as ONE pre-joined text (the column the operator scores),
+    * so there is no separate title field to frame.
     */
   final class HttpBatchTransport(
       apiUrl: String,
@@ -175,7 +183,9 @@ object Enrichment {
         "For each job, calculate the percentage match between this " +
         "resume and the job description as an ATS would. Return the " +
         "results in JSON format as a list of objects with job_number " +
-        "and match_percentage.")
+        "and match_percentage, like this: " +
+        "[{'job_number': 1, 'match_percentage': 85}, " +
+        "{'job_number': 2, 'match_percentage': 72}]")
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(apiUrl))
         .timeout(java.time.Duration.ofSeconds(timeoutSec))

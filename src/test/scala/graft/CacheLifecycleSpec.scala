@@ -51,6 +51,26 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(cacheEmpty, "connectedComponents (distributed regime) leaked")
   }
 
+  test("connectedComponents releases its edge cache when a propagation round fails") {
+    spark.sharedState.cacheManager.clearCache()
+    // a pair column that throws for one specific row: the regime probe
+    // (single partition, limit(1)) only evaluates the clean first row,
+    // so the failure fires inside the distributed loop — after the
+    // edge list is persisted
+    val boom = udf { (x: Long) =>
+      if (x < 0) throw new RuntimeException("injected propagation failure") else x
+    }
+    val pairs = Seq((1L, 2L), (3L, -4L), (5L, 6L)).toDF("id1", "_raw")
+      .coalesce(1)
+      .select($"id1", boom($"_raw").as("id2"))
+    val ex = intercept[Exception] {
+      Dedup.connectedComponents(pairs, driverThreshold = 0L).collect()
+    }
+    assert(ex.getMessage != null)
+    assert(cacheEmpty,
+      "a failed propagation round stranded the persisted edge list")
+  }
+
   test("Caches.own intermediates are caller-released, results unchanged") {
     spark.sharedState.cacheManager.clearCache()
     val before = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
