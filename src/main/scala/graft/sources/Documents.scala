@@ -8,15 +8,17 @@ import java.nio.file.{Files, Paths}
   * src/utils/file_utils.py:48-59 `read_resume`, dispatching on
   * extension and raising on missing files / unsupported formats).
   *
-  * Formats: plain text / markdown (read verbatim) and DOCX. A .docx is
-  * a zip archive whose body lives in `word/document.xml`, so the JDK's
-  * `java.util.zip` + DOM parser extract it with no dependency —
-  * mirroring the reference's extractor (file_utils.py:30-46), which
-  * walks paragraphs and appends each paragraph's text plus "\n". PDF
-  * needs a binary content-stream parser that is unavailable offline;
-  * it remains the one unsupported branch. The dispatch shape and error
-  * contract (FileNotFound for a missing path, IllegalArgument naming
-  * the supported formats otherwise) are the reference's.
+  * Formats: plain text / markdown (read verbatim), DOCX, and PDF
+  * (best-effort). A .docx is a zip archive whose body lives in
+  * `word/document.xml`, so the JDK's `java.util.zip` + DOM parser
+  * extract it with no dependency — mirroring the reference's extractor
+  * (file_utils.py:30-46), which walks paragraphs and appends each
+  * paragraph's text plus "\n". PDF mirrors file_utils.py:9-28
+  * (PyPDF2 page.extract_text() + "\n" per page) with a minimal
+  * dependency-free content-stream parser — see [[extractTextFromPdf]]
+  * for its deliberate scope. The dispatch shape and error contract
+  * (FileNotFound for a missing path, IllegalArgument naming the
+  * supported formats otherwise) are the reference's.
   */
 object Documents {
 
@@ -31,9 +33,11 @@ object Documents {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     else if (lower.endsWith(".docx"))
       extractTextFromDocx(resumePath)
+    else if (lower.endsWith(".pdf"))
+      extractTextFromPdf(resumePath)
     else
       throw new IllegalArgumentException(
-        "Unsupported resume format. Please provide a TXT, Markdown or DOCX file.")
+        "Unsupported resume format. Please provide a TXT, Markdown, DOCX or PDF file.")
   }
 
   /** WordprocessingML text extraction: one output line per `w:p`
@@ -95,5 +99,218 @@ object Documents {
       walk(doc.getDocumentElement)
       sb.toString
     } finally zip.close()
+  }
+
+  /** Best-effort PDF text extraction with zero dependencies — the
+    * common-case coverage of the reference's PyPDF2 loop
+    * (file_utils.py:9-28: per page, `extract_text()` + "\n").
+    *
+    * Deliberate scope (a full PDF text stack needs font/CMap tables
+    * that aren't reproducible offline):
+    *  - content streams stored raw or /FlateDecode (java.util.zip
+    *    Inflater, zlib then raw fallback); other filters (images,
+    *    embedded fonts) are skipped, not errors
+    *  - text operators Tj, ', ", TJ; literal `(…)` strings with the
+    *    full escape table + octal codes, and `<…>` hex strings
+    *  - Td, TD, T*, Tm line moves emit "\n" (the PyPDF2-ish layout
+    *    heuristic, minus its vertical-position arithmetic)
+    *  - single-byte text only, decoded as WinAnsi (Latin-1 plus the
+    *    0x80–0x9F Windows-1252 block) — CID/Identity-H fonts come out
+    *    garbled or empty, like PyPDF2 without its font tables
+    *
+    * A file without the %PDF- header, or one yielding no parseable
+    * text stream at all, raises — the reference logs and re-raises on
+    * any extraction failure rather than returning silently empty
+    * (file_utils.py:24-27).
+    */
+  private[sources] def extractTextFromPdf(pdfPath: String): String = {
+    val bytes = Files.readAllBytes(Paths.get(pdfPath))
+    if (bytes.length < 5 ||
+        new String(bytes, 0, 5, StandardCharsets.ISO_8859_1) != "%PDF-")
+      throw new IllegalArgumentException(
+        s"Error extracting text from PDF (missing %PDF- header): $pdfPath")
+    // ISO-8859-1 maps bytes 1:1 to chars: string search over binary is safe
+    val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = new StringBuilder
+    var sawText = false
+    // the keyword "stream", not the tail of "endstream"
+    def nextStream(from: Int): Int = {
+      var i = raw.indexOf("stream", from)
+      while (i >= 3 && raw.regionMatches(i - 3, "end", 0, 3))
+        i = raw.indexOf("stream", i + 6)
+      i
+    }
+    var idx = nextStream(0)
+    while (idx >= 0) {
+      // the stream's dict sits between its "N G obj" and "stream"
+      val objIdx = raw.lastIndexOf("obj", idx)
+      val dict = raw.substring(math.max(objIdx, 0), idx)
+      var s = idx + 6
+      if (s < raw.length && raw.charAt(s) == '\r') s += 1
+      if (s < raw.length && raw.charAt(s) == '\n') s += 1
+      val end = raw.indexOf("endstream", s)
+      if (end < 0) idx = -1
+      else {
+        var e = end
+        if (e > s && raw.charAt(e - 1) == '\n') e -= 1
+        if (e > s && raw.charAt(e - 1) == '\r') e -= 1
+        val data = java.util.Arrays.copyOfRange(bytes, s, math.max(e, s))
+        val decoded: Option[Array[Byte]] =
+          if (dict.contains("/FlateDecode")) inflate(data)
+          else if (dict.contains("/Filter")) None // image/font filter — skip
+          else Some(data)
+        decoded
+          .map(b => new String(b, StandardCharsets.ISO_8859_1))
+          .filter(_.contains("BT")) // only content streams with text blocks
+          .foreach { cs =>
+            val t = extractTextOps(cs)
+            if (t.nonEmpty) {
+              out.append(t)
+              if (!t.endsWith("\n")) out.append('\n') // reference: page + "\n"
+              sawText = true
+            }
+          }
+        idx = nextStream(end + 9)
+      }
+    }
+    if (!sawText)
+      throw new IllegalArgumentException(
+        s"Error extracting text from PDF (no parseable text content): $pdfPath")
+    out.toString
+  }
+
+  /** zlib inflate with raw-deflate fallback (some writers omit the
+    * zlib wrapper); None on truncated or undecodable data.
+    */
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    def run(rawMode: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(rawMode)
+      try {
+        inf.setInput(data)
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var stuck = false
+        while (!inf.finished() && !stuck) {
+          val n = inf.inflate(buf)
+          if (n > 0) bos.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary()) stuck = true
+        }
+        if (inf.finished()) Some(bos.toByteArray) else None
+      } catch {
+        case _: java.util.zip.DataFormatException => None
+      } finally inf.end()
+    }
+    run(false).orElse(run(true))
+  }
+
+  /** Windows-1252 decode of one byte: Latin-1 identity except the
+    * 0x80–0x9F block (smart quotes, dashes, euro — what word
+    * processors actually emit into WinAnsiEncoding strings).
+    */
+  private val winAnsiHigh: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+  private def winAnsi(code: Int): Char =
+    winAnsiHigh.getOrElse(code & 0xFF, (code & 0xFF).toChar)
+
+  /** Run the text operators of one decoded content stream. Strings
+    * accumulate as operands; Tj, ', ", TJ emit them; Td, TD, T*, Tm
+    * emit a line break between text positions.
+    */
+  private[sources] def extractTextOps(content: String): String = {
+    val out = new StringBuilder
+    val operands = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inText = false
+    val n = content.length
+    var i = 0
+
+    def newline(): Unit =
+      if (out.nonEmpty && out.last != '\n') out.append('\n')
+    def emit(prefixNewline: Boolean): Unit = {
+      if (prefixNewline) newline()
+      operands.foreach(out.append)
+      operands.clear()
+    }
+    def parseLiteral(start: Int): Int = {
+      val sb = new StringBuilder
+      var depth = 1
+      var j = start + 1
+      while (j < n && depth > 0) {
+        val ch = content.charAt(j)
+        if (ch == '\\' && j + 1 < n) {
+          content.charAt(j + 1) match {
+            case 'n' => sb.append('\n'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case 'b' => sb.append('\b'); j += 2
+            case 'f' => sb.append('\f'); j += 2
+            case '\r' => // line continuation
+              j += 2; if (j < n && content.charAt(j) == '\n') j += 1
+            case '\n' => j += 2
+            case d if d >= '0' && d <= '7' =>
+              var k = j + 1; var v = 0; var cnt = 0
+              while (k < n && cnt < 3 && content.charAt(k) >= '0' &&
+                  content.charAt(k) <= '7') {
+                v = v * 8 + (content.charAt(k) - '0'); k += 1; cnt += 1
+              }
+              sb.append(winAnsi(v)); j = k
+            case other => sb.append(other); j += 2 // covers \( \) \\
+          }
+        } else if (ch == '(') { depth += 1; sb.append('('); j += 1 }
+        else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(')'); j += 1 }
+        else { sb.append(winAnsi(ch.toInt)); j += 1 }
+      }
+      operands += sb.toString
+      j
+    }
+    def parseHex(start: Int): Int = {
+      val sb = new StringBuilder
+      var j = start + 1
+      var hi = -1
+      while (j < n && content.charAt(j) != '>') {
+        val ch = content.charAt(j)
+        val d = Character.digit(ch, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { sb.append(winAnsi(hi * 16 + d)); hi = -1 }
+        }
+        j += 1
+      }
+      if (hi >= 0) sb.append(winAnsi(hi * 16)) // odd digit count: pad 0
+      operands += sb.toString
+      if (j < n) j + 1 else j
+    }
+
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c == '(') i = parseLiteral(i)
+      else if (c == '<' && i + 1 < n && content.charAt(i + 1) == '<') i += 2
+      else if (c == '<') i = parseHex(i)
+      else if (c == '>' ) i += 1 // tail of '>>'
+      else if (c == '%') { while (i < n && content.charAt(i) != '\n') i += 1 }
+      else if (c == '/') {
+        i += 1
+        while (i < n && !" \t\r\n()<>[]{}/%".contains(content.charAt(i))) i += 1
+      } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
+        val start = i
+        while (i < n && (content.charAt(i).isLetterOrDigit ||
+            "'\"*".contains(content.charAt(i)))) i += 1
+        content.substring(start, i) match {
+          case "BT" => inText = true; operands.clear()
+          case "ET" => inText = false; operands.clear()
+          case "Tj" => if (inText) emit(prefixNewline = false) else operands.clear()
+          case "TJ" => if (inText) emit(prefixNewline = false) else operands.clear()
+          case "'" | "\"" => if (inText) emit(prefixNewline = true) else operands.clear()
+          case "Td" | "TD" | "Tm" | "T*" => newline(); operands.clear()
+          case _ => operands.clear() // any other operator consumes its operands
+        }
+      } else i += 1 // digits, signs, whitespace, [ ] { }
+    }
+    out.toString
   }
 }

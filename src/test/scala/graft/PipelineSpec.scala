@@ -67,10 +67,71 @@ class PipelineSpec extends SparkSpec {
 
     intercept[java.io.FileNotFoundException](
       Documents.readResume(tmp.resolve("missing.txt").toString))
-    val pdf = tmp.resolve("resume.pdf")
-    java.nio.file.Files.writeString(pdf, "not really a pdf")
-    val e = intercept[IllegalArgumentException](Documents.readResume(pdf.toString))
+    val rtf = tmp.resolve("resume.rtf")
+    java.nio.file.Files.writeString(rtf, "{\\rtf1 not supported}")
+    val e = intercept[IllegalArgumentException](Documents.readResume(rtf.toString))
     assert(e.getMessage.contains("Unsupported resume format"))
+  }
+
+  test("resume reader extracts PDF text: raw + FlateDecode streams, WinAnsi, hex strings") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf")
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    // stream 4: stored raw — Td/T* line moves, escaped parens
+    val rawContent =
+      "BT /F1 12 Tf 72 720 Td (John Smith) Tj T* (Data \\(Platform\\) Engineer) Tj ET"
+    // stream 6: FlateDecode — TJ array with kerning numbers, octal
+    // WinAnsi smart quotes (\223 \224), ' next-line-show, hex string
+    val flateContent = "BT 72 700 Td (python) Tj ( spark) Tj T* " +
+      "[(sql) -250 ( \\223quoted\\224)] TJ (linux) ' T* <68657820686921> Tj ET"
+    val flate = deflate(flateContent.getBytes("ISO-8859-1"))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 6 0 R] >> endobj\n")
+    w(s"4 0 obj << /Length ${rawContent.length} >> stream\n")
+    w(rawContent); w("\nendstream endobj\n")
+    // an image stream whose bytes contain "BT ": the /DCTDecode filter
+    // must make the extractor skip it, not parse it
+    w("5 0 obj << /Subtype /Image /Filter /DCTDecode /Length 8 >> stream\n")
+    bos.write("BT ".getBytes("ISO-8859-1"))
+    w("\nendstream endobj\n")
+    w(s"6 0 obj << /Length ${flate.length} /Filter /FlateDecode >> stream\n")
+    bos.write(flate); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("resume.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+
+    val text = Documents.readResume(pdf.toString)
+    assert(text == "John Smith\nData (Platform) Engineer\n" +
+      "python spark\nsql “quoted”\nlinux\nhex hi!\n")
+    // extracted text drives the skills matcher exactly like txt/md input
+    val docs = Seq((1L, "we need python and spark experience")).toDF("doc_id", "text")
+    val row = Enrichment.withSkillsColumns(docs, "text", text).collect()(0)
+    assert(row.getAs[scala.collection.Seq[String]]("matched_skills").toSeq ==
+      Seq("python", "spark"))
+
+    // garbage behind a .pdf extension raises the reference's extraction
+    // error (file_utils.py re-raises; it never returns silently empty)
+    val bad = tmp.resolve("bad.pdf")
+    java.nio.file.Files.writeString(bad, "not really a pdf")
+    val e = intercept[IllegalArgumentException](Documents.readResume(bad.toString))
+    assert(e.getMessage.contains("Error extracting text from PDF"))
+    // a structurally-valid PDF with no parseable text also raises
+    val noText = tmp.resolve("notext.pdf")
+    java.nio.file.Files.write(noText,
+      "%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n%%EOF\n".getBytes("ISO-8859-1"))
+    val e2 = intercept[IllegalArgumentException](Documents.readResume(noText.toString))
+    assert(e2.getMessage.contains("no parseable text content"))
   }
 
   test("resume reader extracts DOCX paragraphs like the reference's extractor") {
