@@ -68,6 +68,7 @@ object Graft {
     graft.expr.PostingPairsAgg.register(spark)
     graft.expr.NfcNormalize.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
+    graft.plans.TableFunctions.register(spark)
     // per-session injection of the opt-in AQP rewrite (a no-op unless
     // spark.graft.approxCountDistinct is set) — works on sessions
     // built without spark.sql.extensions, e.g. the driver's own.

@@ -627,6 +627,55 @@ object SparkEntry {
       TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
     }),
 
+    // SQL surface for the temporal family: the as-of join runs as a
+    // TVF in a pure-SQL statement — the builder splices the operator's
+    // tagged-union-window plan into the query at analysis time, so the
+    // outer projection optimizes as one Catalyst tree
+    "q120_sql_asof" -> ((s, dir) => {
+      Graft.tune(s)
+      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts2"), col("value"))
+        .createOrReplaceTempView("purchases_v")
+      Joins.latestPerKeyTs(
+          ev.filter(col("event_type") === "view")
+            .withColumnRenamed("value", "view_value"),
+          "user_id", "ts2", "event_id", Seq("view_value"))
+        .createOrReplaceTempView("views_v")
+      s.sql("""
+        SELECT event_id, user_id,
+               date_format(ts2, 'yyyy-MM-dd HH:mm:ss') AS purchase_ts, value,
+               date_format(asof_ts, 'yyyy-MM-dd HH:mm:ss') AS view_ts,
+               view_value
+        FROM graft_asof_join('purchases_v', 'views_v', 'user_id', 'ts2',
+                             'view_value')""")
+    }),
+
+    // SQL surface for the interval family: binned range join as a TVF
+    "q121_sql_range" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "events").createOrReplaceTempView("events_range_v")
+      s.range(0, 7).select(col("id").as("band_id"),
+          (col("id") * 75).cast(DoubleType).as("lo"),
+          ((col("id") + 1) * 75).cast(DoubleType).as("hi"))
+        .createOrReplaceTempView("bands_v")
+      s.sql("""
+        SELECT band_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM graft_range_join('events_range_v', 'value', 'bands_v',
+                              'lo', 'hi', 50.0D)
+        GROUP BY band_id""")
+    }),
+
+    // SQL surface for the retrieval family: BM25 as a TVF
+    "q122_sql_bm25" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents").createOrReplaceTempView("docs_bm25_v")
+      s.sql(s"""
+        SELECT doc_id, bm25
+        FROM graft_bm25('docs_bm25_v', 'doc_id', 'text', '$ResumeQ')""")
+    }),
+
     // audience-overlap matrix: |users(A) ∩ users(B)| and Jaccard for
     // every event-type pair — the segment-overlap analytics staple;
     // the distinct user×type table self-joins on user (bounded by
@@ -1506,7 +1555,17 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // the TVF SQL surfaces compute exactly their DataFrame-API
+    // siblings' results, so they share those oracles verbatim
+    base ++ Map(
+      "q120_sql_asof" -> base("q54_asof_join"),
+      "q121_sql_range" -> base("q57_range_join"),
+      "q122_sql_bm25" -> base("q119_bm25"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

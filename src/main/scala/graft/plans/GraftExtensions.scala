@@ -20,6 +20,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // whole-operator SQL surfaces (asof/range join, BM25) as TVFs
+    TableFunctions.functions.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(TableFunctions.getClass.getName, name), builder))
+    }
     // opt-in AQP: COUNT(DISTINCT) → KMV sketch estimate when
     // spark.graft.approxCountDistinct=true (no-op otherwise)
     ext.injectOptimizerRule(_ => ApproxCountDistinctRewrite)

@@ -76,6 +76,79 @@ class ExprConfigSpec extends SparkSpec {
       .collect()(0).getLong(0) != 0L)
   }
 
+  test("TVF SQL surfaces match their operators and validate arguments") {
+    val trades = Seq((1L, "2024-01-01 10:00:05", 100.0), (2L, "2024-01-01 10:00:20", 200.0))
+      .toDF("trade_id", "ts_s", "qty")
+      .select($"trade_id", to_timestamp($"ts_s").as("ts"), $"qty", lit("s").as("sym"))
+    val quotes = Seq(("2024-01-01 10:00:00", 9.5), ("2024-01-01 10:00:10", 9.9))
+      .toDF("ts_s", "price")
+      .select(to_timestamp($"ts_s").as("ts"), $"price", lit("s").as("sym"))
+    trades.createOrReplaceTempView("trades_tvf")
+    quotes.createOrReplaceTempView("quotes_tvf")
+    val viaSql = spark.sql(
+      """SELECT trade_id, price
+         FROM graft_asof_join('trades_tvf', 'quotes_tvf', 'sym', 'ts', 'price')""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == Map(1L -> 9.5, 2L -> 9.9))
+    val viaApi = graft.operators.Joins
+      .asofJoin(trades, quotes, "sym", "ts", Seq("price"))
+      .select($"trade_id", $"price")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaApi)
+
+    // tolerance arg routes to the tolerant variant: the 15s-stale quote
+    // at 10:00:20 nulls out under a 5s tolerance
+    val tol = spark.sql(
+      """SELECT trade_id, price
+         FROM graft_asof_join('trades_tvf', 'quotes_tvf', 'sym', 'ts', 'price', 5)""")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tol == Map(1L -> Some(9.5), 2L -> None))
+
+    Seq((1L, 10.0), (2L, 80.0)).toDF("pt_id", "v").createOrReplaceTempView("pts_tvf")
+    Seq((0L, 0.0, 50.0), (1L, 50.0, 100.0)).toDF("band", "lo", "hi")
+      .createOrReplaceTempView("bands_tvf")
+    val rj = spark.sql(
+      """SELECT pt_id, band
+         FROM graft_range_join('pts_tvf', 'v', 'bands_tvf', 'lo', 'hi', 25.0D)""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rj == Map(1L -> 0L, 2L -> 1L))
+
+    Seq((1L, "spark sql engine"), (2L, "gardening tips")).toDF("doc_id", "text")
+      .createOrReplaceTempView("docs_tvf")
+    val bm = spark.sql(
+      """SELECT doc_id, bm25 FROM graft_bm25('docs_tvf', 'doc_id', 'text', 'spark')""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bm(1L) > 0.0 && bm(2L) == 0.0)
+
+    // predicates on TVF output push into the spliced operator plan —
+    // the TVF is a view expansion, not an optimization barrier
+    val pushed = spark.sql(
+      """SELECT doc_id FROM graft_bm25('docs_tvf', 'doc_id', 'text', 'spark')
+         WHERE doc_id = 1""").collect()
+    assert(pushed.map(_.getLong(0)).toSeq == Seq(1L))
+
+    // argument validation: wrong arity and non-literal args both fail
+    // at analysis with the function's usage string
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_bm25('docs_tvf')"))
+    assert(e1.getMessage.contains("graft_bm25"))
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_asof_join('trades_tvf', 'quotes_tvf', 'sym', 'ts')"))
+    assert(e2.getMessage.contains("graft_asof_join"))
+  }
+
+  test("session extension injects TVFs into fresh session states") {
+    val fresh = spark.newSession()
+    import fresh.implicits._
+    Seq((1L, "spark streams"), (2L, "cooking")).toDF("doc_id", "text")
+      .createOrReplaceTempView("docs_fresh_tvf")
+    val scores = fresh.sql(
+      """SELECT doc_id, bm25
+         FROM graft_bm25('docs_fresh_tvf', 'doc_id', 'text', 'spark')""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.0 && scores(2L) == 0.0)
+  }
+
   test("cosine codegen survives duplicated instances in one generated function") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
