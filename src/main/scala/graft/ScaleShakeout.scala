@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: 10× scale shakeout of the capped dedup kernel (round-4
+  * VERDICT item 6). Generates a seeded ~sf1-sized corpus (10× the
+  * sf0.1 bench table: 50k docs, ~7M tokens) into `target/`, then runs
+  * the inverted-index dedup family with the production cap
+  * (maxDocFreq=100) and reports wall time plus the executor-memory
+  * evidence for the bounded-buffer claim (PostingPairsAgg buffers cap
+  * at maxDocFreq+1 entries per shingle × partition): total
+  * memory+disk spill and peak per-task execution memory per operator.
+  *
+  * Corpus shape stresses exactly what the cap exists for: a third of
+  * the docs share a boilerplate header (hot shingles with corpus-wide
+  * doc frequency), 10% are near-duplicates of their predecessor (true
+  * pairs that must survive), and token ranks are cube-skewed so the
+  * vocabulary has a heavy head. Deterministic per doc id — reruns are
+  * identical, no stored fixture needed.
+  *
+  * Results are recorded in SCALE.md.
+  */
+object ScaleShakeout {
+
+  private val Boilerplate =
+    "terms of service apply all rights reserved contact us for more information today "
+
+  private def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val fam = if (id % 10 == 9) id - 1 else id // 10% near-dup predecessor
+      val rnd = new java.util.Random(fam * 2654435761L + 12345L)
+      val len = 80 + rnd.nextInt(120)
+      val sb = new StringBuilder
+      if (fam % 3 == 0) sb.append(Boilerplate)
+      var j = 0
+      while (j < len) {
+        val u = rnd.nextDouble()
+        sb.append('w').append((20000 * u * u * u).toInt).append(' ')
+        j += 1
+      }
+      if (id % 10 == 9) sb.append("edited variant ").append(id)
+      sb.toString
+    }
+    spark.range(nDocs).select(col("id").as("doc_id"), gen(col("id")).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(50000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.tune(spark)
+
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+        }
+      }
+    })
+
+    val path = "target/scale_corpus.parquet"
+    corpus(spark, nDocs).write.mode("overwrite").parquet(path)
+    val docs = spark.read.parquet(path)
+    println(s"corpus: ${docs.count()} docs, " +
+      s"${docs.agg(sum(length(col("text")))).head.getLong(0)} chars")
+
+    def run(name: String)(op: => DataFrame): Unit = {
+      spill.set(0L); peakTaskMem.set(0L)
+      val t0 = System.nanoTime()
+      val n = op.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-22s ${dt}%8.1fs rows=$n%-10d " +
+        f"spill=${spill.get / 1e6}%.0fMB peakTaskMem=${peakTaskMem.get / 1e6}%.0fMB")
+      Caches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    run("jaccardPairs")(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDocFreq = 100L))
+    run("crossJaccardPairs")(
+      Dedup.crossJaccardPairs(docs, docs.withColumn("doc_id", col("doc_id") + 1000000L),
+        "doc_id", "text", n = 3, threshold = 0.9, maxDocFreq = 100L))
+    run("nearDupClusters")(
+      Dedup.nearDupClusters(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDocFreq = 100L))
+    spark.stop()
+  }
+}
