@@ -176,6 +176,50 @@ class StreamingSpec extends SparkSpec {
     assert(perKey.nonEmpty && perKey.forall(_ == 1))
   }
 
+  test("bucketed scd2 sink versions in place and rewrites only touched buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2b").toString
+    val path = s"$tmp/table"
+    val ts1 = t("2024-01-01 00:00:00"); val ts2 = t("2024-01-02 00:00:00")
+    def mb(rows: (String, String, String)*) =
+      rows.toDF("link", "entry_title", "summary")
+    val cmp = Seq("entry_title", "summary")
+    StreamingIngest.scd2MergeBatchBucketed(path,
+      mb(("l1", "T1", "S1"), ("l2", "T2", "S2"), ("l3", "T3", "S3")),
+      "link", cmp, ts1, numBuckets = 8)
+    def partFiles(): Map[String, Set[String]] = {
+      new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = partFiles()
+    val touchedBucket = spark.range(1)
+      .select(pmod(xxhash64(lit("l1")), lit(8L))).collect()(0).getLong(0)
+
+    StreamingIngest.scd2MergeBatchBucketed(path, mb(("l1", "T1-updated", "S1")),
+      "link", cmp, ts2, numBuckets = 8)
+    val table = StreamingIngest.readBucketedTable(spark, path)
+    // l1 versioned: expired ts1 row + current ts2 row, in l1's bucket
+    val l1 = table.filter($"link" === "l1").collect()
+    assert(l1.length == 2 && l1.count(_.getAs[Int]("current_flag") == 1) == 1)
+    // untouched keys still single-current, their bucket dirs byte-identical
+    assert(table.filter($"link" =!= "l1").count() == 2)
+    val after = partFiles()
+    val untouched = before.keySet - s"_bucket=$touchedBucket"
+    assert(untouched.nonEmpty)
+    untouched.foreach(d => assert(after(d) == before(d), d))
+    assert(after(s"_bucket=$touchedBucket") != before(s"_bucket=$touchedBucket"))
+    // replayed micro-batch: fixed point
+    val before3 = StreamingIngest.readBucketedTable(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    StreamingIngest.scd2MergeBatchBucketed(path, mb(("l1", "T1-updated", "S1")),
+      "link", cmp, ts2, numBuckets = 8)
+    val after3 = StreamingIngest.readBucketedTable(spark, path)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after3 == before3)
+  }
+
   test("scd2 incremental micro-batches: untouched keys pass through, replay is a no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scd2inc").toString
     val path = s"$tmp/table"
