@@ -667,6 +667,17 @@ object SparkEntry {
         GROUP BY band_id""")
     }),
 
+    // CCNet/RefinedWeb-style cross-document segment removal: fragments
+    // (here delimited by the stopword 'the' — the fixture has no
+    // punctuation) seen in >1 distinct doc are dropped from every doc,
+    // survivors reassembled in order. The exact-duplicate documents in
+    // the fixture lose their shared fragments from BOTH copies.
+    "q123_remove_dup_segments" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.removeDuplicatedSegments(tp(s, dir, "documents"), "doc_id", "text",
+        sepRegex = "\\bthe\\b", sepOut = "the", maxDocFreq = 1L)
+    }),
+
     // SQL surface for the retrieval family: BM25 as a TVF
     "q122_sql_bm25" -> ((s, dir) => {
       Graft.tune(s)
@@ -2770,6 +2781,31 @@ object SparkEntry {
               ROUND(CAST(COALESCE(n_dup_paras, 0) AS DOUBLE) / n_paras, 6)
                 AS dup_ratio
        FROM perdoc p LEFT JOIN dup USING (doc_id)""",
+
+    "q123_remove_dup_segments" ->
+      """WITH segs AS (
+           SELECT doc_id, pos, s,
+                  CAST(('0x' || substr(md5(trim(regexp_replace(lower(s),
+                         '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp
+           FROM (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                        unnest(arr) AS s
+                 FROM (SELECT doc_id,
+                         string_split_regex(COALESCE(text, ''), '\bthe\b') AS arr
+                       FROM documents))
+           WHERE trim(s) <> ''),
+         hot AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM segs)
+                 GROUP BY fp HAVING COUNT(*) > 1),
+         kept AS (SELECT doc_id, pos, s FROM segs
+                  WHERE fp NOT IN (SELECT fp FROM hot)),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                        string_agg(s, 'the' ORDER BY pos) AS text_clean
+                 FROM kept GROUP BY 1),
+         tot AS (SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY 1)
+       SELECT d.doc_id, COALESCE(text_clean, '') AS text_clean,
+              COALESCE(n_segments, 0) AS n_segments,
+              COALESCE(n_segments, 0) - COALESCE(n_kept, 0) AS n_removed
+       FROM documents d
+       LEFT JOIN tot USING (doc_id) LEFT JOIN reb USING (doc_id)""",
 
     "q88_approx_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,

@@ -285,6 +285,62 @@ object Corpus {
           col("n_paras"), 6).as("dup_ratio"))
   }
 
+  /** Cross-document segment removal — the TRANSFORM sibling of
+    * [[paragraphDupStats]] and the CCNet/RefinedWeb line-dedup recipe:
+    * any sep-split segment whose normalized fingerprint occurs in more
+    * than `maxDocFreq` distinct documents (site boilerplate, navigation
+    * chrome, license footers) is removed from EVERY document, and the
+    * survivors are reassembled in their original order.
+    *
+    * Scale shape: segments travel once; the hot-fingerprint table is
+    * derived from a distinct + count over 8-byte md5 keys (map-side
+    * combined) and applied as an anti-join — never collected, never
+    * broadcast by assumption (at 100 TB the hot set can itself be
+    * large). Two corpus-sized shuffles total: the anti-join on the
+    * fingerprint and the per-document reassembly groupBy. Empty
+    * segments are dropped at split time, so runs of separators and
+    * trailing separators do not round-trip — the output joins kept
+    * segments with `sepOut` verbatim.
+    *
+    * Output: (idCol, text_clean, n_segments, n_removed); a document
+    * whose every segment was removed (or was empty) yields
+    * `text_clean = ""`.
+    */
+  def removeDuplicatedSegments(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\\.", sepOut: String = ".",
+      maxDocFreq: Long = 1L): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), sepRegex))
+          .as(Seq("_pos", "_s")))
+      .filter(trim(col("_s")) =!= "")
+      .select(col("_id"), col("_pos"), col("_s"),
+        graft.functions.TextAnalysis.md5Long(
+          graft.functions.Normalize.collapseWs(lower(col("_s")))).as("_fp"))
+      // three consumers (hot table, totals, reassembly) share one
+      // split+fingerprint pass
+      .transform(graft.Caches.own)
+    val hot = segs.select(col("_id"), col("_fp")).distinct()
+      .groupBy("_fp").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > maxDocFreq)
+      .select("_fp")
+    val kept = segs.join(hot, Seq("_fp"), "left_anti")
+    val rebuilt = kept.groupBy("_id").agg(
+      count(lit(1)).as("_n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_s")))),
+        x => x.getField("_s")), sepOut).as("text_clean"))
+    val totals = segs.groupBy("_id").agg(count(lit(1)).as("n_segments"))
+    df.select(col(idCol))
+      .join(totals.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .join(rebuilt.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        (coalesce(col("n_segments"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   // ------------------------------------------------ negative sampling
 
   /** Deterministic negative sampling for contrastive training: for

@@ -32,6 +32,34 @@ class CorpusSpec extends SparkSpec {
     assert(clean == Set(2L, 4L))
   }
 
+  test("removeDuplicatedSegments drops cross-doc boilerplate, keeps order") {
+    val docs = Seq(
+      (1L, "unique intro. all rights reserved. body one. visit our site."),
+      (2L, "all rights reserved. body two. visit our site."),
+      (3L, "standalone doc with nothing shared."),
+      (4L, "") // empty: zero segments
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDuplicatedSegments(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // boilerplate ('all rights reserved', 'visit our site') removed from
+    // BOTH docs; unique segments survive in original order with original
+    // spacing; counts reconcile
+    assert(out(1L) == (("unique intro. body one", 4L, 2L)))
+    assert(out(2L) == ((" body two", 3L, 2L)))
+    assert(out(3L) == (("standalone doc with nothing shared", 1L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+    // normalization: case/whitespace variants of a segment still match
+    val fuzz = Seq(
+      (1L, "All  Rights   Reserved. own text."),
+      (2L, "all rights reserved. other text.")
+    ).toDF("doc_id", "text")
+    val fz = Corpus.removeDuplicatedSegments(fuzz, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fz(1L) == " own text" && fz(2L) == " other text")
+    Caches.release(spark)
+  }
+
   test("contamination plan broadcasts the benchmark side") {
     val plan = Corpus.contaminationReport(corpus, bench, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
