@@ -68,6 +68,40 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedSegments matches brute force (6 random corpora)") {
+    for (trial <- 1 to 6) {
+      // docs are '.'-joined segments drawn from a small segment pool so
+      // cross-doc repeats occur naturally; some docs get doubled spaces
+      // and case flips to exercise the normalization
+      val pool = Vector("alpha beta", "gamma  delta", "Eps Zeta", "eta",
+        "theta alpha", "beta gamma", "", " ")
+      val docs = (0 until 5 + rnd.nextInt(6)).map { i =>
+        val n = 1 + rnd.nextInt(5)
+        (i.toLong, Vector.fill(n)(pool(rnd.nextInt(pool.size))).mkString("."))
+      }
+      val cap = 1L + rnd.nextInt(2)
+      val got = graft.operators.Corpus.removeDuplicatedSegments(
+          docs.toDF("doc_id", "text"), "doc_id", "text", maxDocFreq = cap)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      graft.Caches.release(spark)
+
+      def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+      val segsOf = docs.map { case (id, t) =>
+        id -> t.split("\\.", -1).toVector.filter(_.trim.nonEmpty)
+      }.toMap
+      val docFreq = segsOf.toSeq
+        .flatMap { case (id, ss) => ss.map(norm).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+      val expected = docs.map { case (id, _) =>
+        val ss = segsOf(id)
+        val keep = ss.filter(s => docFreq(norm(s)) <= cap)
+        id -> ((keep.mkString("."), ss.size.toLong, (ss.size - keep.size).toLong))
+      }.toMap
+      assert(got == expected, s"trial $trial cap=$cap docs=$docs")
+    }
+  }
+
   test("identical docs: cap prunes every shingle to zero pairs; uncapped is all-1.0") {
     val docs = (0L until 5L).map(i => (i, "alpha beta gamma delta eps"))
     val df = docs.toDF("doc_id", "text")

@@ -61,6 +61,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("a filter above a TVF pushes into the operator's parquet scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+    Seq((1L, "spark sql engine"), (2L, "gardening tips"), (3L, "spark joins"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("docs_tvf_scale")
+    // the TVF splices the bm25 logical plan into the statement; the
+    // doc_id predicate must reach BOTH parquet scans of the spliced
+    // dataflow (docs spine + postings side), not stop at a barrier
+    val q = spark.sql(
+      """SELECT doc_id, bm25
+         FROM graft_bm25('docs_tvf_scale', 'doc_id', 'text', 'spark')
+         WHERE doc_id < 3""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,3)")
+      || plan.contains("PushedFilters: [LessThan(doc_id,3)"), plan)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("date-partitioned storage prunes partitions at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
     val ev = (1 to 300).map(i =>
