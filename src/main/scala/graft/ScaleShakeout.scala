@@ -96,6 +96,16 @@ object ScaleShakeout {
     run("nearDupClusters")(
       Dedup.nearDupClusters(docs, "doc_id", "text", n = 3,
         threshold = 0.5, maxDocFreq = 100L))
+    // vocabulary-bounded LM histograms and the query-term-semi-filtered
+    // BM25 postings make the same bounded-state claim as the dedup
+    // kernel — same evidence standard
+    run("unigramLmScore")(
+      graft.operators.Corpus.unigramLmScore(docs, "doc_id", "text"))
+    run("bigramLmScore")(
+      graft.operators.Corpus.bigramLmScore(docs, "doc_id", "text"))
+    run("bm25")(
+      graft.operators.TfIdf.bm25(docs, "doc_id", "text",
+        "w100 w2000 w19999 terms of service"))
     spark.stop()
   }
 }
