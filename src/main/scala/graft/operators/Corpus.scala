@@ -201,16 +201,19 @@ object Corpus {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dec6 = DecimalType(18, 6)
-    // ONE corpus bigram pass: the per-(doc, bigram) histogram serves
-    // both consumers — the global bigram histogram is its sum (never a
-    // second derivation from the corpus), and the per-doc score
-    // weights each distinct bigram's log-prob by its in-doc count
-    // (k identical decimal terms sum to exactly k × term, so the
-    // weighted mean is bit-identical to the per-instance mean).
-    val docBg = bigramsFromToks(bigramToks(df, idCol, textCol))
+    // bigram INSTANCES, never a per-(doc, bigram) aggregate: the
+    // distinct-and-weight formulation (round 4) was bit-identical
+    // (k identical decimal terms sum to exactly k × term) but paid for
+    // a corpus-sized hash aggregate keyed on (doc, a, b) — measured as
+    // the engine's largest memory reservation (~845 MB/task at the 10×
+    // shakeout, SCALE.md). Instance-level scoring keeps every
+    // aggregation either vocabulary-bounded (the histograms) or
+    // tiny-per-group (the per-doc sum), and the global histogram and
+    // the log-prob join exchange on the SAME (a, b) key from the same
+    // child, so the exchange is reused rather than the corpus being
+    // re-extracted.
+    val inst = bigramsFromToks(bigramToks(df, idCol, textCol))
       .select(col("_id"), xxhash64(col("_a")).as("_a"), xxhash64(col("_b")).as("_b"))
-      .groupBy(col("_id"), col("_a"), col("_b"))
-      .agg(count(lit(1)).as("_k"))
     // token strings hash to 64-bit keys before any exchange (the
     // dedup-posting treatment): histograms and both log-prob joins
     // shuffle 8-byte keys, never strings — same accepted ~V²/2⁶⁵
@@ -225,20 +228,26 @@ object Corpus {
     // into the smoothing), not a uni.count() driver action
     val vocabRow = broadcast(uni.agg(
       count(lit(1)).cast(DoubleType).as("_V")))
-    val bg = docBg.groupBy(col("_a"), col("_b"))
-      .agg(sum(col("_k")).as("_cab"))
+    val bg = inst.groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_cab"))
     val logp = bg.join(uni.select(col("_t").as("_a"), col("_ca")), "_a")
       .crossJoin(vocabRow)
       .select(col("_a").as("_la"), col("_b").as("_lb"),
         round(log((col("_cab") + 1).cast(DoubleType) /
           (col("_ca").cast(DoubleType) + col("_V"))), 6)
           .cast(dec6).as("_lp"))
-    docBg
-      .join(logp, col("_a") === col("_la") && col("_b") === col("_lb"))
+    // SHUFFLE_HASH on the log-prob side: the build side is the
+    // vocabulary histogram (bounded per partition), so the
+    // corpus-sized instance stream probes without the sort-merge
+    // join's full sort of the instances — that sort, not any
+    // aggregate, was the engine's largest memory reservation
+    inst
+      .join(logp.hint("shuffle_hash"),
+        col("_a") === col("_la") && col("_b") === col("_lb"))
       .groupBy(col("_id").as(idCol))
-      .agg(sum(col("_k")).as("n_bigrams"),
-        round(sum(col("_lp") * col("_k")).cast(DoubleType) /
-          sum(col("_k")), 4).as("lm2_score"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_lp")).cast(DoubleType) /
+          count(lit(1)), 4).as("lm2_score"))
   }
 
   // -------------------------------------------- paragraph-level dedup
