@@ -106,6 +106,11 @@ object ScaleShakeout {
     run("bm25")(
       graft.operators.TfIdf.bm25(docs, "doc_id", "text",
         "w100 w2000 w19999 terms of service"))
+    run("tfidfTopTerms")(
+      graft.operators.TfIdf.topTerms(docs, "doc_id", "text", k = 5))
+    run("tfidfSimilarity")(
+      graft.operators.TfIdf.similarity(docs, "doc_id", "text",
+        "w100 w2000 w19999 terms of service"))
     spark.stop()
   }
 }
