@@ -111,6 +111,12 @@ object ScaleShakeout {
     run("tfidfSimilarity")(
       graft.operators.TfIdf.similarity(docs, "doc_id", "text",
         "w100 w2000 w19999 terms of service"))
+    // segment removal: docs here have no '.'-separators, so split on a
+    // hot token to force multi-segment docs (the boilerplate header and
+    // duplicated families become cross-doc segments)
+    run("removeDupSegments")(
+      graft.operators.Corpus.removeDuplicatedSegments(docs, "doc_id", "text",
+        sepRegex = "\\bw0\\b", sepOut = "w0"))
     spark.stop()
   }
 }
