@@ -179,8 +179,15 @@ object Corpus {
     // an ambiguous self-join reference
     val logp = counts.crossJoin(totals).select(col("_t").as("_vt"),
       round(log((col("_cnt") + 1) / col("_TV")), 6).cast(dec6).as("_lp"))
+    // SHUFFLE_HASH, not a forced broadcast: logp is VOCABULARY-sized,
+    // and broadcast() bypasses the size threshold — at web-corpus
+    // vocabularies that is a driver-memory cliff. The hash join builds
+    // the per-partition vocabulary slice executor-side and streams the
+    // corpus tokens through it unsorted (the bigram/topTerms pattern,
+    // SCALE.md); the planner degrades it to SMJ rather than failing if
+    // it can't hash-build.
     toks(df)
-      .join(broadcast(logp), col("_t") === col("_vt"))
+      .join(logp.hint("shuffle_hash"), col("_t") === col("_vt"))
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("_lp")).cast(DoubleType) / count(lit(1)), 4).as("lm_score"))
