@@ -459,9 +459,14 @@ object Corpus {
         ((col("_ca").cast(DoubleType) / col("_tTok")) *
           (col("_cb").cast(DoubleType) / col("_tTok")))), 6)
     val topW = Window.orderBy(col("pmi").desc, col("bigram"))
+    // SHUFFLE_HASH, not a forced broadcast: uni is VOCABULARY-sized
+    // (the unigramLmScore cliff, SCALE.md); the min-count-filtered
+    // bigram table streams through per-partition vocabulary slices
     bgc
-      .join(broadcast(uni.select(col("_t").as("_a"), col("_c").as("_ca"))), "_a")
-      .join(broadcast(uni.select(col("_t").as("_b"), col("_c").as("_cb"))), "_b")
+      .join(uni.select(col("_t").as("_a"), col("_c").as("_ca"))
+        .hint("shuffle_hash"), "_a")
+      .join(uni.select(col("_t").as("_b"), col("_c").as("_cb"))
+        .hint("shuffle_hash"), "_b")
       .crossJoin(totals)
       .select(concat(col("_a"), lit(" "), col("_b")).as("bigram"),
         col("_cab").as("n_pairs"), pmi.as("pmi"))
