@@ -109,10 +109,13 @@ object Stats {
     * Groups with zero variance produce no outliers.
     *
     * Shape: one map-side-combined aggregation (output bounded by group
-    * count) + a broadcast join of the tiny stats table back onto the
-    * stream — no window, no second shuffle of the data. At 100 TB the
-    * stats frame is a few rows per group; Spark broadcasts it
-    * automatically under the configured threshold.
+    * count) + a join of the stats table back onto the stream — no
+    * window, no second shuffle of the data in the common case. The
+    * broadcast is NOT forced: the stats frame is group-count-sized,
+    * and for a high-cardinality group column (per-user, per-domain) a
+    * forced broadcast is a driver-memory cliff — AQE sees the actual
+    * aggregate size at runtime and broadcasts exactly when it is
+    * genuinely small.
     */
   def zscoreOutliers(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, z: Double = 3.0): DataFrame = {
@@ -131,8 +134,8 @@ object Stats {
     val zc = (col("_vd") - col("_mean")) / col("_std")
     df.filter(col(valueCol).isNotNull)
       .withColumn("_vd", v.cast(DoubleType))
-      .join(broadcast(stats.select(col(groupCol), mean.as("_mean"), std.as("_std"))
-        .filter(col("_std") > 0)), Seq(groupCol))
+      .join(stats.select(col(groupCol), mean.as("_mean"), std.as("_std"))
+        .filter(col("_std") > 0), Seq(groupCol))
       .filter(abs(zc) > z)
       .select(col(idCol), col(groupCol), col("_vd").as("value"),
         round(zc, 6).as("zscore"))
@@ -155,12 +158,12 @@ object Stats {
       valueCol: String, z: Double = 3.5): DataFrame = {
     val med = percentiles(df, groupCol, valueCol, Seq(("med", 0.5)))
     val withMed = df.filter(col(valueCol).isNotNull)
-      .join(broadcast(med), Seq(groupCol))
+      .join(med, Seq(groupCol)) // AQE broadcasts when actually small
       .withColumn("_adev", abs(col(valueCol).cast(DoubleType) - col("med")))
     val mad = percentiles(withMed, groupCol, "_adev", Seq(("mad", 0.5)))
     val rz = (col(valueCol).cast(DoubleType) - col("med")) /
       (lit(1.4826) * col("mad"))
-    withMed.join(broadcast(mad), Seq(groupCol))
+    withMed.join(mad, Seq(groupCol))
       .filter(col("mad") > 0 && abs(rz) > z)
       .select(col(idCol), col(groupCol),
         col(valueCol).cast(DoubleType).as("value"),
@@ -183,7 +186,7 @@ object Stats {
     // Spark's least/greatest skip nulls, so a null value would
     // otherwise "clip" to the lower bound — fabricated data
     df.filter(col(valueCol).isNotNull)
-      .join(broadcast(bounds), Seq(groupCol))
+      .join(bounds, Seq(groupCol)) // AQE broadcasts when actually small
       .withColumn("clipped",
         least(greatest(col(valueCol).cast(DoubleType), col("lo")), col("hi")))
   }
@@ -246,7 +249,7 @@ object Stats {
       when(v > col(nm), 1).otherwise(0)
     }.reduce(_ + _) + lit(1)
     df.filter(col(valueCol).isNotNull)
-      .join(broadcast(bounds), Seq(groupCol))
+      .join(bounds, Seq(groupCol)) // AQE broadcasts when actually small
       .withColumn("bin", bin.cast(org.apache.spark.sql.types.IntegerType))
       .drop(named.map(_._1): _*)
   }
