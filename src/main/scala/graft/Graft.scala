@@ -40,6 +40,16 @@ object Graft {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // let AQE swap a sort-merge join for a shuffled hash join when the
+    // build side's ACTUAL per-partition size fits (default 0 disables
+    // the conversion entirely). This is how corpus-sized streams avoid
+    // being fully sorted against vocabulary-bounded tables (log-prob,
+    // document-frequency, unigram-count joins — SCALE.md measured the
+    // SMJ sort as the engine's largest memory reservation) without
+    // pinning a join strategy by hint: a hint would also block AQE's
+    // runtime broadcast upgrade when the table is actually tiny
+    spark.conf.set(
+      "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
     // ObjectHashAggregate (every TypedImperativeAggregate: posting
     // pairs, KMV, CMS — and plain collect_list) falls back to
     // SORT-BASED aggregation once a partition sees more than this many

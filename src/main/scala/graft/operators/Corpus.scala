@@ -179,13 +179,13 @@ object Corpus {
     // an ambiguous self-join reference
     val logp = counts.crossJoin(totals).select(col("_t").as("_vt"),
       round(log((col("_cnt") + 1) / col("_TV")), 6).cast(dec6).as("_lp"))
-    // SHUFFLE_HASH, not a forced broadcast: logp is VOCABULARY-sized,
-    // and broadcast() bypasses the size threshold — at web-corpus
-    // vocabularies that is a driver-memory cliff. The hash join builds
-    // the per-partition vocabulary slice executor-side and streams the
-    // corpus tokens through it unsorted (the bigram/topTerms pattern,
-    // SCALE.md); the planner degrades it to SMJ rather than failing if
-    // it can't hash-build.
+    // SHUFFLE_HASH hint, not a forced broadcast: logp is
+    // VOCABULARY-sized, and broadcast() bypasses the size threshold —
+    // at web-corpus vocabularies that is a driver-memory cliff. The
+    // hint is explicit (not left to AQE's SMJ→SHJ conversion) because
+    // logp's partitioning descends from the histogram cross-join and
+    // the conversion measurably does not fire here — the 10× shakeout
+    // sorts the corpus stream again without the hint (SCALE.md).
     toks(df)
       .join(logp.hint("shuffle_hash"), col("_t") === col("_vt"))
       .groupBy(col("_id").as(idCol))
@@ -247,7 +247,10 @@ object Corpus {
     // vocabulary histogram (bounded per partition), so the
     // corpus-sized instance stream probes without the sort-merge
     // join's full sort of the instances — that sort, not any
-    // aggregate, was the engine's largest memory reservation
+    // aggregate, was the engine's largest memory reservation. The
+    // hint is deliberate: AQE's SMJ→SHJ conversion does not fire on
+    // this join's partitioning (measured, SCALE.md — without the hint
+    // the 10× run re-acquires the 27 GB sort reservation).
     inst
       .join(logp.hint("shuffle_hash"),
         col("_a") === col("_la") && col("_b") === col("_lb"))

@@ -223,12 +223,12 @@ object TfIdf {
       outIdCol: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
-    // SHUFFLE_HASH on the vocabulary-bounded df side: the corpus-sized
-    // postings probe a per-partition vocabulary hash map instead of
-    // being fully sorted for a sort-merge join (same measured win as
-    // bigramLmScore's log-prob join, SCALE.md)
-    val weights = tf.crossJoin(broadcast(nDocsRow))
-      .join(dfreq.hint("shuffle_hash"), "_t")
+    // plain join: AQE broadcasts the vocabulary-bounded df side when
+    // it is actually tiny, and otherwise swaps the sort-merge join for
+    // a shuffled hash join by real build size (Graft.tune enables the
+    // conversion) — the corpus-sized postings are never fully sorted,
+    // and no strategy is pinned by hint (SCALE.md)
+    val weights = tf.crossJoin(broadcast(nDocsRow)).join(dfreq, "_t")
       .select(col("_id"), col("_t"),
         round(col("_tf") * smoothIdf(col("_df")), 6).as("_w"))
     val w = org.apache.spark.sql.expressions.Window

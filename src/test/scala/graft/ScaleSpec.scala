@@ -179,12 +179,16 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(q78.toLowerCase.contains("bloommightcontain") &&
       q78.contains("BroadcastHashJoin"), q78)
-    // q80/q84 broadcast the (vocabulary-sized) log-prob / unigram
-    // tables onto the postings — the corpus-sized side never shuffles
-    // for those joins
+    // q80/q84 hash-join the VOCABULARY-sized log-prob / unigram tables
+    // (round-5 change: a forced broadcast of a vocabulary-sized table
+    // is a driver-memory cliff at web-corpus scale, and the SMJ
+    // alternative fully sorts the corpus stream — SCALE.md). The plan
+    // must carry the hinted ShuffledHashJoin and never sort-merge the
+    // postings against the vocabulary.
     Seq("q80_lm_score", "q84_pmi_bigrams").foreach { q =>
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.toString
-      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
     // q85's native KMV aggregate runs under ObjectHashAggregate with a
