@@ -674,7 +674,7 @@ object SparkEntry {
     // the fixture lose their shared fragments from BOTH copies.
     "q123_remove_dup_segments" -> ((s, dir) => {
       Graft.tune(s)
-      Corpus.removeDuplicatedSegments(tp(s, dir, "documents"), "doc_id", "text",
+      Corpus.removeDuplicatedSegments(t(s, dir, "documents"), "doc_id", "text",
         sepRegex = "\\bthe\\b", sepOut = "the", maxDocFreq = 1L)
     }),
 
