@@ -58,4 +58,58 @@ class MergePropertySpec extends SparkSpec {
       out.unpersist()
     }
   }
+
+  test("streaming scd2 incremental batches match a driver model, replays inert (5 trials)") {
+    import graft.streaming.StreamingIngest
+    for (trial <- 1 to 5) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft-scd2prop$trial").toString
+      val path = s"$tmp/table"
+      val nBatches = 3 + rnd.nextInt(3)
+      // per-batch unique keys (the sink's documented precondition)
+      val batches = List.fill(nBatches)(
+        randomRows(6).groupBy(_._1).map(_._2.head).toList)
+      val tss = (1 to nBatches).map(i =>
+        java.sql.Timestamp.valueOf(f"2024-01-0$i%d 00:00:00"))
+
+      // driver model: key -> versions (value, start, end, current)
+      val model = scala.collection.mutable.Map
+        .empty[String, List[(String, java.sql.Timestamp,
+          Option[java.sql.Timestamp], Int)]]
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        val ts = tss(i)
+        // notesCol=None: no notes-carrying, so the driver model is a
+        // pure last-writer-wins version history
+        StreamingIngest.scd2MergeBatch(path,
+          batch.toDF("link", "payload", "notes"), "link",
+          Seq("payload", "notes"), ts, notesCol = None)
+        batch.foreach { case (k, v, n) =>
+          val versions = model.getOrElse(k, Nil)
+          versions.find(_._4 == 1) match {
+            case Some(cur @ (value, start, _, _)) =>
+              if (value != s"$v|$n") // change: expire + new current
+                model(k) = (s"$v|$n", ts, None, 1) ::
+                  (value, start, Some(ts), 0) :: versions.filterNot(_ == cur)
+            case None => model(k) = List((s"$v|$n", ts, None, 1))
+          }
+        }
+        // a foreachBatch retry replays the SAME batch + ts: inert
+        if (rnd.nextBoolean()) {
+          StreamingIngest.scd2MergeBatch(path,
+            batch.toDF("link", "payload", "notes"), "link",
+            Seq("payload", "notes"), ts, notesCol = None)
+        }
+      }
+      val got = spark.read.parquet(path)
+        .select($"link", concat_ws("|", $"payload", $"notes"),
+          $"effective_start", $"effective_end", $"current_flag")
+        .as[(String, String, java.sql.Timestamp, Option[java.sql.Timestamp], Int)]
+        .collect().toList
+        .map { case (k, v, s, e, c) => (k, v, s, e, c) }.sorted
+      val expected = model.toList.flatMap { case (k, versions) =>
+        versions.map { case (v, s, e, c) => (k, v, s, e, c) }
+      }.sorted
+      assert(got == expected, s"trial $trial:\ngot      $got\nexpected $expected")
+    }
+  }
 }
