@@ -44,10 +44,46 @@ object StreamingIngest {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(key)
 
+  /** Crash-recoverable table swap for the read-merge-overwrite sinks:
+    * the freshly-written `_tmp` replaces the table via
+    * `table → _bak`, `_tmp → table`, `delete _bak` — at every
+    * intermediate crash point either the table or its `_bak` exists
+    * with complete pre- or post-merge contents, and [[readTable]]
+    * falls back to `_bak` when the main directory is missing. (A real
+    * deployment would use a transactional table format; this keeps
+    * plain parquet safe enough for the offline harness without losing
+    * the table to a crash between delete and rename, which the naive
+    * delete-then-rename swap could.)
+    */
+  private def swapTable(spark: SparkSession, tablePath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(tablePath + "_bak")
+    fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
+    ()
+  }
+
+  /** Read `tablePath`, falling back to the `_bak` left by an
+    * interrupted [[swapTable]]; None when neither exists.
+    */
+  private def readTable(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
+      Some(spark.read.parquet(tablePath))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(tablePath + "_bak")))
+      Some(spark.read.parquet(tablePath + "_bak"))
+    else None
+  }
+
   /** Wire a deduped stream into an SCD1-merged parquet table via
     * foreachBatch. Each micro-batch: read current table state, merge,
-    * overwrite. (On a real deployment the sink would be a transactional
-    * table format; plain parquet overwrite keeps this offline-runnable.)
+    * overwrite (crash-recoverable via [[swapTable]]).
     */
   def scd1Sink(stream: DataFrame, tablePath: String, checkpoint: String,
       key: String, compareCols: Seq[String],
@@ -58,16 +94,11 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val hist = readTableOrEmpty(spark, tablePath, batch)
+        val hist = readTable(spark, tablePath).getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema))
         val merged = Merges.scd1(hist, batch, key, compareCols, notesCol = None)
         merged.write.mode("overwrite").parquet(tablePath + "_tmp")
-        // atomic-enough swap for the offline harness
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(tablePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tablePath + "_tmp"), dst)
-        ()
+        swapTable(spark, tablePath)
       }
 
   /** Incremental SCD1 sink: the table is laid out in `numBuckets`
@@ -156,12 +187,8 @@ object StreamingIngest {
       StructField(S.EffectiveStart, TimestampType),
       StructField(S.EffectiveEnd, TimestampType),
       StructField(S.CurrentFlag, IntegerType)))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val hist =
-      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath)))
-        spark.read.parquet(tablePath)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], scd2Schema)
+    val hist = readTable(spark, tablePath).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], scd2Schema))
     val merged =
       if (batchIsSnapshot)
         Merges.scd2(hist, batch, key, compareCols, batchTs, notesCol, carryNotes)
@@ -173,11 +200,7 @@ object StreamingIngest {
           .unionByName(untouched)
       }
     merged.write.mode("overwrite").parquet(tablePath + "_tmp")
-    // atomic-enough swap for the offline harness (same note as scd1Sink)
-    val dst = new org.apache.hadoop.fs.Path(tablePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tablePath + "_tmp"), dst)
-    ()
+    swapTable(spark, tablePath)
   }
 
   /** St6 incremental-IO variant: SCD2 history laid out in `numBuckets`
@@ -277,16 +300,6 @@ object StreamingIngest {
         scd2MergeBatch(tablePath, batch, key, compareCols, batchTs(id),
           batchIsSnapshot, notesCol, carryNotes)
       }
-
-  private def readTableOrEmpty(spark: SparkSession, path: String,
-      like: DataFrame): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      spark.read.parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], like.schema)
-  }
 
   /** Custom keyed state via flatMapGroupsWithState: emit a row only
     * when a key's latest version CHANGES (the streaming form of the

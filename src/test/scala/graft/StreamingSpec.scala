@@ -253,6 +253,32 @@ class StreamingSpec extends SparkSpec {
     assert(perKey.length == 3 && perKey.forall(_ == 1))
   }
 
+  test("sink table swap recovers from a crash between backup and promote") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val path = s"$tmp/table"
+    val ts1 = t("2024-01-01 00:00:00"); val ts2 = t("2024-01-02 00:00:00")
+    def mb(rows: (String, String, String)*) =
+      rows.toDF("link", "entry_title", "summary")
+    val cmp = Seq("entry_title", "summary")
+    StreamingIngest.scd2MergeBatch(path, mb(("l1", "T1", "S1")), "link", cmp, ts1)
+    // simulate the worst crash point: table renamed away to _bak, the
+    // promote of _tmp never happened (and _tmp was lost with the JVM)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "_bak")))
+    // the next micro-batch must see the _bak state, not an empty table
+    StreamingIngest.scd2MergeBatch(path, mb(("l1", "T1-updated", "S1")),
+      "link", cmp, ts2)
+    val l1 = spark.read.parquet(path).filter($"link" === "l1").collect()
+    assert(l1.length == 2, "pre-crash history was lost")
+    assert(l1.count(_.getAs[Int]("current_flag") == 1) == 1)
+    assert(l1.filter(_.getAs[Int]("current_flag") == 1)(0)
+      .getAs[String]("entry_title") == "T1-updated")
+    // the recovery merge cleaned the backup up
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_bak")))
+  }
+
   test("changedOnlyStream emits a key only when its payload changes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
