@@ -117,6 +117,34 @@ object ScaleShakeout {
     run("removeDupSegments")(
       graft.operators.Corpus.removeDuplicatedSegments(docs, "doc_id", "text",
         sepRegex = "\\bw0\\b", sepOut = "w0"))
+
+    // sessions/window family over a 10× events table (1M events, 10k
+    // users incl. one whale user with 5% of all traffic — the per-user
+    // window's skew case). Deterministic from the event id.
+    val nEvents = nDocs * 20
+    spark.range(nEvents).select(
+      col("id").as("event_id"),
+      when(pmod(xxhash64(col("id")), lit(20L)) === 0L, lit(0L))
+        .otherwise(pmod(xxhash64(col("id") + 7L), lit(10000L))).as("user_id"),
+      timestamp_seconds(
+        lit(1704067200L) + pmod(xxhash64(col("id") + 13L), lit(2592000L)))
+        .as("ts2"),
+      (pmod(xxhash64(col("id") + 19L), lit(1000L)).cast("double") / 10.0).as("value"))
+      .write.mode("overwrite").parquet("target/scale_events.parquet")
+    val ev = spark.read.parquet("target/scale_events.parquet")
+    run("sessionStats")(
+      graft.operators.Sessions.sessionStats(ev, "user_id", "ts2", "event_id",
+        gapSeconds = 1800, graft.functions.Normalize.tsFormat))
+    run("asofJoin")({
+      val purchases = ev.filter(pmod(col("event_id"), lit(10L)) === 0L)
+        .select(col("event_id"), col("user_id"), col("ts2"), col("value"))
+      val quotes = graft.operators.Joins.latestPerKeyTs(
+        ev.filter(pmod(col("event_id"), lit(10L)) =!= 0L)
+          .withColumnRenamed("value", "ref_value"),
+        "user_id", "ts2", "event_id", Seq("ref_value"))
+      graft.operators.Joins.asofJoin(purchases, quotes, "user_id", "ts2",
+        Seq("ref_value"))
+    })
     spark.stop()
   }
 }
