@@ -279,6 +279,96 @@ class StreamingSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_bak")))
   }
 
+  test("table swap replay does not delete the sole surviving _bak copy") {
+    // crash-recovery replay: a previous run died between rename(dst, bak)
+    // and rename(tmp, dst) — dst is MISSING, _bak holds the only data.
+    // swapTable must not clear _bak before dst is restored (the old
+    // unconditional leading delete(bak) lost the table here if a second
+    // crash hit before the promote).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swap2").toString
+    val path = s"$tmp/table"
+    def mb(rows: (String, String, String)*) =
+      rows.toDF("link", "entry_title", "summary")
+    mb(("l1", "T-bak", "S1")).write.parquet(path + "_bak")
+    mb(("l1", "T-new", "S1")).write.parquet(path + "_tmp")
+    StreamingIngest.swapTable(spark, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path)))
+    assert(spark.read.parquet(path).collect()(0)
+      .getAs[String]("entry_title") == "T-new")
+    // _bak cleanup only happens after dst is in place
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_bak")))
+  }
+
+  test("table swap fails loudly when the promote rename fails") {
+    // Hadoop FileSystems report rename failure as `false`; a swallowed
+    // failed promote would commit the batch with the table missing
+    val tmp = java.nio.file.Files.createTempDirectory("graft-swap3").toString
+    val path = s"$tmp/table"
+    // no _tmp exists → rename(tmp, dst) returns false
+    intercept[java.io.IOException] {
+      StreamingIngest.swapTable(spark, path)
+    }
+  }
+
+  test("bucketed snapshot scd2 expires absent keys and rewrites only dirty buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2bs").toString
+    val path = s"$tmp/table"
+    val ts1 = t("2024-01-01 00:00:00"); val ts2 = t("2024-01-02 00:00:00")
+    def mb(rows: (String, String, String)*) =
+      rows.toDF("link", "entry_title", "summary")
+    val cmp = Seq("entry_title", "summary")
+    StreamingIngest.scd2MergeBatchBucketedSnapshot(path,
+      mb(("l1", "T1", "S1"), ("l2", "T2", "S2"), ("l3", "T3", "S3")),
+      "link", cmp, ts1, numBuckets = 8)
+    def partFiles(): Map[String, Set[String]] = {
+      new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = partFiles()
+    def bucketOf(k: String) = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8L))).collect()(0).getLong(0)
+    // snapshot 2: l1 changed, l2 ABSENT (→ expire), l3 unchanged
+    StreamingIngest.scd2MergeBatchBucketedSnapshot(path,
+      mb(("l1", "T1-updated", "S1"), ("l3", "T3", "S3")),
+      "link", cmp, ts2, numBuckets = 8)
+    val table = StreamingIngest.readBucketedTable(spark, path)
+    // l1 versioned: expired ts1 row + current ts2 row
+    val l1 = table.filter($"link" === "l1").collect()
+    assert(l1.length == 2 && l1.count(_.getAs[Int]("current_flag") == 1) == 1)
+    // l2 expired by absence — the snapshot semantics the incremental
+    // bucketed sink can't express
+    val l2 = table.filter($"link" === "l2").collect()
+    assert(l2.length == 1 && l2(0).getAs[Int]("current_flag") == 0 &&
+      l2(0).getAs[java.sql.Timestamp]("effective_end") == ts2)
+    // l3 untouched and still current
+    val l3 = table.filter($"link" === "l3").collect()
+    assert(l3.length == 1 && l3(0).getAs[Int]("current_flag") == 1)
+    // only l1's and l2's buckets were rewritten; every other bucket dir
+    // is byte-identical (same part files)
+    val after = partFiles()
+    val dirty = Set(s"_bucket=${bucketOf("l1")}", s"_bucket=${bucketOf("l2")}")
+    val untouched = before.keySet -- dirty
+    assert(untouched.nonEmpty)
+    untouched.foreach(d => assert(after(d) == before(d), d))
+    dirty.filter(before.contains).foreach(d => assert(after(d) != before(d), d))
+    // replayed snapshot: ZERO dirty keys → no write at all, every bucket
+    // dir byte-identical (stronger than the flat sink's idempotence)
+    StreamingIngest.scd2MergeBatchBucketedSnapshot(path,
+      mb(("l1", "T1-updated", "S1"), ("l3", "T3", "S3")),
+      "link", cmp, ts2, numBuckets = 8)
+    val afterReplay = partFiles()
+    assert(afterReplay == after, "replayed snapshot must not rewrite any bucket")
+    // exactly one current per surviving key
+    val perKey = table.filter($"current_flag" === 1)
+      .groupBy("link").count().select("count").as[Long].collect()
+    assert(perKey.length == 2 && perKey.forall(_ == 1))
+  }
+
   test("changedOnlyStream emits a key only when its payload changes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
