@@ -119,8 +119,17 @@ object Bench {
     // Workload identity travels IN the artifact so a 56-query headline
     // total is never cross-compared against a 117-query full total.
     val workload = if (full) "full" else "headline"
+    // Drift canaries: trivial queries whose code has been untouched
+    // since round 1. Their ratio vs a prior run's drift block estimates
+    // the HOST speed factor between the runs (this box drifts ±20-30%
+    // in multi-minute windows), so per-query deltas can be judged
+    // against the canary ratio instead of read raw (README, bench
+    // protocol).
+    val canaries = Seq("q02_filter_project", "q20_ts_bucket", "q39_frame_sample")
+    val drift = canaries.flatMap(c => results.get(c).map(v => "\"" + c + "\":" + num(v)))
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"drift":$drift,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also drop the line as a repo artifact so the numbers stay
     // readable even if the harness's stdout capture mangles the log.

@@ -228,7 +228,14 @@ object TfIdf {
     // a shuffled hash join by real build size (Graft.tune enables the
     // conversion) — the corpus-sized postings are never fully sorted,
     // and no strategy is pinned by hint (SCALE.md)
-    val weights = tf.crossJoin(broadcast(nDocsRow)).join(dfreq, "_t")
+    // A/B knob (graft.ABBench): pin SHUFFLE_HASH on the df side to
+    // measure the hint-free form against the r4 hinted form in one
+    // session; production default is the plain join
+    val dfSide =
+      if (tf.sparkSession.conf.getOption("spark.graft.tfidf.dfHint")
+          .contains("shuffle_hash")) dfreq.hint("shuffle_hash")
+      else dfreq
+    val weights = tf.crossJoin(broadcast(nDocsRow)).join(dfSide, "_t")
       .select(col("_id"), col("_t"),
         round(col("_tf") * smoothIdf(col("_df")), 6).as("_w"))
     val w = org.apache.spark.sql.expressions.Window
