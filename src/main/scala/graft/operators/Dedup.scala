@@ -387,16 +387,40 @@ object Dedup {
         pairs.schema("id1").dataType)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // reliable checkpoints when the caller configured a checkpoint dir
-    // (cluster mode: survives executor loss); local otherwise. Reliable
-    // checkpoint FILES are only reclaimed by Spark when
+    // (cluster mode: survives executor loss); local otherwise. Spark
+    // itself only reclaims reliable checkpoint FILES when
     // spark.cleaner.referenceTracking.cleanCheckpoints=true (default
-    // false) — long-lived cluster sessions calling this repeatedly
-    // should set it, or point the checkpoint dir at storage with a TTL;
-    // one obsolete dir per propagation round accumulates otherwise
-    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def roundCheckpoint(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // false), so the loop tracks the rdd-* dirs each round creates and
+    // deletes round N-1's as soon as round N is materialized AND the
+    // convergence check (which still reads round N-1) has run — a
+    // long-lived session never accumulates more than two rounds of
+    // checkpoint files, and after return only the final round's remain
+    // (the returned frame reads them lazily). The diffing assumes this
+    // loop is the only writer into the checkpoint dir while it runs;
+    // concurrent checkpointers in the SAME dir would have their new
+    // dirs mis-attributed — use per-job checkpoint dirs in that case.
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    val ckptFs = if (reliable) {
+      val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      Some((org.apache.hadoop.fs.FileSystem.get(
+        root.toUri, sc.hadoopConfiguration), root))
+    } else None
+    def ckptDirs(): Set[String] = ckptFs.fold(Set.empty[String]) {
+      case (fs, root) =>
+        if (fs.exists(root)) fs.listStatus(root).map(_.getPath.getName).toSet
+        else Set.empty
+    }
+    def dropCkptDirs(dirs: Set[String]): Unit = ckptFs.foreach {
+      case (fs, root) => dirs.foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+    }
+    def roundCheckpoint(df: DataFrame): (DataFrame, Set[String]) =
+      if (reliable) {
+        val before = ckptDirs()
+        val out = df.checkpoint(eager = true)
+        (out, ckptDirs() -- before)
+      } else (df.localCheckpoint(eager = true), Set.empty)
     // both edge directions in ONE pass over the pairs (explode, not a
     // union of two selects that would evaluate the pair pipeline twice)
     val edges = pairs
@@ -409,22 +433,27 @@ object Dedup {
     // UDF upstream) must not strand the edge list in the cache manager
     // — this persist is operator-internal, invisible to Caches.release
     try {
-      var labels = roundCheckpoint(edges.select(col("id1").as("id")).distinct()
-        .withColumn("label", col("id")))
+      var (labels, labelDirs) = roundCheckpoint(
+        edges.select(col("id1").as("id")).distinct()
+          .withColumn("label", col("id")))
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
         val neighborMin = edges
           .join(labels.select(col("id").as("id2"), col("label").as("_nl")), "id2")
           .groupBy(col("id1").as("id")).agg(min(col("_nl")).as("_nmin"))
-        val updated = roundCheckpoint(labels
+        val (updated, updatedDirs) = roundCheckpoint(labels
           .join(neighborMin, Seq("id"), "left_outer")
           .select(col("id"),
             least(col("label"), coalesce(col("_nmin"), col("label"))).as("label")))
         converged = updated
           .join(labels.select(col("id"), col("label").as("_old")), "id")
           .filter(col("label") =!= col("_old")).isEmpty
+        // the convergence check above was the last read of round N-1 —
+        // its checkpoint files can go now
+        dropCkptDirs(labelDirs)
         labels = updated
+        labelDirs = updatedDirs
         i += 1
       }
       labels.select(col("id"), col("label").as("canonical_id"))

@@ -71,6 +71,30 @@ class CacheLifecycleSpec extends SparkSpec {
       "a failed propagation round stranded the persisted edge list")
   }
 
+  test("connectedComponents leaves only the final round's reliable checkpoints") {
+    val ckptRoot = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptRoot)
+    try {
+      // a chain graph needs one propagation round per hop, so several
+      // rounds' checkpoints are created and all but the last must be
+      // deleted by the time the operator returns
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+        .toDF("id1", "id2")
+      val out = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      val res = out.collect()
+      assert(res.length == 6 && res.forall(_.getLong(1) == 1L))
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rddDirs = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("rdd-")).toSeq
+      assert(rddDirs.length == 1,
+        s"expected only the final round's checkpoint dir, got $rddDirs")
+      // the survivor must still back the returned frame
+      assert(out.collect().length == 6)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("Caches.own intermediates are caller-released, results unchanged") {
     spark.sharedState.cacheManager.clearCache()
     val before = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
