@@ -114,8 +114,12 @@ object Documents {
     *    full escape table + octal codes, and `<…>` hex strings
     *  - Td, TD, T*, Tm line moves emit "\n" (the PyPDF2-ish layout
     *    heuristic, minus its vertical-position arithmetic)
-    *  - single-byte text only, decoded as WinAnsi (Latin-1 plus the
-    *    0x80–0x9F Windows-1252 block) — CID/Identity-H fonts come out
+    *  - single-byte text decoded through the document's SINGLE-BYTE
+    *    ToUnicode CMaps when present (bfchar/bfrange entries with
+    *    1-byte source codes, merged across fonts — subset-embedded
+    *    fonts that remap codes extract correctly), WinAnsi (Latin-1
+    *    plus the 0x80–0x9F Windows-1252 block) for unmapped codes.
+    *    Two-byte CID/Identity-H fonts stay out of scope and come out
     *    garbled or empty, like PyPDF2 without its font tables
     *
     * A file without the %PDF- header, or one yielding no parseable
@@ -131,8 +135,6 @@ object Documents {
         s"Error extracting text from PDF (missing %PDF- header): $pdfPath")
     // ISO-8859-1 maps bytes 1:1 to chars: string search over binary is safe
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
-    val out = new StringBuilder
-    var sawText = false
     // the keyword "stream", not the tail of "endstream"
     def nextStream(from: Int): Int = {
       var i = raw.indexOf("stream", from)
@@ -140,6 +142,11 @@ object Documents {
         i = raw.indexOf("stream", i + 6)
       i
     }
+    // pass 1 — decode every stream; ToUnicode CMap streams (which may
+    // appear after the content streams that need them) merge into one
+    // single-byte code→text map, content streams queue up in order
+    val contentStreams = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cmap = scala.collection.mutable.Map.empty[Int, String]
     var idx = nextStream(0)
     while (idx >= 0) {
       // the stream's dict sits between its "N G obj" and "stream"
@@ -161,22 +168,116 @@ object Documents {
           else Some(data)
         decoded
           .map(b => new String(b, StandardCharsets.ISO_8859_1))
-          .filter(_.contains("BT")) // only content streams with text blocks
           .foreach { cs =>
-            val t = extractTextOps(cs)
-            if (t.nonEmpty) {
-              out.append(t)
-              if (!t.endsWith("\n")) out.append('\n') // reference: page + "\n"
-              sawText = true
-            }
+            if (cs.contains("beginbfchar") || cs.contains("beginbfrange"))
+              parseToUnicodeCMap(cs, cmap)
+            else if (cs.contains("BT")) // only content streams with text blocks
+              contentStreams += cs
           }
         idx = nextStream(end + 9)
+      }
+    }
+    // pass 2 — run the text operators with the merged CMap in hand
+    val out = new StringBuilder
+    var sawText = false
+    val codeMap = cmap.toMap
+    contentStreams.foreach { cs =>
+      val t = extractTextOps(cs, codeMap)
+      if (t.nonEmpty) {
+        out.append(t)
+        if (!t.endsWith("\n")) out.append('\n') // reference: page + "\n"
+        sawText = true
       }
     }
     if (!sawText)
       throw new IllegalArgumentException(
         s"Error extracting text from PDF (no parseable text content): $pdfPath")
     out.toString
+  }
+
+  /** Merge one ToUnicode CMap stream's SINGLE-BYTE mappings into `into`.
+    * Handles `beginbfchar` pairs (`<src> <dst>`) and `beginbfrange`
+    * entries in both forms (`<lo> <hi> <dstStart>` with the last UTF-16
+    * code unit incrementing, and `<lo> <hi> [<d0> <d1> …]`). Source
+    * codes longer than one byte (CID fonts) are skipped — deliberate
+    * scope, see [[extractTextFromPdf]]. Destination hex is UTF-16BE
+    * (multi-char destinations — ligatures — are kept whole). Maps from
+    * several fonts merge; on a code collision the first mapping wins,
+    * which is only ambiguous for multi-font documents whose subset
+    * encoders disagree — beyond this extractor's scope.
+    */
+  private[sources] def parseToUnicodeCMap(cs: String,
+      into: scala.collection.mutable.Map[Int, String]): Unit = {
+    def utf16(hex: String): String = {
+      val h = if (hex.length % 2 == 1) hex + "0" else hex
+      if (h.length >= 4 && h.length % 4 == 0)
+        new String(h.grouped(4).map(g => Integer.parseInt(g, 16).toChar).toArray)
+      else new String(h.grouped(2).map(g => Integer.parseInt(g, 16).toChar).toArray)
+    }
+    def addIfAbsent(code: Int, dst: String): Unit =
+      if (!into.contains(code) && dst.nonEmpty) into(code) = dst
+    def tokens(body: String): Array[String] =
+      body.replace("[", " [ ").replace("]", " ] ").split("\\s+").filter(_.nonEmpty)
+    def hexTok(t: String): Option[String] =
+      if (t.length >= 2 && t.head == '<' && t.last == '>') {
+        val h = t.substring(1, t.length - 1)
+        if (h.nonEmpty && h.forall(c => Character.digit(c, 16) >= 0)) Some(h)
+        else None
+      } else None
+    def sections(begin: String, end: String): Iterator[String] = {
+      val b = java.util.regex.Pattern.quote(begin)
+      val e = java.util.regex.Pattern.quote(end)
+      s"$b([\\s\\S]*?)$e".r.findAllMatchIn(cs).map(_.group(1))
+    }
+    for (body <- sections("beginbfchar", "endbfchar")) {
+      val ts = tokens(body)
+      var i = 0
+      while (i + 1 < ts.length) {
+        (hexTok(ts(i)), hexTok(ts(i + 1))) match {
+          case (Some(src), Some(dst)) =>
+            if (src.length == 2) addIfAbsent(Integer.parseInt(src, 16), utf16(dst))
+            i += 2
+          case _ => i += 1 // malformed token: resync on the next one
+        }
+      }
+    }
+    for (body <- sections("beginbfrange", "endbfrange")) {
+      val ts = tokens(body)
+      var i = 0
+      while (i + 2 < ts.length) {
+        (hexTok(ts(i)), hexTok(ts(i + 1))) match {
+          case (Some(lo), Some(hi)) if ts(i + 2) == "[" =>
+            // array form: one destination per consecutive code
+            var j = i + 3
+            var code = if (lo.length == 2) Integer.parseInt(lo, 16) else -1
+            val hiCode = if (hi.length == 2) Integer.parseInt(hi, 16) else -1
+            while (j < ts.length && ts(j) != "]") {
+              hexTok(ts(j)).foreach { dst =>
+                if (code >= 0 && code <= hiCode) addIfAbsent(code, utf16(dst))
+                code += 1
+              }
+              j += 1
+            }
+            i = j + 1
+          case (Some(lo), Some(hi)) if hexTok(ts(i + 2)).isDefined =>
+            if (lo.length == 2 && hi.length == 2) {
+              val loC = Integer.parseInt(lo, 16)
+              val hiC = Integer.parseInt(hi, 16)
+              val dst = utf16(hexTok(ts(i + 2)).get)
+              // the LAST UTF-16 code unit increments across the range
+              var c = loC
+              while (c <= hiC) {
+                val d = dst.toCharArray
+                d(d.length - 1) = (d(d.length - 1) + (c - loC)).toChar
+                addIfAbsent(c, new String(d))
+                c += 1
+              }
+            }
+            i += 3
+          case _ => i += 1
+        }
+      }
+    }
   }
 
   /** zlib inflate with raw-deflate fallback (some writers omit the
@@ -220,14 +321,19 @@ object Documents {
 
   /** Run the text operators of one decoded content stream. Strings
     * accumulate as operands; Tj, ', ", TJ emit them; Td, TD, T*, Tm
-    * emit a line break between text positions.
+    * emit a line break between text positions. `cmap` carries the
+    * document's merged single-byte ToUnicode mappings; unmapped codes
+    * decode as WinAnsi.
     */
-  private[sources] def extractTextOps(content: String): String = {
+  private[sources] def extractTextOps(content: String,
+      cmap: Map[Int, String] = Map.empty): String = {
     val out = new StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer.empty[String]
     var inText = false
     val n = content.length
     var i = 0
+    def decodeByte(code: Int): String =
+      cmap.getOrElse(code & 0xFF, winAnsi(code).toString)
 
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
@@ -258,12 +364,12 @@ object Documents {
                   content.charAt(k) <= '7') {
                 v = v * 8 + (content.charAt(k) - '0'); k += 1; cnt += 1
               }
-              sb.append(winAnsi(v)); j = k
+              sb.append(decodeByte(v)); j = k
             case other => sb.append(other); j += 2 // covers \( \) \\
           }
         } else if (ch == '(') { depth += 1; sb.append('('); j += 1 }
         else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(')'); j += 1 }
-        else { sb.append(winAnsi(ch.toInt)); j += 1 }
+        else { sb.append(decodeByte(ch.toInt)); j += 1 }
       }
       operands += sb.toString
       j
@@ -277,11 +383,11 @@ object Documents {
         val d = Character.digit(ch, 16)
         if (d >= 0) {
           if (hi < 0) hi = d
-          else { sb.append(winAnsi(hi * 16 + d)); hi = -1 }
+          else { sb.append(decodeByte(hi * 16 + d)); hi = -1 }
         }
         j += 1
       }
-      if (hi >= 0) sb.append(winAnsi(hi * 16)) // odd digit count: pad 0
+      if (hi >= 0) sb.append(decodeByte(hi * 16)) // odd digit count: pad 0
       operands += sb.toString
       if (j < n) j + 1 else j
     }

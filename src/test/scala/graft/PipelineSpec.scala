@@ -134,6 +134,48 @@ class PipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("no parseable text content"))
   }
 
+  test("resume reader decodes subset-font PDFs through single-byte ToUnicode CMaps") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-cmap")
+    // a subset-embedded font remaps codes arbitrarily: 0x01→"S",
+    // 0x03→"ark" (ligature-style multi-char dst), bfrange 0x10-0x12
+    // incrementing from "p", array-form bfrange 0x7B/0x7C→"X"/"Y".
+    // Codes outside the map (the " plain" tail) fall back to WinAnsi.
+    val content = "BT (\\001\\020\\003) Tj T* (\\021\\022) Tj T* " +
+      "(\\173\\174 plain) Tj ET"
+    val cmapStream =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |2 beginbfchar
+        |<01> <0053>
+        |<03> <00610072006B>
+        |endbfchar
+        |1 beginbfrange
+        |<10> <12> <0070>
+        |endbfrange
+        |1 beginbfrange
+        |<7B> <7C> [<0058> <0059>]
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    // the CMap stream sits AFTER the content stream that needs it —
+    // extraction must be order-independent
+    w(s"5 0 obj << /Length ${cmapStream.length} >> stream\n")
+    w(cmapStream); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("subset.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    assert(Documents.readResume(pdf.toString) == "Spark\nqr\nXY plain\n")
+  }
+
   test("resume reader extracts DOCX paragraphs like the reference's extractor") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-docx")
