@@ -49,6 +49,10 @@ object ScaleShakeout {
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(50000L)
+    // optional op-name filter (args after nDocs): `ScaleShakeout 250000
+    // ccPropagation kmeansRefineAssign` runs only those ops — the 50×
+    // iterative-operator shakeout without re-paying the one-pass kernels
+    val only = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,13 +74,23 @@ object ScaleShakeout {
       }
     })
 
+    def wanted(names: String*): Boolean =
+      only.isEmpty || names.exists(only.contains)
+    val docOps = Seq("jaccardPairs", "crossJaccardPairs", "nearDupClusters",
+      "unigramLmScore", "bigramLmScore", "bm25", "tfidfTopTerms",
+      "tfidfSimilarity", "removeDupSegments")
     val path = "target/scale_corpus.parquet"
-    corpus(spark, nDocs).write.mode("overwrite").parquet(path)
-    val docs = spark.read.parquet(path)
-    println(s"corpus: ${docs.count()} docs, " +
-      s"${docs.agg(sum(length(col("text")))).head.getLong(0)} chars")
+    lazy val docs = {
+      corpus(spark, nDocs).write.mode("overwrite").parquet(path)
+      val d = spark.read.parquet(path)
+      println(s"corpus: ${d.count()} docs, " +
+        s"${d.agg(sum(length(col("text")))).head.getLong(0)} chars")
+      d
+    }
+    if (wanted(docOps: _*)) docs
 
     def run(name: String)(op: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       spill.set(0L); peakTaskMem.set(0L)
       val t0 = System.nanoTime()
       val n = op.count()
@@ -121,6 +135,7 @@ object ScaleShakeout {
     // sessions/window family over a 10× events table (1M events, 10k
     // users incl. one whale user with 5% of all traffic — the per-user
     // window's skew case). Deterministic from the event id.
+    if (wanted("sessionStats", "asofJoin")) {
     val nEvents = nDocs * 20
     spark.range(nEvents).select(
       col("id").as("event_id"),
@@ -145,6 +160,56 @@ object ScaleShakeout {
       graft.operators.Joins.asofJoin(purchases, quotes, "user_id", "ts2",
         Seq("ref_value"))
     })
+    }
+
+    // ----------------------------------------- iterative-op stressors
+    // The 50× targets (round-5 VERDICT item 6): one-pass kernels showed
+    // no superlinear term at 10×; these two ITERATE, so rounds × volume
+    // is where one would hide. Sized from nDocs: nDocs=250000 = 50× the
+    // sf0.1 bench documents table.
+
+    // Distributed min-label propagation, isolated from the jaccard
+    // front-end (nearDupClusters' pair lists resolve on the driver —
+    // bounded union-find — so the loop never runs there): chains of 12
+    // give diameter 11 → 12 propagation rounds, and a hub star merges
+    // 5% of all nodes into one whale component (skewed neighborMin
+    // groups). driverThreshold=0 forces the distributed regime the way
+    // KernelPropertySpec does; production resolves this volume on the
+    // driver by design.
+    run("ccPropagation")({
+      val chains = spark.range(nDocs)
+        .filter(pmod(col("id"), lit(12L)) =!= 11L)
+        .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+      val star = spark.range(nDocs / 240L)
+        .select(lit(0L).as("id1"), (col("id") * 240L + 5L).as("id2"))
+      Dedup.connectedComponents(chains.union(star), maxIter = 20,
+        driverThreshold = 0L)
+    })
+
+    // IVF assign → exact-decimal recompute → re-assign at 50× vector
+    // volume (nDocs × 2/5 matches the embeddings:documents row ratio of
+    // the bench tables): 32 true centers, the hot center holding ~30%
+    // of vectors — the skew case for the per-(cell,dim) recompute agg
+    // and the per-vector best-cell window.
+    if (wanted("kmeansRefineAssign")) {
+      val nVecs = nDocs * 2L / 5L
+      val genVec = udf { (id: Long) =>
+        // seeds (ids < 32) cover each center once; the hot center only
+        // recruits from the rest of the corpus
+        val c = if (id >= 32 && id % 10 < 3) 0 else (id % 32).toInt
+        val rnd = new java.util.Random(id * 1315423911L + 7L)
+        Array.tabulate(64) { j =>
+          (math.sin((c * 64 + j).toDouble) + 0.1 * rnd.nextGaussian()).toFloat
+        }
+      }
+      spark.range(nVecs)
+        .select(col("id").as("vec_id"), genVec(col("id")).as("embedding"))
+        .write.mode("overwrite").parquet("target/scale_vecs.parquet")
+      val vecs = spark.read.parquet("target/scale_vecs.parquet")
+      run("kmeansRefineAssign")(
+        graft.operators.Similarity.kmeansRefineAssign(
+          vecs, vecs.filter(col("vec_id") < 32), "vec_id", "embedding"))
+    }
     spark.stop()
   }
 }

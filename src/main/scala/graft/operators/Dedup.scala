@@ -354,7 +354,9 @@ object Dedup {
     *  - larger graphs run iterative min-label propagation: every node
     *    repeatedly adopts the smallest label among itself and its
     *    neighbors until fixpoint. Rounds are bounded by the component
-    *    diameter (near-dup clusters are shallow); each round is one
+    *    diameter (near-dup clusters are shallow); a graph deeper than
+    *    `maxIter` raises IllegalStateException rather than returning
+    *    wrong labels. Each round is one
     *    join + one aggregation, fully distributed. Per-round labels
     *    are checkpointed — RELIABLY when the context has a checkpoint
     *    dir (survives executor loss; set one on a real cluster),
@@ -456,6 +458,16 @@ object Dedup {
         labelDirs = updatedDirs
         i += 1
       }
+      // Min-label propagation moves a label ONE hop per round, so rounds
+      // needed = component diameter. Hitting maxIter without a fixpoint
+      // means some component is deeper than the budget and the labels
+      // are WRONG (two ids in one component would report different
+      // canonicals) — that must never be returned silently: a dedup
+      // pipeline would quietly keep duplicates.
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds: a " +
+          "component's diameter exceeds maxIter. Raise maxIter (rounds " +
+          "needed = max component diameter + 1).")
       labels.select(col("id"), col("label").as("canonical_id"))
     } finally edges.unpersist()
   }

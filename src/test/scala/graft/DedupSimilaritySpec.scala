@@ -218,6 +218,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(loneClusters == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("connectedComponents fails loudly when a component outlives maxIter") {
+    // a path graph 0-1-2-...-8 has diameter 8: min-label propagation
+    // needs 8 rounds + 1 to detect the fixpoint. With maxIter=3 the
+    // distributed regime must raise, NOT return wrong labels (silent
+    // non-convergence would leave duplicates unclustered)
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 3, driverThreshold = 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // with enough rounds the same graph converges to the path min
+    val ok = Dedup.connectedComponents(path, maxIter = 10, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 9)
+  }
+
   test("jaccard pairs equal a scala brute-force model on random corpora") {
     // independent model of the shingle/jaccard semantics (lowercase
     // alnum tokens, word 3-grams, whole-text when short, distinct)
