@@ -21,9 +21,10 @@ object Graft {
     // session timezone and the (naive-timestamp) oracle.
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    // The testdata's events.ts is TIMESTAMP(NANOS) parquet, which Spark
-    // has no timestamp type for — read as long and convert explicitly
-    // (see eventTs).
+    // Some testdata generations write events.ts as TIMESTAMP(NANOS)
+    // parquet, which Spark has no timestamp type for — read those as
+    // longs and convert explicitly (see withTs2). No-op for the
+    // TIMESTAMP(MICROS) generations.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -129,11 +130,27 @@ object Graft {
     if (df.rdd.getNumPartitions >= cores / 2) df else df.repartition(cores)
   }
 
-  /** events.ts arrives as nanosecond longs (see tune) — truncate to the
-    * microsecond timestamp every other engine sees. Integer DIV, not
-    * double division: epoch-ns (~1.7e18) exceeds double's 53-bit
-    * mantissa.
+  /** Normalize `events.ts` to a session-zone TimestampType `ts2` column.
+    *
+    * The driver's testdata has shipped `ts` under two physical schemas
+    * across generations: parquet TIMESTAMP(NANOS), which Spark can only
+    * read as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set in [[tune]]), and parquet TIMESTAMP(MICROS) without UTC
+    * adjustment, which Spark reads as TIMESTAMP_NTZ. Dispatch on the
+    * scanned type so queries survive either generation. The nanos path
+    * uses integer DIV, not double division: epoch-ns (~1.7e18) exceeds
+    * double's 53-bit mantissa. The NTZ cast preserves wall-clock time —
+    * the session zone is pinned UTC in [[tune]], matching the DuckDB
+    * oracle's naive reading of the same file.
     */
-  def eventTs(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros(call_function("div", nanos, lit(1000L)))
+  def withTs2(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.withColumn("ts2", df.schema("ts").dataType match {
+      case LongType         => timestamp_micros(call_function("div", col("ts"), lit(1000L)))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts type: $other")
+    })
+  }
 }

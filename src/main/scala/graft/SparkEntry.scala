@@ -86,7 +86,7 @@ object SparkEntry {
   private def eventSnapshot(s: SparkSession, dir: String, lo: String, hi: String,
       excludeType: String, blankNotes: Boolean, withId: Boolean = false): DataFrame = {
     val ev = t(s, dir, "events")
-      .withColumn("ts2", Graft.eventTs(col("ts")))
+      .transform(Graft.withTs2)
       .filter(col("ts2") >= lit(ts(lo)) && col("ts2") < lit(ts(hi)) &&
         col("event_type") =!= excludeType)
       .withColumn("uk", concat(col("user_id").cast(StringType), lit("|"),
@@ -225,7 +225,7 @@ object SparkEntry {
 
     "q05_latest_per_user" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       Merges.dedupKeepLatest(ev, "user_id", Seq(col("ts2"), col("event_id")))
         .select(col("user_id"), col("event_id"), col("event_type"),
           Normalize.tsFormat(col("ts2")).as("event_ts"), col("value"))
@@ -280,7 +280,7 @@ object SparkEntry {
 
     "q10_change_detect" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       def half(lo: String, hi: String) = ev
         .filter(col("ts2") >= lit(ts(lo)) && col("ts2") < lit(ts(hi)))
         .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
@@ -374,9 +374,10 @@ object SparkEntry {
     "q20_ts_bucket" -> ((s, dir) => {
       Graft.tune(s)
       t(s, dir, "events")
+        .transform(Graft.withTs2)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"),
-          date_format(Graft.eventTs(col("ts")), "yyyy-MM-dd HH:00:00")
+          date_format(col("ts2"), "yyyy-MM-dd HH:00:00")
             .as("hour_bucket"),
           col("value"))
     }),
@@ -581,7 +582,7 @@ object SparkEntry {
     // a nested loop and dies at scale)
     "q54_asof_join" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts2"), col("value"))
       val views = Joins.latestPerKeyTs(
@@ -633,7 +634,7 @@ object SparkEntry {
     // outer projection optimizes as one Catalyst tree
     "q120_sql_asof" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts2"), col("value"))
         .createOrReplaceTempView("purchases_v")
@@ -762,7 +763,7 @@ object SparkEntry {
     // is NO match — stale features null out, plan unchanged
     "q110_asof_tolerant" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts2"), col("value"))
       val views = Joins.latestPerKeyTs(
@@ -780,7 +781,7 @@ object SparkEntry {
     // semantics; one conditional min-agg pass per stage, no self-joins
     "q56_funnel" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       Sessions.funnel(ev, "user_id", "ts2", "event_type",
         Seq("view", "click", "purchase"))
     }),
@@ -847,7 +848,7 @@ object SparkEntry {
     // sessionizer in StreamingSpec)
     "q62_session_window" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       graft.streaming.StreamingIngest
         .sessionWindowStats(ev, "ts2", "user_id", "30 minutes", None)
         .select(col("user_id"), col("n_events"),
@@ -924,8 +925,9 @@ object SparkEntry {
     "q68_retention" -> ((s, dir) => {
       Graft.tune(s)
       val ev = t(s, dir, "events")
+        .transform(Graft.withTs2)
         .select(col("user_id"),
-          date_trunc("week", Graft.eventTs(col("ts"))).as("wk"))
+          date_trunc("week", col("ts2")).as("wk"))
         .distinct()
       val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
       ev.join(cohort, "user_id")
@@ -1013,7 +1015,7 @@ object SparkEntry {
         .partitionBy("user_id").orderBy(col("ts2"), col("event_id"))
       val w2 = w1.rowsBetween(-3, org.apache.spark.sql.expressions.Window.currentRow)
       t(s, dir, "events")
-        .withColumn("ts2", Graft.eventTs(col("ts")))
+        .transform(Graft.withTs2)
         .select(col("user_id"), col("event_id"),
           Normalize.tsFormat(col("ts2")).as("ts_s"),
           round(sum(col("value").cast(dec)).over(w2).cast(DoubleType) /
@@ -1027,7 +1029,7 @@ object SparkEntry {
     "q75_cumulative_users" -> ((s, dir) => {
       Graft.tune(s)
       val firstDay = t(s, dir, "events")
-        .withColumn("ts2", Graft.eventTs(col("ts")))
+        .transform(Graft.withTs2)
         .groupBy("user_id")
         .agg(min(date_trunc("day", col("ts2"))).as("_day"))
       val daily = firstDay.groupBy("_day").agg(count(lit(1)).as("n_new"))
@@ -1094,7 +1096,7 @@ object SparkEntry {
     "q81_gap_fill" -> ((s, dir) => {
       Graft.tune(s)
       operators.Sessions.gapFillDaily(
-        t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts"))),
+        t(s, dir, "events").transform(Graft.withTs2),
         "user_id", "ts2", "event_id", "value", Normalize.tsFormat)
     }),
 
@@ -1139,7 +1141,7 @@ object SparkEntry {
     "q86_transitions" -> ((s, dir) => {
       Graft.tune(s)
       operators.Sessions.transitionMatrix(
-        t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts"))),
+        t(s, dir, "events").transform(Graft.withTs2),
         "user_id", "ts2", "event_id", "event_type")
     }),
 
@@ -1240,7 +1242,7 @@ object SparkEntry {
     // one shuffle on user, per-user ordered window, total-order ties
     "q47_sessionize" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       Sessions.sessionStats(ev, "user_id", "ts2", "event_id",
         gapSeconds = 1800, tsFormat = Normalize.tsFormat)
     }),
@@ -1325,7 +1327,7 @@ object SparkEntry {
     "q31_windowed_counts" -> ((s, dir) => {
       Graft.tune(s)
       t(s, dir, "events")
-        .withColumn("ts2", Graft.eventTs(col("ts")))
+        .transform(Graft.withTs2)
         .groupBy(window(col("ts2"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .select(Normalize.tsFormat(col("w.start")).as("day"),
@@ -1459,7 +1461,7 @@ object SparkEntry {
     // sequence-model input; WindowGroupLimit bounds the collected group
     "q101_event_paths" -> ((s, dir) => {
       Graft.tune(s)
-      val ev = t(s, dir, "events").withColumn("ts2", Graft.eventTs(col("ts")))
+      val ev = t(s, dir, "events").transform(Graft.withTs2)
       Sessions.eventPaths(ev, "user_id", "ts2", "event_id", "event_type",
         maxEvents = 10)
     }),
