@@ -39,6 +39,7 @@ object Bench {
     "q97_tfidf_terms", "q98_cms_heavy", "q102_quality_calibrated",
     "q104_temperature_sample", "q110_asof_tolerant", "q115_bigram_lm",
     "q119_bm25", // retrieval-family flagship (BM25 ranking)
+    "q124_semantic_dedup", // embedding-dedup flagship (SemDeDup verdicts)
   )
   private def headline(all: Seq[String]): Seq[String] = {
     // toIntOption: a registered name not shaped q<digits>... must be

@@ -528,6 +528,17 @@ object SparkEntry {
         "vec_id", "embedding")
     }),
 
+    // SemDeDup semantic dedup: q32's IVF cells, but an end-to-end
+    // KEPT/DROPPED verdict per vector rather than a pair list — within
+    // each cell the duplicate farthest from the centroid survives
+    // (dominance prune, single pass, no connected components)
+    "q124_semantic_dedup" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDedup(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.45)
+    }),
+
     // test-set decontamination: corpus docs sharing any word-3-gram
     // with the benchmark slice (source='src0'); benchmark shingles are
     // broadcast, so the corpus never shuffles — only matched pairs do
@@ -1500,6 +1511,15 @@ object SparkEntry {
         alpha = 0.3)
     }),
 
+    // source-mixing weights against a uniform token target: the
+    // mixture-table complement of q104 (token-level importance weights
+    // rather than an α curve over doc counts); one corpus aggregation,
+    // weights derive on the sources-sized frame
+    "q125_mix_weights" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.sourceMixWeights(t(s, dir, "documents"), "source", "text")
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -1954,6 +1974,36 @@ object SparkEntry {
               ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS sim
        FROM pairs
        WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45""",
+
+    "q124_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                    WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, centroid_id, embedding, csim FROM (
+             SELECT e.vec_id, centroid_id, e.embedding,
+                    ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS csim,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT e.vec_id, centroid_id, e.embedding,
+                          list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings e CROSS JOIN c) e)
+           WHERE rn = 1),
+         pairs AS (
+           SELECT a.vec_id, a.centroid_id, a.csim, b.vec_id AS nid, b.csim AS ncs,
+                  list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                  sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                  sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+           FROM cells a LEFT JOIN cells b
+             ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+       SELECT vec_id, centroid_id, csim AS centroid_sim,
+              CAST(MAX(CASE WHEN nid IS NOT NULL
+                             AND ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45
+                             AND (ncs < csim OR (ncs = csim AND nid < vec_id))
+                        THEN 1 ELSE 0 END) = 0 AS INT) AS kept
+       FROM pairs GROUP BY 1, 2, 3""",
 
     "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
 
@@ -3267,6 +3317,24 @@ object SparkEntry {
        SELECT k.lang, k.n AS n_docs, k.keep_frac,
               COALESCE(kept.n_kept, 0) AS n_kept
        FROM k LEFT JOIN kept USING (lang)""",
+
+    "q125_mix_weights" ->
+      """WITH counts AS (
+           SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(list_filter(
+                    regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+                    x -> x <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         shares AS (
+           SELECT *,
+                  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share,
+                  1.0 / CAST(COUNT(*) OVER () AS DOUBLE) AS tshare
+           FROM counts)
+       SELECT source, n_docs, n_tokens,
+              ROUND(share, 6) AS token_share,
+              ROUND(tshare, 6) AS target_share,
+              CASE WHEN share > 0 THEN ROUND(tshare / share, 6) END AS mix_weight
+       FROM shares""",
 
     "q105_winsorize" ->
       """WITH b AS (

@@ -690,6 +690,50 @@ object Corpus {
         .otherwise(lit(null).cast(DoubleType)).as("zipf_s"))
   }
 
+  /** Source-mixing weights — the importance-weight form of corpus
+    * mixture rebalancing (the knob DoReMi, arXiv:2305.10429, optimizes;
+    * here the direct target/actual form every mixture table uses): each
+    * source's TOKEN share of the corpus is compared against a target
+    * mixture and assigned the resampling weight target_share /
+    * token_share. Weight > 1 marks a source to upsample (repeat
+    * epochs), < 1 to downsample. The target defaults to uniform over
+    * observed sources; an explicit target map is renormalized over the
+    * sources actually present so the emitted target shares always form
+    * a proper mixture. Complements [[temperatureSample]], which
+    * rebalances by DOC counts through a fixed α curve rather than an
+    * arbitrary token-level target.
+    *
+    * Shape: token counting is one map-side-combined aggregation over
+    * the corpus scan (output = one row per source); shares and weights
+    * derive on that tiny frame via group-table windows — no second
+    * corpus pass, no driver action. A downstream sampler joins the
+    * weight table back broadcast.
+    */
+  def sourceMixWeights(df: DataFrame, sourceCol: String, textCol: String,
+      target: Map[String, Double] = Map.empty): DataFrame = {
+    require(target.values.forall(_ >= 0), "target weights must be >= 0")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCount(
+          coalesce(col(textCol), lit(""))).cast(LongType)).as("n_tokens"))
+    val all = Window.partitionBy()
+    val tExpr =
+      if (target.isEmpty) lit(1.0)
+      else target.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+        when(col(sourceCol) === s, lit(w)).otherwise(acc)
+      }
+    counts
+      .withColumn("_t", tExpr)
+      .withColumn("_share", col("n_tokens").cast(DoubleType) /
+        sum(col("n_tokens")).over(all).cast(DoubleType))
+      .withColumn("_tshare", col("_t") / sum(col("_t")).over(all))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("_share"), 6).as("token_share"),
+        round(col("_tshare"), 6).as("target_share"),
+        when(col("_share") > 0, round(col("_tshare") / col("_share"), 6))
+          .otherwise(lit(null).cast(DoubleType)).as("mix_weight"))
+  }
+
   private def temperatureFracs(df: DataFrame, groupCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")

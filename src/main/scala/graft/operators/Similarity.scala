@@ -72,17 +72,24 @@ object Similarity {
 
   /** IVF cell assignment: nearest centroid per corpus row (cosine).
     * `centroids` must be small (broadcast). Ties → lowest centroid id.
+    * With `keepSim` the winning cosine survives as `centroid_sim`
+    * (rounded 6dp — the engine-reproducible precision every similarity
+    * here uses).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, centroidIdCol: String = "centroid_id"): DataFrame = {
+      vecCol: String, centroidIdCol: String = "centroid_id",
+      keepSim: Boolean = false): DataFrame = {
     val cents = broadcast(centroids.select(
       col(idCol).as(centroidIdCol), col(vecCol).as("_centv")))
     val scored = corpus.join(cents)
       .withColumn("_sim", round(cosine(col(vecCol), col("_centv")), 6))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_sim").desc, col(centroidIdCol).asc)
-    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn", "_sim", "_centv")
+    val best = scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    if (keepSim) best.withColumnRenamed("_sim", "centroid_sim")
+      .drop("_rn", "_centv")
+    else best.drop("_rn", "_sim", "_centv")
   }
 
   /** IVF top-k search: probe the `nProbe` nearest cells per query, then
@@ -269,5 +276,49 @@ object Similarity {
     base.withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
+  }
+
+  /** SemDeDup-style semantic deduplication (public method: Abbas et al.
+    * 2023, arXiv:2303.09540): IVF-assign every vector, then within each
+    * cell drop a vector iff it has a cosine-≥-threshold neighbor of
+    * higher keep priority. Keep priority follows the paper — among
+    * semantic duplicates the example with the LOWEST similarity to the
+    * cluster centroid survives (edge points preserve diversity) — with
+    * ids breaking ties, which makes the rule a total order and the
+    * verdict single-pass (a dominance check, not connected components:
+    * no iteration, no transitive closure).
+    *
+    * Returns one row per corpus vector: (id, centroid_id, centroid_sim,
+    * kept 0/1). Scale shape: centroids broadcast; one shuffle on
+    * centroid_id for the within-cell self-join (pair expansion bounded
+    * by cell population, the same regime as [[nearDupPairs]]'s bucketed
+    * branch); one aggregation keyed on the vector id. The corpus never
+    * all-pairs joins.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    // both self-join sides reference the assignment — persist it once
+    // (Catalyst does not share subplans, so an uncached frame would
+    // run the centroid-scoring pass and its window twice)
+    val assigned = graft.Caches.own(
+      ivfAssign(corpus, centroids, idCol, vecCol, keepSim = true)
+        .select(col(idCol), col(vecCol), col("centroid_id"),
+          col("centroid_sim")))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("_id"),
+      col(vecCol).as("_v"), col("centroid_sim").as("_cs"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("_nid"),
+      col(vecCol).as("_nv"), col("centroid_sim").as("_ncs"))
+    // left join keeps singleton cells' vectors (trivially kept); the
+    // dominance verdict folds to one max() per vector
+    a.join(b, Seq("centroid_id"), "left")
+      .withColumn("_dominated",
+        when(col("_nid").isNotNull && col("_nid") =!= col("_id") &&
+          round(cosine(col("_v"), col("_nv")), 6) >= threshold &&
+          (col("_ncs") < col("_cs") ||
+            (col("_ncs") === col("_cs") && col("_nid") < col("_id"))),
+          1).otherwise(0))
+      .groupBy(col("_id").as(idCol), col("centroid_id"), col("_cs"))
+      .agg((max(col("_dominated")) === 0).cast(IntegerType).as("kept"))
+      .withColumnRenamed("_cs", "centroid_sim")
   }
 }

@@ -352,6 +352,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("semanticDedup keeps the duplicate farthest from the centroid") {
+    // one cell (single centroid): a and b are near-dups of each other;
+    // o is orthogonal. b sits farther from the centroid than a, so the
+    // SemDeDup keep rule must keep b and drop a; o is untouched.
+    val centroid = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f, 0.0f, 0.0f)), // a: closest to centroid
+      (2L, Array(1.0f, 0.02f, 0.0f, 0.0f)), // b: near-dup of a, farther out
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))   // o: no near neighbor
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(corpus, centroid, "vec_id",
+        "embedding", threshold = 0.9)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1), out)
+    // singleton cells are trivially kept (left join, not inner)
+    val solo = Similarity.semanticDedup(
+        corpus.filter($"vec_id" === 3L), centroid, "vec_id", "embedding", 0.9)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(solo == Map(3L -> 1), solo)
+  }
+
+  test("sourceMixWeights: shares, uniform and explicit targets") {
+    import graft.operators.Corpus
+    // src a: 3 docs x 2 tokens = 6; src b: 1 doc x 2 tokens = 2
+    val docs = Seq(
+      ("a", "alpha beta"), ("a", "gamma delta"), ("a", "epsilon zeta"),
+      ("b", "eta theta")
+    ).toDF("source", "text")
+    val uni = Corpus.sourceMixWeights(docs, "source", "text")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(uni("a") == (("a", 3L, 6L, 0.75, 0.5, 0.666667)), uni("a"))
+    assert(uni("b") == (("b", 1L, 2L, 0.25, 0.5, 2.0)), uni("b"))
+    // an explicit target matching the actual mixture → every weight 1;
+    // the map renormalizes (3:1 == 0.75:0.25)
+    val matched = Corpus.sourceMixWeights(docs, "source", "text",
+        target = Map("a" -> 3.0, "b" -> 1.0))
+      .select("source", "mix_weight").as[(String, Double)].collect().toMap
+    assert(matched == Map("a" -> 1.0, "b" -> 1.0), matched)
+  }
+
   test("kmeans refinement: exact decimal means, stable reassignment") {
     val seeds = vecs.filter($"vec_id" === 0L || $"vec_id" === 2L)
     // seed assign: v4 (0,0,1) ties 0.0 to both seeds → lowest id (0)
