@@ -191,7 +191,7 @@ object ScaleShakeout {
     // the bench tables): 32 true centers, the hot center holding ~30%
     // of vectors — the skew case for the per-(cell,dim) recompute agg
     // and the per-vector best-cell window.
-    if (wanted("kmeansRefineAssign")) {
+    if (wanted("kmeansRefineAssign", "semanticDedup")) {
       val nVecs = nDocs * 2L / 5L
       val genVec = udf { (id: Long) =>
         // seeds (ids < 32) cover each center once; the hot center only
@@ -209,6 +209,14 @@ object ScaleShakeout {
       run("kmeansRefineAssign")(
         graft.operators.Similarity.kmeansRefineAssign(
           vecs, vecs.filter(col("vec_id") < 32), "vec_id", "embedding"))
+      // the same skewed corpus is semanticDedup's worst case: the hot
+      // center's ~30% share lands in ONE cell, so the within-cell
+      // self-join's pair expansion concentrates on a single cell id —
+      // the quadratic term the cell-bucketing claim has to survive
+      run("semanticDedup")(
+        graft.operators.Similarity.semanticDedup(
+          vecs, vecs.filter(col("vec_id") < 32), "vec_id", "embedding",
+          threshold = 0.9))
     }
     spark.stop()
   }

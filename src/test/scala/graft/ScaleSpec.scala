@@ -128,6 +128,27 @@ class ScaleSpec extends SparkSpec {
       // ...and every one broadcasts only the bounded centroid slice
       assert(build.contains("vec_id") && build.contains("< 8"), build)
     }
+    // q124 semantic dedup shares q32's regime: the dedup self-join must
+    // be an equi-join on the cell id (never corpus × corpus), the only
+    // nested loop is the bounded centroid assignment, and the
+    // assignment feeds BOTH self-join sides from one persisted copy
+    // (an uncached frame would run the assign pass twice)
+    val q124 = SparkEntry.queries("q124_semantic_dedup")(spark, dir)
+      .queryExecution.sparkPlan
+    val q124s = q124.toString
+    assert(!q124s.contains("CartesianProduct"), q124s)
+    val q124Bnlj = q124.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    q124Bnlj.foreach { j =>
+      val build = (j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }).toString
+      assert(build.contains("vec_id") && build.contains("< 8"), build)
+    }
+    assert(q124s.contains("InMemoryTableScan"), q124s)
+
     // q23 carries the posting-list skew cap inside the capped native
     // pair aggregate (bounded buffers; overflow = pruned) — one corpus
     // pass, no anti-join, no persisted intermediate. Reset caches
