@@ -114,13 +114,16 @@ object Documents {
     *    full escape table + octal codes, and `<…>` hex strings
     *  - Td, TD, T*, Tm line moves emit "\n" (the PyPDF2-ish layout
     *    heuristic, minus its vertical-position arithmetic)
-    *  - single-byte text decoded through the document's SINGLE-BYTE
-    *    ToUnicode CMaps when present (bfchar/bfrange entries with
-    *    1-byte source codes, merged across fonts — subset-embedded
-    *    fonts that remap codes extract correctly), WinAnsi (Latin-1
-    *    plus the 0x80–0x9F Windows-1252 block) for unmapped codes.
-    *    Two-byte CID/Identity-H fonts stay out of scope and come out
-    *    garbled or empty, like PyPDF2 without its font tables
+    *  - text decoded through the document's ToUnicode CMaps when
+    *    present (bfchar/bfrange entries, merged across fonts — subset-
+    *    embedded fonts that remap codes extract correctly). One-byte
+    *    sources decode per byte with WinAnsi (Latin-1 plus the
+    *    0x80–0x9F Windows-1252 block) for unmapped codes; when the
+    *    document's CMaps are uniformly TWO-byte (CID/Identity-H — the
+    *    modern single-subset-font case), strings decode as big-endian
+    *    two-byte codes, unmapped codes emitting nothing. Documents
+    *    mixing 1- and 2-byte fonts would need per-font encoding
+    *    tracking and keep byte decoding — the remaining scope line
     *
     * A file without the %PDF- header, or one yielding no parseable
     * text stream at all, raises — the reference logs and re-raises on
@@ -147,6 +150,7 @@ object Documents {
     // single-byte code→text map, content streams queue up in order
     val contentStreams = scala.collection.mutable.ArrayBuffer.empty[String]
     val cmap = scala.collection.mutable.Map.empty[Int, String]
+    val cmapWidths = scala.collection.mutable.Set.empty[Int]
     var idx = nextStream(0)
     while (idx >= 0) {
       // the stream's dict sits between its "N G obj" and "stream"
@@ -170,19 +174,25 @@ object Documents {
           .map(b => new String(b, StandardCharsets.ISO_8859_1))
           .foreach { cs =>
             if (cs.contains("beginbfchar") || cs.contains("beginbfrange"))
-              parseToUnicodeCMap(cs, cmap)
+              parseToUnicodeCMap(cs, cmap, cmapWidths)
             else if (cs.contains("BT")) // only content streams with text blocks
               contentStreams += cs
           }
         idx = nextStream(end + 9)
       }
     }
-    // pass 2 — run the text operators with the merged CMap in hand
+    // pass 2 — run the text operators with the merged CMap in hand.
+    // A document whose CMaps are uniformly two-byte is a CID/Identity-H
+    // document: its strings are big-endian two-byte code sequences.
+    // Mixed-width documents keep byte decoding (the 1-byte mappings
+    // would be unreachable otherwise) — per-font tracking is the
+    // documented scope line.
     val out = new StringBuilder
     var sawText = false
     val codeMap = cmap.toMap
+    val twoByte = cmapWidths == scala.collection.Set(2)
     contentStreams.foreach { cs =>
-      val t = extractTextOps(cs, codeMap)
+      val t = extractTextOps(cs, codeMap, twoByte)
       if (t.nonEmpty) {
         out.append(t)
         if (!t.endsWith("\n")) out.append('\n') // reference: page + "\n"
@@ -195,27 +205,35 @@ object Documents {
     out.toString
   }
 
-  /** Merge one ToUnicode CMap stream's SINGLE-BYTE mappings into `into`.
-    * Handles `beginbfchar` pairs (`<src> <dst>`) and `beginbfrange`
-    * entries in both forms (`<lo> <hi> <dstStart>` with the last UTF-16
-    * code unit incrementing, and `<lo> <hi> [<d0> <d1> …]`). Source
-    * codes longer than one byte (CID fonts) are skipped — deliberate
-    * scope, see [[extractTextFromPdf]]. Destination hex is UTF-16BE
-    * (multi-char destinations — ligatures — are kept whole). Maps from
-    * several fonts merge; on a code collision the first mapping wins,
-    * which is only ambiguous for multi-font documents whose subset
-    * encoders disagree — beyond this extractor's scope.
+  /** Merge one ToUnicode CMap stream's mappings into `into`. Handles
+    * `beginbfchar` pairs (`<src> <dst>`) and `beginbfrange` entries in
+    * both forms (`<lo> <hi> <dstStart>` with the last UTF-16 code unit
+    * incrementing, and `<lo> <hi> [<d0> <d1> …]`), for one-byte (2 hex
+    * digit) AND two-byte (4 hex digit — CID/Identity-H fonts) source
+    * codes; each parsed source's byte width is recorded in `widths` so
+    * the caller can pick the string-decoding mode. Destination hex is
+    * UTF-16BE (multi-char destinations — ligatures — are kept whole).
+    * Maps from several fonts merge; on a code collision the first
+    * mapping wins, which is only ambiguous for multi-font documents
+    * whose subset encoders disagree — beyond this extractor's scope.
     */
   private[sources] def parseToUnicodeCMap(cs: String,
-      into: scala.collection.mutable.Map[Int, String]): Unit = {
+      into: scala.collection.mutable.Map[Int, String],
+      widths: scala.collection.mutable.Set[Int]): Unit = {
     def utf16(hex: String): String = {
       val h = if (hex.length % 2 == 1) hex + "0" else hex
       if (h.length >= 4 && h.length % 4 == 0)
         new String(h.grouped(4).map(g => Integer.parseInt(g, 16).toChar).toArray)
       else new String(h.grouped(2).map(g => Integer.parseInt(g, 16).toChar).toArray)
     }
-    def addIfAbsent(code: Int, dst: String): Unit =
-      if (!into.contains(code) && dst.nonEmpty) into(code) = dst
+    def addIfAbsent(code: Int, srcWidth: Int, dst: String): Unit =
+      if (dst.nonEmpty) {
+        widths += srcWidth
+        if (!into.contains(code)) into(code) = dst
+      }
+    // a source token is usable when its hex spells exactly 1 or 2 bytes
+    def srcWidth(hex: String): Int =
+      if (hex.length == 2) 1 else if (hex.length == 4) 2 else 0
     def tokens(body: String): Array[String] =
       body.replace("[", " [ ").replace("]", " ] ").split("\\s+").filter(_.nonEmpty)
     def hexTok(t: String): Option[String] =
@@ -235,7 +253,8 @@ object Documents {
       while (i + 1 < ts.length) {
         (hexTok(ts(i)), hexTok(ts(i + 1))) match {
           case (Some(src), Some(dst)) =>
-            if (src.length == 2) addIfAbsent(Integer.parseInt(src, 16), utf16(dst))
+            val w = srcWidth(src)
+            if (w > 0) addIfAbsent(Integer.parseInt(src, 16), w, utf16(dst))
             i += 2
           case _ => i += 1 // malformed token: resync on the next one
         }
@@ -249,18 +268,20 @@ object Documents {
           case (Some(lo), Some(hi)) if ts(i + 2) == "[" =>
             // array form: one destination per consecutive code
             var j = i + 3
-            var code = if (lo.length == 2) Integer.parseInt(lo, 16) else -1
-            val hiCode = if (hi.length == 2) Integer.parseInt(hi, 16) else -1
+            val w = if (lo.length == hi.length) srcWidth(lo) else 0
+            var code = if (w > 0) Integer.parseInt(lo, 16) else -1
+            val hiCode = if (w > 0) Integer.parseInt(hi, 16) else -1
             while (j < ts.length && ts(j) != "]") {
               hexTok(ts(j)).foreach { dst =>
-                if (code >= 0 && code <= hiCode) addIfAbsent(code, utf16(dst))
+                if (code >= 0 && code <= hiCode) addIfAbsent(code, w, utf16(dst))
                 code += 1
               }
               j += 1
             }
             i = j + 1
           case (Some(lo), Some(hi)) if hexTok(ts(i + 2)).isDefined =>
-            if (lo.length == 2 && hi.length == 2) {
+            val w = if (lo.length == hi.length) srcWidth(lo) else 0
+            if (w > 0) {
               val loC = Integer.parseInt(lo, 16)
               val hiC = Integer.parseInt(hi, 16)
               val dst = utf16(hexTok(ts(i + 2)).get)
@@ -269,7 +290,7 @@ object Documents {
               while (c <= hiC) {
                 val d = dst.toCharArray
                 d(d.length - 1) = (d(d.length - 1) + (c - loC)).toChar
-                addIfAbsent(c, new String(d))
+                addIfAbsent(c, w, new String(d))
                 c += 1
               }
             }
@@ -322,11 +343,15 @@ object Documents {
   /** Run the text operators of one decoded content stream. Strings
     * accumulate as operands; Tj, ', ", TJ emit them; Td, TD, T*, Tm
     * emit a line break between text positions. `cmap` carries the
-    * document's merged single-byte ToUnicode mappings; unmapped codes
-    * decode as WinAnsi.
+    * document's merged ToUnicode mappings; with `twoByte` the string
+    * bytes decode as big-endian two-byte codes (CID/Identity-H fonts —
+    * unmapped codes emit nothing, like PyPDF2 missing a CID), otherwise
+    * per byte with WinAnsi for unmapped codes. Escape sequences and
+    * nested parens produce string BYTES first and decode through the
+    * font mapping like any other byte (PDF string semantics).
     */
   private[sources] def extractTextOps(content: String,
-      cmap: Map[Int, String] = Map.empty): String = {
+      cmap: Map[Int, String] = Map.empty, twoByte: Boolean = false): String = {
     val out = new StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer.empty[String]
     var inText = false
@@ -334,6 +359,13 @@ object Documents {
     var i = 0
     def decodeByte(code: Int): String =
       cmap.getOrElse(code & 0xFF, winAnsi(code).toString)
+    def decodeCodes(bs: scala.collection.Seq[Int]): String =
+      if (twoByte)
+        // odd trailing byte: ignored (a malformed CID string)
+        bs.grouped(2).collect { case scala.collection.Seq(a, b) =>
+          cmap.getOrElse(((a & 0xFF) << 8) | (b & 0xFF), "")
+        }.mkString
+      else bs.iterator.map(decodeByte).mkString
 
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
@@ -343,18 +375,18 @@ object Documents {
       operands.clear()
     }
     def parseLiteral(start: Int): Int = {
-      val sb = new StringBuilder
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
       var depth = 1
       var j = start + 1
       while (j < n && depth > 0) {
         val ch = content.charAt(j)
         if (ch == '\\' && j + 1 < n) {
           content.charAt(j + 1) match {
-            case 'n' => sb.append('\n'); j += 2
-            case 'r' => sb.append('\r'); j += 2
-            case 't' => sb.append('\t'); j += 2
-            case 'b' => sb.append('\b'); j += 2
-            case 'f' => sb.append('\f'); j += 2
+            case 'n' => bs += '\n'.toInt; j += 2
+            case 'r' => bs += '\r'.toInt; j += 2
+            case 't' => bs += '\t'.toInt; j += 2
+            case 'b' => bs += '\b'.toInt; j += 2
+            case 'f' => bs += '\f'.toInt; j += 2
             case '\r' => // line continuation
               j += 2; if (j < n && content.charAt(j) == '\n') j += 1
             case '\n' => j += 2
@@ -364,18 +396,18 @@ object Documents {
                   content.charAt(k) <= '7') {
                 v = v * 8 + (content.charAt(k) - '0'); k += 1; cnt += 1
               }
-              sb.append(decodeByte(v)); j = k
-            case other => sb.append(other); j += 2 // covers \( \) \\
+              bs += v; j = k
+            case other => bs += other.toInt; j += 2 // covers \( \) \\
           }
-        } else if (ch == '(') { depth += 1; sb.append('('); j += 1 }
-        else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(')'); j += 1 }
-        else { sb.append(decodeByte(ch.toInt)); j += 1 }
+        } else if (ch == '(') { depth += 1; bs += '('.toInt; j += 1 }
+        else if (ch == ')') { depth -= 1; if (depth > 0) bs += ')'.toInt; j += 1 }
+        else { bs += ch.toInt; j += 1 }
       }
-      operands += sb.toString
+      operands += decodeCodes(bs)
       j
     }
     def parseHex(start: Int): Int = {
-      val sb = new StringBuilder
+      val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
       var j = start + 1
       var hi = -1
       while (j < n && content.charAt(j) != '>') {
@@ -383,12 +415,12 @@ object Documents {
         val d = Character.digit(ch, 16)
         if (d >= 0) {
           if (hi < 0) hi = d
-          else { sb.append(decodeByte(hi * 16 + d)); hi = -1 }
+          else { bs += hi * 16 + d; hi = -1 }
         }
         j += 1
       }
-      if (hi >= 0) sb.append(decodeByte(hi * 16)) // odd digit count: pad 0
-      operands += sb.toString
+      if (hi >= 0) bs += hi * 16 // odd digit count: pad 0
+      operands += decodeCodes(bs)
       if (j < n) j + 1 else j
     }
 

@@ -176,6 +176,44 @@ class PipelineSpec extends SparkSpec {
     assert(Documents.readResume(pdf.toString) == "Spark\nqr\nXY plain\n")
   }
 
+  test("resume reader decodes Identity-H PDFs through two-byte ToUnicode CMaps") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-cid")
+    // a CID-keyed subset font: all sources are two-byte, so the
+    // document decodes in two-byte mode. Hex string <000100100011...>
+    // = CIDs 1,16,17…; a literal string carries the same CIDs as raw
+    // bytes (\000\001 pairs). CID 0x0999 is unmapped → emits nothing.
+    val content = "BT <00010010001100120013> Tj T* " +
+      "(\\000\\001\\000\\020\\011\\231) Tj ET"
+    val cmapStream =
+      """begincmap
+        |2 beginbfchar
+        |<0001> <0053>
+        |<0013> <006B>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0070>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    w(s"5 0 obj << /Length ${cmapStream.length} >> stream\n")
+    w(cmapStream); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("cid.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    // <0001>=S <0010..0012>=p,q,r <0013>=k → "Spqrk"; the literal
+    // repeats S,p then the unmapped CID 0x0999 (dropped)
+    assert(Documents.readResume(pdf.toString) == "Spqrk\nSp\n")
+  }
+
   test("resume reader extracts DOCX paragraphs like the reference's extractor") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-docx")
