@@ -374,6 +374,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(solo == Map(3L -> 1), solo)
   }
 
+  test("semanticDedup matches a brute-force dominance model (property)") {
+    // the relational shape (cell self-join + per-vector max) must equal
+    // the straight-line model: assign by best rounded cosine (ties →
+    // lowest centroid id), drop iff a same-cell neighbor above the
+    // threshold has lower centroid_sim (ties → lower id). Cosines are
+    // taken FROM Spark so the property isolates the dominance logic
+    // from the arithmetic.
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = corpus.filter($"vec_id" < 4)
+    val threshold = 0.6
+    val a = corpus.select($"vec_id".as("id1"), $"embedding".as("_v1"))
+    val b = corpus.select($"vec_id".as("id2"), $"embedding".as("_v2"))
+    val sims = a.join(b)
+      .select($"id1", $"id2",
+        round(Similarity.cosine($"_v1", $"_v2"), 6).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, s) => (x, y) -> s }.toMap
+    // model: argmax over rounded centroid cosines, lowest id on ties
+    val ids = (0L until 40L).toSeq
+    val cell = ids.map { v =>
+      v -> (0L until 4L).maxBy(c => (sims((v, c)), -c))
+    }.toMap
+    val csim = ids.map(v => v -> sims((v, cell(v)))).toMap
+    val expectKept = ids.map { v =>
+      val dominated = ids.exists { o =>
+        o != v && cell(o) == cell(v) && sims((v, o)) >= threshold &&
+          (csim(o) < csim(v) || (csim(o) == csim(v) && o < v))
+      }
+      v -> (if (dominated) 0 else 1)
+    }.toMap
+    val got = Similarity.semanticDedup(corpus, cents, "vec_id", "embedding",
+        threshold)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(got == expectKept,
+      s"diff=${got.toSet.diff(expectKept.toSet)}")
+    // sanity: the property exercised both verdicts
+    assert(expectKept.values.toSet == Set(0, 1), expectKept.values.toSet)
+  }
+
   test("sourceMixWeights: shares, uniform and explicit targets") {
     import graft.operators.Corpus
     // src a: 3 docs x 2 tokens = 6; src b: 1 doc x 2 tokens = 2
