@@ -126,6 +126,38 @@ object SparkEntry {
   private val ChangedSql =
     "(n.value IS DISTINCT FROM h.value OR n.published IS DISTINCT FROM h.published)"
 
+  // SemDeDup oracle — shared by q124 (full verdict table) and q126
+  // (the SQL-TVF form filtered to dropped rows)
+  private val SemDedupOracle =
+    """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                  WHERE vec_id < 8),
+       cells AS (
+         SELECT vec_id, centroid_id, embedding, csim FROM (
+           SELECT e.vec_id, centroid_id, e.embedding,
+                  ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS csim,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                             centroid_id) AS rn
+           FROM (SELECT e.vec_id, centroid_id, e.embedding,
+                        list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                        sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                        sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                 FROM embeddings e CROSS JOIN c) e)
+         WHERE rn = 1),
+       pairs AS (
+         SELECT a.vec_id, a.centroid_id, a.csim, b.vec_id AS nid, b.csim AS ncs,
+                list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+         FROM cells a LEFT JOIN cells b
+           ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+     SELECT vec_id, centroid_id, csim AS centroid_sim,
+            CAST(MAX(CASE WHEN nid IS NOT NULL
+                           AND ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45
+                           AND (ncs < csim OR (ncs = csim AND nid < vec_id))
+                      THEN 1 ELSE 0 END) = 0 AS INT) AS kept
+     FROM pairs GROUP BY 1, 2, 3"""
+
   // ----- the skills dictionary / resume used by q21 + q33 -----
   private val DictQ: Seq[String] = Seq(
     "batch", "column", "filter", "hash", "join", "merge", "query",
@@ -697,6 +729,21 @@ object SparkEntry {
       s.sql(s"""
         SELECT doc_id, bm25
         FROM graft_bm25('docs_bm25_v', 'doc_id', 'text', '$ResumeQ')""")
+    }),
+
+    // the SQL form of q124: the TVF splices semanticDedup's plan at
+    // analysis time, so the WHERE on the verdict optimizes into the
+    // operator's dataflow like any Catalyst predicate
+    "q126_sql_semdedup" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      e.createOrReplaceTempView("vecs_sd_v")
+      e.filter(col("vec_id") < 8).createOrReplaceTempView("cents_sd_v")
+      s.sql("""
+        SELECT vec_id, centroid_id, centroid_sim
+        FROM graft_semantic_dedup('vecs_sd_v', 'cents_sd_v',
+                                  'vec_id', 'embedding', 0.45)
+        WHERE kept = 0""")
     }),
 
     // audience-overlap matrix: |users(A) ∩ users(B)| and Jaccard for
@@ -1975,35 +2022,12 @@ object SparkEntry {
        FROM pairs
        WHERE ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45""",
 
-    "q124_semantic_dedup" ->
-      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-                    WHERE vec_id < 8),
-         cells AS (
-           SELECT vec_id, centroid_id, embedding, csim FROM (
-             SELECT e.vec_id, centroid_id, e.embedding,
-                    ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) AS csim,
-                    row_number() OVER (PARTITION BY e.vec_id
-                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
-                               centroid_id) AS rn
-             FROM (SELECT e.vec_id, centroid_id, e.embedding,
-                          list_sum([cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
-                          sqrt(list_sum([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
-                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
-                   FROM embeddings e CROSS JOIN c) e)
-           WHERE rn = 1),
-         pairs AS (
-           SELECT a.vec_id, a.centroid_id, a.csim, b.vec_id AS nid, b.csim AS ncs,
-                  list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
-                  sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
-                  sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
-           FROM cells a LEFT JOIN cells b
-             ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
-       SELECT vec_id, centroid_id, csim AS centroid_sim,
-              CAST(MAX(CASE WHEN nid IS NOT NULL
-                             AND ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) >= 0.45
-                             AND (ncs < csim OR (ncs = csim AND nid < vec_id))
-                        THEN 1 ELSE 0 END) = 0 AS INT) AS kept
-       FROM pairs GROUP BY 1, 2, 3""",
+    "q124_semantic_dedup" -> SemDedupOracle,
+
+    // q126 is q124 through the SQL TVF, filtered to the dropped rows
+    "q126_sql_semdedup" ->
+      s"""SELECT vec_id, centroid_id, centroid_sim
+          FROM ($SemDedupOracle) WHERE kept = 0""",
 
     "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
 

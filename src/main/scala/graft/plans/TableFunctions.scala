@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.operators.{Joins, TfIdf}
+import graft.operators.{Joins, Similarity, TfIdf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM graft_asof_join('trades', 'quotes', 'sym', 'ts', 'price', 300)
   *   SELECT * FROM graft_range_join('points', 'value', 'bands', 'lo', 'hi', 50.0)
   *   SELECT * FROM graft_bm25('docs', 'doc_id', 'text', 'spark sql', 1.2, 0.75)
+  *   SELECT * FROM graft_semantic_dedup('vecs', 'cents', 'vec_id', 'embedding', 0.45)
   * }}}
   *
   * Registered in the session's TableFunctionRegistry — the same
@@ -34,7 +35,8 @@ object TableFunctions {
   val functions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     ("graft_asof_join", asofJoin _),
     ("graft_range_join", rangeJoin _),
-    ("graft_bm25", bm25 _))
+    ("graft_bm25", bm25 _),
+    ("graft_semantic_dedup", semanticDedup _))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
@@ -58,6 +60,9 @@ object TableFunctions {
     require(e.foldable, s"$fn: argument ${pos + 1} must be a literal, got $e")
     e.eval() match {
       case n: java.lang.Number => n.doubleValue()
+      // fractional SQL literals (0.45) parse as DECIMAL, whose runtime
+      // value is Spark's Decimal — not a java.lang.Number
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${pos + 1} must be numeric, got $other")
     }
@@ -112,5 +117,21 @@ object TableFunctions {
         TfIdf.bm25(table(strArg(fn, args, 0)), strArg(fn, args, 1),
           strArg(fn, args, 2), strArg(fn, args, 3))
     df.queryExecution.logical
+  }
+
+  /** graft_semantic_dedup(corpus_view, centroids_view, id_col, vec_col,
+    * threshold) — [[Similarity.semanticDedup]]. Note the operator
+    * persists its cell assignment (both self-join sides consume it), so
+    * the spliced plan carries an in-memory relation; the cache is
+    * released by the session's cache lifecycle like the DataFrame form.
+    */
+  private def semanticDedup(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_semantic_dedup"
+    require(args.length == 5,
+      s"$fn(corpus_view, centroids_view, id_col, vec_col, threshold)")
+    Similarity.semanticDedup(
+      table(strArg(fn, args, 0)), table(strArg(fn, args, 1)),
+      strArg(fn, args, 2), strArg(fn, args, 3),
+      numArg(fn, args, 4)).queryExecution.logical
   }
 }

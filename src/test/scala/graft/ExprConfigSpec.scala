@@ -127,6 +127,32 @@ class ExprConfigSpec extends SparkSpec {
          WHERE doc_id = 1""").collect()
     assert(pushed.map(_.getLong(0)).toSeq == Seq(1L))
 
+    // semantic dedup TVF: SQL equals the DataFrame API, and the bare
+    // fractional literal (a DECIMAL at runtime, not a Number) is
+    // accepted as the threshold
+    val sdVecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(1.0f, 0.02f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    sdVecs.createOrReplaceTempView("sd_vecs_tvf")
+    sdVecs.filter($"vec_id" === 0L || $"vec_id" === 3L)
+      .createOrReplaceTempView("sd_cents_tvf")
+    val sdSql = spark.sql(
+      """SELECT vec_id, kept
+         FROM graft_semantic_dedup('sd_vecs_tvf', 'sd_cents_tvf',
+                                   'vec_id', 'embedding', 0.95)""")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sdApi = graft.operators.Similarity
+      .semanticDedup(sdVecs,
+        sdVecs.filter($"vec_id" === 0L || $"vec_id" === 3L),
+        "vec_id", "embedding", 0.95)
+      .select($"vec_id", $"kept")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sdSql == sdApi, s"sql=$sdSql api=$sdApi")
+    assert(sdSql(3L) == 1) // the orthogonal vector survives
+
     // argument validation: wrong arity and non-literal args both fail
     // at analysis with the function's usage string
     val e1 = intercept[Exception](spark.sql(
