@@ -734,6 +734,33 @@ object Corpus {
           .otherwise(lit(null).cast(DoubleType)).as("mix_weight"))
   }
 
+  /** Apply [[sourceMixWeights]]: emit each row `floor(w)` times plus
+    * one more when its deterministic md5 draw falls under the
+    * fractional part — so a source with weight 2.3 contributes every
+    * doc twice and ~30% of docs a third time, and expected token
+    * shares match the target mixture. The draw reuses
+    * [[stratifiedSample]]'s keyed md5 contract (reproducible across
+    * runs, partitionings and engines); the emitted `epoch` column
+    * (0-based repeat index) keeps output rows distinct for downstream
+    * keying. Weights join back broadcast (sources-sized table); the
+    * repeat is a row-local `explode(sequence(...))` — no shuffle of
+    * the corpus beyond the weight lookup.
+    */
+  def sourceMixResampled(df: DataFrame, keyCol: String, sourceCol: String,
+      textCol: String, target: Map[String, Double] = Map.empty,
+      salt: String = ""): DataFrame = {
+    val weights = sourceMixWeights(df, sourceCol, textCol, target)
+      .select(col(sourceCol), coalesce(col("mix_weight"), lit(0.0)).as("_w"))
+    val base = floor(col("_w")).cast(LongType)
+    val fracThr = round((col("_w") - floor(col("_w"))) * 1000000).cast(LongType)
+    df.join(broadcast(weights), Seq(sourceCol))
+      .withColumn("_n", base +
+        when(keepDraw(col(keyCol), salt) < fracThr, 1L).otherwise(0L))
+      .filter(col("_n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_w", "_n")
+  }
+
   private def temperatureFracs(df: DataFrame, groupCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")

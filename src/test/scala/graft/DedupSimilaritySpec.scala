@@ -436,6 +436,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(matched == Map("a" -> 1.0, "b" -> 1.0), matched)
   }
 
+  test("sourceMixResampled repeats floor(w) times plus a fractional draw") {
+    import graft.operators.Corpus
+    // weights under a uniform target: a=2/3, b=2 (token shares 0.75 /
+    // 0.25). Source b's docs appear exactly twice (integer weight, the
+    // fractional draw adds nothing); source a's appear 0 or 1 times,
+    // matching each key's md5 draw against the 2/3 threshold.
+    val docs = Seq(
+      (1L, "a", "alpha beta"), (2L, "a", "gamma delta"),
+      (3L, "a", "epsilon zeta"), (4L, "b", "eta theta")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.sourceMixResampled(docs, "doc_id", "source", "text")
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSeq
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // b (doc 4): exactly epochs 0 and 1
+    assert(perDoc(4L) == Seq(0L, 1L), perDoc)
+    // a docs: each 0 or 1 copies, epoch always 0
+    Seq(1L, 2L, 3L).foreach { d =>
+      assert(perDoc.getOrElse(d, Seq.empty).forall(_ == 0L), perDoc)
+      assert(perDoc.getOrElse(d, Seq.empty).size <= 1, perDoc)
+    }
+    // the draw is the stratifiedSample md5 contract — replicate it to
+    // pin WHICH a-docs survive (threshold = frac(2/3) scaled to 1e6)
+    val thr = math.round((2.0 / 3.0 - 0.0) * 1000000)
+    val expectA = docs.filter($"source" === "a")
+      .select($"doc_id",
+        pmod(TextAnalysis.md5Long(concat($"doc_id".cast("string"), lit(""))),
+          lit(1000000L)).as("draw"))
+      .as[(Long, Long)].collect()
+      .filter { case (_, draw) => draw < thr }.map(_._1).toSet
+    assert(perDoc.keySet.filter(_ != 4L) == expectA, s"got=$perDoc exp=$expectA")
+    // determinism: a second run is identical
+    val again = Corpus.sourceMixResampled(docs, "doc_id", "source", "text")
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSeq
+    assert(again.sorted == out.sorted)
+  }
+
   test("kmeans refinement: exact decimal means, stable reassignment") {
     val seeds = vecs.filter($"vec_id" === 0L || $"vec_id" === 2L)
     // seed assign: v4 (0,0,1) ties 0.0 to both seeds → lowest id (0)
