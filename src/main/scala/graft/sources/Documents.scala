@@ -115,15 +115,17 @@ object Documents {
     *  - Td, TD, T*, Tm line moves emit "\n" (the PyPDF2-ish layout
     *    heuristic, minus its vertical-position arithmetic)
     *  - text decoded through the document's ToUnicode CMaps when
-    *    present (bfchar/bfrange entries, merged across fonts — subset-
-    *    embedded fonts that remap codes extract correctly). One-byte
-    *    sources decode per byte with WinAnsi (Latin-1 plus the
-    *    0x80–0x9F Windows-1252 block) for unmapped codes; when the
-    *    document's CMaps are uniformly TWO-byte (CID/Identity-H — the
-    *    modern single-subset-font case), strings decode as big-endian
-    *    two-byte codes, unmapped codes emitting nothing. Documents
-    *    mixing 1- and 2-byte fonts would need per-font encoding
-    *    tracking and keep byte decoding — the remaining scope line
+    *    present (bfchar/bfrange entries — subset-embedded fonts that
+    *    remap codes extract correctly). When resource /Font objects
+    *    resolve, each font keeps its OWN CMap and byte width and the
+    *    Tf operator switches decoding per run — so documents mixing
+    *    1-byte and 2-byte (CID/Identity-H) fonts extract correctly.
+    *    Writers without resolvable font objects fall back to the
+    *    merged-CMap policy: per-byte decode with WinAnsi (Latin-1 plus
+    *    the 0x80–0x9F Windows-1252 block) for unmapped codes, or
+    *    big-endian two-byte decode when every parsed CMap source is
+    *    two-byte (unmapped codes emit nothing, like PyPDF2 missing a
+    *    CID)
     *
     * A file without the %PDF- header, or one yielding no parseable
     * text stream at all, raises — the reference logs and re-raises on
@@ -181,18 +183,23 @@ object Documents {
         idx = nextStream(end + 9)
       }
     }
-    // pass 2 — run the text operators with the merged CMap in hand.
-    // A document whose CMaps are uniformly two-byte is a CID/Identity-H
-    // document: its strings are big-endian two-byte code sequences.
-    // Mixed-width documents keep byte decoding (the 1-byte mappings
-    // would be unreachable otherwise) — per-font tracking is the
-    // documented scope line.
+    // pass 1.5 — structured per-font encodings: resolve resource
+    // /Font name → font object → its own /ToUnicode CMap, so documents
+    // MIXING 1- and 2-byte fonts decode each text run under the font
+    // the Tf operator selects
+    val fonts = resolveFonts(raw, bytes)
+    // pass 2 — run the text operators. Runs under a resolved font use
+    // its own CMap and byte width; runs under unresolvable fonts (or
+    // writers without font objects) fall back to the merged CMap with
+    // the uniform-width heuristic: a document whose CMaps are all
+    // two-byte is a CID/Identity-H document, its strings big-endian
+    // two-byte code sequences.
     val out = new StringBuilder
     var sawText = false
     val codeMap = cmap.toMap
     val twoByte = cmapWidths == scala.collection.Set(2)
     contentStreams.foreach { cs =>
-      val t = extractTextOps(cs, codeMap, twoByte)
+      val t = extractTextOps(cs, codeMap, twoByte, fonts)
       if (t.nonEmpty) {
         out.append(t)
         if (!t.endsWith("\n")) out.append('\n') // reference: page + "\n"
@@ -203,6 +210,99 @@ object Documents {
       throw new IllegalArgumentException(
         s"Error extracting text from PDF (no parseable text content): $pdfPath")
     out.toString
+  }
+
+  /** One font's decoding contract: its ToUnicode map and whether its
+    * string bytes group into big-endian two-byte codes (CID/Identity-H).
+    */
+  private[sources] final case class FontDecode(
+      cmap: Map[Int, String], twoByte: Boolean)
+
+  /** Resolve each resource `/Font` entry (`/F1 5 0 R` pairs, inline
+    * `<<…>>` or via an indirect `/Font N 0 R` resources object) to its
+    * font object's `/ToUnicode` CMap, parsed per font so each keeps its
+    * own byte width. Fonts without a ToUnicode ref resolve to nothing
+    * and fall back to the caller's merged-CMap policy. First binding
+    * wins when pages reuse a name with different fonts — the same
+    * first-mapping-wins trade [[parseToUnicodeCMap]] documents.
+    */
+  private[sources] def resolveFonts(raw: String,
+      bytes: Array[Byte]): Map[String, FontDecode] = {
+    // object index: "N G obj" → body span
+    val spans = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    val om = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+      .matcher(raw)
+    while (om.find()) {
+      val end = raw.indexOf("endobj", om.end())
+      if (!spans.contains(om.group(1).toInt))
+        spans(om.group(1).toInt) = (om.end(), if (end < 0) raw.length else end)
+    }
+    def body(n: Int): Option[String] =
+      spans.get(n).map { case (s, e) => raw.substring(s, e) }
+    // decode object n's stream with the same filter policy as pass 1
+    def streamOf(n: Int): Option[String] = spans.get(n).flatMap { case (s, e) =>
+      val si = raw.indexOf("stream", s)
+      if (si < 0 || si >= e) None
+      else {
+        val dict = raw.substring(s, si)
+        var ds = si + 6
+        if (ds < raw.length && raw.charAt(ds) == '\r') ds += 1
+        if (ds < raw.length && raw.charAt(ds) == '\n') ds += 1
+        val de0 = raw.indexOf("endstream", ds)
+        if (de0 < 0) None
+        else {
+          var de = de0
+          if (de > ds && raw.charAt(de - 1) == '\n') de -= 1
+          if (de > ds && raw.charAt(de - 1) == '\r') de -= 1
+          val data = java.util.Arrays.copyOfRange(bytes, ds, math.max(de, ds))
+          val dec =
+            if (dict.contains("/FlateDecode")) inflate(data)
+            else if (dict.contains("/Filter")) None
+            else Some(data)
+          dec.map(b => new String(b, StandardCharsets.ISO_8859_1))
+        }
+      }
+    }
+    val assoc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def pairsFrom(dict: String): Unit = {
+      val pm = java.util.regex.Pattern.compile("/(\\w+)\\s+(\\d+)\\s+\\d+\\s+R")
+        .matcher(dict)
+      while (pm.find())
+        if (!assoc.contains(pm.group(1))) assoc(pm.group(1)) = pm.group(2).toInt
+    }
+    val fm = java.util.regex.Pattern.compile("/Font\\s*").matcher(raw)
+    while (fm.find()) {
+      val after = fm.end()
+      if (raw.startsWith("<<", after)) {
+        // balanced << >> scan: resource font dicts can nest
+        var depth = 0; var j = after; var stop = -1
+        while (j < raw.length - 1 && stop < 0) {
+          if (raw.startsWith("<<", j)) { depth += 1; j += 2 }
+          else if (raw.startsWith(">>", j)) {
+            depth -= 1; j += 2; if (depth == 0) stop = j
+          } else j += 1
+        }
+        if (stop > 0) pairsFrom(raw.substring(after, stop))
+      } else {
+        // indirect resources: /Font N 0 R
+        val im = java.util.regex.Pattern.compile("^(\\d+)\\s+\\d+\\s+R")
+          .matcher(raw.substring(after, math.min(after + 32, raw.length)))
+        if (im.find()) body(im.group(1).toInt).foreach(pairsFrom)
+      }
+    }
+    assoc.iterator.flatMap { case (name, fontObj) =>
+      body(fontObj).flatMap { fdict =>
+        val tu = java.util.regex.Pattern
+          .compile("/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R").matcher(fdict)
+        if (!tu.find()) None
+        else streamOf(tu.group(1).toInt).map { cs =>
+          val map = scala.collection.mutable.Map.empty[Int, String]
+          val widths = scala.collection.mutable.Set.empty[Int]
+          parseToUnicodeCMap(cs, map, widths)
+          name -> FontDecode(map.toMap, widths == scala.collection.Set(2))
+        }
+      }
+    }.toMap
   }
 
   /** Merge one ToUnicode CMap stream's mappings into `into`. Handles
@@ -346,26 +446,39 @@ object Documents {
     * document's merged ToUnicode mappings; with `twoByte` the string
     * bytes decode as big-endian two-byte codes (CID/Identity-H fonts —
     * unmapped codes emit nothing, like PyPDF2 missing a CID), otherwise
-    * per byte with WinAnsi for unmapped codes. Escape sequences and
-    * nested parens produce string BYTES first and decode through the
-    * font mapping like any other byte (PDF string semantics).
+    * per byte with WinAnsi for unmapped codes. When `fonts` resolves
+    * the name a `Tf` operator selects, that font's own CMap and byte
+    * width override the merged policy for the following runs — the
+    * mixed 1-/2-byte-font case. Escape sequences and nested parens
+    * produce string BYTES first and decode through the font mapping
+    * like any other byte (PDF string semantics).
     */
   private[sources] def extractTextOps(content: String,
-      cmap: Map[Int, String] = Map.empty, twoByte: Boolean = false): String = {
+      cmap: Map[Int, String] = Map.empty, twoByte: Boolean = false,
+      fonts: Map[String, FontDecode] = Map.empty): String = {
     val out = new StringBuilder
     val operands = scala.collection.mutable.ArrayBuffer.empty[String]
     var inText = false
     val n = content.length
     var i = 0
-    def decodeByte(code: Int): String =
-      cmap.getOrElse(code & 0xFF, winAnsi(code).toString)
-    def decodeCodes(bs: scala.collection.Seq[Int]): String =
-      if (twoByte)
+    var lastName: String = "" // most recent /Name operand (Tf's font)
+    var curFont: Option[FontDecode] = None
+    def decodeByte(code: Int): String = {
+      val m = curFont.map(_.cmap).getOrElse(cmap)
+      m.getOrElse(code & 0xFF, winAnsi(code).toString)
+    }
+    def decodeCodes(bs: scala.collection.Seq[Int]): String = {
+      val (m, two) = curFont match {
+        case Some(f) => (f.cmap, f.twoByte)
+        case None => (cmap, twoByte)
+      }
+      if (two)
         // odd trailing byte: ignored (a malformed CID string)
         bs.grouped(2).collect { case scala.collection.Seq(a, b) =>
-          cmap.getOrElse(((a & 0xFF) << 8) | (b & 0xFF), "")
+          m.getOrElse(((a & 0xFF) << 8) | (b & 0xFF), "")
         }.mkString
       else bs.iterator.map(decodeByte).mkString
+    }
 
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
@@ -433,7 +546,9 @@ object Documents {
       else if (c == '%') { while (i < n && content.charAt(i) != '\n') i += 1 }
       else if (c == '/') {
         i += 1
+        val nameStart = i
         while (i < n && !" \t\r\n()<>[]{}/%".contains(content.charAt(i))) i += 1
+        lastName = content.substring(nameStart, i)
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
         val start = i
         while (i < n && (content.charAt(i).isLetterOrDigit ||
@@ -445,6 +560,10 @@ object Documents {
           case "TJ" => if (inText) emit(prefixNewline = false) else operands.clear()
           case "'" | "\"" => if (inText) emit(prefixNewline = true) else operands.clear()
           case "Td" | "TD" | "Tm" | "T*" => newline(); operands.clear()
+          case "Tf" => // font select: /Name size Tf — switch decoding;
+            // an unresolved name reverts to the merged-CMap policy
+            curFont = fonts.get(lastName)
+            operands.clear()
           case _ => operands.clear() // any other operator consumes its operands
         }
       } else i += 1 // digits, signs, whitespace, [ ] { }

@@ -214,6 +214,40 @@ class PipelineSpec extends SparkSpec {
     assert(Documents.readResume(pdf.toString) == "Spqrk\nSp\n")
   }
 
+  test("resume reader switches decoding per font in mixed 1-/2-byte PDFs") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-mixed")
+    // /F1 is a single-byte subset font (0x41→"one"), /F2 a CID font
+    // (<0041>→"two"). The same code decodes differently under each —
+    // only per-font Tf tracking gets both right. After /F3 (no font
+    // object) the merged-policy fallback applies: mixed widths → byte
+    // decode, 0x5A unmapped in the MERGED map? it IS absent → WinAnsi Z.
+    val content = "BT /F1 12 Tf (\\101) Tj T* /F2 12 Tf <0041> Tj T* " +
+      "/F3 12 Tf (Z) Tj ET"
+    val cmap1 = "1 beginbfchar\n<41> <006F006E0065>\nendbfchar\n"
+    val cmap2 = "1 beginbfchar\n<0041> <00740077006F>\nendbfchar\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 7 0 R >> endobj\n")
+    w("6 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/ToUnicode 8 0 R >> endobj\n")
+    w(s"7 0 obj << /Length ${cmap1.length} >> stream\n")
+    w(cmap1); w("\nendstream endobj\n")
+    w(s"8 0 obj << /Length ${cmap2.length} >> stream\n")
+    w(cmap2); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("mixed.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    assert(Documents.readResume(pdf.toString) == "one\ntwo\nZ\n")
+  }
+
   test("resume reader extracts DOCX paragraphs like the reference's extractor") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-docx")
