@@ -64,12 +64,26 @@ object ScaleShakeout {
 
     val spill = new java.util.concurrent.atomic.AtomicLong(0L)
     val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    // SHAKEOUT_STAGES=1: per-stage forensics (wall, tasks, records)
+    // for attributing a slow operator to its stage
+    val stageTrace = sys.env.contains("SHAKEOUT_STAGES")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
         if (m != null) {
           spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+          if (stageTrace) {
+            val i = sc.stageInfo
+            val wall = (for {
+              s <- i.submissionTime; c <- i.completionTime
+            } yield (c - s) / 1e3).getOrElse(-1.0)
+            println(f"  stage ${i.stageId}%3d ${wall}%7.1fs " +
+              f"tasks=${i.numTasks}%-4d in=${m.inputMetrics.recordsRead}%-10d " +
+              f"sh_r=${m.shuffleReadMetrics.recordsRead}%-10d " +
+              f"sh_w=${m.shuffleWriteMetrics.recordsWritten}%-10d " +
+              i.name.takeWhile(_ != '\n').take(60))
+          }
         }
       }
     })
