@@ -149,6 +149,15 @@ class ScaleSpec extends SparkSpec {
     }
     assert(q124s.contains("InMemoryTableScan"), q124s)
 
+    // the mix resampler joins the sources-sized weight table broadcast
+    // and repeats rows with a row-local explode — the corpus must not
+    // shuffle (no Exchange between the corpus scan and the explode)
+    val resampled = graft.operators.Corpus.sourceMixResampled(
+      graft.Graft.table(spark, dir, "documents"), "doc_id", "source", "text")
+      .queryExecution.sparkPlan.toString
+    assert(resampled.contains("BroadcastHashJoin"), resampled)
+    assert(resampled.contains("Generate"), resampled) // the explode
+
     // q23 carries the posting-list skew cap inside the capped native
     // pair aggregate (bounded buffers; overflow = pruned) — one corpus
     // pass, no anti-join, no persisted intermediate. Reset caches
