@@ -246,6 +246,27 @@ class PipelineSpec extends SparkSpec {
     val pdf = tmp.resolve("mixed.pdf")
     java.nio.file.Files.write(pdf, bos.toByteArray)
     assert(Documents.readResume(pdf.toString) == "one\ntwo\nZ\n")
+
+    // the indirect form — /Font 9 0 R pointing at a separate font-dict
+    // object — must resolve identically
+    val bos2 = new java.io.ByteArrayOutputStream()
+    def w2(s: String): Unit = bos2.write(s.getBytes("ISO-8859-1"))
+    w2("%PDF-1.4\n")
+    w2("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w2("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w2("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font 9 0 R >> >> endobj\n")
+    val content2 = "BT /F1 12 Tf (\\101) Tj ET"
+    w2(s"4 0 obj << /Length ${content2.length} >> stream\n")
+    w2(content2); w2("\nendstream endobj\n")
+    w2("5 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 7 0 R >> endobj\n")
+    w2(s"7 0 obj << /Length ${cmap1.length} >> stream\n")
+    w2(cmap1); w2("\nendstream endobj\n")
+    w2("9 0 obj << /F1 5 0 R >> endobj\n")
+    w2("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf2 = tmp.resolve("indirect.pdf")
+    java.nio.file.Files.write(pdf2, bos2.toByteArray)
+    assert(Documents.readResume(pdf2.toString) == "one\n")
   }
 
   test("resume reader extracts DOCX paragraphs like the reference's extractor") {
