@@ -63,6 +63,14 @@ object Caches {
     }
   }
 
+  /** Number of registry entries pinned for `spark` (test observability). */
+  private[graft] def ownedCount(spark: SparkSession): Int = {
+    var n = 0
+    val it = owned.iterator()
+    while (it.hasNext) if (it.next().sparkSession eq spark) n += 1
+    n
+  }
+
   /** Unpersist every engine-pinned intermediate of `spark`'s session. */
   def release(spark: SparkSession): Unit = {
     val it = owned.iterator()

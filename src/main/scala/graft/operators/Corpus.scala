@@ -699,7 +699,13 @@ object Corpus {
     * epochs), < 1 to downsample. The target defaults to uniform over
     * observed sources; an explicit target map is renormalized over the
     * sources actually present so the emitted target shares always form
-    * a proper mixture. Complements [[temperatureSample]], which
+    * a proper mixture. Sources ABSENT from an explicit target map get
+    * target weight 0 — target_share 0 and mix_weight 0, which
+    * [[sourceMixResampled]] then drops entirely (by design: the target
+    * IS the mixture). If the target covers none of the present sources
+    * at all, every target_share renormalizes to 0 rather than null and
+    * the resampled corpus is empty — an all-zero / no-positive-weight
+    * target map is rejected up front. Complements [[temperatureSample]], which
     * rebalances by DOC counts through a fixed α curve rather than an
     * arbitrary token-level target.
     *
@@ -712,6 +718,8 @@ object Corpus {
   def sourceMixWeights(df: DataFrame, sourceCol: String, textCol: String,
       target: Map[String, Double] = Map.empty): DataFrame = {
     require(target.values.forall(_ >= 0), "target weights must be >= 0")
+    require(target.isEmpty || target.values.exists(_ > 0),
+      "an explicit target map must assign positive weight to at least one source")
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(graft.functions.TextAnalysis.tokenCount(
@@ -726,7 +734,12 @@ object Corpus {
       .withColumn("_t", tExpr)
       .withColumn("_share", col("n_tokens").cast(DoubleType) /
         sum(col("n_tokens")).over(all).cast(DoubleType))
-      .withColumn("_tshare", col("_t") / sum(col("_t")).over(all))
+      // a target covering NO present source renormalizes over a zero
+      // sum: emit explicit 0s (drop-everything, honestly labeled), not
+      // a null cascade
+      .withColumn("_tshare",
+        when(sum(col("_t")).over(all) > 0,
+          col("_t") / sum(col("_t")).over(all)).otherwise(lit(0.0)))
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         round(col("_share"), 6).as("token_share"),
         round(col("_tshare"), 6).as("target_share"),

@@ -296,7 +296,17 @@ object Similarity {
     * all-pairs joins.
     */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double): DataFrame =
+    semanticDedupWithCache(corpus, centroids, idCol, vecCol, threshold)._1
+
+  /** [[semanticDedup]] plus the persisted cell-assignment intermediate
+    * it pins, so plan-splicing callers (the SQL TVF) can key their memo
+    * on whether that cache is still live instead of re-persisting a
+    * fresh copy per analysis.
+    */
+  private[graft] def semanticDedupWithCache(corpus: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     // both self-join sides reference the assignment — persist it once
     // (Catalyst does not share subplans, so an uncached frame would
     // run the centroid-scoring pass and its window twice)
@@ -310,7 +320,7 @@ object Similarity {
       col(vecCol).as("_nv"), col("centroid_sim").as("_ncs"))
     // left join keeps singleton cells' vectors (trivially kept); the
     // dominance verdict folds to one max() per vector
-    a.join(b, Seq("centroid_id"), "left")
+    val result = a.join(b, Seq("centroid_id"), "left")
       .withColumn("_dominated",
         when(col("_nid").isNotNull && col("_nid") =!= col("_id") &&
           round(cosine(col("_v"), col("_nv")), 6) >= threshold &&
@@ -320,5 +330,6 @@ object Similarity {
       .groupBy(col("_id").as(idCol), col("centroid_id"), col("_cs"))
       .agg((max(col("_dominated")) === 0).cast(IntegerType).as("kept"))
       .withColumnRenamed("_cs", "centroid_sim")
+    (result, assigned)
   }
 }

@@ -120,18 +120,54 @@ object TableFunctions {
   }
 
   /** graft_semantic_dedup(corpus_view, centroids_view, id_col, vec_col,
-    * threshold) — [[Similarity.semanticDedup]]. Note the operator
-    * persists its cell assignment (both self-join sides consume it), so
-    * the spliced plan carries an in-memory relation; the cache is
-    * released by the session's cache lifecycle like the DataFrame form.
+    * threshold) — [[Similarity.semanticDedup]]. The operator persists
+    * its cell assignment (both self-join sides consume it), so the
+    * spliced plan carries a `Caches.own`-pinned intermediate. The
+    * builder runs per ANALYSIS of the SQL, so it MEMOIZES the spliced
+    * plan keyed on (session, args, the views' resolved plans): repeated
+    * `spark.sql` / EXPLAIN of the same statement reuse one pinned
+    * assignment instead of accumulating a fresh cache entry each time.
+    * A memo entry is reused only while its assignment is still
+    * persisted — after `Caches.release` the next invocation rebuilds
+    * (and re-pins); replacing a temp view changes the key and builds
+    * fresh. Long-lived sessions still call `Caches.release(spark)`
+    * between logical jobs, same as the DataFrame form.
     */
   private def semanticDedup(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_semantic_dedup"
     require(args.length == 5,
       s"$fn(corpus_view, centroids_view, id_col, vec_col, threshold)")
-    Similarity.semanticDedup(
-      table(strArg(fn, args, 0)), table(strArg(fn, args, 1)),
-      strArg(fn, args, 2), strArg(fn, args, 3),
-      numArg(fn, args, 4)).queryExecution.logical
+    val (corpus, cents) = (table(strArg(fn, args, 0)), table(strArg(fn, args, 1)))
+    val key = (SparkSession.active,
+      List(strArg(fn, args, 2), strArg(fn, args, 3),
+        numArg(fn, args, 4).toString),
+      corpus.queryExecution.analyzed.canonicalized,
+      cents.queryExecution.analyzed.canonicalized)
+    dedupMemo.get(key) match {
+      case Some((plan, assigned))
+          if assigned.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        plan
+      case _ =>
+        val (df, assigned) = Similarity.semanticDedupWithCache(corpus, cents,
+          strArg(fn, args, 2), strArg(fn, args, 3), numArg(fn, args, 4))
+        val plan = df.queryExecution.logical
+        pruneMemo()
+        dedupMemo.put(key, (plan, assigned))
+        plan
+    }
   }
+
+  // memo: one live spliced plan per (session, args, input plans); see
+  // semanticDedup's docstring. Entries whose assignment was released
+  // are replaced on next access; entries of stopped sessions pruned.
+  private type DedupKey = (SparkSession, List[String], LogicalPlan, LogicalPlan)
+  private val dedupMemo =
+    new scala.collection.concurrent.TrieMap[DedupKey, (LogicalPlan, DataFrame)]()
+  private def pruneMemo(): Unit =
+    dedupMemo.keysIterator.foreach { k =>
+      val stale =
+        try k._1.sparkContext.isStopped
+        catch { case scala.util.control.NonFatal(_) => true }
+      if (stale) dedupMemo.remove(k)
+    }
 }

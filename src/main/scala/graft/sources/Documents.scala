@@ -212,6 +212,11 @@ object Documents {
     out.toString
   }
 
+  /** Width tag for two-byte CMap source codes: a two-byte <0041> keys
+    * as `0x10000 | 0x41`, distinct from a one-byte <41>'s `0x41`.
+    */
+  private[sources] final val TwoByteTag = 0x10000
+
   /** One font's decoding contract: its ToUnicode map and whether its
     * string bytes group into big-endian two-byte codes (CID/Identity-H).
     */
@@ -225,17 +230,49 @@ object Documents {
     * and fall back to the caller's merged-CMap policy. First binding
     * wins when pages reuse a name with different fonts — the same
     * first-mapping-wins trade [[parseToUnicodeCMap]] documents.
+    *
+    * Matches that fall INSIDE a stream's byte payload are skipped:
+    * compressed (Flate) data can contain byte runs spelling "N G obj"
+    * or "/Font", and indexing those would shadow the real object N and
+    * decode text under the wrong CMap. Stream payload spans are known
+    * from the same stream/endstream scan pass 1 uses.
     */
   private[sources] def resolveFonts(raw: String,
       bytes: Array[Byte]): Map[String, FontDecode] = {
+    // stream payload spans (data between "stream"+EOL and "endstream"):
+    // anything the object/font regexes match inside these is payload
+    // bytes, not document structure
+    val streamSpans = {
+      val sp = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def nextStream(from: Int): Int = {
+        var i = raw.indexOf("stream", from)
+        while (i >= 3 && raw.regionMatches(i - 3, "end", 0, 3))
+          i = raw.indexOf("stream", i + 6)
+        i
+      }
+      var i = nextStream(0)
+      while (i >= 0) {
+        var s = i + 6
+        if (s < raw.length && raw.charAt(s) == '\r') s += 1
+        if (s < raw.length && raw.charAt(s) == '\n') s += 1
+        val end = raw.indexOf("endstream", s)
+        if (end < 0) i = -1
+        else { sp += ((s, end)); i = nextStream(end + 9) }
+      }
+      sp.toVector
+    }
+    def inStream(pos: Int): Boolean =
+      streamSpans.exists { case (s, e) => pos >= s && pos < e }
     // object index: "N G obj" → body span
     val spans = scala.collection.mutable.Map.empty[Int, (Int, Int)]
     val om = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
       .matcher(raw)
     while (om.find()) {
-      val end = raw.indexOf("endobj", om.end())
-      if (!spans.contains(om.group(1).toInt))
-        spans(om.group(1).toInt) = (om.end(), if (end < 0) raw.length else end)
+      if (!inStream(om.start())) {
+        val end = raw.indexOf("endobj", om.end())
+        if (!spans.contains(om.group(1).toInt))
+          spans(om.group(1).toInt) = (om.end(), if (end < 0) raw.length else end)
+      }
     }
     def body(n: Int): Option[String] =
       spans.get(n).map { case (s, e) => raw.substring(s, e) }
@@ -273,7 +310,8 @@ object Documents {
     val fm = java.util.regex.Pattern.compile("/Font\\s*").matcher(raw)
     while (fm.find()) {
       val after = fm.end()
-      if (raw.startsWith("<<", after)) {
+      if (inStream(fm.start())) ()
+      else if (raw.startsWith("<<", after)) {
         // balanced << >> scan: resource font dicts can nest
         var depth = 0; var j = after; var stop = -1
         while (j < raw.length - 1 && stop < 0) {
@@ -313,9 +351,14 @@ object Documents {
     * codes; each parsed source's byte width is recorded in `widths` so
     * the caller can pick the string-decoding mode. Destination hex is
     * UTF-16BE (multi-char destinations — ligatures — are kept whole).
-    * Maps from several fonts merge; on a code collision the first
-    * mapping wins, which is only ambiguous for multi-font documents
-    * whose subset encoders disagree — beyond this extractor's scope.
+    * Map keys are WIDTH-TAGGED (two-byte sources store as
+    * `0x10000 | code`) so a one-byte <41> and a two-byte <0041> source
+    * never collide in the merged map — a mixed-width document falling
+    * back to the merged policy resolves each code under its own width.
+    * Maps from several fonts merge; on a same-width code collision the
+    * first mapping wins, which is only ambiguous for multi-font
+    * documents whose subset encoders disagree — the per-font path
+    * ([[resolveFonts]]) handles those.
     */
   private[sources] def parseToUnicodeCMap(cs: String,
       into: scala.collection.mutable.Map[Int, String],
@@ -329,7 +372,8 @@ object Documents {
     def addIfAbsent(code: Int, srcWidth: Int, dst: String): Unit =
       if (dst.nonEmpty) {
         widths += srcWidth
-        if (!into.contains(code)) into(code) = dst
+        val key = if (srcWidth == 2) TwoByteTag | code else code
+        if (!into.contains(key)) into(key) = dst
       }
     // a source token is usable when its hex spells exactly 1 or 2 bytes
     def srcWidth(hex: String): Int =
@@ -475,7 +519,7 @@ object Documents {
       if (two)
         // odd trailing byte: ignored (a malformed CID string)
         bs.grouped(2).collect { case scala.collection.Seq(a, b) =>
-          m.getOrElse(((a & 0xFF) << 8) | (b & 0xFF), "")
+          m.getOrElse(TwoByteTag | ((a & 0xFF) << 8) | (b & 0xFF), "")
         }.mkString
       else bs.iterator.map(decodeByte).mkString
     }

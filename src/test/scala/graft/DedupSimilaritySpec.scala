@@ -436,6 +436,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(matched == Map("a" -> 1.0, "b" -> 1.0), matched)
   }
 
+  test("sourceMixWeights: zero-sum targets rejected, uncovered sources drop to 0") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      ("a", "alpha beta"), ("a", "gamma delta"), ("b", "eta theta")
+    ).toDF("source", "text")
+    // an all-zero explicit target can never renormalize — rejected
+    intercept[IllegalArgumentException](
+      Corpus.sourceMixWeights(docs, "source", "text",
+        target = Map("a" -> 0.0, "b" -> 0.0)))
+    // a target covering only absent sources renormalizes over zero:
+    // every present source gets explicit 0 shares/weights, not nulls
+    val uncovered = Corpus.sourceMixWeights(docs, "source", "text",
+        target = Map("zz" -> 1.0))
+      .select("source", "target_share", "mix_weight")
+      .as[(String, Double, Double)].collect()
+      .map { case (s, t, w) => s -> ((t, w)) }.toMap
+    assert(uncovered == Map("a" -> ((0.0, 0.0)), "b" -> ((0.0, 0.0))), uncovered)
+    // and the resampler then drops everything — empty, not a crash
+    val resampled = Corpus.sourceMixResampled(
+      docs.withColumn("doc_id", monotonically_increasing_id()),
+      "doc_id", "source", "text", target = Map("zz" -> 1.0))
+    assert(resampled.count() == 0L)
+  }
+
   test("sourceMixResampled repeats floor(w) times plus a fractional draw") {
     import graft.operators.Corpus
     // weights under a uniform target: a=2/3, b=2 (token shares 0.75 /

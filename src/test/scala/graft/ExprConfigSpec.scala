@@ -163,6 +163,38 @@ class ExprConfigSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft_asof_join"))
   }
 
+  test("repeated graft_semantic_dedup invocations reuse one pinned cache") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.14f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("memo_vecs_tvf")
+    vecs.filter($"vec_id" =!= 1L).createOrReplaceTempView("memo_cents_tvf")
+    val sql =
+      """SELECT vec_id, kept
+         FROM graft_semantic_dedup('memo_vecs_tvf', 'memo_cents_tvf',
+                                   'vec_id', 'embedding', 0.9)"""
+    graft.Caches.release(spark)
+    val first = spark.sql(sql).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // re-analyzing the same statement must NOT pin a fresh assignment
+    // copy per call — the ownership registry stays at its post-first-run
+    // size instead of growing one entry per spark.sql
+    val after1 = graft.Caches.ownedCount(spark)
+    (1 to 3).foreach { _ =>
+      assert(spark.sql(sql).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap == first)
+    }
+    assert(graft.Caches.ownedCount(spark) == after1,
+      s"pinned entries grew: $after1 -> ${graft.Caches.ownedCount(spark)}")
+    // after an explicit release the next invocation re-pins (fresh
+    // entry, same result) rather than reusing a dead memo
+    graft.Caches.release(spark)
+    val again = spark.sql(sql).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == first)
+    graft.Caches.release(spark)
+  }
+
   test("session extension injects TVFs into fresh session states") {
     val fresh = spark.newSession()
     import fresh.implicits._

@@ -269,6 +269,67 @@ class PipelineSpec extends SparkSpec {
     assert(Documents.readResume(pdf2.toString) == "one\n")
   }
 
+  test("font resolver ignores 'N 0 obj' byte runs inside stream payloads") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-shadow")
+    // stream 4's PAYLOAD contains bytes spelling "5 0 obj … /ToUnicode
+    // 8 0 R" — compressed data can produce such runs. Indexing that
+    // span would shadow the REAL font object 5 (→ CMap 7, "one") with
+    // the bogus in-payload dict (→ CMap 8, "bad"). The resolver must
+    // skip matches inside known stream byte ranges.
+    val payload = "BT /F1 12 Tf (\\101) Tj ET\n" +
+      "5 0 obj << /Type /Font /ToUnicode 8 0 R >> endobj"
+    val cmapGood = "1 beginbfchar\n<41> <006F006E0065>\nendbfchar\n"
+    val cmapBad = "1 beginbfchar\n<41> <0062006100640021>\nendbfchar\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${payload.length} >> stream\n")
+    w(payload); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /ToUnicode 7 0 R >> endobj\n")
+    w(s"7 0 obj << /Length ${cmapGood.length} >> stream\n")
+    w(cmapGood); w("\nendstream endobj\n")
+    w(s"8 0 obj << /Length ${cmapBad.length} >> stream\n")
+    w(cmapBad); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("shadow.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    assert(Documents.readResume(pdf.toString) == "one\n")
+  }
+
+  test("merged-CMap fallback keys 1-byte and 2-byte codes separately") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-width")
+    // no resolvable font objects → merged-CMap policy. The document
+    // carries a TWO-byte mapping <0041>→"Y" (parsed first) and a
+    // ONE-byte <41>→"X"; mixed widths → per-byte decode, so byte 0x41
+    // must hit the one-byte entry. An untagged merged map would have
+    // bound code 65 to "Y" (first-mapping-wins across widths).
+    val content = "BT (A) Tj ET"
+    val cmap2 = "1 beginbfchar\n<0041> <0059>\nendbfchar\n"
+    val cmap1 = "1 beginbfchar\n<41> <0058>\nendbfchar\n"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    w(s"5 0 obj << /Length ${cmap2.length} >> stream\n")
+    w(cmap2); w("\nendstream endobj\n")
+    w(s"6 0 obj << /Length ${cmap1.length} >> stream\n")
+    w(cmap1); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("width.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    assert(Documents.readResume(pdf.toString) == "X\n")
+  }
+
   test("resume reader extracts DOCX paragraphs like the reference's extractor") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-docx")
