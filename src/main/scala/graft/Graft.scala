@@ -78,6 +78,7 @@ object Graft {
     graft.expr.OrderedPairs.register(spark)
     graft.expr.PostingPairsAgg.register(spark)
     graft.expr.NfcNormalize.register(spark)
+    graft.expr.ImageMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.plans.TableFunctions.register(spark)
     // per-session injection of the opt-in AQP rewrite (a no-op unless

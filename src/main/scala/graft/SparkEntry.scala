@@ -1567,6 +1567,58 @@ object SparkEntry {
       Corpus.sourceMixWeights(t(s, dir, "documents"), "source", "text")
     }),
 
+    // REAL image-container decode: each doc becomes a genuine PNG /
+    // JPEG / GIF byte stream (full signature + header structure built
+    // with doc_id-derived dimensions) or non-image bytes, and the
+    // native graft_image_meta expression parses format, dimensions,
+    // channels and bit depth back out of the bytes. The oracle
+    // recomputes the same metadata from the construction arithmetic —
+    // so a parser that didn't actually read the byte layout would
+    // hash-mismatch. Garbage rows decode to NULL, never error.
+    "q127_image_meta" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def be(c: Column, hexDigits: Int): Column =
+        unhex(lpad(hex(c), hexDigits, "0"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val pngHead = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+        0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 13, 'I', 'H', 'D', 'R'))
+      val pngTail = lit(Array[Byte](0, 0, 0, // compression/filter/interlace
+        0x12, 0x34, 0x56, 0x78, // CRC (unchecked by header decode)
+        0, 0, 0, 0, 'I', 'E', 'N', 'D', 0xAE.toByte, 0x42, 0x60, 0x82.toByte))
+      // SOI + full APP0/JFIF segment (exercises marker skipping) + SOF0
+      val jpegHead = lit(Array[Byte](0xFF.toByte, 0xD8.toByte,
+        0xFF.toByte, 0xE0.toByte, 0x00, 0x10,
+        'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00,
+        0x01, 0x00, 0x00,
+        0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08))
+      val jpegComps = lit(Array[Byte](0x03,
+        0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01))
+      val gifHead = lit("GIF89a".getBytes("ISO-8859-1"))
+      val gifTail = lit(Array[Byte](0xF7.toByte, 0x00, 0x00))
+      val id = col("doc_id")
+      val content =
+        when(id % 3 === 0, // PNG: depth 8, RGB for even ids / gray for odd
+          concat(pngHead, be(id % 300 + 1, 8), be(id % 200 + 1, 8),
+            lit(Array[Byte](8)),
+            when(id % 2 === 0, lit(Array[Byte](2)))
+              .otherwise(lit(Array[Byte](0))), pngTail))
+        .when(id % 3 === 1, // JPEG: SOF0 carries height first, then width
+          concat(jpegHead, be(id % 150 + 1, 4), be(id % 250 + 1, 4), jpegComps))
+        .when(id % 6 === 2, // GIF: 16-bit LITTLE-endian screen descriptor
+          concat(gifHead, le16(id % 500 + 1), le16(id % 400 + 1), gifTail))
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = t(s, dir, "documents").select(id.as("media_id"),
+        lit("image").as("kind"), content.as("content"))
+      Multimodal.imageMeta(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("bit_depth"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -3359,6 +3411,31 @@ object SparkEntry {
               ROUND(tshare, 6) AS target_share,
               CASE WHEN share > 0 THEN ROUND(tshare / share, 6) END AS mix_weight
        FROM shares""",
+
+    // the Spark side CONSTRUCTS real PNG/JPEG/GIF byte streams with
+    // doc_id-derived dimensions and parses them back with the native
+    // header decoder; the oracle replays the construction arithmetic
+    "q127_image_meta" ->
+      """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'png'
+                   WHEN doc_id % 3 = 1 THEN 'jpeg'
+                   WHEN doc_id % 6 = 2 THEN 'gif' END AS format,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 300 + 1 AS INTEGER)
+                   WHEN doc_id % 3 = 1 THEN CAST(doc_id % 250 + 1 AS INTEGER)
+                   WHEN doc_id % 6 = 2 THEN CAST(doc_id % 500 + 1 AS INTEGER)
+              END AS width,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 200 + 1 AS INTEGER)
+                   WHEN doc_id % 3 = 1 THEN CAST(doc_id % 150 + 1 AS INTEGER)
+                   WHEN doc_id % 6 = 2 THEN CAST(doc_id % 400 + 1 AS INTEGER)
+              END AS height,
+              CASE WHEN doc_id % 3 = 0 THEN
+                     CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER)
+                   WHEN doc_id % 3 = 1 THEN CAST(3 AS INTEGER)
+                   WHEN doc_id % 6 = 2 THEN CAST(1 AS INTEGER)
+              END AS channels,
+              CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 2
+                   THEN CAST(8 AS INTEGER) END AS bit_depth
+       FROM documents""",
 
     "q105_winsorize" ->
       """WITH b AS (

@@ -8,11 +8,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus batched decode/feature-extract
   * operators.
   *
-  * The actual media codecs are NOT in this environment, so the decode
-  * kernel is a deterministic fake behind `MediaDecoder` — but the
-  * Spark-side contract is real and tested: schema, partition-sized
-  * batching, and the executor-side iteration shape match what a real
-  * decoder (JNI/ffmpeg or a Python `mapInPandas` worker) plugs into.
+  * Container-header decode is REAL: [[imageMeta]] parses PNG/JPEG/GIF
+  * structure (dimensions, channels, bit depth) from the blob bytes via
+  * the native codegen'd [[graft.expr.ImageMeta]] expression — no
+  * external codec, no stub. Only PIXEL decode (the part that genuinely
+  * needs an image/audio library absent from this environment) stays
+  * behind the pluggable `MediaDecoder`, whose `StubDecoder` is a
+  * deterministic fake; the Spark-side contract around it — schema,
+  * partition-sized batching, executor-side iteration shape — is real
+  * and tested, and a JNI/ffmpeg or Python `mapInPandas` worker plugs
+  * into the same seam.
   *
   * Scale notes: media blobs dominate row size, so operators here
   * (a) never shuffle the binary column (feature extraction projects it
@@ -20,6 +25,23 @@ import org.apache.spark.sql.types._
   * one task's batch fits executor memory.
   */
 object Multimodal {
+
+  /** Parsed container metadata per media row: (media_id, kind,
+    * n_bytes, format, width, height, channels, bit_depth) — format
+    * and dimensions NULL for undecodable blobs (triage with
+    * `format IS NULL`). Pure codegen'd expressions: one bounded
+    * header scan per row, blob projected away immediately.
+    */
+  def imageMeta(media: DataFrame, contentCol: String = "content"): DataFrame = {
+    val meta = call_function(graft.expr.ImageMeta.FunctionName, col(contentCol))
+    media.select(col("media_id"), col("kind"),
+        coalesce(length(col(contentCol)), lit(0)).cast(LongType).as("n_bytes"),
+        meta.as("_m"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("_m.format").as("format"), col("_m.width").as("width"),
+        col("_m.height").as("height"), col("_m.channels").as("channels"),
+        col("_m.bit_depth").as("bit_depth"))
+  }
 
   /** Canonical multimodal record: blob + typed metadata. */
   val MediaSchema: StructType = StructType(Seq(

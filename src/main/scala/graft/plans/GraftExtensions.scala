@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BloomMightContain, CmsSketchAgg, CosineSimilarity, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{BloomMightContain, CmsSketchAgg, CosineSimilarity, ImageMeta, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, WinnowFingerprints, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -78,6 +78,9 @@ object GraftExtensions {
         info(CmsSketchAgg.FunctionName, classOf[CmsSketchAgg]),
         exprs => CmsSketchAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue()))
+          exprs(2).eval().asInstanceOf[Number].intValue())),
+      (FunctionIdentifier(ImageMeta.FunctionName),
+        info(ImageMeta.FunctionName, classOf[ImageMeta]),
+        exprs => ImageMeta(exprs.head))
     )
 }

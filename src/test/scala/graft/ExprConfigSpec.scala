@@ -33,6 +33,56 @@ class ExprConfigSpec extends SparkSpec {
     assert(hashes.size == 1)
   }
 
+  test("graft_image_meta decodes real PNG/JPEG/GIF headers, nulls the rest") {
+    def hexBytes(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a COMPLETE, genuinely valid 1x1 RGBA PNG (signature, IHDR, IDAT
+    // with real zlib data, IEND with correct CRCs)
+    val realPng = hexBytes(
+      "89504E470D0A1A0A0000000D49484452000000010000000108060000001F15C489" +
+      "0000000D49444154789C6360606060000000050001A5F64540" +
+      "0000000049454E44AE426082")
+    // JPEG: SOI, APP0/JFIF, a DQT segment the scanner must skip, SOF0
+    // 16x32 1-component, EOI
+    val realJpeg = hexBytes(
+      "FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFDB0043" + "00" * 65 +
+      "FFC0000B08" + "0010" + "0020" + "01" + "011100" + "FFD9")
+    val gif = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Byte](0x2C, 0x01, 0x58, 0x02, 0xF7.toByte, 0x00, 0x00) // 300x600
+    val rows = Seq(
+      (1L, realPng),
+      (2L, realJpeg),
+      (3L, gif),
+      (4L, "not an image at all".getBytes("UTF-8")),
+      (5L, realPng.take(12)),      // truncated before IHDR fields
+      (6L, hexBytes("FFD8FFD9")),  // SOI+EOI, no frame header
+      (7L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "content")
+    rows.createOrReplaceTempView("img_in")
+    val got = spark.sql(
+      """SELECT id, graft_image_meta(content) AS m FROM img_in""")
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else {
+          val m = r.getStruct(1)
+          Some((m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getInt(4)))
+        })
+      }.toMap
+    assert(got(1L).contains(("png", 1, 1, 4, 8)), got(1L))
+    assert(got(2L).contains(("jpeg", 32, 16, 1, 8)), got(2L))
+    assert(got(3L).contains(("gif", 300, 600, 1, 8)), got(3L))
+    assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty && got(7L).isEmpty)
+    // interpreted eval agrees with the codegen'd path above
+    assert(graft.expr.ImageMeta.parse(realPng) != null)
+    assert(graft.expr.ImageMeta.parse(realJpeg).getInt(1) == 32)
+    assert(graft.expr.ImageMeta.parse(Array.emptyByteArray) == null)
+    // Multimodal.imageMeta projects the struct into flat columns
+    val media = Seq((1L, "image", realPng)).toDF("media_id", "kind", "content")
+    val meta = graft.operators.Multimodal.imageMeta(media).collect()(0)
+    assert(meta.getAs[String]("format") == "png" &&
+      meta.getAs[Int]("width") == 1 && meta.getAs[Long]("n_bytes") == realPng.length)
+  }
+
   test("native cosine_sim is bit-identical to the composed-builtin form") {
     val vecs = Seq(
       (0L, Array(0.1f, -0.2f, 0.93f, 0.4f)),
