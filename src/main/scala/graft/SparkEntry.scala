@@ -560,6 +560,20 @@ object SparkEntry {
         "vec_id", "embedding")
     }),
 
+    // IVF centroid training FROM SCRATCH: deterministic hash-ordered
+    // seed sample (TakeOrdered k, no full sort) + one exact-decimal
+    // refinement round — the auto-k path that keeps semanticDedup in
+    // its safe k~sqrt(N) regime; long-form output for the oracle
+    "q128_train_centroids" -> ((s, dir) => {
+      Graft.tune(s)
+      val cents = Similarity.trainCentroids(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = Some(8), rounds = 1)
+      cents.select(col("vec_id").as("centroid_id"),
+          posexplode(col("embedding")))
+        .select(col("centroid_id"), col("pos").cast(LongType).as("dim"),
+          round(col("col"), 6).as("v"))
+    }),
+
     // SemDeDup semantic dedup: q32's IVF cells, but an end-to-end
     // KEPT/DROPPED verdict per vector rather than a pair list — within
     // each cell the duplicate farthest from the centroid survives
@@ -2085,6 +2099,38 @@ object SparkEntry {
 
     // mirror of kmeansRefineAssign: seed-assign (q30 semantics), exact
     // decimal per-dimension means, re-assign against the refined lists
+    // trainCentroids: hash-ordered seed pick, one assign + exact
+    // decimal mean round; same arithmetic contract as q48
+    "q128_train_centroids" ->
+      """WITH h AS (
+           SELECT vec_id, embedding,
+                  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#seed'), 1, 15))
+                       AS BIGINT) AS hh
+           FROM embeddings),
+         seeds AS (
+           SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS centroid_id,
+                  embedding AS cv
+           FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT 8)),
+         scored AS (
+           SELECT e.vec_id, s.centroid_id, e.embedding,
+                  list_sum([s.cv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                  sqrt(list_sum([s.cv[i]::DOUBLE * s.cv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                  sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+           FROM embeddings e CROSS JOIN seeds s),
+         cells AS (
+           SELECT vec_id, centroid_id, embedding FROM (
+             SELECT vec_id, centroid_id, embedding,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM scored)
+           WHERE rn = 1)
+       SELECT centroid_id, CAST(d.i - 1 AS BIGINT) AS dim,
+              ROUND(CAST(SUM(CAST(ROUND(embedding[d.i]::DOUBLE, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS v
+       FROM cells CROSS JOIN range(1, 65) d(i)
+       GROUP BY 1, 2""",
+
     "q48_kmeans_refine" ->
       """WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
                      WHERE vec_id < 8),

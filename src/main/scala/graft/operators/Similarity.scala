@@ -146,6 +146,67 @@ object Similarity {
         s => s.getField("_m")).as(vecCol))
   }
 
+  /** Train IVF centroids from scratch in the k ≈ √N regime that keeps
+    * within-cell pair expansion bounded (the [[semanticDedup]] /
+    * [[nearDupPairs]] scale contract — see SCALE.md: a cell's pair
+    * count is (N/k)², so k ~ √N holds the per-cell work at ~N and the
+    * whale-cell stress case survives). With `k = None` the count is
+    * taken once (one scalar job — k parameterizes plan construction)
+    * and k = ⌈√N⌉; callers who already know their corpus size pass k
+    * explicitly and skip the count.
+    *
+    * Seeds are a DETERMINISTIC hash-ordered sample: the k rows with
+    * the smallest md5(id ∥ "#seed" ∥ salt) — reproducible across runs,
+    * partitionings and engines (the stratifiedSample md5 contract),
+    * implemented as a TakeOrdered(k) (no full sort materializes).
+    * Centroid ids are 0..k−1 in hash order. Each refinement round is
+    * one [[ivfAssign]] + one exact-decimal [[kmeansRecompute]]; cells
+    * that lose all members drop out (k can shrink — standard k-means
+    * behavior, harmless for bucketing).
+    *
+    * Returns (idCol, vecCol) — the shape [[semanticDedup]] and the
+    * `ivf*` family take as their `centroids` argument.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Option[Int] = None, rounds: Int = 1, salt: String = ""): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val kk = k.getOrElse {
+      val n = corpus.count()
+      math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    }
+    require(kk >= 1, s"k must be >= 1: $kk")
+    val hash = graft.functions.TextAnalysis.md5Long(
+      concat(col(idCol).cast(StringType), lit("#seed" + salt)))
+    val picked = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_h", hash)
+      .orderBy(col("_h"), col(idCol))
+      .limit(kk)
+    // k rows total: the id-assignment window runs on a k-sized frame
+    val w = Window.orderBy(col("_h"), col(idCol))
+    var cents = picked
+      .select((row_number().over(w) - 1).cast(LongType).as(idCol),
+        col(vecCol))
+    for (_ <- 1 to rounds) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      cents = kmeansRecompute(assigned, vecCol)
+        .withColumnRenamed("centroid_id", idCol)
+    }
+    cents
+  }
+
+  /** [[semanticDedup]] with self-trained centroids in the safe k ≈ √N
+    * regime — the default entry point when the caller has no index:
+    * one [[trainCentroids]] pass (auto-k unless given), centroids
+    * pinned (they broadcast into both the assignment and the scoring
+    * join), then the standard dominance dedup.
+    */
+  def semanticDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Option[Int] = None, rounds: Int = 1): DataFrame = {
+    val cents = graft.Caches.own(
+      trainCentroids(corpus, idCol, vecCol, k, rounds))
+    semanticDedup(corpus, cents, idCol, vecCol, threshold)
+  }
+
   /** IVF with one k-means refinement: assign to the seed centroids,
     * recompute each cell's mean, re-assign against the refined
     * centroids. Returns the final (id, centroid_id) assignment; more

@@ -374,6 +374,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(solo == Map(3L -> 1), solo)
   }
 
+  test("trainCentroids: auto-k = ceil(sqrt(N)), deterministic seeds, refined means") {
+    // 9 vectors in 3 tight groups → auto-k picks ceil(sqrt(9)) = 3
+    val corpus = (0 until 9).map { i =>
+      val base = Array.fill(4)(0.0f)
+      base(i / 3) = 1.0f
+      base(3) = 0.01f * (i % 3)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding")
+    assert(cents.columns.toSeq == Seq("vec_id", "embedding"))
+    val k = cents.count()
+    assert(k <= 3 && k >= 1, s"auto-k picked $k cells") // cells can merge
+    // deterministic: a second training run is identical
+    val again = Similarity.trainCentroids(corpus, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = cents.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == first)
+    // explicit k bypasses the count and seeds exactly k cells pre-refine
+    val seeded = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      k = Some(4), rounds = 0)
+    assert(seeded.count() == 4)
+    // rounds=0 returns raw seed vectors: members of the corpus itself
+    val seedVecs = seeded.collect().map(_.getSeq[Float](1).toList).toSet
+    val corpusVecs = corpus.collect().map(_.getSeq[Float](1).toList).toSet
+    assert(seedVecs.subsetOf(corpusVecs))
+    // the auto pipeline: dedup with self-trained centroids equals
+    // dedup against the same centroids passed explicitly
+    val auto = Similarity.semanticDedupAuto(corpus, "vec_id", "embedding",
+        threshold = 0.999)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    val explicit = Similarity.semanticDedup(corpus,
+        Similarity.trainCentroids(corpus, "vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("vec_id", "kept").as[(Long, Int)].collect().toMap
+    assert(auto == explicit, s"auto=$auto explicit=$explicit")
+    assert(auto.values.sum < 9, "threshold 0.999 should drop some near-dups")
+    graft.Caches.release(spark)
+  }
+
   test("semanticDedup matches a brute-force dominance model (property)") {
     // the relational shape (cell self-join + per-vector max) must equal
     // the straight-line model: assign by best rounded cosine (ties →
