@@ -123,7 +123,7 @@ object Dedup {
     * `_n` (it counts the original distinct strings); the id1≠id2 guard
     * in [[pairCounts]] drops any self-pair such a collision fabricates.
     */
-  private def postingsWithSize(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def postingsWithSize(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     shingleSets(df, idCol, textCol, n)
       .select(col("_id"), size(col("_sh")).as("_n"), explode(col("_sh")).as("_s0"))
@@ -145,8 +145,11 @@ object Dedup {
     */
   private def pairCounts(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocFreq: Long): DataFrame =
-    postingsWithSize(df, idCol, textCol, n)
-      .groupBy("_s")
+    pairCountsFromPostings(postingsWithSize(df, idCol, textCol, n), maxDocFreq)
+
+  private def pairCountsFromPostings(p: DataFrame,
+      maxDocFreq: Long): DataFrame =
+    p.groupBy("_s")
       .agg(call_function(graft.expr.PostingPairsAgg.FunctionName,
         col("_id"), col("_n"), lit(maxDocFreq)).as("_ps"))
       .filter(col("_ps").isNotNull)
@@ -155,6 +158,20 @@ object Dedup {
       .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .agg(count(lit(1)).as("_common"),
         min(col("_p.n1")).as("_n1"), min(col("_p.n2")).as("_n2"))
+
+  /** [[jaccardPairs]] over an already-reduced postings frame — the
+    * within-batch half of the incremental-ingest dedup (the batch's
+    * postings are computed once and serve both this and the
+    * cross-corpus check).
+    */
+  private[graft] def jaccardFromPostings(p: DataFrame,
+      threshold: Double, maxDocFreq: Long): DataFrame =
+    pairCountsFromPostings(p, maxDocFreq)
+      .withColumn("jaccard",
+        round(col("_common").cast(DoubleType) /
+          (col("_n1") + col("_n2") - col("_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
 
   /** Cross-corpus near-dup pairs: (a, b) with a FROM `corpusA` and
     * b FROM `corpusB` whose n-gram Jaccard ≥ threshold — the
@@ -178,9 +195,23 @@ object Dedup {
     */
   def crossJaccardPairs(corpusA: DataFrame, corpusB: DataFrame,
       idCol: String, textCol: String, n: Int, threshold: Double,
-      maxDocFreq: Long = 0L): DataFrame = {
-    val pa = postingsWithSize(corpusA, idCol, textCol, n)
-    val pb = postingsWithSize(corpusB, idCol, textCol, n)
+      maxDocFreq: Long = 0L): DataFrame =
+    crossJaccardFromPostings(
+      postingsWithSize(corpusA, idCol, textCol, n),
+      postingsWithSize(corpusB, idCol, textCol, n),
+      threshold, maxDocFreq)
+
+  /** [[crossJaccardPairs]] over ALREADY-REDUCED postings frames
+    * (`(_id, _n, _s)` — the [[postings]] shape): the incremental-ingest
+    * form, where side B is a MATERIALIZED posting table (bucketed by
+    * `_s`) and only side A's text was shingled this batch. The corpus
+    * never re-tokenizes and — when the table is `_s`-bucketed — never
+    * re-shuffles: the uncapped branch's equi-join reads the bucketed
+    * scan's existing hash partitioning and exchanges only the
+    * batch-sized side.
+    */
+  private[graft] def crossJaccardFromPostings(pa: DataFrame, pb: DataFrame,
+      threshold: Double, maxDocFreq: Long): DataFrame = {
     val common =
       if (maxDocFreq <= 0) {
         pa.select(col("_s"), col("_id").as("id_a"), col("_n").as("_na"))

@@ -172,6 +172,88 @@ object StreamingIngest {
   def readBucketedTable(spark: SparkSession, tablePath: String): DataFrame =
     spark.read.parquet(tablePath).drop("_bucket")
 
+  /** Streaming ingest with DEDUP-ON-ARRIVAL: each micro-batch is
+    * checked against the ACCUMULATED corpus via its materialized
+    * n-gram posting index — the production shape of a 100 TB
+    * training-data pipeline, where re-shingling (or even re-reading)
+    * the corpus per batch is off the table.
+    *
+    * Per trigger:
+    *  1. the batch alone is reduced to `(_id, _n, _s)` shingle
+    *     postings (one pass over BATCH text only);
+    *  2. batch-vs-corpus near-dups: [[graft.operators.Dedup
+    *     .crossJaccardFromPostings]] joins the batch postings against
+    *     the postings TABLE (parquet, `bucketBy(_s)`) — the corpus side
+    *     arrives pre-hashed from the bucketed scan, so only the
+    *     batch-sized side shuffles and the corpus index is read, never
+    *     rebuilt;
+    *  3. within-batch near-dups keep the lowest id of each pair
+    *     (greedy, same as batch [[graft.operators.Dedup.jaccardPairs]]
+    *     consumers);
+    *  4. surviving rows APPEND to the docs table; their postings
+    *     APPEND into the bucketed index (new files per touched bucket —
+    *     existing files are never rewritten, so the index grows
+    *     incrementally and untouched buckets stay byte-identical).
+    *
+    * Retry semantics: appends are not transactional, but a REPLAYED
+    * batch self-filters — its rows' postings are already in the index,
+    * so every row rejoins itself at jaccard 1.0 ≥ threshold and drops
+    * (holds for threshold ≤ 1 whenever the row produced at least one
+    * unpruned shingle). Documents too short to shingle (< n tokens)
+    * have no postings: they always pass the filter and are exempt from
+    * that replay guard — dedup them upstream by key
+    * ([[dedupStreamByKey]]) as usual.
+    */
+  def dedupIngestSink(stream: DataFrame, docsPath: String,
+      postingsTable: String, checkpoint: String, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Long = 0L, buckets: Int = 32,
+      trigger: Trigger = Trigger.ProcessingTime("15 minutes")): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupIngestBatch(batch, docsPath, postingsTable, idCol, textCol,
+          n, threshold, maxDocFreq, buckets)
+      }
+
+  /** One [[dedupIngestSink]] micro-batch — public so retry behavior is
+    * directly testable.
+    */
+  def dedupIngestBatch(batch: DataFrame, docsPath: String,
+      postingsTable: String, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDocFreq: Long, buckets: Int): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    // three consumers (cross-corpus join, within-batch pairs, survivor
+    // postings) share one shingle+hash pass; released before return
+    val bp = Dedup.postingsWithSize(batch, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupVsCorpus =
+        if (spark.catalog.tableExists(postingsTable))
+          Dedup.crossJaccardFromPostings(bp, spark.table(postingsTable),
+              threshold, maxDocFreq)
+            .select(col("id_a").as("_dup"))
+        else spark.range(0).select(col("id").as("_dup"))
+      val dupInBatch = Dedup.jaccardFromPostings(bp, threshold, maxDocFreq)
+        .select(col("id2").as("_dup")) // pairs are ordered: keep id1
+      val dups = dupVsCorpus.unionByName(dupInBatch).distinct()
+      val survivors = batch.join(dups, batch(idCol) === col("_dup"),
+        "left_anti")
+      survivors.write.mode("append").parquet(docsPath)
+      val sp = bp.join(survivors.select(col(idCol).as("_sid")),
+        col("_id") === col("_sid"), "left_semi")
+      sp.write.mode("append").format("parquet")
+        .bucketBy(buckets, "_s").sortBy("_s")
+        .saveAsTable(postingsTable)
+    } finally {
+      bp.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** St6: one SCD2 micro-batch merge — the unit of work [[scd2Sink]]
     * runs per trigger, public so retries are testable directly.
     *

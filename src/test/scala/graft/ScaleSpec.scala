@@ -61,6 +61,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("ingest dedup joins the corpus postings index without reshuffling it") {
+    import graft.operators.Dedup
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    Scale.writeBucketed(Dedup.postingsWithSize(corpus, "doc_id", "text", 2),
+      "ingest_postings_spec_t", "_s", 4)
+    try {
+      val batch = Seq((9L, "alpha beta gamma echo")).toDF("doc_id", "text")
+      val bp = Dedup.postingsWithSize(batch, "doc_id", "text", 2)
+      val pairs = Dedup.crossJaccardFromPostings(bp,
+        spark.table("ingest_postings_spec_t"), threshold = 0.3, maxDocFreq = 0L)
+      // the batch side shuffles into the table's bucketing and the pair
+      // aggregation shuffles once — the corpus index itself never moves
+      assert(Scale.countExchanges(pairs) == 2,
+        pairs.queryExecution.executedPlan.toString)
+      // unbucketed baseline pays a third exchange to move the corpus
+      val flat = Dedup.crossJaccardFromPostings(bp,
+        Dedup.postingsWithSize(corpus, "doc_id", "text", 2),
+        threshold = 0.3, maxDocFreq = 0L)
+      assert(Scale.countExchanges(flat) == 3,
+        flat.queryExecution.executedPlan.toString)
+      // and the pruned-shuffle form is still correct: 9 near-dups 1
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((9L, 1L)), got.toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ingest_postings_spec_t")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("a filter above a TVF pushes into the operator's parquet scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-tvf").toString
     Seq((1L, "spark sql engine"), (2L, "gardening tips"), (3L, "spark joins"))

@@ -128,6 +128,71 @@ class StreamingSpec extends SparkSpec {
     assert(after(s"_bucket=$touchedBucket") != before(s"_bucket=$touchedBucket"))
   }
 
+  test("dedup-on-ingest: arrivals check against the accumulated postings index") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-dedup").toString
+    val table = "graft_test_ingest_postings"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def run(data: (Long, String)*): Unit = {
+      mem.addData(data: _*)
+      val q = StreamingIngest.dedupIngestSink(stream, s"$tmp/docs", table,
+          s"$tmp/ckpt", "doc_id", "text", n = 2, threshold = 0.6, buckets = 8,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    def docIds(): Set[Long] = spark.read.parquet(s"$tmp/docs")
+      .select("doc_id").as[Long].collect().toSet
+    def postingFiles(): Map[String, (Long, String)] = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      new java.io.File(wh, table).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getName -> (f.length(),
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString)
+        }.toMap
+    }
+
+    run((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"))
+    assert(docIds() == Set(1L, 2L))
+    val filesAfter1 = postingFiles()
+    assert(filesAfter1.nonEmpty)
+
+    // batch 2: 3 duplicates 1 exactly; 5 near-dups 2 (jaccard 0.6);
+    // 4 is fresh — only 4 lands, and the index GROWS without
+    // rewriting: every batch-1 posting file survives byte-identical
+    run((3L, "alpha beta gamma delta epsilon"),
+      (4L, "totally different content here now"),
+      (5L, "one two three four six"))
+    assert(docIds() == Set(1L, 2L, 4L))
+    val filesAfter2 = postingFiles()
+    filesAfter1.foreach { case (name, sig) =>
+      assert(filesAfter2.get(name).contains(sig), s"rewritten: $name")
+    }
+    assert(filesAfter2.size > filesAfter1.size)
+
+    // within-batch duplicates keep the lowest id of the pair
+    run((6L, "red green blue yellow violet"),
+      (7L, "red green blue yellow violet"))
+    assert(docIds() == Set(1L, 2L, 4L, 6L))
+
+    // a replayed batch self-filters: every row's postings are already
+    // in the index, so it rejoins itself at jaccard 1.0 and drops
+    StreamingIngest.dedupIngestBatch(
+      Seq((3L, "alpha beta gamma delta epsilon"),
+        (4L, "totally different content here now"),
+        (5L, "one two three four six")).toDF("doc_id", "text"),
+      s"$tmp/docs", table, "doc_id", "text", n = 2, threshold = 0.6,
+      maxDocFreq = 0L, buckets = 8)
+    assert(docIds() == Set(1L, 2L, 4L, 6L))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("foreachBatch scd2 sink matches the batch scd2 result across snapshot batches") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-scd2stream").toString
