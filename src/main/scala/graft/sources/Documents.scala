@@ -107,9 +107,10 @@ object Documents {
     *
     * Deliberate scope (a full PDF text stack needs font/CMap tables
     * that aren't reproducible offline):
-    *  - content streams stored raw or /FlateDecode (java.util.zip
-    *    Inflater, zlib then raw fallback); other filters (images,
-    *    embedded fonts) are skipped, not errors
+    *  - content streams stored raw, /FlateDecode (java.util.zip
+    *    Inflater, zlib then raw fallback) or /LZWDecode (the PDF
+    *    9→12-bit variable-width variant, EarlyChange=1); other
+    *    filters (images, embedded fonts) are skipped, not errors
     *  - text operators Tj, ', ", TJ; literal `(…)` strings with the
     *    full escape table + octal codes, and `<…>` hex strings
     *  - Td, TD, T*, Tm line moves emit "\n" (the PyPDF2-ish layout
@@ -170,6 +171,7 @@ object Documents {
         val data = java.util.Arrays.copyOfRange(bytes, s, math.max(e, s))
         val decoded: Option[Array[Byte]] =
           if (dict.contains("/FlateDecode")) inflate(data)
+          else if (dict.contains("/LZWDecode")) lzwDecode(data)
           else if (dict.contains("/Filter")) None // image/font filter — skip
           else Some(data)
         decoded
@@ -294,6 +296,7 @@ object Documents {
           val data = java.util.Arrays.copyOfRange(bytes, ds, math.max(de, ds))
           val dec =
             if (dict.contains("/FlateDecode")) inflate(data)
+            else if (dict.contains("/LZWDecode")) lzwDecode(data)
             else if (dict.contains("/Filter")) None
             else Some(data)
           dec.map(b => new String(b, StandardCharsets.ISO_8859_1))
@@ -443,6 +446,57 @@ object Documents {
         }
       }
     }
+  }
+
+  /** PDF/TIFF-variant LZW decode (ISO 32000 §7.4.4): 9→12-bit
+    * variable-width codes, 256 = clear-table, 257 = end-of-data,
+    * EarlyChange = 1 (the spec default — the code width bumps one
+    * entry early, when the dictionary reaches 2^w − 1). Predictors
+    * (/DecodeParms /Predictor > 1) are not applied — text content
+    * streams don't use them; a predicted stream decodes to bytes that
+    * simply yield no text operators. None on malformed data.
+    */
+  private[graft] def lzwDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null; dict += null // 256 clear / 257 EOD placeholders
+    }
+    reset()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bits = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      bitBuf = (bitBuf << 8) | (data(i) & 0xFF)
+      bits += 8
+      i += 1
+      while (bits >= width && !done) {
+        val code = ((bitBuf >>> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 256) { reset(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < dict.size && dict(code) != null) dict(code)
+            else if (code == dict.size && prev != null) prev :+ prev(0)
+            else return None // code ahead of the dictionary: corrupt
+          out.write(entry, 0, entry.length)
+          if (prev != null) dict += (prev :+ entry(0))
+          prev = entry
+          // EarlyChange: the decoder runs one entry behind the
+          // encoder, so it widens at 2^w − 1 (510 added → next code
+          // reads as 10-bit)
+          if (dict.size >= (1 << width) - 1 && width < 12) width += 1
+        }
+      }
+    }
+    Some(out.toByteArray)
   }
 
   /** zlib inflate with raw-deflate fallback (some writers omit the

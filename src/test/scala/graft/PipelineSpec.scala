@@ -269,6 +269,70 @@ class PipelineSpec extends SparkSpec {
     assert(Documents.readResume(pdf2.toString) == "one\n")
   }
 
+  test("resume reader decodes LZW-filtered PDF content streams") {
+    import graft.sources.Documents
+    // PDF-variant LZW encoder (EarlyChange=1) — the inverse of the
+    // reader's decoder, used to build fixtures
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+      (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+      var next = 258
+      var width = 9
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bits = 0
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bits += width
+        while (bits >= 8) {
+          out.write(((bitBuf >>> (bits - 8)) & 0xFF).toInt); bits -= 8
+        }
+      }
+      put(256) // leading clear-table, as PDF encoders emit
+      var cur = Seq.empty[Byte]
+      data.foreach { b =>
+        val ext = cur :+ b
+        if (dict.contains(ext)) cur = ext
+        else {
+          put(dict(cur))
+          dict(ext) = next; next += 1
+          // EarlyChange: widen as soon as entry 2^w - 1 is assigned
+          if (next >= (1 << width) && width < 12) width += 1
+          cur = Seq(b)
+        }
+      }
+      if (cur.nonEmpty) put(dict(cur))
+      put(257)
+      if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xFF).toInt)
+      out.toByteArray
+    }
+    // round-trip property, crossing the 9->10-bit width boundary: 700
+    // varied digraphs add ~700 dictionary entries
+    val varied = (0 until 700).flatMap(i =>
+      Seq(('a' + i * 7 % 26).toByte, ('a' + i * 13 % 26).toByte)).toArray
+    assert(Documents.lzwDecode(lzwEncode(varied)).map(_.toSeq)
+      .contains(varied.toSeq))
+    // a code far ahead of the dictionary is corrupt, not a crash
+    assert(Documents.lzwDecode(Array(0xFF.toByte, 0xFF.toByte)).isEmpty)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-lzw")
+    // content: a long varied comment (forces the width bump inside the
+    // real fixture too), then ordinary text operators
+    val filler = new String(varied, "ISO-8859-1")
+    val content = s"% $filler\nBT (lzw text works) Tj T* (second line) Tj ET"
+    val lzw = lzwEncode(content.getBytes("ISO-8859-1"))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${lzw.length} /Filter /LZWDecode >> stream\n")
+    bos.write(lzw); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("lzw.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    assert(Documents.readResume(pdf.toString) == "lzw text works\nsecond line\n")
+  }
+
   test("font resolver ignores 'N 0 obj' byte runs inside stream payloads") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-shadow")
