@@ -139,6 +139,19 @@ object ScaleShakeout {
     run("tfidfSimilarity")(
       graft.operators.TfIdf.similarity(docs, "doc_id", "text",
         "w100 w2000 w19999 terms of service"))
+    // topTerms was the sweep's only 10×→50× per-task-memory GROWER
+    // (76→168 MB): measure the materialized-postings path at the same
+    // volume. The index build is setup (once per corpus snapshot at
+    // scale), the measured region is the query: term-clustered buckets,
+    // no corpus-sized shuffle.
+    if (wanted("tfidfTopTermsPostings")) {
+      graft.operators.TfIdf.writePostings(docs, "doc_id", "text",
+        "shakeout_postings_t", buckets = 32)
+      run("tfidfTopTermsPostings")(
+        graft.operators.TfIdf.topTermsFromPostings(spark,
+          "shakeout_postings_t", k = 5))
+      spark.sql("DROP TABLE IF EXISTS shakeout_postings_t")
+    }
     // segment removal: docs here have no '.'-separators, so split on a
     // hot token to force multi-segment docs (the boilerplate header and
     // duplicated families become cross-doc segments)
