@@ -40,6 +40,7 @@ object Bench {
     "q104_temperature_sample", "q110_asof_tolerant", "q115_bigram_lm",
     "q119_bm25", // retrieval-family flagship (BM25 ranking)
     "q124_semantic_dedup", // embedding-dedup flagship (SemDeDup verdicts)
+    "q127_image_meta", // multimodal flagship (REAL container-header decode)
   )
   private def headline(all: Seq[String]): Seq[String] = {
     // toIntOption: a registered name not shaped q<digits>... must be
