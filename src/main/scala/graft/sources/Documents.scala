@@ -107,10 +107,12 @@ object Documents {
     *
     * Deliberate scope (a full PDF text stack needs font/CMap tables
     * that aren't reproducible offline):
-    *  - content streams stored raw, /FlateDecode (java.util.zip
-    *    Inflater, zlib then raw fallback) or /LZWDecode (the PDF
-    *    9→12-bit variable-width variant, EarlyChange=1); other
-    *    filters (images, embedded fonts) are skipped, not errors
+    *  - content streams stored raw or behind /FlateDecode
+    *    (java.util.zip Inflater, zlib then raw fallback), /LZWDecode
+    *    (the PDF 9→12-bit variable-width variant, EarlyChange=1),
+    *    /ASCIIHexDecode, /ASCII85Decode, or chains of those
+    *    (`/Filter [/ASCII85Decode /FlateDecode]`); other filters
+    *    (image codecs, /Crypt) are skipped, not errors
     *  - text operators Tj, ', ", TJ; literal `(…)` strings with the
     *    full escape table + octal codes, and `<…>` hex strings
     *  - Td, TD, T*, Tm line moves emit "\n" (the PyPDF2-ish layout
@@ -169,11 +171,7 @@ object Documents {
         if (e > s && raw.charAt(e - 1) == '\n') e -= 1
         if (e > s && raw.charAt(e - 1) == '\r') e -= 1
         val data = java.util.Arrays.copyOfRange(bytes, s, math.max(e, s))
-        val decoded: Option[Array[Byte]] =
-          if (dict.contains("/FlateDecode")) inflate(data)
-          else if (dict.contains("/LZWDecode")) lzwDecode(data)
-          else if (dict.contains("/Filter")) None // image/font filter — skip
-          else Some(data)
+        val decoded = decodeFiltered(dict, data)
         decoded
           .map(b => new String(b, StandardCharsets.ISO_8859_1))
           .foreach { cs =>
@@ -294,12 +292,8 @@ object Documents {
           if (de > ds && raw.charAt(de - 1) == '\n') de -= 1
           if (de > ds && raw.charAt(de - 1) == '\r') de -= 1
           val data = java.util.Arrays.copyOfRange(bytes, ds, math.max(de, ds))
-          val dec =
-            if (dict.contains("/FlateDecode")) inflate(data)
-            else if (dict.contains("/LZWDecode")) lzwDecode(data)
-            else if (dict.contains("/Filter")) None
-            else Some(data)
-          dec.map(b => new String(b, StandardCharsets.ISO_8859_1))
+          decodeFiltered(dict, data)
+            .map(b => new String(b, StandardCharsets.ISO_8859_1))
         }
       }
     }
@@ -497,6 +491,96 @@ object Documents {
       }
     }
     Some(out.toByteArray)
+  }
+
+  /** /ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace
+    * ignored, `>` terminates, odd trailing digit pads with 0. None on
+    * a non-hex byte before the terminator.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return Some(out.toByteArray)
+      } else if (!c.isWhitespace) {
+        val d = Character.digit(c, 16)
+        if (d < 0) return None
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // EOD omitted by sloppy writers
+    Some(out.toByteArray)
+  }
+
+  /** /ASCII85Decode (ISO 32000 §7.4.3): 5 chars `!`..`u` → 4 bytes
+    * base 85, `z` = four zero bytes (only between groups), `~>`
+    * terminates, partial final group of n chars yields n−1 bytes.
+    * None on out-of-range characters or a 1-char final group.
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val group = new Array[Int](5)
+    var gn = 0
+    def flush(n: Int): Boolean = {
+      if (n < 2) return n == 0
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < n) group(i) else 84); i += 1 }
+      if (v > 0xFFFFFFFFL) return false // group encodes > 2^32 - 1
+      var shift = 24
+      var k = 0
+      while (k < n - 1) {
+        out.write(((v >>> shift) & 0xFF).toInt); shift -= 8; k += 1
+      }
+      true
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data(i).toChar
+      if (c == '~') { // ~> EOD
+        return if (flush(gn)) Some(out.toByteArray) else None
+      } else if (c == 'z' && gn == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        group(gn) = c - '!'; gn += 1
+        if (gn == 5) { if (!flush(5)) return None; gn = 0 }
+      } else if (!c.isWhitespace) return None
+      i += 1
+    }
+    if (flush(gn)) Some(out.toByteArray) else None // EOD omitted
+  }
+
+  /** Apply a stream dict's filter (or filter CHAIN — `/Filter
+    * [/ASCII85Decode /FlateDecode]` applies left to right) to raw
+    * stream bytes. Supported: Flate, LZW, ASCIIHex, ASCII85; an
+    * unsupported filter anywhere in the chain yields None (image /
+    * font codecs — skipped, not errors).
+    */
+  private[sources] def decodeFiltered(dict: String,
+      data: Array[Byte]): Option[Array[Byte]] = {
+    if (!dict.contains("/Filter")) return Some(data)
+    // every standard filter name ends in "Decode" except /Crypt;
+    // /DecodeParms cannot match (nothing precedes its "Decode")
+    val names = java.util.regex.Pattern.compile("/(\\w+Decode|Crypt)")
+      .matcher(dict.substring(dict.indexOf("/Filter")))
+    var out: Option[Array[Byte]] = Some(data)
+    var any = false
+    while (names.find() && out.isDefined) {
+      any = true
+      out = names.group(1) match {
+        case "FlateDecode"    => out.flatMap(inflate)
+        case "LZWDecode"      => out.flatMap(lzwDecode)
+        case "ASCIIHexDecode" => out.flatMap(asciiHexDecode)
+        case "ASCII85Decode"  => out.flatMap(ascii85Decode)
+        case _                => None
+      }
+    }
+    if (any) out else None // /Filter present but no name parsed: skip
   }
 
   /** zlib inflate with raw-deflate fallback (some writers omit the

@@ -333,6 +333,68 @@ class PipelineSpec extends SparkSpec {
     assert(Documents.readResume(pdf.toString) == "lzw text works\nsecond line\n")
   }
 
+  test("resume reader decodes ASCIIHex, ASCII85 and chained PDF filters") {
+    import graft.sources.Documents
+    // ASCIIHex: whitespace ignored, > terminates, odd digit pads 0
+    assert(Documents.asciiHexDecode("48 65 6C\n6C 6F>".getBytes("ISO-8859-1"))
+      .map(new String(_, "ISO-8859-1")).contains("Hello"))
+    assert(Documents.asciiHexDecode("4>".getBytes("ISO-8859-1"))
+      .map(_.toSeq).contains(Seq(0x40.toByte)))
+    assert(Documents.asciiHexDecode("4G>".getBytes("ISO-8859-1")).isEmpty)
+    // ASCII85: z = four zeros; partial groups; bad chars refuse
+    def a85(data: Array[Byte]): Array[Byte] = {
+      val out = new StringBuilder
+      data.grouped(4).foreach { g =>
+        if (g.length == 4 && g.forall(_ == 0)) out.append('z')
+        else {
+          var v = 0L
+          (0 until 4).foreach(i =>
+            v = (v << 8) | (if (i < g.length) g(i) & 0xFFL else 0L))
+          val cs = new Array[Char](5)
+          (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+          out.appendAll(cs, 0, g.length + 1)
+        }
+      }
+      out.append("~>").toString.getBytes("ISO-8859-1")
+    }
+    val payloads = Seq(
+      "sure.".getBytes("ISO-8859-1"),
+      Array[Byte](0, 0, 0, 0, 1, 2, 3),
+      (0 until 257).map(_.toByte).toArray)
+    payloads.foreach { p =>
+      assert(Documents.ascii85Decode(a85(p)).map(_.toSeq).contains(p.toSeq), p.toSeq)
+    }
+    assert(Documents.ascii85Decode("z~>".getBytes("ISO-8859-1"))
+      .map(_.toSeq).contains(Seq[Byte](0, 0, 0, 0)))
+    assert(Documents.ascii85Decode("~>".getBytes("ISO-8859-1")).isEmpty)
+
+    // a filter CHAIN: deflate then ascii85-wrap, dict lists decode order
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-chain")
+    val content = "BT (chained filters) Tj ET"
+    val wrapped = a85(deflate(content.getBytes("ISO-8859-1")))
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${wrapped.length} " +
+      "/Filter [/ASCII85Decode /FlateDecode] >> stream\n")
+    bos.write(wrapped); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("chain.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    assert(Documents.readResume(pdf.toString) == "chained filters\n")
+  }
+
   test("font resolver ignores 'N 0 obj' byte runs inside stream payloads") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-shadow")
