@@ -16,7 +16,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM graft_range_join('points', 'value', 'bands', 'lo', 'hi', 50.0)
   *   SELECT * FROM graft_bm25('docs', 'doc_id', 'text', 'spark sql', 1.2, 0.75)
   *   SELECT * FROM graft_semantic_dedup('vecs', 'cents', 'vec_id', 'embedding', 0.45)
+  *   SELECT * FROM graft_semantic_dedup('vecs', 'vec_id', 'embedding', 0.45)
   * }}}
+  *
+  * The 4-argument semantic-dedup form trains its own √N centroids
+  * ([[Similarity.trainCentroids]]) — the safe-regime default for
+  * SQL-only callers without a prebuilt index.
   *
   * Registered in the session's TableFunctionRegistry — the same
   * mechanism behind the built-in `range()` TVF. The builder runs at
@@ -135,21 +140,32 @@ object TableFunctions {
     */
   private def semanticDedup(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_semantic_dedup"
-    require(args.length == 5,
-      s"$fn(corpus_view, centroids_view, id_col, vec_col, threshold)")
-    val (corpus, cents) = (table(strArg(fn, args, 0)), table(strArg(fn, args, 1)))
+    require(args.length == 4 || args.length == 5,
+      s"$fn(corpus_view[, centroids_view], id_col, vec_col, threshold)")
+    val auto = args.length == 4
+    val corpus = table(strArg(fn, args, 0))
+    val centsExplicit = if (auto) None else Some(table(strArg(fn, args, 1)))
+    val base = if (auto) 1 else 2
+    val (idCol, vecCol) = (strArg(fn, args, base), strArg(fn, args, base + 1))
+    val threshold = numArg(fn, args, base + 2)
     val key = (SparkSession.active,
-      List(strArg(fn, args, 2), strArg(fn, args, 3),
-        numArg(fn, args, 4).toString),
+      List(idCol, vecCol, threshold.toString, if (auto) "auto" else "explicit"),
       corpus.queryExecution.analyzed.canonicalized,
-      cents.queryExecution.analyzed.canonicalized)
+      centsExplicit.map(_.queryExecution.analyzed.canonicalized)
+        .getOrElse(corpus.queryExecution.analyzed.canonicalized))
     dedupMemo.get(key) match {
       case Some((plan, assigned))
           if assigned.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
         plan
       case _ =>
+        // the auto form trains √N centroids here at ANALYSIS time (a
+        // count job + the seed pick run eagerly) — the memo is what
+        // keeps repeated analysis of the same statement from
+        // re-training per spark.sql/EXPLAIN
+        val cents = centsExplicit.getOrElse(graft.Caches.own(
+          Similarity.trainCentroids(corpus, idCol, vecCol)))
         val (df, assigned) = Similarity.semanticDedupWithCache(corpus, cents,
-          strArg(fn, args, 2), strArg(fn, args, 3), numArg(fn, args, 4))
+          idCol, vecCol, threshold)
         val plan = df.queryExecution.logical
         pruneMemo()
         dedupMemo.put(key, (plan, assigned))

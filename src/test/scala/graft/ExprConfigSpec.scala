@@ -203,6 +203,19 @@ class ExprConfigSpec extends SparkSpec {
     assert(sdSql == sdApi, s"sql=$sdSql api=$sdApi")
     assert(sdSql(3L) == 1) // the orthogonal vector survives
 
+    // 4-arg auto form: trains its own sqrt(N) centroids; equals the
+    // DataFrame auto path
+    val sdAuto = spark.sql(
+      """SELECT vec_id, kept
+         FROM graft_semantic_dedup('sd_vecs_tvf', 'vec_id', 'embedding', 0.95)""")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sdAutoApi = graft.operators.Similarity
+      .semanticDedupAuto(sdVecs, "vec_id", "embedding", 0.95)
+      .select($"vec_id", $"kept")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sdAuto == sdAutoApi, s"sql=$sdAuto api=$sdAutoApi")
+    graft.Caches.release(spark)
+
     // argument validation: wrong arity and non-literal args both fail
     // at analysis with the function's usage string
     val e1 = intercept[Exception](spark.sql(
