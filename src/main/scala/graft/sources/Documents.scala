@@ -110,9 +110,9 @@ object Documents {
     *  - content streams stored raw or behind /FlateDecode
     *    (java.util.zip Inflater, zlib then raw fallback), /LZWDecode
     *    (the PDF 9→12-bit variable-width variant, EarlyChange=1),
-    *    /ASCIIHexDecode, /ASCII85Decode, or chains of those
-    *    (`/Filter [/ASCII85Decode /FlateDecode]`); other filters
-    *    (image codecs, /Crypt) are skipped, not errors
+    *    /ASCIIHexDecode, /ASCII85Decode, /RunLengthDecode, or chains
+    *    of those (`/Filter [/ASCII85Decode /FlateDecode]`); other
+    *    filters (image codecs, /Crypt) are skipped, not errors
     *  - text operators Tj, ', ", TJ; literal `(…)` strings with the
     *    full escape table + octal codes, and `<…>` hex strings
     *  - Td, TD, T*, Tm line moves emit "\n" (the PyPDF2-ish layout
@@ -555,11 +555,35 @@ object Documents {
     if (flush(gn)) Some(out.toByteArray) else None // EOD omitted
   }
 
+  /** /RunLengthDecode (ISO 32000 §7.4.5): length byte L — 0..127 copy
+    * the next L+1 bytes verbatim, 129..255 repeat the next byte
+    * 257−L times, 128 = EOD. None on a truncated run.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      if (l == 128) return Some(out.toByteArray)
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        var k = 257 - l
+        while (k > 0) { out.write(data(i + 1)); k -= 1 }
+        i += 2
+      }
+    }
+    Some(out.toByteArray) // EOD omitted by sloppy writers
+  }
+
   /** Apply a stream dict's filter (or filter CHAIN — `/Filter
     * [/ASCII85Decode /FlateDecode]` applies left to right) to raw
-    * stream bytes. Supported: Flate, LZW, ASCIIHex, ASCII85; an
-    * unsupported filter anywhere in the chain yields None (image /
-    * font codecs — skipped, not errors).
+    * stream bytes. Supported: Flate, LZW, ASCIIHex, ASCII85,
+    * RunLength; an unsupported filter anywhere in the chain yields
+    * None (image codecs, /Crypt — skipped, not errors).
     */
   private[sources] def decodeFiltered(dict: String,
       data: Array[Byte]): Option[Array[Byte]] = {
@@ -577,6 +601,7 @@ object Documents {
         case "LZWDecode"      => out.flatMap(lzwDecode)
         case "ASCIIHexDecode" => out.flatMap(asciiHexDecode)
         case "ASCII85Decode"  => out.flatMap(ascii85Decode)
+        case "RunLengthDecode" => out.flatMap(runLengthDecode)
         case _                => None
       }
     }

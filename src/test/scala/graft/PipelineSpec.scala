@@ -366,7 +366,15 @@ class PipelineSpec extends SparkSpec {
     }
     assert(Documents.ascii85Decode("z~>".getBytes("ISO-8859-1"))
       .map(_.toSeq).contains(Seq[Byte](0, 0, 0, 0)))
-    assert(Documents.ascii85Decode("~>".getBytes("ISO-8859-1")).isEmpty)
+    // out-of-range byte (DEL) refuses; a bare EOD decodes to empty
+    assert(Documents.ascii85Decode(Array(0x7F.toByte, '~'.toByte, '>'.toByte)).isEmpty)
+    assert(Documents.ascii85Decode("~>".getBytes("ISO-8859-1")).map(_.length).contains(0))
+    // RunLength: literal run, repeat run, EOD stops before trailing bytes
+    assert(Documents.runLengthDecode(
+        Array[Byte](2, 'a', 'b', 'c', 0xFE.toByte, 'x', 0x80.toByte, 'Z'))
+      .map(new String(_, "ISO-8859-1")).contains("abcxxx"))
+    assert(Documents.runLengthDecode(Array[Byte](5, 'a')).isEmpty)
+    assert(Documents.runLengthDecode(Array[Byte](0xFE.toByte)).isEmpty)
 
     // a filter CHAIN: deflate then ascii85-wrap, dict lists decode order
     def deflate(b: Array[Byte]): Array[Byte] = {
