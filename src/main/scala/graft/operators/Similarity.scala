@@ -153,7 +153,10 @@ object Similarity {
     * whale-cell stress case survives). With `k = None` the count is
     * taken once (one scalar job — k parameterizes plan construction)
     * and k = ⌈√N⌉; callers who already know their corpus size pass k
-    * explicitly and skip the count.
+    * explicitly and skip the count. At 100 TB that matters: auto-k
+    * costs one extra corpus scan (count) on top of the seed pick and
+    * the assignment passes — corpus snapshots carry their row count
+    * in metadata, so production callers should pass `k` from there.
     *
     * Seeds are a DETERMINISTIC hash-ordered sample: the k rows with
     * the smallest md5(id ∥ "#seed" ∥ salt) — reproducible across runs,

@@ -150,6 +150,95 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("PDF codec round-trips on random byte arrays (LZW, ASCIIHex, ASCII85)") {
+    import graft.sources.Documents
+    // reference encoders mirroring the spec forms (PipelineSpec builds
+    // fixtures with the same logic; here the INPUTS are adversarial:
+    // random bytes, all-zero runs, high-bit bytes, empty)
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+      (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+      var next = 258; var width = 9
+      val out = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bits = 0
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bits += width
+        while (bits >= 8) {
+          out.write(((bitBuf >>> (bits - 8)) & 0xFF).toInt); bits -= 8
+        }
+      }
+      put(256)
+      var cur = Seq.empty[Byte]
+      data.foreach { b =>
+        val ext = cur :+ b
+        if (dict.contains(ext)) cur = ext
+        else {
+          put(dict(cur)); dict(ext) = next; next += 1
+          if (next >= (1 << width) && width < 12) width += 1
+          cur = Seq(b)
+        }
+      }
+      if (cur.nonEmpty) put(dict(cur))
+      put(257)
+      if (bits > 0) out.write(((bitBuf << (8 - bits)) & 0xFF).toInt)
+      out.toByteArray
+    }
+    def hexEncode(data: Array[Byte]): Array[Byte] =
+      (data.map("%02X".format(_)).mkString + ">").getBytes("ISO-8859-1")
+    def a85Encode(data: Array[Byte]): Array[Byte] = {
+      val out = new StringBuilder
+      data.grouped(4).foreach { g =>
+        if (g.length == 4 && g.forall(_ == 0)) out.append('z')
+        else {
+          var v = 0L
+          (0 until 4).foreach(i =>
+            v = (v << 8) | (if (i < g.length) g(i) & 0xFFL else 0L))
+          val cs = new Array[Char](5)
+          (4 to 0 by -1).foreach { i =>
+            cs(i) = ('!' + (v % 85).toInt).toChar; v /= 85
+          }
+          out.appendAll(cs, 0, g.length + 1)
+        }
+      }
+      out.append("~>").toString.getBytes("ISO-8859-1")
+    }
+    def rlEncode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < data.length) {
+        var run = 1
+        while (i + run < data.length && data(i + run) == data(i) && run < 128)
+          run += 1
+        if (run >= 2) {
+          out.write(257 - run); out.write(data(i)); i += run
+        } else {
+          var lit = 1
+          while (i + lit < data.length && lit < 128 &&
+              (i + lit + 1 >= data.length || data(i + lit + 1) != data(i + lit)))
+            lit += 1
+          out.write(lit - 1); out.write(data, i, lit); i += lit
+        }
+      }
+      out.write(128)
+      out.toByteArray
+    }
+    val cases = Seq(
+      Array.emptyByteArray,
+      Array.fill(4096)(0.toByte),
+      Array.tabulate(997)(i => (i * 131 % 251).toByte)) ++
+      (1 to 6).map(t => Array.fill(200 + rnd.nextInt(2000))(rnd.nextInt(256).toByte))
+    cases.foreach { data =>
+      assert(Documents.lzwDecode(lzwEncode(data)).map(_.toSeq).contains(data.toSeq),
+        s"lzw len=${data.length}")
+      assert(Documents.asciiHexDecode(hexEncode(data)).map(_.toSeq).contains(data.toSeq),
+        s"hex len=${data.length}")
+      assert(Documents.ascii85Decode(a85Encode(data)).map(_.toSeq).contains(data.toSeq),
+        s"a85 len=${data.length}")
+      assert(Documents.runLengthDecode(rlEncode(data)).map(_.toSeq).contains(data.toSeq),
+        s"rl len=${data.length}")
+    }
+  }
+
   test("bm25 matches a direct formula mirror (5 random corpora)") {
     val (k1, b) = (1.2, 0.75)
     for (trial <- 1 to 5) {
