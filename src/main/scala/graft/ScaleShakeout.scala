@@ -244,6 +244,14 @@ object ScaleShakeout {
         graft.operators.Similarity.semanticDedup(
           vecs, vecs.filter(col("vec_id") < 32), "vec_id", "embedding",
           threshold = 0.9))
+      // the auto-k trainer's N×k assignment term at k=√N (N^1.5): one
+      // count, TakeOrdered(√N) seeds, one refine round — the cost the
+      // SCALE.md auto-k caveat quantifies
+      run("trainCentroidsAuto")(
+        graft.operators.Similarity.trainCentroids(vecs, "vec_id", "embedding"))
+      run("semanticDedupAuto")(
+        graft.operators.Similarity.semanticDedupAuto(
+          vecs, "vec_id", "embedding", threshold = 0.9))
     }
     spark.stop()
   }
