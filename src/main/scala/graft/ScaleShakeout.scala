@@ -28,7 +28,8 @@ object ScaleShakeout {
   private val Boilerplate =
     "terms of service apply all rights reserved contact us for more information today "
 
-  private def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
+  private def corpus(spark: SparkSession, nDocs: Long,
+      idOffset: Long = 0L): DataFrame = {
     val gen = udf { (id: Long) =>
       val fam = if (id % 10 == 9) id - 1 else id // 10% near-dup predecessor
       val rnd = new java.util.Random(fam * 2654435761L + 12345L)
@@ -44,7 +45,8 @@ object ScaleShakeout {
       if (id % 10 == 9) sb.append("edited variant ").append(id)
       sb.toString
     }
-    spark.range(nDocs).select(col("id").as("doc_id"), gen(col("id")).as("text"))
+    spark.range(nDocs).select((col("id") + idOffset).as("doc_id"),
+      gen(col("id") + idOffset).as("text"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -158,6 +160,33 @@ object ScaleShakeout {
     run("removeDupSegments")(
       graft.operators.Corpus.removeDuplicatedSegments(docs, "doc_id", "text",
         sepRegex = "\\bw0\\b", sepOut = "w0"))
+
+    // dedup-on-ingest at corpus scale: the index build is the one-time
+    // full-corpus pass; the ARRIVAL batch (2% of corpus, half exact
+    // dups of corpus docs, half fresh) is the per-trigger cost the
+    // sink's no-corpus-reshuffle claim is about
+    if (wanted("dedupIngestBuild", "dedupIngestArrival")) {
+      val docsPath = "target/scale_ingest_docs.parquet"
+      val table = "scale_ingest_postings"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(docsPath), true)
+      docs // materialize the corpus outside the timed region
+      def ingest(batch: DataFrame): DataFrame = {
+        graft.streaming.StreamingIngest.dedupIngestBatch(batch, docsPath,
+          table, "doc_id", "text", n = 3, threshold = 0.7,
+          maxDocFreq = 100L, buckets = 32)
+        spark.read.parquet(docsPath)
+      }
+      run("dedupIngestBuild")(ingest(docs))
+      val nArr = nDocs / 100
+      val dups = docs.filter(col("doc_id") < nArr)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val fresh = corpus(spark, nArr, idOffset = 20000000L)
+      run("dedupIngestArrival")(ingest(dups.unionAll(fresh)))
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
 
     // sessions/window family over a 10× events table (1M events, 10k
     // users incl. one whale user with 5% of all traffic — the per-user
