@@ -231,23 +231,40 @@ object StreamingIngest {
     val bp = Dedup.postingsWithSize(batch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // UNCAPPED path only: the equi-join exists there, and pinning
+      // the (trigger-bounded) batch as the shuffled-hash build side
+      // lets the index stream through the probe with no sort —
+      // appends leave multiple files per bucket, so a sort-merge join
+      // would re-sort the index every trigger to recover per-file
+      // ordering. The capped path has no join (tagged-union kernel).
+      val probe = if (maxDocFreq <= 0) bp.hint("shuffle_hash") else bp
       val dupVsCorpus =
         if (spark.catalog.tableExists(postingsTable))
-          Dedup.crossJaccardFromPostings(bp, spark.table(postingsTable),
+          Dedup.crossJaccardFromPostings(probe, spark.table(postingsTable),
               threshold, maxDocFreq)
             .select(col("id_a").as("_dup"))
         else spark.range(0).select(col("id").as("_dup"))
       val dupInBatch = Dedup.jaccardFromPostings(bp, threshold, maxDocFreq)
         .select(col("id2").as("_dup")) // pairs are ordered: keep id1
+      // the dup ID SET is trigger-bounded — pin it so the survivor
+      // frame's two consumers (docs append, posting append) don't run
+      // the index-sized dedup pipeline twice (measured 2× the arrival
+      // cost at 50× before this persist)
       val dups = dupVsCorpus.unionByName(dupInBatch).distinct()
-      val survivors = batch.join(dups, batch(idCol) === col("_dup"),
-        "left_anti")
-      survivors.write.mode("append").parquet(docsPath)
-      val sp = bp.join(survivors.select(col(idCol).as("_sid")),
-        col("_id") === col("_sid"), "left_semi")
-      sp.write.mode("append").format("parquet")
-        .bucketBy(buckets, "_s").sortBy("_s")
-        .saveAsTable(postingsTable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val survivors = batch.join(dups, batch(idCol) === col("_dup"),
+          "left_anti")
+        survivors.write.mode("append").parquet(docsPath)
+        val sp = bp.join(survivors.select(col(idCol).as("_sid")),
+          col("_id") === col("_sid"), "left_semi")
+        sp.write.mode("append").format("parquet")
+          .bucketBy(buckets, "_s").sortBy("_s")
+          .saveAsTable(postingsTable)
+      } finally {
+        dups.unpersist(blocking = false)
+        ()
+      }
     } finally {
       bp.unpersist(blocking = false)
       ()
