@@ -539,6 +539,23 @@ object SparkEntry {
         .select(col("vec_id"), col("centroid_id"))
     }),
 
+    // retrieval eval: MRR/NDCG@5 of the brute-force ANN ranking
+    // against label-match relevance — the eval harness next to q77's
+    // recall@k; exact decimal discount accumulation
+    "q129_ranking_eval" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      val preds = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
+      val lab = e.select(col("vec_id"), col("label"))
+      val truth = lab.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("label")),
+          col("_ql") === col("label") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), lit(1.0).as("rel"))
+      Similarity.rankingMetrics(preds, truth, "sim", k = 5)
+    }),
+
     // Declared through the IVF-bucketed branch (pairs only within a
     // cell) — the scale path: the exact all-pairs branch is a
     // broadcast-nested-loop that dies at 100×. Oracle mirrors the
@@ -2044,6 +2061,55 @@ object SparkEntry {
          ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                            ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
        SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 5""",
+
+    "q129_ranking_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id < 8),
+         pairs AS (
+           SELECT query_id, e.vec_id AS neighbor_id,
+                  list_sum([qv[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                  sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, 65)])) AS nq,
+                  sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS nc
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY
+                    ROUND(CASE WHEN nq * nc > 0 THEN d / (nq * nc) ELSE 0 END, 6) DESC,
+                    neighbor_id) AS rn
+           FROM pairs),
+         rel AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, 1.0 AS rel
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id
+           WHERE a.vec_id < 8),
+         pred AS (
+           SELECT r.query_id, r.rn, COALESCE(rel.rel, 0.0) AS rel
+           FROM ranked r LEFT JOIN rel
+             ON r.query_id = rel.query_id AND r.neighbor_id = rel.neighbor_id
+           WHERE r.rn <= 5),
+         agg AS (
+           SELECT query_id,
+                  SUM(CAST(ROUND(rel * ROUND(1.0 / log2(rn + 1), 9), 9)
+                      AS DECIMAL(18,9))) AS dcgv,
+                  MIN(CASE WHEN rel > 0 THEN rn END) AS frank
+           FROM pred GROUP BY 1),
+         ideal AS (
+           SELECT query_id,
+                  SUM(CAST(ROUND(rel * ROUND(1.0 / log2(rn + 1), 9), 9)
+                      AS DECIMAL(18,9))) AS idcgv
+           FROM (SELECT query_id, rel,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY rel DESC, neighbor_id) AS rn
+                 FROM rel WHERE rel > 0)
+           WHERE rn <= 5 GROUP BY 1)
+       SELECT q.query_id,
+              ROUND(COALESCE(1.0 / frank, 0.0), 6) AS mrr,
+              ROUND(COALESCE(CAST(dcgv AS DOUBLE), 0.0), 6) AS dcg,
+              ROUND(COALESCE(CAST(idcgv AS DOUBLE), 0.0), 6) AS idcg,
+              CASE WHEN idcgv > 0
+                   THEN ROUND(CAST(dcgv AS DOUBLE) / CAST(idcgv AS DOUBLE), 6)
+                   ELSE 0.0 END AS ndcg
+       FROM q LEFT JOIN agg USING (query_id) LEFT JOIN ideal USING (query_id)""",
 
     "q30_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings

@@ -296,6 +296,62 @@ object Similarity {
       .withColumn("recall", round(col("n_hits").cast(DoubleType) / k, 6))
   }
 
+  /** Ranking-quality evaluation for the retrieval family — the eval
+    * half of the ANN/BM25 story, next to [[recallAtK]]: per query,
+    * MRR and NDCG@k of a predicted ranking against graded relevance.
+    *
+    * `ranked` is a per-query candidate frame (query_id, neighbor_id,
+    * `scoreCol`) as produced by [[bruteForceTopK]]/[[ivfTopK]] or a
+    * BM25-style scorer — ranks derive from (score desc, neighbor_id
+    * asc), truncated at k. `truth` is (query_id, neighbor_id, rel)
+    * graded relevance; pairs absent from it count rel 0. Output per
+    * query: mrr (1/rank of the first relevant hit, 0 if none), dcg,
+    * idcg (the ideal DCG of the query's own truth set truncated at
+    * k), ndcg (0 when the query has no relevant docs at all).
+    *
+    * Engine-reproducible arithmetic (the established oracle
+    * contract): per-position discounts 1/log2(rank+1) round to 9dp
+    * BEFORE use, contributions round to 9dp and accumulate as
+    * DECIMAL(18,9) — exact and order-independent — and the final
+    * metrics are one double division + a 6dp round. Scale shape: two
+    * windows partitioned by query (both frames are top-k / truth
+    * sized, not corpus sized) and one broadcast-friendly join keyed
+    * (query, neighbor); nothing corpus-scale moves.
+    */
+  def rankingMetrics(ranked: DataFrame, truth: DataFrame, scoreCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val dec = DecimalType(18, 9)
+    def disc(rank: Column): Column = round(lit(1.0) / log2(rank + 1), 9)
+    val wPred = Window.partitionBy("query_id")
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    val rels = truth.select(col("query_id"), col("neighbor_id"),
+      col("rel").cast(DoubleType).as("_tr"))
+    val pred = ranked
+      .withColumn("_rn", row_number().over(wPred)).filter(col("_rn") <= k)
+      .join(rels, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("_rel", coalesce(col("_tr"), lit(0.0)))
+    val perQuery = pred.groupBy("query_id").agg(
+      sum(round(col("_rel") * disc(col("_rn")), 9).cast(dec)).as("_dcg"),
+      min(when(col("_rel") > 0, col("_rn"))).as("_frank"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("_tr").desc, col("neighbor_id").asc)
+    val ideal = rels.filter(col("_tr") > 0)
+      .withColumn("_rn", row_number().over(wIdeal)).filter(col("_rn") <= k)
+      .groupBy("query_id")
+      .agg(sum(round(col("_tr") * disc(col("_rn")), 9).cast(dec)).as("_idcg"))
+    ranked.select("query_id").distinct()
+      .join(perQuery, Seq("query_id"), "left_outer")
+      .join(ideal, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        round(coalesce(lit(1.0) / col("_frank"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("_dcg").cast(DoubleType), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("_idcg").cast(DoubleType), lit(0.0)), 6).as("idcg"),
+        when(col("_idcg").isNotNull && col("_idcg") > 0,
+          round(col("_dcg").cast(DoubleType) / col("_idcg").cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
   // ------------------------------------------------- int8 quantization
 
   /** Symmetric per-vector int8 quantization: scale = max |component|,

@@ -311,6 +311,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.length == 1 && res(0).getLong(1) == 0L)
   }
 
+  test("rankingMetrics: hand-computed MRR/NDCG, absent truth, no-relevant query") {
+    // query 1: predictions ranked by score = (n10, n20, n30); truth
+    // marks n20 (rel 2) and n30 (rel 1) → first hit at rank 2.
+    // discounts d(r) = round(1/log2(r+1), 9): d1=1, d2=0.630929754,
+    // d3=0.5
+    val preds = Seq(
+      (1L, 10L, 0.9), (1L, 20L, 0.8), (1L, 30L, 0.7),
+      (2L, 10L, 0.9) // query 2: no relevant docs at all
+    ).toDF("query_id", "neighbor_id", "score")
+    val truth = Seq(
+      (1L, 20L, 2.0), (1L, 30L, 1.0),
+      (9L, 10L, 1.0) // a query absent from predictions — ignored
+    ).toDF("query_id", "neighbor_id", "rel")
+    val got = Similarity.rankingMetrics(preds, truth, "score", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val d2 = BigDecimal(1.0 / (math.log(3) / math.log(2)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // dcg = 2*d2 + 1*0.5; idcg = 2*1 + 1*d2 (ideal puts rel-2 first)
+    val dcg = BigDecimal(2 * d2 + 0.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idcg = BigDecimal(2.0 + d2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ndcg = BigDecimal((2 * d2 + 0.5) / (2.0 + d2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((0.5, dcg, idcg, ndcg)), got(1L))
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0)), got(2L))
+    assert(!got.contains(9L))
+  }
+
   test("recallAtK: perfect match scores 1, disjoint scores 0, coverage for all queries") {
     val truth = Similarity.bruteForceTopK(
       vecs.filter($"vec_id" < 2), vecs, "vec_id", "embedding", k = 2)
