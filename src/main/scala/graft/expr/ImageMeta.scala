@@ -28,6 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    standalone markers (RST, TEM) are skipped per the spec
   *  - GIF: GIF87a/GIF89a signature + logical-screen width/height
   *    (16-bit LE), palette-indexed → 1 channel, 8-bit
+  *  - WEBP: RIFF/WEBP container — VP8 lossy key-frame header (14-bit
+  *    dims behind the 9D 01 2A start code), VP8L lossless (packed
+  *    14-bit dims + alpha hint), VP8X extended (24-bit canvas dims,
+  *    alpha flag)
   *
   * Anything else — truncated headers, zero dimensions, non-image bytes
   * — yields NULL, never an error: at corpus scale a media column always
@@ -143,6 +147,39 @@ object ImageMeta {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       return row("gif", le16(b, 6), le16(b, 8), 1, 8)
+    }
+    // ---- WEBP: RIFF container, first chunk VP8 (lossy) / VP8L
+    // (lossless) / VP8X (extended)
+    if (b.length >= 16 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      val fourcc = new String(Array(b(12), b(13), b(14), b(15)),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      fourcc match {
+        case "VP8 " if b.length >= 30 =>
+          // key-frame header: 3-byte frame tag, start code 9D 01 2A,
+          // then 14-bit LE width/height
+          if ((b(23) & 0xFF) != 0x9D || (b(24) & 0xFF) != 0x01 ||
+              (b(25) & 0xFF) != 0x2A) return null
+          return row("webp", le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF, 3, 8)
+        case "VP8L" if b.length >= 25 =>
+          // signature 2F, then width-1 in bits 0..13, height-1 in
+          // 14..27, alpha hint in bit 28
+          if ((b(20) & 0xFF) != 0x2F) return null
+          val bits = (b(21) & 0xFFL) | ((b(22) & 0xFFL) << 8) |
+            ((b(23) & 0xFFL) << 16) | ((b(24) & 0xFFL) << 24)
+          val ch = if (((bits >> 28) & 1L) == 1L) 4 else 3
+          return row("webp", (bits & 0x3FFF).toInt + 1,
+            ((bits >> 14) & 0x3FFF).toInt + 1, ch, 8)
+        case "VP8X" if b.length >= 30 =>
+          // payload: 1 flag byte (bit 4 = alpha), 3 reserved, then
+          // 24-bit LE canvas width-1 / height-1
+          val ch = if ((b(20) & 0x10) != 0) 4 else 3
+          def le24(i: Int): Int =
+            (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
+          return row("webp", le24(24) + 1, le24(27) + 1, ch, 8)
+        case _ => return null
+      }
     }
     null
   }

@@ -72,6 +72,26 @@ class ExprConfigSpec extends SparkSpec {
     assert(got(2L).contains(("jpeg", 32, 16, 1, 8)), got(2L))
     assert(got(3L).contains(("gif", 300, 600, 1, 8)), got(3L))
     assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty && got(7L).isEmpty)
+    // WEBP: all three container variants
+    def riff(fourcc: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+        "WEBP".getBytes("ISO-8859-1") ++ fourcc.getBytes("ISO-8859-1") ++
+        Array[Byte](payload.length.toByte, 0, 0, 0) ++ payload
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      (320 & 0xFF).toByte, (320 >> 8).toByte, (240 & 0xFF).toByte, (240 >> 8).toByte))
+    val vp8lBits = 16L | (9L << 14) | (1L << 28) // 17x10, alpha
+    val vp8l = riff("VP8L", Array[Byte](0x2F,
+      (vp8lBits & 0xFF).toByte, ((vp8lBits >> 8) & 0xFF).toByte,
+      ((vp8lBits >> 16) & 0xFF).toByte, ((vp8lBits >> 24) & 0xFF).toByte, 0))
+    val vp8x = riff("VP8X", Array[Byte](0x10, 0, 0, 0,
+      0xFF.toByte, 0xFF.toByte, 0, 99, 0, 0)) // 65536x100 canvas, alpha
+    def parsed(bytes: Array[Byte]) = Option(graft.expr.ImageMeta.parse(bytes))
+      .map(m => (m.getUTF8String(0).toString, m.getInt(1), m.getInt(2),
+        m.getInt(3), m.getInt(4)))
+    assert(parsed(vp8).contains(("webp", 320, 240, 3, 8)), parsed(vp8))
+    assert(parsed(vp8l).contains(("webp", 17, 10, 4, 8)), parsed(vp8l))
+    assert(parsed(vp8x).contains(("webp", 65536, 100, 4, 8)), parsed(vp8x))
+    assert(parsed(riff("VP8 ", Array.fill(12)(0x00.toByte))).isEmpty) // bad start code
     // interpreted eval agrees with the codegen'd path above
     assert(graft.expr.ImageMeta.parse(realPng) != null)
     assert(graft.expr.ImageMeta.parse(realJpeg).getInt(1) == 32)
