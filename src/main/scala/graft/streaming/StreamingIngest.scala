@@ -226,6 +226,14 @@ object StreamingIngest {
       threshold: Double, maxDocFreq: Long, buckets: Int): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    require({
+      import org.apache.spark.sql.types._
+      batch.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }, s"dedupIngest: '$idCol' must be an integral id column — the posting " +
+      "kernel buffers 64-bit ids; map string keys through xxhash64 upstream")
     // three consumers (cross-corpus join, within-batch pairs, survivor
     // postings) share one shingle+hash pass; released before return
     val bp = Dedup.postingsWithSize(batch, idCol, textCol, n)
@@ -243,7 +251,7 @@ object StreamingIngest {
           Dedup.crossJaccardFromPostings(probe, spark.table(postingsTable),
               threshold, maxDocFreq)
             .select(col("id_a").as("_dup"))
-        else spark.range(0).select(col("id").as("_dup"))
+        else batch.select(col(idCol).as("_dup")).limit(0) // typed like idCol
       val dupInBatch = Dedup.jaccardFromPostings(bp, threshold, maxDocFreq)
         .select(col("id2").as("_dup")) // pairs are ordered: keep id1
       // the dup ID SET is trigger-bounded — pin it so the survivor

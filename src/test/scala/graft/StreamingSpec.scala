@@ -191,6 +191,16 @@ class StreamingSpec extends SparkSpec {
       maxDocFreq = 0L, buckets = 8)
     assert(docIds() == Set(1L, 2L, 4L, 6L))
     spark.sql(s"DROP TABLE IF EXISTS $table")
+
+    // string ids violate the posting kernel's 64-bit-id contract —
+    // refused up front with guidance, not a deep analysis error
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.dedupIngestBatch(
+        Seq(("a", "alpha beta gamma")).toDF("doc_id", "text"),
+        s"$tmp/docs2", "graft_test_ingest_postings_str", "doc_id", "text",
+        n = 2, threshold = 0.6, maxDocFreq = 0L, buckets = 4)
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
 
   test("foreachBatch scd2 sink matches the batch scd2 result across snapshot batches") {
