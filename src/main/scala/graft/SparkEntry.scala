@@ -556,6 +556,27 @@ object SparkEntry {
       Similarity.rankingMetrics(preds, truth, "sim", k = 5)
     }),
 
+    // deterministic 80/10/10 train/val/test split: md5-bucketed, so
+    // splits are disjoint, exhaustive, and a row's split never changes
+    // as the corpus grows — pure projection, no shuffle, no RNG state
+    "q130_split_assign" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        Filters.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    }),
+
+    // per-source token-budget cap: the md5-ordered prefix of each
+    // source that fits 800 tokens — one shuffle on source, per-group
+    // cumulative-sum window, nothing driver-side
+    "q131_token_budget" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.tokenBudgetCap(t(s, dir, "documents"), "doc_id", "source",
+          TextAnalysis.tokenCount(col("text")), budget = 800)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+    }),
+
     // Declared through the IVF-bucketed branch (pairs only within a
     // cell) — the scale path: the exact all-pairs branch is a
     // broadcast-nested-loop that dies at 100×. Oracle mirrors the
@@ -2110,6 +2131,30 @@ object SparkEntry {
                    THEN ROUND(CAST(dcgv AS DOUBLE) / CAST(idcgv AS DOUBLE), 6)
                    ELSE 0.0 END AS ndcg
        FROM q LEFT JOIN agg USING (query_id) LEFT JOIN ideal USING (query_id)""",
+
+    "q130_split_assign" ->
+      """SELECT doc_id,
+              CASE WHEN b < 800000 THEN 'train'
+                   WHEN b < 900000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1000000 AS b
+             FROM documents)""",
+
+    "q131_token_budget" ->
+      """WITH toks AS (
+           SELECT doc_id, source, CAST(len(list_filter(
+             regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         cum AS (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                 FROM toks)
+       SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       FROM cum WHERE cum_tokens <= 800""",
 
     "q30_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings

@@ -611,6 +611,38 @@ object Corpus {
       .drop("_thr")
   }
 
+  /** Per-group token-budget cap: keep the deterministically-ordered
+    * PREFIX of each group whose running token total stays within
+    * `budget` — the dataset-mix primitive "at most N tokens per
+    * source/language" (data recipes quote token budgets, not document
+    * counts; cf. the sampling mixes in GPT-3/LLaMA-style corpus
+    * construction). Order is md5(id ∥ salt) with an id tie-break, the
+    * same engine-reproducible permutation [[Filters.perKeyCap]] uses,
+    * so the selected prefix is identical across runs, partitionings
+    * and engines. A document is kept iff the cumulative token count
+    * UP TO AND INCLUDING it fits the budget: the cap truncates the
+    * shuffled corpus at the budget boundary (a pure prefix — no
+    * skip-and-refill, which would be a sequential scan no engine can
+    * parallelize or reproduce as a plain window).
+    *
+    * Scale shape: one shuffle on the group key + a per-group ordered
+    * cumulative-sum window. Groups are sources/languages — tens to
+    * thousands of partitions, each processed in parallel; the window
+    * never crosses groups, and nothing aggregates to the driver.
+    * Returns the kept rows plus `n_tokens` and `cum_tokens`.
+    */
+  def tokenBudgetCap(df: DataFrame, idCol: String, groupCol: String,
+      tokenCol: Column, budget: Long, salt: String = ""): DataFrame = {
+    require(budget > 0, s"tokenBudgetCap: budget must be positive: $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(col(idCol).cast(StringType), lit(salt))),
+        col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCol.cast(LongType))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   private def keepDraw(key: Column, salt: String): Column =
     pmod(graft.functions.TextAnalysis.md5Long(
       concat(key.cast(StringType), lit(salt))), lit(1000000L))

@@ -73,6 +73,39 @@ object Filters {
       lit(1000000L)) <
       math.round(fraction * 1000000).toLong
 
+  /** Deterministic train/validation/test split assignment: each key
+    * maps to the same md5-derived bucket [[hashSample]] uses
+    * (md5(key ∥ salt) mod 1e6), and the bucket falls into one of the
+    * cumulative weight ranges — so splits are disjoint, exhaustive,
+    * stable under re-runs/re-partitioning, and reproducible by any
+    * engine with md5. A row's split NEVER changes when other rows are
+    * added or removed (the property random `randomSplit` lacks), which
+    * is what makes the split safe for incremental corpora: yesterday's
+    * test document cannot silently migrate into today's train set.
+    * Weights must be positive and sum to 1 (±1e-6); the last split
+    * absorbs the rounding remainder so every bucket is covered.
+    */
+  def splitAssign(key: Column, splits: Seq[(String, Double)],
+      salt: String = ""): Column = {
+    require(splits.nonEmpty, "splitAssign: no splits given")
+    require(splits.forall(_._2 > 0), s"splitAssign: non-positive weight in $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"splitAssign: weights must sum to 1, got $total")
+    val bucket = pmod(graft.functions.TextAnalysis.md5Long(
+      concat(key.cast(org.apache.spark.sql.types.StringType), lit(salt))),
+      lit(1000000L))
+    val bounds = splits.init.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 1000000)
+    }.tail
+    val cases = splits.init.zip(bounds).foldLeft(
+      Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, ((name, _), hi)) =>
+        Some(acc.fold(when(bucket < hi, name))(_.when(bucket < hi, name)))
+    }
+    cases.fold(lit(splits.last._1))(_.otherwise(splits.last._1))
+  }
+
   /** Deterministic weighted sampling without replacement (the A-ES /
     * exponential-jumps scheme): each row ranks by ln(u)/w where u is
     * its md5-uniform in (0,1] and w its weight — a monotone transform

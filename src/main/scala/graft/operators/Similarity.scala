@@ -434,13 +434,25 @@ object Similarity {
       ivfAssign(corpus, centroids, idCol, vecCol, keepSim = true)
         .select(col(idCol), col(vecCol), col("centroid_id"),
           col("centroid_sim")))
+    (dominanceKept(assigned, idCol, vecCol, threshold), assigned)
+  }
+
+  /** The dominance verdict over an already-assigned frame (columns:
+    * idCol, vecCol, centroid_id, centroid_sim) — [[semanticDedup]]'s
+    * within-cell keep rule, shared with the streaming ingest sink's
+    * within-batch check. Caller is responsible for persisting
+    * `assigned` when the scoring pass is expensive (both self-join
+    * sides reference it).
+    */
+  private[graft] def dominanceKept(assigned: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
     val a = assigned.select(col("centroid_id"), col(idCol).as("_id"),
       col(vecCol).as("_v"), col("centroid_sim").as("_cs"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("_nid"),
       col(vecCol).as("_nv"), col("centroid_sim").as("_ncs"))
     // left join keeps singleton cells' vectors (trivially kept); the
     // dominance verdict folds to one max() per vector
-    val result = a.join(b, Seq("centroid_id"), "left")
+    a.join(b, Seq("centroid_id"), "left")
       .withColumn("_dominated",
         when(col("_nid").isNotNull && col("_nid") =!= col("_id") &&
           round(cosine(col("_v"), col("_nv")), 6) >= threshold &&
@@ -450,6 +462,5 @@ object Similarity {
       .groupBy(col("_id").as(idCol), col("centroid_id"), col("_cs"))
       .agg((max(col("_dominated")) === 0).cast(IntegerType).as("kept"))
       .withColumnRenamed("_cs", "centroid_sim")
-    (result, assigned)
   }
 }

@@ -279,6 +279,117 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming ingest with SEMANTIC dedup-on-arrival: each micro-batch
+    * of embedding vectors is checked against the ACCUMULATED corpus via
+    * its materialized IVF-cell table. Where [[dedupIngestSink]]'s
+    * arrival cost is floored by a full posting-index SCAN (SCALE.md —
+    * the n-gram index has no selective key parquet can prune on), the
+    * semantic variant reads ONLY the cell directories the batch
+    * touches: the cells table is laid out `partitionBy(centroid_id)`,
+    * the batch's cell set is trigger-bounded, and the `isin` filter
+    * becomes partition pruning. Arrival IO therefore scales with the
+    * batch's cell population, not the corpus.
+    *
+    * Per trigger:
+    *  1. the batch alone is IVF-assigned (centroids broadcast —
+    *     one batch-sized scoring pass, nothing corpus-scale moves);
+    *  2. batch-vs-corpus: join the assigned batch against the PRUNED
+    *     cell partitions on centroid_id; an arrival with any accepted
+    *     neighbor at cosine ≥ threshold drops (first-come-wins — the
+    *     corpus row was already accepted, matching [[dedupIngestSink]]
+    *     semantics rather than batch [[graft.operators.Similarity
+    *     .semanticDedup]]'s retrospective lowest-centroid-sim rule);
+    *  3. within-batch: the SemDeDup dominance verdict
+    *     ([[graft.operators.Similarity.semanticDedup]]'s keep rule)
+    *     over the batch's own cells;
+    *  4. survivors APPEND to the docs table; their (id, vec,
+    *     centroid_sim) rows APPEND into the cell table under their
+    *     centroid_id partition — new files per touched cell, untouched
+    *     cells stay byte-identical. Long-running sinks compact cell
+    *     directories offline (each trigger adds ≤1 file per touched
+    *     cell; the swap is metadata-only since cells are directories).
+    *
+    * Retry semantics: a REPLAYED batch self-filters — its rows are
+    * already in their cells, so each rejoins itself at cosine 1.0 ≥
+    * threshold and drops (holds for any threshold ≤ 1; a zero vector
+    * has cosine 0 with itself — dedup degenerate vectors upstream).
+    */
+  def semanticDedupIngestSink(stream: DataFrame, docsPath: String,
+      cellsPath: String, centroids: DataFrame, checkpoint: String,
+      idCol: String, vecCol: String, threshold: Double,
+      trigger: Trigger = Trigger.ProcessingTime("15 minutes")): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        semanticDedupIngestBatch(batch, docsPath, cellsPath, centroids,
+          idCol, vecCol, threshold)
+      }
+
+  /** One [[semanticDedupIngestSink]] micro-batch — public so replay
+    * and pruning behavior are directly testable.
+    */
+  def semanticDedupIngestBatch(batch: DataFrame, docsPath: String,
+      cellsPath: String, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): Unit = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    // three consumers (corpus join, within-batch dominance ×2 sides,
+    // survivor cell append) share one assignment pass
+    val assigned = Similarity
+      .ivfAssign(batch, centroids, idCol, vecCol, keepSim = true)
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        col("centroid_sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // trigger-bounded driver state: ≤ min(batch rows, centroid count)
+      val touched = assigned.select(col("centroid_id")).distinct()
+        .collect().map(_.get(0))
+      val cellsExist = new org.apache.hadoop.fs.Path(cellsPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(cellsPath))
+      val dupVsCorpus =
+        if (cellsExist && touched.nonEmpty) {
+          val cellType = assigned.schema("centroid_id").dataType
+          // partition-column type inference may narrow the dir values;
+          // cast back to the assignment's type before the join
+          val cells = spark.read.parquet(cellsPath)
+            .where(col("centroid_id").isin(touched.toIndexedSeq: _*))
+            .select(col("centroid_id").cast(cellType).as("centroid_id"),
+              col(vecCol).as("_nv"))
+          // batch is the trigger-bounded side: pin it as the hash
+          // build so the pruned cell partitions stream through the
+          // probe unsorted (appends leave many files per cell dir —
+          // a sort-merge join would re-sort them every trigger)
+          assigned.hint("shuffle_hash").join(cells, Seq("centroid_id"))
+            .where(round(Similarity.cosine(col(vecCol), col("_nv")), 6)
+              >= threshold)
+            .select(col(idCol).as("_dup"))
+        } else assigned.select(col(idCol).as("_dup")).limit(0)
+      val dupInBatch = Similarity
+        .dominanceKept(assigned, idCol, vecCol, threshold)
+        .where(col("kept") === 0).select(col(idCol).as("_dup"))
+      val dups = dupVsCorpus.unionByName(dupInBatch).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val survivors = batch.join(dups, batch(idCol) === col("_dup"),
+          "left_anti")
+        survivors.write.mode("append").parquet(docsPath)
+        val sc = assigned.join(survivors.select(col(idCol).as("_sid")),
+          col(idCol) === col("_sid"), "left_semi")
+        sc.write.mode("append").partitionBy("centroid_id")
+          .parquet(cellsPath)
+      } finally {
+        dups.unpersist(blocking = false)
+        ()
+      }
+    } finally {
+      assigned.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** St6: one SCD2 micro-batch merge — the unit of work [[scd2Sink]]
     * runs per trigger, public so retries are testable directly.
     *

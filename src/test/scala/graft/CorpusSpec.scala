@@ -373,4 +373,51 @@ class CorpusSpec extends SparkSpec {
     assert(rows.count() == got("en")._3 + got("fr")._3)
     assert(rows.columns.toSeq == Seq("lang", "doc_id"))
   }
+
+  test("tokenBudgetCap keeps the md5-ordered prefix that fits the budget") {
+    // 12 docs in one source with varying token counts; budget 30
+    val docs = (1L to 12L).map(i => (i, "s", ("tok " * i.toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.tokenBudgetCap(docs, "doc_id", "source",
+        graft.functions.TextAnalysis.tokenCount(col("text")), budget = 30)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+
+    // independent reference: same rule computed outside Spark
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = (1L to 12L).map(i => (i, i)) // doc i has i tokens
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val expected = ordered.scanLeft((0L, 0L, 0L)) {
+      case ((_, _, cum), (id, n)) => (id, n, cum + n)
+    }.tail.takeWhile(_._3 <= 30)
+    assert(got.toSeq.sortBy(_._1) == expected.sortBy(_._1))
+    assert(got.nonEmpty && got.length < 12)
+
+    // prefix semantics: once the running total crosses the budget,
+    // NOTHING later is kept — even a small doc that would fit
+    val firstDropped = ordered.map(_._1).drop(expected.length)
+    assert(firstDropped.forall(id => !got.exists(_._1 == id)))
+
+    // per-group independence: a second source gets its own budget
+    val two = docs.unionByName(
+      (1L to 12L).map(i => (i + 100L, "t", ("tok " * i.toInt).trim))
+        .toDF("doc_id", "source", "text"))
+    val byGroup = Corpus.tokenBudgetCap(two, "doc_id", "source",
+        graft.functions.TextAnalysis.tokenCount(col("text")), budget = 30)
+      .groupBy("source").agg(sum("n_tokens")).as[(String, Long)]
+      .collect().toMap
+    assert(byGroup.keySet == Set("s", "t"))
+    assert(byGroup.values.forall(_ <= 30))
+
+    // deterministic under repartitioning
+    val again = Corpus.tokenBudgetCap(docs.repartition(7), "doc_id", "source",
+        graft.functions.TextAnalysis.tokenCount(col("text")), budget = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetCap(docs, "doc_id", "source", lit(1L), budget = 0)
+    }
+  }
 }

@@ -162,4 +162,43 @@ class FiltersSpec extends SparkSpec {
     assert(capped.queryExecution.executedPlan.toString
       .contains("WindowGroupLimit"))
   }
+
+  test("splitAssign: disjoint, exhaustive, and stable under corpus growth") {
+    import graft.operators.Filters
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 200L).toDF("id")
+      .select(col("id"), Filters.splitAssign(col("id"), splits).as("split"))
+      .as[(Long, String)].collect().toMap
+    // exhaustive: every row labeled with one of the three names
+    assert(small.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(small.size == 200)
+    // proportions land near the weights (md5-uniform draw)
+    val counts = small.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 120 && counts("val") < 50 && counts("test") < 50)
+    // growth-stable: the same key keeps its split in a 5x larger corpus
+    val big = (1L to 1000L).toDF("id")
+      .select(col("id"), Filters.splitAssign(col("id"), splits).as("split"))
+      .as[(Long, String)].collect().toMap
+    small.foreach { case (k, v) => assert(big(k) == v, s"id $k migrated") }
+    // different salts give independent assignments (some keys move)
+    val salted = (1L to 200L).toDF("id")
+      .select(col("id"), Filters.splitAssign(col("id"), splits, "s2").as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(small.exists { case (k, v) => salted(k) != v })
+    // validation: weights must be positive and sum to 1
+    intercept[IllegalArgumentException] {
+      Filters.splitAssign(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Filters.splitAssign(col("id"), Seq("a" -> 1.5, "b" -> -0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Filters.splitAssign(col("id"), Seq.empty)
+    }
+    // single split: everything lands in it
+    val one = (1L to 10L).toDF("id")
+      .select(Filters.splitAssign(col("id"), Seq("all" -> 1.0)).as("split"))
+      .as[String].collect()
+    assert(one.forall(_ == "all"))
+  }
 }

@@ -203,6 +203,58 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
 
+  test("semantic dedup-on-ingest: arrivals check against accumulated IVF cells") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-sem").toString
+    val centroids = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "vec")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF.toDF("vec_id", "vec")
+    def run(data: (Long, Seq[Double])*): Unit = {
+      mem.addData(data: _*)
+      val q = StreamingIngest.semanticDedupIngestSink(stream, s"$tmp/docs",
+          s"$tmp/cells", centroids, s"$tmp/ckpt", "vec_id", "vec",
+          threshold = 0.95,
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    def docIds(): Set[Long] = spark.read.parquet(s"$tmp/docs")
+      .select("vec_id").as[Long].collect().toSet
+    def cellFiles(cell: Long): Map[String, String] = {
+      val d = new java.io.File(s"$tmp/cells/centroid_id=$cell")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getName -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+
+    // batch 1: ids 1,2 are near-dups in cell 0 — SemDeDup dominance
+    // keeps the LOWER centroid_sim (id 1); id 3 lands alone in cell 1
+    run((1L, Seq(0.9, 0.1)), (2L, Seq(0.95, 0.05)), (3L, Seq(0.1, 0.9)))
+    assert(docIds() == Set(1L, 3L))
+    val cell1After1 = cellFiles(1L)
+    assert(cell1After1.nonEmpty && cellFiles(0L).nonEmpty)
+
+    // batch 2: 4 duplicates accepted id 1 (first-come-wins: corpus row
+    // stays, arrival drops); 5 is fresh (cosine 0.78 to id 1, ties to
+    // cell 0). Cell 1 is untouched — its files stay byte-identical:
+    // the arrival only reads and writes the cells the batch touches.
+    run((4L, Seq(0.88, 0.12)), (5L, Seq(0.6, 0.6)))
+    assert(docIds() == Set(1L, 3L, 5L))
+    assert(cellFiles(1L) == cell1After1)
+
+    // replayed batch self-filters: each row rejoins itself in its cell
+    // at cosine 1.0 ≥ threshold and drops
+    StreamingIngest.semanticDedupIngestBatch(
+      Seq((4L, Seq(0.88, 0.12)), (5L, Seq(0.6, 0.6))).toDF("vec_id", "vec"),
+      s"$tmp/docs", s"$tmp/cells", centroids, "vec_id", "vec", 0.95)
+    assert(docIds() == Set(1L, 3L, 5L))
+    assert(cellFiles(1L) == cell1After1)
+  }
+
   test("foreachBatch scd2 sink matches the batch scd2 result across snapshot batches") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-scd2stream").toString
