@@ -66,6 +66,7 @@ object ScaleShakeout {
 
     val spill = new java.util.concurrent.atomic.AtomicLong(0L)
     val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inputRecords = new java.util.concurrent.atomic.AtomicLong(0L)
     // SHAKEOUT_STAGES=1: per-stage forensics (wall, tasks, records)
     // for attributing a slow operator to its stage
     val stageTrace = sys.env.contains("SHAKEOUT_STAGES")
@@ -75,6 +76,7 @@ object ScaleShakeout {
         if (m != null) {
           spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
           peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+          inputRecords.addAndGet(m.inputMetrics.recordsRead)
           if (stageTrace) {
             val i = sc.stageInfo
             val wall = (for {
@@ -107,12 +109,13 @@ object ScaleShakeout {
 
     def run(name: String)(op: => DataFrame): Unit = {
       if (only.nonEmpty && !only.contains(name)) return
-      spill.set(0L); peakTaskMem.set(0L)
+      spill.set(0L); peakTaskMem.set(0L); inputRecords.set(0L)
       val t0 = System.nanoTime()
       val n = op.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"$name%-22s ${dt}%8.1fs rows=$n%-10d " +
-        f"spill=${spill.get / 1e6}%.0fMB peakTaskMem=${peakTaskMem.get / 1e6}%.0fMB")
+        f"spill=${spill.get / 1e6}%.0fMB peakTaskMem=${peakTaskMem.get / 1e6}%.0fMB " +
+        f"in=${inputRecords.get}%d")
       Caches.release(spark)
       spark.sharedState.cacheManager.clearCache()
     }
@@ -247,7 +250,8 @@ object ScaleShakeout {
     // the bench tables): 32 true centers, the hot center holding ~30%
     // of vectors — the skew case for the per-(cell,dim) recompute agg
     // and the per-vector best-cell window.
-    if (wanted("kmeansRefineAssign", "semanticDedup")) {
+    if (wanted("kmeansRefineAssign", "semanticDedup", "trainCentroidsAuto",
+        "semanticDedupAuto")) {
       val nVecs = nDocs * 2L / 5L
       val genVec = udf { (id: Long) =>
         // seeds (ids < 32) cover each center once; the hot center only
@@ -281,6 +285,79 @@ object ScaleShakeout {
       run("semanticDedupAuto")(
         graft.operators.Similarity.semanticDedupAuto(
           vecs, "vec_id", "embedding", threshold = 0.9))
+    }
+
+    // semantic dedup-on-ingest at corpus scale: the claim under test is
+    // that the ARRIVAL's corpus side partition-prunes to the touched
+    // cells — the structural advantage over the posting-index scan
+    // floor (see SCALE.md "Dedup-on-ingest at 50×"). Needs its own
+    // corpus: the kmeans fixture's same-center cosines sit at ~0.98, so
+    // any build-time dedup would collapse each cell. Noise 0.5 puts
+    // same-cell distinct members at ~0.67 cosine (kept at t=0.95);
+    // planted dup arrivals are exact copies (cosine 1.0, dropped). The
+    // arrival batch draws from TWO of the 32 cells, so its `in=` count
+    // should be ≈ batch + 2/32 of the index, not the whole index.
+    if (wanted("semIngestBuild", "semIngestArrival")) {
+      val nVecs = nDocs * 2L / 5L
+      // Gaussian centers, NOT the kmeans fixture's sin sequences: those
+      // share one frequency so centers differ only in PHASE, and pairs
+      // at Δc=11 sit at cos≈0.94 — assignments smear across correlated
+      // cells and the arrival would touch far more than its 2 cells.
+      // Seeded gaussians are near-orthogonal in 64-d (cos std 1/8).
+      def centerArr(c: Int): Array[Double] = {
+        val r = new java.util.Random(c * 9973L + 17L)
+        Array.fill(64)(r.nextGaussian())
+      }
+      val genIV = udf { (id: Long) =>
+        val base = centerArr((id % 32).toInt)
+        val rnd = new java.util.Random(id * 2246822519L + 3L)
+        Array.tabulate(64)(j => (base(j) + 0.5 * rnd.nextGaussian()).toFloat)
+      }
+      spark.range(nVecs)
+        .select(col("id").as("vec_id"), genIV(col("id")).as("embedding"))
+        .write.mode("overwrite").parquet("target/scale_ivecs.parquet")
+      val ivecs = spark.read.parquet("target/scale_ivecs.parquet")
+      val genCent = udf { (c: Long) =>
+        centerArr(c.toInt).map(_.toFloat)
+      }
+      val cents = spark.range(32)
+        .select(col("id").as("vec_id"), genCent(col("id")).as("embedding"))
+      val docsPath = "target/scale_semingest_docs.parquet"
+      val cellsPath = "target/scale_semingest_cells.parquet"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(docsPath), true)
+      fs.delete(new org.apache.hadoop.fs.Path(cellsPath), true)
+      // the batch call is eager (writes inside), so returning range(1)
+      // keeps the counted frame from re-reading the docs table and
+      // polluting the in= evidence
+      def ingest(batch: DataFrame): DataFrame = {
+        graft.streaming.StreamingIngest.semanticDedupIngestBatch(batch,
+          docsPath, cellsPath, cents, "vec_id", "embedding",
+          threshold = 0.95)
+        spark.range(1).toDF("ok")
+      }
+      run("semIngestBuild")(ingest(ivecs))
+      val nArr = nVecs / 100
+      val dups = ivecs
+        .filter(pmod(col("vec_id"), lit(32L)).isin(7L, 19L))
+        .limit((nArr / 2).toInt)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val fresh = spark.range(nArr / 2)
+        .select((lit(20000000L) + col("id") * 32L +
+          when(pmod(col("id"), lit(2L)) === 0L, 7L).otherwise(19L))
+          .as("vec_id"))
+        .select(col("vec_id"), genIV(col("vec_id")).as("embedding"))
+      // materialize the batch outside the timed region — deriving it
+      // lazily from the corpus parquet would charge corpus re-reads to
+      // the arrival's in= and bury the pruning evidence
+      dups.unionAll(fresh).write.mode("overwrite")
+        .parquet("target/scale_semingest_batch.parquet")
+      val arrival = spark.read.parquet("target/scale_semingest_batch.parquet")
+      run("semIngestArrival")(ingest(arrival))
+      println(s"  semIngest docs rows=${spark.read.parquet(docsPath).count()}" +
+        s" cells=${spark.read.parquet(cellsPath)
+          .select("centroid_id").distinct().count()}")
     }
     spark.stop()
   }

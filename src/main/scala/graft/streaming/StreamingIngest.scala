@@ -351,13 +351,8 @@ object StreamingIngest {
         .exists(new org.apache.hadoop.fs.Path(cellsPath))
       val dupVsCorpus =
         if (cellsExist && touched.nonEmpty) {
-          val cellType = assigned.schema("centroid_id").dataType
-          // partition-column type inference may narrow the dir values;
-          // cast back to the assignment's type before the join
-          val cells = spark.read.parquet(cellsPath)
-            .where(col("centroid_id").isin(touched.toIndexedSeq: _*))
-            .select(col("centroid_id").cast(cellType).as("centroid_id"),
-              col(vecCol).as("_nv"))
+          val cells = readTouchedCells(spark, cellsPath, touched,
+            assigned.schema("centroid_id").dataType, vecCol)
           // batch is the trigger-bounded side: pin it as the hash
           // build so the pruned cell partitions stream through the
           // probe unsorted (appends leave many files per cell dir —
@@ -388,6 +383,28 @@ object StreamingIngest {
       assigned.unpersist(blocking = false)
       ()
     }
+  }
+
+  /** The arrival's corpus side: the cell table restricted to the
+    * batch's touched cells. The `isin` literals are cast to the
+    * INFERRED partition-column type — comparing the raw Long ids
+    * against a narrower inferred type would put the implicit cast on
+    * the COLUMN and silently defeat partition pruning (measured: the
+    * scan read the whole index; with the cast on the literals it reads
+    * only the touched directories — ScaleSpec asserts the selected
+    * partition count). The join key is cast back to the assignment's
+    * type on the way out.
+    */
+  private[graft] def readTouchedCells(spark: SparkSession,
+      cellsPath: String, touched: Array[Any],
+      cellType: org.apache.spark.sql.types.DataType,
+      vecCol: String): DataFrame = {
+    val raw = spark.read.parquet(cellsPath)
+    val pType = raw.schema("centroid_id").dataType
+    raw.where(col("centroid_id")
+        .isin(touched.toIndexedSeq.map(v => lit(v).cast(pType)): _*))
+      .select(col("centroid_id").cast(cellType).as("centroid_id"),
+        col(vecCol).as("_nv"))
   }
 
   /** St6: one SCD2 micro-batch merge — the unit of work [[scd2Sink]]

@@ -130,6 +130,30 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() == 10)
   }
 
+  test("semantic ingest reads only the touched cell partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semcells").toString
+    // 8 cells, written the way the sink writes them (centroid_id is a
+    // LONG upstream; partition inference narrows the dir values)
+    val cells = (1L to 160L).map(i =>
+      (i, Seq(i.toDouble, 1.0), i % 8, 0.9)).toDF(
+      "vec_id", "vec", "centroid_id", "centroid_sim")
+    cells.write.partitionBy("centroid_id").mode("overwrite").parquet(tmp)
+    val touched: Array[Any] = Array(3L, 5L)
+    val pruned = graft.streaming.StreamingIngest.readTouchedCells(
+      spark, tmp, touched, org.apache.spark.sql.types.LongType, "vec")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the isin literals carry the cast, not the partition column — a
+    // column-side cast defeats pruning and rereads the whole index
+    assert(scans.head.relation.location.listFiles(
+      scans.head.partitionFilters, scans.head.dataFilters).length == 2)
+    assert(pruned.count() == 40)
+    assert(pruned.schema("centroid_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("salted join equals plain join on skewed data") {
     val skewed = (1 to 2000).map(i =>
       (if (i % 10 == 0) "cold" + i else "HOT", i.toLong)).toDF("key", "id")
