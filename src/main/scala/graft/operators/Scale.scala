@@ -107,6 +107,74 @@ object Scale {
     cnt(df.queryExecution.executedPlan)
   }
 
+  /** Offline compaction for an append-accumulating partitioned table
+    * (the semantic ingest's cell table, a date-partitioned event
+    * store): every `key=value` partition directory holding more than
+    * `maxFiles` parquet files is rewritten into one file and swapped
+    * in with the crash-safe rename protocol the streaming sinks use
+    * (`dir → _bak`, `_tmp → dir`, `delete _bak` — at every crash
+    * point the partition survives in exactly one of the two names).
+    * The scratch names are `_`-prefixed SIBLINGS inside the table
+    * root, which Spark's partition discovery ignores — a `_tmp`
+    * suffix ON the partition name would parse as a partition VALUE
+    * and corrupt type inference for the whole table.
+    *
+    * Only over-threshold directories are touched: readers of other
+    * partitions never see churn. An interrupted run is repaired on
+    * the next call (any `_graft_bak_` dir whose live partition is
+    * missing is renamed back) before new work starts. Concurrent
+    * readers of the partition BEING swapped can lose the race on a
+    * plain filesystem — schedule compaction off-trigger (the sinks
+    * never read a cell they aren't writing) or use a transactional
+    * table format when readers are uncoordinated.
+    *
+    * Returns the number of compacted directories.
+    */
+  def compactPartitions(spark: SparkSession, tablePath: String,
+      maxFiles: Int = 8): Int = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    def bak(name: String) = new org.apache.hadoop.fs.Path(root, s"_graft_bak_$name")
+    def tmp(name: String) = new org.apache.hadoop.fs.Path(root, s"_graft_tmp_$name")
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+        to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, to))
+        throw new java.io.IOException(s"compact: rename $src -> $to failed")
+    val entries = fs.listStatus(root)
+    // crash repair FIRST: a _bak without its live dir is the only copy
+    entries.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_graft_bak_")).foreach { s =>
+      val live = new org.apache.hadoop.fs.Path(root,
+        s.getPath.getName.stripPrefix("_graft_bak_"))
+      if (!fs.exists(live)) renameOrThrow(s.getPath, live)
+      else fs.delete(s.getPath, true)
+    }
+    // stale _tmp dirs are incomplete writes from a dead run
+    entries.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("_graft_tmp_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    var n = 0
+    fs.listStatus(root).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isDirectory && name.contains("=") && !name.startsWith("_")) {
+        val files = fs.listStatus(s.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        if (files.length > maxFiles) {
+          spark.read.parquet(s.getPath.toString).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(tmp(name).toString)
+          fs.delete(bak(name), true)
+          renameOrThrow(s.getPath, bak(name))
+          renameOrThrow(tmp(name), s.getPath)
+          fs.delete(bak(name), true)
+          n += 1
+        }
+      }
+    }
+    n
+  }
+
   /** Register both sides of a merge as bucketed tables and return the
     * (history, batch) frames whose join needs no shuffle.
     */

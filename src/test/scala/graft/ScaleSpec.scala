@@ -154,6 +154,47 @@ class ScaleSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("compactPartitions: over-threshold dirs fold to one file, data intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // cell 0 gets 5 append files; cell 1 gets one
+    (1 to 5).foreach { i =>
+      Seq((i.toLong, s"v$i", 0L)).toDF("id", "payload", "cell")
+        .write.partitionBy("cell").mode("append").parquet(tmp)
+    }
+    Seq((100L, "w", 1L)).toDF("id", "payload", "cell")
+      .write.partitionBy("cell").mode("append").parquet(tmp)
+    def files(cell: Long): Set[String] = new java.io.File(s"$tmp/cell=$cell")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = spark.read.parquet(tmp).collect().map(_.toString).sorted
+    val cell1Before = files(1L)
+    assert(files(0L).size == 5)
+
+    val n = Scale.compactPartitions(spark, tmp, maxFiles = 2)
+    assert(n == 1)
+    assert(files(0L).size == 1)
+    assert(files(1L) == cell1Before) // under threshold: untouched
+    val after = spark.read.parquet(tmp).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+    // no scratch dirs left behind
+    assert(!new java.io.File(tmp).listFiles()
+      .exists(_.getName.startsWith("_graft_")))
+
+    // crash repair: a _bak whose live dir vanished is the only copy —
+    // the next call restores it before compacting anything
+    val root = new java.io.File(tmp)
+    assert(new java.io.File(root, "cell=1").renameTo(
+      new java.io.File(root, "_graft_bak_cell=1")))
+    new java.io.File(root, "_graft_tmp_cell=0").mkdir() // stale tmp
+    assert(Scale.compactPartitions(spark, tmp, maxFiles = 2) == 0)
+    assert(files(1L) == cell1Before)
+    assert(!new java.io.File(root, "_graft_tmp_cell=0").exists())
+    val repaired = spark.read.parquet(tmp).collect().map(_.toString).sorted
+    assert(repaired.toSeq == before.toSeq)
+
+    // missing table: a no-op, not an error
+    assert(Scale.compactPartitions(spark, s"$tmp/nope") == 0)
+  }
+
   test("salted join equals plain join on skewed data") {
     val skewed = (1 to 2000).map(i =>
       (if (i % 10 == 0) "cold" + i else "HOT", i.toLong)).toDF("key", "id")
