@@ -577,6 +577,16 @@ object SparkEntry {
           col("cum_tokens"))
     }),
 
+    // edit-distance verified near-dup: inverted-index candidates at a
+    // low jaccard bar, confirmed by character-level Levenshtein
+    // similarity — the order-sensitive verifier the set-based family
+    // lacks. The quadratic DP runs only on candidate pairs.
+    "q132_edit_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      Dedup.editSimilarityPairs(tp(s, dir, "documents"), "doc_id", "text",
+        n = 3, candThreshold = 0.35, simThreshold = 0.4, maxDocFreq = 100L)
+    }),
+
     // Declared through the IVF-bucketed branch (pairs only within a
     // cell) — the scale path: the exact all-pairs branch is a
     // broadcast-nested-loop that dies at 100×. Oracle mirrors the
@@ -2155,6 +2165,17 @@ object SparkEntry {
                  FROM toks)
        SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
        FROM cum WHERE cum_tokens <= 800""",
+
+    "q132_edit_neardup" ->
+      s"""WITH cands AS (${jaccardOracle(0.35)})
+       SELECT c.id1, c.id2,
+              ROUND(1 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE) /
+                        GREATEST(len(d1.text), len(d2.text)), 6) AS edit_sim
+       FROM cands c
+       JOIN documents d1 ON c.id1 = d1.doc_id
+       JOIN documents d2 ON c.id2 = d2.doc_id
+       WHERE ROUND(1 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE) /
+                       GREATEST(len(d1.text), len(d2.text)), 6) >= 0.4""",
 
     "q30_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings

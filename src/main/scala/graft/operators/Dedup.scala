@@ -113,6 +113,39 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id1", "id2", "containment")
 
+  /** Edit-distance VERIFIED near-dup pairs: candidates from the shared
+    * inverted-index kernel (n-gram Jaccard ≥ `candThreshold`, the cheap
+    * high-recall stage), then verified with character-level Levenshtein
+    * similarity `1 − lev(a,b) / max(|a|,|b|) ≥ simThreshold`. Jaccard
+    * over shingle SETS is order- and multiplicity-blind — two documents
+    * built from the same vocabulary score high even when the actual
+    * texts differ substantially; edit similarity is the
+    * order-sensitive confirmation (the MinHash→verify pattern, with a
+    * stricter verifier). Returns (id1, id2, edit_sim) with id1 < id2.
+    *
+    * Scale shape: the quadratic Levenshtein DP runs ONLY on candidate
+    * pairs — bounded by the capped inverted index, never all-pairs —
+    * and each side's text joins in by id (sort-merge or broadcast by
+    * AQE's choice), so nothing corpus-sized is replicated. Per-pair
+    * verify cost is O(|a|·|b|) chars; `candThreshold` is the knob that
+    * bounds how many pairs pay it.
+    */
+  def editSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, candThreshold: Double, simThreshold: Double,
+      maxDocFreq: Long = 0L): DataFrame = {
+    val cands = jaccardPairs(df, idCol, textCol, n, candThreshold, maxDocFreq)
+      .select("id1", "id2")
+    val texts = df.select(col(idCol), col(textCol))
+    cands
+      .join(texts.select(col(idCol).as("id1"), col(textCol).as("_t1")), "id1")
+      .join(texts.select(col(idCol).as("id2"), col(textCol).as("_t2")), "id2")
+      .withColumn("edit_sim",
+        round(lit(1.0) - levenshtein(col("_t1"), col("_t2")).cast(DoubleType) /
+          greatest(length(col("_t1")), length(col("_t2"))), 6))
+      .filter(col("edit_sim") >= simThreshold)
+      .select("id1", "id2", "edit_sim")
+  }
+
   /** (_id, _n, _s): one posting row per (document, distinct shingle),
     * carrying the document's distinct-shingle COUNT alongside the
     * 64-bit shingle hash. Shuffling the hash instead of the 20-40 byte

@@ -38,6 +38,29 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("editSimilarityPairs verifies order: same-vocab scrambles are dropped") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val oneEdit = "alpha beta gamma delta epsilon zeta eta theta iota kappo"
+    // same word MULTISET, aggressively reordered: bigram-shingle overlap
+    // stays high enough to clear a low candidate bar, but the character
+    // sequence diverges — the edit verifier must drop it
+    val scrambled = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    val df = Seq((1L, base), (2L, oneEdit), (3L, scrambled))
+      .toDF("doc_id", "text")
+    // unigram shingles: all three docs share (nearly) the same word SET,
+    // so every pair is a candidate at 0.5
+    val cands = Dedup.jaccardPairs(df, "doc_id", "text", n = 1, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 3L)), "scramble must survive the candidate stage")
+    val verified = Dedup.editSimilarityPairs(df, "doc_id", "text", n = 1,
+      candThreshold = 0.5, simThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.keySet == Set((1L, 2L)),
+      s"only the one-edit pair passes the verifier, got ${verified.keySet}")
+    // 1 char substituted out of 58 → sim = 1 - 1/58
+    assert(math.abs(verified((1L, 2L)) - (1.0 - 1.0 / base.length)) < 1e-6)
+  }
+
   test("containmentPairs catches a quoted doc that jaccard misses") {
     val quote = "the quick brown fox jumps over the lazy dog"
     val host = ("completely unrelated framing text opens this long document " +
