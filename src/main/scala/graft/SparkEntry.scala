@@ -587,6 +587,38 @@ object SparkEntry {
         n = 3, candThreshold = 0.35, simThreshold = 0.4, maxDocFreq = 100L)
     }),
 
+    // BPE tokenizer training: 8 byte-pair merges learned from the
+    // corpus word histogram. The distributed part is the histogram
+    // pass; the merge loop is driver-side over the vocabulary-bounded
+    // frame. Oracle unrolls the full loop (pair counts → best pair →
+    // merge application) per rank in SQL.
+    "q133_bpe_train" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.bpeTrain(t(s, dir, "documents"), "text", numMerges = 8)
+    }),
+
+    // train → apply → account: per-document token count under the
+    // learned 8-merge tokenizer (the compression-ratio metric a
+    // tokenizer sweep optimizes). The apply side segments each
+    // DISTINCT word once (vocabulary-sized frame, broadcast), then the
+    // corpus joins words to symbol counts — the chained-replace encode
+    // never runs per occurrence.
+    "q134_bpe_encode" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+      val merges = Corpus.bpeTrain(docs, "text", numMerges = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val wsym = Corpus.bpeWordHistogram(docs, "text")
+        .select(col("word"),
+          size(Corpus.bpeSegmentCol(col("word"), merges)).as("n_sym"))
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .join(broadcast(wsym), "word")
+        .groupBy("doc_id")
+        .agg(sum(col("n_sym")).cast(LongType).as("n_bpe_tokens"))
+    }),
+
     // Declared through the IVF-bucketed branch (pairs only within a
     // cell) — the scale path: the exact all-pairs branch is a
     // broadcast-nested-loop that dies at 100×. Oracle mirrors the
@@ -2177,6 +2209,21 @@ object SparkEntry {
        WHERE ROUND(1 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE) /
                        GREATEST(len(d1.text), len(d2.text)), 6) >= 0.4""",
 
+    "q133_bpe_train" -> bpeOracle(8),
+
+    "q134_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+       wsym AS (SELECT word,
+                  CAST(len(regexp_extract_all(seg, '\\(([a-z0-9]+)\\)', 1))
+                       AS BIGINT) AS n_sym
+                FROM seg8)
+       SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       FROM (SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+               x -> x <> '')) AS word FROM documents) d
+       JOIN wsym USING (word)
+       GROUP BY 1""",
+
     "q30_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
                     WHERE vec_id < 8),
@@ -3699,6 +3746,52 @@ object SparkEntry {
     * (q24; recall at 128 hashes / 32 bands is ≈1 above 0.8 so the
     * verified candidate set equals the exact set on this data).
     */
+  /** Mirrors Corpus.bpeTrain with the merge loop UNROLLED: per rank k,
+    * a pairs→best→apply CTE triple, chained seg0→segN. The paren
+    * segmentation makes plain replace() ≡ the greedy merge in both
+    * engines, so the whole training run hash-matches.
+    */
+  private def bpeOracle(numMerges: Int): String = {
+    val union = (1 to numMerges)
+      .map(k => s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+                 l || r AS merged, cnt AS pair_count FROM best$k""")
+      .mkString("\n UNION ALL ")
+    s"""WITH ${bpeCtes(numMerges)}
+   $union"""
+  }
+
+  /** The shared CTE chain of [[bpeOracle]]: hist → seg0 → per-rank
+    * (pairs, best, seg) triples; `seg$numMerges` holds every word's
+    * final segmentation.
+    */
+  private def bpeCtes(numMerges: Int): String = {
+    val steps = (1 to numMerges).map { k =>
+      s"""pairs$k AS (
+         SELECT p.l AS l, p.r AS r, CAST(SUM(wcount) AS BIGINT) AS cnt
+         FROM (SELECT wcount,
+                 unnest([struct_pack(l := toks[i], r := toks[i+1])
+                         FOR i IN range(1, len(toks))]) AS p
+               FROM (SELECT wcount,
+                       regexp_extract_all(seg, '\\(([a-z0-9]+)\\)', 1) AS toks
+                     FROM seg${k - 1}))
+         GROUP BY 1, 2),
+       best$k AS (SELECT l, r, cnt FROM pairs$k ORDER BY cnt DESC, l, r LIMIT 1),
+       seg$k AS (SELECT word, wcount,
+                   replace(seg, '(' || b.l || ')(' || b.r || ')',
+                           '(' || b.l || b.r || ')') AS seg
+                 FROM seg${k - 1} CROSS JOIN best$k b)"""
+    }
+    s"""hist AS (
+       SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount
+       FROM (SELECT unnest(list_filter(
+               regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+               x -> x <> '')) AS word FROM documents)
+       GROUP BY 1),
+     seg0 AS (SELECT word, wcount,
+                regexp_replace(word, '(.)', '(\\1)', 'g') AS seg FROM hist),
+     ${steps.mkString(",\n     ")}"""
+  }
+
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sets AS (
          SELECT doc_id, list_distinct(

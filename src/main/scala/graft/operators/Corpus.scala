@@ -806,6 +806,109 @@ object Corpus {
       .drop("_w", "_n")
   }
 
+  // ------------------------------------------------------ BPE training
+
+  /** Corpus word histogram for tokenizer training: one distributed
+    * pass (tokenize → explode → groupBy word), then the standard
+    * vocabulary bounds — `minCount` drops the hapax tail, `maxWords`
+    * keeps the top-N by (count desc, word asc) so the result is
+    * deterministic. The histogram is VOCABULARY-sized, not
+    * corpus-sized: this is the frame BPE training actually consumes
+    * (byte-pair merge learning is a word-frequency algorithm — the
+    * corpus contributes only counts).
+    */
+  def bpeWordHistogram(df: DataFrame, textCol: String,
+      minCount: Long = 1L, maxWords: Int = 0): DataFrame = {
+    val hist = df
+      .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .filter(col("wcount") >= minCount)
+    if (maxWords <= 0) hist
+    else hist.orderBy(col("wcount").desc, col("word")).limit(maxWords)
+  }
+
+  /** Learned BPE merge table: `numMerges` byte-pair merges trained on
+    * the corpus word histogram (Sennrich-style, no end-of-word
+    * marker). Returns (rank, left, right, merged, pair_count) — rank 1
+    * is the first merge learned; `pair_count` is the corpus-weighted
+    * adjacent-position count that won the round (overlapping positions
+    * counted naively, the classic `get_stats` semantics). Ties break
+    * deterministically by (count desc, left asc, right asc).
+    *
+    * Scale shape: the DISTRIBUTED part is the corpus pass inside
+    * [[bpeWordHistogram]]; the merge loop itself runs on the driver
+    * over the vocabulary-bounded histogram — the same driver-bounded
+    * pattern as the union-find tail of near-dup clustering, because
+    * BPE training is inherently a histogram algorithm (every public
+    * implementation trains on word frequencies, not raw text). Bound
+    * the driver frame with `minCount`/`maxWords`; the loop costs
+    * O(vocab · word_len) per merge.
+    *
+    * Segmentations are tracked as `(t1)(t2)…` delimited strings and a
+    * merge is applied with a LITERAL replace of `(L)(R)` by `(LR)` —
+    * wrapping every symbol in its own parens makes adjacent matches
+    * non-overlapping, so replace-all ≡ the greedy left-to-right merge
+    * and the exact same semantics reproduce in any engine's plain
+    * `replace()` (the DuckDB oracle mirrors the whole loop unrolled).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 1L, maxWords: Int = 0): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    val spark = df.sparkSession
+    val hist: Array[(String, Long)] =
+      bpeWordHistogram(df, textCol, minCount, maxWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    // seg strings: every current symbol wrapped in parens
+    var segs: Array[(String, Long)] =
+      hist.map { case (w, c) => (w.replaceAll("(.)", "($1)"), c) }
+    val TokenRe = "\\(([a-z0-9]+)\\)".r
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (seg, c) =>
+        val toks = TokenRe.findAllMatchIn(seg).map(_.group(1)).toArray
+        var i = 0
+        while (i < toks.length - 1) {
+          val k = (toks(i), toks(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((rank, l, r, l + r, c))
+        segs = segs.map { case (seg, wc) =>
+          (seg.replace(s"($l)($r)", s"(${l + r})"), wc)
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .select(col("rank").cast(LongType), col("left"), col("right"),
+        col("merged"), col("pair_count"))
+  }
+
+  /** Apply a learned merge list to a word column: returns the final
+    * symbol array. Built as a CHAIN of literal `replace`s over the
+    * paren-delimited segmentation — pure codegen'd builtins, no UDF,
+    * mirrorable in external SQL. The chain length equals the merge
+    * count, so this form suits bounded merge lists (hundreds); a
+    * production 32k-merge tokenizer would compile the merge table into
+    * a native expression instead.
+    */
+  def bpeSegmentCol(word: Column, merges: Seq[(String, String)]): Column = {
+    val seg0 = regexp_replace(word, "(.)", "($1)")
+    val segN = merges.foldLeft(seg0) { case (c, (l, r)) =>
+      replace(c, lit(s"($l)($r)"), lit(s"(${l + r})"))
+    }
+    regexp_extract_all(segN, lit("\\(([a-z0-9]+)\\)"), lit(1))
+  }
+
   private def temperatureFracs(df: DataFrame, groupCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")

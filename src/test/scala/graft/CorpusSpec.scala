@@ -21,6 +21,60 @@ class CorpusSpec extends SparkSpec {
     (101L, "unrelated benchmark prompt")
   ).toDF("doc_id", "text")
 
+  test("bpeTrain reproduces the classic hand-computed merge sequence") {
+    // Sennrich's textbook corpus (no end-of-word marker):
+    // low×5, lower×2, newest×6, widest×3
+    val df = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))
+    ).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(df, "text", numMerges = 4)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // hand-derived: (e,s)=9 ties (s,t)=9 → lexicographic; then (es,t)=9;
+    // then (l,o)=7 ties (o,w)=7; then (lo,w)=7
+    assert(merges == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L),
+      (4L, "lo", "w", "low", 7L)))
+    // apply path: the learned merges segment an UNSEEN word correctly
+    val seg = Seq("lowest").toDF("word")
+      .select(Corpus.bpeSegmentCol(col("word"),
+        merges.map(m => (m._2, m._3))).as("sym"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("low", "est"))
+  }
+
+  test("bpe merge application is greedy left-to-right on overlapping pairs") {
+    // "aaa"×2: pair (a,a) occupies positions 0-1 and 1-2 → naive count
+    // 4, but applying merges only the leftmost → (aa)(a)
+    val df = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(df, "text", numMerges = 2)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1L, "a", "a", "aa", 4L), (2L, "aa", "a", "aaa", 2L)))
+    val seg = Seq("aaaa").toDF("word")
+      .select(Corpus.bpeSegmentCol(col("word"),
+        merges.map(m => (m._2, m._3))).as("sym"))
+      .as[Seq[String]].head()
+    // greedy: (a)(a)(a)(a) → (aa)(aa) → "(aa,a)" merge matches the
+    // leftmost (aa)(aa)? no — (aa)(aa) has pair (aa,aa), not (aa,a)
+    assert(seg == Seq("aa", "aa"))
+  }
+
+  test("bpeWordHistogram bounds: minCount drops tail, maxWords caps deterministically") {
+    val df = Seq((1L, "alpha alpha alpha beta beta gamma")).toDF("doc_id", "text")
+    val h1 = Corpus.bpeWordHistogram(df, "text", minCount = 2)
+      .as[(String, Long)].collect().toMap
+    assert(h1 == Map("alpha" -> 3L, "beta" -> 2L))
+    val h2 = Corpus.bpeWordHistogram(df, "text", maxWords = 2)
+      .as[(String, Long)].collect().toMap
+    assert(h2 == Map("alpha" -> 3L, "beta" -> 2L))
+  }
+
   test("contaminationReport finds shared shingles, decontaminate removes them") {
     val report = Corpus.contaminationReport(corpus, bench, "doc_id", "text", n = 3)
       .as[(Long, Long)].collect().toMap
