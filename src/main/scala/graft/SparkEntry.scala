@@ -619,6 +619,30 @@ object SparkEntry {
         .agg(sum(col("n_sym")).cast(LongType).as("n_bpe_tokens"))
     }),
 
+    // URL canonicalization: the dedup key a crawl pipeline computes
+    // before any content hashing. The fixture column decorates each
+    // page key with five raw variants (tracking params, case/WWW
+    // noise, default ports, fragments); normalize collapses the
+    // semantically-equal ones. Pure codegen'd regexp chains.
+    "q135_url_normalize" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Urls.normalizeUrl(messyUrl).as("url_norm"),
+        graft.functions.Urls.registrableDomain(messyUrl).as("domain"))
+    }),
+
+    // canonical-URL dedup groups: raw tracking-param variants collapse
+    // onto one canonical id per normalized URL — exact dedup on the
+    // derived key (one hash-groupBy, the web-scale URL-dedup shape)
+    "q136_url_dedup" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Urls.normalizeUrl(messyUrl).as("url_norm"))
+        .groupBy("url_norm")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    }),
+
     // Declared through the IVF-bucketed branch (pairs only within a
     // cell) — the scale path: the exact all-pairs branch is a
     // broadcast-nested-loop that dies at 100×. Oracle mirrors the
@@ -2224,6 +2248,20 @@ object SparkEntry {
        JOIN wsym USING (word)
        GROUP BY 1""",
 
+    "q135_url_normalize" ->
+      s"""WITH $urlNormCtes
+       SELECT doc_id, url_norm,
+              regexp_extract(regexp_replace(hostc, ':[0-9]+$$', ''),
+                '([^.]+(?:\\.(?:(?:co|com|org|net|ac|gov|edu)\\.(?:uk|jp|au|br|in|cn|mx|nz|za|kr)|[^.]+))?)$$',
+                1) AS domain
+       FROM norm""",
+
+    "q136_url_dedup" ->
+      s"""WITH $urlNormCtes
+       SELECT url_norm, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              MIN(doc_id) AS canonical_id
+       FROM norm GROUP BY 1""",
+
     "q30_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
                     WHERE vec_id < 8),
@@ -3746,6 +3784,79 @@ object SparkEntry {
     * (q24; recall at 128 hashes / 32 bands is ≈1 above 0.8 so the
     * verified candidate set equals the exact set on this data).
     */
+  /** Deterministic messy-URL fixture: five raw variants per page key —
+    * tracking params, WWW/case noise, default ports, fragments — that
+    * canonicalize down to three distinct URLs (https, http, and an
+    * explicit non-default :8080).
+    */
+  private def messyUrl: Column = {
+    // page modulus 21 is COPRIME with the variant modulus 5, so every
+    // page key receives all five raw variants — the collapse the dedup
+    // query must demonstrate (a shared factor would segregate variants
+    // into disjoint groups and test nothing)
+    val page = (col("doc_id") % 21).cast(StringType)
+    val m = col("doc_id") % 5
+    when(m === 0, concat(lit("HTTPS://WWW.Example.COM:443/page/"), page,
+        lit("?utm_source=feed&utm_campaign=w&id="), page, lit("#frag")))
+      .when(m === 1, concat(lit("https://example.com/page/"), page,
+        lit("?id="), page))
+      .when(m === 2, concat(lit("http://EXAMPLE.com:80/page/"), page,
+        lit("?id="), page, lit("&gclid=xyz")))
+      .when(m === 3, concat(lit("https://www.example.com/page/"), page,
+        lit("?utm_medium=rss&id="), page, lit("&ref=home")))
+      .otherwise(concat(lit("https://example.com:8080/page/"), page,
+        lit("?fbclid=abc")))
+  }
+
+  /** The same fixture in DuckDB SQL — byte-identical raw URLs. */
+  private def messyUrlSql: String =
+    """CASE CAST(doc_id % 5 AS INTEGER)
+       WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/page/' ||
+         CAST(doc_id % 21 AS VARCHAR) || '?utm_source=feed&utm_campaign=w&id=' ||
+         CAST(doc_id % 21 AS VARCHAR) || '#frag'
+       WHEN 1 THEN 'https://example.com/page/' ||
+         CAST(doc_id % 21 AS VARCHAR) || '?id=' || CAST(doc_id % 21 AS VARCHAR)
+       WHEN 2 THEN 'http://EXAMPLE.com:80/page/' ||
+         CAST(doc_id % 21 AS VARCHAR) || '?id=' || CAST(doc_id % 21 AS VARCHAR) ||
+         '&gclid=xyz'
+       WHEN 3 THEN 'https://www.example.com/page/' ||
+         CAST(doc_id % 21 AS VARCHAR) || '?utm_medium=rss&id=' ||
+         CAST(doc_id % 21 AS VARCHAR) || '&ref=home'
+       ELSE 'https://example.com:8080/page/' ||
+         CAST(doc_id % 21 AS VARCHAR) || '?fbclid=abc' END"""
+
+  /** Mirrors Urls.normalizeUrl step by step over the fixture column:
+    * CTE chain ending in `norm(doc_id, url, url_norm, hostc)`.
+    */
+  private def urlNormCtes: String =
+    s"""raw AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+     parts AS (SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+         regexp_replace(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$$', 1), '#.*$$', '') AS nofrag
+       FROM raw),
+     hostp AS (SELECT *, CASE sch
+           WHEN 'http' THEN regexp_replace(regexp_replace(rawhost, '^www\\.', ''), ':80$$', '')
+           WHEN 'https' THEN regexp_replace(regexp_replace(rawhost, '^www\\.', ''), ':443$$', '')
+           ELSE regexp_replace(rawhost, '^www\\.', '') END AS h
+       FROM parts),
+     restp AS (SELECT *,
+         CASE WHEN regexp_extract(nofrag, '^([^?]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(nofrag, '^([^?]*)', 1) END AS path,
+         list_filter(string_split(regexp_extract(nofrag, '\\?(.*)$$', 1), '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+             '^(?:utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid|ref)=')) AS kept
+       FROM hostp),
+     norm AS (SELECT doc_id, url,
+         CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+              THEN sch || '://' || h || path ||
+                CASE WHEN len(kept) = 0 THEN ''
+                     ELSE '?' || array_to_string(kept, '&') END
+              ELSE trim(url) END AS url_norm,
+         h AS hostc
+       FROM restp)"""
+
   /** Mirrors Corpus.bpeTrain with the merge loop UNROLLED: per rank k,
     * a pairs→best→apply CTE triple, chained seg0→segN. The paren
     * segmentation makes plain replace() ≡ the greedy merge in both
