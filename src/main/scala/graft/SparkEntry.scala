@@ -643,6 +643,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
     }),
 
+    // within-doc repetition removal: first occurrence of each
+    // normalized segment survives, order preserved — the transform
+    // next to the repetition scores. Token granularity here (the
+    // synthetic corpus has no line structure); real corpora pass a
+    // line/sentence separator.
+    "q137_dedup_within_doc" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.dedupSegmentsWithinDoc(t(s, dir, "documents"), "doc_id", "text",
+        sepRegex = "\\s+", sepOut = " ")
+    }),
+
+    // deterministic export order: global md5 shuffle → shard + rank,
+    // the step before writing training shards; epoch reshuffle = salt
+    // bump. One shard-keyed shuffle, per-shard sort window.
+    "q138_training_shards" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.trainingShards(t(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("rank_in_shard"))
+    }),
+
     // Declared through the IVF-bucketed branch (pairs only within a
     // cell) — the scale path: the exact all-pairs branch is a
     // broadcast-nested-loop that dies at 100×. Oracle mirrors the
@@ -2261,6 +2281,39 @@ object SparkEntry {
        SELECT url_norm, CAST(COUNT(*) AS BIGINT) AS n_docs,
               MIN(doc_id) AS canonical_id
        FROM norm GROUP BY 1""",
+
+    "q137_dedup_within_doc" ->
+      """WITH segs AS (
+           SELECT doc_id, pos, s,
+                  CAST(('0x' || substr(md5(trim(regexp_replace(lower(s),
+                         '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp
+           FROM (SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                        unnest(arr) AS s
+                 FROM (SELECT doc_id,
+                         string_split_regex(COALESCE(text, ''), '\s+') AS arr
+                       FROM documents))
+           WHERE trim(s) <> ''),
+         perfp AS (SELECT doc_id, fp, MIN(pos) AS pos,
+                          arg_min(s, pos) AS s, COUNT(*) AS n
+                   FROM segs GROUP BY 1, 2),
+         reb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_segments,
+                        COUNT(*) AS n_kept,
+                        string_agg(s, ' ' ORDER BY pos) AS text_clean
+                 FROM perfp GROUP BY 1)
+       SELECT d.doc_id, COALESCE(text_clean, '') AS text_clean,
+              COALESCE(n_segments, 0) AS n_segments,
+              COALESCE(n_segments, 0) - COALESCE(n_kept, 0) AS n_removed
+       FROM documents d LEFT JOIN reb USING (doc_id)""",
+
+    "q138_training_shards" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '##shard'),
+               1, 15)) AS BIGINT) AS draw
+           FROM documents)
+       SELECT doc_id, CAST(draw % 8 AS BIGINT) AS shard,
+              CAST(row_number() OVER (PARTITION BY draw % 8
+                ORDER BY draw, doc_id) AS BIGINT) AS rank_in_shard
+       FROM d""",
 
     "q30_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings

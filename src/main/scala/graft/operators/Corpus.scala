@@ -360,6 +360,76 @@ object Corpus {
           coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** WITHIN-document segment dedup: keep the first occurrence of every
+    * normalized segment inside each document, preserving order — the
+    * per-page counterpart of [[removeDuplicatedSegments]] (which drops
+    * segments duplicated ACROSS documents). This is the repetition
+    *-removal transform next to the repetition SCORES: nav menus
+    * repeated per page, chat logs quoting themselves, generation loops.
+    * Same normalization contract as the cross-doc form (lower +
+    * whitespace-collapse md5 fingerprint).
+    *
+    * Returns (idCol, text_clean, n_segments, n_removed) — identical
+    * shape to [[removeDuplicatedSegments]] so callers can swap scopes.
+    *
+    * Scale shape: two shuffles, both keyed by (doc, fingerprint) then
+    * doc — per-document keys, no corpus-wide hot key is possible. The
+    * first aggregation keeps the argmin-by-position segment via one
+    * `min(struct(pos, seg))`, so totals, kept counts and reassembly
+    * ride a single pipeline with no shared cached intermediate.
+    */
+  def dedupSegmentsWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\\.", sepOut: String = "."): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(coalesce(col(textCol), lit("")), sepRegex))
+          .as(Seq("_pos", "_s")))
+      .filter(trim(col("_s")) =!= "")
+      .select(col("_id"), col("_pos"), col("_s"),
+        graft.functions.TextAnalysis.md5Long(
+          graft.functions.Normalize.collapseWs(lower(col("_s")))).as("_fp"))
+    val perFp = segs.groupBy("_id", "_fp")
+      .agg(min(struct(col("_pos"), col("_s"))).as("_f"),
+        count(lit(1)).as("_n"))
+    val rebuilt = perFp.groupBy("_id").agg(
+      sum(col("_n")).as("n_segments"),
+      count(lit(1)).as("_n_kept"),
+      array_join(transform(array_sort(collect_list(col("_f"))),
+        x => x.getField("_s")), sepOut).as("text_clean"))
+    df.select(col(idCol))
+      .join(rebuilt.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        (coalesce(col("n_segments"), lit(0L)) -
+          coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Deterministic training-shard export order: assigns every row a
+    * shard and a within-shard rank from one md5 draw — the "globally
+    * shuffle the corpus, then write N shards" step before training.
+    * Deterministic and engine-reproducible (same corpus + salt ⟹ the
+    * same order anywhere), and different salts give independent
+    * shuffles (epoch reshuffling = a salt bump).
+    *
+    * Scale shape: one shuffle keyed by shard, then a per-shard sort
+    * window — the sort is shard-sized, and shards ARE the export unit,
+    * so nothing larger than one output file's worth of rows ever sorts
+    * together. No RNG state, no driver pass.
+    */
+  def trainingShards(df: DataFrame, idCol: String, numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val draw = graft.functions.TextAnalysis.md5Long(
+      concat(col(idCol).cast(StringType), lit("#" + salt + "#shard")))
+    df.withColumn("_draw", draw)
+      .withColumn("shard", pmod(col("_draw"), lit(numShards.toLong)))
+      .withColumn("rank_in_shard",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("_draw"), col(idCol))).cast(LongType))
+      .drop("_draw")
+  }
+
   // ------------------------------------------------ negative sampling
 
   /** Deterministic negative sampling for contrastive training: for

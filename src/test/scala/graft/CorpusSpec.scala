@@ -21,6 +21,43 @@ class CorpusSpec extends SparkSpec {
     (101L, "unrelated benchmark prompt")
   ).toDF("doc_id", "text")
 
+  test("dedupSegmentsWithinDoc keeps first occurrences in order") {
+    val df = Seq(
+      (1L, "menu. intro. MENU. body. intro. end"), // case-insensitive dups
+      (2L, ""), // empty doc
+      (3L, "unique one. unique two")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupSegmentsWithinDoc(df, "doc_id", "text",
+        sepRegex = "\\.", sepOut = ".")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // first occurrence's RAW text survives (leading space intact),
+      // later case/ws variants drop
+      (1L, "menu. intro. body. end", 6L, 2L),
+      (2L, "", 0L, 0L),
+      (3L, "unique one. unique two", 2L, 0L)))
+  }
+
+  test("trainingShards: dense ranks, deterministic, salt reshuffles") {
+    val df = spark.range(200).toDF("doc_id")
+    val a = Corpus.trainingShards(df, "doc_id", numShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // every row lands exactly once; ranks are dense 1..n per shard
+    assert(a.map(_._1).distinct.size == 200)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // deterministic across invocations
+    val b = Corpus.trainingShards(df, "doc_id", numShards = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(a == b)
+    // a different salt is a different shuffle
+    val c = Corpus.trainingShards(df, "doc_id", numShards = 4, salt = "epoch2")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(a != c)
+  }
+
   test("bpeTrain reproduces the classic hand-computed merge sequence") {
     // Sennrich's textbook corpus (no end-of-word marker):
     // low×5, lower×2, newest×6, widest×3
