@@ -654,6 +654,31 @@ object SparkEntry {
         sepRegex = "\\s+", sepOut = " ")
     }),
 
+    // trainable quality classifier: logistic regression over hashed
+    // bag-of-words, full-batch GD with exact-decimal gradients — the
+    // whole 4-iteration training loop hash-matches the oracle's
+    // unrolled SQL. Label: does the doc mention 'data'.
+    "q139_lr_train" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+        .withColumn("label",
+          when(col("text").contains("data"), 1L).otherwise(0L))
+      Classifier.trainLrClassifier(docs, "doc_id", "text", "label",
+        dim = 16, iters = 4)
+    }),
+
+    // train → score: the curation gate (keep docs the classifier
+    // likes). Model is dim-sized → broadcast; one feature pass.
+    "q140_lr_score" -> ((s, dir) => {
+      Graft.tune(s)
+      val docs = t(s, dir, "documents")
+        .withColumn("label",
+          when(col("text").contains("data"), 1L).otherwise(0L))
+      val model = Classifier.trainLrClassifier(docs, "doc_id", "text",
+        "label", dim = 16, iters = 4)
+      Classifier.scoreLr(docs, "doc_id", "text", model, dim = 16)
+    }),
+
     // deterministic export order: global md5 shuffle → shard + rank,
     // the step before writing training shards; epoch reshuffle = salt
     // bump. One shard-keyed shuffle, per-shard sort window.
@@ -2305,6 +2330,21 @@ object SparkEntry {
               COALESCE(n_segments, 0) - COALESCE(n_kept, 0) AS n_removed
        FROM documents d LEFT JOIN reb USING (doc_id)""",
 
+    "q139_lr_train" ->
+      s"""WITH ${lrCtes(16, 4, "0.0001")}
+       SELECT j AS feature, CAST(w AS DOUBLE) AS weight FROM w4
+       UNION ALL
+       SELECT CAST(-1 AS BIGINT) AS feature, CAST(b AS DOUBLE) AS weight
+       FROM b4""",
+
+    "q140_lr_score" ->
+      s"""WITH ${lrCtes(16, 4, "0.0001")}
+       SELECT z.doc_id,
+              ROUND(1/(1+exp(-CAST(z.zs + (SELECT b FROM b4)
+                AS DOUBLE))), 6) AS score
+       FROM (SELECT f.doc_id, SUM(w.w * CAST(f.x AS DECIMAL(6,0))) AS zs
+             FROM lrfeats f JOIN w4 w USING (j) GROUP BY 1) z""",
+
     "q138_training_shards" ->
       """WITH d AS (SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '##shard'),
@@ -3909,6 +3949,48 @@ object SparkEntry {
               ELSE trim(url) END AS url_norm,
          h AS hostc
        FROM restp)"""
+
+  /** Mirrors Classifier.trainLrClassifier with the GD loop UNROLLED:
+    * per iteration k a (margin, gradient, weight-update) CTE triple.
+    * Exact-decimal everywhere except the 6dp-rounded sigmoid, so the
+    * whole training run hash-matches. Chain ends at w$iters/b$iters.
+    */
+  private def lrCtes(dim: Int, iters: Int, lr: String): String = {
+    val steps = (1 to iters).map { k =>
+      s"""e$k AS (
+         SELECT z.doc_id,
+           CAST(CAST(ROUND(1/(1+exp(-CAST(z.zs + (SELECT b FROM b${k - 1})
+             AS DOUBLE))), 6) AS DECIMAL(7,6)) - l.y AS DECIMAL(8,6)) AS e
+         FROM (SELECT f.doc_id,
+                 SUM(wp.w * CAST(f.x AS DECIMAL(6,0))) AS zs
+               FROM lrfeats f JOIN w${k - 1} wp USING (j) GROUP BY 1) z
+         JOIN lrlab l USING (doc_id)),
+       g$k AS (SELECT j, SUM(e * CAST(x AS DECIMAL(6,0))) AS g
+               FROM lrfeats JOIN e$k USING (doc_id) GROUP BY 1),
+       w$k AS (SELECT wp.j, CAST(wp.w - $lr *
+                 CAST(COALESCE(g.g, 0) AS DECIMAL(12,6))
+                 AS DECIMAL(14,10)) AS w
+               FROM w${k - 1} wp LEFT JOIN g$k g USING (j)),
+       b$k AS (SELECT CAST(b - $lr * CAST(
+                 (SELECT COALESCE(SUM(e), 0) FROM e$k) AS DECIMAL(12,6))
+                 AS DECIMAL(14,10)) AS b FROM b${k - 1})"""
+    }
+    s"""lrwords AS (SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+           x -> x <> '')) AS w FROM documents),
+     lrfeats AS (SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % $dim
+              AS BIGINT) AS j,
+         CAST(COUNT(*) AS BIGINT) AS x
+       FROM lrwords GROUP BY 1, 2),
+     lrlab AS (SELECT doc_id,
+         CASE WHEN text LIKE '%data%' THEN 1 ELSE 0 END AS y
+       FROM documents),
+     w0 AS (SELECT CAST(r.range AS BIGINT) AS j,
+              CAST(0 AS DECIMAL(14,10)) AS w FROM range($dim) r),
+     b0 AS (SELECT CAST(0 AS DECIMAL(14,10)) AS b),
+     ${steps.mkString(",\n     ")}"""
+  }
 
   /** Mirrors Corpus.bpeTrain with the merge loop UNROLLED: per rank k,
     * a pairs→best→apply CTE triple, chained seg0→segN. The paren

@@ -83,13 +83,28 @@ object Similarity {
       col(idCol).as(centroidIdCol), col(vecCol).as("_centv")))
     val scored = corpus.join(cents)
       .withColumn("_sim", round(cosine(col(vecCol), col("_centv")), 6))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_sim").desc, col(centroidIdCol).asc)
-    val best = scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-    if (keepSim) best.withColumnRenamed("_sim", "centroid_sim")
-      .drop("_rn", "_centv")
-    else best.drop("_rn", "_sim", "_centv")
+    // argmin over struct(−sim, id) — NOT a row_number window: the
+    // window form sorts all N×k scored rows (vectors still attached),
+    // which at the auto-k regime k ≈ √N is an N^1.5 wide-row sort —
+    // the only spill the 100× shakeout ever recorded (31.8 GB,
+    // trainCentroidsAuto). The aggregation collapses each row's k
+    // candidates map-side (the broadcast join emits them
+    // consecutively), so nothing bigger than the corpus crosses the
+    // exchange. Ties resolve to the lowest centroid id, same as the
+    // old (sim desc, id asc) ordering; −0.0/0.0 ordering is preserved
+    // because double negation is exact and Double.compare total order
+    // flips with the sign.
+    val others = corpus.columns.filterNot(_ == idCol)
+    val packed = scored.groupBy(col(idCol))
+      .agg(min(struct((-col("_sim")).as("_ns"),
+          col(centroidIdCol).as("_c"))).as("_b"),
+        first(struct(others.map(c => col(s"`$c`")): _*)).as("_r"))
+    val base = packed.select(
+      corpus.columns.map(c =>
+        if (c == idCol) col(idCol) else col(s"_r.`$c`").as(c)).toSeq :+
+        col("_b._c").as(centroidIdCol) :+
+        (-col("_b._ns")).as("centroid_sim"): _*)
+    if (keepSim) base else base.drop("centroid_sim")
   }
 
   /** IVF top-k search: probe the `nProbe` nearest cells per query, then
