@@ -679,6 +679,18 @@ object SparkEntry {
       Classifier.scoreLr(docs, "doc_id", "text", model, dim = 16)
     }),
 
+    // Gopher-style quality rule bundle (Rae et al. 2021, A1.1): the
+    // standard pre-training corpus filter as one map-only projection;
+    // rule verdicts compare the 4dp-rounded ratios so the boundary
+    // cases are engine-exact
+    "q141_gopher_rules" -> ((s, dir) => {
+      Graft.tune(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gopherRules(col("text"), minWords = 10).as("_g"))
+        .select(col("doc_id"), col("_g.*"))
+    }),
+
     // deterministic export order: global md5 shuffle → shard + rank,
     // the step before writing training shards; epoch reshuffle = salt
     // bump. One shard-keyed shuffle, per-shard sort window.
@@ -721,6 +733,41 @@ object SparkEntry {
           posexplode(col("embedding")))
         .select(col("centroid_id"), col("pos").cast(LongType).as("dim"),
           round(col("col"), 6).as("v"))
+    }),
+
+    // product quantization codebooks (m=4 subspaces × 8 codes over the
+    // 64-dim embeddings, one L2 k-means refinement round): the 100 TB
+    // ANN memory play — a 256 B float vector compresses to m codes.
+    // Deterministic md5-ordered seeds, exact-decimal means (the q128
+    // arithmetic contract, per subspace)
+    "q142_pq_codebooks" -> ((s, dir) => {
+      Graft.tune(s)
+      Similarity.pqTrainCodebooks(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64, m = 4, k = 8, rounds = 1)
+        .select(col("sub"), col("code"), posexplode(col("cw")))
+        .select(col("sub"), col("code"), col("pos").cast(LongType).as("dim"),
+          col("col").as("v"))
+    }),
+
+    // PQ encoding: each vector → m codeword ids (argmin of 6dp-rounded
+    // squared L2 per subspace, as an aggregate over the broadcast-join
+    // expansion — the SCALE.md argmin rule, never a window)
+    "q143_pq_encode" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrainCodebooks(e, "vec_id", "embedding",
+        dim = 64, m = 4, k = 8, rounds = 1)
+      Similarity.pqEncode(e, cb, "vec_id", "embedding", dim = 64, m = 4)
+    }),
+
+    // ADC top-k search over the PQ-encoded corpus: per-query LUT of
+    // subspace dot products (broadcast), DECIMAL-exact m-entry sums —
+    // the corpus side never touches vectors, only (id, sub, code)
+    "q144_pq_topk" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      Similarity.pqSearch(e, e.filter(col("vec_id") < 16), "vec_id",
+        "embedding", k = 8, dim = 64, m = 4, codebookSize = 8, rounds = 1)
     }),
 
     // SemDeDup semantic dedup: q32's IVF cells, but an end-to-end
@@ -2345,6 +2392,62 @@ object SparkEntry {
        FROM (SELECT f.doc_id, SUM(w.w * CAST(f.x AS DECIMAL(6,0))) AS zs
              FROM lrfeats f JOIN w4 w USING (j) GROUP BY 1) z""",
 
+    // Gopher rule bundle mirrored term by term: whitespace words,
+    // trimmed lines, 4dp-rounded ratios, verdicts over the ROUNDED
+    // values — identical boundary behavior by construction
+    "q141_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id, COALESCE(text, '') AS t,
+             list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                         x -> x <> '') AS words,
+             list_filter(list_transform(
+                 regexp_split_to_array(COALESCE(text, ''), '\n'),
+                 x -> trim(x)), x -> x <> '') AS lines
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             GREATEST(CAST(len(words) AS BIGINT), 1) AS wd,
+             length(regexp_replace(t, '\s', '', 'g')) AS word_chars,
+             (length(t) - length(replace(t, '#', ''))) +
+               len(regexp_extract_all(t, '\.\.\.')) AS n_sym,
+             len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             CAST(len(list_intersect(
+                 ['the','be','to','of','and','that','have','with'],
+                 list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                             x -> x <> ''))) AS BIGINT) AS stop_hits,
+             GREATEST(len(lines), 1) AS ld,
+             len(list_filter(lines, x -> starts_with(x, '- ')
+               OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
+             len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell
+           FROM w),
+         r AS (
+           SELECT doc_id, n_words,
+             ROUND(word_chars::DOUBLE / wd, 4) AS mean_word_len,
+             ROUND(n_sym::DOUBLE / wd, 4) AS symbol_ratio,
+             ROUND(n_alpha::DOUBLE / wd, 4) AS alpha_ratio,
+             stop_hits,
+             ROUND(n_bullet::DOUBLE / ld, 4) AS bullet_ratio,
+             ROUND(n_ell::DOUBLE / ld, 4) AS ellipsis_ratio
+           FROM s),
+         f AS (
+           SELECT *,
+             CAST((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 0 ELSE 1 END) +
+                  (CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 0 ELSE 1 END) +
+                  (CASE WHEN symbol_ratio <= 0.1 THEN 0 ELSE 1 END) +
+                  (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 1 END) +
+                  (CASE WHEN stop_hits >= 2 THEN 0 ELSE 1 END) +
+                  (CASE WHEN bullet_ratio <= 0.9 THEN 0 ELSE 1 END) +
+                  (CASE WHEN ellipsis_ratio <= 0.3 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_rules_failed
+           FROM r)
+       SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+              stop_hits, bullet_ratio, ellipsis_ratio, n_rules_failed,
+              CASE WHEN n_rules_failed = 0 THEN CAST(1 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS pass
+       FROM f""",
+
     "q138_training_shards" ->
       """WITH d AS (SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '##shard'),
@@ -2404,6 +2507,37 @@ object SparkEntry {
     "q126_sql_semdedup" ->
       s"""SELECT vec_id, centroid_id, centroid_sim
           FROM ($SemDedupOracle) WHERE kept = 0""",
+
+    // PQ family: one shared CTE chain (seeds → subspace codebooks →
+    // one L2 k-means round → encode), mirrored term by term — same
+    // md5 seed order, 6dp distance rounding, DECIMAL(18,6) means
+    "q142_pq_codebooks" ->
+      s"""WITH $PqCtes
+       SELECT sub, code, CAST(d.j - 1 AS BIGINT) AS dim, cw[d.j] AS v
+       FROM cb CROSS JOIN range(1, 17) d(j)""",
+
+    "q143_pq_encode" ->
+      s"""WITH $PqCtes
+       SELECT vec_id, sub, code FROM enc""",
+
+    "q144_pq_topk" ->
+      s"""WITH $PqCtes,
+         lut AS (
+           SELECT q.vec_id AS query_id, cb.sub, cb.code,
+                  CAST(ROUND(list_sum([q.x[j] * cb.cw[j] FOR j IN range(1, 17)]), 6)
+                       AS DECIMAL(18,6)) AS part
+           FROM (SELECT vec_id, sub, x FROM sv WHERE vec_id < 16) q
+           JOIN cb ON q.sub = cb.sub),
+         scored AS (
+           SELECT l.query_id, e.vec_id AS neighbor_id,
+                  CAST(SUM(l.part) AS DOUBLE) AS score
+           FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+           WHERE l.query_id <> e.vec_id
+           GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, score FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rn
+         FROM scored) WHERE rn <= 8""",
 
     "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
 
@@ -3955,6 +4089,56 @@ object SparkEntry {
     * Exact-decimal everywhere except the 6dp-rounded sigmoid, so the
     * whole training run hash-matches. Chain ends at w$iters/b$iters.
     */
+  /** Mirrors Similarity.pqTrainCodebooks/pqEncode at m=4, sd=16, k=8,
+    * rounds=1 on the embeddings table: md5-ordered seed rows shared
+    * across subspaces, argmin of 6dp-rounded squared L2 with
+    * code-ascending ties, exact-decimal (18,6) means rounded to 6dp.
+    * Ends at `cb` (sub, code, cw) and `enc` (vec_id, sub, code).
+    */
+  private val PqCtes: String =
+    """h AS (
+         SELECT vec_id, embedding,
+                CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#pqseed'), 1, 15))
+                     AS BIGINT) AS hh
+         FROM embeddings),
+       seeds AS (
+         SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code, embedding
+         FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT 8)),
+       cb0 AS (
+         SELECT s.i AS sub, code,
+                [seeds.embedding[s.i * 16 + j]::DOUBLE FOR j IN range(1, 17)] AS cw
+         FROM seeds CROSS JOIN range(0, 4) s(i)),
+       sv AS (
+         SELECT vec_id, s.i AS sub,
+                [embedding[s.i * 16 + j]::DOUBLE FOR j IN range(1, 17)] AS x
+         FROM embeddings CROSS JOIN range(0, 4) s(i)),
+       a1 AS (
+         SELECT vec_id, sub, code, x FROM (
+           SELECT sv.vec_id, sv.sub, cb0.code, sv.x,
+                  row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                    ORDER BY ROUND(list_sum([(sv.x[j] - cb0.cw[j]) * (sv.x[j] - cb0.cw[j])
+                                             FOR j IN range(1, 17)]), 6) ASC,
+                             cb0.code ASC) AS rn
+           FROM sv JOIN cb0 ON sv.sub = cb0.sub)
+         WHERE rn = 1),
+       cb AS (
+         SELECT sub, code, list(m ORDER BY j) AS cw FROM (
+           SELECT sub, code, d.j AS j,
+                  ROUND(CAST(SUM(CAST(ROUND(x[d.j], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*), 6) AS m
+           FROM a1 CROSS JOIN range(1, 17) d(j)
+           GROUP BY 1, 2, 3)
+         GROUP BY 1, 2),
+       enc AS (
+         SELECT vec_id, sub, code FROM (
+           SELECT sv.vec_id, sv.sub, cb.code,
+                  row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                    ORDER BY ROUND(list_sum([(sv.x[j] - cb.cw[j]) * (sv.x[j] - cb.cw[j])
+                                             FOR j IN range(1, 17)]), 6) ASC,
+                             cb.code ASC) AS rn
+           FROM sv JOIN cb ON sv.sub = cb.sub)
+         WHERE rn = 1)"""
+
   private def lrCtes(dim: Int, iters: Int, lr: String): String = {
     val steps = (1 to iters).map { k =>
       s"""e$k AS (

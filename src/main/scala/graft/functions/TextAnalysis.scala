@@ -169,6 +169,71 @@ object TextAnalysis {
         .cast(IntegerType).as("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** The stopword list of Gopher's "contains at least 2 of" rule
+    * (Rae et al. 2021, appendix A1.1). Checked against the shared
+    * alnum tokenizer so case and punctuation don't block a hit.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule bundle (Rae et al. 2021, A1.1) — the
+    * standard pre-training corpus filter, as one codegen-friendly
+    * struct: per-doc stats (4dp-rounded ratios), the seven rule
+    * verdicts folded into `n_rules_failed`, and `pass` (1/0).
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# and …) ≤ 0.1; ≥ 80% of words
+    * contain a letter; ≥ 2 distinct Gopher stopwords; ≤ 90% of lines
+    * bullet-started; ≤ 30% of lines ellipsis-ended. Verdicts compare
+    * the ROUNDED ratios so every engine agrees on the boundary cases.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no state;
+    * at 100 TB this is a map-only pass that fuses into the scan.
+    */
+  def gopherRules(text: Column, minWords: Long = 50,
+      maxWords: Long = 100000): Column = {
+    val t = coalesce(text, lit(""))
+    val words = array_remove(split(t, "\\s+"), "")
+    val nWords = size(words).cast(LongType)
+    val wordsDen = greatest(nWords, lit(1L))
+    val wordChars = length(regexp_replace(t, "\\s", ""))
+    val meanLen = round(wordChars.cast(DoubleType) / wordsDen, 4)
+    val nSymbols = (length(t) - length(regexp_replace(t, "#", ""))) +
+      size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = round(nSymbols.cast(DoubleType) / wordsDen, 4)
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val alphaRatio = round(nAlpha.cast(DoubleType) / wordsDen, 4)
+    val stopHits = size(array_intersect(
+      array(GopherStopwords.map(lit): _*), tokens(t))).cast(LongType)
+    val lines = array_remove(transform(split(t, "\n"), l => trim(l)), "")
+    val linesDen = greatest(size(lines), lit(1))
+    val bulletRatio = round(size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•")))
+      .cast(DoubleType) / linesDen, 4)
+    val ellipsisRatio = round(size(filter(lines, l => l.endsWith("...")))
+      .cast(DoubleType) / linesDen, 4)
+    val verdicts = Seq(
+      nWords >= minWords && nWords <= maxWords,
+      meanLen >= 3.0 && meanLen <= 10.0,
+      symbolRatio <= 0.1,
+      alphaRatio >= 0.8,
+      stopHits >= 2L,
+      bulletRatio <= 0.9,
+      ellipsisRatio <= 0.3)
+    val failed = verdicts.map(v => when(v, lit(0L)).otherwise(lit(1L)))
+      .reduce(_ + _)
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
+      failed.as("n_rules_failed"),
+      when(failed === 0L, lit(1L)).otherwise(lit(0L)).as("pass"))
+  }
+
   /** Document fingerprint: md5 of the whitespace-collapsed, lowercased
     * text — the normalize-then-hash exact-dup key. (A content-defined
     * rolling-hash variant lives in Dedup.simhash for near-dup use.)

@@ -61,6 +61,15 @@ object Classifier {
   /** Train logistic regression: returns (feature, weight) with
     * `feature` = bucket index 0..dim-1 and −1 for the bias, weights as
     * exact-grid doubles. `labelCol` must be 0/1.
+    *
+    * One Spark action per iteration: the bias rides along as a
+    * synthetic feature row (j = −1, x = 1) per labeled doc, so a
+    * single groupBy(j) over the error-joined feature table yields
+    * every bucket gradient AND the bias gradient (Σ e·1 = Σ e) in one
+    * dim+1-sized collect. The scoring join's weight table only carries
+    * j ≥ 0, so the synthetic rows never enter the margin — z stays
+    * Σ wⱼ·xⱼ + bias-literal, and docs with no real features stay out
+    * of the batch, exactly as the unrolled oracle computes it.
     */
   def trainLrClassifier(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int = 16, iters: Int = 4,
@@ -68,17 +77,19 @@ object Classifier {
     require(dim > 0 && iters > 0, "need dim > 0 and iters > 0")
     require(lr.scale <= 4 && lr > 0, s"lr must be positive with <= 4dp: $lr")
     val spark = df.sparkSession
-    val feats = graft.Caches.own(
-      hashedFeatures(df, idCol, textCol, dim))
     val labels = df.select(col(idCol), col(labelCol).cast(LongType).as("_y"))
+    val feats = graft.Caches.own(
+      hashedFeatures(df, idCol, textCol, dim).unionByName(
+        labels.select(col(idCol), lit(-1L).as("j"), lit(1L).as("x"))))
     var w: IndexedSeq[java.math.BigDecimal] = IndexedSeq.fill(dim + 1)(
       java.math.BigDecimal.ZERO.setScale(10))
     val lrJ = lr.underlying
     for (_ <- 1 to iters) {
-      val (gs, gb) = gradients(spark, feats, labels, idCol, w, dim)
+      val g = gradients(feats, labels, idCol, w, dim)
+      val zero = java.math.BigDecimal.ZERO
       w = (0 until dim).map(j =>
-        w(j).subtract(lrJ.multiply(gs(j))).setScale(10)) :+
-        w(dim).subtract(lrJ.multiply(gb)).setScale(10)
+        w(j).subtract(lrJ.multiply(g.getOrElse(j, zero))).setScale(10)) :+
+        w(dim).subtract(lrJ.multiply(g.getOrElse(-1, zero))).setScale(10)
     }
     import spark.implicits._
     ((0 until dim).map(j => (j.toLong, w(j).doubleValue)) :+
@@ -106,22 +117,20 @@ object Classifier {
       .withColumn("_e", (col("_p") - col("_y")).cast(EType))
   }
 
-  /** One full-batch gradient: Σ e·x per bucket (exact decimal) and
-    * Σ e for the bias; dim+1 values collected.
+  /** One full-batch gradient in ONE action: Σ e·x per bucket (exact
+    * decimal), with the synthetic j = −1 rows carrying the bias term.
+    * The inner join with `e` keeps only docs that entered the batch,
+    * so the bias gradient sums exactly the same errors as before.
+    * dim+1 values collected.
     */
-  private def gradients(spark: org.apache.spark.sql.SparkSession,
-      feats: DataFrame, labels: DataFrame, idCol: String,
+  private def gradients(feats: DataFrame, labels: DataFrame, idCol: String,
       w: IndexedSeq[java.math.BigDecimal],
-      dim: Int): (Map[Int, java.math.BigDecimal], java.math.BigDecimal) = {
+      dim: Int): Map[Int, java.math.BigDecimal] = {
     val e = scored(feats, labels, idCol, w, dim).select(col(idCol), col("_e"))
-    val g = feats.join(e, idCol)
+    feats.join(e, idCol)
       .groupBy(col("j"))
       .agg(sum(col("_e") * col("x").cast(XType)).as("_g"))
       .collect().map(r => r.getLong(0).toInt -> r.getDecimal(1)).toMap
-    val gb = e.agg(sum(col("_e"))).head.getDecimal(0)
-    val zero = java.math.BigDecimal.ZERO
-    ((0 until dim).map(j => j -> g.getOrElse(j, zero)).toMap,
-      if (gb == null) zero else gb)
   }
 
   /** Score a corpus with a trained (feature, weight) model: returns
@@ -130,11 +139,25 @@ object Classifier {
     */
   def scoreLr(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame, dim: Int): DataFrame = {
-    val wDf = model.filter(col("feature") >= 0)
-      .select(col("feature").as("j"),
-        col("weight").cast(WType).as("_wj"))
-    val bias = model.filter(col("feature") === -1)
-      .select(col("weight").cast(WType)).head.getDecimal(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // dim+1 rows by contract — collect once so a lazily-computed model
+    // plan executes a single time, not once per consumer below
+    val rows = model.select(col("feature").cast(LongType),
+      col("weight").cast(DoubleType)).as[(Long, Double)].collect()
+    // double → 10dp grid the way Spark's cast does (valueOf + HALF_UP):
+    // grid values round-trip exactly (1e-10 spacing is far above one
+    // double ulp at these magnitudes)
+    def grid(v: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+    val wDf = rows.toSeq.filter(_._1 >= 0)
+      .map { case (j, v) => (j, grid(v)) }
+      .toDF("j", "_wj")
+      .select(col("j"), col("_wj").cast(WType).as("_wj"))
+    val bias = rows.collectFirst { case (-1L, v) => grid(v) }
+      .getOrElse(throw new IllegalArgumentException(
+        "model has no bias row (feature = -1)"))
     hashedFeatures(df, idCol, textCol, dim)
       .join(broadcast(wDf), "j")
       .groupBy(col(idCol))

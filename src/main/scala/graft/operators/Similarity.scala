@@ -478,4 +478,150 @@ object Similarity {
       .agg((max(col("_dominated")) === 0).cast(IntegerType).as("kept"))
       .withColumnRenamed("_cs", "centroid_sim")
   }
+
+  // ---------------------------------------------- product quantization
+
+  /** Squared L2 via the native codegen'd kernel (graft.expr.L2SqDistance,
+    * registered by Graft.tune).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    call_function(graft.expr.VecDistance.L2SqName, a, b)
+
+  /** Dot product via the native codegen'd kernel (vs the composed
+    * [[dot]]: same result, stays in WholeStageCodegen).
+    */
+  def dotNative(a: Column, b: Column): Column =
+    call_function(graft.expr.VecDistance.DotName, a, b)
+
+  /** (id, sub, x): the m subvector slices of `vecCol`. `sd` = dim/m;
+    * slice keeps the source element type (float subvectors stay float
+    * — the native kernels cast per element).
+    */
+  private def pqSubvecs(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, sd: Int): DataFrame =
+    df.select(col(idCol), col(vecCol),
+        explode(sequence(lit(0L), lit(m - 1L))).as("sub"))
+      .select(col(idCol), col("sub"),
+        slice(col(vecCol), (col("sub") * sd + 1).cast(IntegerType),
+          lit(sd)).as("_x"))
+
+  /** Nearest codeword per (row, subspace): argmin of 6dp-rounded
+    * squared L2, ties to the lowest code — as an AGGREGATE over the
+    * broadcast-join candidate expansion, never a window (the
+    * ivfAssign/SCALE.md argmin rule: the k candidates per row collapse
+    * map-side; nothing wider than the corpus crosses the exchange).
+    * Carries the subvector out (`first` — constant within the group)
+    * so the training recompute needs no second corpus pass.
+    */
+  private def pqAssign(sv: DataFrame, codebooks: DataFrame,
+      idCol: String): DataFrame =
+    sv.join(broadcast(codebooks), Seq("sub"))
+      .select(col(idCol), col("sub"), col("_x"),
+        round(l2sq(col("_x"), col("cw")), 6).as("_d"), col("code"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("_d"), col("code"))).as("_b"),
+        first(col("_x")).as("_x"))
+      .select(col(idCol), col("sub"), col("_b.code").as("code"), col("_x"))
+
+  /** Train per-subspace PQ codebooks: the vector splits into `m`
+    * subvectors of dim/m; each subspace gets `k` codewords via
+    * deterministic-seed k-means (hash-ordered seed rows shared across
+    * subspaces — the [[trainCentroids]] md5 contract — then `rounds`
+    * L2-assignment + exact-decimal-mean refinements).
+    *
+    * Returns (sub, code, cw: array<double>) — m·k rows, broadcastable
+    * by construction. This is the 100 TB ANN memory play: a 64-dim
+    * float vector (256 B) compresses to m codes (m bytes at k ≤ 256),
+    * and ADC scoring reads codes + a per-query LUT instead of vectors.
+    * Arithmetic contract matches the IVF family: distances compare at
+    * 6dp with code-ascending ties; means accumulate 6dp components in
+    * DECIMAL(18,6) then round to 6dp — engine-reproducible end to end.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, rounds: Int = 1,
+      salt: String = ""): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into m ($m)")
+    require(k >= 1 && rounds >= 0, s"need k >= 1 and rounds >= 0")
+    val sd = dim / m
+    val hash = graft.functions.TextAnalysis.md5Long(
+      concat(col(idCol).cast(StringType), lit("#pqseed" + salt)))
+    val picked = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_h", hash)
+      .orderBy(col("_h"), col(idCol))
+      .limit(k)
+    // k rows total: the code-assignment window runs on a k-sized frame
+    val w = Window.orderBy(col("_h"), col(idCol))
+    val seedRows = picked.select(
+      (row_number().over(w) - 1).cast(LongType).as("code"), col(vecCol))
+    var cb = pqSubvecs(seedRows, "code", vecCol, m, sd)
+      .select(col("sub"), col("code"), asDouble(col("_x")).as("cw"))
+    val sv = pqSubvecs(corpus, idCol, vecCol, m, sd)
+    val dec = DecimalType(18, 6)
+    for (_ <- 1 to rounds) {
+      cb = pqAssign(sv, cb, idCol)
+        .select(col("sub"), col("code"), posexplode(col("_x")))
+        .select(col("sub"), col("code"), col("pos"),
+          round(col("col").cast(DoubleType), 6).cast(dec).as("_v"))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(sum(col("_v")).cast(DoubleType) / count(lit(1)), 6).as("_m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
+          s => s.getField("_m")).as("cw"))
+    }
+    cb
+  }
+
+  /** PQ-encode a corpus against trained codebooks: (id, sub, code) —
+    * m rows per vector, the compressed index representation. One
+    * broadcast-join pass, argmin as an aggregate.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into m ($m)")
+    pqAssign(pqSubvecs(corpus, idCol, vecCol, m, dim / m), codebooks, idCol)
+      .select(col(idCol), col("sub"), col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each
+    * query builds an m·k lookup table of 6dp-rounded subspace dot
+    * products against the codewords (exact query × quantized doc —
+    * MIPS-style scoring); a doc's score is the DECIMAL-exact sum of
+    * its m LUT entries. The corpus side never touches vectors — only
+    * (id, sub, code) rows join the broadcast LUT, so the scan is
+    * byte-cheap at any corpus size; per-query top-k with id-ascending
+    * ties. Returns (query_id, neighbor_id, score).
+    */
+  def pqTopK(queries: DataFrame, encoded: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into m ($m)")
+    val lut = broadcast(
+      pqSubvecs(queries.select(col(idCol).as("query_id"), col(vecCol)),
+          "query_id", vecCol, m, dim / m)
+        .join(codebooks, Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code"),
+          round(dotNative(col("_x"), col("cw")), 6)
+            .cast(DecimalType(18, 6)).as("_part")))
+    val scored = encoded.join(lut, Seq("sub", "code"))
+      .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("_part")).as("_s"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("_s").cast(DoubleType).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
+  /** Train → encode → search in one call, codebooks pinned (they feed
+    * both the encode pass and the LUT). The no-index entry point.
+    */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 4, codebookSize: Int = 16,
+      rounds: Int = 1): DataFrame = {
+    val cb = graft.Caches.own(
+      pqTrainCodebooks(corpus, idCol, vecCol, dim, m, codebookSize, rounds))
+    pqTopK(queries, pqEncode(corpus, cb, idCol, vecCol, dim, m), cb,
+      idCol, vecCol, k, dim, m)
+  }
 }

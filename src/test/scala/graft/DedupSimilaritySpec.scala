@@ -644,4 +644,97 @@ class DedupSimilaritySpec extends SparkSpec {
     val perDoc = tf.groupBy(_._1)
     assert(perDoc.keySet == Set(1L, 2L, 3L))
   }
+
+  test("native l2sq/dot kernels match the composed HOF forms exactly") {
+    val df = Seq(
+      (1L, Array(0.1f, -0.2f, 0.3f, 0.4f), Array(0.5, -0.25, 0.0, 1.5)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), Array(1.0, 0.0, 0.0, 0.0)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f), Array(-2.5, 3.125, 0.75, -0.875))
+    ).toDF("id", "a", "b")
+    // composed references: same element order, same per-element casts
+    val l2Composed = aggregate(
+      zip_with(transform($"a", x => x.cast("double")),
+        transform($"b", x => x.cast("double")), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select($"id",
+        Similarity.l2sq($"a", $"b").as("l2n"), l2Composed.as("l2c"),
+        Similarity.dotNative($"a", $"b").as("dn"),
+        Similarity.dot($"a", $"b").as("dc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2), s"l2sq id=${r.getLong(0)}")
+      assert(r.getDouble(3) == r.getDouble(4), s"dot id=${r.getLong(0)}")
+    }
+  }
+
+  test("pq: encode groups planted clusters; ADC search stays in-cluster") {
+    // two well-separated clusters in 8-dim space; m=2 subspaces, k=2
+    // codes per subspace → after one refinement round each cluster owns
+    // one codeword per subspace and ADC ranks in-cluster vectors first
+    def vec(base: Array[Float], jitter: Float): Array[Float] =
+      base.map(_ + jitter)
+    val a = Array(1f, 1f, 1f, 1f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 0f, 0f, 0f, 1f, 1f, 1f, 1f)
+    val df = ((1L to 6L).map(i => (i, vec(a, i * 0.01f))) ++
+      (7L to 12L).map(i => (i, vec(b, i * 0.01f)))).toDF("id", "v")
+    val cb = Similarity.pqTrainCodebooks(df, "id", "v",
+      dim = 8, m = 2, k = 2, rounds = 1)
+    val cbRows = cb.collect()
+    assert(cbRows.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      cbRows.length, "one codeword per (sub, code)")
+    val enc = Similarity.pqEncode(df, cb, "id", "v", dim = 8, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // within a subspace, cluster-mates share a code and the clusters
+    // differ (the subspaces are exactly the planted split)
+    for (sub <- 0L to 1L) {
+      val ca = (1L to 6L).map(i => enc((i, sub))).distinct
+      val cbb = (7L to 12L).map(i => enc((i, sub))).distinct
+      assert(ca.length == 1 && cbb.length == 1 && ca != cbb,
+        s"sub=$sub cluster codes: $ca vs $cbb")
+    }
+    val top = Similarity.pqSearch(df, df.filter($"id" === 1L || $"id" === 7L),
+        "id", "v", k = 3, dim = 8, m = 2, codebookSize = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.count(_._1 == 1L) == 3 && top.count(_._1 == 7L) == 3)
+    assert(top.filter(_._1 == 1L).forall(_._2 <= 6L), "query 1 stays in cluster A")
+    assert(top.filter(_._1 == 7L).forall(_._2 >= 7L), "query 7 stays in cluster B")
+    Caches.release(spark)
+  }
+
+  test("pq validates the subspace split") {
+    val df = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrainCodebooks(df, "id", "v", dim = 3, m = 2, k = 1)
+    }
+  }
+
+  test("gopherRules: clean prose passes; degenerate docs fail the right rules") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs off " +
+        "to the hills with a friend in tow because that is what foxes " +
+        "have to be doing on a bright morning in the spring."),
+      (2L, "word"),
+      (3L, "- one thing\n- two things\n- three things"),
+      (4L, "### #### ##"),
+      (5L, "to be or not to be..."),
+      (6L, null: String)
+    ).toDF("doc_id", "text")
+    val g = df.select($"doc_id",
+        TextAnalysis.gopherRules($"text", minWords = 10).as("g"))
+      .select($"doc_id", $"g.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Long]("pass") == 1L, "clean prose passes")
+    assert(g(1L).getAs[Long]("stop_hits") >= 2L)
+    assert(g(2L).getAs[Long]("pass") == 0L)
+    assert(g(2L).getAs[Long]("n_words") == 1L)
+    assert(g(3L).getAs[Double]("bullet_ratio") == 1.0, "all lines bulleted")
+    assert(g(3L).getAs[Long]("pass") == 0L)
+    assert(g(4L).getAs[Double]("alpha_ratio") == 0.0)
+    assert(g(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(g(5L).getAs[Double]("ellipsis_ratio") == 1.0)
+    // null text: zero counts, zero ratios, no NaN/null fields
+    assert(g(6L).getAs[Long]("n_words") == 0L)
+    assert(g(6L).getAs[Double]("mean_word_len") == 0.0)
+    assert(g(6L).getAs[Long]("pass") == 0L)
+  }
 }
