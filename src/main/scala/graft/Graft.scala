@@ -70,6 +70,7 @@ object Graft {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     graft.expr.CosineSimilarity.register(spark)
     graft.expr.VecDistance.register(spark)
+    graft.expr.VecArgmin.register(spark)
     graft.expr.MinHashSignature.register(spark)
     graft.expr.WordShingles.register(spark)
     graft.expr.SimHash60.register(spark)

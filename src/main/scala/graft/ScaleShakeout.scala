@@ -250,8 +250,9 @@ object ScaleShakeout {
     // the bench tables): 32 true centers, the hot center holding ~30%
     // of vectors — the skew case for the per-(cell,dim) recompute agg
     // and the per-vector best-cell window.
-    if (wanted("kmeansRefineAssign", "semanticDedup", "trainCentroidsAuto",
-        "semanticDedupAuto")) {
+    // 64-d skewed vector fixture shared by the kmeans and PQ stressors
+    // (32 true centers, hot center holding ~30% of vectors)
+    lazy val skewVecs: DataFrame = {
       val nVecs = nDocs * 2L / 5L
       val genVec = udf { (id: Long) =>
         // seeds (ids < 32) cover each center once; the hot center only
@@ -265,7 +266,11 @@ object ScaleShakeout {
       spark.range(nVecs)
         .select(col("id").as("vec_id"), genVec(col("id")).as("embedding"))
         .write.mode("overwrite").parquet("target/scale_vecs.parquet")
-      val vecs = spark.read.parquet("target/scale_vecs.parquet")
+      spark.read.parquet("target/scale_vecs.parquet")
+    }
+    if (wanted("kmeansRefineAssign", "semanticDedup", "trainCentroidsAuto",
+        "semanticDedupAuto")) {
+      val vecs = skewVecs
       run("kmeansRefineAssign")(
         graft.operators.Similarity.kmeansRefineAssign(
           vecs, vecs.filter(col("vec_id") < 32), "vec_id", "embedding"))
@@ -285,6 +290,58 @@ object ScaleShakeout {
       run("semanticDedupAuto")(
         graft.operators.Similarity.semanticDedupAuto(
           vecs, "vec_id", "embedding", threshold = 0.9))
+    }
+
+    // PQ at production codebook size (m=4 × k=256): the assignment's
+    // candidate expansion is N·m·k scored rows (205M at 50×) collapsed
+    // by the map-side argmin aggregate — the SCALE.md argmin rule's
+    // stress case. Train is timed alone; encode runs against a LOCAL
+    // codebook copy (m·k rows — the production shape: codebooks ship
+    // with the job); ADC search reads a PERSISTED code table, the way
+    // a deployed index is queried (no vector column anywhere in it).
+    if (wanted("pqTrainCodebooks", "pqEncode", "pqAdcTopK", "ivfPqTopK")) {
+      import graft.operators.Similarity
+      run("pqTrainCodebooks")(
+        Similarity.pqTrainCodebooks(skewVecs, "vec_id", "embedding",
+          dim = 64, m = 4, k = 256, rounds = 1))
+      val cbLocal = {
+        val trained = Similarity.pqTrainCodebooks(skewVecs, "vec_id",
+          "embedding", dim = 64, m = 4, k = 256, rounds = 1)
+        spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(
+            trained.collect(): _*)), trained.schema)
+      }
+      run("pqEncode")(
+        Similarity.pqEncode(skewVecs, cbLocal, "vec_id", "embedding",
+          dim = 64, m = 4))
+      val encPath = "target/scale_pq_enc.parquet"
+      Similarity.pqEncode(skewVecs, cbLocal, "vec_id", "embedding",
+          dim = 64, m = 4)
+        .write.mode("overwrite").parquet(encPath)
+      val enc = spark.read.parquet(encPath)
+      run("pqAdcTopK")(
+        Similarity.pqTopK(skewVecs.filter(col("vec_id") < 16), enc, cbLocal,
+          "vec_id", "embedding", k = 10, dim = 64, m = 4))
+      // IVF+PQ over a cell-PARTITIONED index: the eagerly-resolved
+      // probe set becomes a static isin on the partition column, so
+      // the scan prunes to the probed cells' files — watch `in=` fall
+      // to those cells' rows only. TWO queries × nProbe=2 probe ≤ 4
+      // of the 32 cells (16 queries would cover nearly all cells and
+      // nothing could prune — the claim needs a selective probe set)
+      val idxPath = "target/scale_pq_index.parquet"
+      Similarity.pqIndex(skewVecs, skewVecs.filter(col("vec_id") < 32),
+          cbLocal, "vec_id", "embedding", dim = 64, m = 4)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(idxPath)
+      // explicit schema: partition-type inference would read the cell
+      // id as INT, and the INT→LONG cast on the partition column
+      // blocks dynamic partition pruning
+      val idx = spark.read
+        .schema("vec_id BIGINT, sub BIGINT, code BIGINT, centroid_id BIGINT")
+        .parquet(idxPath)
+      val ivfpqQ = Similarity.ivfPqTopK(skewVecs.filter(col("vec_id") < 2),
+        idx, skewVecs.filter(col("vec_id") < 32), cbLocal, "vec_id",
+        "embedding", k = 10, nProbe = 2, dim = 64, m = 4)
+      run("ivfPqTopK")(ivfpqQ)
     }
 
     // semantic dedup-on-ingest at corpus scale: the claim under test is

@@ -770,6 +770,22 @@ object SparkEntry {
         "embedding", k = 8, dim = 64, m = 4, codebookSize = 8, rounds = 1)
     }),
 
+    // IVF+PQ search — the FAISS-style production ANN shape: one
+    // map-only pass builds (id, cell, sub, code), queries probe
+    // nProbe cells and ADC-score only those cells' index rows
+    // (vector-free scan; cell-partitioned storage would prune it)
+    "q145_ivfpq_topk" -> ((s, dir) => {
+      Graft.tune(s)
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+      val cb = graft.Caches.own(Similarity.pqTrainCodebooks(e, "vec_id",
+        "embedding", dim = 64, m = 4, k = 8, rounds = 1))
+      val idx = Similarity.pqIndex(e, cents, cb, "vec_id", "embedding",
+        dim = 64, m = 4)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 16), idx, cents, cb,
+        "vec_id", "embedding", k = 3, nProbe = 2, dim = 64, m = 4)
+    }),
+
     // SemDeDup semantic dedup: q32's IVF cells, but an end-to-end
     // KEPT/DROPPED verdict per vector rather than a pair list — within
     // each cell the duplicate farthest from the centroid survives
@@ -2538,6 +2554,57 @@ object SparkEntry {
          SELECT *, row_number() OVER (PARTITION BY query_id
                      ORDER BY score DESC, neighbor_id ASC) AS rn
          FROM scored) WHERE rn <= 8""",
+
+    // IVF+PQ: q38's cell/probe CTEs composed with the PQ chain's
+    // enc + q144's LUT — probed cells only, ADC DECIMAL sums
+    "q145_ivfpq_topk" ->
+      s"""WITH $PqCtes,
+         c AS (SELECT vec_id AS centroid_id, embedding AS cvv FROM embeddings
+               WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, centroid_id,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT e.vec_id, centroid_id,
+                          list_sum([cvv[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cvv[i]::DOUBLE * cvv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings e CROSS JOIN c) e)
+           WHERE rn = 1),
+         probes AS (
+           SELECT query_id, centroid_id FROM (
+             SELECT q.vec_id AS query_id, centroid_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY ROUND(CASE WHEN n1 * n2 > 0 THEN d / (n1 * n2) ELSE 0 END, 6) DESC,
+                               centroid_id) AS rn
+             FROM (SELECT q.vec_id, centroid_id,
+                          list_sum([cvv[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]) AS d,
+                          sqrt(list_sum([cvv[i]::DOUBLE * cvv[i]::DOUBLE FOR i IN range(1, 65)])) AS n1,
+                          sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)])) AS n2
+                   FROM embeddings q CROSS JOIN c WHERE q.vec_id < 16) q)
+           WHERE rn <= 2),
+         lut AS (
+           SELECT q.vec_id AS query_id, cb.sub, cb.code,
+                  CAST(ROUND(list_sum([q.x[j] * cb.cw[j] FOR j IN range(1, 17)]), 6)
+                       AS DECIMAL(18,6)) AS part
+           FROM (SELECT vec_id, sub, x FROM sv WHERE vec_id < 16) q
+           JOIN cb ON q.sub = cb.sub),
+         scored AS (
+           SELECT p.query_id, cells.vec_id AS neighbor_id,
+                  CAST(SUM(l.part) AS DOUBLE) AS score
+           FROM probes p
+           JOIN cells ON cells.centroid_id = p.centroid_id
+           JOIN enc ON enc.vec_id = cells.vec_id
+           JOIN lut l ON l.query_id = p.query_id AND l.sub = enc.sub
+                     AND l.code = enc.code
+           WHERE cells.vec_id <> p.query_id
+           GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, score FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rn
+         FROM scored) WHERE rn <= 3""",
 
     "q44_srp_neardup" -> srpOracle(0.45, bits = 16, bands = 4, dim = 64),
 

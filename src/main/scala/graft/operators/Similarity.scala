@@ -79,32 +79,33 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, centroidIdCol: String = "centroid_id",
       keepSim: Boolean = false): DataFrame = {
-    val cents = broadcast(centroids.select(
-      col(idCol).as(centroidIdCol), col(vecCol).as("_centv")))
-    val scored = corpus.join(cents)
-      .withColumn("_sim", round(cosine(col(vecCol), col("_centv")), 6))
-    // argmin over struct(−sim, id) — NOT a row_number window: the
-    // window form sorts all N×k scored rows (vectors still attached),
-    // which at the auto-k regime k ≈ √N is an N^1.5 wide-row sort —
-    // the only spill the 100× shakeout ever recorded (31.8 GB,
-    // trainCentroidsAuto). The aggregation collapses each row's k
-    // candidates map-side (the broadcast join emits them
-    // consecutively), so nothing bigger than the corpus crosses the
-    // exchange. Ties resolve to the lowest centroid id, same as the
-    // old (sim desc, id asc) ordering; −0.0/0.0 ordering is preserved
-    // because double negation is exact and Double.compare total order
-    // flips with the sign.
-    val others = corpus.columns.filterNot(_ == idCol)
-    val packed = scored.groupBy(col(idCol))
-      .agg(min(struct((-col("_sim")).as("_ns"),
-          col(centroidIdCol).as("_c"))).as("_b"),
-        first(struct(others.map(c => col(s"`$c`")): _*)).as("_r"))
-    val base = packed.select(
-      corpus.columns.map(c =>
-        if (c == idCol) col(idCol) else col(s"_r.`$c`").as(c)).toSeq :+
-        col("_b._c").as(centroidIdCol) :+
-        (-col("_b._ns")).as("centroid_sim"): _*)
-    if (keepSim) base else base.drop("centroid_sim")
+    // MAP-ONLY assignment: the centroids collapse to one broadcast row
+    // holding the whole codebook array, and a native expression
+    // (graft.expr.VecArgmaxCos) scans it per corpus row — no N×k
+    // candidate expansion ever exists as rows. The two shapes this
+    // replaces both paid for that expansion after materializing it: a
+    // row_number window SORTS it with vectors attached (the 31.8 GB
+    // spill of the 100× sweep), and the argmin aggregate that fixed
+    // the spill still planned as SortAggregate (struct buffers aren't
+    // UnsafeRow-mutable) plus a corpus-wide exchange. Now assignment
+    // is a projection: zero shuffles, zero sorts, composable with
+    // scan pushdown. Arithmetic contract unchanged (6dp-rounded
+    // cosine, ties to the lowest centroid id — the expression rounds
+    // exactly like round(col, 6)). Centroid ids must be numeric
+    // (cast to long); an empty centroid set yields an empty result,
+    // matching the old inner-join behavior.
+    val cbRow = broadcast(centroids.agg(collect_list(
+      struct(col(idCol).cast(LongType).as("_cid"),
+        col(vecCol).as("_cv"))).as("_cb")))
+    val base = corpus.crossJoin(cbRow)
+      .withColumn("_b", call_function(graft.expr.VecArgmin.ArgmaxCosName,
+        col(vecCol), col("_cb")))
+      .filter(col("_b").isNotNull)
+    val out = base.select(
+      corpus.columns.map(c => col(s"`$c`")).toSeq :+
+        col("_b.id").as(centroidIdCol) :+
+        col("_b.score").as("centroid_sim"): _*)
+    if (keepSim) out else out.drop("centroid_sim")
   }
 
   /** IVF top-k search: probe the `nProbe` nearest cells per query, then
@@ -506,22 +507,26 @@ object Similarity {
           lit(sd)).as("_x"))
 
   /** Nearest codeword per (row, subspace): argmin of 6dp-rounded
-    * squared L2, ties to the lowest code — as an AGGREGATE over the
-    * broadcast-join candidate expansion, never a window (the
-    * ivfAssign/SCALE.md argmin rule: the k candidates per row collapse
-    * map-side; nothing wider than the corpus crosses the exchange).
-    * Carries the subvector out (`first` — constant within the group)
-    * so the training recompute needs no second corpus pass.
+    * squared L2, ties to the lowest code — MAP-ONLY via the native
+    * graft.expr.VecArgminL2 scan over the per-subspace codebook array
+    * (broadcast m rows). No N·m·k candidate expansion exists as rows;
+    * the earlier aggregate form planned as SortAggregate (struct/array
+    * buffers aren't UnsafeRow-mutable) and sorted the expansion —
+    * measured 15–67 s per pass at 50×/k=256 vs ~2 s map-only. The
+    * subvector rides along in the same row, so the training recompute
+    * needs no second pass and no re-join.
     */
   private def pqAssign(sv: DataFrame, codebooks: DataFrame,
-      idCol: String): DataFrame =
-    sv.join(broadcast(codebooks), Seq("sub"))
-      .select(col(idCol), col("sub"), col("_x"),
-        round(l2sq(col("_x"), col("cw")), 6).as("_d"), col("code"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("_d"), col("code"))).as("_b"),
-        first(col("_x")).as("_x"))
-      .select(col(idCol), col("sub"), col("_b.code").as("code"), col("_x"))
+      idCol: String): DataFrame = {
+    val cbBySub = broadcast(codebooks.groupBy(col("sub")).agg(collect_list(
+      struct(col("code").cast(LongType).as("_cid"),
+        col("cw").as("_cv"))).as("_cb")))
+    sv.join(cbBySub, Seq("sub"))
+      .withColumn("_b", call_function(graft.expr.VecArgmin.ArgminL2Name,
+        col("_x"), col("_cb")))
+      .filter(col("_b").isNotNull)
+      .select(col(idCol), col("sub"), col("_b.id").as("code"), col("_x"))
+  }
 
   /** Train per-subspace PQ codebooks: the vector splits into `m`
     * subvectors of dim/m; each subspace gets `k` codewords via
@@ -603,6 +608,101 @@ object Similarity {
             .cast(DecimalType(18, 6)).as("_part")))
     val scored = encoded.join(lut, Seq("sub", "code"))
       .filter(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("_part")).as("_s"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("_s").cast(DoubleType).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
+  /** IVF+PQ index — the production ANN layout: each vector gets its
+    * cosine cell (partition/cluster key) AND its m PQ codes, in ONE
+    * map-only pass (both assignments are broadcast-codebook argmin
+    * expressions; no joins between corpus-sized sides). Returns
+    * (id, centroid_id, sub, code) — m rows per vector, no vector
+    * column: at 100 TB this table is ~1% of the corpus bytes and is
+    * what gets partitioned by cell and scanned at query time.
+    */
+  def pqIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into m ($m)")
+    val sd = dim / m
+    val cbBySub = broadcast(codebooks.groupBy(col("sub")).agg(collect_list(
+      struct(col("code").cast(LongType).as("_cid"),
+        col("cw").as("_cv"))).as("_cb")))
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"), col(vecCol),
+        explode(sequence(lit(0L), lit(m - 1L))).as("sub"))
+      .select(col(idCol), col("centroid_id"), col("sub"),
+        slice(col(vecCol), (col("sub") * sd + 1).cast(IntegerType),
+          lit(sd)).as("_x"))
+      .join(cbBySub, Seq("sub"))
+      .withColumn("_b", call_function(graft.expr.VecArgmin.ArgminL2Name,
+        col("_x"), col("_cb")))
+      .filter(col("_b").isNotNull)
+      .select(col(idCol), col("centroid_id"), col("sub"),
+        col("_b.id").as("code"))
+  }
+
+  /** IVF+PQ (ADC) top-k: probe the `nProbe` nearest cells per query,
+    * then ADC-score ONLY the index rows of those cells — the FAISS
+    * IVFPQ search shape. The scanned fraction is ~nProbe/k of an
+    * already vector-free index; with the index table partitioned by
+    * `centroid_id`, partition pruning does the probe selection for
+    * free. Same scoring contract as [[pqTopK]] (6dp LUT entries,
+    * DECIMAL-exact m-entry sums, ties by neighbor id).
+    */
+  def ivfPqTopK(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into m ($m)")
+    val spark = index.sparkSession
+    val cents = broadcast(centroids.select(
+      col(idCol).cast(LongType).as("centroid_id"), col(vecCol).as("_centv")))
+    // The probe set is computed EAGERLY (one tiny job: queries ×
+    // centroids, both broadcast-small by contract) so the probed cell
+    // ids become a STATIC isin filter on the index — guaranteed
+    // partition pruning on a cell-partitioned index. The lazy
+    // alternative (joining an in-plan probe frame) leaves pruning to
+    // dynamic partition pruning, whose cost heuristic silently
+    // no-ops without catalog stats (observed: the planned filter
+    // degraded to dynamicpruningexpression(true) and the scan read
+    // every cell). This is also how IVF serving works operationally:
+    // the coordinator resolves probes, then fetches only those cells.
+    // Cost: Q·nProbe ids on the driver — bounded by the same
+    // "queries are broadcastable" contract the LUT already assumes.
+    val probeRows = {
+      val scored = queries
+        .select(col(idCol).cast(LongType).as("query_id"), col(vecCol).as("_qv"))
+        .join(cents)
+        .withColumn("_sim", round(cosine(col("_qv"), col("_centv")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("_sim").desc, col("centroid_id").asc)
+      scored.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= nProbe)
+        .select(col("query_id"), col("centroid_id"))
+        .collect()
+    }
+    val qProbes = broadcast {
+      import spark.implicits._
+      probeRows.toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("query_id", "centroid_id")
+    }
+    val cells = probeRows.map(_.getLong(1)).distinct.toSeq
+    val pruned = index.filter(col("centroid_id").isin(cells: _*))
+    val lut = broadcast(
+      pqSubvecs(queries.select(col(idCol).as("query_id"), col(vecCol)),
+          "query_id", vecCol, m, dim / m)
+        .join(codebooks, Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code"),
+          round(dotNative(col("_x"), col("cw")), 6)
+            .cast(DecimalType(18, 6)).as("_part")))
+    val scored = pruned.join(qProbes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col(idCol))
+      .join(lut, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum(col("_part")).as("_s"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),

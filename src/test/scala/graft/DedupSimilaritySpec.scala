@@ -698,7 +698,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.count(_._1 == 1L) == 3 && top.count(_._1 == 7L) == 3)
     assert(top.filter(_._1 == 1L).forall(_._2 <= 6L), "query 1 stays in cluster A")
     assert(top.filter(_._1 == 7L).forall(_._2 >= 7L), "query 7 stays in cluster B")
+
+    // IVF+PQ with nProbe=1: cluster seeds as centroids, so a query
+    // probes exactly its own cluster's cell and never scores the other
+    val cents = df.filter($"id" === 1L || $"id" === 7L)
+    val idx = Similarity.pqIndex(df, cents, cb, "id", "v", dim = 8, m = 2)
+    assert(idx.count() == 24, "m rows per vector")
+    val ivfpq = Similarity.ivfPqTopK(cents, idx, cents, cb, "id", "v",
+        k = 3, nProbe = 1, dim = 8, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivfpq.count(_._1 == 1L) == 3 && ivfpq.count(_._1 == 7L) == 3)
+    assert(ivfpq.filter(_._1 == 1L).forall(_._2 <= 6L))
+    assert(ivfpq.filter(_._1 == 7L).forall(_._2 >= 7L))
     Caches.release(spark)
+  }
+
+  test("VecArgmin.round6 matches Spark round(col, 6) bit for bit") {
+    val rng = new scala.util.Random(7)
+    val vals = (Seq.tabulate(4000)(i => (rng.nextDouble() - 0.5) *
+        math.pow(10, i % 7 - 3)) ++
+      // half-way 6dp boundaries, where valueOf-vs-exact-binary differs
+      Seq(0.1234565, -0.1234565, 2.6750005, 1.0000005, -1.0000005,
+        0.9999995, 1e-7, -1e-7, 0.0, -0.0)).toArray
+    val got = vals.toSeq.toDF("d").select(round($"d", 6)).collect()
+      .map(_.getDouble(0))
+    vals.zip(got).foreach { case (d, g) =>
+      val mine = graft.expr.VecArgmin.round6(d)
+      assert(java.lang.Double.doubleToRawLongBits(mine) ==
+        java.lang.Double.doubleToRawLongBits(g), s"round6($d): $mine vs $g")
+    }
+  }
+
+  test("map-only ivfAssign matches the windowed reference formulation") {
+    val rng = new scala.util.Random(11)
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat))).toDF("id", "v")
+    val cents = (0L to 4L).map(i =>
+      (i, Array.fill(8)((rng.nextDouble() * 2 - 1).toFloat))).toDF("id", "v")
+    val got = Similarity.ivfAssign(vecs, cents, "id", "v", keepSim = true)
+      .select($"id", $"centroid_id", $"centroid_sim")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the join + round + row_number shape ivfAssign used to be
+    val scored = vecs.select($"id", $"v")
+      .join(cents.select($"id".as("cid"), $"v".as("cv")))
+      .withColumn("_s", round(Similarity.cosine($"v", $"cv"), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy($"_s".desc, $"cid".asc)
+    val ref = scored.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, (cid, sim)) =>
+      assert((cid, sim) == ref(id), s"id=$id: got ${(cid, sim)} ref ${ref(id)}")
+    }
   }
 
   test("pq validates the subspace split") {
