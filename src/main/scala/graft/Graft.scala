@@ -71,6 +71,7 @@ object Graft {
     graft.expr.CosineSimilarity.register(spark)
     graft.expr.VecDistance.register(spark)
     graft.expr.VecArgmin.register(spark)
+    graft.expr.WordGramHashes.register(spark)
     graft.expr.MinHashSignature.register(spark)
     graft.expr.WordShingles.register(spark)
     graft.expr.SimHash60.register(spark)
@@ -82,6 +83,7 @@ object Graft {
     graft.expr.NfcNormalize.register(spark)
     graft.expr.ImageMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
+    graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)
     // per-session injection of the opt-in AQP rewrite (a no-op unless
     // spark.graft.approxCountDistinct is set) — works on sessions

@@ -96,7 +96,7 @@ object ScaleShakeout {
       only.isEmpty || names.exists(only.contains)
     val docOps = Seq("jaccardPairs", "crossJaccardPairs", "nearDupClusters",
       "unigramLmScore", "bigramLmScore", "bm25", "tfidfTopTerms",
-      "tfidfSimilarity", "removeDupSegments")
+      "tfidfSimilarity", "removeDupSegments", "removeDupSpans")
     val path = "target/scale_corpus.parquet"
     lazy val docs = {
       corpus(spark, nDocs).write.mode("overwrite").parquet(path)
@@ -111,7 +111,23 @@ object ScaleShakeout {
       if (only.nonEmpty && !only.contains(name)) return
       spill.set(0L); peakTaskMem.set(0L); inputRecords.set(0L)
       val t0 = System.nanoTime()
-      val n = op.count()
+      // Bench.forceAll discipline, not count(): a bare count lets the
+      // optimizer prune pure projections AND eliminate left-outer
+      // joins against unique-keyed aggregates - removeDupSegments
+      // "measured" 0.5 s at 50x that way (the whole rebuild pipeline
+      // was skipped). Hashing every output column forces full
+      // evaluation while still reducing to one driver row.
+      val df = op
+      val n = {
+        val cols = df.schema.fields.map { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+            case _ => col(f.name)
+          }
+        }
+        df.agg(count(lit(1)).as("_n"),
+          sum(xxhash64(cols.toIndexedSeq: _*)).as("_h")).head().getLong(0)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"$name%-22s ${dt}%8.1fs rows=$n%-10d " +
         f"spill=${spill.get / 1e6}%.0fMB peakTaskMem=${peakTaskMem.get / 1e6}%.0fMB " +
@@ -163,6 +179,13 @@ object ScaleShakeout {
     run("removeDupSegments")(
       graft.operators.Corpus.removeDuplicatedSegments(docs, "doc_id", "text",
         sepRegex = "\\bw0\\b", sepOut = "w0"))
+    // token-level span removal: the boilerplate header (13 tokens,
+    // doc-freq nDocs/3 >> cap) must vanish everywhere while the 10%
+    // near-dup FAMILIES (doc-freq 2 <= cap) survive — the per-doc
+    // RANGE-window coverage pass over the full token table
+    run("removeDupSpans")(
+      graft.operators.Corpus.removeDuplicatedSpans(docs, "doc_id", "text",
+        k = 8, maxDocFreq = 100L))
 
     // dedup-on-ingest at corpus scale: the index build is the one-time
     // full-corpus pass; the ARRIVAL batch (2% of corpus, half exact

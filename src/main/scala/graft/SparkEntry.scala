@@ -691,6 +691,26 @@ object SparkEntry {
         .select(col("doc_id"), col("_g.*"))
     }),
 
+    // deterministic quantile sketch: per-source percentiles from the
+    // KMV value sample (native mergeable graft_kmvq — one pass, no
+    // per-key sort; selection deterministic by md5, so it oracles
+    // bit-for-bit, which merge-order-sensitive t-digest/KLL cannot)
+    "q147_sketch_quantiles" -> ((s, dir) => {
+      Graft.tune(s)
+      Sketches.sampledQuantiles(t(s, dir, "documents"), Seq("source"),
+        "doc_id", col("n_chars"), k = 64, ps = Seq(0.5, 0.9, 0.99))
+    }),
+
+    // exact-substring span removal (Lee et al. 2022 ExactSubstr,
+    // k-gram approximated at token granularity): any ≥5-token run
+    // shared across documents vanishes from all of them — q123's
+    // cross-doc dedup without the separator assumption
+    "q146_remove_dup_spans" -> ((s, dir) => {
+      Graft.tune(s)
+      Corpus.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 5)
+    }),
+
     // deterministic export order: global md5 shuffle → shard + rank,
     // the step before writing training shards; epoch reshuffle = salt
     // bump. One shard-keyed shuffle, per-shard sort window.
@@ -2463,6 +2483,62 @@ object SparkEntry {
               CASE WHEN n_rules_failed = 0 THEN CAST(1 AS BIGINT)
                    ELSE CAST(0 AS BIGINT) END AS pass
        FROM f""",
+
+    // KMV value sample mirrored: per-key bottom-64 by md5(doc_id),
+    // values sorted, p-quantile = s[floor(p*(m-1))] 0-based
+    "q147_sketch_quantiles" ->
+      """WITH r AS (
+           SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                  AS BIGINT), doc_id) AS rn
+           FROM documents),
+         s AS (SELECT source, list_sort(list(CAST(n_chars AS DOUBLE))) AS vs
+               FROM r WHERE rn <= 64 GROUP BY 1)
+       SELECT source,
+              vs[CAST(FLOOR(0.5 * (len(vs) - 1)) AS INT) + 1] AS p50,
+              vs[CAST(FLOOR(0.9 * (len(vs) - 1)) AS INT) + 1] AS p90,
+              vs[CAST(FLOOR(0.99 * (len(vs) - 1)) AS INT) + 1] AS p99
+       FROM s""",
+
+    // span removal mirrored: 0-based gram starts, RANGE-window
+    // coverage (a token is covered when a hot gram starts within the
+    // k-1 positions before it), order-preserving rebuild
+    "q146_remove_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+             x -> x <> '') AS ts
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS gpos,
+                  CAST(('0x' || substr(md5(array_to_string(ts[i + 1 : i + 5], ' ')), 1, 15))
+                       AS BIGINT) AS fp
+           FROM (SELECT doc_id, ts,
+                        unnest(range(0, GREATEST(len(ts) - 4, 0))) AS i
+                 FROM toks)),
+         hot AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS nd
+                                 FROM g GROUP BY 1) WHERE nd > 1),
+         ds AS (SELECT doc_id, gpos FROM g WHERE fp IN (SELECT fp FROM hot)),
+         tk AS (SELECT doc_id, i AS pos, ts[i + 1] AS tok
+                FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i
+                      FROM toks)),
+         cov AS (
+           SELECT tk.doc_id, tk.pos, tk.tok,
+                  MAX(CASE WHEN ds.gpos IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+                          RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+           FROM tk LEFT JOIN ds ON ds.doc_id = tk.doc_id AND ds.gpos = tk.pos),
+         reb AS (
+           SELECT doc_id, COUNT(*) AS n_tokens,
+                  CAST(SUM(c) AS BIGINT) AS n_removed,
+                  COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (WHERE c = 0), '') AS text_clean
+           FROM cov GROUP BY 1)
+       SELECT d.doc_id, COALESCE(text_clean, '') AS text_clean,
+              COALESCE(n_tokens, 0) AS n_tokens,
+              COALESCE(n_removed, 0) AS n_removed
+       FROM documents d LEFT JOIN reb USING (doc_id)""",
 
     "q138_training_shards" ->
       """WITH d AS (SELECT doc_id,

@@ -360,6 +360,66 @@ object Corpus {
           coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Exact-substring span removal at TOKEN granularity (the Lee et
+    * al. 2022 "Deduplicating Training Data" ExactSubstr shape,
+    * k-gram-approximated): any run of ≥ k consecutive tokens that
+    * appears in more than `maxDocFreq` distinct documents is removed
+    * from every document — [[removeDuplicatedSegments]] without the
+    * separator assumption, for boilerplate that doesn't respect
+    * sentence boundaries. Output text is space-joined surviving
+    * tokens (tokenizer normalization applies).
+    *
+    * Shape: (1) per-doc k-gram fingerprints built INSIDE the token
+    * array (one md5 per start position — no token explode for gram
+    * building); (2) a fingerprint-keyed distinct-doc count finds hot
+    * grams (the only corpus-wide shuffle, vocabulary-of-grams
+    * bounded); (3) a token is covered when any duplicated gram starts
+    * within the k−1 positions before it — one per-document RANGE
+    * window, per-doc keys only; (4) order-preserving rebuild. Returns
+    * (idCol, text_clean, n_tokens, n_removed).
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDocFreq: Long = 1L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = graft.functions.TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    // positional gram hashes via the native one-pass expression — the
+    // composed transform(slice+concat+md5) lambda measured 2.6 µs/gram
+    // interpreted (18 s per consumer pass at 10×)
+    val gramFps = call_function(graft.expr.WordGramHashes.FunctionName,
+      coalesce(col(textCol), lit("")), lit(k))
+    // the gram table is consumed twice (hot-count, dup-start join) —
+    // cache the EXPLODED rows so the hash pass runs once
+    val grams = graft.Caches.own(
+      df.select(col(idCol).as("_id"),
+        posexplode(gramFps).as(Seq("_gpos", "_fp"))))
+    val hot = grams.select(col("_id"), col("_fp")).distinct()
+      .groupBy("_fp").agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > maxDocFreq)
+      .select("_fp")
+    val dupStarts = grams.join(hot, Seq("_fp"))
+      .select(col("_id"), col("_gpos"), lit(1).as("_ds"))
+    val tks = df.select(col(idCol).as("_id"),
+      posexplode(toks).as(Seq("_pos", "_t")))
+    val w = Window.partitionBy("_id").orderBy(col("_pos"))
+      .rangeBetween(-(k - 1).toLong, 0L)
+    val covered = tks
+      .join(dupStarts.withColumnRenamed("_gpos", "_pos"), Seq("_id", "_pos"), "left_outer")
+      .withColumn("_cov", max(coalesce(col("_ds"), lit(0))).over(w))
+    val rebuilt = covered.groupBy("_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("_cov")).as("_n_cov"),
+      array_join(transform(
+        array_sort(collect_list(when(col("_cov") === 0,
+          struct(col("_pos"), col("_t"))))),
+        x => x.getField("_t")), " ").as("text_clean"))
+    df.select(col(idCol))
+      .join(rebuilt.withColumnRenamed("_id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("_n_cov"), lit(0L)).as("n_removed"))
+  }
+
   /** WITHIN-document segment dedup: keep the first occurrence of every
     * normalized segment inside each document, preserving order — the
     * per-page counterpart of [[removeDuplicatedSegments]] (which drops

@@ -398,18 +398,30 @@ object Similarity {
       threshold: Double, centroids: Option[DataFrame] = None): DataFrame = {
     val base = centroids match {
       case Some(cents) =>
+        // blocked like dominanceKept: a whale cell's pairs would land
+        // in one join task otherwise (output-skew AQE can't see)
         val assigned = ivfAssign(corpus, cents, idCol, vecCol)
         val a = assigned.select(col("centroid_id"), col(idCol).as("id1"),
           col(vecCol).as("_v1"))
+          .withColumn("_blk", pmod(graft.functions.TextAnalysis.md5Long(
+            col("id1").cast(StringType)), lit(DominanceBlocks.toLong)))
         val b = assigned.select(col("centroid_id"), col(idCol).as("id2"),
           col(vecCol).as("_v2"))
-        a.join(b, Seq("centroid_id")).filter(col("id1") < col("id2"))
+          .withColumn("_blk",
+            explode(sequence(lit(0L), lit(DominanceBlocks - 1L))))
+        a.join(b, Seq("centroid_id", "_blk")).filter(col("id1") < col("id2"))
       case None =>
         val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("_v1"))
         val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("_v2"))
         a.join(b, col("id1") < col("id2"))
     }
-    base.withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
+    // unrounded prefilter first (superset margin 1e-6 > the exact
+    // 5e-7 rounding boundary): only near/above-threshold pairs pay the
+    // BigDecimal round — at pair-expansion volumes the exact round
+    // per pair is the dominant cost, not the cosine
+    val rawCos = cosine(col("_v1"), col("_v2"))
+    base.filter(rawCos >= lit(threshold - 1e-6))
+      .withColumn("sim", round(cosine(col("_v1"), col("_v2")), 6))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
   }
@@ -460,20 +472,45 @@ object Similarity {
     * `assigned` when the scoring pass is expensive (both self-join
     * sides reference it).
     */
+  /** Per-(cell, block) parallelism for the within-cell pair scan: a
+    * whale cell's pairs otherwise land in ONE join task (the cell id
+    * is the only key), and AQE's skew split never fires because the
+    * skew is in the OUTPUT pair count, not the input bytes. The a-side
+    * hashes into `DominanceBlocks` blocks; the b-side replicates to
+    * every block, so each of the cell's blocks scans |cell|/P × |cell|
+    * pairs. Replication cost: the b-side exchange grows ×P — corpus
+    * rows, not pairs.
+    */
+  private val DominanceBlocks = 32
+
   private[graft] def dominanceKept(assigned: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
     val a = assigned.select(col("centroid_id"), col(idCol).as("_id"),
       col(vecCol).as("_v"), col("centroid_sim").as("_cs"))
+      .withColumn("_blk", pmod(graft.functions.TextAnalysis.md5Long(
+        col("_id").cast(StringType)), lit(DominanceBlocks.toLong)))
     val b = assigned.select(col("centroid_id"), col(idCol).as("_nid"),
       col(vecCol).as("_nv"), col("centroid_sim").as("_ncs"))
-    // left join keeps singleton cells' vectors (trivially kept); the
-    // dominance verdict folds to one max() per vector
-    a.join(b, Seq("centroid_id"), "left")
+      .withColumn("_blk",
+        explode(sequence(lit(0L), lit(DominanceBlocks - 1L))))
+    // inner join: every row's own cell/block contains at least itself
+    // (the b-side is unfiltered and replicated to all blocks), so
+    // singleton cells still surface and resolve to kept. Predicate
+    // order matters at whale-cell pair counts: the id/centroid-sim
+    // comparisons prune ~half the pairs for free, the UNROUNDED cosine
+    // prefilter (superset margin 1e-6 > the exact 5e-7 boundary) drops
+    // the sub-threshold mass, and only the survivors pay the exact
+    // BigDecimal `round(..., 6)` contract — measured ~200 ns/pair,
+    // which at 3.6B whale-cell pairs was 13 MINUTES single-task before
+    // this ordering + blocking.
+    val rawCos = cosine(col("_v"), col("_nv"))
+    a.join(b, Seq("centroid_id", "_blk"))
       .withColumn("_dominated",
-        when(col("_nid").isNotNull && col("_nid") =!= col("_id") &&
-          round(cosine(col("_v"), col("_nv")), 6) >= threshold &&
+        when(col("_nid") =!= col("_id") &&
           (col("_ncs") < col("_cs") ||
-            (col("_ncs") === col("_cs") && col("_nid") < col("_id"))),
+            (col("_ncs") === col("_cs") && col("_nid") < col("_id"))) &&
+          rawCos >= lit(threshold - 1e-6) &&
+          round(rawCos, 6) >= threshold,
           1).otherwise(0))
       .groupBy(col("_id").as(idCol), col("centroid_id"), col("_cs"))
       .agg((max(col("_dominated")) === 0).cast(IntegerType).as("kept"))

@@ -200,4 +200,32 @@ object Sketches {
         cmsEstimate(col("_sk"), col(keyCol), depth, width).as("cms_estimate"))
       .filter(col("cms_estimate") >= threshold)
   }
+
+  /** Per-key quantile estimates from the deterministic KMV value
+    * sample (native mergeable `graft_kmvq` — see
+    * [[graft.expr.KmvQuantileAgg]]): one pass, ≤ k values per
+    * group × partition across the exchange, no per-key sort of the
+    * data. Exact whenever a key has ≤ k rows (the sample is the
+    * population); otherwise a uniform-sample estimate whose SELECTION
+    * is deterministic (md5 order), so results reproduce bit-for-bit
+    * across engines and partitionings — the property histogram passes
+    * have and t-digest lacks. Quantile convention: sorted sample s of
+    * size m, p-quantile = s[⌊p·(m−1)⌋] (0-based).
+    *
+    * Emits one `p<NN>` column per requested percentile.
+    */
+  def sampledQuantiles(df: DataFrame, keyCols: Seq[String], idCol: String,
+      valueCol: Column, k: Int, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0, 1]: $ps")
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(call_function(graft.expr.KmvQuantileAgg.FunctionName,
+        col(idCol).cast(StringType), valueCol.cast(DoubleType),
+        lit(k)).as("_s"))
+    ps.foldLeft(agg) { (d, p) =>
+      d.withColumn(f"p${math.round(p * 100)}%d",
+        element_at(col("_s"),
+          (floor(lit(p) * (size(col("_s")) - 1)) + 1).cast(IntegerType)))
+    }.drop("_s")
+  }
 }

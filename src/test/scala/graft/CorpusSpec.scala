@@ -123,6 +123,26 @@ class CorpusSpec extends SparkSpec {
     assert(clean == Set(2L, 4L))
   }
 
+  test("removeDuplicatedSpans: shared >=k-token runs vanish, short overlaps survive") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon unique one tail here"),
+      (2L, "prefix alpha beta gamma delta epsilon suffix words"),
+      (3L, "alpha beta distinct middle content entirely"), // 2-token overlap < k
+      (4L, "") // empty doc
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDuplicatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the 5-token run is shared by docs 1+2 → removed from BOTH; the
+    // tokens around it survive in order
+    assert(out(1L) == (("unique one tail here", 9L, 5L)))
+    assert(out(2L) == (("prefix suffix words", 8L, 5L)))
+    // doc 3 shares only a 2-token prefix (< k) → untouched
+    assert(out(3L) == (("alpha beta distinct middle content entirely", 6L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+    Caches.release(spark)
+  }
+
   test("removeDuplicatedSegments drops cross-doc boilerplate, keeps order") {
     val docs = Seq(
       (1L, "unique intro. all rights reserved. body one. visit our site."),

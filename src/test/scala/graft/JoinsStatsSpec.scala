@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Redact
-import graft.operators.{Joins, Sessions, Stats}
+import graft.operators.{Joins, Sessions, Sketches, Stats}
 import org.apache.spark.sql.functions._
 
 /** As-of join, binned range join, funnel, exact percentiles, PII
@@ -507,5 +507,29 @@ class JoinsStatsSpec extends SparkSpec {
     assert(out(1)._2 == 1)
     assert(out(2) == (("no pii here", 0)))
     assert(out(3)._1 == "ids <NUM> and <NUM>")
+  }
+
+  test("sampledQuantiles: exact when n <= k, partition-invariant, bounded") {
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 100) "a" else "b", (i % 100) * 1.0)).toDF("id", "g", "v")
+    // k >= group size -> the sample IS the population: both groups hold
+    // values 0..99, so p50 = s[floor(0.5*99)] = 49
+    val exact = Sketches.sampledQuantiles(df, Seq("g"), "id", col("v"),
+        k = 200, ps = Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact == Map("a" -> 49.0, "b" -> 49.0))
+    // under-k sampling: deterministic across partitionings, bit-equal
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.sampledQuantiles(d, Seq("g"), "id", col("v"),
+          k = 8, ps = Seq(0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val r1 = run(df)
+    val r2 = run(df.repartition(7))
+    assert(r1 == r2, s"partitioning changed the sketch: $r1 vs $r2")
+    // sampled estimates stay inside the value range
+    r1.foreach { case (_, p50, p90) =>
+      assert(p50 >= 0 && p90 <= 99 && p50 <= p90)
+    }
   }
 }
