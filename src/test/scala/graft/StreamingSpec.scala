@@ -567,7 +567,9 @@ class StreamingSpec extends SparkSpec {
       .groupBy(window($"ts", "1 day"))
       .agg(
         call_function("graft_cms", $"uid", lit(4), lit(64)).as("cms"),
-        call_function("graft_kmv", $"uid", lit(32)).as("kmv"))
+        call_function("graft_kmv", $"uid", lit(32)).as("kmv"),
+        call_function("graft_kmvq", $"uid",
+          hour($"ts").cast("double"), lit(16)).as("kq"))
     val q = agg.writeStream.format("memory").queryName("sketch_out")
       .outputMode("append").start()
     try {
@@ -583,17 +585,21 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val day1 = spark.table("sketch_out")
         .select($"kmv.kmv_estimate",
-          graft.operators.Sketches.cmsEstimate($"cms", lit("u1"), 4, 64))
-        .as[(Double, Long)].collect().toSeq
-      assert(day1 == Seq((2.0, 2L))) // 2 distinct users, u1 seen twice
+          graft.operators.Sketches.cmsEstimate($"cms", lit("u1"), 4, 64),
+          $"kq")
+        .as[(Double, Long, Seq[Double])].collect().toSeq
+      // kmvq: u1 keeps its min value (10.0), u2 its only one (12.0)
+      assert(day1 == Seq((2.0, 2L, Seq(10.0, 12.0))))
       // advance again → day 2 finalizes too
       mem.addData((t("2024-01-03 09:00:00"), "u9"))
       q.processAllAvailable()
       val all = spark.table("sketch_out")
         .select($"kmv.kmv_estimate",
-          graft.operators.Sketches.cmsEstimate($"cms", lit("u1"), 4, 64))
-        .as[(Double, Long)].collect().toSet
-      assert(all == Set((2.0, 2L), (1.0, 0L))) // day 2: u3 only, u1 absent
+          graft.operators.Sketches.cmsEstimate($"cms", lit("u1"), 4, 64),
+          $"kq")
+        .as[(Double, Long, Seq[Double])].collect().toSet
+      // day 2: u3 only, u1 absent
+      assert(all == Set((2.0, 2L, Seq(10.0, 12.0)), (1.0, 0L, Seq(9.0))))
     } finally q.stop()
   }
 
