@@ -143,6 +143,38 @@ class CorpusSpec extends SparkSpec {
     Caches.release(spark)
   }
 
+  test("removeDuplicatedSpans matches a brute-force coverage model (property)") {
+    // small vocabulary => cross-doc k-gram collisions are plentiful
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val rng = new scala.util.Random(99)
+    val k = 3
+    val rows = (1L to 30L).map { i =>
+      (i, Seq.fill(3 + rng.nextInt(15))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    // reference: gram -> distinct-doc count; token covered iff a hot
+    // gram starts within the k-1 positions before it
+    val toks = rows.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val docFreq = toks.values
+      .flatMap(ts => ts.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSet)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val expected = rows.map { case (id, _) =>
+      val ts = toks(id)
+      val hotStarts = (0 to ts.size - k).filter(s =>
+        docFreq(ts.slice(s, s + k).mkString(" ")) > 1).toSet
+      val covered = ts.indices.filter(t =>
+        (math.max(0, t - k + 1) to t).exists(hotStarts)).toSet
+      val clean = ts.indices.filterNot(covered).map(ts).mkString(" ")
+      id -> ((clean, ts.size.toLong, covered.size.toLong))
+    }.toMap
+    val got = Corpus.removeDuplicatedSpans(rows.toDF("doc_id", "text"),
+        "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    Caches.release(spark)
+  }
+
   test("removeDuplicatedSegments drops cross-doc boilerplate, keeps order") {
     val docs = Seq(
       (1L, "unique intro. all rights reserved. body one. visit our site."),
