@@ -1865,6 +1865,62 @@ object SparkEntry {
           col("channels"), col("bit_depth"))
     }),
 
+    // audio-container metadata: real WAV (RIFF chunk walk) and FLAC
+    // (STREAMINFO bit unpacking) headers constructed in-plan from
+    // deterministic arithmetic, decoded by the native graft_audio_meta
+    // expression — the audio sibling of q127's image decode; the
+    // oracle replays the construction arithmetic
+    "q148_audio_meta" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def be(c: Column, hexDigits: Int): Column =
+        unhex(lpad(hex(c), hexDigits, "0"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val id = col("doc_id")
+      // WAV: ch = id%2+1, rate = (id%4+1)*11025, 16-bit PCM,
+      // n_frames = id%1000+1
+      val ch = id % 2 + 1
+      val rate = (id % 4 + 1) * 11025
+      val blockAlign = ch * 2
+      val nFrames = id % 1000 + 1
+      val dataSize = blockAlign * nFrames
+      val wav = concat(ascii("RIFF"), le32(dataSize + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(ch), le32(rate),
+        le32(rate * blockAlign), le16(blockAlign), le16(lit(16)),
+        ascii("data"), le32(dataSize))
+      // FLAC: STREAMINFO with rate = (id%5+1)*8000, same ch, 16-bit,
+      // total samples = id%5000+1; 34-byte body = 10 fixed + 8 packed
+      // (20-bit rate | 3-bit ch-1 | 5-bit bits-1 | 36-bit total) + 16
+      // zero md5 bytes
+      val fRate = (id % 5 + 1) * 8000
+      val fTotal = id % 5000 + 1
+      val packed = shiftleft(fRate.cast(LongType), 44) +
+        shiftleft((ch - 1).cast(LongType), 41) +
+        shiftleft(lit(15L), 36) + fTotal.cast(LongType)
+      val flac = concat(ascii("fLaC"),
+        lit(Array[Byte](0x80.toByte, 0, 0, 34)),
+        be(lit(4096), 4), be(lit(4096), 4), be(lit(0), 6), be(lit(0), 6),
+        be(packed, 16), lit(Array.fill[Byte](16)(0)))
+      val content = when(id % 3 === 0, wav)
+        .when(id % 3 === 1, flac)
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = t(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioMeta(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -4068,6 +4124,24 @@ object SparkEntry {
               END AS channels,
               CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 2
                    THEN CAST(8 AS INTEGER) END AS bit_depth
+       FROM documents""",
+
+    "q148_audio_meta" ->
+      """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'wav'
+                   WHEN doc_id % 3 = 1 THEN 'flac' END AS format,
+              CASE WHEN doc_id % 3 IN (0, 1)
+                   THEN CAST(doc_id % 2 + 1 AS INTEGER) END AS channels,
+              CASE WHEN doc_id % 3 = 0
+                     THEN CAST((doc_id % 4 + 1) * 11025 AS INTEGER)
+                   WHEN doc_id % 3 = 1
+                     THEN CAST((doc_id % 5 + 1) * 8000 AS INTEGER)
+              END AS sample_rate,
+              CASE WHEN doc_id % 3 IN (0, 1)
+                   THEN CAST(16 AS INTEGER) END AS bit_depth,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 1000 + 1 AS BIGINT)
+                   WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5000 + 1 AS BIGINT)
+              END AS n_frames
        FROM documents""",
 
     "q105_winsorize" ->

@@ -43,6 +43,23 @@ object Multimodal {
         col("_m.bit_depth").as("bit_depth"))
   }
 
+  /** [[imageMeta]]'s audio sibling: WAV/FLAC header metadata via the
+    * native graft.expr.AudioMeta decode (format, channels, sample
+    * rate, bit depth, frame count); undecodable rows keep NULL meta
+    * fields — the triage contract. Blob projected away immediately.
+    */
+  def audioMeta(media: DataFrame, contentCol: String = "content"): DataFrame = {
+    val meta = call_function(graft.expr.AudioMeta.FunctionName, col(contentCol))
+    media.select(col("media_id"), col("kind"),
+        coalesce(length(col(contentCol)), lit(0)).cast(LongType).as("n_bytes"),
+        meta.as("_m"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("_m.format").as("format"), col("_m.channels").as("channels"),
+        col("_m.sample_rate").as("sample_rate"),
+        col("_m.bit_depth").as("bit_depth"),
+        col("_m.n_frames").as("n_frames"))
+  }
+
   /** Canonical multimodal record: blob + typed metadata. */
   val MediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

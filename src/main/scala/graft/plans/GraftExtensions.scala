@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{BloomMightContain, CmsSketchAgg, CosineSimilarity, ImageMeta, KmvSketchAgg, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, WinnowFingerprints, WordShingles}
+import graft.expr.{AudioMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -81,6 +81,29 @@ object GraftExtensions {
           exprs(2).eval().asInstanceOf[Number].intValue())),
       (FunctionIdentifier(ImageMeta.FunctionName),
         info(ImageMeta.FunctionName, classOf[ImageMeta]),
-        exprs => ImageMeta(exprs.head))
+        exprs => ImageMeta(exprs.head)),
+      (FunctionIdentifier(AudioMeta.FunctionName),
+        info(AudioMeta.FunctionName, classOf[AudioMeta]),
+        exprs => AudioMeta(exprs.head)),
+      (FunctionIdentifier(VecDistance.L2SqName),
+        info(VecDistance.L2SqName, classOf[L2SqDistance]),
+        exprs => L2SqDistance(exprs(0), exprs(1))),
+      (FunctionIdentifier(VecDistance.DotName),
+        info(VecDistance.DotName, classOf[DotProduct]),
+        exprs => DotProduct(exprs(0), exprs(1))),
+      (FunctionIdentifier(VecArgmin.ArgmaxCosName),
+        info(VecArgmin.ArgmaxCosName, classOf[VecArgmaxCos]),
+        exprs => VecArgmaxCos(exprs(0), exprs(1))),
+      (FunctionIdentifier(VecArgmin.ArgminL2Name),
+        info(VecArgmin.ArgminL2Name, classOf[VecArgminL2]),
+        exprs => VecArgminL2(exprs(0), exprs(1))),
+      (FunctionIdentifier(WordGramHashes.FunctionName),
+        info(WordGramHashes.FunctionName, classOf[WordGramHashes]),
+        exprs => WordGramHashes(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())),
+      (FunctionIdentifier(KmvQuantileAgg.FunctionName),
+        info(KmvQuantileAgg.FunctionName, classOf[KmvQuantileAgg]),
+        exprs => KmvQuantileAgg(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Number].intValue()))
     )
 }

@@ -103,6 +103,45 @@ class ExprConfigSpec extends SparkSpec {
       meta.getAs[Int]("width") == 1 && meta.getAs[Long]("n_bytes") == realPng.length)
   }
 
+  test("graft_audio_meta decodes WAV/FLAC headers, nulls the rest") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    // a genuine 44-byte WAV header with a LIST chunk of ODD size before
+    // fmt (exercises the word-alignment pad in the chunk walk)
+    val wav = ascii("RIFF") ++ le32(36 + 400) ++ ascii("WAVE") ++
+      ascii("LIST") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) ++ // 3 + pad
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      ascii("data") ++ le32(400)
+    val w = graft.expr.AudioMeta.parse(wav)
+    assert(w != null && w.getInt(1) == 2 && w.getInt(2) == 44100 &&
+      w.getInt(3) == 16 && w.getLong(4) == 100L)
+    // fmt present, data absent → streaming header, 0 frames
+    val wavNoData = ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16)
+    val wnd = graft.expr.AudioMeta.parse(wavNoData)
+    assert(wnd != null && wnd.getLong(4) == 0L)
+    // FLAC STREAMINFO: 22050 Hz mono 16-bit, 12345 total samples
+    val packed = (22050L << 44) | (0L << 41) | (15L << 36) | 12345L
+    val pk = (0 until 8).map(i => ((packed >> (56 - 8 * i)) & 0xff).toByte)
+    val flac = ascii("fLaC") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++
+      Array.fill[Byte](10)(0) ++ pk ++ Array.fill[Byte](16)(0)
+    val f = graft.expr.AudioMeta.parse(flac)
+    assert(f != null && f.getUTF8String(0).toString == "flac" &&
+      f.getInt(1) == 1 && f.getInt(2) == 22050 && f.getInt(3) == 16 &&
+      f.getLong(4) == 12345L)
+    // garbage / truncation / wrong first metadata block → null
+    assert(graft.expr.AudioMeta.parse(ascii("not audio at all")) == null)
+    assert(graft.expr.AudioMeta.parse(wav.take(20)) == null)
+    assert(graft.expr.AudioMeta.parse(
+      ascii("fLaC") ++ Array[Byte](4, 0, 0, 34) ++
+        Array.fill[Byte](34)(0)) == null)
+    assert(graft.expr.AudioMeta.parse(Array.emptyByteArray) == null)
+  }
+
   test("native cosine_sim is bit-identical to the composed-builtin form") {
     val vecs = Seq(
       (0L, Array(0.1f, -0.2f, 0.93f, 0.4f)),
