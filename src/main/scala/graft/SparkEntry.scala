@@ -1921,6 +1921,43 @@ object SparkEntry {
           col("sample_rate"), col("bit_depth"), col("n_frames"))
     }),
 
+    // video-container metadata: real MP4 (ISO BMFF) box trees —
+    // ftyp + moov[mvhd + trak[tkhd]] — constructed in-plan and decoded
+    // by the native graft_video_meta box walk; completes the
+    // image/audio/video metadata triad. Oracle replays the arithmetic
+    "q149_video_meta" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def be(c: Column, hexDigits: Int): Column =
+        unhex(lpad(hex(c), hexDigits, "0"))
+      def zeros(n: Int): Column = lit(Array.fill[Byte](n)(0))
+      val id = col("doc_id")
+      val ts = (id % 4 + 1) * 600
+      val durUnits = (id % 300 + 1) * ts // duration_ms = (id%300+1)*1000
+      val w = id % 1024 + 16
+      val h = id % 768 + 16
+      // mvhd v0: 8 hdr + 100 payload (ver/flags, ctime, mtime,
+      // timescale@12, duration@16, 80 trailing bytes the walk skips)
+      val mvhd = concat(be(lit(108), 8), ascii("mvhd"), zeros(12),
+        be(ts, 8), be(durUnits, 8), zeros(80))
+      // tkhd v0: 8 hdr + 84 payload (width@76, height@80 as 16.16)
+      val tkhd = concat(be(lit(92), 8), ascii("tkhd"), zeros(76),
+        be(w * 65536L, 8), be(h * 65536L, 8))
+      val trak = concat(be(lit(100), 8), ascii("trak"), tkhd)
+      val moov = concat(be(lit(216), 8), ascii("moov"), mvhd, trak)
+      val ftyp = concat(be(lit(16), 8), ascii("ftyp"), ascii("isom"),
+        zeros(4))
+      val content = when(id % 3 === 0, concat(ftyp, moov))
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = t(s, dir, "documents").select(id.as("media_id"),
+        lit("video").as("kind"), content.as("content"))
+      Multimodal.videoMeta(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("timescale"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -4124,6 +4161,21 @@ object SparkEntry {
               END AS channels,
               CASE WHEN doc_id % 3 IN (0, 1) OR doc_id % 6 = 2
                    THEN CAST(8 AS INTEGER) END AS bit_depth
+       FROM documents""",
+
+    "q149_video_meta" ->
+      """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'mp4' END AS format,
+              CASE WHEN doc_id % 3 = 0
+                   THEN CAST(doc_id % 1024 + 16 AS INTEGER) END AS width,
+              CASE WHEN doc_id % 3 = 0
+                   THEN CAST(doc_id % 768 + 16 AS INTEGER) END AS height,
+              CASE WHEN doc_id % 3 = 0
+                   THEN CAST((doc_id % 300 + 1) * 1000 AS BIGINT)
+              END AS duration_ms,
+              CASE WHEN doc_id % 3 = 0
+                   THEN CAST((doc_id % 4 + 1) * 600 AS INTEGER)
+              END AS timescale
        FROM documents""",
 
     "q148_audio_meta" ->

@@ -60,6 +60,23 @@ object Multimodal {
         col("_m.n_frames").as("n_frames"))
   }
 
+  /** [[imageMeta]]'s video sibling: MP4/MOV (ISO BMFF) metadata via
+    * the native graft.expr.VideoMeta box walk (format, dims from the
+    * first visual track's tkhd, duration_ms, timescale); undecodable
+    * rows keep NULL meta fields. Blob projected away immediately.
+    */
+  def videoMeta(media: DataFrame, contentCol: String = "content"): DataFrame = {
+    val meta = call_function(graft.expr.VideoMeta.FunctionName, col(contentCol))
+    media.select(col("media_id"), col("kind"),
+        coalesce(length(col(contentCol)), lit(0)).cast(LongType).as("n_bytes"),
+        meta.as("_m"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("_m.format").as("format"), col("_m.width").as("width"),
+        col("_m.height").as("height"),
+        col("_m.duration_ms").as("duration_ms"),
+        col("_m.timescale").as("timescale"))
+  }
+
   /** Canonical multimodal record: blob + typed metadata. */
   val MediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -85,6 +85,9 @@ object GraftExtensions {
       (FunctionIdentifier(AudioMeta.FunctionName),
         info(AudioMeta.FunctionName, classOf[AudioMeta]),
         exprs => AudioMeta(exprs.head)),
+      (FunctionIdentifier(VideoMeta.FunctionName),
+        info(VideoMeta.FunctionName, classOf[VideoMeta]),
+        exprs => VideoMeta(exprs.head)),
       (FunctionIdentifier(VecDistance.L2SqName),
         info(VecDistance.L2SqName, classOf[L2SqDistance]),
         exprs => L2SqDistance(exprs(0), exprs(1))),

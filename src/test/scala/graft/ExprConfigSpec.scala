@@ -142,6 +142,39 @@ class ExprConfigSpec extends SparkSpec {
     assert(graft.expr.AudioMeta.parse(Array.emptyByteArray) == null)
   }
 
+  test("graft_video_meta walks MP4 box trees, nulls the rest") {
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def box(name: String, payload: Array[Byte]) =
+      be32(payload.length + 8L) ++ ascii(name) ++ payload
+    val ftyp = box("ftyp", ascii("isom") ++ Array.fill[Byte](4)(0))
+    // mvhd VERSION 1 (64-bit times): ver=1, ctime/mtime 8B each,
+    // timescale@20, duration@24 (8B)
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ be32(90000L) ++ be64(90000L * 7))
+    // an AUDIO track first (0x0 dims) — the walk must skip it
+    val tkhdAudio = box("tkhd", Array.fill[Byte](76)(0) ++
+      be32(0L) ++ be32(0L))
+    // then the visual track, tkhd VERSION 1 (width at +88)
+    val tkhdVideo = box("tkhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](84)(0) ++ be32(640L << 16) ++ be32(360L << 16))
+    val moov = box("moov",
+      mvhd1 ++ box("trak", tkhdAudio) ++ box("trak", tkhdVideo))
+    val m = graft.expr.VideoMeta.parse(ftyp ++ moov)
+    assert(m != null && m.getInt(1) == 640 && m.getInt(2) == 360 &&
+      m.getLong(3) == 7000L && m.getInt(4) == 90000)
+    // no visual track at all → null
+    assert(graft.expr.VideoMeta.parse(
+      ftyp ++ box("moov", mvhd1 ++ box("trak", tkhdAudio))) == null)
+    // garbage / truncation / missing ftyp → null
+    assert(graft.expr.VideoMeta.parse(ascii("random bytes here!!")) == null)
+    assert(graft.expr.VideoMeta.parse((ftyp ++ moov).take(40)) == null)
+    assert(graft.expr.VideoMeta.parse(moov) == null)
+    assert(graft.expr.VideoMeta.parse(Array.emptyByteArray) == null)
+  }
+
   test("native cosine_sim is bit-identical to the composed-builtin form") {
     val vecs = Seq(
       (0L, Array(0.1f, -0.2f, 0.93f, 0.4f)),
