@@ -140,7 +140,14 @@ object VecArgmin {
       }
       val denom = math.sqrt(na) * math.sqrt(nb)
       val s = round6(if (denom > 0.0) dot / denom else 0.0)
-      if (!any || s > bestScore || (s == bestScore && id < bestId)) {
+      // Double.compare, not primitive >: a NaN score (NaN vector
+      // component) must order deterministically. Primitive comparisons
+      // are all-false on NaN, so whichever candidate hit NaN first
+      // froze as the winner; Double.compare places NaN greatest —
+      // exactly Spark's total ordering, so the window/aggregate forms
+      // this expression replaced agree on NaN-carrying inputs too.
+      val cmp = java.lang.Double.compare(s, bestScore)
+      if (!any || cmp > 0 || (cmp == 0 && id < bestId)) {
         bestId = id; bestScore = s; any = true
       }
       i += 1
@@ -167,7 +174,11 @@ object VecArgmin {
         val d = x - y; acc += d * d; j += 1
       }
       val s = round6(acc)
-      if (!any || s < bestScore || (s == bestScore && id < bestId)) {
+      // Double.compare for NaN determinism (see bestCos): NaN sorts
+      // greatest, so for L2-asc a NaN distance LOSES to every real
+      // one — matching Spark's NaN-last ascending sort order.
+      val cmp = java.lang.Double.compare(s, bestScore)
+      if (!any || cmp < 0 || (cmp == 0 && id < bestId)) {
         bestId = id; bestScore = s; any = true
       }
       i += 1

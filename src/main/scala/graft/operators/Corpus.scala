@@ -947,6 +947,13 @@ object Corpus {
     * (byte-pair merge learning is a word-frequency algorithm — the
     * corpus contributes only counts).
     */
+  /** [[bpeTrain]]'s driver-histogram bound: top 2^20 words by count.
+    * The memory contract: the collect is ≤ maxWords (word, count)
+    * pairs — at the default and typical word lengths ~50 MB of driver
+    * heap, invariant in corpus size.
+    */
+  val DefaultBpeMaxWords: Int = 1 << 20
+
   def bpeWordHistogram(df: DataFrame, textCol: String,
       minCount: Long = 1L, maxWords: Int = 0): DataFrame = {
     val hist = df
@@ -971,9 +978,16 @@ object Corpus {
     * over the vocabulary-bounded histogram — the same driver-bounded
     * pattern as the union-find tail of near-dup clustering, because
     * BPE training is inherently a histogram algorithm (every public
-    * implementation trains on word frequencies, not raw text). Bound
-    * the driver frame with `minCount`/`maxWords`; the loop costs
-    * O(vocab · word_len) per merge.
+    * implementation trains on word frequencies, not raw text). The
+    * driver frame is ALWAYS bounded: `maxWords` defaults to
+    * [[DefaultBpeMaxWords]] (top 2^20 words by count, ~50 MB of
+    * driver heap worst-case) and a non-positive value is rejected —
+    * on web-scale text the distinct-"word" count is O(100M+) of
+    * typo/numeral/URL junk and an uncapped collect() is a driver OOM;
+    * the junk tail carries no merge signal (every practical BPE
+    * trainer caps the histogram). Tighten further with
+    * `minCount`/`maxWords`; the loop costs O(vocab · word_len) per
+    * merge.
     *
     * Segmentations are tracked as `(t1)(t2)…` delimited strings and a
     * merge is applied with a LITERAL replace of `(L)(R)` by `(LR)` —
@@ -983,8 +997,15 @@ object Corpus {
     * `replace()` (the DuckDB oracle mirrors the whole loop unrolled).
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 1L, maxWords: Int = 0): DataFrame = {
+      minCount: Long = 1L, maxWords: Int = DefaultBpeMaxWords): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
+    require(maxWords > 0,
+      s"bpeTrain: maxWords must be positive (got $maxWords) — the merge " +
+        "loop collects the word histogram to the driver, and a web-scale " +
+        "corpus has O(100M+) distinct 'words' (typos, numerals, URL " +
+        "fragments): uncapped, that collect() is a driver OOM. Every " +
+        "practical BPE trainer trains on a frequency-capped histogram; " +
+        s"the default keeps the top $DefaultBpeMaxWords by count")
     val spark = df.sparkSession
     val hist: Array[(String, Long)] =
       bpeWordHistogram(df, textCol, minCount, maxWords)

@@ -27,6 +27,27 @@ object Similarity {
   private def asDouble(v: Column): Column =
     transform(v, x => x.cast(DoubleType))
 
+  /** Fail ANALYSIS, not results, on non-numeric ids. The map-only
+    * codebook kernels ([[graft.expr.VecArgmaxCos]]/[[VecArgminL2]])
+    * key candidates by 64-bit id, so codebook/query ids are cast to
+    * long on the way in; for a string id that cast yields null and the
+    * kernel would read it as 0 — every row silently assigned centroid
+    * 0 with no error (the old join+min(struct) form supported any id
+    * type, so this is a contract NARROWING that must be loud). String
+    * cell names: map them through xxhash64 (or a dictionary join)
+    * upstream and join the labels back on the way out.
+    */
+  private def requireIntegralId(df: DataFrame, colName: String,
+      fn: String): Unit =
+    df.schema(colName).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: id column '$colName' must be integral (byte/short/int/" +
+          s"long), got ${other.catalogString} — the broadcast-codebook " +
+          "argmin kernel carries ids as long; hash or dictionary-encode " +
+          "non-numeric ids upstream")
+    }
+
   /** Dot product of two array<numeric> columns (element order fixed). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
@@ -79,6 +100,7 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, centroidIdCol: String = "centroid_id",
       keepSim: Boolean = false): DataFrame = {
+    requireIntegralId(centroids, idCol, "ivfAssign")
     // MAP-ONLY assignment: the centroids collapse to one broadcast row
     // holding the whole codebook array, and a native expression
     // (graft.expr.VecArgmaxCos) scans it per corpus row — no N×k
@@ -555,6 +577,7 @@ object Similarity {
     */
   private def pqAssign(sv: DataFrame, codebooks: DataFrame,
       idCol: String): DataFrame = {
+    requireIntegralId(codebooks, "code", "pqAssign")
     val cbBySub = broadcast(codebooks.groupBy(col("sub")).agg(collect_list(
       struct(col("code").cast(LongType).as("_cid"),
         col("cw").as("_cv"))).as("_cb")))
@@ -666,6 +689,7 @@ object Similarity {
   def pqIndex(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into m ($m)")
+    requireIntegralId(codebooks, "code", "pqIndex")
     val sd = dim / m
     val cbBySub = broadcast(codebooks.groupBy(col("sub")).agg(collect_list(
       struct(col("code").cast(LongType).as("_cid"),
@@ -696,6 +720,9 @@ object Similarity {
       codebooks: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int, dim: Int, m: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim ($dim) must split evenly into m ($m)")
+    requireIntegralId(queries, idCol, "ivfPqTopK")
+    requireIntegralId(centroids, idCol, "ivfPqTopK")
+    requireIntegralId(codebooks, "code", "ivfPqTopK")
     val spark = index.sparkSession
     val cents = broadcast(centroids.select(
       col(idCol).cast(LongType).as("centroid_id"), col(vecCol).as("_centv")))
@@ -730,8 +757,15 @@ object Similarity {
     }
     val cells = probeRows.map(_.getLong(1)).distinct.toSeq
     val pruned = index.filter(col("centroid_id").isin(cells: _*))
+    // query_id is cast to long HERE exactly as in the probe frame
+    // above — the join on (query_id, sub, code) must compare the same
+    // type on both sides, not lean on implicit coercion (which, for a
+    // non-long id, puts the cast on a join side asymmetrically; the
+    // requireIntegralId guard plus this symmetric cast make the
+    // family consistent: ids are long everywhere downstream).
     val lut = broadcast(
-      pqSubvecs(queries.select(col(idCol).as("query_id"), col(vecCol)),
+      pqSubvecs(queries.select(col(idCol).cast(LongType).as("query_id"),
+          col(vecCol)),
           "query_id", vecCol, m, dim / m)
         .join(codebooks, Seq("sub"))
         .select(col("query_id"), col("sub"), col("code"),

@@ -223,9 +223,13 @@ object Sketches {
         col(idCol).cast(StringType), valueCol.cast(DoubleType),
         lit(k)).as("_s"))
     ps.foldLeft(agg) { (d, p) =>
+      // guard the all-null group: an empty sample would index
+      // element_at at 0 (a runtime error under ANSI-off too) — such
+      // groups get NULL quantiles instead of failing the job
       d.withColumn(f"p${math.round(p * 100)}%d",
-        element_at(col("_s"),
-          (floor(lit(p) * (size(col("_s")) - 1)) + 1).cast(IntegerType)))
+        when(size(col("_s")) > 0,
+          element_at(col("_s"),
+            (floor(lit(p) * (size(col("_s")) - 1)) + 1).cast(IntegerType))))
     }.drop("_s")
   }
 }

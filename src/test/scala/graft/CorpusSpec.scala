@@ -112,6 +112,23 @@ class CorpusSpec extends SparkSpec {
     assert(h2 == Map("alpha" -> 3L, "beta" -> 2L))
   }
 
+  test("bpeTrain's driver histogram is capped by default; uncapped rejected") {
+    val df = Seq((1L, "lower lowest newer newest")).toDF("doc_id", "text")
+    // the default cap (2^20) is far above any test vocabulary, so
+    // results are identical to an explicit generous cap
+    val a = Corpus.bpeTrain(df, "text", numMerges = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val b = Corpus.bpeTrain(df, "text", numMerges = 3, maxWords = 1 << 20)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(a == b && a.size == 3)
+    // an explicit uncapped request fails loudly — the only unbounded
+    // driver collect() the tree ever had, now a contract violation
+    val e = intercept[IllegalArgumentException] {
+      Corpus.bpeTrain(df, "text", numMerges = 1, maxWords = 0)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
+
   test("contaminationReport finds shared shingles, decontaminate removes them") {
     val report = Corpus.contaminationReport(corpus, bench, "doc_id", "text", n = 3)
       .as[(Long, Long)].collect().toMap

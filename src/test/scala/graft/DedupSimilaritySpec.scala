@@ -754,6 +754,57 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("VecArgmin NaN candidates follow Spark's total ordering") {
+    // NaN scores are reachable: cosine guards NaN INPUTS to 0.0 (NaN
+    // components poison the norm, denom comparison fails → 0), but an
+    // Inf component gives dot=Inf, denom=Inf → Inf/Inf = NaN past the
+    // guard; L2 yields NaN from a NaN component directly. Spark's
+    // total ordering sorts NaN greatest, so the windowed argmax (sim
+    // desc) PICKS the NaN candidate and the L2 argmin (dist asc)
+    // REJECTS it; the map-only kernels must agree — a primitive > / <
+    // comparison would instead freeze on whichever candidate hit NaN
+    // first.
+    val vecs = Seq((10L, Array(1f, 0f, 0f))).toDF("id", "v")
+    val cents = Seq(
+      (0L, Array(Float.PositiveInfinity, 1f, 0f)), // cos NaN, L2 Inf
+      (1L, Array(1f, 0.1f, 0f)),
+      (2L, Array(0.9f, 0.2f, 0f)),
+      (3L, Array(Float.NaN, 0f, 0f))) // cos 0.0 (guarded), L2 NaN
+      .toDF("id", "v")
+    def windowed(metric: org.apache.spark.sql.Column, asc: Boolean) = {
+      val scored = vecs.select($"id", $"v")
+        .join(cents.select($"id".as("cid"), $"v".as("cv")))
+        .withColumn("_s", round(metric, 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+        .orderBy(if (asc) $"_s".asc else $"_s".desc, $"cid".asc)
+      scored.withColumn("_rn", row_number().over(w)).filter($"_rn" === 1)
+        .select($"cid").collect().head.getLong(0)
+    }
+    val gotCos = Similarity.ivfAssign(vecs, cents, "id", "v")
+      .select($"centroid_id").collect().head.getLong(0)
+    assert(gotCos == windowed(Similarity.cosine($"v", $"cv"), asc = false))
+    assert(gotCos == 0L) // the NaN candidate, per Spark's NaN-greatest order
+    val cbRow = cents.agg(collect_list(struct($"id".as("_cid"),
+      $"v".as("_cv"))).as("_cb"))
+    val gotL2 = vecs.crossJoin(cbRow)
+      .select(call_function(graft.expr.VecArgmin.ArgminL2Name,
+        $"v", $"_cb").getField("id"))
+      .collect().head.getLong(0)
+    assert(gotL2 == windowed(
+      call_function(graft.expr.VecDistance.L2SqName, $"v", $"cv"),
+      asc = true))
+    assert(gotL2 == 1L) // NaN/Inf distances lose in ascending order
+  }
+
+  test("ivfAssign fails analysis on non-integral centroid ids") {
+    val vecs = Seq((1L, Array(1f, 0f))).toDF("id", "v")
+    val cents = Seq(("cellA", Array(1f, 0f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAssign(vecs, cents, "id", "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("pq validates the subspace split") {
     val df = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
     intercept[IllegalArgumentException] {

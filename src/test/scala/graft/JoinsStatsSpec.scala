@@ -531,5 +531,17 @@ class JoinsStatsSpec extends SparkSpec {
     r1.foreach { case (_, p50, p90) =>
       assert(p50 >= 0 && p90 <= 99 && p50 <= p90)
     }
+    // a group whose every row has a null id/value yields NULL
+    // quantiles, not an element_at(0) runtime failure
+    val withNullGroup = df.unionByName(
+      Seq(("c", 1L)).toDF("g", "id")
+        .select(lit(null).cast("bigint").as("id"), col("g"),
+          lit(null).cast("double").as("v"))
+        .select("id", "g", "v"))
+    val r3 = Sketches.sampledQuantiles(withNullGroup, Seq("g"), "id",
+        col("v"), k = 8, ps = Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(r3("c"), "all-null group must yield null quantile")
+    assert(!r3("a") && !r3("b"))
   }
 }
