@@ -41,6 +41,7 @@ object Bench {
     "q119_bm25", // retrieval-family flagship (BM25 ranking)
     "q124_semantic_dedup", // embedding-dedup flagship (SemDeDup verdicts)
     "q127_image_meta", // multimodal flagship (REAL container-header decode)
+    "q150_pixel_stats", // pixel flagship (REAL inflate+unfilter decode)
   )
   private def headline(all: Seq[String]): Seq[String] = {
     // toIntOption: a registered name not shaped q<digits>... must be

@@ -82,6 +82,7 @@ object Graft {
     graft.expr.PostingPairsAgg.register(spark)
     graft.expr.NfcNormalize.register(spark)
     graft.expr.ImageMeta.register(spark)
+    graft.expr.PixelStats.register(spark)
     graft.expr.AudioMeta.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)

@@ -1958,6 +1958,94 @@ object SparkEntry {
           col("duration_ms"), col("timescale"))
     }),
 
+    // REAL pixel decode end-to-end: each doc becomes a genuine PNG —
+    // stored-deflate zlib stream with a REAL adler32 checksum,
+    // scanlines filtered with types 0-3 (None/Sub/Up/Average) per the
+    // PNG spec — or a binary PPM, all built in-plan from deterministic
+    // arithmetic; the native graft_pixel_stats expression inflates,
+    // unfilters and aggregates the pixels back out. The oracle replays
+    // the pixel formula directly, so a decoder that didn't invert the
+    // zlib framing AND the filter recursions cannot reproduce the
+    // exact integer sums. (Paeth, palette, BMP and real-Deflater
+    // streams are exercised in ExprConfigSpec.)
+    "q150_pixel_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def be(c: Column, hexDigits: Int): Column =
+        unhex(lpad(hex(c), hexDigits, "0"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val fakeCrc = Array[Byte](0x12, 0x34, 0x56, 0x78)
+      val id = col("doc_id")
+      val m = id % 4
+      val wC = (id % 13 + 4).cast(IntegerType)
+      val hC = (id % 11 + 4).cast(IntegerType)
+      val chC = when(m === 0, lit(1)).otherwise(lit(3))
+      val stride = wC * chC
+      def V(y: Column, j: Column): Column =
+        pmod(id * 7 + y * 31 + j * 13, lit(256L))
+      // filtered scanlines, f(y) = y%4: filt = raw − predictor (mod
+      // 256), exactly the spec §9 forward direction the decoder undoes
+      val rawVals = flatten(transform(sequence(lit(0), hC - 1), y => {
+        val f = pmod(y, lit(4))
+        concat(array(f.cast(LongType)),
+          transform(sequence(lit(0), stride - 1), j => {
+            val v = V(y, j)
+            val a = when(j >= chC, V(y, j - chC)).otherwise(lit(0L))
+            val b = when(y > 0, V(y - 1, j)).otherwise(lit(0L))
+            when(f === 0, v)
+              .when(f === 1, pmod(v - a, lit(256L)))
+              .when(f === 2, pmod(v - b, lit(256L)))
+              .otherwise(pmod(v - floor((a + b) / 2).cast(LongType), lit(256L)))
+          }))
+      }))
+      val rawBytes = unhex(array_join(
+        transform(rawVals, b => lpad(hex(b), 2, "0")), ""))
+      val len = hC * (stride + 1)
+      // real adler32 over the raw stream: s1 = 1+Σb, s2 = L+Σ(L−i)·b_i
+      val s1 = pmod(aggregate(rawVals, lit(1L), (acc, x) => acc + x),
+        lit(65521L))
+      val s2 = pmod(aggregate(
+        zip_with(rawVals, sequence(len.cast(LongType), lit(1L), lit(-1L)),
+          (b, wgt) => b * wgt),
+        len.cast(LongType), (acc, x) => acc + x), lit(65521L))
+      // zlib: 0x78 0x01, one stored block (BFINAL|BTYPE=00), LEN/NLEN
+      // little-endian, raw bytes, adler32 big-endian
+      val zlib = concat(lit(Array[Byte](0x78, 0x01, 0x01)),
+        le16(len), le16(lit(65535) - len), rawBytes,
+        be(s2 * 65536L + s1, 8))
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+          0, 0, 0, 13, 'I', 'H', 'D', 'R')),
+        be(wC, 8), be(hC, 8), lit(Array[Byte](8)),
+        when(m === 0, lit(Array[Byte](0))).otherwise(lit(Array[Byte](2))),
+        lit(Array[Byte](0, 0, 0) ++ fakeCrc),
+        be(len + 11, 8), lit("IDAT".getBytes("ISO-8859-1")), zlib,
+        lit(fakeCrc),
+        lit(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D') ++ fakeCrc))
+      // PPM: ASCII header + the same pixel stream unfiltered (ch = 3)
+      val ppmHeader = encode(concat(lit("P6\n"), wC.cast(StringType),
+        lit(" "), hC.cast(StringType), lit("\n255\n")), "UTF-8")
+        .cast(BinaryType)
+      val ppm = concat(ppmHeader, unhex(array_join(
+        transform(sequence(lit(0), wC * hC * 3 - 1), k =>
+          lpad(hex(V((k / stride).cast(IntegerType), pmod(k, stride))),
+            2, "0")), "")))
+      val content = when(m <= 1, png)
+        .when(m === 2, ppm)
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = t(s, dir, "documents").select(id.as("media_id"),
+        lit("image").as("kind"), content.as("content"))
+      Multimodal.pixelStats(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("n_pixels"), col("sum"), col("sumsq"),
+          col("pmin"), col("pmax"), col("constant"), col("mean"),
+          col("variance"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -4195,6 +4283,49 @@ object SparkEntry {
                    WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5000 + 1 AS BIGINT)
               END AS n_frames
        FROM documents""",
+
+    // replays q150's pixel-value formula V(y,j) = (id*7+y*31+j*13)%256
+    // over every (scanline, byte) position — the decoded-pixel ground
+    // truth the PNG filter/zlib round trip must reproduce exactly.
+    // range(0, 672) is the constant hull of w*ch*h (≤ 16*3*14);
+    // k < w*ch*h prunes per row (DuckDB's range() can't take lateral
+    // column bounds)
+    "q150_pixel_stats" ->
+      """WITH d AS (SELECT doc_id AS id,
+                  CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+                  CAST(doc_id % 11 + 4 AS INTEGER) AS h,
+                  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END
+                       AS INTEGER) AS ch,
+                  doc_id % 4 AS m
+           FROM documents),
+         px AS (SELECT id,
+                  ((id*7 + (k // (w*ch))*31 + (k % (w*ch))*13) % 256) AS v
+                FROM d CROSS JOIN range(0, 672) AS r(k)
+                WHERE m < 3 AND k < w*ch*h),
+         st AS (SELECT id, CAST(SUM(v) AS BIGINT) AS s,
+                       CAST(SUM(v*v) AS BIGINT) AS ss,
+                       CAST(MIN(v) AS INTEGER) AS mn,
+                       CAST(MAX(v) AS INTEGER) AS mx
+                FROM px GROUP BY id)
+       SELECT d.id AS media_id,
+              CASE WHEN d.m = 2 THEN 'ppm'
+                   WHEN d.m < 2 THEN 'png' END AS format,
+              CASE WHEN d.m < 3 THEN d.w END AS width,
+              CASE WHEN d.m < 3 THEN d.h END AS height,
+              CASE WHEN d.m < 3 THEN d.ch END AS channels,
+              CASE WHEN d.m < 3 THEN CAST(d.w*d.h AS BIGINT) END AS n_pixels,
+              st.s AS sum, st.ss AS sumsq, st.mn AS pmin, st.mx AS pmax,
+              CASE WHEN d.m < 3 THEN CAST(CASE WHEN st.mn = st.mx THEN 1
+                   ELSE 0 END AS INTEGER) END AS constant,
+              CASE WHEN d.m < 3
+                   THEN ROUND(CAST(st.s AS DOUBLE)/(d.w*d.h*d.ch), 6)
+              END AS mean,
+              CASE WHEN d.m < 3
+                   THEN ROUND(CAST(st.ss AS DOUBLE)/(d.w*d.h*d.ch)
+                        - (CAST(st.s AS DOUBLE)/(d.w*d.h*d.ch))
+                          * (CAST(st.s AS DOUBLE)/(d.w*d.h*d.ch)), 6)
+              END AS variance
+       FROM d LEFT JOIN st ON d.id = st.id""",
 
     "q105_winsorize" ->
       """WITH b AS (

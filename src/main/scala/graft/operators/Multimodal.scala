@@ -43,6 +43,36 @@ object Multimodal {
         col("_m.bit_depth").as("bit_depth"))
   }
 
+  /** REAL pixel decode + per-image content stats: PNG (inflate +
+    * unfilter + palette), PPM, BMP via the native codegen'd
+    * [[graft.expr.PixelStats]] expression — the content-signal layer a
+    * curation pipeline filters on (near-constant frames, blown-out or
+    * black images, extreme byte variance). Emits the expression's
+    * exact-integer stats plus the derived doubles in ONE documented
+    * formula (mean = sum/(n_pixels·channels); var = E[x²] − mean²,
+    * both 6dp-rounded) so any engine replays them bit-for-bit from the
+    * integer sums. Undecodable rows keep NULL stats — the triage
+    * contract. Pure projection; the blob is projected away
+    * immediately, so nothing downstream shuffles bytes.
+    */
+  def pixelStats(media: DataFrame, contentCol: String = "content"): DataFrame = {
+    val meta = call_function(graft.expr.PixelStats.FunctionName, col(contentCol))
+    val n = col("_m.n_pixels") * col("_m.channels")
+    val mean = col("_m.sum").cast(DoubleType) / n
+    media.select(col("media_id"), col("kind"),
+        coalesce(length(col(contentCol)), lit(0)).cast(LongType).as("n_bytes"),
+        meta.as("_m"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("_m.format").as("format"), col("_m.width").as("width"),
+        col("_m.height").as("height"), col("_m.channels").as("channels"),
+        col("_m.n_pixels").as("n_pixels"),
+        col("_m.sum").as("sum"), col("_m.sumsq").as("sumsq"),
+        col("_m.pmin").as("pmin"), col("_m.pmax").as("pmax"),
+        col("_m.constant").as("constant"),
+        round(mean, 6).as("mean"),
+        round(col("_m.sumsq").cast(DoubleType) / n - mean * mean, 6).as("variance"))
+  }
+
   /** [[imageMeta]]'s audio sibling: WAV/FLAC header metadata via the
     * native graft.expr.AudioMeta decode (format, channels, sample
     * rate, bit depth, frame count); undecodable rows keep NULL meta

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, MinHashSignature, NfcNormalize, OrderedPairs, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, MinHashSignature, NfcNormalize, OrderedPairs, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -82,6 +82,9 @@ object GraftExtensions {
       (FunctionIdentifier(ImageMeta.FunctionName),
         info(ImageMeta.FunctionName, classOf[ImageMeta]),
         exprs => ImageMeta(exprs.head)),
+      (FunctionIdentifier(PixelStats.FunctionName),
+        info(PixelStats.FunctionName, classOf[PixelStats]),
+        exprs => PixelStats(exprs.head)),
       (FunctionIdentifier(AudioMeta.FunctionName),
         info(AudioMeta.FunctionName, classOf[AudioMeta]),
         exprs => AudioMeta(exprs.head)),

@@ -103,6 +103,165 @@ class ExprConfigSpec extends SparkSpec {
       meta.getAs[Int]("width") == 1 && meta.getAs[Long]("n_bytes") == realPng.length)
   }
 
+  test("graft_pixel_stats decodes real PNGs (all filters/color types), PPM, BMP") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val chOf = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
+    // filter pixels per PNG spec §9, then REAL zlib compression — a
+    // decoder that skipped unfiltering or inflate cannot reproduce
+    def buildPng(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+        filters: Seq[Int], plte: Option[Array[Byte]] = None, depth: Int = 8,
+        interlace: Int = 0, splitIdat: Boolean = false): Array[Byte] = {
+      val ch = chOf(colorType)
+      val stride = w * ch
+      val raw = new Array[Byte](h * (stride + 1))
+      for (y <- 0 until h) {
+        val f = filters(y % filters.size)
+        raw(y * (stride + 1)) = f.toByte
+        for (j <- 0 until stride) {
+          val cur = pixels(y * stride + j) & 0xFF
+          val a = if (j >= ch) pixels(y * stride + j - ch) & 0xFF else 0
+          val b = if (y > 0) pixels((y - 1) * stride + j) & 0xFF else 0
+          val c = if (y > 0 && j >= ch) pixels((y - 1) * stride + j - ch) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case _ =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          raw(y * (stride + 1) + 1 + j) = ((cur - pred) & 0xFF).toByte
+        }
+      }
+      val comp = deflate(raw)
+      val idat =
+        if (splitIdat && comp.length > 2) {
+          val k = comp.length / 2
+          chunk("IDAT", comp.take(k)) ++ chunk("IDAT", comp.drop(k))
+        } else chunk("IDAT", comp)
+      val ihdr = be32(w) ++ be32(h) ++
+        Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)
+      sig ++ chunk("IHDR", ihdr) ++
+        plte.map(chunk("PLTE", _)).getOrElse(Array.emptyByteArray) ++
+        idat ++ chunk("IEND", Array.emptyByteArray)
+    }
+    def expected(bytes: Seq[Int]): (Long, Long, Int, Int, Int) = {
+      val sum = bytes.map(_.toLong).sum
+      val sumsq = bytes.map(v => v.toLong * v).sum
+      (sum, sumsq, bytes.min, bytes.max, if (bytes.min == bytes.max) 1 else 0)
+    }
+    def parsed(b: Array[Byte]) = Option(graft.expr.PixelStats.parse(b)).map(m =>
+      (m.getUTF8String(0).toString, m.getInt(1), m.getInt(2), m.getInt(3),
+        m.getLong(4), m.getLong(5), m.getLong(6), m.getInt(7), m.getInt(8),
+        m.getInt(9)))
+
+    val rng = new scala.util.Random(99)
+    // every color type × every filter type, random pixels
+    for (colorType <- Seq(0, 2, 4, 6); filters <- Seq(Seq(0), Seq(1), Seq(2),
+        Seq(3), Seq(4), Seq(0, 1, 2, 3, 4))) {
+      val w = 5 + rng.nextInt(9); val h = 4 + rng.nextInt(7)
+      val ch = chOf(colorType)
+      val px = Array.fill[Byte](w * h * ch)(rng.nextInt(256).toByte)
+      val (sum, sumsq, mn, mx, const) = expected(px.map(_ & 0xFF).toSeq)
+      val got = parsed(buildPng(w, h, colorType, px, filters,
+        splitIdat = filters.size > 1))
+      assert(got.contains(("png", w, h, ch, w.toLong * h, sum, sumsq, mn, mx,
+        const)), s"ct=$colorType f=$filters: $got")
+    }
+    // palette: indices map through PLTE to RGB before stats
+    val plte = Array.tabulate[Byte](24)(i => ((i * 37 + 5) % 256).toByte)
+    val idxPx = Array.fill[Byte](6 * 4)(rng.nextInt(8).toByte)
+    val rgb = idxPx.flatMap(i => plte.slice((i & 0xFF) * 3, (i & 0xFF) * 3 + 3))
+    val (psum, psumsq, pmn, pmx, pconst) = expected(rgb.map(_ & 0xFF).toSeq)
+    assert(parsed(buildPng(6, 4, 3, idxPx, Seq(0, 1), plte = Some(plte)))
+      .contains(("png", 6, 4, 3, 24L, psum, psumsq, pmn, pmx, pconst)))
+    // all-constant image flags constant=1
+    val flat = Array.fill[Byte](3 * 3)(42)
+    assert(parsed(buildPng(3, 3, 0, flat, Seq(2)))
+      .contains(("png", 3, 3, 1, 9L, 9L * 42, 9L * 42 * 42, 42, 42, 1)))
+    // adversarial: each must be NULL, never an error
+    val okPx = Array.fill[Byte](4 * 4 * 3)(7)
+    val okPng = buildPng(4, 4, 2, okPx, Seq(0))
+    assert(parsed(okPng.dropRight(30)).isEmpty, "truncated IDAT")
+    assert(parsed(buildPng(4, 4, 2, okPx, Seq(0), interlace = 1)).isEmpty,
+      "interlaced (Adam7) is documented-unsupported")
+    assert(parsed(buildPng(4, 4, 2, okPx, Seq(0), depth = 16)).isEmpty,
+      "16-bit depth unsupported")
+    assert(parsed(buildPng(4, 4, 3, Array.fill[Byte](16)(23), Seq(0),
+      plte = Some(plte))).isEmpty, "palette index past PLTE")
+    assert(parsed(buildPng(4, 4, 3, Array.fill[Byte](16)(1), Seq(0))).isEmpty,
+      "palette image without PLTE")
+    assert(parsed(buildPng(4, 4, 2, okPx, Seq(7))).isEmpty, "bad filter type")
+    // zip-bomb guard: huge declared dims, tiny body → NULL not an OOM
+    val bomb = sig ++ chunk("IHDR", be32(100000) ++ be32(100000) ++
+      Array[Byte](8, 2, 0, 0, 0)) ++ chunk("IDAT", Array[Byte](1, 2, 3)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(parsed(bomb).isEmpty)
+    // PPM P6 with a comment line; exact raster byte accounting
+    val ppmPx = Array.tabulate[Byte](5 * 3 * 3)(i => ((i * 11) % 256).toByte)
+    val ppm = ("P6\n# a comment\n5 3\n255\n").getBytes("ISO-8859-1") ++ ppmPx
+    val (s1, s2, m1, m2, c1) = expected(ppmPx.map(_ & 0xFF).toSeq)
+    assert(parsed(ppm).contains(("ppm", 5, 3, 3, 15L, s1, s2, m1, m2, c1)))
+    assert(parsed(ppm.dropRight(1)).isEmpty, "short raster")
+    assert(parsed("P6\n2 2\n65535\n".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](24)(0)).isEmpty, "16-bit maxval unsupported")
+    // BMP 24bpp: bottom-up with row padding (3*3 → stride 12), then
+    // top-down (negative height); padding bytes excluded from stats
+    def bmp(w: Int, h: Int, rows: Array[Array[Byte]]): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val data = rows.flatMap(r => r ++ Array.fill[Byte](stride - w * 3)(99))
+      val le32b = (v: Int) => Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      val le16b = (v: Int) => Array[Byte](v.toByte, (v >> 8).toByte)
+      "BM".getBytes("ISO-8859-1") ++ le32b(54 + data.length) ++
+        le32b(0) ++ le32b(54) ++
+        le32b(40) ++ le32b(w) ++ le32b(h) ++ le16b(1) ++ le16b(24) ++
+        le32b(0) ++ le32b(data.length) ++ le32b(0) ++ le32b(0) ++
+        le32b(0) ++ le32b(0) ++ data
+    }
+    val bmpRows = Array.fill(4)(Array.fill[Byte](3 * 3)(rng.nextInt(256).toByte))
+    val (bs, bss, bmn, bmx, bc) = expected(
+      bmpRows.flatten.map(_ & 0xFF).toSeq)
+    assert(parsed(bmp(3, 4, bmpRows))
+      .contains(("bmp", 3, 4, 3, 12L, bs, bss, bmn, bmx, bc)))
+    assert(parsed(bmp(3, -4, bmpRows))
+      .contains(("bmp", 3, 4, 3, 12L, bs, bss, bmn, bmx, bc)), "top-down")
+    assert(parsed("BM then garbage".getBytes("UTF-8")).isEmpty)
+    assert(parsed("random bytes".getBytes("UTF-8")).isEmpty)
+    assert(parsed(Array.emptyByteArray).isEmpty)
+    // codegen'd SQL path agrees with the interpreted calls above, and
+    // Multimodal.pixelStats derives mean/variance per its contract
+    val media = Seq((1L, "image", okPng),
+      (2L, "image", "junk".getBytes("UTF-8"))).toDF("media_id", "kind", "content")
+    val out = graft.operators.Multimodal.pixelStats(media)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(1L).getAs[String]("format") == "png" &&
+      out(1L).getAs[Long]("sum") == 4L * 4 * 3 * 7 &&
+      out(1L).getAs[Double]("mean") == 7.0 &&
+      out(1L).getAs[Double]("variance") == 0.0 &&
+      out(1L).getAs[Int]("constant") == 1)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
+  }
+
   test("graft_audio_meta decodes WAV/FLAC headers, nulls the rest") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
