@@ -191,27 +191,52 @@ object ScaleShakeout {
     // full-corpus pass; the ARRIVAL batch (2% of corpus, half exact
     // dups of corpus docs, half fresh) is the per-trigger cost the
     // sink's no-corpus-reshuffle claim is about
-    if (wanted("dedupIngestBuild", "dedupIngestArrival")) {
-      val docsPath = "target/scale_ingest_docs.parquet"
-      val table = "scale_ingest_postings"
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(docsPath), true)
-      docs // materialize the corpus outside the timed region
-      def ingest(batch: DataFrame): DataFrame = {
-        graft.streaming.StreamingIngest.dedupIngestBatch(batch, docsPath,
-          table, "doc_id", "text", n = 3, threshold = 0.7,
-          maxDocFreq = 100L, buckets = 32)
-        spark.read.parquet(docsPath)
+    if (wanted("dedupIngestBuild", "dedupIngestArrival",
+        "dedupIngestBuildBloom", "dedupIngestArrivalBloom",
+        "dedupIngestArrivalCached", "dedupIngestArrivalCachedBloom")) {
+      // bloom=false pair: the round-7 exact baseline; bloom=true pair:
+      // the round-8 sidecar pre-probe (capacity sized for the 50×
+      // index's ~20M distinct shingles). Run names select which.
+      for ((bloom, suffix) <- Seq((false, ""), (true, "Bloom"))
+          if wanted(s"dedupIngestBuild$suffix", s"dedupIngestArrival$suffix",
+            s"dedupIngestArrivalCached$suffix")) {
+        val docsPath = s"target/scale_ingest_docs$suffix.parquet"
+        val table = s"scale_ingest_postings${suffix.toLowerCase}"
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(docsPath), true)
+        fs.delete(new org.apache.hadoop.fs.Path(docsPath + "_bloom"), false)
+        docs // materialize the corpus outside the timed region
+        def ingest(batch: DataFrame): DataFrame = {
+          graft.streaming.StreamingIngest.dedupIngestBatch(batch, docsPath,
+            table, "doc_id", "text", n = 3, threshold = 0.7,
+            maxDocFreq = 100L, buckets = 32,
+            useBloom = bloom, bloomCapacity = 1L << 25)
+          spark.read.parquet(docsPath)
+        }
+        run(s"dedupIngestBuild$suffix")(ingest(docs))
+        val nArr = nDocs / 100
+        val dups = docs.filter(col("doc_id") < nArr)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val fresh = corpus(spark, nArr, idOffset = 20000000L)
+        run(s"dedupIngestArrival$suffix")(ingest(dups.unionAll(fresh)))
+        // mitigation 1 composed with 3: with the posting table cached
+        // (the long-running-sink configuration), the parquet-scan
+        // floor drops out and the remaining arrival term is the pair
+        // kernel itself — the part the bloom pre-probe prunes. A
+        // SECOND arrival (new ids, same dup/fresh shape) isolates it.
+        if (wanted(s"dedupIngestArrivalCached$suffix")) {
+          spark.catalog.cacheTable(table)
+          spark.table(table).count() // materialize outside the timed region
+          val dups2 = docs.filter(col("doc_id") >= nArr && col("doc_id") < 2L * nArr)
+            .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+          val fresh2 = corpus(spark, nArr, idOffset = 40000000L)
+          run(s"dedupIngestArrivalCached$suffix")(ingest(dups2.unionAll(fresh2)))
+          spark.catalog.uncacheTable(table)
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $table")
       }
-      run("dedupIngestBuild")(ingest(docs))
-      val nArr = nDocs / 100
-      val dups = docs.filter(col("doc_id") < nArr)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      val fresh = corpus(spark, nArr, idOffset = 20000000L)
-      run("dedupIngestArrival")(ingest(dups.unionAll(fresh)))
-      spark.sql(s"DROP TABLE IF EXISTS $table")
     }
 
     // sessions/window family over a 10× events table (1M events, 10k

@@ -503,6 +503,18 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
     }),
 
+    // WIDE language ID: 32 languages + und with a confidence column —
+    // script-tier codepoint evidence (12 non-Latin scripts) over a
+    // 20-language Latin stopword argmax; the router breadth a real
+    // multilingual crawl needs (q26 keeps the minimal 4-way form)
+    "q151_lang_id_wide" -> ((s, dir) => {
+      Graft.tune(s)
+      val pred = TextAnalysis.langIdWide(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        pred.getField("lang").as("pred_lang"),
+        pred.getField("confidence").as("confidence"))
+    }),
+
     "q27_text_stats" -> ((s, dir) => {
       Graft.tune(s)
       val f = TextAnalysis.qualityFeatures(col("text"))
@@ -1019,13 +1031,15 @@ object SparkEntry {
 
     // language-ID confusion matrix: predicted vs labeled language with
     // per-cell counts — the classifier-evaluation query every heuristic
-    // (and model) gate needs before it filters a corpus
+    // (and model) gate needs before it filters a corpus. Round 8:
+    // evaluated against the WIDE 32-language predictor (q151's label
+    // space) — the honest matrix now also shows which labels leak into
+    // the 28 languages the old 4-way form could never emit
     "q117_lang_confusion" -> ((s, dir) => {
       Graft.tune(s)
-      val docs = t(s, dir, "documents")
-      docs.select(col("doc_id"), col("lang"))
-        .join(scoredDocs(docs).select(col("doc_id"), col("pred_lang")),
-          "doc_id")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.langIdWide(col("text")).getField("lang").as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -3084,10 +3098,12 @@ object SparkEntry {
        JOIN sz sb ON cm.type_b = sb.event_type""",
 
     "q117_lang_confusion" ->
-      s"""WITH pred AS ($langIdOracle)
+      s"""WITH pred AS ($langIdWideOracle)
         SELECT d.lang, p.pred_lang, COUNT(*) AS n
         FROM documents d JOIN pred p USING (doc_id)
         GROUP BY 1, 2""",
+
+    "q151_lang_id_wide" -> langIdWideOracle,
 
     "q116_join_cardinality" ->
       """WITH ra AS (
@@ -4753,6 +4769,54 @@ object SparkEntry {
   private def curationSql(select: String): String =
     s"""WITH $curationCtes
        $select"""
+
+  /** DuckDB replay of TextAnalysis.langIdWide, generated from the SAME
+    * ScriptRanges/WideStopwordLists constants so the two surfaces
+    * cannot drift: script counts via codepoint-class regexp_replace
+    * (the 'g' flag — DuckDB replaces first-only by default), the
+    * integer 30%-dominance rule, then the stopword argmax with
+    * lang-ascending ties.
+    */
+  private def langIdWideOracle: String = {
+    val stopHitExprs = TextAnalysis.WideStopwordLists.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter($lst, w -> list_contains(toks, w))) AS h_$lang"
+    }.mkString(",\n                  ")
+    val scriptExprs = TextAnalysis.ScriptRanges.map { case (lang, cls) =>
+      s"length(regexp_replace(t, '[^$cls]', '', 'g')) AS s_$lang"
+    }.mkString(",\n                  ")
+    val sLangs = TextAnalysis.ScriptRanges.map(_._1).sorted
+    val hLangs = TextAnalysis.WideStopwordLists.map(_._1).sorted
+    val sMax = sLangs.map("s_" + _).mkString("greatest(", ", ", ")")
+    val hMax = hLangs.map("h_" + _).mkString("greatest(", ", ", ")")
+    val sCase = sLangs.init.map(l => s"WHEN s_$l = sm THEN '$l'")
+      .mkString(" ") + s" ELSE '${sLangs.last}'"
+    val hCase = hLangs.init.map(l => s"WHEN h_$l = hm THEN '$l'")
+      .mkString(" ") + s" ELSE '${hLangs.last}'"
+    s"""WITH base AS (
+         SELECT doc_id, COALESCE(text, '') AS t,
+                list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
+                            x -> x <> '') AS toks
+         FROM documents),
+       ev AS (
+         SELECT doc_id,
+                length(regexp_replace(t, '\\s', '', 'g')) AS nws,
+                len(toks) AS ntk,
+                $scriptExprs,
+                $stopHitExprs
+         FROM base),
+       mx AS (SELECT *, $sMax AS sm, $hMax AS hm FROM ev)
+     SELECT doc_id,
+            CASE WHEN sm > 0 AND sm * 10 >= nws * 3 THEN CASE $sCase END
+                 WHEN hm = 0 THEN 'und'
+                 ELSE CASE $hCase END END AS pred_lang,
+            CASE WHEN sm > 0 AND sm * 10 >= nws * 3
+                   THEN ROUND(CAST(sm AS DOUBLE) / nws, 4)
+                 WHEN hm = 0 THEN 0.0
+                 ELSE ROUND(CAST(hm AS DOUBLE) / greatest(ntk, 1), 4)
+            END AS confidence
+     FROM mx"""
+  }
 
   private def langIdOracle: String = {
     val hitExprs = TextAnalysis.StopwordLists.map { case (lang, words) =>

@@ -115,6 +115,121 @@ object TextAnalysis {
       .otherwise(lit(byLang.last._1))
   }
 
+  /** Script-tier language evidence for [[langIdWide]]: BMP codepoint
+    * ranges whose presence identifies the language class directly —
+    * the alnum tokenizer is Latin-only, so non-Latin scripts need
+    * char-level counts, not stopwords. One representative language per
+    * script (the standard script-prior heuristic; e.g. Cyrillic → ru
+    * covers uk/bg/sr too — documented coarseness, same trade fast
+    * script-prior classifiers make before a model refines). Kana
+    * separates ja from zh: Japanese text carries kana even when
+    * kanji-heavy; pure-Han text routes to zh.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "ar" -> "\u0600-\u06FF", // Arabic
+    "bn" -> "\u0980-\u09FF", // Bengali
+    "el" -> "\u0370-\u03FF", // Greek
+    "he" -> "\u0590-\u05FF", // Hebrew
+    "hi" -> "\u0900-\u097F", // Devanagari
+    "hy" -> "\u0530-\u058F", // Armenian
+    "ja" -> "\u3040-\u30FF", // Hiragana + Katakana
+    "ka" -> "\u10A0-\u10FF", // Georgian
+    "ko" -> "\uAC00-\uD7A3", // Hangul syllables
+    "ru" -> "\u0400-\u04FF", // Cyrillic
+    "th" -> "\u0E00-\u0E7F", // Thai
+    "zh" -> "\u4E00-\u9FFF") // CJK Unified Ideographs
+
+  /** Stopword evidence for the 20 Latin-script languages of
+    * [[langIdWide]]. ASCII-only function words by construction: the
+    * shared tokenizer lowercases and splits on [^a-z0-9]+, so accented
+    * forms fragment before matching — each list picks that language's
+    * most frequent DIACRITIC-FREE function words. Close pairs are
+    * deliberately separable: da/no share 8 of 10 words but split on
+    * af/ikke-vs-av (the real orthographic distinguisher); es/pt split
+    * on el/la-vs-o/um.
+    */
+  val WideStopwordLists: Seq[(String, Seq[String])] = Seq(
+    "ca" -> Seq("el", "la", "de", "que", "els", "per", "amb", "una", "als", "dels"),
+    "cs" -> Seq("je", "se", "na", "to", "ale", "jako", "pro", "tak", "co", "nebo"),
+    "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "af", "ikke"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fi" -> Seq("ja", "on", "ei", "se", "oli", "mutta", "kun", "niin", "joka", "jos"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
+    "hr" -> Seq("je", "se", "na", "da", "su", "od", "za", "ali", "kao", "ili"),
+    "hu" -> Seq("az", "nem", "hogy", "egy", "van", "de", "ha", "meg", "mint", "csak"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "le", "si", "una"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "op", "voor", "met"),
+    "no" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "av", "ikke"),
+    "pl" -> Seq("nie", "to", "jest", "na", "do", "z", "co", "tak", "ale", "jak"),
+    "pt" -> Seq("de", "que", "o", "da", "em", "um", "para", "com", "os", "uma"),
+    "ro" -> Seq("de", "la", "cu", "un", "o", "este", "pentru", "care", "dar", "mai"),
+    "sk" -> Seq("je", "sa", "na", "to", "som", "ako", "ale", "pre", "tak", "alebo"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "av", "den", "med", "har", "till"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "gibi", "ama", "daha", "sonra", "kadar"))
+
+  /** Argmax over (lang, evidence) pairs with ties to the lowest
+    * language code — the shared CASE-chain shape (codegen'd; a
+    * comparator lambda would exclude the projection from whole-stage
+    * codegen).
+    */
+  private def argmaxLang(pairs: Seq[(String, Column)], m: Column): Column = {
+    val byLang = pairs.sortBy(_._1)
+    byLang.init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (lang, h)) => acc.when(h === m, lit(lang))
+    }.otherwise(lit(byLang.last._1))
+  }
+
+  /** Wide language ID: 32 languages + "und", with a confidence column
+    * — the breadth a real multilingual-crawl router needs (the 4-way
+    * [[langId]] stays as the minimal reference form). Two tiers, both
+    * pure codegen'd expressions:
+    *
+    *  1. SCRIPT tier: per-script codepoint counts over
+    *     [[ScriptRanges]]. If the dominant script covers ≥ 30% of the
+    *     non-whitespace characters (integer comparison — engine-exact
+    *     at the boundary), the text routes to that script's language
+    *     with confidence = round(scriptChars / nonWsChars, 4).
+    *  2. STOPWORD tier (Latin residue): argmax of
+    *     [[WideStopwordLists]] hits, ties to the lowest language
+    *     code, confidence = round(maxHits / tokenCount, 4); zero hits
+    *     → ("und", 0.0).
+    *
+    * Returns struct(lang, confidence). Scale shape: one projection —
+    * 12 bounded char-class scans + one tokenize + 20 array_intersects
+    * per row, no shuffle, no state; fuses into the scan at 100 TB.
+    */
+  def langIdWide(text: Column): Column =
+    langIdWideFromTokens(text, tokens(coalesce(text, lit(""))))
+
+  /** [[langIdWide]] over a pre-materialized token array (see
+    * [[langIdFromTokens]] for why).
+    */
+  def langIdWideFromTokens(text: Column, toks: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val nonWs = length(regexp_replace(t, "\\s", ""))
+    val scriptHits = ScriptRanges.map { case (lang, cls) =>
+      lang -> length(regexp_replace(t, s"[^$cls]", ""))
+    }
+    val sMax = greatest(scriptHits.map(_._2): _*)
+    val useScript = sMax > 0 && sMax * 10 >= nonWs * 3
+    val stopHits = WideStopwordLists.map { case (lang, words) =>
+      lang -> hitCount(toks, words)
+    }
+    val hMax = greatest(stopHits.map(_._2): _*)
+    val nToks = size(toks)
+    val lang = when(useScript, argmaxLang(scriptHits, sMax))
+      .otherwise(when(hMax === 0, lit("und"))
+        .otherwise(argmaxLang(stopHits, hMax)))
+    val confidence = when(useScript,
+        round(sMax.cast(DoubleType) / nonWs, 4))
+      .otherwise(when(hMax === 0, lit(0.0))
+        .otherwise(round(hMax.cast(DoubleType) / greatest(nToks, lit(1)), 4)))
+    struct(lang.as("lang"), confidence.as("confidence"))
+  }
+
   /** Quality-score features: length, punctuation ratio, stopword ratio,
     * mean word length. Returns a struct; `qualityScore` collapses it to
     * one [0,1] number.

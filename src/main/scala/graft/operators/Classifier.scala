@@ -33,6 +33,30 @@ import org.apache.spark.sql.types._
   * plus a dim-sized collect. The model (dim+1 values) broadcasts as a
   * literal join table. iters × one-corpus-pass is the textbook
   * full-batch GD cost; dim bounds every model-side structure.
+  *
+  * ==The 100 TB training recipe: sample, then train==
+  *
+  * Full-batch GD is iters× full corpus passes BY DEFINITION — at
+  * 100 TB that is iters×100 TB of scan, which no reformulation of
+  * this operator removes. The production recipe is composition, not a
+  * new operator: train on a deterministic hash sample and score the
+  * full corpus with the resulting model —
+  *
+  * {{{
+  * val sample = docs.filter(Filters.hashSample(col("doc_id"), 0.01))
+  * val model  = Classifier.trainLrClassifier(sample, "doc_id", "text", "label")
+  * val scored = Classifier.scoreLr(docs, "doc_id", "text", model, dim)
+  * }}}
+  *
+  * [[graft.operators.Filters.hashSample]] is an md5-threshold
+  * projection — the sample PUSHES INTO the corpus scan (no shuffle,
+  * no materialization), is reproducible across engines and runs, and
+  * a quality classifier's signal saturates far below web-corpus size
+  * (every published pipeline — GPT-3's LR quality filter, Gopher's —
+  * trains on a small labeled set and applies corpus-wide). Scoring
+  * stays the one map-only pass it already is. ClassifierSpec locks
+  * the composition: sampled training = training on the equal
+  * pre-materialized subset, bit for bit.
   */
 object Classifier {
 

@@ -180,9 +180,46 @@ object Dedup {
       n: Int, maxDocFreq: Long): DataFrame =
     pairCountsFromPostings(postingsWithSize(df, idCol, textCol, n), maxDocFreq)
 
+  /** Estimated-size partition floor for the pair aggregation's input —
+    * the 100× SCALE.md lesson lifted into code: with partitions pinned
+    * at the session default (= cores in local mode), doubling the
+    * corpus doubles every task's posting volume and the per-task
+    * ObjectHashAggregate state leaves its comfortable regime (measured:
+    * 3.7× wall for 2× data at 32 partitions; 1.6× at 64). A real
+    * cluster keeps partitions-per-byte constant via per-stage sizing;
+    * this keeps the invariant when the session conf doesn't. Sizing
+    * reads the LEAF scan bytes of the plan (exact file sizes, free, no
+    * extra pass): posting volume tracks source text bytes (~one
+    * posting per token), while the plan's own top-level sizeInBytes is
+    * useless here — the narrow (id, n, hash) projection makes the
+    * width-ratio heuristic collapse the explode fan-out (measured:
+    * 1.5 GB of actual posting shuffle estimated under 10 MB, so the
+    * floor never engaged). Calibration: the 100× corpus is 119 MB of
+    * parquet and wants ≥ 60 partitions → ~2 MB of leaf bytes per
+    * partition. Never shrinks below the session setting (small inputs
+    * keep their exact plans), capped at 4096; AQE can merge small
+    * partitions but cannot split a user-pinned repartition, so
+    * over-partitioning is the safe direction — the extra tasks on an
+    * already-pruned input (e.g. the bloom-pruned ingest arrival) cost
+    * dispatch only.
+    */
+  private val PairAggLeafBytesPerPartition = 2L * 1024 * 1024
+
+  private def scaledOnShingle(p: DataFrame): DataFrame = {
+    val default = p.sparkSession.sessionState.conf.numShufflePartitions
+    val leafBytes = p.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val need =
+      if (leafBytes.isValidLong)
+        math.min(math.ceil(
+          leafBytes.toLong.toDouble / PairAggLeafBytesPerPartition), 4096.0).toInt
+      else default
+    if (need > default) p.repartition(need, col("_s")) else p
+  }
+
   private def pairCountsFromPostings(p: DataFrame,
       maxDocFreq: Long): DataFrame =
-    p.groupBy("_s")
+    scaledOnShingle(p).groupBy("_s")
       .agg(call_function(graft.expr.PostingPairsAgg.FunctionName,
         col("_id"), col("_n"), lit(maxDocFreq)).as("_ps"))
       .filter(col("_ps").isNotNull)
@@ -256,8 +293,8 @@ object Dedup {
         // side B's sizes ride negated: one (id, n) pair-expansion
         // kernel serves both the self-join and the cross-corpus case,
         // and the sign filter keeps only cross-side pairs
-        val tagged = pa.unionAll(
-          pb.select(col("_id"), negate(col("_n")).as("_n"), col("_s")))
+        val tagged = scaledOnShingle(pa.unionAll(
+          pb.select(col("_id"), negate(col("_n")).as("_n"), col("_s"))))
         tagged.groupBy("_s")
           .agg(call_function(graft.expr.PostingPairsAgg.FunctionName,
             col("_id"), col("_n"), lit(maxDocFreq)).as("_ps"))

@@ -208,23 +208,61 @@ object StreamingIngest {
       postingsTable: String, checkpoint: String, idCol: String,
       textCol: String, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Long = 0L, buckets: Int = 32,
-      trigger: Trigger = Trigger.ProcessingTime("15 minutes")): DataStreamWriter[Row] =
+      trigger: Trigger = Trigger.ProcessingTime("15 minutes"),
+      useBloom: Boolean = true,
+      bloomCapacity: Long = 8L << 20): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         dedupIngestBatch(batch, docsPath, postingsTable, idCol, textCol,
-          n, threshold, maxDocFreq, buckets)
+          n, threshold, maxDocFreq, buckets, useBloom, bloomCapacity)
       }
 
   /** One [[dedupIngestSink]] micro-batch — public so retry behavior is
     * directly testable.
+    *
+    * Bloom pre-probe (`useBloom`, default on — SCALE.md's mitigation
+    * 3, now in code): a sidecar Bloom filter over every shingle hash
+    * in the posting index lives next to the docs table
+    * (`<docsPath>_bloom`). Two prunes, both EXACT-output:
+    *
+    *  1. Batch-doc prune. For a batch doc with `n_a` distinct
+    *     shingles, jaccard vs ANY corpus doc is ≤ common/n_a ≤
+    *     bloomHits/n_a (Bloom filters have no false negatives, so
+    *     every truly-shared shingle hits). A doc with
+    *     `hits/n_a < threshold` cannot clear the threshold against
+    *     any corpus doc and skips the cross-corpus check entirely —
+    *     in a fresh-content stream that is MOST of the batch. False
+    *     positives only keep extra docs; the exact join still decides.
+    *  2. Index-row prune (capped path). The kept batch shingles
+    *     compile into a small second Bloom, probed INSIDE the index
+    *     scan: a posting row whose shingle no batch doc carries can
+    *     only form same-side pairs, which the kernel's sign filter
+    *     drops anyway — so those rows skip the pair aggregation
+    *     without changing any emitted pair, and the arrival's
+    *     dominant term (the full-index pass through the pair kernel)
+    *     shrinks to ~the intersection. The uncapped path needs no
+    *     second filter: its equi-join IS that prune.
+    *
+    * Sidecar lifecycle: created from the FULL posting table the first
+    * time a bloom-enabled batch finds the table without a sidecar
+    * (one-time backfill — a partial bloom would have false negatives,
+    * i.e. MISSED duplicates), then updated per batch by inserting the
+    * survivor shingles on the driver (a trigger-bounded putLong loop)
+    * BEFORE any append (a crash between bloom write and append leaves
+    * stale-extra keys — safe; the reverse order could leave missing
+    * keys — not safe), written via tmp+rename. `bloomCapacity` sizes
+    * the filter at creation; past it the false-positive rate degrades
+    * GRACEFULLY: pruning weakens, results stay exact.
     */
   def dedupIngestBatch(batch: DataFrame, docsPath: String,
       postingsTable: String, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDocFreq: Long, buckets: Int): Unit = {
+      threshold: Double, maxDocFreq: Long, buckets: Int,
+      useBloom: Boolean = true, bloomCapacity: Long = 8L << 20): Unit = {
     import graft.operators.Dedup
+    import graft.expr.BloomMightContain
     val spark = batch.sparkSession
     require({
       import org.apache.spark.sql.types._
@@ -234,24 +272,83 @@ object StreamingIngest {
       }
     }, s"dedupIngest: '$idCol' must be an integral id column — the posting " +
       "kernel buffers 64-bit ids; map string keys through xxhash64 upstream")
+    val indexExists = spark.catalog.tableExists(postingsTable)
+    val bloomPath = docsPath + "_bloom"
     // three consumers (cross-corpus join, within-batch pairs, survivor
     // postings) share one shingle+hash pass; released before return
     val bp = Dedup.postingsWithSize(batch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // broadcast handles created this batch; released in the finally
+    val bcs = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[_]]
     try {
+      val corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+        if (!useBloom) None
+        else readBloomSidecar(spark, bloomPath).orElse {
+          if (indexExists)
+            // one-time backfill: a sidecar covering only FUTURE batches
+            // would have false negatives (missed dups) for the corpus
+            // already indexed — build it from the whole posting table
+            Some(buildBloom(spark.table(postingsTable), "_s",
+              bloomCapacity, 0.01))
+          else None
+        }
+      // The multi-MB filter travels as a BROADCAST probed through a
+      // udf, NEVER as a plan Literal: a Literal's bytes ride inside
+      // the expression tree, and Catalyst hashes/compares that tree
+      // per rule pass while every stage's task binary re-ships it —
+      // measured: the literal form tripled the arrival wall in pure
+      // driver time. The udf costs one box per probe, which the
+      // trigger-bounded batch side and the single index pass absorb.
+      val bcCorpus = corpusBloom.map { bf =>
+        val bc = spark.sparkContext.broadcast(bf)
+        bcs += bc; bc
+      }
+      // prune 1: docs whose bloom-hit ratio can't clear the threshold
+      val probeDocs = bcCorpus match {
+        case Some(bc) if indexExists =>
+          val hit = udf((s: Long) => bc.value.mightContainLong(s))
+          val kept = bp.groupBy(col("_id"))
+            .agg(min(col("_n")).as("_na"),
+              sum(when(hit(col("_s")), 1L).otherwise(0L)).as("_hits"))
+            .filter(col("_hits").cast("double") >= lit(threshold) * col("_na"))
+            .select(col("_id"))
+          // kept is trigger-bounded (≤ batch docs) — broadcast semi
+          bp.join(broadcast(kept), Seq("_id"), "left_semi")
+        case _ => bp
+      }
       // UNCAPPED path only: the equi-join exists there, and pinning
       // the (trigger-bounded) batch as the shuffled-hash build side
       // lets the index stream through the probe with no sort —
       // appends leave multiple files per bucket, so a sort-merge join
       // would re-sort the index every trigger to recover per-file
       // ordering. The capped path has no join (tagged-union kernel).
-      val probe = if (maxDocFreq <= 0) bp.hint("shuffle_hash") else bp
+      val probe = if (maxDocFreq <= 0) probeDocs.hint("shuffle_hash") else probeDocs
       val dupVsCorpus =
-        if (spark.catalog.tableExists(postingsTable))
-          Dedup.crossJaccardFromPostings(probe, spark.table(postingsTable),
+        if (indexExists) {
+          val index = spark.table(postingsTable)
+          // prune 2 (capped path): index rows whose shingle no kept
+          // batch doc carries feed only same-side pairs — filter them
+          // out inside the scan via a batch-shingle bloom (FPs let
+          // harmless extra rows through). The kept shingle set is
+          // trigger-bounded, so it collects (the same contract as the
+          // dup-set pin below) and the filter sizes EXACTLY to it
+          val indexSide =
+            if (maxDocFreq > 0 && useBloom && corpusBloom.isDefined) {
+              val ss = probeDocs.select(col("_s")).distinct()
+                .collect().map(_.getLong(0))
+              val bb = org.apache.spark.util.sketch.BloomFilter
+                .create(math.max(ss.length.toLong, 1L), 0.02)
+              ss.foreach(bb.putLong)
+              val bcBatch = spark.sparkContext.broadcast(bb)
+              bcs += bcBatch
+              val hit = udf((s: Long) => bcBatch.value.mightContainLong(s))
+              index.filter(hit(col("_s")))
+            } else index
+          Dedup.crossJaccardFromPostings(probe, indexSide,
               threshold, maxDocFreq)
             .select(col("id_a").as("_dup"))
-        else batch.select(col(idCol).as("_dup")).limit(0) // typed like idCol
+        } else batch.select(col(idCol).as("_dup")).limit(0) // typed like idCol
       val dupInBatch = Dedup.jaccardFromPostings(bp, threshold, maxDocFreq)
         .select(col("id2").as("_dup")) // pairs are ordered: keep id1
       // the dup ID SET is trigger-bounded — pin it so the survivor
@@ -263,9 +360,29 @@ object StreamingIngest {
       try {
         val survivors = batch.join(dups, batch(idCol) === col("_dup"),
           "left_anti")
-        survivors.write.mode("append").parquet(docsPath)
         val sp = bp.join(survivors.select(col(idCol).as("_sid")),
           col("_id") === col("_sid"), "left_semi")
+        if (useBloom) {
+          // update the sidecar BEFORE the appends: stale-extra keys
+          // (crash after this, before append) are safe, missing keys
+          // would be missed duplicates. The batch's distinct survivor
+          // shingles collect (trigger-bounded, same contract as the
+          // dup-set pin) and putLong into the existing filter — a
+          // driver loop of ≤ batch-postings inserts, instead of a
+          // distributed filter rebuild whose per-task bitmaps and
+          // final merge cost seconds per trigger. No sizing
+          // compatibility to manage: the filter is created once
+          // (first batch or backfill) and only ever inserted into;
+          // past `bloomCapacity` keys its false-positive rate
+          // degrades gracefully (weaker pruning, never wrong output).
+          val newKeys = sp.select(col("_s")).distinct()
+            .collect().map(_.getLong(0))
+          val merged = corpusBloom.getOrElse(
+            org.apache.spark.util.sketch.BloomFilter.create(bloomCapacity, 0.01))
+          newKeys.foreach(merged.putLong)
+          writeBloomSidecar(spark, bloomPath, merged)
+        }
+        survivors.write.mode("append").parquet(docsPath)
         sp.write.mode("append").format("parquet")
           .bucketBy(buckets, "_s").sortBy("_s")
           .saveAsTable(postingsTable)
@@ -275,8 +392,59 @@ object StreamingIngest {
       }
     } finally {
       bp.unpersist(blocking = false)
+      // the handles are job-scoped; unpersist lets the ContextCleaner
+      // reclaim executor copies between triggers
+      bcs.foreach(_.unpersist(false))
       ()
     }
+  }
+
+  /** `df.stat.bloomFilter` that survives an empty frame (Spark's
+    * version NPEs there: its aggregate yields null for zero rows).
+    * One sentinel key is unioned in so the aggregate ALWAYS runs —
+    * that keeps every filter on the exact same sizing code path
+    * (stat.bloomFilter clamps bit size via an internal conf, so
+    * mixing it with a hand-built `BloomFilter.create` produces
+    * merge-incompatible filters; measured: an empty replay batch
+    * built an unclamped filter the sidecar couldn't merge). The
+    * sentinel's only cost is one spurious might-contain key — a
+    * false positive, which every prune here tolerates by design.
+    */
+  private def buildBloom(df: DataFrame, colName: String, expected: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val rows = df.select(col(colName).cast("long").as("_k")).na.drop()
+      .unionAll(df.sparkSession.range(1).select(lit(Long.MinValue).as("_k")))
+    rows.stat.bloomFilter("_k", expected, fpp)
+  }
+
+  /** Read the corpus-shingle Bloom sidecar, if present. */
+  private[graft] def readBloomSidecar(spark: SparkSession,
+      path: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** Write the Bloom sidecar via tmp+rename (same crash discipline as
+    * [[swapTable]]: readers see the old filter or the new one, never a
+    * torn write).
+    */
+  private[graft] def writeBloomSidecar(spark: SparkSession, path: String,
+      bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._tmp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not move $tmp to $p")
+    ()
   }
 
   /** Streaming ingest with SEMANTIC dedup-on-arrival: each micro-batch

@@ -89,4 +89,34 @@ class ClassifierSpec extends SparkSpec {
       dim = dim, iters = 3).as[(Long, Double)].collect().toSeq.sorted
     assert(run() == run())
   }
+
+  test("the 100 TB recipe: sampled training equals training on the subset") {
+    // the composition the Classifier scaladoc documents — train on a
+    // hashSample'd slice (a pure scan-side filter), score everything.
+    // Identity to lock: hashSample-filtered training ≡ training on the
+    // equal pre-materialized subset, bit for bit (the filter pushes
+    // into the scan and changes nothing about the arithmetic).
+    val wide = (1L to 60L).map { i =>
+      val label = i % 2
+      val word = if (label == 1) "spam offer" else "calm prose"
+      (i, s"$word document number $i", label)
+    }.toDF("doc_id", "text", "label")
+    val frac = 0.4
+    val sampled = wide.filter(
+      graft.operators.Filters.hashSample($"doc_id", frac, salt = "lr"))
+    val subset = sampled.as[(Long, String, Long)].collect().toSeq
+      .toDF("doc_id", "text", "label")
+    assert(subset.count() > 5 && subset.count() < 60,
+      "the sample must be a proper subset for the test to mean anything")
+    def weights(d: org.apache.spark.sql.DataFrame) =
+      Classifier.trainLrClassifier(d, "doc_id", "text", "label",
+        dim = dim, iters = 3).as[(Long, Double)].collect().toSeq.sorted
+    assert(weights(sampled) == weights(subset))
+    // and the sampled model scores the FULL corpus — one map-only pass
+    val scored = Classifier.scoreLr(wide,
+      "doc_id", "text",
+      Classifier.trainLrClassifier(sampled, "doc_id", "text", "label",
+        dim = dim, iters = 3), dim)
+    assert(scored.count() == 60)
+  }
 }

@@ -620,6 +620,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dupPairs.contains((0L, 9L)))
   }
 
+  test("langIdWide: script tier, close-language pairs, confidence") {
+    val df = Seq(
+      // close Latin pairs — the lists are built to separate them
+      (1L, "el perro corre por la calle con los amigos para que es"), // es
+      (2L, "o cachorro corre na rua com os amigos para que um dia"), // pt
+      (3L, "og det er en hund som ikke er med af dem at se"), // da (af)
+      (4L, "og det er en hund som ikke er med av dem at se"), // no (av)
+      // script tier
+      (5L, "привет как дела сегодня"), // ru (Cyrillic)
+      (6L, "これはテストです"), // ja (kana)
+      (7L, "这是一个测试文本"), // zh (Han, no kana)
+      (8L, "안녕하세요 테스트입니다"), // ko (Hangul)
+      (9L, "مرحبا كيف حالك اليوم"), // ar
+      (10L, "Γεια σου κόσμε σήμερα"), // el
+      // a couple of foreign chars must NOT flip a Latin doc (30% rule)
+      (11L, "the cat and the dog is in the house да"), // en
+      (12L, "xyzzy qwerty"), // no evidence at all
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdWide($"text")
+    val got = df.select($"doc_id", pred.getField("lang"),
+        pred.getField("confidence"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    val expLang = Map(1L -> "es", 2L -> "pt", 3L -> "da", 4L -> "no",
+      5L -> "ru", 6L -> "ja", 7L -> "zh", 8L -> "ko", 9L -> "ar",
+      10L -> "el", 11L -> "en", 12L -> "und", 13L -> "und")
+    expLang.foreach { case (id, l) =>
+      assert(got(id)._1 == l, s"doc $id: got ${got(id)} want $l")
+    }
+    // confidence contracts: script tier = script-char share of non-ws
+    // chars; stopword tier = hit share of tokens; no evidence = 0.0
+    assert(got(6L)._2 == 1.0 && got(7L)._2 == 1.0) // pure-script docs
+    assert(got(12L)._2 == 0.0 && got(13L)._2 == 0.0)
+    assert(got(1L)._2 > 0.4 && got(1L)._2 < 1.0)
+    // the 4-way langId is unchanged (reference form)
+    val narrow = df.filter($"doc_id" === 1L)
+      .select(TextAnalysis.langId($"text")).collect()(0).getString(0)
+    assert(narrow == "es")
+  }
+
   test("text analysis: langId, token stats, fingerprint determinism") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),

@@ -133,6 +133,13 @@ class StreamingSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-dedup").toString
     val table = "graft_test_ingest_postings"
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // an earlier aborted run can leave the warehouse location orphaned
+    // (dir without catalog entry), which blocks saveAsTable
+    locally {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = new java.io.File(wh, table)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete(); () }
+    }
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF.toDF("doc_id", "text")
     def run(data: (Long, String)*): Unit = {
@@ -201,6 +208,94 @@ class StreamingSpec extends SparkSpec {
         n = 2, threshold = 0.6, maxDocFreq = 0L, buckets = 4)
     }
     assert(e.getMessage.contains("integral id column"), e.getMessage)
+  }
+
+  test("dedup-on-ingest bloom pre-probe: exact-path equality + sidecar lifecycle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-bloom").toString
+    // drop table AND its warehouse dir — an earlier aborted run can
+    // leave the location orphaned, which blocks saveAsTable
+    def dropTable(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = new java.io.File(wh, table)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+      ()
+    }
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "one two three four five")),
+      Seq((3L, "alpha beta gamma delta epsilon"), // dup of 1
+        (4L, "totally different content here now"),
+        (5L, "one two three four six")), // near-dup of 2
+      Seq((6L, "fresh words entirely novel stuff"),
+        (7L, "alpha beta gamma delta zeta"))) // near-dup of 1
+    def ingestAll(tag: String, bloom: Boolean, cap: Long): (Set[Long], Set[(Long, Int, Long)]) = {
+      val table = s"graft_test_bloom_$tag"
+      dropTable(table)
+      batches.foreach { b =>
+        StreamingIngest.dedupIngestBatch(b.toDF("doc_id", "text"),
+          s"$tmp/docs_$tag", table, "doc_id", "text", n = 2,
+          threshold = 0.6, maxDocFreq = cap, buckets = 8,
+          useBloom = bloom, bloomCapacity = 1L << 16)
+      }
+      val ids = spark.read.parquet(s"$tmp/docs_$tag")
+        .select("doc_id").as[Long].collect().toSet
+      val postings = spark.table(table)
+        .as[(Long, Int, Long)].collect().toSet
+      dropTable(table)
+      (ids, postings)
+    }
+    // equality on BOTH kernel paths: uncapped (equi-join + doc prune)
+    // and capped (tagged-union kernel + index-row prune)
+    for ((cap, tag) <- Seq((0L, "uncapped"), (100L, "capped"))) {
+      val (exactIds, exactPost) = ingestAll(s"${tag}_exact", bloom = false, cap)
+      val (bloomIds, bloomPost) = ingestAll(s"${tag}_bloom", bloom = true, cap)
+      assert(exactIds == Set(1L, 2L, 4L, 6L), s"$tag: $exactIds")
+      assert(bloomIds == exactIds, s"$tag bloom diverged")
+      assert(bloomPost == exactPost, s"$tag postings diverged")
+      // sidecar exists only for the bloom run
+      assert(new java.io.File(s"$tmp/docs_${tag}_bloom_bloom").exists())
+      assert(!new java.io.File(s"$tmp/docs_${tag}_exact_bloom").exists())
+    }
+    // bootstrap backfill: a table built WITHOUT bloom gains a sidecar
+    // on the first bloom-enabled batch, built from the full index —
+    // so a duplicate of the PRE-bloom corpus still drops
+    val table = "graft_test_bloom_boot"
+    dropTable(table)
+    StreamingIngest.dedupIngestBatch(batches.head.toDF("doc_id", "text"),
+      s"$tmp/docs_boot", table, "doc_id", "text", n = 2, threshold = 0.6,
+      maxDocFreq = 100L, buckets = 8, useBloom = false)
+    assert(!new java.io.File(s"$tmp/docs_boot_bloom").exists())
+    StreamingIngest.dedupIngestBatch(
+      Seq((8L, "alpha beta gamma delta epsilon"), // dup of pre-bloom doc 1
+        (9L, "never seen text at all")).toDF("doc_id", "text"),
+      s"$tmp/docs_boot", table, "doc_id", "text", n = 2, threshold = 0.6,
+      maxDocFreq = 100L, buckets = 8, useBloom = true, bloomCapacity = 1L << 16)
+    assert(new java.io.File(s"$tmp/docs_boot_bloom").exists())
+    def bootIds() = spark.read.parquet(s"$tmp/docs_boot")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bootIds() == Set(1L, 2L, 9L))
+    // replay with bloom on: self-filters, sidecar re-merge idempotent
+    StreamingIngest.dedupIngestBatch(
+      Seq((8L, "alpha beta gamma delta epsilon"),
+        (9L, "never seen text at all")).toDF("doc_id", "text"),
+      s"$tmp/docs_boot", table, "doc_id", "text", n = 2, threshold = 0.6,
+      maxDocFreq = 100L, buckets = 8, useBloom = true, bloomCapacity = 1L << 16)
+    assert(bootIds() == Set(1L, 2L, 9L))
+    // a capacity change mid-stream is harmless: the sidecar keeps its
+    // creation-time sizing and new keys just insert into it — a dup of
+    // the earlier corpus still drops, fresh text still lands
+    StreamingIngest.dedupIngestBatch(
+      Seq((10L, "one two three four five"), // dup of doc 2
+        (11L, "late but fresh content here")).toDF("doc_id", "text"),
+      s"$tmp/docs_boot", table, "doc_id", "text", n = 2, threshold = 0.6,
+      maxDocFreq = 100L, buckets = 8, useBloom = true,
+      bloomCapacity = 1L << 18)
+    assert(bootIds() == Set(1L, 2L, 9L, 11L))
+    dropTable(table)
   }
 
   test("semantic dedup-on-ingest: arrivals check against accumulated IVF cells") {
