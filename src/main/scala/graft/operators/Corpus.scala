@@ -402,8 +402,16 @@ object Corpus {
       posexplode(toks).as(Seq("_pos", "_t")))
     val w = Window.partitionBy("_id").orderBy(col("_pos"))
       .rangeBetween(-(k - 1).toLong, 0L)
-    val covered = tks
+    // partitions-per-byte floor on the token-scale window/rebuild
+    // stage (the q146 shuffle-partition-count sensitivity the 100×
+    // sweep documented): the per-doc RANGE window and the rebuild
+    // groupBy both cluster by _id, so ONE widened exchange here (the
+    // window needed an exchange anyway) serves both — per-task token
+    // volume stays constant as the corpus grows
+    val coveredBase = tks
       .join(dupStarts.withColumnRenamed("_gpos", "_pos"), Seq("_id", "_pos"), "left_outer")
+    val covered = Scale.partitionsForLeafBytes(df, 2L * 1024 * 1024)
+      .map(n => coveredBase.repartition(n, col("_id"))).getOrElse(coveredBase)
       .withColumn("_cov", max(coalesce(col("_ds"), lit(0))).over(w))
     val rebuilt = covered.groupBy("_id").agg(
       count(lit(1)).as("n_tokens"),

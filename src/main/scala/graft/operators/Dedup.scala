@@ -205,17 +205,9 @@ object Dedup {
     */
   private val PairAggLeafBytesPerPartition = 2L * 1024 * 1024
 
-  private def scaledOnShingle(p: DataFrame): DataFrame = {
-    val default = p.sparkSession.sessionState.conf.numShufflePartitions
-    val leafBytes = p.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
-    val need =
-      if (leafBytes.isValidLong)
-        math.min(math.ceil(
-          leafBytes.toLong.toDouble / PairAggLeafBytesPerPartition), 4096.0).toInt
-      else default
-    if (need > default) p.repartition(need, col("_s")) else p
-  }
+  private def scaledOnShingle(p: DataFrame): DataFrame =
+    Scale.partitionsForLeafBytes(p, PairAggLeafBytesPerPartition)
+      .map(n => p.repartition(n, col("_s"))).getOrElse(p)
 
   private def pairCountsFromPostings(p: DataFrame,
       maxDocFreq: Long): DataFrame =

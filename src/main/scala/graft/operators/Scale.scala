@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Partitions-per-byte floor for wide per-row-fan-out aggregations
+    * (the 100× SCALE.md lesson as a shared primitive): the partition
+    * count a shuffle over token/gram/posting-scale data needs so
+    * per-task state stays in the comfortable regime as the corpus
+    * grows — ⌈leaf-scan-bytes / bytesPerPartition⌉, floor = the
+    * session's shuffle-partition setting, cap 4096. Reads LEAF scan
+    * bytes (exact file sizes, free): fan-out volume tracks source text
+    * bytes, while the plan's own sizeInBytes estimate collapses the
+    * explode under the width-ratio heuristic (measured: 1.5 GB of
+    * posting shuffle estimated under 10 MB). Returns None when the
+    * default suffices — small inputs keep their exact plans. AQE can
+    * merge small partitions but cannot split a pinned repartition, so
+    * over-partitioning is the safe direction.
+    */
+  def partitionsForLeafBytes(df: DataFrame,
+      bytesPerPartition: Long): Option[Int] = {
+    val default = df.sparkSession.sessionState.conf.numShufflePartitions
+    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val need =
+      if (leafBytes.isValidLong)
+        math.min(math.ceil(
+          leafBytes.toLong.toDouble / bytesPerPartition), 4096.0).toInt
+      else default
+    if (need > default) Some(need) else None
+  }
+
   /** Salted equi-join for skewed keys: the build side is replicated
     * `saltFactor` ways, the probe side gets a random-but-deterministic
     * salt from a hash of a tie-break column, so one hot key spreads
