@@ -42,6 +42,7 @@ object Bench {
     "q124_semantic_dedup", // embedding-dedup flagship (SemDeDup verdicts)
     "q127_image_meta", // multimodal flagship (REAL container-header decode)
     "q150_pixel_stats", // pixel flagship (REAL inflate+unfilter decode)
+    "q153_image_neardup", // perceptual thumbnail-dedup flagship
   )
   private def headline(all: Seq[String]): Seq[String] = {
     // toIntOption: a registered name not shaped q<digits>... must be

@@ -83,6 +83,7 @@ object Graft {
     graft.expr.NfcNormalize.register(spark)
     graft.expr.ImageMeta.register(spark)
     graft.expr.PixelStats.register(spark)
+    graft.expr.PixelGridSig.register(spark)
     graft.expr.AudioMeta.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)

@@ -62,6 +62,66 @@ object SparkEntry {
   private def tp(s: SparkSession, dir: String, n: String): DataFrame =
     Graft.tableParallel(s, dir, n)
 
+  /** Shared q152/q153 media construction: each doc PAIR (group
+    * g = doc_id/2) yields two binary-PPM images from one pixel
+    * formula V(k) = (g·37 + y·31 + j·13) mod 251; the odd-id variant
+    * adds +4 to every 23rd channel byte — a small L1 edit whose block
+    * means mostly survive integer flooring, i.e. a planted perceptual
+    * near-dup. Groups with g ≡ 3 (mod 7) become text bytes (the
+    * undecodable-triage rows). Deterministic arithmetic end-to-end so
+    * both DuckDB oracles replay it.
+    */
+  private def ppmContent(id: Column, text: Column): Column = {
+    val g = shiftright(id, 1)
+    val v = pmod(id, lit(2L))
+    val wC = (g % 8 + 9).cast(IntegerType)
+    val hC = (g % 6 + 7).cast(IntegerType)
+    val stride = wC * 3
+    val n = stride * hC
+    val bytesHex = array_join(transform(sequence(lit(0), n - 1), k => {
+      val y = (k / stride).cast(IntegerType)
+      val j = pmod(k, stride)
+      val base = pmod(g * 37 + y * 31 + j * 13, lit(251L))
+      lpad(hex(base +
+        when(v === 1 && pmod(k, lit(23)) === 0, lit(4L)).otherwise(lit(0L))),
+        2, "0")
+    }), "")
+    val header = encode(concat(lit("P6\n"), wC.cast(StringType), lit(" "),
+      hC.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
+    when(pmod(g, lit(7L)) === 3,
+        encode(concat(lit("txt:"), coalesce(text, lit(""))), "UTF-8")
+          .cast(BinaryType))
+      .otherwise(concat(header, unhex(bytesHex)))
+  }
+
+  /** The DuckDB replay of [[ppmContent]]'s decoded BLOCK MEANS (9×7
+    * grid) + aHash — the shared CTE prefix of the q152/q153 oracles.
+    */
+  private def gridSigOracleCtes: String =
+    """d AS (SELECT doc_id AS id, doc_id // 2 AS g, doc_id % 2 AS v
+            FROM documents),
+       dims AS (SELECT id, g, v,
+                  CAST(g % 8 + 9 AS INTEGER) AS w,
+                  CAST(g % 6 + 7 AS INTEGER) AS h
+                FROM d WHERE g % 7 <> 3),
+       px AS (SELECT id, w, h,
+                ((g*37 + (k // (w*3))*31 + (k % (w*3))*13) % 251)
+                  + CASE WHEN v = 1 AND k % 23 = 0 THEN 4 ELSE 0 END AS val,
+                (((k // (w*3)) * 7) // h) * 9
+                  + ((((k % (w*3)) // 3) * 9) // w) AS blk
+              FROM dims CROSS JOIN range(0, 576) r(k)
+              WHERE k < w*h*3),
+       bm AS (SELECT id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h, blk,
+                CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+              FROM px GROUP BY id, blk),
+       mn AS (SELECT id, SUM(m) // 63 AS mean FROM bm GROUP BY id),
+       sig AS (SELECT bm.id, ANY_VALUE(bm.w) AS w, ANY_VALUE(bm.h) AS h,
+                 string_agg(CAST(m AS VARCHAR), ',' ORDER BY blk) AS sig,
+                 CAST(SUM(CASE WHEN m > mean
+                   THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT)
+                   AS ahash
+               FROM bm JOIN mn ON bm.id = mn.id GROUP BY bm.id)"""
+
   private def ts(s: String): java.sql.Timestamp = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     java.sql.Timestamp.valueOf(s)
@@ -2058,6 +2118,39 @@ object SparkEntry {
           col("channels"), col("n_pixels"), col("sum"), col("sumsq"),
           col("pmin"), col("pmax"), col("constant"), col("mean"),
           col("variance"))
+    }),
+
+    // perceptual grid signature over REAL decoded pixels: every doc
+    // pair (group g = doc_id/2) becomes two PPM images from one pixel
+    // formula, the variant copy perturbed by +4 on every 23rd channel
+    // byte — a small L1 edit that leaves the aHash mostly intact.
+    // graft_pixel_grid_sig decodes and aggregates the 9×7 block means
+    // + 63-bit aHash; the oracle replays the construction arithmetic
+    // per block, so a signature not derived from the actual decoded
+    // pixels hash-mismatches
+    "q152_pixel_grid_sig" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          ppmContent(col("doc_id"), col("text")).as("content"))
+      Multimodal.imageSignatures(media, gx = 9, gy = 7)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sig"), col("ahash"))
+    }),
+
+    // thumbnail near-dup pairs over the same constructed corpus: band
+    // the 63-bit aHash 4×16 bits, candidates from band collisions
+    // (posting-list expansion, no self-join), verify by total L1 over
+    // the grid signatures — the planted variant pairs (2g, 2g+1) must
+    // surface; the oracle replays banding + verification relationally
+    "q153_image_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          ppmContent(col("doc_id"), col("text")).as("content"))
+      Multimodal.imageNearDup(media, gx = 9, gy = 7, maxL1 = 126L)
     }),
 
     // per-type winsorization into the [p05, p95] band: percentile
@@ -4342,6 +4435,29 @@ object SparkEntry {
                           * (CAST(st.s AS DOUBLE)/(d.w*d.h*d.ch)), 6)
               END AS variance
        FROM d LEFT JOIN st ON d.id = st.id""",
+
+    "q152_pixel_grid_sig" ->
+      s"""WITH $gridSigOracleCtes
+       SELECT d.id AS media_id,
+              CASE WHEN d.g % 7 <> 3 THEN 'ppm' END AS format,
+              s.w AS width, s.h AS height, s.sig, s.ahash
+       FROM d LEFT JOIN sig s ON d.id = s.id""",
+
+    "q153_image_neardup" ->
+      s"""WITH $gridSigOracleCtes,
+         bands AS (SELECT id, band,
+                     (ahash >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM sig CROSS JOIN range(0, 4) rb(band)),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         l1t AS (SELECT c.id1, c.id2,
+                   CAST(SUM(abs(b1.m - b2.m)) AS BIGINT) AS l1
+                 FROM cand c
+                 JOIN bm b1 ON b1.id = c.id1
+                 JOIN bm b2 ON b2.id = c.id2 AND b2.blk = b1.blk
+                 GROUP BY c.id1, c.id2)
+       SELECT id1, id2, l1 FROM l1t WHERE l1 <= 126""",
 
     "q105_winsorize" ->
       """WITH b AS (

@@ -128,10 +128,17 @@ object PixelStats {
       w.toLong * h, sum, sumsq, mn, mx, if (mn == mx) 1 else 0)
   }
 
-  /** bytes → pixel-stats InternalRow, or null if not decodable. Static
-    * so generated code calls it directly.
+  /** Fully decoded image: palette already mapped, BMP padding already
+    * stripped — `px` is `height` rows × `width`·`channels` bytes,
+    * row-major, channel-interleaved. The shared product of the three
+    * format decoders, consumed by [[PixelStats]] (global stats) and
+    * [[PixelGridSig]] (block signatures).
     */
-  def parse(b: Array[Byte]): InternalRow = {
+  private[expr] final case class Decoded(fmt: String, w: Int, h: Int,
+      ch: Int, px: Array[Byte])
+
+  /** bytes → decoded pixels, or null if not decodable. */
+  private[expr] def decode(b: Array[Byte]): Decoded = {
     if (b == null || b.length < 10) return null
     if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
         b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A)
@@ -141,9 +148,18 @@ object PixelStats {
     null
   }
 
+  /** bytes → pixel-stats InternalRow, or null if not decodable. Static
+    * so generated code calls it directly.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    val d = decode(b)
+    if (d == null) null
+    else stats(d.fmt, d.w, d.h, d.ch, d.px, d.px.length)
+  }
+
   // ------------------------------------------------------------------ PNG
 
-  private def png(b: Array[Byte]): InternalRow = {
+  private def png(b: Array[Byte]): Decoded = {
     // IHDR must be the first chunk (spec §5.6); 33 = sig + IHDR chunk
     if (b.length < 33) return null
     if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'))
@@ -233,29 +249,23 @@ object PixelStats {
       // index (or missing/ragged PLTE) is a malformed image → null
       if (plte == null || plte.length == 0 || plte.length % 3 != 0) return null
       val entries = plte.length / 3
-      var sum = 0L; var sumsq = 0L; var mn = 255; var mx = 0
+      val rgb = new Array[Byte](px.length * 3)
       var k = 0
       while (k < px.length) {
         val idx = px(k) & 0xFF
         if (idx >= entries) return null
-        var c = 0
-        while (c < 3) {
-          val v = plte(idx * 3 + c) & 0xFF
-          sum += v; sumsq += v.toLong * v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          c += 1
-        }
+        rgb(k * 3) = plte(idx * 3)
+        rgb(k * 3 + 1) = plte(idx * 3 + 1)
+        rgb(k * 3 + 2) = plte(idx * 3 + 2)
         k += 1
       }
-      InternalRow(UTF8String.fromString("png"), w, h, 3,
-        w.toLong * h, sum, sumsq, mn, mx, if (mn == mx) 1 else 0)
-    } else stats("png", w, h, ch, px, px.length)
+      Decoded("png", w, h, 3, rgb)
+    } else Decoded("png", w, h, ch, px)
   }
 
   // ------------------------------------------------------------------ PPM
 
-  private def ppm(b: Array[Byte]): InternalRow = {
+  private def ppm(b: Array[Byte]): Decoded = {
     // header: "P6" then 3 whitespace-separated tokens (w, h, maxval);
     // '#' starts a comment to end-of-line; ONE whitespace byte after
     // maxval, then raw RGB
@@ -290,23 +300,13 @@ object PixelStats {
     if (w <= 0 || h <= 0 || maxval != 255) return null
     val n = w.toLong * h * 3
     if (n > MaxRawBytes || i + n > b.length) return null
-    var sum = 0L; var sumsq = 0L; var mn = 255; var mx = 0
-    var k = i
-    val end = i + n.toInt
-    while (k < end) {
-      val v = b(k) & 0xFF
-      sum += v; sumsq += v.toLong * v
-      if (v < mn) mn = v
-      if (v > mx) mx = v
-      k += 1
-    }
-    InternalRow(UTF8String.fromString("ppm"), w, h, 3,
-      w.toLong * h, sum, sumsq, mn, mx, if (mn == mx) 1 else 0)
+    Decoded("ppm", w, h, 3,
+      java.util.Arrays.copyOfRange(b, i, i + n.toInt))
   }
 
   // ------------------------------------------------------------------ BMP
 
-  private def bmp(b: Array[Byte]): InternalRow = {
+  private def bmp(b: Array[Byte]): Decoded = {
     if (b.length < 54) return null
     val dataOff = le32(b, 10)
     val hdrSize = le32(b, 14)
@@ -322,22 +322,18 @@ object PixelStats {
     val need = dataOff.toLong + stride.toLong * h
     if (w.toLong * h * 3 > MaxRawBytes) return null
     if (dataOff < 54 || need > b.length) return null
-    var sum = 0L; var sumsq = 0L; var mn = 255; var mx = 0
+    // pack rows without padding; bottom-up order is irrelevant to the
+    // consumers (stats are order-free; the grid signature re-derives
+    // row index) — EXCEPT it is not: the grid signature needs rows in
+    // top-down order, so bottom-up files reverse here
+    val px = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
-      var k = dataOff + y * stride
-      val end = k + w * 3 // padding bytes excluded
-      while (k < end) {
-        val v = b(k) & 0xFF
-        sum += v; sumsq += v.toLong * v
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        k += 1
-      }
+      val srcRow = if (rawH > 0) h - 1 - y else y // stored order → top-down
+      System.arraycopy(b, dataOff + srcRow * stride, px, y * w * 3, w * 3)
       y += 1
     }
-    InternalRow(UTF8String.fromString("bmp"), w, h, 3,
-      w.toLong * h, sum, sumsq, mn, mx, if (mn == mx) 1 else 0)
+    Decoded("bmp", w, h, 3, px)
   }
 
   def register(spark: SparkSession): Unit =

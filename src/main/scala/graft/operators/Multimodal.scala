@@ -73,6 +73,84 @@ object Multimodal {
         round(col("_m.sumsq").cast(DoubleType) / n - mean * mean, 6).as("variance"))
   }
 
+  /** Perceptual grid signature per image: gx×gy integer block means
+    * over the REAL decoded pixels plus the aHash bit fingerprint (see
+    * [[graft.expr.PixelGridSig]]). `sig` is emitted as the canonical
+    * comma-joined string so downstream grouping/dedup keys on one
+    * scalar; `ahash` is the 63-bit fingerprint [[imageNearDup]] bands.
+    * Pure projection, blob projected away.
+    */
+  def imageSignatures(media: DataFrame, contentCol: String = "content",
+      gx: Int = 9, gy: Int = 7): DataFrame = {
+    val s = call_function(graft.expr.PixelGridSig.FunctionName,
+      col(contentCol), lit(gx), lit(gy))
+    media.select(col("media_id"), s.as("_g"))
+      .select(col("media_id"),
+        col("_g.format").as("format"),
+        col("_g.width").as("width"), col("_g.height").as("height"),
+        array_join(transform(col("_g.sig"), x => x.cast(StringType)), ",")
+          .as("sig"),
+        col("_g.ahash").as("ahash"))
+  }
+
+  /** Thumbnail / near-duplicate IMAGE pairs over real pixels — the
+    * content-level dedup a multimodal training pipeline runs after
+    * exact byte-dedup: two re-encodes, resizes or slightly-edited
+    * copies of one image land in the same pairs even when their bytes
+    * (and formats!) differ entirely. The standard aHash recipe made
+    * relational:
+    *
+    *  1. per-image gx×gy grid signature + 63-bit aHash (map-only
+    *     native decode, [[graft.expr.PixelGridSig]]);
+    *  2. SimHash-style banding: the hash splits into 4×16-bit bands;
+    *     images colliding in ANY band become candidates (pigeonhole:
+    *     ≤ 3 flipped bits guarantees a clean band) — same
+    *     posting-list expansion as the text LSH kernels, no
+    *     self-join;
+    *  3. exact verification: total L1 distance between the two grid
+    *     signatures ≤ `maxL1` (integer arithmetic end-to-end, so the
+    *     oracle replays every pair).
+    *
+    * Returns (id1, id2, l1) with id1 < id2. Scale shape: candidates
+    * are bounded by band-bucket sizes (near-identical images), the
+    * signature join is by id — nothing corpus-sized is replicated,
+    * and the blob never leaves the first projection.
+    */
+  def imageNearDup(media: DataFrame, contentCol: String = "content",
+      gx: Int = 9, gy: Int = 7, maxL1: Long = 126L): DataFrame = {
+    require(gx * gy <= 63, s"gx*gy must fit the 63-bit hash: $gx x $gy")
+    val g = call_function(graft.expr.PixelGridSig.FunctionName,
+      col(contentCol), lit(gx), lit(gy))
+    // three consumers (banding + both verify joins) — pin so the
+    // decode pass runs once, not per consumer
+    val sigs = graft.Caches.own(
+      media.select(col("media_id").as("_id"), g.as("_g"))
+        .filter(col("_g").isNotNull)
+        .select(col("_id"), col("_g.sig").as("_sig"), col("_g.ahash").as("_h")))
+    val banded = sigs.select(col("_id"), col("_h"),
+        explode(sequence(lit(0), lit(3))).as("_band"))
+      .select(col("_id"), col("_band"),
+        call_function("shiftright", col("_h"),
+          (col("_band") * 16).cast(IntegerType))
+          .bitwiseAND(lit(65535L)).as("_key"))
+    // ordered same-bucket pairs via the shared posting-list kernel
+    val cands = banded.groupBy(col("_band"), col("_key"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .distinct()
+    val l1 = aggregate(zip_with(col("_s1"), col("_s2"),
+        (a, b) => abs(a - b).cast("long")), lit(0L), (acc, x) => acc + x)
+    cands
+      .join(sigs.select(col("_id").as("id1"), col("_sig").as("_s1")), "id1")
+      .join(sigs.select(col("_id").as("id2"), col("_sig").as("_s2")), "id2")
+      .withColumn("l1", l1)
+      .filter(col("l1") <= maxL1)
+      .select("id1", "id2", "l1")
+  }
+
   /** [[imageMeta]]'s audio sibling: WAV/FLAC header metadata via the
     * native graft.expr.AudioMeta decode (format, channels, sample
     * rate, bit depth, frame count); undecodable rows keep NULL meta

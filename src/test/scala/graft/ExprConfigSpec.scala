@@ -262,6 +262,65 @@ class ExprConfigSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
   }
 
+  test("graft_pixel_grid_sig: cross-format perceptual dedup, aHash banding") {
+    // the SAME pixels encoded as PPM and as BMP must produce identical
+    // grid signatures — content-level identity across container
+    // formats, which byte-level dedup can never see
+    val rng = new scala.util.Random(41)
+    val w = 12; val h = 9
+    val px = Array.fill[Byte](w * h * 3)(rng.nextInt(256).toByte)
+    val ppm = (s"P6\n$w $h\n255\n").getBytes("ISO-8859-1") ++ px
+    // BMP stores bottom-up BGR; build rows so the DECODED (top-down)
+    // pixel grid matches the PPM byte-for-byte in per-pixel sums:
+    // grid sums are per-pixel over channels, so BGR vs RGB is
+    // indistinguishable — rows must still reverse
+    val stride = ((w * 3 + 3) / 4) * 4
+    val le32b = (v: Int) => Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val le16b = (v: Int) => Array[Byte](v.toByte, (v >> 8).toByte)
+    val bmpData = (h - 1 to 0 by -1).toArray.flatMap { y =>
+      px.slice(y * w * 3, (y + 1) * w * 3) ++
+        Array.fill[Byte](stride - w * 3)(0)
+    }
+    val bmp = "BM".getBytes("ISO-8859-1") ++ le32b(54 + bmpData.length) ++
+      le32b(0) ++ le32b(54) ++ le32b(40) ++ le32b(w) ++ le32b(h) ++
+      le16b(1) ++ le16b(24) ++ le32b(0) ++ le32b(bmpData.length) ++
+      le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ bmpData
+    def sigOf(b: Array[Byte]) = Option(graft.expr.PixelGridSig.sig(b, 9, 7))
+      .map(r => (r.getArray(3).toIntArray.toSeq, r.getLong(4)))
+    val sp = sigOf(ppm); val sb = sigOf(bmp)
+    assert(sp.isDefined && sp == sb, s"$sp vs $sb")
+    // a small edit stays NEAR (low L1), not equal
+    val edited = px.clone()
+    var i = 0
+    while (i < edited.length) { // +16 on every 5th byte (capped at 255)
+      if (i % 5 == 0)
+        edited(i) = (((edited(i) & 0xFF) min 239) + 16).toByte
+      i += 1
+    }
+    val se = sigOf((s"P6\n$w $h\n255\n").getBytes("ISO-8859-1") ++ edited).get
+    val l1 = sp.get._1.zip(se._1).map { case (a, b) => math.abs(a - b) }.sum
+    assert(l1 > 0 && l1 <= 63 * 5, s"edit should be near: l1=$l1")
+    // too-small images (empty blocks) and garbage → null
+    assert(sigOf(("P6\n4 4\n255\n").getBytes("ISO-8859-1") ++
+      Array.fill[Byte](48)(1)).isEmpty, "w < gx must be null")
+    assert(sigOf("junk".getBytes("UTF-8")).isEmpty)
+    // the SQL surface + the near-dup operator: cross-format twins pair
+    // up at l1 = 0 through banding + verification
+    val media = Seq((1L, ppm), (2L, bmp),
+      (3L, "not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+    val pairs = graft.operators.Multimodal.imageNearDup(media, gx = 9, gy = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.toSeq)
+    // grid bound is a hard analysis error, not silent truncation
+    val e = intercept[Exception] {
+      Seq((1L, ppm)).toDF("media_id", "content")
+        .select(call_function(graft.expr.PixelGridSig.FunctionName,
+          $"content", lit(8), lit(8))).collect()
+    }
+    assert(e.getMessage.contains("63"), e.getMessage)
+  }
+
   test("graft_audio_meta decodes WAV/FLAC headers, nulls the rest") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
