@@ -2111,7 +2111,7 @@ object SparkEntry {
         .when(m === 2, ppm)
         .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
           "UTF-8").cast(BinaryType))
-      val media = t(s, dir, "documents").select(id.as("media_id"),
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
         lit("image").as("kind"), content.as("content"))
       Multimodal.pixelStats(media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
@@ -2131,7 +2131,7 @@ object SparkEntry {
     "q152_pixel_grid_sig" -> ((s, dir) => {
       Graft.tune(s)
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents")
+      val media = tp(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
           ppmContent(col("doc_id"), col("text")).as("content"))
       Multimodal.imageSignatures(media, gx = 9, gy = 7)
@@ -2147,7 +2147,7 @@ object SparkEntry {
     "q153_image_neardup" -> ((s, dir) => {
       Graft.tune(s)
       import graft.operators.Multimodal
-      val media = t(s, dir, "documents")
+      val media = tp(s, dir, "documents")
         .select(col("doc_id").as("media_id"),
           ppmContent(col("doc_id"), col("text")).as("content"))
       Multimodal.imageNearDup(media, gx = 9, gy = 7, maxL1 = 126L)
