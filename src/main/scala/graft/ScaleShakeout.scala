@@ -145,6 +145,14 @@ object ScaleShakeout {
     run("nearDupClusters")(
       Dedup.nearDupClusters(docs, "doc_id", "text", n = 3,
         threshold = 0.5, maxDocFreq = 100L))
+    // the LSH band kernels share bucketPairs/collect_list state — the
+    // same per-task-growth regime the partitions-per-byte floor guards
+    run("minhashPairs")(
+      Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.7, numHashes = 128, bands = 32))
+    run("winnowPairs")(
+      Dedup.winnowPairs(docs, "doc_id", "text", k = 8, w = 12,
+        minShared = 3, maxDocFreq = 100L))
     // vocabulary-bounded LM histograms and the query-term-semi-filtered
     // BM25 postings make the same bounded-state claim as the dedup
     // kernel — same evidence standard

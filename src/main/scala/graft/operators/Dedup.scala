@@ -345,7 +345,15 @@ object Dedup {
     * so the per-list quadratic expansion is the candidate count itself.
     */
   private[operators] def bucketPairs(banded: DataFrame): DataFrame =
-    banded.groupBy(col("_band"), col("_key"))
+    // same partitions-per-byte floor as the posting kernels: the
+    // band-bucket collect_lists are per-task state that grows with
+    // corpus size under a pinned partition count (band rows are
+    // fewer than postings, so leaf bytes over-provision — the safe
+    // direction; no-op at bench scale)
+    Scale.partitionsForLeafBytes(banded, PairAggLeafBytesPerPartition)
+      .map(n => banded.repartition(n, col("_band"), col("_key")))
+      .getOrElse(banded)
+      .groupBy(col("_band"), col("_key"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
       .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
@@ -417,16 +425,34 @@ object Dedup {
     val kept =
       if (maxDocFreq <= 0) fps
       else {
+        // the hot set is bounded by total-fps/cap (every hot
+        // fingerprint costs > maxDocFreq rows), so BROADCAST the anti
+        // join: the default sort-merge anti sorted the ENTIRE
+        // fingerprint table by _fp — measured 41 GB of pure sort
+        // spill at 100× for a side that fits in a broadcast
         val hot = fps.groupBy("_fp").agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxDocFreq).select("_fp")
-        fps.join(hot, Seq("_fp"), "left_anti")
+        fps.join(broadcast(hot), Seq("_fp"), "left_anti")
       }
-    kept.groupBy("_fp")
+    val pairs = Scale.partitionsForLeafBytes(kept, PairAggLeafBytesPerPartition)
+      .map(n => kept.repartition(n, col("_fp"))).getOrElse(kept)
+      .groupBy("_fp")
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
       .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
         col("_ids"))).as("_p"))
-      .groupBy(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+    // the pair expansion is the VOLUME amplifier (cap² per shared
+    // fingerprint: 405.8M pair rows from 44.7M postings at 100×), and
+    // map-side partial aggregation barely collapses it — a pair's
+    // occurrences live in different fingerprint groups, hence
+    // different partitions. So the pair-count exchange gets its own
+    // wider floor (half the posting granularity): the 32-task final
+    // agg at 100× spilled 41 GB and took 167 s; widened it is
+    // spill-free
+    Scale.partitionsForLeafBytes(pairs, PairAggLeafBytesPerPartition / 2)
+      .map(n => pairs.repartition(n, col("id1"), col("id2"))).getOrElse(pairs)
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

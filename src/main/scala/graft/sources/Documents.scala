@@ -329,8 +329,22 @@ object Documents {
       body(fontObj).flatMap { fdict =>
         val tu = java.util.regex.Pattern
           .compile("/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R").matcher(fdict)
-        if (!tu.find()) None
-        else streamOf(tu.group(1).toInt).map { cs =>
+        if (!tu.find()) {
+          // no ToUnicode: a simple font may still carry an /Encoding
+          // dict with /Differences — glyph-name remappings over the
+          // base encoding (PDF spec §9.6.6). Resolve those through the
+          // glyph-name table; unmapped codes keep falling through to
+          // the WinAnsi default per code, so a sparse Differences
+          // overlay composes with the existing fallback.
+          val encDict = {
+            val ind = java.util.regex.Pattern
+              .compile("/Encoding\\s+(\\d+)\\s+\\d+\\s+R").matcher(fdict)
+            if (ind.find()) body(ind.group(1).toInt) else Some(fdict)
+          }
+          val diff = encDict.map(parseDifferences).getOrElse(Map.empty)
+          if (diff.isEmpty) None
+          else Some(name -> FontDecode(diff, twoByte = false))
+        } else streamOf(tu.group(1).toInt).map { cs =>
           val map = scala.collection.mutable.Map.empty[Int, String]
           val widths = scala.collection.mutable.Set.empty[Int]
           parseToUnicodeCMap(cs, map, widths)
@@ -338,6 +352,91 @@ object Documents {
         }
       }
     }.toMap
+  }
+
+  /** Parse a `/Differences [ code /name /name code /name … ]` array
+    * into code → text via [[glyphToText]]; names outside the glyph
+    * table are skipped (their codes keep the WinAnsi fallback, the
+    * same practical behavior PyPDF2-era extractors have for exotic
+    * glyph names).
+    */
+  private[sources] def parseDifferences(dict: String): Map[Int, String] = {
+    val dm = java.util.regex.Pattern
+      .compile("/Differences\\s*\\[([^\\]]*)\\]").matcher(dict)
+    if (!dm.find()) return Map.empty
+    val toks = java.util.regex.Pattern
+      .compile("(\\d+)|/([A-Za-z0-9._]+)").matcher(dm.group(1))
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    var code = 0
+    while (toks.find()) {
+      if (toks.group(1) != null) code = toks.group(1).toInt
+      else {
+        glyphToText(toks.group(2)).foreach(t => out(code) = t)
+        code += 1
+      }
+    }
+    out.toMap
+  }
+
+  /** Glyph name → text: the `uniXXXX`/`uXXXX[XX]` hex conventions plus
+    * the common-subset Adobe Glyph List (letters and digits are their
+    * own names; ASCII punctuation, typographic marks, the frequent
+    * accented Latin set, fi/fl ligatures). Unknown names → None.
+    */
+  private[graft] def glyphToText(g: String): Option[String] = {
+    if (g.length == 1 && g.head.isLetter) return Some(g)
+    if (g.startsWith("uni") && g.length >= 7 &&
+        g.drop(3).forall(c => Character.digit(c, 16) >= 0))
+      // uniXXXX[XXXX…]: each 4-hex group is one UTF-16 code unit
+      return Some(g.drop(3).grouped(4).filter(_.length == 4)
+        .map(h => Integer.parseInt(h, 16).toChar).mkString)
+    if (g.startsWith("u") && g.length >= 5 && g.length <= 7 &&
+        g.drop(1).forall(c => Character.digit(c, 16) >= 0))
+      return Some(new String(Character.toChars(Integer.parseInt(g.drop(1), 16))))
+    AglCommon.get(g)
+  }
+
+  private val AglCommon: Map[String, String] = {
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex.map { case (n, i) =>
+      n -> i.toString }
+    val punct = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@",
+      "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~")
+    val typo = Map(
+      "bullet" -> "•", "emdash" -> "—", "endash" -> "–",
+      "quoteleft" -> "‘", "quoteright" -> "’", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "ellipsis" -> "…", "Euro" -> "€",
+      "dagger" -> "†", "daggerdbl" -> "‡", "trademark" -> "™",
+      "copyright" -> "©", "registered" -> "®", "degree" -> "°",
+      "plusminus" -> "±", "multiply" -> "×", "divide" -> "÷",
+      "fi" -> "fi", "fl" -> "fl", "germandbls" -> "ß",
+      "exclamdown" -> "¡", "questiondown" -> "¿", "sterling" -> "£",
+      "yen" -> "¥", "cent" -> "¢", "section" -> "§", "paragraph" -> "¶")
+    val accents = Map(
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+      "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ",
+      "ccedilla" -> "ç", "egrave" -> "è", "eacute" -> "é",
+      "ecircumflex" -> "ê", "edieresis" -> "ë", "igrave" -> "ì",
+      "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+      "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+      "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö",
+      "oslash" -> "ø", "ugrave" -> "ù", "uacute" -> "ú",
+      "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+      "ydieresis" -> "ÿ", "eth" -> "ð", "thorn" -> "þ")
+    val upperAccents = accents.map { case (k, v) =>
+      k.capitalize -> v.toUpperCase }
+    val ligUpper = Map("AE" -> "Æ", "OE" -> "Œ", "oe" -> "œ")
+    (digits ++ punct ++ typo ++ accents ++ upperAccents ++ ligUpper).toMap
   }
 
   /** Merge one ToUnicode CMap stream's mappings into `into`. Handles

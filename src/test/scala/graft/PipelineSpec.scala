@@ -176,6 +176,43 @@ class PipelineSpec extends SparkSpec {
     assert(Documents.readResume(pdf.toString) == "Spark\nqr\nXY plain\n")
   }
 
+  test("resume reader decodes /Encoding /Differences fonts without ToUnicode") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-diff")
+    // F1: inline /Encoding dict — named-glyph remaps over WinAnsi
+    // (accents, currency, uniXXXX hex names, ligatures, bullets);
+    // F2: the /Encoding itself is an INDIRECT object. Codes outside
+    // each Differences overlay keep the WinAnsi fallback.
+    val content = "BT /F1 Tf (AB ab 0 plain) Tj T* /F2 Tf (dd!) Tj ET"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Resources " +
+      "<< /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /eacute /Euro 97 /uni0394 /fi 48 /bullet ] >> " +
+      ">> endobj\n")
+    w("6 0 obj << /Type /Font /Subtype /Type1 /Encoding 7 0 R >> endobj\n")
+    w("7 0 obj << /Differences [ 100 /zero ] >> endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pdf = tmp.resolve("diff.pdf")
+    java.nio.file.Files.write(pdf, bos.toByteArray)
+    // A→é B→€, a→Δ b→fi, 0→• (so "plain" decodes "plΔin" — the
+    // remap applies to EVERY occurrence of the code); d→"0";
+    // space/!/unmapped letters fall through WinAnsi
+    assert(Documents.readResume(pdf.toString) == "é€ Δfi • plΔin\n00!\n")
+    // the glyph table itself: hex conventions and unknown-name skip
+    assert(Documents.glyphToText("uni00E90041").contains("éA"))
+    assert(Documents.glyphToText("u1F600").contains("😀"))
+    assert(Documents.glyphToText("nonexistentglyph").isEmpty)
+    assert(Documents.glyphToText("Adieresis").contains("Ä"))
+  }
+
   test("resume reader decodes Identity-H PDFs through two-byte ToUnicode CMaps") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-pdf-cid")
