@@ -84,6 +84,7 @@ object Graft {
     graft.expr.ImageMeta.register(spark)
     graft.expr.PixelStats.register(spark)
     graft.expr.PixelGridSig.register(spark)
+    graft.expr.LangIdWide.register(spark)
     graft.expr.AudioMeta.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)

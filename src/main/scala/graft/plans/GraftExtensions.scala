@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -85,6 +85,9 @@ object GraftExtensions {
       (FunctionIdentifier(PixelStats.FunctionName),
         info(PixelStats.FunctionName, classOf[PixelStats]),
         exprs => PixelStats(exprs.head)),
+      (FunctionIdentifier(LangIdWide.FunctionName),
+        info(LangIdWide.FunctionName, classOf[LangIdWide]),
+        exprs => LangIdWide(exprs(0), exprs(1))),
       (FunctionIdentifier(PixelGridSig.FunctionName),
         info(PixelGridSig.FunctionName, classOf[PixelGridSig]),
         exprs => PixelGridSig(exprs(0),

@@ -659,6 +659,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val narrow = df.filter($"doc_id" === 1L)
       .select(TextAnalysis.langId($"text")).collect()(0).getString(0)
     assert(narrow == "es")
+    // the native kernel ≡ the composed reference form, bit for bit —
+    // the kernel exists because the composed projection exceeds
+    // janino's limits and falls back to interpreted evaluation
+    val composed = TextAnalysis.langIdWideComposed($"text")
+    val both = df.select($"doc_id",
+        pred.getField("lang"), pred.getField("confidence"),
+        composed.getField("lang"), composed.getField("confidence"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(3) &&
+        r.getDouble(2) == r.getDouble(4),
+        s"native vs composed diverge on doc ${r.getLong(0)}: $r")
+    }
   }
 
   test("text analysis: langId, token stats, fingerprint determinism") {
