@@ -4448,8 +4448,12 @@ object SparkEntry {
          bands AS (SELECT id, band,
                      (ahash >> CAST(band*16 AS INTEGER)) & 65535 AS key
                    FROM sig CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
          cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-                  FROM bands a JOIN bands b
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
                     ON a.band = b.band AND a.key = b.key AND a.id < b.id),
          l1t AS (SELECT c.id1, c.id2,
                    CAST(SUM(abs(b1.m - b2.m)) AS BIGINT) AS l1

@@ -117,8 +117,10 @@ object Multimodal {
     * and the blob never leaves the first projection.
     */
   def imageNearDup(media: DataFrame, contentCol: String = "content",
-      gx: Int = 9, gy: Int = 7, maxL1: Long = 126L): DataFrame = {
+      gx: Int = 9, gy: Int = 7, maxL1: Long = 126L,
+      maxBucket: Int = 4096): DataFrame = {
     require(gx * gy <= 63, s"gx*gy must fit the 63-bit hash: $gx x $gy")
+    require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
     val g = call_function(graft.expr.PixelGridSig.FunctionName,
       col(contentCol), lit(gx), lit(gy))
     // three consumers (banding + both verify joins) — pin so the
@@ -133,10 +135,17 @@ object Multimodal {
         call_function("shiftright", col("_h"),
           (col("_band") * 16).cast(IntegerType))
           .bitwiseAND(lit(65535L)).as("_key"))
-    // ordered same-bucket pairs via the shared posting-list kernel
+    // ordered same-bucket pairs via the shared posting-list kernel.
+    // maxBucket is the image-specific skew guard: unlike text LSH
+    // (where band keys are ~uniform), a real image corpus has MASS
+    // buckets — every all-black thumbnail and blank frame hashes to
+    // aHash 0 — and an uncapped bucket expands quadratically. Over-full
+    // buckets are skipped (their members are better handled by exact
+    // ahash-equality grouping than by pair expansion), same trade as
+    // the text kernels' maxDocFreq.
     val cands = banded.groupBy(col("_band"), col("_key"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1)
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
       .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
         col("_ids"))).as("_p"))
       .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))

@@ -275,4 +275,34 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("pixel grid signature equals a brute-force reference (random PPMs)") {
+    // random sizes/pixels, the whole contract re-derived independently:
+    // block index by the resize mapping, integer means, aHash bits by
+    // strict-greater-than-integer-mean
+    val gx = 9; val gy = 7
+    for (trial <- 1 to 30) {
+      val w = gx + rnd.nextInt(40)
+      val h = gy + rnd.nextInt(30)
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val ppm = (s"P6\n$w $h\n255\n").getBytes("ISO-8859-1") ++ px
+      val got = graft.expr.PixelGridSig.sig(ppm, gx, gy)
+      assert(got != null, s"trial $trial: decode failed")
+      val sums = Array.fill(gx * gy)(0L)
+      val counts = Array.fill(gx * gy)(0L)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val blk = (y * gy / h) * gx + (x * gx / w)
+        sums(blk) += px((y * w + x) * 3 + c) & 0xFF
+        counts(blk) += 1
+      }
+      val sig = sums.indices.map(i => (sums(i) / counts(i)).toInt)
+      val mean = sig.map(_.toLong).sum / sig.length
+      val hash = sig.indices.foldLeft(0L) { (acc, i) =>
+        if (sig(i) > mean) acc | (1L << i) else acc
+      }
+      assert(got.getArray(3).toIntArray.toSeq == sig,
+        s"trial $trial ${w}x$h sig mismatch")
+      assert(got.getLong(4) == hash, s"trial $trial ahash mismatch")
+    }
+  }
 }
