@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   * Usage: ABq123 <sfDir> [rounds]
   */
 object ABq123 {
-  private def forceAll(df: DataFrame): Long =
+  /** Hash-all-columns forcing action — the SCALE.md forceAll contract
+    * (count() lets Catalyst eliminate the very operators under test).
+    * Shared by the AB harnesses; Bench keeps its MapType-aware
+    * variant.
+    */
+  private[graft] def forceAll(df: DataFrame): Long =
     df.agg(count(lit(1)).as("_n"),
         sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)).as("_h"))
       .head().getLong(0)

@@ -18,10 +18,8 @@ import org.apache.spark.sql.functions._
   * Usage: ABq23 <sfDir> [rounds]
   */
 object ABq23 {
-  private def forceAll(df: DataFrame): Long =
-    df.agg(count(lit(1)).as("_n"),
-        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)).as("_h"))
-      .head().getLong(0)
+  // shared with ABq123 — the canonical hash-all-columns forcer
+  private def forceAll(df: DataFrame): Long = ABq123.forceAll(df)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

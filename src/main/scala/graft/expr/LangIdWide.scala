@@ -91,26 +91,34 @@ object LangIdWide {
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Java regex \s: [ \t\n\x0B\f\r] — the set the column form used. */
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' ||
-      c == '\r'
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 11 || cp == '\f' ||
+      cp == '\r'
 
   def eval(text: UTF8String, toks: ArrayData): InternalRow = {
     val s = text.toString
-    // one pass: per-script counts + the non-whitespace denominator
+    // one pass BY CODE POINT: the composed form's counts come from
+    // Spark length()/regexp (code-point semantics), so a surrogate
+    // pair must count as ONE non-ws character, not two — a
+    // charAt-based loop diverges from the composed form and the
+    // oracle on any emoji/astral-CJK text. Script ranges are BMP, so
+    // supplementary code points can only feed the denominator.
     val sc = new Array[Int](scriptLangs.length)
     var nonWs = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (!isWs(c)) nonWs += 1
-      var k = 0
-      var hit = false
-      while (k < sc.length && !hit) {
-        if (c >= scriptLo(k) && c <= scriptHi(k)) { sc(k) += 1; hit = true }
-        k += 1
+      val cp = s.codePointAt(i)
+      if (!isWs(cp)) nonWs += 1
+      if (cp <= 0xFFFF) {
+        val c = cp.toChar
+        var k = 0
+        var hit = false
+        while (k < sc.length && !hit) {
+          if (c >= scriptLo(k) && c <= scriptHi(k)) { sc(k) += 1; hit = true }
+          k += 1
+        }
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     var sMax = 0; var sArg = -1
     var k = 0

@@ -86,10 +86,13 @@ object PixelGridSig {
     val stride = d.w * d.ch
     var y = 0
     while (y < d.h) {
-      val by = y * gy / d.h
+      // LONG products: an extreme-aspect image (w ~40M fits the decode
+      // cap at 1 channel) with a wide grid would wrap x*gx negative
+      // and crash — NULL-never-error applies to shapes too
+      val by = (y.toLong * gy / d.h).toInt
       var x = 0
       while (x < d.w) {
-        val blk = by * gx + x * gx / d.w
+        val blk = by * gx + (x.toLong * gx / d.w).toInt
         val base = y * stride + x * d.ch
         var c = 0
         var s = 0L

@@ -183,7 +183,10 @@ object PixelStats {
     var end = false
     while (!end && i + 8 <= b.length) {
       val len = be32(b, i)
-      if (len < 0 || i + 12 + len > b.length) end = true // truncated chunk
+      // LONG arithmetic: a crafted length near Int.MaxValue would wrap
+      // `i + 12 + len` negative, pass the bound check, and crash the
+      // chunk walk — the triage contract says NULL, never an error
+      if (len < 0 || i.toLong + 12L + len > b.length) end = true // truncated
       else {
         val t0 = b(i + 4); val t1 = b(i + 5); val t2 = b(i + 6); val t3 = b(i + 7)
         if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E')

@@ -429,7 +429,13 @@ object Dedup {
         // fingerprint costs > maxDocFreq rows), so BROADCAST the anti
         // join: the default sort-merge anti sorted the ENTIRE
         // fingerprint table by _fp — measured 41 GB of pure sort
-        // spill at 100× for a side that fits in a broadcast
+        // spill at 100× for a side that fits in a broadcast. Contract
+        // note for extreme scale: total/cap is a LOOSE bound — on a
+        // boilerplate-dominated multi-TB corpus with a small cap the
+        // hot set itself can outgrow a broadcast; there, raise the
+        // cap (hot sets shrink ~linearly) or use [[jaccardPairs]],
+        // whose PostingPairsAgg applies the cap INSIDE the aggregate
+        // with bounded buffers and no hot-set materialization at all.
         val hot = fps.groupBy("_fp").agg(count(lit(1)).as("_df"))
           .filter(col("_df") > maxDocFreq).select("_fp")
         fps.join(broadcast(hot), Seq("_fp"), "left_anti")

@@ -8,16 +8,19 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus batched decode/feature-extract
   * operators.
   *
-  * Container-header decode is REAL: [[imageMeta]] parses PNG/JPEG/GIF
-  * structure (dimensions, channels, bit depth) from the blob bytes via
-  * the native codegen'd [[graft.expr.ImageMeta]] expression — no
-  * external codec, no stub. Only PIXEL decode (the part that genuinely
-  * needs an image/audio library absent from this environment) stays
-  * behind the pluggable `MediaDecoder`, whose `StubDecoder` is a
-  * deterministic fake; the Spark-side contract around it — schema,
-  * partition-sized batching, executor-side iteration shape — is real
-  * and tested, and a JNI/ffmpeg or Python `mapInPandas` worker plugs
-  * into the same seam.
+  * Container-header decode is REAL ([[imageMeta]]/[[audioMeta]]/
+  * [[videoMeta]] via the native ImageMeta/AudioMeta/VideoMeta
+  * expressions), and as of round 8 PIXEL decode is real too:
+  * [[pixelStats]] (content stats) and [[imageSignatures]]/
+  * [[imageNearDup]] (perceptual grid signatures + thumbnail dedup)
+  * fully decode PNG (zlib inflate + unfilter + palette), PPM and BMP
+  * through [[graft.expr.PixelStats]] — no external codec, no stub.
+  * The pluggable `MediaDecoder` seam remains ONLY for formats that
+  * genuinely need an external codec (lossy JPEG pixel data, audio
+  * samples, video frames); its `StubDecoder` is a deterministic fake,
+  * and the Spark-side contract around it — schema, partition-sized
+  * batching, executor-side iteration shape — is real and tested, so a
+  * JNI/ffmpeg or Python `mapInPandas` worker plugs into the same seam.
   *
   * Scale notes: media blobs dominate row size, so operators here
   * (a) never shuffle the binary column (feature extraction projects it

@@ -28,8 +28,16 @@ object Scale {
     val default = df.sparkSession.sessionState.conf.numShufflePartitions
     val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
+    // a stats-less leaf (LogicalRDD, a streaming micro-batch relation)
+    // reports defaultSizeInBytes = Long.MaxValue — taking that at face
+    // value would pin every floored shuffle at the 4096 cap for a
+    // few-thousand-row micro-batch (and AQE cannot coalesce a pinned
+    // repartition). Anything past 1 PiB is an "unknown", not a size:
+    // keep the session default.
+    val sane = leafBytes.isValidLong && leafBytes.toLong >= 0 &&
+      leafBytes.toLong <= (1L << 50)
     val need =
-      if (leafBytes.isValidLong)
+      if (sane)
         math.min(math.ceil(
           leafBytes.toLong.toDouble / bytesPerPartition), 4096.0).toInt
       else default

@@ -255,7 +255,10 @@ object StreamingIngest {
     * stale-extra keys — safe; the reverse order could leave missing
     * keys — not safe), written via tmp+rename. `bloomCapacity` sizes
     * the filter at creation; past it the false-positive rate degrades
-    * GRACEFULLY: pruning weakens, results stay exact.
+    * GRACEFULLY: pruning weakens, results stay exact. A bloom-OFF
+    * batch against the same table DELETES the sidecar (its appends
+    * would otherwise leave the filter with missing keys = missed
+    * duplicates); the next bloom-on batch backfills from the table.
     */
   def dedupIngestBatch(batch: DataFrame, docsPath: String,
       postingsTable: String, idCol: String, textCol: String, n: Int,
@@ -278,6 +281,17 @@ object StreamingIngest {
     // postings) share one shingle+hash pass; released before return
     val bp = Dedup.postingsWithSize(batch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A bloom-OFF batch appends postings the sidecar never sees; a
+    // later bloom-on batch reading that stale sidecar would miss real
+    // duplicates (bloom false negatives — the one unacceptable
+    // direction). Invalidate it up front: the next bloom-on batch
+    // rebuilds from the full posting table (the exact backfill path).
+    if (!useBloom) {
+      val p = new org.apache.hadoop.fs.Path(bloomPath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, false)
+      ()
+    }
     // broadcast handles created this batch; released in the finally
     val bcs = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.broadcast.Broadcast[_]]
@@ -308,10 +322,16 @@ object StreamingIngest {
       val probeDocs = bcCorpus match {
         case Some(bc) if indexExists =>
           val hit = udf((s: Long) => bc.value.mightContainLong(s))
+          // the 1e-6 margin mirrors the exact path's round(j, 6):
+          // a pair can qualify there with true jaccard as low as
+          // threshold − 5e-7 (HALF_UP round-up), and the prune's
+          // upper bound must not cut under that — over-keeping is
+          // always safe, over-pruning is a missed duplicate
           val kept = bp.groupBy(col("_id"))
             .agg(min(col("_n")).as("_na"),
               sum(when(hit(col("_s")), 1L).otherwise(0L)).as("_hits"))
-            .filter(col("_hits").cast("double") >= lit(threshold) * col("_na"))
+            .filter(col("_hits").cast("double") >=
+              (lit(threshold) - lit(1e-6)) * col("_na"))
             .select(col("_id"))
           // kept is trigger-bounded (≤ batch docs) — broadcast semi
           bp.join(broadcast(kept), Seq("_id"), "left_semi")

@@ -661,9 +661,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(narrow == "es")
     // the native kernel ≡ the composed reference form, bit for bit —
     // the kernel exists because the composed projection exceeds
-    // janino's limits and falls back to interpreted evaluation
+    // janino's limits and falls back to interpreted evaluation.
+    // Supplementary characters included: the kernel must count CODE
+    // POINTS like Spark's length()/regexp, not UTF-16 code units (an
+    // emoji is one non-ws char, not two)
     val composed = TextAnalysis.langIdWideComposed($"text")
-    val both = df.select($"doc_id",
+    val withAstral = df.unionByName(Seq(
+      (20L, "これは 😀😀😀😀😀"), // kana + astral emoji: code-unit counting flips the 30% rule
+      (21L, "😀😀 the cat and the dog 😀😀")).toDF("doc_id", "text"))
+    val both = withAstral.select($"doc_id",
         pred.getField("lang"), pred.getField("confidence"),
         composed.getField("lang"), composed.getField("confidence"))
       .collect()

@@ -295,6 +295,24 @@ class StreamingSpec extends SparkSpec {
       maxDocFreq = 100L, buckets = 8, useBloom = true,
       bloomCapacity = 1L << 18)
     assert(bootIds() == Set(1L, 2L, 9L, 11L))
+    // a bloom-OFF batch invalidates the sidecar (its appends would
+    // leave missing keys = missed dups); the next bloom-on batch
+    // backfills from the full table and still catches a dup of the
+    // bloom-off-era doc
+    StreamingIngest.dedupIngestBatch(
+      Seq((12L, "entirely novel bloomless words")).toDF("doc_id", "text"),
+      s"$tmp/docs_boot", table, "doc_id", "text", n = 2, threshold = 0.6,
+      maxDocFreq = 100L, buckets = 8, useBloom = false)
+    assert(!new java.io.File(s"$tmp/docs_boot_bloom").exists(),
+      "bloom-off append must invalidate the sidecar")
+    StreamingIngest.dedupIngestBatch(
+      Seq((13L, "entirely novel bloomless words"), // dup of bloom-off doc 12
+        (14L, "yet more fresh material")).toDF("doc_id", "text"),
+      s"$tmp/docs_boot", table, "doc_id", "text", n = 2, threshold = 0.6,
+      maxDocFreq = 100L, buckets = 8, useBloom = true,
+      bloomCapacity = 1L << 18)
+    assert(bootIds() == Set(1L, 2L, 9L, 11L, 12L, 14L),
+      "the rebuilt sidecar must cover bloom-off-era postings")
     dropTable(table)
   }
 
