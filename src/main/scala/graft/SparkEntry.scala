@@ -2143,7 +2143,11 @@ object SparkEntry {
     // the 63-bit aHash 4×16 bits, candidates from band collisions
     // (posting-list expansion, no self-join), verify by total L1 over
     // the grid signatures — the planted variant pairs (2g, 2g+1) must
-    // surface; the oracle replays banding + verification relationally
+    // surface; the oracle replays banding + verification relationally.
+    // The constructed corpus is deliberately self-similar (one pixel
+    // formula family ⇒ clustered block means ⇒ ~283k band candidates
+    // for ~2.1k true pairs at sf0.1) — an adversarial 130:1 stress of
+    // the L1 verify stage that a diverse real corpus never reaches
     "q153_image_neardup" -> ((s, dir) => {
       Graft.tune(s)
       import graft.operators.Multimodal
