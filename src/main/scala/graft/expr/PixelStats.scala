@@ -137,7 +137,17 @@ object PixelStats {
   private[expr] final case class Decoded(fmt: String, w: Int, h: Int,
       ch: Int, px: Array[Byte])
 
-  /** bytes → decoded pixels, or null if not decodable. */
+  /** bytes → decoded pixels, or null if not decodable. PNG/PPM/BMP go
+    * through the hand decoders (construction-replayable, oracle-gated);
+    * JPEG and GIF — formats whose decode genuinely needs a codec — go
+    * through the JDK's own `javax.imageio` (public API, still zero
+    * EXTERNAL dependencies). The ImageIO tier is JVM-deterministic but
+    * not construction-replayable (lossy JPEG's pixel values are the
+    * codec's, not a formula's), so it is spec-gated rather than
+    * oracle-gated; its output normalizes to 3-channel RGB (alpha
+    * dropped, palettes resolved) and the same [[MaxRawBytes]] guard
+    * applies via the header dims BEFORE the full decode.
+    */
   private[expr] def decode(b: Array[Byte]): Decoded = {
     if (b == null || b.length < 10) return null
     if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
@@ -145,7 +155,45 @@ object PixelStats {
       return png(b)
     if (b(0) == 'P' && b(1) == '6') return ppm(b)
     if (b(0) == 'B' && b(1) == 'M') return bmp(b)
+    if (((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
+      return imageio(b,
+        if ((b(0) & 0xFF) == 0xFF) "jpeg" else "gif")
     null
+  }
+
+  // --------------------------------------------------- JPEG/GIF (ImageIO)
+
+  private def imageio(b: Array[Byte], fmt: String): Decoded = {
+    // bomb guard first: dims from the cheap header parse — a
+    // multi-gigapixel claim never reaches the full decode
+    val meta = ImageMeta.parse(b)
+    if (meta == null) return null
+    val mw = meta.getInt(1); val mh = meta.getInt(2)
+    if (mw.toLong * mh * 3 > MaxRawBytes) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return null
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > MaxRawBytes) return null
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          px(o) = ((rgb >> 16) & 0xFF).toByte
+          px(o + 1) = ((rgb >> 8) & 0xFF).toByte
+          px(o + 2) = (rgb & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(fmt, w, h, 3, px)
+    } catch {
+      case _: Exception => null // corrupt stream: triage NULL, never error
+    }
   }
 
   /** bytes → pixel-stats InternalRow, or null if not decodable. Static

