@@ -104,7 +104,10 @@ object ABBench {
 
     def stats(xs: List[Double]): String = {
       val s = xs.sorted
-      f"min=${s.head}%6.2f med=${s(s.size / 2)}%6.2f"
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      f"min=${s.head}%6.2f med=$med%6.2f"
     }
     println("\n===== A/B results (per config min/median over rounds) =====")
     for (q <- targets) {

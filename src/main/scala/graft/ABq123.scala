@@ -77,7 +77,10 @@ object ABq123 {
     }
     def stats(xs: List[Double]): String = {
       val s = xs.sorted
-      f"min=${s.head}%6.2f med=${s(s.size / 2)}%6.2f max=${s.last}%6.2f"
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      f"min=${s.head}%6.2f med=$med%6.2f max=${s.last}%6.2f"
     }
     println("\n===== q123 A/B (per variant min/median over rounds) =====")
     variants.foreach { case (tag, _) => println(f"  $tag%-8s ${stats(results(tag))}") }

@@ -63,7 +63,12 @@ object ABq23 {
     }
     def stats(xs: List[Double]): String = {
       val s = xs.sorted
-      f"min=${s.head}%6.2f med=${s(s.size / 2)}%6.2f max=${s.last}%6.2f"
+      // true median: even-sized lists average the two middle elements
+      // (s(n/2) alone is the upper-middle — reads ~half a gap high)
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      f"min=${s.head}%6.2f med=$med%6.2f max=${s.last}%6.2f"
     }
     println("\n===== q23 drift attribution (min/median over rounds) =====")
     (subjects ++ canaries).foreach { q =>

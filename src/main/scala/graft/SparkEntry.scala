@@ -4899,7 +4899,10 @@ object SparkEntry {
     * cannot drift: script counts via codepoint-class regexp_replace
     * (the 'g' flag — DuckDB replaces first-only by default), the
     * integer 30%-dominance rule, then the stopword argmax with
-    * lang-ascending ties.
+    * lang-ascending ties. The non-whitespace denominator spells out
+    * Java's \s as [ \t\n\x0B\f\r] — RE2's \s omits vertical tab, so a
+    * bare '\s' here would shift the dominance rule on \x0B-bearing
+    * text.
     */
   private def langIdWideOracle: String = {
     val stopHitExprs = TextAnalysis.WideStopwordLists.map { case (lang, words) =>
@@ -4924,7 +4927,7 @@ object SparkEntry {
          FROM documents),
        ev AS (
          SELECT doc_id,
-                length(regexp_replace(t, '\\s', '', 'g')) AS nws,
+                length(regexp_replace(t, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS nws,
                 len(toks) AS ntk,
                 $scriptExprs,
                 $stopHitExprs

@@ -137,7 +137,7 @@ object CmsSketchAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => CmsSketchAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "depth", exprs(1)),
+        ExprArgs.intLit(FunctionName, "width", exprs(2))),
       "built-in")
 }

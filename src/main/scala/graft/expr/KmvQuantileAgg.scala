@@ -154,6 +154,6 @@ object KmvQuantileAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => KmvQuantileAgg(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "k", exprs(2))),
       "built-in")
 }

@@ -150,6 +150,6 @@ object KmvSketchAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => KmvSketchAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "k", exprs(1))),
       "built-in")
 }

@@ -90,6 +90,6 @@ object MinHashSignature {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "numHashes", exprs(1))),
       "built-in")
 }

@@ -126,7 +126,7 @@ object PixelGridSig {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => PixelGridSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "gx", exprs(1)),
+        ExprArgs.intLit(FunctionName, "gy", exprs(2))),
       "built-in")
 }

@@ -18,15 +18,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Formats:
   *  - PNG (the zero-dependency-feasible one): 8-bit depth, color types
-  *    0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), interlace 0.
-  *    IDAT chunks concatenate into one zlib stream, inflated with
-  *    `java.util.zip.Inflater`; each scanline's filter byte (0 None,
-  *    1 Sub, 2 Up, 3 Average, 4 Paeth) is reversed per the PNG spec
-  *    §9 recursions; palette images map indices through PLTE to RGB
-  *    before stats. Chunk CRCs are NOT verified (stats want content,
-  *    not integrity — same trade as [[ImageMeta]]); Adler32 is
-  *    whatever Inflater enforces. Interlaced (Adam7) images return
-  *    NULL — supported-and-documented-as-absent, not mis-decoded.
+  *    0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), interlace 0
+  *    AND 1 (Adam7: each of the seven reduced images unfilters
+  *    independently, then its pixels scatter to the §8.2 pattern
+  *    positions — an interlaced file decodes identically to its
+  *    non-interlaced twin). IDAT chunks concatenate into one zlib
+  *    stream, inflated with `java.util.zip.Inflater`; each scanline's
+  *    filter byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) is
+  *    reversed per the PNG spec §9 recursions; palette images map
+  *    indices through PLTE to RGB before stats. Chunk CRCs are NOT
+  *    verified (stats want content, not integrity — same trade as
+  *    [[ImageMeta]]); Adler32 is whatever Inflater enforces.
   *  - PPM binary (P6, maxval 255): header token parse (whitespace +
   *    `#` comments) then raw RGB.
   *  - BMP: BITMAPINFOHEADER, 24-bit uncompressed (BI_RGB); bottom-up
@@ -177,11 +179,18 @@ object PixelStats {
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h * 3 > MaxRawBytes) return null
       val px = new Array[Byte](w * h * 3)
+      // bulk row reads: per-pixel getRGB(x, y) pays the color-model
+      // conversion call per PIXEL (~2-5× slower on JPEG); the bulk form
+      // converts a whole row per call. Row-wise (not one w*h int grab)
+      // keeps the extra buffer at w ints, preserving the MaxRawBytes
+      // per-task memory bound.
+      val row = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val o = (y * w + x) * 3
           px(o) = ((rgb >> 16) & 0xFF).toByte
           px(o + 1) = ((rgb >> 8) & 0xFF).toByte
@@ -207,6 +216,55 @@ object PixelStats {
 
   // ------------------------------------------------------------------ PNG
 
+  // Adam7 pass pattern (spec §8.2): x/y start offsets and steps
+  private val A7x0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7dx = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7y0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7dy = Array(8, 8, 8, 4, 4, 2, 2)
+
+  /** Unfilter (spec §9) one image of `h` scanlines of `w`·`ch` bytes
+    * starting at `raw(off)` (each scanline prefixed by its filter
+    * byte): recon(x) from filt(x) + neighbors a/b/c. Returns the
+    * packed pixel bytes, or null on a bad filter type. Shared by the
+    * non-interlaced path (one call) and Adam7 (one call per reduced
+    * image — each pass's recursions reference its own neighbors).
+    */
+  private def unfilter(raw: Array[Byte], off: Int, w: Int, h: Int,
+      ch: Int): Array[Byte] = {
+    val bpp = ch
+    val sw = w * ch
+    val px = new Array[Byte](sw * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(off + y * (sw + 1)) & 0xFF
+      if (f > 4) return null
+      val src = off + y * (sw + 1) + 1
+      val dst = y * sw
+      var j = 0
+      while (j < sw) {
+        val x = raw(src + j) & 0xFF
+        val a = if (j >= bpp) px(dst + j - bpp) & 0xFF else 0
+        val up = if (y > 0) px(dst - sw + j) & 0xFF else 0
+        val rec = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) >> 1)
+          case _ => // Paeth
+            val c = if (y > 0 && j >= bpp) px(dst - sw + j - bpp) & 0xFF else 0
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        px(dst + j) = rec.toByte
+        j += 1
+      }
+      y += 1
+    }
+    px
+  }
+
   private def png(b: Array[Byte]): Decoded = {
     // IHDR must be the first chunk (spec §5.6); 33 = sig + IHDR chunk
     if (b.length < 33) return null
@@ -216,14 +274,29 @@ object PixelStats {
     val depth = b(24) & 0xFF
     val colorType = b(25) & 0xFF
     val interlace = b(28) & 0xFF
-    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return null
+    if (w <= 0 || h <= 0 || depth != 8 || interlace > 1) return null
     val ch = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
       case _ => return null
     }
     val stride = w.toLong * ch
-    val rawLen = (stride + 1) * h
-    if (rawLen > MaxRawBytes) return null
+    // Adam7 (interlace 1): the raw stream is seven reduced images,
+    // each with its own per-scanline filter bytes; every pixel lands
+    // in exactly one pass, so the stream is w·h·ch + Σ passRows bytes
+    val rawLen: Long =
+      if (interlace == 0) (stride + 1) * h
+      else {
+        var t = 0L
+        var p = 0
+        while (p < 7) {
+          val wp = (w - A7x0(p) + A7dx(p) - 1) / A7dx(p)
+          val hp = (h - A7y0(p) + A7dy(p) - 1) / A7dy(p)
+          if (wp > 0 && hp > 0) t += hp.toLong * (wp.toLong * ch + 1)
+          p += 1
+        }
+        t
+      }
+    if (rawLen <= 0 || rawLen > MaxRawBytes) return null
     // chunk walk: collect PLTE and the IDAT concatenation
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -263,41 +336,48 @@ object PixelStats {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // unfilter (spec §9): recon(x) from filt(x) + neighbors a/b/c
-    val bpp = ch
-    val sw = w * ch // int stride (rawLen bound keeps this in range)
-    val px = new Array[Byte](sw * h)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (sw + 1)) & 0xFF
-      if (f > 4) return null
-      val src = y * (sw + 1) + 1
-      val dst = y * sw
-      var j = 0
-      while (j < sw) {
-        val x = raw(src + j) & 0xFF
-        val a = if (j >= bpp) px(dst + j - bpp) & 0xFF else 0
-        val up = if (y > 0) px(dst - sw + j) & 0xFF else 0
-        val rec = f match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + up
-          case 3 => x + ((a + up) >> 1)
-          case _ => // Paeth
-            val c = if (y > 0 && j >= bpp) px(dst - sw + j - bpp) & 0xFF else 0
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+    val px =
+      if (interlace == 0) unfilter(raw, 0, w, h, ch)
+      else {
+        // Adam7 §8.2: unfilter each reduced image independently (its
+        // filter recursions reference ITS OWN neighbors, not the full
+        // image's), then scatter pixels to their pattern positions
+        val full = new Array[Byte]((stride * h).toInt) // ≤ rawLen ≤ cap
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val wp = (w - A7x0(p) + A7dx(p) - 1) / A7dx(p)
+          val hp = (h - A7y0(p) + A7dy(p) - 1) / A7dy(p)
+          if (wp > 0 && hp > 0) {
+            val sub = unfilter(raw, off, wp, hp, ch)
+            if (sub == null) return null
+            off += hp * (wp * ch + 1)
+            var yy = 0
+            while (yy < hp) {
+              val fy = A7y0(p) + yy * A7dy(p)
+              var xx = 0
+              while (xx < wp) {
+                val fx = A7x0(p) + xx * A7dx(p)
+                System.arraycopy(sub, (yy * wp + xx) * ch,
+                  full, (fy * w + fx) * ch, ch)
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          p += 1
         }
-        px(dst + j) = rec.toByte
-        j += 1
+        full
       }
-      y += 1
-    }
+    if (px == null) return null
     if (colorType == 3) {
       // palette: every index maps through PLTE to RGB; a dangling
-      // index (or missing/ragged PLTE) is a malformed image → null
+      // index (or missing/ragged PLTE) is a malformed image → null.
+      // The decoded-size cap re-checks the POST-expansion size here:
+      // rawLen above counted 1 byte/px for palette images, so without
+      // this an adversarial palette PNG allocates 3× the documented
+      // decoded-bytes bound (same check the ImageIO tier applies).
+      if (w.toLong * h * 3 > MaxRawBytes) return null
       if (plte == null || plte.length == 0 || plte.length % 3 != 0) return null
       val entries = plte.length / 3
       val rgb = new Array[Byte](px.length * 3)

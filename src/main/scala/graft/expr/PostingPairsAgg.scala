@@ -197,6 +197,6 @@ object PostingPairsAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => PostingPairsAgg(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].longValue()),
+        ExprArgs.longLit(FunctionName, "maxDocFreq", exprs(2))),
       "built-in")
 }

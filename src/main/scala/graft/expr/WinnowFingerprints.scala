@@ -101,7 +101,7 @@ object WinnowFingerprints {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => WinnowFingerprints(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "k", exprs(1)),
+        ExprArgs.intLit(FunctionName, "w", exprs(2))),
       "built-in")
 }

@@ -86,6 +86,6 @@ object WordGramHashes {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => WordGramHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "k", exprs(1))),
       "built-in")
 }

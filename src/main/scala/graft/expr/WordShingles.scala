@@ -72,6 +72,6 @@ object WordShingles {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName,
       exprs => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
+        ExprArgs.intLit(FunctionName, "n", exprs(1))),
       "built-in")
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -44,41 +44,41 @@ object GraftExtensions {
       (FunctionIdentifier(MinHashSignature.FunctionName),
         info(MinHashSignature.FunctionName, classOf[MinHashSignature]),
         exprs => MinHashSignature(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())),
+          ExprArgs.intLit(MinHashSignature.FunctionName, "numHashes", exprs(1)))),
       (FunctionIdentifier(WordShingles.FunctionName),
         info(WordShingles.FunctionName, classOf[WordShingles]),
         exprs => WordShingles(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())),
+          ExprArgs.intLit(WordShingles.FunctionName, "n", exprs(1)))),
       (FunctionIdentifier(SimHash60.FunctionName),
         info(SimHash60.FunctionName, classOf[SimHash60]),
         exprs => SimHash60(exprs.head)),
       (FunctionIdentifier(WinnowFingerprints.FunctionName),
         info(WinnowFingerprints.FunctionName, classOf[WinnowFingerprints]),
         exprs => WinnowFingerprints(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())),
+          ExprArgs.intLit(WinnowFingerprints.FunctionName, "k", exprs(1)),
+          ExprArgs.intLit(WinnowFingerprints.FunctionName, "w", exprs(2)))),
       (FunctionIdentifier(BloomMightContain.FunctionName),
         info(BloomMightContain.FunctionName, classOf[BloomMightContain]),
         exprs => BloomMightContain(exprs(0), exprs(1))),
       (FunctionIdentifier(KmvSketchAgg.FunctionName),
         info(KmvSketchAgg.FunctionName, classOf[KmvSketchAgg]),
         exprs => KmvSketchAgg(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())),
+          ExprArgs.intLit(KmvSketchAgg.FunctionName, "k", exprs(1)))),
       (FunctionIdentifier(OrderedPairs.FunctionName),
         info(OrderedPairs.FunctionName, classOf[OrderedPairs]),
         exprs => OrderedPairs(exprs.head)),
       (FunctionIdentifier(PostingPairsAgg.FunctionName),
         info(PostingPairsAgg.FunctionName, classOf[PostingPairsAgg]),
         exprs => PostingPairsAgg(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Number].longValue())),
+          ExprArgs.longLit(PostingPairsAgg.FunctionName, "maxDocFreq", exprs(2)))),
       (FunctionIdentifier(NfcNormalize.FunctionName),
         info(NfcNormalize.FunctionName, classOf[NfcNormalize]),
         exprs => NfcNormalize(exprs.head)),
       (FunctionIdentifier(CmsSketchAgg.FunctionName),
         info(CmsSketchAgg.FunctionName, classOf[CmsSketchAgg]),
         exprs => CmsSketchAgg(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())),
+          ExprArgs.intLit(CmsSketchAgg.FunctionName, "depth", exprs(1)),
+          ExprArgs.intLit(CmsSketchAgg.FunctionName, "width", exprs(2)))),
       (FunctionIdentifier(ImageMeta.FunctionName),
         info(ImageMeta.FunctionName, classOf[ImageMeta]),
         exprs => ImageMeta(exprs.head)),
@@ -91,8 +91,8 @@ object GraftExtensions {
       (FunctionIdentifier(PixelGridSig.FunctionName),
         info(PixelGridSig.FunctionName, classOf[PixelGridSig]),
         exprs => PixelGridSig(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())),
+          ExprArgs.intLit(PixelGridSig.FunctionName, "gx", exprs(1)),
+          ExprArgs.intLit(PixelGridSig.FunctionName, "gy", exprs(2)))),
       (FunctionIdentifier(AudioMeta.FunctionName),
         info(AudioMeta.FunctionName, classOf[AudioMeta]),
         exprs => AudioMeta(exprs.head)),
@@ -114,10 +114,10 @@ object GraftExtensions {
       (FunctionIdentifier(WordGramHashes.FunctionName),
         info(WordGramHashes.FunctionName, classOf[WordGramHashes]),
         exprs => WordGramHashes(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())),
+          ExprArgs.intLit(WordGramHashes.FunctionName, "k", exprs(1)))),
       (FunctionIdentifier(KmvQuantileAgg.FunctionName),
         info(KmvQuantileAgg.FunctionName, classOf[KmvQuantileAgg]),
         exprs => KmvQuantileAgg(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Number].intValue()))
+          ExprArgs.intLit(KmvQuantileAgg.FunctionName, "k", exprs(2))))
     )
 }

@@ -198,12 +198,75 @@ class ExprConfigSpec extends SparkSpec {
     val flat = Array.fill[Byte](3 * 3)(42)
     assert(parsed(buildPng(3, 3, 0, flat, Seq(2)))
       .contains(("png", 3, 3, 1, 9L, 9L * 42, 9L * 42 * 42, 42, 42, 1)))
+    // Adam7 interlaced: the raw stream is 7 reduced images, each
+    // filtered over ITS OWN neighbors; an interlaced file must decode
+    // identically to its non-interlaced twin. Build the pass streams
+    // from the same pixels with the same per-scanline filter logic.
+    def buildPngAdam7(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+        filters: Seq[Int]): Array[Byte] = {
+      val ch = chOf(colorType)
+      val x0 = Array(0, 4, 0, 2, 0, 1, 0); val dx = Array(8, 8, 4, 4, 2, 2, 1)
+      val y0 = Array(0, 0, 4, 0, 2, 0, 1); val dy = Array(8, 8, 8, 4, 4, 2, 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      for (p <- 0 until 7) {
+        val wp = (w - x0(p) + dx(p) - 1) / dx(p)
+        val hp = (h - y0(p) + dy(p) - 1) / dy(p)
+        if (wp > 0 && hp > 0) {
+          // the pass's reduced image, then filter it like buildPng does
+          val sub = Array.tabulate[Byte](wp * hp * ch) { i =>
+            val yy = i / (wp * ch); val rem = i % (wp * ch)
+            val xx = rem / ch; val c = rem % ch
+            pixels(((y0(p) + yy * dy(p)) * w + (x0(p) + xx * dx(p))) * ch + c)
+          }
+          val stride = wp * ch
+          for (y <- 0 until hp) {
+            val f = filters(y % filters.size)
+            bos.write(f)
+            for (j <- 0 until stride) {
+              val cur = sub(y * stride + j) & 0xFF
+              val a = if (j >= ch) sub(y * stride + j - ch) & 0xFF else 0
+              val b = if (y > 0) sub((y - 1) * stride + j) & 0xFF else 0
+              val c = if (y > 0 && j >= ch) sub((y - 1) * stride + j - ch) & 0xFF else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => a
+                case 2 => b
+                case 3 => (a + b) >> 1
+                case _ =>
+                  val pp = a + b - c
+                  val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+                  val pc = math.abs(pp - c)
+                  if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              }
+              bos.write((cur - pred) & 0xFF)
+            }
+          }
+        }
+      }
+      val ihdr = be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 1)
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(bos.toByteArray)) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    for (colorType <- Seq(0, 2, 6); (w, h) <- Seq((8, 8), (13, 11), (4, 4),
+        (1, 1), (5, 3)); filters <- Seq(Seq(0), Seq(0, 1, 2, 3, 4))) {
+      val ch = chOf(colorType)
+      val px = Array.fill[Byte](w * h * ch)(rng.nextInt(256).toByte)
+      val plain = parsed(buildPng(w, h, colorType, px, filters))
+      val inter = parsed(buildPngAdam7(w, h, colorType, px, filters))
+      assert(plain.isDefined && plain == inter,
+        s"Adam7 ct=$colorType ${w}x$h f=$filters: $inter vs $plain")
+    }
     // adversarial: each must be NULL, never an error
     val okPx = Array.fill[Byte](4 * 4 * 3)(7)
     val okPng = buildPng(4, 4, 2, okPx, Seq(0))
     assert(parsed(okPng.dropRight(30)).isEmpty, "truncated IDAT")
-    assert(parsed(buildPng(4, 4, 2, okPx, Seq(0), interlace = 1)).isEmpty,
-      "interlaced (Adam7) is documented-unsupported")
+    assert(parsed(buildPng(4, 4, 2, okPx, Seq(0), interlace = 2)).isEmpty,
+      "unknown interlace method")
+    locally { // truncated Adam7 stream (last pass missing) → NULL
+      val full = buildPngAdam7(8, 8, 0, Array.fill[Byte](64)(9), Seq(0))
+      assert(parsed(full.dropRight(40)).isEmpty, "truncated Adam7")
+    }
     assert(parsed(buildPng(4, 4, 2, okPx, Seq(0), depth = 16)).isEmpty,
       "16-bit depth unsupported")
     assert(parsed(buildPng(4, 4, 3, Array.fill[Byte](16)(23), Seq(0),
@@ -216,6 +279,15 @@ class ExprConfigSpec extends SparkSpec {
       Array[Byte](8, 2, 0, 0, 0)) ++ chunk("IDAT", Array[Byte](1, 2, 3)) ++
       chunk("IEND", Array.emptyByteArray)
     assert(parsed(bomb).isEmpty)
+    // palette-expansion bomb: 5000x5000 palette PNG passes the 1-byte/px
+    // raw cap (~25 MB) but would expand to 75 MB RGB — the guard must
+    // reject BEFORE the 3x allocation, returning NULL
+    locally {
+      val n = 5000
+      val pb = buildPng(n, n, 3, new Array[Byte](n * n), Seq(0),
+        plte = Some(Array[Byte](1, 2, 3)))
+      assert(parsed(pb).isEmpty, "palette-expansion bomb must be NULL")
+    }
     // PPM P6 with a comment line; exact raster byte accounting
     val ppmPx = Array.tabulate[Byte](5 * 3 * 3)(i => ((i * 11) % 256).toByte)
     val ppm = ("P6\n# a comment\n5 3\n255\n").getBytes("ISO-8859-1") ++ ppmPx
@@ -360,6 +432,18 @@ class ExprConfigSpec extends SparkSpec {
           $"content", lit(8), lit(8))).collect()
     }
     assert(e.getMessage.contains("63"), e.getMessage)
+    // non-literal / non-integer gx arguments are TYPED analysis errors
+    // (NON_FOLDABLE_ARGUMENT naming the function), never a raw
+    // ClassCastException from the resolution-time eval
+    for (badGx <- Seq($"media_id", lit("9"), lit(9.5))) {
+      val ae = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq((1L, ppm)).toDF("media_id", "content")
+          .select(call_function(graft.expr.PixelGridSig.FunctionName,
+            $"content", badGx, lit(7))).collect()
+      }
+      assert(ae.getMessage.contains(graft.expr.PixelGridSig.FunctionName),
+        ae.getMessage)
+    }
   }
 
   test("graft_audio_meta decodes WAV/FLAC headers, nulls the rest") {
