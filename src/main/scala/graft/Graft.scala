@@ -86,6 +86,7 @@ object Graft {
     graft.expr.PixelGridSig.register(spark)
     graft.expr.LangIdWide.register(spark)
     graft.expr.AudioMeta.register(spark)
+    graft.expr.AudioStats.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)

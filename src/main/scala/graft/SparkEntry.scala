@@ -2157,6 +2157,75 @@ object SparkEntry {
       Multimodal.imageNearDup(media, gx = 9, gy = 7, maxL1 = 126L)
     }),
 
+    // REAL audio sample decode end-to-end (the q150 pattern for
+    // audio): each doc becomes a genuine WAV — 16-bit signed LE PCM
+    // (mono/stereo) or 8-bit unsigned mono — with samples from one
+    // deterministic formula, built in-plan; graft_audio_stats walks
+    // the chunks and re-aggregates the samples as exact integers
+    // (sums, per-channel sumsq/peak, clipping counts, silence flag —
+    // id%11 docs are planted all-zero), and the oracle replays the
+    // sample arithmetic, so a decoder that didn't read the actual PCM
+    // bytes at the right width/signedness cannot reproduce the sums
+    "q154_audio_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val id = col("doc_id")
+      val m = id % 3
+      // 16-bit PCM: ch = id%2+1, rate = (id%4+1)*8000, frames =
+      // id%40+5; sample k raw = (id*31 + k*7919) % 65536 (signed via
+      // two's complement), except id%11 docs: all-zero (silence)
+      val ch16 = id % 2 + 1
+      val rate16 = (id % 4 + 1) * 8000
+      val n16 = id % 40 + 5
+      val ba16 = ch16 * 2
+      val ds16 = ba16 * n16
+      val dataHex16 = array_join(
+        transform(sequence(lit(0), (n16 * ch16 - 1).cast(IntegerType)), k => {
+          val r = when(pmod(id, lit(11L)) === 0, lit(0L))
+            .otherwise(pmod(id * 31 + k.cast(LongType) * 7919, lit(65536L)))
+          concat(lpad(hex(pmod(r, lit(256L))), 2, "0"),
+            lpad(hex(shiftright(r.cast(IntegerType), 8)), 2, "0"))
+        }), "")
+      val wav16 = concat(ascii("RIFF"), le32(ds16 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(ch16), le32(rate16),
+        le32(rate16 * ba16), le16(ba16), le16(lit(16)),
+        ascii("data"), le32(ds16), unhex(dataHex16))
+      // 8-bit unsigned mono: rate = (id%3+1)*11025, frames = id%60+10;
+      // byte k = (id*13 + k*101) % 256 (recentered by -128 at decode)
+      val rate8 = (id % 3 + 1) * 11025
+      val n8 = id % 60 + 10
+      val dataHex8 = array_join(
+        transform(sequence(lit(0), (n8 - 1).cast(IntegerType)), k =>
+          lpad(hex(pmod(id * 13 + k.cast(LongType) * 101, lit(256L))), 2, "0")),
+        "")
+      val wav8 = concat(ascii("RIFF"), le32(n8 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)), le32(rate8),
+        le32(rate8), le16(lit(1)), le16(lit(8)),
+        ascii("data"), le32(n8), unhex(dataHex8))
+      val content = when(m === 0, wav16)
+        .when(m === 1, wav8)
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStats(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"),
+          col("n_samples"), col("sum"), col("sumsq"), col("peak"),
+          col("n_clipped"), col("silent"), col("rms"), col("clip_rate"),
+          col("ch_sumsq"), col("ch_peak"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -4466,6 +4535,72 @@ object SparkEntry {
                  JOIN bm b2 ON b2.id = c.id2 AND b2.blk = b1.blk
                  GROUP BY c.id1, c.id2)
        SELECT id1, id2, l1 FROM l1t WHERE l1 <= 126""",
+
+    // replays q154's sample formulas over every (frame, channel)
+    // position — the decoded-PCM ground truth the chunk walk + LE16 /
+    // unsigned-8 sample reads must reproduce exactly. range hulls:
+    // 90 >= max 16-bit samples (44 frames x 2 ch), 70 >= max 8-bit
+    "q154_audio_stats" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 AS m,
+                  CAST(doc_id % 2 + 1 AS INTEGER) AS ch16,
+                  CAST((doc_id % 4 + 1) * 8000 AS INTEGER) AS rate16,
+                  doc_id % 40 + 5 AS n16,
+                  CAST((doc_id % 3 + 1) * 11025 AS INTEGER) AS rate8,
+                  doc_id % 60 + 10 AS n8
+           FROM documents),
+         v16 AS (SELECT id, k % ch16 AS chn, 16 AS bits,
+                   CASE WHEN id % 11 = 0 THEN 0
+                        WHEN (id*31 + k*7919) % 65536 >= 32768
+                          THEN (id*31 + k*7919) % 65536 - 65536
+                        ELSE (id*31 + k*7919) % 65536 END AS v
+                 FROM d CROSS JOIN range(0, 90) r(k)
+                 WHERE m = 0 AND k < n16 * ch16),
+         v8 AS (SELECT id, 0 AS chn, 8 AS bits,
+                  ((id*13 + k*101) % 256) - 128 AS v
+                FROM d CROSS JOIN range(0, 70) r(k)
+                WHERE m = 1 AND k < n8),
+         sv AS (SELECT * FROM v16 UNION ALL SELECT * FROM v8),
+         chs AS (SELECT id, chn, CAST(SUM(v*v) AS BIGINT) AS csq,
+                   CAST(MAX(ABS(v)) AS INTEGER) AS cpk
+                 FROM sv GROUP BY id, chn),
+         chj AS (SELECT id,
+                   string_agg(CAST(csq AS VARCHAR), ',' ORDER BY chn)
+                     AS ch_sumsq,
+                   string_agg(CAST(cpk AS VARCHAR), ',' ORDER BY chn)
+                     AS ch_peak
+                 FROM chs GROUP BY id),
+         tot AS (SELECT id, CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v*v) AS BIGINT) AS ss,
+                   CAST(MAX(ABS(v)) AS INTEGER) AS pk,
+                   CAST(SUM(CASE WHEN (bits = 16 AND (v >= 32767 OR v <= -32768))
+                                   OR (bits = 8 AND (v >= 127 OR v <= -128))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS clp,
+                   COUNT(*) AS ns
+                 FROM sv GROUP BY id)
+       SELECT d.id AS media_id,
+              CASE WHEN m < 2 THEN 'wav' END AS format,
+              CASE WHEN m = 0 THEN ch16
+                   WHEN m = 1 THEN CAST(1 AS INTEGER) END AS channels,
+              CASE WHEN m = 0 THEN rate16
+                   WHEN m = 1 THEN rate8 END AS sample_rate,
+              CASE WHEN m = 0 THEN CAST(16 AS INTEGER)
+                   WHEN m = 1 THEN CAST(8 AS INTEGER) END AS bit_depth,
+              CASE WHEN m = 0 THEN CAST(n16 AS BIGINT)
+                   WHEN m = 1 THEN CAST(n8 AS BIGINT) END AS n_frames,
+              CASE WHEN m = 0 THEN CAST(n16 * ch16 AS BIGINT)
+                   WHEN m = 1 THEN CAST(n8 AS BIGINT) END AS n_samples,
+              t.s AS sum, t.ss AS sumsq, t.pk AS peak, t.clp AS n_clipped,
+              CASE WHEN m < 2 THEN CAST(CASE WHEN t.pk = 0 THEN 1 ELSE 0 END
+                   AS INTEGER) END AS silent,
+              CASE WHEN m < 2
+                   THEN ROUND(sqrt(CAST(t.ss AS DOUBLE) / greatest(t.ns, 1)), 6)
+              END AS rms,
+              CASE WHEN m < 2
+                   THEN ROUND(CAST(t.clp AS DOUBLE) / greatest(t.ns, 1), 6)
+              END AS clip_rate,
+              c.ch_sumsq, c.ch_peak
+       FROM d LEFT JOIN tot t ON d.id = t.id
+              LEFT JOIN chj c ON d.id = c.id""",
 
     "q105_winsorize" ->
       """WITH b AS (

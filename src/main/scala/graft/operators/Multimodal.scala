@@ -180,6 +180,44 @@ object Multimodal {
         col("_m.n_frames").as("n_frames"))
   }
 
+  /** REAL audio sample decode + per-clip content stats —
+    * [[pixelStats]]'s audio sibling: WAV integer PCM (16-bit signed /
+    * 8-bit unsigned) decodes natively through
+    * [[graft.expr.AudioStats]], emitting the exact-integer sums the
+    * loudness/clipping/silence filters need plus the derived doubles
+    * in ONE documented formula (rms = √(sumsq/n_samples),
+    * clip_rate = n_clipped/n_samples, both 6dp-rounded) so any engine
+    * replays them bit-for-bit. Per-channel sumsq/peak arrays emit as
+    * canonical comma-joined strings (the q152 `sig` convention) so
+    * downstream grouping keys on scalars. Undecodable rows (FLAC/MP3
+    * payloads, non-PCM WAV, truncated data) keep NULL stats — the
+    * triage contract. Pure projection; blob projected away
+    * immediately, nothing downstream shuffles bytes.
+    */
+  def audioStats(media: DataFrame, contentCol: String = "content"): DataFrame = {
+    val meta = call_function(graft.expr.AudioStats.FunctionName, col(contentCol))
+    media.select(col("media_id"), col("kind"),
+        coalesce(length(col(contentCol)), lit(0)).cast(LongType).as("n_bytes"),
+        meta.as("_m"))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("_m.format").as("format"), col("_m.channels").as("channels"),
+        col("_m.sample_rate").as("sample_rate"),
+        col("_m.bit_depth").as("bit_depth"),
+        col("_m.n_frames").as("n_frames"),
+        col("_m.n_samples").as("n_samples"),
+        col("_m.sum").as("sum"), col("_m.sumsq").as("sumsq"),
+        col("_m.peak").as("peak"), col("_m.n_clipped").as("n_clipped"),
+        col("_m.silent").as("silent"),
+        round(sqrt(col("_m.sumsq").cast(DoubleType) /
+          greatest(col("_m.n_samples"), lit(1L))), 6).as("rms"),
+        round(col("_m.n_clipped").cast(DoubleType) /
+          greatest(col("_m.n_samples"), lit(1L)), 6).as("clip_rate"),
+        array_join(transform(col("_m.ch_sumsq"), x => x.cast(StringType)), ",")
+          .as("ch_sumsq"),
+        array_join(transform(col("_m.ch_peak"), x => x.cast(StringType)), ",")
+          .as("ch_peak"))
+  }
+
   /** [[imageMeta]]'s video sibling: MP4/MOV (ISO BMFF) metadata via
     * the native graft.expr.VideoMeta box walk (format, dims from the
     * first visual track's tkhd, duration_ms, timescale); undecodable

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioMeta, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioMeta, AudioStats, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -96,6 +96,9 @@ object GraftExtensions {
       (FunctionIdentifier(AudioMeta.FunctionName),
         info(AudioMeta.FunctionName, classOf[AudioMeta]),
         exprs => AudioMeta(exprs.head)),
+      (FunctionIdentifier(AudioStats.FunctionName),
+        info(AudioStats.FunctionName, classOf[AudioStats]),
+        exprs => AudioStats(exprs.head)),
       (FunctionIdentifier(VideoMeta.FunctionName),
         info(VideoMeta.FunctionName, classOf[VideoMeta]),
         exprs => VideoMeta(exprs.head)),

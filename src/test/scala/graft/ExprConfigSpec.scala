@@ -485,6 +485,88 @@ class ExprConfigSpec extends SparkSpec {
     assert(graft.expr.AudioMeta.parse(Array.emptyByteArray) == null)
   }
 
+  test("graft_audio_stats decodes WAV PCM samples exactly, nulls the rest") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def wav(ch: Int, rate: Int, bits: Int, data: Array[Byte],
+        fmtCode: Int = 1, baOverride: Option[Int] = None,
+        declaredSize: Option[Int] = None): Array[Byte] = {
+      val ba = baOverride.getOrElse(ch * bits / 8)
+      ascii("RIFF") ++ le32(36 + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(fmtCode) ++ le16(ch) ++
+        le32(rate) ++ le32(rate * ba) ++ le16(ba) ++ le16(bits) ++
+        ascii("data") ++ le32(declaredSize.getOrElse(data.length)) ++ data
+    }
+    def parsed(b: Array[Byte]) = Option(graft.expr.AudioStats.parse(b))
+    // 16-bit stereo with both full-scale extremes: every aggregate is
+    // exact-integer-checkable against the sample list
+    val samples = Seq(0, 1000, -1000, 32767, -32768, 12345, -1, 7)
+    val data16 = samples.flatMap(v => le16(v & 0xFFFF).toSeq).toArray
+    val r = parsed(wav(2, 44100, 16, data16)).get
+    assert(r.getUTF8String(0).toString == "wav" && r.getInt(1) == 2 &&
+      r.getInt(2) == 44100 && r.getInt(3) == 16)
+    assert(r.getLong(4) == 4L && r.getLong(5) == 8L) // frames, samples
+    assert(r.getLong(6) == samples.map(_.toLong).sum)
+    assert(r.getLong(7) == samples.map(v => v.toLong * v).sum)
+    assert(r.getInt(8) == 32768) // peak |−32768|
+    assert(r.getLong(9) == 2L)   // 32767 and −32768 both clip
+    assert(r.getInt(10) == 0)    // not silent
+    // per-channel split = interleave position
+    val ch0 = samples.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
+    val ch1 = samples.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }
+    assert(r.getArray(11).toLongArray.toSeq ==
+      Seq(ch0, ch1).map(_.map(v => v.toLong * v).sum))
+    assert(r.getArray(12).toIntArray.toSeq ==
+      Seq(ch0, ch1).map(_.map(math.abs).max))
+    // 8-bit unsigned mono: recentered by −128, 0/255 are full scale
+    val raw8 = Array(128, 0, 255, 200, 100)
+    val r8 = parsed(wav(1, 8000, 8, raw8.map(_.toByte))).get
+    val v8 = raw8.map(_ - 128)
+    assert(r8.getInt(3) == 8 && r8.getLong(4) == 5L && r8.getLong(5) == 5L)
+    assert(r8.getLong(6) == v8.map(_.toLong).sum &&
+      r8.getLong(7) == v8.map(v => v.toLong * v).sum)
+    assert(r8.getInt(8) == 128 && r8.getLong(9) == 2L && r8.getInt(10) == 0)
+    // digital silence: all-zero 16-bit samples → silent=1, no clipping
+    val rs = parsed(wav(1, 8000, 16, Array.fill[Byte](20)(0))).get
+    assert(rs.getLong(4) == 10L && rs.getInt(8) == 0 &&
+      rs.getLong(9) == 0L && rs.getInt(10) == 1)
+    // ragged tail (data size not a multiple of block align) floors to
+    // whole frames — the stray byte is ignored, stats unchanged
+    val rt = parsed(wav(2, 8000, 16, data16 ++ Array[Byte](1))).get
+    assert(rt.getLong(4) == 4L && rt.getLong(6) == r.getLong(6))
+    // adversarial: each must be NULL, never an error
+    assert(parsed(wav(2, 8000, 16, data16,
+      declaredSize = Some(data16.length + 10))).isEmpty, "truncated data")
+    assert(parsed(wav(2, 8000, 16, data16, fmtCode = 3)).isEmpty,
+      "non-PCM (float) format")
+    assert(parsed(wav(1, 8000, 24, Array.fill[Byte](12)(1))).isEmpty,
+      "24-bit unsupported")
+    assert(parsed(wav(2, 8000, 16, data16, baOverride = Some(3))).isEmpty,
+      "blockAlign inconsistent with channels*depth")
+    assert(parsed(ascii("fLaC") ++ Array.fill[Byte](50)(0)).isEmpty,
+      "FLAC payload needs a codec")
+    assert(parsed(ascii("garbage")).isEmpty)
+    assert(parsed(Array.emptyByteArray).isEmpty)
+    // SQL surface: Multimodal.audioStats derives rms/clip_rate in the
+    // documented formula and joins the per-channel arrays to strings
+    val media = Seq((1L, "audio", wav(2, 44100, 16, data16)),
+      (2L, "audio", "junk".getBytes("UTF-8"))).toDF("media_id", "kind", "content")
+    val out = graft.operators.Multimodal.audioStats(media)
+      .collect().map(x => x.getAs[Long]("media_id") -> x).toMap
+    val sumsq = samples.map(v => v.toLong * v).sum
+    assert(out(1L).getAs[Double]("rms") ==
+      BigDecimal(math.sqrt(sumsq.toDouble / 8))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L).getAs[Double]("clip_rate") == 0.25)
+    assert(out(1L).getAs[String]("ch_sumsq") ==
+      Seq(ch0, ch1).map(_.map(v => v.toLong * v).sum).mkString(","))
+    assert(out(1L).getAs[String]("ch_peak") ==
+      Seq(ch0, ch1).map(_.map(math.abs).max).mkString(","))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
+  }
+
   test("graft_video_meta walks MP4 box trees, nulls the rest") {
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
