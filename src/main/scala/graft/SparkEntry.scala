@@ -120,7 +120,16 @@ object SparkEntry {
                  CAST(SUM(CASE WHEN m > mean
                    THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT)
                    AS ahash
-               FROM bm JOIN mn ON bm.id = mn.id GROUP BY bm.id)"""
+               FROM bm JOIN mn ON bm.id = mn.id GROUP BY bm.id),
+       sigd AS (SELECT b1.id,
+                  CAST(COALESCE(SUM(CASE WHEN b2.m > b1.m
+                    THEN (CAST(1 AS BIGINT)
+                          << ((b1.blk // 9) * 8 + (b1.blk % 9)))
+                    ELSE 0 END), 0) AS BIGINT) AS dhash
+                FROM bm b1 JOIN bm b2
+                  ON b1.id = b2.id AND b2.blk = b1.blk + 1
+                     AND b1.blk % 9 < 8
+                GROUP BY b1.id)"""
 
   private def ts(s: String): java.sql.Timestamp = {
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
@@ -2136,7 +2145,7 @@ object SparkEntry {
           ppmContent(col("doc_id"), col("text")).as("content"))
       Multimodal.imageSignatures(media, gx = 9, gy = 7)
         .select(col("media_id"), col("format"), col("width"), col("height"),
-          col("sig"), col("ahash"))
+          col("sig"), col("ahash"), col("dhash"))
     }),
 
     // thumbnail near-dup pairs over the same constructed corpus: band
@@ -2155,6 +2164,21 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"),
           ppmContent(col("doc_id"), col("text")).as("content"))
       Multimodal.imageNearDup(media, gx = 9, gy = 7, maxL1 = 126L)
+    }),
+
+    // the dHash near-dup path over the same constructed corpus: band
+    // the gradient-sign fingerprint 4×16 bits, verify by HAMMING
+    // distance (bit_count of xor — integer-exact, oracle-replayable).
+    // Complements q153's aHash+L1 pipeline: dhash survives uniform
+    // brightness shifts that blow past any sig-L1 threshold (the
+    // brightness-invariance case is spec-gated in ExprConfigSpec)
+    "q155_image_neardup_dhash" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val media = tp(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          ppmContent(col("doc_id"), col("text")).as("content"))
+      Multimodal.imageNearDupDhash(media, gx = 9, gy = 7, maxHamming = 6)
     }),
 
     // REAL audio sample decode end-to-end (the q150 pattern for
@@ -4513,8 +4537,9 @@ object SparkEntry {
       s"""WITH $gridSigOracleCtes
        SELECT d.id AS media_id,
               CASE WHEN d.g % 7 <> 3 THEN 'ppm' END AS format,
-              s.w AS width, s.h AS height, s.sig, s.ahash
-       FROM d LEFT JOIN sig s ON d.id = s.id""",
+              s.w AS width, s.h AS height, s.sig, s.ahash, s2.dhash
+       FROM d LEFT JOIN sig s ON d.id = s.id
+              LEFT JOIN sigd s2 ON d.id = s2.id""",
 
     "q153_image_neardup" ->
       s"""WITH $gridSigOracleCtes,
@@ -4535,6 +4560,25 @@ object SparkEntry {
                  JOIN bm b2 ON b2.id = c.id2 AND b2.blk = b1.blk
                  GROUP BY c.id1, c.id2)
        SELECT id1, id2, l1 FROM l1t WHERE l1 <= 126""",
+
+    "q155_image_neardup_dhash" ->
+      s"""WITH $gridSigOracleCtes,
+         bands AS (SELECT id, band,
+                     (dhash >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM sigd CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       SELECT c.id1, c.id2,
+              CAST(bit_count(xor(d1.dhash, d2.dhash)) AS INTEGER) AS hamming
+       FROM cand c
+       JOIN sigd d1 ON d1.id = c.id1
+       JOIN sigd d2 ON d2.id = c.id2
+       WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 6""",
 
     // replays q154's sample formulas over every (frame, channel)
     // position — the decoded-PCM ground truth the chunk walk + LE16 /

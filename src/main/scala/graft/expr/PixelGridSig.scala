@@ -27,12 +27,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * construction arithmetic.
   *
   * Output struct: (format, width, height, sig array<int> of gx·gy
-  * row-major block means, ahash long). gx·gy ≤ 63 keeps the
-  * fingerprint in non-negative long territory (engines disagree on
-  * 64-bit overflow semantics; bit 62 is the ceiling an 8×8-1 grid
+  * row-major block means, ahash long, dhash long). gx·gy ≤ 63 keeps
+  * both fingerprints in non-negative long territory (engines disagree
+  * on 64-bit overflow semantics; bit 62 is the ceiling an 8×8-1 grid
   * never reaches — the shipped default is 9×7). Undecodable bytes,
   * or an image smaller than the grid (w < gx or h < gy: blocks would
   * be empty) → NULL.
+  *
+  * dhash is the difference-hash companion: bit y·(gx−1)+x set ⇔
+  * sig(y,x+1) > sig(y,x) (adjacent-block horizontal gradient sign,
+  * strict). aHash's classic weakness is uniform brightness/contrast
+  * shifts — they move the global mean AND every block, flipping the
+  * near-mean bits together and inflating the sig-L1 distance past any
+  * verify threshold; gradient SIGNS are invariant under any monotone
+  * uniform shift (absent saturation clamping), so dhash keeps such
+  * copies adjacent. Both emit from the one decode pass;
+  * [[graft.operators.Multimodal.imageNearDup]] bands either.
   */
 case class PixelGridSig(child: Expression, gx: Int, gy: Int)
     extends UnaryExpression {
@@ -75,7 +85,8 @@ object PixelGridSig {
     StructField("height", IntegerType, nullable = false),
     StructField("sig", ArrayType(IntegerType, containsNull = false),
       nullable = false),
-    StructField("ahash", LongType, nullable = false)))
+    StructField("ahash", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
 
   /** bytes → grid-signature InternalRow, or null. Static for codegen. */
   def sig(b: Array[Byte], gx: Int, gy: Int): InternalRow = {
@@ -118,8 +129,21 @@ object PixelGridSig {
       if (sigArr(i) > mean) hash |= 1L << i
       i += 1
     }
+    // dhash: horizontal gradient signs between adjacent blocks —
+    // (gx−1)·gy bits < gx·gy ≤ 63, so the same non-negative-long bound
+    var dhash = 0L
+    var by2 = 0
+    while (by2 < gy) {
+      var bx = 0
+      while (bx < gx - 1) {
+        if (sigArr(by2 * gx + bx + 1) > sigArr(by2 * gx + bx))
+          dhash |= 1L << (by2 * (gx - 1) + bx)
+        bx += 1
+      }
+      by2 += 1
+    }
     InternalRow(UTF8String.fromString(d.fmt), d.w, d.h,
-      new GenericArrayData(sigArr), hash)
+      new GenericArrayData(sigArr), hash, dhash)
   }
 
   def register(spark: SparkSession): Unit =

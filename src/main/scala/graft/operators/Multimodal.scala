@@ -93,7 +93,8 @@ object Multimodal {
         col("_g.width").as("width"), col("_g.height").as("height"),
         array_join(transform(col("_g.sig"), x => x.cast(StringType)), ",")
           .as("sig"),
-        col("_g.ahash").as("ahash"))
+        col("_g.ahash").as("ahash"),
+        col("_g.dhash").as("dhash"))
   }
 
   /** Thumbnail / near-duplicate IMAGE pairs over real pixels — the
@@ -161,6 +162,59 @@ object Multimodal {
       .withColumn("l1", l1)
       .filter(col("l1") <= maxL1)
       .select("id1", "id2", "l1")
+  }
+
+  /** [[imageNearDup]]'s brightness-robust sibling: bands the dHash
+    * (adjacent-block gradient signs, [[graft.expr.PixelGridSig]])
+    * instead of the aHash and verifies by HAMMING distance between
+    * the two dhashes rather than sig-L1. A uniform brightness or
+    * contrast shift moves every block mean together — aHash's
+    * near-mean bits flip as a group and the sig-L1 distance blows
+    * past any sane threshold, so the aHash pipeline drops such
+    * copies; gradient signs are invariant under monotone uniform
+    * shifts (absent saturation clamping), so this pipeline keeps
+    * them. Run both and union when a corpus mixes edit types — the
+    * two verdicts are complementary, not redundant.
+    *
+    * Returns (id1, id2, hamming) with id1 < id2; integer arithmetic
+    * end-to-end (bit_count of xor), so an oracle replays every pair.
+    * Same scale shape as [[imageNearDup]]: one cached decode pass,
+    * posting-kernel banding (no self-join), `maxBucket` skew guard —
+    * note dhash's top band carries fewer live bits than aHash's
+    * ((gx−1)·gy < 63 bits total), so its band keys cluster harder
+    * and the guard matters MORE here.
+    */
+  def imageNearDupDhash(media: DataFrame, contentCol: String = "content",
+      gx: Int = 9, gy: Int = 7, maxHamming: Int = 6,
+      maxBucket: Int = 4096): DataFrame = {
+    require(gx * gy <= 63, s"gx*gy must fit the 63-bit hash: $gx x $gy")
+    require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
+    val g = call_function(graft.expr.PixelGridSig.FunctionName,
+      col(contentCol), lit(gx), lit(gy))
+    val sigs = graft.Caches.own(
+      media.select(col("media_id").as("_id"), g.as("_g"))
+        .filter(col("_g").isNotNull)
+        .select(col("_id"), col("_g.dhash").as("_h")))
+    val banded = sigs.select(col("_id"), col("_h"),
+        explode(sequence(lit(0), lit(3))).as("_band"))
+      .select(col("_id"), col("_band"),
+        call_function("shiftright", col("_h"),
+          (col("_band") * 16).cast(IntegerType))
+          .bitwiseAND(lit(65535L)).as("_key"))
+    val cands = banded.groupBy(col("_band"), col("_key"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .distinct()
+    cands
+      .join(sigs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
+      .join(sigs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
+      .withColumn("hamming",
+        bit_count(col("_h1").bitwiseXOR(col("_h2"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
   }
 
   /** [[imageMeta]]'s audio sibling: WAV/FLAC header metadata via the

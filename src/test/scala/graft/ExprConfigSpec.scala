@@ -425,6 +425,30 @@ class ExprConfigSpec extends SparkSpec {
     val pairs = graft.operators.Multimodal.imageNearDup(media, gx = 9, gy = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0L)), pairs.toSeq)
+    // dHash vs aHash on a UNIFORM +20 brightness copy (the classic
+    // aHash weakness): every block mean moves +20 exactly (clamp-free
+    // pixels ≤ 235), so gradient signs — and hence dhash — are
+    // bit-identical, while the sig-L1 distance is 63·20 = 1260, far
+    // past any sane verify threshold. The aHash pipeline must DROP
+    // the pair; the dHash pipeline must KEEP it at hamming 0.
+    locally {
+      val basePx = Array.fill[Byte](w * h * 3)(rng.nextInt(236).toByte)
+      val brightPx = basePx.map(b => ((b & 0xFF) + 20).toByte)
+      def asPpm(p: Array[Byte]) =
+        (s"P6\n$w $h\n255\n").getBytes("ISO-8859-1") ++ p
+      val b1 = graft.expr.PixelGridSig.sig(asPpm(basePx), 9, 7)
+      val b2 = graft.expr.PixelGridSig.sig(asPpm(brightPx), 9, 7)
+      assert(b1.getLong(5) == b2.getLong(5), "dhash must survive +20")
+      val bm = Seq((1L, asPpm(basePx)), (2L, asPpm(brightPx)))
+        .toDF("media_id", "content")
+      val aPairs = graft.operators.Multimodal.imageNearDup(bm, gx = 9, gy = 7)
+        .collect()
+      assert(aPairs.isEmpty, s"aHash pipeline should drop the +20 copy")
+      val dPairs = graft.operators.Multimodal
+        .imageNearDupDhash(bm, gx = 9, gy = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(dPairs.toSeq == Seq((1L, 2L, 0)), dPairs.toSeq)
+    }
     // grid bound is a hard analysis error, not silent truncation
     val e = intercept[Exception] {
       Seq((1L, ppm)).toDF("media_id", "content")

@@ -303,6 +303,15 @@ class KernelPropertySpec extends SparkSpec {
       assert(got.getArray(3).toIntArray.toSeq == sig,
         s"trial $trial ${w}x$h sig mismatch")
       assert(got.getLong(4) == hash, s"trial $trial ahash mismatch")
+      // dhash: strict-greater gradient sign between row-adjacent blocks
+      val dhash = (0 until gy).foldLeft(0L) { (acc, by) =>
+        (0 until gx - 1).foldLeft(acc) { (a, bx) =>
+          if (sig(by * gx + bx + 1) > sig(by * gx + bx))
+            a | (1L << (by * (gx - 1) + bx))
+          else a
+        }
+      }
+      assert(got.getLong(5) == dhash, s"trial $trial dhash mismatch")
     }
   }
 }
