@@ -137,7 +137,10 @@ object Bench {
     println(line)
     // Also drop the line as a repo artifact so the numbers stay
     // readable even if the harness's stdout capture mangles the log.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+    // Named per workload so a headline run can never overwrite (and
+    // masquerade as) a full-suite artifact or vice versa.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"bench_last_$workload.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

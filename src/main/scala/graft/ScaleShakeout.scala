@@ -247,6 +247,72 @@ object ScaleShakeout {
       }
     }
 
+    // perceptual image near-dup at corpus scale: a realistic thumbnail
+    // corpus INCLUDING A MASS BUCKET — 3% all-black frames, every one
+    // hashing to aHash 0 / dHash 0, the known pathological key — plus
+    // 10% planted near-dup variants (+4 on every 23rd byte) that must
+    // survive. The claims under test: (a) wall time scales ~linearly
+    // in images, (b) the maxBucket guard absorbs the mass bucket
+    // (skipped-bucket forensics printed) instead of letting it expand
+    // quadratically, (c) zero spill. 32×24 PPM thumbnails keep the
+    // decode term honest without parquet-size games.
+    if (wanted("imageNearDup", "imageNearDupDhash")) {
+      val imgPath = "target/scale_images.parquet"
+      val genImg = udf { (id: Long) =>
+        val w = 32; val h = 24
+        val header = s"P6\n$w $h\n255\n".getBytes("ISO-8859-1")
+        val px = new Array[Byte](w * h * 3)
+        val isVariant = id % 10 == 9
+        val isBlack = id % 100 < 3 && !isVariant
+        if (!isBlack) {
+          val fam = if (isVariant) id - 1 else id
+          // a variant of a black predecessor degrades to a fresh image
+          // (fam seed still deterministic) — harmless, keeps kinds simple
+          val rnd = new java.util.Random(fam * 6364136223846793005L + 11L)
+          rnd.nextBytes(px)
+          if (isVariant) {
+            var i = 0
+            while (i < px.length) {
+              if (i % 23 == 0)
+                px(i) = (((px(i) & 0xFF) min 251) + 4).toByte
+              i += 1
+            }
+          }
+        }
+        header ++ px
+      }
+      spark.range(nDocs)
+        .select(col("id").as("media_id"), genImg(col("id")).as("content"))
+        .write.mode("overwrite").parquet(imgPath)
+      val imgs = spark.read.parquet(imgPath)
+      // mass-bucket forensics: buckets past the cap and their members,
+      // per fingerprint — the evidence the guard ENGAGED
+      // band widths mirror the operators: aHash 63 live bits → 4×16,
+      // dHash (gx−1)·gy = 56 live bits → 4×14
+      for ((hc, bw) <- Seq("ahash" -> 16, "dhash" -> 14)) {
+        val over = graft.operators.Multimodal
+          .imageSignatures(imgs, gx = 9, gy = 7)
+          .filter(col(hc).isNotNull)
+          .select(explode(sequence(lit(0), lit(3))).as("band"), col(hc))
+          .select(col("band"),
+            call_function("shiftright", col(hc),
+              (col("band") * bw).cast("int"))
+              .bitwiseAND(lit((1L << bw) - 1L)).as("key"))
+          .groupBy("band", "key").count()
+          .filter(col("count") > 4096)
+          .agg(count(lit(1)).as("buckets"), sum(col("count")).as("members"))
+          .head()
+        println(s"  $hc mass buckets > 4096: ${over.getLong(0)} " +
+          s"(members=${if (over.isNullAt(1)) 0L else over.getLong(1)})")
+      }
+      run("imageNearDup")(
+        graft.operators.Multimodal.imageNearDup(imgs, gx = 9, gy = 7,
+          maxL1 = 126L))
+      run("imageNearDupDhash")(
+        graft.operators.Multimodal.imageNearDupDhash(imgs, gx = 9, gy = 7,
+          maxHamming = 6))
+    }
+
     // sessions/window family over a 10× events table (1M events, 10k
     // users incl. one whale user with 5% of all traffic — the per-user
     // window's skew case). Deterministic from the event id.

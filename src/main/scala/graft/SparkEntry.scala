@@ -572,7 +572,7 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
     }),
 
-    // WIDE language ID: 32 languages + und with a confidence column —
+    // WIDE language ID: 62 languages + und with a confidence column —
     // script-tier codepoint evidence (12 non-Latin scripts) over a
     // 20-language Latin stopword argmax; the router breadth a real
     // multilingual crawl needs (q26 keeps the minimal 4-way form)
@@ -1101,7 +1101,7 @@ object SparkEntry {
     // language-ID confusion matrix: predicted vs labeled language with
     // per-cell counts — the classifier-evaluation query every heuristic
     // (and model) gate needs before it filters a corpus. Round 8:
-    // evaluated against the WIDE 32-language predictor (q151's label
+    // evaluated against the WIDE 62-language predictor (q151's label
     // space) — the honest matrix now also shows which labels leak into
     // the 28 languages the old 4-way form could never emit
     "q117_lang_confusion" -> ((s, dir) => {
@@ -2167,8 +2167,10 @@ object SparkEntry {
     }),
 
     // the dHash near-dup path over the same constructed corpus: band
-    // the gradient-sign fingerprint 4×16 bits, verify by HAMMING
-    // distance (bit_count of xor — integer-exact, oracle-replayable).
+    // the gradient-sign fingerprint over its 56 LIVE bits (4×14 — a
+    // fixed 4×16 split leaves band 3 with 256 possible keys and goes
+    // quadratic at corpus scale), verify by HAMMING distance
+    // (bit_count of xor — integer-exact, oracle-replayable).
     // Complements q153's aHash+L1 pipeline: dhash survives uniform
     // brightness shifts that blow past any sig-L1 threshold (the
     // brightness-invariance case is spec-gated in ExprConfigSpec)
@@ -4564,7 +4566,7 @@ object SparkEntry {
     "q155_image_neardup_dhash" ->
       s"""WITH $gridSigOracleCtes,
          bands AS (SELECT id, band,
-                     (dhash >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                     (dhash >> CAST(band*14 AS INTEGER)) & 16383 AS key
                    FROM sigd CROSS JOIN range(0, 4) rb(band)),
          okb AS (SELECT band, key FROM bands GROUP BY band, key
                  HAVING COUNT(*) BETWEEN 2 AND 4096),

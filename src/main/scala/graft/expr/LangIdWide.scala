@@ -10,13 +10,13 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernel for the wide language ID — the composed Column form
-  * (12 per-script regexp_replace counts + 20 array_intersect stopword
-  * hits + two 32-way CASE chains in one projection) exceeds janino's
+  * (26 per-script regexp_replace counts + 36 array_intersect stopword
+  * hits + two 62-way CASE chains in one projection) exceeds janino's
   * method limits, so whole-stage codegen SILENTLY fell back to
   * interpreted evaluation with no subexpression reuse: 13 s for 5 000
   * docs. This expression does the same arithmetic the obvious way —
-  * ONE pass over the characters classifying all 12 scripts at once,
-  * ONE token-set build probed by all 200 stopwords — and returns in
+  * ONE pass over the characters classifying all 26 scripts at once,
+  * ONE token-set build probed by all 360 stopwords — and returns in
   * milliseconds. Semantics are IDENTICAL to
   * [[graft.functions.TextAnalysis]]'s constants and rules (script
   * dominance `sMax·10 ≥ nonWs·3` on integer counts, stopword argmax
@@ -47,12 +47,12 @@ case class LangIdWide(left: Expression, right: Expression)
     }
 
   override def nullSafeEval(t: Any, tk: Any): Any =
-    LangIdWide.eval(t.asInstanceOf[UTF8String], tk.asInstanceOf[ArrayData])
+    LangIdWide.evalLang(t.asInstanceOf[UTF8String], tk.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, tk) => {
       s"""
-         |${ev.value} = graft.expr.LangIdWide.eval($t, $tk);
+         |${ev.value} = graft.expr.LangIdWide.evalLang($t, $tk);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -95,7 +95,15 @@ object LangIdWide {
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 11 || cp == '\f' ||
       cp == '\r'
 
-  def eval(text: UTF8String, toks: ArrayData): InternalRow = {
+  /** Named evalLang, NOT eval: the companion CLASS inherits
+    * Expression.eval(InternalRow), and scalac suppresses a static
+    * forwarder whenever the class has ANY member of the same name —
+    * generated code calling `LangIdWide.eval(t, tk)` then fails
+    * janino compilation and the whole stage silently drops to
+    * interpreted evaluation (the exact failure mode this kernel
+    * exists to avoid, rediscovered one level down).
+    */
+  def evalLang(text: UTF8String, toks: ArrayData): InternalRow = {
     val s = text.toString
     // one pass BY CODE POINT: the composed form's counts come from
     // Spark length()/regexp (code-point semantics), so a surrogate
@@ -132,7 +140,7 @@ object LangIdWide {
       return new GenericInternalRow(Array[Any](
         UTF8String.fromString(scriptLangs(sArg)),
         round4(sMax.toDouble / nonWs)))
-    // stopword tier: one token-set build, 200 probes. DISTINCT
+    // stopword tier: one token-set build, 360 probes. DISTINCT
     // stopword hits (array_intersect semantics) — set membership per
     // listed word, each word counted once.
     val n = toks.numElements()

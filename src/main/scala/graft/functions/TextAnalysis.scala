@@ -126,49 +126,85 @@ object TextAnalysis {
     * kanji-heavy; pure-Han text routes to zh.
     */
   val ScriptRanges: Seq[(String, String)] = Seq(
+    "am" -> "\u1200-\u137F", // Ethiopic (Amharic/Tigrinya \u2192 am prior)
     "ar" -> "\u0600-\u06FF", // Arabic
     "bn" -> "\u0980-\u09FF", // Bengali
+    "bo" -> "\u0F00-\u0FFF", // Tibetan
+    "dv" -> "\u0780-\u07BF", // Thaana (Dhivehi)
     "el" -> "\u0370-\u03FF", // Greek
+    "gu" -> "\u0A80-\u0AFF", // Gujarati
     "he" -> "\u0590-\u05FF", // Hebrew
     "hi" -> "\u0900-\u097F", // Devanagari
     "hy" -> "\u0530-\u058F", // Armenian
     "ja" -> "\u3040-\u30FF", // Hiragana + Katakana
     "ka" -> "\u10A0-\u10FF", // Georgian
+    "km" -> "\u1780-\u17FF", // Khmer
+    "kn" -> "\u0C80-\u0CFF", // Kannada
     "ko" -> "\uAC00-\uD7A3", // Hangul syllables
+    "lo" -> "\u0E80-\u0EFF", // Lao
+    "ml" -> "\u0D00-\u0D7F", // Malayalam
+    "my" -> "\u1000-\u109F", // Myanmar
+    "or" -> "\u0B00-\u0B7F", // Oriya
+    "pa" -> "\u0A00-\u0A7F", // Gurmukhi (Punjabi)
     "ru" -> "\u0400-\u04FF", // Cyrillic
+    "si" -> "\u0D80-\u0DFF", // Sinhala
+    "ta" -> "\u0B80-\u0BFF", // Tamil
+    "te" -> "\u0C00-\u0C7F", // Telugu
     "th" -> "\u0E00-\u0E7F", // Thai
     "zh" -> "\u4E00-\u9FFF") // CJK Unified Ideographs
 
-  /** Stopword evidence for the 20 Latin-script languages of
+  /** Stopword evidence for the 36 Latin-script languages of
     * [[langIdWide]]. ASCII-only function words by construction: the
     * shared tokenizer lowercases and splits on [^a-z0-9]+, so accented
     * forms fragment before matching — each list picks that language's
     * most frequent DIACRITIC-FREE function words. Close pairs are
     * deliberately separable: da/no share 8 of 10 words but split on
     * af/ikke-vs-av (the real orthographic distinguisher); es/pt split
-    * on el/la-vs-o/um.
+    * on el/la-vs-o/um; id/ms share the yang/dan/di core but split on
+    * itu/tidak/akan-vs-adalah/boleh/kerana; et/fi share ja/on/ei/oli
+    * but split on see/kui/aga-vs-se/kun/jos; az/tr split on
+    * ki/lakin/olaraq-vs-ve/gibi/ama. Languages whose function words
+    * are diacritic-heavy (vi, mt, sq) list only their pure-ASCII
+    * function words — the others fragment at the tokenizer and can
+    * never match, so listing them would only dilute confidence.
     */
   val WideStopwordLists: Seq[(String, Seq[String])] = Seq(
+    "af" -> Seq("die", "en", "van", "het", "nie", "is", "wat", "om", "vir", "ook"),
+    "az" -> Seq("ki", "bir", "bu", "lakin", "olaraq", "zaman", "daha", "sonra", "ancaq", "edir"),
     "ca" -> Seq("el", "la", "de", "que", "els", "per", "amb", "una", "als", "dels"),
     "cs" -> Seq("je", "se", "na", "to", "ale", "jako", "pro", "tak", "co", "nebo"),
+    "cy" -> Seq("yn", "y", "ar", "ei", "yr", "bod", "wedi", "am", "gan", "hefyd"),
     "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "af", "ikke"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "et" -> Seq("ja", "on", "ei", "see", "oli", "ka", "kui", "aga", "mis", "oma"),
+    "eu" -> Seq("eta", "da", "ez", "du", "bat", "dira", "baina", "zen", "ere", "dute"),
     "fi" -> Seq("ja", "on", "ei", "se", "oli", "mutta", "kun", "niin", "joka", "jos"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
+    "ga" -> Seq("agus", "an", "ar", "na", "le", "go", "ach", "mar", "ag", "sin"),
+    "gl" -> Seq("de", "que", "o", "a", "e", "do", "da", "un", "unha", "dos"),
     "hr" -> Seq("je", "se", "na", "da", "su", "od", "za", "ali", "kao", "ili"),
     "hu" -> Seq("az", "nem", "hogy", "egy", "van", "de", "ha", "meg", "mint", "csak"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "le", "si", "una"),
+    "lt" -> Seq("ir", "yra", "kad", "tai", "bet", "kaip", "jau", "buvo", "apie", "nes"),
+    "lv" -> Seq("un", "ir", "ka", "par", "bet", "no", "uz", "tas", "vai", "tika"),
+    "ms" -> Seq("yang", "dan", "di", "dengan", "untuk", "ini", "adalah", "boleh", "kerana", "telah"),
+    "mt" -> Seq("li", "ta", "il", "ma", "dan", "din", "kien", "biex", "jew", "ukoll"),
     "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "op", "voor", "met"),
     "no" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "av", "ikke"),
     "pl" -> Seq("nie", "to", "jest", "na", "do", "z", "co", "tak", "ale", "jak"),
     "pt" -> Seq("de", "que", "o", "da", "em", "um", "para", "com", "os", "uma"),
     "ro" -> Seq("de", "la", "cu", "un", "o", "este", "pentru", "care", "dar", "mai"),
     "sk" -> Seq("je", "sa", "na", "to", "som", "ako", "ale", "pre", "tak", "alebo"),
+    "sl" -> Seq("je", "in", "se", "na", "da", "so", "za", "ki", "pa", "tudi"),
+    "sq" -> Seq("dhe", "me", "nga", "si", "por", "kjo", "ka", "duke", "sipas", "mund"),
     "sv" -> Seq("och", "att", "det", "som", "en", "av", "den", "med", "har", "till"),
-    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "gibi", "ama", "daha", "sonra", "kadar"))
+    "sw" -> Seq("na", "ya", "wa", "kwa", "ni", "za", "katika", "hii", "lakini", "kama"),
+    "tl" -> Seq("ang", "ng", "sa", "na", "mga", "ay", "at", "para", "ito", "hindi"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "ne", "gibi", "ama", "daha", "sonra", "kadar"),
+    "vi" -> Seq("cho", "trong", "khi", "hay", "nhau", "theo", "ra", "con", "anh", "nay"))
 
   /** Argmax over (lang, evidence) pairs with ties to the lowest
     * language code — the shared CASE-chain shape (codegen'd; a
@@ -182,7 +218,7 @@ object TextAnalysis {
     }.otherwise(lit(byLang.last._1))
   }
 
-  /** Wide language ID: 32 languages + "und", with a confidence column
+  /** Wide language ID: 62 languages + "und", with a confidence column
     * — the breadth a real multilingual-crawl router needs (the 4-way
     * [[langId]] stays as the minimal reference form). Two tiers, both
     * pure codegen'd expressions:
@@ -198,7 +234,7 @@ object TextAnalysis {
     *     → ("und", 0.0).
     *
     * Returns struct(lang, confidence). Scale shape: one projection —
-    * 12 bounded char-class scans + one tokenize + 20 array_intersects
+    * 26 bounded char-class scans + one tokenize + 36 array_intersects
     * per row, no shuffle, no state; fuses into the scan at 100 TB.
     */
   def langIdWide(text: Column): Column =
@@ -206,8 +242,8 @@ object TextAnalysis {
 
   /** [[langIdWide]] over a pre-materialized token array. Delegates to
     * the native [[graft.expr.LangIdWide]] kernel: the composed form
-    * below exceeds janino's method limits (the 32-way CASE chains +
-    * 12 regex counts in one projection), so whole-stage codegen
+    * below exceeds janino's method limits (the wide CASE chains +
+    * per-script regex counts in one projection), so whole-stage codegen
     * SILENTLY fell back to interpreted evaluation with no
     * subexpression reuse — measured 13 s vs ~0.4 s for 5 000 docs.
     * Both forms share the same constants and rules; the spec asserts

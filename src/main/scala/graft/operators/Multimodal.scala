@@ -179,10 +179,18 @@ object Multimodal {
     * Returns (id1, id2, hamming) with id1 < id2; integer arithmetic
     * end-to-end (bit_count of xor), so an oracle replays every pair.
     * Same scale shape as [[imageNearDup]]: one cached decode pass,
-    * posting-kernel banding (no self-join), `maxBucket` skew guard —
-    * note dhash's top band carries fewer live bits than aHash's
-    * ((gx−1)·gy < 63 bits total), so its band keys cluster harder
-    * and the guard matters MORE here.
+    * posting-kernel banding (no self-join), `maxBucket` skew guard.
+    *
+    * Banding splits the (gx−1)·gy LIVE bits into 4 equal bands of
+    * ceil(live/4) bits — NOT fixed 16-bit slices of a 63-bit layout.
+    * dhash has only 56 live bits at the default 9×7 grid, so a fixed
+    * 4×16 split leaves band 3 with 8 live bits = 256 possible keys:
+    * every bucket holds N/256 images on average, each BELOW a
+    * per-bucket cap yet collectively quadratic — measured 195 s /
+    * 36 GB spill at 250k images vs 7 s spill-free for the live-bit
+    * split (ScaleShakeout imageNearDupDhash). The aHash path's 63
+    * live bits give ceil(63/4) = 16, so this rule reproduces its
+    * 4×16 banding exactly.
     */
   def imageNearDupDhash(media: DataFrame, contentCol: String = "content",
       gx: Int = 9, gy: Int = 7, maxHamming: Int = 6,
@@ -195,12 +203,15 @@ object Multimodal {
       media.select(col("media_id").as("_id"), g.as("_g"))
         .filter(col("_g").isNotNull)
         .select(col("_id"), col("_g.dhash").as("_h")))
+    val liveBits = (gx - 1) * gy
+    val bandWidth = (liveBits + 3) / 4 // ceil: every live bit lands in a band
+    val bandMask = (1L << bandWidth) - 1L
     val banded = sigs.select(col("_id"), col("_h"),
         explode(sequence(lit(0), lit(3))).as("_band"))
       .select(col("_id"), col("_band"),
         call_function("shiftright", col("_h"),
-          (col("_band") * 16).cast(IntegerType))
-          .bitwiseAND(lit(65535L)).as("_key"))
+          (col("_band") * bandWidth).cast(IntegerType))
+          .bitwiseAND(lit(bandMask)).as("_key"))
     val cands = banded.groupBy(col("_band"), col("_key"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)

@@ -680,6 +680,65 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("langIdWide: widened 62-language set — new scripts and close pairs") {
+    val df = Seq(
+      // new script tiers (explicit escapes; real words in each block)
+      (1L, "ሰላም መልካም"), // am: Ethiopic
+      (2L, "བོད སྐད"), // bo: Tibetan
+      (3L, "નમસ્તે"), // gu: Gujarati
+      (4L, "ខ្មែរ"), // km: Khmer
+      (5L, "ಕನ್ನಡ"), // kn: Kannada
+      (6L, "ລາວ ບານ"), // lo: Lao
+      (7L, "മലയാളം"), // ml: Malayalam
+      (8L, "မြန်မာ"), // my: Myanmar
+      (9L, "ਪੰਜਾਬੀ"), // pa: Gurmukhi
+      (10L, "සිංහල"), // si: Sinhala
+      (11L, "தமிழ்"), // ta: Tamil
+      (12L, "తెలుగు"), // te: Telugu
+      (13L, "ދިވެހި"), // dv: Thaana
+      // close Latin pairs the widened lists must separate
+      (20L, "yang dan di dengan untuk ini itu tidak dari akan"), // id
+      (21L, "yang dan di dengan untuk ini adalah boleh kerana telah"), // ms
+      (22L, "ja on ei se oli mutta kun niin joka jos"), // fi
+      (23L, "ja on ei see oli ka kui aga mis oma"), // et
+      (24L, "bir ve bu da ne gibi ama daha sonra kadar"), // tr
+      (25L, "ki bir bu lakin olaraq zaman daha sonra ancaq edir"), // az
+      (26L, "je se na da su od za ali kao ili"), // hr
+      (27L, "je in se na da so za ki pa tudi"), // sl
+      (28L, "de que o da em um para com os uma"), // pt
+      (29L, "de que o a e do da un unha dos"), // gl
+      // singletons from the new band
+      (30L, "die hond en die kat is nie van die huis wat ook"), // af
+      (31L, "ang mga bata ay sa bahay na ito para hindi"), // tl
+      (32L, "na ya wa kwa ni za katika hii lakini kama"), // sw
+      (33L, "cho trong khi hay nhau theo ra con anh nay"), // vi
+      (34L, "ir yra kad tai bet kaip jau buvo apie nes"), // lt
+      (35L, "un ir ka par bet no uz tas vai tika") // lv
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdWide($"text")
+    val got = df.select($"doc_id", pred.getField("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = Map(1L -> "am", 2L -> "bo", 3L -> "gu", 4L -> "km",
+      5L -> "kn", 6L -> "lo", 7L -> "ml", 8L -> "my", 9L -> "pa",
+      10L -> "si", 11L -> "ta", 12L -> "te", 13L -> "dv",
+      20L -> "id", 21L -> "ms", 22L -> "fi", 23L -> "et", 24L -> "tr",
+      25L -> "az", 26L -> "hr", 27L -> "sl", 28L -> "pt", 29L -> "gl",
+      30L -> "af", 31L -> "tl", 32L -> "sw", 33L -> "vi", 34L -> "lt",
+      35L -> "lv")
+    exp.foreach { case (id, l) =>
+      assert(got(id) == l, s"doc $id: got ${got(id)} want $l")
+    }
+    // native ≡ composed holds at the widened label space too
+    val composed = TextAnalysis.langIdWideComposed($"text")
+    df.select($"doc_id", pred.getField("lang"), pred.getField("confidence"),
+        composed.getField("lang"), composed.getField("confidence"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(3) &&
+          r.getDouble(2) == r.getDouble(4),
+          s"native vs composed diverge on doc ${r.getLong(0)}: $r")
+      }
+  }
+
   test("text analysis: langId, token stats, fingerprint determinism") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
