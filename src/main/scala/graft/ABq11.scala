@@ -29,7 +29,7 @@ object ABq11 {
     spark.sparkContext.setLogLevel("WARN")
     Graft.tune(spark)
 
-    val subjects = Seq("q11_scd1_merge", "q12_scd2_merge", "q13_upsert_merge")
+    val subjects = Seq("q11_scd1_merge", "q12_scd2_merge", "q13_merge_upsert")
     val canaries = Seq("q02_filter_project", "q20_ts_bucket", "q39_frame_sample")
 
     def clear(): Unit = {

@@ -87,6 +87,7 @@ object Graft {
     graft.expr.LangIdWide.register(spark)
     graft.expr.AudioMeta.register(spark)
     graft.expr.AudioStats.register(spark)
+    graft.expr.AudioEnvSig.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)

@@ -313,6 +313,72 @@ object ScaleShakeout {
           maxHamming = 6))
     }
 
+    // perceptual audio near-dup at corpus scale, the image decade's
+    // audio sibling: 16-bit mono WAV clips with a 3% CONSTANT-
+    // AMPLITUDE mass bucket — flat envelope ⇒ every gradient bit 0 ⇒
+    // ehash 0, the audio analog of the all-black thumbnail; NOT
+    // silence, so the expression's all-zero NULL gate does not absorb
+    // it and the maxBucket guard must — plus 10% planted 2×-gain
+    // variants (byte-different, envelope-sign-identical) that must
+    // survive. Claims: ~linear wall, guard engages on the flat
+    // clique, zero spill.
+    if (wanted("audioNearDup")) {
+      val wavPath = "target/scale_audio.parquet"
+      val genWav = udf { (id: Long) =>
+        val isVariant = id % 10 == 9
+        val isFlat = id % 100 < 3 && !isVariant
+        val fam = if (isVariant) id - 1 else id
+        // flat clips pin n=64: with varying n the window-length
+        // quantization (some windows hold 2 frames) breaks the flat
+        // envelope into per-n sub-cliques and the mass bucket never
+        // forms — one n ⇒ ONE ehash-0 clique, the real pathology
+        val n = if (isFlat) 64 else 64 + (fam % 32).toInt
+        val gain = if (isVariant) 2 else 1
+        val rnd = new java.util.Random(fam * 2862933555777941757L + 3037L)
+        val data = new Array[Byte](n * 2)
+        var k = 0
+        while (k < n) {
+          val v =
+            if (isFlat) 1000
+            else gain * (rnd.nextInt(8191) - 4095)
+          data(2 * k) = v.toByte
+          data(2 * k + 1) = (v >> 8).toByte
+          k += 1
+        }
+        def le16(x: Int) = Array[Byte](x.toByte, (x >> 8).toByte)
+        def le32(x: Int) = Array[Byte](x.toByte, (x >> 8).toByte,
+          (x >> 16).toByte, (x >> 24).toByte)
+        "RIFF".getBytes("ISO-8859-1") ++ le32(36 + data.length) ++
+          "WAVE".getBytes("ISO-8859-1") ++
+          "fmt ".getBytes("ISO-8859-1") ++ le32(16) ++ le16(1) ++
+          le16(1) ++ le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("ISO-8859-1") ++ le32(data.length) ++ data
+      }
+      spark.range(nDocs)
+        .select(col("id").as("media_id"), genWav(col("id")).as("content"))
+        .write.mode("overwrite").parquet(wavPath)
+      val clips = spark.read.parquet(wavPath)
+      // mass-bucket forensics (4×16 live-bit bands at nFrames=64)
+      val over = clips
+        .select(call_function(graft.expr.AudioEnvSig.FunctionName,
+          col("content"), lit(64)).as("g"))
+        .filter(col("g").isNotNull)
+        .select(explode(sequence(lit(0), lit(3))).as("band"),
+          col("g.ehash").as("h"))
+        .select(col("band"),
+          call_function("shiftright", col("h"), (col("band") * 16).cast("int"))
+            .bitwiseAND(lit(65535L)).as("key"))
+        .groupBy("band", "key").count()
+        .filter(col("count") > 4096)
+        .agg(count(lit(1)).as("buckets"), sum(col("count")).as("members"))
+        .head()
+      println(s"  ehash mass buckets > 4096: ${over.getLong(0)} " +
+        s"(members=${if (over.isNullAt(1)) 0L else over.getLong(1)})")
+      run("audioNearDup")(
+        graft.operators.Multimodal.audioNearDup(clips, nFrames = 64,
+          maxHamming = 6))
+    }
+
     // sessions/window family over a 10× events table (1M events, 10k
     // users incl. one whale user with 5% of all traffic — the per-user
     // window's skew case). Deterministic from the event id.

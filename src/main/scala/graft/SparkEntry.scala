@@ -2183,6 +2183,57 @@ object SparkEntry {
       Multimodal.imageNearDupDhash(media, gx = 9, gy = 7, maxHamming = 6)
     }),
 
+    // perceptual AUDIO near-dup over real decoded PCM — the audio
+    // member of the near-dup triad (text LSH / image grid-sig /
+    // audio envelope-sig). Each doc PAIR (group g = doc_id/2) becomes
+    // two genuine 16-bit mono WAVs built in-plan: the even member
+    // carries samples (g*37 + k*7919) % 8191 − 4095, the odd member
+    // the SAME samples at 2× gain — byte-different files whose
+    // envelope gradient signs are identical, so every pair must
+    // surface at hamming 0. g%13 groups are digital silence, which
+    // the fingerprint NULLs at the source (no ehash-0 clique); the
+    // oracle replays env windows (integer boundary rule), gradient
+    // signs, 4×16 live-bit banding and Hamming relationally
+    "q156_audio_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val id = col("doc_id")
+      val g = (id / 2).cast(LongType)
+      val gain = when(pmod(id, lit(2L)) === 1, lit(2L)).otherwise(lit(1L))
+      val n = (g % 32 + 64).cast(IntegerType) // frames; same for the pair
+      val dataHex = array_join(
+        transform(sequence(lit(0), n - 1), k => {
+          // silence groups: all-zero samples (the expression must NULL
+          // them); others: gain*((g*37 + k*7919) % 8191 - 4095), well
+          // inside 16-bit at 2x gain — no clipping, signs exact
+          val v = when(pmod(g, lit(13L)) === 0, lit(0L))
+            .otherwise(gain *
+              (pmod(g * 37 + k.cast(LongType) * 7919, lit(8191L)) - 4095))
+          val raw = pmod(v, lit(65536L)) // two's complement 16-bit
+          concat(lpad(hex(pmod(raw, lit(256L))), 2, "0"),
+            lpad(hex(shiftright(raw.cast(IntegerType), 8)), 2, "0"))
+        }), "")
+      val ds = (n * 2).cast(IntegerType)
+      val wav = concat(ascii("RIFF"), le32(ds + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(16000)), le32(lit(32000)), le16(lit(2)), le16(lit(16)),
+        ascii("data"), le32(ds), unhex(dataHex))
+      val media = tp(s, dir, "documents")
+        .select(id.as("media_id"), lit("audio").as("kind"),
+          wav.as("content"))
+      Multimodal.audioNearDup(media, nFrames = 64, maxHamming = 6)
+    }),
+
     // REAL audio sample decode end-to-end (the q150 pattern for
     // audio): each doc becomes a genuine WAV — 16-bit signed LE PCM
     // (mono/stereo) or 8-bit unsigned mono — with samples from one
@@ -4581,6 +4632,54 @@ object SparkEntry {
        JOIN sigd d1 ON d1.id = c.id1
        JOIN sigd d2 ON d2.id = c.id2
        WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 6""",
+
+    // replays q156's envelope fingerprint from the sample formulas:
+    // per-window |sample| sums under the integer boundary rule
+    // (lo = w*n//64), gradient-sign ehash, the all-zero-envelope
+    // exclusion (digital silence fingerprints as NULL), 4x16
+    // live-bit banding with the 4096 bucket cap, and Hamming <= 6.
+    // range hull: 96 > max frames (64 + g%32 <= 95)
+    "q156_audio_neardup" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id // 2 AS g,
+                  CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS gain,
+                  64 + (doc_id // 2) % 32 AS n
+           FROM documents),
+         sv AS (SELECT id, n, k,
+                  CASE WHEN g % 13 = 0 THEN 0
+                       ELSE gain * ((g*37 + k*7919) % 8191 - 4095) END AS v
+                FROM d CROSS JOIN range(0, 96) r(k)
+                WHERE k < n),
+         env AS (SELECT s.id, CAST(w.w AS INTEGER) AS w,
+                   CAST(SUM(ABS(s.v)) AS BIGINT) AS e
+                 FROM sv s JOIN range(0, 64) w(w)
+                   ON s.k >= (w.w * s.n) // 64
+                  AND s.k < ((w.w + 1) * s.n) // 64
+                 GROUP BY s.id, w.w),
+         live AS (SELECT id FROM env GROUP BY id HAVING MAX(e) > 0),
+         eh AS (SELECT a.id,
+                  CAST(SUM(CASE WHEN b.e > a.e
+                            THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END)
+                       AS BIGINT) AS h
+                FROM env a
+                JOIN live USING (id)
+                JOIN env b ON b.id = a.id AND b.w = a.w + 1
+                GROUP BY a.id),
+         bands AS (SELECT id, band,
+                     (h >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM eh CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       SELECT c.id1, c.id2,
+              CAST(bit_count(xor(h1.h, h2.h)) AS INTEGER) AS hamming
+       FROM cand c
+       JOIN eh h1 ON h1.id = c.id1
+       JOIN eh h2 ON h2.id = c.id2
+       WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
 
     // replays q154's sample formulas over every (frame, channel)
     // position — the decoded-PCM ground truth the chunk walk + LE16 /

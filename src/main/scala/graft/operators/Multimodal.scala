@@ -283,6 +283,61 @@ object Multimodal {
           .as("ch_peak"))
   }
 
+  /** Perceptual AUDIO near-dup pairs over real PCM —
+    * [[imageNearDupDhash]]'s audio sibling, completing the triad
+    * (text LSH / image grid-sig / audio envelope-sig): two encodes
+    * of one clip differing by gain, container padding or a ragged
+    * tail pair up even when their bytes differ entirely. Fingerprint
+    * = [[graft.expr.AudioEnvSig]] (nFrames-window |sample| envelope,
+    * gradient-sign ehash — gain-invariant by the dhash argument);
+    * banding splits the nFrames−1 LIVE bits into 4 equal bands of
+    * ceil(live/4) bits (the image family's live-bit rule — the
+    * default 64 frames give 63 live bits, aHash's exact shape);
+    * candidates go through the shared posting kernel (no self-join)
+    * under the same `maxBucket` mass-bucket guard; verification is
+    * exact Hamming distance on the full ehash. Silence never enters:
+    * the expression NULLs all-zero envelopes at the source (see its
+    * scaladoc), so the degenerate ehash-0 clique of silent clips
+    * cannot form. Returns (id1, id2, hamming) with id1 < id2 —
+    * integer end-to-end, oracle-replayable.
+    */
+  def audioNearDup(media: DataFrame, contentCol: String = "content",
+      nFrames: Int = 64, maxHamming: Int = 6,
+      maxBucket: Int = 4096): DataFrame = {
+    require(nFrames >= 2 && nFrames <= 64,
+      s"nFrames must be in [2, 64]: $nFrames")
+    require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
+    val g = call_function(graft.expr.AudioEnvSig.FunctionName,
+      col(contentCol), lit(nFrames))
+    val sigs = graft.Caches.own(
+      media.select(col("media_id").as("_id"), g.as("_g"))
+        .filter(col("_g").isNotNull)
+        .select(col("_id"), col("_g.ehash").as("_h")))
+    val liveBits = nFrames - 1
+    val bandWidth = (liveBits + 3) / 4
+    val bandMask = (1L << bandWidth) - 1L
+    val banded = sigs.select(col("_id"), col("_h"),
+        explode(sequence(lit(0), lit(3))).as("_band"))
+      .select(col("_id"), col("_band"),
+        call_function("shiftright", col("_h"),
+          (col("_band") * bandWidth).cast(IntegerType))
+          .bitwiseAND(lit(bandMask)).as("_key"))
+    val cands = banded.groupBy(col("_band"), col("_key"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .distinct()
+    cands
+      .join(sigs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
+      .join(sigs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
+      .withColumn("hamming",
+        bit_count(col("_h1").bitwiseXOR(col("_h2"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
   /** [[imageMeta]]'s video sibling: MP4/MOV (ISO BMFF) metadata via
     * the native graft.expr.VideoMeta box walk (format, dims from the
     * first visual track's tkhd, duration_ms, timescale); undecodable
@@ -316,7 +371,10 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType),
     StructField("n_bytes", LongType),
-    StructField("feature", ArrayType(FloatType))
+    // containsNull=false: the decoder contract returns a dense
+    // fixed-size vector, never null elements (and the typed-encoder
+    // path encodes Array[Float] as exactly this)
+    StructField("feature", ArrayType(FloatType, containsNull = false))
   ))
 
   /** Pluggable decode kernel. A real implementation would wrap an image
@@ -357,25 +415,29 @@ object Multimodal {
   /** Batched feature extraction: binary column in, feature vector out.
     * Runs per-partition (the `mapInPandas` batch shape); the blob is
     * projected away immediately so downstream ops never shuffle bytes.
+    *
+    * A typed `Dataset.mapPartitions` rather than an RDD hop: the
+    * planner keeps the operator in the query plan (the select prunes
+    * to exactly the three consumed columns BEFORE deserialization,
+    * so a wide media table never materializes its other columns),
+    * and the tuple encoder serializes straight back to Tungsten rows.
+    * Output shape is [[FeatureSchema]].
     */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = new StubDecoder,
       dim: Int = 16): DataFrame = {
     val spark = media.sparkSession
-    val idIdx = media.schema.fieldIndex("media_id")
-    val kindIdx = media.schema.fieldIndex("kind")
-    val contentIdx = media.schema.fieldIndex("content")
-    val rdd = media.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.get(contentIdx) match {
-          case b: Array[Byte] => b
-          case _              => Array.emptyByteArray
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType),
+        col("kind").cast(StringType), col("content").cast(BinaryType))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val k = if (kind == null) "" else kind
+          (id, k, b.length.toLong, decoder.decodeFeatures(k, b, dim))
         }
-        val kind = Option(row.getString(kindIdx)).getOrElse("")
-        Row(row.getLong(idIdx), kind, bytes.length.toLong,
-          decoder.decodeFeatures(kind, bytes, dim).toSeq)
       }
-    }
-    spark.createDataFrame(rdd, FeatureSchema)
+      .toDF("media_id", "kind", "n_bytes", "feature")
   }
 
   /** Frame-sampling plan for video blobs: emits (media_id, frame_idx)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioMeta, AudioStats, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -99,6 +99,12 @@ object GraftExtensions {
       (FunctionIdentifier(AudioStats.FunctionName),
         info(AudioStats.FunctionName, classOf[AudioStats]),
         exprs => AudioStats(exprs.head)),
+      (FunctionIdentifier(AudioEnvSig.FunctionName),
+        info(AudioEnvSig.FunctionName, classOf[AudioEnvSig]),
+        exprs => AudioEnvSig(exprs.head,
+          if (exprs.length > 1)
+            ExprArgs.intLit(AudioEnvSig.FunctionName, "nFrames", exprs(1))
+          else 64)),
       (FunctionIdentifier(VideoMeta.FunctionName),
         info(VideoMeta.FunctionName, classOf[VideoMeta]),
         exprs => VideoMeta(exprs.head)),

@@ -713,7 +713,9 @@ class DedupSimilaritySpec extends SparkSpec {
       (32L, "na ya wa kwa ni za katika hii lakini kama"), // sw
       (33L, "cho trong khi hay nhau theo ra con anh nay"), // vi
       (34L, "ir yra kad tai bet kaip jau buvo apie nes"), // lt
-      (35L, "un ir ka par bet no uz tas vai tika") // lv
+      (35L, "un ir ka par bet no uz tas vai tika"), // lv
+      (36L, "je se na to ale jako pro tak co nebo"), // cs
+      (37L, "je sa na to som ako ale pre tak alebo") // sk
     ).toDF("doc_id", "text")
     val pred = TextAnalysis.langIdWide($"text")
     val got = df.select($"doc_id", pred.getField("lang"))
@@ -724,7 +726,7 @@ class DedupSimilaritySpec extends SparkSpec {
       20L -> "id", 21L -> "ms", 22L -> "fi", 23L -> "et", 24L -> "tr",
       25L -> "az", 26L -> "hr", 27L -> "sl", 28L -> "pt", 29L -> "gl",
       30L -> "af", 31L -> "tl", 32L -> "sw", 33L -> "vi", 34L -> "lt",
-      35L -> "lv")
+      35L -> "lv", 36L -> "cs", 37L -> "sk")
     exp.foreach { case (id, l) =>
       assert(got(id) == l, s"doc $id: got ${got(id)} want $l")
     }

@@ -591,6 +591,69 @@ class ExprConfigSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
   }
 
+  test("graft_audio_env_sig: envelope dHash, gain invariance, silence NULL") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def wav16(samples: Seq[Int], ch: Int = 1,
+        declaredSize: Option[Int] = None): Array[Byte] = {
+      val data = samples.flatMap(v => le16(v & 0xFFFF).toSeq).toArray
+      val ba = ch * 2
+      ascii("RIFF") ++ le32(36 + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(ch) ++
+        le32(16000) ++ le32(16000 * ba) ++ le16(ba) ++ le16(16) ++
+        ascii("data") ++ le32(declaredSize.getOrElse(data.length)) ++ data
+    }
+    def sig(b: Array[Byte], n: Int) = Option(graft.expr.AudioEnvSig.sig(b, n))
+
+    // 8 frames / 8 windows: env = |sample| per window, ehash = the
+    // gradient signs — independently hand-computed
+    val s8 = Seq(10, 30, 20, 20, 50, 0, 7, 7)
+    val r = sig(wav16(s8), 8).get
+    assert(r.getLong(0) == 8L)
+    assert(r.getArray(1).toLongArray.toSeq ==
+      s8.map(v => math.abs(v).toLong))
+    // bits: 30>10=1, 20>30=0, 20>20=0, 50>20=1, 0>50=0, 7>0=1, 7>7=0
+    assert(r.getLong(2) == ((1L << 0) | (1L << 3) | (1L << 5)))
+
+    // gain invariance: 3x every sample → identical ehash, 3x env
+    val r3 = sig(wav16(s8.map(_ * 3)), 8).get
+    assert(r3.getLong(2) == r.getLong(2))
+    assert(r3.getArray(1).toLongArray.toSeq ==
+      r.getArray(1).toLongArray.toSeq.map(_ * 3))
+
+    // uneven split (10 frames / 4 windows) uses the integer boundary
+    // rule lo = w*frames/nFrames: windows of 2,3,2,3 frames
+    val s10 = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val r4 = sig(wav16(s10), 4).get
+    assert(r4.getArray(1).toLongArray.toSeq == Seq(3L, 12L, 13L, 27L))
+    assert(r4.getLong(2) == 7L) // strictly increasing: all 3 bits set
+
+    // stereo sums both channels into the envelope
+    val rs = sig(wav16(Seq(1, 2, 3, -4), ch = 2), 2).get
+    assert(rs.getArray(1).toLongArray.toSeq == Seq(3L, 7L))
+
+    // adversarial/NULL contract
+    assert(sig(wav16(Seq.fill(16)(0)), 8).isEmpty, "digital silence")
+    assert(sig(wav16(s8), 16).isEmpty, "fewer frames than windows")
+    assert(sig(wav16(s8, declaredSize = Some(100)), 8).isEmpty, "truncated")
+    assert(sig(ascii("not audio"), 8).isEmpty)
+    assert(sig(Array.emptyByteArray, 8).isEmpty)
+
+    // pipeline: a 2x-gain copy pairs at hamming 0 through
+    // Multimodal.audioNearDup; junk and silence drop out silently
+    val base = (0 until 64).map(k => ((k * 7919) % 8191) - 4095)
+    val media = Seq(
+      (1L, wav16(base)), (2L, wav16(base.map(_ * 2))),
+      (3L, wav16(Seq.fill(64)(0))), (4L, ascii("junk"))
+    ).toDF("media_id", "content").withColumn("kind", lit("audio"))
+    val pairs = graft.operators.Multimodal
+      .audioNearDup(media, nFrames = 64, maxHamming = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("graft_video_meta walks MP4 box trees, nulls the rest") {
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)

@@ -638,7 +638,8 @@ class PipelineSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media, dim = 4).cache()
     assert(f.count() == 3)
     assert(f.schema("feature").dataType ==
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
     val f1a = f.filter($"media_id" === 1L).collect()(0).getAs[scala.collection.Seq[Float]]("feature").toSeq
     val f1b = Multimodal.extractFeatures(media, dim = 4)
       .filter($"media_id" === 1L).collect()(0).getAs[scala.collection.Seq[Float]]("feature").toSeq
