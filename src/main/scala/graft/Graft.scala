@@ -88,6 +88,8 @@ object Graft {
     graft.expr.AudioMeta.register(spark)
     graft.expr.AudioStats.register(spark)
     graft.expr.AudioEnvSig.register(spark)
+    graft.expr.SigL1.register(spark)
+    graft.expr.AviFrames.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)

@@ -2234,6 +2234,61 @@ object SparkEntry {
       Multimodal.audioNearDup(media, nFrames = 64, maxHamming = 6)
     }),
 
+    // REAL video frame extraction end-to-end: each doc becomes a
+    // genuine RIFF/AVI container — LIST movi with n 00dc frame
+    // chunks (word-aligned padding exercised whenever a frame's byte
+    // count is odd), each frame a complete binary PPM from one
+    // deterministic pixel formula — built in-plan; graft_avi_frames
+    // walks the container, posexplode gives (media_id, frame_idx),
+    // and the EXISTING pixel decode produces per-frame content stats.
+    // The oracle replays the per-frame pixel arithmetic, so a walk
+    // that misread chunk offsets, sizes or padding hands the decoder
+    // wrong bytes and cannot reproduce the sums. id%9==5 docs are
+    // text bytes (triage: no rows)
+    "q157_video_frame_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def hexOf(sParam: String): String =
+        sParam.getBytes("ISO-8859-1").map(b => f"${b & 0xff}%02X").mkString
+      def le32hex(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val id = col("doc_id")
+      val w = (id % 5 + 6).cast(IntegerType)
+      val h = (id % 4 + 5).cast(IntegerType)
+      val nFr = (id % 3 + 2).cast(IntegerType)
+      val pixCount = w * h * 3
+      val headerBin = encode(concat(lit("P6\n"), w.cast(StringType), lit(" "),
+        h.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
+      val headerHex = hex(headerBin)
+      val frameSize = length(headerBin) + pixCount
+      val pad = pmod(frameSize, lit(2))
+      val chunksHex = array_join(
+        transform(sequence(lit(0), nFr - 1), f => {
+          val pixHex = array_join(
+            transform(sequence(lit(0), pixCount - 1), k =>
+              lpad(hex(pmod(id * 37 + f.cast(LongType) * 101 +
+                k.cast(LongType) * 13, lit(251L))), 2, "0")), "")
+          concat(lit(hexOf("00dc")), le32hex(frameSize), headerHex, pixHex,
+            when(pad === 1, lit("00")).otherwise(lit("")))
+        }), "")
+      val moviSize = lit(4) + nFr * (lit(8) + frameSize + pad)
+      val riffSize = lit(12) + moviSize // "AVI " + LIST hdr + payload
+      val avi = unhex(concat(lit(hexOf("RIFF")), le32hex(riffSize),
+        lit(hexOf("AVI ")), lit(hexOf("LIST")), le32hex(moviSize),
+        lit(hexOf("movi")), chunksHex))
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(avi)
+      val media = tp(s, dir, "documents")
+        .select(id.as("media_id"), lit("video").as("kind"),
+          content.as("content"))
+      Multimodal.videoFrameStats(media, maxFrames = 8)
+    }),
+
     // REAL audio sample decode end-to-end (the q150 pattern for
     // audio): each doc becomes a genuine WAV — 16-bit signed LE PCM
     // (mono/stereo) or 8-bit unsigned mono — with samples from one
@@ -4680,6 +4735,44 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // replays q157's per-frame pixel formula — the decoded ground
+    // truth the RIFF movi walk + PPM decode must reproduce frame by
+    // frame. n_bytes = PPM header (9 + digits of w + digits of h) +
+    // w*h*3. range hulls: 4 >= max frames, 256 > max w*h*3 (10*8*3)
+    "q157_video_frame_stats" ->
+      """WITH d AS (SELECT doc_id AS id,
+                  CAST(doc_id % 5 + 6 AS INTEGER) AS w,
+                  CAST(doc_id % 4 + 5 AS INTEGER) AS h,
+                  CAST(doc_id % 3 + 2 AS INTEGER) AS n
+           FROM documents WHERE doc_id % 9 <> 5),
+         fr AS (SELECT id, w, h, CAST(f AS INTEGER) AS f
+                FROM d CROSS JOIN range(0, 4) r(f) WHERE f < n),
+         px AS (SELECT id, f, w, h,
+                  ((id*37 + f*101 + k*13) % 251) AS v
+                FROM fr CROSS JOIN range(0, 256) r2(k)
+                WHERE k < w*h*3),
+         st AS (SELECT id, f, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+                  CAST(SUM(v) AS BIGINT) AS s,
+                  CAST(SUM(v*v) AS BIGINT) AS ss,
+                  CAST(MIN(v) AS INTEGER) AS mn,
+                  CAST(MAX(v) AS INTEGER) AS mx
+                FROM px GROUP BY id, f)
+       SELECT id AS media_id, f AS frame_idx,
+              CAST(9 + LENGTH(CAST(w AS VARCHAR))
+                     + LENGTH(CAST(h AS VARCHAR)) + w*h*3 AS BIGINT)
+                AS n_bytes,
+              'ppm' AS format, w AS width, h AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(w*h AS BIGINT) AS n_pixels,
+              s AS sum, ss AS sumsq, mn AS pmin, mx AS pmax,
+              CAST(CASE WHEN mn = mx THEN 1 ELSE 0 END AS INTEGER)
+                AS constant,
+              ROUND(CAST(s AS DOUBLE)/(w*h*3), 6) AS mean,
+              ROUND(CAST(ss AS DOUBLE)/(w*h*3)
+                    - (CAST(s AS DOUBLE)/(w*h*3))
+                      * (CAST(s AS DOUBLE)/(w*h*3)), 6) AS variance
+       FROM st""",
 
     // replays q154's sample formulas over every (frame, channel)
     // position — the decoded-PCM ground truth the chunk walk + LE16 /

@@ -154,8 +154,11 @@ object Multimodal {
         col("_ids"))).as("_p"))
       .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
       .distinct()
-    val l1 = aggregate(zip_with(col("_s1"), col("_s2"),
-        (a, b) => abs(a - b).cast("long")), lit(0L), (acc, x) => acc + x)
+    // native kernel, NOT aggregate(zip_with(...)): the HOF pair is
+    // excluded from whole-stage codegen and runs interpreted per
+    // candidate — see expr/SigL1
+    val l1 = call_function(graft.expr.SigL1.FunctionName,
+      col("_s1"), col("_s2"))
     cands
       .join(sigs.select(col("_id").as("id1"), col("_sig").as("_s1")), "id1")
       .join(sigs.select(col("_id").as("id2"), col("_sig").as("_s2")), "id2")
@@ -353,6 +356,53 @@ object Multimodal {
         col("_m.height").as("height"),
         col("_m.duration_ms").as("duration_ms"),
         col("_m.timescale").as("timescale"))
+  }
+
+  /** Video FRAME extraction for MJPEG-class AVI containers — one row
+    * per (video, frame): the container blob explodes into per-frame
+    * blobs via [[graft.expr.AviFrames]] (RIFF movi walk, stream-0
+    * video chunks, bomb-guarded), and the container projects away
+    * before anything downstream shuffles. Motion-JPEG frames are
+    * complete JPEGs, so [[pixelStats]] / [[imageSignatures]] decode
+    * them as-is; inter-frame codec payloads extract but won't
+    * pixel-decode (NULL stats — the triage contract). Undecodable /
+    * frameless containers contribute no rows.
+    */
+  def videoFrames(media: DataFrame, contentCol: String = "content",
+      maxFrames: Int = 64): DataFrame = {
+    val fs = call_function(graft.expr.AviFrames.FunctionName,
+      col(contentCol), lit(maxFrames))
+    media.select(col("media_id"), fs.as("_fs"))
+      .filter(col("_fs").isNotNull)
+      .select(col("media_id"),
+        posexplode(col("_fs")).as(Seq("frame_idx", "frame")))
+  }
+
+  /** Per-FRAME pixel content stats for MJPEG-class AVI videos: the
+    * frame-level analog of [[pixelStats]] — [[videoFrames]] composed
+    * with the real pixel decode, keyed (media_id, frame_idx). The
+    * scene-change / black-frame / constant-frame signals a video
+    * curation filter needs, exact-integer like q150.
+    */
+  def videoFrameStats(media: DataFrame, contentCol: String = "content",
+      maxFrames: Int = 64): DataFrame = {
+    val meta = call_function(graft.expr.PixelStats.FunctionName, col("frame"))
+    val n = col("_m.n_pixels") * col("_m.channels")
+    val mean = col("_m.sum").cast(DoubleType) / n
+    videoFrames(media, contentCol, maxFrames)
+      .select(col("media_id"), col("frame_idx"),
+        coalesce(length(col("frame")), lit(0)).cast(LongType).as("n_bytes"),
+        meta.as("_m"))
+      .select(col("media_id"), col("frame_idx"), col("n_bytes"),
+        col("_m.format").as("format"), col("_m.width").as("width"),
+        col("_m.height").as("height"), col("_m.channels").as("channels"),
+        col("_m.n_pixels").as("n_pixels"),
+        col("_m.sum").as("sum"), col("_m.sumsq").as("sumsq"),
+        col("_m.pmin").as("pmin"), col("_m.pmax").as("pmax"),
+        col("_m.constant").as("constant"),
+        round(mean, 6).as("mean"),
+        round(col("_m.sumsq").cast(DoubleType) / n - mean * mean, 6)
+          .as("variance"))
   }
 
   /** Canonical multimodal record: blob + typed metadata. */

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, SigL1, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -104,6 +104,15 @@ object GraftExtensions {
         exprs => AudioEnvSig(exprs.head,
           if (exprs.length > 1)
             ExprArgs.intLit(AudioEnvSig.FunctionName, "nFrames", exprs(1))
+          else 64)),
+      (FunctionIdentifier(SigL1.FunctionName),
+        info(SigL1.FunctionName, classOf[SigL1]),
+        exprs => SigL1(exprs(0), exprs(1))),
+      (FunctionIdentifier(AviFrames.FunctionName),
+        info(AviFrames.FunctionName, classOf[AviFrames]),
+        exprs => AviFrames(exprs.head,
+          if (exprs.length > 1)
+            ExprArgs.intLit(AviFrames.FunctionName, "maxFrames", exprs(1))
           else 64)),
       (FunctionIdentifier(VideoMeta.FunctionName),
         info(VideoMeta.FunctionName, classOf[VideoMeta]),

@@ -375,6 +375,35 @@ class ExprConfigSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
   }
 
+  test("graft_sig_l1: native L1 kernel equals the composed HOF form") {
+    val df = Seq(
+      (1L, Seq(1, 5, 200, 0), Seq(4, 5, 190, 7)),
+      (2L, Seq(0, 0), Seq(0, 0)),
+      (3L, Seq(-3, 7), Seq(7, -3)),
+      (4L, Seq(1, 2, 3), Seq(1, 2)) // length mismatch → NULL
+    ).toDF("id", "a", "b")
+    val native = call_function(graft.expr.SigL1.FunctionName, $"a", $"b")
+    val composed = aggregate(zip_with($"a", $"b",
+      (x, y) => abs(x - y).cast("long")), lit(0L), (acc, x) => acc + x)
+    val rows = df.select($"id", native.as("n"), composed.as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(rows(1L) == 3L + 0L + 10L + 7L)
+    assert(rows(2L) == 0L)
+    assert(rows(3L) == 20L)
+    assert(rows(4L) == null) // composed zip_with would pad with null
+    // exact agreement with the composed form where both are defined
+    df.filter($"id" =!= 4L)
+      .select(native.as("n"), composed.as("c")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null inputs → NULL, never an error
+    val nn = Seq((1L, null.asInstanceOf[Seq[Int]], Seq(1)))
+      .toDF("id", "a", "b")
+      .select(call_function(graft.expr.SigL1.FunctionName, $"a", $"b"))
+      .collect()(0)
+    assert(nn.isNullAt(0))
+  }
+
   test("graft_pixel_grid_sig: cross-format perceptual dedup, aHash banding") {
     // the SAME pixels encoded as PPM and as BMP must produce identical
     // grid signatures — content-level identity across container
@@ -652,6 +681,74 @@ class ExprConfigSpec extends SparkSpec {
       .audioNearDup(media, nFrames = 64, maxHamming = 6)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
     assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("graft_avi_frames: movi walk, rec groups, padding, bomb guards") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      ascii(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ le32(4 + payload.length) ++ ascii(typ) ++ payload
+    def avi(payload: Array[Byte]): Array[Byte] =
+      ascii("RIFF") ++ le32(4 + payload.length) ++ ascii("AVI ") ++ payload
+    def frames(b: Array[Byte], max: Int = 64): Option[Seq[Array[Byte]]] =
+      Option(graft.expr.AviFrames.frames(b, max))
+        .map(a => a.array.toSeq.map(_.asInstanceOf[Array[Byte]]))
+
+    val f0 = Array[Byte](1, 2, 3)      // odd size → padded chunk
+    val f1 = Array[Byte](4, 5, 6, 7)
+    val f2 = Array[Byte](8)
+    // hdrl list skipped; audio (01wb) and index (idx1) chunks between
+    // frames skipped; padding after f0 must not desync the walk
+    val simple = avi(
+      list("hdrl", chunk("avih", Array.fill[Byte](56)(0))) ++
+      list("movi",
+        chunk("00dc", f0) ++ chunk("01wb", Array[Byte](9, 9)) ++
+        chunk("00dc", f1) ++ chunk("00db", f2)) ++
+      chunk("idx1", Array.fill[Byte](16)(0)))
+    assert(frames(simple).get.map(_.toSeq) ==
+      Seq(f0.toSeq, f1.toSeq, f2.toSeq))
+
+    // rec-grouped frames (the interleaved-AVI layout) extract too
+    val grouped = avi(list("movi",
+      list("rec ", chunk("00dc", f0) ++ chunk("01wb", Array[Byte](9))) ++
+      chunk("00dc", f1)))
+    assert(frames(grouped).get.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq))
+
+    // maxFrames cap: extra frames ignored, not an error
+    assert(frames(simple, max = 2).get.map(_.toSeq) ==
+      Seq(f0.toSeq, f1.toSeq))
+
+    // a declared size past the buffer ends the walk with what was
+    // already collected (truncated tail)
+    val truncated = simple.dropRight(10)
+    assert(frames(truncated).get.nonEmpty)
+
+    // NULL contract: non-AVI RIFF (WAV), no video frames, junk, empty
+    assert(frames(avi(list("movi", chunk("01wb", f1)))).isEmpty,
+      "audio-only movi")
+    assert(frames(ascii("RIFF") ++ le32(4) ++ ascii("WAVE")).isEmpty)
+    assert(frames(ascii("garbage")).isEmpty)
+    assert(frames(Array.emptyByteArray).isEmpty)
+
+    // pipeline: videoFrames explodes with stable indices; the PPM
+    // frame pixel-decodes through videoFrameStats
+    val ppm = ascii("P6\n2 1\n255\n") ++ Array[Byte](10, 20, 30, 40, 50, 60)
+    val media = Seq(
+      (1L, avi(list("movi", chunk("00dc", ppm) ++ chunk("00dc", f0)))),
+      (2L, ascii("not a container"))
+    ).toDF("media_id", "content").withColumn("kind", lit("video"))
+    val vf = graft.operators.Multimodal.videoFrames(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(vf.toSeq == Seq((1L, 0), (1L, 1)))
+    val st = graft.operators.Multimodal.videoFrameStats(media)
+      .collect().map(r => (r.getInt(1), if (r.isNullAt(4)) null
+        else r.getInt(4), if (r.isNullAt(8)) null else r.getLong(8))).toSeq
+    // frame 0: real 2x1 PPM (sum 210); frame 1: undecodable → NULL stats
+    assert(st == Seq((0, 2, 210L), (1, null, null)))
   }
 
   test("graft_video_meta walks MP4 box trees, nulls the rest") {
@@ -958,5 +1055,85 @@ class ExprConfigSpec extends SparkSpec {
     val defaults = PipelineConfig.parse("{}")
     assert(defaults.filter == FilterConfig(
       keywordExclusions = Map.empty))
+  }
+
+  test("every scalar native expression generates janino-compilable code") {
+    // Expression codegen failures DO NOT fail queries — Spark logs a
+    // WARN and silently falls back to the interpreter, exactly the
+    // deoptimization the native kernels exist to avoid (the janino
+    // trap, SCALE.md round-8/round-9). generate() throws on a compile
+    // error, so this sweep turns that silent perf cliff into a red
+    // test for every current and future scalar kernel. Each expr is
+    // also evaluated on an all-null row (the nullSafeCodeGen
+    // short-circuit) and on a typed row where cheap.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types._
+    import graft.expr._
+    val bin = BoundReference(0, BinaryType, nullable = true)
+    val str = BoundReference(0, StringType, nullable = true)
+    val strArr = BoundReference(0, ArrayType(StringType), nullable = true)
+    val longArr = BoundReference(0, ArrayType(LongType), nullable = true)
+    val intArr = BoundReference(0, ArrayType(IntegerType), nullable = true)
+    val intArr2 = BoundReference(1, ArrayType(IntegerType), nullable = true)
+    val dblArr = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val dblArr2 = BoundReference(1, ArrayType(DoubleType), nullable = true)
+    val codebook = BoundReference(1, ArrayType(StructType(Seq(
+      StructField("id", LongType), StructField("vec", ArrayType(DoubleType))))),
+      nullable = true)
+    // a real (tiny) bloom so the foldable-literal contract holds
+    val bloomLit = Literal(
+      org.apache.spark.util.sketch.BloomFilter.create(8, 0.03) match {
+        case bf =>
+          val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+          bos.toByteArray
+      }, BinaryType)
+    val exprs: Seq[(String, Expression)] = Seq(
+      "AudioMeta" -> AudioMeta(bin),
+      "AudioStats" -> AudioStats(bin),
+      "AudioEnvSig" -> AudioEnvSig(bin, nFrames = 8),
+      "AviFrames" -> AviFrames(bin, maxFrames = 4),
+      "ImageMeta" -> ImageMeta(bin),
+      "PixelStats" -> PixelStats(bin),
+      "PixelGridSig" -> PixelGridSig(bin, gx = 4, gy = 4),
+      "VideoMeta" -> VideoMeta(bin),
+      "NfcNormalize" -> NfcNormalize(str),
+      "WordShingles" -> WordShingles(str, n = 3),
+      "WordGramHashes" -> WordGramHashes(str, k = 3),
+      "WinnowFingerprints" -> WinnowFingerprints(str, k = 3, w = 4),
+      "LangIdWide" -> LangIdWide(str,
+        BoundReference(1, ArrayType(StringType), nullable = true)),
+      "MinHashSignature" -> MinHashSignature(strArr, numHashes = 16),
+      "OrderedPairs" -> OrderedPairs(longArr),
+      "SigL1" -> SigL1(intArr, intArr2),
+      "CosineSimilarity" -> CosineSimilarity(dblArr, dblArr2),
+      "L2SqDistance" -> L2SqDistance(dblArr, dblArr2),
+      "DotProduct" -> DotProduct(dblArr, dblArr2),
+      "VecArgminL2" -> VecArgminL2(dblArr, codebook),
+      "VecArgmaxCos" -> VecArgmaxCos(dblArr, codebook),
+      "BloomMightContain" -> BloomMightContain(
+        BoundReference(0, LongType, nullable = true), bloomLit))
+    // SimHash60 is deliberately CodegenFallback (documented) — excluded.
+    val nullRow = InternalRow(null, null)
+    exprs.foreach { case (name, e) =>
+      assert(e.checkInputDataTypes().isSuccess, s"$name type check")
+      val proj =
+        try GenerateUnsafeProjection.generate(Seq(e),
+          subexpressionEliminationEnabled = false)
+        catch { case ex: Throwable =>
+          fail(s"$name codegen failed to compile: ${ex.getMessage}")
+        }
+      val out = proj(nullRow)
+      assert(out.isNullAt(0), s"$name null-row eval")
+    }
+    // typed spot-check for the kernel this test was written against:
+    // the boxed→primitive routing must preserve values, not just compile
+    val l1 = GenerateUnsafeProjection.generate(
+      Seq(SigL1(intArr, intArr2)), subexpressionEliminationEnabled = false)
+    val r = l1(InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1, 5, 9)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(4, 5, 2))))
+    assert(r.getLong(0) == 10L)
   }
 }
