@@ -379,6 +379,76 @@ object ScaleShakeout {
           maxHamming = 6))
     }
 
+    // perceptual video near-dup at corpus scale, completing the triad's
+    // decade. The video mass pathology is NOT the constant clip (the
+    // all-equal-envelope rule drops those at the source, like audio
+    // silence) — it's the FADE-IN: strictly increasing luminance ⇒
+    // every gradient bit 1 ⇒ one all-ones thash clique, and fade-in
+    // intros are ubiquitous in real video corpora. 3% fades (varying
+    // frame counts — window means of a strictly increasing sequence
+    // stay strictly increasing, so the clique forms across all n) +
+    // 10% planted +4-brightness variants (byte-different,
+    // gradient-sign-identical) that must survive. Frames are constant-
+    // color 2x2 PPMs: frame mean == the planted value, decode honest
+    // but cheap. Claims: ~linear wall, guard engages on the fade
+    // clique, zero spill.
+    if (wanted("videoNearDup")) {
+      val aviPath = "target/scale_video.parquet"
+      val genAvi = udf { (id: Long) =>
+        val isVariant = id % 10 == 9
+        val isFade = id % 100 < 3 && !isVariant
+        val fam = if (isVariant) id - 1 else id
+        val n = 33 + (fam % 32).toInt
+        val rnd = new java.util.Random(fam * 6364136223846793005L + 97L)
+        val shift = if (isVariant) 4 else 0
+        def le32(x: Int) = Array[Byte](x.toByte, (x >> 8).toByte,
+          (x >> 16).toByte, (x >> 24).toByte)
+        val header = "P6\n2 2\n255\n".getBytes("ISO-8859-1")
+        val frameSize = header.length + 12 // 23, odd: pad every chunk
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("RIFF".getBytes("ISO-8859-1"))
+        val moviSize = 4 + n * (8 + frameSize + 1)
+        out.write(le32(12 + moviSize))
+        out.write("AVI LIST".getBytes("ISO-8859-1"))
+        out.write(le32(moviSize))
+        out.write("movi".getBytes("ISO-8859-1"))
+        var f = 0
+        while (f < n) {
+          val v =
+            if (isFade) 10 + f * 3
+            else shift + 10 + rnd.nextInt(236)
+          out.write("00dc".getBytes("ISO-8859-1"))
+          out.write(le32(frameSize))
+          out.write(header)
+          var i = 0
+          while (i < 12) { out.write(v); i += 1 }
+          out.write(0) // pad
+          f += 1
+        }
+        out.toByteArray
+      }
+      spark.range(nDocs)
+        .select(col("id").as("media_id"), genAvi(col("id")).as("content"))
+        .write.mode("overwrite").parquet(aviPath)
+      val clips = spark.read.parquet(aviPath)
+      // mass-bucket forensics (2×16 key-space-floor bands at nWin=32)
+      val over = graft.operators.Multimodal.videoSignatures(clips, nWin = 32)
+        .select(explode(sequence(lit(0), lit(1))).as("band"),
+          col("thash").as("h"))
+        .select(col("band"),
+          call_function("shiftright", col("h"), (col("band") * 16).cast("int"))
+            .bitwiseAND(lit(65535L)).as("key"))
+        .groupBy("band", "key").count()
+        .filter(col("count") > 4096)
+        .agg(count(lit(1)).as("buckets"), sum(col("count")).as("members"))
+        .head()
+      println(s"  thash mass buckets > 4096: ${over.getLong(0)} " +
+        s"(members=${if (over.isNullAt(1)) 0L else over.getLong(1)})")
+      run("videoNearDup")(
+        graft.operators.Multimodal.videoNearDup(clips, nWin = 32,
+          maxHamming = 4))
+    }
+
     // sessions/window family over a 10× events table (1M events, 10k
     // users incl. one whale user with 5% of all traffic — the per-user
     // window's skew case). Deterministic from the event id.

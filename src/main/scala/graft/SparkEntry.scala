@@ -2289,6 +2289,62 @@ object SparkEntry {
       Multimodal.videoFrameStats(media, maxFrames = 8)
     }),
 
+    // Perceptual VIDEO near-dup end-to-end, completing the triad: doc
+    // pairs (2g, 2g+1) become two AVI encodes of one clip — same
+    // constant-color 8x6 PPM frame sequence, the odd variant uniformly
+    // +16 brighter (no clamp: values stay <= 221) — so their temporal
+    // luminance profiles differ everywhere byte-wise yet share every
+    // window-gradient sign; the thash pairs them at Hamming 0.
+    // g%13==0 docs are CONSTANT clips (every frame one value) — the
+    // degenerate class the all-equal-envelope rule must drop; id%37==3
+    // docs are text bytes (triage: no frames). Frame counts 36..64 all
+    // exceed nWin=32, so W=32, live bits 31 -> 2 bands of 16 bits
+    // (the key-space floor rule).
+    // The oracle replays frame means -> window means (integer div) ->
+    // gradient thash -> banding -> Hamming relationally
+    "q158_video_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def hexOf(sParam: String): String =
+        sParam.getBytes("ISO-8859-1").map(b => f"${b & 0xff}%02X").mkString
+      def le32hex(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val id = col("doc_id")
+      val g = (id / 2).cast(LongType)
+      val variant = pmod(id, lit(2L))
+      val nFr = (pmod(g, lit(29L)) + 36).cast(IntegerType)
+      // 8x6 P6 frame, header "P6\n8 6\n255\n" = 11 bytes, 144 pixel
+      // bytes -> frameSize 155 (odd: every chunk exercises RIFF pad)
+      val headerHex = hexOf("P6\n8 6\n255\n")
+      val frameSize = 155
+      val chunksHex = array_join(
+        transform(sequence(lit(0), nFr - 1), f => {
+          val fe = when(pmod(g, lit(13L)) === 0, lit(0L))
+            .otherwise(f.cast(LongType))
+          val v = pmod(g * 53 + fe * 97 + fe * fe * 31, lit(180L)) +
+            10 + variant * 16
+          concat(lit(hexOf("00dc")), le32hex(lit(frameSize)),
+            lit(headerHex), repeat(lpad(hex(v), 2, "0"), 144), lit("00"))
+        }), "")
+      val moviSize = lit(4) + nFr * (8 + frameSize + 1)
+      val riffSize = lit(12) + moviSize
+      val avi = unhex(concat(lit(hexOf("RIFF")), le32hex(riffSize),
+        lit(hexOf("AVI ")), lit(hexOf("LIST")), le32hex(moviSize),
+        lit(hexOf("movi")), chunksHex))
+      val content = when(pmod(id, lit(37L)) === 3,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(avi)
+      val media = tp(s, dir, "documents")
+        .select(id.as("media_id"), lit("video").as("kind"),
+          content.as("content"))
+      Multimodal.videoNearDup(media, nWin = 32, maxFrames = 64,
+        maxHamming = 4)
+    }),
+
     // REAL audio sample decode end-to-end (the q150 pattern for
     // audio): each doc becomes a genuine WAV — 16-bit signed LE PCM
     // (mono/stereo) or 8-bit unsigned mono — with samples from one
@@ -4773,6 +4829,54 @@ object SparkEntry {
                     - (CAST(s AS DOUBLE)/(w*h*3))
                       * (CAST(s AS DOUBLE)/(w*h*3)), 6) AS variance
        FROM st""",
+
+    // replays q158's whole pipeline relationally: constant-frame
+    // means (exact 256*v), window means under the integer boundary
+    // rule (w = f*32 // n, every window non-empty since n >= 36 > 32),
+    // the all-equal-envelope drop, gradient-sign thash, 2x16-bit
+    // key-space-floor banding with the 4096 bucket cap, Hamming <= 4.
+    // range hull: 64 = max frames (36 + g%29 <= 64)
+    "q158_video_neardup" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id // 2 AS g,
+                  doc_id % 2 AS variant,
+                  (doc_id // 2) % 29 + 36 AS n
+           FROM documents WHERE doc_id % 37 <> 3),
+         fm AS (SELECT id, n, f,
+                  256 * (((g*53 + fe*97 + fe*fe*31) % 180) + 10
+                         + variant*16) AS fmean
+                FROM (SELECT id, g, variant, n, f,
+                        CASE WHEN g % 13 = 0 THEN 0 ELSE f END AS fe
+                      FROM d CROSS JOIN range(0, 64) r(f)
+                      WHERE f < n) t),
+         env AS (SELECT id, CAST((f * 32) // n AS INTEGER) AS w,
+                   CAST(SUM(fmean) // COUNT(*) AS BIGINT) AS wval
+                 FROM fm GROUP BY id, (f * 32) // n),
+         live AS (SELECT id FROM env GROUP BY id
+                  HAVING MIN(wval) < MAX(wval)),
+         th AS (SELECT a.id,
+                  CAST(SUM(CASE WHEN b.wval > a.wval
+                            THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END)
+                       AS BIGINT) AS h
+                FROM env a
+                JOIN live USING (id)
+                JOIN env b ON b.id = a.id AND b.w = a.w + 1
+                GROUP BY a.id),
+         bands AS (SELECT id, band,
+                     (h >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM th CROSS JOIN range(0, 2) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       SELECT c.id1, c.id2,
+              CAST(bit_count(xor(h1.h, h2.h)) AS INTEGER) AS hamming
+       FROM cand c
+       JOIN th h1 ON h1.id = c.id1
+       JOIN th h2 ON h2.id = c.id2
+       WHERE bit_count(xor(h1.h, h2.h)) <= 4""",
 
     // replays q154's sample formulas over every (frame, channel)
     // position — the decoded-PCM ground truth the chunk walk + LE16 /

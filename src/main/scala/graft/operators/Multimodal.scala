@@ -29,6 +29,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Leaf-bytes-per-partition floor for the near-dup pair-expansion
+    * exchanges (the Dedup posting-kernel constant: media blobs are the
+    * leaf, so the floor widens with the corpus). */
+  private val PairLeafBytesPerPartition = 2L * 1024 * 1024
+
   /** Parsed container metadata per media row: (media_id, kind,
     * n_bytes, format, width, height, channels, bit_depth) — format
     * and dimensions NULL for undecodable blobs (triage with
@@ -403,6 +408,173 @@ object Multimodal {
         round(mean, 6).as("mean"),
         round(col("_m.sumsq").cast(DoubleType) / n - mean * mean, 6)
           .as("variance"))
+  }
+
+  /** Temporal signature per video — [[imageSignatures]]'s video
+    * sibling and [[videoNearDup]]'s fingerprint stage, exposed for
+    * forensics and custom pipelines. Frame means from the real pixel
+    * decode ([[videoFrames]] → PixelStats, scaled ×256 as exact
+    * integer `div`) resample into `nWin` windows by the audio
+    * envelope's integer boundary rule (w = ridx·W div F over the
+    * DECODABLE frame rank — undecodable inter-coded frames leave
+    * holes in frame_idx and must not shift the windows), and bit w of
+    * the thash is set iff window w+1's mean exceeds window w's.
+    * Videos with fewer decodable frames than `nWin` get W = F
+    * windows. Returns (media_id, n_windows, thash).
+    *
+    * Degenerate-content rule (the audio silence analog): videos whose
+    * window means are ALL EQUAL (black clips, color cards, frozen
+    * frames) carry no temporal information — every one would hash to
+    * 0 — and emit no row, like AudioEnvSig NULLs digital silence at
+    * the source. Videos with < 2 decodable frames have no gradient
+    * and emit no row either.
+    *
+    * Scale shape: blobs live only inside the decode projection (only
+    * (id, frame_idx, fmean) reaches the per-video window exchange);
+    * per-video state is ≤ maxFrames rows.
+    */
+  def videoSignatures(media: DataFrame, contentCol: String = "content",
+      nWin: Int = 32, maxFrames: Int = 64): DataFrame = {
+    require(nWin >= 2 && nWin <= 64, s"nWin must be in [2, 64]: $nWin")
+    import org.apache.spark.sql.expressions.Window
+    val meta = call_function(graft.expr.PixelStats.FunctionName, col("frame"))
+    // per decodable frame: integer mean scaled by 256 (exact: div of
+    // longs; sum <= 255 * 64Mi samples keeps sum*256 < 2^63)
+    val frames = videoFrames(media, contentCol, maxFrames)
+      .select(col("media_id").as("_id"), col("frame_idx"), meta.as("_m"))
+      .filter(col("_m").isNotNull)
+      .select(col("_id"), col("frame_idx"),
+        call_function("div", col("_m.sum") * 256,
+          col("_m.n_pixels") * col("_m.channels")).as("_fmean"))
+    val perVid = Window.partitionBy(col("_id"))
+    val byIdx = perVid.orderBy(col("frame_idx"))
+    val windowed = frames
+      .withColumn("_ridx", row_number().over(byIdx) - 1)
+      .withColumn("_f", count(lit(1)).over(perVid))
+      .filter(col("_f") >= 2)
+      .withColumn("_w", least(lit(nWin), col("_f")))
+      .withColumn("_wv",
+        call_function("div", col("_ridx") * col("_w"), col("_f")))
+      .groupBy(col("_id"), col("_w"), col("_wv"))
+      .agg(call_function("div", sum(col("_fmean")), count(lit(1)))
+        .as("_wval"))
+    val nxt = lead(col("_wval"), 1).over(
+      Window.partitionBy(col("_id")).orderBy(col("_wv")))
+    windowed
+      .withColumn("_bit", when(nxt > col("_wval"),
+        call_function("shiftleft", lit(1L), col("_wv").cast(IntegerType)))
+        .otherwise(lit(0L)))
+      .groupBy(col("_id"))
+      .agg(first(col("_w")).as("_w"), sum(col("_bit")).as("_h"),
+        (min(col("_wval")) < max(col("_wval"))).as("_live"))
+      .filter(col("_live"))
+      .select(col("_id").as("media_id"), col("_w").as("n_windows"),
+        col("_h").as("thash"))
+  }
+
+  /** Perceptual VIDEO near-dup pairs over real frames — completes the
+    * image/audio/video near-dup triad. Fingerprint = the TEMPORAL
+    * gradient-sign hash of the per-frame luminance envelope: frame
+    * means (from the real pixel decode) resample into `nWin` windows
+    * by the same integer boundary rule as the audio envelope, and bit
+    * w of the thash is set iff window w+1's mean exceeds window w's —
+    * invariant under uniform brightness/gain shifts by the dHash
+    * argument, and robust to re-encodes that preserve frame-level
+    * luminance (the frame CONTENT never enters the hash, only its
+    * mean). Two encodes of one clip — brightness-shifted, containered
+    * differently, frame counts differing by resampling — pair up even
+    * when no two frames share a byte.
+    *
+    * Built ENTIRELY from existing relational pieces — no new native
+    * kernel: [[videoFrames]] (RIFF walk) → PixelStats (real decode) →
+    * integer window means (`div`, exact) → lead()-window gradient →
+    * live-bit banding → the shared posting kernel → Hamming verify.
+    * All arithmetic is integer end-to-end, so an oracle replays every
+    * pair.
+    *
+    * Degenerate-content rule (the audio silence analog): videos whose
+    * window means are ALL EQUAL (black clips, constant color cards,
+    * frozen frames) carry no temporal information — every one would
+    * hash to 0 and form the mass bucket — so they are dropped before
+    * banding, like AudioEnvSig NULLs digital silence at the source.
+    *
+    * Videos with fewer decodable frames than `nWin` get W = F windows;
+    * W joins the band key, so hashes of different live-bit widths
+    * never cross-pair (their bit layouts aren't comparable). Banding
+    * takes the image family's live-bit rule one step further: BOTH
+    * the band count and the band width derive from the live bits
+    * (bands = clamp(ceil(live/16), 1, 4)), flooring band keys at ~16
+    * bits — see the in-code note for the measured key-space blowup
+    * that forces this, and its recall trade.
+    *
+    * Returns (id1, id2, hamming), id1 < id2. Scale shape: the frame
+    * blobs live only inside the first projection (decode happens in
+    * the posexplode stage and only (id, frame_idx, two longs)
+    * shuffle); per-video state is ≤ nWin rows; banding/verify is the
+    * shared capped-bucket kernel — nothing corpus-sized replicates.
+    */
+  def videoNearDup(media: DataFrame, contentCol: String = "content",
+      nWin: Int = 32, maxFrames: Int = 64, maxHamming: Int = 4,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
+    val sigs = graft.Caches.own(
+      videoSignatures(media, contentCol, nWin, maxFrames)
+        .select(col("media_id").as("_id"), col("n_windows").as("_w"),
+          col("thash").as("_h")))
+    // live bits = W-1 — SHORT next to the image/audio hashes (31 at
+    // the default 32 windows), so the key-space audit lesson applies
+    // one step further than the image family's live-bit rule: with 4
+    // fixed bands a 31-bit hash gets 8-bit keys = 256 buckets per
+    // band, and at 50k+ videos EVERY bucket averages hundreds of
+    // members — each below any cap, collectively quadratic (measured:
+    // 46M candidate rows from 24k signatures). So the BAND COUNT
+    // derives from the live bits too: bands = clamp(ceil(live/16),
+    // 1, 4) floors band keys at ~16 bits. The trade is recall: b
+    // bands guarantee a clean band only for <= b-1 flipped bits, so a
+    // 32-window corpus (2 bands) has guaranteed recall at Hamming 1
+    // and probabilistic recall up to maxHamming — the honest price of
+    // a short fingerprint; corpora needing guaranteed Hamming-4
+    // recall should raise nWin to 64 (63 live bits, 4x16 banding,
+    // the audio family's exact shape). All per-row: W varies with
+    // short videos, and different-W cohorts never share buckets.
+    val live = col("_w") - 1
+    val nBands = least(lit(4L), greatest(lit(1L),
+      call_function("div", live + 15, lit(16))))
+    val bandWidth = call_function("div", live + nBands - 1, nBands)
+      .cast(IntegerType)
+    val bandMask =
+      call_function("shiftleft", lit(1L), bandWidth) - 1
+    val banded = sigs.select(col("_id"), col("_w"), col("_h"),
+        explode(sequence(lit(0L), nBands - 1)).as("_band"))
+      .select(col("_id"), col("_band"), col("_w"),
+        call_function("shiftright", col("_h"),
+          (col("_band") * bandWidth).cast(IntegerType))
+          .bitwiseAND(bandMask).as("_key"))
+    // pair expansion is the volume amplifier; pin its exchange to the
+    // leaf-bytes floor (an explicit repartition AQE cannot coalesce) —
+    // without it AQE sees a few KB of bucket lists, coalesces to ONE
+    // task, and the whole candidate explosion runs serially (measured
+    // 45 s of a 49 s run at 50k videos)
+    val spread = Scale
+      .partitionsForLeafBytes(banded, PairLeafBytesPerPartition)
+      .map(n => banded.repartition(n, col("_band"), col("_w"), col("_key")))
+      .getOrElse(banded.repartition(
+        banded.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_band"), col("_w"), col("_key")))
+    val cands = spread.groupBy(col("_band"), col("_w"), col("_key"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .distinct()
+    cands
+      .join(sigs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
+      .join(sigs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
+      .withColumn("hamming",
+        bit_count(col("_h1").bitwiseXOR(col("_h2"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
   }
 
   /** Canonical multimodal record: blob + typed metadata. */

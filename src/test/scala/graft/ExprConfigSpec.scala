@@ -751,6 +751,47 @@ class ExprConfigSpec extends SparkSpec {
     assert(st == Seq((0, 2, 210L), (1, null, null)))
   }
 
+  test("videoNearDup pairs brightness-shifted twins, drops constants") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      ascii(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ le32(4 + payload.length) ++ ascii(typ) ++ payload
+    def avi(payload: Array[Byte]): Array[Byte] =
+      ascii("RIFF") ++ le32(4 + payload.length) ++ ascii("AVI ") ++ payload
+    // constant-color 2x1 PPM frame: frame mean is exactly its value
+    def frame(v: Int): Array[Byte] =
+      ascii("P6\n2 1\n255\n") ++ Array.fill[Byte](6)(v.toByte)
+    def clip(vs: Seq[Int]): Array[Byte] =
+      avi(list("movi", vs.toArray.flatMap(v => chunk("00dc", frame(v)))))
+
+    // 40-frame profile with pseudorandom gradient signs; the twin is a
+    // UNIFORM +16 brightness shift (clamp-free: values <= 205) — byte
+    // level entirely different, window-gradient signs identical
+    val prof = (0 until 40).map(f => (f * 97 + f * f * 31) % 180 + 10)
+    // 10-frame short clips take the W = F < nWin path; W joins the
+    // band key, so they can never cross-pair with the 32-window clips
+    val short = (0 until 10).map(f => (f * 37) % 120 + 20)
+    val media = Seq(
+      1L -> clip(prof), 2L -> clip(prof.map(_ + 16)),
+      3L -> clip(short), 4L -> clip(short.map(_ + 10)),
+      5L -> clip(Seq.fill(40)(99)), 6L -> clip(Seq.fill(40)(99)), // constants
+      7L -> ascii("not a container"),                   // junk: no rows
+      8L -> clip(Seq(50))                               // 1 frame: F < 2
+    ).map { case (i, b) => (i, b) }.toDF("media_id", "content")
+      .withColumn("kind", lit("video"))
+    val pairs = graft.operators.Multimodal
+      .videoNearDup(media, nWin = 32, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2))
+    // the identical constant clips 5/6 would trivially pair at hamming
+    // 0 — the all-equal-envelope drop must keep them OUT
+    assert(pairs.toSeq == Seq((1L, 2L, 0), (3L, 4L, 0)), pairs.toSeq)
+  }
+
   test("graft_video_meta walks MP4 box trees, nulls the rest") {
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
