@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,6 +33,35 @@ object Multimodal {
     * exchanges (the Dedup posting-kernel constant: media blobs are the
     * leaf, so the floor widens with the corpus). */
   private val PairLeafBytesPerPartition = 2L * 1024 * 1024
+
+  /** Shared banded-candidate expansion for the perceptual near-dup
+    * family: aggregate per-bucket id lists, skip over-`maxBucket`
+    * buckets (the mass-bucket guard), expand ordered pairs through
+    * the shared posting kernel. The input must carry `_id` plus the
+    * bucket `keys`. The exchange is PINNED to the leaf-bytes floor:
+    * bucket lists are a few KB post-aggregation, so AQE's
+    * post-shuffle-bytes heuristic coalesces them to one partition and
+    * the pair fan-out — the volume amplifier — runs serially
+    * (measured 45 s of a 49 s videoNearDup run at 50k clips). An
+    * exchange whose downstream fans out violently must be sized by
+    * its INPUT's leaf bytes, never left to AQE.
+    */
+  private def bandedPairs(banded: DataFrame, maxBucket: Int,
+      keys: Column*): DataFrame = {
+    val spread = Scale
+      .partitionsForLeafBytes(banded, PairLeafBytesPerPartition)
+      .map(n => banded.repartition(n, keys: _*))
+      .getOrElse(banded.repartition(
+        banded.sparkSession.sessionState.conf.numShufflePartitions,
+        keys: _*))
+    spread.groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
+      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
+        col("_ids"))).as("_p"))
+      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      .distinct()
+  }
 
   /** Parsed container metadata per media row: (media_id, kind,
     * n_bytes, format, width, height, channels, bit_depth) — format
@@ -152,13 +181,7 @@ object Multimodal {
     // buckets are skipped (their members are better handled by exact
     // ahash-equality grouping than by pair expansion), same trade as
     // the text kernels' maxDocFreq.
-    val cands = banded.groupBy(col("_band"), col("_key"))
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
-      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
-      .distinct()
+    val cands = bandedPairs(banded, maxBucket, col("_band"), col("_key"))
     // native kernel, NOT aggregate(zip_with(...)): the HOF pair is
     // excluded from whole-stage codegen and runs interpreted per
     // candidate — see expr/SigL1
@@ -220,13 +243,7 @@ object Multimodal {
         call_function("shiftright", col("_h"),
           (col("_band") * bandWidth).cast(IntegerType))
           .bitwiseAND(lit(bandMask)).as("_key"))
-    val cands = banded.groupBy(col("_band"), col("_key"))
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
-      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
-      .distinct()
+    val cands = bandedPairs(banded, maxBucket, col("_band"), col("_key"))
     cands
       .join(sigs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
       .join(sigs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
@@ -330,13 +347,7 @@ object Multimodal {
         call_function("shiftright", col("_h"),
           (col("_band") * bandWidth).cast(IntegerType))
           .bitwiseAND(lit(bandMask)).as("_key"))
-    val cands = banded.groupBy(col("_band"), col("_key"))
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
-      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
-      .distinct()
+    val cands = bandedPairs(banded, maxBucket, col("_band"), col("_key"))
     cands
       .join(sigs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
       .join(sigs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
