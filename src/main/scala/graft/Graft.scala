@@ -90,6 +90,7 @@ object Graft {
     graft.expr.AudioEnvSig.register(spark)
     graft.expr.SigL1.register(spark)
     graft.expr.AviFrames.register(spark)
+    graft.expr.Mp4Frames.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)

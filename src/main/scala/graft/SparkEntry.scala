@@ -2289,6 +2289,87 @@ object SparkEntry {
       Multimodal.videoFrameStats(media, maxFrames = 8)
     }),
 
+    // MP4 (ISO BMFF) frame extraction end-to-end: q157's corpus with
+    // the CONTAINER dispatched by parity — even ids build RIFF/AVI
+    // movi chunks, odd ids build a genuine MP4 (ftyp + mdat holding
+    // the raw PPM samples + moov/trak/mdia/hdlr(vide)/minf/stbl with
+    // real fixed-size stsz, single-run stsc and an absolute stco
+    // chunk offset into mdat) — all in-plan. Frame CONTENT follows
+    // one formula, so ONE oracle replays both halves: a sample-table
+    // walk that misread stsz/stsc/stco arithmetic hands the pixel
+    // decoder wrong bytes and cannot reproduce the sums. id%9==5
+    // docs are text (triage: no rows)
+    "q159_video_mp4_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def hexOf(sParam: String): String =
+        sParam.getBytes("ISO-8859-1").map(b => f"${b & 0xff}%02X").mkString
+      def le32hex(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def be32hex(c: Column): Column = lpad(hex(c), 8, "0")
+      val id = col("doc_id")
+      val w = (id % 5 + 6).cast(IntegerType)
+      val h = (id % 4 + 5).cast(IntegerType)
+      val nFr = (id % 3 + 2).cast(IntegerType)
+      val pixCount = w * h * 3
+      val headerBin = encode(concat(lit("P6\n"), w.cast(StringType), lit(" "),
+        h.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
+      val headerHex = hex(headerBin)
+      val frameSize = length(headerBin) + pixCount
+      def pixHex(f: Column): Column = array_join(
+        transform(sequence(lit(0), pixCount - 1), k =>
+          lpad(hex(pmod(id * 37 + f.cast(LongType) * 101 +
+            k.cast(LongType) * 13, lit(251L))), 2, "0")), "")
+      // --- AVI half (q157's construction)
+      val pad = pmod(frameSize, lit(2))
+      val chunksHex = array_join(
+        transform(sequence(lit(0), nFr - 1), f =>
+          concat(lit(hexOf("00dc")), le32hex(frameSize), headerHex,
+            pixHex(f), when(pad === 1, lit("00")).otherwise(lit("")))), "")
+      val moviSize = lit(4) + nFr * (lit(8) + frameSize + pad)
+      val avi = unhex(concat(lit(hexOf("RIFF")), le32hex(lit(12) + moviSize),
+        lit(hexOf("AVI ")), lit(hexOf("LIST")), le32hex(moviSize),
+        lit(hexOf("movi")), chunksHex))
+      // --- MP4 half: ftyp(16) + mdat(8 + nFr*frameSize) + moov(140)
+      val framesHex = array_join(
+        transform(sequence(lit(0), nFr - 1), f =>
+          concat(headerHex, pixHex(f))), "")
+      val mdatHex = concat(be32hex(lit(8) + nFr * frameSize),
+        lit(hexOf("mdat")), framesHex)
+      // hdlr box (32 B): ver/flags + pre_defined + 'vide' + 12 reserved
+      val hdlrHex = concat(be32hex(lit(32)),
+        lit(hexOf("hdlr") + "00000000" + "00000000" + hexOf("vide") +
+          "00" * 12))
+      val stszHex = concat(be32hex(lit(20)), lit(hexOf("stsz") + "00000000"),
+        be32hex(frameSize), be32hex(nFr))
+      val stscHex = concat(be32hex(lit(28)), lit(hexOf("stsc") + "00000000"),
+        be32hex(lit(1)), be32hex(lit(1)), be32hex(nFr), be32hex(lit(1)))
+      val stcoHex = concat(be32hex(lit(20)), lit(hexOf("stco") + "00000000"),
+        be32hex(lit(1)), be32hex(lit(24))) // mdat payload starts at 24
+      val stblHex = concat(be32hex(lit(76)), lit(hexOf("stbl")),
+        stszHex, stscHex, stcoHex)
+      val minfHex = concat(be32hex(lit(84)), lit(hexOf("minf")), stblHex)
+      val mdiaHex = concat(be32hex(lit(124)), lit(hexOf("mdia")),
+        hdlrHex, minfHex)
+      val trakHex = concat(be32hex(lit(132)), lit(hexOf("trak")), mdiaHex)
+      val moovHex = concat(be32hex(lit(140)), lit(hexOf("moov")), trakHex)
+      val ftypHex = concat(be32hex(lit(16)),
+        lit(hexOf("ftypisom") + "00000000"))
+      val mp4 = unhex(concat(ftypHex, mdatHex, moovHex))
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .when(pmod(id, lit(2L)) === 0, avi)
+        .otherwise(mp4)
+      val media = tp(s, dir, "documents")
+        .select(id.as("media_id"), lit("video").as("kind"),
+          content.as("content"))
+      Multimodal.videoFrameStats(media, maxFrames = 8)
+    }),
+
     // Perceptual VIDEO near-dup end-to-end, completing the triad: doc
     // pairs (2g, 2g+1) become two AVI encodes of one clip — same
     // constant-color 8x6 PPM frame sequence, the odd variant uniformly

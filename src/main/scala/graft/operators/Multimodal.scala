@@ -374,20 +374,30 @@ object Multimodal {
         col("_m.timescale").as("timescale"))
   }
 
-  /** Video FRAME extraction for MJPEG-class AVI containers — one row
-    * per (video, frame): the container blob explodes into per-frame
-    * blobs via [[graft.expr.AviFrames]] (RIFF movi walk, stream-0
-    * video chunks, bomb-guarded), and the container projects away
-    * before anything downstream shuffles. Motion-JPEG frames are
-    * complete JPEGs, so [[pixelStats]] / [[imageSignatures]] decode
-    * them as-is; inter-frame codec payloads extract but won't
-    * pixel-decode (NULL stats — the triage contract). Undecodable /
-    * frameless containers contribute no rows.
+  /** Video FRAME extraction — one row per (video, frame): the
+    * container blob explodes into per-frame blobs, and the container
+    * projects away before anything downstream shuffles. Container
+    * dispatch is a lazy `coalesce` over the two native walks — each
+    * rejects the other's magic in its first bytes, so exactly one
+    * runs the full walk per row:
+    *  - AVI/RIFF via [[graft.expr.AviFrames]] (LIST movi walk,
+    *    stream-0 video chunks);
+    *  - MP4/MOV (ISO BMFF) via [[graft.expr.Mp4Frames]]
+    *    (stsz/stsc/stco sample-table arithmetic of the first `vide`
+    *    track).
+    * Both are bomb-guarded (maxFrames, 8 MiB/frame, 64 MiB/container).
+    * Motion-JPEG frames are complete JPEGs, so [[pixelStats]] /
+    * [[imageSignatures]] decode them as-is; inter-frame codec
+    * payloads extract but won't pixel-decode (NULL stats — the triage
+    * contract). Undecodable / frameless containers contribute no rows.
     */
   def videoFrames(media: DataFrame, contentCol: String = "content",
       maxFrames: Int = 64): DataFrame = {
-    val fs = call_function(graft.expr.AviFrames.FunctionName,
-      col(contentCol), lit(maxFrames))
+    val fs = coalesce(
+      call_function(graft.expr.AviFrames.FunctionName,
+        col(contentCol), lit(maxFrames)),
+      call_function(graft.expr.Mp4Frames.FunctionName,
+        col(contentCol), lit(maxFrames)))
     media.select(col("media_id"), fs.as("_fs"))
       .filter(col("_fs").isNotNull)
       .select(col("media_id"),

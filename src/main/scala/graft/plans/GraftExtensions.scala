@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, SigL1, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, Mp4Frames, SigL1, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -113,6 +113,12 @@ object GraftExtensions {
         exprs => AviFrames(exprs.head,
           if (exprs.length > 1)
             ExprArgs.intLit(AviFrames.FunctionName, "maxFrames", exprs(1))
+          else 64)),
+      (FunctionIdentifier(Mp4Frames.FunctionName),
+        info(Mp4Frames.FunctionName, classOf[Mp4Frames]),
+        exprs => Mp4Frames(exprs.head,
+          if (exprs.length > 1)
+            ExprArgs.intLit(Mp4Frames.FunctionName, "maxFrames", exprs(1))
           else 64)),
       (FunctionIdentifier(VideoMeta.FunctionName),
         info(VideoMeta.FunctionName, classOf[VideoMeta]),

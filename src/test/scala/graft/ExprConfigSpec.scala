@@ -751,6 +751,106 @@ class ExprConfigSpec extends SparkSpec {
     assert(st == Seq((0, 2, 210L), (1, null, null)))
   }
 
+  test("graft_mp4_frames: sample-table walk, stsc runs, co64, guards") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ ascii(name) ++ payload
+    def hdlr(t: String) = box("hdlr",
+      be32(0) ++ be32(0) ++ ascii(t) ++ Array.fill[Byte](12)(0))
+    def frames(b: Array[Byte], max: Int = 64): Option[Seq[Array[Byte]]] =
+      Option(graft.expr.Mp4Frames.frames(b, max))
+        .map(a => a.array.toSeq.map(_.asInstanceOf[Array[Byte]]))
+
+    val f0 = Array[Byte](1, 2, 3)
+    val f1 = Array[Byte](4, 5, 6, 7)
+    val f2 = Array[Byte](8)
+    val f3 = Array[Byte](9, 10)
+    val ftyp = box("ftyp", ascii("isom") ++ be32(0))
+    val mdatStart = ftyp.length + 8
+    val mdat = box("mdat", f0 ++ f1 ++ f2 ++ f3)
+    // chunk 1 holds 2 samples (f0,f1), chunks 2+ hold 1 — a REAL
+    // multi-run stsc; per-sample stsz entries (sample_size = 0)
+    def stblOf(offsets: Array[Byte], coName: String,
+        stszPayload: Array[Byte]) = box("stbl",
+      box("stsz", stszPayload) ++
+      box("stsc", be32(0) ++ be32(2) ++
+        be32(1) ++ be32(2) ++ be32(1) ++ // run 1: chunk 1, 2/chunk
+        be32(2) ++ be32(1) ++ be32(1)) ++ // run 2: chunk 2+, 1/chunk
+      box(coName, offsets))
+    val stszVar = be32(0) ++ be32(0) ++ be32(4) ++
+      be32(3) ++ be32(4) ++ be32(1) ++ be32(2)
+    val stco3 = be32(0) ++ be32(3) ++ be32(mdatStart) ++
+      be32(mdatStart + 7) ++ be32(mdatStart + 8)
+    def trakV(stbl: Array[Byte]) = box("trak",
+      box("mdia", hdlr("vide") ++ box("minf", stbl)))
+    val trakA = box("trak", box("mdia", hdlr("soun")))
+    // audio trak FIRST: the walk must skip it and use the vide trak
+    val mp4 = ftyp ++ mdat ++
+      box("moov", trakA ++ trakV(stblOf(stco3, "stco", stszVar)))
+    assert(frames(mp4).get.map(_.toSeq) ==
+      Seq(f0.toSeq, f1.toSeq, f2.toSeq, f3.toSeq))
+    // maxFrames cap: extra samples ignored, not an error
+    assert(frames(mp4, max = 3).get.map(_.toSeq) ==
+      Seq(f0.toSeq, f1.toSeq, f2.toSeq))
+    // co64 (64-bit chunk offsets) decodes identically
+    val co64o = be32(0) ++ be32(3) ++ be64(mdatStart) ++
+      be64(mdatStart + 7) ++ be64(mdatStart + 8)
+    val mp464 = ftyp ++ mdat ++
+      box("moov", trakV(stblOf(co64o, "co64", stszVar)))
+    assert(frames(mp464).get.map(_.toSeq) ==
+      Seq(f0.toSeq, f1.toSeq, f2.toSeq, f3.toSeq))
+    // fixed sample_size stsz (no entry table)
+    val stszFix = be32(0) ++ be32(2) ++ be32(2)
+    val mdatF = box("mdat", Array[Byte](1, 2, 3, 4))
+    val stcoF = be32(0) ++ be32(1) ++ be32(mdatStart)
+    val stblF = box("stbl",
+      box("stsz", stszFix) ++
+      box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(2) ++ be32(1)) ++
+      box("stco", stcoF))
+    val mp4F = ftyp ++ mdatF ++ box("moov", trakV(stblF))
+    assert(frames(mp4F).get.map(_.toSeq) == Seq(Seq[Byte](1, 2), Seq[Byte](3, 4)))
+    // a chunk offset past the buffer ends the walk with the samples
+    // already collected (truncated mdat)
+    val stcoTrunc = be32(0) ++ be32(3) ++ be32(mdatStart) ++
+      be32(9999) ++ be32(mdatStart + 8)
+    val mp4T = ftyp ++ mdat ++
+      box("moov", trakV(stblOf(stcoTrunc, "stco", stszVar)))
+    assert(frames(mp4T).get.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq))
+    // a crafted entry count larger than its box must NULL, not overread
+    val stszBomb = be32(0) ++ be32(0) ++ be32(1000000) ++ be32(3)
+    assert(frames(ftyp ++ mdat ++
+      box("moov", trakV(stblOf(stco3, "stco", stszBomb)))).isEmpty)
+    // NULL contract: no ftyp, no vide trak, junk, empty
+    assert(frames(mdat ++ box("moov", trakV(stblOf(stco3, "stco",
+      stszVar)))).isEmpty, "missing ftyp")
+    assert(frames(ftyp ++ mdat ++ box("moov", trakA)).isEmpty, "no vide")
+    assert(frames(ascii("random garbage here")).isEmpty)
+    assert(frames(Array.emptyByteArray).isEmpty)
+
+    // pipeline dispatch: AVI and MP4 rows explode through the SAME
+    // videoFrames operator; junk contributes nothing
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      ascii(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    val avi = ascii("RIFF") ++ {
+      val movi = ascii("movi") ++ chunk("00dc", f0)
+      le32(4 + 8 + movi.length) ++ ascii("AVI ") ++
+        ascii("LIST") ++ le32(movi.length) ++ movi
+    }
+    val media = Seq((1L, avi), (2L, mp4), (3L, ascii("junk")))
+      .toDF("media_id", "content").withColumn("kind", lit("video"))
+    val vf = graft.operators.Multimodal.videoFrames(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).sortBy(x => (x._1, x._2))
+    assert(vf.toSeq == Seq((1L, 0, f0.toSeq), (2L, 0, f0.toSeq),
+      (2L, 1, f1.toSeq), (2L, 2, f2.toSeq), (2L, 3, f3.toSeq)), vf.toSeq)
+  }
+
   test("videoNearDup pairs brightness-shifted twins, drops constants") {
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
