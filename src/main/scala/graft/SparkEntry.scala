@@ -2570,7 +2570,12 @@ object SparkEntry {
     base ++ Map(
       "q120_sql_asof" -> base("q54_asof_join"),
       "q121_sql_range" -> base("q57_range_join"),
-      "q122_sql_bm25" -> base("q119_bm25"))
+      "q122_sql_bm25" -> base("q119_bm25"),
+      // q159 rebuilds q157's corpus with the CONTAINER dispatched by
+      // doc_id parity (even = RIFF/AVI, odd = ISO BMFF/MP4) while the
+      // frame CONTENT follows the one formula q157's oracle replays —
+      // so the oracle is container-independent and shared verbatim
+      "q159_video_mp4_stats" -> base("q157_video_frame_stats"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

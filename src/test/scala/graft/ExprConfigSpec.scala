@@ -851,6 +851,20 @@ class ExprConfigSpec extends SparkSpec {
       (2L, 1, f1.toSeq), (2L, 2, f2.toSeq), (2L, 3, f3.toSeq)), vf.toSeq)
   }
 
+  test("q159 (MP4 half) reproduces q157 (all-AVI) frame stats exactly") {
+    // q159 rebuilds q157's corpus with the container dispatched by
+    // doc_id parity; the frame-content formula is identical, so the
+    // two queries must agree row-for-row — this is the equivalence
+    // that lets q159 share q157's oracle SQL verbatim
+    val dir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q157_video_frame_stats")(spark, dir)
+    val b = SparkEntry.queries("q159_video_mp4_stats")(spark, dir)
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(SparkEntry.oracleSql("q159_video_mp4_stats") ==
+      SparkEntry.oracleSql("q157_video_frame_stats"))
+  }
+
   test("videoNearDup pairs brightness-shifted twins, drops constants") {
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
