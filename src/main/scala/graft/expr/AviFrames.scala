@@ -92,10 +92,17 @@ object AviFrames {
     val out = new java.util.ArrayList[Array[Byte]]()
     var total = 0L
 
-    // walk one chunk run [from, until); depth 1 = inside movi (frames
-    // at this level), depth 2 = inside a rec group. Returns false when
-    // the walk must stop (caps hit or truncated declared size).
-    def walk(from: Int, until: Int, inMovi: Boolean): Boolean = {
+    // walk one chunk run [from, until); depth 0 = top level, 1 =
+    // inside movi (frames at this level), 2 = inside a rec group.
+    // Depth is EXPLICITLY bounded at 2: per the RIFF/AVI spec rec
+    // groups never nest, so a `LIST rec ` seen at depth 2 is skipped
+    // as an opaque chunk rather than recursed — a crafted AVI of
+    // nested 12-byte rec headers would otherwise drive recursion
+    // ~len/12 deep (millions under the 64 MiB cap) and
+    // StackOverflowError past the NULL-never-error contract.
+    // Returns false when the walk must stop (caps hit or truncated
+    // declared size).
+    def walk(from: Int, until: Int, depth: Int): Boolean = {
       var o = from
       while (o + 8 <= until && out.size < maxFrames) {
         val id = tag(b, o)
@@ -104,15 +111,16 @@ object AviFrames {
         val dataOff = o + 8
         if (id == "LIST" && size >= 4) {
           val listType = tag(b, dataOff)
-          if (listType == "movi" && !inMovi) {
-            if (!walk(dataOff + 4, dataOff + size.toInt, inMovi = true))
+          if (listType == "movi" && depth == 0) {
+            if (!walk(dataOff + 4, dataOff + size.toInt, depth = 1))
               return false
-          } else if (listType == "rec " && inMovi) {
-            if (!walk(dataOff + 4, dataOff + size.toInt, inMovi = true))
+          } else if (listType == "rec " && depth == 1) {
+            if (!walk(dataOff + 4, dataOff + size.toInt, depth = 2))
               return false
           }
-          // other lists (hdrl, odml, …) carry no frames — skipped
-        } else if (inMovi && (id == "00dc" || id == "00db")) {
+          // other lists (hdrl, odml, …) and rec-within-rec (spec
+          // violation) carry no frames — skipped
+        } else if (depth >= 1 && (id == "00dc" || id == "00db")) {
           if (size > MaxFrameBytes) return false // bomb guard
           if (total + size > MaxTotalBytes) return false
           val f = new Array[Byte](size.toInt)
@@ -124,7 +132,7 @@ object AviFrames {
       }
       true
     }
-    walk(12, b.length, inMovi = false)
+    walk(12, b.length, depth = 0)
     if (out.isEmpty) return null // an AVI with no stream-0 video frames
     val arr = new Array[Any](out.size)
     var i = 0

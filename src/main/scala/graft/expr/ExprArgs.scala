@@ -15,19 +15,34 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 private[graft] object ExprArgs {
 
-  // NON_FOLDABLE_ARGUMENT is the standard class built-ins raise for
-  // exactly this shape (QueryCompilationErrors is private[sql], so the
-  // exception is constructed with the same class + parameters here)
+  // Two distinct failure shapes get the two error classes built-ins
+  // raise for them (QueryCompilationErrors is private[sql], so the
+  // exceptions are constructed with the same class + parameters here):
+  // a non-foldable argument (column reference) → NON_FOLDABLE_ARGUMENT
+  // with the REQUIRED type; a foldable argument of the wrong type (a
+  // string or fractional literal, a NULL, an out-of-range long) →
+  // DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE naming required vs actual.
   private def bad(fn: String, name: String, e: Expression): Nothing = {
     // an UNRESOLVED argument (analyzer hasn't bound the reference yet)
-    // throws from dataType itself — still report the typed error
+    // throws from dataType/foldable themselves — still report typed
+    val foldable = try e.foldable catch { case _: Exception => false }
     val tpe = try e.dataType.catalogString catch { case _: Exception => "unresolved" }
+    if (!foldable)
+      throw new AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`$name`",
+          "paramType" -> "\"INT\""))
+    val inputSql = try e.sql catch { case _: Exception => e.toString }
     throw new AnalysisException(
-      errorClass = "NON_FOLDABLE_ARGUMENT",
+      errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
       messageParameters = Map(
-        "funcName" -> s"`$fn`",
-        "paramName" -> s"`$name`",
-        "paramType" -> s""""$tpe""""))
+        "sqlExpr" -> s""""$fn"""",
+        "paramIndex" -> s"`$name`",
+        "requiredType" -> "\"INT\"",
+        "inputSql" -> s""""$inputSql"""",
+        "inputType" -> s""""$tpe""""))
   }
 
   private def eval(fn: String, name: String, e: Expression): Long = {

@@ -96,6 +96,15 @@ object Mp4Frames {
     * payloadEnd) of the first box named `name` at or after `from`, or
     * null. Same contract as VideoMeta.findBox (64-bit and
     * to-end-of-enclosing sizes handled).
+    *
+    * Damage triage (header-optional stance): a size field smaller
+    * than its own header is one corrupt box, not proof the siblings
+    * are gone — skip the header and rescan rather than abort the
+    * walk. A size running past the enclosure is clamped to it: if
+    * that box IS the target the truncated payload is returned (the
+    * stbl table sanity checks downstream decide whether it's
+    * usable), and the walk ends there either way since the declared
+    * size claims everything that remains.
     */
   private def findBox(b: Array[Byte], from: Int, to: Int,
       name: String): Array[Int] = {
@@ -105,15 +114,23 @@ object Mp4Frames {
       var hdr = 8
       if (size == 1 && o + 16 <= to) { size = u64(b, o + 8); hdr = 16 }
       else if (size == 0) size = (to - o).toLong
-      if (size < hdr || size > to - o) return null
-      if (tag(b, o + 4) == name) return Array(o + hdr, o + size.toInt)
-      o += size.toInt
+      if (size < hdr) {
+        o += hdr // corrupt size: skip this header, keep scanning
+      } else {
+        val end = if (size > to - o) to else o + size.toInt
+        if (tag(b, o + 4) == name) return Array(o + hdr, end)
+        o = end
+      }
     }
     null
   }
 
-  /** The `stbl` of the first trak in [from, to) whose hdlr is `vide`;
-    * also advances across non-video traks. Returns null when none.
+  /** The `stbl` of the first trak in [from, to) whose hdlr is `vide`
+    * AND has a usable minf/stbl; advances across non-video traks and
+    * across DAMAGED video traks (a vide trak missing its minf/stbl is
+    * one damaged track, not a verdict on the file — a later intact
+    * video trak still extracts, per the header-optional triage
+    * stance). Returns null when none.
     */
   private def videoStbl(b: Array[Byte], moovFrom: Int, moovTo: Int): Array[Int] = {
     var o = moovFrom
@@ -127,8 +144,9 @@ object Mp4Frames {
         if (hdlr != null && hdlr(1) - hdlr(0) >= 12 &&
             tag(b, hdlr(0) + 8) == "vide") {
           val minf = findBox(b, mdia(0), mdia(1), "minf")
-          if (minf == null) return null
-          return findBox(b, minf(0), minf(1), "stbl")
+          val stbl =
+            if (minf == null) null else findBox(b, minf(0), minf(1), "stbl")
+          if (stbl != null) return stbl
         }
       }
       o = trak(1)

@@ -486,9 +486,14 @@ class ExprConfigSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("63"), e.getMessage)
     // non-literal / non-integer gx arguments are TYPED analysis errors
-    // (NON_FOLDABLE_ARGUMENT naming the function), never a raw
-    // ClassCastException from the resolution-time eval
-    for (badGx <- Seq($"media_id", lit("9"), lit(9.5))) {
+    // naming the function, never a raw ClassCastException from the
+    // resolution-time eval — and the error CLASS distinguishes the
+    // failure shape: a column reference is NON_FOLDABLE_ARGUMENT, a
+    // foldable literal of the wrong type is DATATYPE_MISMATCH
+    for ((badGx, cls) <- Seq(
+        ($"media_id", "NON_FOLDABLE_ARGUMENT"),
+        (lit("9"), "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE"),
+        (lit(9.5), "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE"))) {
       val ae = intercept[org.apache.spark.sql.AnalysisException] {
         Seq((1L, ppm)).toDF("media_id", "content")
           .select(call_function(graft.expr.PixelGridSig.FunctionName,
@@ -496,6 +501,7 @@ class ExprConfigSpec extends SparkSpec {
       }
       assert(ae.getMessage.contains(graft.expr.PixelGridSig.FunctionName),
         ae.getMessage)
+      assert(ae.getCondition == cls, s"$badGx: ${ae.getCondition}")
     }
   }
 
@@ -749,6 +755,20 @@ class ExprConfigSpec extends SparkSpec {
         else r.getInt(4), if (r.isNullAt(8)) null else r.getLong(8))).toSeq
     // frame 0: real 2x1 PPM (sum 210); frame 1: undecodable → NULL stats
     assert(st == Seq((0, 2, 210L), (1, null, null)))
+
+    // RECURSION BOMB: 50k nested `LIST rec ` headers. The RIFF spec
+    // says rec groups never nest, so the walk refuses rec-within-rec
+    // (depth capped at 2) — a crafted file must complete (no
+    // StackOverflowError past the NULL-never-error contract), frames
+    // at legal depths still extract, and the illegally-buried frame
+    // is skipped with the whole bogus subtree.
+    var nested = chunk("00dc", f0)
+    for (_ <- 1 to 50000) nested = list("rec ", nested)
+    val bomb = avi(list("movi",
+      chunk("00dc", f1) ++ nested ++ chunk("00db", f2)))
+    assert(frames(bomb).get.map(_.toSeq) == Seq(f1.toSeq, f2.toSeq))
+    // all-bomb file: nothing at a legal depth → NULL, not an error
+    assert(frames(avi(list("movi", nested))).isEmpty)
   }
 
   test("graft_mp4_frames: sample-table walk, stsc runs, co64, guards") {
@@ -829,6 +849,27 @@ class ExprConfigSpec extends SparkSpec {
     assert(frames(ftyp ++ mdat ++ box("moov", trakA)).isEmpty, "no vide")
     assert(frames(ascii("random garbage here")).isEmpty)
     assert(frames(Array.emptyByteArray).isEmpty)
+
+    // DAMAGE TRIAGE: a vide trak missing its minf/stbl is one damaged
+    // track, not a verdict on the file — a later intact vide trak
+    // still extracts
+    val trakVBroken = box("trak", box("mdia", hdlr("vide")))
+    assert(frames(ftyp ++ mdat ++ box("moov",
+      trakVBroken ++ trakV(stblOf(stco3, "stco", stszVar))))
+      .get.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq, f2.toSeq, f3.toSeq),
+      "later intact vide trak after a damaged one")
+    // a sibling box with a corrupt size field (smaller than its own
+    // header) is skipped, not fatal to the walk
+    val corruptBox = be32(3) ++ ascii("junk")
+    assert(frames(ftyp ++ mdat ++ box("moov",
+      corruptBox ++ trakV(stblOf(stco3, "stco", stszVar))))
+      .get.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq, f2.toSeq, f3.toSeq),
+      "corrupt sibling box before the vide trak")
+    // both at once — the mildly-damaged-file shape the triage stance
+    // is for
+    assert(frames(ftyp ++ mdat ++ box("moov",
+      corruptBox ++ trakVBroken ++ trakV(stblOf(stco3, "stco", stszVar))))
+      .get.nonEmpty)
 
     // pipeline dispatch: AVI and MP4 rows explode through the SAME
     // videoFrames operator; junk contributes nothing
