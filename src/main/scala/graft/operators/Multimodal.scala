@@ -404,6 +404,53 @@ object Multimodal {
         posexplode(col("_fs")).as(Seq("frame_idx", "frame")))
   }
 
+  /** [[videoFrames]] routed through a pluggable [[VideoDecoder]] —
+    * the seam inter-frame codecs (H.264 etc.) plug into. The
+    * container walk extracts the encoded frame sequence exactly as
+    * [[videoFrames]] does; the decoder then turns it into image
+    * blobs the native [[pixelStats]] tier decodes, BEFORE the
+    * explode.
+    *
+    * The seam's scale contract, which [[DeltaStubDecoder]]'s spec
+    * pins down so an ffmpeg/JNI implementation inherits it:
+    *  - inter-frame decode is sequential WITHIN one video, and the
+    *    container row already holds its whole (bomb-capped) frame
+    *    sequence — so decode is a per-row `mapPartitions`
+    *    projection: no groupBy, no shuffle, no blob movement (size
+    *    tasks with [[repartitionBySize]] upstream exactly as for
+    *    [[extractFeatures]]);
+    *  - typed columns: output is the same (media_id, frame_idx,
+    *    frame) shape as [[videoFrames]], so every downstream `Of`
+    *    stage ([[videoFrameStatsOf]], [[videoSignaturesOf]],
+    *    [[videoNearDupOf]]) is decoder-agnostic;
+    *  - NULL propagation: a payload the decoder cannot decode maps
+    *    to a null element, which survives the posexplode WITH its
+    *    frame_idx (index holes must not shift temporal windows) and
+    *    NULL-stats downstream — never an error, never a dropped
+    *    index.
+    */
+  def videoFramesVia(media: DataFrame, decoder: VideoDecoder,
+      contentCol: String = "content", maxFrames: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fs = coalesce(
+      call_function(graft.expr.AviFrames.FunctionName,
+        col(contentCol), lit(maxFrames)),
+      call_function(graft.expr.Mp4Frames.FunctionName,
+        col(contentCol), lit(maxFrames)))
+    // typed boundary is Seq[Array[Byte]]: the encoder's nested-array
+    // deserializer rejects Array[Array[Byte]] (UnsafeArrayData.array)
+    media.select(col("media_id").cast(LongType), fs.as("_fs"))
+      .filter(col("_fs").isNotNull)
+      .as[(Long, Seq[Array[Byte]])]
+      .mapPartitions(it => it.map { case (id, enc) =>
+        (id, decoder.decode(enc.toArray).toSeq)
+      })
+      .toDF("media_id", "_fs")
+      .select(col("media_id"),
+        posexplode(col("_fs")).as(Seq("frame_idx", "frame")))
+  }
+
   /** Per-FRAME pixel content stats for MJPEG-class AVI videos: the
     * frame-level analog of [[pixelStats]] — [[videoFrames]] composed
     * with the real pixel decode, keyed (media_id, frame_idx). The
@@ -411,11 +458,20 @@ object Multimodal {
     * curation filter needs, exact-integer like q150.
     */
   def videoFrameStats(media: DataFrame, contentCol: String = "content",
-      maxFrames: Int = 64): DataFrame = {
+      maxFrames: Int = 64): DataFrame =
+    videoFrameStatsOf(videoFrames(media, contentCol, maxFrames))
+
+  /** [[videoFrameStats]] over an already-extracted (media_id,
+    * frame_idx, frame) DataFrame — [[videoFrames]]'s shape, or
+    * [[videoFramesVia]]'s when an inter-frame codec sits behind the
+    * [[VideoDecoder]] seam. Null frames (undecodable payloads) keep
+    * their row and NULL their stats, per the triage contract.
+    */
+  def videoFrameStatsOf(frames: DataFrame): DataFrame = {
     val meta = call_function(graft.expr.PixelStats.FunctionName, col("frame"))
     val n = col("_m.n_pixels") * col("_m.channels")
     val mean = col("_m.sum").cast(DoubleType) / n
-    videoFrames(media, contentCol, maxFrames)
+    frames
       .select(col("media_id"), col("frame_idx"),
         coalesce(length(col("frame")), lit(0)).cast(LongType).as("n_bytes"),
         meta.as("_m"))
@@ -455,13 +511,21 @@ object Multimodal {
     * per-video state is ≤ maxFrames rows.
     */
   def videoSignatures(media: DataFrame, contentCol: String = "content",
-      nWin: Int = 32, maxFrames: Int = 64): DataFrame = {
+      nWin: Int = 32, maxFrames: Int = 64): DataFrame =
+    videoSignaturesOf(videoFrames(media, contentCol, maxFrames), nWin)
+
+  /** [[videoSignatures]] over an already-extracted (media_id,
+    * frame_idx, frame) DataFrame — [[videoFrames]]'s shape, or
+    * [[videoFramesVia]]'s when an inter-frame codec sits behind the
+    * [[VideoDecoder]] seam.
+    */
+  def videoSignaturesOf(framesDf: DataFrame, nWin: Int = 32): DataFrame = {
     require(nWin >= 2 && nWin <= 64, s"nWin must be in [2, 64]: $nWin")
     import org.apache.spark.sql.expressions.Window
     val meta = call_function(graft.expr.PixelStats.FunctionName, col("frame"))
     // per decodable frame: integer mean scaled by 256 (exact: div of
     // longs; sum <= 255 * 64Mi samples keeps sum*256 < 2^63)
-    val frames = videoFrames(media, contentCol, maxFrames)
+    val frames = framesDf
       .select(col("media_id").as("_id"), col("frame_idx"), meta.as("_m"))
       .filter(col("_m").isNotNull)
       .select(col("_id"), col("frame_idx"),
@@ -536,10 +600,23 @@ object Multimodal {
     */
   def videoNearDup(media: DataFrame, contentCol: String = "content",
       nWin: Int = 32, maxFrames: Int = 64, maxHamming: Int = 4,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): DataFrame =
+    videoNearDupOf(videoFrames(media, contentCol, maxFrames),
+      nWin, maxHamming, maxBucket)
+
+  /** [[videoNearDup]] over an already-extracted (media_id, frame_idx,
+    * frame) DataFrame — [[videoFrames]]'s shape, or
+    * [[videoFramesVia]]'s when an inter-frame codec sits behind the
+    * [[VideoDecoder]] seam: the fingerprint hashes per-frame
+    * luminance MEANS, so once the seam decodes frames to image
+    * blobs, inter-coded clips near-dup through the identical
+    * banding/verify path.
+    */
+  def videoNearDupOf(frames: DataFrame, nWin: Int = 32,
+      maxHamming: Int = 4, maxBucket: Int = 4096): DataFrame = {
     require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
     val sigs = graft.Caches.own(
-      videoSignatures(media, contentCol, nWin, maxFrames)
+      videoSignaturesOf(frames, nWin)
         .select(col("media_id").as("_id"), col("n_windows").as("_w"),
           col("thash").as("_h")))
     // live bits = W-1 — SHORT next to the image/audio hashes (31 at
@@ -627,6 +704,76 @@ object Multimodal {
   trait MediaDecoder extends Serializable {
     /** bytes → fixed-size feature vector (e.g. pooled pixels / MFCC). */
     def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Pluggable per-video frame decoder — the seam inter-frame codecs
+    * (H.264 etc.) land behind. One call decodes ONE video's whole
+    * extracted frame sequence in order (inter-frame decode is
+    * stateful across frames of a clip, never across clips), returning
+    * a SAME-LENGTH array of image blobs in a format the native
+    * [[pixelStats]] tier decodes (PPM/PNG/BMP/…), with null at every
+    * position whose payload the decoder cannot decode — positions,
+    * not just values, are part of the contract (frame_idx must
+    * survive so temporal windows don't shift). Implementations must
+    * be pure, deterministic and Serializable; they run executor-side
+    * inside [[videoFramesVia]]'s per-row projection.
+    */
+  trait VideoDecoder extends Serializable {
+    def decode(frames: Array[Array[Byte]]): Array[Array[Byte]]
+  }
+
+  /** Intra-coded passthrough: MJPEG-class frames are already complete
+    * images, so decode is the identity — [[videoFramesVia]] with this
+    * decoder is plan-for-plan [[videoFrames]] plus the seam hop.
+    */
+  final class IntraFrameDecoder extends VideoDecoder {
+    def decode(frames: Array[Array[Byte]]): Array[Array[Byte]] = frames
+  }
+
+  /** Deterministic stub for a TRIVIAL synthetic inter-frame format,
+    * existing to integration-test the [[VideoDecoder]] seam before
+    * ffmpeg-class code lands behind it (the image/audio libraries
+    * aren't in this environment; the Spark-side plumbing is what the
+    * spec proves). The format, `GKEY`/`GDLT`:
+    *  - `GKEY` + image bytes — a keyframe carrying a complete image;
+    *  - `GDLT` + delta bytes — byte-wise delta (mod 256) applied to
+    *    the PREVIOUS decoded frame, same length (the minimal honest
+    *    model of inter-frame dependence: undecodable without its
+    *    predecessor);
+    *  - anything else, a delta before any keyframe, or a
+    *    length-mismatched delta → null (and the keyframe state
+    *    resets, exactly as a real decoder loses sync until the next
+    *    keyframe).
+    */
+  final class DeltaStubDecoder extends VideoDecoder {
+    def decode(frames: Array[Array[Byte]]): Array[Array[Byte]] = {
+      val out = new Array[Array[Byte]](frames.length)
+      var prev: Array[Byte] = null
+      var i = 0
+      while (i < frames.length) {
+        val f = frames(i)
+        out(i) =
+          if (f == null || f.length < 4) { prev = null; null }
+          else if (f(0) == 'G' && f(1) == 'K' && f(2) == 'E' && f(3) == 'Y') {
+            prev = java.util.Arrays.copyOfRange(f, 4, f.length)
+            prev
+          } else if (f(0) == 'G' && f(1) == 'D' && f(2) == 'L' && f(3) == 'T') {
+            if (prev == null || f.length - 4 != prev.length) { prev = null; null }
+            else {
+              val d = new Array[Byte](prev.length)
+              var j = 0
+              while (j < d.length) {
+                d(j) = (prev(j) + f(j + 4)).toByte
+                j += 1
+              }
+              prev = d
+              d
+            }
+          } else { prev = null; null }
+        i += 1
+      }
+      out
+    }
   }
 
   final class StubDecoder extends MediaDecoder {

@@ -947,6 +947,82 @@ class ExprConfigSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 0), (3L, 4L, 0)), pairs.toSeq)
   }
 
+  test("VideoDecoder seam: stub inter-frame codec end-to-end") {
+    import graft.operators.Multimodal
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      ascii(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ le32(4 + payload.length) ++ ascii(typ) ++ payload
+    def avi(payload: Array[Byte]): Array[Byte] =
+      ascii("RIFF") ++ le32(4 + payload.length) ++ ascii("AVI ") ++ payload
+    // synthetic GKEY/GDLT inter-frame clips inside REAL AVI
+    // containers: the codec-agnostic chunk walk extracts the encoded
+    // payloads, the DeltaStubDecoder turns them into PPMs the native
+    // pixel tier decodes — the exact path an H.264 decoder would take
+    val hdrLen = "P6\n2 1\n255\n".length
+    def ppm(v: Int): Array[Byte] =
+      ascii("P6\n2 1\n255\n") ++ Array.fill[Byte](6)(v.toByte)
+    def key(v: Int): Array[Byte] = ascii("GKEY") ++ ppm(v)
+    def delta(d: Int): Array[Byte] = ascii("GDLT") ++
+      Array.fill[Byte](hdrLen)(0) ++ Array.fill[Byte](6)(d.toByte)
+    def clip(payloads: Seq[Array[Byte]]): Array[Byte] =
+      avi(list("movi", payloads.toArray.flatMap(p => chunk("00dc", p))))
+
+    // clip 1: keyframe mean 10, deltas +10 → means 10,20,30,40
+    // clip 2: the same temporal profile shifted +5 (re-encode twin)
+    // clip 3: a foreign codec (no GKEY) → every frame undecodable
+    // clip 4: decoder DESYNC — delta before any keyframe NULLs frame 0
+    //         and its index hole must not shift later frames
+    val media = Seq(
+      1L -> clip(Seq(key(10), delta(10), delta(10), delta(10))),
+      2L -> clip(Seq(key(15), delta(10), delta(10), delta(10))),
+      3L -> clip(Seq(ascii("H264?") ++ ppm(50), ascii("H264?") ++ ppm(60))),
+      4L -> clip(Seq(delta(10), key(70), delta(10)))
+    ).toDF("media_id", "content").withColumn("kind", lit("video"))
+
+    val dec = new Multimodal.DeltaStubDecoder
+    val frames = Multimodal.videoFramesVia(media, dec)
+
+    // seam scale contract: decode is a per-row projection — NO
+    // exchange anywhere in the frames plan (blobs never shuffle)
+    assert(!frames.queryExecution.executedPlan.toString
+      .contains("Exchange"), frames.queryExecution.executedPlan)
+
+    // typed columns + NULL propagation with PRESERVED frame_idx
+    val st = Multimodal.videoFrameStatsOf(frames)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(13)) null else r.getDouble(13)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(st == Seq(
+      (1L, 0, 10.0), (1L, 1, 20.0), (1L, 2, 30.0), (1L, 3, 40.0),
+      (2L, 0, 15.0), (2L, 1, 25.0), (2L, 2, 35.0), (2L, 3, 45.0),
+      (3L, 0, null), (3L, 1, null),
+      (4L, 0, null), (4L, 1, 70.0), (4L, 2, 80.0)), st)
+
+    // near-dup through the same decoded frames: the re-encode twins
+    // pair at hamming 0; the undecodable clip contributes nothing
+    val pairs = Multimodal.videoNearDupOf(frames)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0)), pairs)
+
+    // the intra passthrough reproduces videoFrames exactly (MJPEG
+    // clips run the same pipeline whether or not the seam is wired)
+    val mjpeg = Seq(5L -> clip(Seq(ppm(10), ppm(30))))
+      .toDF("media_id", "content")
+    val via = Multimodal
+      .videoFramesVia(mjpeg, new Multimodal.IntraFrameDecoder)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSeq
+    val plain = Multimodal.videoFrames(mjpeg)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSeq
+    assert(via == plain && via.size == 2, via)
+  }
+
   test("graft_video_meta walks MP4 box trees, nulls the rest") {
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
