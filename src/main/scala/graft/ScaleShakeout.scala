@@ -392,61 +392,131 @@ object ScaleShakeout {
     // color 2x2 PPMs: frame mean == the planted value, decode honest
     // but cheap. Claims: ~linear wall, guard engages on the fade
     // clique, zero spill.
-    if (wanted("videoNearDup")) {
-      val aviPath = "target/scale_video.parquet"
-      val genAvi = udf { (id: Long) =>
+    if (wanted("videoNearDup", "videoNearDupMixed")) {
+      // planted per-clip frame values, shared by BOTH container
+      // generators so the mixed-container op reuses the identical
+      // corpus semantics (same families, fades, +4 variants)
+      def clipValues(id: Long): Array[Int] = {
         val isVariant = id % 10 == 9
         val isFade = id % 100 < 3 && !isVariant
         val fam = if (isVariant) id - 1 else id
         val n = 33 + (fam % 32).toInt
         val rnd = new java.util.Random(fam * 6364136223846793005L + 97L)
         val shift = if (isVariant) 4 else 0
+        Array.tabulate(n)(f =>
+          if (isFade) 10 + f * 3 else shift + 10 + rnd.nextInt(236))
+      }
+      val header = "P6\n2 2\n255\n".getBytes("ISO-8859-1")
+      val frameSize = header.length + 12 // 23, odd: pad every AVI chunk
+      def aviBytes(vs: Array[Int]): Array[Byte] = {
         def le32(x: Int) = Array[Byte](x.toByte, (x >> 8).toByte,
           (x >> 16).toByte, (x >> 24).toByte)
-        val header = "P6\n2 2\n255\n".getBytes("ISO-8859-1")
-        val frameSize = header.length + 12 // 23, odd: pad every chunk
         val out = new java.io.ByteArrayOutputStream()
         out.write("RIFF".getBytes("ISO-8859-1"))
-        val moviSize = 4 + n * (8 + frameSize + 1)
+        val moviSize = 4 + vs.length * (8 + frameSize + 1)
         out.write(le32(12 + moviSize))
         out.write("AVI LIST".getBytes("ISO-8859-1"))
         out.write(le32(moviSize))
         out.write("movi".getBytes("ISO-8859-1"))
-        var f = 0
-        while (f < n) {
-          val v =
-            if (isFade) 10 + f * 3
-            else shift + 10 + rnd.nextInt(236)
+        for (v <- vs) {
           out.write("00dc".getBytes("ISO-8859-1"))
           out.write(le32(frameSize))
           out.write(header)
           var i = 0
           while (i < 12) { out.write(v); i += 1 }
           out.write(0) // pad
-          f += 1
         }
         out.toByteArray
       }
-      spark.range(nDocs)
-        .select(col("id").as("media_id"), genAvi(col("id")).as("content"))
-        .write.mode("overwrite").parquet(aviPath)
-      val clips = spark.read.parquet(aviPath)
-      // mass-bucket forensics (2×16 key-space-floor bands at nWin=32)
-      val over = graft.operators.Multimodal.videoSignatures(clips, nWin = 32)
-        .select(explode(sequence(lit(0), lit(1))).as("band"),
-          col("thash").as("h"))
-        .select(col("band"),
-          call_function("shiftright", col("h"), (col("band") * 16).cast("int"))
-            .bitwiseAND(lit(65535L)).as("key"))
-        .groupBy("band", "key").count()
-        .filter(col("count") > 4096)
-        .agg(count(lit(1)).as("buckets"), sum(col("count")).as("members"))
-        .head()
-      println(s"  thash mass buckets > 4096: ${over.getLong(0)} " +
-        s"(members=${if (over.isNullAt(1)) 0L else over.getLong(1)})")
-      run("videoNearDup")(
-        graft.operators.Multimodal.videoNearDup(clips, nWin = 32,
-          maxHamming = 4))
+      // genuine ISO BMFF, q159's construction: ftyp + mdat holding the
+      // raw PPM samples + moov/trak/mdia/hdlr(vide)/minf/stbl with
+      // fixed-size stsz, single-run stsc, absolute stco into mdat
+      def mp4Bytes(vs: Array[Int]): Array[Byte] = {
+        def be32(x: Int) = Array[Byte]((x >> 24).toByte, (x >> 16).toByte,
+          (x >> 8).toByte, x.toByte)
+        def ascii(sParam: String) = sParam.getBytes("ISO-8859-1")
+        def box(name: String, payload: Array[Byte]): Array[Byte] =
+          be32(payload.length + 8) ++ ascii(name) ++ payload
+        val n = vs.length
+        val ftyp = box("ftyp", ascii("isom") ++ be32(0))
+        val mdatStart = ftyp.length + 8
+        val frames = new java.io.ByteArrayOutputStream()
+        for (v <- vs) {
+          frames.write(header)
+          var i = 0
+          while (i < 12) { frames.write(v); i += 1 }
+        }
+        val mdat = box("mdat", frames.toByteArray)
+        val stbl = box("stbl",
+          box("stsz", be32(0) ++ be32(frameSize) ++ be32(n)) ++
+          box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(n) ++ be32(1)) ++
+          box("stco", be32(0) ++ be32(1) ++ be32(mdatStart)))
+        val hdlr = box("hdlr",
+          be32(0) ++ be32(0) ++ ascii("vide") ++ Array.fill[Byte](12)(0))
+        ftyp ++ mdat ++
+          box("moov", box("trak", box("mdia", hdlr ++ box("minf", stbl))))
+      }
+      if (wanted("videoNearDup")) {
+        val aviPath = "target/scale_video.parquet"
+        val genAvi = udf((id: Long) => aviBytes(clipValues(id)))
+        spark.range(nDocs)
+          .select(col("id").as("media_id"), genAvi(col("id")).as("content"))
+          .write.mode("overwrite").parquet(aviPath)
+        val clips = spark.read.parquet(aviPath)
+        // mass-bucket forensics (2×16 key-space-floor bands at nWin=32)
+        val over = graft.operators.Multimodal.videoSignatures(clips, nWin = 32)
+          .select(explode(sequence(lit(0), lit(1))).as("band"),
+            col("thash").as("h"))
+          .select(col("band"),
+            call_function("shiftright", col("h"), (col("band") * 16).cast("int"))
+              .bitwiseAND(lit(65535L)).as("key"))
+          .groupBy("band", "key").count()
+          .filter(col("count") > 4096)
+          .agg(count(lit(1)).as("buckets"), sum(col("count")).as("members"))
+          .head()
+        println(s"  thash mass buckets > 4096: ${over.getLong(0)} " +
+          s"(members=${if (over.isNullAt(1)) 0L else over.getLong(1)})")
+        run("videoNearDup")(
+          graft.operators.Multimodal.videoNearDup(clips, nWin = 32,
+            maxHamming = 4))
+      }
+
+      // MP4-container parity for the decade: the SAME planted corpus
+      // with the container dispatched by id parity — even ids
+      // RIFF/AVI, odd ids genuine ISO BMFF, so the coalesce dispatch,
+      // the sample-table walk AND the leaf-bytes floor all run at
+      // scale against MP4's blob-size profile. Every +4-brightness
+      // variant (id%10==9, family id-1) sits in the OPPOSITE
+      // container from its predecessor, so the planted recall is
+      // 100% CROSS-container — the "two encodes containered
+      // differently" promise measured, not just spec'd. Claims: wall
+      // ~ videoNearDup's (same per-row projection shape), 0 spill,
+      // fade-clique guard engages, planted cross-container pairs
+      // recovered.
+      if (wanted("videoNearDupMixed")) {
+        val mixPath = "target/scale_video_mixed.parquet"
+        val genMixed = udf((id: Long) =>
+          if (id % 2 == 0) aviBytes(clipValues(id))
+          else mp4Bytes(clipValues(id)))
+        spark.range(nDocs)
+          .select(col("id").as("media_id"), genMixed(col("id")).as("content"))
+          .write.mode("overwrite").parquet(mixPath)
+        val clips = spark.read.parquet(mixPath)
+        run("videoNearDupMixed")(
+          graft.operators.Multimodal.videoNearDup(clips, nWin = 32,
+            maxHamming = 4))
+        // planted-recall probe (cheap second pass, sampled to the
+        // planted key pattern before the count)
+        val planted = graft.operators.Multimodal
+          .videoNearDup(clips, nWin = 32, maxHamming = 4)
+          .filter(col("id2") === col("id1") + 1 &&
+            pmod(col("id1"), lit(10)) === 8)
+          .count()
+        // every id≡9 (mod 10) is a variant and neither it nor its
+        // predecessor can be a fade (fades are ≡0,1,2 mod 100)
+        val expected = nDocs / 10
+        println(s"  cross-container planted pairs: $planted / $expected")
+      }
     }
 
     // sessions/window family over a 10× events table (1M events, 10k
