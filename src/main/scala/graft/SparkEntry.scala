@@ -572,9 +572,10 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
     }),
 
-    // WIDE language ID: 62 languages + und with a confidence column —
-    // script-tier codepoint evidence (12 non-Latin scripts) over a
-    // 20-language Latin stopword argmax; the router breadth a real
+    // WIDE language ID: 90 languages + und with a confidence column —
+    // script-tier codepoint evidence (26 scripts) refined by
+    // distinctive-letter counts inside Cyrillic/Arabic, over a
+    // 53-language Latin stopword argmax; the router breadth a real
     // multilingual crawl needs (q26 keeps the minimal 4-way form)
     "q151_lang_id_wide" -> ((s, dir) => {
       Graft.tune(s)
@@ -5475,6 +5476,16 @@ object SparkEntry {
     val scriptExprs = TextAnalysis.ScriptRanges.map { case (lang, cls) =>
       s"length(regexp_replace(t, '[^$cls]', '', 'g')) AS s_$lang"
     }.mkString(",\n                  ")
+    // within-script refinement marker counts + per-group maxima
+    val refExprs = TextAnalysis.ScriptRefinements.flatMap { case (p, cands) =>
+      cands.map { case (l, chars) =>
+        s"length(regexp_replace(t, '[^$chars]', '', 'g')) AS r_${p}_$l"
+      }
+    }.mkString(",\n                  ")
+    val refMaxExprs = TextAnalysis.ScriptRefinements.map { case (p, cands) =>
+      cands.map(c => s"r_${p}_${c._1}")
+        .mkString("greatest(", ", ", s") AS rm_$p")
+    }.mkString(", ")
     val sLangs = TextAnalysis.ScriptRanges.map(_._1).sorted
     val hLangs = TextAnalysis.WideStopwordLists.map(_._1).sorted
     val sMax = sLangs.map("s_" + _).mkString("greatest(", ", ", ")")
@@ -5483,6 +5494,15 @@ object SparkEntry {
       .mkString(" ") + s" ELSE '${sLangs.last}'"
     val hCase = hLangs.init.map(l => s"WHEN h_$l = hm THEN '$l'")
       .mkString(" ") + s" ELSE '${hLangs.last}'"
+    // refinement over the script winner: candidates code-ascending
+    // (they are constructed sorted), all-zero keeps the prior
+    val refCase = TextAnalysis.ScriptRefinements.map { case (p, cands) =>
+      val langs = cands.map(_._1)
+      val inner = langs.init.map(l =>
+        s"WHEN r_${p}_$l = rm_$p THEN '$l'").mkString(" ") +
+        s" ELSE '${langs.last}'"
+      s"WHEN sl = '$p' THEN CASE WHEN rm_$p = 0 THEN '$p' $inner END"
+    }.mkString(" ")
     s"""WITH base AS (
          SELECT doc_id, COALESCE(text, '') AS t,
                 list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[^a-z0-9]+'),
@@ -5493,11 +5513,14 @@ object SparkEntry {
                 length(regexp_replace(t, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS nws,
                 len(toks) AS ntk,
                 $scriptExprs,
+                $refExprs,
                 $stopHitExprs
          FROM base),
-       mx AS (SELECT *, $sMax AS sm, $hMax AS hm FROM ev)
+       mx AS (SELECT *, $sMax AS sm, $hMax AS hm, $refMaxExprs FROM ev),
+       sx AS (SELECT *, CASE $sCase END AS sl FROM mx)
      SELECT doc_id,
-            CASE WHEN sm > 0 AND sm * 10 >= nws * 3 THEN CASE $sCase END
+            CASE WHEN sm > 0 AND sm * 10 >= nws * 3
+                   THEN CASE $refCase ELSE sl END
                  WHEN hm = 0 THEN 'und'
                  ELSE CASE $hCase END END AS pred_lang,
             CASE WHEN sm > 0 AND sm * 10 >= nws * 3
@@ -5505,7 +5528,7 @@ object SparkEntry {
                  WHEN hm = 0 THEN 0.0
                  ELSE ROUND(CAST(hm AS DOUBLE) / greatest(ntk, 1), 4)
             END AS confidence
-     FROM mx"""
+     FROM sx"""
   }
 
   private def langIdOracle: String = {

@@ -10,17 +10,20 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernel for the wide language ID — the composed Column form
-  * (26 per-script regexp_replace counts + 36 array_intersect stopword
-  * hits + two 62-way CASE chains in one projection) exceeds janino's
-  * method limits, so whole-stage codegen SILENTLY fell back to
-  * interpreted evaluation with no subexpression reuse: 13 s for 5 000
-  * docs. This expression does the same arithmetic the obvious way —
-  * ONE pass over the characters classifying all 26 scripts at once,
-  * ONE token-set build probed by all 360 stopwords — and returns in
+  * (26 per-script + 12 marker regexp_replace counts + 53
+  * array_intersect stopword hits + wide CASE chains in one
+  * projection) exceeds janino's method limits, so whole-stage codegen
+  * SILENTLY fell back to interpreted evaluation with no subexpression
+  * reuse: 13 s for 5 000 docs. This expression does the same
+  * arithmetic the obvious way — ONE pass over the characters
+  * classifying all 26 scripts AND all refinement markers at once
+  * (the marker probe is a direct 64K-entry table, no boxing), ONE
+  * token-set build probed by all 530 stopwords — and returns in
   * milliseconds. Semantics are IDENTICAL to
   * [[graft.functions.TextAnalysis]]'s constants and rules (script
-  * dominance `sMax·10 ≥ nonWs·3` on integer counts, stopword argmax
-  * with lang-ascending ties, confidence = round(ratio, 4) exactly like
+  * dominance `sMax·10 ≥ nonWs·3` on integer counts, within-script
+  * marker refinement with all-zero → prior, stopword argmax with
+  * lang-ascending ties, confidence = round(ratio, 4) exactly like
   * Spark's `round`), which the composed form and the generated DuckDB
   * oracle both replay — the spec asserts native ≡ composed.
   *
@@ -84,6 +87,26 @@ object LangIdWide {
     graft.functions.TextAnalysis.WideStopwordLists
       .map(_._2.toArray).toArray
 
+  // within-script refinement tables (see TextAnalysis.ScriptRefinements)
+  private lazy val refPriors: Array[String] =
+    graft.functions.TextAnalysis.ScriptRefinements.map(_._1).toArray
+  private lazy val refLangs: Array[Array[String]] =
+    graft.functions.TextAnalysis.ScriptRefinements
+      .map(_._2.map(_._1).toArray).toArray
+  // BMP char → packed (group << 8) | (candidate + 1); 0 = not a
+  // marker. A direct 64K-entry table instead of a HashMap: the probe
+  // sits on the per-character hot path and must not box
+  private lazy val markerTable: Array[Int] = {
+    val t = new Array[Int](0x10000)
+    for (((_, cands), g) <-
+           graft.functions.TextAnalysis.ScriptRefinements.zipWithIndex;
+         ((_, chars), c) <- cands.zipWithIndex; ch <- chars) {
+      require(t(ch) == 0, s"marker '$ch' assigned twice — sets must be disjoint")
+      t(ch) = (g << 8) | (c + 1)
+    }
+    t
+  }
+
   /** EXACTLY Spark's `round(col, 4)` on DoubleType (RoundBase). */
   private def round4(d: Double): Double =
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
@@ -112,6 +135,12 @@ object LangIdWide {
     // oracle on any emoji/astral-CJK text. Script ranges are BMP, so
     // supplementary code points can only feed the denominator.
     val sc = new Array[Int](scriptLangs.length)
+    val rc = {
+      val a = new Array[Array[Int]](refLangs.length)
+      var g = 0
+      while (g < a.length) { a(g) = new Array[Int](refLangs(g).length); g += 1 }
+      a
+    }
     var nonWs = 0
     var i = 0
     while (i < s.length) {
@@ -125,6 +154,8 @@ object LangIdWide {
           if (c >= scriptLo(k) && c <= scriptHi(k)) { sc(k) += 1; hit = true }
           k += 1
         }
+        val mi = markerTable(c)
+        if (mi != 0) rc(mi >> 8)((mi & 0xFF) - 1) += 1
       }
       i += Character.charCount(cp)
     }
@@ -136,10 +167,29 @@ object LangIdWide {
       if (sc(k) > sMax) { sMax = sc(k); sArg = k }
       k += 1
     }
-    if (sMax > 0 && sMax.toLong * 10 >= nonWs.toLong * 3)
+    if (sMax > 0 && sMax.toLong * 10 >= nonWs.toLong * 3) {
+      // refinement: if the winner is a refined prior, marker-count
+      // argmax picks within the script (first wins ties — refLangs is
+      // code-ascending); all-zero keeps the prior. Confidence stays
+      // the script-dominance ratio.
+      var lang = scriptLangs(sArg)
+      var g = 0
+      while (g < refPriors.length) {
+        if (refPriors(g) == lang) {
+          val counts = rc(g)
+          var rMax = 0; var rArg = -1; var c2 = 0
+          while (c2 < counts.length) {
+            if (counts(c2) > rMax) { rMax = counts(c2); rArg = c2 }
+            c2 += 1
+          }
+          if (rMax > 0) lang = refLangs(g)(rArg)
+          g = refPriors.length
+        } else g += 1
+      }
       return new GenericInternalRow(Array[Any](
-        UTF8String.fromString(scriptLangs(sArg)),
+        UTF8String.fromString(lang),
         round4(sMax.toDouble / nonWs)))
+    }
     // stopword tier: one token-set build, 360 probes. DISTINCT
     // stopword hits (array_intersect semantics) — set membership per
     // listed word, each word counted once.

@@ -153,6 +153,48 @@ object TextAnalysis {
     "th" -> "\u0E00-\u0E7F", // Thai
     "zh" -> "\u4E00-\u9FFF") // CJK Unified Ideographs
 
+  /** Within-script refinement for scripts shared by several
+    * languages: once the script tier wins with a prior (Cyrillic \u2192
+    * ru, Arabic \u2192 ar), DISTINCTIVE LETTERS refine among that script's
+    * languages \u2014 the same orthographic-marker heuristic the Latin
+    * tier's close-pair stopwords use, one level down. Keyed by the
+    * [[ScriptRanges]] prior; candidates are (lang, marker chars),
+    * both cases listed (marker counting runs on the RAW text like the
+    * script counts). Rules that keep it honest:
+    *  - marker sets are pairwise DISJOINT within a script by
+    *    construction \u2014 letters shared between candidates (\u0459/\u045A/\u0458
+    *    across sr+mk, \u0456 across uk+be, \u0451 across ru+be, \u067E/\u06AF appearing
+    *    in Urdu loanwords) are deliberately excluded, so a hit is
+    *    unambiguous evidence and the argmax needs no weighting;
+    *  - argmax over marker counts, ties to the lowest language code
+    *    (the shared tie rule); ALL-ZERO \u2192 the script prior (pure
+    *    common-alphabet text stays with the script's majority
+    *    language, the documented coarse prior);
+    *  - confidence stays the script-dominance ratio \u2014 refinement
+    *    picks WITHIN the script, it doesn't change how much of the
+    *    text the script covers.
+    * Devanagari (hi/mr/ne) shares one letter inventory \u2014 no reliable
+    * single-letter markers \u2014 so it keeps the bare hi prior,
+    * documented coarseness.
+    */
+  val ScriptRefinements: Seq[(String, Seq[(String, String)])] = Seq(
+    "ar" -> Seq(
+      // the ar prior carries no markers: Persian/Urdu/Pashto all ADD
+      // letters to the base Arabic alphabet, so all-zero \u2192 ar
+      "fa" -> "\u067E\u0686\u0698\u06AF",        // \u067E \u0686 \u0698 \u06AF
+      "ps" -> "\u067C\u0689\u0693\u069A\u06BC",  // \u067C \u0689 \u0693 \u069A \u06BC
+      "ur" -> "\u0679\u0688\u0691\u06BA\u06D2"), // \u0679 \u0688 \u0691 \u06BA \u06D2
+    "ru" -> Seq(
+      "be" -> "\u045E\u040E",                     // \u045E \u040E
+      "bg" -> "\u044A\u042A",                     // \u044A \u042A (rare hard sign in ru, vowel in bg)
+      "kk" -> "\u04D9\u04D8\u0493\u0492\u049B\u049A\u04A3\u04A2\u04B1\u04B0\u04BB\u04BA", // \u04D9 \u0493 \u049B \u04A3 \u04B1 \u04BB
+      "mk" -> "\u0453\u0403\u045C\u040C\u0455\u0405", // \u0453 \u045C \u0455
+      "mn" -> "\u04E9\u04E8\u04AF\u04AE",         // \u04E9 \u04AF (kk's \u04E9/\u04AF excluded for disjointness)
+      "ru" -> "\u044B\u042B\u044D\u042D",         // \u044B \u044D
+      "sr" -> "\u0452\u0402\u045B\u040B",         // \u0452 \u045B (\u045F shared with mk, excluded)
+      "tg" -> "\u04B7\u04B6\u04B3\u04B2\u04E3\u04E2\u04EF\u04EE", // \u04B7 \u04B3 \u04E3 \u04EF
+      "uk" -> "\u0457\u0407\u0454\u0404\u0491\u0490")) // \u0457 \u0454 \u0491 (\u0456 shared with be, excluded)
+
   /** Stopword evidence for the 36 Latin-script languages of
     * [[langIdWide]]. ASCII-only function words by construction: the
     * shared tokenizer lowercases and splits on [^a-z0-9]+, so accented
@@ -167,29 +209,51 @@ object TextAnalysis {
     * are diacritic-heavy (vi, mt, sq) list only their pure-ASCII
     * function words — the others fragment at the tokenizer and can
     * never match, so listing them would only dilute confidence.
+    *
+    * The round-11 band widens the same construction to 53 Latin
+    * languages, with the new close pairs separated the same way:
+    * tl/ceb/war share ang/sa/nga/mga but split on
+    * ng/ay/ito-vs-ug/kini/dili-vs-ngan/hini/waray; xh/zu share
+    * kodwa/ngoba but split on ukuba/kwaye-vs-ukuthi/futhi; ga/gd
+    * share agus/mar but split on ar/ag/na-vs-air/aig/anns; nl/fy
+    * share de/en/dat but split on van/het/niet-vs-fan/it/net; da/no
+    * vs is split on af/av/ikke-vs-um/var/ekki; id/ms/su split on
+    * jeung/anu/teu (su shares no listed word with either); az/tr/uz
+    * split on lakin-vs-ama-vs-lekin/uchun. ISO codes follow fastText
+    * LID convention where no 2-letter code exists (ceb, war).
     */
   val WideStopwordLists: Seq[(String, Seq[String])] = Seq(
     "af" -> Seq("die", "en", "van", "het", "nie", "is", "wat", "om", "vir", "ook"),
     "az" -> Seq("ki", "bir", "bu", "lakin", "olaraq", "zaman", "daha", "sonra", "ancaq", "edir"),
     "ca" -> Seq("el", "la", "de", "que", "els", "per", "amb", "una", "als", "dels"),
+    "ceb" -> Seq("ang", "sa", "nga", "ug", "mga", "kini", "dili", "usa", "kay", "iyang"),
     "cs" -> Seq("je", "se", "na", "to", "ale", "jako", "pro", "tak", "co", "nebo"),
     "cy" -> Seq("yn", "y", "ar", "ei", "yr", "bod", "wedi", "am", "gan", "hefyd"),
     "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "af", "ikke"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "eo" -> Seq("la", "kaj", "de", "en", "al", "estas", "ne", "por", "kun", "sed"),
     "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
     "et" -> Seq("ja", "on", "ei", "see", "oli", "ka", "kui", "aga", "mis", "oma"),
     "eu" -> Seq("eta", "da", "ez", "du", "bat", "dira", "baina", "zen", "ere", "dute"),
     "fi" -> Seq("ja", "on", "ei", "se", "oli", "mutta", "kun", "niin", "joka", "jos"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
+    "fy" -> Seq("de", "en", "fan", "it", "dat", "net", "mar", "foar", "wurdt", "hawwe"),
     "ga" -> Seq("agus", "an", "ar", "na", "le", "go", "ach", "mar", "ag", "sin"),
+    "gd" -> Seq("agus", "air", "aig", "anns", "bha", "tha", "chan", "ann", "mar", "iad"),
     "gl" -> Seq("de", "que", "o", "a", "e", "do", "da", "un", "unha", "dos"),
+    "ha" -> Seq("da", "ya", "ta", "na", "sun", "ba", "wannan", "amma", "suka", "wata"),
     "hr" -> Seq("je", "se", "na", "da", "su", "od", "za", "ali", "kao", "ili"),
+    "ht" -> Seq("nan", "ak", "pou", "yo", "li", "ki", "sa", "men", "te", "gen"),
     "hu" -> Seq("az", "nem", "hogy", "egy", "van", "de", "ha", "meg", "mint", "csak"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "is" -> Seq("og", "um", "sem", "er", "var", "til", "ekki", "hann", "eru", "hefur"),
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "le", "si", "una"),
+    "jv" -> Seq("lan", "ing", "kang", "saka", "iku", "karo", "ora", "wis", "ana", "uga"),
+    "la" -> Seq("et", "in", "est", "non", "cum", "ad", "ut", "sed", "quod", "qui"),
     "lt" -> Seq("ir", "yra", "kad", "tai", "bet", "kaip", "jau", "buvo", "apie", "nes"),
     "lv" -> Seq("un", "ir", "ka", "par", "bet", "no", "uz", "tas", "vai", "tika"),
+    "mg" -> Seq("ny", "sy", "dia", "izay", "amin", "ary", "fa", "tsy", "ho", "tamin"),
     "ms" -> Seq("yang", "dan", "di", "dengan", "untuk", "ini", "adalah", "boleh", "kerana", "telah"),
     "mt" -> Seq("li", "ta", "il", "ma", "dan", "din", "kien", "biex", "jew", "ukoll"),
     "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "op", "voor", "met"),
@@ -199,12 +263,19 @@ object TextAnalysis {
     "ro" -> Seq("de", "la", "cu", "un", "o", "este", "pentru", "care", "dar", "mai"),
     "sk" -> Seq("je", "sa", "na", "to", "som", "ako", "ale", "pre", "tak", "alebo"),
     "sl" -> Seq("je", "in", "se", "na", "da", "so", "za", "ki", "pa", "tudi"),
+    "sn" -> Seq("uye", "kuti", "kana", "asi", "zvakare", "izvi", "vanhu", "nekuti", "saka", "apo"),
+    "so" -> Seq("iyo", "ka", "oo", "waa", "uu", "si", "ay", "ku", "soo", "kale"),
     "sq" -> Seq("dhe", "me", "nga", "si", "por", "kjo", "ka", "duke", "sipas", "mund"),
+    "su" -> Seq("jeung", "anu", "teu", "eta", "ieu", "dina", "henteu", "oge", "kana", "sanes"),
     "sv" -> Seq("och", "att", "det", "som", "en", "av", "den", "med", "har", "till"),
     "sw" -> Seq("na", "ya", "wa", "kwa", "ni", "za", "katika", "hii", "lakini", "kama"),
     "tl" -> Seq("ang", "ng", "sa", "na", "mga", "ay", "at", "para", "ito", "hindi"),
     "tr" -> Seq("bir", "ve", "bu", "da", "ne", "gibi", "ama", "daha", "sonra", "kadar"),
-    "vi" -> Seq("cho", "trong", "khi", "hay", "nhau", "theo", "ra", "con", "anh", "nay"))
+    "uz" -> Seq("va", "bu", "bilan", "uchun", "emas", "ham", "lekin", "keyin", "edi", "deb"),
+    "vi" -> Seq("cho", "trong", "khi", "hay", "nhau", "theo", "ra", "con", "anh", "nay"),
+    "war" -> Seq("an", "ha", "nga", "mga", "ngan", "ini", "hini", "kay", "waray", "amo"),
+    "xh" -> Seq("ukuba", "kwaye", "kodwa", "ngoba", "oku", "naye", "apho", "into", "le", "xa"),
+    "zu" -> Seq("ukuthi", "futhi", "ngoba", "kodwa", "kanye", "uma", "noma", "lapho", "yena", "khona"))
 
   /** Argmax over (lang, evidence) pairs with ties to the lowest
     * language code — the shared CASE-chain shape (codegen'd; a
@@ -218,24 +289,30 @@ object TextAnalysis {
     }.otherwise(lit(byLang.last._1))
   }
 
-  /** Wide language ID: 62 languages + "und", with a confidence column
+  /** Wide language ID: 90 languages + "und", with a confidence column
     * — the breadth a real multilingual-crawl router needs (the 4-way
-    * [[langId]] stays as the minimal reference form). Two tiers, both
-    * pure codegen'd expressions:
+    * [[langId]] stays as the minimal reference form). Three tiers,
+    * all pure codegen'd expressions:
     *
     *  1. SCRIPT tier: per-script codepoint counts over
     *     [[ScriptRanges]]. If the dominant script covers ≥ 30% of the
     *     non-whitespace characters (integer comparison — engine-exact
     *     at the boundary), the text routes to that script's language
     *     with confidence = round(scriptChars / nonWsChars, 4).
-    *  2. STOPWORD tier (Latin residue): argmax of
-    *     [[WideStopwordLists]] hits, ties to the lowest language
-    *     code, confidence = round(maxHits / tokenCount, 4); zero hits
-    *     → ("und", 0.0).
+    *  2. REFINEMENT tier: when the winning script is shared by
+    *     several languages (Cyrillic, Arabic), distinctive-letter
+    *     counts over [[ScriptRefinements]] pick within it — 9
+    *     Cyrillic and 4 Arabic-script languages from 2 priors;
+    *     all-zero markers keep the prior.
+    *  3. STOPWORD tier (Latin residue): argmax of
+    *     [[WideStopwordLists]] hits (53 Latin-script languages),
+    *     ties to the lowest language code, confidence =
+    *     round(maxHits / tokenCount, 4); zero hits → ("und", 0.0).
     *
     * Returns struct(lang, confidence). Scale shape: one projection —
-    * 26 bounded char-class scans + one tokenize + 36 array_intersects
-    * per row, no shuffle, no state; fuses into the scan at 100 TB.
+    * 26 bounded char-class scans (+ marker lookups in the same pass)
+    * + one tokenize + 53 array_intersects per row, no shuffle, no
+    * state; fuses into the scan at 100 TB.
     */
   def langIdWide(text: Column): Column =
     langIdWideFromTokens(text, tokens(coalesce(text, lit(""))))
@@ -275,7 +352,20 @@ object TextAnalysis {
     }
     val hMax = greatest(stopHits.map(_._2): _*)
     val nToks = size(toks)
-    val lang = when(useScript, argmaxLang(scriptHits, sMax))
+    // within-script refinement: when the script argmax lands on a
+    // refined prior, distinctive-letter counts pick the language
+    // inside that script (all-zero → the prior); see ScriptRefinements
+    val scriptLang = ScriptRefinements.foldLeft(argmaxLang(scriptHits, sMax)) {
+      case (acc, (prior, cands)) =>
+        val counts = cands.map { case (l, chars) =>
+          l -> length(regexp_replace(t, s"[^$chars]", ""))
+        }
+        val rMax = greatest(counts.map(_._2): _*)
+        when(acc === prior,
+          when(rMax === 0, lit(prior)).otherwise(argmaxLang(counts, rMax)))
+          .otherwise(acc)
+    }
+    val lang = when(useScript, scriptLang)
       .otherwise(when(hMax === 0, lit("und"))
         .otherwise(argmaxLang(stopHits, hMax)))
     val confidence = when(useScript,

@@ -741,6 +741,80 @@ class DedupSimilaritySpec extends SparkSpec {
       }
   }
 
+  test("langIdWide: 90-language set — script refinement and the new Latin band") {
+    val df = Seq(
+      // Cyrillic refinement: distinctive letters pick within the
+      // script; the prior (ru) holds when no marker appears
+      (1L, "русский язык это красивый"), // ы + э → ru
+      (2L, "колокол и молоко на столе"), // common letters only → prior ru
+      (3L, "це її українська мова є гарною"), // ї є → uk
+      (4L, "гэта беларуская мова ў нашай краіне ўвогуле"), // ў×2 beats э×1 → be
+      (5L, "това е български език със ъгъл"), // ъ → bg
+      (6L, "ово је ђак и ћирилица џеп"), // ђ ћ → sr
+      (7L, "ова е ѕвезда ѓавол ќерка"), // ѕ ѓ ќ → mk
+      (8L, "қазақ тілі әдемі ұлттық"), // қ ә ұ → kk
+      (9L, "забони тоҷикӣ ҳаст"), // ҷ ӣ ҳ → tg
+      (10L, "монгол хэл өдөр үг"), // ө+ү beat э → mn
+      // Arabic refinement: fa/ur/ps add letters to the base alphabet
+      (11L, "مرحبا كيف حالك اليوم جيد"), // no added letters → prior ar
+      (12L, "پس چگونه گفتگو"), // پ چ گ → fa
+      (13L, "یہ اردو زبان ہے ٹھیک بڑے"), // ے ٹ ڑ → ur
+      (14L, "دا پښتو ژبه ده ښه ټول"), // ښ ټ beat پ? no پ here; ژ → fa=1 < ps=3
+      // the new Latin band, including its close pairs
+      (20L, "ang mga bata ay sa bahay na ito para hindi"), // tl (control)
+      (21L, "ang mga bata sa balay ug kini dili usa ka"), // ceb
+      (22L, "an mga bata ha balay ngan ini hini kay waray"), // war
+      (23L, "ukuba oku kwaye kodwa ngoba into le apho naye xa"), // xh
+      (24L, "ukuthi futhi ngoba kodwa kanye uma noma lapho yena khona"), // zu
+      (25L, "og um sem er var til ekki hann eru hefur"), // is
+      (26L, "og det er en hund som ikke er med af dem"), // da (control)
+      (27L, "et in est non cum ad ut sed quod qui"), // la
+      (28L, "la kaj de en al estas ne por kun sed"), // eo
+      (29L, "iyo ka oo waa uu si ay ku soo kale"), // so
+      (30L, "da ya ta na sun ba wannan amma suka wata"), // ha
+      (31L, "ny sy dia izay amin ary fa tsy ho tamin"), // mg
+      (32L, "lan ing kang saka iku karo ora wis ana uga"), // jv
+      (33L, "jeung anu teu eta ieu dina henteu oge kana sanes"), // su
+      (34L, "yang dan di dengan untuk ini itu tidak dari akan"), // id (control)
+      (35L, "va bu bilan uchun emas ham lekin keyin edi deb"), // uz
+      (36L, "nan ak pou yo li ki sa men te gen"), // ht
+      (37L, "de en fan it dat net mar foar wurdt hawwe"), // fy
+      (38L, "de het een van en dat niet op voor met"), // nl (control)
+      (39L, "agus air aig anns bha tha chan ann mar iad"), // gd
+      (40L, "agus an ar na le go ach mar ag sin"), // ga (control)
+      (41L, "uye kuti kana asi zvakare izvi vanhu nekuti saka apo") // sn
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdWide($"text")
+    val got = df.select($"doc_id", pred.getField("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = Map(
+      1L -> "ru", 2L -> "ru", 3L -> "uk", 4L -> "be", 5L -> "bg",
+      6L -> "sr", 7L -> "mk", 8L -> "kk", 9L -> "tg", 10L -> "mn",
+      11L -> "ar", 12L -> "fa", 13L -> "ur", 14L -> "ps",
+      20L -> "tl", 21L -> "ceb", 22L -> "war", 23L -> "xh", 24L -> "zu",
+      25L -> "is", 26L -> "da", 27L -> "la", 28L -> "eo", 29L -> "so",
+      30L -> "ha", 31L -> "mg", 32L -> "jv", 33L -> "su", 34L -> "id",
+      35L -> "uz", 36L -> "ht", 37L -> "fy", 38L -> "nl", 39L -> "gd",
+      40L -> "ga", 41L -> "sn")
+    exp.foreach { case (id, l) =>
+      assert(got(id) == l, s"doc $id: got ${got(id)} want $l")
+    }
+    // refinement must not change CONFIDENCE: it picks within the
+    // script, the ratio stays script chars / non-ws chars
+    val conf = df.filter($"doc_id" === 3L)
+      .select(pred.getField("confidence")).collect()(0).getDouble(0)
+    assert(conf > 0.9, s"uk confidence should be the script ratio: $conf")
+    // native ≡ composed at the refined label space, bit for bit
+    val composed = TextAnalysis.langIdWideComposed($"text")
+    df.select($"doc_id", pred.getField("lang"), pred.getField("confidence"),
+        composed.getField("lang"), composed.getField("confidence"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(3) &&
+          r.getDouble(2) == r.getDouble(4),
+          s"native vs composed diverge on doc ${r.getLong(0)}: $r")
+      }
+  }
+
   test("text analysis: langId, token stats, fingerprint determinism") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
