@@ -2290,6 +2290,88 @@ object SparkEntry {
       Multimodal.videoFrameStats(media, maxFrames = 8)
     }),
 
+    // VideoDecoder seam end-to-end under the oracle gate: q157's
+    // frame-content formula re-encoded in the synthetic GKEY/GDLT
+    // INTER-FRAME format (frame 0 = keyframe carrying the full PPM,
+    // frames 1+ = byte deltas vs the previous frame, mod 256), packed
+    // in real AVI containers — the chunk walk extracts payloads no
+    // pixel decoder can read, Multimodal.DeltaStubDecoder
+    // reconstructs the PPMs through the videoFramesVia seam, and the
+    // EXISTING pixel tier produces the stats. Because the delta
+    // encode/decode round-trips exactly (byte arithmetic mod 256),
+    // the decoded ground truth is q157's pixel formula — the oracle
+    // replays it, plus the NULL rows of the foreign-codec docs
+    // (id%7==3: payloads with no keyframe → the decoder NULLs every
+    // frame WITH its index, the seam's NULL-propagation contract
+    // under the hash gate). id%9==5 docs are text (triage: no rows)
+    "q160_video_decoder_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def hexOf(sParam: String): String =
+        sParam.getBytes("ISO-8859-1").map(b => f"${b & 0xff}%02X").mkString
+      def le32hex(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val id = col("doc_id")
+      val w = (id % 5 + 6).cast(IntegerType)
+      val h = (id % 4 + 5).cast(IntegerType)
+      val nFr = (id % 3 + 2).cast(IntegerType)
+      val pixCount = w * h * 3
+      val headerBin = encode(concat(lit("P6\n"), w.cast(StringType), lit(" "),
+        h.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
+      val headerHex = hex(headerBin)
+      def pix(f: Column, k: Column): Column =
+        pmod(id * 37 + f.cast(LongType) * 101 + k.cast(LongType) * 13,
+          lit(251L))
+      // payloads are uniform size: 4-byte tag + headerLen + pixCount
+      val payloadSize = lit(4) + length(headerBin) + pixCount
+      val pad = pmod(payloadSize, lit(2))
+      val chunksHex = array_join(
+        transform(sequence(lit(0), nFr - 1), f => {
+          val body = when(f === 0,
+            // keyframe: GKEY + the complete PPM
+            concat(lit(hexOf("GKEY")), headerHex, array_join(
+              transform(sequence(lit(0), pixCount - 1), k =>
+                lpad(hex(pix(f, k)), 2, "0")), "")))
+            .otherwise(
+              // delta: GDLT + zero bytes over the header region +
+              // per-byte pixel deltas vs the previous frame (mod 256)
+              concat(lit(hexOf("GDLT")),
+                repeat(lit("00"), length(headerBin)), array_join(
+                  transform(sequence(lit(0), pixCount - 1), k =>
+                    lpad(hex(pmod(pix(f, k) - pix(f - 1, k), lit(256L))),
+                      2, "0")), "")))
+          concat(lit(hexOf("00dc")), le32hex(payloadSize), body,
+            when(pad === 1, lit("00")).otherwise(lit("")))
+        }), "")
+      // foreign-codec clip: same frame count, 8-byte XCDC payloads
+      // the stub decoder cannot decode (no keyframe → all NULL)
+      val foreignChunksHex = array_join(
+        transform(sequence(lit(0), nFr - 1), _ =>
+          concat(lit(hexOf("00dc")), le32hex(lit(8)),
+            lit(hexOf("XCDC")), lit("00000000"))), "")
+      val isForeign = pmod(id, lit(7L)) === 3
+      val bodyHex = when(isForeign, foreignChunksHex).otherwise(chunksHex)
+      val moviSize = lit(4) +
+        when(isForeign, nFr * lit(16))
+          .otherwise(nFr * (lit(8) + payloadSize + pad))
+      val avi = unhex(concat(lit(hexOf("RIFF")), le32hex(lit(12) + moviSize),
+        lit(hexOf("AVI ")), lit(hexOf("LIST")), le32hex(moviSize),
+        lit(hexOf("movi")), bodyHex))
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(avi)
+      val media = tp(s, dir, "documents")
+        .select(id.as("media_id"), lit("video").as("kind"),
+          content.as("content"))
+      Multimodal.videoFrameStatsOf(
+        Multimodal.videoFramesVia(media, new Multimodal.DeltaStubDecoder,
+          maxFrames = 8))
+    }),
+
     // MP4 (ISO BMFF) frame extraction end-to-end: q157's corpus with
     // the CONTAINER dispatched by parity — even ids build RIFF/AVI
     // movi chunks, odd ids build a genuine MP4 (ftyp + mdat holding
@@ -4916,6 +4998,63 @@ object SparkEntry {
                     - (CAST(s AS DOUBLE)/(w*h*3))
                       * (CAST(s AS DOUBLE)/(w*h*3)), 6) AS variance
        FROM st""",
+
+    // the decoder-seam ground truth: GKEY/GDLT delta encoding
+    // round-trips exactly (byte arithmetic mod 256), so decoded
+    // frames ARE q157's pixel formula — the oracle replays it for the
+    // keyframed docs and emits the all-NULL rows (n_bytes 0, indices
+    // preserved) for the foreign-codec docs the stub cannot decode
+    "q160_video_decoder_stats" ->
+      """WITH d AS (SELECT doc_id AS id,
+                  CAST(doc_id % 5 + 6 AS INTEGER) AS w,
+                  CAST(doc_id % 4 + 5 AS INTEGER) AS h,
+                  CAST(doc_id % 3 + 2 AS INTEGER) AS n
+           FROM documents WHERE doc_id % 9 <> 5),
+         fr AS (SELECT id, w, h, CAST(f AS INTEGER) AS f
+                FROM d CROSS JOIN range(0, 4) r(f)
+                WHERE f < n AND id % 7 <> 3),
+         px AS (SELECT id, f, w, h,
+                  ((id*37 + f*101 + k*13) % 251) AS v
+                FROM fr CROSS JOIN range(0, 256) r2(k)
+                WHERE k < w*h*3),
+         st AS (SELECT id, f, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+                  CAST(SUM(v) AS BIGINT) AS s,
+                  CAST(SUM(v*v) AS BIGINT) AS ss,
+                  CAST(MIN(v) AS INTEGER) AS mn,
+                  CAST(MAX(v) AS INTEGER) AS mx
+                FROM px GROUP BY id, f),
+         ok AS (SELECT id AS media_id, f AS frame_idx,
+                  CAST(9 + LENGTH(CAST(w AS VARCHAR))
+                         + LENGTH(CAST(h AS VARCHAR)) + w*h*3 AS BIGINT)
+                    AS n_bytes,
+                  'ppm' AS format, w AS width, h AS height,
+                  CAST(3 AS INTEGER) AS channels,
+                  CAST(w*h AS BIGINT) AS n_pixels,
+                  s AS sum, ss AS sumsq, mn AS pmin, mx AS pmax,
+                  CAST(CASE WHEN mn = mx THEN 1 ELSE 0 END AS INTEGER)
+                    AS constant,
+                  ROUND(CAST(s AS DOUBLE)/(w*h*3), 6) AS mean,
+                  ROUND(CAST(ss AS DOUBLE)/(w*h*3)
+                        - (CAST(s AS DOUBLE)/(w*h*3))
+                          * (CAST(s AS DOUBLE)/(w*h*3)), 6) AS variance
+                FROM st),
+         fo AS (SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+                  CAST(0 AS BIGINT) AS n_bytes,
+                  CAST(NULL AS VARCHAR) AS format,
+                  CAST(NULL AS INTEGER) AS width,
+                  CAST(NULL AS INTEGER) AS height,
+                  CAST(NULL AS INTEGER) AS channels,
+                  CAST(NULL AS BIGINT) AS n_pixels,
+                  CAST(NULL AS BIGINT) AS sum,
+                  CAST(NULL AS BIGINT) AS sumsq,
+                  CAST(NULL AS INTEGER) AS pmin,
+                  CAST(NULL AS INTEGER) AS pmax,
+                  CAST(NULL AS INTEGER) AS constant,
+                  CAST(NULL AS DOUBLE) AS mean,
+                  CAST(NULL AS DOUBLE) AS variance
+                FROM d CROSS JOIN range(0, 4) r(f)
+                WHERE id % 7 = 3 AND f < n)
+       SELECT * FROM ok UNION ALL SELECT * FROM fo""",
 
     // replays q158's whole pipeline relationally: constant-frame
     // means (exact 256*v), window means under the integer boundary
