@@ -2005,6 +2005,94 @@ object SparkEntry {
           col("sample_rate"), col("bit_depth"), col("n_frames"))
     }),
 
+    // COMPRESSED-audio metadata: genuine MP3 frame headers (MPEG-1
+    // and MPEG-2 Layer III against the public ISO 11172-3 bitrate/
+    // samplerate tables, optionally behind an ID3v2 tag with a
+    // syncsafe size) and genuine OGG page walks (BOS identification
+    // packet dispatching Vorbis vs Opus, final granule from the EOS
+    // page) — constructed in-plan, decoded by the native
+    // graft_audio_meta header walk. The oracle replays the table
+    // lookups, the CBR frame-count estimate ((bytes ÷ frame length) ×
+    // samples/frame, all integer) and the granule arithmetic
+    // (granule − pre-skip for Opus per RFC 7845). id%9==5 docs are
+    // text (triage: NULL meta)
+    "q161_audio_meta_wide" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def byte1(c: Column): Column = unhex(lpad(hex(c), 2, "0"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le64(c: Column): Column = {
+        val h = lpad(hex(c), 16, "0")
+        unhex(concat((0 until 8).reverse.map(i =>
+          substring(h, 1 + 2 * i, 2)): _*))
+      }
+      val id = col("doc_id")
+      val grp = call_function("div", id, lit(4L))
+      // ---- MP3, MPEG-1 Layer III: brIdx 1..14, srIdx 0..2, optional
+      // ID3v2 tag of grp%64 body bytes, (grp%50+5)*100 filler bytes
+      val brIdx = (grp % 14 + 1).cast(IntegerType)
+      val srIdx = (grp % 3).cast(IntegerType)
+      val fill = ((grp % 50 + 5) * 100).cast(IntegerType)
+      val filler = unhex(repeat(lit("55"), fill))
+      val h2 = byte1(shiftleft(brIdx, 4) + shiftleft(srIdx, 2))
+      val stereo = grp % 2 === 0
+      val h3 = when(stereo, lit(Array[Byte](0x40)))
+        .otherwise(lit(Array[Byte](0xC0.toByte)))
+      val id3 = when(grp % 3 === 0,
+          concat(ascii("ID3"), lit(Array[Byte](4, 0, 0, 0, 0, 0)),
+            byte1(grp % 64), unhex(repeat(lit("00"),
+              (grp % 64).cast(IntegerType)))))
+        .otherwise(lit(Array.emptyByteArray))
+      val mp3v1 = concat(id3,
+        lit(Array[Byte](0xFF.toByte, 0xFB.toByte)), h2, h3, filler)
+      // ---- MP3, MPEG-2 Layer III mono (the low-rate table + 576 spf)
+      val mp3v2 = concat(lit(Array[Byte](0xFF.toByte, 0xF3.toByte)),
+        h2, lit(Array[Byte](0xC0.toByte)), filler)
+      // ---- OGG pages: 27-byte header + 1-entry segment table
+      def page(typ: Int, granule: Column, payload: Column,
+          plen: Column): Column =
+        concat(ascii("OggS"), lit(Array[Byte](0, typ.toByte)),
+          le64(granule), le32(lit(7777)), le32(lit(0)), le32(lit(0)),
+          lit(Array[Byte](1)), byte1(plen), payload)
+      val oggCh = (grp % 2 + 1).cast(IntegerType)
+      val vRate = ((grp % 5 + 1) * 8000).cast(IntegerType)
+      val vFrames = (grp % 100000 + 1).cast(LongType)
+      val vorbId = concat(lit(Array[Byte](1)), ascii("vorbis"),
+        le32(lit(0)), byte1(oggCh), le32(vRate),
+        unhex(repeat(lit("00"), lit(14))))
+      val dataPayload = unhex(repeat(lit("09"), lit(10)))
+      val oggVorbis = concat(page(2, lit(-1L), vorbId, lit(30)),
+        page(4, vFrames, dataPayload, lit(10)))
+      val preskip = (grp % 1000).cast(IntegerType)
+      val oFrames = (grp % 50000 + 1).cast(LongType)
+      val opusId = concat(ascii("OpusHead"), lit(Array[Byte](1)),
+        byte1(oggCh), le16(preskip), le32(lit(12345)),
+        unhex(repeat(lit("00"), lit(5))))
+      val oggOpus = concat(page(2, lit(-1L), opusId, lit(21)),
+        page(4, preskip.cast(LongType) + oFrames, dataPayload, lit(10)))
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .when(id % 4 === 0, mp3v1)
+        .when(id % 4 === 1, mp3v2)
+        .when(id % 4 === 2, oggVorbis)
+        .otherwise(oggOpus)
+      val media = t(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioMeta(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"))
+    }),
+
     // video-container metadata: real MP4 (ISO BMFF) box trees —
     // ftyp + moov[mvhd + trak[tkhd]] — constructed in-plan and decoded
     // by the native graft_video_meta box walk; completes the
@@ -4822,6 +4910,43 @@ object SparkEntry {
                    WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5000 + 1 AS BIGINT)
               END AS n_frames
        FROM documents""",
+
+    // replays the public MP3 tables (ISO 11172-3 Layer III bitrates,
+    // sample rates) + the CBR frame-count estimate, and the OGG
+    // granule arithmetic (− pre-skip for Opus). The ID3v2 tag never
+    // enters the estimate: the parser resumes exactly at 10 + size
+    "q161_audio_meta_wide" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m,
+                  doc_id % 9 = 5 AS txt
+           FROM documents),
+         c AS (SELECT doc_id, g, m, txt,
+                  ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[CAST(g % 14 + 1 AS INTEGER)] AS kbps1,
+                  ([8,16,24,32,40,48,56,64,80,96,112,128,144,160])[CAST(g % 14 + 1 AS INTEGER)] AS kbps2,
+                  ([44100,48000,32000])[CAST(g % 3 + 1 AS INTEGER)] AS rate1,
+                  ([22050,24000,16000])[CAST(g % 3 + 1 AS INTEGER)] AS rate2,
+                  4 + (g % 50 + 5) * 100 AS nbytes
+               FROM d)
+       SELECT doc_id AS media_id,
+              CASE WHEN txt THEN NULL
+                   WHEN m IN (0, 1) THEN 'mp3'
+                   WHEN m = 2 THEN 'vorbis' ELSE 'opus' END AS format,
+              CASE WHEN txt THEN NULL
+                   WHEN m = 0 THEN CAST(CASE WHEN g % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+                   WHEN m = 1 THEN CAST(1 AS INTEGER)
+                   ELSE CAST(g % 2 + 1 AS INTEGER) END AS channels,
+              CASE WHEN txt THEN NULL
+                   WHEN m = 0 THEN CAST(rate1 AS INTEGER)
+                   WHEN m = 1 THEN CAST(rate2 AS INTEGER)
+                   WHEN m = 2 THEN CAST((g % 5 + 1) * 8000 AS INTEGER)
+                   ELSE CAST(48000 AS INTEGER) END AS sample_rate,
+              CASE WHEN txt THEN NULL
+                   ELSE CAST(16 AS INTEGER) END AS bit_depth,
+              CASE WHEN txt THEN NULL
+                   WHEN m = 0 THEN CAST((nbytes // ((144 * kbps1 * 1000) // rate1)) * 1152 AS BIGINT)
+                   WHEN m = 1 THEN CAST((nbytes // ((72 * kbps2 * 1000) // rate2)) * 576 AS BIGINT)
+                   WHEN m = 2 THEN CAST(g % 100000 + 1 AS BIGINT)
+                   ELSE CAST(g % 50000 + 1 AS BIGINT) END AS n_frames
+       FROM c""",
 
     // replays q150's pixel-value formula V(y,j) = (id*7+y*31+j*13)%256
     // over every (scanline, byte) position — the decoded-pixel ground

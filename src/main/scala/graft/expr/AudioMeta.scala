@@ -23,6 +23,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - FLAC: `fLaC` magic + STREAMINFO metadata block (bit-packed:
   *    20-bit sample rate, 3-bit channels−1, 5-bit bits−1, 36-bit
   *    total samples — n_frames = total inter-channel samples).
+  *  - MP3 (MPEG-1/2/2.5 audio, all three layers): optional ID3v2 tag
+  *    skipped via its syncsafe size (zero padding tolerated), then
+  *    the first frame header's version/layer/bitrate-index/
+  *    samplerate-index/channel-mode fields against the public
+  *    ISO 11172-3 tables. n_frames is the CBR estimate
+  *    (remaining bytes ÷ first frame's length) × samples-per-frame —
+  *    integer arithmetic, deterministic, documented as an estimate
+  *    (VBR files need the full frame walk a decoder does).
+  *  - OGG: `OggS` page walk by segment-table sums (header-only, the
+  *    payload is never decoded); the BOS page's identification packet
+  *    dispatches Vorbis (`\x01vorbis`: channels, sample rate) vs
+  *    Opus (`OpusHead`: channels; rate reported as 48000, the
+  *    canonical Opus decode rate — the stored input rate is
+  *    advisory). n_frames = the last complete page's granule
+  *    position (total PCM samples for Vorbis; minus pre-skip for
+  *    Opus, per RFC 7845 §4).
+  *
+  * Lossy formats carry no PCM bit depth; they report 16, the decoded
+  * width convention, so the one schema serves both families.
   *
   * Truncated/garbage/non-audio bytes → NULL, never an error (the
   * `meta IS NULL` triage contract).
@@ -87,7 +106,122 @@ object AudioMeta {
     if (b == null || b.length < 12) return null
     if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") return parseWav(b)
     if (b.length >= 42 && tag(b, 0) == "fLaC") return parseFlac(b)
+    if (tag(b, 0) == "OggS") return parseOgg(b)
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') return parseMp3(b)
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) return parseMp3(b)
     null
+  }
+
+  // ---- MP3 -----------------------------------------------------------
+
+  // ISO 11172-3 / 13818-3 tables. Sample rates by version bits
+  // (0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1; 1 is reserved).
+  private val Mp3Rates: Array[Array[Int]] = Array(
+    Array(11025, 12000, 8000), null, Array(22050, 24000, 16000),
+    Array(44100, 48000, 32000))
+  // bitrates (kbps) by [mpeg1? 0 : 1][layer 1..3][index 1..14]
+  private val Mp3Kbps: Array[Array[Array[Int]]] = Array(
+    Array(null,
+      Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)),
+    Array(null,
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+
+  private def parseMp3(b: Array[Byte]): InternalRow = {
+    var o = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: syncsafe 28-bit size AFTER the 10-byte header
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      o = 10 + size
+      if (o < 0 || o >= b.length) return null
+    }
+    // tolerate zero padding between tag and first frame, nothing else
+    while (o < b.length && b(o) == 0) o += 1
+    if (o + 4 > b.length) return null
+    if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) return null
+    val h1 = b(o + 1) & 0xff; val h2 = b(o + 2) & 0xff; val h3 = b(o + 3) & 0xff
+    val verBits = (h1 >> 3) & 0x3
+    val layerBits = (h1 >> 1) & 0x3 // 3=Layer I, 2=Layer II, 1=Layer III
+    if (verBits == 1 || layerBits == 0) return null
+    val brIdx = (h2 >> 4) & 0xf
+    val srIdx = (h2 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null // free-format / bad
+    val padding = (h2 >> 1) & 0x1
+    val ch = if (((h3 >> 6) & 0x3) == 3) 1 else 2
+    val rate = Mp3Rates(verBits)(srIdx)
+    val mpeg1 = verBits == 3
+    val layer = 4 - layerBits // 1, 2, 3
+    val kbps = Mp3Kbps(if (mpeg1) 0 else 1)(layer)(brIdx)
+    val spf =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (mpeg1) 1152 else 576
+    // frame length per spec: Layer I counts in 4-byte slots
+    val frameLen =
+      if (layer == 1) (12 * (kbps * 1000) / rate + padding) * 4
+      else (spf / 8) * (kbps * 1000) / rate + padding
+    if (frameLen <= 4) return null
+    val nFrames = ((b.length - o).toLong / frameLen) * spf // CBR estimate
+    row("mp3", ch, rate, 16, nFrames)
+  }
+
+  // ---- OGG (Vorbis / Opus) -------------------------------------------
+
+  private def u64le(b: Array[Byte], o: Int): Long =
+    u32le(b, o) | (u32le(b, o + 4) << 32)
+
+  private def parseOgg(b: Array[Byte]): InternalRow = {
+    var o = 0
+    var fmt: String = null
+    var ch = 0; var rate = 0; var preskip = 0
+    var granule = 0L
+    var first = true
+    while (o + 27 <= b.length && tag(b, o) == "OggS" && b(o + 4) == 0) {
+      val pageGranule = u64le(b, o + 6)
+      val nsegs = b(o + 26) & 0xff
+      if (o + 27 + nsegs > b.length) return finishOgg(fmt, ch, rate, preskip, granule)
+      var payload = 0
+      var i = 0
+      while (i < nsegs) { payload += b(o + 27 + i) & 0xff; i += 1 }
+      val dataOff = o + 27 + nsegs
+      if (first) {
+        // BOS identification packet dispatches the codec
+        if (payload >= 30 && dataOff + 16 <= b.length &&
+            b(dataOff) == 1 && tag(b, dataOff + 1) == "vorb" &&
+            b(dataOff + 5) == 'i' && b(dataOff + 6) == 's') {
+          fmt = "vorbis"
+          ch = b(dataOff + 11) & 0xff
+          val r = u32le(b, dataOff + 12)
+          if (r > Int.MaxValue) return null
+          rate = r.toInt
+        } else if (payload >= 19 && dataOff + 16 <= b.length &&
+            tag(b, dataOff) == "Opus" && tag(b, dataOff + 4) == "Head") {
+          fmt = "opus"
+          ch = b(dataOff + 9) & 0xff
+          preskip = u16le(b, dataOff + 10)
+          rate = 48000 // Opus decodes at 48 kHz; the stored rate is advisory
+        } else return null
+        first = false
+      }
+      if (dataOff + payload > b.length)
+        return finishOgg(fmt, ch, rate, preskip, granule) // truncated page
+      // -1 granule = no packet finishes on this page (RFC 3533 §6)
+      if (pageGranule != -1L) granule = pageGranule
+      o = dataOff + payload
+    }
+    finishOgg(fmt, ch, rate, preskip, granule)
+  }
+
+  private def finishOgg(fmt: String, ch: Int, rate: Int, preskip: Int,
+      granule: Long): InternalRow = {
+    if (fmt == null) return null
+    val frames =
+      if (fmt == "opus") math.max(granule - preskip, 0L) else granule
+    row(fmt, ch, rate, 16, frames)
   }
 
   private def parseWav(b: Array[Byte]): InternalRow = {

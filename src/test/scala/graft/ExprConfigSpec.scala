@@ -542,6 +542,68 @@ class ExprConfigSpec extends SparkSpec {
       ascii("fLaC") ++ Array[Byte](4, 0, 0, 34) ++
         Array.fill[Byte](34)(0)) == null)
     assert(graft.expr.AudioMeta.parse(Array.emptyByteArray) == null)
+
+    // ---- MP3: MPEG-1 Layer III, 128 kbps, 44100 Hz, joint stereo,
+    // behind an ID3v2 tag with 17 bytes of tag body + zero padding.
+    // Frame length = 144*128000/44100 = 417; 5 frames of filler →
+    // n_frames = (2112/417)*1152 = 5*1152
+    val id3 = ascii("ID3") ++ Array[Byte](4, 0, 0) ++
+      Array[Byte](0, 0, 0, 17) ++ Array.fill[Byte](17)(0)
+    val mp3hdr = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x40)
+    val mp3 = id3 ++ mp3hdr ++ Array.fill[Byte](417 * 5 - 4)(0x55)
+    val m3 = graft.expr.AudioMeta.parse(mp3)
+    assert(m3 != null && m3.getUTF8String(0).toString == "mp3" &&
+      m3.getInt(1) == 2 && m3.getInt(2) == 44100 && m3.getInt(3) == 16 &&
+      m3.getLong(4) == 5L * 1152, m3)
+    // bare-sync file (no ID3), MPEG-2 Layer III 24 kbps 16 kHz mono:
+    // frame = 72*24000/16000 = 108; spf = 576
+    val mp3v2 = Array[Byte](0xFF.toByte, 0xF3.toByte, 0x38.toByte,
+      0xC0.toByte) ++ Array.fill[Byte](108 * 3 - 4)(0x55)
+    val m32 = graft.expr.AudioMeta.parse(mp3v2)
+    assert(m32 != null && m32.getUTF8String(0).toString == "mp3" &&
+      m32.getInt(1) == 1 && m32.getInt(2) == 16000 &&
+      m32.getLong(4) == 3L * 576, m32)
+    // free-format (bitrate index 0) and bad samplerate index → null
+    assert(graft.expr.AudioMeta.parse(
+      Array[Byte](0xFF.toByte, 0xFB.toByte, 0x00, 0x40) ++
+        Array.fill[Byte](100)(0x55)) == null)
+    assert(graft.expr.AudioMeta.parse(
+      Array[Byte](0xFF.toByte, 0xFB.toByte, 0x9C.toByte, 0x40) ++
+        Array.fill[Byte](100)(0x55)) == null)
+
+    // ---- OGG: one BOS page with a Vorbis id packet (30 bytes), one
+    // data page carrying the final granule = 44100 total samples
+    def oggPage(typ: Int, granule: Long, payload: Array[Byte]): Array[Byte] =
+      ascii("OggS") ++ Array[Byte](0, typ.toByte) ++
+        (0 until 8).map(i => ((granule >> (8 * i)) & 0xff).toByte).toArray ++
+        le32(7777) ++ le32(0) ++ le32(0) ++
+        Array[Byte](1, payload.length.toByte) ++ payload
+    val vorbId = Array[Byte](1) ++ ascii("vorbis") ++ le32(0) ++
+      Array[Byte](2) ++ le32(44100) ++ Array.fill[Byte](14)(0)
+    val ogg = oggPage(2, -1L, vorbId) ++
+      oggPage(4, 44100L, Array.fill[Byte](10)(9))
+    val og = graft.expr.AudioMeta.parse(ogg)
+    assert(og != null && og.getUTF8String(0).toString == "vorbis" &&
+      og.getInt(1) == 2 && og.getInt(2) == 44100 &&
+      og.getLong(4) == 44100L, og)
+    // Opus: granule is 48k-based and includes the 312-sample pre-skip
+    val opusId = ascii("OpusHead") ++ Array[Byte](1, 1) ++
+      le16(312) ++ le32(24000) ++ Array.fill[Byte](5)(0)
+    val oggOpus = oggPage(2, -1L, opusId) ++
+      oggPage(4, 48312L, Array.fill[Byte](10)(9))
+    val op = graft.expr.AudioMeta.parse(oggOpus)
+    assert(op != null && op.getUTF8String(0).toString == "opus" &&
+      op.getInt(1) == 1 && op.getInt(2) == 48000 &&
+      op.getLong(4) == 48000L, op)
+    // truncated mid-page: granule seen so far survives (triage)
+    val oggTrunc = (oggPage(2, -1L, vorbId) ++
+      oggPage(0, 22050L, Array.fill[Byte](10)(9)) ++
+      oggPage(4, 44100L, Array.fill[Byte](10)(9))).dropRight(6)
+    val ot = graft.expr.AudioMeta.parse(oggTrunc)
+    assert(ot != null && ot.getLong(4) == 22050L, ot)
+    // an OggS magic with no identification packet → null
+    assert(graft.expr.AudioMeta.parse(
+      oggPage(2, 0L, Array.fill[Byte](30)(7))) == null)
   }
 
   test("graft_audio_stats decodes WAV PCM samples exactly, nulls the rest") {
