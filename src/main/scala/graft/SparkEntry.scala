@@ -572,9 +572,9 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
     }),
 
-    // WIDE language ID: 90 languages + und with a confidence column —
+    // WIDE language ID: 93 languages + und with a confidence column —
     // script-tier codepoint evidence (26 scripts) refined by
-    // distinctive-letter counts inside Cyrillic/Arabic, over a
+    // distinctive-letter counts inside 5 shared scripts, over a
     // 53-language Latin stopword argmax; the router breadth a real
     // multilingual crawl needs (q26 keeps the minimal 4-way form)
     "q151_lang_id_wide" -> ((s, dir) => {
@@ -5747,8 +5747,11 @@ object SparkEntry {
       }
     }.mkString(",\n                  ")
     val refMaxExprs = TextAnalysis.ScriptRefinements.map { case (p, cands) =>
-      cands.map(c => s"r_${p}_${c._1}")
-        .mkString("greatest(", ", ", s") AS rm_$p")
+      val cols = cands.map(c => s"r_${p}_${c._1}")
+      // bare column for single-candidate groups (greatest needs 2+)
+      val expr = if (cols.size == 1) cols.head
+        else cols.mkString("greatest(", ", ", ")")
+      s"$expr AS rm_$p"
     }.mkString(", ")
     val sLangs = TextAnalysis.ScriptRanges.map(_._1).sorted
     val hLangs = TextAnalysis.WideStopwordLists.map(_._1).sorted

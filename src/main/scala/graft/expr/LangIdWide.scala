@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernel for the wide language ID — the composed Column form
-  * (26 per-script + 12 marker regexp_replace counts + 53
+  * (26 per-script + 15 marker regexp_replace counts + 53
   * array_intersect stopword hits + wide CASE chains in one
   * projection) exceeds janino's method limits, so whole-stage codegen
   * SILENTLY fell back to interpreted evaluation with no subexpression

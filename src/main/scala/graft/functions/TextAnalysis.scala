@@ -178,6 +178,22 @@ object TextAnalysis {
     * documented coarseness.
     */
   val ScriptRefinements: Seq[(String, Seq[(String, String)])] = Seq(
+    // Bengali script: Assamese alone uses ra ৰ and va ৱ
+    // (Bengali ra is র); all-zero → bn
+    "bn" -> Seq(
+      "as" -> "ৰৱ"),
+    // Hebrew script: the Yiddish digraph ligatures tsvey-vovn/
+    // vov-yud/tsvey-yudn װ-ײ never appear in Hebrew.
+    // Recall coarseness documented: digitized Yiddish that spells the
+    // digraphs as separate letters stays at the he prior
+    "he" -> Seq(
+      "yi" -> "װױײ"),
+    // Devanagari: retroflex LLA ळ is a core Marathi letter and
+    // marginal in Hindi (loanwords only — argmax needs just
+    // presence). ne/sa share Hindi's inventory → stay at the hi
+    // prior, documented coarseness
+    "hi" -> Seq(
+      "mr" -> "ळ"),
     "ar" -> Seq(
       // the ar prior carries no markers: Persian/Urdu/Pashto all ADD
       // letters to the base Arabic alphabet, so all-zero \u2192 ar
@@ -289,7 +305,7 @@ object TextAnalysis {
     }.otherwise(lit(byLang.last._1))
   }
 
-  /** Wide language ID: 90 languages + "und", with a confidence column
+  /** Wide language ID: 93 languages + "und", with a confidence column
     * — the breadth a real multilingual-crawl router needs (the 4-way
     * [[langId]] stays as the minimal reference form). Three tiers,
     * all pure codegen'd expressions:
@@ -301,9 +317,10 @@ object TextAnalysis {
     *     with confidence = round(scriptChars / nonWsChars, 4).
     *  2. REFINEMENT tier: when the winning script is shared by
     *     several languages (Cyrillic, Arabic), distinctive-letter
-    *     counts over [[ScriptRefinements]] pick within it — 9
-    *     Cyrillic and 4 Arabic-script languages from 2 priors;
-    *     all-zero markers keep the prior.
+    *     counts over [[ScriptRefinements]] pick within it — 19
+    *     languages from 5 shared-script priors (Cyrillic 9, Arabic 4,
+    *     Bengali 2, Hebrew 2, Devanagari 2); all-zero markers keep
+    *     the prior.
     *  3. STOPWORD tier (Latin residue): argmax of
     *     [[WideStopwordLists]] hits (53 Latin-script languages),
     *     ties to the lowest language code, confidence =
@@ -360,7 +377,9 @@ object TextAnalysis {
         val counts = cands.map { case (l, chars) =>
           l -> length(regexp_replace(t, s"[^$chars]", ""))
         }
-        val rMax = greatest(counts.map(_._2): _*)
+        // reduceLeft, not greatest(...): single-candidate groups
+        // (hi → mr) would fail greatest's 2-arg minimum
+        val rMax = counts.map(_._2).reduceLeft((a, b) => greatest(a, b))
         when(acc === prior,
           when(rMax === 0, lit(prior)).otherwise(argmaxLang(counts, rMax)))
           .otherwise(acc)

@@ -741,7 +741,7 @@ class DedupSimilaritySpec extends SparkSpec {
       }
   }
 
-  test("langIdWide: 90-language set — script refinement and the new Latin band") {
+  test("langIdWide: 93-language set — script refinement and the new Latin band") {
     val df = Seq(
       // Cyrillic refinement: distinctive letters pick within the
       // script; the prior (ru) holds when no marker appears
@@ -760,6 +760,15 @@ class DedupSimilaritySpec extends SparkSpec {
       (12L, "پس چگونه گفتگو"), // پ چ گ → fa
       (13L, "یہ اردو زبان ہے ٹھیک بڑے"), // ے ٹ ڑ → ur
       (14L, "دا پښتو ژبه ده ښه ټول"), // ښ ټ beat پ? no پ here; ژ → fa=1 < ps=3
+      // Bengali-script refinement: Assamese ৰ/ৱ vs the bn prior
+      (15L, "এটি বাংলা ভাষার বাক্য"), // Bengali র → prior bn
+      (16L, "অসমীয়া ভাষাৰ বাক্য"), // ৰ → as
+      // Hebrew-script refinement: Yiddish digraph ligatures vs he
+      (17L, "שלום מה שלומך היום"), // no ligatures → prior he
+      (18L, "װאָס איז דאָס ײד"), // װ ײ → yi
+      // Devanagari refinement: Marathi retroflex ळ vs the hi prior
+      (19L, "यह हिंदी भाषा का वाक्य है"), // no ळ → prior hi
+      (42L, "मराठी भाषेतील वेगळे अक्षर ळ आहे"), // ळ → mr
       // the new Latin band, including its close pairs
       (20L, "ang mga bata ay sa bahay na ito para hindi"), // tl (control)
       (21L, "ang mga bata sa balay ug kini dili usa ka"), // ceb
@@ -791,6 +800,8 @@ class DedupSimilaritySpec extends SparkSpec {
       1L -> "ru", 2L -> "ru", 3L -> "uk", 4L -> "be", 5L -> "bg",
       6L -> "sr", 7L -> "mk", 8L -> "kk", 9L -> "tg", 10L -> "mn",
       11L -> "ar", 12L -> "fa", 13L -> "ur", 14L -> "ps",
+      15L -> "bn", 16L -> "as", 17L -> "he", 18L -> "yi",
+      19L -> "hi", 42L -> "mr",
       20L -> "tl", 21L -> "ceb", 22L -> "war", 23L -> "xh", 24L -> "zu",
       25L -> "is", 26L -> "da", 27L -> "la", 28L -> "eo", 29L -> "so",
       30L -> "ha", 31L -> "mg", 32L -> "jv", 33L -> "su", 34L -> "id",
