@@ -92,6 +92,7 @@ object Graft {
     graft.expr.AviFrames.register(spark)
     graft.expr.Mp4Frames.register(spark)
     graft.expr.VideoMeta.register(spark)
+    graft.expr.WarcRecords.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

@@ -2093,6 +2093,44 @@ object SparkEntry {
           col("sample_rate"), col("bit_depth"), col("n_frames"))
     }),
 
+    // WARC ingestion end-to-end (the Common Crawl shape): genuine
+    // ISO 28500 records — warcinfo + HTTP response with real
+    // Content-Length framing — constructed in-plan, walked by the
+    // native graft_warc_records extraction, HTTP payload split and
+    // the HTML body reduced to text through the SHARED HtmlToText
+    // chain. ASCII-only bodies keep Content-Length = char count so
+    // the whole construction replays as plain string SQL. id%9==5
+    // files are junk (triage: no rows)
+    "q162_warc_html_docs" -> ((s, dir) => {
+      Graft.tune(s)
+      val id = col("doc_id")
+      val body = concat(lit("<html><head><title>Doc "), id,
+        lit("</title></head><body><h1>Doc "), id,
+        lit("</h1><p>alpha beta gamma "), pmod(id, lit(7L)),
+        lit(" delta</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        body)
+      def record(headers: Column, payload: Column): Column =
+        concat(lit("WARC/1.0\r\n"), headers,
+          lit("Content-Length: "), length(payload), lit("\r\n\r\n"),
+          payload, lit("\r\n\r\n"))
+      val info = record(
+        lit("WARC-Type: warcinfo\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+        lit("software: graft\r\n"))
+      val resp = record(concat(
+          lit("WARC-Type: response\r\nWARC-Target-URI: http://example.com/doc/"),
+          id, lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            "Content-Type: application/http; msgtype=response\r\n")),
+        http)
+      val content = when(pmod(id, lit(9L)) === 5,
+          lit("junk, not a warc").cast(BinaryType))
+        .otherwise(concat(info, resp).cast(BinaryType))
+      val files = tp(s, dir, "documents")
+        .select(id.as("file_id"), content.as("content"))
+      graft.operators.Warc.htmlDocuments(files)
+    }),
+
     // video-container metadata: real MP4 (ISO BMFF) box trees —
     // ftyp + moov[mvhd + trak[tkhd]] — constructed in-plan and decoded
     // by the native graft_video_meta box walk; completes the
@@ -4910,6 +4948,19 @@ object SparkEntry {
                    WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5000 + 1 AS BIGINT)
               END AS n_frames
        FROM documents""",
+
+    // replays the WARC construction as plain string SQL: the
+    // response record is index 1 (after warcinfo), the HTTP split
+    // yields 200/text-html, and the HtmlToText chain reduces the
+    // constructed body to its known text (tags → spaces, collapse)
+    "q162_warc_html_docs" ->
+      """SELECT doc_id AS file_id, CAST(1 AS INTEGER) AS record_idx,
+              'http://example.com/doc/' || doc_id AS url,
+              CAST(200 AS INTEGER) AS http_status,
+              'text/html' AS http_content_type,
+              'Doc ' || doc_id || ' Doc ' || doc_id ||
+                ' alpha beta gamma ' || (doc_id % 7) || ' delta' AS text
+       FROM documents WHERE doc_id % 9 <> 5""",
 
     // replays the public MP3 tables (ISO 11172-3 Layer III bitrates,
     // sample rates) + the CBR frame-count estimate, and the OGG

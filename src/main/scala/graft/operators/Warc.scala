@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) ingestion — the Common Crawl shape: whole
+  * `.warc` / `.warc.gz` files in as binary blobs (Spark's
+  * `binaryFile` source, one row per file — crawl archives gzip each
+  * record as its own member, so no splitter can chunk them), records
+  * out as rows via the native [[graft.expr.WarcRecords]] walk, HTTP
+  * responses split and HTML reduced to text with the existing
+  * [[graft.functions.HtmlToText]] chain.
+  *
+  * Scale shape: the file blob exists only inside the extraction
+  * projection (the explode output carries per-record payloads, the
+  * 64 MiB-capped file bytes project away immediately); everything
+  * downstream is codegen'd relational work, no shuffle until the
+  * caller aggregates. Size tasks with one file per task via
+  * `spark.sql.files.maxPartitionBytes` (binaryFile never splits a
+  * file anyway) — at 100 TB the unit of parallelism is the archive
+  * file, exactly how crawl dumps are laid out.
+  */
+object Warc {
+
+  /** Explode WARC files into records: (id, record_idx, warc_type,
+    * target_uri, warc_date, content_type, payload). Files that are
+    * not WARC contribute no rows (triage).
+    */
+  def records(files: DataFrame, idCol: String = "file_id",
+      contentCol: String = "content", maxRecords: Int = 4096): DataFrame =
+    files
+      .select(col(idCol),
+        call_function(graft.expr.WarcRecords.FunctionName,
+          col(contentCol), lit(maxRecords)).as("_rs"))
+      .filter(col("_rs").isNotNull)
+      .select(col(idCol), posexplode(col("_rs")).as(Seq("record_idx", "_r")))
+      .select(col(idCol), col("record_idx"),
+        col("_r.warc_type").as("warc_type"),
+        col("_r.target_uri").as("target_uri"),
+        col("_r.warc_date").as("warc_date"),
+        col("_r.content_type").as("content_type"),
+        col("_r.payload").as("payload"))
+
+  /** The crawl→corpus text stage: `response` records only, HTTP
+    * payload split at the first blank line (status code from the
+    * status line, Content-Type from the response headers), HTML body
+    * → plain text through the shared HtmlToText chain. Output:
+    * (id, record_idx, url, http_status, http_content_type, text).
+    * All pure codegen'd expressions — regexes are RE2-portable so an
+    * external engine can replay them.
+    */
+  def htmlDocuments(files: DataFrame, idCol: String = "file_id",
+      contentCol: String = "content", maxRecords: Int = 4096): DataFrame = {
+    val recs = records(files, idCol, contentCol, maxRecords)
+      .filter(col("warc_type") === "response")
+    val s = col("payload").cast(StringType)
+    val sep = instr(s, "\r\n\r\n")
+    val headStr = s.substr(lit(1), greatest(sep - 1, lit(0)))
+    val body = when(sep > 0, s.substr(sep + 4, length(s)))
+      .otherwise(lit(""))
+    recs.select(col(idCol), col("record_idx"),
+        col("target_uri").as("url"),
+        regexp_extract(headStr, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+          .cast(IntegerType).as("http_status"),
+        regexp_extract(headStr, "(?i)\r\ncontent-type:\\s*([^\r\n;]+)", 1)
+          .as("http_content_type"),
+        graft.functions.HtmlToText.htmlToText(body).as("text"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, Mp4Frames, SigL1, VideoMeta, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, Mp4Frames, SigL1, VideoMeta, WarcRecords, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -123,6 +123,12 @@ object GraftExtensions {
       (FunctionIdentifier(VideoMeta.FunctionName),
         info(VideoMeta.FunctionName, classOf[VideoMeta]),
         exprs => VideoMeta(exprs.head)),
+      (FunctionIdentifier(WarcRecords.FunctionName),
+        info(WarcRecords.FunctionName, classOf[WarcRecords]),
+        exprs => WarcRecords(exprs.head,
+          if (exprs.length > 1)
+            ExprArgs.intLit(WarcRecords.FunctionName, "maxRecords", exprs(1))
+          else 4096)),
       (FunctionIdentifier(VecDistance.L2SqName),
         info(VecDistance.L2SqName, classOf[L2SqDistance]),
         exprs => L2SqDistance(exprs(0), exprs(1))),

@@ -1085,6 +1085,79 @@ class ExprConfigSpec extends SparkSpec {
     assert(via == plain && via.size == 2, via)
   }
 
+  test("graft_warc_records: record walk, folding, gzip members, guards") {
+    def rec(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\n" +
+        headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val info = rec(Seq("WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2026-01-01T00:00:00Z"),
+      "software: graft\r\n".getBytes("UTF-8"))
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+      "\r\n\r\n<html><body><h1>Title</h1><p>hello&amp;bye</p></body></html>")
+      .getBytes("UTF-8")
+    // lower-case names + a FOLDED uri value (continuation line)
+    val resp = rec(Seq("warc-type" -> "response",
+      "WARC-Target-URI" -> "http://example.org/a\r\n  /long/path",
+      "content-type" -> "application/http; msgtype=response"), http)
+    val req = rec(Seq("WARC-Type" -> "request",
+      "WARC-Target-URI" -> "http://example.org/a"),
+      "GET /a HTTP/1.1\r\n".getBytes("UTF-8"))
+    val warc = info ++ resp ++ req
+    def parse(b: Array[Byte], max: Int = 4096) =
+      Option(graft.expr.WarcRecords.records(b, max))
+        .map(_.array.toSeq.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.GenericInternalRow]))
+    val rs = parse(warc).get
+    assert(rs.map(r => r.getUTF8String(0).toString) ==
+      Seq("warcinfo", "response", "request"))
+    assert(rs(1).getUTF8String(1).toString == "http://example.org/a /long/path",
+      rs(1).getUTF8String(1)) // folded value, fold break → one space
+    assert(rs(1).getUTF8String(3).toString == "application/http; msgtype=response")
+    assert(rs(1).getBinary(4).toSeq == http.toSeq) // payload verbatim
+    assert(rs(0).getUTF8String(1) == null) // warcinfo has no uri
+
+    // .warc.gz: per-record gzip MEMBERS concatenated (the CC layout)
+    val warcGz = gz(info) ++ gz(resp) ++ gz(req)
+    val rsGz = parse(warcGz).get
+    assert(rsGz.map(_.getUTF8String(0).toString) ==
+      Seq("warcinfo", "response", "request"))
+    assert(rsGz(1).getBinary(4).toSeq == http.toSeq)
+
+    // maxRecords cap, truncation triage, NULL contract
+    assert(parse(warc, max = 2).get.size == 2)
+    assert(parse(warc.dropRight(req.length - 5)).get.size == 2,
+      "truncated third record keeps the first two")
+    assert(parse("random bytes not a warc".getBytes("UTF-8")).isEmpty)
+    assert(parse(Array.emptyByteArray).isEmpty)
+    // a crafted Content-Length past the payload cap nulls cleanly
+    val bomb = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${1 << 30}\r\n\r\n").getBytes("UTF-8")
+    assert(parse(bomb).isEmpty)
+
+    // operator pipeline: binary files → records → html text documents
+    val files = Seq((1L, warc), (2L, warcGz),
+      (3L, "junk".getBytes("UTF-8"))).toDF("file_id", "content")
+    val recs = graft.operators.Warc.records(files)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(recs.count(_._3 == "response") == 2 && recs.length == 6, recs.toSeq)
+    val docs = graft.operators.Warc.htmlDocuments(files)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3),
+        r.getString(4), r.getString(5))).sortBy(_._1)
+    assert(docs.length == 2)
+    docs.foreach { case (_, url, status, ctype, text) =>
+      assert(url == "http://example.org/a /long/path")
+      assert(status == 200 && ctype == "text/html")
+      assert(text == "Title hello&bye", text)
+    }
+  }
+
   test("graft_video_meta walks MP4 box trees, nulls the rest") {
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
