@@ -522,6 +522,58 @@ object ScaleShakeout {
     // sessions/window family over a 10× events table (1M events, 10k
     // users incl. one whale user with 5% of all traffic — the per-user
     // window's skew case). Deterministic from the event id.
+    // WARC ingestion at corpus scale: one archive blob per row, each
+    // holding a warcinfo record + several HTTP response records with
+    // real Content-Length framing (sizes vary per file), 20% of the
+    // archives gzip'd as per-record members (the CC layout), 2%
+    // junk. The walk is a pure per-row projection; claims: ~linear
+    // wall, 0 spill, junk contributes nothing.
+    if (wanted("warcHtmlDocs")) {
+      val warcPath = "target/scale_warc.parquet"
+      val genWarc = udf { (id: Long) =>
+        if (id % 50 == 17) "not a warc at all".getBytes("UTF-8")
+        else {
+          val rnd = new java.util.Random(id * 2654435761L + 7L)
+          val sb = new StringBuilder
+          def rec(headers: String, payload: String): Unit = {
+            sb.append("WARC/1.0\r\n").append(headers)
+              .append("Content-Length: ").append(payload.length)
+              .append("\r\n\r\n").append(payload).append("\r\n\r\n")
+          }
+          rec("WARC-Type: warcinfo\r\n", "software: graft\r\n")
+          val nDocsIn = 2 + rnd.nextInt(4)
+          var d = 0
+          while (d < nDocsIn) {
+            val words = 20 + rnd.nextInt(180)
+            val body = new StringBuilder("<html><body><p>")
+            var j = 0
+            while (j < words) {
+              body.append("w").append(rnd.nextInt(20000)).append(' ')
+              j += 1
+            }
+            body.append("</p></body></html>")
+            rec(s"WARC-Type: response\r\nWARC-Target-URI: http://ex.com/$id/$d\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n",
+              "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+            d += 1
+          }
+          val plain = sb.toString.getBytes("UTF-8")
+          if (id % 5 == 0) { // per-record members would need re-framing;
+            // one-member gzip of the whole archive exercises the same
+            // inflate path (GZIPInputStream reads both layouts)
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(plain); g.close(); bos.toByteArray
+          } else plain
+        }
+      }
+      spark.range(nDocs)
+        .select(col("id").as("file_id"), genWarc(col("id")).as("content"))
+        .write.mode("overwrite").parquet(warcPath)
+      val files = spark.read.parquet(warcPath)
+      run("warcHtmlDocs")(graft.operators.Warc.htmlDocuments(files))
+    }
+
     if (wanted("sessionStats", "asofJoin")) {
     val nEvents = nDocs * 20
     spark.range(nEvents).select(
