@@ -2093,6 +2093,74 @@ object SparkEntry {
           col("sample_rate"), col("bit_depth"), col("n_frames"))
     }),
 
+    // wide image-container metadata: genuine TIFF IFDs in BOTH byte
+    // orders (inline left-justified SHORT values and full-field LONG
+    // values per TIFF 6.0 §2), BMP BITMAPINFOHEADERs and netpbm
+    // ASCII headers — constructed in-plan, decoded by the native
+    // graft_image_meta dispatch. The oracle replays the dimension
+    // arithmetic; a walk that misread the byte order, the
+    // left-justification or the IFD entry stride cannot reproduce
+    // the dims. id%9==5 docs are text (triage: NULL meta)
+    "q163_image_meta_wide" -> ((s, dir) => {
+      Graft.tune(s)
+      def hexOf(sParam: String): String =
+        sParam.getBytes("ISO-8859-1").map(b => f"${b & 0xff}%02X").mkString
+      def be16hex(c: Column): Column = lpad(hex(c), 4, "0")
+      def be32hex(c: Column): Column = lpad(hex(c), 8, "0")
+      def le16hex(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le32hex(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val id = col("doc_id")
+      // TIFF little-endian: two inline-SHORT dim entries
+      val w1 = (id % 500 + 1).cast(IntegerType)
+      val h1 = (id % 300 + 1).cast(IntegerType)
+      def leEntryShort(tag: Int, v: Column): Column =
+        concat(le16hex(lit(tag)), le16hex(lit(3)), le32hex(lit(1)),
+          le16hex(v), lit("0000"))
+      val tiffLe = concat(lit(hexOf("II")), lit("2A00"), le32hex(lit(8)),
+        le16hex(lit(2)), leEntryShort(256, w1), leEntryShort(257, h1),
+        le32hex(lit(0)))
+      // TIFF big-endian: LONG dims + an inline-SHORT BitsPerSample 16
+      val w2 = (id % 700 + 2).cast(IntegerType)
+      val h2 = (id % 400 + 2).cast(IntegerType)
+      def beEntryLong(tag: Int, v: Column): Column =
+        concat(be16hex(lit(tag)), be16hex(lit(4)), be32hex(lit(1)),
+          be32hex(v))
+      val tiffBe = concat(lit(hexOf("MM")), lit("002A"), be32hex(lit(8)),
+        be16hex(lit(3)), beEntryLong(256, w2), beEntryLong(257, h2),
+        concat(be16hex(lit(258)), be16hex(lit(3)), be32hex(lit(1)),
+          be16hex(lit(16)), lit("0000")),
+        be32hex(lit(0)))
+      // BMP: 24bpp BITMAPINFOHEADER
+      val w3 = (id % 400 + 1).cast(IntegerType)
+      val h3 = (id % 200 + 1).cast(IntegerType)
+      val bmp = concat(lit(hexOf("BM")), le32hex(lit(0)), le32hex(lit(0)),
+        le32hex(lit(54)), le32hex(lit(40)), le32hex(w3), le32hex(h3),
+        le16hex(lit(1)), le16hex(lit(24)), lit("00" * 8))
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .when(id % 4 === 0, unhex(tiffLe))
+        .when(id % 4 === 1, unhex(tiffBe))
+        .when(id % 4 === 2, unhex(bmp))
+        .otherwise(concat(lit("P6\n"), (id % 100 + 1).cast(StringType),
+          lit(" "), (id % 50 + 1).cast(StringType), lit("\n255\n"))
+          .cast(BinaryType))
+      val m = call_function(graft.expr.ImageMeta.FunctionName, content)
+      t(s, dir, "documents").select(id.as("media_id"),
+        m.getField("format").as("format"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"),
+        m.getField("channels").as("channels"),
+        m.getField("bit_depth").as("bit_depth"))
+    }),
+
     // WARC ingestion end-to-end (the Common Crawl shape): genuine
     // ISO 28500 records — warcinfo + HTTP response with real
     // Content-Length framing — constructed in-plan, walked by the
@@ -4947,6 +5015,33 @@ object SparkEntry {
               CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 1000 + 1 AS BIGINT)
                    WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5000 + 1 AS BIGINT)
               END AS n_frames
+       FROM documents""",
+
+    // replays q163's dimension arithmetic per container class
+    "q163_image_meta_wide" ->
+      """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   WHEN doc_id % 4 IN (0, 1) THEN 'tiff'
+                   WHEN doc_id % 4 = 2 THEN 'bmp'
+                   ELSE 'ppm' END AS format,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   WHEN doc_id % 4 = 0 THEN CAST(doc_id % 500 + 1 AS INTEGER)
+                   WHEN doc_id % 4 = 1 THEN CAST(doc_id % 700 + 2 AS INTEGER)
+                   WHEN doc_id % 4 = 2 THEN CAST(doc_id % 400 + 1 AS INTEGER)
+                   ELSE CAST(doc_id % 100 + 1 AS INTEGER) END AS width,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   WHEN doc_id % 4 = 0 THEN CAST(doc_id % 300 + 1 AS INTEGER)
+                   WHEN doc_id % 4 = 1 THEN CAST(doc_id % 400 + 2 AS INTEGER)
+                   WHEN doc_id % 4 = 2 THEN CAST(doc_id % 200 + 1 AS INTEGER)
+                   ELSE CAST(doc_id % 50 + 1 AS INTEGER) END AS height,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   WHEN doc_id % 4 = 0 THEN CAST(1 AS INTEGER)
+                   WHEN doc_id % 4 = 1 THEN CAST(1 AS INTEGER)
+                   ELSE CAST(3 AS INTEGER) END AS channels,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   WHEN doc_id % 4 = 0 THEN CAST(1 AS INTEGER)
+                   WHEN doc_id % 4 = 1 THEN CAST(16 AS INTEGER)
+                   ELSE CAST(8 AS INTEGER) END AS bit_depth
        FROM documents""",
 
     // replays the WARC construction as plain string SQL: the

@@ -32,6 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    dims behind the 9D 01 2A start code), VP8L lossless (packed
   *    14-bit dims + alpha hint), VP8X extended (24-bit canvas dims,
   *    alpha flag)
+  *  - TIFF: both byte orders (II*\0 / MM\0*), IFD0 entry walk for
+  *    width/length/bits-per-sample/samples-per-pixel, inline SHORT/
+  *    LONG values and offset SHORT arrays per TIFF 6.0
+  *  - BMP: BITMAPINFOHEADER dims (negative height = top-down), bpp →
+  *    channels/depth
+  *  - PPM/PGM (P6/P5): ASCII header with comments, maxval → 8/16-bit
   *
   * Anything else — truncated headers, zero dimensions, non-image bytes
   * — yields NULL, never an error: at corpus scale a media column always
@@ -180,6 +186,103 @@ object ImageMeta {
           return row("webp", le24(24) + 1, le24(27) + 1, ch, 8)
         case _ => return null
       }
+    }
+    // ---- TIFF: II*\0 (little-endian) or MM\0* (big-endian) + IFD0
+    // entry walk for ImageWidth(256)/ImageLength(257)/
+    // BitsPerSample(258)/SamplesPerPixel(277). Inline values are
+    // left-justified in the 4-byte value field per TIFF 6.0 §2; a
+    // multi-count BitsPerSample stores an OFFSET to a SHORT array
+    // (first entry read — depth is per sample and uniform in
+    // baseline TIFF). Defaults per spec: SamplesPerPixel 1,
+    // BitsPerSample 1.
+    if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) {
+      val le = b(0) == 'I'
+      def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+      def u32(i: Int): Long =
+        if (le) (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+          ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+        else be32(b, i) & 0xFFFFFFFFL
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val n = u16(ifd.toInt)
+      if (ifd + 2 + 12L * n > b.length) return null
+      var w = 0L; var h = 0L; var spp = 1; var bits = 1
+      var e = 0
+      while (e < n) {
+        val off = ifd.toInt + 2 + 12 * e
+        val tagId = u16(off)
+        val typ = u16(off + 2)
+        val cnt = u32(off + 4)
+        // SHORT(3) / LONG(4) inline value, left-justified at off+8
+        def inlineVal: Long =
+          if (typ == 3) u16(off + 8).toLong
+          else if (typ == 4) u32(off + 8)
+          else -1L
+        tagId match {
+          case 256 => w = inlineVal
+          case 257 => h = inlineVal
+          case 277 => val v = inlineVal; if (v > 0 && v <= 64) spp = v.toInt
+          case 258 =>
+            if (cnt == 1) { val v = inlineVal; if (v > 0 && v <= 64) bits = v.toInt }
+            else if (typ == 3) {
+              val p = u32(off + 8)
+              if (p + 2 <= b.length && p >= 0) {
+                val v = u16(p.toInt); if (v > 0 && v <= 64) bits = v
+              }
+            }
+          case _ => // other tags irrelevant to the metadata row
+        }
+        e += 1
+      }
+      if (w <= 0 || h <= 0 || w > (1 << 30) || h > (1 << 30)) return null
+      return row("tiff", w.toInt, h.toInt, spp, bits)
+    }
+    // ---- BMP: BITMAPINFOHEADER dims (height may be negative =
+    // top-down; magnitude is the pixel height)
+    if (b(0) == 'B' && b(1) == 'M' && b.length >= 30) {
+      val w = (b(18) & 0xFF) | ((b(19) & 0xFF) << 8) |
+        ((b(20) & 0xFF) << 16) | ((b(21) & 0xFF) << 24)
+      val hRaw = (b(22) & 0xFF) | ((b(23) & 0xFF) << 8) |
+        ((b(24) & 0xFF) << 16) | ((b(25) & 0xFF) << 24)
+      val bpp = le16(b, 28)
+      if (bpp <= 0 || bpp > 32) return null
+      val ch = if (bpp >= 24) bpp / 8 else 1 // palette/gray below 24bpp
+      val depth = if (bpp >= 24) 8 else bpp
+      return row("bmp", w, math.abs(hRaw), ch, depth)
+    }
+    // ---- PPM/PGM (P6/P5): ASCII header — whitespace-separated
+    // width, height, maxval, with '#' comments per the netpbm spec
+    if (b(0) == 'P' && (b(1) == '6' || b(1) == '5')) {
+      var i = 2
+      val vals = new Array[Long](3)
+      var v = 0
+      while (v < 3 && i < b.length) {
+        // skip whitespace and comments
+        var moved = true
+        while (moved && i < b.length) {
+          moved = false
+          while (i < b.length && (b(i) == ' ' || b(i) == '\t' ||
+              b(i) == '\n' || b(i) == '\r')) { i += 1; moved = true }
+          if (i < b.length && b(i) == '#') {
+            while (i < b.length && b(i) != '\n') i += 1
+            moved = true
+          }
+        }
+        var num = -1L
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          num = math.max(num, 0) * 10 + (b(i) - '0')
+          i += 1
+          if (num > (1L << 30)) return null
+        }
+        if (num < 0) return null
+        vals(v) = num
+        v += 1
+      }
+      if (v < 3 || vals(2) <= 0 || vals(2) > 65535) return null
+      val ch = if (b(1) == '6') 3 else 1
+      val depth = if (vals(2) < 256) 8 else 16
+      return row("ppm", vals(0).toInt, vals(1).toInt, ch, depth)
     }
     null
   }

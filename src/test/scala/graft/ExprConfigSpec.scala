@@ -101,6 +101,44 @@ class ExprConfigSpec extends SparkSpec {
     val meta = graft.operators.Multimodal.imageMeta(media).collect()(0)
     assert(meta.getAs[String]("format") == "png" &&
       meta.getAs[Int]("width") == 1 && meta.getAs[Long]("n_bytes") == realPng.length)
+
+    // ---- TIFF, both byte orders. LE: inline SHORT dims; BE: LONG
+    // dims + offset BitsPerSample array (3 SHORTs) + SamplesPerPixel
+    def leBytes(v: Int, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def beBytes(v: Int, n: Int) = (0 until n).reverse.map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def tiffLe = {
+      def entry(tag: Int, typ: Int, cnt: Int, value: Int) =
+        leBytes(tag, 2) ++ leBytes(typ, 2) ++ leBytes(cnt, 4) ++ leBytes(value, 4)
+      "II".getBytes ++ Array[Byte](42, 0) ++ leBytes(8, 4) ++
+        leBytes(2, 2) ++ entry(256, 3, 1, 640) ++ entry(257, 3, 1, 480) ++
+        leBytes(0, 4)
+    }
+    def tiffBe = {
+      def entry(tag: Int, typ: Int, cnt: Int, value: Int) =
+        beBytes(tag, 2) ++ beBytes(typ, 2) ++ beBytes(cnt, 4) ++ beBytes(value, 4)
+      // 4 entries: dims as LONG, SamplesPerPixel 3, BitsPerSample →
+      // offset 62 where [16,16,16] SHORTs live
+      "MM".getBytes ++ Array[Byte](0, 42) ++ beBytes(8, 4) ++
+        beBytes(4, 2) ++ entry(256, 4, 1, 1024) ++ entry(257, 4, 1, 768) ++
+        entry(258, 3, 3, 62) ++ entry(277, 3, 1, 3 << 16) ++
+        beBytes(0, 4) ++ beBytes(16, 2) ++ beBytes(16, 2) ++ beBytes(16, 2)
+    }
+    assert(parsed(tiffLe).contains(("tiff", 640, 480, 1, 1)), parsed(tiffLe))
+    assert(parsed(tiffBe).contains(("tiff", 1024, 768, 3, 16)), parsed(tiffBe))
+    assert(parsed("II".getBytes ++ Array[Byte](42, 0) ++ leBytes(9999, 4))
+      .isEmpty) // IFD offset past the buffer
+    // ---- BMP: 24bpp bottom-up and 8bpp top-down (negative height)
+    def bmp(w: Int, h: Int, bpp: Int) =
+      "BM".getBytes ++ leBytes(0, 4) ++ leBytes(0, 4) ++ leBytes(54, 4) ++
+        leBytes(40, 4) ++ leBytes(w, 4) ++ leBytes(h, 4) ++
+        leBytes(1, 2) ++ leBytes(bpp, 2) ++ Array.fill[Byte](8)(0)
+    assert(parsed(bmp(800, 600, 24)).contains(("bmp", 800, 600, 3, 8)))
+    assert(parsed(bmp(64, -32, 8)).contains(("bmp", 64, 32, 1, 8)))
+    // ---- PPM/PGM ASCII headers with a comment line
+    assert(parsed("P6\n# a comment\n120 80\n255\n".getBytes)
+      .contains(("ppm", 120, 80, 3, 8)))
+    assert(parsed("P5 10 20 65535 ".getBytes).contains(("ppm", 10, 20, 1, 16)))
+    assert(parsed("P6\n12\n".getBytes).isEmpty) // truncated header
   }
 
   test("graft_pixel_stats decodes real PNGs (all filters/color types), PPM, BMP") {
