@@ -141,9 +141,11 @@ object PixelStats {
 
   /** bytes → decoded pixels, or null if not decodable. PNG/PPM/BMP go
     * through the hand decoders (construction-replayable, oracle-gated);
-    * JPEG and GIF — formats whose decode genuinely needs a codec — go
-    * through the JDK's own `javax.imageio` (public API, still zero
-    * EXTERNAL dependencies). The ImageIO tier is JVM-deterministic but
+    * JPEG, GIF and TIFF — formats whose decode genuinely needs a codec
+    * — go through the JDK's own `javax.imageio` (public API, still
+    * zero EXTERNAL dependencies; the TIFF plugin is standard since
+    * JDK 9 and lossless, so its decode reproduces set pixels
+    * exactly). The ImageIO tier is JVM-deterministic but
     * not construction-replayable (lossy JPEG's pixel values are the
     * codec's, not a formula's), so it is spec-gated rather than
     * oracle-gated; its output normalizes to 3-channel RGB (alpha
@@ -161,6 +163,11 @@ object PixelStats {
         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
       return imageio(b,
         if ((b(0) & 0xFF) == 0xFF) "jpeg" else "gif")
+    // TIFF via the JDK's own ImageIO TIFF plugin (standard since
+    // JDK 9); the ImageMeta IFD walk supplies the bomb-guard dims
+    if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+      return imageio(b, "tiff")
     null
   }
 

@@ -384,12 +384,21 @@ class ExprConfigSpec extends SparkSpec {
         }
         (sum, sumsq, mn, mx)
       }
-      for (fmt <- Seq("jpg", "gif")) {
+      for (fmt <- Seq("jpg", "gif", "tiff")) {
         val bytes = encoded(fmt)
         val (rs, rss, rmn, rmx) = refStats(bytes)
-        val name = if (fmt == "jpg") "jpeg" else "gif"
+        val name = if (fmt == "jpg") "jpeg" else fmt
         assert(parsed(bytes).contains((name, 20, 10, 3, 200L, rs, rss,
           rmn, rmx, if (rmn == rmx) 1 else 0)), s"$fmt: ${parsed(bytes)}")
+      }
+      // TIFF is lossless: the decode must reproduce the EXACT set
+      // pixels, not just self-consistency
+      locally {
+        val bytes = encoded("tiff")
+        var sum = 0L
+        for (y <- 0 until 10; x <- 0 until 20; sh <- Seq(16, 8, 0))
+          sum += (img.getRGB(x, y) >> sh) & 0xFF
+        assert(parsed(bytes).get._6 == sum, parsed(bytes))
       }
       // truncated JPEG: triage NULL, never an executor error
       assert(parsed(encoded("jpg").take(40)).isEmpty)
