@@ -91,6 +91,7 @@ object Graft {
     graft.expr.SigL1.register(spark)
     graft.expr.AviFrames.register(spark)
     graft.expr.Mp4Frames.register(spark)
+    graft.expr.GifFrames.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.WarcRecords.register(spark)
     graft.expr.CmsSketchAgg.register(spark)

@@ -2093,6 +2093,40 @@ object SparkEntry {
           col("sample_rate"), col("bit_depth"), col("n_frames"))
     }),
 
+    // animated-GIF frame decode end-to-end — the first REAL
+    // inter-frame codec under the oracle gate: q157's frame-content
+    // formula planted as gray-palette indices, encoded by the
+    // deterministic GifBuild fixture encoder (the public
+    // "uncompressed LZW" technique — a builder UDF, since LZW bit
+    // packing is not expressible relationally), decoded through the
+    // JDK's INDEPENDENT ImageIO LZW decoder inside graft_gif_frames,
+    // composited to PPM frames, and pixel-decoded by the existing
+    // tier. GIF is lossless, so the oracle replays the planted
+    // formula exactly — a decode or compositing error anywhere in
+    // the chain cannot reproduce the sums. id%9==5 docs are text
+    // (triage: no rows)
+    "q164_gif_video_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val gen = udf { (id: Long) =>
+        val w = (id % 5 + 6).toInt
+        val h = (id % 4 + 5).toInt
+        val n = (id % 3 + 2).toInt
+        graft.expr.GifBuild.animated(w, h, (0 until n).map(f =>
+          Array.tabulate(w * h)(k =>
+            ((id * 37 + f * 101 + k * 13) % 251).toByte)))
+      }
+      val id = col("doc_id")
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(gen(id))
+      val media = tp(s, dir, "documents")
+        .select(id.as("media_id"), lit("video").as("kind"),
+          content.as("content"))
+      Multimodal.videoFrameStats(media, maxFrames = 8)
+    }),
+
     // wide image-container metadata: genuine TIFF IFDs in BOTH byte
     // orders (inline left-justified SHORT values and full-field LONG
     // values per TIFF 6.0 §2), BMP BITMAPINFOHEADERs and netpbm
@@ -5016,6 +5050,44 @@ object SparkEntry {
                    WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5000 + 1 AS BIGINT)
               END AS n_frames
        FROM documents""",
+
+    // replays q164's planted gray-index formula over the composited
+    // RGB frames: each pixel's three channels equal the index v, so
+    // sums triple and min/max/constant carry over; n_bytes is the
+    // emitted PPM's size (same header formula as q157)
+    "q164_gif_video_stats" ->
+      """WITH d AS (SELECT doc_id AS id,
+                  CAST(doc_id % 5 + 6 AS INTEGER) AS w,
+                  CAST(doc_id % 4 + 5 AS INTEGER) AS h,
+                  CAST(doc_id % 3 + 2 AS INTEGER) AS n
+           FROM documents WHERE doc_id % 9 <> 5),
+         fr AS (SELECT id, w, h, CAST(f AS INTEGER) AS f
+                FROM d CROSS JOIN range(0, 4) r(f) WHERE f < n),
+         px AS (SELECT id, f, w, h,
+                  ((id*37 + f*101 + k*13) % 251) AS v
+                FROM fr CROSS JOIN range(0, 90) r2(k)
+                WHERE k < w*h),
+         st AS (SELECT id, f, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+                  CAST(SUM(v) AS BIGINT) AS s,
+                  CAST(SUM(v*v) AS BIGINT) AS ss,
+                  CAST(MIN(v) AS INTEGER) AS mn,
+                  CAST(MAX(v) AS INTEGER) AS mx
+                FROM px GROUP BY id, f)
+       SELECT id AS media_id, f AS frame_idx,
+              CAST(9 + LENGTH(CAST(w AS VARCHAR))
+                     + LENGTH(CAST(h AS VARCHAR)) + w*h*3 AS BIGINT)
+                AS n_bytes,
+              'ppm' AS format, w AS width, h AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(w*h AS BIGINT) AS n_pixels,
+              3*s AS sum, 3*ss AS sumsq, mn AS pmin, mx AS pmax,
+              CAST(CASE WHEN mn = mx THEN 1 ELSE 0 END AS INTEGER)
+                AS constant,
+              ROUND(CAST(3*s AS DOUBLE)/(w*h*3), 6) AS mean,
+              ROUND(CAST(3*ss AS DOUBLE)/(w*h*3)
+                    - (CAST(3*s AS DOUBLE)/(w*h*3))
+                      * (CAST(3*s AS DOUBLE)/(w*h*3)), 6) AS variance
+       FROM st""",
 
     // replays q163's dimension arithmetic per container class
     "q163_image_meta_wide" ->

@@ -397,6 +397,8 @@ object Multimodal {
       call_function(graft.expr.AviFrames.FunctionName,
         col(contentCol), lit(maxFrames)),
       call_function(graft.expr.Mp4Frames.FunctionName,
+        col(contentCol), lit(maxFrames)),
+      call_function(graft.expr.GifFrames.FunctionName,
         col(contentCol), lit(maxFrames)))
     media.select(col("media_id"), fs.as("_fs"))
       .filter(col("_fs").isNotNull)
@@ -437,6 +439,8 @@ object Multimodal {
       call_function(graft.expr.AviFrames.FunctionName,
         col(contentCol), lit(maxFrames)),
       call_function(graft.expr.Mp4Frames.FunctionName,
+        col(contentCol), lit(maxFrames)),
+      call_function(graft.expr.GifFrames.FunctionName,
         col(contentCol), lit(maxFrames)))
     // typed boundary is Seq[Array[Byte]]: the encoder's nested-array
     // deserializer rejects Array[Array[Byte]] (UnsafeArrayData.array)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, Mp4Frames, SigL1, VideoMeta, WarcRecords, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, Mp4Frames, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -119,6 +119,12 @@ object GraftExtensions {
         exprs => Mp4Frames(exprs.head,
           if (exprs.length > 1)
             ExprArgs.intLit(Mp4Frames.FunctionName, "maxFrames", exprs(1))
+          else 64)),
+      (FunctionIdentifier(GifFrames.FunctionName),
+        info(GifFrames.FunctionName, classOf[GifFrames]),
+        exprs => GifFrames(exprs.head,
+          if (exprs.length > 1)
+            ExprArgs.intLit(GifFrames.FunctionName, "maxFrames", exprs(1))
           else 64)),
       (FunctionIdentifier(VideoMeta.FunctionName),
         info(VideoMeta.FunctionName, classOf[VideoMeta]),

@@ -1132,6 +1132,96 @@ class ExprConfigSpec extends SparkSpec {
     assert(via == plain && via.size == 2, via)
   }
 
+  test("graft_gif_frames: composited animation decode, disposal, dispatch") {
+    import graft.expr.{GifBuild, GifFrames}
+    def ppmPixels(ppm: Array[Byte], w: Int, h: Int): Seq[Int] = {
+      val hdr = s"P6\n$w $h\n255\n".getBytes("ISO-8859-1")
+      assert(ppm.take(hdr.length).toSeq == hdr.toSeq, "ppm header")
+      ppm.drop(hdr.length).map(_ & 0xFF).toSeq
+    }
+    def frames(b: Array[Byte], max: Int = 64): Option[Seq[Array[Byte]]] =
+      Option(GifFrames.frames(b, max))
+        .map(_.array.toSeq.map(_.asInstanceOf[Array[Byte]]))
+
+    // round trip: planted gray indices come back EXACTLY through the
+    // JDK's independent LZW decoder (values straddle the 128-code
+    // CLEAR cadence and the gray ramp)
+    val w = 6; val h = 5
+    def plant(f: Int): Array[Byte] =
+      Array.tabulate(w * h)(k => ((f * 40 + k * 7) % 251).toByte)
+    val gif = GifBuild.animated(w, h, (0 until 3).map(plant))
+    val fs = frames(gif).get
+    assert(fs.size == 3)
+    for (f <- 0 until 3)
+      assert(ppmPixels(fs(f), w, h) ==
+        plant(f).flatMap(v => Seq(v & 0xFF, v & 0xFF, v & 0xFF)).toSeq,
+        s"frame $f round trip")
+
+    // inter-frame compositing: a partial doNotDispose frame OVERLAYS
+    // the previous canvas; transparent pixels leave it untouched;
+    // restoreToBackground blacks the rect for the NEXT frame;
+    // restoreToPrevious reverts
+    val base = Array.fill[Byte](w * h)(100.toByte)
+    // frame 1: 2x2 patch of 200s at (1,1), top-right pixel transparent
+    val patch = Array[Byte](200.toByte, 7, 200.toByte, 200.toByte)
+    val overlay = GifBuild.animatedEx(w, h, Seq(
+      GifBuild.Frame(0, 0, w, h, base),
+      GifBuild.Frame(1, 1, 2, 2, patch, disposal = 1, transparent = 7)))
+    val ov = frames(overlay).get
+    val exp1 = Array.fill(w * h)(100)
+    exp1(1 * w + 1) = 200; exp1(2 * w + 1) = 200; exp1(2 * w + 2) = 200
+    // (1,2) stayed 100: index 7 is transparent
+    assert(ppmPixels(ov(1), w, h) == exp1.flatMap(v => Seq(v, v, v)).toSeq)
+
+    val bg = GifBuild.animatedEx(w, h, Seq(
+      GifBuild.Frame(0, 0, w, h, base),
+      GifBuild.Frame(1, 1, 2, 2,
+        Array.fill[Byte](4)(200.toByte), disposal = 2),
+      GifBuild.Frame(0, 0, 1, 1, Array[Byte](50))))
+    val bgf = frames(bg).get
+    // frame 2 snapshot: patch visible; frame 3: rect restored to
+    // background (black) before the 1x1 frame draws at (0,0)
+    val exp2 = Array.fill(w * h)(100)
+    for (yy <- 1 to 2; xx <- 1 to 2) exp2(yy * w + xx) = 200
+    assert(ppmPixels(bgf(1), w, h) == exp2.flatMap(v => Seq(v, v, v)).toSeq)
+    val exp3 = Array.fill(w * h)(100)
+    for (yy <- 1 to 2; xx <- 1 to 2) exp3(yy * w + xx) = 0
+    exp3(0) = 50
+    assert(ppmPixels(bgf(2), w, h) == exp3.flatMap(v => Seq(v, v, v)).toSeq)
+
+    val prevG = GifBuild.animatedEx(w, h, Seq(
+      GifBuild.Frame(0, 0, w, h, base),
+      GifBuild.Frame(0, 0, 3, 3,
+        Array.fill[Byte](9)(222.toByte), disposal = 3),
+      GifBuild.Frame(0, 0, 1, 1, Array[Byte](50))))
+    val pf = frames(prevG).get
+    val exp4 = Array.fill(w * h)(100); exp4(0) = 50
+    assert(ppmPixels(pf(2), w, h) == exp4.flatMap(v => Seq(v, v, v)).toSeq,
+      "restoreToPrevious reverts the 222 patch")
+
+    // caps + NULL contract
+    assert(frames(gif, max = 2).get.size == 2)
+    assert(frames("GIF89a then garbage".getBytes("ISO-8859-1")).isEmpty)
+    assert(frames(Array.emptyByteArray).isEmpty)
+    // a crafted logical screen past the canvas cap never allocates
+    val bomb = GifBuild.animated(6, 5, Seq(plant(0)))
+    bomb(6) = 0xFF.toByte; bomb(7) = 0xFF.toByte // w := 65535
+    bomb(8) = 0xFF.toByte; bomb(9) = 0x7F.toByte // h := 32767
+    assert(frames(bomb).isEmpty)
+
+    // dispatch: animated GIFs flow through the SAME videoFrames
+    // operator as AVI/MP4, and the PPM frames pixel-decode downstream
+    val media = Seq((1L, gif), (2L, "junk".getBytes("ISO-8859-1")))
+      .toDF("media_id", "content").withColumn("kind", lit("video"))
+    val st = graft.operators.Multimodal.videoFrameStats(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3),
+        r.getLong(8))).sortBy(x => (x._1, x._2))
+    val expSums = (0 until 3).map(f =>
+      3L * plant(f).map(_ & 0xFF).sum)
+    assert(st.toSeq == (0 until 3).map(f => (1L, f, "ppm", expSums(f))),
+      st.toSeq)
+  }
+
   test("graft_warc_records: record walk, folding, gzip members, guards") {
     def rec(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] =
       (s"WARC/1.0\r\n" +
