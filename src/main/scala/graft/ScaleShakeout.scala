@@ -392,7 +392,7 @@ object ScaleShakeout {
     // color 2x2 PPMs: frame mean == the planted value, decode honest
     // but cheap. Claims: ~linear wall, guard engages on the fade
     // clique, zero spill.
-    if (wanted("videoNearDup", "videoNearDupMixed")) {
+    if (wanted("videoNearDup", "videoNearDupMixed", "videoNearDupGif")) {
       // planted per-clip frame values, shared by BOTH container
       // generators so the mixed-container op reuses the identical
       // corpus semantics (same families, fades, +4 variants)
@@ -516,6 +516,29 @@ object ScaleShakeout {
         // predecessor can be a fade (fades are ≡0,1,2 mod 100)
         val expected = nDocs / 10
         println(s"  cross-container planted pairs: $planted / $expected")
+      }
+
+      // the SAME planted corpus as animated GIFs: constant 2x2 gray
+      // frames (index = the planted value), real uncompressed-LZW
+      // encode, decoded through the JDK's ImageIO reader + GIF89a
+      // compositing. Frame means equal the AVI corpus's, so the
+      // output must be ROW-IDENTICAL to videoNearDup — codec-tier
+      // parity measured at corpus scale. Claim: the per-clip ImageIO
+      // reader overhead stays linear, 0 spill.
+      if (wanted("videoNearDupGif")) {
+        val gifPath = "target/scale_video_gif.parquet"
+        val genGif = udf { (id: Long) =>
+          val vs = clipValues(id)
+          graft.expr.GifBuild.animated(2, 2,
+            vs.toSeq.map(v => Array.fill[Byte](4)(v.toByte)))
+        }
+        spark.range(nDocs)
+          .select(col("id").as("media_id"), genGif(col("id")).as("content"))
+          .write.mode("overwrite").parquet(gifPath)
+        val clips = spark.read.parquet(gifPath)
+        run("videoNearDupGif")(
+          graft.operators.Multimodal.videoNearDup(clips, nWin = 32,
+            maxHamming = 4))
       }
     }
 

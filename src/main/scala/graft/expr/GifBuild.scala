@@ -21,7 +21,8 @@ private[graft] object GifBuild {
     * transparent (those pixels leave the canvas untouched).
     */
   final case class Frame(x: Int, y: Int, fw: Int, fh: Int,
-      indices: Array[Byte], disposal: Int = 1, transparent: Int = -1)
+      indices: Array[Byte], disposal: Int = 1, transparent: Int = -1,
+      interlaced: Boolean = false)
 
   /** Full-canvas animated GIF: one byte per pixel per frame, indices
     * into the gray ramp. Disposal = doNotDispose (frames accumulate;
@@ -56,13 +57,35 @@ private[graft] object GifBuild {
       u8(if (f.transparent >= 0) f.transparent else 0)
       u8(0)
       u8(0x2C) // image descriptor
-      u16(f.x); u16(f.y); u16(f.fw); u16(f.fh); u8(0)
+      u16(f.x); u16(f.y); u16(f.fw); u16(f.fh)
+      u8(if (f.interlaced) 0x40 else 0)
       u8(8)    // LZW minimum code size
-      writeLzw(out, f.indices)
+      writeLzw(out,
+        if (f.interlaced) interlaceRows(f.indices, f.fw, f.fh)
+        else f.indices)
       u8(0)    // data sub-block terminator
     }
     u8(0x3B) // trailer
     out.toByteArray
+  }
+
+  /** Source rows reordered into GIF interlace pass order (starts
+    * 0/4/2/1, steps 8/8/4/2) — what an interlaced image's data
+    * stream carries.
+    */
+  private def interlaceRows(d: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](d.length)
+    val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+    var dst = 0
+    for (p <- 0 until 4) {
+      var y = starts(p)
+      while (y < h) {
+        System.arraycopy(d, y * w, out, dst * w, w)
+        dst += 1
+        y += steps(p)
+      }
+    }
+    out
   }
 
   /** All-literal LZW: CLEAR, root codes with CLEAR every 128, EOI;

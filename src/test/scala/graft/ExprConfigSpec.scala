@@ -1199,6 +1199,40 @@ class ExprConfigSpec extends SparkSpec {
     assert(ppmPixels(pf(2), w, h) == exp4.flatMap(v => Seq(v, v, v)).toSeq,
       "restoreToPrevious reverts the 222 patch")
 
+    // DIFFERENTIAL vs the JDK: real compressed LZW from ImageIO's
+    // ENCODER (composite codes, dictionary growth, width bumps — the
+    // paths GifBuild's all-literal streams never exercise) must
+    // decode through the hand decoder to exactly what ImageIO's own
+    // READER sees in the same bytes. Two independent LZW
+    // implementations, one answer.
+    val rng2 = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val tw = 40 + rng2.nextInt(30); val th = 30 + rng2.nextInt(20)
+      val img = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until th; x <- 0 until tw)
+        img.setRGB(x, y, if ((x / 3 + y / 5 + trial) % 3 == 0)
+          ((x * 31) % 256 << 16) | 0x40 else 0x00AB00 | (y % 7) * 30)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", bos))
+      val bytes = bos.toByteArray
+      val mine = frames(bytes).get
+      assert(mine.size == 1, s"trial $trial")
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val refPix = for (y <- 0 until th; x <- 0 until tw;
+        sh <- Seq(16, 8, 0)) yield (ref.getRGB(x, y) >> sh) & 0xFF
+      assert(ppmPixels(mine(0), tw, th) == refPix, s"trial $trial LZW diff")
+    }
+
+    // interlaced frames reconstruct the original row order
+    val ilData = Array.tabulate[Byte](w * h)(k => ((k * 11) % 200).toByte)
+    val ilGif = GifBuild.animatedEx(w, h, Seq(
+      GifBuild.Frame(0, 0, w, h, ilData, interlaced = true)))
+    assert(ppmPixels(frames(ilGif).get(0), w, h) ==
+      ilData.flatMap(v => Seq(v & 0xFF, v & 0xFF, v & 0xFF)).toSeq,
+      "interlace pass order")
+
     // caps + NULL contract
     assert(frames(gif, max = 2).get.size == 2)
     assert(frames("GIF89a then garbage".getBytes("ISO-8859-1")).isEmpty)
