@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
   */
 object Warc {
 
+  /** Whole-file read of a crawl-archive directory/glob via Spark's
+    * `binaryFile` source: (file_id, path, length, content), one row
+    * per `.warc`/`.warc.gz` file. file_id is the stable xxhash64 of
+    * the path so downstream record keys survive re-reads; binaryFile
+    * never splits a file, which is exactly right here (member-gzipped
+    * archives are unsplittable — see [[graft.expr.WarcRecords]]).
+    */
+  def readArchives(spark: org.apache.spark.sql.SparkSession,
+      pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(xxhash64(col("path")).as("file_id"), col("path"),
+        col("length"), col("content"))
+
   /** Explode WARC files into records: (id, record_idx, warc_type,
     * target_uri, warc_date, content_type, payload). Files that are
     * not WARC contribute no rows (triage).

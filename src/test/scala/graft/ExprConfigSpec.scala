@@ -1327,6 +1327,25 @@ class ExprConfigSpec extends SparkSpec {
       assert(status == 200 && ctype == "text/html")
       assert(text == "Title hello&bye", text)
     }
+
+    // whole-file source: binaryFile glob → stable path-keyed rows
+    val dir = java.nio.file.Files.createTempDirectory("warc").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "a.warc").toPath, warc)
+      java.nio.file.Files.write(
+        new java.io.File(dir, "b.warc.gz").toPath, warcGz)
+      val read = graft.operators.Warc.readArchives(spark, dir.getAbsolutePath)
+      val recs2 = graft.operators.Warc.records(read)
+      assert(read.count() == 2 && recs2.count() == 6)
+      // file_id is deterministic across re-reads
+      val ids1 = read.select("file_id").collect().map(_.getLong(0)).sorted
+      val ids2 = graft.operators.Warc.readArchives(spark, dir.getAbsolutePath)
+        .select("file_id").collect().map(_.getLong(0)).sorted
+      assert(ids1.toSeq == ids2.toSeq && ids1.distinct.length == 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 
   test("graft_video_meta walks MP4 box trees, nulls the rest") {
