@@ -2093,6 +2093,55 @@ object SparkEntry {
           col("sample_rate"), col("bit_depth"), col("n_frames"))
     }),
 
+    // wide video-container metadata: genuine AVI MainAVIHeaders
+    // (µs/frame, total frames, dims — constructed in-plan, oracle
+    // replays the duration/fps arithmetic) and animated GIFs (frame
+    // count × graphic-control delays through the block walk; built
+    // by the GifBuild fixture encoder, oracle replays Σdelay·10).
+    // Completes videoMeta's coverage of all three containers the
+    // frame tier extracts. id%3==2 docs are text (triage: NULL meta)
+    "q165_video_meta_wide" -> ((s, dir) => {
+      Graft.tune(s)
+      def hexOf(sParam: String): String =
+        sParam.getBytes("ISO-8859-1").map(b => f"${b & 0xff}%02X").mkString
+      def le32hex(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val id = col("doc_id")
+      // AVI: µs/frame (10–59 ms), frames 1–500, dims from id
+      val usf = ((id % 50 + 10) * 1000).cast(IntegerType)
+      val nf = (id % 500 + 1).cast(IntegerType)
+      val aw = (id % 320 + 16).cast(IntegerType)
+      val ah = (id % 240 + 16).cast(IntegerType)
+      val avihHex = concat(le32hex(usf), lit("00" * 12), le32hex(nf),
+        lit("00" * 12), le32hex(aw), le32hex(ah), lit("00" * 16))
+      val hdrlLen = lit(4 + 8 + 56)
+      val aviHex = concat(lit(hexOf("RIFF")), le32hex(hdrlLen + 12),
+        lit(hexOf("AVI ")), lit(hexOf("LIST")), le32hex(hdrlLen),
+        lit(hexOf("hdrl")), lit(hexOf("avih")), le32hex(lit(56)), avihHex)
+      // GIF: dims + frame count from id, delay 4 cs per frame
+      val gifGen = udf { (idv: Long) =>
+        val w = (idv % 40 + 2).toInt
+        val h = (idv % 30 + 2).toInt
+        val n = (idv % 5 + 1).toInt
+        graft.expr.GifBuild.animated(w, h,
+          Seq.fill(n)(Array.fill[Byte](w * h)(9)))
+      }
+      val content = when(id % 3 === 0, unhex(aviHex))
+        .when(id % 3 === 1, gifGen(id))
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val m = call_function(graft.expr.VideoMeta.FunctionName, content)
+      t(s, dir, "documents").select(id.as("media_id"),
+        m.getField("format").as("format"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"),
+        m.getField("duration_ms").as("duration_ms"),
+        m.getField("timescale").as("timescale"))
+    }),
+
     // animated-GIF frame decode end-to-end — the first REAL
     // inter-frame codec under the oracle gate: q157's frame-content
     // formula planted as gray-palette indices, encoded by the
@@ -5049,6 +5098,30 @@ object SparkEntry {
               CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 1000 + 1 AS BIGINT)
                    WHEN doc_id % 3 = 1 THEN CAST(doc_id % 5000 + 1 AS BIGINT)
               END AS n_frames
+       FROM documents""",
+
+    // replays q165's duration/fps arithmetic: AVI duration =
+    // frames·µsPerFrame/1000 with fps = 10^6/µsPerFrame; GIF
+    // duration = frames·4cs·10 at timescale 100
+    "q165_video_meta_wide" ->
+      """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'avi'
+                   WHEN doc_id % 3 = 1 THEN 'gif' END AS format,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 320 + 16 AS INTEGER)
+                   WHEN doc_id % 3 = 1 THEN CAST(doc_id % 40 + 2 AS INTEGER)
+              END AS width,
+              CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 240 + 16 AS INTEGER)
+                   WHEN doc_id % 3 = 1 THEN CAST(doc_id % 30 + 2 AS INTEGER)
+              END AS height,
+              CASE WHEN doc_id % 3 = 0
+                     THEN CAST((doc_id % 500 + 1) * (doc_id % 50 + 10) AS BIGINT)
+                   WHEN doc_id % 3 = 1
+                     THEN CAST((doc_id % 5 + 1) * 40 AS BIGINT)
+              END AS duration_ms,
+              CASE WHEN doc_id % 3 = 0
+                     THEN CAST(1000000 // ((doc_id % 50 + 10) * 1000) AS INTEGER)
+                   WHEN doc_id % 3 = 1 THEN CAST(100 AS INTEGER)
+              END AS timescale
        FROM documents""",
 
     // replays q164's planted gray-index formula over the composited

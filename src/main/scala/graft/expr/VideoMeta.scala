@@ -10,16 +10,21 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native video-container decode — completes the [[ImageMeta]] /
   * [[AudioMeta]] triad: (format, width, height, duration_ms,
-  * timescale) from an MP4/MOV (ISO BMFF) `binary` column. Header-only
-  * box walk: top level to `moov`, then `mvhd` (timescale + duration)
-  * and each `trak`'s `tkhd` (16.16 fixed-point canvas dims; the first
-  * track with nonzero dims wins — audio tracks carry 0×0). Version-1
-  * (64-bit) mvhd/tkhd variants are handled; `mdat` payloads are never
-  * touched, so per-row cost is bounded by the moov size.
+  * timescale) from a `binary` column, all three video containers the
+  * frame tier extracts:
+  *  - MP4/MOV (ISO BMFF): box walk to `moov`, `mvhd` (timescale +
+  *    duration, v0/v1) and the first `trak`/`tkhd` with nonzero
+  *    16.16 canvas dims (audio tracks carry 0×0);
+  *  - AVI: `LIST hdrl` → `avih` (µs/frame, total frames, dims);
+  *    timescale reports the integer frame rate;
+  *  - animated GIF: logical-screen dims, frame count and summed
+  *    graphic-control delays by a block walk that skips LZW
+  *    sub-blocks without decoding (timescale 100 — centiseconds).
   *
-  * duration_ms = duration·1000 / timescale in integer (long)
-  * arithmetic — deterministic, oracle-mirrorable. Truncated/garbage/
-  * non-video bytes → NULL (the `meta IS NULL` triage contract).
+  * Payloads are never touched, so per-row cost is bounded by the
+  * header region. duration_ms is integer (long) arithmetic —
+  * deterministic, oracle-mirrorable. Truncated/garbage/non-video
+  * bytes → NULL (the `meta IS NULL` triage contract).
   */
 case class VideoMeta(child: Expression) extends UnaryExpression {
 
@@ -86,11 +91,113 @@ object VideoMeta {
     null
   }
 
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** AVI: LIST hdrl → avih (MainAVIHeader): µs/frame, total frames,
+    * dims. duration_ms = frames·µsPerFrame/1000; timescale reports
+    * the integer frame rate (10⁶/µsPerFrame) — the "units per second"
+    * reading of the schema field for a frame-addressed container.
+    */
+  private def parseAvi(b: Array[Byte]): InternalRow = {
+    var o = 12
+    while (o + 8 <= b.length) {
+      val id = tag(b, o)
+      val size = u32le(b, o + 4)
+      if (size < 0 || o + 8 + size > b.length) return null
+      if (id == "LIST" && size >= 4 && tag(b, o + 8) == "hdrl") {
+        var p = o + 12
+        val end = o + 8 + size.toInt
+        while (p + 8 <= end) {
+          val cid = tag(b, p)
+          val csz = u32le(b, p + 4)
+          if (csz < 0 || p + 8 + csz > b.length) return null
+          if (cid == "avih" && csz >= 40) {
+            val usPerFrame = u32le(b, p + 8)
+            val totalFrames = u32le(b, p + 8 + 16)
+            val w = u32le(b, p + 8 + 32)
+            val h = u32le(b, p + 8 + 36)
+            if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue ||
+                usPerFrame <= 0) return null
+            val fps = 1000000L / usPerFrame
+            if (fps <= 0 || fps > Int.MaxValue) return null
+            return InternalRow(UTF8String.fromString("avi"),
+              w.toInt, h.toInt, totalFrames * usPerFrame / 1000, fps.toInt)
+          }
+          p += 8 + csz.toInt + (csz & 1L).toInt
+        }
+        return null
+      }
+      o += 8 + size.toInt + (size & 1L).toInt
+    }
+    null
+  }
+
+  /** GIF: logical-screen dims; frames + duration by walking blocks
+    * (image descriptors counted, graphic-control delays summed —
+    * centiseconds, so duration_ms = Σdelay·10 and timescale = 100).
+    * LZW payloads are skipped sub-block by sub-block, never decoded.
+    * A frameless GIF → null; a static single frame → duration 0.
+    */
+  private def parseGif(b: Array[Byte]): InternalRow = {
+    val w = u16le(b, 6)
+    val h = u16le(b, 8)
+    if (w <= 0 || h <= 0) return null
+    var o = 13
+    if ((b(10) & 0x80) != 0) o += 3 * (2 << (b(10) & 0x7))
+    var frames = 0
+    var delayCs = 0L
+    def skipSubBlocks(p0: Int): Int = {
+      var p = p0
+      while (p < b.length) {
+        val len = b(p) & 0xFF
+        if (len == 0) return p + 1
+        p += 1 + len
+      }
+      -1
+    }
+    var done = false
+    while (!done && o < b.length) {
+      (b(o) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x21 =>
+          if (o + 2 > b.length) done = true
+          else {
+            if ((b(o + 1) & 0xFF) == 0xF9 && o + 4 <= b.length &&
+                (b(o + 2) & 0xFF) >= 4 && o + 5 <= b.length)
+              delayCs += u16le(b, o + 4)
+            val nxt = skipSubBlocks(o + 2)
+            if (nxt < 0) done = true else o = nxt
+          }
+        case 0x2C =>
+          if (o + 10 > b.length) done = true
+          else {
+            frames += 1
+            var p = o + 10
+            if ((b(o + 9) & 0x80) != 0) p += 3 * (2 << (b(o + 9) & 0x7))
+            p += 1 // LZW minimum code size
+            val nxt = if (p <= b.length) skipSubBlocks(p) else -1
+            if (nxt < 0) done = true else o = nxt
+          }
+        case _ => done = true
+      }
+    }
+    if (frames == 0) return null
+    InternalRow(UTF8String.fromString("gif"), w, h, delayCs * 10, 100)
+  }
+
   /** Header parse; null for anything undecodable. Public + static so
     * generated code can call it (the ImageMeta pattern).
     */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16) return null
+    if (tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ") return parseAvi(b)
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') return parseGif(b)
     // an ISO BMFF file leads with ftyp (mp4/mov brands); require it so
     // arbitrary binaries with a lucky moov string don't parse
     if (tag(b, 4) != "ftyp") return null

@@ -1371,6 +1371,35 @@ class ExprConfigSpec extends SparkSpec {
     val m = graft.expr.VideoMeta.parse(ftyp ++ moov)
     assert(m != null && m.getInt(1) == 640 && m.getInt(2) == 360 &&
       m.getLong(3) == 7000L && m.getInt(4) == 90000)
+    // AVI: avih MainAVIHeader — 40 ms/frame × 250 frames of 320×240
+    def le32v(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val avih = le32v(40000) ++ Array.fill[Byte](12)(0) ++ le32v(250) ++
+      Array.fill[Byte](12)(0) ++ le32v(320) ++ le32v(240) ++
+      Array.fill[Byte](16)(0)
+    val hdrl = ascii("hdrl") ++ ascii("avih") ++ le32v(avih.length) ++ avih
+    val avi = ascii("RIFF") ++ le32v(4 + 8 + hdrl.length) ++ ascii("AVI ") ++
+      ascii("LIST") ++ le32v(hdrl.length) ++ hdrl
+    val am = graft.expr.VideoMeta.parse(avi)
+    assert(am != null && am.getUTF8String(0).toString == "avi" &&
+      am.getInt(1) == 320 && am.getInt(2) == 240 &&
+      am.getLong(3) == 10000L && am.getInt(4) == 25, am)
+    // AVI with no hdrl/avih → null
+    assert(graft.expr.VideoMeta.parse(
+      ascii("RIFF") ++ le32v(4) ++ ascii("AVI ")) == null)
+
+    // GIF: 3 frames at 7 cs each → 210 ms, timescale 100
+    val gifMeta = graft.expr.VideoMeta.parse(
+      graft.expr.GifBuild.animated(12, 9,
+        Seq.fill(3)(Array.fill[Byte](12 * 9)(5)), delayCs = 7))
+    assert(gifMeta != null && gifMeta.getUTF8String(0).toString == "gif" &&
+      gifMeta.getInt(1) == 12 && gifMeta.getInt(2) == 9 &&
+      gifMeta.getLong(3) == 210L && gifMeta.getInt(4) == 100, gifMeta)
+    // frameless GIF (header only, immediate trailer) → null
+    assert(graft.expr.VideoMeta.parse(
+      "GIF89a".getBytes("ISO-8859-1") ++ Array[Byte](4, 0, 3, 0, 0, 0, 0) ++
+        Array[Byte](0x3B)) == null)
+
     // no visual track at all → null
     assert(graft.expr.VideoMeta.parse(
       ftyp ++ box("moov", mvhd1 ++ box("trak", tkhdAudio))) == null)
