@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernel for the wide language ID — the composed Column form
-  * (26 per-script + 15 marker regexp_replace counts + 53
+  * (26 per-script + 24 marker regexp_replace counts + 57
   * array_intersect stopword hits + wide CASE chains in one
   * projection) exceeds janino's method limits, so whole-stage codegen
   * SILENTLY fell back to interpreted evaluation with no subexpression
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * arithmetic the obvious way — ONE pass over the characters
   * classifying all 26 scripts AND all refinement markers at once
   * (the marker probe is a direct 64K-entry table, no boxing), ONE
-  * token-set build probed by all 530 stopwords — and returns in
+  * token-set build probed by all 570 stopwords — and returns in
   * milliseconds. Semantics are IDENTICAL to
   * [[graft.functions.TextAnalysis]]'s constants and rules (script
   * dominance `sMax·10 ≥ nonWs·3` on integer counts, within-script
@@ -190,7 +190,7 @@ object LangIdWide {
         UTF8String.fromString(lang),
         round4(sMax.toDouble / nonWs)))
     }
-    // stopword tier: one token-set build, 360 probes. DISTINCT
+    // stopword tier: one token-set build, 570 probes. DISTINCT
     // stopword hits (array_intersect semantics) — set membership per
     // listed word, each word counted once.
     val n = toks.numElements()

@@ -195,23 +195,55 @@ object TextAnalysis {
     "hi" -> Seq(
       "mr" -> "ळ"),
     "ar" -> Seq(
-      // the ar prior carries no markers: Persian/Urdu/Pashto all ADD
-      // letters to the base Arabic alphabet, so all-zero \u2192 ar
-      "fa" -> "\u067E\u0686\u0698\u06AF",        // \u067E \u0686 \u0698 \u06AF
+      // the ar prior carries no markers: every other Arabic-script
+      // language ADDS letters to the base alphabet, so all-zero \u2192 ar.
+      // Round-11b widens fa/ps/ur with ckb (Sorani Kurdish \u2014 the
+      // fastText LID label for Arabic-script Kurdish; Kurmanji is
+      // Latin-script), sd and ug. Disjointness notes: \u06C6 is shared
+      // ckb+ug \u2192 excluded from both; \u06D0 is shared ps+ug \u2192 kept OUT
+      // of ug (it was never a ps marker \u2014 ps's five retroflexes are
+      // already unambiguous); the Persian additions \u067E \u0686 \u0698 \u06AF are
+      // also written in Sorani/Sindhi/Uyghur/Urdu text \u2014 they stay
+      // assigned to fa as the documented MAJORITY assignment (the mn
+      // \u04E9/\u04AF precedent below: exclusion would leave fa, whose whole
+      // alphabet is Arabic + these four, with no markers at all),
+      // while ckb/sd/ug are identified by letters only they use, all
+      // high-frequency in running text (\u06CE/\u0695 in Sorani, \u06AA \u2014 the
+      // Sindhi kaf \u2014 in Sindhi, the \u06C7/\u06C8 vowels in Uyghur)
+      "ckb" -> "\u06B5\u0695\u06CE",             // \u06B5 \u0695 \u06CE (\u06C6 shared with ug, excluded)
+      "fa" -> "\u067E\u0686\u0698\u06AF",        // \u067E \u0686 \u0698 \u06AF (majority assignment, see above)
       "ps" -> "\u067C\u0689\u0693\u069A\u06BC",  // \u067C \u0689 \u0693 \u069A \u06BC
+      "sd" -> "\u0684\u0683\u068F\u06AA",        // \u0684 \u0683 \u068F \u06AA
+      "ug" -> "\u06C7\u06C8",                    // \u06C7 \u06C8 (\u06D0 shared with ps, \u06C6 with ckb \u2014 excluded)
       "ur" -> "\u0679\u0688\u0691\u06BA\u06D2"), // \u0679 \u0688 \u0691 \u06BA \u06D2
+    // Cyrillic: round-11b widens the 9-way split with ba/ce/cv/os/
+    // sah/tt. The Turkic additions \u04D9 \u0493 \u04A3 \u04BB previously marked kk
+    // are shared by tt/ba/sah \u2192 excluded per the disjointness rule
+    // (kk keeps \u049B/\u04B1, both kk-only in this set and among the most
+    // frequent Kazakh letters); \u04AB is shared ba+cv \u2192 excluded from
+    // both; \u04E9/\u04AF stay with mn as the documented MAJORITY assignment
+    // (Mongolian adds ONLY these two letters to the Russian base \u2014
+    // strict exclusion would make mn unrefinable \u2014 while tt/ba/sah
+    // text carries its own descender letters as well, so the argmax
+    // still separates them on running text)
     "ru" -> Seq(
+      "ba" -> "\u0499\u0498\u04A1\u04A0",         // \u0499 \u04A1 (\u04AB shared with cv, \u04D9/\u0493/\u04A3/\u04BB with kk/tt \u2014 excluded)
       "be" -> "\u045E\u040E",                     // \u045E \u040E
       "bg" -> "\u044A\u042A",                     // \u044A \u042A (rare hard sign in ru, vowel in bg)
-      "kk" -> "\u04D9\u04D8\u0493\u0492\u049B\u049A\u04A3\u04A2\u04B1\u04B0\u04BB\u04BA", // \u04D9 \u0493 \u049B \u04A3 \u04B1 \u04BB
+      "ce" -> "\u04C0\u04CF",                     // palochka \u04C0 \u04CF (Chechen; no other set language uses it)
+      "cv" -> "\u04D1\u04D0\u04D7\u04D6\u04F3\u04F2", // \u04D1 \u04D7 \u04F3 (\u04AB shared with ba, excluded)
+      "kk" -> "\u049B\u049A\u04B1\u04B0",         // \u049B \u04B1 (\u04D9 \u0493 \u04A3 \u04BB shared with tt/ba/sah, excluded)
       "mk" -> "\u0453\u0403\u045C\u040C\u0455\u0405", // \u0453 \u045C \u0455
-      "mn" -> "\u04E9\u04E8\u04AF\u04AE",         // \u04E9 \u04AF (kk's \u04E9/\u04AF excluded for disjointness)
+      "mn" -> "\u04E9\u04E8\u04AF\u04AE",         // \u04E9 \u04AF (majority assignment, see above)
+      "os" -> "\u04D5\u04D4",                     // \u04D5 (Ossetic ae ligature \u2014 unique in this set)
       "ru" -> "\u044B\u042B\u044D\u042D",         // \u044B \u044D
+      "sah" -> "\u0495\u0494\u04A5\u04A4",        // \u0495 \u04A5 (Sakha; \u04BB shared with ba/tt, excluded)
       "sr" -> "\u0452\u0402\u045B\u040B",         // \u0452 \u045B (\u045F shared with mk, excluded)
       "tg" -> "\u04B7\u04B6\u04B3\u04B2\u04E3\u04E2\u04EF\u04EE", // \u04B7 \u04B3 \u04E3 \u04EF
+      "tt" -> "\u0497\u0496",                     // \u0497 (\u04D9 \u04A3 \u04BB \u04E9 \u04AF shared with kk/ba/sah/mn, excluded)
       "uk" -> "\u0457\u0407\u0454\u0404\u0491\u0490")) // \u0457 \u0454 \u0491 (\u0456 shared with be, excluded)
 
-  /** Stopword evidence for the 36 Latin-script languages of
+  /** Stopword evidence for the 57 Latin-script languages of
     * [[langIdWide]]. ASCII-only function words by construction: the
     * shared tokenizer lowercases and splits on [^a-z0-9]+, so accented
     * forms fragment before matching — each list picks that language's
@@ -237,10 +269,21 @@ object TextAnalysis {
     * jeung/anu/teu (su shares no listed word with either); az/tr/uz
     * split on lakin-vs-ama-vs-lekin/uchun. ISO codes follow fastText
     * LID convention where no 2-letter code exists (ceb, war).
+    *
+    * The round-11b band adds 4 more (57 Latin languages), separated
+    * from their neighbours the same way: nn (Nynorsk) shares 8 of 10
+    * with no (Bokmål) — og/det/at/er/som/med/av/til are the SAME
+    * words in both standards — and splits on the real orthographic
+    * distinguishers ikkje/eit vs en/ikke (the da/no construction one
+    * step further); lb splits from de/nl/fy on ass/vun/fir/datt vs
+    * ist/van/het/fan; oc splits from ca/fr/es on lo/los/dins/mas/pas
+    * vs el/els/dans/le; br shares only an/ar with ga and splits on
+    * hag/eus/gant/evit/war.
     */
   val WideStopwordLists: Seq[(String, Seq[String])] = Seq(
     "af" -> Seq("die", "en", "van", "het", "nie", "is", "wat", "om", "vir", "ook"),
     "az" -> Seq("ki", "bir", "bu", "lakin", "olaraq", "zaman", "daha", "sonra", "ancaq", "edir"),
+    "br" -> Seq("hag", "an", "eus", "gant", "evit", "war", "ur", "met", "bet", "ar"),
     "ca" -> Seq("el", "la", "de", "que", "els", "per", "amb", "una", "als", "dels"),
     "ceb" -> Seq("ang", "sa", "nga", "ug", "mga", "kini", "dili", "usa", "kay", "iyang"),
     "cs" -> Seq("je", "se", "na", "to", "ale", "jako", "pro", "tak", "co", "nebo"),
@@ -267,13 +310,16 @@ object TextAnalysis {
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "le", "si", "una"),
     "jv" -> Seq("lan", "ing", "kang", "saka", "iku", "karo", "ora", "wis", "ana", "uga"),
     "la" -> Seq("et", "in", "est", "non", "cum", "ad", "ut", "sed", "quod", "qui"),
+    "lb" -> Seq("an", "de", "den", "ass", "vun", "fir", "net", "datt", "och", "mat"),
     "lt" -> Seq("ir", "yra", "kad", "tai", "bet", "kaip", "jau", "buvo", "apie", "nes"),
     "lv" -> Seq("un", "ir", "ka", "par", "bet", "no", "uz", "tas", "vai", "tika"),
     "mg" -> Seq("ny", "sy", "dia", "izay", "amin", "ary", "fa", "tsy", "ho", "tamin"),
     "ms" -> Seq("yang", "dan", "di", "dengan", "untuk", "ini", "adalah", "boleh", "kerana", "telah"),
     "mt" -> Seq("li", "ta", "il", "ma", "dan", "din", "kien", "biex", "jew", "ukoll"),
     "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "op", "voor", "met"),
+    "nn" -> Seq("og", "det", "at", "er", "som", "med", "av", "til", "ikkje", "eit"),
     "no" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "av", "ikke"),
+    "oc" -> Seq("de", "la", "que", "lo", "los", "per", "una", "dins", "mas", "pas"),
     "pl" -> Seq("nie", "to", "jest", "na", "do", "z", "co", "tak", "ale", "jak"),
     "pt" -> Seq("de", "que", "o", "da", "em", "um", "para", "com", "os", "uma"),
     "ro" -> Seq("de", "la", "cu", "un", "o", "este", "pentru", "care", "dar", "mai"),
@@ -305,7 +351,7 @@ object TextAnalysis {
     }.otherwise(lit(byLang.last._1))
   }
 
-  /** Wide language ID: 93 languages + "und", with a confidence column
+  /** Wide language ID: 106 languages + "und", with a confidence column
     * — the breadth a real multilingual-crawl router needs (the 4-way
     * [[langId]] stays as the minimal reference form). Three tiers,
     * all pure codegen'd expressions:
@@ -317,18 +363,18 @@ object TextAnalysis {
     *     with confidence = round(scriptChars / nonWsChars, 4).
     *  2. REFINEMENT tier: when the winning script is shared by
     *     several languages (Cyrillic, Arabic), distinctive-letter
-    *     counts over [[ScriptRefinements]] pick within it — 19
-    *     languages from 5 shared-script priors (Cyrillic 9, Arabic 4,
+    *     counts over [[ScriptRefinements]] pick within it — 28
+    *     languages from 5 shared-script priors (Cyrillic 15, Arabic 7,
     *     Bengali 2, Hebrew 2, Devanagari 2); all-zero markers keep
     *     the prior.
     *  3. STOPWORD tier (Latin residue): argmax of
-    *     [[WideStopwordLists]] hits (53 Latin-script languages),
+    *     [[WideStopwordLists]] hits (57 Latin-script languages),
     *     ties to the lowest language code, confidence =
     *     round(maxHits / tokenCount, 4); zero hits → ("und", 0.0).
     *
     * Returns struct(lang, confidence). Scale shape: one projection —
     * 26 bounded char-class scans (+ marker lookups in the same pass)
-    * + one tokenize + 53 array_intersects per row, no shuffle, no
+    * + one tokenize + 57 array_intersects per row, no shuffle, no
     * state; fuses into the scan at 100 TB.
     */
   def langIdWide(text: Column): Column =

@@ -826,6 +826,59 @@ class DedupSimilaritySpec extends SparkSpec {
       }
   }
 
+  test("langIdWide: 106-language set — round-11b Cyrillic/Arabic refinements and Latin band") {
+    val df = Seq(
+      // new Cyrillic refinements: each language's unique letters win;
+      // the reshuffled kk (қ/ұ only — ә/ғ/ң/һ now shared with
+      // tt/ba/sah and excluded) and the mn majority assignment still
+      // classify their controls
+      (1L, "башҡорттар ҙур ҡала"), // ҡ×2 ҙ×1 → ba
+      (2L, "нохчийн мотт хӀара Ӏаламат"), // palochka ×2 → ce
+      (3L, "чӑваш чӗлхи питӗ илемлӗ"), // ӑ ӗ×3 → cv
+      (4L, "ирон ӕвзаг ӕмӕ адӕм"), // ӕ×4 → os
+      (5L, "саха тыла аҕата таҥара"), // ҕ+ҥ beat тыла's ы → sah
+      (6L, "татар теле матур җыр һәм җир"), // җ×2 beat җыр's ы → tt
+      (7L, "қазақ тілі әдемі ұлттық"), // қ×2 ұ×1 with ә no longer counted → kk
+      (8L, "монгол хэл өдөр үг"), // ө+ү beat э → mn (majority assignment)
+      // new Arabic-script refinements: unique letters beat the fa
+      // majority letters they co-occur with
+      (9L, "هەڵبژاردنی شێوازی ڕاست"), // ڵ ێ ڕ beat the ژ → ckb
+      (10L, "سنڌي ٻولي ڄاڻ ۽ ڏاهپ ڪم"), // ڄ ڏ ڪ beat the پ → sd
+      (11L, "ئۇيغۇر تىلى بولۇپ ئۈچۈن"), // ۇ×3 ۈ×2 beat the پ → ug
+      (12L, "مرحبا كيف حالك اليوم"), // no added letters → prior ar
+      (13L, "یہ اردو زبان ہے ٹھیک بڑے"), // ٹ ڑ ے → ur (control)
+      // new Latin band with its close-pair controls
+      (14L, "hag an eus gant evit war ur met bet ar"), // br (ga shares only an/ar)
+      (15L, "an de den ass vun fir net datt och mat"), // lb
+      (16L, "de het een van en dat niet op voor met"), // nl (control)
+      (17L, "og det at er som med av til ikkje eit"), // nn: ikkje/eit split from no
+      (18L, "og det at en til er som med av ikke"), // no (control): en/ikke split from nn
+      (19L, "de la que lo los per una dins mas pas"), // oc: lo/dins/mas split from ca
+      (20L, "el la de que els per amb una als dels") // ca (control)
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdWide($"text")
+    val got = df.select($"doc_id", pred.getField("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = Map(
+      1L -> "ba", 2L -> "ce", 3L -> "cv", 4L -> "os", 5L -> "sah",
+      6L -> "tt", 7L -> "kk", 8L -> "mn",
+      9L -> "ckb", 10L -> "sd", 11L -> "ug", 12L -> "ar", 13L -> "ur",
+      14L -> "br", 15L -> "lb", 16L -> "nl", 17L -> "nn", 18L -> "no",
+      19L -> "oc", 20L -> "ca")
+    exp.foreach { case (id, l) =>
+      assert(got(id) == l, s"doc $id: got ${got(id)} want $l")
+    }
+    // native ≡ composed at the widened label space, bit for bit
+    val composed = TextAnalysis.langIdWideComposed($"text")
+    df.select($"doc_id", pred.getField("lang"), pred.getField("confidence"),
+        composed.getField("lang"), composed.getField("confidence"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(3) &&
+          r.getDouble(2) == r.getDouble(4),
+          s"native vs composed diverge on doc ${r.getLong(0)}: $r")
+      }
+  }
+
   test("text analysis: langId, token stats, fingerprint determinism") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
