@@ -2855,6 +2855,86 @@ object SparkEntry {
           col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // REAL compressed-audio decode (q154's codec tier): G.711 μ-law /
+    // A-law per-byte expansion and the IMA ADPCM block state machine
+    // all decode natively with exact-integer outputs, so the oracle
+    // replays the byte-construction formulas through the SAME public
+    // codec arithmetic — the A-law/μ-law segment expansion inline,
+    // the ADPCM predictor walk as a recursive CTE over the step table
+    "q166_audio_codec_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val id = col("doc_id")
+      val m = id % 3
+      // μ-law mono: rate (id%4+1)*8000, n = id%50+8, byte k =
+      // (id*17 + k*131) % 256
+      val rateU = (id % 4 + 1) * 8000
+      val nU = id % 50 + 8
+      val dataU = array_join(
+        transform(sequence(lit(0), (nU - 1).cast(IntegerType)), k =>
+          byteHex(pmod(id * 17 + k.cast(LongType) * 131, lit(256L)))), "")
+      val wavU = concat(ascii("RIFF"), le32(nU + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(7)), le16(lit(1)), le32(rateU),
+        le32(rateU), le16(lit(1)), le16(lit(8)),
+        ascii("data"), le32(nU), unhex(dataU))
+      // A-law stereo: rate 8000, frames n = id%40+6, byte k over 2n =
+      // (id*23 + k*89) % 256
+      val nA = id % 40 + 6
+      val dataA = array_join(
+        transform(sequence(lit(0), (nA * 2 - 1).cast(IntegerType)), k =>
+          byteHex(pmod(id * 23 + k.cast(LongType) * 89, lit(256L)))), "")
+      val wavA = concat(ascii("RIFF"), le32(nA * 2 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(6)), le16(lit(2)),
+        le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(8)),
+        ascii("data"), le32(nA * 2), unhex(dataA))
+      // IMA ADPCM mono: blockAlign 12 (8 data bytes = 16 nibbles,
+      // spb 17), blocks = id%2+1; block b: pred = s16((id*47 +
+      // b*1009) % 65536), index = (id + b*37) % 89, nibble j =
+      // (id*7 + b*11 + j*3) % 16, packed low-nibble-first
+      val nBlk = (id % 2 + 1).cast(IntegerType)
+      val blockHex = transform(sequence(lit(0), nBlk - 1), b => {
+        val bl = b.cast(LongType)
+        val p = pmod(id * 47 + bl * 1009, lit(65536L))
+        val predHex = concat(byteHex(pmod(p, lit(256L))),
+          byteHex(shiftright(p.cast(IntegerType), 8)))
+        val idxHex = concat(byteHex(pmod(id + bl * 37, lit(89L))), lit("00"))
+        val dataHex = array_join(
+          transform(sequence(lit(0), lit(7)), t => {
+            val tl = t.cast(LongType)
+            val lo = pmod(id * 7 + bl * 11 + tl * 2 * 3, lit(16L))
+            val hi = pmod(id * 7 + bl * 11 + (tl * 2 + 1) * 3, lit(16L))
+            byteHex(lo + hi * 16)
+          }), "")
+        concat(predHex, idxHex, dataHex)
+      })
+      val imaBytes = nBlk * 12
+      val wavI = concat(ascii("RIFF"), le32(imaBytes + 40), ascii("WAVE"),
+        ascii("fmt "), le32(lit(20)), le16(lit(17)), le16(lit(1)),
+        le32(lit(22050)), le32(lit(11025)), le16(lit(12)), le16(lit(4)),
+        le16(lit(2)), le16(lit(17)),
+        ascii("data"), le32(imaBytes), unhex(array_join(blockHex, "")))
+      val content = when(m === 0, wavU).when(m === 1, wavA).otherwise(wavI)
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStats(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"),
+          col("n_samples"), col("sum"), col("sumsq"), col("peak"),
+          col("n_clipped"), col("silent"), col("rms"), col("clip_rate"),
+          col("ch_sumsq"), col("ch_peak"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5586,6 +5666,8 @@ object SparkEntry {
        FROM d LEFT JOIN tot t ON d.id = t.id
               LEFT JOIN chj c ON d.id = c.id""",
 
+    "q166_audio_codec_stats" -> audioCodecOracle,
+
     "q105_winsorize" ->
       """WITH b AS (
            SELECT event_type,
@@ -6087,6 +6169,115 @@ object SparkEntry {
                  ELSE ROUND(CAST(hm AS DOUBLE) / greatest(ntk, 1), 4)
             END AS confidence
      FROM sx"""
+  }
+
+  /** DuckDB replay of q166's codec decode, generated from the SAME
+    * step/index tables as [[graft.expr.AudioStats]] so the two
+    * surfaces cannot drift: the G.711 segment expansions inline
+    * (μ-law complement form, A-law XOR-0x55 form), the IMA ADPCM
+    * predictor walk as a recursive CTE stepping one nibble per level
+    * over the shared 89-entry step table. Clip rules per codec match
+    * the expression: |v| at the G.711 full-scale code, the int16
+    * clamp rails for IMA.
+    */
+  private def audioCodecOracle: String = {
+    val st = graft.expr.AudioStats.ImaStep.mkString("[", ",", "]")
+    val it = graft.expr.AudioStats.ImaIndexAdvance.mkString("[", ",", "]")
+    s"""WITH RECURSIVE d AS (
+         SELECT doc_id AS id, doc_id % 3 AS m,
+                CAST((doc_id % 4 + 1) * 8000 AS INTEGER) AS rate_u,
+                doc_id % 50 + 8 AS n_u,
+                doc_id % 40 + 6 AS n_a,
+                doc_id % 2 + 1 AS nblk
+         FROM documents),
+       vu AS (
+         SELECT id, 0 AS chn,
+                CASE WHEN (uc & 128) != 0 THEN 132 - t ELSE t - 132 END AS v,
+                32124 AS fullscale
+         FROM (SELECT id, uc,
+                 ((((uc & 15) << 3) + 132) << ((uc >> 4) & 7)) AS t
+               FROM (SELECT id, xor((id*17 + k*131) % 256, 255) AS uc
+                     FROM d CROSS JOIN range(0, 60) r(k)
+                     WHERE m = 0 AND k < n_u) u0) u1),
+       va AS (
+         SELECT id, chn,
+                CASE WHEN (ax & 128) != 0 THEN t ELSE -t END AS v,
+                32256 AS fullscale
+         FROM (SELECT id, chn, ax,
+                 CASE WHEN ((ax >> 4) & 7) = 0 THEN ((ax & 15) << 4) + 8
+                      ELSE (((ax & 15) << 4) + 264) << (((ax >> 4) & 7) - 1)
+                 END AS t
+               FROM (SELECT id, k % 2 AS chn,
+                       xor((id*23 + k*89) % 256, 85) AS ax
+                     FROM d CROSS JOIN range(0, 92) r(k)
+                     WHERE m = 1 AND k < n_a * 2) a0) a1),
+       hdr AS (
+         SELECT id, blk,
+                CASE WHEN (id*47 + blk*1009) % 65536 >= 32768
+                     THEN (id*47 + blk*1009) % 65536 - 65536
+                     ELSE (id*47 + blk*1009) % 65536 END AS pred0,
+                (id + blk*37) % 89 AS idx0
+         FROM d CROSS JOIN range(0, 2) r(blk) WHERE m = 2 AND blk < nblk),
+       dec AS (
+         SELECT id, blk, 0 AS j, pred0 AS pred, idx0 AS idx FROM hdr
+         UNION ALL
+         SELECT id, blk, j + 1,
+           LEAST(32767, GREATEST(-32768,
+             CASE WHEN (nib & 8) != 0 THEN pred - diff ELSE pred + diff END)),
+           LEAST(88, GREATEST(0, idx + ($it)[nib + 1]))
+         FROM (
+           SELECT q1.*,
+             (s >> 3) + CASE WHEN (nib & 4) != 0 THEN s ELSE 0 END
+                      + CASE WHEN (nib & 2) != 0 THEN (s >> 1) ELSE 0 END
+                      + CASE WHEN (nib & 1) != 0 THEN (s >> 2) ELSE 0 END AS diff
+           FROM (
+             SELECT id, blk, j, pred, idx,
+               (id*7 + blk*11 + j*3) % 16 AS nib,
+               ($st)[idx + 1] AS s
+             FROM dec WHERE j < 16) q1) q2),
+       vi AS (SELECT id, 0 AS chn, pred AS v,
+                CASE WHEN pred >= 32767 OR pred <= -32768 THEN 1 ELSE 0 END
+                  AS clip
+              FROM dec),
+       sv AS (
+         SELECT id, chn, v,
+                CASE WHEN ABS(v) >= fullscale THEN 1 ELSE 0 END AS clip FROM vu
+         UNION ALL
+         SELECT id, chn, v,
+                CASE WHEN ABS(v) >= fullscale THEN 1 ELSE 0 END AS clip FROM va
+         UNION ALL
+         SELECT id, chn, v, clip FROM vi),
+       chs AS (SELECT id, chn, CAST(SUM(v*v) AS BIGINT) AS csq,
+                 CAST(MAX(ABS(v)) AS INTEGER) AS cpk
+               FROM sv GROUP BY id, chn),
+       chj AS (SELECT id,
+                 string_agg(CAST(csq AS VARCHAR), ',' ORDER BY chn)
+                   AS ch_sumsq,
+                 string_agg(CAST(cpk AS VARCHAR), ',' ORDER BY chn)
+                   AS ch_peak
+               FROM chs GROUP BY id),
+       tot AS (SELECT id, CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(SUM(v*v) AS BIGINT) AS ss,
+                 CAST(MAX(ABS(v)) AS INTEGER) AS pk,
+                 CAST(SUM(clip) AS BIGINT) AS clp, COUNT(*) AS ns
+               FROM sv GROUP BY id)
+     SELECT d.id AS media_id,
+            CASE WHEN m = 0 THEN 'wav_ulaw' WHEN m = 1 THEN 'wav_alaw'
+                 ELSE 'wav_ima_adpcm' END AS format,
+            CAST(CASE WHEN m = 1 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+            CASE WHEN m = 0 THEN rate_u WHEN m = 1 THEN CAST(8000 AS INTEGER)
+                 ELSE CAST(22050 AS INTEGER) END AS sample_rate,
+            CAST(CASE WHEN m = 2 THEN 4 ELSE 8 END AS INTEGER) AS bit_depth,
+            CAST(CASE WHEN m = 0 THEN n_u WHEN m = 1 THEN n_a
+                 ELSE nblk * 17 END AS BIGINT) AS n_frames,
+            CAST(CASE WHEN m = 0 THEN n_u WHEN m = 1 THEN n_a * 2
+                 ELSE nblk * 17 END AS BIGINT) AS n_samples,
+            t.s AS sum, t.ss AS sumsq, t.pk AS peak, t.clp AS n_clipped,
+            CAST(CASE WHEN t.pk = 0 THEN 1 ELSE 0 END AS INTEGER) AS silent,
+            ROUND(sqrt(CAST(t.ss AS DOUBLE) / greatest(t.ns, 1)), 6) AS rms,
+            ROUND(CAST(t.clp AS DOUBLE) / greatest(t.ns, 1), 6) AS clip_rate,
+            c.ch_sumsq, c.ch_peak
+     FROM d JOIN tot t ON d.id = t.id JOIN chj c ON d.id = c.id"""
   }
 
   private def langIdOracle: String = {

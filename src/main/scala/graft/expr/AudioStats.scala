@@ -29,6 +29,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * treat ragged tails. A `fmt ` whose block align disagrees with
   * channels·depth is malformed → NULL.
   *
+  * Three REAL compressed codecs also decode natively — all public
+  * integer algorithms, so the stats stay oracle-replayable:
+  *
+  *  - format 7, G.711 μ-law (`wav_ulaw`): per-byte segment/mantissa
+  *    expansion to ±32124 linear (ITU-T G.711; the classic
+  *    `ulaw2linear` arithmetic: complement, (mant·8+132)·2^seg−132,
+  *    sign from bit 7).
+  *  - format 6, G.711 A-law (`wav_alaw`): XOR 0x55, segment 0 →
+  *    mant·16+8, else (mant·16+264)·2^(seg−1), to ±32256; sign bit
+  *    SET means positive (the A-law inversion).
+  *  - format 0x11, IMA ADPCM (`wav_ima_adpcm`): block-structured
+  *    4-bit DPCM per the IMA reference algorithm — per-block
+  *    per-channel header (int16 predictor = the block's first output
+  *    sample, step index clamped to [0,88]), then 4-byte data words
+  *    round-robin across channels, low nibble first; per nibble
+  *    diff = step/8 (+step if bit2, +step/2 if bit1, +step/4 if
+  *    bit0), subtract when bit3, predictor clamped to int16, index
+  *    stepped by the {−1,−1,−1,−1,2,4,6,8} table. The `fmt `
+  *    extension's samplesPerBlock must equal the layout-derived
+  *    (blockAlign−4·ch)·2/ch+1 (malformed → NULL, the blockAlign
+  *    contract one level up); a ragged data tail floors to whole
+  *    BLOCKS.
+  *
+  * For the G.711 pair, `n_clipped` counts samples at the CODEC's
+  * full-scale code (|v| = 32124 / 32256) — the analogue of the PCM
+  * full-scale test; for IMA it counts samples at the int16 clamp
+  * rails. `bit_depth` stays the STORED width (8 / 8 / 4) — `format`
+  * distinguishes the codec; decoded values are 16-bit-range linear
+  * in every case. Formats that genuinely need an external codec
+  * (FLAC/MP3 payload, MS-ADPCM) still NULL here.
+  *
   * Output struct (all EXACT integers, so a relational oracle replays
   * them from construction arithmetic): format, channels, sample_rate,
   * bit_depth, n_frames (decoded), n_samples (frames·channels), sum,
@@ -110,6 +141,46 @@ object AudioStats {
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  /** IMA ADPCM step-size table (89 entries) and index-advance table,
+    * from the IMA Recommended Practices for Enhancing Digital Audio
+    * Compatibility — the public reference constants every IMA decoder
+    * shares.
+    */
+  private[graft] val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  private[graft] val ImaIndexAdvance: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** G.711 μ-law byte → 16-bit linear (ITU-T G.711, the classic
+    * `ulaw2linear` integer form). Full scale ±32124.
+    */
+  private def ulaw2lin(u0: Int): Int = {
+    val u = (~u0) & 0xFF
+    val t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → 16-bit linear (XOR 0x55 form). Full scale
+    * ±32256; sign bit SET means positive.
+    */
+  private def alaw2lin(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    val seg = (a >> 4) & 7
+    val m = (a & 0x0F) << 4
+    val t =
+      if (seg == 0) m + 8
+      else (m + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
   /** bytes → sample-stats InternalRow, or null. Static for codegen. */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 12) return null
@@ -118,7 +189,7 @@ object AudioStats {
     // OFFSET, not just its size — the sample pass needs the bytes
     var o = 12
     var fmtCode = 0; var ch = 0; var rate = 0L; var blockAlign = 0
-    var bits = 0; var haveFmt = false
+    var bits = 0; var haveFmt = false; var spbDeclared = -1
     var dataOff = -1; var dataSize = -1L
     while (o + 8 <= b.length && (!haveFmt || dataOff < 0)) {
       val id = tag(b, o)
@@ -129,6 +200,9 @@ object AudioStats {
         rate = u32le(b, o + 12)
         blockAlign = u16le(b, o + 20)
         bits = u16le(b, o + 22)
+        // ADPCM extension: cbSize at +16, samplesPerBlock at +18
+        if (size >= 20 && o + 8 + 20 <= b.length)
+          spbDeclared = u16le(b, o + 8 + 18)
         haveFmt = true
       } else if (id == "data") {
         dataOff = o + 8
@@ -139,47 +213,132 @@ object AudioStats {
       o += 8 + step.toInt
     }
     if (!haveFmt || dataOff < 0 || rate <= 0 || rate > Int.MaxValue) return null
-    if (fmtCode != 1) return null // only integer PCM decodes here
     if (ch <= 0 || ch > MaxChannels) return null
-    if (bits != 8 && bits != 16) return null
-    val bytesPer = bits / 8
-    if (blockAlign != ch * bytesPer) return null // malformed fmt
     // truncated data chunk (declared size past the buffer) → NULL;
     // a ragged tail WITHIN the declared size floors to whole frames
+    // (whole BLOCKS for ADPCM)
     if (dataOff.toLong + dataSize > b.length) return null
-    val frames = dataSize / blockAlign
-    val nSamples = frames * ch
+
+    // shared accumulators; every decoder feeds 16-bit-range values
     var sum = 0L; var sumsq = 0L; var peak = 0; var clipped = 0L
     val chSumsq = new Array[Long](ch)
     val chPeak = new Array[Int](ch)
-    var f = 0L
-    var p = dataOff
-    while (f < frames) {
-      var c = 0
-      while (c < ch) {
-        val v =
-          if (bits == 16) {
-            val raw = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
-            if (raw >= 32768) raw - 65536 else raw
-          } else (b(p) & 0xFF) - 128
-        sum += v
-        val sq = v.toLong * v
-        sumsq += sq
-        chSumsq(c) += sq
-        val a = if (v < 0) -v else v
-        if (a > peak) peak = a
-        if (a > chPeak(c)) chPeak(c) = a
-        if ((bits == 16 && (v >= 32767 || v <= -32768)) ||
-            (bits == 8 && (v >= 127 || v <= -128))) clipped += 1
-        p += bytesPer
-        c += 1
-      }
-      f += 1
+    // clipLo/clipHi: the codec's full-scale test, |v| >= clipHi or
+    // v <= clipLo (PCM16 uses the asymmetric two's-complement rails)
+    def acc(v: Int, c: Int, lo: Int, hi: Int): Unit = {
+      sum += v
+      val sq = v.toLong * v
+      sumsq += sq
+      chSumsq(c) += sq
+      val a = if (v < 0) -v else v
+      if (a > peak) peak = a
+      if (a > chPeak(c)) chPeak(c) = a
+      if (v >= hi || v <= lo) clipped += 1
     }
-    InternalRow(UTF8String.fromString("wav"), ch, rate.toInt, bits,
-      frames, nSamples, sum, sumsq, peak, clipped,
-      if (peak == 0) 1 else 0,
-      new GenericArrayData(chSumsq), new GenericArrayData(chPeak))
+    def finish(fmt: String, frames: Long): InternalRow =
+      InternalRow(UTF8String.fromString(fmt), ch, rate.toInt, bits,
+        frames, frames * ch, sum, sumsq, peak, clipped,
+        if (peak == 0) 1 else 0,
+        new GenericArrayData(chSumsq), new GenericArrayData(chPeak))
+
+    if (fmtCode == 1) {
+      if (bits != 8 && bits != 16) return null
+      val bytesPer = bits / 8
+      if (blockAlign != ch * bytesPer) return null // malformed fmt
+      val frames = dataSize / blockAlign
+      val (lo, hi) = if (bits == 16) (-32768, 32767) else (-128, 127)
+      var f = 0L
+      var p = dataOff
+      while (f < frames) {
+        var c = 0
+        while (c < ch) {
+          val v =
+            if (bits == 16) {
+              val raw = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+              if (raw >= 32768) raw - 65536 else raw
+            } else (b(p) & 0xFF) - 128
+          acc(v, c, lo, hi)
+          p += bytesPer
+          c += 1
+        }
+        f += 1
+      }
+      finish("wav", frames)
+    } else if (fmtCode == 6 || fmtCode == 7) {
+      // G.711: one byte per sample, stored depth 8
+      if (bits != 8 || blockAlign != ch) return null
+      val frames = dataSize / blockAlign
+      val ulaw = fmtCode == 7
+      val full = if (ulaw) 32124 else 32256 // the codec's max code
+      var f = 0L
+      var p = dataOff
+      while (f < frames) {
+        var c = 0
+        while (c < ch) {
+          val v = if (ulaw) ulaw2lin(b(p) & 0xFF) else alaw2lin(b(p) & 0xFF)
+          acc(v, c, -full, full)
+          p += 1
+          c += 1
+        }
+        f += 1
+      }
+      finish(if (ulaw) "wav_ulaw" else "wav_alaw", frames)
+    } else if (fmtCode == 0x11) {
+      // IMA ADPCM: per-channel 4-byte block headers, then 4-byte data
+      // words round-robin across channels, low nibble first
+      if (bits != 4) return null
+      val dataBytes = blockAlign - 4 * ch
+      if (dataBytes <= 0 || dataBytes % (4 * ch) != 0) return null
+      val spb = dataBytes / ch * 2 + 1
+      if (spbDeclared >= 0 && spbDeclared != spb) return null // malformed fmt
+      val blocks = dataSize / blockAlign // ragged tail → whole blocks
+      val pred = new Array[Int](ch)
+      val idx = new Array[Int](ch)
+      var blk = 0L
+      while (blk < blocks) {
+        val base = (dataOff + blk * blockAlign).toInt
+        var c = 0
+        while (c < ch) {
+          val raw = (b(base + 4 * c) & 0xFF) | ((b(base + 4 * c + 1) & 0xFF) << 8)
+          pred(c) = if (raw >= 32768) raw - 65536 else raw
+          val i0 = b(base + 4 * c + 2) & 0xFF
+          idx(c) = if (i0 > 88) 88 else i0 // clamp per spec
+          // the header predictor IS the block's first output sample
+          acc(pred(c), c, -32768, 32767)
+          c += 1
+        }
+        val words = dataBytes / (4 * ch) // per channel
+        var g = 0
+        while (g < words) {
+          c = 0
+          while (c < ch) {
+            val w = base + 4 * ch + (g * ch + c) * 4
+            var j = 0
+            while (j < 8) {
+              val byte = b(w + (j >> 1)) & 0xFF
+              val nib = if ((j & 1) == 0) byte & 0x0F else byte >> 4
+              val step = ImaStep(idx(c))
+              var diff = step >> 3
+              if ((nib & 4) != 0) diff += step
+              if ((nib & 2) != 0) diff += step >> 1
+              if ((nib & 1) != 0) diff += step >> 2
+              var v = if ((nib & 8) != 0) pred(c) - diff else pred(c) + diff
+              if (v > 32767) v = 32767 else if (v < -32768) v = -32768
+              pred(c) = v
+              var ni = idx(c) + ImaIndexAdvance(nib)
+              if (ni < 0) ni = 0 else if (ni > 88) ni = 88
+              idx(c) = ni
+              acc(v, c, -32768, 32767)
+              j += 1
+            }
+            c += 1
+          }
+          g += 1
+        }
+        blk += 1
+      }
+      finish("wav_ima_adpcm", blocks * spb)
+    } else null // MS-ADPCM, float PCM, … need an external decoder
   }
 
   def register(spark: SparkSession): Unit =

@@ -735,6 +735,136 @@ class ExprConfigSpec extends SparkSpec {
     assert(out(2L).isNullAt(out(2L).fieldIndex("format")))
   }
 
+  test("graft_audio_stats decodes G.711 and IMA ADPCM exactly, triages damage") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def wavG711(fmtCode: Int, ch: Int, data: Array[Byte],
+        bits: Int = 8): Array[Byte] =
+      ascii("RIFF") ++ le32(36 + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(fmtCode) ++ le16(ch) ++
+        le32(8000) ++ le32(8000 * ch) ++ le16(ch) ++ le16(bits) ++
+        ascii("data") ++ le32(data.length) ++ data
+    // IMA fmt carries the cbSize=2 extension with samplesPerBlock
+    def wavIma(ch: Int, blockAlign: Int, spb: Int, data: Array[Byte],
+        bits: Int = 4): Array[Byte] =
+      ascii("RIFF") ++ le32(40 + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(20) ++ le16(0x11) ++ le16(ch) ++
+        le32(22050) ++ le32(11000) ++ le16(blockAlign) ++ le16(bits) ++
+        le16(2) ++ le16(spb) ++
+        ascii("data") ++ le32(data.length) ++ data
+    def parsed(b: Array[Byte]) = Option(graft.expr.AudioStats.parse(b))
+
+    // ---- G.711 against the JDK's OWN ulaw/alaw codecs — a fully
+    // independent implementation of the same ITU tables
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    def jdkDecode(enc: AudioFormat.Encoding, bytes: Array[Byte]): Seq[Int] = {
+      val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), src, bytes.length.toLong)
+      val out = AudioSystem.getAudioInputStream(dst, ais).readAllBytes()
+      out.grouped(2).map(a =>
+        (((a(0) & 0xFF) | ((a(1) & 0xFF) << 8)).toShort).toInt).toSeq
+    }
+    val allCodes = (0 until 256).map(_.toByte).toArray
+    for ((fmtCode, enc, name, full) <- Seq(
+        (7, AudioFormat.Encoding.ULAW, "wav_ulaw", 32124),
+        (6, AudioFormat.Encoding.ALAW, "wav_alaw", 32256))) {
+      val ref = jdkDecode(enc, allCodes)
+      val r = parsed(wavG711(fmtCode, 1, allCodes)).get
+      assert(r.getUTF8String(0).toString == name && r.getInt(3) == 8)
+      assert(r.getLong(4) == 256L && r.getLong(5) == 256L)
+      assert(r.getLong(6) == ref.map(_.toLong).sum,
+        s"$name sum vs JDK codec")
+      assert(r.getLong(7) == ref.map(v => v.toLong * v).sum,
+        s"$name sumsq vs JDK codec")
+      assert(r.getInt(8) == ref.map(math.abs).max && r.getInt(8) == full)
+      // exactly two full-scale codes exist (+max and −max)
+      assert(r.getLong(9) == 2L, s"$name full-scale count")
+    }
+    // known anchor codes from the public G.711 tables
+    val anchors = parsed(wavG711(7, 1, Array(0x00, 0x80, 0xFF, 0x7F)
+      .map(_.toByte))).get
+    assert(anchors.getLong(6) == (-32124L + 32124 + 0 + 0) &&
+      anchors.getInt(8) == 32124)
+    // stereo de-interleave: per-channel peaks split by position
+    val st = parsed(wavG711(7, 2, Array(0x00, 0xFF, 0xFF, 0x80)
+      .map(_.toByte))).get
+    assert(st.getArray(12).toIntArray.toSeq == Seq(32124, 32124))
+    assert(st.getArray(11).toLongArray.toSeq ==
+      Seq(32124L * 32124, 32124L * 32124))
+
+    // ---- IMA ADPCM mono: hand-stepped reference block
+    // pred=100 idx=0, nibbles 0,1,8,0,0,0,F,F →
+    // samples [100,100,101,101,101,101,101,90,60] (worked in-line:
+    // step 7 throughout until idx jumps to 8 at the first F)
+    val imaData = le16(100) ++ Array[Byte](0, 0) ++
+      Array(0x10, 0x08, 0x00, 0xFF).map(_.toByte)
+    val ri = parsed(wavIma(1, 8, 9, imaData)).get
+    val expect = Seq(100, 100, 101, 101, 101, 101, 101, 90, 60)
+    assert(ri.getUTF8String(0).toString == "wav_ima_adpcm" &&
+      ri.getInt(1) == 1 && ri.getInt(2) == 22050 && ri.getInt(3) == 4)
+    assert(ri.getLong(4) == 9L && ri.getLong(5) == 9L)
+    assert(ri.getLong(6) == expect.map(_.toLong).sum)
+    assert(ri.getLong(7) == expect.map(v => v.toLong * v).sum)
+    assert(ri.getInt(8) == 101 && ri.getLong(9) == 0L)
+
+    // stereo: data words alternate ch0, ch1 — ch0 pred=1000 idx=0
+    // all-zero nibbles holds at 1000; ch1 pred=-500 idx=3 decays
+    // [-500,-499,-498,-497,-497,-497,-497,-497,-497]
+    val ch1Expect = Seq(-500, -499, -498, -497, -497, -497, -497, -497, -497)
+    val imaSt = le16(1000) ++ Array[Byte](0, 0) ++
+      le16(-500 & 0xFFFF) ++ Array[Byte](3, 0) ++
+      Array.fill[Byte](4)(0) ++ Array.fill[Byte](4)(0)
+    val rs = parsed(wavIma(2, 16, 9, imaSt)).get
+    assert(rs.getLong(4) == 9L && rs.getLong(5) == 18L)
+    assert(rs.getArray(11).toLongArray.toSeq == Seq(
+      9L * 1000 * 1000, ch1Expect.map(v => v.toLong * v).sum))
+    assert(rs.getArray(12).toIntArray.toSeq == Seq(1000, 500))
+
+    // clamp rail: pred=32760 idx=88 (step 32767), eight 0x7 nibbles
+    // pin the predictor at +32767 — all eight count as clipped
+    val imaClip = le16(32760) ++ Array[Byte](88, 0) ++
+      Array.fill[Byte](4)(0x77)
+    val rc = parsed(wavIma(1, 8, 9, imaClip)).get
+    assert(rc.getInt(8) == 32767 && rc.getLong(9) == 8L)
+
+    // two blocks + ragged tail: tail floors to whole BLOCKS
+    val r2 = parsed(wavIma(1, 8, 9, imaData ++ imaData ++
+      Array[Byte](1, 2, 3))).get
+    assert(r2.getLong(4) == 18L && r2.getLong(6) == 2 * expect.map(_.toLong).sum)
+
+    // header index > 88 clamps (spec), not errors
+    val imaHiIdx = le16(0) ++ Array[Byte](200.toByte, 0) ++
+      Array.fill[Byte](4)(0)
+    assert(parsed(wavIma(1, 8, 9, imaHiIdx)).nonEmpty)
+
+    // adversarial: NULL, never an error
+    assert(parsed(wavIma(1, 8, 7, imaData)).isEmpty,
+      "samplesPerBlock disagreeing with the block layout")
+    assert(parsed(wavIma(1, 10, 13, imaData ++ Array[Byte](0, 0))).isEmpty,
+      "data area not whole 4-byte words")
+    assert(parsed(wavIma(1, 8, 9, imaData, bits = 8)).isEmpty,
+      "IMA with non-4-bit depth")
+    assert(parsed(wavG711(7, 1, allCodes, bits = 16)).isEmpty,
+      "G.711 with non-8-bit depth")
+    assert(parsed(wavG711(2, 1, allCodes)).isEmpty,
+      "MS-ADPCM needs an external codec")
+
+    // plumbing: the codec formats flow through Multimodal.audioStats
+    val media = Seq(
+      (1L, "audio", wavG711(7, 1, allCodes)),
+      (2L, "audio", wavIma(1, 8, 9, imaData))).toDF("media_id", "kind", "content")
+    val out = graft.operators.Multimodal.audioStats(media)
+      .collect().map(x => x.getAs[Long]("media_id") -> x).toMap
+    assert(out(1L).getAs[String]("format") == "wav_ulaw")
+    assert(out(2L).getAs[String]("format") == "wav_ima_adpcm")
+    assert(out(2L).getAs[Long]("n_samples") == 9L)
+  }
+
   test("graft_audio_env_sig: envelope dHash, gain invariance, silence NULL") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
