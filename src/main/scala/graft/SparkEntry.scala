@@ -2855,12 +2855,14 @@ object SparkEntry {
           col("ch_sumsq"), col("ch_peak"))
     }),
 
-    // REAL compressed-audio decode (q154's codec tier): G.711 μ-law /
-    // A-law per-byte expansion and the IMA ADPCM block state machine
-    // all decode natively with exact-integer outputs, so the oracle
-    // replays the byte-construction formulas through the SAME public
-    // codec arithmetic — the A-law/μ-law segment expansion inline,
-    // the ADPCM predictor walk as a recursive CTE over the step table
+    // REAL compressed-audio decode (q154's codec/width tier): G.711
+    // μ-law / A-law per-byte expansion, the IMA ADPCM block state
+    // machine and the 24/32-bit PCM top-two-byte reads all decode
+    // natively with exact-integer outputs, so the oracle replays the
+    // byte-construction formulas through the SAME public codec
+    // arithmetic — the A-law/μ-law segment expansion inline, the
+    // ADPCM predictor walk as a recursive CTE over the step table,
+    // the wide-PCM arms as plain signed 16-bit reads of the top half
     "q166_audio_codec_stats" -> ((s, dir) => {
       Graft.tune(s)
       import graft.operators.Multimodal
@@ -2876,7 +2878,7 @@ object SparkEntry {
       }
       def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
       val id = col("doc_id")
-      val m = id % 3
+      val m = id % 5
       // μ-law mono: rate (id%4+1)*8000, n = id%50+8, byte k =
       // (id*17 + k*131) % 256
       val rateU = (id % 4 + 1) * 8000
@@ -2924,7 +2926,41 @@ object SparkEntry {
         le32(lit(22050)), le32(lit(11025)), le16(lit(12)), le16(lit(4)),
         le16(lit(2)), le16(lit(17)),
         ascii("data"), le32(imaBytes), unhex(array_join(blockHex, "")))
-      val content = when(m === 0, wavU).when(m === 1, wavA).otherwise(wavI)
+      // 24-bit PCM mono: the stats read each sample's TOP TWO bytes,
+      // so the oracle replays only t_k = (id*29 + k*4099) % 65536
+      // (signed) — the low byte (id*5 + k*13) % 256 must not matter
+      val n24 = id % 30 + 4
+      val data24 = array_join(
+        transform(sequence(lit(0), (n24 - 1).cast(IntegerType)), k => {
+          val kl = k.cast(LongType)
+          val t = pmod(id * 29 + kl * 4099, lit(65536L))
+          concat(byteHex(pmod(id * 5 + kl * 13, lit(256L))),
+            byteHex(pmod(t, lit(256L))),
+            byteHex(shiftright(t.cast(IntegerType), 8)))
+        }), "")
+      val wav24 = concat(ascii("RIFF"), le32(n24 * 3 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(16000)), le32(lit(48000)), le16(lit(3)), le16(lit(24)),
+        ascii("data"), le32(n24 * 3), unhex(data24))
+      // 32-bit PCM stereo: sample s over 2n, low half (id*3 + s*17)
+      // % 65536 ignored, top half t_s = (id*41 + s*257) % 65536 signed
+      val n32 = id % 20 + 3
+      val data32 = array_join(
+        transform(sequence(lit(0), (n32 * 2 - 1).cast(IntegerType)), sIdx => {
+          val sl = sIdx.cast(LongType)
+          val lo = pmod(id * 3 + sl * 17, lit(65536L))
+          val t = pmod(id * 41 + sl * 257, lit(65536L))
+          concat(byteHex(pmod(lo, lit(256L))),
+            byteHex(shiftright(lo.cast(IntegerType), 8)),
+            byteHex(pmod(t, lit(256L))),
+            byteHex(shiftright(t.cast(IntegerType), 8)))
+        }), "")
+      val wav32 = concat(ascii("RIFF"), le32(n32 * 8 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(2)),
+        le32(lit(44100)), le32(lit(352800)), le16(lit(8)), le16(lit(32)),
+        ascii("data"), le32(n32 * 8), unhex(data32))
+      val content = when(m === 0, wavU).when(m === 1, wavA)
+        .when(m === 2, wavI).when(m === 3, wav24).otherwise(wav32)
       val media = tp(s, dir, "documents").select(id.as("media_id"),
         lit("audio").as("kind"), content.as("content"))
       Multimodal.audioStats(media)
@@ -6184,11 +6220,13 @@ object SparkEntry {
     val st = graft.expr.AudioStats.ImaStep.mkString("[", ",", "]")
     val it = graft.expr.AudioStats.ImaIndexAdvance.mkString("[", ",", "]")
     s"""WITH RECURSIVE d AS (
-         SELECT doc_id AS id, doc_id % 3 AS m,
+         SELECT doc_id AS id, doc_id % 5 AS m,
                 CAST((doc_id % 4 + 1) * 8000 AS INTEGER) AS rate_u,
                 doc_id % 50 + 8 AS n_u,
                 doc_id % 40 + 6 AS n_a,
-                doc_id % 2 + 1 AS nblk
+                doc_id % 2 + 1 AS nblk,
+                doc_id % 30 + 4 AS n_24,
+                doc_id % 20 + 3 AS n_32
          FROM documents),
        vu AS (
          SELECT id, 0 AS chn,
@@ -6239,6 +6277,16 @@ object SparkEntry {
                 CASE WHEN pred >= 32767 OR pred <= -32768 THEN 1 ELSE 0 END
                   AS clip
               FROM dec),
+       v24 AS (SELECT id, 0 AS chn,
+                 CASE WHEN t >= 32768 THEN t - 65536 ELSE t END AS v
+               FROM (SELECT id, (id*29 + k*4099) % 65536 AS t
+                     FROM d CROSS JOIN range(0, 34) r(k)
+                     WHERE m = 3 AND k < n_24) p24),
+       v32 AS (SELECT id, k % 2 AS chn,
+                 CASE WHEN t >= 32768 THEN t - 65536 ELSE t END AS v
+               FROM (SELECT id, k, (id*41 + k*257) % 65536 AS t
+                     FROM d CROSS JOIN range(0, 46) r(k)
+                     WHERE m = 4 AND k < n_32 * 2) p32),
        sv AS (
          SELECT id, chn, v,
                 CASE WHEN ABS(v) >= fullscale THEN 1 ELSE 0 END AS clip FROM vu
@@ -6246,7 +6294,13 @@ object SparkEntry {
          SELECT id, chn, v,
                 CASE WHEN ABS(v) >= fullscale THEN 1 ELSE 0 END AS clip FROM va
          UNION ALL
-         SELECT id, chn, v, clip FROM vi),
+         SELECT id, chn, v, clip FROM vi
+         UNION ALL
+         SELECT id, chn, v,
+                CASE WHEN v >= 32767 OR v <= -32768 THEN 1 ELSE 0 END FROM v24
+         UNION ALL
+         SELECT id, chn, v,
+                CASE WHEN v >= 32767 OR v <= -32768 THEN 1 ELSE 0 END FROM v32),
        chs AS (SELECT id, chn, CAST(SUM(v*v) AS BIGINT) AS csq,
                  CAST(MAX(ABS(v)) AS INTEGER) AS cpk
                FROM sv GROUP BY id, chn),
@@ -6263,15 +6317,21 @@ object SparkEntry {
                FROM sv GROUP BY id)
      SELECT d.id AS media_id,
             CASE WHEN m = 0 THEN 'wav_ulaw' WHEN m = 1 THEN 'wav_alaw'
-                 ELSE 'wav_ima_adpcm' END AS format,
-            CAST(CASE WHEN m = 1 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+                 WHEN m = 2 THEN 'wav_ima_adpcm' ELSE 'wav' END AS format,
+            CAST(CASE WHEN m = 1 OR m = 4 THEN 2 ELSE 1 END AS INTEGER)
+              AS channels,
             CASE WHEN m = 0 THEN rate_u WHEN m = 1 THEN CAST(8000 AS INTEGER)
-                 ELSE CAST(22050 AS INTEGER) END AS sample_rate,
-            CAST(CASE WHEN m = 2 THEN 4 ELSE 8 END AS INTEGER) AS bit_depth,
+                 WHEN m = 2 THEN CAST(22050 AS INTEGER)
+                 WHEN m = 3 THEN CAST(16000 AS INTEGER)
+                 ELSE CAST(44100 AS INTEGER) END AS sample_rate,
+            CAST(CASE WHEN m = 2 THEN 4 WHEN m = 3 THEN 24
+                 WHEN m = 4 THEN 32 ELSE 8 END AS INTEGER) AS bit_depth,
             CAST(CASE WHEN m = 0 THEN n_u WHEN m = 1 THEN n_a
-                 ELSE nblk * 17 END AS BIGINT) AS n_frames,
+                 WHEN m = 2 THEN nblk * 17 WHEN m = 3 THEN n_24
+                 ELSE n_32 END AS BIGINT) AS n_frames,
             CAST(CASE WHEN m = 0 THEN n_u WHEN m = 1 THEN n_a * 2
-                 ELSE nblk * 17 END AS BIGINT) AS n_samples,
+                 WHEN m = 2 THEN nblk * 17 WHEN m = 3 THEN n_24
+                 ELSE n_32 * 2 END AS BIGINT) AS n_samples,
             t.s AS sum, t.ss AS sumsq, t.pk AS peak, t.clp AS n_clipped,
             CAST(CASE WHEN t.pk = 0 THEN 1 ELSE 0 END AS INTEGER) AS silent,
             ROUND(sqrt(CAST(t.ss AS DOUBLE) / greatest(t.ns, 1)), 6) AS rms,

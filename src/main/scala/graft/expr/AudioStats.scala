@@ -20,8 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * yield NULL here.
   *
   * Supported: RIFF/WAVE, `fmt ` audio format 1 (integer PCM), bit
-  * depth 16 (signed little-endian) or 8 (unsigned, recentered by
-  * −128 per the WAV convention so silence is 0 in both depths). The
+  * depth 16/24/32 (signed little-endian; 24/32-bit read their top
+  * two bytes — the arithmetic >>8/>>16 — so stats run at 16-bit
+  * precision without overflowing the exact-integer sumsq) or 8
+  * (unsigned, recentered by −128 per the WAV convention so silence
+  * is 0 in every depth). The
   * data chunk must be fully present — a declared size running past
   * the buffer is a truncated file → NULL (the PNG truncated-IDAT
   * trade); a trailing partial frame (data size not a multiple of
@@ -242,21 +245,30 @@ object AudioStats {
         new GenericArrayData(chSumsq), new GenericArrayData(chPeak))
 
     if (fmtCode == 1) {
-      if (bits != 8 && bits != 16) return null
+      // 24/32-bit samples read their TOP TWO BYTES — exactly the
+      // arithmetic >>8/>>16 of the stored value, so the stats run at
+      // 16-bit precision (exact-integer, oracle-replayable as the
+      // same two's-complement read; full precision would overflow
+      // the sumsq long on crafted full-scale input). bit_depth
+      // reports the STORED width; clipping tests the truncated
+      // value against the int16 rails.
+      if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return null
       val bytesPer = bits / 8
       if (blockAlign != ch * bytesPer) return null // malformed fmt
       val frames = dataSize / blockAlign
-      val (lo, hi) = if (bits == 16) (-32768, 32767) else (-128, 127)
+      val (lo, hi) = if (bits == 8) (-128, 127) else (-32768, 32767)
       var f = 0L
       var p = dataOff
       while (f < frames) {
         var c = 0
         while (c < ch) {
           val v =
-            if (bits == 16) {
-              val raw = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+            if (bits == 8) (b(p) & 0xFF) - 128
+            else {
+              val t = p + bytesPer - 2 // top two bytes of the LE sample
+              val raw = (b(t) & 0xFF) | ((b(t + 1) & 0xFF) << 8)
               if (raw >= 32768) raw - 65536 else raw
-            } else (b(p) & 0xFF) - 128
+            }
           acc(v, c, lo, hi)
           p += bytesPer
           c += 1

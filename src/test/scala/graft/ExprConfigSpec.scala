@@ -709,8 +709,23 @@ class ExprConfigSpec extends SparkSpec {
       declaredSize = Some(data16.length + 10))).isEmpty, "truncated data")
     assert(parsed(wav(2, 8000, 16, data16, fmtCode = 3)).isEmpty,
       "non-PCM (float) format")
-    assert(parsed(wav(1, 8000, 24, Array.fill[Byte](12)(1))).isEmpty,
-      "24-bit unsupported")
+    // 24/32-bit: the top two bytes ARE the arithmetic >>8/>>16 — the
+    // low bytes must not shift the stats. Sample −2^23+0xAB00+0xCD
+    // truncates to −32768 + 0xAB = −32597
+    val s24 = Array[Byte](0xCD.toByte, 0xAB.toByte, 0x80.toByte, // −32597
+      0x01, 0x00, 0x40)                                          // 16384
+    val r24 = parsed(wav(1, 8000, 24, s24)).get
+    assert(r24.getInt(3) == 24 && r24.getLong(4) == 2L)
+    assert(r24.getLong(6) == -32597L + 16384L)
+    assert(r24.getLong(7) == 32597L * 32597 + 16384L * 16384)
+    assert(r24.getInt(8) == 32597 && r24.getLong(9) == 0L)
+    val s32 = Array[Byte](1, 2, 0xFF.toByte, 0x7F.toByte,  // top = 32767: clips
+      0, 0, 0x34, 0x12)                                    // top = 0x1234
+    val r32 = parsed(wav(1, 8000, 32, s32)).get
+    assert(r32.getInt(3) == 32 && r32.getLong(4) == 2L)
+    assert(r32.getLong(6) == 32767L + 0x1234 && r32.getLong(9) == 1L)
+    assert(parsed(wav(1, 8000, 20, Array.fill[Byte](10)(1))).isEmpty,
+      "20-bit unsupported")
     assert(parsed(wav(2, 8000, 16, data16, baOverride = Some(3))).isEmpty,
       "blockAlign inconsistent with channels*depth")
     assert(parsed(ascii("fLaC") ++ Array.fill[Byte](50)(0)).isEmpty,
