@@ -2971,6 +2971,88 @@ object SparkEntry {
           col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // MS-ADPCM (WAV format 2), q166's two-tap sibling: per-channel
+    // headers carry a coefficient-pair index + delta + the first two
+    // samples; nibbles run HIGH-first alternating channels. The
+    // fixture writes the STANDARD seven coefficient pairs into the
+    // fmt extension (the decode reads whatever table the file
+    // carries); the oracle replays the predictor recurrence as a
+    // recursive CTE over those same constants — per-channel state is
+    // independent, so the recursion keys on (doc, channel)
+    "q167_msadpcm_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      def le16Hex(c: Column): Column =
+        concat(byteHex(pmod(c, lit(256L))),
+          byteHex(shiftright(pmod(c, lit(65536L)).cast(IntegerType), 8)))
+      val id = col("doc_id")
+      val m = id % 2
+      // standard coefficient table as literal fmt-extension bytes
+      val coefBytes = graft.expr.AudioStats.MsStdCoef1
+        .zip(graft.expr.AudioStats.MsStdCoef2)
+        .flatMap { case (a, b) => Array(
+          (a & 0xFF).toByte, ((a >> 8) & 0xFF).toByte,
+          (b & 0xFF).toByte, ((b >> 8) & 0xFF).toByte) }
+      def fmtExt(spb: Int): Column =
+        concat(le16(lit(32)), le16(lit(spb)), le16(lit(7)), lit(coefBytes))
+      def nib(j: Column): Column = pmod(id * 11 + j * 5, lit(16L))
+      // mono: blockAlign 16 (9 data bytes, 18 nibbles, spb 20)
+      val hdrM = concat(byteHex(id % 7),
+        le16Hex(pmod(id * 13, lit(2000L)) + 16),
+        le16Hex(pmod(id * 57, lit(65536L))),
+        le16Hex(pmod(id * 91, lit(65536L))))
+      val dataM = array_join(
+        transform(sequence(lit(0), lit(8)), t => {
+          val tl = t.cast(LongType)
+          byteHex(nib(lit(2L) * tl) * 16 + nib(lit(2L) * tl + 1))
+        }), "")
+      val wavM = concat(ascii("RIFF"), le32(lit(16 + 20 + 50)), ascii("WAVE"),
+        ascii("fmt "), le32(lit(50)), le16(lit(2)), le16(lit(1)),
+        le32(lit(11025)), le32(lit(11025)), le16(lit(16)), le16(lit(4)),
+        fmtExt(20),
+        ascii("data"), le32(lit(16)), unhex(concat(hdrM, dataM)))
+      // stereo: blockAlign 24 (10 data bytes, 20 nibbles, spb 12);
+      // channel c header fields offset by c in the formulas
+      def pi(c: Int): Column = pmod(id + c, lit(7L))
+      def dlt(c: Int): Column = pmod(id * 13 + c * 71, lit(2000L)) + 16
+      def s1f(c: Int): Column = pmod(id * 57 + c * 1237, lit(65536L))
+      def s2f(c: Int): Column = pmod(id * 91 + c * 3001, lit(65536L))
+      val hdrS = concat(byteHex(pi(0)), byteHex(pi(1)),
+        le16Hex(dlt(0)), le16Hex(dlt(1)),
+        le16Hex(s1f(0)), le16Hex(s1f(1)),
+        le16Hex(s2f(0)), le16Hex(s2f(1)))
+      val dataS = array_join(
+        transform(sequence(lit(0), lit(9)), t => {
+          val tl = t.cast(LongType)
+          byteHex(nib(lit(2L) * tl) * 16 + nib(lit(2L) * tl + 1))
+        }), "")
+      val wavS = concat(ascii("RIFF"), le32(lit(24 + 20 + 50)), ascii("WAVE"),
+        ascii("fmt "), le32(lit(50)), le16(lit(2)), le16(lit(2)),
+        le32(lit(11025)), le32(lit(22050)), le16(lit(24)), le16(lit(4)),
+        fmtExt(12),
+        ascii("data"), le32(lit(24)), unhex(concat(hdrS, dataS)))
+      val content = when(m === 0, wavM).otherwise(wavS)
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStats(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"),
+          col("n_samples"), col("sum"), col("sumsq"), col("peak"),
+          col("n_clipped"), col("silent"), col("rms"), col("clip_rate"),
+          col("ch_sumsq"), col("ch_peak"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5703,6 +5785,7 @@ object SparkEntry {
               LEFT JOIN chj c ON d.id = c.id""",
 
     "q166_audio_codec_stats" -> audioCodecOracle,
+    "q167_msadpcm_stats" -> msAdpcmOracle,
 
     "q105_winsorize" ->
       """WITH b AS (
@@ -6332,6 +6415,90 @@ object SparkEntry {
             CAST(CASE WHEN m = 0 THEN n_u WHEN m = 1 THEN n_a * 2
                  WHEN m = 2 THEN nblk * 17 WHEN m = 3 THEN n_24
                  ELSE n_32 * 2 END AS BIGINT) AS n_samples,
+            t.s AS sum, t.ss AS sumsq, t.pk AS peak, t.clp AS n_clipped,
+            CAST(CASE WHEN t.pk = 0 THEN 1 ELSE 0 END AS INTEGER) AS silent,
+            ROUND(sqrt(CAST(t.ss AS DOUBLE) / greatest(t.ns, 1)), 6) AS rms,
+            ROUND(CAST(t.clp AS DOUBLE) / greatest(t.ns, 1), 6) AS clip_rate,
+            c.ch_sumsq, c.ch_peak
+     FROM d JOIN tot t ON d.id = t.id JOIN chj c ON d.id = c.id"""
+  }
+
+  /** DuckDB replay of q167's MS-ADPCM decode, generated from the SAME
+    * adaptation/coefficient constants as [[graft.expr.AudioStats]].
+    * Per-channel state is independent (channels only interleave in
+    * the byte layout), so the recurrence keys on (doc, channel) with
+    * channel c's k-th nibble at global position k·ch+c. The delta
+    * bomb-guard cap is part of the decode contract and is replayed.
+    */
+  private def msAdpcmOracle: String = {
+    val at = graft.expr.AudioStats.MsAdapt.mkString("[", ",", "]")
+    val c1 = graft.expr.AudioStats.MsStdCoef1.mkString("[", ",", "]")
+    val c2 = graft.expr.AudioStats.MsStdCoef2.mkString("[", ",", "]")
+    val cap = graft.expr.AudioStats.MsDeltaCap
+    s"""WITH RECURSIVE d AS (
+         SELECT doc_id AS id, doc_id % 2 AS m FROM documents),
+       hdr AS (
+         SELECT id, 0 AS c, 1 AS ch, 18 AS nper, id % 7 AS pi,
+                (id*13) % 2000 + 16 AS d0,
+                CASE WHEN (id*57) % 65536 >= 32768
+                     THEN (id*57) % 65536 - 65536
+                     ELSE (id*57) % 65536 END AS s1,
+                CASE WHEN (id*91) % 65536 >= 32768
+                     THEN (id*91) % 65536 - 65536
+                     ELSE (id*91) % 65536 END AS s2
+         FROM d WHERE m = 0
+         UNION ALL
+         SELECT id, c, 2, 10, (id + c) % 7,
+                (id*13 + c*71) % 2000 + 16,
+                CASE WHEN (id*57 + c*1237) % 65536 >= 32768
+                     THEN (id*57 + c*1237) % 65536 - 65536
+                     ELSE (id*57 + c*1237) % 65536 END,
+                CASE WHEN (id*91 + c*3001) % 65536 >= 32768
+                     THEN (id*91 + c*3001) % 65536 - 65536
+                     ELSE (id*91 + c*3001) % 65536 END
+         FROM d CROSS JOIN range(0, 2) r(c) WHERE m = 1),
+       decms AS (
+         SELECT id, c, ch, nper, pi, 0 AS k, s1, s2, d0 AS dl FROM hdr
+         UNION ALL
+         SELECT id, c, ch, nper, pi, k + 1,
+           LEAST(32767, GREATEST(-32768,
+             ((s1 * ($c1)[pi + 1] + s2 * ($c2)[pi + 1]) >> 8) + sn * dl)),
+           s1,
+           LEAST($cap, GREATEST(16, (($at)[nib + 1] * dl) >> 8))
+         FROM (
+           SELECT q0.*,
+             CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END AS sn
+           FROM (
+             SELECT *, (id*11 + (k*ch + c)*5) % 16 AS nib
+             FROM decms WHERE k < nper) q0) q1),
+       sv AS (
+         SELECT id, c AS chn, s2 AS v FROM hdr
+         UNION ALL
+         SELECT id, c AS chn, s1 AS v FROM hdr
+         UNION ALL
+         SELECT id, c AS chn, s1 AS v FROM decms WHERE k >= 1),
+       chs AS (SELECT id, chn, CAST(SUM(v*v) AS BIGINT) AS csq,
+                 CAST(MAX(ABS(v)) AS INTEGER) AS cpk
+               FROM sv GROUP BY id, chn),
+       chj AS (SELECT id,
+                 string_agg(CAST(csq AS VARCHAR), ',' ORDER BY chn)
+                   AS ch_sumsq,
+                 string_agg(CAST(cpk AS VARCHAR), ',' ORDER BY chn)
+                   AS ch_peak
+               FROM chs GROUP BY id),
+       tot AS (SELECT id, CAST(SUM(v) AS BIGINT) AS s,
+                 CAST(SUM(v*v) AS BIGINT) AS ss,
+                 CAST(MAX(ABS(v)) AS INTEGER) AS pk,
+                 CAST(SUM(CASE WHEN v >= 32767 OR v <= -32768
+                          THEN 1 ELSE 0 END) AS BIGINT) AS clp,
+                 COUNT(*) AS ns
+               FROM sv GROUP BY id)
+     SELECT d.id AS media_id, 'wav_ms_adpcm' AS format,
+            CAST(CASE WHEN m = 0 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+            CAST(11025 AS INTEGER) AS sample_rate,
+            CAST(4 AS INTEGER) AS bit_depth,
+            CAST(CASE WHEN m = 0 THEN 20 ELSE 12 END AS BIGINT) AS n_frames,
+            CAST(CASE WHEN m = 0 THEN 20 ELSE 24 END AS BIGINT) AS n_samples,
             t.s AS sum, t.ss AS sumsq, t.pk AS peak, t.clp AS n_clipped,
             CAST(CASE WHEN t.pk = 0 THEN 1 ELSE 0 END AS INTEGER) AS silent,
             ROUND(sqrt(CAST(t.ss AS DOUBLE) / greatest(t.ns, 1)), 6) AS rms,

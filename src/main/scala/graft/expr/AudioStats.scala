@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * treat ragged tails. A `fmt ` whose block align disagrees with
   * channels·depth is malformed → NULL.
   *
-  * Three REAL compressed codecs also decode natively — all public
+  * Four REAL compressed codecs also decode natively — all public
   * integer algorithms, so the stats stay oracle-replayable:
   *
   *  - format 7, G.711 μ-law (`wav_ulaw`): per-byte segment/mantissa
@@ -54,6 +54,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (blockAlign−4·ch)·2/ch+1 (malformed → NULL, the blockAlign
   *    contract one level up); a ragged data tail floors to whole
   *    BLOCKS.
+  *  - format 2, MS-ADPCM (`wav_ms_adpcm`): per-channel 7-byte block
+  *    headers (coefficient-pair index into the fmt extension's table,
+  *    int16 delta, the first two output samples), then 4-bit nibbles
+  *    HIGH nibble first alternating channels; per nibble pred =
+  *    (s1·c1 + s2·c2) >> 8 + signedNibble·delta clamped to int16,
+  *    delta = max(16, adapt[nibble]·delta >> 8) capped by
+  *    [[AudioStats.MsDeltaCap]]. samplesPerBlock must equal
+  *    (blockAlign−7·ch)·2/ch+2; a block whose predictor index
+  *    exceeds the file's coefficient count is SKIPPED (damaged-block
+  *    triage), later blocks still decode.
   *
   * For the G.711 pair, `n_clipped` counts samples at the CODEC's
   * full-scale code (|v| = 32124 / 32256) — the analogue of the PCM
@@ -61,7 +71,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * rails. `bit_depth` stays the STORED width (8 / 8 / 4) — `format`
   * distinguishes the codec; decoded values are 16-bit-range linear
   * in every case. Formats that genuinely need an external codec
-  * (FLAC/MP3 payload, MS-ADPCM) still NULL here.
+  * (FLAC/MP3 payload, float PCM) still NULL here.
   *
   * Output struct (all EXACT integers, so a relational oracle replays
   * them from construction arithmetic): format, channels, sample_rate,
@@ -162,6 +172,30 @@ object AudioStats {
   private[graft] val ImaIndexAdvance: Array[Int] =
     Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
+  /** MS-ADPCM adaptation table (indexed by the raw nibble) and the
+    * seven standard coefficient pairs, from the public WAVE format
+    * 2 documentation. Files may carry custom coefficient tables in
+    * the `fmt ` extension; decode reads them from the file, and the
+    * standard constants are what fixtures/oracles share.
+    */
+  private[graft] val MsAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+  private[graft] val MsStdCoef1: Array[Int] =
+    Array(256, 512, 0, 192, 240, 460, 392)
+  private[graft] val MsStdCoef2: Array[Int] =
+    Array(0, -256, 0, 64, 0, -208, -232)
+
+  /** Bomb guard on the MS-ADPCM delta: real encoders keep it around
+    * int16 scale, but the ×3 worst-case growth per nibble
+    * (adaptation 768/256) lets a crafted block overflow any fixed
+    * width. The cap is part of the decode contract here (the oracle
+    * replays it); beyond ~2^17 every nonzero nibble saturates the
+    * int16 predictor clamp anyway, so the cap only changes the decay
+    * trajectory of inputs no real encoder emits.
+    */
+  val MsDeltaCap: Int = 1 << 24
+
   /** G.711 μ-law byte → 16-bit linear (ITU-T G.711, the classic
     * `ulaw2linear` integer form). Full scale ±32124.
     */
@@ -193,6 +227,7 @@ object AudioStats {
     var o = 12
     var fmtCode = 0; var ch = 0; var rate = 0L; var blockAlign = 0
     var bits = 0; var haveFmt = false; var spbDeclared = -1
+    var fmtOff = -1; var fmtEnd = -1
     var dataOff = -1; var dataSize = -1L
     while (o + 8 <= b.length && (!haveFmt || dataOff < 0)) {
       val id = tag(b, o)
@@ -206,6 +241,8 @@ object AudioStats {
         // ADPCM extension: cbSize at +16, samplesPerBlock at +18
         if (size >= 20 && o + 8 + 20 <= b.length)
           spbDeclared = u16le(b, o + 8 + 18)
+        fmtOff = o + 8
+        fmtEnd = math.min(o + 8 + size, b.length.toLong).toInt
         haveFmt = true
       } else if (id == "data") {
         dataOff = o + 8
@@ -350,7 +387,86 @@ object AudioStats {
         blk += 1
       }
       finish("wav_ima_adpcm", blocks * spb)
-    } else null // MS-ADPCM, float PCM, … need an external decoder
+    } else if (fmtCode == 2) {
+      // MS-ADPCM: per-channel 7-byte block headers (predictor index,
+      // int16 delta, int16 sample1, int16 sample2 — s2/s1 are the
+      // block's first two output samples, older first), then 4-bit
+      // nibbles HIGH nibble first, alternating channels per sample.
+      // The coefficient table comes from the `fmt ` extension (files
+      // may carry custom pairs beyond the seven standard ones).
+      if (bits != 4) return null
+      val dataBytes = blockAlign - 7 * ch
+      if (dataBytes <= 0 || (dataBytes * 2) % ch != 0) return null
+      val spb = dataBytes * 2 / ch + 2
+      if (spbDeclared >= 0 && spbDeclared != spb) return null // malformed fmt
+      // coefficient table: numCoef at fmt+20, int16 pairs from +22
+      if (fmtOff < 0 || fmtEnd - fmtOff < 22) return null
+      val numCoef = u16le(b, fmtOff + 20)
+      if (numCoef < 1 || numCoef > 64 ||
+        fmtEnd - fmtOff < 22 + 4 * numCoef) return null
+      def s16(off: Int): Int = {
+        val raw = u16le(b, off)
+        if (raw >= 32768) raw - 65536 else raw
+      }
+      val c1 = new Array[Int](numCoef)
+      val c2 = new Array[Int](numCoef)
+      var i = 0
+      while (i < numCoef) {
+        c1(i) = s16(fmtOff + 22 + 4 * i)
+        c2(i) = s16(fmtOff + 22 + 4 * i + 2)
+        i += 1
+      }
+      val blocks = dataSize / blockAlign // ragged tail → whole blocks
+      val pi = new Array[Int](ch)
+      val dl = new Array[Long](ch)
+      val s1 = new Array[Int](ch)
+      val s2 = new Array[Int](ch)
+      var decoded = 0L
+      var blk = 0L
+      while (blk < blocks) {
+        val base = (dataOff + blk * blockAlign).toInt
+        var ok = true
+        var c = 0
+        while (c < ch) {
+          pi(c) = b(base + c) & 0xFF
+          if (pi(c) >= numCoef) ok = false // malformed block: skip it
+          dl(c) = s16(base + ch + 2 * c).toLong
+          s1(c) = s16(base + 3 * ch + 2 * c)
+          s2(c) = s16(base + 5 * ch + 2 * c)
+          c += 1
+        }
+        if (ok) {
+          c = 0
+          while (c < ch) { // older sample first
+            acc(s2(c), c, -32768, 32767)
+            acc(s1(c), c, -32768, 32767)
+            c += 1
+          }
+          val nNib = dataBytes * 2
+          var j = 0
+          while (j < nNib) {
+            val byte = b(base + 7 * ch + (j >> 1)) & 0xFF
+            val nib = if ((j & 1) == 0) byte >> 4 else byte & 0x0F
+            val sn = if (nib >= 8) nib - 16 else nib
+            val cc = j % ch
+            var pred = ((s1(cc).toLong * c1(pi(cc)) +
+              s2(cc).toLong * c2(pi(cc))) >> 8) + sn * dl(cc)
+            if (pred > 32767) pred = 32767
+            else if (pred < -32768) pred = -32768
+            s2(cc) = s1(cc)
+            s1(cc) = pred.toInt
+            var nd = (MsAdapt(nib) * dl(cc)) >> 8
+            if (nd < 16) nd = 16 else if (nd > MsDeltaCap) nd = MsDeltaCap
+            dl(cc) = nd
+            acc(pred.toInt, cc, -32768, 32767)
+            j += 1
+          }
+          decoded += spb
+        }
+        blk += 1
+      }
+      finish("wav_ms_adpcm", decoded)
+    } else null // float PCM, … need an external decoder
   }
 
   def register(spark: SparkSession): Unit =

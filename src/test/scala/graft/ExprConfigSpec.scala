@@ -880,6 +880,94 @@ class ExprConfigSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_samples") == 9L)
   }
 
+  test("graft_audio_stats decodes MS-ADPCM blocks, reads the file's coef table") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def wavMs(ch: Int, blockAlign: Int, spb: Int, data: Array[Byte],
+        coefs: Seq[(Int, Int)] =
+          graft.expr.AudioStats.MsStdCoef1.zip(
+            graft.expr.AudioStats.MsStdCoef2).toSeq,
+        bits: Int = 4): Array[Byte] = {
+      val ext = le16(4 + 4 * coefs.size) ++ le16(spb) ++ le16(coefs.size) ++
+        coefs.flatMap { case (a, b2) => (le16(a & 0xFFFF) ++
+          le16(b2 & 0xFFFF)).toSeq }
+      val fmtSz = 16 + ext.length
+      ascii("RIFF") ++ le32(20 + fmtSz + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(fmtSz) ++ le16(2) ++ le16(ch) ++
+        le32(11025) ++ le32(11025) ++ le16(blockAlign) ++ le16(bits) ++ ext ++
+        ascii("data") ++ le32(data.length) ++ data
+    }
+    def parsed(b: Array[Byte]) = Option(graft.expr.AudioStats.parse(b))
+
+    // mono, coef pair 0 (256, 0): hand-stepped reference block —
+    // header (pi=0, delta=16, s1=100, s2=50), nibbles 1,2,9,F →
+    // samples [50, 100, 116, 148, 36, -2] (spb 6)
+    val blk1 = Array[Byte](0) ++ le16(16) ++ le16(100) ++ le16(50) ++
+      Array(0x12, 0x9F).map(_.toByte)
+    val r1 = parsed(wavMs(1, 9, 6, blk1)).get
+    val exp1 = Seq(50, 100, 116, 148, 36, -2)
+    assert(r1.getUTF8String(0).toString == "wav_ms_adpcm" &&
+      r1.getInt(1) == 1 && r1.getInt(3) == 4)
+    assert(r1.getLong(4) == 6L && r1.getLong(5) == 6L)
+    assert(r1.getLong(6) == exp1.map(_.toLong).sum)
+    assert(r1.getLong(7) == exp1.map(v => v.toLong * v).sum)
+    assert(r1.getInt(8) == 148 && r1.getLong(9) == 0L)
+
+    // coef pair 1 (512, −256) exercises the two-tap history and the
+    // arithmetic (floor) >> 8 on a NEGATIVE dot product:
+    // header (pi=1, delta=20, s1=200, s2=100), nibbles 8,0,0,8 →
+    // samples [100, 200, 140, 80, 20, -416]
+    val blk2 = Array[Byte](1) ++ le16(20) ++ le16(200) ++ le16(100) ++
+      Array(0x80, 0x08).map(_.toByte)
+    val r2 = parsed(wavMs(1, 9, 6, blk2)).get
+    val exp2 = Seq(100, 200, 140, 80, 20, -416)
+    assert(r2.getLong(6) == exp2.map(_.toLong).sum)
+    assert(r2.getLong(7) == exp2.map(v => v.toLong * v).sum)
+    assert(r2.getInt(8) == 416)
+
+    // stereo: nibbles alternate channels (high first); ch1 uses coef
+    // pair 2 (0, 0) so its outputs are pure n·delta steps
+    // ch0: [500,1000,1032,904]; ch1: [3,7,100,267]
+    val blkSt = Array[Byte](0, 2) ++ le16(16) ++ le16(100) ++
+      le16(1000) ++ le16(7) ++ le16(500) ++ le16(3) ++
+      Array(0x21, 0x83).map(_.toByte)
+    val rs = parsed(wavMs(2, 16, 4, blkSt)).get
+    assert(rs.getLong(4) == 4L && rs.getLong(5) == 8L)
+    val ch0 = Seq(500, 1000, 1032, 904)
+    val ch1 = Seq(3, 7, 100, 267)
+    assert(rs.getArray(11).toLongArray.toSeq ==
+      Seq(ch0, ch1).map(_.map(v => v.toLong * v).sum))
+    assert(rs.getArray(12).toIntArray.toSeq == Seq(1032, 267))
+
+    // the coefficient table is READ FROM THE FILE: a custom single
+    // pair (300, −50) from s1=s2=256 with all-zero nibbles decays
+    // [256,256,250,242,234,226] — the standard pair 0 (256,0) would
+    // hold flat at 256, so the sum discriminates the tables
+    val blkC = Array[Byte](0) ++ le16(16) ++ le16(256) ++ le16(256) ++
+      Array[Byte](0x00, 0x00)
+    val rc = parsed(wavMs(1, 9, 6, blkC, coefs = Seq((300, -50)))).get
+    assert(rc.getLong(6) == 256L + 256 + 250 + 242 + 234 + 226,
+      s"custom coef table: ${rc.getLong(6)}")
+    assert(rc.getInt(8) == 256)
+
+    // damaged-block triage: predictor index past the coef table skips
+    // THAT block; the following good block still decodes
+    val bad = Array[Byte](9) ++ le16(16) ++ le16(100) ++ le16(50) ++
+      Array(0x12, 0x9F).map(_.toByte)
+    val rg = parsed(wavMs(1, 9, 6, bad ++ blk1)).get
+    assert(rg.getLong(4) == 6L && rg.getLong(6) == exp1.map(_.toLong).sum)
+
+    // adversarial: NULL, never an error
+    assert(parsed(wavMs(1, 9, 5, blk1)).isEmpty,
+      "samplesPerBlock disagreeing with the block layout")
+    assert(parsed(wavMs(1, 9, 6, blk1, bits = 8)).isEmpty,
+      "MS-ADPCM with non-4-bit depth")
+    assert(parsed(wavMs(1, 9, 6, blk1, coefs = Seq.empty)).isEmpty,
+      "empty coefficient table")
+  }
+
   test("graft_audio_env_sig: envelope dHash, gain invariance, silence NULL") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
