@@ -3053,6 +3053,77 @@ object SparkEntry {
           col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // CROSS-CODEC audio near-dup — the payoff of routing the
+    // fingerprint through the stats tier's shared decoder: each doc
+    // becomes TWO clips of the same linear signal, one 16-bit PCM and
+    // one G.711 μ-law (the PCM samples are the μ-law expansion
+    // computed in-plan, so the decoded sequences are IDENTICAL), and
+    // the envelope near-dup pairs them at hamming 0 even though the
+    // containers share almost no bytes. Oracle replays envelope,
+    // ehash, banding and verification exactly as q156's does
+    "q168_crosscodec_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val g = col("doc_id")
+      val n = (g % 32 + 64).cast(IntegerType) // ≥ 64 frames for nFrames=64
+      // quadratic (g,k) mixing: any LINEAR formula makes every doc's
+      // code sequence a shift/rotation of one base cycle (mod-256
+      // arithmetic), so envelopes near-collide corpus-wide and the
+      // pair list grows quadratically; squaring the mixed index
+      // breaks the rotation structure and leaves only the intended
+      // per-doc twins
+      def code(k: Column): Column = {
+        val h = g * 31 + k.cast(LongType)
+        pmod(shiftright(pmod(h * h, lit(1000003L)) * 48271, 8), lit(256L))
+      }
+      // the μ-law expansion as columns (exact integers; shiftleft by a
+      // column isn't available, so the 8 segment scales enumerate)
+      def ulawLin(c: Column): Column = {
+        val uc = lit(255L) - c
+        val base = uc.bitwiseAND(lit(15L)) * 8 + 132
+        val seg = shiftright(uc.cast(IntegerType), 4).bitwiseAND(lit(7))
+        val t = (1 to 7).foldLeft(when(seg === 0, base)) { (acc, e) =>
+          acc.when(seg === e, base * (1L << e))
+        }.otherwise(lit(0L))
+        when(uc.bitwiseAND(lit(128L)) =!= 0, lit(132L) - t)
+          .otherwise(t - lit(132L))
+      }
+      val dataU = array_join(
+        transform(sequence(lit(0), n - 1), k => byteHex(code(k))), "")
+      val wavU = concat(ascii("RIFF"), le32(n + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(7)), le16(lit(1)),
+        le32(lit(8000)), le32(lit(8000)), le16(lit(1)), le16(lit(8)),
+        ascii("data"), le32(n), unhex(dataU))
+      val dataP = array_join(
+        transform(sequence(lit(0), n - 1), k => {
+          val v = pmod(ulawLin(code(k)), lit(65536L)) // two's complement
+          concat(byteHex(pmod(v, lit(256L))),
+            byteHex(shiftright(v.cast(IntegerType), 8)))
+        }), "")
+      val wavP = concat(ascii("RIFF"), le32(n * 2 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+        ascii("data"), le32(n * 2), unhex(dataP))
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((g * 2).as("media_id"), wavP.as("content")),
+          struct((g * 2 + 1).as("media_id"), wavU.as("content")))).as("m"))
+        .select(col("m.media_id").as("media_id"), lit("audio").as("kind"),
+          col("m.content").as("content"))
+      Multimodal.audioNearDup(media)
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5786,6 +5857,53 @@ object SparkEntry {
 
     "q166_audio_codec_stats" -> audioCodecOracle,
     "q167_msadpcm_stats" -> msAdpcmOracle,
+
+    // both clips of a doc decode to the same linear sequence, so the
+    // envelope/ehash compute ONCE per doc and fan out to the two
+    // media ids; banding/verify replay q156's construction verbatim
+    "q168_crosscodec_neardup" ->
+      """WITH d AS (SELECT doc_id AS g, doc_id % 32 + 64 AS n FROM documents),
+         sv AS (SELECT g, n, k,
+                  CASE WHEN (uc & 128) != 0 THEN 132 - t ELSE t - 132 END AS v
+                FROM (SELECT g, n, k, uc,
+                        ((((uc & 15) << 3) + 132) << ((uc >> 4) & 7)) AS t
+                      FROM (SELECT g, n, k,
+                              xor(((((g*31 + k)*(g*31 + k)) % 1000003) * 48271 >> 8) % 256, 255) AS uc
+                            FROM d CROSS JOIN range(0, 96) r(k)
+                            WHERE k < n) s0) s1),
+         env AS (SELECT s.g, CAST(w.w AS INTEGER) AS w,
+                   CAST(SUM(ABS(s.v)) AS BIGINT) AS e
+                 FROM sv s JOIN range(0, 64) w(w)
+                   ON s.k >= (w.w * s.n) // 64
+                  AND s.k < ((w.w + 1) * s.n) // 64
+                 GROUP BY s.g, w.w),
+         live AS (SELECT g FROM env GROUP BY g HAVING MAX(e) > 0),
+         ehg AS (SELECT a.g,
+                   CAST(SUM(CASE WHEN b.e > a.e
+                             THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END)
+                        AS BIGINT) AS h
+                 FROM env a
+                 JOIN live USING (g)
+                 JOIN env b ON b.g = a.g AND b.w = a.w + 1
+                 GROUP BY a.g),
+         eh AS (SELECT g*2 AS id, h FROM ehg
+                UNION ALL SELECT g*2+1 AS id, h FROM ehg),
+         bands AS (SELECT id, band,
+                     (h >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM eh CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       SELECT c.id1, c.id2,
+              CAST(bit_count(xor(h1.h, h2.h)) AS INTEGER) AS hamming
+       FROM cand c
+       JOIN eh h1 ON h1.id = c.id1
+       JOIN eh h2 ON h2.id = c.id2
+       WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
 
     "q105_winsorize" ->
       """WITH b AS (

@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   * is the honest equivalent, and its limits are documented: robust to
   * uniform gain and re-encoding, NOT to time shifts or speed change):
   *
-  *  1. decode WAV integer PCM exactly as [[AudioStats]] (16-bit
-  *     signed LE / 8-bit unsigned recentered; same chunk walk, same
-  *     NULL triage for non-PCM/truncated/malformed);
+  *  1. decode through [[AudioStats.decode]] — the SAME container
+  *     walk and codec state machines as the stats tier (PCM 8–32,
+  *     G.711 μ/A-law, IMA and MS ADPCM), in STRICT mode (a
+  *     skipped damaged block would shift every later window), so
+  *     the accept/reject sets cannot drift and two encodes of one
+  *     clip in DIFFERENT codecs fingerprint comparably;
   *  2. split the frame axis into `nFrames` equal windows with the
   *     SAME integer boundary rule as the pixel grid
   *     (lo = w·frames / nFrames) so the oracle replays it with
@@ -90,86 +93,52 @@ object AudioEnvSig {
       nullable = false),
     StructField("ehash", LongType, nullable = false)))
 
-  private def u16le(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-
-  private def u32le(b: Array[Byte], o: Int): Long =
-    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-
-  private def tag(b: Array[Byte], o: Int): String =
-    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+  /** Envelope accumulation as an [[AudioStats.SampleSink]]: window
+    * boundaries are the pixel-grid integer rule (lo = w·frames/nF),
+    * tracked with a PER-CHANNEL running pointer — every codec emits
+    * frames monotonically per channel even when channels interleave
+    * (IMA word groups, MS-ADPCM nibble alternation), and env sums
+    * across channels so the pointer per channel is all that's
+    * needed. STRICT decode: a partial (skipped-block) stream would
+    * silently shift every later window, so fingerprints refuse it.
+    */
+  private final class EnvSink(nFrames: Int) extends AudioStats.SampleSink {
+    var env: Array[Long] = _
+    var frames = 0L
+    private var wptr: Array[Int] = _
+    def start(format: String, ch: Int, rate: Int, bits: Int,
+        frames0: Long, lo: Int, hi: Int): Boolean = {
+      if (frames0 < nFrames) return false // a window would be empty
+      frames = frames0
+      env = new Array[Long](nFrames)
+      wptr = new Array[Int](ch)
+      true
+    }
+    def sample(frame: Long, c: Int, v: Int): Unit = {
+      var w = wptr(c)
+      // advance to the window holding `frame` (hi(w) = (w+1)·frames/nF)
+      while (w < nFrames - 1 && frame >= (w + 1).toLong * frames / nFrames)
+        w += 1
+      wptr(c) = w
+      env(w) += (if (v < 0) -v else v)
+    }
+  }
 
   /** bytes → (n_frames, env, ehash) InternalRow, or null. Static for
     * codegen (named `sig`, not `eval` — see [[LangIdWide.evalLang]]'s
-    * static-forwarder note).
+    * static-forwarder note). Decode is [[AudioStats.decode]] — ONE
+    * shared container walk and codec set, so every format the stats
+    * tier decodes (PCM 8–32, G.711 μ/A-law, IMA and MS ADPCM) is
+    * fingerprintable, and two encodes of one clip in DIFFERENT
+    * codecs can near-dup when their decoded envelopes agree.
     */
   def sig(b: Array[Byte], nFrames: Int): InternalRow = {
-    // chunk walk identical to AudioStats.parse — same accept/reject
-    // set so a clip decodable there is fingerprintable here
-    if (b == null || b.length < 12) return null
-    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return null
-    var o = 12
-    var fmtCode = 0; var ch = 0; var rate = 0L; var blockAlign = 0
-    var bits = 0; var haveFmt = false
-    var dataOff = -1; var dataSize = -1L
-    while (o + 8 <= b.length && (!haveFmt || dataOff < 0)) {
-      val id = tag(b, o)
-      val size = u32le(b, o + 4)
-      if (id == "fmt " && size >= 16 && o + 8 + 16 <= b.length) {
-        fmtCode = u16le(b, o + 8)
-        ch = u16le(b, o + 10)
-        rate = u32le(b, o + 12)
-        blockAlign = u16le(b, o + 20)
-        bits = u16le(b, o + 22)
-        haveFmt = true
-      } else if (id == "data") {
-        dataOff = o + 8
-        dataSize = size
-      }
-      val step = size + (size & 1L)
-      if (step < 0 || step > Int.MaxValue) return null
-      o += 8 + step.toInt
-    }
-    if (!haveFmt || dataOff < 0 || rate <= 0 || rate > Int.MaxValue) return null
-    if (fmtCode != 1) return null
-    if (ch <= 0 || ch > AudioStats.MaxChannels) return null
-    if (bits != 8 && bits != 16) return null
-    val bytesPer = bits / 8
-    if (blockAlign != ch * bytesPer) return null
-    if (dataOff.toLong + dataSize > b.length) return null
-    val frames = dataSize / blockAlign
-    if (frames < nFrames) return null // a window would be empty
-    val env = new Array[Long](nFrames)
-    var w = 0
-    while (w < nFrames) {
-      // integer window boundaries — the pixel-grid block rule, so
-      // the oracle replays them with plain integer division
-      val lo = w * frames / nFrames
-      val hi = (w + 1) * frames / nFrames
-      var acc = 0L
-      var f = lo
-      while (f < hi) {
-        var p = dataOff + (f * blockAlign).toInt
-        var c = 0
-        while (c < ch) {
-          val v =
-            if (bits == 16) {
-              val raw = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
-              if (raw >= 32768) raw - 65536 else raw
-            } else (b(p) & 0xFF) - 128
-          acc += (if (v < 0) -v else v)
-          p += bytesPer
-          c += 1
-        }
-        f += 1
-      }
-      env(w) = acc
-      w += 1
-    }
+    val sink = new EnvSink(nFrames)
+    if (AudioStats.decode(b, sink, strict = true) < 0) return null
+    val env = sink.env
     var ehash = 0L
     var allZero = true
-    w = 0
+    var w = 0
     while (w < nFrames - 1) {
       if (env(w) != 0L) allZero = false
       if (env(w + 1) > env(w)) ehash |= (1L << w)

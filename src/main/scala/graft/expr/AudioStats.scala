@@ -218,10 +218,78 @@ object AudioStats {
     if ((a & 0x80) != 0) t else -t
   }
 
+  /** Sequential consumer for [[decode]] — the seam that lets the
+    * stats and fingerprint kernels share ONE container walk and ONE
+    * set of codec state machines, so their accept/reject sets cannot
+    * drift (the round-11 codec additions would otherwise have left
+    * [[AudioEnvSig]] silently PCM-only).
+    */
+  private[graft] trait SampleSink {
+    /** Once after header validation, before any sample; false aborts
+      * the decode (e.g. too short to fingerprint). `frames` is the
+      * declared frame count (per channel); `clipLo`/`clipHi` are the
+      * codec's full-scale rails.
+      */
+    def start(format: String, ch: Int, rate: Int, bits: Int,
+        frames: Long, clipLo: Int, clipHi: Int): Boolean
+    /** One decoded 16-bit-range sample. `frame` is monotonic PER
+      * CHANNEL (channels may interleave in emission order).
+      */
+    def sample(frame: Long, c: Int, v: Int): Unit
+  }
+
+  /** Stats accumulation as a [[SampleSink]] (the parse() output). */
+  private final class StatsSink extends SampleSink {
+    var fmt: String = _
+    var ch = 0; var rate = 0; var bits = 0
+    var clipLo = 0; var clipHi = 0
+    var sum = 0L; var sumsq = 0L; var peak = 0; var clipped = 0L
+    var chSumsq: Array[Long] = _
+    var chPeak: Array[Int] = _
+    def start(format: String, ch0: Int, rate0: Int, bits0: Int,
+        frames: Long, lo: Int, hi: Int): Boolean = {
+      fmt = format; ch = ch0; rate = rate0; bits = bits0
+      clipLo = lo; clipHi = hi
+      chSumsq = new Array[Long](ch0)
+      chPeak = new Array[Int](ch0)
+      true
+    }
+    def sample(frame: Long, c: Int, v: Int): Unit = {
+      sum += v
+      val sq = v.toLong * v
+      sumsq += sq
+      chSumsq(c) += sq
+      val a = if (v < 0) -v else v
+      if (a > peak) peak = a
+      if (a > chPeak(c)) chPeak(c) = a
+      if (v >= clipHi || v <= clipLo) clipped += 1
+    }
+    def finish(frames: Long): InternalRow =
+      InternalRow(UTF8String.fromString(fmt), ch, rate, bits,
+        frames, frames * ch, sum, sumsq, peak, clipped,
+        if (peak == 0) 1 else 0,
+        new GenericArrayData(chSumsq), new GenericArrayData(chPeak))
+  }
+
   /** bytes → sample-stats InternalRow, or null. Static for codegen. */
   def parse(b: Array[Byte]): InternalRow = {
-    if (b == null || b.length < 12) return null
-    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return null
+    val sink = new StatsSink
+    val frames = decode(b, sink, strict = false)
+    if (frames < 0) null else sink.finish(frames)
+  }
+
+  /** Shared WAV walk + codec state machines: validates the container,
+    * calls `sink.start` once, streams every decoded sample, returns
+    * the DECODED frame count (−1 = undecodable or aborted by the
+    * sink; the sink may have been started). `strict` refuses partial
+    * content (an MS-ADPCM block with an out-of-table predictor index
+    * aborts instead of being skipped) — fingerprints need a gapless
+    * sample sequence, stats prefer whatever decodes.
+    */
+  private[graft] def decode(b: Array[Byte], sink: SampleSink,
+      strict: Boolean): Long = {
+    if (b == null || b.length < 12) return -1
+    if (!(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")) return -1
     // chunk walk (the AudioMeta shape) tracking the data chunk's
     // OFFSET, not just its size — the sample pass needs the bytes
     var o = 12
@@ -249,37 +317,15 @@ object AudioStats {
         dataSize = size
       }
       val step = size + (size & 1L) // word alignment pad
-      if (step < 0 || step > Int.MaxValue) return null
+      if (step < 0 || step > Int.MaxValue) return -1
       o += 8 + step.toInt
     }
-    if (!haveFmt || dataOff < 0 || rate <= 0 || rate > Int.MaxValue) return null
-    if (ch <= 0 || ch > MaxChannels) return null
+    if (!haveFmt || dataOff < 0 || rate <= 0 || rate > Int.MaxValue) return -1
+    if (ch <= 0 || ch > MaxChannels) return -1
     // truncated data chunk (declared size past the buffer) → NULL;
     // a ragged tail WITHIN the declared size floors to whole frames
     // (whole BLOCKS for ADPCM)
-    if (dataOff.toLong + dataSize > b.length) return null
-
-    // shared accumulators; every decoder feeds 16-bit-range values
-    var sum = 0L; var sumsq = 0L; var peak = 0; var clipped = 0L
-    val chSumsq = new Array[Long](ch)
-    val chPeak = new Array[Int](ch)
-    // clipLo/clipHi: the codec's full-scale test, |v| >= clipHi or
-    // v <= clipLo (PCM16 uses the asymmetric two's-complement rails)
-    def acc(v: Int, c: Int, lo: Int, hi: Int): Unit = {
-      sum += v
-      val sq = v.toLong * v
-      sumsq += sq
-      chSumsq(c) += sq
-      val a = if (v < 0) -v else v
-      if (a > peak) peak = a
-      if (a > chPeak(c)) chPeak(c) = a
-      if (v >= hi || v <= lo) clipped += 1
-    }
-    def finish(fmt: String, frames: Long): InternalRow =
-      InternalRow(UTF8String.fromString(fmt), ch, rate.toInt, bits,
-        frames, frames * ch, sum, sumsq, peak, clipped,
-        if (peak == 0) 1 else 0,
-        new GenericArrayData(chSumsq), new GenericArrayData(chPeak))
+    if (dataOff.toLong + dataSize > b.length) return -1
 
     if (fmtCode == 1) {
       // 24/32-bit samples read their TOP TWO BYTES — exactly the
@@ -289,11 +335,12 @@ object AudioStats {
       // the sumsq long on crafted full-scale input). bit_depth
       // reports the STORED width; clipping tests the truncated
       // value against the int16 rails.
-      if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return null
+      if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return -1
       val bytesPer = bits / 8
-      if (blockAlign != ch * bytesPer) return null // malformed fmt
+      if (blockAlign != ch * bytesPer) return -1 // malformed fmt
       val frames = dataSize / blockAlign
       val (lo, hi) = if (bits == 8) (-128, 127) else (-32768, 32767)
+      if (!sink.start("wav", ch, rate.toInt, bits, frames, lo, hi)) return -1
       var f = 0L
       var p = dataOff
       while (f < frames) {
@@ -306,46 +353,51 @@ object AudioStats {
               val raw = (b(t) & 0xFF) | ((b(t + 1) & 0xFF) << 8)
               if (raw >= 32768) raw - 65536 else raw
             }
-          acc(v, c, lo, hi)
+          sink.sample(f, c, v)
           p += bytesPer
           c += 1
         }
         f += 1
       }
-      finish("wav", frames)
+      frames
     } else if (fmtCode == 6 || fmtCode == 7) {
       // G.711: one byte per sample, stored depth 8
-      if (bits != 8 || blockAlign != ch) return null
+      if (bits != 8 || blockAlign != ch) return -1
       val frames = dataSize / blockAlign
       val ulaw = fmtCode == 7
       val full = if (ulaw) 32124 else 32256 // the codec's max code
+      if (!sink.start(if (ulaw) "wav_ulaw" else "wav_alaw", ch, rate.toInt,
+        bits, frames, -full, full)) return -1
       var f = 0L
       var p = dataOff
       while (f < frames) {
         var c = 0
         while (c < ch) {
           val v = if (ulaw) ulaw2lin(b(p) & 0xFF) else alaw2lin(b(p) & 0xFF)
-          acc(v, c, -full, full)
+          sink.sample(f, c, v)
           p += 1
           c += 1
         }
         f += 1
       }
-      finish(if (ulaw) "wav_ulaw" else "wav_alaw", frames)
+      frames
     } else if (fmtCode == 0x11) {
       // IMA ADPCM: per-channel 4-byte block headers, then 4-byte data
       // words round-robin across channels, low nibble first
-      if (bits != 4) return null
+      if (bits != 4) return -1
       val dataBytes = blockAlign - 4 * ch
-      if (dataBytes <= 0 || dataBytes % (4 * ch) != 0) return null
+      if (dataBytes <= 0 || dataBytes % (4 * ch) != 0) return -1
       val spb = dataBytes / ch * 2 + 1
-      if (spbDeclared >= 0 && spbDeclared != spb) return null // malformed fmt
+      if (spbDeclared >= 0 && spbDeclared != spb) return -1 // malformed fmt
       val blocks = dataSize / blockAlign // ragged tail → whole blocks
+      if (!sink.start("wav_ima_adpcm", ch, rate.toInt, bits, blocks * spb,
+        -32768, 32767)) return -1
       val pred = new Array[Int](ch)
       val idx = new Array[Int](ch)
       var blk = 0L
       while (blk < blocks) {
         val base = (dataOff + blk * blockAlign).toInt
+        val f0 = blk * spb // frame of the block's header sample
         var c = 0
         while (c < ch) {
           val raw = (b(base + 4 * c) & 0xFF) | ((b(base + 4 * c + 1) & 0xFF) << 8)
@@ -353,7 +405,7 @@ object AudioStats {
           val i0 = b(base + 4 * c + 2) & 0xFF
           idx(c) = if (i0 > 88) 88 else i0 // clamp per spec
           // the header predictor IS the block's first output sample
-          acc(pred(c), c, -32768, 32767)
+          sink.sample(f0, c, pred(c))
           c += 1
         }
         val words = dataBytes / (4 * ch) // per channel
@@ -377,7 +429,7 @@ object AudioStats {
               var ni = idx(c) + ImaIndexAdvance(nib)
               if (ni < 0) ni = 0 else if (ni > 88) ni = 88
               idx(c) = ni
-              acc(v, c, -32768, 32767)
+              sink.sample(f0 + 1 + g * 8 + j, c, v)
               j += 1
             }
             c += 1
@@ -386,7 +438,7 @@ object AudioStats {
         }
         blk += 1
       }
-      finish("wav_ima_adpcm", blocks * spb)
+      blocks * spb
     } else if (fmtCode == 2) {
       // MS-ADPCM: per-channel 7-byte block headers (predictor index,
       // int16 delta, int16 sample1, int16 sample2 — s2/s1 are the
@@ -394,16 +446,16 @@ object AudioStats {
       // nibbles HIGH nibble first, alternating channels per sample.
       // The coefficient table comes from the `fmt ` extension (files
       // may carry custom pairs beyond the seven standard ones).
-      if (bits != 4) return null
+      if (bits != 4) return -1
       val dataBytes = blockAlign - 7 * ch
-      if (dataBytes <= 0 || (dataBytes * 2) % ch != 0) return null
+      if (dataBytes <= 0 || (dataBytes * 2) % ch != 0) return -1
       val spb = dataBytes * 2 / ch + 2
-      if (spbDeclared >= 0 && spbDeclared != spb) return null // malformed fmt
+      if (spbDeclared >= 0 && spbDeclared != spb) return -1 // malformed fmt
       // coefficient table: numCoef at fmt+20, int16 pairs from +22
-      if (fmtOff < 0 || fmtEnd - fmtOff < 22) return null
+      if (fmtOff < 0 || fmtEnd - fmtOff < 22) return -1
       val numCoef = u16le(b, fmtOff + 20)
       if (numCoef < 1 || numCoef > 64 ||
-        fmtEnd - fmtOff < 22 + 4 * numCoef) return null
+        fmtEnd - fmtOff < 22 + 4 * numCoef) return -1
       def s16(off: Int): Int = {
         val raw = u16le(b, off)
         if (raw >= 32768) raw - 65536 else raw
@@ -417,11 +469,13 @@ object AudioStats {
         i += 1
       }
       val blocks = dataSize / blockAlign // ragged tail → whole blocks
+      if (!sink.start("wav_ms_adpcm", ch, rate.toInt, bits, blocks * spb,
+        -32768, 32767)) return -1
       val pi = new Array[Int](ch)
       val dl = new Array[Long](ch)
       val s1 = new Array[Int](ch)
       val s2 = new Array[Int](ch)
-      var decoded = 0L
+      var decoded = 0L // frames emitted (skipped blocks compact away)
       var blk = 0L
       while (blk < blocks) {
         val base = (dataOff + blk * blockAlign).toInt
@@ -438,8 +492,8 @@ object AudioStats {
         if (ok) {
           c = 0
           while (c < ch) { // older sample first
-            acc(s2(c), c, -32768, 32767)
-            acc(s1(c), c, -32768, 32767)
+            sink.sample(decoded, c, s2(c))
+            sink.sample(decoded + 1, c, s1(c))
             c += 1
           }
           val nNib = dataBytes * 2
@@ -458,15 +512,15 @@ object AudioStats {
             var nd = (MsAdapt(nib) * dl(cc)) >> 8
             if (nd < 16) nd = 16 else if (nd > MsDeltaCap) nd = MsDeltaCap
             dl(cc) = nd
-            acc(pred.toInt, cc, -32768, 32767)
+            sink.sample(decoded + 2 + j / ch, cc, pred.toInt)
             j += 1
           }
           decoded += spb
-        }
+        } else if (strict) return -1 // gapless contract for fingerprints
         blk += 1
       }
-      finish("wav_ms_adpcm", decoded)
-    } else null // float PCM, … need an external decoder
+      decoded
+    } else -1 // float PCM, … need an external decoder
   }
 
   def register(spark: SparkSession): Unit =

@@ -968,6 +968,85 @@ class ExprConfigSpec extends SparkSpec {
       "empty coefficient table")
   }
 
+  test("graft_audio_env_sig: cross-codec fingerprints through the shared decoder") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def wavPcm16(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(v => le16(v & 0xFFFF).toSeq).toArray
+      ascii("RIFF") ++ le32(36 + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        ascii("data") ++ le32(data.length) ++ data
+    }
+    def wavUlaw(codes: Seq[Int]): Array[Byte] = {
+      val data = codes.map(_.toByte).toArray
+      ascii("RIFF") ++ le32(36 + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(7) ++ le16(1) ++ le32(8000) ++
+        le32(8000) ++ le16(1) ++ le16(8) ++
+        ascii("data") ++ le32(data.length) ++ data
+    }
+    def sig(b: Array[Byte], n: Int = 8) =
+      Option(graft.expr.AudioEnvSig.sig(b, n))
+    // a μ-law clip and the PCM16 clip of its EXACT expansion (via the
+    // JDK's independent codec) must land on identical env AND ehash —
+    // the cross-codec near-dup contract
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val codes = (0 until 64).map(k => (k * 37 + 11) % 256)
+    val src = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1,
+      8000f, false)
+    val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+      2, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes.map(_.toByte).toArray), src, 64L)
+    val lin = AudioSystem.getAudioInputStream(dst, ais).readAllBytes()
+      .grouped(2).map(a =>
+        (((a(0) & 0xFF) | ((a(1) & 0xFF) << 8)).toShort).toInt).toSeq
+    val su = sig(wavUlaw(codes)).get
+    val sp = sig(wavPcm16(lin)).get
+    assert(su.getArray(1).toLongArray.toSeq == sp.getArray(1).toLongArray.toSeq,
+      "cross-codec envelopes diverge")
+    assert(su.getLong(2) == sp.getLong(2), "cross-codec ehash diverges")
+
+    // IMA ADPCM clips are fingerprintable (frames ≥ nFrames)
+    def wavIma(data: Array[Byte]): Array[Byte] =
+      ascii("RIFF") ++ le32(40 + data.length) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(20) ++ le16(0x11) ++ le16(1) ++ le32(22050) ++
+        le32(11000) ++ le16(8) ++ le16(4) ++ le16(2) ++ le16(9) ++
+        ascii("data") ++ le32(data.length) ++ data
+    val imaBlk = le16(100) ++ Array[Byte](0, 0) ++
+      Array(0x10, 0x08, 0x00, 0xFF).map(_.toByte)
+    assert(sig(wavIma(imaBlk), n = 8).nonEmpty, "IMA not fingerprintable")
+
+    // strict decode: an MS-ADPCM file whose block is malformed
+    // (predictor index past the table) yields stats from the other
+    // blocks but NO fingerprint — a gapless sample sequence is the
+    // fingerprint's contract
+    def wavMs(data: Array[Byte]): Array[Byte] = {
+      val coefs = graft.expr.AudioStats.MsStdCoef1.zip(
+        graft.expr.AudioStats.MsStdCoef2).toSeq
+      val ext = le16(4 + 4 * coefs.size) ++ le16(6) ++ le16(coefs.size) ++
+        coefs.flatMap { case (a, b2) =>
+          (le16(a & 0xFFFF) ++ le16(b2 & 0xFFFF)).toSeq }
+      ascii("RIFF") ++ le32(20 + 16 + ext.length + data.length) ++
+        ascii("WAVE") ++ ascii("fmt ") ++ le32(16 + ext.length) ++
+        le16(2) ++ le16(1) ++ le32(11025) ++ le32(11025) ++ le16(9) ++
+        le16(4) ++ ext ++ ascii("data") ++ le32(data.length) ++ data
+    }
+    val good = Array[Byte](0) ++ le16(16) ++ le16(100) ++ le16(50) ++
+      Array(0x12, 0x9F).map(_.toByte)
+    val bad = Array[Byte](9) ++ le16(16) ++ le16(100) ++ le16(50) ++
+      Array(0x12, 0x9F).map(_.toByte)
+    // two good blocks (12 frames ≥ 8) fingerprint fine
+    assert(sig(wavMs(good ++ good), n = 8).nonEmpty)
+    // a bad block anywhere → NULL fingerprint, but stats still decode
+    // the good block (non-strict)
+    assert(sig(wavMs(bad ++ good), n = 8).isEmpty, "strict must refuse gaps")
+    val st = graft.expr.AudioStats.parse(wavMs(bad ++ good))
+    assert(st != null && st.getLong(4) == 6L, "stats must keep partial content")
+  }
+
   test("graft_audio_env_sig: envelope dHash, gain invariance, silence NULL") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
