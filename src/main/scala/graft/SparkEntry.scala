@@ -3124,6 +3124,63 @@ object SparkEntry {
       Multimodal.audioNearDup(media)
     }),
 
+    // CROSS-FORMAT image near-dup — q168's image sibling, made free
+    // by the tier's architecture: [[PixelGridSig]] fingerprints the
+    // DECODED pixels via the shared PixelStats.decode, so a PPM and a
+    // BMP of the same image land on one signature. Each doc becomes
+    // two clips of identical pixel content (the BMP stores the same
+    // rows bottom-up with 4-byte padding, exactly what the decoder
+    // undoes); the quadratic index mix keeps fixture structure from
+    // minting rotation near-collisions (the q168 lesson)
+    "q169_crossformat_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val g = col("doc_id")
+      val wC = (g % 8 + 9).cast(IntegerType)
+      val hC = (g % 6 + 7).cast(IntegerType)
+      val stride = wC * 3
+      def pix(y: Column, j: Column): Column = {
+        val hh = g * 53 + y.cast(LongType) * 977 + j.cast(LongType) * 13
+        pmod(shiftright(pmod(hh * hh, lit(1000003L)) * 48271, 8), lit(251L))
+      }
+      def rowHex(y: Column): Column = array_join(
+        transform(sequence(lit(0), stride - 1), j => byteHex(pix(y, j))), "")
+      val ppm = concat(
+        encode(concat(lit("P6\n"), wC.cast(StringType), lit(" "),
+          hC.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType),
+        unhex(array_join(
+          transform(sequence(lit(0), hC - 1), y => rowHex(y)), "")))
+      val pad = pmod(lit(4) - pmod(stride, lit(4)), lit(4))
+      val padHex = lit("000000").substr(lit(1), pad * 2)
+      val rowSize = stride + pad
+      val bmp = concat(ascii("BM"), le32(rowSize * hC + 54),
+        le32(lit(0)), le32(lit(54)),
+        le32(lit(40)), le32(wC), le32(hC), le16(lit(1)), le16(lit(24)),
+        le32(lit(0)), le32(rowSize * hC), le32(lit(0)), le32(lit(0)),
+        le32(lit(0)), le32(lit(0)),
+        unhex(array_join(
+          transform(sequence(lit(0), hC - 1), yy =>
+            concat(rowHex(hC - 1 - yy), padHex)), "")))
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((g * 2).as("media_id"), ppm.as("content")),
+          struct((g * 2 + 1).as("media_id"), bmp.as("content")))).as("m"))
+        .select(col("m.media_id").as("media_id"), lit("image").as("kind"),
+          col("m.content").as("content"))
+      Multimodal.imageNearDup(media)
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5857,6 +5914,50 @@ object SparkEntry {
 
     "q166_audio_codec_stats" -> audioCodecOracle,
     "q167_msadpcm_stats" -> msAdpcmOracle,
+
+    // both clips of a doc decode to the same pixels, so block means /
+    // ahash compute ONCE per doc and fan out to both media ids; the
+    // banding + L1 verify replay q153's construction
+    "q169_crossformat_neardup" ->
+      """WITH d AS (SELECT doc_id AS g,
+                  CAST(doc_id % 8 + 9 AS INTEGER) AS w,
+                  CAST(doc_id % 6 + 7 AS INTEGER) AS h
+           FROM documents),
+         px AS (SELECT g, w, h,
+                  ((((g*53 + (k // (w*3))*977 + (k % (w*3))*13)
+                     * (g*53 + (k // (w*3))*977 + (k % (w*3))*13))
+                    % 1000003) * 48271 >> 8) % 251 AS val,
+                  (((k // (w*3)) * 7) // h) * 9
+                    + ((((k % (w*3)) // 3) * 9) // w) AS blk
+                FROM d CROSS JOIN range(0, 576) r(k)
+                WHERE k < w*h*3),
+         bm AS (SELECT g, blk, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+                FROM px GROUP BY g, blk),
+         mn AS (SELECT g, SUM(m) // 63 AS mean FROM bm GROUP BY g),
+         gs AS (SELECT bm.g,
+                  CAST(SUM(CASE WHEN m > mean
+                    THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM bm JOIN mn ON bm.g = mn.g GROUP BY bm.g),
+         ids AS (SELECT g, g*2 AS id, ahash FROM gs
+                 UNION ALL SELECT g, g*2+1 AS id, ahash FROM gs),
+         bands AS (SELECT id, band,
+                     (ahash >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM ids CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         l1 AS (SELECT c.id1, c.id2,
+                  CAST(SUM(ABS(b1.m - b2.m)) AS BIGINT) AS l1
+                FROM cand c
+                JOIN bm b1 ON b1.g = c.id1 // 2
+                JOIN bm b2 ON b2.g = c.id2 // 2 AND b2.blk = b1.blk
+                GROUP BY c.id1, c.id2)
+       SELECT id1, id2, l1 FROM l1 WHERE l1 <= 126""",
 
     // both clips of a doc decode to the same linear sequence, so the
     // envelope/ehash compute ONCE per doc and fan out to the two
