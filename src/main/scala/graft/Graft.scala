@@ -94,6 +94,7 @@ object Graft {
     graft.expr.GifFrames.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.WarcRecords.register(spark)
+    graft.expr.RtfToText.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

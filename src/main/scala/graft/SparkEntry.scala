@@ -3181,6 +3181,26 @@ object SparkEntry {
       Multimodal.imageNearDup(media)
     }),
 
+    // RTF → text (q19's sibling for the OTHER legacy rich-text
+    // format): the native state machine drops the nested font-table /
+    // ignorable-destination groups a regexp cannot bound, decodes the
+    // escapes, and the shared whitespace collapse finishes. The text
+    // is sanitized of RTF metacharacters before wrapping so the
+    // construction replays in SQL as sanitize + append
+    "q170_rtf_to_text" -> ((s, dir) => {
+      Graft.tune(s)
+      val clean = regexp_replace(coalesce(col("text"), lit("")),
+        "[{}\\\\]", " ")
+      val rtf = concat(
+        lit("""{\rtf1\ansi{\fonttbl{\f0 Arial;}}{\*\generator graft 1.0;}\f0\fs20 """),
+        clean,
+        lit("""\par \b summary\b0  caf\'e9\par}"""))
+      t(s, dir, "documents").select(col("doc_id"),
+        substring(Normalize.collapseWs(
+          call_function(graft.expr.RtfToText.FunctionName, rtf)), 1, 120)
+          .as("clean_text"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5914,6 +5934,17 @@ object SparkEntry {
 
     "q166_audio_codec_stats" -> audioCodecOracle,
     "q167_msadpcm_stats" -> msAdpcmOracle,
+
+    // the RTF wrapper's extraction reduces to sanitize + the appended
+    // literal (header/groups drop, \par → whitespace, \'e9 → é), so
+    // the oracle replays the construction, not the state machine
+    "q170_rtf_to_text" ->
+      """SELECT doc_id,
+              substr(trim(regexp_replace(
+                regexp_replace(COALESCE(text, ''), '[{}\\]', ' ', 'g')
+                  || ' summary café', '\s+', ' ', 'g')), 1, 120)
+                AS clean_text
+       FROM documents""",
 
     // both clips of a doc decode to the same pixels, so block means /
     // ahash compute ONCE per doc and fan out to both media ids; the

@@ -35,9 +35,20 @@ object Documents {
       extractTextFromDocx(resumePath)
     else if (lower.endsWith(".pdf"))
       extractTextFromPdf(resumePath)
-    else
+    else if (lower.endsWith(".rtf")) {
+      // the shared RTF state machine (graft.expr.RtfToText); RTF is
+      // nominally 7-bit ASCII with \'hh escapes, so a Latin-1 read
+      // preserves every byte for the escape decoder
+      val raw = new String(Files.readAllBytes(p), StandardCharsets.ISO_8859_1)
+      val out = graft.expr.RtfToText.extract(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      if (out == null)
+        throw new IllegalArgumentException(
+          s"Not an RTF document: $resumePath")
+      out.toString
+    } else
       throw new IllegalArgumentException(
-        "Unsupported resume format. Please provide a TXT, Markdown, DOCX or PDF file.")
+        "Unsupported resume format. Please provide a TXT, Markdown, DOCX, PDF or RTF file.")
   }
 
   /** WordprocessingML text extraction: one output line per `w:p`

@@ -968,6 +968,43 @@ class ExprConfigSpec extends SparkSpec {
       "empty coefficient table")
   }
 
+  test("graft_rtf_to_text: nested-group skipping, escapes, unicode, triage") {
+    def x(s: String) = Option(graft.expr.RtfToText.extract(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      .map(_.toString)
+    // the canonical shape: font table (nested group!) dropped whole,
+    // formatting words dropped, the control-word delimiter space is
+    // NOT content (spec), \par → newline
+    assert(x("""{\rtf1\ansi{\fonttbl{\f0 Times New Roman;}}\f0\fs24 Hello \b bold \b0 world\par second\par}""")
+      .contains("Hello bold world\nsecond\n"))
+    // \*-marked ignorable destinations and pict groups drop entirely
+    assert(x("""{\rtf1{\*\themedata 0011aabb}{\pict 89504e47}text}""")
+      .contains("text"))
+    // escapes: \{ \} \\ literals, \'hh Latin-1, \~ nbsp, \_ hyphen,
+    // \emdash/\tab/\lquote specials
+    assert(x("""{\rtf1 caf\'e9 \{x\} a\~b c\_d\tab e\emdash f\lquote g}""")
+      .contains("café {x} a b c-d\te-f'g"))
+    // \uN with \uc1 fallback skipping (the '?' must not leak), and
+    // the spec's negative signed-16-bit form
+    assert(x("{\\rtf1\\uc1" + "\\u" + "26085?" + "\\u" + "26412? ok " +
+        "\\u" + "-1234?}")
+      .contains("\u65E5\u672C ok \uFB2E"))
+    // \binN skips raw payload bytes, clamped to the buffer
+    assert(x("""{\rtf1\bin5 ABCDEtail}""").contains("tail"))
+    assert(x("""{\rtf1\bin99 ABC}""").contains(""))
+    // \uc is group-scoped: inner \uc2 must not leak out of its group
+    assert(x("{\\rtf1\\uc1{\\uc2" + "\\u" + "65?\\'3f}" + "\\u" + "66?x}")
+      .contains("ABx"))
+    // raw CR/LF in the source are not content (spec)
+    assert(x("{\\rtf1 a\r\nb}").contains("ab"))
+    // triage: unbalanced/truncated keeps what was extracted
+    assert(x("""{\rtf1 partial \b tex""").contains("partial tex"))
+    // not RTF → NULL, never an error
+    assert(x("plain text").isEmpty)
+    assert(x("{\\pict junk}").isEmpty)
+    assert(x("").isEmpty)
+  }
+
   test("graft_audio_env_sig: cross-codec fingerprints through the shared decoder") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,

@@ -67,9 +67,21 @@ class PipelineSpec extends SparkSpec {
 
     intercept[java.io.FileNotFoundException](
       Documents.readResume(tmp.resolve("missing.txt").toString))
+    // .rtf routes through the shared RTF state machine: the font
+    // table drops, the body text survives
     val rtf = tmp.resolve("resume.rtf")
-    java.nio.file.Files.writeString(rtf, "{\\rtf1 not supported}")
-    val e = intercept[IllegalArgumentException](Documents.readResume(rtf.toString))
+    java.nio.file.Files.writeString(rtf,
+      "{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}\\f0 python and spark\\par}")
+    assert(Documents.readResume(rtf.toString).contains("python and spark"))
+    // a .rtf without the RTF magic is a typed error, not garbage text
+    val fake = tmp.resolve("fake.rtf")
+    java.nio.file.Files.writeString(fake, "plain text")
+    val er = intercept[IllegalArgumentException](
+      Documents.readResume(fake.toString))
+    assert(er.getMessage.contains("Not an RTF document"))
+    val odt = tmp.resolve("resume.odt")
+    java.nio.file.Files.writeString(odt, "zipstuff")
+    val e = intercept[IllegalArgumentException](Documents.readResume(odt.toString))
     assert(e.getMessage.contains("Unsupported resume format"))
   }
 
