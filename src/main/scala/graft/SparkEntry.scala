@@ -3201,6 +3201,24 @@ object SparkEntry {
           .as("clean_text"))
     }),
 
+    // HTML boilerplate removal by block link density: the constructed
+    // page wraps each doc's text in the classic trap — a link-only
+    // nav, a too-short teaser and a link-dense footer around one real
+    // paragraph — and only the paragraph (when long enough) survives
+    "q171_html_boilerplate" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Corpus
+      val html = concat(
+        lit("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact us</a></div><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p><p>Read on</p><div>meta <a href=\"/p\">Privacy</a> " +
+          "<a href=\"/t\">Terms of use</a></div>"))
+      Corpus.removeHtmlBoilerplate(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5935,6 +5953,8 @@ object SparkEntry {
     "q166_audio_codec_stats" -> audioCodecOracle,
     "q167_msadpcm_stats" -> msAdpcmOracle,
 
+    "q171_html_boilerplate" -> htmlBoilerplateOracle,
+
     // the RTF wrapper's extraction reduces to sanitize + the appended
     // literal (header/groups drop, \par → whitespace, \'e9 → é), so
     // the oracle replays the construction, not the state machine
@@ -6755,6 +6775,66 @@ object SparkEntry {
             ROUND(CAST(t.clp AS DOUBLE) / greatest(t.ns, 1), 6) AS clip_rate,
             c.ch_sumsq, c.ch_peak
      FROM d JOIN tot t ON d.id = t.id JOIN chj c ON d.id = c.id"""
+  }
+
+  /** The q19 HTML→text regexp chain as a DuckDB expression over an
+    * arbitrary SQL fragment (the q171 oracle applies it per block and
+    * per anchor set, so the inline form of [[htmlToTextOracle]]
+    * doesn't fit).
+    */
+  private def html2textSql(e: String): String = {
+    val steps: Seq[(String, String)] = Seq(
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>" -> "' '",
+      "(?s)<!--.*?-->" -> "' '",
+      "<[^>]+>" -> "' '",
+      "&nbsp;" -> "' '",
+      "&amp;" -> "'&'",
+      "&lt;" -> "'<'",
+      "&gt;" -> "'>'",
+      "&quot;" -> "'\"'",
+      "&#39;" -> "chr(39)",
+      "&apos;" -> "chr(39)",
+      "&#\\d+;" -> "' '",
+      "\\s+" -> "' '")
+    "trim(" + steps.foldLeft(e) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '$p', $r, 'g')"
+    } + ")"
+  }
+
+  /** q171: replay split → per-block text/anchor lengths → the integer
+    * link-density keep rule → ordered reassembly.
+    */
+  private def htmlBoilerplateOracle: String = {
+    val sep = "(?i)</(?:p|div|li|td|h[1-6]|article|section)>|<br[^>]*>"
+    s"""WITH src AS (
+         SELECT doc_id,
+           '<div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact us</a></div><p>'
+             || COALESCE(text, '')
+             || '</p><p>Read on</p><div>meta <a href="/p">Privacy</a> <a href="/t">Terms of use</a></div>'
+             AS html
+         FROM documents),
+       arrs AS (SELECT doc_id, regexp_split_to_array(html, '$sep') AS arr
+                FROM src),
+       b AS (SELECT doc_id, k AS pos, arr[k+1] AS blk
+             FROM arrs CROSS JOIN range(0, 8) r(k)
+             WHERE k < len(arr)),
+       f AS (SELECT doc_id, pos,
+               ${html2textSql("blk")} AS t,
+               ${html2textSql(
+        // DuckDB's array_to_string of an EMPTY list is NULL (Spark's
+        // array_join is '') — anchor-free blocks must not NULL the rule
+        "COALESCE(array_to_string(regexp_extract_all(blk, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")}
+                 AS at
+             FROM b),
+       g AS (SELECT doc_id, pos, t,
+               (length(t) >= 30 AND length(at)*100 <= length(t)*40) AS keep
+             FROM f)
+     SELECT doc_id,
+            COALESCE(string_agg(CASE WHEN keep THEN t END, ' ' ORDER BY pos),
+                     '') AS clean_text,
+            COUNT(*) AS n_blocks,
+            CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+     FROM g GROUP BY doc_id"""
   }
 
   private def langIdOracle: String = {

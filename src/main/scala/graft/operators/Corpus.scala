@@ -1068,6 +1068,61 @@ object Corpus {
     regexp_extract_all(segN, lit("\\(([a-z0-9]+)\\)"), lit(1))
   }
 
+  /** HTML boilerplate removal by BLOCK-LEVEL LINK DENSITY — the
+    * page-structure signal the cross-doc segment dedup
+    * ([[removeDuplicatedSegments]]) cannot see: navigation bars,
+    * footers and related-links rails are link-dominated and short,
+    * while body prose is long and link-sparse. The classic
+    * jusText/Boilerpipe heuristic reduced to its relational core:
+    *
+    *  1. split the HTML on block-level boundaries (closing
+    *     p/div/li/td/h1-6/article/section tags and `<br>`) — a plain
+    *     `split`, deliberately NOT a DOM parse (crawl HTML is
+    *     malformed; the regexp split degrades gracefully);
+    *  2. per block: visible text via the shared
+    *     [[graft.functions.HtmlToText]] chain, anchor text via
+    *     `regexp_extract_all` of `<a>…</a>` bodies pushed through the
+    *     same chain;
+    *  3. KEEP a block iff its text length ≥ `minChars` AND
+    *     anchorLen·100 ≤ textLen·maxLinkPct — the link-density
+    *     test as an integer cross-multiplication, so the oracle
+    *     replays it with no floating-point boundary hazard;
+    *  4. reassemble kept blocks in document order.
+    *
+    * Returns (id, clean_text, n_blocks, n_kept); documents whose
+    * every block drops keep an EMPTY clean_text row (the caller
+    * decides whether an all-boilerplate page survives). Scale shape:
+    * one posexplode + one groupBy(id) — the only shuffle is keyed by
+    * document id (no skew: blocks per doc are bounded by the page
+    * size), everything per-block is codegen'd regexp work that fuses
+    * into the scan.
+    */
+  def removeHtmlBoilerplate(df: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 30, maxLinkPct: Int = 40): DataFrame = {
+    require(minChars >= 0, s"minChars must be >= 0: $minChars")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"maxLinkPct must be a percentage: $maxLinkPct")
+    val blockSep = "(?i)</(?:p|div|li|td|h[1-6]|article|section)>|<br[^>]*>"
+    val blocks = df.select(col(idCol),
+        posexplode(split(coalesce(col(htmlCol), lit("")), blockSep))
+          .as(Seq("_pos", "_blk")))
+    val btext = graft.functions.HtmlToText.htmlToText(col("_blk"))
+    val anchorText = graft.functions.HtmlToText.htmlToText(
+      array_join(regexp_extract_all(col("_blk"),
+        lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+    val feat = blocks.select(col(idCol), col("_pos"), btext.as("_t"),
+        length(btext).as("_len"), length(anchorText).as("_alen"))
+      .withColumn("_keep", col("_len") >= minChars &&
+        col("_alen") * 100 <= col("_len") * maxLinkPct)
+    feat.groupBy(col(idCol)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("_keep"),
+          struct(col("_pos"), col("_t"))))),
+        x => x.getField("_t"))).as("clean_text"),
+      count(lit(1)).as("n_blocks"),
+      sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   private def temperatureFracs(df: DataFrame, groupCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")

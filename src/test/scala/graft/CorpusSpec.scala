@@ -580,4 +580,36 @@ class CorpusSpec extends SparkSpec {
       Corpus.tokenBudgetCap(docs, "doc_id", "source", lit(1L), budget = 0)
     }
   }
+
+  test("removeHtmlBoilerplate keeps link-sparse prose, drops nav/footer/teasers") {
+    val body = "the quick brown fox jumps over the lazy dog near the river bank"
+    val page =
+      "<div><a href=\"/\">Home</a> <a href=\"/x\">About page</a></div>" +
+      s"<p>$body</p>" +
+      "<p>More...</p>" +
+      "<div>meta <a href=\"/p\">Privacy</a> <a href=\"/t\">Terms of service</a></div>"
+    // an all-boilerplate page keeps an EMPTY clean_text row
+    val navOnly = "<div><a href=\"/1\">One</a> <a href=\"/2\">Two</a></div>"
+    // order preservation: two kept paragraphs reassemble in page order
+    val twoPara = s"<p>$body</p><p>a second long paragraph with plenty of words inside it</p>"
+    val df = Seq((1L, page), (2L, navOnly), (3L, twoPara))
+      .toDF("doc_id", "html")
+    val got = Corpus.removeHtmlBoilerplate(df, "doc_id", "html")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._1 == body, got(1L))
+    assert(got(1L)._2 == 5L && got(1L)._3 == 1L) // 5 blocks, 1 kept
+    assert(got(2L)._1 == "" && got(2L)._3 == 0L)
+    assert(got(3L)._1 ==
+      s"$body a second long paragraph with plenty of words inside it")
+    // a long but link-dense block still drops (the density rule, not
+    // just length): anchor text is the whole visible text
+    val dense = "<div>" + (1 to 10).map(i =>
+      s"<a href=\"/$i\">related article number $i</a>").mkString(" ") + "</div>"
+    val g2 = Corpus.removeHtmlBoilerplate(
+      Seq((9L, dense)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect()(0)
+    assert(g2.getString(1) == "" && g2.getLong(3) == 0L,
+      "link-dense block must drop on density, not length")
+  }
 }
