@@ -3219,6 +3219,47 @@ object SparkEntry {
         "doc_id", "html")
     }),
 
+    // charset-aware WARC decode: the same logical text ships as UTF-8
+    // (declared), Latin-1 (declared — 0xE9 is INVALID UTF-8, the byte
+    // the old cast mangled) and BOM'd UTF-16LE (undeclared), and all
+    // three decode to the same visible text with the charset reported
+    "q172_warc_charsets" -> ((s, dir) => {
+      Graft.tune(s)
+      def B(bs: Array[Byte]): Column = lit(bs)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      val id = col("doc_id")
+      val m = id % 3
+      val digit = unhex(lpad(hex(id % 7 + 48), 2, "0")) // ASCII digit byte
+      val digit16 = concat(digit, B(Array[Byte](0)))    // UTF-16LE digit
+      val bodyU8 = concat(
+        B("<p>café omega ".getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        digit, ascii("</p>"))
+      val bodyL1 = concat(ascii("<p>caf"), B(Array(0xE9.toByte)),
+        ascii(" omega "), digit, ascii("</p>"))
+      val bodyU16 = concat(B(Array(0xFF.toByte, 0xFE.toByte)),
+        B("<p>omega ".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)),
+        digit16,
+        B(" end</p>".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)))
+      val ctype = when(m === 0, ascii("text/html; charset=utf-8"))
+        .when(m === 1, ascii("text/html; charset=iso-8859-1"))
+        .otherwise(ascii("text/html"))
+      val body = when(m === 0, bodyU8).when(m === 1, bodyL1)
+        .otherwise(bodyU16)
+      val http = concat(ascii("HTTP/1.1 200 OK\r\nContent-Type: "), ctype,
+        ascii("\r\n\r\n"), body)
+      val resp = concat(ascii("WARC/1.0\r\n" +
+          "WARC-Type: response\r\nWARC-Target-URI: http://example.com/cs/"),
+        encode(id.cast(StringType), "UTF-8").cast(BinaryType),
+        ascii("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "),
+        encode(length(http).cast(StringType), "UTF-8").cast(BinaryType),
+        ascii("\r\n\r\n"), http, ascii("\r\n\r\n"))
+      val files = tp(s, dir, "documents")
+        .select(id.as("file_id"), resp.as("content"))
+      graft.operators.Warc.htmlDocuments(files)
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5562,6 +5603,7 @@ object SparkEntry {
               'http://example.com/doc/' || doc_id AS url,
               CAST(200 AS INTEGER) AS http_status,
               'text/html' AS http_content_type,
+              'utf-8' AS charset,
               'Doc ' || doc_id || ' Doc ' || doc_id ||
                 ' alpha beta gamma ' || (doc_id % 7) || ' delta' AS text
        FROM documents WHERE doc_id % 9 <> 5""",
@@ -5954,6 +5996,21 @@ object SparkEntry {
     "q167_msadpcm_stats" -> msAdpcmOracle,
 
     "q171_html_boilerplate" -> htmlBoilerplateOracle,
+
+    // the three charset arms decode to construction-known text; the
+    // oracle replays the construction per arm
+    "q172_warc_charsets" ->
+      """SELECT doc_id AS file_id, CAST(0 AS INTEGER) AS record_idx,
+              'http://example.com/cs/' || doc_id AS url,
+              CAST(200 AS INTEGER) AS http_status,
+              'text/html' AS http_content_type,
+              CASE WHEN doc_id % 3 = 0 THEN 'utf-8'
+                   WHEN doc_id % 3 = 1 THEN 'iso-8859-1'
+                   ELSE 'utf-16le' END AS charset,
+              CASE WHEN doc_id % 3 = 2
+                   THEN 'omega ' || (doc_id % 7) || ' end'
+                   ELSE 'café omega ' || (doc_id % 7) END AS text
+       FROM documents""",
 
     // the RTF wrapper's extraction reduces to sanitize + the appended
     // literal (header/groups drop, \par → whitespace, \'e9 → é), so

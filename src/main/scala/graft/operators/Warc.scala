@@ -67,17 +67,16 @@ object Warc {
       contentCol: String = "content", maxRecords: Int = 4096): DataFrame = {
     val recs = records(files, idCol, contentCol, maxRecords)
       .filter(col("warc_type") === "response")
-    val s = col("payload").cast(StringType)
-    val sep = instr(s, "\r\n\r\n")
-    val headStr = s.substr(lit(1), greatest(sep - 1, lit(0)))
-    val body = when(sep > 0, s.substr(sep + 4, length(s)))
-      .otherwise(lit(""))
+    // byte-level split + charset-aware decode (BOM > Content-Type
+    // charset > strict-UTF-8 sniff > windows-1252): the previous
+    // binary→string cast assumed UTF-8 and mangled the latin-1 tail
+    // a real crawl carries — see graft.expr.HttpText
+    val h = call_function(graft.expr.HttpText.FunctionName, col("payload"))
     recs.select(col(idCol), col("record_idx"),
         col("target_uri").as("url"),
-        regexp_extract(headStr, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
-          .cast(IntegerType).as("http_status"),
-        regexp_extract(headStr, "(?i)\r\ncontent-type:\\s*([^\r\n;]+)", 1)
-          .as("http_content_type"),
-        graft.functions.HtmlToText.htmlToText(body).as("text"))
+        h.getField("http_status").as("http_status"),
+        h.getField("content_type").as("http_content_type"),
+        h.getField("charset").as("charset"),
+        graft.functions.HtmlToText.htmlToText(h.getField("text")).as("text"))
   }
 }

@@ -968,6 +968,51 @@ class ExprConfigSpec extends SparkSpec {
       "empty coefficient table")
   }
 
+  test("graft_http_text: charset precedence (BOM > hint > sniff > cp1252)") {
+    def p(b: Array[Byte]) = Option(graft.expr.HttpText.parse(b))
+    def mk(head: String, body: Array[Byte]): Array[Byte] =
+      (head + "\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def f(b: Array[Byte]) = p(b).map(r => (
+      if (r.isNullAt(0)) -1 else r.getInt(0),
+      r.getUTF8String(1).toString, r.getUTF8String(2).toString,
+      r.getUTF8String(3).toString))
+    // declared utf-8: multi-byte é survives
+    assert(f(mk("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8",
+      "café".getBytes("UTF-8")))
+      .contains((200, "text/html", "utf-8", "café")))
+    // declared latin-1: 0xE9 (invalid UTF-8) decodes as é
+    assert(f(mk("HTTP/1.0 404 NF\r\nContent-Type: text/html; charset=ISO-8859-1",
+      Array('c'.toByte, 0xE9.toByte)))
+      .contains((404, "text/html", "iso-8859-1", "cé")))
+    // undeclared + invalid UTF-8 → the cp1252 web fallback, which maps
+    // 0x93/0x94 to curly quotes (latin-1 would give C1 controls)
+    assert(f(mk("HTTP/1.1 200 OK\r\nContent-Type: text/html",
+      Array(0x93.toByte, 'x'.toByte, 0x94.toByte)))
+      .contains((200, "text/html", "windows-1252", "“x”")))
+    // undeclared + valid UTF-8 → sniffed utf-8
+    assert(f(mk("HTTP/1.1 200 OK\r\nContent-Type: text/plain",
+      "ok café".getBytes("UTF-8")))
+      .contains((200, "text/plain", "utf-8", "ok café")))
+    // a BOM wins over a WRONG declared charset
+    assert(f(mk("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8",
+      Array(0xFF.toByte, 0xFE.toByte) ++ "hi".getBytes("UTF-16LE")))
+      .contains((200, "text/html", "utf-16le", "hi")))
+    assert(f(mk("HTTP/1.1 200 OK",
+      Array(0xFE.toByte, 0xFF.toByte) ++ "hi".getBytes("UTF-16BE")))
+      .contains((200, "", "utf-16be", "hi")))
+    // unknown charset label falls through to the sniff
+    assert(f(mk("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=klingon",
+      "plain".getBytes("UTF-8")))
+      .contains((200, "text/html", "utf-8", "plain")))
+    // no header/body separator: headers parsed, empty body (truncation)
+    assert(f("HTTP/1.1 301 Moved\r\nContent-Type: text/html".getBytes)
+      .contains((301, "text/html", "utf-8", "")))
+    // non-HTTP payload: NULL status, body still decodes after the sep
+    assert(f(mk("X-Whatever: yes", "data".getBytes))
+      .contains((-1, "", "utf-8", "data")))
+    assert(p(Array.emptyByteArray).isEmpty)
+  }
+
   test("graft_rtf_to_text: nested-group skipping, escapes, unicode, triage") {
     def x(s: String) = Option(graft.expr.RtfToText.extract(
       org.apache.spark.unsafe.types.UTF8String.fromString(s)))
@@ -1669,11 +1714,12 @@ class ExprConfigSpec extends SparkSpec {
     assert(recs.count(_._3 == "response") == 2 && recs.length == 6, recs.toSeq)
     val docs = graft.operators.Warc.htmlDocuments(files)
       .collect().map(r => (r.getLong(0), r.getString(2), r.getInt(3),
-        r.getString(4), r.getString(5))).sortBy(_._1)
+        r.getString(4), r.getString(5), r.getString(6))).sortBy(_._1)
     assert(docs.length == 2)
-    docs.foreach { case (_, url, status, ctype, text) =>
+    docs.foreach { case (_, url, status, ctype, charset, text) =>
       assert(url == "http://example.org/a /long/path")
       assert(status == 200 && ctype == "text/html")
+      assert(charset == "utf-8", charset)
       assert(text == "Title hello&bye", text)
     }
 
