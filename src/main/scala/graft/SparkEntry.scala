@@ -3260,6 +3260,24 @@ object SparkEntry {
       graft.operators.Warc.htmlDocuments(files)
     }),
 
+    // Markdown → text (the text-extraction family's third member):
+    // the chain is captureless regexp steps shared with the oracle
+    // generator, so both engines transform the constructed page —
+    // heading, quote, list, link, emphasis, inline and fenced code —
+    // identically even where the doc text carries markdown characters
+    "q173_markdown_to_text" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.functions.MarkdownToText
+      val md = concat(
+        lit("# Title "), col("doc_id"),
+        lit("\n\n> intro quote\n\n- first item\n- [link text](http://x/"),
+        col("doc_id"),
+        lit(")\n\n**bold** and `code span` here\n\n```\nfenced code dropped\n```\n\n"),
+        coalesce(col("text"), lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        substring(MarkdownToText.markdownToText(md), 1, 120).as("clean_text"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -5996,6 +6014,7 @@ object SparkEntry {
     "q167_msadpcm_stats" -> msAdpcmOracle,
 
     "q171_html_boilerplate" -> htmlBoilerplateOracle,
+    "q173_markdown_to_text" -> markdownOracle,
 
     // the three charset arms decode to construction-known text; the
     // oracle replays the construction per arm
@@ -6832,6 +6851,25 @@ object SparkEntry {
             ROUND(CAST(t.clp AS DOUBLE) / greatest(t.ns, 1), 6) AS clip_rate,
             c.ch_sumsq, c.ch_peak
      FROM d JOIN tot t ON d.id = t.id JOIN chj c ON d.id = c.id"""
+  }
+
+  /** q173: the markdown chain generated from
+    * [[graft.functions.MarkdownToText.Steps]] — the same constants
+    * the Column form folds, so the two surfaces cannot drift. The
+    * constructed page replays verbatim (real newlines inside the SQL
+    * literal; Verify's JSON escaper round-trips them).
+    */
+  private def markdownOracle: String = {
+    val md = "'# Title ' || doc_id || '\n\n> intro quote\n\n- first item\n- " +
+      "[link text](http://x/' || doc_id || ')\n\n**bold** and `code span` " +
+      "here\n\n```\nfenced code dropped\n```\n\n' || COALESCE(text, '')"
+    val chained = graft.functions.MarkdownToText.Steps.foldLeft(md) {
+      case (acc, (pat, rep)) => s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+    s"""SELECT doc_id,
+              substr(trim(regexp_replace($chained, '\\s+', ' ', 'g')), 1, 120)
+                AS clean_text
+       FROM documents"""
   }
 
   /** The q19 HTML→text regexp chain as a DuckDB expression over an

@@ -77,6 +77,26 @@ class FiltersSpec extends SparkSpec {
     assert(out(2) == "a b")
   }
 
+  test("markdownToText strips syntax, keeps link text, drops fenced code") {
+    import graft.functions.MarkdownToText
+    val df = Seq(
+      "# Head\n\nbody *em* **strong** __u__ ~~gone~~",
+      "- item one\n1. item two\n> quoted",
+      "See [docs](http://x) and ![alt](img.png) or [ref][1]",
+      "`inline code` stays\n\n```\nfenced code goes\n```\nafter",
+      "keep snake_case words_like_this intact",
+      "---\nbetween rules\n***"
+    ).toDF("md")
+    val out = df.select(MarkdownToText.markdownToText($"md").as("t"))
+      .as[String].collect()
+    assert(out(0) == "Head body em strong u gone")
+    assert(out(1) == "item one item two quoted")
+    assert(out(2) == "See docs and alt or ref")
+    assert(out(3) == "inline code stays after")
+    assert(out(4) == "keep snake_case words_like_this intact")
+    assert(out(5) == "between rules")
+  }
+
   test("preferNonBlank keeps history notes when new notes blank") {
     val df = Seq(
       ("", "old"), ("  ", "old2"), ("new", "old3"), (null, "old4")
