@@ -195,6 +195,22 @@ object ScaleShakeout {
       graft.operators.Corpus.removeDuplicatedSpans(docs, "doc_id", "text",
         k = 8, maxDocFreq = 100L))
 
+    // HTML boilerplate removal: block split → per-block regexp
+    // features (two HtmlToText chains per block) → one groupBy(doc)
+    // reassembly. Pages wrap the corpus text in the q171 trap
+    // structure (link-only nav/footer, short teaser, one real body) —
+    // per-doc blocks are bounded, so the shuffle key is skew-free
+    run("htmlBoilerplate") {
+      val pages = docs.select(col("doc_id"),
+        concat(
+          lit("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/c\">Contact us</a></div><p>"),
+          col("text"),
+          lit("</p><p>Read on</p><div>meta <a href=\"/p\">Privacy</a> " +
+            "<a href=\"/t\">Terms of use</a></div>")).as("html"))
+      graft.operators.Corpus.removeHtmlBoilerplate(pages, "doc_id", "html")
+    }
+
     // dedup-on-ingest at corpus scale: the index build is the one-time
     // full-corpus pass; the ARRIVAL batch (2% of corpus, half exact
     // dups of corpus docs, half fresh) is the per-trigger cost the
