@@ -3278,6 +3278,69 @@ object SparkEntry {
         substring(MarkdownToText.markdownToText(md), 1, 120).as("clean_text"))
     }),
 
+    // the round-11 capstone: crawl → corpus in ONE relational plan.
+    // WARC records → byte-level HTTP split with charset-aware decode
+    // (UTF-8 declared / Latin-1 declared / cp1252 sniffed arms, the
+    // codepage-sensitive characters living in the KEPT paragraph so a
+    // wrong decode changes the output) → block link-density
+    // boilerplate removal → exact dedup keyed on the md5 of the clean
+    // text (first file id per key wins). Every stage replays
+    // relationally, so the whole pipeline is one oracle
+    "q174_web_pipeline" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.{Corpus, Warc}
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      val id = col("doc_id")
+      val m = id % 3
+      val prefix = when(m === 0,
+          lit("café ".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        .when(m === 1, concat(ascii("caf"), lit(Array(0xE9.toByte)),
+          ascii(" ")))
+        .otherwise(concat(lit(Array(0x93.toByte)), ascii("q"),
+          lit(Array(0x94.toByte)), ascii(" ")))
+      val body = concat(
+        ascii("<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact us</a></div><p>"),
+        prefix,
+        encode(coalesce(col("text"), lit("")), "UTF-8").cast(BinaryType),
+        ascii("</p><p>Read on</p><div>meta <a href=\"/p\">Privacy</a> " +
+          "<a href=\"/t\">Terms of use</a></div>"))
+      val ctype = when(m === 0, ascii("text/html; charset=utf-8"))
+        .when(m === 1, ascii("text/html; charset=iso-8859-1"))
+        .otherwise(ascii("text/html"))
+      val http = concat(ascii("HTTP/1.1 200 OK\r\nContent-Type: "), ctype,
+        ascii("\r\n\r\n"), body)
+      val resp = concat(ascii("WARC/1.0\r\n" +
+          "WARC-Type: response\r\nWARC-Target-URI: http://example.com/page/"),
+        encode(id.cast(StringType), "UTF-8").cast(BinaryType),
+        ascii("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          "Content-Length: "),
+        encode(length(http).cast(StringType), "UTF-8").cast(BinaryType),
+        ascii("\r\n\r\n"), http, ascii("\r\n\r\n"))
+      val files = tp(s, dir, "documents")
+        .select(id.as("file_id"), resp.as("content"))
+      val recs = Warc.records(files).filter(col("warc_type") === "response")
+      val h = call_function(graft.expr.HttpText.FunctionName, col("payload"))
+      val pages = recs.select(col("file_id"),
+        col("target_uri").as("url"),
+        h.getField("charset").as("charset"),
+        h.getField("text").as("html"))
+      val cleaned = Corpus.removeHtmlBoilerplate(
+        pages.select(col("file_id"), col("html")), "file_id", "html")
+      val keyed = cleaned
+        .join(pages.select(col("file_id"), col("url"), col("charset")),
+          "file_id")
+        .withColumn("text_md5", md5(col("clean_text")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("text_md5")
+      keyed
+        .withColumn("kept",
+          (col("file_id") === min(col("file_id")).over(w)).cast(IntegerType))
+        .select(col("file_id"), col("url"), col("charset"),
+          substring(col("clean_text"), 1, 100).as("clean_text"),
+          col("n_kept"), col("text_md5"), col("kept"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -6015,6 +6078,7 @@ object SparkEntry {
 
     "q171_html_boilerplate" -> htmlBoilerplateOracle,
     "q173_markdown_to_text" -> markdownOracle,
+    "q174_web_pipeline" -> webPipelineOracle,
 
     // the three charset arms decode to construction-known text; the
     // oracle replays the construction per arm
@@ -6870,6 +6934,41 @@ object SparkEntry {
               substr(trim(regexp_replace($chained, '\\s+', ' ', 'g')), 1, 120)
                 AS clean_text
        FROM documents"""
+  }
+
+  /** q174: the whole crawl→corpus pipeline reduces to a per-doc
+    * construction replay — only the body paragraph survives the
+    * boilerplate stage, its decoded prefix is arm-determined (the
+    * UTF-8 and Latin-1 arms decode to the SAME 'café', the sniffed
+    * cp1252 arm to curly quotes), and the dedup key is the md5 of the
+    * collapsed text with first-file-id-wins.
+    */
+  private def webPipelineOracle: String = {
+    val para = "(CASE WHEN doc_id % 3 = 2 THEN '<p>“q” ' " +
+      "ELSE '<p>café ' END || COALESCE(text, ''))"
+    val t = html2textSql(para)
+    s"""WITH f AS (
+         SELECT doc_id, $t AS t,
+                CASE WHEN doc_id % 3 = 0 THEN 'utf-8'
+                     WHEN doc_id % 3 = 1 THEN 'iso-8859-1'
+                     ELSE 'windows-1252' END AS charset
+         FROM documents),
+       g AS (SELECT doc_id, charset,
+               CASE WHEN length(t) >= 30 THEN t ELSE '' END AS clean_text,
+               CASE WHEN length(t) >= 30 THEN 1 ELSE 0 END AS nk
+             FROM f),
+       k AS (SELECT doc_id, charset, clean_text, nk,
+               md5(clean_text) AS text_md5,
+               CASE WHEN doc_id =
+                 MIN(doc_id) OVER (PARTITION BY md5(clean_text))
+                 THEN 1 ELSE 0 END AS kept
+             FROM g)
+     SELECT doc_id AS file_id,
+            'http://example.com/page/' || doc_id AS url,
+            charset, substr(clean_text, 1, 100) AS clean_text,
+            CAST(nk AS BIGINT) AS n_kept, text_md5,
+            CAST(kept AS INTEGER) AS kept
+     FROM k"""
   }
 
   /** The q19 HTML→text regexp chain as a DuckDB expression over an
