@@ -35,6 +35,8 @@ object Documents {
       extractTextFromDocx(resumePath)
     else if (lower.endsWith(".pdf"))
       extractTextFromPdf(resumePath)
+    else if (lower.endsWith(".epub"))
+      extractTextFromEpub(resumePath)
     else if (lower.endsWith(".rtf")) {
       // the shared RTF state machine (graft.expr.RtfToText); RTF is
       // nominally 7-bit ASCII with \'hh escapes, so a Latin-1 read
@@ -48,7 +50,118 @@ object Documents {
       out.toString
     } else
       throw new IllegalArgumentException(
-        "Unsupported resume format. Please provide a TXT, Markdown, DOCX, PDF or RTF file.")
+        "Unsupported resume format. Please provide a TXT, Markdown, DOCX, PDF, RTF or EPUB file.")
+  }
+
+  /** EPUB (OCF zip) text extraction — books are core corpus material.
+    * Chapter ORDER comes from the package spine: META-INF/container
+    * .xml names the OPF, whose manifest maps ids to hrefs and whose
+    * spine lists reading order (both plain XML — DOM-parsed with
+    * doctypes refused, safe because neither carries entities). The
+    * XHTML chapters themselves are NOT DOM-parsed: real book markup
+    * leans on `&nbsp;`-class entities whose definitions live in
+    * external DTDs a hardened parser must not fetch, so chapters go
+    * through the same regexp strip chain as the engine's HTML column
+    * path ([[htmlToTextString]]). A package whose container/OPF is
+    * missing or damaged falls back to every `.xhtml/.html` entry in
+    * zip order (triage: a damaged book still yields its text); a zip
+    * with neither marker is a typed error like the other formats.
+    * Bomb guards: 1000 chapters, 8 MiB per entry, 64 MiB total.
+    */
+  private[sources] def extractTextFromEpub(epubPath: String): String = {
+    val zip = new java.util.zip.ZipFile(epubPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      def read(name: String, cap: Int = 8 << 20): Option[String] =
+        Option(zip.getEntry(name)).filter(_.getSize <= cap).map { e =>
+          new String(zip.getInputStream(e).readAllBytes(),
+            StandardCharsets.UTF_8)
+        }
+      def dom(xml: String): Option[org.w3c.dom.Document] = try {
+        val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        dbf.setNamespaceAware(true)
+        dbf.setFeature(
+          "http://apache.org/xml/features/disallow-doctype-decl", true)
+        Some(dbf.newDocumentBuilder().parse(
+          new java.io.ByteArrayInputStream(
+            xml.getBytes(StandardCharsets.UTF_8))))
+      } catch { case _: Exception => None }
+
+      // spine-ordered hrefs via container.xml → OPF; None on damage
+      val spineHrefs: Option[Seq[String]] = for {
+        containerXml <- read("META-INF/container.xml")
+        container <- dom(containerXml)
+        opfPath <- container.getElementsByTagNameNS("*", "rootfile")
+          .asInstanceOf[org.w3c.dom.NodeList] match {
+            case nl if nl.getLength > 0 =>
+              Option(nl.item(0).getAttributes.getNamedItem("full-path"))
+                .map(_.getNodeValue)
+            case _ => None
+          }
+        opfXml <- read(opfPath)
+        opf <- dom(opfXml)
+      } yield {
+        val opfDir = opfPath.lastIndexOf('/') match {
+          case -1 => ""
+          case i => opfPath.substring(0, i + 1)
+        }
+        val items = opf.getElementsByTagNameNS("*", "item")
+        val byId = (0 until items.getLength).flatMap { i =>
+          val a = items.item(i).getAttributes
+          for {
+            id <- Option(a.getNamedItem("id"))
+            href <- Option(a.getNamedItem("href"))
+          } yield id.getNodeValue -> (opfDir + href.getNodeValue)
+        }.toMap
+        val refs = opf.getElementsByTagNameNS("*", "itemref")
+        (0 until refs.getLength).flatMap { i =>
+          Option(refs.item(i).getAttributes.getNamedItem("idref"))
+            .map(_.getNodeValue).flatMap(byId.get)
+        }
+      }
+      val hrefs: Seq[String] = spineHrefs.filter(_.nonEmpty).getOrElse {
+        // damaged/missing package metadata: every markup entry in
+        // zip order still yields the book's text
+        zip.entries().asScala.map(_.getName)
+          .filter(_.toLowerCase.matches(".*\\.(xhtml|html|htm)$"))
+          .toSeq
+      }
+      if (hrefs.isEmpty) {
+        val isEpub = read("mimetype").exists(_.trim == "application/epub+zip")
+        throw new IllegalArgumentException(
+          if (isEpub) s"EPUB package has no readable chapters: $epubPath"
+          else s"Not an EPUB package: $epubPath")
+      }
+      val sb = new StringBuilder
+      var total = 0L
+      hrefs.take(1000).foreach { h =>
+        read(h).foreach { xhtml =>
+          if (total < (64L << 20)) {
+            total += xhtml.length
+            val t = htmlToTextString(xhtml)
+            if (t.nonEmpty) { sb.append(t); sb.append('\n') }
+          }
+        }
+      }
+      sb.toString
+    } finally zip.close()
+  }
+
+  /** Driver-side mirror of the HTML column chain
+    * ([[graft.functions.HtmlToText]]): same steps, same order, plain
+    * java.util.regex — kept in lockstep so an EPUB chapter and the
+    * same markup in a text column extract identically.
+    */
+  private def htmlToTextString(html: String): String = {
+    val noScript = html.replaceAll(
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noComment = noScript.replaceAll("(?s)<!--.*?-->", " ")
+    val noTags = noComment.replaceAll("<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
+      .foldLeft(noTags) { case (acc, (e, r)) => acc.replace(e, r) }
+    decoded.replaceAll("&#\\d+;", " ").replaceAll("\\s+", " ").trim
   }
 
   /** WordprocessingML text extraction: one output line per `w:p`

@@ -85,6 +85,64 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("Unsupported resume format"))
   }
 
+  test("resume reader extracts EPUB chapters in spine order, with triage") {
+    import graft.sources.Documents
+    val tmp = java.nio.file.Files.createTempDirectory("graft-epub")
+    def zipFile(path: java.nio.file.Path, entries: (String, String)*): String = {
+      val zos = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(path))
+      entries.foreach { case (n, c) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+      path.toString
+    }
+    val container =
+      """<?xml version="1.0"?>
+        |<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+        | <rootfiles><rootfile full-path="OEBPS/content.opf"
+        |   media-type="application/oebps-package+xml"/></rootfiles>
+        |</container>""".stripMargin
+    // the spine lists ch2 BEFORE ch1 — output order must follow the
+    // spine, not the zip entry order
+    val opf =
+      """<?xml version="1.0"?>
+        |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+        | <manifest>
+        |  <item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+        |  <item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>
+        | </manifest>
+        | <spine><itemref idref="c2"/><itemref idref="c1"/></spine>
+        |</package>""".stripMargin
+    // entity-laden XHTML with a doctype — the markup real books carry;
+    // the regexp chain must survive what a hardened DOM parser cannot
+    val ch1 = """<!DOCTYPE html><html><body><p>first&nbsp;chapter python</p>
+                |<style>p { color: red }</style></body></html>""".stripMargin
+    val ch2 = "<html><body><h1>Second &amp; chapter</h1> spark</body></html>"
+    val book = zipFile(tmp.resolve("book.epub"),
+      "mimetype" -> "application/epub+zip",
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf,
+      "OEBPS/ch1.xhtml" -> ch1,
+      "OEBPS/ch2.xhtml" -> ch2)
+    val text = Documents.readResume(book)
+    assert(text == "Second & chapter spark\nfirst chapter python\n", text)
+
+    // damaged package metadata: falls back to zip-order markup entries
+    val damaged = zipFile(tmp.resolve("damaged.epub"),
+      "mimetype" -> "application/epub+zip",
+      "a.xhtml" -> "<p>alpha text</p>",
+      "b.html" -> "<p>beta text</p>")
+    assert(Documents.readResume(damaged) == "alpha text\nbeta text\n")
+
+    // a zip with neither container nor markup is a typed error
+    val notBook = zipFile(tmp.resolve("notbook.epub"), "data.bin" -> "junk")
+    val e = intercept[IllegalArgumentException](Documents.readResume(notBook))
+    assert(e.getMessage.contains("Not an EPUB package"))
+  }
+
   test("resume reader extracts PDF text: raw + FlateDecode streams, WinAnsi, hex strings") {
     import graft.sources.Documents
     val tmp = java.nio.file.Files.createTempDirectory("graft-pdf")
