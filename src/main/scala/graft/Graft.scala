@@ -96,6 +96,7 @@ object Graft {
     graft.expr.WarcRecords.register(spark)
     graft.expr.RtfToText.register(spark)
     graft.expr.HttpText.register(spark)
+    graft.expr.EpubText.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

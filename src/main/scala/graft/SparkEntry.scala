@@ -3341,6 +3341,59 @@ object SparkEntry {
           col("n_kept"), col("text_md5"), col("kept"))
     }),
 
+    // EPUB decode in the DISTRIBUTED path: a STORED-entry zip built
+    // in-plan (the hand walk ignores CRCs, so the fixture needs no
+    // CRC32-in-SQL) with the spine ordering ch2 before ch1; the
+    // oracle replays the construction through the shared HTML chain
+    "q175_epub_text" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def entry(name: String, data: Column): Column =
+        concat(lit(Array[Byte]('P', 'K', 3, 4)), le16(lit(20)),
+          le16(lit(0)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+          le32(lit(0)), le32(length(data)), le32(length(data)),
+          le16(lit(name.length)), le16(lit(0)),
+          ascii(name), data)
+      val id = col("doc_id")
+      val container =
+        """<?xml version="1.0"?>
+          |<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+          | <rootfiles><rootfile full-path="OEBPS/content.opf"
+          |   media-type="application/oebps-package+xml"/></rootfiles>
+          |</container>""".stripMargin
+      val opf =
+        """<?xml version="1.0"?>
+          |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+          | <manifest>
+          |  <item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+          |  <item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>
+          | </manifest>
+          | <spine><itemref idref="c2"/><itemref idref="c1"/></spine>
+          |</package>""".stripMargin
+      val ch1 = encode(concat(lit("<p>alpha "), coalesce(col("text"), lit("")),
+        lit("</p>")), "UTF-8").cast(BinaryType)
+      val ch2 = encode(concat(lit("<h1>Doc "), id, lit("</h1>")), "UTF-8")
+        .cast(BinaryType)
+      val book = concat(
+        entry("mimetype", ascii("application/epub+zip")),
+        entry("META-INF/container.xml", ascii(container)),
+        entry("OEBPS/content.opf", ascii(opf)),
+        entry("OEBPS/ch1.xhtml", ch1),
+        entry("OEBPS/ch2.xhtml", ch2))
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(call_function(graft.expr.EpubText.FunctionName, book),
+          1, 150).as("book_text"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -6079,6 +6132,7 @@ object SparkEntry {
     "q171_html_boilerplate" -> htmlBoilerplateOracle,
     "q173_markdown_to_text" -> markdownOracle,
     "q174_web_pipeline" -> webPipelineOracle,
+    "q175_epub_text" -> epubOracle,
 
     // the three charset arms decode to construction-known text; the
     // oracle replays the construction per arm
@@ -6969,6 +7023,18 @@ object SparkEntry {
             CAST(nk AS BIGINT) AS n_kept, text_md5,
             CAST(kept AS INTEGER) AS kept
      FROM k"""
+  }
+
+  /** q175: the spine orders ch2 ("Doc N") before ch1 ("alpha " +
+    * text), each chapter through the shared HTML chain, joined by
+    * newlines.
+    */
+  private def epubOracle: String = {
+    val ch1 = html2textSql("('<p>alpha ' || COALESCE(text, '') || '</p>')")
+    s"""SELECT doc_id,
+              substr('Doc ' || doc_id || chr(10) || $ch1 || chr(10), 1, 150)
+                AS book_text
+       FROM documents"""
   }
 
   /** The q19 HTML→text regexp chain as a DuckDB expression over an

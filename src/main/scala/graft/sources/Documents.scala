@@ -77,55 +77,8 @@ object Documents {
           new String(zip.getInputStream(e).readAllBytes(),
             StandardCharsets.UTF_8)
         }
-      def dom(xml: String): Option[org.w3c.dom.Document] = try {
-        val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-        dbf.setNamespaceAware(true)
-        dbf.setFeature(
-          "http://apache.org/xml/features/disallow-doctype-decl", true)
-        Some(dbf.newDocumentBuilder().parse(
-          new java.io.ByteArrayInputStream(
-            xml.getBytes(StandardCharsets.UTF_8))))
-      } catch { case _: Exception => None }
-
-      // spine-ordered hrefs via container.xml → OPF; None on damage
-      val spineHrefs: Option[Seq[String]] = for {
-        containerXml <- read("META-INF/container.xml")
-        container <- dom(containerXml)
-        opfPath <- container.getElementsByTagNameNS("*", "rootfile")
-          .asInstanceOf[org.w3c.dom.NodeList] match {
-            case nl if nl.getLength > 0 =>
-              Option(nl.item(0).getAttributes.getNamedItem("full-path"))
-                .map(_.getNodeValue)
-            case _ => None
-          }
-        opfXml <- read(opfPath)
-        opf <- dom(opfXml)
-      } yield {
-        val opfDir = opfPath.lastIndexOf('/') match {
-          case -1 => ""
-          case i => opfPath.substring(0, i + 1)
-        }
-        val items = opf.getElementsByTagNameNS("*", "item")
-        val byId = (0 until items.getLength).flatMap { i =>
-          val a = items.item(i).getAttributes
-          for {
-            id <- Option(a.getNamedItem("id"))
-            href <- Option(a.getNamedItem("href"))
-          } yield id.getNodeValue -> (opfDir + href.getNodeValue)
-        }.toMap
-        val refs = opf.getElementsByTagNameNS("*", "itemref")
-        (0 until refs.getLength).flatMap { i =>
-          Option(refs.item(i).getAttributes.getNamedItem("idref"))
-            .map(_.getNodeValue).flatMap(byId.get)
-        }
-      }
-      val hrefs: Seq[String] = spineHrefs.filter(_.nonEmpty).getOrElse {
-        // damaged/missing package metadata: every markup entry in
-        // zip order still yields the book's text
-        zip.entries().asScala.map(_.getName)
-          .filter(_.toLowerCase.matches(".*\\.(xhtml|html|htm)$"))
-          .toSeq
-      }
+      val hrefs: Seq[String] = epubChapterNames(n => read(n),
+        zip.entries().asScala.map(_.getName).toSeq)
       if (hrefs.isEmpty) {
         val isEpub = read("mimetype").exists(_.trim == "application/epub+zip")
         throw new IllegalArgumentException(
@@ -147,12 +100,68 @@ object Documents {
     } finally zip.close()
   }
 
+  /** The EPUB package walk shared by the file reader and the
+    * distributed binary-column expression
+    * ([[graft.expr.EpubText]]): container.xml → OPF → spine-ordered
+    * chapter names (both plain XML, DOM-parsed with doctypes
+    * refused); damaged or missing package metadata falls back to
+    * every markup entry in archive order.
+    */
+  private[graft] def epubChapterNames(read: String => Option[String],
+      allNames: => Seq[String]): Seq[String] = {
+    def dom(xml: String): Option[org.w3c.dom.Document] = try {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true)
+      dbf.setFeature(
+        "http://apache.org/xml/features/disallow-doctype-decl", true)
+      Some(dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(
+          xml.getBytes(StandardCharsets.UTF_8))))
+    } catch { case _: Exception => None }
+    val spineHrefs: Option[Seq[String]] = for {
+      containerXml <- read("META-INF/container.xml")
+      container <- dom(containerXml)
+      opfPath <- {
+        val nl = container.getElementsByTagNameNS("*", "rootfile")
+        if (nl.getLength > 0)
+          Option(nl.item(0).getAttributes.getNamedItem("full-path"))
+            .map(_.getNodeValue)
+        else None
+      }
+      opfXml <- read(opfPath)
+      opf <- dom(opfXml)
+    } yield {
+      val opfDir = opfPath.lastIndexOf('/') match {
+        case -1 => ""
+        case i => opfPath.substring(0, i + 1)
+      }
+      val items = opf.getElementsByTagNameNS("*", "item")
+      val byId = (0 until items.getLength).flatMap { i =>
+        val a = items.item(i).getAttributes
+        for {
+          id <- Option(a.getNamedItem("id"))
+          href <- Option(a.getNamedItem("href"))
+        } yield id.getNodeValue -> (opfDir + href.getNodeValue)
+      }.toMap
+      val refs = opf.getElementsByTagNameNS("*", "itemref")
+      (0 until refs.getLength).flatMap { i =>
+        Option(refs.item(i).getAttributes.getNamedItem("idref"))
+          .map(_.getNodeValue).flatMap(byId.get)
+      }
+    }
+    spineHrefs.filter(_.nonEmpty).getOrElse {
+      // damaged/missing package metadata: every markup entry in
+      // archive order still yields the book's text
+      allNames.filter(_.toLowerCase.matches(".*\\.(xhtml|html|htm)$"))
+    }
+  }
+
   /** Driver-side mirror of the HTML column chain
     * ([[graft.functions.HtmlToText]]): same steps, same order, plain
     * java.util.regex — kept in lockstep so an EPUB chapter and the
     * same markup in a text column extract identically.
     */
-  private def htmlToTextString(html: String): String = {
+  private[graft] def htmlToTextString(html: String): String = {
     val noScript = html.replaceAll(
       "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
     val noComment = noScript.replaceAll("(?s)<!--.*?-->", " ")

@@ -37,7 +37,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "WarcRecords" -> (b => graft.expr.WarcRecords.records(b, 64)),
     "HttpText" -> (b => graft.expr.HttpText.parse(b)),
     "RtfToText" -> (b => graft.expr.RtfToText.extract(
-      UTF8String.fromBytes(b))))
+      UTF8String.fromBytes(b))),
+    "EpubText" -> (b => graft.expr.EpubText.parse(b)))
 
   private val magics: Seq[Array[Byte]] = Seq(
     "RIFF????WAVE".getBytes("ISO-8859-1"),
@@ -53,6 +54,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "WARC/1.0\r\n".getBytes("ISO-8859-1"),
     "HTTP/1.1 200 OK\r\n".getBytes("ISO-8859-1"),
     "{\\rtf1".getBytes("ISO-8859-1"),
+    Array[Byte](0x50, 0x4B, 0x03, 0x04), // zip local header (EPUB)
     Array[Byte](0x49, 0x49, 0x2A, 0x00), // TIFF little-endian
     Array[Byte](0x4D, 0x4D, 0x00, 0x2A)) // TIFF big-endian
 

@@ -1013,6 +1013,72 @@ class ExprConfigSpec extends SparkSpec {
     assert(p(Array.emptyByteArray).isEmpty)
   }
 
+  test("graft_epub_text: hand zip walk (stored+deflated+descriptors), spine order") {
+    def parse(b: Array[Byte]) = Option(graft.expr.EpubText.parse(b)).map(_.toString)
+    val container =
+      """<?xml version="1.0"?>
+        |<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+        | <rootfiles><rootfile full-path="OEBPS/content.opf"
+        |   media-type="application/oebps-package+xml"/></rootfiles>
+        |</container>""".stripMargin
+    val opf =
+      """<?xml version="1.0"?>
+        |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+        | <manifest>
+        |  <item id="c1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+        |  <item id="c2" href="ch2.xhtml" media-type="application/xhtml+xml"/>
+        | </manifest>
+        | <spine><itemref idref="c2"/><itemref idref="c1"/></spine>
+        |</package>""".stripMargin
+    val entries = Seq(
+      "mimetype" -> "application/epub+zip",
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf,
+      "OEBPS/ch1.xhtml" -> "<p>first&nbsp;chapter python</p>",
+      "OEBPS/ch2.xhtml" -> "<h1>Second &amp; chapter</h1> spark")
+    // ZipOutputStream writes DEFLATED entries with data descriptors —
+    // the form the hand walk must cross via the inflater's byte count
+    def zipDeflated(es: Seq[(String, String)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      es.foreach { case (n, c) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); bos.toByteArray
+    }
+    // hand-built STORED zip with a deliberately WRONG CRC: the walk
+    // must not care (a flipped bit costs a chapter, not the book —
+    // and oracle fixtures replay without computing CRC32 in SQL)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def zipStored(es: Seq[(String, String)]): Array[Byte] =
+      es.flatMap { case (n, c) =>
+        val name = n.getBytes("UTF-8")
+        val data = c.getBytes("UTF-8")
+        (Array[Byte]('P', 'K', 3, 4) ++ le16(20) ++ le16(0) ++ le16(0) ++
+          le16(0) ++ le16(0) ++ le32(0xBAD) ++ le32(data.length) ++
+          le32(data.length) ++ le16(name.length) ++ le16(0) ++
+          name ++ data).toSeq
+      }.toArray
+    val expected = "Second & chapter spark\nfirst chapter python\n"
+    assert(parse(zipDeflated(entries)).contains(expected), "deflated")
+    assert(parse(zipStored(entries)).contains(expected), "stored, bad CRC")
+    // damaged package metadata → archive-order markup fallback
+    assert(parse(zipStored(Seq(
+      "a.xhtml" -> "<p>alpha</p>", "b.html" -> "<p>beta</p>")))
+      .contains("alpha\nbeta\n"))
+    // truncated archive: the cut removes the LAST entry (ch2), so the
+    // spine skips it and the surviving chapter still extracts
+    assert(parse(zipStored(entries).dropRight(10))
+      .contains("first chapter python\n"), "truncation keeps decoded chapters")
+    // triage: not a zip / zip without chapters / empty → NULL
+    assert(parse("not a zip at all".getBytes).isEmpty)
+    assert(parse(zipStored(Seq("data.bin" -> "junk"))).isEmpty)
+    assert(parse(Array.emptyByteArray).isEmpty)
+  }
+
   test("graft_rtf_to_text: nested-group skipping, escapes, unicode, triage") {
     def x(s: String) = Option(graft.expr.RtfToText.extract(
       org.apache.spark.unsafe.types.UTF8String.fromString(s)))
