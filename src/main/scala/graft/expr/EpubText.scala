@@ -112,6 +112,15 @@ object EpubText {
           total += csize
         }
         o = dataOff + csize.toInt
+        // a stored entry MAY still carry the optional data
+        // descriptor (flag bit 3 with header sizes present) — skip
+        // it by signature the same way the deflate branch does, or
+        // the next local-header magic check silently drops the rest
+        if (descriptor) {
+          if (o + 4 <= b.length && b(o) == 'P' && b(o + 1) == 'K' &&
+            b(o + 2) == 7 && b(o + 3) == 8) o += 16
+          else o += 12
+        }
       } else if (method == 8) {
         val inf = new java.util.zip.Inflater(true)
         inf.setInput(b, dataOff, b.length - dataOff)

@@ -89,9 +89,9 @@ object GifFrames {
   private val IlStep = Array(8, 8, 4, 2)
 
   /** Full LZW decode of `data` into exactly `nPixels` index bytes
-    * (extra codes ignored, truncation returns what decoded — the
-    * caller treats a short raster as a failed frame). Null on a
-    * corrupt code stream.
+    * (extra codes past the raster are ignored). Null on a corrupt OR
+    * truncated code stream — a short raster must not be composited,
+    * so a stream that ends before filling the raster fails the frame.
     */
   private def lzwDecode(data: Array[Byte], minCode: Int,
       nPixels: Int): Array[Byte] = {
@@ -167,7 +167,7 @@ object GifFrames {
         }
       }
     }
-    if (outN == 0) null else out
+    if (outN < nPixels) null else out
   }
 
   /** bytes → array of composited PPM frames, or null. Static for

@@ -239,8 +239,14 @@ object ImageMeta {
       return row("tiff", w.toInt, h.toInt, spp, bits)
     }
     // ---- BMP: BITMAPINFOHEADER dims (height may be negative =
-    // top-down; magnitude is the pixel height)
+    // top-down; magnitude is the pixel height). The field layout
+    // below requires the 40-byte-or-wider DIB family — an OS/2
+    // BITMAPCOREHEADER (size 12, 16-bit dims) would misparse, so
+    // triage on the DIB size field first.
     if (b(0) == 'B' && b(1) == 'M' && b.length >= 30) {
+      val dibSize = (b(14) & 0xFF) | ((b(15) & 0xFF) << 8) |
+        ((b(16) & 0xFF) << 16) | ((b(17) & 0xFF) << 24)
+      if (dibSize < 40) return null
       val w = (b(18) & 0xFF) | ((b(19) & 0xFF) << 8) |
         ((b(20) & 0xFF) << 16) | ((b(21) & 0xFF) << 24)
       val hRaw = (b(22) & 0xFF) | ((b(23) & 0xFF) << 8) |

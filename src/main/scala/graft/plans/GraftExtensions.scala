@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, Mp4Frames, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, EpubText, HttpText, Mp4Frames, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -135,6 +135,15 @@ object GraftExtensions {
           if (exprs.length > 1)
             ExprArgs.intLit(WarcRecords.FunctionName, "maxRecords", exprs(1))
           else 4096)),
+      (FunctionIdentifier(RtfToText.FunctionName),
+        info(RtfToText.FunctionName, classOf[RtfToText]),
+        exprs => RtfToText(exprs.head)),
+      (FunctionIdentifier(HttpText.FunctionName),
+        info(HttpText.FunctionName, classOf[HttpText]),
+        exprs => HttpText(exprs.head)),
+      (FunctionIdentifier(EpubText.FunctionName),
+        info(EpubText.FunctionName, classOf[EpubText]),
+        exprs => EpubText(exprs.head)),
       (FunctionIdentifier(VecDistance.L2SqName),
         info(VecDistance.L2SqName, classOf[L2SqDistance]),
         exprs => L2SqDistance(exprs(0), exprs(1))),

@@ -134,6 +134,13 @@ class ExprConfigSpec extends SparkSpec {
         leBytes(1, 2) ++ leBytes(bpp, 2) ++ Array.fill[Byte](8)(0)
     assert(parsed(bmp(800, 600, 24)).contains(("bmp", 800, 600, 3, 8)))
     assert(parsed(bmp(64, -32, 8)).contains(("bmp", 64, 32, 1, 8)))
+    // OS/2 BITMAPCOREHEADER (DIB size 12, 16-bit dims): the INFO-header
+    // field layout does not apply — must triage to NULL, not misparse
+    val os2 = "BM".getBytes ++ leBytes(0, 4) ++ leBytes(0, 4) ++
+      leBytes(26, 4) ++ leBytes(12, 4) ++ leBytes(320, 2) ++
+      leBytes(200, 2) ++ leBytes(1, 2) ++ leBytes(24, 2) ++
+      Array.fill[Byte](8)(0)
+    assert(parsed(os2).isEmpty, "OS/2 core header must triage to NULL")
     // ---- PPM/PGM ASCII headers with a comment line
     assert(parsed("P6\n# a comment\n120 80\n255\n".getBytes)
       .contains(("ppm", 120, 80, 3, 8)))
@@ -1065,6 +1072,25 @@ class ExprConfigSpec extends SparkSpec {
     val expected = "Second & chapter spark\nfirst chapter python\n"
     assert(parse(zipDeflated(entries)).contains(expected), "deflated")
     assert(parse(zipStored(entries)).contains(expected), "stored, bad CRC")
+    // STORED entries with the data-descriptor flag set but sizes in
+    // the header: the 12/16-byte descriptor after the payload must be
+    // skipped or every following entry is silently dropped
+    def zipStoredDesc(es: Seq[(String, String)], signed: Boolean): Array[Byte] =
+      es.flatMap { case (n, c) =>
+        val name = n.getBytes("UTF-8")
+        val data = c.getBytes("UTF-8")
+        val desc =
+          (if (signed) Array[Byte]('P', 'K', 7, 8) else Array.emptyByteArray) ++
+            le32(0xBAD) ++ le32(data.length) ++ le32(data.length)
+        (Array[Byte]('P', 'K', 3, 4) ++ le16(20) ++ le16(8) ++ le16(0) ++
+          le16(0) ++ le16(0) ++ le32(0xBAD) ++ le32(data.length) ++
+          le32(data.length) ++ le16(name.length) ++ le16(0) ++
+          name ++ data ++ desc).toSeq
+      }.toArray
+    assert(parse(zipStoredDesc(entries, signed = true)).contains(expected),
+      "stored + signed descriptor")
+    assert(parse(zipStoredDesc(entries, signed = false)).contains(expected),
+      "stored + bare descriptor")
     // damaged package metadata → archive-order markup fallback
     assert(parse(zipStored(Seq(
       "a.xhtml" -> "<p>alpha</p>", "b.html" -> "<p>beta</p>")))
@@ -1702,6 +1728,16 @@ class ExprConfigSpec extends SparkSpec {
     bomb(6) = 0xFF.toByte; bomb(7) = 0xFF.toByte // w := 65535
     bomb(8) = 0xFF.toByte; bomb(9) = 0x7F.toByte // h := 32767
     assert(frames(bomb).isEmpty)
+    // an LZW code stream that ENDS before filling the raster is a
+    // failed frame — it must be dropped, never composited zero-padded
+    // (2×2 frame, minCode 2: clear(4) + one root code, then nothing)
+    val truncLzw = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      2, 0, 2, 0, 0x80.toByte, 0, 0, // 2×2 screen, 2-entry GCT
+      0, 0, 0, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, // palette
+      0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0, // full-frame descriptor
+      2, 1, 0x0C, 0, // minCode 2; one sub-block: clear, root 1; end
+      0x3B)
+    assert(frames(truncLzw).isEmpty, "truncated LZW composited a frame")
 
     // dispatch: animated GIFs flow through the SAME videoFrames
     // operator as AVI/MP4, and the PPM frames pixel-decode downstream
@@ -1912,6 +1948,32 @@ class ExprConfigSpec extends SparkSpec {
       .collect()(0).getAs[scala.collection.Seq[Long]](0).size == 16)
     assert(fresh.sql("SELECT graft_simhash(array('x','y'))")
       .collect()(0).getLong(0) != 0L)
+    // the crawl-text tier resolves in extension-only sessions too
+    // (regression: these were once registered only via Graft.tune)
+    assert(fresh.sql("SELECT graft_rtf_to_text('{\\\\rtf1 hi}')")
+      .collect()(0).getString(0) == "hi")
+    assert(fresh.sql(
+      "SELECT graft_http_text(cast(null as binary))").collect()(0).isNullAt(0))
+    assert(fresh.sql(
+      "SELECT graft_epub_text(cast(null as binary))").collect()(0).isNullAt(0))
+  }
+
+  test("extension registry parity: Graft.tune adds no graft_* name the extension lacks") {
+    // The extension (plans.GraftExtensions) must make EVERY native
+    // expression resolvable in pure-SQL sessions. A fresh session
+    // state starts with exactly the extension-injected registry;
+    // tune() then re-registers the full temp-function list. Any
+    // graft_* name that APPEARS after tune is one the extension
+    // missed — the exact drift class this guards against.
+    val fresh = spark.newSession()
+    def graftNames(s: org.apache.spark.sql.SparkSession): Set[String] =
+      s.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).filter(_.startsWith("graft_")).toSet
+    val fromExtension = graftNames(fresh)
+    Graft.tune(fresh)
+    val missed = graftNames(fresh) -- fromExtension
+    assert(missed.isEmpty,
+      s"registered by Graft.tune but missing from GraftExtensions.functions: $missed")
   }
 
   test("TVF SQL surfaces match their operators and validate arguments") {
