@@ -97,6 +97,8 @@ object Graft {
     graft.expr.RtfToText.register(spark)
     graft.expr.HttpText.register(spark)
     graft.expr.EpubText.register(spark)
+    graft.expr.PdfText.register(spark)
+    graft.expr.DocxText.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

@@ -3394,6 +3394,111 @@ object SparkEntry {
           1, 150).as("book_text"))
     }),
 
+    // PDF decode in the DISTRIBUTED path: a three-arm document built
+    // in-plan — a raw content stream carrying the doc's sanitized
+    // text plus a ToUnicode-CMap-mapped octal escape, an
+    // /ASCIIHexDecode arm built with hex(), and a /FlateDecode arm
+    // deflated once at declaration time — so the oracle replays each
+    // arm's known text. Exercises the shared zero-dep parser
+    // (Documents.pdfToText) end-to-end where the rows are.
+    "q176_pdf_text" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def bin(c: Column): Column = encode(c, "ISO-8859-1")
+      val id = col("doc_id")
+      // ASCII-only, PDF-delimiter-free, keyword-free text; every step
+      // replays verbatim in the oracle (keywords removed BEFORE the
+      // cut so truncation cannot mint one)
+      val safe = substring(
+        regexp_replace(regexp_replace(regexp_replace(
+          coalesce(col("text"), lit("")),
+          "[^ -~]", " "), "[()\\\\]", " "), "stream|endobj|beginbf", " "),
+        1, 80)
+      // obj 2: a ToUnicode CMap mapping byte 01 -> U+00E9 (é); pass 1
+      // merges it so the \001 escape in obj 4's literal decodes
+      val cmapObj = ascii("2 0 obj << /Length 64 >>\nstream\n" +
+        "/CIDInit begincmap 1 beginbfchar <01> <00E9> endbfchar endcmap\n" +
+        "endstream\nendobj\n")
+      // obj 4: raw (unfiltered) content stream — literal strings,
+      // octal escape, Tf font select, Td line break
+      val stream1 = concat(
+        ascii("4 0 obj << /Length 0 >>\nstream\nBT /F1 12 Tf ("),
+        bin(safe),
+        ascii("\\001) Tj 0 -14 Td (page "), bin(id.cast(StringType)),
+        ascii(") Tj ET\nendstream\nendobj\n"))
+      // obj 5: /ASCIIHexDecode arm — TJ array form + a hex string
+      val content2 = concat(lit("BT [(hex ) -5 (arm )] TJ (doc "),
+        id.cast(StringType), lit(") Tj <2D6F6B> Tj ET"))
+      val stream2 = concat(
+        ascii("5 0 obj << /Filter /ASCIIHexDecode >>\nstream\n"),
+        bin(hex(bin(content2))), ascii(">\nendstream\nendobj\n"))
+      // obj 6: /FlateDecode arm — deflated ONCE at declaration time
+      // (deterministic bytes; SQL cannot deflate, so the payload is a
+      // constant and the oracle replays its known text)
+      val deflated = {
+        val src = "BT (flate arm ok) Tj ET".getBytes("ISO-8859-1")
+        val d = new java.util.zip.Deflater()
+        d.setInput(src); d.finish()
+        val buf = new Array[Byte](256)
+        val n = d.deflate(buf)
+        d.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+      val stream3 = concat(
+        ascii(s"6 0 obj << /Filter /FlateDecode /Length ${deflated.length} >>\nstream\n"),
+        lit(deflated), ascii("\nendstream\nendobj\n"))
+      val pdf = concat(ascii("%PDF-1.4\n"), cmapObj, stream1, stream2,
+        stream3, ascii("trailer << /Size 7 >>\n%%EOF\n"))
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(call_function(graft.expr.PdfText.FunctionName, pdf),
+          1, 220).as("pdf_text"))
+    }),
+
+    // DOCX decode in the DISTRIBUTED path: a STORED-entry OPC zip
+    // built in-plan (q175's entry helper shape) whose
+    // word/document.xml carries the doc's XML-safe text in the second
+    // paragraph, a tab run in the first, and a w:tbl the paragraph
+    // contract must EXCLUDE; the oracle replays the construction
+    "q177_docx_text" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def entry(name: String, data: Column): Column =
+        concat(lit(Array[Byte]('P', 'K', 3, 4)), le16(lit(20)),
+          le16(lit(0)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+          le32(lit(0)), le32(length(data)), le32(length(data)),
+          le16(lit(name.length)), le16(lit(0)),
+          ascii(name), data)
+      val id = col("doc_id")
+      // ASCII-only (XML 1.0 rejects most control chars) and
+      // markup-free; both steps replay verbatim in the oracle
+      val safe = substring(
+        regexp_replace(regexp_replace(coalesce(col("text"), lit("")),
+          "[^ -~]", " "), "[&<>]", " "), 1, 80)
+      val docXml = encode(concat(lit(
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        """<w:p><w:r><w:t>Doc """), id.cast(StringType), lit(
+        """</w:t></w:r><w:r><w:tab/></w:r><w:r><w:t>title</w:t></w:r></w:p>""" +
+        """<w:p><w:r><w:t>"""), safe, lit(
+        """</w:t></w:r></w:p>""" +
+        """<w:tbl><w:tr><w:tc><w:p><w:r><w:t>excluded</w:t></w:r></w:p></w:tc></w:tr></w:tbl>""" +
+        """</w:body></w:document>""")), "UTF-8")
+      val docx = concat(
+        entry("[Content_Types].xml", ascii("<Types/>")),
+        entry("word/document.xml", docXml))
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(call_function(graft.expr.DocxText.FunctionName, docx),
+          1, 200).as("docx_text"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -6133,6 +6238,18 @@ object SparkEntry {
     "q173_markdown_to_text" -> markdownOracle,
     "q174_web_pipeline" -> webPipelineOracle,
     "q175_epub_text" -> epubOracle,
+    "q176_pdf_text" -> pdfOracle,
+
+    // each paragraph's text is construction-known: tab run, then the
+    // XML-sanitized doc text; the w:tbl paragraph never appears
+    "q177_docx_text" ->
+      """SELECT doc_id,
+              substr('Doc ' || doc_id || chr(9) || 'title' || chr(10)
+                || substr(regexp_replace(regexp_replace(COALESCE(text, ''),
+                     '[^ -~]', ' ', 'g'), '[&<>]', ' ', 'g'), 1, 80)
+                || chr(10),
+              1, 200) AS docx_text
+       FROM documents""",
 
     // the three charset arms decode to construction-known text; the
     // oracle replays the construction per arm
@@ -7029,6 +7146,24 @@ object SparkEntry {
     * text), each chapter through the shared HTML chain, joined by
     * newlines.
     */
+  /** The q176 oracle: each arm's text is construction-known — the raw
+    * arm is the sanitized doc text (same three regexp steps, same
+    * 80-char cut) plus the CMap-decoded é and the page line; the hex
+    * and flate arms are literals.
+    */
+  private def pdfOracle: String =
+    """SELECT doc_id,
+            substr(
+              substr(regexp_replace(regexp_replace(regexp_replace(
+                  COALESCE(text, ''),
+                  '[^ -~]', ' ', 'g'), '[()\\]', ' ', 'g'),
+                  'stream|endobj|beginbf', ' ', 'g'), 1, 80)
+              || 'é' || chr(10) || 'page ' || doc_id || chr(10)
+              || 'hex arm doc ' || doc_id || '-ok' || chr(10)
+              || 'flate arm ok' || chr(10),
+            1, 220) AS pdf_text
+     FROM documents"""
+
   private def epubOracle: String = {
     val ch1 = html2textSql("('<p>alpha ' || COALESCE(text, '') || '</p>')")
     s"""SELECT doc_id,

@@ -80,9 +80,10 @@ object EpubText {
 
   /** Local-header zip walk → (name → inflated content), CRCs ignored,
     * damage ends the walk with the entries collected. Returns entries
-    * in archive order.
+    * in archive order. Shared with [[DocxText]] (same OPC zip shape,
+    * different payload entry).
     */
-  private def zipEntries(b: Array[Byte]):
+  private[expr] def zipEntries(b: Array[Byte]):
       scala.collection.mutable.LinkedHashMap[String, Array[Byte]] = {
     val out = scala.collection.mutable.LinkedHashMap[String, Array[Byte]]()
     var o = 0

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, EpubText, HttpText, Mp4Frames, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, DocxText, EpubText, HttpText, Mp4Frames, PdfText, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -144,6 +144,12 @@ object GraftExtensions {
       (FunctionIdentifier(EpubText.FunctionName),
         info(EpubText.FunctionName, classOf[EpubText]),
         exprs => EpubText(exprs.head)),
+      (FunctionIdentifier(PdfText.FunctionName),
+        info(PdfText.FunctionName, classOf[PdfText]),
+        exprs => PdfText(exprs.head)),
+      (FunctionIdentifier(DocxText.FunctionName),
+        info(DocxText.FunctionName, classOf[DocxText]),
+        exprs => DocxText(exprs.head)),
       (FunctionIdentifier(VecDistance.L2SqName),
         info(VecDistance.L2SqName, classOf[L2SqDistance]),
         exprs => L2SqDistance(exprs(0), exprs(1))),

@@ -188,50 +188,66 @@ object Documents {
       if (entry == null)
         throw new IllegalArgumentException(
           s"Not a DOCX package (no word/document.xml): $docxPath")
+      val out = docxXmlToText(zip.getInputStream(entry))
+      if (out == null)
+        throw new IllegalArgumentException(
+          s"Malformed DOCX document XML: $docxPath")
+      out
+    } finally zip.close()
+  }
+
+  /** The WordprocessingML walk over a `word/document.xml` stream,
+    * shared by the file reader above and the distributed
+    * binary-column expression ([[graft.expr.DocxText]]). Null (never
+    * an error) on malformed XML; the file reader converts null back
+    * to its typed error.
+    */
+  private[graft] def docxXmlToText(in: java.io.InputStream): String = {
+    val doc = try {
       val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       dbf.setNamespaceAware(true) // getLocalName is null without this
       dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      val doc = dbf.newDocumentBuilder().parse(zip.getInputStream(entry))
-      doc.getDocumentElement.normalize()
-      val sb = new StringBuilder
-      def localName(n: org.w3c.dom.Node): String =
-        Option(n.getLocalName).getOrElse(n.getNodeName.split(':').last)
-      def paragraphText(node: org.w3c.dom.Node, out: StringBuilder): Unit = {
-        var child = node.getFirstChild
-        while (child != null) {
-          if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
-            localName(child) match {
-              case "t"          => out.append(child.getTextContent)
-              case "tab"        => out.append('\t')
-              case "br" | "cr"  => out.append('\n')
-              // floating text boxes live under a run's drawing —
-              // python-docx's para.text does not surface them
-              case "txbxContent" | "drawing" | "pict" => ()
-              case _            => paragraphText(child, out)
-            }
+      dbf.newDocumentBuilder().parse(in)
+    } catch { case _: Exception => return null }
+    doc.getDocumentElement.normalize()
+    val sb = new StringBuilder
+    def localName(n: org.w3c.dom.Node): String =
+      Option(n.getLocalName).getOrElse(n.getNodeName.split(':').last)
+    def paragraphText(node: org.w3c.dom.Node, out: StringBuilder): Unit = {
+      var child = node.getFirstChild
+      while (child != null) {
+        if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
+          localName(child) match {
+            case "t"          => out.append(child.getTextContent)
+            case "tab"        => out.append('\t')
+            case "br" | "cr"  => out.append('\n')
+            // floating text boxes live under a run's drawing —
+            // python-docx's para.text does not surface them
+            case "txbxContent" | "drawing" | "pict" => ()
+            case _            => paragraphText(child, out)
           }
-          child = child.getNextSibling
         }
+        child = child.getNextSibling
       }
-      def walk(node: org.w3c.dom.Node): Unit = {
-        var child = node.getFirstChild
-        while (child != null) {
-          if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
-            val local = localName(child)
-            if (local == "p") {
-              paragraphText(child, sb)
-              sb.append('\n')
-            // the reference iterates python-docx doc.paragraphs =
-            // TOP-LEVEL body paragraphs only; paragraphs inside w:tbl
-            // table cells are not part of that contract
-            } else if (local != "tbl") walk(child)
-          }
-          child = child.getNextSibling
+    }
+    def walk(node: org.w3c.dom.Node): Unit = {
+      var child = node.getFirstChild
+      while (child != null) {
+        if (child.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
+          val local = localName(child)
+          if (local == "p") {
+            paragraphText(child, sb)
+            sb.append('\n')
+          // the reference iterates python-docx doc.paragraphs =
+          // TOP-LEVEL body paragraphs only; paragraphs inside w:tbl
+          // table cells are not part of that contract
+          } else if (local != "tbl") walk(child)
         }
+        child = child.getNextSibling
       }
-      walk(doc.getDocumentElement)
-      sb.toString
-    } finally zip.close()
+    }
+    walk(doc.getDocumentElement)
+    sb.toString
   }
 
   /** Best-effort PDF text extraction with zero dependencies — the
@@ -274,6 +290,24 @@ object Documents {
         new String(bytes, 0, 5, StandardCharsets.ISO_8859_1) != "%PDF-")
       throw new IllegalArgumentException(
         s"Error extracting text from PDF (missing %PDF- header): $pdfPath")
+    val out = pdfToText(bytes)
+    if (out == null)
+      throw new IllegalArgumentException(
+        s"Error extracting text from PDF (no parseable text content): $pdfPath")
+    out
+  }
+
+  /** The PDF extraction core over raw bytes, shared by the file reader
+    * above and the distributed binary-column expression
+    * ([[graft.expr.PdfText]]) — the same lift [[graft.expr.EpubText]]
+    * gave the EPUB walk. Null (never an error) when the bytes aren't a
+    * PDF or no text stream parses; the file reader converts null back
+    * to its typed error.
+    */
+  private[graft] def pdfToText(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 5 || bytes.length > MaxPdfBytes ||
+        new String(bytes, 0, 5, StandardCharsets.ISO_8859_1) != "%PDF-")
+      return null
     // ISO-8859-1 maps bytes 1:1 to chars: string search over binary is safe
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     // the keyword "stream", not the tail of "endstream"
@@ -339,16 +373,25 @@ object Documents {
         sawText = true
       }
     }
-    if (!sawText)
-      throw new IllegalArgumentException(
-        s"Error extracting text from PDF (no parseable text content): $pdfPath")
-    out.toString
+    if (!sawText) null else out.toString
   }
 
   /** Width tag for two-byte CMap source codes: a two-byte <0041> keys
     * as `0x10000 | 0x41`, distinct from a one-byte <41>'s `0x41`.
     */
   private[sources] final val TwoByteTag = 0x10000
+
+  /** Input cap for the binary-column path: the ISO-8859-1 view doubles
+    * the allocation (bytes → chars), so a crawl row past this is
+    * triaged to NULL rather than decoded.
+    */
+  private[graft] final val MaxPdfBytes: Int = 64 << 20
+
+  /** Decode-bomb cap for any single filtered stream (Flate/LZW/RLE can
+    * amplify; hex/85 cannot): exceeding it fails THAT stream, same as
+    * an unsupported filter.
+    */
+  private[graft] final val MaxStreamBytes: Int = 32 << 20
 
   /** One font's decoding contract: its ToUnicode map and whether its
     * string bytes group into big-endian two-byte codes (CID/Identity-H).
@@ -712,6 +755,7 @@ object Documents {
             if (code < dict.size && dict(code) != null) dict(code)
             else if (code == dict.size && prev != null) prev :+ prev(0)
             else return None // code ahead of the dictionary: corrupt
+          if (out.size + entry.length > MaxStreamBytes) return None // bomb
           out.write(entry, 0, entry.length)
           if (prev != null) dict += (prev :+ entry(0))
           prev = entry
@@ -803,6 +847,7 @@ object Documents {
         i += l + 2
       } else {
         if (i + 1 >= data.length) return None
+        if (out.size + (257 - l) > MaxStreamBytes) return None // bomb
         var k = 257 - l
         while (k > 0) { out.write(data(i + 1)); k -= 1 }
         i += 2
@@ -853,8 +898,10 @@ object Documents {
         var stuck = false
         while (!inf.finished() && !stuck) {
           val n = inf.inflate(buf)
-          if (n > 0) bos.write(buf, 0, n)
-          else if (inf.needsInput() || inf.needsDictionary()) stuck = true
+          if (n > 0) {
+            if (bos.size + n > MaxStreamBytes) stuck = true // inflate bomb
+            else bos.write(buf, 0, n)
+          } else if (inf.needsInput() || inf.needsDictionary()) stuck = true
         }
         if (inf.finished()) Some(bos.toByteArray) else None
       } catch {

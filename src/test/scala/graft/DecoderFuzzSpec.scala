@@ -38,7 +38,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "HttpText" -> (b => graft.expr.HttpText.parse(b)),
     "RtfToText" -> (b => graft.expr.RtfToText.extract(
       UTF8String.fromBytes(b))),
-    "EpubText" -> (b => graft.expr.EpubText.parse(b)))
+    "EpubText" -> (b => graft.expr.EpubText.parse(b)),
+    "PdfText" -> (b => graft.expr.PdfText.parse(b)),
+    "DocxText" -> (b => graft.expr.DocxText.parse(b)))
 
   private val magics: Seq[Array[Byte]] = Seq(
     "RIFF????WAVE".getBytes("ISO-8859-1"),
@@ -56,7 +58,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "{\\rtf1".getBytes("ISO-8859-1"),
     Array[Byte](0x50, 0x4B, 0x03, 0x04), // zip local header (EPUB)
     Array[Byte](0x49, 0x49, 0x2A, 0x00), // TIFF little-endian
-    Array[Byte](0x4D, 0x4D, 0x00, 0x2A)) // TIFF big-endian
+    Array[Byte](0x4D, 0x4D, 0x00, 0x2A), // TIFF big-endian
+    "%PDF-1.4\n1 0 obj << /Filter /FlateDecode >>\nstream\n"
+      .getBytes("ISO-8859-1"))
 
   private def sweep(name: String, f: Array[Byte] => Any,
       inputs: Iterator[Array[Byte]]): Unit = {

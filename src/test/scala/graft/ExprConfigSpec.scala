@@ -1105,6 +1105,104 @@ class ExprConfigSpec extends SparkSpec {
     assert(parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("graft_pdf_text: shared parser distributed — filters, CMaps, triage") {
+    def parse(b: Array[Byte]) = Option(graft.expr.PdfText.parse(b)).map(_.toString)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(ascii(s)); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    // raw stream + Flate stream + TWO ToUnicode CMaps: a 2-byte
+    // (Identity-H) one resolved via the resource /Font dict, and a
+    // 1-byte one (mixed widths → the merged fallback stays per-byte)
+    val cmap = "/CIDInit begincmap beginbfchar <0041> <65E5> endbfchar endcmap"
+    val cmap1 = "/CIDInit begincmap beginbfchar <02> <00E9> endbfchar endcmap"
+    val flated = deflate("BT (flate page) Tj ET")
+    val pdf = ascii("%PDF-1.4\n") ++
+      ascii("1 0 obj << /Font << /F7 5 0 R >> >> endobj\n") ++
+      ascii("5 0 obj << /Type /Font /ToUnicode 6 0 R >> endobj\n") ++
+      ascii(s"6 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n") ++
+      ascii(s"7 0 obj << /Length ${cmap1.length} >>\nstream\n$cmap1\nendstream\nendobj\n") ++
+      ascii("2 0 obj << /Length 0 >>\nstream\n" +
+        "BT (plain \\050paren\\051 line\\002) Tj 0 -12 Td /F7 10 Tf <0041> Tj ET\n" +
+        "endstream\nendobj\n") ++
+      ascii(s"3 0 obj << /Filter /FlateDecode /Length ${flated.length} >>\nstream\n") ++
+      flated ++ ascii("\nendstream\nendobj\n%%EOF\n")
+    // the pre-Tf run decodes per byte (WinAnsi identity + the 1-byte
+    // CMap's \002 → é); the /F7 run decodes <0041> as a TWO-byte code
+    // through its own CMap (→ 日)
+    assert(parse(pdf).contains("plain (paren) lineé\n日\nflate page\n"),
+      parse(pdf))
+    // expression output == the file reader on the same bytes (the
+    // shared-core guarantee the EPUB tier established)
+    val tmp = java.nio.file.Files.createTempFile("graft", ".pdf")
+    java.nio.file.Files.write(tmp, pdf)
+    assert(parse(pdf).contains(
+      graft.sources.Documents.readResume(tmp.toString)))
+    java.nio.file.Files.delete(tmp)
+    // triage: not a PDF / header but no text / empty / null → NULL
+    assert(parse(ascii("plain text, no header")).isEmpty)
+    assert(parse(ascii("%PDF-1.4\nno streams here")).isEmpty)
+    assert(parse(Array.emptyByteArray).isEmpty)
+    assert(parse(null).isEmpty)
+    // a Flate bomb past MaxStreamBytes fails THAT stream, keeps the rest
+    val bomb = {
+      val d = new java.util.zip.Deflater()
+      val zeros = new Array[Byte](1 << 20)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      for (_ <- 0 until 40) { d.setInput(zeros); while (!d.needsInput()) out.write(buf, 0, d.deflate(buf)) }
+      d.finish(); while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val bombed = ascii("%PDF-1.4\n") ++
+      ascii(s"2 0 obj << /Filter /FlateDecode >>\nstream\n") ++ bomb ++
+      ascii("\nendstream\nendobj\n") ++
+      ascii("3 0 obj << >>\nstream\nBT (survivor) Tj ET\nendstream\nendobj\n")
+    assert(parse(bombed).contains("survivor\n"))
+  }
+
+  test("graft_docx_text: shared WordprocessingML walk over the hand zip walk") {
+    def parse(b: Array[Byte]) = Option(graft.expr.DocxText.parse(b)).map(_.toString)
+    val xml =
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        | <w:p><w:r><w:t>first</w:t></w:r><w:r><w:tab/></w:r><w:r><w:t>run</w:t></w:r></w:p>
+        | <w:p><w:r><w:t>br</w:t><w:br/><w:t>eak</w:t></w:r></w:p>
+        | <w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell text excluded</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+        | <w:p><w:r><w:drawing><w:txbxContent><w:t>box excluded</w:t></w:txbxContent></w:drawing></w:r><w:r><w:t>tail</w:t></w:r></w:p>
+        |</w:body>
+        |</w:document>""".stripMargin
+    def zip(es: Seq[(String, String)]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      es.foreach { case (n, c) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); bos.toByteArray
+    }
+    val docx = zip(Seq("[Content_Types].xml" -> "<Types/>",
+      "word/document.xml" -> xml))
+    val expected = "first\trun\nbr\neak\ntail\n"
+    assert(parse(docx).contains(expected), parse(docx))
+    // expression output == the file reader on the same bytes
+    val tmp = java.nio.file.Files.createTempFile("graft", ".docx")
+    java.nio.file.Files.write(tmp, docx)
+    assert(parse(docx).contains(
+      graft.sources.Documents.readResume(tmp.toString)))
+    java.nio.file.Files.delete(tmp)
+    // triage: no document.xml / malformed XML / not a zip / null → NULL
+    assert(parse(zip(Seq("other.xml" -> xml))).isEmpty)
+    assert(parse(zip(Seq("word/document.xml" -> "<w:document><unclosed")))
+      .isEmpty)
+    assert(parse("PK not really".getBytes).isEmpty)
+    assert(parse(null).isEmpty)
+  }
+
   test("graft_rtf_to_text: nested-group skipping, escapes, unicode, triage") {
     def x(s: String) = Option(graft.expr.RtfToText.extract(
       org.apache.spark.unsafe.types.UTF8String.fromString(s)))
