@@ -613,6 +613,102 @@ object ScaleShakeout {
       run("warcHtmlDocs")(graft.operators.Warc.htmlDocuments(files))
     }
 
+    // q174 COMPOSITION at corpus scale: WARC walk → charset-aware
+    // HTTP decode → link-density boilerplate removal → md5 window
+    // dedup in ONE relational plan. The operators were shaken
+    // individually; compositions find exchange-boundary surprises
+    // (the round-9 AQE lesson), so the composed plan gets its own
+    // decade. Corpus shape: 2-5 pages per archive in the q174 trap
+    // structure (link-only nav/footer around one real paragraph), two
+    // charset arms (UTF-8 / ISO-8859-1 with a codepage-sensitive é in
+    // the KEPT paragraph), ~10% of pages drawn from 100 duplicate
+    // FAMILIES (the realistic template-dup classes the md5 window
+    // must collapse, each ~0.1% of the corpus — bounded, so the
+    // window key is not a whale), 20% gzip'd archives, 2% junk.
+    if (wanted("webPipeline")) {
+      val warcPath = "target/scale_warc_pipe.parquet"
+      val genWeb = udf { (id: Long) =>
+        if (id % 50 == 17) "not a warc at all".getBytes("UTF-8")
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          def rec(headers: String, payload: Array[Byte]): Unit = {
+            bos.write(("WARC/1.0\r\n" + headers +
+              "Content-Length: " + payload.length + "\r\n\r\n")
+              .getBytes("UTF-8"))
+            bos.write(payload)
+            bos.write("\r\n\r\n".getBytes("UTF-8"))
+          }
+          val nIn = 2 + (id % 4).toInt
+          var d = 0
+          while (d < nIn) {
+            val dup = (id * 7 + d) % 10 == 9
+            // duplicate pages draw their body from one of 100 shared
+            // families; unique pages seed from (file, slot)
+            val seed = if (dup) 424200L + (id + d) % 100
+              else id * 131 + d
+            val rnd = new java.util.Random(seed * 2654435761L + 7L)
+            val words = 20 + rnd.nextInt(180)
+            val para = new StringBuilder("café ")
+            var j = 0
+            while (j < words) {
+              para.append("w").append(rnd.nextInt(20000)).append(' ')
+              j += 1
+            }
+            val html = "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+              "<a href=\"/c\">Contact us</a></div><p>" + para +
+              "</p><p>Read on</p><div>meta <a href=\"/p\">Privacy</a> " +
+              "<a href=\"/t\">Terms of use</a></div>"
+            // charset arms: duplicates pin UTF-8 (family identity must
+            // survive the decode); uniques alternate with Latin-1
+            val latin1 = !dup && (id + d) % 3 == 1
+            val ctype = if (latin1) "text/html; charset=iso-8859-1"
+              else "text/html; charset=utf-8"
+            val body = html.getBytes(
+              if (latin1) "ISO-8859-1" else "UTF-8")
+            val http = ("HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+              "\r\n\r\n").getBytes("UTF-8") ++ body
+            rec("WARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://ex.com/$id/$d\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n", http)
+            d += 1
+          }
+          val plain = bos.toByteArray
+          if (id % 5 == 0) {
+            val gz = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(gz)
+            g.write(plain); g.close(); gz.toByteArray
+          } else plain
+        }
+      }
+      spark.range(nDocs)
+        .select(col("id").as("file_id"), genWeb(col("id")).as("content"))
+        .write.mode("overwrite").parquet(warcPath)
+      val files = spark.read.parquet(warcPath)
+      run("webPipeline") {
+        import org.apache.spark.sql.expressions.Window
+        val recs = graft.operators.Warc.records(files)
+          .filter(col("warc_type") === "response")
+        val h = call_function(graft.expr.HttpText.FunctionName, col("payload"))
+        val pages = recs.select(col("file_id"),
+          col("target_uri").as("url"),
+          h.getField("charset").as("charset"),
+          h.getField("text").as("html"))
+          .withColumn("page_id",
+            xxhash64(col("file_id"), col("url")))
+        // q174 single-plan form: passengers through the reassembly,
+        // ONE WARC decode pass
+        val keyed = graft.operators.Corpus.removeHtmlBoilerplate(
+            pages, "page_id", "html", passengers = Seq("url", "charset"))
+          .withColumn("text_md5", md5(col("clean_text")))
+        val w = Window.partitionBy("text_md5")
+        keyed.withColumn("kept",
+            (col("page_id") === min(col("page_id")).over(w)).cast("int"))
+          .select(col("page_id"), col("url"), col("charset"),
+            substring(col("clean_text"), 1, 100).as("clean_text"),
+            col("text_md5"), col("kept"))
+      }
+    }
+
     if (wanted("sessionStats", "asofJoin")) {
     val nEvents = nDocs * 20
     spark.range(nEvents).select(

@@ -3326,11 +3326,12 @@ object SparkEntry {
         col("target_uri").as("url"),
         h.getField("charset").as("charset"),
         h.getField("text").as("html"))
-      val cleaned = Corpus.removeHtmlBoilerplate(
-        pages.select(col("file_id"), col("html")), "file_id", "html")
-      val keyed = cleaned
-        .join(pages.select(col("file_id"), col("url"), col("charset")),
-          "file_id")
+      // url/charset ride THROUGH the boilerplate reassembly as
+      // passenger columns: one plan, one WARC decode pass (the join
+      // form re-decoded every archive for the join side — SCALE.md
+      // round 12)
+      val keyed = Corpus.removeHtmlBoilerplate(pages, "file_id", "html",
+          passengers = Seq("url", "charset"))
         .withColumn("text_md5", md5(col("clean_text")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("text_md5")
       keyed

@@ -1089,38 +1089,50 @@ object Corpus {
     *     replays it with no floating-point boundary hazard;
     *  4. reassemble kept blocks in document order.
     *
-    * Returns (id, clean_text, n_blocks, n_kept); documents whose
-    * every block drops keep an EMPTY clean_text row (the caller
-    * decides whether an all-boilerplate page survives). Scale shape:
-    * one posexplode + one groupBy(id) — the only shuffle is keyed by
-    * document id (no skew: blocks per doc are bounded by the page
-    * size), everything per-block is codegen'd regexp work that fuses
-    * into the scan.
+    * Returns (id, [passengers,] clean_text, n_blocks, n_kept);
+    * documents whose every block drops keep an EMPTY clean_text row
+    * (the caller decides whether an all-boilerplate page survives).
+    * `passengers` names NARROW per-document columns (url, charset…)
+    * carried through the explode and reassembled with `first` —
+    * when the input rows come from an expensive decode (a WARC walk),
+    * this keeps the pipeline ONE plan instead of a join back to a
+    * second decode pass (measured: the q174 composition decoded every
+    * archive twice through the join form — see SCALE.md round 12).
+    * Wide payload columns should still use the join form: a passenger
+    * is duplicated once per block in the explode shuffle. Scale
+    * shape: one posexplode + one groupBy(id) — the only shuffle is
+    * keyed by document id (no skew: blocks per doc are bounded by the
+    * page size), everything per-block is codegen'd regexp work that
+    * fuses into the scan.
     */
   def removeHtmlBoilerplate(df: DataFrame, idCol: String, htmlCol: String,
-      minChars: Int = 30, maxLinkPct: Int = 40): DataFrame = {
+      minChars: Int = 30, maxLinkPct: Int = 40,
+      passengers: Seq[String] = Nil): DataFrame = {
     require(minChars >= 0, s"minChars must be >= 0: $minChars")
     require(maxLinkPct >= 0 && maxLinkPct <= 100,
       s"maxLinkPct must be a percentage: $maxLinkPct")
     val blockSep = "(?i)</(?:p|div|li|td|h[1-6]|article|section)>|<br[^>]*>"
-    val blocks = df.select(col(idCol),
+    val pcols = passengers.map(col)
+    val blocks = df.select(col(idCol) +: pcols :+
         posexplode(split(coalesce(col(htmlCol), lit("")), blockSep))
-          .as(Seq("_pos", "_blk")))
+          .as(Seq("_pos", "_blk")): _*)
     val btext = graft.functions.HtmlToText.htmlToText(col("_blk"))
     val anchorText = graft.functions.HtmlToText.htmlToText(
       array_join(regexp_extract_all(col("_blk"),
         lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
-    val feat = blocks.select(col(idCol), col("_pos"), btext.as("_t"),
-        length(btext).as("_len"), length(anchorText).as("_alen"))
+    val feat = blocks.select(col(idCol) +: pcols ++: Seq(col("_pos"),
+        btext.as("_t"), length(btext).as("_len"),
+        length(anchorText).as("_alen")): _*)
       .withColumn("_keep", col("_len") >= minChars &&
         col("_alen") * 100 <= col("_len") * maxLinkPct)
-    feat.groupBy(col(idCol)).agg(
+    val aggs = passengers.map(p => first(col(p)).as(p)) ++ Seq(
       concat_ws(" ", transform(
         array_sort(collect_list(when(col("_keep"),
           struct(col("_pos"), col("_t"))))),
         x => x.getField("_t"))).as("clean_text"),
       count(lit(1)).as("n_blocks"),
       sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"))
+    feat.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   private def temperatureFracs(df: DataFrame, groupCol: String,

@@ -611,5 +611,18 @@ class CorpusSpec extends SparkSpec {
       .collect()(0)
     assert(g2.getString(1) == "" && g2.getLong(3) == 0L,
       "link-dense block must drop on density, not length")
+    // passenger columns ride through the explode/reassembly unchanged
+    // and in declaration order (the single-plan q174 form)
+    val withP = Seq((1L, "http://a", "utf-8", page),
+      (2L, "http://b", "latin1", navOnly))
+      .toDF("doc_id", "url", "charset", "html")
+    val gp = Corpus.removeHtmlBoilerplate(withP, "doc_id", "html",
+      passengers = Seq("url", "charset"))
+    assert(gp.columns.toSeq ==
+      Seq("doc_id", "url", "charset", "clean_text", "n_blocks", "n_kept"))
+    val pm = gp.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(pm(1L) == (("http://a", "utf-8", body)))
+    assert(pm(2L) == (("http://b", "latin1", "")))
   }
 }
