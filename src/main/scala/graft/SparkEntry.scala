@@ -2855,6 +2855,52 @@ object SparkEntry {
           col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // AudioDecoder seam end-to-end under the oracle gate — q160's
+    // pattern for audio: each doc becomes a synthetic-lossy GAUD clip
+    // (8-bit signed quantized samples + rate) that no native walk
+    // reads; Multimodal.LossyStubDecoder re-expands it to PCM16 WAV
+    // through the audioSamplesVia seam and the EXISTING AudioStats
+    // tier produces the stats. The 16→8→16 quantization is exact
+    // arithmetic (sample = signed byte << 8), so the oracle replays
+    // the formula; id%11 docs are planted silence; m=1 docs carry a
+    // foreign-codec payload and m=2 docs text — both must keep their
+    // rows with NULL stats (the seam's NULL-propagation contract
+    // under the hash gate)
+    "q178_audio_decoder_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val id = col("doc_id")
+      val m = id % 3
+      val rate = ((id % 4 + 1) * 8000).cast(IntegerType)
+      val n = (id % 50 + 5).cast(IntegerType)
+      val dataHex = array_join(
+        transform(sequence(lit(0), n - 1), k =>
+          lpad(hex(when(pmod(id, lit(11L)) === 0, lit(0L))
+            .otherwise(pmod(id * 31 + k.cast(LongType) * 7919, lit(256L)))),
+            2, "0")), "")
+      val gaud = concat(ascii("GAUD"), le32(rate), unhex(dataHex))
+      val foreign = concat(ascii("MPGA"),
+        encode(id.cast(StringType), "UTF-8").cast(BinaryType))
+      val content = when(m === 0, gaud)
+        .when(m === 1, foreign)
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStatsVia(media, new Multimodal.LossyStubDecoder)
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          col("channels"), col("sample_rate"), col("bit_depth"),
+          col("n_frames"), col("n_samples"), col("sum"), col("sumsq"),
+          col("peak"), col("n_clipped"), col("silent"), col("rms"),
+          col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
+    }),
+
     // REAL compressed-audio decode (q154's codec/width tier): G.711
     // μ-law / A-law per-byte expansion, the IMA ADPCM block state
     // machine and the 24/32-bit PCM top-two-byte reads all decode
@@ -6231,6 +6277,49 @@ object SparkEntry {
               c.ch_sumsq, c.ch_peak
        FROM d LEFT JOIN tot t ON d.id = t.id
               LEFT JOIN chj c ON d.id = c.id""",
+
+    // the GAUD arm's decoded samples are (signed byte) << 8 of the
+    // construction formula; the foreign/text arms LEFT-JOIN to NULL
+    // stats with n_bytes 0 (the seam's NULL-propagation contract)
+    "q178_audio_decoder_stats" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 AS m,
+                  CAST((doc_id % 4 + 1) * 8000 AS INTEGER) AS rate,
+                  doc_id % 50 + 5 AS n
+           FROM documents),
+         sv AS (SELECT id, CASE WHEN id % 11 = 0 THEN 0
+                    WHEN (id*31 + k*7919) % 256 >= 128
+                      THEN ((id*31 + k*7919) % 256 - 256) * 256
+                    ELSE ((id*31 + k*7919) % 256) * 256 END AS v
+                FROM d CROSS JOIN range(0, 55) r(k)
+                WHERE m = 0 AND k < n),
+         tot AS (SELECT id, CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v*v) AS BIGINT) AS ss,
+                   CAST(MAX(ABS(v)) AS INTEGER) AS pk,
+                   CAST(SUM(CASE WHEN v >= 32767 OR v <= -32768
+                            THEN 1 ELSE 0 END) AS BIGINT) AS clp,
+                   COUNT(*) AS ns
+                 FROM sv GROUP BY id)
+       SELECT d.id AS media_id,
+              CASE WHEN m = 0 THEN CAST(44 + 2*n AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS n_bytes,
+              CASE WHEN m = 0 THEN 'wav' END AS format,
+              CASE WHEN m = 0 THEN CAST(1 AS INTEGER) END AS channels,
+              CASE WHEN m = 0 THEN rate END AS sample_rate,
+              CASE WHEN m = 0 THEN CAST(16 AS INTEGER) END AS bit_depth,
+              CASE WHEN m = 0 THEN CAST(n AS BIGINT) END AS n_frames,
+              CASE WHEN m = 0 THEN CAST(n AS BIGINT) END AS n_samples,
+              t.s AS sum, t.ss AS sumsq, t.pk AS peak, t.clp AS n_clipped,
+              CASE WHEN m = 0 THEN CAST(CASE WHEN t.pk = 0 THEN 1 ELSE 0 END
+                   AS INTEGER) END AS silent,
+              CASE WHEN m = 0
+                   THEN ROUND(sqrt(CAST(t.ss AS DOUBLE) / greatest(t.ns, 1)), 6)
+              END AS rms,
+              CASE WHEN m = 0
+                   THEN ROUND(CAST(t.clp AS DOUBLE) / greatest(t.ns, 1), 6)
+              END AS clip_rate,
+              CASE WHEN m = 0 THEN CAST(t.ss AS VARCHAR) END AS ch_sumsq,
+              CASE WHEN m = 0 THEN CAST(t.pk AS VARCHAR) END AS ch_peak
+       FROM d LEFT JOIN tot t ON d.id = t.id""",
 
     "q166_audio_codec_stats" -> audioCodecOracle,
     "q167_msadpcm_stats" -> msAdpcmOracle,

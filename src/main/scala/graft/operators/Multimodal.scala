@@ -780,6 +780,105 @@ object Multimodal {
     }
   }
 
+  /** The pluggable boundary LOSSY audio codecs (MP3 / Vorbis / Opus)
+    * land behind — [[VideoDecoder]]'s audio sibling. One call decodes
+    * ONE clip's compressed payload into a WAV PCM blob the native
+    * tier ([[graft.expr.AudioStats]], [[graft.expr.AudioEnvSig]])
+    * decodes, or null when the payload isn't this codec's / can't be
+    * decoded. Unlike video there is no frame-sequence shape: a clip
+    * is one self-contained payload, so the seam is payload → payload.
+    * Implementations must be pure, deterministic and Serializable;
+    * they run executor-side inside [[audioSamplesVia]]'s per-row
+    * projection — no shuffle, no blob movement.
+    */
+  trait AudioDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Array[Byte]
+  }
+
+  /** PCM passthrough: WAV-family payloads (incl. the G.711/ADPCM
+    * codecs the native tier expands itself) already decode natively —
+    * [[audioSamplesVia]] with this decoder is plan-for-plan
+    * [[audioStats]]'s input plus the seam hop.
+    */
+  final class PcmPassthroughDecoder extends AudioDecoder {
+    def decode(payload: Array[Byte]): Array[Byte] = payload
+  }
+
+  /** Deterministic stub for a TRIVIAL synthetic lossy format,
+    * existing to integration-test the [[AudioDecoder]] seam before
+    * an MP3/Vorbis implementation lands behind it (those codecs'
+    * synthesis filterbanks aren't reproducible offline; the
+    * Spark-side plumbing is what the oracle gate proves). The format,
+    * `GAUD`:
+    *  - bytes 0-3 `GAUD`, bytes 4-7 sample rate (LE32, must be > 0);
+    *  - bytes 8+: mono 8-bit SIGNED (two's complement) samples — the
+    *    minimal honest model of a lossy codec: 16→8-bit quantization
+    *    destroyed information at encode time, decode re-expands each
+    *    sample to 16-bit PCM as `s << 8` (exact arithmetic any engine
+    *    replays);
+    *  - wrong magic, truncated header, or non-positive rate → null
+    *    (the triage contract: foreign codecs NULL their stats rows,
+    *    never error).
+    * Decode output is a standard 44-byte-header mono PCM16 WAV.
+    */
+  final class LossyStubDecoder extends AudioDecoder {
+    def decode(p: Array[Byte]): Array[Byte] = {
+      if (p == null || p.length < 8) return null
+      if (!(p(0) == 'G' && p(1) == 'A' && p(2) == 'U' && p(3) == 'D'))
+        return null
+      val rate = (p(4) & 0xFF) | ((p(5) & 0xFF) << 8) |
+        ((p(6) & 0xFF) << 16) | ((p(7) & 0xFF) << 24)
+      if (rate <= 0) return null
+      val n = p.length - 8
+      val dataSize = n * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("ISO-8859-1"))
+        .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("ISO-8859-1")).putInt(dataSize)
+      var i = 0
+      while (i < n) {
+        out.putShort((p(8 + i) << 8).toShort) // signed byte → s << 8
+        i += 1
+      }
+      out.array()
+    }
+  }
+
+  /** Audio payloads routed through a pluggable [[AudioDecoder]] —
+    * [[videoFramesVia]]'s audio sibling. Returns the same (media_id,
+    * kind, content) shape the whole audio tier consumes, with
+    * `content` now PCM WAV bytes, so [[audioStats]],
+    * [[audioNearDup]] and the cross-codec fingerprint family compose
+    * decoder-agnostically on top. NULL propagation: a payload the
+    * decoder can't decode maps to a NULL content row (the downstream
+    * native walk NULLs its stats) — never an error, never a dropped
+    * row. Scale shape: a per-row `mapPartitions` projection — no
+    * shuffle, no blob movement.
+    */
+  def audioSamplesVia(media: DataFrame, decoder: AudioDecoder,
+      contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType), col("kind"),
+        col(contentCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, kind, bytes) =>
+        (id, kind, decoder.decode(bytes))
+      })
+      .toDF("media_id", "kind", "content")
+  }
+
+  /** [[audioStats]] behind the [[AudioDecoder]] seam: decode, then
+    * the EXISTING native stats walk — the q160 pattern for audio.
+    */
+  def audioStatsVia(media: DataFrame, decoder: AudioDecoder,
+      contentCol: String = "content"): DataFrame =
+    audioStats(audioSamplesVia(media, decoder, contentCol))
+
   final class StubDecoder extends MediaDecoder {
     def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float] = {
       // Deterministic pseudo-features: per-stripe byte checksums.

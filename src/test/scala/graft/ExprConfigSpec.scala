@@ -1716,6 +1716,81 @@ class ExprConfigSpec extends SparkSpec {
     assert(via == plain && via.size == 2, via)
   }
 
+  test("AudioDecoder seam: stub lossy codec end-to-end") {
+    import graft.operators.Multimodal
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def gaud(rate: Int, samples: Seq[Int]): Array[Byte] =
+      "GAUD".getBytes("ISO-8859-1") ++ le32(rate) ++
+        samples.map(_.toByte).toArray
+    // clip 1: four signed-byte samples; clip 2: planted silence;
+    // clip 3: a foreign codec; clip 4: truncated GAUD header;
+    // clip 5: GAUD with a non-positive rate
+    val media = Seq(
+      1L -> gaud(8000, Seq(10, -20, 127, -128)),
+      2L -> gaud(16000, Seq(0, 0, 0)),
+      3L -> "MPGA junk".getBytes("ISO-8859-1"),
+      4L -> "GAUD".getBytes("ISO-8859-1"),
+      5L -> gaud(0, Seq(1, 2))
+    ).toDF("media_id", "content").withColumn("kind", lit("audio"))
+
+    val dec = new Multimodal.LossyStubDecoder
+    val pcm = Multimodal.audioSamplesVia(media, dec)
+
+    // seam scale contract: decode is a per-row projection — NO
+    // exchange anywhere in the plan (blobs never shuffle)
+    assert(!pcm.queryExecution.executedPlan.toString
+      .contains("Exchange"), pcm.queryExecution.executedPlan)
+
+    // the decoded stats are the quantized samples << 8, through the
+    // EXISTING native WAV walk; undecodable rows keep NULL stats
+    val st = Multimodal.audioStatsVia(media, dec)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null
+         else (r.getString(3), r.getInt(5), r.getLong(9),
+           r.getInt(11), r.getLong(12), r.getInt(13))))
+      .toMap
+    // (format, rate, sum, peak, n_clipped, silent)
+    assert(st(1L) == (("wav", 8000, (10 - 20 + 127 - 128) * 256L,
+      32768, 1L, 0)), st(1L))
+    assert(st(2L) == (("wav", 16000, 0L, 0, 0L, 1)), st(2L))
+    assert(st(3L) == null && st(4L) == null && st(5L) == null)
+
+    // decoded PCM flows through the SAME fingerprint family: two
+    // encodes of one ramp (one PCM WAV, one GAUD through the seam)
+    // pair at hamming 0 — the cross-codec boundary q168 pins,
+    // extended to the lossy side
+    val ramp = (0 until 64).flatMap(i => Seq.fill(4)((i - 32) * 2))
+    def wavPcm16(samples: Seq[Int]): Array[Byte] = {
+      val n = samples.length
+      ("RIFF".getBytes("ISO-8859-1") ++ le32(36 + 2 * n) ++
+        "WAVEfmt ".getBytes("ISO-8859-1") ++ le32(16) ++
+        Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+        Array[Byte](2, 0, 16, 0) ++
+        "data".getBytes("ISO-8859-1") ++ le32(2 * n) ++
+        samples.flatMap(v => Seq(((v << 8) & 0xFF).toByte,
+          v.toByte)).toArray)
+    }
+    val pcmClip = Seq(10L -> wavPcm16(ramp))
+      .toDF("media_id", "content").withColumn("kind", lit("audio"))
+      .select("media_id", "kind", "content")
+    val lossyClip = Seq(11L -> gaud(8000, ramp))
+      .toDF("media_id", "content").withColumn("kind", lit("audio"))
+    val mixed = pcmClip.union(
+      Multimodal.audioSamplesVia(lossyClip, dec))
+    val pairs = Multimodal.audioNearDup(mixed, nFrames = 16, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((10L, 11L, 0)), pairs)
+
+    // passthrough: PCM payloads unchanged through the seam
+    val via = Multimodal
+      .audioStatsVia(pcmClip, new Multimodal.PcmPassthroughDecoder)
+      .select("sum", "sumsq", "peak").collect()
+    val plain = Multimodal.audioStats(pcmClip)
+      .select("sum", "sumsq", "peak").collect()
+    assert(via.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
   test("graft_gif_frames: composited animation decode, disposal, dispatch") {
     import graft.expr.{GifBuild, GifFrames}
     def ppmPixels(ppm: Array[Byte], w: Int, h: Int): Seq[Int] = {
