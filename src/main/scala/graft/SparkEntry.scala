@@ -572,7 +572,7 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
     }),
 
-    // WIDE language ID: 106 languages + und with a confidence column —
+    // WIDE language ID: 134 languages + und with a confidence column —
     // script-tier codepoint evidence (26 scripts) refined by
     // distinctive-letter counts inside 5 shared scripts, over a
     // 57-language Latin stopword argmax; the router breadth a real
@@ -1102,7 +1102,7 @@ object SparkEntry {
     // language-ID confusion matrix: predicted vs labeled language with
     // per-cell counts — the classifier-evaluation query every heuristic
     // (and model) gate needs before it filters a corpus. Round 8:
-    // evaluated against the WIDE 106-language predictor (q151's label
+    // evaluated against the WIDE 134-language predictor (q151's label
     // space) — the honest matrix now also shows which labels leak into
     // the 28 languages the old 4-way form could never emit
     "q117_lang_confusion" -> ((s, dir) => {

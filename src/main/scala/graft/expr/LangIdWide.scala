@@ -190,7 +190,7 @@ object LangIdWide {
         UTF8String.fromString(lang),
         round4(sMax.toDouble / nonWs)))
     }
-    // stopword tier: one token-set build, 570 probes. DISTINCT
+    // stopword tier: one token-set build, 790 probes. DISTINCT
     // stopword hits (array_intersect semantics) — set membership per
     // listed word, each word counted once.
     val n = toks.numElements()

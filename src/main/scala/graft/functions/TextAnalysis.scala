@@ -130,12 +130,15 @@ object TextAnalysis {
     "ar" -> "\u0600-\u06FF", // Arabic
     "bn" -> "\u0980-\u09FF", // Bengali
     "bo" -> "\u0F00-\u0FFF", // Tibetan
+    "chr" -> "\u13A0-\u13FF", // Cherokee syllabary
     "dv" -> "\u0780-\u07BF", // Thaana (Dhivehi)
     "el" -> "\u0370-\u03FF", // Greek
     "gu" -> "\u0A80-\u0AFF", // Gujarati
     "he" -> "\u0590-\u05FF", // Hebrew
     "hi" -> "\u0900-\u097F", // Devanagari
     "hy" -> "\u0530-\u058F", // Armenian
+    "ii" -> "\uA000-\uA48F", // Yi syllables (Sichuan Yi)
+    "iu" -> "\u1400-\u167F", // Canadian Aboriginal Syllabics (\u2192 iu prior)
     "ja" -> "\u3040-\u30FF", // Hiragana + Katakana
     "ka" -> "\u10A0-\u10FF", // Georgian
     "km" -> "\u1780-\u17FF", // Khmer
@@ -144,6 +147,7 @@ object TextAnalysis {
     "lo" -> "\u0E80-\u0EFF", // Lao
     "ml" -> "\u0D00-\u0D7F", // Malayalam
     "my" -> "\u1000-\u109F", // Myanmar
+    "nqo" -> "\u07C0-\u07FF", // N'Ko
     "or" -> "\u0B00-\u0B7F", // Oriya
     "pa" -> "\u0A00-\u0A7F", // Gurmukhi (Punjabi)
     "ru" -> "\u0400-\u04FF", // Cyrillic
@@ -178,6 +182,10 @@ object TextAnalysis {
     * documented coarseness.
     */
   val ScriptRefinements: Seq[(String, Seq[(String, String)])] = Seq(
+    // Ethiopic script: the QHA series ቐ-ቖ (U+1250-U+1256) is
+    // Tigrinya's — Amharic doesn't use it; all-zero → am (round 12)
+    "am" -> Seq(
+      "ti" -> "ቐቑቒቓቔቕቖ"),
     // Bengali script: Assamese alone uses ra ৰ and va ৱ
     // (Bengali ra is র); all-zero → bn
     "bn" -> Seq(
@@ -212,6 +220,10 @@ object TextAnalysis {
       // Sindhi kaf \u2014 in Sindhi, the \u06C7/\u06C8 vowels in Uyghur)
       "ckb" -> "\u06B5\u0695\u06CE",             // \u06B5 \u0695 \u06CE (\u06C6 shared with ug, excluded)
       "fa" -> "\u067E\u0686\u0698\u06AF",        // \u067E \u0686 \u0698 \u06AF (majority assignment, see above)
+      // round 12: Kashmiri \u2014 \u0672 (alef + wavy hamza), \u06C4 (waw + ring)
+      // and \u0620 (yeh + ring) are Kashmiri orthography only; none of the
+      // other seven Arabic-script languages here writes them
+      "ks" -> "\u0620\u0672\u06C4", // \u0620 \u0672 \u06C4
       "ps" -> "\u067C\u0689\u0693\u069A\u06BC",  // \u067C \u0689 \u0693 \u069A \u06BC
       "sd" -> "\u0684\u0683\u068F\u06AA",        // \u0684 \u0683 \u068F \u06AA
       "ug" -> "\u06C7\u06C8",                    // \u06C7 \u06C8 (\u06D0 shared with ps, \u06C6 with ckb \u2014 excluded)
@@ -243,7 +255,7 @@ object TextAnalysis {
       "tt" -> "\u0497\u0496",                     // \u0497 (\u04D9 \u04A3 \u04BB \u04E9 \u04AF shared with kk/ba/sah/mn, excluded)
       "uk" -> "\u0457\u0407\u0454\u0404\u0491\u0490")) // \u0457 \u0454 \u0491 (\u0456 shared with be, excluded)
 
-  /** Stopword evidence for the 57 Latin-script languages of
+  /** Stopword evidence for the 79 Latin-script languages of
     * [[langIdWide]]. ASCII-only function words by construction: the
     * shared tokenizer lowercases and splits on [^a-z0-9]+, so accented
     * forms fragment before matching — each list picks that language's
@@ -270,7 +282,29 @@ object TextAnalysis {
     * split on lakin-vs-ama-vs-lekin/uchun. ISO codes follow fastText
     * LID convention where no 2-letter code exists (ceb, war).
     *
-    * The round-11b band adds 4 more (57 Latin languages), separated
+    * The round-12 band adds 22 more (79 Latin languages), separated
+    * from their nearest established neighbour the same way: ast from
+    * es on ya/nun/pa/nel vs una/por/para; co from it on u/chi/cun vs
+    * il/che/con; fo from is on at/sum/ikki/hevur vs sem/var/ekki/
+    * hefur (and from nn/no, which share only og/at/er/til); haw from
+    * sm on ka/ke/kona/aku vs le/e/ua/lona; ia from es/fr on
+    * pro/iste/al; ig from ha on nke/ndi/maka vs sun/wannan; ku
+    * (Kurmanji — Latin script; Sorani is the Arabic-script ckb
+    * refinement) on ji/ev/ew/heye; lg from rw on era/naye/kuba vs
+    * cyangwa/ariko/kandi; ln from sw on mpe/oyo/moto vs kwa/za/
+    * katika; mi from sm/haw on te/ki/me/nga/tenei; nds from de/nl/fy
+    * on un/dat/vun/ok vs und/das/von/auch; ny from sn on ndi/koma/
+    * ngati vs uye/asi/kana; om on garuu/akka/keessa; rw from lg/sw
+    * as above; sco from en on tae/wi/fae/nae vs to/with/from/not; sm
+    * from haw as above; st/tn are the close pair split on ho/hore/
+    * empa vs go/gore/mme (they share le/ya/ka/tsa); tk from uz/tr on
+    * we/bilen/hem/emma vs va/bilan/ham/lekin vs ve/ama; wo on
+    * ngir/waaye/loolu/dafa; yo from ig on ati/pe/awon/gbogbo; gn on
+    * avei/ndive/ikatu. Yoruba's listed words are the ASCII skeletons
+    * of its (normally diacritized) function words — digitized Yoruba
+    * overwhelmingly types them bare, the same trade vi makes above.
+    *
+    * The round-11b band added 4 (53 → 57 Latin languages), separated
     * from their neighbours the same way: nn (Nynorsk) shares 8 of 10
     * with no (Bokmål) — og/det/at/er/som/med/av/til are the SAME
     * words in both standards — and splits on the real orthographic
@@ -282,9 +316,11 @@ object TextAnalysis {
     */
   val WideStopwordLists: Seq[(String, Seq[String])] = Seq(
     "af" -> Seq("die", "en", "van", "het", "nie", "is", "wat", "om", "vir", "ook"),
+    "ast" -> Seq("la", "de", "que", "el", "ya", "nun", "pa", "los", "nel", "cola"),
     "az" -> Seq("ki", "bir", "bu", "lakin", "olaraq", "zaman", "daha", "sonra", "ancaq", "edir"),
     "br" -> Seq("hag", "an", "eus", "gant", "evit", "war", "ur", "met", "bet", "ar"),
     "ca" -> Seq("el", "la", "de", "que", "els", "per", "amb", "una", "als", "dels"),
+    "co" -> Seq("di", "u", "chi", "un", "una", "cun", "quellu", "anu", "issa", "avia"),
     "ceb" -> Seq("ang", "sa", "nga", "ug", "mga", "kini", "dili", "usa", "kay", "iyang"),
     "cs" -> Seq("je", "se", "na", "to", "ale", "jako", "pro", "tak", "co", "nebo"),
     "cy" -> Seq("yn", "y", "ar", "ei", "yr", "bod", "wedi", "am", "gan", "hefyd"),
@@ -296,47 +332,67 @@ object TextAnalysis {
     "et" -> Seq("ja", "on", "ei", "see", "oli", "ka", "kui", "aga", "mis", "oma"),
     "eu" -> Seq("eta", "da", "ez", "du", "bat", "dira", "baina", "zen", "ere", "dute"),
     "fi" -> Seq("ja", "on", "ei", "se", "oli", "mutta", "kun", "niin", "joka", "jos"),
+    "fo" -> Seq("og", "at", "er", "til", "um", "sum", "ikki", "hann", "eru", "hevur"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
     "fy" -> Seq("de", "en", "fan", "it", "dat", "net", "mar", "foar", "wurdt", "hawwe"),
     "ga" -> Seq("agus", "an", "ar", "na", "le", "go", "ach", "mar", "ag", "sin"),
     "gd" -> Seq("agus", "air", "aig", "anns", "bha", "tha", "chan", "ann", "mar", "iad"),
     "gl" -> Seq("de", "que", "o", "a", "e", "do", "da", "un", "unha", "dos"),
+    "gn" -> Seq("ha", "ko", "pe", "avei", "umi", "ndive", "ikatu", "oiko", "ojapo", "hague"),
     "ha" -> Seq("da", "ya", "ta", "na", "sun", "ba", "wannan", "amma", "suka", "wata"),
+    "haw" -> Seq("ka", "ke", "i", "o", "ma", "kona", "aku", "mai", "kekahi", "keia"),
     "hr" -> Seq("je", "se", "na", "da", "su", "od", "za", "ali", "kao", "ili"),
     "ht" -> Seq("nan", "ak", "pou", "yo", "li", "ki", "sa", "men", "te", "gen"),
     "hu" -> Seq("az", "nem", "hogy", "egy", "van", "de", "ha", "meg", "mint", "csak"),
+    "ia" -> Seq("le", "de", "e", "un", "es", "que", "pro", "con", "iste", "al"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "ig" -> Seq("na", "ka", "nke", "ya", "di", "ndi", "maka", "banyere", "otu", "ihe"),
     "is" -> Seq("og", "um", "sem", "er", "var", "til", "ekki", "hann", "eru", "hefur"),
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "le", "si", "una"),
     "jv" -> Seq("lan", "ing", "kang", "saka", "iku", "karo", "ora", "wis", "ana", "uga"),
+    "ku" -> Seq("di", "de", "ku", "ji", "li", "bi", "ev", "ew", "heye", "hatiye"),
     "la" -> Seq("et", "in", "est", "non", "cum", "ad", "ut", "sed", "quod", "qui"),
     "lb" -> Seq("an", "de", "den", "ass", "vun", "fir", "net", "datt", "och", "mat"),
+    "lg" -> Seq("nga", "mu", "ku", "era", "naye", "kuba", "bya", "kino", "oba", "buli"),
+    "ln" -> Seq("na", "ya", "mpe", "te", "oyo", "moto", "bato", "kasi", "esika", "boye"),
     "lt" -> Seq("ir", "yra", "kad", "tai", "bet", "kaip", "jau", "buvo", "apie", "nes"),
     "lv" -> Seq("un", "ir", "ka", "par", "bet", "no", "uz", "tas", "vai", "tika"),
     "mg" -> Seq("ny", "sy", "dia", "izay", "amin", "ary", "fa", "tsy", "ho", "tamin"),
+    "mi" -> Seq("te", "o", "i", "ki", "me", "ka", "he", "nga", "ana", "tenei"),
     "ms" -> Seq("yang", "dan", "di", "dengan", "untuk", "ini", "adalah", "boleh", "kerana", "telah"),
     "mt" -> Seq("li", "ta", "il", "ma", "dan", "din", "kien", "biex", "jew", "ukoll"),
+    "nds" -> Seq("de", "un", "dat", "en", "vun", "to", "mit", "ok", "he", "wat"),
     "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "op", "voor", "met"),
     "nn" -> Seq("og", "det", "at", "er", "som", "med", "av", "til", "ikkje", "eit"),
     "no" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "av", "ikke"),
+    "ny" -> Seq("ndi", "kuti", "koma", "ngati", "chifukwa", "anthu", "zonse", "pamene", "kwambiri", "kapena"),
     "oc" -> Seq("de", "la", "que", "lo", "los", "per", "una", "dins", "mas", "pas"),
+    "om" -> Seq("fi", "kan", "akka", "garuu", "kana", "isaa", "waan", "kun", "keessa", "booda"),
     "pl" -> Seq("nie", "to", "jest", "na", "do", "z", "co", "tak", "ale", "jak"),
     "pt" -> Seq("de", "que", "o", "da", "em", "um", "para", "com", "os", "uma"),
     "ro" -> Seq("de", "la", "cu", "un", "o", "este", "pentru", "care", "dar", "mai"),
+    "rw" -> Seq("ku", "mu", "ni", "ko", "cyangwa", "ariko", "kandi", "uko", "ibyo", "muri"),
+    "sco" -> Seq("the", "an", "o", "tae", "wi", "fae", "nae", "aboot", "efter", "haes"),
     "sk" -> Seq("je", "sa", "na", "to", "som", "ako", "ale", "pre", "tak", "alebo"),
     "sl" -> Seq("je", "in", "se", "na", "da", "so", "za", "ki", "pa", "tudi"),
+    "sm" -> Seq("le", "o", "i", "e", "ua", "ma", "mo", "lona", "lenei", "tagata"),
     "sn" -> Seq("uye", "kuti", "kana", "asi", "zvakare", "izvi", "vanhu", "nekuti", "saka", "apo"),
     "so" -> Seq("iyo", "ka", "oo", "waa", "uu", "si", "ay", "ku", "soo", "kale"),
     "sq" -> Seq("dhe", "me", "nga", "si", "por", "kjo", "ka", "duke", "sipas", "mund"),
+    "st" -> Seq("le", "ho", "ya", "ka", "hore", "empa", "tsa", "ba", "na", "haeba"),
     "su" -> Seq("jeung", "anu", "teu", "eta", "ieu", "dina", "henteu", "oge", "kana", "sanes"),
     "sv" -> Seq("och", "att", "det", "som", "en", "av", "den", "med", "har", "till"),
     "sw" -> Seq("na", "ya", "wa", "kwa", "ni", "za", "katika", "hii", "lakini", "kama"),
+    "tk" -> Seq("we", "bu", "bilen", "hem", "emma", "bolan", "uly", "bir", "bolup", "gelen"),
     "tl" -> Seq("ang", "ng", "sa", "na", "mga", "ay", "at", "para", "ito", "hindi"),
+    "tn" -> Seq("le", "go", "ya", "mo", "gore", "mme", "fa", "ka", "tsa", "jaaka"),
     "tr" -> Seq("bir", "ve", "bu", "da", "ne", "gibi", "ama", "daha", "sonra", "kadar"),
     "uz" -> Seq("va", "bu", "bilan", "uchun", "emas", "ham", "lekin", "keyin", "edi", "deb"),
     "vi" -> Seq("cho", "trong", "khi", "hay", "nhau", "theo", "ra", "con", "anh", "nay"),
     "war" -> Seq("an", "ha", "nga", "mga", "ngan", "ini", "hini", "kay", "waray", "amo"),
+    "wo" -> Seq("ak", "ci", "la", "ngir", "waaye", "loolu", "dafa", "yi", "bi", "nit"),
     "xh" -> Seq("ukuba", "kwaye", "kodwa", "ngoba", "oku", "naye", "apho", "into", "le", "xa"),
+    "yo" -> Seq("ati", "ni", "ti", "pe", "won", "awon", "si", "lati", "fun", "gbogbo"),
     "zu" -> Seq("ukuthi", "futhi", "ngoba", "kodwa", "kanye", "uma", "noma", "lapho", "yena", "khona"))
 
   /** Argmax over (lang, evidence) pairs with ties to the lowest
@@ -351,7 +407,7 @@ object TextAnalysis {
     }.otherwise(lit(byLang.last._1))
   }
 
-  /** Wide language ID: 106 languages + "und", with a confidence column
+  /** Wide language ID: 134 languages + "und", with a confidence column
     * — the breadth a real multilingual-crawl router needs (the 4-way
     * [[langId]] stays as the minimal reference form). Three tiers,
     * all pure codegen'd expressions:
@@ -368,7 +424,7 @@ object TextAnalysis {
     *     Bengali 2, Hebrew 2, Devanagari 2); all-zero markers keep
     *     the prior.
     *  3. STOPWORD tier (Latin residue): argmax of
-    *     [[WideStopwordLists]] hits (57 Latin-script languages),
+    *     [[WideStopwordLists]] hits (79 Latin-script languages),
     *     ties to the lowest language code, confidence =
     *     round(maxHits / tokenCount, 4); zero hits → ("und", 0.0).
     *

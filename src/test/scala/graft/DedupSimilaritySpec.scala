@@ -879,6 +879,76 @@ class DedupSimilaritySpec extends SparkSpec {
       }
   }
 
+  test("langIdWide: 134-language set — round-12 scripts, refinements and Latin band") {
+    val df = Seq(
+      // new scripts: each range routes to its language
+      (1L, "ᏣᎳᎩ ᎦᏬᏂᎯᏍᏗ ᎤᏬᏂᎯᏍ"), // Cherokee syllabary → chr
+      (2L, "ꆈꌠꉙ ꁱꂷ ꅉꀕ"), // Yi syllables → ii
+      (3L, "ᐃᓄᒃᑎᑐᑦ ᑎᑎᕋᐅᓯᖅ ᓄᓇᕗᑦ"), // UCAS → iu
+      (4L, "ߒߞߏ ߞߊ߲ ߛߓߍߛߎ߲"), // N'Ko → nqo
+      // Ethiopic refinement: the Tigrinya QHA series beats the am
+      // prior; marker-free Ethiopic stays am
+      (5L, "ቋንቋ ትግርኛ እዩ ቐሊል ቑጽሪ"), // ቐ ቑ (+ቋ is QWA, not a marker) → ti
+      (6L, "አማርኛ ቋንቋ ነው ሰላም"), // no QHA letters → am prior
+      // Arabic-script refinement: Kashmiri's ٲ/ۄ/ؠ beat fa's majority
+      // letters
+      (7L, "کٲشُر زبٲن چھُ ۄنان ؠتھ"), // ٲ×2 ۄ ؠ → ks
+      // new Latin band and its close-pair controls
+      (8L, "og at er til um sum ikki hann eru hevur"), // fo: sum/ikki/hevur
+      (9L, "og um sem er var til ekki hann eru hefur"), // is (control)
+      (10L, "de un dat en vun to mit ok he wat"), // nds: un/dat/vun/ok
+      (11L, "der die und das ist nicht ein mit auf zu"), // de (control)
+      (12L, "the an o tae wi fae nae aboot efter haes"), // sco: tae/wi/fae/nae
+      (13L, "the and of to in is that it for with"), // en (control)
+      (14L, "le ho ya ka hore empa tsa ba na haeba"), // st: ho/hore/empa
+      (15L, "le go ya mo gore mme fa ka tsa jaaka"), // tn: go/gore/mme
+      (16L, "we bu bilen hem emma bolan uly bir bolup gelen"), // tk
+      (17L, "va bu bilan uchun emas ham lekin keyin edi deb"), // uz (control)
+      (18L, "la de que el ya nun pa los nel cola"), // ast: ya/nun/pa/nel
+      (19L, "el la de que los una por con para es"), // es (control)
+      (20L, "le o i e ua ma mo lona lenei tagata"), // sm
+      (21L, "ka ke i o ma kona aku mai kekahi keia"), // haw
+      (22L, "te o i ki me ka he nga ana tenei"), // mi
+      (23L, "di de ku ji li bi ev ew heye hatiye"), // ku (Kurmanji, Latin)
+      (24L, "ati ni ti pe won awon si lati fun gbogbo"), // yo
+      (25L, "na ka nke ya di ndi maka banyere otu ihe"), // ig
+      (26L, "ku mu ni ko cyangwa ariko kandi uko ibyo muri"), // rw
+      (27L, "nga mu ku era naye kuba bya kino oba buli"), // lg
+      (28L, "ndi kuti koma ngati chifukwa anthu zonse pamene kwambiri kapena"), // ny
+      (29L, "fi kan akka garuu kana isaa waan kun keessa booda"), // om
+      (30L, "ak ci la ngir waaye loolu dafa yi bi nit"), // wo
+      (31L, "na ya mpe te oyo moto bato kasi esika boye"), // ln
+      (32L, "le de e un es que pro con iste al"), // ia
+      (33L, "di u chi un una cun quellu anu issa avia"), // co
+      (34L, "il di che la per con del le si una"), // it (control)
+      (35L, "ha ko pe avei umi ndive ikatu oiko ojapo hague") // gn
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdWide($"text")
+    val got = df.select($"doc_id", pred.getField("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = Map(
+      1L -> "chr", 2L -> "ii", 3L -> "iu", 4L -> "nqo",
+      5L -> "ti", 6L -> "am", 7L -> "ks",
+      8L -> "fo", 9L -> "is", 10L -> "nds", 11L -> "de", 12L -> "sco",
+      13L -> "en", 14L -> "st", 15L -> "tn", 16L -> "tk", 17L -> "uz",
+      18L -> "ast", 19L -> "es", 20L -> "sm", 21L -> "haw", 22L -> "mi",
+      23L -> "ku", 24L -> "yo", 25L -> "ig", 26L -> "rw", 27L -> "lg",
+      28L -> "ny", 29L -> "om", 30L -> "wo", 31L -> "ln", 32L -> "ia",
+      33L -> "co", 34L -> "it", 35L -> "gn")
+    exp.foreach { case (id, l) =>
+      assert(got(id) == l, s"doc $id: got ${got(id)} want $l")
+    }
+    // native ≡ composed at the widened label space, bit for bit
+    val composed = TextAnalysis.langIdWideComposed($"text")
+    df.select($"doc_id", pred.getField("lang"), pred.getField("confidence"),
+        composed.getField("lang"), composed.getField("confidence"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(3) &&
+          r.getDouble(2) == r.getDouble(4),
+          s"native vs composed diverge on doc ${r.getLong(0)}: $r")
+      }
+  }
+
   test("text analysis: langId, token stats, fingerprint determinism") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
