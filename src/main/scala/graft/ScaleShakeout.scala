@@ -329,6 +329,55 @@ object ScaleShakeout {
           maxHamming = 6))
     }
 
+    // JPEG decode cost probe (round-12 VERDICT item 7): the SAME
+    // pixel content at the same thumbnail size through the two decode
+    // paths — hand PPM (the native fast path) vs ImageIO JPEG (the
+    // JDK-codec path whose per-row setup cost lost to a hand decoder
+    // once before: GIF, 4.1×). The measured op is pixelStats — a pure
+    // decode projection, so the wall delta IS the decoder delta. The
+    // decision rule: if JPEG/PPM wall ratio at 50× is in GIF's
+    // pre-hand-decoder territory, a baseline-DCT hand decoder is
+    // justified next round; otherwise record the numbers and close
+    // the question. (Pixel VALUES differ between the two corpora —
+    // JPEG is lossy — but cost, not values, is measured here; the
+    // correctness of both decoders is spec-gated elsewhere.)
+    if (wanted("pixelStatsPpm", "pixelStatsJpeg")) {
+      val w = 32; val h = 24
+      def rgb(id: Long): Array[Byte] = {
+        val px = new Array[Byte](w * h * 3)
+        val rnd = new java.util.Random(id * 6364136223846793005L + 13L)
+        rnd.nextBytes(px)
+        px
+      }
+      val genPpm = udf { (id: Long) =>
+        s"P6\n$w $h\n255\n".getBytes("ISO-8859-1") ++ rgb(id)
+      }
+      val genJpeg = udf { (id: Long) =>
+        val px = rgb(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var i = 0
+        while (i < w * h) {
+          img.setRGB(i % w, i / w,
+            ((px(3 * i) & 0xFF) << 16) | ((px(3 * i + 1) & 0xFF) << 8) |
+              (px(3 * i + 2) & 0xFF))
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      for ((name, gen) <- Seq("pixelStatsPpm" -> genPpm,
+          "pixelStatsJpeg" -> genJpeg)) {
+        val p = s"target/scale_probe_$name.parquet"
+        spark.range(nDocs)
+          .select(col("id").as("media_id"), gen(col("id")).as("content"))
+          .write.mode("overwrite").parquet(p)
+        val imgs = spark.read.parquet(p).withColumn("kind", lit("image"))
+        run(name)(graft.operators.Multimodal.pixelStats(imgs))
+      }
+    }
+
     // perceptual audio near-dup at corpus scale, the image decade's
     // audio sibling: 16-bit mono WAV clips with a 3% CONSTANT-
     // AMPLITUDE mass bucket — flat envelope ⇒ every gradient bit 0 ⇒
