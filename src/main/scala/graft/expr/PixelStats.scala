@@ -159,10 +159,15 @@ object PixelStats {
       return png(b)
     if (b(0) == 'P' && b(1) == '6') return ppm(b)
     if (b(0) == 'B' && b(1) == 'M') return bmp(b)
-    if (((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) ||
-        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))
-      return imageio(b,
-        if ((b(0) & 0xFF) == 0xFF) "jpeg" else "gif")
+    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      // baseline JPEG through the hand decoder (12.5× cheaper than the
+      // ImageIO reader per thumbnail — SCALE.md round-12 probe);
+      // progressive/arithmetic/CMYK and anything it rejects fall back
+      val hand = JpegDecode.decode(b)
+      return if (hand != null) hand else imageio(b, "jpeg")
+    }
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      return imageio(b, "gif")
     // TIFF via the JDK's own ImageIO TIFF plugin (standard since
     // JDK 9); the ImageMeta IFD walk supplies the bomb-guard dims
     if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
@@ -186,6 +191,31 @@ object PixelStats {
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h * 3 > MaxRawBytes) return null
       val px = new Array[Byte](w * h * 3)
+      val cm = img.getColorModel
+      if (cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY &&
+          img.getRaster.getNumBands == 1 &&
+          !cm.isInstanceOf[java.awt.image.IndexColorModel]) {
+        // single-band grayscale: read RAW samples. getRGB would push
+        // them through a linear-gray → sRGB conversion (146 → 199
+        // class shifts) — a colorspace artifact, not decode output —
+        // and the hand JPEG decoder ([[JpegDecode]]) emits raw
+        // samples, so the fallback must match or gray stats would
+        // depend on which decoder ran.
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRaster.getSamples(0, y, w, 1, 0, row)
+          var x = 0
+          while (x < w) {
+            val v = (row(x) & 0xFF).toByte
+            val o = (y * w + x) * 3
+            px(o) = v; px(o + 1) = v; px(o + 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        return Decoded(fmt, w, h, 3, px)
+      }
       // bulk row reads: per-pixel getRGB(x, y) pays the color-model
       // conversion call per PIXEL (~2-5× slower on JPEG); the bulk form
       // converts a whole row per call. Row-wise (not one w*h int grab)

@@ -391,12 +391,25 @@ class ExprConfigSpec extends SparkSpec {
         }
         (sum, sumsq, mn, mx)
       }
-      for (fmt <- Seq("jpg", "gif", "tiff")) {
+      for (fmt <- Seq("gif", "tiff")) {
         val bytes = encoded(fmt)
         val (rs, rss, rmn, rmx) = refStats(bytes)
-        val name = if (fmt == "jpg") "jpeg" else fmt
-        assert(parsed(bytes).contains((name, 20, 10, 3, 200L, rs, rss,
+        assert(parsed(bytes).contains((fmt, 20, 10, 3, 200L, rs, rss,
           rmn, rmx, if (rmn == rmx) 1 else 0)), s"$fmt: ${parsed(bytes)}")
+      }
+      // baseline jpg now decodes through the HAND decoder (JpegDecode)
+      // whose chroma upsampling legitimately differs from the JDK's
+      // interpolating filter — exact equality moves to the dedicated
+      // differential spec; here the contract is dims/format plus
+      // JDK-proximity of the aggregate
+      locally {
+        val bytes = encoded("jpg")
+        val (rs, _, _, _) = refStats(bytes)
+        val got = parsed(bytes)
+        assert(got.isDefined && got.get._1 == "jpeg" && got.get._2 == 20 &&
+          got.get._3 == 10 && got.get._4 == 3 && got.get._5 == 200L, got)
+        assert(math.abs(got.get._6 - rs).toDouble / 600 <= 8.0,
+          s"jpg mean |hand-jdk| too wide: hand=${got.get._6} jdk=$rs")
       }
       // TIFF is lossless: the decode must reproduce the EXACT set
       // pixels, not just self-consistency
@@ -1789,6 +1802,157 @@ class ExprConfigSpec extends SparkSpec {
     val plain = Multimodal.audioStats(pcmClip)
       .select("sum", "sumsq", "peak").collect()
     assert(via.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("JpegDecode: hand baseline decoder differential vs the JDK codec") {
+    import graft.expr.JpegDecode
+    def enc(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      w.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose()
+      bos.toByteArray
+    }
+    def jdkRgb(b: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Int](w * h * 3)
+      if (img.getRaster.getNumBands == 1) {
+        // gray: RAW samples (getRGB would gamma-map linear gray to
+        // sRGB — the same artifact the imageio branch sidesteps)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = img.getRaster.getSample(x, y, 0)
+          val o = (y * w + x) * 3
+          out(o) = v; out(o + 1) = v; out(o + 2) = v
+        }
+      } else for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        out(o) = (rgb >> 16) & 0xFF; out(o + 1) = (rgb >> 8) & 0xFF
+        out(o + 2) = rgb & 0xFF
+      }
+      (w, h, out)
+    }
+    def maxDiff(b: Array[Byte]): (Int, Double) = {
+      val hand = JpegDecode.decode(b)
+      assert(hand != null, "hand decoder rejected a baseline file")
+      val (w, h, jdk) = jdkRgb(b)
+      assert(hand.w == w && hand.h == h && hand.ch == 3)
+      var mx = 0
+      var sum = 0L
+      var i = 0
+      while (i < jdk.length) {
+        val d = math.abs((hand.px(i) & 0xFF) - jdk(i))
+        if (d > mx) mx = d
+        sum += d
+        i += 1
+      }
+      (mx, sum.toDouble / jdk.length)
+    }
+    val rnd = new java.util.Random(42)
+    // grayscale noise at awkward sizes: one component, no chroma
+    // upsampling ambiguity — the residual is pure IDCT rounding, so
+    // the bound is tight
+    for ((w, h) <- Seq((8, 8), (17, 9), (32, 24), (64, 48), (31, 33))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rnd.nextInt(256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      for (q <- Seq(0.5f, 0.95f)) {
+        val (mx, mean) = maxDiff(enc(img, q))
+        assert(mx <= 2, s"gray ${w}x$h q$q: max diff $mx")
+        assert(mean <= 0.5, s"gray ${w}x$h q$q: mean diff $mean")
+      }
+    }
+    // color: smooth gradients — with the triangle chroma upsampler
+    // matching the JDK's filter, the residual is two-pass-rounding +
+    // IDCT + color-convert rounding
+    for ((w, h) <- Seq((16, 16), (33, 17), (48, 32))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 255 / w) << 16) |
+          ((y * 255 / h) << 8) | ((x + y) * 255 / (w + h)))
+      for (q <- Seq(0.7f, 0.95f)) {
+        val (mx, mean) = maxDiff(enc(img, q))
+        assert(mx <= 4, s"color ${w}x$h q$q: max diff $mx")
+        assert(mean <= 1.0, s"color ${w}x$h q$q: mean diff $mean")
+      }
+    }
+    // color NOISE (the hostile case for upsampling parity): matching
+    // filters keep even sharp-chroma content within a few counts
+    locally {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, rnd.nextInt(0x1000000))
+      val (mx, mean) = maxDiff(enc(img, 0.9f))
+      assert(mx <= 6, s"color noise: max diff $mx")
+      assert(mean <= 1.2, s"color noise: mean diff $mean")
+    }
+    // exactness anchor: a hand-built DC-only grayscale 8×8 — every
+    // conforming IDCT lands the same flat value, computable by hand:
+    // coef = extend(1001₂, cat 4) · q₀ = 9·16 = 144 → 144/8 + 128 = 146
+    val craft = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w(xs: Int*): Unit = xs.foreach(v => bos.write(v & 0xFF))
+      w(0xFF, 0xD8) // SOI
+      w(0xFF, 0xDB, 0, 67, 0) // DQT: Pq0 Tq0
+      (0 until 64).foreach(_ => w(16))
+      w(0xFF, 0xC0, 0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0) // SOF0 8×8 gray
+      // DHT DC0: one length-2 code → value 4 (category 4)
+      w(0xFF, 0xC4, 0, 20, 0x00, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4)
+      // DHT AC0: one length-2 code → value 0 (EOB)
+      w(0xFF, 0xC4, 0, 20, 0x10, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      w(0xFF, 0xDA, 0, 8, 1, 1, 0x00, 0, 63, 0) // SOS
+      // entropy: DC code '00' + 1001 (=9) + AC EOB '00' → 00100100₂,
+      // padded with 1s = 0x24 0xFF(pad)… one byte is enough
+      w(0x24)
+      w(0xFF, 0xD9) // EOI
+      bos.toByteArray
+    }
+    val crafted = JpegDecode.decode(craft)
+    assert(crafted != null && crafted.w == 8 && crafted.h == 8)
+    assert(crafted.px.forall(p => (p & 0xFF) == 146),
+      s"DC-only block must be flat 146, got ${crafted.px.take(6).map(_ & 0xFF).toSeq}")
+    val (_, _, jdkCraft) = jdkRgb(craft)
+    assert(jdkCraft.forall(_ == 146), "JDK disagrees on the crafted block")
+    // triage: truncations of a real file never throw; most are null
+    val full = enc({
+      val img = new java.awt.image.BufferedImage(24, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 24)
+        img.setRGB(x, y, 0x7F7F7F)
+      img
+    }, 0.9f)
+    for (cut <- 0 to full.length)
+      graft.expr.PixelStats.parse(full.take(cut)) // must not throw
+    // progressive falls back (via PixelStats.decode) rather than
+    // decoding wrong: the hand decoder itself must reject SOF2
+    val prog = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+      val w0 = it.next()
+      val p = w0.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      w0.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      w0.write(null, new javax.imageio.IIOImage(
+        new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY), null, null), p)
+      w0.dispose()
+      bos.toByteArray
+    }
+    assert(JpegDecode.decode(prog) == null, "SOF2 must be rejected")
+    assert(graft.expr.PixelStats.parse(prog) != null,
+      "progressive must still decode through the ImageIO fallback")
   }
 
   test("graft_gif_frames: composited animation decode, disposal, dispatch") {
