@@ -341,7 +341,7 @@ object ScaleShakeout {
     // the question. (Pixel VALUES differ between the two corpora —
     // JPEG is lossy — but cost, not values, is measured here; the
     // correctness of both decoders is spec-gated elsewhere.)
-    if (wanted("pixelStatsPpm", "pixelStatsJpeg")) {
+    if (wanted("pixelStatsPpm", "pixelStatsJpeg", "pixelStatsJpegProg")) {
       val w = 32; val h = 24
       def rgb(id: Long): Array[Byte] = {
         val px = new Array[Byte](w * h * 3)
@@ -352,7 +352,7 @@ object ScaleShakeout {
       val genPpm = udf { (id: Long) =>
         s"P6\n$w $h\n255\n".getBytes("ISO-8859-1") ++ rgb(id)
       }
-      val genJpeg = udf { (id: Long) =>
+      def jpegOf(id: Long, progressive: Boolean): Array[Byte] = {
         val px = rgb(id)
         val img = new java.awt.image.BufferedImage(w, h,
           java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -364,11 +364,27 @@ object ScaleShakeout {
           i += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val p = wr.getDefaultWriteParam
+        if (progressive) {
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(0.75f)
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        }
+        // MemoryCache stream: the default createImageOutputStream
+        // writes a disk temp file PER IMAGE (and fails where tmpdir
+        // isn't writable executor-side)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        wr.dispose(); ios.close()
         bos.toByteArray
       }
+      val genJpeg = udf { (id: Long) => jpegOf(id, progressive = false) }
+      val genJpegProg = udf { (id: Long) => jpegOf(id, progressive = true) }
       for ((name, gen) <- Seq("pixelStatsPpm" -> genPpm,
-          "pixelStatsJpeg" -> genJpeg)) {
+          "pixelStatsJpeg" -> genJpeg,
+          "pixelStatsJpegProg" -> genJpegProg)) {
         val p = s"target/scale_probe_$name.parquet"
         spark.range(nDocs)
           .select(col("id").as("media_id"), gen(col("id")).as("content"))

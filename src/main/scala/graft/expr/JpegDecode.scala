@@ -1,42 +1,54 @@
 package graft.expr
 
-/** Hand baseline-DCT JPEG decoder — the round-12 answer to the decode
-  * cost probe (SCALE.md: ImageIO JPEG costs ~115 µs per 32×24
-  * thumbnail, 12.5× the hand-PPM path, and JPEG is the majority image
-  * format of a real crawl; the GIF precedent won 4.1× on the same
-  * per-row-setup grounds). Pure JVM, zero dependencies, implementing
-  * the PUBLIC ITU-T T.81 baseline process:
+/** Hand JPEG decoder — the round-12 answer to the decode cost probe
+  * (SCALE.md: ImageIO JPEG costs ~115 µs per 32×24 thumbnail, 12.5×
+  * the hand-PPM path, and JPEG is the majority image format of a real
+  * crawl; the GIF precedent won 4.1× on the same per-row-setup
+  * grounds). Pure JVM, zero dependencies, implementing the PUBLIC
+  * ITU-T T.81 Huffman DCT processes:
   *
-  *  - marker walk: DQT (8- and 16-bit tables), SOF0/SOF1 (baseline /
-  *    extended sequential, both Huffman 8-bit), DHT, DRI, SOS, APP14
-  *    (the Adobe color-transform flag);
+  *  - BASELINE / extended sequential (SOF0/SOF1): one interleaved
+  *    scan, blocks IDCT'd inline as they decode (the hot path — no
+  *    coefficient store);
+  *  - PROGRESSIVE (SOF2): multi-scan spectral selection + successive
+  *    approximation per T.81 Annex G.1.2 — interleaved DC-first scans
+  *    and their one-bit refinements, single-component AC band scans
+  *    with EOBRUN, and the AC refinement correction-bit procedure;
+  *    coefficients accumulate per component and IDCT once at EOI
+  *    (progressive is a large share of real web JPEGs — leaving it
+  *    on the ImageIO fallback would keep the slow path hot);
+  *  - marker walk: DQT (8/16-bit), DHT (tables may be redefined
+  *    between scans), DRI (per-scan restart intervals), APP14 (the
+  *    Adobe color-transform flag);
   *  - canonical Huffman decode (mincode/maxcode/valptr per T.81
   *    §F.2.2.3) over the entropy stream with FF00 byte unstuffing and
-  *    RSTn restart handling (byte-align, DC predictors reset);
-  *  - per-block: DC diff + AC run-length/EOB/ZRL decode, dequant,
-  *    zigzag, then a double-precision separable IDCT (the spec Annex
-  *    A.3.3 math directly; float keeps it within one count of any
-  *    conforming integer IDCT — the differential spec bounds it
-  *    against the JDK codec);
-  *  - generic h×v sampling (4:4:4, 4:2:2, 4:2:0, 4:1:1) with
-  *    MCU-padded component planes, box (sample-replication)
-  *    upsampling, and the public BT.601 integer YCbCr→RGB formula
-  *    (identical constants to the IJG fixed-point form, so color
-  *    conversion matches the JDK within rounding);
+  *    RSTn restart handling (byte-align, DC predictors + EOBRUN
+  *    reset);
+  *  - double-precision separable IDCT (the spec Annex A.3.3 math
+  *    directly; float keeps it within one count of any conforming
+  *    integer IDCT — the differential spec bounds it against the JDK
+  *    codec);
+  *  - generic h×v sampling (4:4:4, 4:2:2, 4:2:0, 4:1:1); ratio-2
+  *    axes use TRIANGLE-FILTER chroma upsampling (the 3:1 centered
+  *    weights of the classic "fancy" upsampler — the filter the JDK
+  *    codec applies, so the differential bound stays tight), other
+  *    ratios box-replicate; the public BT.601 integer YCbCr→RGB
+  *    constants (identical to the IJG fixed-point form);
   *  - grayscale replicates to the 3-channel RGB shape the ImageIO
   *    branch produces; 3-component Adobe transform=0 is passed
   *    through as RGB.
   *
   * NOT handled — these return null and [[PixelStats.decode]] falls
   * back to the ImageIO tier, so coverage is unchanged and only the
-  * hot path gets faster: progressive (SOF2), arithmetic coding
-  * (SOF9-11), lossless, hierarchical, 12-bit precision, CMYK/YCCK
-  * (4-component), non-interleaved multi-scan files (SOS with fewer
-  * components than the frame), DNL height patching. Truncated or
+  * hot path gets faster: arithmetic coding (SOF9-11), lossless,
+  * hierarchical, 12-bit precision, CMYK/YCCK (4-component),
+  * non-interleaved multi-scan SEQUENTIAL files (rare; progressive
+  * multi-scan is fully handled), DNL height patching. Truncated or
   * corrupt streams also return null (triage, never an error).
   *
   * Bomb guard: the SOF dims are checked against
-  * [[PixelStats.MaxRawBytes]] BEFORE any plane allocation.
+  * [[PixelStats.MaxRawBytes]] BEFORE any plane or coefficient-store
+  * allocation.
   */
 object JpegDecode {
 
@@ -82,20 +94,24 @@ object JpegDecode {
     var plane: Array[Byte] = null // MCU-padded samples
     var pw = 0 // plane width
     var ph = 0
+    // progressive: dequantized-later coefficient store over the
+    // PADDED block grid (bwFull × bhFull blocks of 64)
+    var coef: Array[Int] = null
+    var bwFull = 0 // padded grid width in blocks (mcusX · h)
+    var bhFull = 0
+    var bw = 0 // REAL block dims (ceil of the component's logical size)
+    var bh = 0
   }
 
   /** Entropy-coded-segment bit reader: MSB-first, FF00 unstuffed; any
-    * other FF-marker stops the stream (reads past it return 0 bits —
-    * the block decode then fails on an invalid Huffman walk or the
-    * caller sees the marker via [[atMarker]]).
+    * other FF-marker stops the stream (reads past it count into
+    * `overrun` — a complete stream never overruns, so overrun at scan
+    * end means truncation).
     */
   private final class Bits(b: Array[Byte], var pos: Int) {
     private var acc = 0L
     private var n = 0
     private var stopped = false
-    // bits read PAST the segment end: a complete stream never overruns
-    // (the final byte's padding bits cover the last block before the
-    // trailing marker), so any overrun at scan end means truncation
     var overrun = 0
 
     private def fill(): Unit = {
@@ -140,6 +156,9 @@ object JpegDecode {
       true
     }
 
+    /** Byte-align (end of scan) and report the marker position. */
+    def align(): Int = { n = 0; pos }
+
     def decodeHuff(t: Huff): Int = {
       var len = 1
       var code = bit()
@@ -179,23 +198,33 @@ object JpegDecode {
     var comps: Array[Comp] = null
     var w = 0
     var h = 0
+    var hMax = 1
+    var vMax = 1
+    var mcusX = 0
+    var mcusY = 0
     var restartInterval = 0
     var adobeTransform = -1
+    var progressive = false
+    var sawScan = false
     var i = 2
-    var sosAt = -1
-    // ---- marker walk up to SOS
-    while (sosAt < 0) {
-      if (i + 4 > b.length) return null
+    // ---- marker walk (baseline returns from inside its SOS case;
+    // progressive accumulates scans until EOI)
+    var walking = true
+    while (walking) {
+      if (i + 2 > b.length) return null
       if ((b(i) & 0xFF) != 0xFF) return null
       var m = b(i + 1) & 0xFF
       while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xFF } // fill bytes
       if (m == 0xD8) { i += 2 } // stray SOI
-      else if (m == 0xD9) return null // EOI before SOS
+      else if (m == 0xD9) walking = false // EOI
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 } // standalone
       else {
+        if (i + 4 > b.length) return null
         val len = u16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return null
         val seg = i + 4
         val segEnd = i + 2 + len
+        var next = segEnd
         m match {
           case 0xDB => // DQT
             var p = seg
@@ -217,7 +246,7 @@ object JpegDecode {
               }
               quant(tq) = t
             }
-          case 0xC4 => // DHT
+          case 0xC4 => // DHT (may be redefined between scans)
             var p = seg
             while (p < segEnd) {
               val tc = (b(p) & 0xF0) >> 4
@@ -250,8 +279,9 @@ object JpegDecode {
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               p += 17 + total
             }
-          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 baseline, SOF2 progressive
             if (comps != null) return null
+            progressive = m == 0xC2
             val prec = b(seg) & 0xFF
             if (prec != 8) return null
             h = u16(b, seg + 1)
@@ -272,9 +302,29 @@ object JpegDecode {
                 comps(c).v > 4 || comps(c).tq > 3) return null
               c += 1
             }
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+            comps.foreach { comp =>
+              comp.pw = mcusX * 8 * comp.h
+              comp.ph = mcusY * 8 * comp.v
+              if (comp.pw.toLong * comp.ph > PixelStats.MaxRawBytes)
+                return null
+              comp.bwFull = mcusX * comp.h
+              comp.bhFull = mcusY * comp.v
+              val cw = (w * comp.h + hMax - 1) / hMax
+              val ch = (h * comp.v + vMax - 1) / vMax
+              comp.bw = (cw + 7) / 8
+              comp.bh = (ch + 7) / 8
+              if (progressive)
+                comp.coef = new Array[Int](comp.bwFull * comp.bhFull * 64)
+              else
+                comp.plane = new Array[Byte](comp.pw * comp.ph)
+            }
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return null // progressive / arithmetic / lossless / hierarchical
+            return null // arithmetic / lossless / hierarchical
           case 0xDD => // DRI
             if (len != 4) return null
             restartInterval = u16(b, seg)
@@ -283,18 +333,67 @@ object JpegDecode {
               b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
               adobeTransform = b(segEnd - 1) & 0xFF
           case 0xDA => // SOS
-            sosAt = i
+            if (comps == null) return null
+            if (!progressive) {
+              // the baseline hot path decodes and RETURNS here
+              return baselineScan(b, i, comps, quant, dcTabs, acTabs,
+                w, h, hMax, vMax, mcusX, mcusY, restartInterval,
+                adobeTransform)
+            }
+            val after = progressiveScan(b, i, comps, dcTabs, acTabs,
+              mcusX, mcusY, restartInterval)
+            if (after < 0) return null
+            sawScan = true
+            next = after
           case _ => // APPn, COM, others: skip
         }
-        if (sosAt < 0) i = segEnd
+        i = next
       }
     }
-    if (comps == null) return null
-    // ---- SOS header
+    if (!progressive || !sawScan) return null
+    // ---- progressive finish: dequantize + IDCT every real block
+    val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    val dq = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val comp = comps(ci)
+      val q = quant(comp.tq)
+      if (q == null) return null
+      comp.plane = new Array[Byte](comp.pw * comp.ph)
+      var by = 0
+      while (by < comp.bh) {
+        var bx = 0
+        while (bx < comp.bw) {
+          val base = (by * comp.bwFull + bx) * 64
+          var k = 0
+          while (k < 64) {
+            dq(Zigzag(k)) = comp.coef(base + k) * q(k)
+            k += 1
+          }
+          idct(dq, tmp, block)
+          store(block, comp.plane, comp.pw, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      comp.coef = null
+      ci += 1
+    }
+    emit(comps, w, h, hMax, vMax, adobeTransform)
+  }
+
+  /** One interleaved baseline scan: decode + inline IDCT, then emit.
+    * Returns the Decoded or null.
+    */
+  private def baselineScan(b: Array[Byte], sosAt: Int, comps: Array[Comp],
+      quant: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
+      w: Int, h: Int, hMax: Int, vMax: Int, mcusX: Int, mcusY: Int,
+      restartInterval: Int, adobeTransform: Int): PixelStats.Decoded = {
     val sosLen = u16(b, sosAt + 2)
     val seg = sosAt + 4
     val ns = b(seg) & 0xFF
-    if (ns != comps.length) return null // non-interleaved multi-scan
+    if (ns != comps.length) return null // non-interleaved sequential: rare
     var c = 0
     while (c < ns) {
       val cid = b(seg + 1 + 2 * c) & 0xFF
@@ -305,28 +404,15 @@ object JpegDecode {
       if (comp.dcTab > 3 || comp.acTab > 3) return null
       c += 1
     }
+    comps.foreach { comp => if (quant(comp.tq) == null) return null }
     // Ss/Se/Ah/Al must be the baseline 0/63/0/0 — tolerated loosely
     // (some writers emit junk here; baseline decode ignores them)
 
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    comps.foreach { comp =>
-      comp.pw = mcusX * 8 * comp.h
-      comp.ph = mcusY * 8 * comp.v
-      if (comp.pw.toLong * comp.ph > PixelStats.MaxRawBytes) return null
-      comp.plane = new Array[Byte](comp.pw * comp.ph)
-      if (quant(comp.tq) == null) return null
-    }
-
-    // ---- entropy-coded scan
     val bits = new Bits(b, sosAt + 2 + sosLen)
     val coef = new Array[Int](64)
     val block = new Array[Double](64)
     val tmp = new Array[Double](64)
     var mcu = 0
-    val nMcus = mcusX * mcusY
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -369,53 +455,9 @@ object JpegDecode {
                   k += 1
                 }
               }
-              // -- IDCT (separable, double): rows then columns
-              var y0 = 0
-              while (y0 < 8) {
-                var x0 = 0
-                while (x0 < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    val cv = coef(y0 * 8 + u)
-                    if (cv != 0) acc += cv * Cos(u * 8 + x0)
-                    u += 1
-                  }
-                  tmp(y0 * 8 + x0) = acc
-                  x0 += 1
-                }
-                y0 += 1
-              }
-              var x1 = 0
-              while (x1 < 8) {
-                var y1 = 0
-                while (y1 < 8) {
-                  var acc = 0.0
-                  var v0 = 0
-                  while (v0 < 8) {
-                    acc += tmp(v0 * 8 + x1) * Cos(v0 * 8 + y1)
-                    v0 += 1
-                  }
-                  block(y1 * 8 + x1) = acc
-                  y1 += 1
-                }
-                x1 += 1
-              }
-              // -- store (level shift + clamp) into the padded plane
-              val px0 = (mx * comp.h + bx) * 8
-              val py0 = (my * comp.v + by) * 8
-              var yy = 0
-              while (yy < 8) {
-                val dst = (py0 + yy) * comp.pw + px0
-                var xx = 0
-                while (xx < 8) {
-                  val v1 = math.rint(block(yy * 8 + xx)).toInt + 128
-                  comp.plane(dst + xx) =
-                    (if (v1 < 0) 0 else if (v1 > 255) 255 else v1).toByte
-                  xx += 1
-                }
-                yy += 1
-              }
+              idct(coef, tmp, block)
+              store(block, comp.plane, comp.pw,
+                (mx * comp.h + bx) * 8, (my * comp.v + by) * 8)
               bx += 1
             }
             by += 1
@@ -428,8 +470,273 @@ object JpegDecode {
       my += 1
     }
     if (bits.overrun > 0) return null // truncated entropy stream
+    emit(comps, w, h, hMax, vMax, adobeTransform)
+  }
 
-    // ---- upsample + color convert into the shared RGB shape
+  /** One progressive scan (T.81 Annex G.1.2): updates the coefficient
+    * stores and returns the position of the marker after the scan's
+    * entropy segment, or -1 on damage.
+    */
+  private def progressiveScan(b: Array[Byte], sosAt: Int,
+      comps: Array[Comp], dcTabs: Array[Huff], acTabs: Array[Huff],
+      mcusX: Int, mcusY: Int, restartInterval: Int): Int = {
+    val sosLen = u16(b, sosAt + 2)
+    val seg = sosAt + 4
+    val segEnd = sosAt + 2 + sosLen
+    val ns = b(seg) & 0xFF
+    if (ns < 1 || ns > comps.length || seg + 1 + 2 * ns + 3 > segEnd)
+      return -1
+    val scanComps = new Array[Comp](ns)
+    var c = 0
+    while (c < ns) {
+      val cid = b(seg + 1 + 2 * c) & 0xFF
+      val tabs = b(seg + 2 + 2 * c) & 0xFF
+      var found: Comp = null
+      comps.foreach(cc => if (cc.id == cid) found = cc)
+      if (found == null) return -1
+      found.dcTab = (tabs & 0xF0) >> 4
+      found.acTab = tabs & 0x0F
+      if (found.dcTab > 3 || found.acTab > 3) return -1
+      scanComps(c) = found
+      c += 1
+    }
+    val p0 = seg + 1 + 2 * ns
+    val ss = b(p0) & 0xFF
+    val se = b(p0 + 1) & 0xFF
+    val ah = (b(p0 + 2) & 0xF0) >> 4
+    val al = b(p0 + 2) & 0x0F
+    if (ss > 63 || se > 63 || se < ss || al > 13 || ah > 13) return -1
+    val dcScan = ss == 0
+    if (dcScan && se != 0) return -1 // DC scans carry only coef 0
+    if (!dcScan && ns != 1) return -1 // AC scans are single-component
+    if (ah != 0 && ah != al + 1) return -1 // successive approximation step
+
+    val bits = new Bits(b, segEnd)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    // AC refinement correction-bit sweep over coef band [k, se] of one
+    // block, consuming `r` history zeroes; returns the index where a
+    // new nonzero may be placed (or se+1)
+    def refineSweep(coefA: Array[Int], base: Int, k0: Int, r0: Int): Int = {
+      var k = k0
+      var r = r0
+      while (k <= se) {
+        val zz = base + k
+        if (coefA(zz) != 0) {
+          if (bits.bit() == 1 && (coefA(zz) & p1) == 0)
+            coefA(zz) += (if (coefA(zz) >= 0) p1 else m1)
+        } else {
+          if (r == 0) return k
+          r -= 1
+        }
+        k += 1
+      }
+      k
+    }
+
+    // decode one block of the single-component AC scan
+    def acBlock(comp: Comp, base: Int): Boolean = {
+      val act = acTabs(comp.acTab)
+      if (act == null) return false
+      if (ah == 0) { // first AC scan of this band
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = bits.decodeHuff(act)
+          if (rs < 0) return false
+          val r = rs >> 4
+          val s = rs & 0x0F
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += bits.bits(r)
+              return true // EOB covers this block
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            comp.coef(base + k) = bits.extend(s) << al
+            k += 1
+          }
+        }
+        true
+      } else { // AC refinement (G.1.2.3)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (!done && k <= se) {
+            val rs = bits.decodeHuff(act)
+            if (rs < 0) return false
+            var r = rs >> 4
+            val s = rs & 0x0F
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r)
+                if (r > 0) eobrun += bits.bits(r)
+                done = true // correction bits of this block run below
+              }
+              // r == 15: ZRL — skip 16 zero-history coefficients
+            } else {
+              if (s != 1) return false // refinement sizes are 1
+              newVal = if (bits.bit() == 1) p1 else m1
+            }
+            if (!done) {
+              val stop = refineSweep(comp.coef, base, k, r)
+              if (newVal != 0 && stop <= se) comp.coef(base + stop) = newVal
+              k = stop + 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          refineSweep(comp.coef, base, k, Int.MaxValue) // bits for nonzeros
+          eobrun -= 1
+        }
+        true
+      }
+    }
+
+    var mcu = 0
+    if (dcScan && ns > 1) {
+      // interleaved DC scan over the MCU grid
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!bits.restart()) return -1
+            comps.foreach(_.pred = 0)
+            eobrun = 0
+          }
+          var ci = 0
+          while (ci < ns) {
+            val comp = scanComps(ci)
+            var by = 0
+            while (by < comp.v) {
+              var bx = 0
+              while (bx < comp.h) {
+                val base = ((my * comp.v + by) * comp.bwFull +
+                  (mx * comp.h + bx)) * 64
+                if (ah == 0) {
+                  val dct = dcTabs(comp.dcTab)
+                  if (dct == null) return -1
+                  val s = bits.decodeHuff(dct)
+                  if (s < 0 || s > 15) return -1
+                  comp.pred += bits.extend(s)
+                  comp.coef(base) = comp.pred << al
+                } else {
+                  if (bits.bit() == 1) comp.coef(base) |= p1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan (DC or AC) over the REAL block grid
+      val comp = scanComps(0)
+      var by = 0
+      while (by < comp.bh) {
+        var bx = 0
+        while (bx < comp.bw) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!bits.restart()) return -1
+            comp.pred = 0
+            eobrun = 0
+          }
+          val base = (by * comp.bwFull + bx) * 64
+          if (dcScan) {
+            if (ah == 0) {
+              val dct = dcTabs(comp.dcTab)
+              if (dct == null) return -1
+              val s = bits.decodeHuff(dct)
+              if (s < 0 || s > 15) return -1
+              comp.pred += bits.extend(s)
+              comp.coef(base) = comp.pred << al
+            } else {
+              if (bits.bit() == 1) comp.coef(base) |= p1
+            }
+          } else {
+            if (!acBlock(comp, base)) return -1
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    if (bits.overrun > 0) return -1 // truncated scan
+    comps.foreach(_.pred = 0) // predictors never carry across scans
+    bits.align()
+  }
+
+  /** Separable double IDCT of one row-major dequantized block. */
+  private def idct(coef: Array[Int], tmp: Array[Double],
+      out: Array[Double]): Unit = {
+    var y0 = 0
+    while (y0 < 8) {
+      var x0 = 0
+      while (x0 < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          val cv = coef(y0 * 8 + u)
+          if (cv != 0) acc += cv * Cos(u * 8 + x0)
+          u += 1
+        }
+        tmp(y0 * 8 + x0) = acc
+        x0 += 1
+      }
+      y0 += 1
+    }
+    var x1 = 0
+    while (x1 < 8) {
+      var y1 = 0
+      while (y1 < 8) {
+        var acc = 0.0
+        var v0 = 0
+        while (v0 < 8) {
+          acc += tmp(v0 * 8 + x1) * Cos(v0 * 8 + y1)
+          v0 += 1
+        }
+        out(y1 * 8 + x1) = acc
+        y1 += 1
+      }
+      x1 += 1
+    }
+  }
+
+  /** Level-shift + clamp one IDCT'd block into the padded plane. */
+  private def store(block: Array[Double], plane: Array[Byte], pw: Int,
+      px0: Int, py0: Int): Unit = {
+    var yy = 0
+    while (yy < 8) {
+      val dst = (py0 + yy) * pw + px0
+      var xx = 0
+      while (xx < 8) {
+        val v1 = math.rint(block(yy * 8 + xx)).toInt + 128
+        plane(dst + xx) =
+          (if (v1 < 0) 0 else if (v1 > 255) 255 else v1).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Upsample + color convert the decoded planes into the shared
+    * 3-channel RGB shape.
+    */
+  private def emit(comps: Array[Comp], w: Int, h: Int, hMax: Int,
+      vMax: Int, adobeTransform: Int): PixelStats.Decoded = {
     val out = new Array[Byte](w * h * 3)
     if (comps.length == 1) {
       val cp = comps(0)

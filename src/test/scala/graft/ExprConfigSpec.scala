@@ -1933,26 +1933,70 @@ class ExprConfigSpec extends SparkSpec {
     }, 0.9f)
     for (cut <- 0 to full.length)
       graft.expr.PixelStats.parse(full.take(cut)) // must not throw
-    // progressive falls back (via PixelStats.decode) rather than
-    // decoding wrong: the hand decoder itself must reject SOF2
-    val prog = {
+    // PROGRESSIVE (SOF2): the multi-scan spectral-selection +
+    // successive-approximation path — same differential bounds as
+    // sequential, since a finished progressive decode must equal the
+    // sequential decode of the same coefficients
+    def encProg(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
-      val w0 = it.next()
+      val w0 = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
       val p = w0.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(0.9f)
+      p.setCompressionQuality(q)
       p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
       w0.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
-      w0.write(null, new javax.imageio.IIOImage(
-        new java.awt.image.BufferedImage(16, 16,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY), null, null), p)
+      w0.write(null, new javax.imageio.IIOImage(img, null, null), p)
       w0.dispose()
       bos.toByteArray
     }
-    assert(JpegDecode.decode(prog) == null, "SOF2 must be rejected")
-    assert(graft.expr.PixelStats.parse(prog) != null,
-      "progressive must still decode through the ImageIO fallback")
+    // gray noise progressive at awkward sizes
+    for ((w, h) <- Seq((8, 8), (17, 9), (32, 24))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rnd.nextInt(256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bytes = encProg(img, 0.9f)
+      // sanity: the writer really emitted SOF2
+      assert(bytes.sliding(2).exists(p2 =>
+        (p2(0) & 0xFF) == 0xFF && (p2(1) & 0xFF) == 0xC2), "not progressive")
+      val (mx, mean) = maxDiff(bytes)
+      assert(mx <= 2, s"prog gray ${w}x$h: max diff $mx")
+      assert(mean <= 0.5, s"prog gray ${w}x$h: mean diff $mean")
+    }
+    // color progressive: smooth gradient + noise
+    for ((noise, mxTol, meanTol) <- Seq((false, 4, 1.0), (true, 6, 1.2))) {
+      val img = new java.awt.image.BufferedImage(33, 17,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 17; x <- 0 until 33)
+        img.setRGB(x, y,
+          if (noise) rnd.nextInt(0x1000000)
+          else ((x * 255 / 33) << 16) | ((y * 255 / 17) << 8) | 64)
+      val bytes = encProg(img, 0.85f)
+      val (mx, mean) = maxDiff(bytes)
+      assert(mx <= mxTol, s"prog color noise=$noise: max diff $mx")
+      assert(mean <= meanTol, s"prog color noise=$noise: mean diff $mean")
+    }
+    // progressive truncation sweep: never throws, no wrong decode
+    val progFull = encProg({
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+      img
+    }, 0.9f)
+    for (cut <- 0 to progFull.length)
+      graft.expr.PixelStats.parse(progFull.take(cut)) // must not throw
+    // genuinely unsupported processes still triage to null: SOF9
+    // (arithmetic sequential) — the header walk must reject, and the
+    // ImageIO fallback (which can't decode it either) keeps the
+    // overall contract NULL-never-error
+    val sof9 = progFull.clone()
+    val sofAt = (0 until sof9.length - 1).find(j =>
+      (sof9(j) & 0xFF) == 0xFF && (sof9(j + 1) & 0xFF) == 0xC2).get
+    sof9(sofAt + 1) = 0xC9.toByte
+    assert(JpegDecode.decode(sof9) == null, "SOF9 must be rejected")
+    assert(graft.expr.PixelStats.parse(sof9) == null)
   }
 
   test("graft_gif_frames: composited animation decode, disposal, dispatch") {
