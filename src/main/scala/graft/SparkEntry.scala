@@ -2901,6 +2901,55 @@ object SparkEntry {
           col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // REAL JPEG decode under the ORACLE gate (q150's pattern for the
+    // lossy format): lossy pixel values are normally the codec's, not
+    // a formula's — but DC-ONLY blocks are: with a crafted one-code
+    // Huffman table each block is exactly one byte (DC category-4
+    // code '00' + 4 diff bits + EOB '00'), and a DC-only block IDCTs
+    // to the flat value 128 + dc·q/8 EXACTLY in every conforming
+    // decoder. Each doc becomes a bw×bh-block grayscale baseline
+    // JPEG built in-plan; the oracle replays the marker arithmetic
+    // (cumulative DC diffs → flat block values → channel-replicated
+    // stats). A decoder that misreads the Huffman table, the EXTEND
+    // sign rule, dequantization or the MCU raster order cannot
+    // reproduce the sums.
+    "q179_jpeg_decode" -> ((s, dir) => {
+      Graft.tune(s)
+      val id = col("doc_id")
+      val bw = (id % 3 + 1).cast(IntegerType)
+      val bh = (id % 2 + 1).cast(IntegerType)
+      val n = bw * bh
+      // block k's category-4 DC diff: even k positive (v4 in [8,15]),
+      // odd k negative (v4 in [0,7] → v4 - 15)
+      def v4(k: Column): Column =
+        when(pmod(k, lit(2)) === 0, pmod(id * 7 + k.cast(LongType) * 3,
+          lit(8L)) + 8)
+          .otherwise(pmod(id * 5 + k.cast(LongType), lit(8L)))
+      val entropyHex = array_join(
+        transform(sequence(lit(0), n - 1), k =>
+          lpad(hex(v4(k) * 4), 2, "0")), "")
+      def be16(c: Column): Column = lpad(hex(c), 4, "0")
+      val jpegHex = concat(
+        lit("FFD8"), // SOI
+        lit("FFDB0043" + "00" + "10" * 64), // DQT: all-16 table 0
+        lit("FFC0000B08"), be16(bh * 8), be16(bw * 8),
+        lit("010111" + "00"), // 1 comp, 1x1 sampling, table 0
+        lit("FFC40014" + "00" + "0001" + "00" * 14 + "04"), // DC: cat 4
+        lit("FFC40014" + "10" + "0001" + "00" * 14 + "00"), // AC: EOB
+        lit("FFDA0008" + "01" + "0100" + "00" + "3F" + "00"), // SOS
+        entropyHex,
+        lit("FFD9")) // EOI
+      val m = call_function(graft.expr.PixelStats.FunctionName,
+        unhex(jpegHex))
+      tp(s, dir, "documents").select(id.as("media_id"), m.as("_m"))
+        .select(col("media_id"),
+          col("_m.format").as("format"), col("_m.width").as("width"),
+          col("_m.height").as("height"), col("_m.channels").as("channels"),
+          col("_m.n_pixels").as("n_pixels"), col("_m.sum").as("sum"),
+          col("_m.sumsq").as("sumsq"), col("_m.pmin").as("pmin"),
+          col("_m.pmax").as("pmax"), col("_m.constant").as("constant"))
+    }),
+
     // REAL compressed-audio decode (q154's codec/width tier): G.711
     // μ-law / A-law per-byte expansion, the IMA ADPCM block state
     // machine and the 24/32-bit PCM top-two-byte reads all decode
@@ -6320,6 +6369,38 @@ object SparkEntry {
               CASE WHEN m = 0 THEN CAST(t.ss AS VARCHAR) END AS ch_sumsq,
               CASE WHEN m = 0 THEN CAST(t.pk AS VARCHAR) END AS ch_peak
        FROM d LEFT JOIN tot t ON d.id = t.id""",
+
+    // each block's flat value is 128 + 2·(cumulative category-4 DC
+    // diff); stats replicate ×3 channels × 64 pixels per block
+    "q179_jpeg_decode" ->
+      """WITH d AS (SELECT doc_id AS id,
+                  CAST(doc_id % 3 + 1 AS INTEGER) AS bw,
+                  CAST(doc_id % 2 + 1 AS INTEGER) AS bh
+           FROM documents),
+         blk AS (SELECT id, bw, bh, k,
+                   CASE WHEN k % 2 = 0 THEN 8 + (id*7 + k*3) % 8
+                        ELSE (id*5 + k) % 8 - 15 END AS diff
+                 FROM d CROSS JOIN range(0, 6) r(k)
+                 WHERE k < bw * bh),
+         dcv AS (SELECT id, k,
+                   128 + 2 * SUM(diff) OVER (PARTITION BY id ORDER BY k)
+                     AS p
+                 FROM blk),
+         agg AS (SELECT id,
+                   CAST(192 * SUM(p) AS BIGINT) AS s,
+                   CAST(192 * SUM(p*p) AS BIGINT) AS ss,
+                   CAST(MIN(p) AS INTEGER) AS mn,
+                   CAST(MAX(p) AS INTEGER) AS mx
+                 FROM dcv GROUP BY id)
+       SELECT d.id AS media_id, 'jpeg' AS format,
+              CAST(bw * 8 AS INTEGER) AS width,
+              CAST(bh * 8 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+              a.s AS sum, a.ss AS sumsq, a.mn AS pmin, a.mx AS pmax,
+              CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
+                AS constant
+       FROM d JOIN agg a ON d.id = a.id""",
 
     "q166_audio_codec_stats" -> audioCodecOracle,
     "q167_msadpcm_stats" -> msAdpcmOracle,
