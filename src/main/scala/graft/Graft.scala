@@ -96,6 +96,7 @@ object Graft {
     graft.expr.WarcRecords.register(spark)
     graft.expr.RtfToText.register(spark)
     graft.expr.HttpText.register(spark)
+    graft.expr.HttpBody.register(spark)
     graft.expr.EpubText.register(spark)
     graft.expr.PdfText.register(spark)
     graft.expr.DocxText.register(spark)

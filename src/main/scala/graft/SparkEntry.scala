@@ -2901,6 +2901,61 @@ object SparkEntry {
           col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // Crawl → DOCUMENT extraction composition (q174's sibling for
+    // binary bodies): a crawl's PDFs arrive as application/pdf HTTP
+    // responses inside WARC files — records walk → graft_http_body
+    // (binary body split, no charset machinery) → content-type route
+    // → distributed PdfText, ONE relational plan. Each archive also
+    // carries a text/html response the content-type filter must drop.
+    // The oracle replays the PDF construction (q176's raw arm).
+    "q180_crawl_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Warc
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def bin(c: Column): Column = encode(c, "ISO-8859-1")
+      val id = col("doc_id")
+      val safe = substring(
+        regexp_replace(regexp_replace(regexp_replace(
+          coalesce(col("text"), lit("")),
+          "[^ -~]", " "), "[()\\\\]", " "), "stream|endobj|beginbf", " "),
+        1, 80)
+      val pdf = concat(
+        ascii("%PDF-1.4\n4 0 obj << /Length 0 >>\nstream\nBT (Doc "),
+        bin(safe),
+        ascii(") Tj 0 -14 Td (page "), bin(id.cast(StringType)),
+        ascii(") Tj ET\nendstream\nendobj\n%%EOF\n"))
+      val httpPdf = concat(
+        ascii("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"),
+        pdf)
+      val httpHtml = ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+        "\r\n\r\n<p>markup the pdf route must drop</p>")
+      def rec(uri: Column, http: Column): Column = concat(
+        ascii("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        bin(uri),
+        ascii("\r\nContent-Type: application/http; msgtype=response" +
+          "\r\nContent-Length: "),
+        bin(length(http).cast(StringType)), ascii("\r\n\r\n"),
+        http, ascii("\r\n\r\n"))
+      val warc = concat(
+        rec(concat(lit("http://example.com/doc/"), id.cast(StringType)),
+          httpPdf),
+        rec(concat(lit("http://example.com/page/"), id.cast(StringType)),
+          httpHtml))
+      val files = tp(s, dir, "documents")
+        .select(id.as("file_id"), warc.as("content"))
+      val recs = Warc.records(files).filter(col("warc_type") === "response")
+      val h = call_function(graft.expr.HttpBody.FunctionName, col("payload"))
+      recs.select(col("file_id"), col("target_uri").as("url"),
+          h.getField("http_status").as("http_status"),
+          h.getField("content_type").as("content_type"),
+          h.getField("body").as("body"))
+        .filter(col("content_type") === "application/pdf")
+        .select(col("file_id"), col("url"), col("http_status"),
+          col("content_type"),
+          substring(call_function(graft.expr.PdfText.FunctionName,
+            col("body")), 1, 160).as("pdf_text"))
+    }),
+
     // REAL JPEG decode under the ORACLE gate (q150's pattern for the
     // lossy format): lossy pixel values are normally the codec's, not
     // a formula's — but DC-ONLY blocks are: with a crafted one-code
@@ -6369,6 +6424,22 @@ object SparkEntry {
               CASE WHEN m = 0 THEN CAST(t.ss AS VARCHAR) END AS ch_sumsq,
               CASE WHEN m = 0 THEN CAST(t.pk AS VARCHAR) END AS ch_peak
        FROM d LEFT JOIN tot t ON d.id = t.id""",
+
+    // one row per archive: only the application/pdf response survives
+    // the route; its text replays the q176-style construction
+    "q180_crawl_documents" ->
+      """SELECT doc_id AS file_id,
+              'http://example.com/doc/' || doc_id AS url,
+              CAST(200 AS INTEGER) AS http_status,
+              'application/pdf' AS content_type,
+              substr('Doc '
+                || substr(regexp_replace(regexp_replace(regexp_replace(
+                     COALESCE(text, ''),
+                     '[^ -~]', ' ', 'g'), '[()\\]', ' ', 'g'),
+                     'stream|endobj|beginbf', ' ', 'g'), 1, 80)
+                || chr(10) || 'page ' || doc_id || chr(10),
+              1, 160) AS pdf_text
+       FROM documents""",
 
     // each block's flat value is 128 + 2·(cumulative category-4 DC
     // diff); stats replicate ×3 channels × 64 pixels per block

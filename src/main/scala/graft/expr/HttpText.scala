@@ -124,11 +124,11 @@ object HttpText {
     case _ => null // unknown label: fall through to the sniff
   }
 
-  /** bytes → (status, content_type, charset, text) InternalRow, or
-    * null on null/empty input. Static for codegen.
+  /** Shared header parse: (status or null, content_type, raw
+    * Content-Type value, body offset) — the byte-level split
+    * [[HttpBody]] reuses for binary payloads.
     */
-  def parse(b: Array[Byte]): InternalRow = {
-    if (b == null || b.length == 0) return null
+  private[expr] def headerInfo(b: Array[Byte]): (Any, String, String, Int) = {
     // header/body boundary in BYTES
     var sep = -1
     var i = 0
@@ -140,13 +140,21 @@ object HttpText {
     val headEnd = if (sep >= 0) sep else b.length
     val head = new String(b, 0, headEnd, StandardCharsets.ISO_8859_1)
     val bodyFrom = if (sep >= 0) sep + 4 else b.length
-
     // status line + content-type header (case-insensitive)
     val statusM = "^HTTP/[0-9.]+ ([0-9]{3})".r.findFirstMatchIn(head)
     val status: Any = statusM.map(m => m.group(1).toInt).orNull
     val ctM = "(?im)^content-type:\\s*([^\r\n]*)".r.findFirstMatchIn(head)
     val ctRaw = ctM.map(_.group(1)).getOrElse("")
     val contentType = ctRaw.split(';').headOption.getOrElse("").trim
+    (status, contentType, ctRaw, bodyFrom)
+  }
+
+  /** bytes → (status, content_type, charset, text) InternalRow, or
+    * null on null/empty input. Static for codegen.
+    */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length == 0) return null
+    val (status, contentType, ctRaw, bodyFrom) = headerInfo(b)
     val hinted = "(?i)charset=\"?([A-Za-z0-9_.:-]+)".r
       .findFirstMatchIn(ctRaw).map(_.group(1).toLowerCase).orNull
 

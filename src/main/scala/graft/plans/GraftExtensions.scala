@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, DocxText, EpubText, HttpText, Mp4Frames, PdfText, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, DocxText, EpubText, HttpBody, HttpText, Mp4Frames, PdfText, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -141,6 +141,9 @@ object GraftExtensions {
       (FunctionIdentifier(HttpText.FunctionName),
         info(HttpText.FunctionName, classOf[HttpText]),
         exprs => HttpText(exprs.head)),
+      (FunctionIdentifier(HttpBody.FunctionName),
+        info(HttpBody.FunctionName, classOf[HttpBody]),
+        exprs => HttpBody(exprs.head)),
       (FunctionIdentifier(EpubText.FunctionName),
         info(EpubText.FunctionName, classOf[EpubText]),
         exprs => EpubText(exprs.head)),

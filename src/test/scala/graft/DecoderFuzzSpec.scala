@@ -36,6 +36,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "PixelGridSig" -> (b => graft.expr.PixelGridSig.sig(b, 9, 7)),
     "WarcRecords" -> (b => graft.expr.WarcRecords.records(b, 64)),
     "HttpText" -> (b => graft.expr.HttpText.parse(b)),
+    "HttpBody" -> (b => graft.expr.HttpBody.parse(b)),
     "RtfToText" -> (b => graft.expr.RtfToText.extract(
       UTF8String.fromBytes(b))),
     "EpubText" -> (b => graft.expr.EpubText.parse(b)),

@@ -1178,6 +1178,37 @@ class ExprConfigSpec extends SparkSpec {
     assert(parse(bombed).contains("survivor\n"))
   }
 
+  test("graft_http_body: binary body split for non-text crawl payloads") {
+    def parse(b: Array[Byte]) = Option(graft.expr.HttpBody.parse(b))
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    // binary body bytes must survive UNDECODED — including sequences
+    // that are invalid UTF-8 (the text path would replace them)
+    val body = Array[Byte](0x25, 0x50, 0x44, 0x46, 0xFF.toByte,
+      0xFE.toByte, 0x00, 0x89.toByte)
+    val payload = ascii("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: application/pdf; name=\"x.pdf\"\r\n\r\n") ++ body
+    val r = parse(payload).get
+    assert(r.getInt(0) == 200)
+    assert(r.getUTF8String(1).toString == "application/pdf")
+    assert(r.getBinary(2).toSeq == body.toSeq)
+    // no header/body boundary: NULL status, empty content_type, EMPTY
+    // body — the same truncated-response triage as the text sibling
+    // (a payload without CRLFCRLF has no identifiable body)
+    val bare = ascii("no http here at all")
+    val r2 = parse(bare).get
+    assert(r2.isNullAt(0) && r2.getUTF8String(1).toString == "")
+    assert(r2.getBinary(2).isEmpty)
+    // headers only → empty body; null/empty → NULL
+    val r3 = parse(ascii("HTTP/1.1 404 NF\r\nContent-Type: a/b\r\n\r\n")).get
+    assert(r3.getInt(0) == 404 && r3.getBinary(2).isEmpty)
+    assert(parse(Array.emptyByteArray).isEmpty)
+    assert(parse(null).isEmpty)
+    // header fields agree with the text sibling on the same payload
+    val t = graft.expr.HttpText.parse(payload)
+    assert(t.getInt(0) == r.getInt(0) &&
+      t.getUTF8String(1).toString == r.getUTF8String(1).toString)
+  }
+
   test("graft_docx_text: shared WordprocessingML walk over the hand zip walk") {
     def parse(b: Array[Byte]) = Option(graft.expr.DocxText.parse(b)).map(_.toString)
     val xml =
