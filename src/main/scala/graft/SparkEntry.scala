@@ -3331,6 +3331,86 @@ object SparkEntry {
       Multimodal.imageNearDup(media)
     }),
 
+    // CROSS-FORMAT near-dup across the LOSSY boundary — q169 extended
+    // to JPEG: normally lossy pixels aren't construction-replayable,
+    // but q179's DC-only construction IS exact in every conforming
+    // decoder, so each doc becomes the SAME block image as a baseline
+    // JPEG and a PPM. The shared PixelStats.decode routes the JPEG
+    // through the hand decoder; identical decoded pixels land on one
+    // PixelGridSig → twins pair at L1 0. Quadratic (g,k) mixes keep
+    // fixture structure from minting congruence collisions (the q168
+    // lesson — a linear diff formula made ids equal mod 24 share
+    // whole images)
+    "q181_jpeg_crossformat_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val g = col("doc_id")
+      val bw = (g % 3 + 2).cast(IntegerType)
+      val bh = (g % 2 + 2).cast(IntegerType)
+      val n = bw * bh
+      def mix(a: Column): Column =
+        pmod(shiftright(pmod(a * a, lit(1000003L)) * 48271, 8), lit(8L))
+      // category-4 DC diffs in balanced PAIRS (one up, one down per
+      // pair → |cumsum| ≤ 57, values never clamp) with the pair's
+      // up/down ORDER drawn from a per-(doc,pair) phase bit — strict
+      // block-parity alternation would lock every image into one
+      // bright/dark checker pattern and whole dims-classes would
+      // near-collide (the q168 structure hazard, re-observed here:
+      // the first fixture produced quadratic cross-doc pairs)
+      def phase(j: Column): Column = {
+        val a = g * 29 + j.cast(LongType) * 19
+        pmod(shiftright(pmod(a * a, lit(1000003L)) * 48271, 7), lit(2L))
+      }
+      def isUp(j: Column): Column = {
+        val bit = phase(shiftright(j, 1))
+        when(pmod(j, lit(2)) === 0, bit === 1).otherwise(bit === 0)
+      }
+      def v4(j: Column): Column =
+        when(isUp(j), mix(g * 37 + j.cast(LongType) * 13) + 8)
+          .otherwise(lit(7L) - mix(g * 41 + j.cast(LongType) * 17))
+      def diffOf(j: Column): Column =
+        when(isUp(j), v4(j)).otherwise(v4(j) - 15)
+      def pOf(k: Column): Column = lit(128L) +
+        aggregate(sequence(lit(0), k.cast(IntegerType)), lit(0L),
+          (acc, j) => acc + diffOf(j)) * 2
+      // JPEG arm: q179's one-byte-per-block construction
+      val entropyHex = array_join(
+        transform(sequence(lit(0), n - 1), k =>
+          byteHex(v4(k) * 4)), "")
+      def be16(c: Column): Column = lpad(hex(c), 4, "0")
+      val jpeg = unhex(concat(
+        lit("FFD8"),
+        lit("FFDB0043" + "00" + "10" * 64),
+        lit("FFC0000B08"), be16(bh * 8), be16(bw * 8),
+        lit("010111" + "00"),
+        lit("FFC40014" + "00" + "0001" + "00" * 14 + "04"),
+        lit("FFC40014" + "10" + "0001" + "00" * 14 + "00"),
+        lit("FFDA0008" + "01" + "0100" + "00" + "3F" + "00"),
+        entropyHex, lit("FFD9")))
+      // PPM arm: the identical pixel layout, 8×8 flat blocks
+      def rowHex(y: Column): Column = array_join(
+        transform(sequence(lit(0), bw - 1), bx =>
+          repeat(byteHex(pOf(
+            shiftright(y, 3).cast(LongType) * bw + bx)), 24)), "")
+      val ppm = concat(
+        encode(concat(lit("P6\n"), (bw * 8).cast(StringType), lit(" "),
+          (bh * 8).cast(StringType), lit("\n255\n")), "UTF-8")
+          .cast(BinaryType),
+        unhex(array_join(
+          transform(sequence(lit(0), bh * 8 - 1), y => rowHex(y)), "")))
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((g * 2).as("media_id"), jpeg.as("content")),
+          struct((g * 2 + 1).as("media_id"), ppm.as("content")))).as("m"))
+        .select(col("m.media_id").as("media_id"), lit("image").as("kind"),
+          col("m.content").as("content"))
+      // tight verify threshold: the contract here is the cross-format
+      // twin (exactly L1 0); block images are coarse enough that a
+      // loose threshold would pass similar-looking distinct docs
+      Multimodal.imageNearDup(media, gx = 9, gy = 7, maxL1 = 32L)
+    }),
+
     // RTF → text (q19's sibling for the OTHER legacy rich-text
     // format): the native state machine drops the nested font-table /
     // ignorable-destination groups a regexp cannot bound, decodes the
@@ -6562,6 +6642,68 @@ object SparkEntry {
                 JOIN bm b2 ON b2.g = c.id2 // 2 AND b2.blk = b1.blk
                 GROUP BY c.id1, c.id2)
        SELECT id1, id2, l1 FROM l1 WHERE l1 <= 126""",
+
+    // both arms of a doc decode to the SAME flat-block pixels (q179
+    // proves the JPEG side exactly), so block/cell means compute once
+    // per doc from the DC-cumsum formula and fan out to both ids;
+    // banding + L1 replay q169's pipeline verbatim
+    "q181_jpeg_crossformat_neardup" ->
+      """WITH d AS (SELECT doc_id AS g,
+                  CAST(doc_id % 3 + 2 AS INTEGER) AS bw,
+                  CAST(doc_id % 2 + 2 AS INTEGER) AS bh
+           FROM documents),
+         blk AS (SELECT g, bw, bh, k,
+                   CASE WHEN up
+                     THEN ((((g*37 + k*13)*(g*37 + k*13)) % 1000003)
+                           * 48271 >> 8) % 8 + 8
+                     ELSE -(((((g*41 + k*17)*(g*41 + k*17)) % 1000003)
+                           * 48271 >> 8) % 8) - 8 END AS diff
+                 FROM (SELECT g, bw, bh, k,
+                         CASE WHEN k % 2 = 0 THEN pb = 1 ELSE pb = 0 END
+                           AS up
+                       FROM (SELECT g, bw, bh, k,
+                               ((((g*29 + (k//2)*19)*(g*29 + (k//2)*19))
+                                 % 1000003) * 48271 >> 7) % 2 AS pb
+                             FROM d CROSS JOIN range(0, 12) r(k)
+                             WHERE k < bw * bh) s0) s1),
+         pv AS (SELECT g, k,
+                  128 + 2 * SUM(diff) OVER (PARTITION BY g ORDER BY k) AS p
+                FROM blk),
+         px AS (SELECT d.g, pv.p AS val,
+                  (((r.k // (bw*8)) * 7) // (bh*8)) * 9
+                    + (((r.k % (bw*8)) * 9) // (bw*8)) AS cell
+                FROM d CROSS JOIN range(0, 768) r(k)
+                JOIN pv ON pv.g = d.g
+                       AND pv.k = ((r.k // (bw*8)) // 8) * bw
+                                  + ((r.k % (bw*8)) // 8)
+                WHERE r.k < bw*8 * bh*8),
+         bm AS (SELECT g, cell, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+                FROM px GROUP BY g, cell),
+         mn AS (SELECT g, SUM(m) // 63 AS mean FROM bm GROUP BY g),
+         gs AS (SELECT bm.g,
+                  CAST(SUM(CASE WHEN m > mean
+                    THEN (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM bm JOIN mn ON bm.g = mn.g GROUP BY bm.g),
+         ids AS (SELECT g, g*2 AS id, ahash FROM gs
+                 UNION ALL SELECT g, g*2+1 AS id, ahash FROM gs),
+         bands AS (SELECT id, band,
+                     (ahash >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM ids CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         l1 AS (SELECT c.id1, c.id2,
+                  CAST(SUM(ABS(b1.m - b2.m)) AS BIGINT) AS l1
+                FROM cand c
+                JOIN bm b1 ON b1.g = c.id1 // 2
+                JOIN bm b2 ON b2.g = c.id2 // 2 AND b2.cell = b1.cell
+                GROUP BY c.id1, c.id2)
+       SELECT id1, id2, l1 FROM l1 WHERE l1 <= 32""",
 
     // both clips of a doc decode to the same linear sequence, so the
     // envelope/ehash compute ONCE per doc and fan out to the two
