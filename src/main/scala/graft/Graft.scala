@@ -100,6 +100,7 @@ object Graft {
     graft.expr.EpubText.register(spark)
     graft.expr.PdfText.register(spark)
     graft.expr.DocxText.register(spark)
+    graft.expr.BpeEncode.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

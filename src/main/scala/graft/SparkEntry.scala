@@ -682,9 +682,11 @@ object SparkEntry {
     // train → apply → account: per-document token count under the
     // learned 8-merge tokenizer (the compression-ratio metric a
     // tokenizer sweep optimizes). The apply side segments each
-    // DISTINCT word once (vocabulary-sized frame, broadcast), then the
-    // corpus joins words to symbol counts — the chained-replace encode
-    // never runs per occurrence.
+    // DISTINCT word once (vocabulary-sized frame, broadcast) through
+    // the NATIVE encoder (graft_bpe_encode: broadcast rank table +
+    // lowest-rank-first loop); the oracle replays the rank-order
+    // replace CHAIN in SQL, so the hash gate re-proves the two
+    // algorithms' equivalence on a real trained table every round.
     "q134_bpe_encode" -> ((s, dir) => {
       Graft.tune(s)
       val docs = t(s, dir, "documents")
@@ -693,7 +695,7 @@ object SparkEntry {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val wsym = Corpus.bpeWordHistogram(docs, "text")
         .select(col("word"),
-          size(Corpus.bpeSegmentCol(col("word"), merges)).as("n_sym"))
+          size(Corpus.bpeEncodeCol(col("word"), merges)).as("n_sym"))
       docs.select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("word"))
         .join(broadcast(wsym), "word")

@@ -1068,6 +1068,20 @@ object Corpus {
     regexp_extract_all(segN, lit("\\(([a-z0-9]+)\\)"), lit(1))
   }
 
+  /** [[bpeSegmentCol]]'s PRODUCTION form: the merge table compiles
+    * into ONE native expression ([[graft.expr.BpeEncode]] — a
+    * broadcast rank table + the classic lowest-rank-first loop)
+    * instead of one Catalyst `replace` node per merge, so per-word
+    * cost is independent of vocabulary size and a 32k-merge tokenizer
+    * is actually expressible. Identical output to the chain for any
+    * trained (well-ordered) merge list — CorpusSpec pins the
+    * equivalence and the q134 family's oracle (which replays the
+    * CHAIN in SQL) re-checks it against real corpora per round.
+    */
+  def bpeEncodeCol(word: Column, merges: Seq[(String, String)]): Column =
+    call_function(graft.expr.BpeEncode.FunctionName, word,
+      lit(merges.map { case (l, r) => s"$l $r" }.toArray))
+
   /** HTML boilerplate removal by BLOCK-LEVEL LINK DENSITY — the
     * page-structure signal the cross-doc segment dedup
     * ([[removeDuplicatedSegments]]) cannot see: navigation bars,

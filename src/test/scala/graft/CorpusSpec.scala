@@ -102,6 +102,46 @@ class CorpusSpec extends SparkSpec {
     assert(seg == Seq("aa", "aa"))
   }
 
+  test("native graft_bpe_encode equals the replace chain on trained tables") {
+    // the two algorithms differ in shape (rank-order exhaustive
+    // replaces vs lowest-rank-first loop) but must agree on any
+    // trained — well-ordered — merge list; this pins the contract the
+    // q134 oracle (which replays the CHAIN in SQL) re-checks per round
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" ")),
+      (5L, "aaa aaa abab abab banana bandana")
+    ).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(corpus, "text", numMerges = 12)
+      .orderBy("rank")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+      .map(m => (m._2, m._3))
+    val words = Seq("lowest", "aaaa", "banana", "newestest", "xyz",
+      "bandanana", "wid", "a", "").toDF("word")
+    val both = words.select(col("word"),
+        Corpus.bpeSegmentCol(col("word"), merges).as("chain"),
+        Corpus.bpeEncodeCol(col("word"), merges).as("native"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    both.foreach { case (w, chain, native) =>
+      assert(chain == native, s"'$w': chain=$chain native=$native")
+    }
+    // vocabulary-scale feasibility: a 3000-merge table is ONE
+    // expression node (the chain form would be 3000 Catalyst nodes);
+    // encode runs and respects the table
+    val big = (0 until 3000).map { i =>
+      if (i == 0) ("q", "r") else (s"q${"r" * (i - 1)}", "r") // qr, qrr…
+    }
+    val bigSeg = Seq("q" + "r" * 40 + "s").toDF("word")
+      .select(Corpus.bpeEncodeCol(col("word"), big).as("sym"))
+      .as[Seq[String]].head()
+    assert(bigSeg == Seq("q" + "r" * 40, "s"), bigSeg)
+    // NULL word → NULL
+    assert(Seq[Option[String]](None).toDF("word")
+      .select(Corpus.bpeEncodeCol(col("word"), merges)).head().isNullAt(0))
+  }
+
   test("bpeWordHistogram bounds: minCount drops tail, maxWords caps deterministically") {
     val df = Seq((1L, "alpha alpha alpha beta beta gamma")).toDF("doc_id", "text")
     val h1 = Corpus.bpeWordHistogram(df, "text", minCount = 2)
