@@ -2958,6 +2958,35 @@ object SparkEntry {
             col("body")), 1, 160).as("pdf_text"))
     }),
 
+    // Exif orientation over binary columns: the rotation flag that
+    // makes two uploads of one photo perceptually different — a
+    // curation pipeline groups on (signature, orientation-normalized)
+    // or routes rotated candidates to a transform stage. Three
+    // decode arms (JPEG APP1 little-endian, JPEG APP1 big-endian,
+    // bare TIFF) + a no-Exif arm that must NULL; the oracle replays
+    // the construction
+    "q182_exif_orientation" -> ((s, dir) => {
+      Graft.tune(s)
+      val id = col("doc_id")
+      val m = id % 4
+      val vv = lpad(hex(id % 8 + 1), 2, "0")
+      val jpegLe = concat(lit("FFD8" + "FFE10022" + "457869660000" +
+        "49492A00" + "08000000" + "0100" + "1201" + "0300" + "01000000"),
+        vv, lit("000000" + "00000000" + "FFD9"))
+      val jpegBe = concat(lit("FFD8" + "FFE10022" + "457869660000" +
+        "4D4D002A" + "00000008" + "0001" + "0112" + "0003" + "00000001" +
+        "00"), vv, lit("0000" + "00000000" + "FFD9"))
+      val tiffLe = concat(lit("49492A00" + "08000000" + "0100" + "1201" +
+        "0300" + "01000000"), vv, lit("000000" + "00000000"))
+      val none = lit("FFD8" + "FFE00010" +
+        "4A46494600010100000100010000" + "FFD9")
+      val content = unhex(when(m === 0, jpegLe).when(m === 1, jpegBe)
+        .when(m === 2, tiffLe).otherwise(none))
+      tp(s, dir, "documents").select(id.as("media_id"),
+        call_function(graft.expr.ExifOrientation.FunctionName, content)
+          .as("orientation"))
+    }),
+
     // REAL JPEG decode under the ORACLE gate (q150's pattern for the
     // lossy format): lossy pixel values are normally the codec's, not
     // a formula's — but DC-ONLY blocks are: with a crafted one-code
@@ -6521,6 +6550,14 @@ object SparkEntry {
                      'stream|endobj|beginbf', ' ', 'g'), 1, 80)
                 || chr(10) || 'page ' || doc_id || chr(10),
               1, 160) AS pdf_text
+       FROM documents""",
+
+    // both byte orders and the bare-TIFF arm carry id%8+1; the
+    // JFIF-only arm has no Exif → NULL
+    "q182_exif_orientation" ->
+      """SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 4 < 3
+                   THEN CAST(doc_id % 8 + 1 AS INTEGER) END AS orientation
        FROM documents""",
 
     // each block's flat value is 128 + 2·(cumulative category-4 DC

@@ -41,7 +41,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       UTF8String.fromBytes(b))),
     "EpubText" -> (b => graft.expr.EpubText.parse(b)),
     "PdfText" -> (b => graft.expr.PdfText.parse(b)),
-    "DocxText" -> (b => graft.expr.DocxText.parse(b)))
+    "DocxText" -> (b => graft.expr.DocxText.parse(b)),
+    "ExifOrientation" -> (b => graft.expr.ExifOrientation.parse(b)))
 
   private val magics: Seq[Array[Byte]] = Seq(
     "RIFF????WAVE".getBytes("ISO-8859-1"),

@@ -1178,6 +1178,43 @@ class ExprConfigSpec extends SparkSpec {
     assert(parse(bombed).contains("survivor\n"))
   }
 
+  test("graft_exif_orientation: APP1 walk, both byte orders, multi-tag IFDs") {
+    def parse(b: Array[Byte]) = graft.expr.ExifOrientation.parse(b)
+    def hx(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // Exif APP1 AFTER a JFIF APP0 (the shipping camera layout), the
+    // orientation tag NOT first among three IFD0 entries, big-endian
+    val multi = hx(
+      "FFD8" +
+      "FFE000104A46494600010100000100010000" + // APP0 first
+      "FFE1003A457869660000" + // APP1 len 58
+      "4D4D002A 00000008" +
+      "0003" + // three entries
+      "010F 0002 00000004 41434D45" + // Make = inline ASCII
+      "0112 0003 00000001 00060000" + // orientation 6
+      "011A 0005 00000001 0000003E" + // XResolution (offset)
+      "00000000" +
+      "FFD9")
+    assert(parse(multi) == Integer.valueOf(6), parse(multi))
+    // little-endian TIFF file directly, tag second
+    val tiff = hx(
+      "49492A00 08000000" +
+      "0200" +
+      "0001 0400 01000000 40000000" + // ImageWidth LONG
+      "1201 0300 01000000 03000000" + // orientation 3
+      "00000000")
+    assert(parse(tiff) == Integer.valueOf(3))
+    // out-of-range values → NULL (entry 2 starts at 22; value at 30)
+    val zero = tiff.clone(); zero(30) = 0
+    assert(parse(zero) == null)
+    val nine = tiff.clone(); nine(30) = 9
+    assert(parse(nine) == null)
+    // no Exif APP1 / SOS before APP1 / junk / null → NULL
+    assert(parse(hx("FFD8FFDA0008010100003F00AA")) == null)
+    assert(parse("not an image".getBytes) == null)
+    assert(parse(null) == null)
+  }
+
   test("graft_http_body: binary body split for non-text crawl payloads") {
     def parse(b: Array[Byte]) = Option(graft.expr.HttpBody.parse(b))
     def ascii(s: String) = s.getBytes("ISO-8859-1")
