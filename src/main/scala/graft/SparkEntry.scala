@@ -2945,15 +2945,9 @@ object SparkEntry {
           httpHtml))
       val files = tp(s, dir, "documents")
         .select(id.as("file_id"), warc.as("content"))
-      val recs = Warc.records(files).filter(col("warc_type") === "response")
-      val h = call_function(graft.expr.HttpBody.FunctionName, col("payload"))
-      recs.select(col("file_id"), col("target_uri").as("url"),
-          h.getField("http_status").as("http_status"),
-          h.getField("content_type").as("content_type"),
-          h.getField("body").as("body"))
-        .filter(col("content_type") === "application/pdf")
+      Warc.binaryDocuments(files, contentTypes = Seq("application/pdf"))
         .select(col("file_id"), col("url"), col("http_status"),
-          col("content_type"),
+          col("http_content_type").as("content_type"),
           substring(call_function(graft.expr.PdfText.FunctionName,
             col("body")), 1, 160).as("pdf_text"))
     }),

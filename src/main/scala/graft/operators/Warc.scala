@@ -79,4 +79,33 @@ object Warc {
         h.getField("charset").as("charset"),
         graft.functions.HtmlToText.htmlToText(h.getField("text")).as("text"))
   }
+
+  /** The crawl→corpus BINARY stage — [[htmlDocuments]]'s sibling for
+    * the records whose bodies aren't text: `response` records routed
+    * by HTTP Content-Type to raw body BYTES via
+    * [[graft.expr.HttpBody]] (no charset machinery; invalid-UTF-8
+    * sequences survive intact). Output: (id, record_idx, url,
+    * http_status, http_content_type, body) — feed `body` to the
+    * extraction tier ([[graft.expr.PdfText]], [[graft.expr.DocxText]],
+    * the image/audio decoders). `contentTypes` empty keeps every
+    * response. Same scale shape as the text stage: the file blob
+    * projects away at the explode, the per-record body at the next
+    * projection; q180 is this composed with PdfText under the oracle
+    * gate.
+    */
+  def binaryDocuments(files: DataFrame,
+      contentTypes: Seq[String] = Seq("application/pdf"),
+      idCol: String = "file_id", contentCol: String = "content",
+      maxRecords: Int = 4096): DataFrame = {
+    val recs = records(files, idCol, contentCol, maxRecords)
+      .filter(col("warc_type") === "response")
+    val h = call_function(graft.expr.HttpBody.FunctionName, col("payload"))
+    val out = recs.select(col(idCol), col("record_idx"),
+      col("target_uri").as("url"),
+      h.getField("http_status").as("http_status"),
+      h.getField("content_type").as("http_content_type"),
+      h.getField("body").as("body"))
+    if (contentTypes.isEmpty) out
+    else out.filter(col("http_content_type").isin(contentTypes: _*))
+  }
 }
