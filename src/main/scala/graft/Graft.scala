@@ -102,6 +102,7 @@ object Graft {
     graft.expr.DocxText.register(spark)
     graft.expr.BpeEncode.register(spark)
     graft.expr.ExifOrientation.register(spark)
+    graft.expr.OrientPixels.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

@@ -3356,6 +3356,54 @@ object SparkEntry {
       Multimodal.imageNearDup(media)
     }),
 
+    // ORIENTATION-NORMALIZED near-dup: the rotated re-upload case the
+    // raw perceptual tier misses — q169's noise image shipped once in
+    // display orientation and once PHYSICALLY ROTATED 90° with the
+    // Exif flag (orientation 6) that says so. graft_orient_pixels
+    // normalizes both through the shared decode before signing, so
+    // the twins pair at L1 0 with no new kernels; the oracle is
+    // q169's replay (both arms normalize to the SAME pixel grid)
+    "q183_orientation_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val g = col("doc_id")
+      val wC = (g % 8 + 9).cast(IntegerType)
+      val hC = (g % 6 + 7).cast(IntegerType)
+      val stride = wC * 3
+      def pix(y: Column, j: Column): Column = {
+        val hh = g * 53 + y.cast(LongType) * 977 + j.cast(LongType) * 13
+        pmod(shiftright(pmod(hh * hh, lit(1000003L)) * 48271, 8), lit(251L))
+      }
+      def header(wcol: Column, hcol: Column): Column =
+        encode(concat(lit("P6\n"), wcol.cast(StringType), lit(" "),
+          hcol.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
+      // arm A: the display-oriented image (orientation 1)
+      val ppmA = concat(header(wC, hC),
+        unhex(array_join(transform(sequence(lit(0), hC - 1), y =>
+          array_join(transform(sequence(lit(0), stride - 1), j =>
+            byteHex(pix(y, j))), "")), "")))
+      // arm B: the SAME image stored rotated (dims swapped), pixel
+      // (u, v) = A(wC-1-v, u) — exactly what Exif orientation 6
+      // ("rotate stored 90° CW to display") undoes
+      val ppmB = concat(header(hC, wC),
+        unhex(array_join(transform(sequence(lit(0), wC - 1), v =>
+          array_join(transform(sequence(lit(0), hC - 1), u =>
+            array_join(transform(sequence(lit(0), lit(2)), ch =>
+              byteHex(pix(u, (wC - 1 - v) * 3 + ch))), "")), "")), "")))
+      val normA = call_function(graft.expr.OrientPixels.FunctionName,
+        ppmA, lit(1))
+      val normB = call_function(graft.expr.OrientPixels.FunctionName,
+        ppmB, lit(6))
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((g * 2).as("media_id"), normA.as("content")),
+          struct((g * 2 + 1).as("media_id"), normB.as("content")))).as("m"))
+        .select(col("m.media_id").as("media_id"), lit("image").as("kind"),
+          col("m.content").as("content"))
+      Multimodal.imageNearDup(media)
+    }),
+
     // CROSS-FORMAT near-dup across the LOSSY boundary — q169 extended
     // to JPEG: normally lossy pixels aren't construction-replayable,
     // but q179's DC-only construction IS exact in every conforming
@@ -6635,6 +6683,49 @@ object SparkEntry {
     // both clips of a doc decode to the same pixels, so block means /
     // ahash compute ONCE per doc and fan out to both media ids; the
     // banding + L1 verify replay q153's construction
+    // both arms normalize (graft_orient_pixels) to ONE pixel grid —
+    // q169's replay applies verbatim
+    "q183_orientation_neardup" ->
+      """WITH d AS (SELECT doc_id AS g,
+                  CAST(doc_id % 8 + 9 AS INTEGER) AS w,
+                  CAST(doc_id % 6 + 7 AS INTEGER) AS h
+           FROM documents),
+         px AS (SELECT g, w, h,
+                  ((((g*53 + (k // (w*3))*977 + (k % (w*3))*13)
+                     * (g*53 + (k // (w*3))*977 + (k % (w*3))*13))
+                    % 1000003) * 48271 >> 8) % 251 AS val,
+                  (((k // (w*3)) * 7) // h) * 9
+                    + ((((k % (w*3)) // 3) * 9) // w) AS blk
+                FROM d CROSS JOIN range(0, 576) r(k)
+                WHERE k < w*h*3),
+         bm AS (SELECT g, blk, CAST(SUM(val) // COUNT(*) AS BIGINT) AS m
+                FROM px GROUP BY g, blk),
+         mn AS (SELECT g, SUM(m) // 63 AS mean FROM bm GROUP BY g),
+         gs AS (SELECT bm.g,
+                  CAST(SUM(CASE WHEN m > mean
+                    THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END) AS BIGINT)
+                    AS ahash
+                FROM bm JOIN mn ON bm.g = mn.g GROUP BY bm.g),
+         ids AS (SELECT g, g*2 AS id, ahash FROM gs
+                 UNION ALL SELECT g, g*2+1 AS id, ahash FROM gs),
+         bands AS (SELECT id, band,
+                     (ahash >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM ids CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         l1 AS (SELECT c.id1, c.id2,
+                  CAST(SUM(ABS(b1.m - b2.m)) AS BIGINT) AS l1
+                FROM cand c
+                JOIN bm b1 ON b1.g = c.id1 // 2
+                JOIN bm b2 ON b2.g = c.id2 // 2 AND b2.blk = b1.blk
+                GROUP BY c.id1, c.id2)
+       SELECT id1, id2, l1 FROM l1 WHERE l1 <= 126""",
+
     "q169_crossformat_neardup" ->
       """WITH d AS (SELECT doc_id AS g,
                   CAST(doc_id % 8 + 9 AS INTEGER) AS w,

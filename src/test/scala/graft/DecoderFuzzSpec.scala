@@ -42,7 +42,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "EpubText" -> (b => graft.expr.EpubText.parse(b)),
     "PdfText" -> (b => graft.expr.PdfText.parse(b)),
     "DocxText" -> (b => graft.expr.DocxText.parse(b)),
-    "ExifOrientation" -> (b => graft.expr.ExifOrientation.parse(b)))
+    "ExifOrientation" -> (b => graft.expr.ExifOrientation.parse(b)),
+    "OrientPixels" -> (b => graft.expr.OrientPixels.orient(b, 6)))
 
   private val magics: Seq[Array[Byte]] = Seq(
     "RIFF????WAVE".getBytes("ISO-8859-1"),

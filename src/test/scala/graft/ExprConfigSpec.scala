@@ -1215,6 +1215,51 @@ class ExprConfigSpec extends SparkSpec {
     assert(parse(null) == null)
   }
 
+  test("graft_orient_pixels: all eight Exif transforms against hand-rotated matrices") {
+    import graft.expr.OrientPixels
+    // a 3×2 image with distinct per-pixel gray values:
+    //   A B C
+    //   D E F
+    def ppm(w: Int, h: Int, vals: Seq[Int]): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("ISO-8859-1") ++
+        vals.flatMap(v => Seq.fill(3)(v.toByte)).toArray
+    val src = ppm(3, 2, Seq(1, 2, 3, 4, 5, 6))
+    def gridOf(b: Array[Byte]): (Int, Int, Seq[Int]) = {
+      val s = new String(b, "ISO-8859-1")
+      val m = "P6\n(\\d+) (\\d+)\n255\n".r.findFirstMatchIn(s).get
+      val w = m.group(1).toInt; val h = m.group(2).toInt
+      val data = b.drop(m.matched.length)
+      (w, h, (0 until w * h).map(i => data(i * 3) & 0xFF))
+    }
+    // hand-derived display grids per Exif value
+    val expected = Map(
+      1 -> ((3, 2, Seq(1, 2, 3, 4, 5, 6))),
+      2 -> ((3, 2, Seq(3, 2, 1, 6, 5, 4))), // mirror horizontal
+      3 -> ((3, 2, Seq(6, 5, 4, 3, 2, 1))), // rotate 180
+      4 -> ((3, 2, Seq(4, 5, 6, 1, 2, 3))), // mirror vertical
+      5 -> ((2, 3, Seq(1, 4, 2, 5, 3, 6))), // transpose
+      6 -> ((2, 3, Seq(4, 1, 5, 2, 6, 3))), // stored needs 90° CW
+      7 -> ((2, 3, Seq(6, 3, 5, 2, 4, 1))), // transverse
+      8 -> ((2, 3, Seq(3, 6, 2, 5, 1, 4)))) // stored needs 270° CW
+    for ((o, exp) <- expected) {
+      val got = gridOf(OrientPixels.orient(src, o))
+      assert(got == exp, s"orientation $o: got $got want $exp")
+    }
+    // rotate-then-normalize round-trip: transform 8 (rotate stored
+    // 270° CW) is orientation 6's inverse, so an image stored as the
+    // o=8 output with orientation 6 normalizes BACK to display
+    val stored = ppm(2, 3, Seq(3, 6, 2, 5, 1, 4)) // CCW of display
+    assert(gridOf(OrientPixels.orient(stored, 6)) ==
+      ((3, 2, Seq(1, 2, 3, 4, 5, 6))))
+    // composes across formats: the JPEG hand-decode path feeds the
+    // same transform (DC-only flat block → rotation preserves it)
+    // and out-of-range / undecodable → NULL
+    assert(OrientPixels.orient(src, 0) == null)
+    assert(OrientPixels.orient(src, 9) == null)
+    assert(OrientPixels.orient("junk".getBytes, 1) == null)
+    assert(OrientPixels.orient(null, 1) == null)
+  }
+
   test("graft_http_body: binary body split for non-text crawl payloads") {
     def parse(b: Array[Byte]) = Option(graft.expr.HttpBody.parse(b))
     def ascii(s: String) = s.getBytes("ISO-8859-1")
