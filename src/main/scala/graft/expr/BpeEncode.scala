@@ -56,18 +56,27 @@ case class BpeEncode(left: Expression, right: Expression)
     }
 
   // the rank table builds ONCE per expression instance per JVM; the
-  // codegen path closes over the instance via ctx.addReferenceObj
+  // codegen path closes over the instance via ctx.addReferenceObj.
+  // A foldable NULL merges literal (cast(null as array<string>)) is
+  // legal input — the expression's value is NULL via the binary
+  // null short-circuit — but doGenCode forces this lazy val at PLAN
+  // time, so it must not NPE: an empty table is the right stand-in
+  // (the generated code never runs, the null check fires first).
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val arr = right.eval(null).asInstanceOf[ArrayData]
-    val m = new java.util.HashMap[String, Integer](
-      math.max(16, arr.numElements() * 2))
-    var i = 0
-    while (i < arr.numElements()) {
-      val pair = arr.getUTF8String(i).toString
-      if (!m.containsKey(pair)) m.put(pair, i)
-      i += 1
+    val evaluated = right.eval(null)
+    if (evaluated == null) new java.util.HashMap[String, Integer](0)
+    else {
+      val arr = evaluated.asInstanceOf[ArrayData]
+      val m = new java.util.HashMap[String, Integer](
+        math.max(16, arr.numElements() * 2))
+      var i = 0
+      while (i < arr.numElements()) {
+        val pair = arr.getUTF8String(i).toString
+        if (!m.containsKey(pair)) m.put(pair, i)
+        i += 1
+      }
+      m
     }
-    m
   }
 
   override def nullSafeEval(word: Any, merges: Any): Any =

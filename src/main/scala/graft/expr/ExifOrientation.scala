@@ -42,10 +42,14 @@ case class ExifOrientation(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // fresh name: with a non-nullable child nullSafeCodeGen emits
+      // this block UNWRAPPED (no scoping if), so a literal local name
+      // collides when two instances share one codegen function
+      val o = ctx.freshName("orient")
       s"""
-         |Object o = graft.expr.ExifOrientation.parse($c);
-         |${ev.isNull} = o == null;
-         |${ev.value} = ${ev.isNull} ? -1 : ((java.lang.Integer) o).intValue();
+         |Object $o = graft.expr.ExifOrientation.parse($c);
+         |${ev.isNull} = $o == null;
+         |${ev.value} = ${ev.isNull} ? -1 : ((java.lang.Integer) $o).intValue();
        """.stripMargin
     })
 

@@ -829,8 +829,10 @@ object JpegDecode {
           val l = c.plane(src + (if (i > 0) i - 1 else 0)) & 0xFF
           val r = c.plane(src + (if (i < sw - 1) i + 1 else sw - 1)) & 0xFF
           val x0 = 2 * i
-          if (x0 < w) hx(dst + x0) = ((3 * s + l + 2) >> 2).toByte
-          if (x0 + 1 < w) hx(dst + x0 + 1) = ((3 * s + r + 1) >> 2).toByte
+          // libjpeg's fancy rounding: +1 toward the left neighbour,
+          // +2 toward the right — matches the JDK codec bit-for-bit
+          if (x0 < w) hx(dst + x0) = ((3 * s + l + 1) >> 2).toByte
+          if (x0 + 1 < w) hx(dst + x0 + 1) = ((3 * s + r + 2) >> 2).toByte
           i += 1
         }
       }
@@ -848,10 +850,10 @@ object JpegDecode {
       while (x < w) {
         val s = hx(cur + x) & 0xFF
         if (y0 < h)
-          out(y0 * w + x) = ((3 * s + (hx(up + x) & 0xFF) + 2) >> 2).toByte
+          out(y0 * w + x) = ((3 * s + (hx(up + x) & 0xFF) + 1) >> 2).toByte
         if (y0 + 1 < h)
           out((y0 + 1) * w + x) =
-            ((3 * s + (hx(dn + x) & 0xFF) + 1) >> 2).toByte
+            ((3 * s + (hx(dn + x) & 0xFF) + 2) >> 2).toByte
         x += 1
       }
       j += 1

@@ -2639,6 +2639,68 @@ class ExprConfigSpec extends SparkSpec {
     assert(math.abs(out.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("exif codegen survives duplicated instances over a NON-nullable child") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.BinaryType
+    // non-nullable child: nullSafeCodeGen emits the result block
+    // UNWRAPPED (no scoping if), so a literal local name in the block
+    // collides when two instances share one generated function —
+    // generate() throws on the janino error, so passing proves the
+    // locals go through ctx.freshName
+    val e = graft.expr.ExifOrientation(
+      BoundReference(0, BinaryType, nullable = false))
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(e, e), subexpressionEliminationEnabled = false)
+    val out = proj(InternalRow("not an image".getBytes: Array[Byte]))
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("graft_bpe_encode: foldable NULL merges literal is NULL, not a planning NPE") {
+    val got = Seq("abc", "de").toDF("word")
+      .selectExpr(
+        "graft_bpe_encode(word, cast(null as array<string>)) as toks")
+      .collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
+  test("graft_orient_pixels: grayscale decode replicates to RGB before transforming") {
+    import graft.expr.OrientPixels
+    // grayscale PNG (colorType 0) decodes with ch=1; the transform
+    // must widen it, not NULL out — 3×2 grid A..F rotated 90° CW (o=6)
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("ISO-8859-1")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(payload)
+      be32(payload.length) ++ tb ++ payload ++ be32(crc.getValue.toInt)
+    }
+    val raw = Array[Byte](0, 1, 2, 3, 0, 4, 5, 6) // filter 0 per row
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val gray =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", be32(3) ++ be32(2) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+        chunk("IDAT", bos.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    val got = OrientPixels.orient(gray, 6)
+    assert(got != null)
+    val s = new String(got, "ISO-8859-1")
+    assert(s.startsWith("P6\n2 3\n255\n"))
+    val data = got.drop("P6\n2 3\n255\n".length)
+    val grid = (0 until 6).map(i => data(i * 3) & 0xFF)
+    assert(grid == Seq(4, 1, 5, 2, 6, 3))
+    // and every pixel is gray (all three channels equal)
+    assert((0 until 6).forall(i =>
+      data(i * 3) == data(i * 3 + 1) && data(i * 3) == data(i * 3 + 2)))
+  }
+
   test("jsonl source: schema-first read, malformed lines quarantined not fatal") {
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
