@@ -3404,6 +3404,119 @@ object SparkEntry {
       Multimodal.imageNearDup(media)
     }),
 
+    // REAL MP3 decode under the ORACLE gate (q179's pattern for the
+    // lossy AUDIO codec): a silence frame — header + all-zero side
+    // info + zero fill — decodes to exact zeros in EVERY conforming
+    // Layer III decoder, so the whole frame walk (the
+    // 144·bitrate/rate + padding step across all 14 bitrate indices,
+    // 3 sample rates and both padding states, 1152 samples/frame)
+    // replays relationally. m=1 docs carry a foreign container and
+    // m=2 docs text — the seam's NULL-propagation contract under the
+    // hash gate, as in q178.
+    "q184_mp3_decoder_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val id = col("doc_id")
+      val m = id % 3
+      val brIdx = (id % 14 + 1).cast(IntegerType)
+      val srIdx = (id % 3).cast(IntegerType)
+      val pad = (id % 2).cast(IntegerType)
+      val kbps = element_at(array(Seq(32, 40, 48, 56, 64, 80, 96, 112,
+        128, 160, 192, 224, 256, 320).map(lit): _*), brIdx)
+      val rate = element_at(array(lit(44100), lit(48000), lit(32000)),
+        srIdx + 1)
+      val frameLen = (lit(144000) * kbps / rate).cast(IntegerType) + pad
+      val headerHex = concat(lit("FFFB"),
+        lpad(hex(brIdx * 16 + srIdx * 4 + pad * 2), 2, "0"), lit("C0"))
+      val frameHex = concat(headerHex,
+        call_function("repeat", lit("00"), frameLen - 4))
+      val nF = (id % 4 + 2).cast(IntegerType)
+      val mp3 = unhex(array_join(
+        transform(sequence(lit(1), nF), _ => frameHex), ""))
+      val foreign = concat(lit("OggS".getBytes("ISO-8859-1")),
+        encode(id.cast(StringType), "UTF-8").cast(BinaryType))
+      val content = when(m === 0, mp3)
+        .when(m === 1, foreign)
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStatsVia(media, new Multimodal.Mp3Decoder)
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          col("channels"), col("sample_rate"), col("bit_depth"),
+          col("n_frames"), col("n_samples"), col("sum"), col("sumsq"),
+          col("peak"), col("n_clipped"), col("silent"), col("rms"),
+          col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
+    }),
+
+    // Cross-codec near-dup across the LOSSY AUDIO boundary — q168
+    // extended to MP3↔PCM twins through the REAL Layer III decoder.
+    // Lossy waveforms aren't construction-replayable, but envelope
+    // GRADIENT SIGNS are when the construction pins them: each doc's
+    // MP3 arm is 64 four-granule windows, loud windows carrying one
+    // count1-coded granule whose output support is bounded inside
+    // its window (IMDCT overlap ≤ 1 granule + the 16-deep synthesis
+    // FIFO tail < 512 samples — the lemma Mp3Spec proves exactly),
+    // quiet windows EXACT zeros; the PCM twin is a 4-sample-per-
+    // window sketch with the same loud/quiet pattern. Both arms'
+    // ehash = the pattern's gradient bits — exact integers — so the
+    // oracle replays fingerprints, banding, bucket rule and Hamming
+    // verify relationally, q168's shape. No two loud windows are
+    // ever adjacent (odd windows always quiet), so AudioEnvSig never
+    // compares two codec-float windows. Quadratic (g,w) mixing keeps
+    // patterns from minting congruence collisions (the q168 lesson);
+    // the forced window 2·(g%32) keeps every envelope non-silent.
+    "q185_mp3_crosscodec_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val g = col("doc_id")
+      def loud(w: Column): Column = {
+        val h = g * 64 + w.cast(LongType)
+        (pmod(w.cast(LongType), lit(2L)) === 0) && (
+          pmod(shiftright(pmod(h * h, lit(1000003L)) * 48271, 8),
+            lit(2L)) === 1 ||
+          w.cast(LongType) === (g % 32) * 2)
+      }
+      // 104-byte 32 kbps/44.1 kHz mono frames; the loud variant's
+      // side info (part2_3 = 16, global_gain = 200, count1 table B)
+      // and two-zero-byte main data are byte-pinned by Mp3Spec
+      // against the independent test-side frame builder
+      val loudFrameHex = lit("FFFB10C0" + "00000040019000000008" +
+        "00" * 7 + "0000" + "00" * 81)
+      val silentFrameHex = lit("FFFB10C0" + "00" * 100)
+      val mp3 = unhex(array_join(
+        transform(sequence(lit(0), lit(63)), w =>
+          concat(when(loud(w), loudFrameHex).otherwise(silentFrameHex),
+            silentFrameHex)), ""))
+      val dataHex = array_join(
+        transform(sequence(lit(0), lit(255)), k =>
+          when(loud(shiftright(k, 2)), lit("E803")).otherwise(lit("0000"))),
+        "")
+      val wavP = concat(ascii("RIFF"), le32(lit(512 + 36)), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(44100)), le32(lit(88200)), le16(lit(2)), le16(lit(16)),
+        ascii("data"), le32(lit(512)), unhex(dataHex))
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((g * 2).as("media_id"), mp3.as("content")),
+          struct((g * 2 + 1).as("media_id"), wavP.as("content")))).as("m"))
+        .select(col("m.media_id").as("media_id"), lit("audio").as("kind"),
+          col("m.content").as("content"))
+      val decoded = Multimodal.audioSamplesVia(media,
+        new Multimodal.Mp3Decoder)
+      Multimodal.audioNearDup(decoded)
+    }),
+
     // CROSS-FORMAT near-dup across the LOSSY boundary — q169 extended
     // to JPEG: normally lossy pixels aren't construction-replayable,
     // but q179's DC-only construction IS exact in every conforming
@@ -6593,6 +6706,68 @@ object SparkEntry {
                 || chr(10) || 'page ' || doc_id || chr(10),
               1, 160) AS pdf_text
        FROM documents""",
+
+    // silence MP3s: geometry replays from the header tables (bitrate,
+    // rate, padding) — every stat is the exact-zero constant; foreign
+    // and text arms keep NULL stats rows
+    "q184_mp3_decoder_stats" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 AS m,
+                  doc_id % 4 + 2 AS nf,
+                  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END AS rate
+           FROM documents)
+       SELECT id AS media_id,
+              CASE WHEN m = 0 THEN CAST(44 + 2304*nf AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS n_bytes,
+              CASE WHEN m = 0 THEN 'wav' END AS format,
+              CASE WHEN m = 0 THEN CAST(1 AS INTEGER) END AS channels,
+              CASE WHEN m = 0 THEN CAST(rate AS INTEGER) END AS sample_rate,
+              CASE WHEN m = 0 THEN CAST(16 AS INTEGER) END AS bit_depth,
+              CASE WHEN m = 0 THEN CAST(1152*nf AS BIGINT) END AS n_frames,
+              CASE WHEN m = 0 THEN CAST(1152*nf AS BIGINT) END AS n_samples,
+              CASE WHEN m = 0 THEN CAST(0 AS BIGINT) END AS sum,
+              CASE WHEN m = 0 THEN CAST(0 AS BIGINT) END AS sumsq,
+              CASE WHEN m = 0 THEN CAST(0 AS INTEGER) END AS peak,
+              CASE WHEN m = 0 THEN CAST(0 AS BIGINT) END AS n_clipped,
+              CASE WHEN m = 0 THEN CAST(1 AS INTEGER) END AS silent,
+              CASE WHEN m = 0 THEN CAST(0.0 AS DOUBLE) END AS rms,
+              CASE WHEN m = 0 THEN CAST(0.0 AS DOUBLE) END AS clip_rate,
+              CASE WHEN m = 0 THEN '0' END AS ch_sumsq,
+              CASE WHEN m = 0 THEN '0' END AS ch_peak
+       FROM d""",
+
+    // both arms' ehash = the loud-pattern's gradient bits (exact
+    // integers — see the query comment); fingerprints, banding,
+    // bucket rule and Hamming verify all replay, q168's shape
+    "q185_mp3_crosscodec_neardup" ->
+      """WITH d AS (SELECT doc_id AS g FROM documents),
+         lw AS (SELECT g, w FROM d CROSS JOIN range(0, 64) r(w)
+                WHERE w % 2 = 0 AND (
+                  ((((g*64 + w)*(g*64 + w)) % 1000003) * 48271 >> 8) % 2 = 1
+                  OR w = (g % 32) * 2)),
+         ehg AS (SELECT g,
+                   CAST(SUM(CASE WHEN w >= 2
+                        THEN (CAST(1 AS BIGINT) << CAST(w - 1 AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS h
+                 FROM lw GROUP BY g),
+         eh AS (SELECT g*2 AS id, h FROM ehg
+                UNION ALL SELECT g*2+1 AS id, h FROM ehg),
+         bands AS (SELECT id, band,
+                     (h >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM eh CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       SELECT c.id1, c.id2,
+              CAST(bit_count(xor(h1.h, h2.h)) AS INTEGER) AS hamming
+       FROM cand c
+       JOIN eh h1 ON h1.id = c.id1
+       JOIN eh h2 ON h2.id = c.id2
+       WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
 
     // both byte orders and the bare-TIFF arm carry id%8+1; the
     // JFIF-only arm has no Exif → NULL

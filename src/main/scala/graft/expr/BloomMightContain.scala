@@ -89,3 +89,89 @@ object BloomMightContain {
     bos.toByteArray
   }
 }
+
+/** [[BloomMightContain]]'s BROADCAST-handle sibling, for filters too
+  * big to ride the expression tree: a multi-MB binary Literal is
+  * hashed and compared by Catalyst on every rule pass and re-shipped
+  * in every stage's task binary — measured in the streaming dedup
+  * path, the literal form tripled the arrival wall in pure DRIVER
+  * time. Here the tree carries only the broadcast STUB; executors
+  * resolve `bc.value` once per task (lazily cached in the generated
+  * class), so the probe stays inside whole-stage codegen with no
+  * per-row boxing — the reason this replaces the previous `udf`
+  * bridge at both StreamingIngest probe sites.
+  *
+  * Construct through [[BloomBroadcastContains.probe]]: the public
+  * function-registry builder is the engine's sanctioned
+  * Expression→Column bridge, and a unique registration name keeps
+  * concurrent streams' filters from colliding; callers drop the name
+  * in their batch cleanup ([[BloomBroadcastContains.drop]]).
+  */
+case class BloomBroadcastContains(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[BloomFilter])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bloom broadcast probe expects a string or bigint key, got " +
+          other.catalogString)
+    }
+
+  @transient private lazy val filter: BloomFilter = bc.value
+
+  override def nullSafeEval(key: Any): Any = child.dataType match {
+    case StringType =>
+      filter.mightContainBinary(key.asInstanceOf[UTF8String].getBytes)
+    case LongType => filter.mightContainLong(key.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, key => {
+      val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+      val fCls = classOf[BloomFilter].getName
+      val bcRef = ctx.addReferenceObj("graftBloomBc", bc, bcCls)
+      // resolved once per generated-class instance (≈ once per task),
+      // not per row: Broadcast.value is a TorrentBroadcast lookup
+      val fVar = ctx.addMutableState(fCls, "graftBloomBcFilter")
+      val probe = child.dataType match {
+        case StringType => s"$fVar.mightContainBinary($key.getBytes())"
+        case LongType => s"$fVar.mightContainLong($key)"
+      }
+      s"""
+         |if ($fVar == null) $fVar = ($fCls) $bcRef.value();
+         |${ev.value} = $probe;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomBroadcastContains = copy(child = newChild)
+}
+
+object BloomBroadcastContains {
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Column probing `key` against the broadcast filter. Registers a
+    * uniquely-named temp builder and resolves it immediately; returns
+    * the column AND the name so the caller can [[drop]] it once the
+    * batch's actions complete (the registration must outlive lazy
+    * analysis of every plan that embeds the column).
+    */
+  def probe(spark: SparkSession, key: org.apache.spark.sql.Column,
+      bc: org.apache.spark.broadcast.Broadcast[BloomFilter])
+      : (org.apache.spark.sql.Column, String) = {
+    val name = s"graft_bloom_bc_${seq.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BloomBroadcastContains(exprs.head, bc), "built-in")
+    (org.apache.spark.sql.functions.call_function(name, key), name)
+  }
+
+  def drop(spark: SparkSession, name: String): Unit = {
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    ()
+  }
+}

@@ -848,6 +848,25 @@ object Multimodal {
     }
   }
 
+  /** REAL lossy-codec arm of the [[AudioDecoder]] seam: the hand
+    * MPEG-1 Layer III decoder ([[graft.expr.Mp3Decode]] — spec-exact
+    * pipeline, structurally-validated Huffman registry, documented
+    * stand-in synthesis prototype; see its scaladoc for the
+    * conformance contract). With `passthroughPcm` (the default) WAV
+    * payloads pass through unchanged, so ONE seam hop feeds the
+    * cross-codec fingerprint family MP3 and PCM arms together — the
+    * q185 route. Anything that is neither → null (triage).
+    */
+  final class Mp3Decoder(passthroughPcm: Boolean = true) extends AudioDecoder {
+    def decode(p: Array[Byte]): Array[Byte] = {
+      if (passthroughPcm && p != null && p.length >= 12 &&
+          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+        return p
+      graft.expr.Mp3Decode.decode(p)
+    }
+  }
+
   /** Audio payloads routed through a pluggable [[AudioDecoder]] —
     * [[videoFramesVia]]'s audio sibling. Returns the same (media_id,
     * kind, content) shape the whole audio tier consumes, with

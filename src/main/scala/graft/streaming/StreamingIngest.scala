@@ -295,6 +295,8 @@ object StreamingIngest {
     // broadcast handles created this batch; released in the finally
     val bcs = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.broadcast.Broadcast[_]]
+    // native bloom-probe registrations this batch; dropped in the finally
+    val probeNames = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       val corpusBloom: Option[org.apache.spark.util.sketch.BloomFilter] =
         if (!useBloom) None
@@ -307,13 +309,15 @@ object StreamingIngest {
               bloomCapacity, 0.01))
           else None
         }
-      // The multi-MB filter travels as a BROADCAST probed through a
-      // udf, NEVER as a plan Literal: a Literal's bytes ride inside
-      // the expression tree, and Catalyst hashes/compares that tree
-      // per rule pass while every stage's task binary re-ships it —
-      // measured: the literal form tripled the arrival wall in pure
-      // driver time. The udf costs one box per probe, which the
-      // trigger-bounded batch side and the single index pass absorb.
+      // The multi-MB filter travels as a BROADCAST probed through the
+      // native BloomBroadcastContains expression, NEVER as a plan
+      // Literal: a Literal's bytes ride inside the expression tree,
+      // and Catalyst hashes/compares that tree per rule pass while
+      // every stage's task binary re-ships it — measured: the literal
+      // form tripled the arrival wall in pure driver time. The native
+      // expression keeps the probe inside whole-stage codegen (the
+      // earlier udf bridge boxed every key); the tree carries only
+      // the broadcast stub, resolved once per task.
       val bcCorpus = corpusBloom.map { bf =>
         val bc = spark.sparkContext.broadcast(bf)
         bcs += bc; bc
@@ -321,7 +325,9 @@ object StreamingIngest {
       // prune 1: docs whose bloom-hit ratio can't clear the threshold
       val probeDocs = bcCorpus match {
         case Some(bc) if indexExists =>
-          val hit = udf((s: Long) => bc.value.mightContainLong(s))
+          val (hit, hitName) =
+            graft.expr.BloomBroadcastContains.probe(spark, col("_s"), bc)
+          probeNames += hitName
           // the 1e-6 margin mirrors the exact path's round(j, 6):
           // a pair can qualify there with true jaccard as low as
           // threshold − 5e-7 (HALF_UP round-up), and the prune's
@@ -329,7 +335,7 @@ object StreamingIngest {
           // always safe, over-pruning is a missed duplicate
           val kept = bp.groupBy(col("_id"))
             .agg(min(col("_n")).as("_na"),
-              sum(when(hit(col("_s")), 1L).otherwise(0L)).as("_hits"))
+              sum(when(hit, 1L).otherwise(0L)).as("_hits"))
             .filter(col("_hits").cast("double") >=
               (lit(threshold) - lit(1e-6)) * col("_na"))
             .select(col("_id"))
@@ -362,8 +368,10 @@ object StreamingIngest {
               ss.foreach(bb.putLong)
               val bcBatch = spark.sparkContext.broadcast(bb)
               bcs += bcBatch
-              val hit = udf((s: Long) => bcBatch.value.mightContainLong(s))
-              index.filter(hit(col("_s")))
+              val (hit, hitName) = graft.expr.BloomBroadcastContains
+                .probe(spark, col("_s"), bcBatch)
+              probeNames += hitName
+              index.filter(hit)
             } else index
           Dedup.crossJaccardFromPostings(probe, indexSide,
               threshold, maxDocFreq)
@@ -415,6 +423,7 @@ object StreamingIngest {
       // the handles are job-scoped; unpersist lets the ContextCleaner
       // reclaim executor copies between triggers
       bcs.foreach(_.unpersist(false))
+      probeNames.foreach(graft.expr.BloomBroadcastContains.drop(spark, _))
       ()
     }
   }

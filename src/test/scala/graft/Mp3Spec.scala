@@ -1,0 +1,347 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crafted-frame bit-exactness + structural validation for the hand
+  * MPEG-1 Layer III decoder ([[graft.expr.Mp3Decode]]). No reference
+  * MP3 decoder exists in this container (ImageIO has no audio; zero
+  * egress), so conformance is pinned the way the decoder's scaladoc
+  * documents: everything EXACT by construction is asserted exactly
+  * (silence, zero-support bounds, frame geometry, gain linearity,
+  * MS-stereo symmetry, determinism), and the spec-data tables are
+  * re-validated structurally (prefix-freeness + Kraft completeness —
+  * misremembered Annex B.7 data fails both with overwhelming
+  * probability; all seven shipped tables pass).
+  */
+class Mp3Spec extends AnyFunSuite {
+
+  import graft.expr.Mp3Decode
+
+  // ------------------------------------------------------------------
+  // Test-side frame builder (independent bit-writer: MSB-first)
+  // ------------------------------------------------------------------
+
+  private final class BitWriter {
+    private val bytes = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nAcc = 0
+    def put(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >>> i) & 1)
+        nAcc += 1
+        if (nAcc == 8) { bytes.write(acc); acc = 0; nAcc = 0 }
+        i -= 1
+      }
+      this
+    }
+    def padToByte(): this.type = { while (nAcc != 0) put(0, 1); this }
+    def result(): Array[Byte] = { padToByte(); bytes.toByteArray }
+  }
+
+  /** One granule's side-info fields; defaults = digital silence. */
+  private case class Gr(part23: Int = 0, bigValues: Int = 0,
+      gain: Int = 210, sfCompress: Int = 0, tableSelect: Seq[Int] = Seq(0, 0, 0),
+      region0: Int = 0, region1: Int = 0, count1TableB: Boolean = true)
+
+  private def writeGr(w: BitWriter, g: Gr): Unit = {
+    w.put(g.part23, 12).put(g.bigValues, 9).put(g.gain, 8)
+      .put(g.sfCompress, 4).put(0, 1) // window_switching = 0
+    g.tableSelect.foreach(t => w.put(t, 5))
+    w.put(g.region0, 4).put(g.region1, 3)
+    w.put(0, 1).put(0, 1) // preflag, scalefac_scale
+    w.put(if (g.count1TableB) 1 else 0, 1)
+  }
+
+  /** Build one MPEG-1 Layer III frame: header + side info + main
+    * data, zero-filled to the exact spec frame length
+    * 144·bitrate/rate + padding.
+    */
+  private def frame(brIdx: Int, srIdx: Int, padding: Int = 0,
+      mono: Boolean = true, modeExt: Int = 0,
+      grs: Seq[Gr] = Seq(Gr(), Gr(), Gr(), Gr()),
+      mainData: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)(brIdx)
+    val rate = Array(44100, 48000, 32000)(srIdx)
+    val frameLen = 144 * kbps * 1000 / rate + padding
+    val mode = if (mono) 3 else 1 // joint stereo for the stereo arm
+    val header = Array[Byte](0xFF.toByte, 0xFB.toByte,
+      ((brIdx << 4) | (srIdx << 2) | (padding << 1)).toByte,
+      ((mode << 6) | (modeExt << 4)).toByte)
+    val w = new BitWriter
+    w.put(0, 9) // main_data_begin
+    w.put(0, if (mono) 5 else 3) // private
+    w.put(0, if (mono) 4 else 8) // scfsi
+    val nch = if (mono) 1 else 2
+    for (gr <- 0 until 2; ch <- 0 until nch)
+      writeGr(w, grs(gr * nch + ch))
+    val si = w.result()
+    assert(si.length == (if (mono) 17 else 32))
+    val out = new Array[Byte](frameLen)
+    System.arraycopy(header, 0, out, 0, 4)
+    System.arraycopy(si, 0, out, 4, si.length)
+    System.arraycopy(mainData, 0, out, 4 + si.length, mainData.length)
+    out // rest already zero — which is also valid all-zero main data
+  }
+
+  /** A "loud" granule: two count1 quadruples through table B — quad
+    * (1,1,1,1) transmits as the complement 0000 plus four positive
+    * sign bits, so the main data is two zero BYTES and part2_3 = 16.
+    * Spectral lines 0–7 become +1 before requantization.
+    */
+  private val LoudGr = Gr(part23 = 16, gain = 200)
+
+  private def wavSamples(wav: Array[Byte]): Array[Int] = {
+    assert(wav != null, "decode returned null")
+    assert(new String(wav.take(4), "ISO-8859-1") == "RIFF")
+    assert(new String(wav.slice(8, 12), "ISO-8859-1") == "WAVE")
+    val n = (wav.length - 44) / 2
+    Array.tabulate(n)(i =>
+      ((wav(44 + 2 * i) & 0xFF) | (wav(45 + 2 * i) << 8)).toShort.toInt)
+  }
+
+  private def wavRate(wav: Array[Byte]): Int =
+    (wav(24) & 0xFF) | ((wav(25) & 0xFF) << 8) | ((wav(26) & 0xFF) << 16) |
+      ((wav(27) & 0xFF) << 24)
+
+  private def wavChannels(wav: Array[Byte]): Int =
+    (wav(22) & 0xFF) | ((wav(23) & 0xFF) << 8)
+
+  // ------------------------------------------------------------------
+  // Structural table validation (the clean-room conformance evidence)
+  // ------------------------------------------------------------------
+
+  test("every shipped Huffman table is prefix-free and Kraft-complete") {
+    def check(codes: Seq[(Int, Int)]): Unit = { // (len, code)
+      val strs = codes.map { case (l, c) =>
+        assert(l >= 1 && l <= 19 && c >= 0 && c < (1 << l))
+        ("0" * l + c.toBinaryString).takeRight(l)
+      }
+      assert(strs.distinct.size == strs.size)
+      for (a <- strs; b <- strs if a != b)
+        assert(!b.startsWith(a), s"prefix violation: $a of $b")
+      val kraft = codes.map { case (l, _) => math.pow(2.0, -l) }.sum
+      assert(math.abs(kraft - 1.0) < 1e-12, s"Kraft sum $kraft")
+    }
+    assert(Mp3Decode.shippedBigTableIds == Set(1, 2, 3, 5, 6))
+    for (id <- Mp3Decode.shippedBigTableIds)
+      check(Mp3Decode.tableEntries(id).map { case (_, _, l, c) => (l, c) }.toSeq)
+    check(Mp3Decode.count1AEntries.map { case (_, l, c) => (l, c) }.toSeq)
+    // count1 table B: 16 fixed 4-bit codes, complement coding —
+    // complete by construction
+    check((0 until 16).map(i => (4, 15 - i)))
+    // table dimensions match the spec (2x2, 3x3, 3x3, 4x4, 4x4)
+    assert(Mp3Decode.tableEntries(1).length == 4)
+    assert(Mp3Decode.tableEntries(2).length == 9)
+    assert(Mp3Decode.tableEntries(3).length == 9)
+    assert(Mp3Decode.tableEntries(5).length == 16)
+    assert(Mp3Decode.tableEntries(6).length == 16)
+  }
+
+  test("synthesis stand-in window: DC gain exactly calibrated, symmetric-class") {
+    val d = Mp3Decode.SynthD
+    assert(d.length == 512)
+    // the Kaiser-sinc prototype is even around 255.5 by construction
+    for (i <- 0 until 256)
+      assert(math.abs(d(i) - d(511 - i)) < 1e-12)
+    // DC calibration is asserted end-to-end by the loud-granule and
+    // gain-linearity tests below (nonzero output at sane amplitude)
+  }
+
+  // ------------------------------------------------------------------
+  // Exact-by-construction decode properties
+  // ------------------------------------------------------------------
+
+  test("silence frames decode to exact zeros at exact geometry, all rates/bitrates") {
+    for (srIdx <- 0 to 2; brIdx <- Seq(1, 5, 9, 14); pad <- Seq(0, 1)) {
+      val f = frame(brIdx, srIdx, padding = pad)
+      val wav = Mp3Decode.decode(f ++ f ++ f)
+      val s = wavSamples(wav)
+      assert(wavRate(wav) == Array(44100, 48000, 32000)(srIdx))
+      assert(wavChannels(wav) == 1)
+      assert(s.length == 3 * 1152, s"got ${s.length} samples")
+      assert(s.forall(_ == 0), "silence must decode to exact zeros")
+    }
+  }
+
+  test("stereo silence: two channels, interleaved zeros, exact geometry") {
+    val f = frame(5, 0, mono = false)
+    val wav = Mp3Decode.decode(f ++ f)
+    val s = wavSamples(wav)
+    assert(wavChannels(wav) == 2)
+    assert(s.length == 2 * 1152 * 2)
+    assert(s.forall(_ == 0))
+  }
+
+  test("decode is deterministic") {
+    val f = frame(5, 0, grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+      mainData = Array[Byte](0, 0))
+    val a = Mp3Decode.decode(f ++ frame(5, 0) ++ frame(5, 0))
+    val b = Mp3Decode.decode(f ++ frame(5, 0) ++ frame(5, 0))
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("loud count1 granule: nonzero output with the spec-exact support bound") {
+    // granule 0 loud, everything after silent. Support: IMDCT
+    // overlap-add reaches granule 1; the 16-deep synthesis FIFO
+    // extends 15 steps = 480 samples into granule 2. Everything from
+    // sample 2*576+512 on must be EXACT zero (zero input through
+    // zero state is exact in IEEE arithmetic) — this is the lemma the
+    // q185 oracle construction rests on.
+    val f = frame(5, 0, grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+      mainData = Array[Byte](0, 0))
+    val s = wavSamples(Mp3Decode.decode(f ++ frame(5, 0) ++ frame(5, 0)))
+    assert(s.length == 3 * 1152)
+    val head = s.slice(0, 2 * 576 + 512)
+    val tail = s.drop(2 * 576 + 512)
+    assert(head.exists(_ != 0), "loud granule produced no output")
+    assert(tail.forall(_ == 0),
+      s"support leaked past the bound: first nonzero at " +
+        s"${tail.indexWhere(_ != 0) + 2 * 576 + 512}")
+    // and loudness is substantial, not a rounding artifact
+    assert(head.map(math.abs).max > 256,
+      s"peak ${head.map(math.abs).max} suspiciously small")
+  }
+
+  test("global_gain + 4 doubles amplitude exactly (requantization power law)") {
+    def decodeAt(gain: Int): Array[Int] = {
+      val f = frame(5, 0,
+        grs = Seq(LoudGr.copy(gain = gain), Gr(), Gr(), Gr()),
+        mainData = Array[Byte](0, 0))
+      wavSamples(Mp3Decode.decode(f ++ frame(5, 0)))
+    }
+    // gains sized so the doubled signal stays clear of PCM16 clip
+    // (gain 200 peaks around ±16k; 2× would clip at ±32768)
+    val lo = decodeAt(188)
+    val hi = decodeAt(192)
+    assert(lo.length == hi.length)
+    // 2^((200-196)/4) = 2: each sample doubles, up to ±2 counts of
+    // independent PCM rounding
+    for (i <- lo.indices)
+      assert(math.abs(hi(i) - 2 * lo(i)) <= 2,
+        s"sample $i: lo=${lo(i)} hi=${hi(i)}")
+  }
+
+  test("MS stereo with silent side channel: L == R exactly") {
+    // joint stereo, mode_ext = 2 (MS on): mid = loud, side = silent →
+    // L = R = M/√2 sample-for-sample
+    val f = frame(5, 0, mono = false, modeExt = 2,
+      grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+      mainData = Array[Byte](0, 0))
+    val wav = Mp3Decode.decode(f ++ frame(5, 0, mono = false, modeExt = 2))
+    assert(wavChannels(wav) == 2)
+    val s = wavSamples(wav)
+    assert(s.grouped(2).forall(p => p(0) == p(1)),
+      "mid-only MS signal must decode to identical channels")
+    assert(s.exists(_ != 0))
+  }
+
+  test("triage: junk, MPEG-2, Layer II, free bitrate, unsupported table id → null") {
+    assert(Mp3Decode.decode(null) == null)
+    assert(Mp3Decode.decode("not audio".getBytes) == null)
+    val good = frame(5, 0)
+    // MPEG-2 (version bits 10): FF F3
+    val v2 = good.clone(); v2(1) = 0xF3.toByte
+    assert(Mp3Decode.decode(v2) == null)
+    // Layer II (layer bits 10): FF FD
+    val l2 = good.clone(); l2(1) = 0xFD.toByte
+    assert(Mp3Decode.decode(l2) == null)
+    // free-format bitrate (index 0)
+    val free = good.clone(); free(2) = (free(2) & 0x0F).toByte
+    assert(Mp3Decode.decode(free) == null)
+    // big_values > 0 with table_select = 16 (valid id, data not
+    // shipped): the registry contract NULLs the payload
+    val unsup = frame(5, 0,
+      grs = Seq(Gr(part23 = 40, bigValues = 2,
+        tableSelect = Seq(16, 0, 0)), Gr(), Gr(), Gr()),
+      mainData = Array.fill[Byte](5)(0x55))
+    assert(Mp3Decode.decode(unsup) == null)
+    // truncated mid-frame after a valid first frame: keeps frame 1
+    val oneAndAHalf = good ++ good.take(good.length / 2)
+    val wav = Mp3Decode.decode(oneAndAHalf)
+    assert(wav != null && wavSamples(wav).length == 1152)
+  }
+
+  test("ID3v2 tag and trailing zero padding are tolerated") {
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10)
+    val f = frame(5, 0)
+    val wav = Mp3Decode.decode(id3 ++ f ++ f)
+    assert(wav != null && wavSamples(wav).length == 2 * 1152)
+  }
+
+  test("q185's in-plan frame literals match the independent builder byte-for-byte") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val loudLit = hx("FFFB10C0" + "00000040019000000008" +
+      "00" * 7 + "0000" + "00" * 81)
+    val silentLit = hx("FFFB10C0" + "00" * 100)
+    // the in-plan literals use ALL-ZERO bits for silent granules
+    // (gain 0, count1 table A) — with part2_3 = 0 no main data is
+    // read, so they decode identically to any other silent granule
+    val zeroGr = Gr(gain = 0, count1TableB = false)
+    val loudBuilt = frame(1, 0,
+      grs = Seq(LoudGr.copy(gain = 200), zeroGr, zeroGr, zeroGr),
+      mainData = Array[Byte](0, 0))
+    val silentBuilt = frame(1, 0, grs = Seq(zeroGr, zeroGr, zeroGr, zeroGr))
+    assert(java.util.Arrays.equals(loudBuilt, loudLit),
+      s"loud frame literal drifted from the builder:\n" +
+        s"built=${loudBuilt.take(30).map(b => f"$b%02X").mkString}\n" +
+        s"lit  =${loudLit.take(30).map(b => f"$b%02X").mkString}")
+    assert(java.util.Arrays.equals(silentBuilt, silentLit),
+      "silent frame literal drifted from the builder")
+    // and q184's frame-length arithmetic across the geometry space
+    for (brIdx <- 1 to 14; srIdx <- 0 to 2; pad <- 0 to 1) {
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320)(brIdx)
+      val rate = Array(44100, 48000, 32000)(srIdx)
+      assert(frame(brIdx, srIdx, pad).length ==
+        144000 * kbps / rate + pad)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Seam + fingerprint integration (the q184/q185 shapes, in-memory)
+  // ------------------------------------------------------------------
+
+  test("AudioStats consumes the decoder's WAV; silence flags as silent") {
+    val f = frame(5, 0)
+    val wav = Mp3Decode.decode(f ++ f)
+    val row = graft.expr.AudioStats.parse(wav)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row != null)
+    // schema: format, channels, sample_rate, bit_depth, n_frames, …
+    assert(row.getInt(1) == 1) // channels
+    assert(row.getInt(2) == 44100)
+    assert(row.getLong(4) == 2 * 1152) // n_frames
+  }
+
+  test("AudioEnvSig: loud/quiet granule pattern yields the constructed ehash") {
+    // the q185 lemma end-to-end: 16 windows of 4 granules (= 2 frames
+    // per window, 32 frames total), loud exactly at windows {2, 7,
+    // 11} — no two adjacent. ehash bit w = 1 iff window w+1 louder
+    // than window w: expected bits from the pattern alone.
+    val loudWindows = Set(2, 7, 11)
+    val frames = (0 until 16).flatMap { w =>
+      val first =
+        if (loudWindows(w))
+          frame(5, 0, grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+            mainData = Array[Byte](0, 0))
+        else frame(5, 0)
+      Seq(first, frame(5, 0))
+    }
+    val wav = Mp3Decode.decode(frames.reduce(_ ++ _))
+    val sig = graft.expr.AudioEnvSig.sig(wav, 16)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(sig != null, "envelope NULLed — loud windows missing?")
+    val ehash = sig.getLong(2)
+    var expected = 0L
+    for (w <- 0 until 15) {
+      val lvl = (x: Int) => if (loudWindows(x)) 1 else 0
+      if (lvl(w + 1) > lvl(w)) expected |= (1L << w)
+    }
+    assert(ehash == expected,
+      s"ehash ${ehash.toBinaryString} != expected ${expected.toBinaryString}")
+  }
+}
