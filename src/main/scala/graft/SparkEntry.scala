@@ -3517,6 +3517,56 @@ object SparkEntry {
       Multimodal.audioNearDup(decoded)
     }),
 
+    // CMYK / YCCK (Adobe 4-component) JPEG decode under the ORACLE
+    // gate — q179's DC-only construction widened to four channels:
+    // each channel's blocks are flat 128 + 2·cumsum(cat-4 DC diffs),
+    // exact in every conforming decoder; the Adobe-inverted color
+    // step (optional YCCK BT.601 inversion, then
+    // RGB = ⌊(inv·invK+127)/255⌋) is exact integer arithmetic the
+    // oracle replays. Both transform arms (id parity) exercise both
+    // decode routes. The JDK codec cannot read() CMYK at all, so
+    // this construction can ONLY pass through the hand decoder.
+    "q186_jpeg_cmyk_decode" -> ((s, dir) => {
+      Graft.tune(s)
+      val id = col("doc_id")
+      val bw = (id % 3 + 1).cast(IntegerType)
+      val n = bw
+      val xform = (id % 2) * 2 // 0 = CMYK, 2 = YCCK
+      // channel c, block k: even k positive (v4 in [8,15]), odd
+      // negative (v4 in [0,7] → v4 − 15); per-channel mixes
+      def v4(c: Int, k: Column): Column =
+        when(pmod(k, lit(2)) === 0,
+          pmod(id * 7 + lit(c) * 19 + k.cast(LongType) * 3, lit(8L)) + 8)
+          .otherwise(pmod(id * 5 + lit(c) * 11 + k.cast(LongType), lit(8L)))
+      val entropyHex = array_join(
+        transform(sequence(lit(0), n - 1), k =>
+          concat((0 until 4).map(c => lpad(hex(v4(c, k) * 4), 2, "0")): _*)),
+        "")
+      def be16(c: Column): Column = lpad(hex(c), 4, "0")
+      val jpegHex = concat(
+        lit("FFD8"),
+        lit("FFEE000E" + "41646F6265" + "0064" + "0000" + "0000"),
+        lpad(hex(xform), 2, "0"), // APP14 transform byte
+        lit("FFDB0043" + "00" + "10" * 64),
+        lit("FFC00014" + "08" + "0008"), be16(bw * 8),
+        lit("04" + "011100" + "021100" + "031100" + "041100"),
+        lit("FFC40014" + "00" + "0001" + "00" * 14 + "04"),
+        lit("FFC40014" + "10" + "0001" + "00" * 14 + "00"),
+        lit("FFDA000E" + "04" + "0100" + "0200" + "0300" + "0400" +
+          "00" + "3F" + "00"),
+        entropyHex,
+        lit("FFD9"))
+      val m = call_function(graft.expr.PixelStats.FunctionName,
+        unhex(jpegHex))
+      tp(s, dir, "documents").select(id.as("media_id"), m.as("_m"))
+        .select(col("media_id"),
+          col("_m.format").as("format"), col("_m.width").as("width"),
+          col("_m.height").as("height"), col("_m.channels").as("channels"),
+          col("_m.n_pixels").as("n_pixels"), col("_m.sum").as("sum"),
+          col("_m.sumsq").as("sumsq"), col("_m.pmin").as("pmin"),
+          col("_m.pmax").as("pmax"), col("_m.constant").as("constant"))
+    }),
+
     // CROSS-FORMAT near-dup across the LOSSY boundary — q169 extended
     // to JPEG: normally lossy pixels aren't construction-replayable,
     // but q179's DC-only construction IS exact in every conforming
@@ -6804,6 +6854,60 @@ object SparkEntry {
               CAST(bh * 8 AS INTEGER) AS height,
               CAST(3 AS INTEGER) AS channels,
               CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+              a.s AS sum, a.ss AS sumsq, a.mn AS pmin, a.mx AS pmax,
+              CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
+                AS constant
+       FROM d JOIN agg a ON d.id = a.id""",
+
+    // four flat channels per block (128 + 2·cumsum per channel), the
+    // optional YCCK BT.601 inversion, then the documented
+    // Adobe-inverted RGB step ⌊(inv·invK+127)/255⌋ — all exact
+    // integer arithmetic (>> is arithmetic shift in both engines)
+    "q186_jpeg_cmyk_decode" ->
+      """WITH d AS (SELECT doc_id AS id, CAST(doc_id % 3 + 1 AS INTEGER) AS bw,
+                  (doc_id % 2) * 2 AS tf FROM documents),
+         blk AS (SELECT id, bw, tf, k, c,
+                   CASE WHEN k % 2 = 0 THEN 8 + (id*7 + c*19 + k*3) % 8
+                        ELSE (id*5 + c*11 + k) % 8 - 15 END AS diff
+                 FROM d CROSS JOIN range(0, 3) r(k)
+                        CROSS JOIN range(0, 4) rc(c)
+                 WHERE k < bw),
+         fl AS (SELECT id, bw, tf, k, c,
+                  128 + 2 * SUM(diff) OVER (PARTITION BY id, c ORDER BY k)
+                    AS f
+                FROM blk),
+         pv AS (SELECT id, bw, tf, k,
+                  MAX(CASE WHEN c = 0 THEN f END) AS f0,
+                  MAX(CASE WHEN c = 1 THEN f END) AS f1,
+                  MAX(CASE WHEN c = 2 THEN f END) AS f2,
+                  MAX(CASE WHEN c = 3 THEN f END) AS fk
+                FROM fl GROUP BY id, bw, tf, k),
+         inv AS (SELECT id, bw, k, fk,
+                   CASE WHEN tf = 2 THEN least(255, greatest(0,
+                     f0 + ((91881*(f2-128) + 32768) >> 16)))
+                   ELSE f0 END AS ic,
+                   CASE WHEN tf = 2 THEN least(255, greatest(0,
+                     f0 - ((22554*(f1-128) + 46802*(f2-128) + 32768) >> 16)))
+                   ELSE f1 END AS im,
+                   CASE WHEN tf = 2 THEN least(255, greatest(0,
+                     f0 + ((116130*(f1-128) + 32768) >> 16)))
+                   ELSE f2 END AS iy
+                 FROM pv),
+         rgb AS (SELECT id, bw, k,
+                   (ic*fk + 127) // 255 AS r, (im*fk + 127) // 255 AS g,
+                   (iy*fk + 127) // 255 AS b
+                 FROM inv),
+         agg AS (SELECT id,
+                   CAST(64 * SUM(r + g + b) AS BIGINT) AS s,
+                   CAST(64 * SUM(r*r + g*g + b*b) AS BIGINT) AS ss,
+                   CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS INTEGER) AS mn,
+                   CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS INTEGER) AS mx
+                 FROM rgb GROUP BY id)
+       SELECT d.id AS media_id, 'jpeg' AS format,
+              CAST(bw * 8 AS INTEGER) AS width,
+              CAST(8 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(bw * 64 AS BIGINT) AS n_pixels,
               a.s AS sum, a.ss AS sumsq, a.mn AS pmin, a.mx AS pmax,
               CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
                 AS constant

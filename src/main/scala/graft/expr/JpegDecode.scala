@@ -36,15 +36,24 @@ package graft.expr
   *    constants (identical to the IJG fixed-point form);
   *  - grayscale replicates to the 3-channel RGB shape the ImageIO
   *    branch produces; 3-component Adobe transform=0 is passed
-  *    through as RGB.
+  *    through as RGB;
+  *  - CMYK / YCCK (Adobe 4-component, the scanned-document family):
+  *    Adobe-inverted samples, optional YCCK YCbCr inversion
+  *    (transform=2), then RGB = ⌊(inv·invK + 127)/255⌋ — exact
+  *    integer arithmetic a relational oracle replays. NOTE: the JDK
+  *    codec cannot `read()` CMYK JPEGs at all (it throws), so this
+  *    EXTENDS coverage beyond the fallback tier; the differential
+  *    spec pins the entropy/IDCT layers against `readRaster()` (raw
+  *    4-band, no color conversion), and the color step against the
+  *    documented formula.
   *
   * NOT handled — these return null and [[PixelStats.decode]] falls
   * back to the ImageIO tier, so coverage is unchanged and only the
   * hot path gets faster: arithmetic coding (SOF9-11), lossless,
-  * hierarchical, 12-bit precision, CMYK/YCCK (4-component),
-  * non-interleaved multi-scan SEQUENTIAL files (rare; progressive
-  * multi-scan is fully handled), DNL height patching. Truncated or
-  * corrupt streams also return null (triage, never an error).
+  * hierarchical, 12-bit precision, non-interleaved multi-scan
+  * SEQUENTIAL files (rare; progressive multi-scan is fully handled),
+  * DNL height patching. Truncated or corrupt streams also return
+  * null (triage, never an error).
   *
   * Bomb guard: the SOF dims are checked against
   * [[PixelStats.MaxRawBytes]] BEFORE any plane or coefficient-store
@@ -287,7 +296,7 @@ object JpegDecode {
             h = u16(b, seg + 1)
             w = u16(b, seg + 3)
             val n = b(seg + 5) & 0xFF
-            if (w <= 0 || h <= 0 || (n != 1 && n != 3)) return null
+            if (w <= 0 || h <= 0 || (n != 1 && n != 3 && n != 4)) return null
             if (w.toLong * h * 3 > PixelStats.MaxRawBytes) return null // bomb
             if (seg + 6 + 3 * n > segEnd) return null
             comps = Array.fill(n)(new Comp)
@@ -751,6 +760,48 @@ object JpegDecode {
           x += 1
         }
         y += 1
+      }
+    } else if (comps.length == 4) {
+      // CMYK / YCCK (the Adobe 4-component family — scanned-document
+      // corpora are full of these). Adobe stores the samples INVERTED
+      // (a stored byte is 255 − the ink value), and YCCK
+      // (transform=2) additionally runs the inverted C/M/Y through
+      // the YCbCr transform; K always rides as its own plane. After
+      // the optional YCbCr inversion both forms yield
+      // (invC, invM, invY, invK), and RGB = ⌊(inv·invK + 127)/255⌋
+      // per channel — exact integer arithmetic a relational oracle
+      // replays. APP14-absent 4-component files are treated as
+      // Adobe-style CMYK (transform 0); the non-inverted non-Adobe
+      // variant is vanishingly rare and would need sidecar knowledge
+      // no JPEG marker carries.
+      val p0 = upsample(comps(0), w, h, hMax, vMax)
+      val p1 = upsample(comps(1), w, h, hMax, vMax)
+      val p2 = upsample(comps(2), w, h, hMax, vMax)
+      val pK = upsample(comps(3), w, h, hMax, vMax)
+      val ycck = adobeTransform == 2
+      var i2 = 0
+      val n2 = w * h
+      while (i2 < n2) {
+        var invC = p0(i2) & 0xFF
+        var invM = p1(i2) & 0xFF
+        var invY = p2(i2) & 0xFF
+        if (ycck) {
+          val sy = invC
+          val cbv = invM - 128
+          val crv = invY - 128
+          invC = sy + ((91881 * crv + 32768) >> 16)
+          invM = sy - ((22554 * cbv + 46802 * crv + 32768) >> 16)
+          invY = sy + ((116130 * cbv + 32768) >> 16)
+          if (invC < 0) invC = 0 else if (invC > 255) invC = 255
+          if (invM < 0) invM = 0 else if (invM > 255) invM = 255
+          if (invY < 0) invY = 0 else if (invY > 255) invY = 255
+        }
+        val invK = pK(i2) & 0xFF
+        val o = i2 * 3
+        out(o) = ((invC * invK + 127) / 255).toByte
+        out(o + 1) = ((invM * invK + 127) / 255).toByte
+        out(o + 2) = ((invY * invK + 127) / 255).toByte
+        i2 += 1
       }
     } else {
       val pY = upsample(comps(0), w, h, hMax, vMax)

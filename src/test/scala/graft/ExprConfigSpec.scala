@@ -2112,6 +2112,101 @@ class ExprConfigSpec extends SparkSpec {
     assert(graft.expr.PixelStats.parse(sof9) == null)
   }
 
+  test("JpegDecode: CMYK and YCCK (Adobe 4-component) decode exactly on DC-only fixtures") {
+    import graft.expr.JpegDecode
+    // DC-only 4-component fixtures, the q179 construction widened:
+    // each 8×8 block of each channel is one crafted entropy byte
+    // (cat-4 DC code '00' + 4 diff bits + EOB '00'), so every
+    // channel's plane is a sequence of flat values 128 + 2·cumsum —
+    // exact in any conforming decoder. The JDK codec cannot read()
+    // CMYK at all, but readRaster() returns the raw 4-band samples
+    // with no color conversion: the differential pins our entropy +
+    // IDCT layers; the RGB step is pinned against the documented
+    // Adobe-inverted formula ⌊(inv·invK + 127)/255⌋.
+    def build(transform: Int, dcs: Seq[Seq[Int]]): Array[Byte] = {
+      val nBlocks = dcs.head.length
+      val bos = new java.io.ByteArrayOutputStream()
+      def w(xs: Int*): Unit = xs.foreach(v => bos.write(v & 0xFF))
+      w(0xFF, 0xD8)
+      // APP14 Adobe, transform byte last
+      w(0xFF, 0xEE, 0, 14)
+      "Adobe".foreach(c => w(c))
+      w(0, 100, 0, 0, 0, 0, transform)
+      w(0xFF, 0xDB, 0, 67, 0)
+      (0 until 64).foreach(_ => w(16))
+      // SOF0: 4 components, all 1x1, shared quant table
+      w(0xFF, 0xC0, 0, 20, 8, 0, 8, 0, 8 * nBlocks)
+      w(4)
+      for (id <- 1 to 4) w(id, 0x11, 0)
+      w(0xFF, 0xC4, 0, 20, 0x00, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4)
+      w(0xFF, 0xC4, 0, 20, 0x10, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      w(0xFF, 0xDA, 0, 14, 4)
+      for (id <- 1 to 4) w(id, 0x00)
+      w(0, 63, 0)
+      // entropy: per MCU, one byte per component = v4·4
+      for (k <- 0 until nBlocks; c <- 0 until 4) w(dcs(c)(k) * 4)
+      w(0xFF, 0xD9)
+      bos.toByteArray
+    }
+    def flats(v4s: Seq[Int]): Seq[Int] = {
+      var pred = 0
+      v4s.map { v =>
+        pred += (if (v >= 8) v else v - 15) // EXTEND(v, 4)
+        math.max(0, math.min(255, 128 + 2 * pred))
+      }
+    }
+    // channel DC categories: distinct walks per channel, 3 blocks
+    val dcs = Seq(Seq(9, 12, 8), Seq(14, 0, 11), Seq(10, 13, 2), Seq(15, 9, 1))
+    val expected = dcs.map(flats) // per-channel flat value per block
+    for (transform <- Seq(0, 2)) {
+      val bytes = build(transform, dcs)
+      // differential: JDK readRaster raw 4-band samples = our flats
+      val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val raster = rdr.readRaster(0, null)
+      rdr.dispose()
+      assert(raster.getNumBands == 4)
+      for (k <- 0 until 3; c <- 0 until 4)
+        assert(raster.getSample(k * 8 + 3, 4, c) == expected(c)(k),
+          s"raster band $c block $k (transform $transform)")
+      // our decode: RGB from the documented formula
+      val d = JpegDecode.decode(bytes)
+      assert(d != null && d.w == 24 && d.h == 8 && d.ch == 3,
+        s"decode failed for transform $transform")
+      for (k <- 0 until 3) {
+        val Seq(f0, f1, f2) = Seq(expected(0)(k), expected(1)(k), expected(2)(k))
+        val fK = expected(3)(k)
+        val (ic, im, iy) =
+          if (transform == 2) {
+            val cbv = f1 - 128; val crv = f2 - 128
+            def cl(x: Int) = math.max(0, math.min(255, x))
+            (cl(f0 + ((91881 * crv + 32768) >> 16)),
+             cl(f0 - ((22554 * cbv + 46802 * crv + 32768) >> 16)),
+             cl(f0 + ((116130 * cbv + 32768) >> 16)))
+          } else (f0, f1, f2)
+        val o = (4 * 24 + k * 8 + 3) * 3 // a pixel inside block k
+        assert((d.px(o) & 0xFF) == (ic * fK + 127) / 255,
+          s"R block $k transform $transform")
+        assert((d.px(o + 1) & 0xFF) == (im * fK + 127) / 255,
+          s"G block $k transform $transform")
+        assert((d.px(o + 2) & 0xFF) == (iy * fK + 127) / 255,
+          s"B block $k transform $transform")
+      }
+      // the whole plane is flat per block — spot the full first block
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val o = (y * 24 + x) * 3
+        val o2 = (4 * 24 + 3) * 3
+        assert(d.px(o) == d.px(o2) && d.px(o + 1) == d.px(o2 + 1) &&
+          d.px(o + 2) == d.px(o2 + 2))
+      }
+    }
+    // and PixelStats dispatch reaches the hand decoder (ImageIO read()
+    // cannot decode CMYK, so a non-null decode proves the hand path)
+    val viaStats = graft.expr.PixelStats.parse(build(0, dcs))
+    assert(viaStats != null)
+  }
+
   test("graft_gif_frames: composited animation decode, disposal, dispatch") {
     import graft.expr.{GifBuild, GifFrames}
     def ppmPixels(ppm: Array[Byte], w: Int, h: Int): Seq[Int] = {
