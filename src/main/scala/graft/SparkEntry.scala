@@ -3966,6 +3966,54 @@ object SparkEntry {
           1, 200).as("docx_text"))
     }),
 
+    // DOCX extraction WITH table text (q177's opt-in sibling): the
+    // reference-parity contract excludes w:tbl (python-docx
+    // doc.paragraphs), but a training corpus wants table content —
+    // graft_docx_text(bin, 1) descends into the table and each cell
+    // paragraph emits as its own line in document order. Both
+    // contracts are hash-checked: q177 proves the 2×2 table stays
+    // excluded by default, this query proves every cell surfaces.
+    "q187_docx_tables" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def entry(name: String, data: Column): Column =
+        concat(lit(Array[Byte]('P', 'K', 3, 4)), le16(lit(20)),
+          le16(lit(0)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+          le32(lit(0)), le32(length(data)), le32(length(data)),
+          le16(lit(name.length)), le16(lit(0)),
+          ascii(name), data)
+      val id = col("doc_id")
+      val safe = substring(
+        regexp_replace(regexp_replace(coalesce(col("text"), lit("")),
+          "[^ -~]", " "), "[&<>]", " "), 1, 80)
+      def cell(txt: Column): Column = concat(lit(
+        """<w:tc><w:p><w:r><w:t>"""), txt, lit("""</w:t></w:r></w:p></w:tc>"""))
+      val docXml = encode(concat(lit(
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        """<w:p><w:r><w:t>Doc """), id.cast(StringType), lit(
+        """</w:t></w:r></w:p><w:p><w:r><w:t>"""), safe, lit(
+        """</w:t></w:r></w:p><w:tbl><w:tr>"""),
+        cell(concat(lit("r1c1 "), id.cast(StringType))), cell(lit("r1c2")),
+        lit("""</w:tr><w:tr>"""),
+        cell(lit("r2c1")), cell(concat(lit("r2c2 "), (id * 7).cast(StringType))),
+        lit("""</w:tr></w:tbl></w:body></w:document>""")), "UTF-8")
+      val docx = concat(
+        entry("[Content_Types].xml", ascii("<Types/>")),
+        entry("word/document.xml", docXml))
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(call_function(graft.expr.DocxText.FunctionName, docx,
+          lit(1)), 1, 200).as("docx_text"))
+    }),
+
     // per-type winsorization into the [p05, p95] band: percentile
     // bounds from the histogram form, broadcast back, one data scan
     "q105_winsorize" -> ((s, dir) => {
@@ -6930,6 +6978,19 @@ object SparkEntry {
                 || substr(regexp_replace(regexp_replace(COALESCE(text, ''),
                      '[^ -~]', ' ', 'g'), '[&<>]', ' ', 'g'), 1, 80)
                 || chr(10),
+              1, 200) AS docx_text
+       FROM documents""",
+
+    // opt-in table contract: two body paragraphs, then the 2×2
+    // table's four cell paragraphs, one line each in document order
+    "q187_docx_tables" ->
+      """SELECT doc_id,
+              substr('Doc ' || doc_id || chr(10)
+                || substr(regexp_replace(regexp_replace(COALESCE(text, ''),
+                     '[^ -~]', ' ', 'g'), '[&<>]', ' ', 'g'), 1, 80)
+                || chr(10)
+                || 'r1c1 ' || doc_id || chr(10) || 'r1c2' || chr(10)
+                || 'r2c1' || chr(10) || 'r2c2 ' || (doc_id * 7) || chr(10),
               1, 200) AS docx_text
        FROM documents""",
 

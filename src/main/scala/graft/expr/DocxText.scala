@@ -22,11 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    → \t, `w:br`/`w:cr` → \n, table and text-box content excluded
   *    per the python-docx `doc.paragraphs` contract.
   *
+  * `includeTables` opts INTO table text (the reference-parity default
+  * excludes it, but a training corpus usually wants it): the walk
+  * descends into `w:tbl` and every cell paragraph emits as its own
+  * line in document order. SQL surface: `graft_docx_text(bin[, 1])`.
+  *
   * Not a zip, no `word/document.xml` entry, or malformed XML → NULL,
   * never an error. Scale shape: pure per-row projection; the blob
   * projects away immediately after.
   */
-case class DocxText(child: Expression) extends UnaryExpression {
+case class DocxText(child: Expression, includeTables: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -40,12 +46,12 @@ case class DocxText(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(v: Any): Any =
-    DocxText.parse(v.asInstanceOf[Array[Byte]])
+    DocxText.parse(v.asInstanceOf[Array[Byte]], includeTables)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.expr.DocxText.parse($c);
+         |${ev.value} = graft.expr.DocxText.parse($c, $includeTables);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -60,7 +66,7 @@ object DocxText {
   /** bytes → extracted document text UTF8String, or null. Static for
     * codegen.
     */
-  def parse(b: Array[Byte]): UTF8String = {
+  def parse(b: Array[Byte], includeTables: Boolean): UTF8String = {
     if (b == null || b.length < 30) return null
     if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return null
     val entries = EpubText.zipEntries(b)
@@ -68,12 +74,17 @@ object DocxText {
       case None => null
       case Some(xml) =>
         val out = graft.sources.Documents.docxXmlToText(
-          new java.io.ByteArrayInputStream(xml))
+          new java.io.ByteArrayInputStream(xml), includeTables)
         if (out == null || out.isEmpty) null else UTF8String.fromString(out)
     }
   }
 
+  def parse(b: Array[Byte]): UTF8String = parse(b, includeTables = false)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => DocxText(exprs.head), "built-in")
+      FunctionName, exprs => DocxText(exprs.head,
+        exprs.length > 1 &&
+          ExprArgs.intLit(FunctionName, "includeTables", exprs(1)) != 0),
+      "built-in")
 }

@@ -217,7 +217,8 @@ object Documents {
       }
     }
 
-  private[graft] def docxXmlToText(in: java.io.InputStream): String = {
+  private[graft] def docxXmlToText(in: java.io.InputStream,
+      includeTables: Boolean = false): String = {
     val doc = try {
       val builder = docxBuilder.get()
       builder.reset()
@@ -254,8 +255,11 @@ object Documents {
             sb.append('\n')
           // the reference iterates python-docx doc.paragraphs =
           // TOP-LEVEL body paragraphs only; paragraphs inside w:tbl
-          // table cells are not part of that contract
-          } else if (local != "tbl") walk(child)
+          // table cells are not part of that contract. A training
+          // corpus usually WANTS table text, so `includeTables`
+          // opts in: the walk descends into w:tbl and every cell
+          // paragraph emits as its own line, in document order
+          } else if (includeTables || local != "tbl") walk(child)
         }
         child = child.getNextSibling
       }
