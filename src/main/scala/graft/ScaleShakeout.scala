@@ -845,6 +845,98 @@ object ScaleShakeout {
       }
     }
 
+    // q180 COMPOSITION at corpus scale: the BINARY crawl route —
+    // WARC walk → graft_http_body (binary split) → content-type route
+    // → distributed PdfText (per-row inflate + text-operator walk) →
+    // md5 window dedup, ONE relational plan. q174's decade covered
+    // the HTML route; this one adds the inflate and the PDF operator
+    // walk inside the same explode. Corpus shape: 1-3 PDF responses
+    // per archive plus one text/html response the route must DROP,
+    // ~60% of PDFs behind /FlateDecode (real writers compress
+    // streams), ~10% of PDFs in 100 bounded duplicate families, 20%
+    // gzip'd archives, 2% junk files.
+    if (wanted("crawlDocuments")) {
+      val warcPath = "target/scale_warc_pdf.parquet"
+      val genPdf = udf { (id: Long) =>
+        if (id % 50 == 17) "not a warc at all".getBytes("UTF-8")
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          def rec(ctype: String, body: Array[Byte], slot: Int): Unit = {
+            val http = ("HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+              "\r\n\r\n").getBytes("ISO-8859-1") ++ body
+            bos.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://ex.com/$id/$slot\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n" +
+              "Content-Length: " + http.length + "\r\n\r\n")
+              .getBytes("UTF-8"))
+            bos.write(http)
+            bos.write("\r\n\r\n".getBytes("UTF-8"))
+          }
+          val nPdf = 1 + (id % 3).toInt
+          var d = 0
+          while (d < nPdf) {
+            val dup = (id * 11 + d) % 10 == 9
+            val seed = if (dup) 848400L + (id + d) % 100 else id * 137 + d
+            val rnd = new java.util.Random(seed * 2654435761L + 11L)
+            val words = 30 + rnd.nextInt(150)
+            val sb = new StringBuilder("BT /F1 12 Tf (Report ")
+            var j = 0
+            while (j < words) {
+              sb.append("w").append(rnd.nextInt(20000)).append(' ')
+              if (j % 12 == 11) sb.append(") Tj 0 -14 Td (")
+              j += 1
+            }
+            sb.append(") Tj ET")
+            val stream = sb.toString.getBytes("ISO-8859-1")
+            val flate = (id + d) % 5 < 3 // ~60% compressed
+            val payload = if (flate) {
+              val dz = new java.util.zip.Deflater()
+              dz.setInput(stream); dz.finish()
+              val zb = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](4096)
+              while (!dz.finished()) zb.write(buf, 0, dz.deflate(buf))
+              dz.end(); zb.toByteArray
+            } else stream
+            val pdf = new java.io.ByteArrayOutputStream()
+            pdf.write(("%PDF-1.4\n4 0 obj << /Length " + payload.length +
+              (if (flate) " /Filter /FlateDecode" else "") +
+              " >>\nstream\n").getBytes("ISO-8859-1"))
+            pdf.write(payload)
+            pdf.write("\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1"))
+            rec("application/pdf", pdf.toByteArray, d)
+            d += 1
+          }
+          rec("text/html",
+            "<p>markup the pdf route must drop</p>".getBytes("UTF-8"), 9)
+          val plain = bos.toByteArray
+          if (id % 5 == 0) {
+            val gz = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(gz)
+            g.write(plain); g.close(); gz.toByteArray
+          } else plain
+        }
+      }
+      spark.range(nDocs)
+        .select(col("id").as("file_id"), genPdf(col("id")).as("content"))
+        .write.mode("overwrite").parquet(warcPath)
+      val files = spark.read.parquet(warcPath)
+      run("crawlDocuments") {
+        import org.apache.spark.sql.expressions.Window
+        val docs = graft.operators.Warc.binaryDocuments(files,
+            contentTypes = Seq("application/pdf"))
+          .select(col("file_id"), col("url"),
+            call_function(graft.expr.PdfText.FunctionName, col("body"))
+              .as("pdf_text"))
+          .withColumn("text_md5", md5(col("pdf_text")))
+        val w = Window.partitionBy("text_md5")
+        docs.withColumn("kept",
+            (col("url") === min(col("url")).over(w)).cast("int"))
+          .select(col("file_id"), col("url"),
+            substring(col("pdf_text"), 1, 100).as("pdf_text"),
+            col("text_md5"), col("kept"))
+      }
+    }
+
     if (wanted("sessionStats", "asofJoin")) {
     val nEvents = nDocs * 20
     spark.range(nEvents).select(
