@@ -1104,7 +1104,7 @@ object SparkEntry {
     // language-ID confusion matrix: predicted vs labeled language with
     // per-cell counts — the classifier-evaluation query every heuristic
     // (and model) gate needs before it filters a corpus. Round 8:
-    // evaluated against the WIDE 134-language predictor (q151's label
+    // evaluated against the WIDE 167-language predictor (q151's label
     // space) — the honest matrix now also shows which labels leak into
     // the 28 languages the old 4-way form could never emit
     "q117_lang_confusion" -> ((s, dir) => {

@@ -74,18 +74,25 @@ object LangIdWide {
 
   // Single source of truth: the tables compile from TextAnalysis's
   // public constants, so the column form, this kernel and the
-  // generated oracle can never drift.
+  // generated oracle can never drift. Sorted DEFENSIVELY by language
+  // code: the first-wins argmax below is the "ties to the lowest
+  // code" rule only under that order, and the composed form and the
+  // oracle generator both sort — an unsorted Seq entry must not be
+  // able to diverge the kernel on a tie.
+  private lazy val sortedScripts =
+    graft.functions.TextAnalysis.ScriptRanges.sortBy(_._1)
   private lazy val scriptLangs: Array[String] =
-    graft.functions.TextAnalysis.ScriptRanges.map(_._1).toArray
+    sortedScripts.map(_._1).toArray
   private lazy val scriptLo: Array[Char] =
-    graft.functions.TextAnalysis.ScriptRanges.map(_._2.charAt(0)).toArray
+    sortedScripts.map(_._2.charAt(0)).toArray
   private lazy val scriptHi: Array[Char] =
-    graft.functions.TextAnalysis.ScriptRanges.map(_._2.charAt(2)).toArray
+    sortedScripts.map(_._2.charAt(2)).toArray
+  private lazy val sortedStops =
+    graft.functions.TextAnalysis.WideStopwordLists.sortBy(_._1)
   private lazy val stopLangs: Array[String] =
-    graft.functions.TextAnalysis.WideStopwordLists.map(_._1).toArray
+    sortedStops.map(_._1).toArray
   private lazy val stopWords: Array[Array[String]] =
-    graft.functions.TextAnalysis.WideStopwordLists
-      .map(_._2.toArray).toArray
+    sortedStops.map(_._2.toArray).toArray
 
   // within-script refinement tables (see TextAnalysis.ScriptRefinements)
   private lazy val refPriors: Array[String] =

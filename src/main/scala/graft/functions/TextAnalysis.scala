@@ -130,6 +130,7 @@ object TextAnalysis {
     "ar" -> "\u0600-\u06FF", // Arabic
     "bn" -> "\u0980-\u09FF", // Bengali
     "bo" -> "\u0F00-\u0FFF", // Tibetan
+    "bug" -> "\u1A00-\u1A1F", // Buginese (Lontara)
     "chr" -> "\u13A0-\u13FF", // Cherokee syllabary
     "dv" -> "\u0780-\u07BF", // Thaana (Dhivehi)
     "el" -> "\u0370-\u03FF", // Greek
@@ -146,15 +147,20 @@ object TextAnalysis {
     "ko" -> "\uAC00-\uD7A3", // Hangul syllables
     "lo" -> "\u0E80-\u0EFF", // Lao
     "ml" -> "\u0D00-\u0D7F", // Malayalam
+    "mni" -> "\uABC0-\uABFF", // Meetei Mayek (Manipuri)
     "my" -> "\u1000-\u109F", // Myanmar
     "nqo" -> "\u07C0-\u07FF", // N'Ko
     "or" -> "\u0B00-\u0B7F", // Oriya
     "pa" -> "\u0A00-\u0A7F", // Gurmukhi (Punjabi)
     "ru" -> "\u0400-\u04FF", // Cyrillic
+    "sat" -> "\u1C50-\u1C7F", // Ol Chiki (Santali)
     "si" -> "\u0D80-\u0DFF", // Sinhala
+    "syr" -> "\u0700-\u074F", // Syriac
     "ta" -> "\u0B80-\u0BFF", // Tamil
     "te" -> "\u0C00-\u0C7F", // Telugu
     "th" -> "\u0E00-\u0E7F", // Thai
+    "vai" -> "\uA500-\uA63F", // Vai syllabary
+    "zgh" -> "\u2D30-\u2D7F", // Tifinagh (Standard Moroccan Tamazight)
     "zh" -> "\u4E00-\u9FFF") // CJK Unified Ideographs
 
   /** Within-script refinement for scripts shared by several
@@ -239,6 +245,9 @@ object TextAnalysis {
     // text carries its own descender letters as well, so the argmax
     // still separates them on running text)
     "ru" -> Seq(
+      // round 13: Abkhaz — ҧ ҽ ҿ ҩ ҵ are Abkhaz-only in this set
+      // (ә is shared with the Turkic group and stays excluded)
+      "ab" -> "\u04A7\u04A6\u04BD\u04BC\u04BF\u04BE\u04A9\u04A8\u04B5\u04B4",
       "ba" -> "\u0499\u0498\u04A1\u04A0",         // \u0499 \u04A1 (\u04AB shared with cv, \u04D9/\u0493/\u04A3/\u04BB with kk/tt \u2014 excluded)
       "be" -> "\u045E\u040E",                     // \u045E \u040E
       "bg" -> "\u044A\u042A",                     // \u044A \u042A (rare hard sign in ru, vowel in bg)
@@ -253,9 +262,25 @@ object TextAnalysis {
       "sr" -> "\u0452\u0402\u045B\u040B",         // \u0452 \u045B (\u045F shared with mk, excluded)
       "tg" -> "\u04B7\u04B6\u04B3\u04B2\u04E3\u04E2\u04EF\u04EE", // \u04B7 \u04B3 \u04E3 \u04EF
       "tt" -> "\u0497\u0496",                     // \u0497 (\u04D9 \u04A3 \u04BB \u04E9 \u04AF shared with kk/ba/sah/mn, excluded)
-      "uk" -> "\u0457\u0407\u0454\u0404\u0491\u0490")) // \u0457 \u0454 \u0491 (\u0456 shared with be, excluded)
+      // round 13: Udmurt — ӵ ӝ ӟ ӥ are Udmurt-only in this set
+      // (ӧ is shared with Komi, which has no other unique letter and
+      // stays out — the documented disjointness rule)
+      "udm" -> "\u04F5\u04F4\u04DD\u04DC\u04DF\u04DE\u04E5\u04E4",
+      "uk" -> "\u0457\u0407\u0454\u0404\u0491\u0490"), // \u0457 \u0454 \u0491 (\u0456 shared with be, excluded)
+    // round 13: Greek script — the polytonic block U+1F00-1FFF is
+    // Ancient/Katharevousa orthography; monotonic Modern Greek never
+    // writes it (its accented vowels live in the base block), so any
+    // polytonic hit is unambiguous grc evidence; all-zero → el
+    "el" -> Seq(
+      "grc" -> "\u1F00\u1F10\u1F14\u1F76\u1F78\u1FB6\u1FC6\u1FF6\u1FBF\u1FFE"),
+    // round 13: CJK script — the written-Cantonese particles
+    // 嘅咗唔喺乜嘢 are yue-orthography function characters Mandarin
+    // text does not write (their Mandarin equivalents 的/了/不/在 are
+    // different characters); all-zero → zh
+    "zh" -> Seq(
+      "yue" -> "\u5605\u5497\u5514\u55BA\u4E5C\u5622"))
 
-  /** Stopword evidence for the 79 Latin-script languages of
+  /** Stopword evidence for the 101 Latin-script languages of
     * [[langIdWide]]. ASCII-only function words by construction: the
     * shared tokenizer lowercases and splits on [^a-z0-9]+, so accented
     * forms fragment before matching — each list picks that language's
@@ -318,20 +343,24 @@ object TextAnalysis {
     "af" -> Seq("die", "en", "van", "het", "nie", "is", "wat", "om", "vir", "ook"),
     "ast" -> Seq("la", "de", "que", "el", "ya", "nun", "pa", "los", "nel", "cola"),
     "az" -> Seq("ki", "bir", "bu", "lakin", "olaraq", "zaman", "daha", "sonra", "ancaq", "edir"),
+    "bi" -> Seq("blong", "long", "i", "ol", "we", "se", "hemi", "tasol", "wetem", "nomo"),
+    "bm" -> Seq("ni", "ka", "ye", "la", "ko", "ani", "nka", "min", "don", "kelen"),
     "br" -> Seq("hag", "an", "eus", "gant", "evit", "war", "ur", "met", "bet", "ar"),
     "ca" -> Seq("el", "la", "de", "que", "els", "per", "amb", "una", "als", "dels"),
-    "co" -> Seq("di", "u", "chi", "un", "una", "cun", "quellu", "anu", "issa", "avia"),
     "ceb" -> Seq("ang", "sa", "nga", "ug", "mga", "kini", "dili", "usa", "kay", "iyang"),
+    "co" -> Seq("di", "u", "chi", "un", "una", "cun", "quellu", "anu", "issa", "avia"),
     "cs" -> Seq("je", "se", "na", "to", "ale", "jako", "pro", "tak", "co", "nebo"),
     "cy" -> Seq("yn", "y", "ar", "ei", "yr", "bod", "wedi", "am", "gan", "hefyd"),
     "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "af", "ikke"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "ee" -> Seq("eye", "kple", "gake", "le", "be", "ame", "esia", "nye", "wo", "na"),
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "eo" -> Seq("la", "kaj", "de", "en", "al", "estas", "ne", "por", "kun", "sed"),
     "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
     "et" -> Seq("ja", "on", "ei", "see", "oli", "ka", "kui", "aga", "mis", "oma"),
     "eu" -> Seq("eta", "da", "ez", "du", "bat", "dira", "baina", "zen", "ere", "dute"),
     "fi" -> Seq("ja", "on", "ei", "se", "oli", "mutta", "kun", "niin", "joka", "jos"),
+    "fj" -> Seq("na", "e", "ni", "sa", "me", "kei", "era", "ena", "vaka", "tiko"),
     "fo" -> Seq("og", "at", "er", "til", "um", "sum", "ikki", "hann", "eru", "hevur"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"),
     "fy" -> Seq("de", "en", "fan", "it", "dat", "net", "mar", "foar", "wurdt", "hawwe"),
@@ -339,6 +368,7 @@ object TextAnalysis {
     "gd" -> Seq("agus", "air", "aig", "anns", "bha", "tha", "chan", "ann", "mar", "iad"),
     "gl" -> Seq("de", "que", "o", "a", "e", "do", "da", "un", "unha", "dos"),
     "gn" -> Seq("ha", "ko", "pe", "avei", "umi", "ndive", "ikatu", "oiko", "ojapo", "hague"),
+    "gv" -> Seq("as", "ayns", "er", "dy", "agh", "ta", "va", "lesh", "shoh", "myr"),
     "ha" -> Seq("da", "ya", "ta", "na", "sun", "ba", "wannan", "amma", "suka", "wata"),
     "haw" -> Seq("ka", "ke", "i", "o", "ma", "kona", "aku", "mai", "kekahi", "keia"),
     "hr" -> Seq("je", "se", "na", "da", "su", "od", "za", "ali", "kao", "ili"),
@@ -347,13 +377,17 @@ object TextAnalysis {
     "ia" -> Seq("le", "de", "e", "un", "es", "que", "pro", "con", "iste", "al"),
     "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
     "ig" -> Seq("na", "ka", "nke", "ya", "di", "ndi", "maka", "banyere", "otu", "ihe"),
+    "io" -> Seq("la", "e", "en", "di", "kun", "ma", "esas", "ica", "qua", "por"),
     "is" -> Seq("og", "um", "sem", "er", "var", "til", "ekki", "hann", "eru", "hefur"),
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "le", "si", "una"),
     "jv" -> Seq("lan", "ing", "kang", "saka", "iku", "karo", "ora", "wis", "ana", "uga"),
+    "kl" -> Seq("aamma", "kisianni", "imaluunniit", "tassa", "una", "taanna", "soorlu", "ilaa", "massakkut", "pillugu"),
     "ku" -> Seq("di", "de", "ku", "ji", "li", "bi", "ev", "ew", "heye", "hatiye"),
+    "kw" -> Seq("ha", "hag", "yn", "dhe", "gans", "rag", "mes", "yma", "bos", "den"),
     "la" -> Seq("et", "in", "est", "non", "cum", "ad", "ut", "sed", "quod", "qui"),
     "lb" -> Seq("an", "de", "den", "ass", "vun", "fir", "net", "datt", "och", "mat"),
     "lg" -> Seq("nga", "mu", "ku", "era", "naye", "kuba", "bya", "kino", "oba", "buli"),
+    "lmo" -> Seq("el", "de", "che", "un", "la", "cont", "minga", "anca", "lu", "semper"),
     "ln" -> Seq("na", "ya", "mpe", "te", "oyo", "moto", "bato", "kasi", "esika", "boye"),
     "lt" -> Seq("ir", "yra", "kad", "tai", "bet", "kaip", "jau", "buvo", "apie", "nes"),
     "lv" -> Seq("un", "ir", "ka", "par", "bet", "no", "uz", "tas", "vai", "tika"),
@@ -368,17 +402,24 @@ object TextAnalysis {
     "ny" -> Seq("ndi", "kuti", "koma", "ngati", "chifukwa", "anthu", "zonse", "pamene", "kwambiri", "kapena"),
     "oc" -> Seq("de", "la", "que", "lo", "los", "per", "una", "dins", "mas", "pas"),
     "om" -> Seq("fi", "kan", "akka", "garuu", "kana", "isaa", "waan", "kun", "keessa", "booda"),
+    "pap" -> Seq("di", "ta", "ku", "na", "pa", "e", "den", "tin", "nan", "esaki"),
     "pl" -> Seq("nie", "to", "jest", "na", "do", "z", "co", "tak", "ale", "jak"),
     "pt" -> Seq("de", "que", "o", "da", "em", "um", "para", "com", "os", "uma"),
+    "qu" -> Seq("mana", "chay", "kay", "ichaqa", "hinaspa", "paykuna", "kunan", "llapa", "imayna", "chaymanta"),
+    "rm" -> Seq("cun", "quai", "era", "dals", "ed", "ina", "num", "betg", "vegn", "anc"),
     "ro" -> Seq("de", "la", "cu", "un", "o", "este", "pentru", "care", "dar", "mai"),
     "rw" -> Seq("ku", "mu", "ni", "ko", "cyangwa", "ariko", "kandi", "uko", "ibyo", "muri"),
+    "sc" -> Seq("de", "su", "sa", "chi", "non", "cun", "pro", "unu", "custu", "issu"),
+    "scn" -> Seq("di", "ca", "lu", "la", "nun", "pi", "cu", "chistu", "comu", "quannu"),
     "sco" -> Seq("the", "an", "o", "tae", "wi", "fae", "nae", "aboot", "efter", "haes"),
+    "se" -> Seq("ja", "lea", "dat", "go", "son", "mii", "leat", "dan", "ii", "muhto"),
     "sk" -> Seq("je", "sa", "na", "to", "som", "ako", "ale", "pre", "tak", "alebo"),
     "sl" -> Seq("je", "in", "se", "na", "da", "so", "za", "ki", "pa", "tudi"),
     "sm" -> Seq("le", "o", "i", "e", "ua", "ma", "mo", "lona", "lenei", "tagata"),
     "sn" -> Seq("uye", "kuti", "kana", "asi", "zvakare", "izvi", "vanhu", "nekuti", "saka", "apo"),
     "so" -> Seq("iyo", "ka", "oo", "waa", "uu", "si", "ay", "ku", "soo", "kale"),
     "sq" -> Seq("dhe", "me", "nga", "si", "por", "kjo", "ka", "duke", "sipas", "mund"),
+    "ss" -> Seq("kutsi", "kodvwa", "futsi", "ngobe", "kuze", "lapha", "njengoba", "lona", "nome", "yebo"),
     "st" -> Seq("le", "ho", "ya", "ka", "hore", "empa", "tsa", "ba", "na", "haeba"),
     "su" -> Seq("jeung", "anu", "teu", "eta", "ieu", "dina", "henteu", "oge", "kana", "sanes"),
     "sv" -> Seq("och", "att", "det", "som", "en", "av", "den", "med", "har", "till"),
@@ -386,9 +427,15 @@ object TextAnalysis {
     "tk" -> Seq("we", "bu", "bilen", "hem", "emma", "bolan", "uly", "bir", "bolup", "gelen"),
     "tl" -> Seq("ang", "ng", "sa", "na", "mga", "ay", "at", "para", "ito", "hindi"),
     "tn" -> Seq("le", "go", "ya", "mo", "gore", "mme", "fa", "ka", "tsa", "jaaka"),
+    "to" -> Seq("ko", "e", "he", "mo", "ki", "pea", "oku", "ene", "ha", "kuo"),
+    "tpi" -> Seq("long", "bilong", "i", "em", "ol", "na", "dispela", "tasol", "wanpela", "olgeta"),
     "tr" -> Seq("bir", "ve", "bu", "da", "ne", "gibi", "ama", "daha", "sonra", "kadar"),
+    "ts" -> Seq("ku", "na", "hi", "leswaku", "kambe", "loko", "swona", "lava", "xana", "tani"),
     "uz" -> Seq("va", "bu", "bilan", "uchun", "emas", "ham", "lekin", "keyin", "edi", "deb"),
+    "ve" -> Seq("uri", "fhedzi", "na", "kha", "nga", "ngauri", "zwenezwo", "arali", "huno", "vhathu"),
+    "vec" -> Seq("el", "de", "che", "un", "na", "par", "xe", "anca", "sto", "ghe"),
     "vi" -> Seq("cho", "trong", "khi", "hay", "nhau", "theo", "ra", "con", "anh", "nay"),
+    "wa" -> Seq("li", "et", "ki", "po", "avou", "mins", "dji", "nosse", "tot", "come"),
     "war" -> Seq("an", "ha", "nga", "mga", "ngan", "ini", "hini", "kay", "waray", "amo"),
     "wo" -> Seq("ak", "ci", "la", "ngir", "waaye", "loolu", "dafa", "yi", "bi", "nit"),
     "xh" -> Seq("ukuba", "kwaye", "kodwa", "ngoba", "oku", "naye", "apho", "into", "le", "xa"),
@@ -407,7 +454,7 @@ object TextAnalysis {
     }.otherwise(lit(byLang.last._1))
   }
 
-  /** Wide language ID: 134 languages + "und", with a confidence column
+  /** Wide language ID: 167 languages + "und", with a confidence column
     * — the breadth a real multilingual-crawl router needs (the 4-way
     * [[langId]] stays as the minimal reference form). Three tiers,
     * all pure codegen'd expressions:
@@ -419,18 +466,18 @@ object TextAnalysis {
     *     with confidence = round(scriptChars / nonWsChars, 4).
     *  2. REFINEMENT tier: when the winning script is shared by
     *     several languages (Cyrillic, Arabic), distinctive-letter
-    *     counts over [[ScriptRefinements]] pick within it — 28
-    *     languages from 5 shared-script priors (Cyrillic 15, Arabic 7,
-    *     Bengali 2, Hebrew 2, Devanagari 2); all-zero markers keep
-    *     the prior.
+    *     counts over [[ScriptRefinements]] pick within it — 37
+    *     languages from 8 shared-script priors (Cyrillic 17, Arabic 8,
+    *     Ethiopic 2, Bengali 2, Greek 2, Hebrew 2, Devanagari 2,
+    *     CJK 2); all-zero markers keep the prior.
     *  3. STOPWORD tier (Latin residue): argmax of
-    *     [[WideStopwordLists]] hits (79 Latin-script languages),
+    *     [[WideStopwordLists]] hits (101 Latin-script languages),
     *     ties to the lowest language code, confidence =
     *     round(maxHits / tokenCount, 4); zero hits → ("und", 0.0).
     *
     * Returns struct(lang, confidence). Scale shape: one projection —
-    * 26 bounded char-class scans (+ marker lookups in the same pass)
-    * + one tokenize + 57 array_intersects per row, no shuffle, no
+    * 37 bounded char-class scans (+ marker lookups in the same pass)
+    * + one tokenize + 101 array_intersects per row, no shuffle, no
     * state; fuses into the scan at 100 TB.
     */
   def langIdWide(text: Column): Column =

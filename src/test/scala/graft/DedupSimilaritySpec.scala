@@ -949,6 +949,78 @@ class DedupSimilaritySpec extends SparkSpec {
       }
   }
 
+  test("langIdWide: 167-language set — round-13 scripts, refinements and Latin band") {
+    val df = Seq(
+      // new script ranges: range membership routes each to its language
+      (1L, "ᨀᨁᨂ ᨐᨑᨕ"), // Buginese → bug
+      (2L, "ꯀꯁꯂ ꯐꯑ"), // Meetei Mayek → mni
+      (3L, "ᱚᱛᱜ ᱥᱦ"), // Ol Chiki → sat
+      (4L, "ܐܒܕ ܠܡܫ"), // Syriac → syr
+      (5L, "ꔀꔁꔂ ꔐꔑ"), // Vai → vai
+      (6L, "ⴰⴱⴳ ⵀⵏ"), // Tifinagh → zgh
+      // Greek refinement: any polytonic hit is grc; monotonic stays el
+      (7L, "καὶ γὰρ ἀνθρωπων"), // καὶ γὰρ ἀνθρώπων → grc
+      (8L, "και τα νερα της"), // monotonic → el
+      // CJK refinement: written-Cantonese particles vs plain Mandarin
+      (9L, "佢哋嘅嘢唔係喺度"), // 嘅 嘢 唔 喺 → yue
+      (10L, "我们的语言是中文"), // no yue particles → zh prior
+      // new Cyrillic refinements (markers must beat ru's ы/э)
+      (11L, "удмурт кыл ӵӝӥ ӟеч"), // ӵ ӝ ӥ ӟ → udm
+      (12L, "аҧсуа бызшәа ҽаҩра ҵара"), // ҧ ҽ ҩ ҵ → ab
+      // new Latin band: each language's own ten words win it
+      (14L, "blong long i ol we se hemi tasol wetem nomo"), // bi
+      (15L, "long bilong i em ol na dispela tasol wanpela olgeta"), // tpi (close pair)
+      (16L, "ni ka ye la ko ani nka min don kelen"), // bm
+      (17L, "eye kple gake le be ame esia nye wo na"), // ee
+      (18L, "na e ni sa me kei era ena vaka tiko"), // fj
+      (19L, "as ayns er dy agh ta va lesh shoh myr"), // gv
+      (20L, "la e en di kun ma esas ica qua por"), // io
+      (21L, "la kaj de en al estas ne por kun sed"), // eo (control)
+      (22L, "aamma kisianni imaluunniit tassa una taanna soorlu ilaa massakkut pillugu"), // kl
+      (23L, "ha hag yn dhe gans rag mes yma bos den"), // kw
+      (24L, "hag an eus gant evit war ur met bet ar"), // br (control)
+      (25L, "el de che un la cont minga anca lu semper"), // lmo
+      (26L, "el de che un na par xe anca sto ghe"), // vec (close pair)
+      (27L, "di ta ku na pa e den tin nan esaki"), // pap
+      (28L, "mana chay kay ichaqa hinaspa paykuna kunan llapa imayna chaymanta"), // qu
+      (29L, "cun quai era dals ed ina num betg vegn anc"), // rm
+      (30L, "de su sa chi non cun pro unu custu issu"), // sc
+      (31L, "di ca lu la nun pi cu chistu comu quannu"), // scn
+      (32L, "ja lea dat go son mii leat dan ii muhto"), // se
+      (33L, "kutsi kodvwa futsi ngobe kuze lapha njengoba lona nome yebo"), // ss
+      (34L, "ukuthi futhi ngoba kodwa kanye uma noma lapho yena khona"), // zu (control)
+      (35L, "ko e he mo ki pea oku ene ha kuo"), // to
+      (36L, "ku na hi leswaku kambe loko swona lava xana tani"), // ts
+      (37L, "uri fhedzi na kha nga ngauri zwenezwo arali huno vhathu"), // ve
+      (38L, "li et ki po avou mins dji nosse tot come") // wa
+    ).toDF("doc_id", "text")
+    val pred = TextAnalysis.langIdWide($"text")
+    val got = df.select($"doc_id", pred.getField("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = Map(
+      1L -> "bug", 2L -> "mni", 3L -> "sat", 4L -> "syr", 5L -> "vai",
+      6L -> "zgh", 7L -> "grc", 8L -> "el", 9L -> "yue", 10L -> "zh",
+      11L -> "udm", 12L -> "ab",
+      14L -> "bi", 15L -> "tpi", 16L -> "bm", 17L -> "ee",
+      18L -> "fj", 19L -> "gv", 20L -> "io", 21L -> "eo", 22L -> "kl",
+      23L -> "kw", 24L -> "br", 25L -> "lmo", 26L -> "vec", 27L -> "pap",
+      28L -> "qu", 29L -> "rm", 30L -> "sc", 31L -> "scn", 32L -> "se",
+      33L -> "ss", 34L -> "zu", 35L -> "to", 36L -> "ts", 37L -> "ve",
+      38L -> "wa")
+    exp.foreach { case (id, l) =>
+      assert(got(id) == l, s"doc $id: got ${got(id)} want $l")
+    }
+    // native ≡ composed at the widened label space, bit for bit
+    val composed = TextAnalysis.langIdWideComposed($"text")
+    df.select($"doc_id", pred.getField("lang"), pred.getField("confidence"),
+        composed.getField("lang"), composed.getField("confidence"))
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(3) &&
+          r.getDouble(2) == r.getDouble(4),
+          s"native vs composed diverge on doc ${r.getLong(0)}: $r")
+      }
+  }
+
   test("text analysis: langId, token stats, fingerprint determinism") {
     val df = Seq(
       (1L, "the cat and the dog is in the house"),
