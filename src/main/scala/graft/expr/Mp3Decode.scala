@@ -152,9 +152,79 @@ object Mp3Decode {
   private val WinShort = Array.tabulate(12)(i =>
     math.sin(math.Pi / 12.0 * (i + 0.5)))
 
-  // synthesis matrixing N[i][k] = cos((16+i)(2k+1)π/64), §2.4.3.4.10.3
-  private val SynthN = Array.tabulate(64, 32)((i, k) =>
+  // synthesis matrixing N[i][k] = cos((16+i)(2k+1)π/64), §2.4.3.4.10.3.
+  // The direct table stays as the REFERENCE the fast path is
+  // spec-checked against (Mp3Spec asserts ≤ 1e-9 on random inputs)
+  // and feeds the window's DC calibration.
+  private[graft] val SynthN = Array.tabulate(64, 32)((i, k) =>
     math.cos((16 + i) * (2 * k + 1) * math.Pi / 64.0))
+
+  // ---- fast matrixing: V is a rearrangement of the 32-point DCT-II
+  // D[m] = Σ_k s[k]·cos(π·m·(2k+1)/64):
+  //   V[i]      = D[16+i]          (i 0..15)
+  //   V[16]     = D[32] = 0
+  //   V[i]      = −D[48−i]         (i 17..47, via D[64−m] = −D[m])
+  //   V[48+j]   = −D[j]            (j 0..15, via D[64+m] = −D[m])
+  // computed with Lee's recursion (~N·log N mults instead of the
+  // direct table's 2048 per step). Output is bit-comparable to the
+  // direct form at double precision (≤ 1e-9 relative, spec-gated);
+  // the zero-support and silence guarantees are unaffected (zero in,
+  // zero out exactly along both paths).
+  private val DctHalfSec: Array[Array[Double]] = {
+    // per level n = 32,16,8,4,2: 0.5 / cos((2k+1)π/(2n)) for k < n/2
+    val levels = Seq(32, 16, 8, 4, 2)
+    levels.map(n => Array.tabulate(n / 2)(k =>
+      0.5 / math.cos((2 * k + 1) * math.Pi / (2.0 * n)))).toArray
+  }
+
+  /** In-place 32-point DCT-II over x[off..off+n), Lee's even/odd
+    * recursion; `tmp` is per-call scratch (32 doubles), `lvl` indexes
+    * [[DctHalfSec]].
+    */
+  private def dct32(x: Array[Double], off: Int, n: Int,
+      tmp: Array[Double], lvl: Int): Unit = {
+    if (n == 1) return
+    val h = n / 2
+    val c = DctHalfSec(lvl)
+    var k = 0
+    while (k < h) {
+      val a = x(off + k)
+      val b = x(off + n - 1 - k)
+      tmp(k) = a + b
+      tmp(h + k) = (a - b) * c(k)
+      k += 1
+    }
+    System.arraycopy(tmp, 0, x, off, n)
+    dct32(x, off, h, tmp, lvl + 1)
+    dct32(x, off + h, h, tmp, lvl + 1)
+    // interleave: even coefficients from the first half, odd from
+    // the running-sum of the second
+    k = 0
+    while (k < h) {
+      tmp(2 * k) = x(off + k)
+      tmp(2 * k + 1) =
+        if (k + 1 < h) x(off + h + k) + x(off + h + k + 1)
+        else x(off + h + k)
+      k += 1
+    }
+    System.arraycopy(tmp, 0, x, off, n)
+  }
+
+  /** s[32] → V[64] via the fast DCT-32 (see the mapping above).
+    * `d` and `tmp` are caller scratch (32 doubles each).
+    */
+  private[graft] def matrixFast(s: Array[Double], d: Array[Double],
+      tmp: Array[Double], v: Array[Double], vOff: Int): Unit = {
+    System.arraycopy(s, 0, d, 0, 32)
+    dct32(d, 0, 32, tmp, 0)
+    var i = 0
+    while (i < 16) { v(vOff + i) = d(16 + i); i += 1 }
+    v(vOff + 16) = 0.0
+    i = 17
+    while (i < 48) { v(vOff + i) = -d(48 - i); i += 1 }
+    i = 48
+    while (i < 64) { v(vOff + i) = -d(i - 48); i += 1 }
+  }
 
   /** Stand-in synthesis prototype (see class scaladoc): 512-tap
     * Kaiser(β=9)-windowed sinc at the π/64 half-subband cutoff,
@@ -368,6 +438,10 @@ object Mp3Decode {
     val v = new Array[Double](1024) // synthesis FIFO (ring)
     var vOff = 0
     var zeroSteps = 16 // consecutive all-zero synthesis inputs (≥16 ⇒ FIFO all-zero)
+    val stepBuf = new Array[Byte](64) // one synthesis step's PCM16 output
+    val dctBuf = new Array[Double](32) // fast-matrixing scratch
+    val dctTmp = new Array[Double](32)
+    val sumBuf = new Array[Double](32) // window-sum accumulators
     val scalefacL = new Array[Int](23)
     val scalefacS = Array.ofDim[Int](13, 3)
   }
@@ -504,8 +578,7 @@ object Mp3Decode {
       if (mainStart < 0) {
         // reservoir underrun (stream started mid-reservoir): the
         // standard recovery is a silent frame
-        var i = 0
-        while (i < 1152 * nch * 2) { pcm.write(0); i += 1 }
+        pcm.write(new Array[Byte](1152 * nch * 2), 0, 1152 * nch * 2)
       } else {
         val mbr = new BitReader(res, mainStart * 8, res.length * 8)
         gr = 0
@@ -976,41 +1049,46 @@ object Mp3Decode {
     if (allZero && st.zeroSteps >= 16) {
       st.vOff = (st.vOff + 1024 - 64) % 1024
       java.util.Arrays.fill(st.v, st.vOff, st.vOff + 64, 0.0)
-      var j = 0
-      while (j < 64) { pcm.write(0); j += 1 } // 32 zero PCM16 samples
+      pcm.write(ZeroStep, 0, 64) // 32 zero PCM16 samples, ONE write
       return
     }
     st.zeroSteps = if (allZero) st.zeroSteps + 1 else 0
     st.vOff = (st.vOff + 1024 - 64) % 1024
     val v = st.v
     val off = st.vOff
-    var i = 0
-    while (i < 64) {
-      var sum = 0.0
-      val n = SynthN(i)
-      var k = 0
-      while (k < 32) { sum += n(k) * s(k); k += 1 }
-      v(off + i) = sum
-      i += 1
+    matrixFast(s, st.dctBuf, st.dctTmp, v, off)
+    // window-and-sum with the wrap hoisted out of the inner loop: V
+    // slots are 64-aligned and j < 32 never crosses a slot, so the
+    // ring wrap can only happen at a tap's BASE — no per-tap modulo
+    val step = st.stepBuf
+    val acc = st.sumBuf
+    java.util.Arrays.fill(acc, 0.0)
+    var q = 0
+    while (q < 16) {
+      var base = off + (q >> 1) * 128 + (if ((q & 1) == 0) 0 else 96)
+      if (base >= 1024) base -= 1024
+      val dOff = q * 32
+      var j = 0
+      while (j < 32) {
+        acc(j) += v(base + j) * SynthD(dOff + j)
+        j += 1
+      }
+      q += 1
     }
     var j = 0
     while (j < 32) {
-      var sum = 0.0
-      var q = 0
-      while (q < 16) {
-        val uIdx =
-          if ((q & 1) == 0) (off + (q >> 1) * 128 + j) % 1024
-          else (off + (q >> 1) * 128 + 96 + j) % 1024
-        sum += v(uIdx) * SynthD(q * 32 + j)
-        q += 1
-      }
-      val x = math.rint(sum * 32768.0)
+      val x = math.rint(acc(j) * 32768.0)
       val p = if (x > 32767.0) 32767 else if (x < -32768.0) -32768
         else x.toInt
-      pcm.write(p & 0xff); pcm.write((p >> 8) & 0xff)
+      step(2 * j) = (p & 0xff).toByte
+      step(2 * j + 1) = ((p >> 8) & 0xff).toByte
       j += 1
     }
+    pcm.write(step, 0, 64) // one synchronized call per step, not 64
   }
+
+  // 32 zero PCM16 samples — the silence fast path's write unit
+  private val ZeroStep = new Array[Byte](64)
 
   /** Wrap accumulated PCM in a 44-byte WAV header. Stereo streams
     * arrive channel-blocked per granule (576 L samples then 576 R);

@@ -153,6 +153,25 @@ class Mp3Spec extends AnyFunSuite {
   // Exact-by-construction decode properties
   // ------------------------------------------------------------------
 
+  test("fast DCT-32 matrixing equals the direct cosine table") {
+    // V[i] = Σ_k cos((16+i)(2k+1)π/64)·s[k]: the Lee-recursion fast
+    // path must agree with the direct 64×32 table to double-precision
+    // noise on arbitrary inputs (the transcription-error detector for
+    // the antisymmetry mapping and the per-level cosine factors)
+    val rnd = new java.util.Random(7)
+    for (_ <- 0 until 200) {
+      val s = Array.fill(32)(rnd.nextDouble() * 2 - 1)
+      val direct = Array.tabulate(64)(i =>
+        (0 until 32).map(k => Mp3Decode.SynthN(i)(k) * s(k)).sum)
+      val v = new Array[Double](64)
+      Mp3Decode.matrixFast(s, new Array[Double](32),
+        new Array[Double](32), v, 0)
+      for (i <- 0 until 64)
+        assert(math.abs(v(i) - direct(i)) < 1e-9,
+          s"V[$i]: fast ${v(i)} direct ${direct(i)}")
+    }
+  }
+
   test("silence frames decode to exact zeros at exact geometry, all rates/bitrates") {
     for (srIdx <- 0 to 2; brIdx <- Seq(1, 5, 9, 14); pad <- Seq(0, 1)) {
       val f = frame(brIdx, srIdx, padding = pad)
