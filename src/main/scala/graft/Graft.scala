@@ -103,6 +103,7 @@ object Graft {
     graft.expr.BpeEncode.register(spark)
     graft.expr.ExifOrientation.register(spark)
     graft.expr.OrientPixels.register(spark)
+    graft.expr.ResizePixels.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

@@ -3567,6 +3567,43 @@ object SparkEntry {
           col("_m.pmax").as("pmax"), col("_m.constant").as("constant"))
     }),
 
+    // Materialized RESIZE under the ORACLE gate: integer box-mean
+    // thumbnails (the explicit vision-preprocessing stage; OpenCV
+    // INTER_AREA semantics made engine-exact by floor arithmetic) —
+    // each doc is a quadratic-mixed w×h PPM, resized to 3×2 and
+    // RE-INGESTED through PixelStats, so the gate covers resize AND
+    // the thumb's round-trip through the shared decode. The oracle
+    // replays the box bounds (⌊x2·w/3⌋) and floor means relationally.
+    "q188_thumbnails" -> ((s, dir) => {
+      Graft.tune(s)
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val id = col("doc_id")
+      val wC = (id % 5 + 6).cast(IntegerType)
+      val hC = (id % 4 + 5).cast(IntegerType)
+      def pix(x: Column, y: Column, c: Column): Column = {
+        val hh = id * 53 + x.cast(LongType) * 17 + y.cast(LongType) * 29 +
+          c.cast(LongType) * 7
+        pmod(shiftright(pmod(hh * hh, lit(1000003L)) * 48271, 8), lit(251L))
+      }
+      val header = encode(concat(lit("P6\n"), wC.cast(StringType), lit(" "),
+        hC.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
+      val ppm = concat(header,
+        unhex(array_join(transform(sequence(lit(0), hC - 1), y =>
+          array_join(transform(sequence(lit(0), wC - 1), x =>
+            array_join(transform(sequence(lit(0), lit(2)), c =>
+              byteHex(pix(x, y, c))), "")), "")), "")))
+      val thumb = call_function(graft.expr.ResizePixels.FunctionName,
+        ppm, lit(3), lit(2))
+      val m = call_function(graft.expr.PixelStats.FunctionName, thumb)
+      tp(s, dir, "documents").select(id.as("media_id"), m.as("_m"))
+        .select(col("media_id"),
+          col("_m.format").as("format"), col("_m.width").as("width"),
+          col("_m.height").as("height"), col("_m.channels").as("channels"),
+          col("_m.n_pixels").as("n_pixels"), col("_m.sum").as("sum"),
+          col("_m.sumsq").as("sumsq"), col("_m.pmin").as("pmin"),
+          col("_m.pmax").as("pmax"), col("_m.constant").as("constant"))
+    }),
+
     // CROSS-FORMAT near-dup across the LOSSY boundary — q169 extended
     // to JPEG: normally lossy pixels aren't construction-replayable,
     // but q179's DC-only construction IS exact in every conforming
@@ -6960,6 +6997,43 @@ object SparkEntry {
               CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
                 AS constant
        FROM d JOIN agg a ON d.id = a.id""",
+
+    // dest pixel (x2,y2,c) = floor-mean of the source box
+    // [⌊x2·w/3⌋, ⌊(x2+1)·w/3⌋) × [⌊y2·h/2⌋, ⌊(y2+1)·h/2⌋); stats over
+    // the 18 thumbnail channel values (w ≥ 6 > 3, so no empty boxes)
+    "q188_thumbnails" ->
+      """WITH d AS (SELECT doc_id AS id, CAST(doc_id % 5 + 6 AS INTEGER) AS w,
+                  CAST(doc_id % 4 + 5 AS INTEGER) AS h FROM documents),
+         sv AS (SELECT de.id, de.x2, de.y2, de.c,
+                  ((((de.id*53 + gx.sx*17 + gy.sy*29 + de.c*7)
+                     * (de.id*53 + gx.sx*17 + gy.sy*29 + de.c*7))
+                    % 1000003) * 48271 >> 8) % 251 AS v
+                FROM (SELECT id, w, h, x2, y2, c
+                      FROM d CROSS JOIN range(0, 3) rx(x2)
+                             CROSS JOIN range(0, 2) ry(y2)
+                             CROSS JOIN range(0, 3) rc(c)) de
+                CROSS JOIN range(0, 10) gx(sx)
+                CROSS JOIN range(0, 8) gy(sy)
+                WHERE gx.sx >= de.x2 * de.w // 3
+                  AND gx.sx < (de.x2 + 1) * de.w // 3
+                  AND gy.sy >= de.y2 * de.h // 2
+                  AND gy.sy < (de.y2 + 1) * de.h // 2),
+         mn AS (SELECT id, x2, y2, c,
+                  CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+                FROM sv GROUP BY id, x2, y2, c),
+         agg AS (SELECT id, CAST(SUM(m) AS BIGINT) AS s,
+                   CAST(SUM(m*m) AS BIGINT) AS ss,
+                   CAST(MIN(m) AS INTEGER) AS lo,
+                   CAST(MAX(m) AS INTEGER) AS hi
+                 FROM mn GROUP BY id)
+       SELECT id AS media_id, 'ppm' AS format,
+              CAST(3 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(6 AS BIGINT) AS n_pixels,
+              s AS sum, ss AS sumsq, lo AS pmin, hi AS pmax,
+              CAST(CASE WHEN lo = hi THEN 1 ELSE 0 END AS INTEGER)
+                AS constant
+       FROM agg""",
 
     "q166_audio_codec_stats" -> audioCodecOracle,
     "q167_msadpcm_stats" -> msAdpcmOracle,

@@ -357,6 +357,26 @@ object Multimodal {
       .select("id1", "id2", "hamming")
   }
 
+  /** Materialized thumbnails — the explicit RESIZE stage of a
+    * vision-model curation pipeline (fixed-input preprocessing,
+    * dataset preview sheets), over every format the shared decode
+    * ingests. Output rows carry the resized P6 PPM blob (which the
+    * whole image tier re-ingests: stats, signatures, near-dup,
+    * resize again); undecodable rows keep a NULL thumb (triage).
+    * Integer box-mean semantics — see [[graft.expr.ResizePixels]].
+    * Scale shape: pure per-row projection; the SOURCE blob projects
+    * away immediately, so downstream shuffles move thumbnails (3·w·h
+    * bytes), never originals.
+    */
+  def thumbnails(media: DataFrame, width: Int = 64, height: Int = 64,
+      contentCol: String = "content"): DataFrame = {
+    require(width >= 1 && height >= 1 && width <= 4096 && height <= 4096,
+      s"thumbnail dims out of range: ${width}x$height")
+    media.select(col("media_id"), col("kind"),
+      call_function(graft.expr.ResizePixels.FunctionName,
+        col(contentCol), lit(width), lit(height)).as("thumb"))
+  }
+
   /** [[imageMeta]]'s video sibling: MP4/MOV (ISO BMFF) metadata via
     * the native graft.expr.VideoMeta box walk (format, dims from the
     * first visual track's tkhd, duration_ms, timescale); undecodable

@@ -2207,6 +2207,74 @@ class ExprConfigSpec extends SparkSpec {
     assert(viaStats != null)
   }
 
+  test("graft_resize_pixels: exact box means, upscale rule, formats, triage") {
+    import graft.expr.ResizePixels
+    def ppm(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("ISO-8859-1") ++
+        px.flatMap(p => Seq(p._1.toByte, p._2.toByte, p._3.toByte)).toArray
+    def pixels(b: Array[Byte]): (Int, Int, Seq[(Int, Int, Int)]) = {
+      val s = new String(b, "ISO-8859-1")
+      val m = "P6\n(\\d+) (\\d+)\n255\n".r.findFirstMatchIn(s).get
+      val w = m.group(1).toInt; val h = m.group(2).toInt
+      val d = b.drop(m.matched.length)
+      (w, h, (0 until w * h).map(i =>
+        (d(3 * i) & 0xFF, d(3 * i + 1) & 0xFF, d(3 * i + 2) & 0xFF)))
+    }
+    // 4×2 → 2×1: each dest pixel averages a 2×2 box, floor division
+    val src = ppm(4, 2, Seq(
+      (10, 0, 0), (20, 0, 0), (1, 2, 3), (3, 4, 5),
+      (30, 0, 0), (41, 0, 0), (5, 6, 7), (8, 9, 10)))
+    val (w1, h1, p1) = pixels(ResizePixels.resize(src, 2, 1))
+    assert((w1, h1) == (2, 1))
+    assert(p1(0) == ((10 + 20 + 30 + 41) / 4, 0, 0)) // 101/4 = 25 floor
+    assert(p1(1) == ((1 + 3 + 5 + 8) / 4, (2 + 4 + 6 + 9) / 4,
+      (3 + 5 + 7 + 10) / 4))
+    // non-integer ratio 4 → 3: boxes [0,1) [1,2) [2,4) via the floor
+    // rule lo = x2·w/dw
+    val row = ppm(4, 1, Seq((8, 0, 0), (16, 0, 0), (32, 0, 0), (64, 0, 0)))
+    val (_, _, p2) = pixels(ResizePixels.resize(row, 3, 1))
+    assert(p2.map(_._1) == Seq(8, 16, (32 + 64) / 2))
+    // upscale 2×1 → 4×1: nearest by the same floor rule (boxes clamp
+    // to one pixel): lo = 0,0,1,1
+    val two = ppm(2, 1, Seq((100, 0, 0), (200, 0, 0)))
+    val (_, _, p3) = pixels(ResizePixels.resize(two, 4, 1))
+    assert(p3.map(_._1) == Seq(100, 100, 200, 200))
+    // identity resize reproduces the pixels
+    val (_, _, p4) = pixels(ResizePixels.resize(src, 4, 2))
+    assert(p4 == pixels(src)._3)
+    // thumbnails re-ingest: resize(resize(x)) works (P6 in, P6 out)
+    assert(ResizePixels.resize(ResizePixels.resize(src, 2, 2), 1, 1) != null)
+    // grayscale PNG replicates to RGB before averaging (OrientPixels
+    // contract); JPEG goes through the hand decoder — a DC-only flat
+    // block resizes to the same flat value at every scale
+    val gray = { // 2×1 gray PNG, values 10 and 30
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+        val tb = t.getBytes("ISO-8859-1")
+        val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(d)
+        be32(d.length) ++ tb ++ d ++ be32(crc.getValue.toInt)
+      }
+      val raw = Array[Byte](0, 10, 30)
+      val dz = new java.util.zip.Deflater(); dz.setInput(raw); dz.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      while (!dz.finished()) bos.write(buf, 0, dz.deflate(buf))
+      dz.end()
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+        chunk("IHDR", be32(2) ++ be32(1) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+        chunk("IDAT", bos.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    }
+    val (_, _, pg) = pixels(ResizePixels.resize(gray, 1, 1))
+    assert(pg(0) == ((10 + 30) / 2, (10 + 30) / 2, (10 + 30) / 2))
+    // triage: junk, undecodable, out-of-range dims → null
+    assert(ResizePixels.resize("junk".getBytes, 2, 2) == null)
+    assert(ResizePixels.resize(null, 2, 2) == null)
+    assert(ResizePixels.resize(src, 0, 2) == null)
+    assert(ResizePixels.resize(src, 4097, 2) == null)
+    assert(ResizePixels.resize(src, 4096, 4096) == null) // dw·dh bomb cap
+  }
+
   test("graft_gif_frames: composited animation decode, disposal, dispatch") {
     import graft.expr.{GifBuild, GifFrames}
     def ppmPixels(ppm: Array[Byte], w: Int, h: Int): Seq[Int] = {
