@@ -256,6 +256,33 @@ class Mp3Spec extends AnyFunSuite {
     assert(s.exists(_ != 0))
   }
 
+  test("intensity stereo conserves energy: L + R equals the mono decode") {
+    // joint stereo, mode_ext = 1 (intensity only): the left channel
+    // carries count1 content, the right is all-zero above bound 0 →
+    // the whole spectrum is an intensity region with is_pos = 0
+    // (right scalefactors unread at sfCompress 0 default to the
+    // granule-0 state, zeroed per fresh ChannelState). The spec's
+    // panning ratio r = tan(pos·π/12) satisfies
+    // L + R = l·(r/(1+r)) + l·(1/(1+r)) = l for every pos, so the
+    // stereo decode's per-sample channel SUM must equal the mono
+    // decode of the same granule data (±2 counts of independent
+    // PCM rounding per channel).
+    val stereoF = frame(5, 0, mono = false, modeExt = 1,
+      grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+      mainData = Array[Byte](0, 0))
+    val monoF = frame(5, 0,
+      grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+      mainData = Array[Byte](0, 0))
+    val st = wavSamples(Mp3Decode.decode(
+      stereoF ++ frame(5, 0, mono = false, modeExt = 1)))
+    val mo = wavSamples(Mp3Decode.decode(monoF ++ frame(5, 0)))
+    assert(st.length == 2 * mo.length)
+    assert(mo.exists(_ != 0))
+    for (i <- mo.indices)
+      assert(math.abs((st(2 * i) + st(2 * i + 1)) - mo(i)) <= 2,
+        s"sample $i: L=${st(2 * i)} R=${st(2 * i + 1)} mono=${mo(i)}")
+  }
+
   test("triage: junk, MPEG-2, Layer II, free bitrate, unsupported table id → null") {
     assert(Mp3Decode.decode(null) == null)
     assert(Mp3Decode.decode("not audio".getBytes) == null)
