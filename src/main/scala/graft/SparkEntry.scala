@@ -3567,6 +3567,51 @@ object SparkEntry {
           col("_m.pmax").as("pmax"), col("_m.constant").as("constant"))
     }),
 
+    // MPEG-2/2.5 LSF decode under the ORACLE gate — q184 extended
+    // across the OTHER two MPEG versions (the podcast/voice tier:
+    // 22.05/24/16 and 11.025/12/8 kHz): the 72·bitrate/rate + padding
+    // frame step, ONE granule (576 samples) per frame, and the LSF
+    // side-info layout all replay relationally on silence frames;
+    // foreign and text arms keep the NULL-triage contract
+    "q189_mp3_lsf_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val id = col("doc_id")
+      val m = id % 3
+      val ver = when(id % 2 === 0, 2).otherwise(0) // MPEG-2 / MPEG-2.5
+      val brIdx = (id % 14 + 1).cast(IntegerType)
+      val srIdx = (id % 3).cast(IntegerType)
+      val pad = (pmod(id, lit(4L)) / 2).cast(IntegerType) // decouple from ver
+      val kbps = element_at(array(Seq(8, 16, 24, 32, 40, 48, 56, 64,
+        80, 96, 112, 128, 144, 160).map(lit): _*), brIdx)
+      val rate = element_at(
+        when(ver === 2, array(lit(22050), lit(24000), lit(16000)))
+          .otherwise(array(lit(11025), lit(12000), lit(8000))),
+        srIdx + 1)
+      val frameLen = (lit(72000) * kbps / rate).cast(IntegerType) + pad
+      val b1 = lit(0xE0) + ver * 8 + lit(3) // layer III, no CRC
+      val headerHex = concat(lit("FF"), lpad(hex(b1), 2, "0"),
+        lpad(hex(brIdx * 16 + srIdx * 4 + pad * 2), 2, "0"), lit("C0"))
+      val frameHex = concat(headerHex,
+        call_function("repeat", lit("00"), frameLen - 4))
+      val nF = (id % 5 + 2).cast(IntegerType)
+      val mp3 = unhex(array_join(
+        transform(sequence(lit(1), nF), _ => frameHex), ""))
+      val content = when(m === 0, mp3)
+        .when(m === 1, concat(lit("fLaC".getBytes("ISO-8859-1")),
+          encode(id.cast(StringType), "UTF-8").cast(BinaryType)))
+        .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+          "UTF-8").cast(BinaryType))
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStatsVia(media, new Multimodal.Mp3Decoder)
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          col("channels"), col("sample_rate"), col("bit_depth"),
+          col("n_frames"), col("n_samples"), col("sum"), col("sumsq"),
+          col("peak"), col("n_clipped"), col("silent"), col("rms"),
+          col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
+    }),
+
     // Materialized RESIZE under the ORACLE gate: integer box-mean
     // thumbnails (the explicit vision-preprocessing stage; OpenCV
     // INTER_AREA semantics made engine-exact by floor arithmetic) —
@@ -6997,6 +7042,39 @@ object SparkEntry {
               CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
                 AS constant
        FROM d JOIN agg a ON d.id = a.id""",
+
+    // LSF silence: geometry replays from the version-indexed rate
+    // table and the 72·bitrate/rate step; 576 samples per frame
+    "q189_mp3_lsf_stats" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 AS m,
+                  doc_id % 5 + 2 AS nf,
+                  CASE WHEN doc_id % 2 = 0 THEN
+                    CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000
+                         ELSE 16000 END
+                  ELSE
+                    CASE doc_id % 3 WHEN 0 THEN 11025 WHEN 1 THEN 12000
+                         ELSE 8000 END
+                  END AS rate
+           FROM documents)
+       SELECT id AS media_id,
+              CASE WHEN m = 0 THEN CAST(44 + 1152*nf AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS n_bytes,
+              CASE WHEN m = 0 THEN 'wav' END AS format,
+              CASE WHEN m = 0 THEN CAST(1 AS INTEGER) END AS channels,
+              CASE WHEN m = 0 THEN CAST(rate AS INTEGER) END AS sample_rate,
+              CASE WHEN m = 0 THEN CAST(16 AS INTEGER) END AS bit_depth,
+              CASE WHEN m = 0 THEN CAST(576*nf AS BIGINT) END AS n_frames,
+              CASE WHEN m = 0 THEN CAST(576*nf AS BIGINT) END AS n_samples,
+              CASE WHEN m = 0 THEN CAST(0 AS BIGINT) END AS sum,
+              CASE WHEN m = 0 THEN CAST(0 AS BIGINT) END AS sumsq,
+              CASE WHEN m = 0 THEN CAST(0 AS INTEGER) END AS peak,
+              CASE WHEN m = 0 THEN CAST(0 AS BIGINT) END AS n_clipped,
+              CASE WHEN m = 0 THEN CAST(1 AS INTEGER) END AS silent,
+              CASE WHEN m = 0 THEN CAST(0.0 AS DOUBLE) END AS rms,
+              CASE WHEN m = 0 THEN CAST(0.0 AS DOUBLE) END AS clip_rate,
+              CASE WHEN m = 0 THEN '0' END AS ch_sumsq,
+              CASE WHEN m = 0 THEN '0' END AS ch_peak
+       FROM d""",
 
     // dest pixel (x2,y2,c) = floor-mean of the source box
     // [⌊x2·w/3⌋, ⌊(x2+1)·w/3⌋) × [⌊y2·h/2⌋, ⌊(y2+1)·h/2⌋); stats over

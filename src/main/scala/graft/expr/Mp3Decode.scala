@@ -1,6 +1,6 @@
 package graft.expr
 
-/** Zero-dependency MPEG-1 Audio Layer III (MP3) sample decoder — the
+/** Zero-dependency MPEG Audio Layer III (MP3) sample decoder — the
   * audio twin of [[JpegDecode]]: the reference treats compressed
   * media as opaque blobs (rss_feed_etl has no media tier at all), but
   * a training-data crawl's audio is overwhelmingly MP3, and the
@@ -52,8 +52,20 @@ package graft.expr
   *    B.3 data restores bit-level conformance without touching any
   *    code path.
   *
-  * MPEG-2/2.5 (LSF) payloads, free-format bitrate, and layers I/II
-  * triage to NULL (the [[AudioMeta]] walk already types them).
+  * MPEG-2 and MPEG-2.5 (LSF — the podcast/voice tier: 22.05/24/16
+  * and 11.025/12/8 kHz) decode through the same pipeline with the
+  * LSF frame geometry (72·bitrate/rate + padding, ONE granule per
+  * frame, the 8-bit main_data_begin / no-scfsi / 9-bit
+  * scalefac_compress / no-preflag side info). The LSF scalefactor
+  * PARTITION tables and LSF band tables are spec data this build
+  * does not embed, so LSF frames that would consult them (non-zero
+  * scalefac_compress, big-values content, LSF intensity) triage to
+  * NULL — the Huffman-registry honesty line; scalefac_compress = 0
+  * yields zero scalefactor bits under every published decomposition,
+  * so the exactly-decodable LSF subset (silence and count1-only
+  * frames, the oracle constructions) needs no table data at all.
+  * Free-format bitrate and layers I/II triage to NULL (the
+  * [[AudioMeta]] walk already types them).
   *
   * Oracle strategy (q184/q185): silence frames — header + all-zero
   * side info + zero fill — decode to exact zeros in every conforming
@@ -83,10 +95,16 @@ object Mp3Decode {
   // Spec tables that ARE formulas or small verified data
   // ------------------------------------------------------------------
 
-  // MPEG-1 Layer III bitrates (kbps) by header index (0 = free = unsupported)
+  // Layer III bitrates (kbps) by header index (0 = free = unsupported):
+  // MPEG-1 and the shared MPEG-2/2.5 LSF table
   private val Kbps =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val KbpsLsf =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  // sample rates by version bits (3 = MPEG-1, 2 = MPEG-2, 0 = MPEG-2.5)
   private val Rates = Array(44100, 48000, 32000)
+  private val RatesV2 = Array(22050, 24000, 16000)
+  private val RatesV25 = Array(11025, 12000, 8000)
 
   // scalefactor band boundaries per sample-rate index (Table B.8):
   // 23 long-band edges ending at 576, 14 short ending at 192
@@ -493,8 +511,12 @@ object Mp3Decode {
       val h3 = b(o + 3) & 0xff
       val verBits = (h1 >> 3) & 0x3
       val layerBits = (h1 >> 1) & 0x3
-      if (verBits != 3 || layerBits != 1) // MPEG-1 Layer III only
+      // Layer III, MPEG-1 (2 granules/frame) or MPEG-2/2.5 LSF
+      // (1 granule/frame); version bits 1 are reserved
+      if (verBits == 1 || layerBits != 1)
         return finish(pcm, channels, sampleRate, frames)
+      val mpeg1 = verBits == 3
+      val nGr = if (mpeg1) 2 else 1
       val protection = h1 & 1 // 0 = CRC present
       val brIdx = (h2 >> 4) & 0xf
       val srIdx = (h2 >> 2) & 0x3
@@ -504,39 +526,52 @@ object Mp3Decode {
       val mode = (h3 >> 6) & 0x3
       val modeExt = (h3 >> 4) & 0x3
       val nch = if (mode == 3) 1 else 2
-      val rate = Rates(srIdx)
+      val rate = (if (mpeg1) Rates
+        else if (verBits == 2) RatesV2 else RatesV25)(srIdx)
       if (frames == 0) {
         channels = nch; sampleRate = rate
         st = Array.fill(nch)(new ChannelState)
       } else if (nch != channels || rate != sampleRate)
         return finish(pcm, channels, sampleRate, frames) // format switch: stop
-      val frameLen = 144 * Kbps(brIdx) * 1000 / rate + padding
+      val kbps = (if (mpeg1) Kbps else KbpsLsf)(brIdx)
+      // LSF frames carry half the granules, so the slot count halves
+      val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / rate + padding
       if (frameLen <= 4 || o + frameLen > b.length)
         return finish(pcm, channels, sampleRate, frames)
 
-      // ---- side info ----
+      // ---- side info (version-dependent layout: MPEG-1 has a
+      // 9-bit main_data_begin, scfsi and two granules; LSF an 8-bit
+      // main_data_begin, no scfsi, one granule with a 9-bit
+      // scalefac_compress and no preflag) ----
       val siStart = o + 4 + (if (protection == 0) 2 else 0)
-      val siBytes = if (nch == 1) 17 else 32
+      val siBytes =
+        if (mpeg1) { if (nch == 1) 17 else 32 }
+        else { if (nch == 1) 9 else 17 }
       if (siStart + siBytes > o + frameLen)
         return finish(pcm, channels, sampleRate, frames)
       val br = new BitReader(b, siStart * 8, (siStart + siBytes) * 8)
-      val mainDataBegin = br.bits(9)
-      br.bits(if (nch == 1) 5 else 3) // private
+      val mainDataBegin = br.bits(if (mpeg1) 9 else 8)
+      br.bits(
+        if (mpeg1) { if (nch == 1) 5 else 3 }
+        else { if (nch == 1) 1 else 2 }) // private
       var ch = 0
       while (ch < nch) {
         var g = 0
-        while (g < 4) { scfsi(ch)(g) = br.bit() == 1; g += 1 }
+        while (g < 4) {
+          scfsi(ch)(g) = mpeg1 && br.bit() == 1 // LSF has no scfsi bits
+          g += 1
+        }
         ch += 1
       }
       var gr = 0
-      while (gr < 2) {
+      while (gr < nGr) {
         ch = 0
         while (ch < nch) {
           val g = gi(gr)(ch)
           g.part23Length = br.bits(12)
           g.bigValues = br.bits(9)
           g.globalGain = br.bits(8)
-          g.scalefacCompress = br.bits(4)
+          g.scalefacCompress = br.bits(if (mpeg1) 4 else 9)
           g.windowSwitching = br.bit() == 1
           if (g.windowSwitching) {
             g.blockType = br.bits(2)
@@ -561,9 +596,22 @@ object Mp3Decode {
             g.region0Count = br.bits(4)
             g.region1Count = br.bits(3)
           }
-          g.preflag = br.bit()
+          g.preflag = if (mpeg1) br.bit() else 0 // LSF has no preflag
           g.scalefacScale = br.bit()
           g.count1Table = br.bit()
+          // LSF scope (the Huffman-registry honesty line): the LSF
+          // scalefactor PARTITION tables and the 22.05/24/16/11.025/
+          // 12/8 kHz band tables are spec DATA this clean-room build
+          // does not embed — frames that would consult them
+          // (non-zero scalefac_compress, big-values content, or LSF
+          // intensity stereo) triage the payload to NULL rather than
+          // decode wrongly. scalefac_compress = 0 yields zero
+          // scalefactor bits under EVERY published decomposition, so
+          // the exactly-decodable LSF subset (silence + count1-only
+          // frames — the oracle constructions) needs no table data.
+          if (!mpeg1 && (g.scalefacCompress != 0 || g.bigValues > 0 ||
+              (mode == 1 && (modeExt & 1) != 0)))
+            return null
           ch += 1
         }
         gr += 1
@@ -578,11 +626,12 @@ object Mp3Decode {
       if (mainStart < 0) {
         // reservoir underrun (stream started mid-reservoir): the
         // standard recovery is a silent frame
-        pcm.write(new Array[Byte](1152 * nch * 2), 0, 1152 * nch * 2)
+        val n0 = 576 * nGr * nch * 2
+        pcm.write(new Array[Byte](n0), 0, n0)
       } else {
         val mbr = new BitReader(res, mainStart * 8, res.length * 8)
         gr = 0
-        while (gr < 2) {
+        while (gr < nGr) {
           ch = 0
           while (ch < nch) {
             val g = gi(gr)(ch)

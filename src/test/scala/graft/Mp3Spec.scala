@@ -44,40 +44,58 @@ class Mp3Spec extends AnyFunSuite {
       gain: Int = 210, sfCompress: Int = 0, tableSelect: Seq[Int] = Seq(0, 0, 0),
       region0: Int = 0, region1: Int = 0, count1TableB: Boolean = true)
 
-  private def writeGr(w: BitWriter, g: Gr): Unit = {
+  private def writeGr(w: BitWriter, g: Gr, lsf: Boolean = false): Unit = {
     w.put(g.part23, 12).put(g.bigValues, 9).put(g.gain, 8)
-      .put(g.sfCompress, 4).put(0, 1) // window_switching = 0
+      .put(g.sfCompress, if (lsf) 9 else 4).put(0, 1) // window_switching = 0
     g.tableSelect.foreach(t => w.put(t, 5))
     w.put(g.region0, 4).put(g.region1, 3)
-    w.put(0, 1).put(0, 1) // preflag, scalefac_scale
+    if (!lsf) w.put(0, 1) // preflag (MPEG-1 only)
+    w.put(0, 1) // scalefac_scale
     w.put(if (g.count1TableB) 1 else 0, 1)
   }
 
-  /** Build one MPEG-1 Layer III frame: header + side info + main
-    * data, zero-filled to the exact spec frame length
-    * 144·bitrate/rate + padding.
+  /** Build one Layer III frame (MPEG-1 default; ver 2 / 0 build the
+    * LSF layouts): header + side info + main data, zero-filled to
+    * the exact spec frame length (144 or 72)·bitrate/rate + padding.
     */
   private def frame(brIdx: Int, srIdx: Int, padding: Int = 0,
       mono: Boolean = true, modeExt: Int = 0,
       grs: Seq[Gr] = Seq(Gr(), Gr(), Gr(), Gr()),
-      mainData: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
-    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-      224, 256, 320)(brIdx)
-    val rate = Array(44100, 48000, 32000)(srIdx)
-    val frameLen = 144 * kbps * 1000 / rate + padding
+      mainData: Array[Byte] = Array.emptyByteArray,
+      ver: Int = 3): Array[Byte] = {
+    val mpeg1 = ver == 3
+    val kbps =
+      (if (mpeg1) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320)
+       else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        144, 160))(brIdx)
+    val rate = (ver match {
+      case 3 => Array(44100, 48000, 32000)
+      case 2 => Array(22050, 24000, 16000)
+      case _ => Array(11025, 12000, 8000)
+    })(srIdx)
+    val frameLen = (if (mpeg1) 144 else 72) * kbps * 1000 / rate + padding
     val mode = if (mono) 3 else 1 // joint stereo for the stereo arm
-    val header = Array[Byte](0xFF.toByte, 0xFB.toByte,
+    val header = Array[Byte](0xFF.toByte,
+      (0xE0 | (ver << 3) | (1 << 1) | 1).toByte, // layer III, no CRC
       ((brIdx << 4) | (srIdx << 2) | (padding << 1)).toByte,
       ((mode << 6) | (modeExt << 4)).toByte)
     val w = new BitWriter
-    w.put(0, 9) // main_data_begin
-    w.put(0, if (mono) 5 else 3) // private
-    w.put(0, if (mono) 4 else 8) // scfsi
     val nch = if (mono) 1 else 2
-    for (gr <- 0 until 2; ch <- 0 until nch)
-      writeGr(w, grs(gr * nch + ch))
+    if (mpeg1) {
+      w.put(0, 9) // main_data_begin
+      w.put(0, if (mono) 5 else 3) // private
+      w.put(0, if (mono) 4 else 8) // scfsi
+      for (gr <- 0 until 2; ch <- 0 until nch)
+        writeGr(w, grs(gr * nch + ch), lsf = false)
+    } else {
+      w.put(0, 8) // main_data_begin (8 bits in LSF)
+      w.put(0, if (mono) 1 else 2) // private; no scfsi
+      for (ch <- 0 until nch) writeGr(w, grs(ch), lsf = true)
+    }
     val si = w.result()
-    assert(si.length == (if (mono) 17 else 32))
+    assert(si.length == (if (mpeg1) { if (mono) 17 else 32 }
+      else { if (mono) 9 else 17 }))
     val out = new Array[Byte](frameLen)
     System.arraycopy(header, 0, out, 0, 4)
     System.arraycopy(si, 0, out, 4, si.length)
@@ -254,6 +272,45 @@ class Mp3Spec extends AnyFunSuite {
     assert(s.grouped(2).forall(p => p(0) == p(1)),
       "mid-only MS signal must decode to identical channels")
     assert(s.exists(_ != 0))
+  }
+
+  test("LSF (MPEG-2/2.5): exact geometry, silence, loud granule, scope triage") {
+    // silence geometry across both LSF versions, rates, bitrates:
+    // 576 samples per frame (ONE granule), the 72·bitrate/rate + pad
+    // frame step, the no-scfsi/9-bit-scalefac_compress side info
+    for (ver <- Seq(2, 0); srIdx <- 0 to 2; brIdx <- Seq(1, 7, 14);
+         pad <- Seq(0, 1)) {
+      val f = frame(brIdx, srIdx, padding = pad, ver = ver)
+      val wav = Mp3Decode.decode(f ++ f ++ f ++ f)
+      val s = wavSamples(wav)
+      val expRate = (if (ver == 2) Array(22050, 24000, 16000)
+        else Array(11025, 12000, 8000))(srIdx)
+      assert(wavRate(wav) == expRate, s"ver $ver sr $srIdx")
+      assert(s.length == 4 * 576, s"ver $ver: ${s.length} samples")
+      assert(s.forall(_ == 0))
+    }
+    // loud count1 granule decodes with the same bounded support
+    // (one granule: output inside 576 + 576 + 480 < 3·576)
+    val loud = frame(5, 0, grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+      mainData = Array[Byte](0, 0), ver = 2)
+    val rest = frame(5, 0, ver = 2)
+    val s2 = wavSamples(Mp3Decode.decode(loud ++ rest ++ rest ++ rest))
+    assert(s2.length == 4 * 576)
+    assert(s2.take(2 * 576 + 480).exists(_ != 0), "LSF loud granule silent")
+    assert(s2.drop(2 * 576 + 480).forall(_ == 0), "LSF support leaked")
+    // scope triage (the honesty line): LSF frames that would consult
+    // the unshipped partition/band tables NULL the payload
+    val sfc = frame(5, 0, grs = Seq(LoudGr.copy(sfCompress = 1),
+      Gr(), Gr(), Gr()), mainData = Array[Byte](0, 0), ver = 2)
+    assert(Mp3Decode.decode(sfc) == null, "LSF scalefac_compress != 0")
+    val bigv = frame(5, 0, grs = Seq(Gr(part23 = 30, bigValues = 2,
+      tableSelect = Seq(1, 0, 0)), Gr(), Gr(), Gr()),
+      mainData = Array[Byte](0, 0, 0, 0), ver = 2)
+    assert(Mp3Decode.decode(bigv) == null, "LSF big values")
+    // a version switch mid-stream stops cleanly at the boundary
+    val mixed = frame(5, 0) ++ frame(5, 0) ++ frame(5, 0, ver = 2)
+    val s3 = wavSamples(Mp3Decode.decode(mixed))
+    assert(s3.length == 2 * 1152)
   }
 
   test("intensity stereo conserves energy: L + R equals the mono decode") {
