@@ -3612,6 +3612,51 @@ object SparkEntry {
           col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // Audio RESAMPLE under the ORACLE gate (ResizePixels' time-axis
+    // sibling): 16-bit PCM at 8 kHz box-mean-decimated to 3 kHz —
+    // dn = ⌊3n/8⌋ output frames, each the FLOOR-division mean of its
+    // source box (signed samples make floor-vs-truncate observable),
+    // then re-ingested through audioStats. The oracle replays boxes,
+    // floor means and the stats relationally.
+    "q190_resample_pcm" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val id = col("doc_id")
+      val n = (id % 40 + 16).cast(IntegerType)
+      val dataHex = array_join(
+        transform(sequence(lit(0), n - 1), k => {
+          val t = pmod(id * 29 + k.cast(LongType) * 4099, lit(65536L))
+          concat(byteHex(pmod(t, lit(256L))),
+            byteHex(shiftright(t.cast(IntegerType), 8)))
+        }), "")
+      val wav = concat(ascii("RIFF"), le32(n * 2 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+        ascii("data"), le32(n * 2), unhex(dataHex))
+      val res = call_function(graft.expr.ResamplePcm.FunctionName,
+        wav, lit(3000))
+      val m = call_function(graft.expr.AudioStats.FunctionName, res)
+      tp(s, dir, "documents").select(id.as("media_id"), m.as("_m"))
+        .select(col("media_id"),
+          col("_m.format").as("format"), col("_m.channels").as("channels"),
+          col("_m.sample_rate").as("sample_rate"),
+          col("_m.bit_depth").as("bit_depth"),
+          col("_m.n_frames").as("n_frames"),
+          col("_m.n_samples").as("n_samples"), col("_m.sum").as("sum"),
+          col("_m.sumsq").as("sumsq"), col("_m.peak").as("peak"),
+          col("_m.n_clipped").as("n_clipped"), col("_m.silent").as("silent"))
+    }),
+
     // Materialized RESIZE under the ORACLE gate: integer box-mean
     // thumbnails (the explicit vision-preprocessing stage; OpenCV
     // INTER_AREA semantics made engine-exact by floor arithmetic) —
@@ -7042,6 +7087,42 @@ object SparkEntry {
               CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
                 AS constant
        FROM d JOIN agg a ON d.id = a.id""",
+
+    // signed source samples t_k, dest frame t2 = floor-mean over the
+    // box [⌊t2·n/dn⌋, ⌊(t2+1)·n/dn⌋), dn = 3n // 8; stats over means
+    "q190_resample_pcm" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 40 + 16 AS n
+           FROM documents),
+         src AS (SELECT id, n, k,
+                   CASE WHEN (id*29 + k*4099) % 65536 >= 32768
+                        THEN (id*29 + k*4099) % 65536 - 65536
+                        ELSE (id*29 + k*4099) % 65536 END AS v
+                 FROM d CROSS JOIN range(0, 56) r(k) WHERE k < n),
+         dn AS (SELECT id, n, 3 * n // 8 AS m FROM d),
+         mean AS (SELECT s.id, t.t2,
+                    CAST(SUM(s.v) AS BIGINT)
+                      // CAST(COUNT(*) AS BIGINT) AS mv
+                  FROM dn JOIN range(0, 21) t(t2) ON t.t2 < dn.m
+                  JOIN src s ON s.id = dn.id
+                    AND s.k >= t.t2 * dn.n // dn.m
+                    AND s.k < (t.t2 + 1) * dn.n // dn.m
+                  GROUP BY s.id, t.t2),
+         agg AS (SELECT id, COUNT(*) AS nf,
+                   CAST(SUM(mv) AS BIGINT) AS sm,
+                   CAST(SUM(mv*mv) AS BIGINT) AS ssm,
+                   CAST(MAX(ABS(mv)) AS INTEGER) AS pk,
+                   CAST(SUM(CASE WHEN mv >= 32767 OR mv <= -32768
+                            THEN 1 ELSE 0 END) AS BIGINT) AS clp
+                 FROM mean GROUP BY id)
+       SELECT id AS media_id, 'wav' AS format,
+              CAST(1 AS INTEGER) AS channels,
+              CAST(3000 AS INTEGER) AS sample_rate,
+              CAST(16 AS INTEGER) AS bit_depth,
+              CAST(nf AS BIGINT) AS n_frames,
+              CAST(nf AS BIGINT) AS n_samples,
+              sm AS sum, ssm AS sumsq, pk AS peak, clp AS n_clipped,
+              CAST(CASE WHEN pk = 0 THEN 1 ELSE 0 END AS INTEGER) AS silent
+       FROM agg""",
 
     // LSF silence: geometry replays from the version-indexed rate
     // table and the 72·bitrate/rate step; 576 samples per frame

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, PdfText, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioEnvSig, AudioMeta, AudioStats, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, PdfText, ResamplePcm, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -165,6 +165,9 @@ object GraftExtensions {
       (FunctionIdentifier(ResizePixels.FunctionName),
         info(ResizePixels.FunctionName, classOf[ResizePixels]),
         exprs => ResizePixels(exprs(0), exprs(1), exprs(2))),
+      (FunctionIdentifier(ResamplePcm.FunctionName),
+        info(ResamplePcm.FunctionName, classOf[ResamplePcm]),
+        exprs => ResamplePcm(exprs(0), exprs(1))),
       (FunctionIdentifier(VecDistance.L2SqName),
         info(VecDistance.L2SqName, classOf[L2SqDistance]),
         exprs => L2SqDistance(exprs(0), exprs(1))),

@@ -2278,6 +2278,60 @@ class ExprConfigSpec extends SparkSpec {
     assert(ResizePixels.resize(src, 4096, 4096) == null) // dw·dh bomb cap
   }
 
+  test("graft_resample_pcm: exact box means incl. floor on negatives, upsample, stereo, codecs, triage") {
+    import graft.expr.ResamplePcm
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def wav16(rate: Int, ch: Int, samples: Seq[Int]): Array[Byte] =
+      ascii("RIFF") ++ le32(36 + samples.size * 2) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+        ascii("data") ++ le32(samples.size * 2) ++
+        samples.flatMap(le16(_).toSeq).toArray
+    def samples(wav: Array[Byte]): (Int, Int, Seq[Int]) = {
+      val ch = (wav(22) & 0xFF) | ((wav(23) & 0xFF) << 8)
+      val rate = (wav(24) & 0xFF) | ((wav(25) & 0xFF) << 8) |
+        ((wav(26) & 0xFF) << 16)
+      val n = (wav.length - 44) / 2
+      (rate, ch, (0 until n).map(i =>
+        (((wav(44 + 2 * i) & 0xFF) | (wav(45 + 2 * i) << 8)).toShort).toInt))
+    }
+    // 2:1 decimation with NEGATIVE values: TRUNCATING division
+    // ((-7)/2 = -3), symmetric around silence — the semantics both
+    // engines' native integer division share (floor would give -4
+    // and a systematic negative DC bias)
+    val in = wav16(8000, 1, Seq(10, 20, -3, -4, 100, 101, -50, 49))
+    val (r1, c1, s1) = samples(ResamplePcm.resample(in, 4000))
+    assert((r1, c1) == (4000, 1))
+    assert(s1 == Seq(15, -3, 100, 0), s"got $s1")
+    // upsample 2×: sample-and-hold by the same floor rule
+    val (_, _, s2) = samples(ResamplePcm.resample(
+      wav16(8000, 1, Seq(7, -9)), 16000))
+    assert(s2 == Seq(7, 7, -9, -9))
+    // stereo: per-channel means, interleaved output
+    val st = wav16(8000, 2, Seq(10, 1000, 20, 2000, 31, 3001, 41, 4001))
+    val (_, c3, s3) = samples(ResamplePcm.resample(st, 4000))
+    assert(c3 == 2)
+    assert(s3 == Seq(15, 1500, 36, 3501))
+    // μ-law input: the shared codec walk feeds the resampler — the
+    // all-0xFF code decodes to 0, so means stay 0
+    val ulaw = ascii("RIFF") ++ le32(36 + 8) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(7) ++ le16(1) ++ le32(8000) ++
+      le32(8000) ++ le16(1) ++ le16(8) ++
+      ascii("data") ++ le32(8) ++ Array.fill[Byte](8)(0xFF.toByte)
+    val (r4, _, s4) = samples(ResamplePcm.resample(ulaw, 4000))
+    assert(r4 == 4000 && s4 == Seq(0, 0, 0, 0))
+    // triage: junk, out-of-range rates, too short
+    assert(ResamplePcm.resample("junk".getBytes, 8000) == null)
+    assert(ResamplePcm.resample(null, 8000) == null)
+    assert(ResamplePcm.resample(in, 500) == null)
+    assert(ResamplePcm.resample(in, 400000) == null)
+    assert(ResamplePcm.resample(
+      wav16(8000, 1, Seq(5)), 1000) == null) // dn = 0
+  }
+
   test("graft_gif_frames: composited animation decode, disposal, dispatch") {
     import graft.expr.{GifBuild, GifFrames}
     def ppmPixels(ppm: Array[Byte], w: Int, h: Int): Seq[Int] = {
