@@ -3612,6 +3612,65 @@ object SparkEntry {
           col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
     }),
 
+    // Crawl → IMAGE → THUMBNAIL composition (q180's sibling for the
+    // image route): a crawl's images arrive as image/jpeg HTTP
+    // responses inside WARC files — records walk → binary body split
+    // → content-type route → hand JPEG decode → materialized resize,
+    // ONE relational plan, the full binary-media path a curation
+    // pipeline runs. Each archive also carries a text/html response
+    // the route must drop. JPEGs are q179 one-block DC-only
+    // constructions (flat value 128 + 2·extend(v4) — exact in every
+    // conforming decoder), so the 4×4 thumbnail is the SAME flat
+    // value everywhere and the whole chain replays relationally.
+    "q191_crawl_thumbnails" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Warc
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def bin(c: Column): Column = encode(c, "ISO-8859-1")
+      val id = col("doc_id")
+      def v4(slot: Int): Column =
+        pmod(id * 7 + lit(slot) * 13, lit(8L)) + 8 // positive cat-4 diffs
+      def jpegHex(slot: Int): Column = concat(
+        lit("FFD8" + "FFDB0043" + "00" + "10" * 64 +
+          "FFC0000B08" + "0008" + "0008" + "010111" + "00" +
+          "FFC40014" + "00" + "0001" + "00" * 14 + "04" +
+          "FFC40014" + "10" + "0001" + "00" * 14 + "00" +
+          "FFDA0008" + "01" + "0100" + "00" + "3F" + "00"),
+        lpad(hex(v4(slot) * 4), 2, "0"),
+        lit("FFD9"))
+      def rec(uri: Column, http: Column): Column = concat(
+        ascii("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        bin(uri),
+        ascii("\r\nContent-Type: application/http; msgtype=response" +
+          "\r\nContent-Length: "),
+        bin(length(http).cast(StringType)), ascii("\r\n\r\n"),
+        http, ascii("\r\n\r\n"))
+      def httpJpeg(slot: Int): Column = concat(
+        ascii("HTTP/1.1 200 OK\r\nContent-Type: image/jpeg\r\n\r\n"),
+        unhex(jpegHex(slot)))
+      val httpHtml = ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+        "\r\n\r\n<p>markup the image route must drop</p>")
+      val warc = concat(
+        rec(concat(lit("http://example.com/img/"), id.cast(StringType),
+          lit("/0")), httpJpeg(0)),
+        rec(concat(lit("http://example.com/img/"), id.cast(StringType),
+          lit("/1")), httpJpeg(1)),
+        rec(concat(lit("http://example.com/page/"), id.cast(StringType)),
+          httpHtml))
+      val files = tp(s, dir, "documents")
+        .select(id.as("file_id"), warc.as("content"))
+      val thumb = call_function(graft.expr.ResizePixels.FunctionName,
+        col("body"), lit(4), lit(4))
+      val m = call_function(graft.expr.PixelStats.FunctionName, thumb)
+      Warc.binaryDocuments(files, contentTypes = Seq("image/jpeg"))
+        .select(col("file_id"), col("url"), m.as("_m"))
+        .select(col("file_id"), col("url"),
+          col("_m.format").as("format"), col("_m.width").as("width"),
+          col("_m.height").as("height"), col("_m.n_pixels").as("n_pixels"),
+          col("_m.sum").as("sum"), col("_m.pmin").as("pmin"),
+          col("_m.pmax").as("pmax"), col("_m.constant").as("constant"))
+    }),
+
     // Audio RESAMPLE under the ORACLE gate (ResizePixels' time-axis
     // sibling): 16-bit PCM at 8 kHz box-mean-decimated to 3 kHz —
     // dn = ⌊3n/8⌋ output frames, each the FLOOR-division mean of its
@@ -7087,6 +7146,22 @@ object SparkEntry {
               CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
                 AS constant
        FROM d JOIN agg a ON d.id = a.id""",
+
+    // two image rows per archive (the html response drops); each
+    // thumbnail is flat 128 + 2·(8 + (id·7 + slot·13) % 8) everywhere
+    "q191_crawl_thumbnails" ->
+      """WITH d AS (SELECT doc_id AS id, s.slot,
+                  128 + 2 * (8 + (doc_id*7 + s.slot*13) % 8) AS p
+           FROM documents CROSS JOIN (VALUES (0), (1)) s(slot))
+       SELECT id AS file_id,
+              'http://example.com/img/' || id || '/' || slot AS url,
+              'ppm' AS format,
+              CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+              CAST(16 AS BIGINT) AS n_pixels,
+              CAST(48 * p AS BIGINT) AS sum,
+              CAST(p AS INTEGER) AS pmin, CAST(p AS INTEGER) AS pmax,
+              CAST(1 AS INTEGER) AS constant
+       FROM d""",
 
     // signed source samples t_k, dest frame t2 = floor-mean over the
     // box [⌊t2·n/dn⌋, ⌊(t2+1)·n/dn⌋), dn = 3n // 8; stats over means
