@@ -75,14 +75,23 @@ case class ResamplePcm(left: Expression, right: Expression)
 object ResamplePcm {
   val FunctionName = "graft_resample_pcm"
 
-  private final class Collect extends AudioStats.SampleSink {
+  private final class Collect(inputBytes: Int) extends AudioStats.SampleSink {
     var ch = 0
     var rate = 0
     var n = 0
     var data: Array[Array[Int]] = _
     def start(format: String, c: Int, r: Int, bits: Int,
         frames: Long, lo: Int, hi: Int): Boolean = {
-      if (c < 1 || c > 8 || frames <= 0 || frames > (1L << 24)) return false
+      // the buffer sizes from the DECLARED frame count, so the
+      // declaration must be consistent with the payload that backs
+      // it: no supported codec emits more than 8 frames per input
+      // byte (4-bit ADPCM mono is 2; the factor is headroom), and
+      // the absolute cap bounds the multi-channel product — a
+      // crafted header cannot turn a small blob into a 512 MB
+      // allocation
+      if (c < 1 || c > 8 || frames <= 0 || frames > (1L << 24) ||
+          frames > 8L * math.max(inputBytes, 1) ||
+          frames * c > (1L << 25)) return false
       ch = c; rate = r; n = frames.toInt
       data = Array.ofDim[Int](c, n)
       true
@@ -95,8 +104,8 @@ object ResamplePcm {
     * for codegen.
     */
   def resample(b: Array[Byte], dstRate: Int): Array[Byte] = {
-    if (dstRate < 1000 || dstRate > 192000) return null
-    val sink = new Collect
+    if (b == null || dstRate < 1000 || dstRate > 192000) return null
+    val sink = new Collect(b.length)
     if (AudioStats.decode(b, sink, strict = true) < 0) return null
     val n = sink.n
     val ch = sink.ch
