@@ -968,6 +968,44 @@ object SparkEntry {
           Normalize.tsFormat(col("asof_ts")).as("view_ts"), col("view_value"))
     }),
 
+    // The Multimodal.thumbnails OPERATOR surface (q188 gates the
+    // underlying expression; this gates the operator row shape and
+    // its NULL-triage contract): image rows thumbnail to 2×2, junk
+    // rows keep a NULL thumb — never an error, never a dropped row.
+    // This also retires the board's long-standing q55 numbering gap.
+    "q55_thumbnails_operator" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val id = col("doc_id")
+      val m = id % 2
+      def pix(x: Column, y: Column, c: Column): Column = {
+        val hh = id * 59 + x.cast(LongType) * 19 + y.cast(LongType) * 31 +
+          c.cast(LongType) * 11
+        pmod(shiftright(pmod(hh * hh, lit(1000003L)) * 48271, 8), lit(251L))
+      }
+      val ppm = concat(
+        lit("P6\n3 2\n255\n".getBytes("ISO-8859-1")),
+        unhex(array_join(transform(sequence(lit(0), lit(1)), y =>
+          array_join(transform(sequence(lit(0), lit(2)), x =>
+            array_join(transform(sequence(lit(0), lit(2)), c =>
+              byteHex(pix(x, y, c))), "")), "")), "")))
+      val content = when(m === 0, ppm)
+        .otherwise(encode(concat(lit("junk:"),
+          coalesce(col("text"), lit(""))), "UTF-8").cast(BinaryType))
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("image").as("kind"), content.as("content"))
+      val th = Multimodal.thumbnails(media, 2, 2)
+      val st = call_function(graft.expr.PixelStats.FunctionName,
+        col("thumb"))
+      th.select(col("media_id"), col("kind"),
+          coalesce(length(col("thumb")), lit(0)).cast(LongType)
+            .as("n_bytes"), st.as("_m"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("_m.sum").as("sum"), col("_m.pmin").as("pmin"),
+          col("_m.pmax").as("pmax"))
+    }),
+
     // key-skew report for the join planner: distinct keys, heaviest
     // key's share, Shannon entropy — decide salting BEFORE shuffling
     "q111_skew_report" -> ((s, dir) => {
@@ -7146,6 +7184,37 @@ object SparkEntry {
               CAST(CASE WHEN a.mn = a.mx THEN 1 ELSE 0 END AS INTEGER)
                 AS constant
        FROM d JOIN agg a ON d.id = a.id""",
+
+    // image arm: 2×2 box means of the 3×2 construction (x boxes
+    // [0,1) and [1,3), y boxes one row each); junk arm keeps its row
+    // with NULL stats and n_bytes 0
+    "q55_thumbnails_operator" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 2 AS m FROM documents),
+         mn AS (SELECT de.id, de.x2, de.y2, de.c,
+                  CAST(SUM(((((de.id*59 + gx.sx*19 + gy.sy*31 + de.c*11)
+                         * (de.id*59 + gx.sx*19 + gy.sy*31 + de.c*11))
+                        % 1000003) * 48271 >> 8) % 251)
+                    // COUNT(*) AS BIGINT) AS v
+                FROM (SELECT id, x2, y2, c FROM d
+                      CROSS JOIN range(0, 2) rx(x2)
+                      CROSS JOIN range(0, 2) ry(y2)
+                      CROSS JOIN range(0, 3) rc(c)
+                      WHERE m = 0) de
+                CROSS JOIN range(0, 3) gx(sx)
+                CROSS JOIN range(0, 2) gy(sy)
+                WHERE gx.sx >= de.x2 * 3 // 2
+                  AND gx.sx < (de.x2 + 1) * 3 // 2
+                  AND gy.sy = de.y2
+                GROUP BY de.id, de.x2, de.y2, de.c),
+         agg AS (SELECT id, CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(MIN(v) AS INTEGER) AS lo,
+                   CAST(MAX(v) AS INTEGER) AS hi
+                 FROM mn GROUP BY id)
+       SELECT d.id AS media_id, 'image' AS kind,
+              CASE WHEN m = 0 THEN CAST(23 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END AS n_bytes,
+              a.s AS sum, a.lo AS pmin, a.hi AS pmax
+       FROM d LEFT JOIN agg a ON d.id = a.id""",
 
     // two image rows per archive (the html response drops); each
     // thumbnail is flat 128 + 2·(8 + (id·7 + slot·13) % 8) everywhere
