@@ -428,6 +428,93 @@ object StreamingIngest {
     }
   }
 
+  /** PERCEPTUAL media dedup-on-ingest — [[dedupIngestBatch]]'s
+    * multimodal sibling: an image crawl re-encounters the same photo
+    * as re-encodes, format conversions and quality variants, and the
+    * cheapest place to collapse them is BEFORE they are stored. Each
+    * micro-batch:
+    *
+    *  1. fingerprints `contentCol` with [[graft.expr.PixelGridSig]]'s
+    *     ahash (the brightness-sign grid — two encodes of one image
+    *     land on one hash; decode covers PPM/PNG/BMP/JPEG incl.
+    *     progressive+CMYK/GIF/TIFF through the shared walk);
+    *  2. drops within-batch duplicates (lowest id wins — the
+    *     deterministic keep-first);
+    *  3. drops rows whose signature already exists in the bucketed
+    *     signature index (a trigger-bounded batch builds the hash
+    *     side of a shuffled-hash semi-join; the index streams through
+    *     it — the text path's uncapped-join shape);
+    *  4. appends survivors to `mediaPath` (ALL original columns) and
+    *     their signatures to `sigTable`, BUCKETED by signature so the
+    *     index never reshuffles.
+    *
+    * Contract notes, both deliberate:
+    *  - UNDECODABLE rows (NULL signature) always pass — the triage
+    *    contract; byte-identical junk dedups upstream by key
+    *    ([[dedupStreamByKey]]), same as the text path's too-short
+    *    documents;
+    *  - a REPLAYED batch self-filters: its signatures are already in
+    *    the index, so every decodable row drops (exactly-once-ish
+    *    appends without transactions, the [[dedupIngestBatch]]
+    *    argument).
+    */
+  def mediaDedupIngestBatch(batch: DataFrame, mediaPath: String,
+      sigTable: String, idCol: String = "media_id",
+      contentCol: String = "content", gx: Int = 9, gy: Int = 7,
+      buckets: Int = 32): Unit = {
+    val spark = batch.sparkSession
+    val indexExists = spark.catalog.tableExists(sigTable)
+    val sig = call_function(graft.expr.PixelGridSig.FunctionName,
+      col(contentCol), lit(gx), lit(gy)).getField("ahash")
+    val sigs = batch.withColumn("_sig", sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // within-batch keep-first (NULL sigs pass: isNull rows keep)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_sig"))
+      val firstIn = sigs.withColumn("_keep",
+          col("_sig").isNull ||
+            col(idCol) === min(col(idCol)).over(w))
+        .filter(col("_keep")).drop("_keep")
+      val survivors =
+        if (!indexExists) firstIn
+        else {
+          // trigger-bounded batch = hash build side; the bucketed
+          // index streams through the probe with no sort
+          val index = spark.table(sigTable).select(col("_sig"))
+          val decodable = firstIn.filter(col("_sig").isNotNull)
+            .join(index.hint("shuffle_hash"), Seq("_sig"), "left_anti")
+          firstIn.filter(col("_sig").isNull).unionByName(decodable)
+        }
+      val out = survivors
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        out.drop("_sig").write.mode("append").parquet(mediaPath)
+        out.filter(col("_sig").isNotNull)
+          .select(col("_sig"), col(idCol).cast("long").as("_id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "_sig").sortBy("_sig")
+          .saveAsTable(sigTable)
+      } finally { out.unpersist(blocking = false); () }
+    } finally { sigs.unpersist(blocking = false); () }
+  }
+
+  /** Streaming wrapper over [[mediaDedupIngestBatch]]. */
+  def mediaDedupIngestSink(stream: DataFrame, mediaPath: String,
+      sigTable: String, checkpoint: String, idCol: String = "media_id",
+      contentCol: String = "content", gx: Int = 9, gy: Int = 7,
+      buckets: Int = 32,
+      trigger: Trigger = Trigger.ProcessingTime("15 minutes"))
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mediaDedupIngestBatch(batch, mediaPath, sigTable, idCol,
+          contentCol, gx, gy, buckets)
+      }
+
+
   /** `df.stat.bloomFilter` that survives an empty frame (Spark's
     * version NPEs there: its aggregate yields null for zero rows).
     * One sentinel key is unioned in so the aggregate ALWAYS runs —

@@ -716,6 +716,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media dedup-on-ingest: perceptual collapse, index survival, replay self-filter") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-ingest").toString
+    val table = "graft_test_media_sigs"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the same 4×2 image in two FORMATS (PPM and BMP bytes differ
+    // entirely; the shared decode lands both on one ahash), plus a
+    // distinct image and an undecodable row
+    def ppm(vals: Seq[Int]): Array[Byte] =
+      "P6\n4 2\n255\n".getBytes("ISO-8859-1") ++
+        vals.flatMap(v => Seq.fill(3)(v.toByte)).toArray
+    def bmp(vals: Seq[Int]): Array[Byte] = {
+      // minimal bottom-up 24bpp BMP, rows padded to 4 bytes (4·3=12 ✓)
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      val px = (1 to 0 by -1).flatMap(r => // bottom-up row order
+        (0 until 4).flatMap { x =>
+          val v = vals(r * 4 + x).toByte
+          Seq(v, v, v) // BGR
+        }).toArray
+      "BM".getBytes("ISO-8859-1") ++ le32(54 + px.length) ++ le32(0) ++
+        le32(54) ++ le32(40) ++ le32(4) ++ le32(2) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(px.length) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ px
+    }
+    val imgA = Seq(10, 200, 10, 200, 200, 10, 200, 10)
+    val imgB = Seq(250, 250, 10, 10, 10, 10, 250, 250)
+    def run(rows: (Long, Array[Byte])*): Unit =
+      StreamingIngest.mediaDedupIngestBatch(
+        rows.toSeq.toDF("media_id", "content"),
+        s"$tmp/media", table, "media_id", "content", gx = 4, gy = 2,
+        buckets = 4)
+    def ids(): Set[Long] =
+      spark.read.parquet(s"$tmp/media").select("media_id")
+        .as[Long].collect().toSet
+    // batch 1: A as PPM, A as BMP (perceptual twin — collapses to the
+    // lowest id), B, and junk (NULL sig — always passes)
+    run(1L -> ppm(imgA), 2L -> bmp(imgA), 3L -> ppm(imgB),
+      4L -> "not an image".getBytes)
+    assert(ids() == Set(1L, 3L, 4L))
+    // batch 2: yet another re-encode of A drops vs the INDEX; a new
+    // image survives; junk passes again (documented contract)
+    run(5L -> bmp(imgA), 6L -> ppm(Seq(1, 2, 3, 4, 250, 249, 248, 247)),
+      7L -> "junk again".getBytes)
+    assert(ids() == Set(1L, 3L, 4L, 6L, 7L))
+    // replayed batch self-filters: every decodable row's signature is
+    // already in the index
+    run(3L -> ppm(imgB), 6L -> ppm(Seq(1, 2, 3, 4, 250, 249, 248, 247)))
+    assert(ids() == Set(1L, 3L, 4L, 6L, 7L))
+    // the index is bucketed and append-only: existing files never
+    // rewritten across batches
+    assert(spark.table(table).count() == 3) // A, B, the batch-2 image
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("session_window works as a watermarked stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
