@@ -61,6 +61,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("media ingest anti-join probes the signature index without sorting it") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // stripe period varies by v, so different v → different
+    // brightness-SIGN patterns → different ahash (a linear ramp
+    // would alias every v onto one gradient signature)
+    def ppm(v: Int): Array[Byte] =
+      "P6\n4 2\n255\n".getBytes("ISO-8859-1") ++
+        Array.tabulate[Byte](24)(i =>
+          (if ((((i / 3) >> (v % 3)) & 1) == 0) 20 else 230).toByte)
+    val sig = org.apache.spark.sql.functions.call_function(
+      graft.expr.PixelGridSig.FunctionName,
+      $"content", org.apache.spark.sql.functions.lit(4),
+      org.apache.spark.sql.functions.lit(2)).getField("ahash")
+    Seq((1L, ppm(1)), (2L, ppm(2))).toDF("media_id", "content")
+      .withColumn("_sig", sig)
+      .select($"_sig", $"media_id".as("_id"))
+      .write.format("parquet").bucketBy(4, "_sig").sortBy("_sig")
+      .saveAsTable("media_sigs_spec_t")
+    try {
+      val batch = Seq((9L, ppm(1)), (10L, ppm(9)))
+        .toDF("media_id", "content").withColumn("_sig", sig)
+        .filter($"_sig".isNotNull)
+      val survivors = batch.join(
+        spark.table("media_sigs_spec_t").select($"_sig").hint("shuffle_hash"),
+        Seq("_sig"), "left_anti")
+      // the batch builds the hash side; the bucketed index streams
+      // through the probe — no sort on either side, one exchange for
+      // the batch to meet the bucketing
+      val plan = survivors.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(Scale.countExchanges(survivors) <= 1, plan)
+      // and the probe is correct: the re-encode of image 1 drops
+      assert(survivors.select($"media_id").as[Long].collect().toSet ==
+        Set(10L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS media_sigs_spec_t")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (64L * 1024 * 1024).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("ingest dedup joins the corpus postings index without reshuffling it") {
     import graft.operators.Dedup
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
