@@ -3457,7 +3457,10 @@ object SparkEntry {
       val id = col("doc_id")
       val m = id % 3
       val brIdx = (id % 14 + 1).cast(IntegerType)
-      val srIdx = (id % 3).cast(IntegerType)
+      // decoupled from the arm selector m = id % 3: id % 3 here would
+      // pin every ACTUAL MP3 row (m = 0) to srIdx 0 and the other two
+      // rates' frame-length paths would never reach the decoder
+      val srIdx = (pmod(id, lit(9L)) / lit(3)).cast(IntegerType)
       val pad = (id % 2).cast(IntegerType)
       val kbps = element_at(array(Seq(32, 40, 48, 56, 64, 80, 96, 112,
         128, 160, 192, 224, 256, 320).map(lit): _*), brIdx)
@@ -3618,7 +3621,8 @@ object SparkEntry {
       val m = id % 3
       val ver = when(id % 2 === 0, 2).otherwise(0) // MPEG-2 / MPEG-2.5
       val brIdx = (id % 14 + 1).cast(IntegerType)
-      val srIdx = (id % 3).cast(IntegerType)
+      // decoupled from the arm selector (see q184's note)
+      val srIdx = (pmod(id, lit(9L)) / lit(3)).cast(IntegerType)
       val pad = (pmod(id, lit(4L)) / 2).cast(IntegerType) // decouple from ver
       val kbps = element_at(array(Seq(8, 16, 24, 32, 40, 48, 56, 64,
         80, 96, 112, 128, 144, 160).map(lit): _*), brIdx)
@@ -3711,10 +3715,11 @@ object SparkEntry {
 
     // Audio RESAMPLE under the ORACLE gate (ResizePixels' time-axis
     // sibling): 16-bit PCM at 8 kHz box-mean-decimated to 3 kHz —
-    // dn = ⌊3n/8⌋ output frames, each the FLOOR-division mean of its
-    // source box (signed samples make floor-vs-truncate observable),
-    // then re-ingested through audioStats. The oracle replays boxes,
-    // floor means and the stats relationally.
+    // dn = ⌊3n/8⌋ output frames, each the TRUNCATING mean of its
+    // source box (signed samples make truncate-vs-floor observable —
+    // the construction pinned exactly that divergence during
+    // development), then re-ingested through audioStats. The oracle
+    // replays boxes, truncating means and the stats relationally.
     "q190_resample_pcm" -> ((s, dir) => {
       Graft.tune(s)
       def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
@@ -7035,8 +7040,8 @@ object SparkEntry {
     "q184_mp3_decoder_stats" ->
       """WITH d AS (SELECT doc_id AS id, doc_id % 3 AS m,
                   doc_id % 4 + 2 AS nf,
-                  CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                       ELSE 32000 END AS rate
+                  CASE (doc_id % 9) // 3 WHEN 0 THEN 44100
+                       WHEN 1 THEN 48000 ELSE 32000 END AS rate
            FROM documents)
        SELECT id AS media_id,
               CASE WHEN m = 0 THEN CAST(44 + 2304*nf AS BIGINT)
@@ -7232,8 +7237,9 @@ object SparkEntry {
               CAST(1 AS INTEGER) AS constant
        FROM d""",
 
-    // signed source samples t_k, dest frame t2 = floor-mean over the
-    // box [⌊t2·n/dn⌋, ⌊(t2+1)·n/dn⌋), dn = 3n // 8; stats over means
+    // signed source samples t_k, dest frame t2 = TRUNCATING mean
+    // (DuckDB's // and Java's / agree) over the box
+    // [⌊t2·n/dn⌋, ⌊(t2+1)·n/dn⌋), dn = 3n // 8; stats over means
     "q190_resample_pcm" ->
       """WITH d AS (SELECT doc_id AS id, doc_id % 40 + 16 AS n
            FROM documents),
@@ -7274,11 +7280,11 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id AS id, doc_id % 3 AS m,
                   doc_id % 5 + 2 AS nf,
                   CASE WHEN doc_id % 2 = 0 THEN
-                    CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000
-                         ELSE 16000 END
+                    CASE (doc_id % 9) // 3 WHEN 0 THEN 22050
+                         WHEN 1 THEN 24000 ELSE 16000 END
                   ELSE
-                    CASE doc_id % 3 WHEN 0 THEN 11025 WHEN 1 THEN 12000
-                         ELSE 8000 END
+                    CASE (doc_id % 9) // 3 WHEN 0 THEN 11025
+                         WHEN 1 THEN 12000 ELSE 8000 END
                   END AS rate
            FROM documents)
        SELECT id AS media_id,

@@ -907,21 +907,11 @@ object Mp3Decode {
       }
     }
     if (intensity && zeroBound < 576) {
-      val short = gRight.windowSwitching && gRight.blockType == 2
-      val bands = if (short) ShortBands(srIdx) else LongBands(srIdx)
-      val nBands = if (short) 13 else 22
-      var b = 0
-      while (b < nBands) {
-        // short bands repeat per window; the per-line walk below
-        // covers all three windows of a band through the reordered
-        // layout (window-interleaved), same is_pos for the band
-        val lo0 = if (short) bands(b) * 3 else bands(b)
-        val hi0 = if (short) bands(b + 1) * 3 else bands(b + 1)
+      // one span of the intensity region: pan with is_pos, or keep
+      // MS/LR when is_pos == 7 (the spec's "no intensity" marker)
+      def span(lo0: Int, hi0: Int, pos: Int): Unit = {
         val lo = math.max(lo0, zeroBound)
         if (lo < hi0) {
-          val pos =
-            if (short) (if (b < 12) stRight.scalefacS(b)(0) else 7)
-            else (if (b < 21) stRight.scalefacL(b) else 7)
           if (pos != 7) {
             val ratio = math.tan(pos * math.Pi / 12.0)
             var k = lo
@@ -941,7 +931,54 @@ object Mp3Decode {
             }
           }
         }
-        b += 1
+      }
+      val short = gRight.windowSwitching && gRight.blockType == 2
+      if (!short) {
+        // long bands; the LAST band (21, no scalefactor of its own)
+        // INHERITS band 20's is_pos per the spec's intensity rule —
+        // treating it as 7 left real streams' top band un-panned
+        val lb = LongBands(srIdx)
+        var b = 0
+        while (b < 22) {
+          val pos =
+            if (b < 21) stRight.scalefacL(b) else stRight.scalefacL(20)
+          span(lb(b), lb(b + 1), pos)
+          b += 1
+        }
+      } else {
+        // stereo runs BEFORE reorder, so short-block data is still in
+        // Huffman order: band b window w occupies the contiguous run
+        // [base(b) + w·width, base(b) + (w+1)·width) — is_pos is per
+        // (band, WINDOW), not per band (using window 0's value for
+        // all three windows mis-panned real streams)
+        val sb = ShortBands(srIdx)
+        val mixed = gRight.mixedBlock
+        if (mixed) {
+          // the first 36 lines are LONG bands 0..7 with long is_pos
+          val lb = LongBands(srIdx)
+          var b = 0
+          while (b < 8) {
+            span(lb(b), lb(b + 1), stRight.scalefacL(b))
+            b += 1
+          }
+        }
+        val firstShortBand = if (mixed) 3 else 0
+        val base0 = if (mixed) 36 else 0
+        var b = firstShortBand
+        while (b < 13) {
+          val width = sb(b + 1) - sb(b)
+          val base = base0 + 3 * (sb(b) - sb(firstShortBand))
+          var w2 = 0
+          while (w2 < 3) {
+            // band 12 (no scalefactor) inherits band 11's per window
+            val pos =
+              if (b < 12) stRight.scalefacS(b)(w2)
+              else stRight.scalefacS(11)(w2)
+            span(base + w2 * width, base + (w2 + 1) * width, pos)
+            w2 += 1
+          }
+          b += 1
+        }
       }
     }
   }

@@ -63,24 +63,13 @@ object OrientPixels {
   def orient(b: Array[Byte], orientation: Int): Array[Byte] = {
     if (orientation < 1 || orientation > 8) return null
     val d = PixelStats.decode(b)
-    if (d == null || (d.ch != 3 && d.ch != 1)) return null
-    val w = d.w
-    val h = d.h
     // grayscale decodes (e.g. single-channel PNG) replicate to RGB so
     // the transform composes with every format decode() supports —
-    // same widening the JPEG/ImageIO branches apply internally
-    val px: Array[Byte] =
-      if (d.ch == 3) d.px
-      else {
-        val rgb = new Array[Byte](w * h * 3)
-        var i = 0
-        while (i < w * h) {
-          val g = d.px(i)
-          rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
-          i += 1
-        }
-        rgb
-      }
+    // the widening is PixelStats.toRgb, shared with ResizePixels
+    val px = PixelStats.toRgb(d)
+    if (px == null) return null
+    val w = d.w
+    val h = d.h
     val swap = orientation >= 5 // transpose family swaps dims
     val w2 = if (swap) h else w
     val h2 = if (swap) w else h

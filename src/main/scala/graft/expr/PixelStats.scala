@@ -152,6 +152,27 @@ object PixelStats {
     * dropped, palettes resolved) and the same [[MaxRawBytes]] guard
     * applies via the header dims BEFORE the full decode.
     */
+  /** A decode's pixels as 3-channel RGB: grayscale replicates, RGB
+    * passes through, anything else has no defined widening → null.
+    * The SHARED widening for every operator that consumes decoded
+    * pixels ([[OrientPixels]], [[ResizePixels]]) — one definition of
+    * the 3-channel shape, not one per operator.
+    */
+  private[expr] def toRgb(d: Decoded): Array[Byte] = {
+    if (d == null) return null
+    if (d.ch == 3) return d.px
+    if (d.ch != 1) return null
+    val n = d.w * d.h
+    val rgb = new Array[Byte](n * 3)
+    var i = 0
+    while (i < n) {
+      val g = d.px(i)
+      rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+      i += 1
+    }
+    rgb
+  }
+
   private[expr] def decode(b: Array[Byte]): Decoded = {
     if (b == null || b.length < 10) return null
     if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&

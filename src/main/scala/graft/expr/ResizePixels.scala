@@ -82,21 +82,10 @@ object ResizePixels {
     if (dw < 1 || dh < 1 || dw > 4096 || dh > 4096 ||
         dw.toLong * dh > (1L << 22)) return null
     val d = PixelStats.decode(b)
-    if (d == null || (d.ch != 3 && d.ch != 1)) return null
+    val src = PixelStats.toRgb(d) // shared grayscale→RGB widening
+    if (src == null) return null
     val w = d.w
     val h = d.h
-    val src: Array[Byte] =
-      if (d.ch == 3) d.px
-      else {
-        val rgb = new Array[Byte](w * h * 3)
-        var i = 0
-        while (i < w * h) {
-          val g = d.px(i)
-          rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
-          i += 1
-        }
-        rgb
-      }
     val header = s"P6\n$dw $dh\n255\n".getBytes("ISO-8859-1")
     val out = new Array[Byte](header.length + dw * dh * 3)
     System.arraycopy(header, 0, out, 0, header.length)

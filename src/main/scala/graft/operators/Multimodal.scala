@@ -370,8 +370,11 @@ object Multimodal {
     */
   def thumbnails(media: DataFrame, width: Int = 64, height: Int = 64,
       contentCol: String = "content"): DataFrame = {
-    require(width >= 1 && height >= 1 && width <= 4096 && height <= 4096,
-      s"thumbnail dims out of range: ${width}x$height")
+    require(width >= 1 && height >= 1 && width <= 4096 && height <= 4096 &&
+      width.toLong * height <= (1L << 22),
+      s"thumbnail dims out of range: ${width}x$height (each ≤ 4096 and " +
+        "area ≤ 2^22 — the expression's bomb guard; a mismatch here " +
+        "would silently NULL every thumb instead of failing fast)")
     media.select(col("media_id"), col("kind"),
       call_function(graft.expr.ResizePixels.FunctionName,
         col(contentCol), lit(width), lit(height)).as("thumb"))
