@@ -889,12 +889,37 @@ object Mp3Decode {
     val ms = (modeExt & 2) != 0
     val intensity = (modeExt & 1) != 0
     val invSqrt2 = 1.0 / math.sqrt(2.0)
-    // right channel's zero bound (start of the intensity region)
+    // right channel's zero bound (start of the intensity region),
+    // rounded UP to the next scalefactor-band edge: the spec's
+    // intensity region starts at a BAND boundary (a conforming
+    // encoder zeroes the right channel from an edge; a raw
+    // last-nonzero bound can land mid-band and would leave that band
+    // part-panned, part-MS — conforming decoders pan whole bands)
     var zeroBound = 576
     if (intensity) {
       var i = 575
       while (i >= 0 && xr(1)(i) == 0.0) i -= 1
       zeroBound = i + 1
+      if (zeroBound < 576) {
+        val short = gRight.windowSwitching && gRight.blockType == 2
+        if (!short || (gRight.mixedBlock && zeroBound <= 36)) {
+          val lb = LongBands(srIdx)
+          val nEdges = if (!short) 22 else 8
+          var b = 0
+          while (b < nEdges && lb(b) < zeroBound) b += 1
+          zeroBound = lb(b) // first long edge ≥ bound (lb(22) = 576)
+        } else {
+          // short region: band b starts at base0 + 3·(sb(b)−sb(first))
+          // in Huffman order (stereo runs before reorder)
+          val sb = ShortBands(srIdx)
+          val first = if (gRight.mixedBlock) 3 else 0
+          val base0 = if (gRight.mixedBlock) 36 else 0
+          var b = first
+          while (b < 13 && base0 + 3 * (sb(b) - sb(first)) < zeroBound)
+            b += 1
+          zeroBound = base0 + 3 * (sb(b) - sb(first)) // b=13 → 576
+        }
+      }
     }
     if (ms) {
       var i = 0

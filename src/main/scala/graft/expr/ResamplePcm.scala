@@ -88,10 +88,13 @@ object ResamplePcm {
       // byte (4-bit ADPCM mono is 2; the factor is headroom), and
       // the absolute cap bounds the multi-channel product — a
       // crafted header cannot turn a small blob into a 512 MB
-      // allocation
+      // allocation. 2^24 total ints = 64 MiB of decoded buffer per
+      // row, matching the OUTPUT-side dn*ch cap in resample(): with
+      // 32 concurrent tasks that is ≤2 GiB of transient sample
+      // buffers executor-wide, not ≤4 GiB as the old 2^25 allowed
       if (c < 1 || c > 8 || frames <= 0 || frames > (1L << 24) ||
           frames > 8L * math.max(inputBytes, 1) ||
-          frames * c > (1L << 25)) return false
+          frames * c > (1L << 24)) return false
       ch = c; rate = r; n = frames.toInt
       data = Array.ofDim[Int](c, n)
       true

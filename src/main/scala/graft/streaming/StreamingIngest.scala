@@ -448,22 +448,40 @@ object StreamingIngest {
     *     their signatures to `sigTable`, BUCKETED by signature so the
     *     index never reshuffles.
     *
-    * Contract notes, both deliberate:
+    * Contract notes, all deliberate:
     *  - UNDECODABLE rows (NULL signature) always pass — the triage
     *    contract; byte-identical junk dedups upstream by key
     *    ([[dedupStreamByKey]]), same as the text path's too-short
     *    documents;
-    *  - a REPLAYED batch self-filters: its signatures are already in
-    *    the index, so every decodable row drops (exactly-once-ish
-    *    appends without transactions, the [[dedupIngestBatch]]
-    *    argument).
+    *  - a REPLAYED batch self-filters ONLY when the prior attempt
+    *    committed both writes: its signatures are in the index, so
+    *    every decodable row drops. A failure BETWEEN the media
+    *    append and the signature append leaves a window where a
+    *    naive replay re-appends the same media rows permanently.
+    *    Pass `batchId >= 0` (the streaming wrapper always does) to
+    *    close it: media lands in a deterministic `batch=<id>`
+    *    partition directory written with OVERWRITE (a replay
+    *    rewrites, never duplicates), and signatures carry a
+    *    `_batch` column — a replay that finds its own batch id in
+    *    the index skips both writes entirely. The residual window
+    *    is a torn signature-append commit, which parquet's
+    *    rename-based job commit makes vanishingly narrow.
+    *    `batchId < 0` keeps the flat un-partitioned layout and the
+    *    documented duplication window.
     */
   def mediaDedupIngestBatch(batch: DataFrame, mediaPath: String,
       sigTable: String, idCol: String = "media_id",
       contentCol: String = "content", gx: Int = 9, gy: Int = 7,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val indexExists = spark.catalog.tableExists(sigTable)
+    if (batchId >= 0 && indexExists) {
+      // prior attempt fully committed (sig write is LAST) → replay
+      // is a no-op. One bucket-pruned lookup against the index.
+      val seen = !spark.table(sigTable)
+        .filter(col("_batch") === batchId).limit(1).isEmpty
+      if (seen) return
+    }
     val sig = call_function(graft.expr.PixelGridSig.FunctionName,
       col(contentCol), lit(gx), lit(gy)).getField("ahash")
     val sigs = batch.withColumn("_sig", sig)
@@ -478,19 +496,39 @@ object StreamingIngest {
       val survivors =
         if (!indexExists) firstIn
         else {
-          // trigger-bounded batch = hash build side; the bucketed
-          // index streams through the probe with no sort
+          // trigger-bounded batch = hash build side. A direct
+          // `batch ANTI index` can only build from the INDEX (Spark
+          // has no build-left SHJ for LeftAnti — the hint logs
+          // "not supported" and falls back), and building the
+          // ever-growing corpus map OOMs executors as it
+          // accumulates. So probe the other way: the bucketed index
+          // streams through a LeftSemi SHJ whose hash side is the
+          // batch (BuildRight, supported), yielding the
+          // batch-bounded duplicate-sig set, which broadcast-antis
+          // back onto the batch. No sort on the index either way.
           val index = spark.table(sigTable).select(col("_sig"))
-          val decodable = firstIn.filter(col("_sig").isNotNull)
-            .join(index.hint("shuffle_hash"), Seq("_sig"), "left_anti")
+          val batchSigs = firstIn.filter(col("_sig").isNotNull)
+          val dupSigs = index.join(
+            batchSigs.select(col("_sig")).hint("shuffle_hash"),
+            Seq("_sig"), "left_semi")
+          val decodable = batchSigs
+            .join(broadcast(dupSigs), Seq("_sig"), "left_anti")
           firstIn.filter(col("_sig").isNull).unionByName(decodable)
         }
       val out = survivors
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        out.drop("_sig").write.mode("append").parquet(mediaPath)
+        if (batchId >= 0)
+          // idempotent media write: a replay of this batch OVERWRITES
+          // its own partition directory instead of appending a dup.
+          // `batch=<id>` is partition-style naming, so readers of
+          // mediaPath discover `batch` as a long partition column.
+          out.drop("_sig").write.mode("overwrite")
+            .parquet(s"$mediaPath/batch=$batchId")
+        else out.drop("_sig").write.mode("append").parquet(mediaPath)
         out.filter(col("_sig").isNotNull)
-          .select(col("_sig"), col(idCol).cast("long").as("_id"))
+          .select(col("_sig"), col(idCol).cast("long").as("_id"),
+            lit(batchId).as("_batch"))
           .write.mode("append").format("parquet")
           .bucketBy(buckets, "_sig").sortBy("_sig")
           .saveAsTable(sigTable)
@@ -509,9 +547,9 @@ object StreamingIngest {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         mediaDedupIngestBatch(batch, mediaPath, sigTable, idCol,
-          contentCol, gx, gy, buckets)
+          contentCol, gx, gy, buckets, batchId = id)
       }
 
 

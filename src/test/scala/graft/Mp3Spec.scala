@@ -340,6 +340,39 @@ class Mp3Spec extends AnyFunSuite {
         s"sample $i: L=${st(2 * i)} R=${st(2 * i + 1)} mono=${mo(i)}")
   }
 
+  test("intensity bound snaps UP to a scalefactor-band edge (mid-band zero bound)") {
+    // left: two count1 quads (lines 0–7 = +1); right: one quad
+    // (1,1,1,0) → lines 0–2 = +1, raw zero bound 3 — MID-BAND (band 0
+    // is lines 0–3 at 44.1 kHz). The spec's intensity region starts
+    // at a BAND EDGE, so panning begins at line 4: line 3 stays
+    // L-only passthrough, lines 4–7 pan fully to R (is_pos = 0 →
+    // ratio 0). Exact oracles: each output channel must be
+    // bit-identical to the mono decode of its expected spectrum
+    // (identical granule pipeline, identical doubles in → PCM out).
+    val right = Gr(part23 = 7, gain = 200) // quad (1,1,1,0): 0001 000
+    val st = frame(5, 0, mono = false, modeExt = 1,
+      grs = Seq(LoudGr, right, Gr(), Gr()),
+      mainData = Array[Byte](0x00, 0x00, 0x10)) ++
+      frame(5, 0, mono = false, modeExt = 1)
+    val pcm = wavSamples(Mp3Decode.decode(st))
+    // L ≡ mono of lines 0–3 = +1 (one quad (1,1,1,1): 0000 0000)
+    val lMono = wavSamples(Mp3Decode.decode(
+      frame(5, 0, grs = Seq(Gr(part23 = 8, gain = 200), Gr(), Gr(), Gr()),
+        mainData = Array[Byte](0x00)) ++ frame(5, 0)))
+    // R ≡ mono of lines 0–2 and 4–7 = +1 (quads (1,1,1,0),(1,1,1,1))
+    val rMono = wavSamples(Mp3Decode.decode(
+      frame(5, 0, grs = Seq(Gr(part23 = 15, gain = 200), Gr(), Gr(), Gr()),
+        mainData = Array[Byte](0x10, 0x00)) ++ frame(5, 0)))
+    assert(pcm.length == 2 * lMono.length)
+    assert(lMono.exists(_ != 0) && rMono.exists(_ != 0))
+    // the two expected spectra differ at line 3 vs 4 → distinct PCM
+    assert(!lMono.sameElements(rMono))
+    for (i <- lMono.indices) {
+      assert(pcm(2 * i) == lMono(i), s"L sample $i")
+      assert(pcm(2 * i + 1) == rMono(i), s"R sample $i")
+    }
+  }
+
   test("triage: junk, MPEG-2, Layer II, free bitrate, unsupported table id → null") {
     assert(Mp3Decode.decode(null) == null)
     assert(Mp3Decode.decode("not audio".getBytes) == null)

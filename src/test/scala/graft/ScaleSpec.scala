@@ -84,14 +84,23 @@ class ScaleSpec extends SparkSpec {
       val batch = Seq((9L, ppm(1)), (10L, ppm(9)))
         .toDF("media_id", "content").withColumn("_sig", sig)
         .filter($"_sig".isNotNull)
-      val survivors = batch.join(
-        spark.table("media_sigs_spec_t").select($"_sig").hint("shuffle_hash"),
+      // the ingest shape: the bucketed index streams through a
+      // LeftSemi SHJ whose hash side is the trigger-bounded BATCH
+      // (BuildRight — Spark has no build-left SHJ for LeftAnti, so a
+      // direct anti-join could only build from the growing index);
+      // the batch-bounded dup set broadcast-antis back onto the batch
+      val dupSigs = spark.table("media_sigs_spec_t").select($"_sig")
+        .join(batch.select($"_sig").hint("shuffle_hash"),
+          Seq("_sig"), "left_semi")
+      val survivors = batch.join(broadcast(dupSigs),
         Seq("_sig"), "left_anti")
-      // the batch builds the hash side; the bucketed index streams
-      // through the probe — no sort on either side, one exchange for
-      // the batch to meet the bucketing
+      // no sort on either side; the only shuffle is the batch meeting
+      // the index bucketing; the index is never the hash build side
       val plan = survivors.queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("ShuffledHashJoin"), plan)
+      assert(plan.contains("BuildRight"), plan)
+      assert(plan.contains("BroadcastHashJoin"), plan)
       assert(Scale.countExchanges(survivors) <= 1, plan)
       // and the probe is correct: the re-encode of image 1 drops
       assert(survivors.select($"media_id").as[Long].collect().toSet ==

@@ -771,6 +771,46 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("media ingest batch-id marker: committed AND torn replays never duplicate") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-bid").toString
+    val table = "graft_test_media_sigs_bid"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def ppm(vals: Seq[Int]): Array[Byte] =
+      "P6\n4 2\n255\n".getBytes("ISO-8859-1") ++
+        vals.flatMap(v => Seq.fill(3)(v.toByte)).toArray
+    val imgA = Seq(10, 200, 10, 200, 200, 10, 200, 10)
+    val imgB = Seq(250, 250, 10, 10, 10, 10, 250, 250)
+    val imgC = Seq(1, 2, 3, 4, 250, 249, 248, 247)
+    def run(id: Long, rows: (Long, Array[Byte])*): Unit =
+      StreamingIngest.mediaDedupIngestBatch(
+        rows.toSeq.toDF("media_id", "content"),
+        s"$tmp/media", table, "media_id", "content", gx = 4, gy = 2,
+        buckets = 4, batchId = id)
+    def media() = spark.read.parquet(s"$tmp/media")
+    run(0L, 1L -> ppm(imgA), 2L -> ppm(imgB))
+    assert(media().count() == 2)
+    // `batch` is discovered as a partition column of the media path
+    assert(media().select("batch").distinct().as[Long].collect().toSeq
+      == Seq(0L))
+    // FULLY-COMMITTED replay: batch 0's id is in the index → no-op
+    run(0L, 1L -> ppm(imgA), 2L -> ppm(imgB))
+    assert(media().count() == 2)
+    // TORN replay: a failed batch-1 attempt appended media but died
+    // before the signature write — simulate its leftover directory,
+    // then replay; the overwrite mode rewrites it instead of
+    // duplicating
+    Seq(5L -> ppm(imgC)).toDF("media_id", "content")
+      .write.parquet(s"$tmp/media/batch=1")
+    assert(media().filter($"media_id" === 5L).count() == 1)
+    run(1L, 5L -> ppm(imgC))
+    assert(media().filter($"media_id" === 5L).count() == 1)
+    assert(media().count() == 3)
+    // and the index carries the two committed batch markers
+    assert(spark.table(table).select("_batch").distinct()
+      .as[Long].collect().toSet == Set(0L, 1L))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("session_window works as a watermarked stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
