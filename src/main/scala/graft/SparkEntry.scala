@@ -3759,6 +3759,63 @@ object SparkEntry {
           col("_m.n_clipped").as("n_clipped"), col("_m.silent").as("silent"))
     }),
 
+    // MP3 BIG-VALUES region under the ORACLE gate — q184's frame
+    // walk extended to the Huffman-coded spectrum tier. Each doc
+    // selects one shipped 6+-dim big-values table (7,8,9,10,12 by
+    // doc_id % 5) and carries TWO codings of the SAME lines 0–7 = +1
+    // spectrum: the count1-quad coding (q185's loud granule) and the
+    // table's big-values pair coding ((1,1)×4, in-plan literals the
+    // Mp3Spec builder pins byte-for-byte). Identical spectra through
+    // the real decoder must yield bit-identical PCM, so the arms'
+    // integer stats must be EQUAL — the oracle replays the equality
+    // flags, geometry and non-silence relationally. A wrong codeword
+    // → symbol mapping in ANY of the five independently-entered
+    // tables breaks arms_equal.
+    "q192_mp3_bigvalues" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val id = col("doc_id")
+      val silentF = "FFFB10C0" + "00" * 100
+      val count1F = "FFFB10C0" + "00000040019000000008" + "00" * 7 +
+        "0000" + "00" * 81
+      def bigF(si10: String, md: String, pad: Int): String =
+        "FFFB10C0" + si10 + "00" * 7 + md + "00" * pad
+      val bigHex = element_at(array(
+        lit(bigF("00000060099003" + "9CE008", "30C30C", 80)),
+        lit(bigF("00000040099004" + "210008", "4444", 81)),
+        lit(bigF("00000050099004" + "A52008", "8421", 81)),
+        lit(bigF("00000060099005" + "294008", "30C30C", 80)),
+        lit(bigF("00000050099006" + "318008", "A52940", 80))),
+        (pmod(id, lit(5L)) + 1).cast(IntegerType))
+      val armA = unhex(concat(lit(count1F), lit(silentF)))
+      val armB = unhex(concat(bigHex, lit(silentF)))
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((id * 2).as("media_id"), armA.as("content")),
+          struct((id * 2 + 1).as("media_id"), armB.as("content"))))
+          .as("_a"))
+        .select(col("_a.media_id").as("media_id"),
+          lit("audio").as("kind"), col("_a.content").as("content"))
+      val st = Multimodal.audioStatsVia(media, new Multimodal.Mp3Decoder)
+      def arm(n: Int, c: String) =
+        max(when(pmod(col("media_id"), lit(2L)) === n, col(c)))
+      st.groupBy(shiftright(col("media_id"), 1).as("doc_id"))
+        .agg(arm(0, "sum").as("_sa"), arm(1, "sum").as("_sb"),
+          arm(0, "sumsq").as("_qa"), arm(1, "sumsq").as("_qb"),
+          arm(0, "peak").as("_pa"), arm(1, "peak").as("_pb"),
+          arm(0, "n_samples").as("_na"), arm(1, "n_samples").as("_nb"),
+          arm(0, "silent").as("_silA"))
+        .select(col("doc_id"),
+          element_at(array(Seq(7, 8, 9, 10, 12).map(lit): _*),
+            (pmod(col("doc_id"), lit(5L)) + 1).cast(IntegerType))
+            .as("table_id"),
+          col("_na").cast(LongType).as("n_samples"),
+          (col("_sa") === col("_sb") && col("_qa") === col("_qb") &&
+            col("_pa") === col("_pb") && col("_na") === col("_nb"))
+            .as("arms_equal"),
+          (col("_silA") === 0).as("nonsilent")) // silent is an INT flag
+    }),
+
     // Materialized RESIZE under the ORACLE gate: integer box-mean
     // thumbnails (the explicit vision-preprocessing stage; OpenCV
     // INTER_AREA semantics made engine-exact by floor arithmetic) —
@@ -7273,6 +7330,18 @@ object SparkEntry {
               sm AS sum, ssm AS sumsq, pk AS peak, clp AS n_clipped,
               CAST(CASE WHEN pk = 0 THEN 1 ELSE 0 END AS INTEGER) AS silent
        FROM agg""",
+
+    // two codings of one spectrum through the real decoder must
+    // produce equal integer stats; geometry is 2 frames × 1152
+    "q192_mp3_bigvalues" ->
+      """SELECT doc_id,
+              CAST(CASE doc_id % 5 WHEN 0 THEN 7 WHEN 1 THEN 8
+                   WHEN 2 THEN 9 WHEN 3 THEN 10 ELSE 12 END
+                AS INTEGER) AS table_id,
+              CAST(2304 AS BIGINT) AS n_samples,
+              true AS arms_equal,
+              true AS nonsilent
+       FROM documents""",
 
     // LSF silence: geometry replays from the version-indexed rate
     // table and the 72·bitrate/rate step; 576 samples per frame

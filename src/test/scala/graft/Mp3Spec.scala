@@ -110,6 +110,30 @@ class Mp3Spec extends AnyFunSuite {
     */
   private val LoudGr = Gr(part23 = 16, gain = 200)
 
+  /** Independent big-values encoder: SIGNED (x, y) pairs → main-data
+    * bits through a table's (x, y, hlen, hcod) entries, with the
+    * Annex B.2 escape (|v| ≥ 15 codes 15 + linbits extra bits) when
+    * `linbits` > 0. Bit order per §2.4.3.4.6: codeword, x-linbits,
+    * x-sign, y-linbits, y-sign.
+    */
+  private def encodePairs(entries: Array[(Int, Int, Int, Int)],
+      linbits: Int, pairs: Seq[(Int, Int)]): (Array[Byte], Int) = {
+    val bySym = entries.map(e => ((e._1, e._2), (e._3, e._4))).toMap
+    val w = new BitWriter
+    var bits = 0
+    for ((xv, yv) <- pairs) {
+      val ax = math.abs(xv); val ay = math.abs(yv)
+      val cx = math.min(ax, 15); val cy = math.min(ay, 15)
+      val (l, c) = bySym((cx, cy))
+      w.put(c, l); bits += l
+      if (linbits > 0 && cx == 15) { w.put(ax - 15, linbits); bits += linbits }
+      if (ax != 0) { w.put(if (xv < 0) 1 else 0, 1); bits += 1 }
+      if (linbits > 0 && cy == 15) { w.put(ay - 15, linbits); bits += linbits }
+      if (ay != 0) { w.put(if (yv < 0) 1 else 0, 1); bits += 1 }
+    }
+    (w.result(), bits)
+  }
+
   private def wavSamples(wav: Array[Byte]): Array[Int] = {
     assert(wav != null, "decode returned null")
     assert(new String(wav.take(4), "ISO-8859-1") == "RIFF")
@@ -142,19 +166,30 @@ class Mp3Spec extends AnyFunSuite {
       val kraft = codes.map { case (l, _) => math.pow(2.0, -l) }.sum
       assert(math.abs(kraft - 1.0) < 1e-12, s"Kraft sum $kraft")
     }
-    assert(Mp3Decode.shippedBigTableIds == Set(1, 2, 3, 5, 6))
+    assert(Mp3Decode.shippedBigTableIds ==
+      Set(1, 2, 3, 5, 6, 7, 8, 9, 10, 12))
     for (id <- Mp3Decode.shippedBigTableIds)
       check(Mp3Decode.tableEntries(id).map { case (_, _, l, c) => (l, c) }.toSeq)
     check(Mp3Decode.count1AEntries.map { case (_, l, c) => (l, c) }.toSeq)
     // count1 table B: 16 fixed 4-bit codes, complement coding —
     // complete by construction
     check((0 until 16).map(i => (4, 15 - i)))
-    // table dimensions match the spec (2x2, 3x3, 3x3, 4x4, 4x4)
-    assert(Mp3Decode.tableEntries(1).length == 4)
-    assert(Mp3Decode.tableEntries(2).length == 9)
-    assert(Mp3Decode.tableEntries(3).length == 9)
-    assert(Mp3Decode.tableEntries(5).length == 16)
-    assert(Mp3Decode.tableEntries(6).length == 16)
+    // table dimensions match the spec
+    val dims = Map(1 -> 2, 2 -> 3, 3 -> 3, 5 -> 4, 6 -> 4, 7 -> 6,
+      8 -> 6, 9 -> 6, 10 -> 8, 12 -> 8)
+    for ((id, d) <- dims) {
+      assert(Mp3Decode.tableEntries(id).length == d * d, s"table $id")
+      // every (x, y) cell present exactly once
+      assert(Mp3Decode.tableEntries(id).map(e => (e._1, e._2)).toSet ==
+        (for (x <- 0 until d; y <- 0 until d) yield (x, y)).toSet,
+        s"table $id cells")
+    }
+    // registry coverage ledger: every valid Annex B.2 table id is
+    // either shipped or documented-triaged — no id is silently
+    // mishandled (4 and 14 are invalid per spec; 0 codes no data)
+    val valid = (1 to 31).toSet - 4 - 14
+    val triaged = valid -- Mp3Decode.shippedBigTableIds
+    assert(triaged == Set(11, 13, 15) ++ (16 to 31), s"triage set $triaged")
   }
 
   test("synthesis stand-in window: DC gain exactly calibrated, symmetric-class") {
@@ -340,6 +375,83 @@ class Mp3Spec extends AnyFunSuite {
         s"sample $i: L=${st(2 * i)} R=${st(2 * i + 1)} mono=${mo(i)}")
   }
 
+  test("big-values tables: table-coded +1 spectrum is bit-identical to count1") {
+    // lines 0–7 = +1 coded as four (1,1) big-values pairs through
+    // EACH shipped 6+-dim table must decode exactly like the count1
+    // coding of the same spectrum (same requantization inputs →
+    // identical doubles → identical PCM). Gates the whole big-values
+    // read path: region walk, tree decode, sign bits, part2_3 stop.
+    val count1 = wavSamples(Mp3Decode.decode(
+      frame(5, 0, grs = Seq(LoudGr, Gr(), Gr(), Gr()),
+        mainData = Array[Byte](0, 0)) ++ frame(5, 0)))
+    assert(count1.exists(_ != 0))
+    for (id <- Seq(7, 8, 9, 10, 12)) {
+      val (md, bits) = encodePairs(Mp3Decode.tableEntries(id), 0,
+        Seq((1, 1), (1, 1), (1, 1), (1, 1)))
+      val g = Gr(part23 = bits, bigValues = 4, gain = 200,
+        tableSelect = Seq(id, id, id))
+      val got = wavSamples(Mp3Decode.decode(
+        frame(5, 0, grs = Seq(g, Gr(), Gr(), Gr()), mainData = md) ++
+          frame(5, 0)))
+      assert(got.sameElements(count1), s"table $id")
+    }
+  }
+
+  test("cross-table equality: one signed spectrum through every 6+-dim table") {
+    // values ≤5 with mixed signs are codable by tables 7, 8, 9 (dim
+    // 6) and 10, 12 (dim 8); five independently-entered code tables
+    // must all decode the identical spectrum to identical PCM
+    val pairs = Seq((3, -1), (-2, 2), (0, -5), (4, 0))
+    def dec(id: Int): Array[Int] = {
+      val (md, bits) = encodePairs(Mp3Decode.tableEntries(id), 0, pairs)
+      val g = Gr(part23 = bits, bigValues = 4, gain = 190,
+        tableSelect = Seq(id, id, id))
+      wavSamples(Mp3Decode.decode(
+        frame(5, 0, grs = Seq(g, Gr(), Gr(), Gr()), mainData = md) ++
+          frame(5, 0)))
+    }
+    val ref = dec(7)
+    assert(ref.exists(_ != 0))
+    for (id <- Seq(8, 9, 10, 12))
+      assert(dec(id).sameElements(ref), s"table $id vs 7")
+  }
+
+  test("linbits escape mechanism: synthetic complete 16x16 tables (test seam)") {
+    // identity table — all 256 length-8 codes, a complete prefix
+    // code by construction — registered at two ids with DIFFERENT
+    // linbits widths; the same escaped spectrum through both must
+    // decode identically, proving the escape walk reads exactly
+    // `linbits` bits before the sign in both positions
+    val ents = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x, y, 8, x * 16 + y)).toArray
+    def fr(id: Int, md: Array[Byte], bits: Int) = frame(5, 0,
+      grs = Seq(Gr(part23 = bits, bigValues = 2, gain = 180,
+        tableSelect = Seq(id, id, id)), Gr(), Gr(), Gr()),
+      mainData = md) ++ frame(5, 0)
+    // pairs: x-escape with sign, plain y; then y-escape; values equal
+    // across both ids (17 = 15+2, 16 = 15+1)
+    val pairs = Seq((-17, 1), (0, 16))
+    try {
+      // pre-registration: both ids triage to NULL (registry contract)
+      val (md0, bits0) = encodePairs(ents, 8, pairs)
+      assert(Mp3Decode.decode(fr(21, md0, bits0)) == null)
+      Mp3Decode.registerBigTableForTest(21, 16, ents) // linbits 8
+      Mp3Decode.registerBigTableForTest(23, 16, ents) // linbits 13
+      val (md21, bits21) = encodePairs(ents, 8, pairs)
+      val (md23, bits23) = encodePairs(ents, 13, pairs)
+      assert(bits23 == bits21 + 2 * 5) // two escapes × 5 wider linbits
+      val a = wavSamples(Mp3Decode.decode(fr(21, md21, bits21)))
+      val b = wavSamples(Mp3Decode.decode(fr(23, md23, bits23)))
+      assert(a.exists(_ != 0))
+      assert(a.sameElements(b))
+      // the registered table also survives the structural validator
+      // used for shipped data (it IS the same validator)
+    } finally Mp3Decode.clearTestTables()
+    // post-clear: triage again
+    val (mdz, bitsz) = encodePairs(ents, 8, pairs)
+    assert(Mp3Decode.decode(fr(21, mdz, bitsz)) == null)
+  }
+
   test("intensity bound snaps UP to a scalefactor-band edge (mid-band zero bound)") {
     // left: two count1 quads (lines 0–7 = +1); right: one quad
     // (1,1,1,0) → lines 0–2 = +1, raw zero bound 3 — MID-BAND (band 0
@@ -405,6 +517,30 @@ class Mp3Spec extends AnyFunSuite {
     val f = frame(5, 0)
     val wav = Mp3Decode.decode(id3 ++ f ++ f)
     assert(wav != null && wavSamples(wav).length == 2 * 1152)
+  }
+
+  test("q192's in-plan frame literals match the independent builder byte-for-byte") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val zeroGr = Gr(gain = 0, count1TableB = false)
+    def built(id: Int): Array[Byte] = {
+      val (md, bits) = encodePairs(Mp3Decode.tableEntries(id), 0,
+        Seq.fill(4)((1, 1)))
+      frame(1, 0, grs = Seq(Gr(part23 = bits, bigValues = 4, gain = 200,
+        tableSelect = Seq(id, id, id)), zeroGr, zeroGr, zeroGr),
+        mainData = md)
+    }
+    def litF(si10: String, md: String, pad: Int) =
+      hx("FFFB10C0" + si10 + "00" * 7 + md + "00" * pad)
+    val lits = Map(
+      7 -> litF("000000600990039CE008", "30C30C", 80),
+      8 -> litF("00000040099004210008", "4444", 81),
+      9 -> litF("00000050099004A52008", "8421", 81),
+      10 -> litF("00000060099005294008", "30C30C", 80),
+      12 -> litF("00000050099006318008", "A52940", 80))
+    for ((id, l) <- lits)
+      assert(java.util.Arrays.equals(built(id), l),
+        s"table $id literal drifted from the builder")
   }
 
   test("q185's in-plan frame literals match the independent builder byte-for-byte") {
