@@ -3816,6 +3816,42 @@ object SparkEntry {
           (col("_silA") === 0).as("nonsilent")) // silent is an INT flag
     }),
 
+    // AAC (ADTS) metadata under the ORACLE gate — the crawl's other
+    // lossy audio half through [[graft.expr.AudioMeta]]'s REAL frame
+    // walk (every header re-validated, frame_length-advanced; no CBR
+    // estimate). The construction sweeps the full geometry space —
+    // all 13 sampling_frequency_index rates × channel configs 1–7
+    // (7 → 7.1 = 8ch) × 1–4 frames × varying payload sizes — and the
+    // oracle replays the rate table, the channel rule and
+    // 1024-samples-per-frame relationally.
+    "q193_adts_meta" -> ((s, dir) => {
+      Graft.tune(s)
+      val id = col("doc_id")
+      val srIdx = pmod(id, lit(13L)).cast(IntegerType)
+      val chCfg = (pmod(id, lit(7L)) + 1).cast(IntegerType)
+      val nF = (pmod(id, lit(4L)) + 1).cast(IntegerType)
+      val pay = pmod(id * 3, lit(9L)).cast(IntegerType)
+      val frameLen = lit(7) + pay
+      def bh(c: Column) = lpad(hex(c), 2, "0")
+      val hdr = concat(lit("FFF1"),
+        bh(lit(0x40) + srIdx * 4 + shiftright(chCfg, 2)),
+        bh(pmod(chCfg, lit(4)) * 64 + shiftright(frameLen, 11)),
+        bh(pmod(shiftright(frameLen, 3), lit(256))),
+        bh(pmod(frameLen, lit(8)) * 32 + 31),
+        lit("FC"))
+      val frameHex = concat(hdr, call_function("repeat", lit("5A"), pay))
+      val adts = unhex(array_join(
+        transform(sequence(lit(1), nF), _ => frameHex), ""))
+      val m = call_function(graft.expr.AudioMeta.FunctionName, adts)
+      tp(s, dir, "documents").select(id, m.as("_m"))
+        .select(col("doc_id"),
+          col("_m.format").as("format"),
+          col("_m.channels").as("channels"),
+          col("_m.sample_rate").as("sample_rate"),
+          col("_m.bit_depth").as("bit_depth"),
+          col("_m.n_frames").as("n_frames"))
+    }),
+
     // Materialized RESIZE under the ORACLE gate: integer box-mean
     // thumbnails (the explicit vision-preprocessing stage; OpenCV
     // INTER_AREA semantics made engine-exact by floor arithmetic) —
@@ -7341,6 +7377,22 @@ object SparkEntry {
               CAST(2304 AS BIGINT) AS n_samples,
               true AS arms_equal,
               true AS nonsilent
+       FROM documents""",
+
+    // sampling_frequency_index table + channel rule (7 -> 7.1 = 8ch)
+    // + 1024 samples per raw data block, one block per frame
+    "q193_adts_meta" ->
+      """SELECT doc_id, 'aac' AS format,
+              CAST(CASE WHEN doc_id % 7 + 1 = 7 THEN 8
+                   ELSE doc_id % 7 + 1 END AS INTEGER) AS channels,
+              CAST(CASE doc_id % 13
+                   WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+                   WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+                   WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+                   WHEN 9 THEN 12000 WHEN 10 THEN 11025 WHEN 11 THEN 8000
+                   ELSE 7350 END AS INTEGER) AS sample_rate,
+              CAST(16 AS INTEGER) AS bit_depth,
+              CAST((doc_id % 4 + 1) * 1024 AS BIGINT) AS n_frames
        FROM documents""",
 
     // LSF silence: geometry replays from the version-indexed rate

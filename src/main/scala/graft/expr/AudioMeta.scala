@@ -39,6 +39,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *    advisory). n_frames = the last complete page's granule
   *    position (total PCM samples for Vorbis; minus pre-skip for
   *    Opus, per RFC 7845 §4).
+  *  - AAC (ADTS): the other half of the crawl's lossy audio. Sync
+  *    0xFFF with LAYER 00 — the reserved layer value no MPEG
+  *    audio frame carries, so the ADTS/MP3 dispatch is exact — then
+  *    a REAL whole-stream frame walk (not the MP3 branch's CBR
+  *    estimate): each 7/9-byte header (CRC adds 2) is re-validated,
+  *    aac_frame_length advances the walk, and n_frames sums
+  *    1024 × number_of_raw_data_blocks per frame. Rate/channels
+  *    from the sampling_frequency_index table and
+  *    channel_configuration (7 → 7.1 = 8 ch; 0 = PCE-defined →
+  *    triage, the config lives inside the payload this walk never
+  *    decodes). A truncated final frame stops the walk at the last
+  *    complete frame; a mid-stream rate/channel flip triages (one
+  *    stream, one format). Detection is raw-stream (ID3-tagged AAC
+  *    triages — tag walk stays with the MP3 branch). SAMPLE decode
+  *    stays behind the `Multimodal.AudioDecoder` seam: AAC's
+  *    spectrum Huffman codebooks are tabulated spec data this
+  *    clean-room build does not embed (the Mp3Decode registry
+  *    honesty line).
   *
   * Lossy formats carry no PCM bit depth; they report 16, the decoded
   * width convention, so the one schema serves both families.
@@ -103,13 +121,46 @@ object AudioMeta {
     * generated code can call it (the ImageMeta pattern).
     */
   def parse(b: Array[Byte]): InternalRow = {
-    if (b == null || b.length < 12) return null
-    if (tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE") return parseWav(b)
+    if (b == null || b.length < 7) return null // 7 = one bare ADTS header
+    if (b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")
+      return parseWav(b)
     if (b.length >= 42 && tag(b, 0) == "fLaC") return parseFlac(b)
     if (tag(b, 0) == "OggS") return parseOgg(b)
     if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') return parseMp3(b)
+    // layer 00 is reserved in MPEG audio and REQUIRED in ADTS — the
+    // one header bit-pattern that separates the two syncs exactly
+    if ((b(0) & 0xff) == 0xff && (b(1) & 0xf6) == 0xf0) return parseAdts(b)
     if ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) return parseMp3(b)
     null
+  }
+
+  // ---- AAC (ADTS) ------------------------------------------------------
+
+  // ISO 13818-7 / 14496-3 sampling_frequency_index table
+  private val AdtsRates: Array[Int] = Array(96000, 88200, 64000, 48000,
+    44100, 32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  private def parseAdts(b: Array[Byte]): InternalRow = {
+    var o = 0
+    var ch = 0; var rate = 0; var samples = 0L; var n = 0
+    while (o + 7 <= b.length &&
+        (b(o) & 0xff) == 0xff && (b(o + 1) & 0xf6) == 0xf0) {
+      val srIdx = (b(o + 2) >> 2) & 0xf
+      if (srIdx >= AdtsRates.length) return null
+      val chCfg = ((b(o + 2) & 0x1) << 2) | ((b(o + 3) & 0xff) >> 6)
+      val frameLen = ((b(o + 3) & 0x3) << 11) | ((b(o + 4) & 0xff) << 3) |
+        ((b(o + 5) & 0xff) >> 5)
+      val blocks = (b(o + 6) & 0x3) + 1
+      val hdrLen = if ((b(o + 1) & 0x1) == 0) 9 else 7 // CRC present = +2
+      if (frameLen < hdrLen) return null
+      val c = if (chCfg == 7) 8 else chCfg
+      if (n == 0) { rate = AdtsRates(srIdx); ch = c }
+      else if (AdtsRates(srIdx) != rate || c != ch) return null
+      if (o + frameLen > b.length) o = b.length // truncated final frame
+      else { samples += 1024L * blocks; o += frameLen; n += 1 }
+    }
+    if (n == 0) return null
+    row("aac", ch, rate, 16, samples)
   }
 
   // ---- MP3 -----------------------------------------------------------

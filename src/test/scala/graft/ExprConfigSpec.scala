@@ -673,6 +673,53 @@ class ExprConfigSpec extends SparkSpec {
       oggPage(2, 0L, Array.fill[Byte](30)(7))) == null)
   }
 
+  test("graft_audio_meta walks ADTS (AAC) frames exactly") {
+    def adtsHdr(srIdx: Int, chCfg: Int, frameLen: Int, blocks: Int = 1,
+        crc: Boolean = false): Array[Byte] = Array[Byte](
+      0xFF.toByte, (0xF0 | (if (crc) 0 else 1)).toByte,
+      (0x40 | (srIdx << 2) | (chCfg >> 2)).toByte,
+      (((chCfg & 3) << 6) | (frameLen >> 11)).toByte,
+      ((frameLen >> 3) & 0xff).toByte,
+      (((frameLen & 7) << 5) | 0x1f).toByte,
+      (0xfc | (blocks - 1)).toByte)
+    // 3 frames, LC 44.1 kHz stereo, varying payload sizes (incl. 0)
+    val s = adtsHdr(4, 2, 7 + 13) ++ Array.fill[Byte](13)(0x11) ++
+      adtsHdr(4, 2, 7 + 5) ++ Array.fill[Byte](5)(0x22) ++
+      adtsHdr(4, 2, 7)
+    val m = graft.expr.AudioMeta.parse(s)
+    assert(m != null && m.getUTF8String(0).toString == "aac" &&
+      m.getInt(1) == 2 && m.getInt(2) == 44100 && m.getInt(3) == 16 &&
+      m.getLong(4) == 3L * 1024, m)
+    // CRC variant (9-byte header floor) with 2 raw data blocks; 8 kHz
+    // mono; frameLen covers header + CRC + payload
+    val mc = graft.expr.AudioMeta.parse(
+      adtsHdr(11, 1, 13, blocks = 2, crc = true) ++ Array.fill[Byte](6)(0))
+    assert(mc != null && mc.getInt(1) == 1 && mc.getInt(2) == 8000 &&
+      mc.getLong(4) == 2048L, mc)
+    // channel_configuration 7 is 7.1 = 8 channels
+    val m71 = graft.expr.AudioMeta.parse(adtsHdr(3, 7, 7))
+    assert(m71 != null && m71.getInt(1) == 8 && m71.getInt(2) == 48000)
+    // truncated final frame: the walk stops at the last complete one
+    val t = adtsHdr(4, 2, 20) ++ Array.fill[Byte](13)(1) ++
+      adtsHdr(4, 2, 50) ++ Array.fill[Byte](10)(1)
+    val mt = graft.expr.AudioMeta.parse(t)
+    assert(mt != null && mt.getLong(4) == 1024L, mt)
+    // mid-stream rate flip / bad srIdx / frameLen under the header /
+    // PCE-defined channels (cfg 0) all triage to null
+    assert(graft.expr.AudioMeta.parse(
+      adtsHdr(4, 2, 7) ++ adtsHdr(5, 2, 7)) == null)
+    assert(graft.expr.AudioMeta.parse(
+      adtsHdr(13, 2, 20) ++ Array.fill[Byte](13)(0)) == null)
+    assert(graft.expr.AudioMeta.parse(adtsHdr(4, 2, 3)) == null)
+    assert(graft.expr.AudioMeta.parse(adtsHdr(4, 0, 7)) == null)
+    // layer 00 dispatch is exact: an MPEG-1 Layer III sync (layer 01)
+    // still routes to the mp3 branch, not ADTS
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x40) ++
+      Array.fill[Byte](417 - 4)(0x55)
+    val m3 = graft.expr.AudioMeta.parse(mp3)
+    assert(m3 != null && m3.getUTF8String(0).toString == "mp3")
+  }
+
   test("graft_audio_stats decodes WAV PCM samples exactly, nulls the rest") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
