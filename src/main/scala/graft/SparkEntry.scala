@@ -3852,6 +3852,91 @@ object SparkEntry {
           col("_m.n_frames").as("n_frames"))
     }),
 
+    // WEBP (VP8L lossless) pixel decode under the ORACLE gate — the
+    // modern web's image format through the hand decoder
+    // ([[graft.expr.Vp8lDecode]]). Five stream arms per doc: flat
+    // color (zero-bit trees), two-tone literals, a 4-entry palette
+    // with sub-byte packing, an LZ77 row copy through the 2D
+    // distance map, and the subtract-green transform. VP8L is
+    // LOSSLESS, so the oracle replays the planted formulas exactly —
+    // a wrong canonical code, packing width, distance map entry or
+    // transform inverse cannot reproduce the sums. Fixtures come
+    // from the independent Vp8lBuild encoder (a builder UDF —
+    // LSB-first bit packing is not expressible relationally, the
+    // q164 GifBuild argument). id%11==7 docs are text (triage: NULL
+    // stats).
+    "q194_webp_pixels" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.expr.Vp8lBuild
+      val gen = udf { (id: Long) =>
+        val w = (id % 4 + 4).toInt
+        val h = (id % 3 + 3).toInt
+        def gray(v: Int) = 0xff000000 | (v << 16) | (v << 8) | v
+        val vp8l = (id % 5).toInt match {
+          case 0 =>
+            val v0 = ((id * 37) % 256).toInt
+            Vp8lBuild.literal(w, h, Array.fill(w * h)(gray(v0)))
+          case 1 =>
+            val vA = (10 + (id * 13) % 200).toInt
+            Vp8lBuild.literal(w, h, Array.tabulate(w * h)(i =>
+              if ((i % w + i / w) % 2 == 0) gray(vA) else gray(vA + 40)))
+          case 2 =>
+            Vp8lBuild.palette(w, h,
+              Array.tabulate(4)(k => gray(20 + 50 * k)),
+              Array.tabulate(w * h)(_ % 4))
+          case 3 =>
+            Vp8lBuild.rowCopy(w, h,
+              Array.tabulate(w)(x => gray(30 + 20 * x)))
+          case _ =>
+            Vp8lBuild.subtractGreen(w, h, Array.tabulate(w * h)(i =>
+              if ((i % w + i / w) % 2 == 0) 0xff285a8c // (40, 90, 140)
+              else 0xffc89664)) // (200, 150, 100)
+        }
+        Vp8lBuild.container(vp8l)
+      }
+      val id = col("doc_id")
+      val content = when(pmod(id, lit(11L)) === 7,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(gen(id))
+      val m = call_function(graft.expr.PixelStats.FunctionName, content)
+      tp(s, dir, "documents").select(id.as("media_id"), m.as("_m"))
+        .select(col("media_id"),
+          col("_m.format").as("format"), col("_m.width").as("width"),
+          col("_m.height").as("height"),
+          col("_m.n_pixels").as("n_pixels"), col("_m.sum").as("sum"),
+          col("_m.pmin").as("pmin"), col("_m.pmax").as("pmax"),
+          col("_m.constant").as("constant"))
+    }),
+
+    // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
+    // through the shared walk and box-mean-resizes to 2×2 — block
+    // means are exact (boxes align with the 4×4 blocks), so the
+    // oracle replays the resized stats relationally. q191's webp
+    // sibling.
+    "q195_webp_thumbnail" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.expr.Vp8lBuild
+      val gen = udf { (id: Long) =>
+        val u = (20 + (id * 19) % 200).toInt
+        def gray(v: Int) = 0xff000000 | (v << 16) | (v << 8) | v
+        Vp8lBuild.container(Vp8lBuild.literal(8, 8,
+          Array.tabulate(64)(i =>
+            if ((i % 8 / 4 + i / 8 / 4) % 2 == 0) gray(u) else gray(u + 30))))
+      }
+      val id = col("doc_id")
+      val thumb = call_function(graft.expr.ResizePixels.FunctionName,
+        gen(id), lit(2), lit(2))
+      val m = call_function(graft.expr.PixelStats.FunctionName, thumb)
+      tp(s, dir, "documents").select(id.as("media_id"), m.as("_m"))
+        .select(col("media_id"),
+          col("_m.format").as("format"), col("_m.width").as("width"),
+          col("_m.height").as("height"),
+          col("_m.n_pixels").as("n_pixels"), col("_m.sum").as("sum"),
+          col("_m.pmin").as("pmin"), col("_m.pmax").as("pmax"),
+          col("_m.constant").as("constant"))
+    }),
+
     // Materialized RESIZE under the ORACLE gate: integer box-mean
     // thumbnails (the explicit vision-preprocessing stage; OpenCV
     // INTER_AREA semantics made engine-exact by floor arithmetic) —
@@ -7393,6 +7478,56 @@ object SparkEntry {
                    ELSE 7350 END AS INTEGER) AS sample_rate,
               CAST(16 AS INTEGER) AS bit_depth,
               CAST((doc_id % 4 + 1) * 1024 AS BIGINT) AS n_frames
+       FROM documents""",
+
+    // VP8L is lossless: every arm's stats replay from the planted
+    // formulas (na = even-parity cell count of the checkerboard)
+    "q194_webp_pixels" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 + 4 AS w,
+                  doc_id % 3 + 3 AS h, doc_id % 5 AS arm
+           FROM documents),
+         c AS (SELECT id, w, h, arm, w*h AS n,
+                  (w*h + (w%2)*(h%2)) // 2 AS na,
+                  10 + (id*13) % 200 AS va,
+                  (id*37) % 256 AS v0
+               FROM d)
+       SELECT id AS media_id,
+              CASE WHEN id % 11 = 7 THEN NULL ELSE 'webp' END AS format,
+              CASE WHEN id % 11 = 7 THEN NULL
+                   ELSE CAST(w AS INTEGER) END AS width,
+              CASE WHEN id % 11 = 7 THEN NULL
+                   ELSE CAST(h AS INTEGER) END AS height,
+              CASE WHEN id % 11 = 7 THEN NULL
+                   ELSE CAST(n AS BIGINT) END AS n_pixels,
+              CASE WHEN id % 11 = 7 THEN NULL ELSE CAST(CASE arm
+                   WHEN 0 THEN 3*n*v0
+                   WHEN 1 THEN 3*(na*va + (n-na)*(va+40))
+                   WHEN 2 THEN 3*(((n+3)//4)*20 + ((n+2)//4)*70 +
+                                  ((n+1)//4)*120 + (n//4)*170)
+                   WHEN 3 THEN 3*h*(30*w + 10*w*(w-1))
+                   ELSE na*270 + (n-na)*450 END AS BIGINT) END AS sum,
+              CASE WHEN id % 11 = 7 THEN NULL ELSE CAST(CASE arm
+                   WHEN 0 THEN v0 WHEN 1 THEN va WHEN 2 THEN 20
+                   WHEN 3 THEN 30 ELSE 40 END AS INTEGER) END AS pmin,
+              CASE WHEN id % 11 = 7 THEN NULL ELSE CAST(CASE arm
+                   WHEN 0 THEN v0 WHEN 1 THEN va + 40 WHEN 2 THEN 170
+                   WHEN 3 THEN 30 + 20*(w-1) ELSE 200 END
+                AS INTEGER) END AS pmax,
+              CASE WHEN id % 11 = 7 THEN NULL
+                   ELSE CAST(CASE arm WHEN 0 THEN 1 ELSE 0 END
+                     AS INTEGER) END AS constant
+       FROM c""",
+
+    // exact 4×4-block box means: the 2×2 thumbnail carries two u and
+    // two u+30 cells
+    "q195_webp_thumbnail" ->
+      """SELECT doc_id AS media_id, 'ppm' AS format,
+              CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+              CAST(4 AS BIGINT) AS n_pixels,
+              CAST(12*(20 + (doc_id*19) % 200) + 180 AS BIGINT) AS sum,
+              CAST(20 + (doc_id*19) % 200 AS INTEGER) AS pmin,
+              CAST(50 + (doc_id*19) % 200 AS INTEGER) AS pmax,
+              CAST(0 AS INTEGER) AS constant
        FROM documents""",
 
     // LSF silence: geometry replays from the version-indexed rate

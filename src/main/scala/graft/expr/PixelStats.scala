@@ -189,6 +189,12 @@ object PixelStats {
     }
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
       return imageio(b, "gif")
+    // WEBP: VP8L (lossless) through the hand decoder — the JDK has
+    // no WebP reader, so lossy VP8 payloads triage inside the walk
+    if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P')
+      return Vp8lDecode.decode(b)
     // TIFF via the JDK's own ImageIO TIFF plugin (standard since
     // JDK 9); the ImageMeta IFD walk supplies the bomb-guard dims
     if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
