@@ -92,6 +92,7 @@ object Graft {
     graft.expr.AviFrames.register(spark)
     graft.expr.Mp4Frames.register(spark)
     graft.expr.GifFrames.register(spark)
+    graft.expr.H264Frames.register(spark)
     graft.expr.VideoMeta.register(spark)
     graft.expr.WarcRecords.register(spark)
     graft.expr.RtfToText.register(spark)

@@ -3909,6 +3909,69 @@ object SparkEntry {
           col("_m.constant").as("constant"))
     }),
 
+    // H.264 metadata under the ORACLE gate — dims from the SPS
+    // (cropping arithmetic included), the elementary stream's no-clock
+    // contract (duration/timescale 0), and the per-NAL frame walk
+    // (n_frames = the graft_h264_frames array size). The construction
+    // sweeps MB dims × crop offsets × frame counts; id%9==5 docs are
+    // text (triage: NULL columns).
+    "q196_h264_meta" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (id: Long) =>
+        val wm = (id % 3 + 1).toInt
+        val hm = (id % 2 + 1).toInt
+        val nf = (id % 4 + 1).toInt
+        graft.expr.H264Build.grayStream(wm, hm,
+          (0 until nf).map(f => Array.fill[Byte](wm * 16 * hm * 16)(
+            ((id + f * 19) % 256).toByte)),
+          cropL = (id % 2).toInt, cropR = ((id % 5) % 2).toInt,
+          cropT = ((id % 7) % 2).toInt)
+      }
+      val id = col("doc_id")
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(gen(id))
+      val m = call_function(graft.expr.VideoMeta.FunctionName, content)
+      val nF = size(call_function(graft.expr.H264Frames.FunctionName,
+        content, lit(8)))
+      tp(s, dir, "documents").select(id, m.as("_m"), nF.as("_n"))
+        .select(col("doc_id"),
+          col("_m.format").as("format"), col("_m.width").as("width"),
+          col("_m.height").as("height"),
+          col("_m.duration_ms").as("duration_ms"),
+          col("_m.timescale").as("timescale"),
+          col("_n").as("n_frames"))
+    }),
+
+    // H.264 I_PCM pixel decode under the ORACLE gate — all-I_PCM IDR
+    // frames are the format's one entropy-free macroblock type, so
+    // the planted constant-gray frames decode BIT-EXACTLY through
+    // videoFrames' standard dispatch (graft_h264_frames → PPM →
+    // PixelStats): per-frame sums, extrema, exact mean and zero
+    // variance all replay relationally. id%9==5 docs are text
+    // (triage: no rows — the frames array is NULL).
+    "q197_h264_ipcm_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val gen = udf { (id: Long) =>
+        val wm = (id % 2 + 1).toInt
+        val nf = (id % 3 + 1).toInt
+        graft.expr.H264Build.grayStream(wm, 1,
+          (0 until nf).map(f => Array.fill[Byte](wm * 16 * 16)(
+            ((id * 31 + f * 47) % 256).toByte)))
+      }
+      val id = col("doc_id")
+      val content = when(pmod(id, lit(9L)) === 5,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(gen(id))
+      val media = tp(s, dir, "documents")
+        .select(id.as("media_id"), lit("video").as("kind"),
+          content.as("content"))
+      Multimodal.videoFrameStats(media, maxFrames = 8)
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -7517,6 +7580,49 @@ object SparkEntry {
                    ELSE CAST(CASE arm WHEN 0 THEN 1 ELSE 0 END
                      AS INTEGER) END AS constant
        FROM c""",
+
+    // SPS dims minus crop units (4:2:0 → ×2), no clock in an
+    // elementary stream, slice count = frame count
+    "q196_h264_meta" ->
+      """SELECT doc_id,
+              CASE WHEN doc_id % 9 = 5 THEN NULL ELSE 'h264' END AS format,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   ELSE CAST((doc_id % 3 + 1) * 16 -
+                        ((doc_id % 2) + (doc_id % 5) % 2) * 2
+                     AS INTEGER) END AS width,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   ELSE CAST((doc_id % 2 + 1) * 16 - ((doc_id % 7) % 2) * 2
+                     AS INTEGER) END AS height,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   ELSE CAST(0 AS BIGINT) END AS duration_ms,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   ELSE CAST(0 AS INTEGER) END AS timescale,
+              CASE WHEN doc_id % 9 = 5 THEN NULL
+                   ELSE CAST(doc_id % 4 + 1 AS INTEGER) END AS n_frames
+       FROM documents""",
+
+    // constant-gray I_PCM frames: exact sums, extrema, mean and zero
+    // variance per (doc, frame); PPM blob length = 13 + w·h·3 (the
+    // "P6\n{w} {h}\n255\n" header at 2-digit dims)
+    "q197_h264_ipcm_stats" ->
+      """WITH d AS (SELECT doc_id AS id, (doc_id % 2 + 1) * 16 AS w,
+                  doc_id % 3 + 1 AS nf
+           FROM documents WHERE doc_id % 9 <> 5),
+         f AS (SELECT id, w, r.fr, (id*31 + r.fr*47) % 256 AS v
+               FROM d JOIN range(0, 3) r(fr) ON r.fr < nf)
+       SELECT id AS media_id, CAST(fr AS INTEGER) AS frame_idx,
+              CAST(13 + w*16*3 AS BIGINT) AS n_bytes,
+              'ppm' AS format, CAST(w AS INTEGER) AS width,
+              CAST(16 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(w*16 AS BIGINT) AS n_pixels,
+              CAST(3*w*16*v AS BIGINT) AS sum,
+              CAST(3*w*16*v*v AS BIGINT) AS sumsq,
+              CAST(v AS INTEGER) AS pmin, CAST(v AS INTEGER) AS pmax,
+              CAST(1 AS INTEGER) AS constant,
+              CAST(v AS DOUBLE) AS mean,
+              CAST(0 AS DOUBLE) AS variance
+       FROM f""",
 
     // exact 4×4-block box means: the 2×2 thumbnail carries two u and
     // two u+30 cells

@@ -198,6 +198,19 @@ object VideoMeta {
     if (tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ") return parseAvi(b)
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a') return parseGif(b)
+    // raw H.264 Annex B elementary stream: start code + an SPS NAL
+    // (the raw-.h264 convention, and the anti-false-positive rule for
+    // zero-leading binaries). Elementary streams carry no clock —
+    // duration_ms/timescale report 0 and n/a; dims come from the SPS
+    // with cropping applied; the real per-NAL frame walk is
+    // graft_h264_frames' job.
+    if (b(0) == 0 && b(1) == 0 &&
+        ((b(2) == 1 && (b(3) & 0x9f) == 7) ||
+         (b(2) == 0 && b(3) == 1 && (b(4) & 0x9f) == 7))) {
+      val m = H264.meta(b)
+      if (m == null) return null
+      return InternalRow(UTF8String.fromString("h264"), m._1, m._2, 0L, 0)
+    }
     // an ISO BMFF file leads with ftyp (mp4/mov brands); require it so
     // arbitrary binaries with a lucky moov string don't parse
     if (tag(b, 4) != "ftyp") return null

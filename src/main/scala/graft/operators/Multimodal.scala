@@ -422,6 +422,10 @@ object Multimodal {
       call_function(graft.expr.Mp4Frames.FunctionName,
         col(contentCol), lit(maxFrames)),
       call_function(graft.expr.GifFrames.FunctionName,
+        col(contentCol), lit(maxFrames)),
+      // raw H.264 Annex B: I_PCM IDR frames decode to PPM blobs,
+      // entropy-coded positions stay null (the decoder contract)
+      call_function(graft.expr.H264Frames.FunctionName,
         col(contentCol), lit(maxFrames)))
     media.select(col("media_id"), fs.as("_fs"))
       .filter(col("_fs").isNotNull)
@@ -464,6 +468,10 @@ object Multimodal {
       call_function(graft.expr.Mp4Frames.FunctionName,
         col(contentCol), lit(maxFrames)),
       call_function(graft.expr.GifFrames.FunctionName,
+        col(contentCol), lit(maxFrames)),
+      // raw H.264 Annex B: I_PCM IDR frames decode to PPM blobs,
+      // entropy-coded positions stay null (the decoder contract)
+      call_function(graft.expr.H264Frames.FunctionName,
         col(contentCol), lit(maxFrames)))
     // typed boundary is Seq[Array[Byte]]: the encoder's nested-array
     // deserializer rejects Array[Array[Byte]] (UnsafeArrayData.array)
