@@ -1159,6 +1159,100 @@ object ScaleShakeout {
         s" cells=${spark.read.parquet(cellsPath)
           .select("centroid_id").distinct().count()}")
     }
+
+    // perceptual MEDIA dedup-on-ingest at corpus scale (round 14 —
+    // the media sibling of dedupIngest*): the bucketed signature
+    // index grows with the corpus while every arrival batch stays
+    // trigger-bounded. Claims under test: (a) the arrival's join
+    // memory is bounded by the BATCH (the index streams through a
+    // LeftSemi SHJ whose hash side is the batch — the round-14
+    // advisor fix), so spill stays 0 and task memory flat across the
+    // decade; (b) re-encodes of indexed images (same pixels, BMP vs
+    // PPM bytes) drop, fresh images survive; (c) committed media
+    // files are NEVER rewritten by later batches (append-only
+    // batch-dir isolation — byte-identity checked by file listing).
+    if (wanted("mediaIngestBuild", "mediaIngestArrival")) {
+      val nMedia = math.max(nDocs / 5, 1000L)
+      val mediaPath = "target/scale_media_ingest.parquet"
+      val sigTable = "scale_media_sigs"
+      spark.sql(s"DROP TABLE IF EXISTS $sigTable")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(mediaPath), true)
+      // deterministic 18×14 gray image per family: pixel brightness
+      // SIGN pattern from the id's LOW 24 bits (the ScaleSpec lesson —
+      // a linear ramp would alias families onto one gradient ahash;
+      // and fresh families must differ in the low bits, not above
+      // bit 24, or they alias onto indexed signatures);
+      // enc 0 = PPM, enc 1 = BMP of the SAME pixels (a re-encode:
+      // different bytes, same perceptual signature)
+      val px = udf { (fam: Long, enc: Int) =>
+        val w = 18; val h = 14
+        def v(x: Int, y: Int): Int =
+          if (((fam >> ((x / 2 + (y / 2) * 9) % 24)) & 1L) == 1L) 220 else 30
+        if (enc == 0) {
+          s"P6\n$w $h\n255\n".getBytes("ISO-8859-1") ++
+            Array.tabulate[Byte](w * h * 3)(i => v(i / 3 % w, i / 3 / w).toByte)
+        } else {
+          val stride = (w * 3 + 3) / 4 * 4
+          def le32(x: Int) = Array[Byte](x.toByte, (x >> 8).toByte,
+            (x >> 16).toByte, (x >> 24).toByte)
+          def le16(x: Int) = Array[Byte](x.toByte, (x >> 8).toByte)
+          val body = new Array[Byte](stride * h)
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            body((h - 1 - y) * stride + x * 3 + c) = v(x, y).toByte
+          "BM".getBytes("ISO-8859-1") ++ le32(54 + body.length) ++
+            le32(0) ++ le32(54) ++ le32(40) ++ le32(w) ++ le32(h) ++
+            le16(1) ++ le16(24) ++ le32(0) ++ le32(body.length) ++
+            le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ body
+        }
+      }
+      def mediaCorpus(n: Long, idOff: Long, famOff: Long,
+          enc: Int): DataFrame =
+        spark.range(n).select((col("id") + idOff).as("media_id"),
+          px(col("id") + famOff, lit(enc)).as("content"))
+      def ingest(batch: DataFrame, bid: Long): DataFrame = {
+        graft.streaming.StreamingIngest.mediaDedupIngestBatch(batch,
+          mediaPath, sigTable, "media_id", "content", gx = 9, gy = 7,
+          buckets = 32, batchId = bid)
+        spark.read.parquet(mediaPath)
+      }
+      run("mediaIngestBuild")(ingest(mediaCorpus(nMedia, 0, 0, enc = 0), 0))
+      val committed = fs.listFiles(
+        new org.apache.hadoop.fs.Path(mediaPath), true)
+      val before = scala.collection.mutable.Map[String, Long]()
+      while (committed.hasNext) {
+        val f = committed.next()
+        before(f.getPath.toString) = f.getLen
+      }
+      // arrival: 2% of corpus — half RE-ENCODES of indexed families
+      // (BMP bytes, new ids: must drop against the index), half fresh
+      // families (must survive); materialized outside the timed
+      // region so in= stays the arrival's own
+      val nArr = nMedia / 50
+      val dups = mediaCorpus(nArr, 10000000L, 0L, enc = 1)
+      val fresh = mediaCorpus(nArr, 20000000L, 5000000L, enc = 0)
+      dups.unionAll(fresh).write.mode("overwrite")
+        .parquet("target/scale_media_batch.parquet")
+      val arrival = spark.read.parquet("target/scale_media_batch.parquet")
+      run("mediaIngestArrival")(ingest(arrival, 1))
+      val total = spark.read.parquet(mediaPath).count()
+      println(s"  mediaIngest rows=$total (expect ${nMedia + nArr}: " +
+        s"all $nMedia built + $nArr fresh, $nArr re-encodes dropped)")
+      val after = fs.listFiles(new org.apache.hadoop.fs.Path(mediaPath), true)
+      var rewritten = 0
+      var seen = 0
+      while (after.hasNext) {
+        val f = after.next()
+        before.get(f.getPath.toString).foreach { len =>
+          seen += 1
+          if (len != f.getLen) rewritten += 1
+        }
+      }
+      println(s"  mediaIngest immutability: ${before.size} committed files," +
+        s" $seen still present, $rewritten rewritten (expect 0)")
+      spark.sql(s"DROP TABLE IF EXISTS $sigTable")
+    }
     spark.stop()
   }
 }
