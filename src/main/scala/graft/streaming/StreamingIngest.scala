@@ -477,9 +477,14 @@ object StreamingIngest {
     val indexExists = spark.catalog.tableExists(sigTable)
     if (batchId >= 0 && indexExists) {
       // prior attempt fully committed (sig write is LAST) → replay
-      // is a no-op. One bucket-pruned lookup against the index.
-      val seen = !spark.table(sigTable)
-        .filter(col("_batch") === batchId).limit(1).isEmpty
+      // is a no-op. One lookup against the index; a pre-marker-era
+      // table (no _batch column) simply can't short-circuit — the
+      // schema check keeps the guard from erroring on it (appends
+      // into such a table still fail loudly at the write, the
+      // honest migration signal).
+      val t = spark.table(sigTable)
+      val seen = t.columns.contains("_batch") &&
+        !t.filter(col("_batch") === batchId).limit(1).isEmpty
       if (seen) return
     }
     val sig = call_function(graft.expr.PixelGridSig.FunctionName,
