@@ -3933,8 +3933,12 @@ object SparkEntry {
             "UTF-8").cast(BinaryType))
         .otherwise(gen(id))
       val m = call_function(graft.expr.VideoMeta.FunctionName, content)
-      val nF = size(call_function(graft.expr.H264Frames.FunctionName,
-        content, lit(8)))
+      // explicit null guard: size(NULL) is conf-dependent (-1 under
+      // legacy sizeOfNull) and the text arm must yield NULL
+      val fsArr = call_function(graft.expr.H264Frames.FunctionName,
+        content, lit(8))
+      val nF = when(fsArr.isNull, lit(null).cast(IntegerType))
+        .otherwise(size(fsArr))
       tp(s, dir, "documents").select(id, m.as("_m"), nF.as("_n"))
         .select(col("doc_id"),
           col("_m.format").as("format"), col("_m.width").as("width"),

@@ -393,12 +393,12 @@ case class H264Frames(child: Expression, maxFrames: Int)
     else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(v: Any): Any =
-    H264Frames.eval(v.asInstanceOf[Array[Byte]], maxFrames)
+    H264Frames.framesEval(v.asInstanceOf[Array[Byte]], maxFrames)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.expr.H264Frames.eval($c, $maxFrames);
+         |${ev.value} = graft.expr.H264Frames.framesEval($c, $maxFrames);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -410,7 +410,14 @@ case class H264Frames(child: Expression, maxFrames: Int)
 object H264Frames {
   val FunctionName = "graft_h264_frames"
 
-  def eval(b: Array[Byte], maxFrames: Int): GenericArrayData = {
+  /** Named framesEval, NOT eval: the companion CLASS inherits
+    * Expression.eval(InternalRow) and scalac suppresses the static
+    * forwarder for any same-named object member — generated code
+    * calling `H264Frames.eval(bytes, n)` fails janino compilation
+    * and the stage silently drops to interpreted evaluation (the
+    * LangIdWide.evalLang lesson, re-learned at sf0.01 verify).
+    */
+  def framesEval(b: Array[Byte], maxFrames: Int): GenericArrayData = {
     val fs = H264.frames(b, maxFrames)
     if (fs == null) null else new GenericArrayData(fs.asInstanceOf[Array[Any]])
   }

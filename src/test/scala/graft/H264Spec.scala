@@ -127,7 +127,7 @@ class H264Spec extends AnyFunSuite {
     assert(m != null && m.getUTF8String(0).toString == "h264" &&
       m.getInt(1) == 16 && m.getInt(2) == 16)
     // the frames expression feeds the shared pixel tier
-    val fs = graft.expr.H264Frames.eval(stream, 8)
+    val fs = graft.expr.H264Frames.framesEval(stream, 8)
     assert(fs != null && fs.numElements() == 1)
     val ppm = fs.getBinary(0)
     val st = graft.expr.PixelStats.parse(ppm)
