@@ -3976,6 +3976,122 @@ object SparkEntry {
       Multimodal.videoFrameStats(media, maxFrames = 8)
     }),
 
+    // FLAC decode under the ORACLE gate — the LOSSLESS audio codec
+    // through the hand decoder ([[graft.expr.FlacDecode]]). Unlike
+    // MP3 (exactly-decodable subset constructions), FLAC decodes
+    // ARBITRARY planted samples bit-exactly, so the oracle replays
+    // the full loudness stats from the sample formula itself.
+    // Fixtures come from the independent FlacBuild encoder (builder
+    // UDF — MSB-first bit packing + Rice coding aren't expressible
+    // relationally, the q164/q194 argument), sweeping subframe modes
+    // × stereo decorrelations × partition orders × block-size and
+    // rate codes — none of which may change the decoded samples:
+    // losslessness IS the gate, so a wrong Rice unmap, predictor
+    // inverse, stereo reconstruction or CRC cannot reproduce the
+    // sums. id%7==3 docs are text (NULL triage through the seam).
+    "q198_flac_decoder_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val gen = udf { (g: Long) =>
+        val n = (g % 48 + 80).toInt
+        val nch = (g % 2 + 1).toInt
+        val rate = (g % 3) match {
+          case 0 => 8000; case 1 => 44100; case _ => 12000
+        }
+        def v(k: Int, c: Int): Int = {
+          val h = g * 64 + k * 2 + c
+          (((((h * h) % 1000003L) * 48271L) >> 8) % 60001L - 30000L).toInt
+        }
+        val samples = Array.tabulate(nch)(c => Array.tabulate(n)(k => v(k, c)))
+        val mode = Seq("fixed2", "lpc", "verbatim", "escape",
+          "fixed1")((g % 5).toInt)
+        val stereo =
+          if (nch == 2) Seq("indep", "left_side", "right_side",
+            "mid_side")(((g / 2) % 4).toInt)
+          else "indep"
+        val bs = Seq(192, 64, 256, 100)((g % 4).toInt)
+        graft.expr.FlacBuild.encode(samples, rate, 16, bs, stereo, mode,
+          partOrder = (g % 2).toInt)
+      }
+      val id = col("doc_id")
+      val content = when(pmod(id, lit(7L)) === 3,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(gen(id))
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStatsVia(media, new Multimodal.FlacDecoder)
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          col("channels"), col("sample_rate"), col("bit_depth"),
+          col("n_frames"), col("n_samples"), col("sum"), col("sumsq"),
+          col("peak"), col("n_clipped"), col("silent"), col("rms"),
+          col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
+    }),
+
+    // Cross-codec near-dup across the LOSSLESS boundary — q185's
+    // FLAC sibling with EXACT twins: each doc ships once as raw PCM
+    // WAV (q168's relational construction) and once as a FLAC encode
+    // of the SAME samples (builder UDF). FLAC is lossless, so both
+    // arms decode to identical PCM through one FlacDecoder seam hop
+    // and the full fingerprint→banding→bucket→Hamming pipeline
+    // replays relationally from the sample formula — no
+    // envelope-bounding lemmas needed. Quadratic (g,k) mixing keeps
+    // fixture structure from minting congruence collisions (the q168
+    // lesson).
+    "q199_flac_crosscodec_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(sParam: String): Column = lit(sParam.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val g = col("doc_id")
+      val n = (g % 32 + 64).cast(IntegerType) // ≥ 64 frames for nFrames=64
+      def sval(k: Column): Column = {
+        val h = g * 37 + k.cast(LongType)
+        pmod(shiftright(pmod(h * h, lit(1000003L)) * 48271, 8),
+          lit(4001L)) - 2000
+      }
+      val dataP = array_join(
+        transform(sequence(lit(0), n - 1), k => {
+          val v = pmod(sval(k), lit(65536L)) // two's complement
+          concat(byteHex(pmod(v, lit(256L))),
+            byteHex(shiftright(v.cast(IntegerType), 8)))
+        }), "")
+      val wavP = concat(ascii("RIFF"), le32(n * 2 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+        ascii("data"), le32(n * 2), unhex(dataP))
+      val genFlac = udf { (gid: Long) =>
+        val nS = (gid % 32 + 64).toInt
+        def v(k: Int): Int = {
+          val h = gid * 37 + k
+          (((((h * h) % 1000003L) * 48271L) >> 8) % 4001L - 2000L).toInt
+        }
+        val mode = Seq("fixed2", "lpc", "verbatim", "escape",
+          "fixed0")((gid % 5).toInt)
+        graft.expr.FlacBuild.encode(Array(Array.tabulate(nS)(v)), 8000,
+          16, 64, "indep", mode, partOrder = (gid % 2).toInt)
+      }
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((g * 2).as("media_id"), wavP.as("content")),
+          struct((g * 2 + 1).as("media_id"), genFlac(g).as("content"))))
+          .as("m"))
+        .select(col("m.media_id").as("media_id"), lit("audio").as("kind"),
+          col("m.content").as("content"))
+      val decoded = Multimodal.audioSamplesVia(media,
+        new Multimodal.FlacDecoder)
+      Multimodal.audioNearDup(decoded)
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -7627,6 +7743,112 @@ object SparkEntry {
               CAST(v AS DOUBLE) AS mean,
               CAST(0 AS DOUBLE) AS variance
        FROM f""",
+
+    // FLAC is lossless, so the stats replay from the planted sample
+    // formula directly — encode mode/stereo/partitioning sweep on the
+    // Spark side CANNOT change them. |v| ≤ 30000 < the int16 rails,
+    // so n_clipped/clip_rate are identically 0 by construction.
+    "q198_flac_decoder_stats" ->
+      """WITH d AS (SELECT doc_id AS g, doc_id % 48 + 80 AS n,
+                  doc_id % 2 + 1 AS ch,
+                  CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+                       ELSE 12000 END AS rate,
+                  doc_id % 7 AS m
+           FROM documents),
+         sv AS (SELECT g, k, c,
+                  ((((g*64 + k*2 + c)*(g*64 + k*2 + c)) % 1000003)
+                    * 48271 >> 8) % 60001 - 30000 AS v
+                FROM d CROSS JOIN range(0, 128) r(k)
+                       CROSS JOIN range(0, 2) rc(c)
+                WHERE k < n AND c < ch),
+         chagg AS (SELECT g, c, SUM(v*v) AS csq, MAX(ABS(v)) AS cpk
+                   FROM sv GROUP BY g, c),
+         agg AS (SELECT g, SUM(v) AS sm, SUM(v*v) AS sq,
+                        MAX(ABS(v)) AS pk
+                 FROM sv GROUP BY g),
+         chs AS (SELECT g,
+                   string_agg(CAST(csq AS VARCHAR), ',' ORDER BY c)
+                     AS ch_sumsq,
+                   string_agg(CAST(cpk AS VARCHAR), ',' ORDER BY c)
+                     AS ch_peak
+                 FROM chagg GROUP BY g)
+       SELECT d.g AS media_id,
+              CASE WHEN d.m = 3 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(44 + 2*d.n*d.ch AS BIGINT) END AS n_bytes,
+              CASE WHEN d.m = 3 THEN NULL ELSE 'wav' END AS format,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(d.ch AS INTEGER) END AS channels,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(d.rate AS INTEGER) END AS sample_rate,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(16 AS INTEGER) END AS bit_depth,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(d.n AS BIGINT) END AS n_frames,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(d.n*d.ch AS BIGINT) END AS n_samples,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(a.sm AS BIGINT) END AS sum,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(a.sq AS BIGINT) END AS sumsq,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(a.pk AS INTEGER) END AS peak,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(0 AS BIGINT) END AS n_clipped,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CASE WHEN a.pk = 0 THEN 1 ELSE 0 END
+              END AS silent,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE ROUND(SQRT(CAST(a.sq AS DOUBLE) / (d.n*d.ch)), 6)
+              END AS rms,
+              CASE WHEN d.m = 3 THEN NULL
+                   ELSE CAST(0.0 AS DOUBLE) END AS clip_rate,
+              CASE WHEN d.m = 3 THEN NULL ELSE c.ch_sumsq END AS ch_sumsq,
+              CASE WHEN d.m = 3 THEN NULL ELSE c.ch_peak END AS ch_peak
+       FROM d JOIN agg a ON a.g = d.g JOIN chs c ON c.g = d.g""",
+
+    // both arms decode to IDENTICAL PCM (losslessness), so the shared
+    // envelope/banding/bucket/Hamming pipeline replays from the
+    // sample formula — q168's SQL shape with the q199 mix
+    "q199_flac_crosscodec_neardup" ->
+      """WITH d AS (SELECT doc_id AS g, doc_id % 32 + 64 AS n FROM documents),
+         sv AS (SELECT g, n, k,
+                  ((((g*37 + k)*(g*37 + k)) % 1000003)
+                    * 48271 >> 8) % 4001 - 2000 AS v
+                FROM d CROSS JOIN range(0, 96) r(k)
+                WHERE k < n),
+         env AS (SELECT s.g, CAST(w.w AS INTEGER) AS w,
+                   CAST(SUM(ABS(s.v)) AS BIGINT) AS e
+                 FROM sv s JOIN range(0, 64) w(w)
+                   ON s.k >= (w.w * s.n) // 64
+                  AND s.k < ((w.w + 1) * s.n) // 64
+                 GROUP BY s.g, w.w),
+         live AS (SELECT g FROM env GROUP BY g HAVING MAX(e) > 0),
+         ehg AS (SELECT a.g,
+                   CAST(SUM(CASE WHEN b.e > a.e
+                             THEN (CAST(1 AS BIGINT) << a.w) ELSE 0 END)
+                        AS BIGINT) AS h
+                 FROM env a
+                 JOIN live USING (g)
+                 JOIN env b ON b.g = a.g AND b.w = a.w + 1
+                 GROUP BY a.g),
+         eh AS (SELECT g*2 AS id, h FROM ehg
+                UNION ALL SELECT g*2+1 AS id, h FROM ehg),
+         bands AS (SELECT id, band,
+                     (h >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM eh CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       SELECT c.id1, c.id2,
+              CAST(bit_count(xor(h1.h, h2.h)) AS INTEGER) AS hamming
+       FROM cand c
+       JOIN eh h1 ON h1.id = c.id1
+       JOIN eh h2 ON h2.id = c.id2
+       WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
 
     // exact 4×4-block box means: the 2×2 thumbnail carries two u and
     // two u+30 cells

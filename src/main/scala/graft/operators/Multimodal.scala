@@ -898,6 +898,25 @@ object Multimodal {
     }
   }
 
+  /** LOSSLESS-codec arm of the [[AudioDecoder]] seam: the hand FLAC
+    * decoder ([[graft.expr.FlacDecode]] — the full format, bit-exact;
+    * nothing in FLAC is tabulated spec data, so unlike MP3 there is
+    * no conformance subset — see its scaladoc). With `passthroughPcm`
+    * (the default) WAV payloads pass through unchanged, so ONE seam
+    * hop feeds the cross-codec fingerprint family FLAC and PCM arms
+    * together — the q185 route with exact twins instead of
+    * envelope-bounded ones. Anything that is neither → null (triage).
+    */
+  final class FlacDecoder(passthroughPcm: Boolean = true) extends AudioDecoder {
+    def decode(p: Array[Byte]): Array[Byte] = {
+      if (passthroughPcm && p != null && p.length >= 12 &&
+          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+        return p
+      graft.expr.FlacDecode.decode(p)
+    }
+  }
+
   /** Audio payloads routed through a pluggable [[AudioDecoder]] —
     * [[videoFramesVia]]'s audio sibling. Returns the same (media_id,
     * kind, content) shape the whole audio tier consumes, with
