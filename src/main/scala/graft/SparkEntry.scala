@@ -4092,6 +4092,108 @@ object SparkEntry {
       Multimodal.audioNearDup(decoded)
     }),
 
+    // OGG/Vorbis through the REAL clean-room decoder — the q184
+    // shape for the xiph lossy family. Silence constructions are
+    // spec-FORCED exact zeros (a floor flagged unused renders IEEE
+    // zero in every conforming decoder, independent of any decoder
+    // constant), so the oracle replays the stats relationally; the
+    // sample-count arithmetic pins the full OGG page walk, header
+    // parse and lap geometry ((prevN+curN)/4 per packet transition,
+    // nothing from the first packet — 128/transition for all-short
+    // streams, 192 for alternating short/long, the mixed arm
+    // exercising the long-window slope machinery end to end).
+    "q200_vorbis_decoder_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      val gen = udf { (g: Long) =>
+        val ch = (g % 2 + 1).toInt
+        val rate = (g % 3) match {
+          case 0 => 8000; case 1 => 44100; case _ => 12000
+        }
+        val k = (g % 5 + 3).toInt
+        graft.expr.VorbisBuild.silence(ch, rate, k,
+          mixedBlocks = (g / 2) % 2 == 0)
+      }
+      val id = col("doc_id")
+      val content = when(pmod(id, lit(7L)) === 3,
+          encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
+            "UTF-8").cast(BinaryType))
+        .otherwise(gen(id))
+      val media = tp(s, dir, "documents").select(id.as("media_id"),
+        lit("audio").as("kind"), content.as("content"))
+      Multimodal.audioStatsVia(media, new Multimodal.VorbisDecoder)
+        .select(col("media_id"), col("n_bytes"), col("format"),
+          col("channels"), col("sample_rate"), col("bit_depth"),
+          col("n_frames"), col("n_samples"), col("sum"), col("sumsq"),
+          col("peak"), col("n_clipped"), col("silent"), col("rms"),
+          col("clip_rate"), col("ch_sumsq"), col("ch_peak"))
+    }),
+
+    // Cross-codec near-dup across the OGG boundary — q185's Vorbis
+    // sibling. Lossy waveforms aren't construction-replayable, but
+    // envelope GRADIENT SIGNS are when the construction pins them:
+    // the Vorbis arm is 129 short-block packets = 128 output
+    // segments of 128 samples; loud window w carries one nonzero
+    // floor+residue packet at index 2w+1, whose output support is
+    // confined to segments 2w and 2w+1 (its own return region plus
+    // its overlap tail — the lap-algebra lemma VorbisSpec pins
+    // exactly), i.e. entirely inside envelope window w; quiet
+    // windows are spec-forced EXACT zeros. The PCM twin is a
+    // 4-sample-per-window sketch with the same loud/quiet pattern.
+    // Both arms' ehash = the pattern's gradient bits — exact
+    // integers — so fingerprints, banding, bucket rule and Hamming
+    // verify replay relationally, q168's shape. No two loud windows
+    // are ever adjacent (odd windows always quiet), so AudioEnvSig
+    // never compares two codec-float windows; the forced window
+    // 2·(g%32) keeps every envelope non-silent.
+    "q201_vorbis_crosscodec_neardup" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Multimodal
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val g = col("doc_id")
+      def loud(w: Column): Column = {
+        val h = g * 64 + w.cast(LongType)
+        (pmod(w.cast(LongType), lit(2L)) === 0) && (
+          pmod(shiftright(pmod(h * h, lit(1000003L)) * 48271, 8),
+            lit(2L)) === 1 ||
+          w.cast(LongType) === (g % 32) * 2)
+      }
+      val genOgg = udf { (gid: Long) =>
+        def isLoud(w: Int): Boolean = {
+          val h = gid * 64 + w
+          w % 2 == 0 && ((((h * h) % 1000003L) * 48271L >> 8) % 2L == 1L ||
+            w == (gid % 32) * 2)
+        }
+        graft.expr.VorbisBuild.pattern(8000, 64, isLoud, seed = gid)
+      }
+      val dataHex = array_join(
+        transform(sequence(lit(0), lit(255)), k =>
+          when(loud(shiftright(k, 2)), lit("E803")).otherwise(lit("0000"))),
+        "")
+      val wavP = concat(ascii("RIFF"), le32(lit(512 + 36)), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+        ascii("data"), le32(lit(512)), unhex(dataHex))
+      val media = tp(s, dir, "documents")
+        .select(explode(array(
+          struct((g * 2).as("media_id"), genOgg(g).as("content")),
+          struct((g * 2 + 1).as("media_id"), wavP.as("content")))).as("m"))
+        .select(col("m.media_id").as("media_id"), lit("audio").as("kind"),
+          col("m.content").as("content"))
+      val decoded = Multimodal.audioSamplesVia(media,
+        new Multimodal.VorbisDecoder)
+      Multimodal.audioNearDup(decoded)
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -7831,6 +7933,87 @@ object SparkEntry {
                  JOIN live USING (g)
                  JOIN env b ON b.g = a.g AND b.w = a.w + 1
                  GROUP BY a.g),
+         eh AS (SELECT g*2 AS id, h FROM ehg
+                UNION ALL SELECT g*2+1 AS id, h FROM ehg),
+         bands AS (SELECT id, band,
+                     (h >> CAST(band*16 AS INTEGER)) & 65535 AS key
+                   FROM eh CROSS JOIN range(0, 4) rb(band)),
+         okb AS (SELECT band, key FROM bands GROUP BY band, key
+                 HAVING COUNT(*) BETWEEN 2 AND 4096),
+         cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+                  FROM bands a
+                  JOIN okb USING (band, key)
+                  JOIN bands b
+                    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       SELECT c.id1, c.id2,
+              CAST(bit_count(xor(h1.h, h2.h)) AS INTEGER) AS hamming
+       FROM cand c
+       JOIN eh h1 ON h1.id = c.id1
+       JOIN eh h2 ON h2.id = c.id2
+       WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // silence is spec-forced exact zeros; the count arithmetic is
+    // the lap geometry: (K−1)·128 all-short, (K−1)·192 alternating
+    // short/long (both slopes of the long window exercised)
+    "q200_vorbis_decoder_stats" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 7 AS m,
+                  doc_id % 2 + 1 AS ch,
+                  CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+                       ELSE 12000 END AS rate,
+                  doc_id % 5 + 3 AS k,
+                  CASE WHEN (doc_id // 2) % 2 = 0 THEN 192
+                       ELSE 128 END AS per
+           FROM documents),
+         e AS (SELECT *, (k - 1) * per AS ns FROM d)
+       SELECT id AS media_id,
+              CASE WHEN m = 3 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(44 + 2*ns*ch AS BIGINT) END AS n_bytes,
+              CASE WHEN m = 3 THEN NULL ELSE 'wav' END AS format,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(ch AS INTEGER) END AS channels,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(rate AS INTEGER) END AS sample_rate,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(16 AS INTEGER) END AS bit_depth,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(ns AS BIGINT) END AS n_frames,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(ns*ch AS BIGINT) END AS n_samples,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(0 AS BIGINT) END AS sum,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(0 AS BIGINT) END AS sumsq,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(0 AS INTEGER) END AS peak,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(0 AS BIGINT) END AS n_clipped,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(1 AS INTEGER) END AS silent,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(0.0 AS DOUBLE) END AS rms,
+              CASE WHEN m = 3 THEN NULL
+                   ELSE CAST(0.0 AS DOUBLE) END AS clip_rate,
+              CASE WHEN m = 3 THEN NULL
+                   WHEN ch = 2 THEN '0,0' ELSE '0' END AS ch_sumsq,
+              CASE WHEN m = 3 THEN NULL
+                   WHEN ch = 2 THEN '0,0' ELSE '0' END AS ch_peak
+       FROM e""",
+
+    // both arms' ehash = the loud-pattern's gradient bits (exact
+    // integers — quiet windows are spec-forced zeros and no two loud
+    // windows are adjacent); fingerprints, banding, bucket rule and
+    // Hamming verify all replay, q185's SQL shape verbatim
+    "q201_vorbis_crosscodec_neardup" ->
+      """WITH d AS (SELECT doc_id AS g FROM documents),
+         lw AS (SELECT g, w FROM d CROSS JOIN range(0, 64) r(w)
+                WHERE w % 2 = 0 AND (
+                  ((((g*64 + w)*(g*64 + w)) % 1000003) * 48271 >> 8) % 2 = 1
+                  OR w = (g % 32) * 2)),
+         ehg AS (SELECT g,
+                   CAST(SUM(CASE WHEN w >= 2
+                        THEN (CAST(1 AS BIGINT) << CAST(w - 1 AS INTEGER))
+                        ELSE 0 END) AS BIGINT) AS h
+                 FROM lw GROUP BY g),
          eh AS (SELECT g*2 AS id, h FROM ehg
                 UNION ALL SELECT g*2+1 AS id, h FROM ehg),
          bands AS (SELECT id, band,

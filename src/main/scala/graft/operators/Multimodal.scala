@@ -917,6 +917,28 @@ object Multimodal {
     }
   }
 
+  /** OGG lossy-codec arm of the [[AudioDecoder]] seam: the
+    * clean-room Vorbis I decoder ([[graft.expr.VorbisDecode]] —
+    * stream-delivered codebooks make the whole format algorithmic,
+    * so unlike MP3 there is no tabulated-data conformance subset;
+    * the single spec constant, the floor1 inverse-dB table, is
+    * generated from its closed form — see its scaladoc). With
+    * `passthroughPcm` (the default) WAV payloads pass through
+    * unchanged, so ONE seam hop feeds the cross-codec fingerprint
+    * family Vorbis and PCM arms together — the q185 route. Anything
+    * that is neither → null (triage).
+    */
+  final class VorbisDecoder(passthroughPcm: Boolean = true)
+      extends AudioDecoder {
+    def decode(p: Array[Byte]): Array[Byte] = {
+      if (passthroughPcm && p != null && p.length >= 12 &&
+          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+        return p
+      graft.expr.VorbisDecode.decode(p)
+    }
+  }
+
   /** Audio payloads routed through a pluggable [[AudioDecoder]] —
     * [[videoFramesVia]]'s audio sibling. Returns the same (media_id,
     * kind, content) shape the whole audio tier consumes, with

@@ -1,0 +1,430 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential suite for the clean-room Vorbis decoder
+  * ([[graft.expr.VorbisDecode]]) against the INDEPENDENT fixture
+  * encoder ([[graft.expr.VorbisBuild]] — own LSB bit writer, bitwise
+  * OGG CRC vs the decoder's table form, literal header writes vs the
+  * parser).
+  *
+  * Gate structure:
+  *  - SILENCE fixtures pin EXACT zeros plus the full lap-geometry
+  *    sample-count arithmetic (short, mixed long/short, mono/stereo,
+  *    coupling present) — spec-forced regardless of any decoder
+  *    constant, the property the q200 oracle replays.
+  *  - The LOUD differential re-implements the ENTIRE synthesis
+  *    chain test-side from the spec text (floor post reconstruction,
+  *    the integer line renderer, the inverse-dB map, residue VQ
+  *    accumulation, a direct no-table IMDCT, the sin(π/2·sin²)
+  *    window, the overlap return region) and pins the decoder's
+  *    int16 output to within 1 LSB of the independent rendering —
+  *    two separately-written implementations of the same public
+  *    spec agreeing numerically.
+  *  - Robustness rows: page CRC rejection, mid-stream foreign
+  *    serial (ragged tail), EOP truncation (valid zeros, not an
+  *    error), packet spanning a page boundary, granule truncation,
+  *    and the loud-support lemma the q201 construction leans on
+  *    (a loud packet's output confined to its two segments).
+  */
+class VorbisSpec extends AnyFunSuite {
+
+  import graft.expr.{VorbisBuild, VorbisDecode}
+
+  private def wavSamples(wav: Array[Byte]):
+      (Int, Int, Array[Array[Int]]) = {
+    assert(wav != null, "decode returned null")
+    assert(new String(wav, 0, 4, "ISO-8859-1") == "RIFF")
+    def u16(o: Int) = (wav(o) & 0xff) | ((wav(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (wav(o) & 0xff) | ((wav(o + 1) & 0xff) << 8) |
+      ((wav(o + 2) & 0xff) << 16) | ((wav(o + 3) & 0xff) << 24)
+    val ch = u16(22)
+    val rate = u32(24)
+    assert(u16(34) == 16, "output depth is 16")
+    val frames = u32(40) / (ch * 2)
+    val out = Array.ofDim[Int](ch, frames)
+    var p = 44
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < ch) {
+        val raw = (wav(p) & 0xff) | ((wav(p + 1) & 0xff) << 8)
+        out(c)(f) = if (raw >= 32768) raw - 65536 else raw
+        p += 2
+        c += 1
+      }
+      f += 1
+    }
+    (ch, rate, out)
+  }
+
+  // ------------------------------------------------------------------
+  // silence: exact zeros + lap-count arithmetic
+  // ------------------------------------------------------------------
+
+  test("silence short blocks, mono: exact zeros, (K-1)*128 samples") {
+    val k = 7
+    val wav = VorbisDecode.decode(VorbisBuild.silence(1, 8000, k,
+      mixedBlocks = false))
+    val (ch, rate, s) = wavSamples(wav)
+    assert(ch == 1 && rate == 8000)
+    assert(s(0).length == (k - 1) * 128)
+    assert(s(0).forall(_ == 0))
+  }
+
+  test("silence mixed long/short, mono: geometry count 192/transition") {
+    val k = 6
+    val wav = VorbisDecode.decode(VorbisBuild.silence(1, 44100, k,
+      mixedBlocks = true))
+    val (_, _, s) = wavSamples(wav)
+    assert(s(0).length == (k - 1) * 192)
+    assert(s(0).length == VorbisBuild.silenceSamples(k, mixedBlocks = true))
+    assert(s(0).forall(_ == 0))
+  }
+
+  test("silence stereo (coupling configured): zeros on both channels") {
+    val k = 5
+    val wav = VorbisDecode.decode(VorbisBuild.silence(2, 12000, k,
+      mixedBlocks = true))
+    val (ch, rate, s) = wavSamples(wav)
+    assert(ch == 2 && rate == 12000)
+    assert(s(0).length == (k - 1) * 192)
+    assert(s(0).forall(_ == 0) && s(1).forall(_ == 0))
+  }
+
+  test("single audio packet primes the lap but yields no PCM → null") {
+    assert(VorbisDecode.decode(
+      VorbisBuild.silence(1, 8000, 1, mixedBlocks = false)) == null)
+  }
+
+  // ------------------------------------------------------------------
+  // the independent loud-path synthesis (spec re-implementation)
+  // ------------------------------------------------------------------
+
+  /** Test-side LCG identical to the builder's packet entropy. */
+  private final class Lcg(seed: Long) {
+    private var s = seed
+    def next2(): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 3).toInt
+    }
+  }
+
+  /** Floor post value for a raw decoded v against a flat 127 line
+    * (predicted = 127, highroom 1, lowroom 127, room 2) — worked
+    * from the spec's amplitude rules; -1 marks "unflagged"
+    * (prediction stands, point skipped by the renderer).
+    */
+  private def postY(v: Int): Int = v match {
+    case 0 => -1
+    case 1 => 126 // odd, below room: predicted - (v+1)/2
+    case 2 => 125 // >= room, lowroom wins: predicted - (v-highroom) - 1
+    case 3 => 124
+  }
+
+  /** Spec §9.2.7 line renderer, written independently. */
+  private def line(x0: Int, y0: Int, x1: Int, y1: Int, buf: Array[Int],
+      n: Int): Unit = {
+    val dy = y1 - y0
+    val adx = x1 - x0
+    var ady = math.abs(dy)
+    val base = dy / adx
+    val sy = if (dy < 0) base - 1 else base + 1
+    ady -= math.abs(base) * adx
+    if (x0 < n) buf(x0) = y0
+    var (x, y, err) = (x0 + 1, y0, 0)
+    while (x < math.min(x1, n)) {
+      err += ady
+      if (err >= adx) { err -= adx; y += sy } else y += base
+      buf(x) = y
+      x += 1
+    }
+  }
+
+  private def invDb(i: Int): Double = math.pow(10.0, (i - 255) * 0.02734375)
+
+  /** The independent model of one loud packet's windowed time-domain
+    * block (length 256): floor curve × residue → direct IMDCT (no
+    * cos table) → window.
+    */
+  private def loudBlock(seed: Long): Array[Double] = {
+    val lcg = new Lcg(seed)
+    val p1 = postY(lcg.next2())
+    val p2 = postY(lcg.next2())
+    // residue: two partitions [0,16) and [16,32), 8 VQ pairs each
+    val res = new Array[Double](128)
+    var part = 0
+    while (part < 2) {
+      var pos = part * 16
+      var l = 0
+      while (l < 8) {
+        val e = lcg.next2()
+        res(pos) += VorbisBuild.VqMults(2 * e) - 2
+        res(pos + 1) += VorbisBuild.VqMults(2 * e + 1) - 2
+        pos += 2
+        l += 1
+      }
+      part += 1
+    }
+    // floor curve over bins [0,128): flat 127-line bent by flagged posts
+    val curve = new Array[Int](128)
+    var lx = 0
+    var ly = 254
+    for ((x, py) <- Seq((32, p1), (64, p2)) if py >= 0) {
+      line(lx, ly, x, py * 2, curve, 128)
+      lx = x
+      ly = py * 2
+    }
+    line(lx, ly, 128, 254, curve, 128)
+    // spectrum, direct IMDCT, window
+    val spec = Array.tabulate(128)(i =>
+      if (res(i) != 0.0) res(i).toFloat * invDb(curve(i)).toFloat else 0f)
+    val out = new Array[Double](256)
+    var j = 0
+    while (j < 256) {
+      var acc = 0.0
+      var kk = 0
+      while (kk < 128) {
+        if (spec(kk) != 0f)
+          acc += spec(kk) *
+            math.cos(math.Pi / 512.0 * ((2L * j + 1 + 128) * (2 * kk + 1) % 1024))
+        kk += 1
+      }
+      val sl = math.sin(math.Pi / 2 * (j + 0.5) / 128)
+      val w =
+        if (j < 128) math.sin(math.Pi / 2 * sl * sl)
+        else {
+          val sr = math.sin(math.Pi / 2 * (255 - j + 0.5) / 128)
+          math.sin(math.Pi / 2 * sr * sr)
+        }
+      out(j) = acc * w
+      j += 1
+    }
+    out
+  }
+
+  test("loud mono differential: decoder matches the independent synthesis") {
+    val windows = 8
+    val loud = Set(1, 4, 6)
+    val stream = VorbisBuild.pattern(8000, windows, loud.contains, seed = 42L)
+    val (ch, _, s) = wavSamples(VorbisDecode.decode(stream))
+    assert(ch == 1)
+    val k = 2 * windows + 1
+    assert(s(0).length == (k - 1) * 128)
+
+    // independent rendering: segment t = tail(packet t) + left(packet t+1)
+    val blocks = Array.tabulate(k) { i =>
+      if (i % 2 == 1 && loud.contains((i - 1) / 2))
+        loudBlock(42L * 131 + i)
+      else new Array[Double](256)
+    }
+    var t = 0
+    var mism = 0
+    while (t < k - 1) {
+      var i = 0
+      while (i < 128) {
+        val v = blocks(t)(128 + i) + blocks(t + 1)(i)
+        var q = math.round(v * 32767.0).toInt
+        if (q > 32767) q = 32767
+        if (q < -32768) q = -32768
+        if (math.abs(q - s(0)(t * 128 + i)) > 1) mism += 1
+        i += 1
+      }
+      t += 1
+    }
+    assert(mism == 0, s"$mism samples differ by more than 1 LSB")
+    // and the rendering is genuinely loud (int16-visible energy)
+    assert(s(0).exists(v => math.abs(v) > 100))
+  }
+
+  test("loud-support lemma: a loud window's output confined to its segments") {
+    val windows = 8
+    // exactly one loud window, w = 3 → packet 7 → segments 6 and 7
+    val stream = VorbisBuild.pattern(8000, windows, _ == 3, seed = 9L)
+    val (_, _, s) = wavSamples(VorbisDecode.decode(stream))
+    val seg = s(0).grouped(128).toArray
+    assert(seg.length == 2 * windows)
+    seg.zipWithIndex.foreach { case (g, i) =>
+      if (i == 6 || i == 7) assert(g.exists(_ != 0), s"segment $i silent")
+      else assert(g.forall(_ == 0), s"segment $i leaked")
+    }
+  }
+
+  test("stereo coupling: loud packet decodes nonzero on both channels") {
+    // hand-built stereo loud packet against the stereo setup
+    val bw = new VorbisBuild.Bw
+    bw.put(0, 1).put(0, 1) // audio, mode 0 (short)
+    bw.put(1, 1).put(127, 7).put(127, 7) // floor ch0
+      .putCode(1, 2).putCode(2, 2)
+    bw.put(1, 1).put(96, 7).put(96, 7) // floor ch1
+      .putCode(3, 2).putCode(1, 2)
+    var part = 0
+    while (part < 2) {
+      bw.putCode(1, 1) // class 1
+      var l = 0
+      while (l < 8) { bw.putCode((l + part) % 4, 2); l += 1 }
+      part += 1
+    }
+    val loudPkt = bw.result()
+    val silent = VorbisBuild.silentPacket(2, longBlock = false,
+      prevLong = false, nextLong = false)
+    val audio = Seq(silent, loudPkt, silent, silent)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VorbisBuild.page(7, 0, 0, 0x02,
+      Seq(VorbisBuild.idHeader(2, 16000))))
+    out.write(VorbisBuild.page(7, 1, 0, 0,
+      Seq(VorbisBuild.commentHeader(), VorbisBuild.setupHeader(2))))
+    out.write(VorbisBuild.page(7, 2, 3 * 128, 0x04, audio))
+    val (ch, rate, s) = wavSamples(VorbisDecode.decode(out.toByteArray))
+    assert(ch == 2 && rate == 16000)
+    assert(s(0).length == 3 * 128)
+    assert(s(0).exists(_ != 0), "magnitude channel silent")
+    assert(s(1).exists(_ != 0), "angle channel silent")
+    // loud packet is index 1 → segments 0 and 1; segment 2 exact zero
+    assert(s(0).drop(256).forall(_ == 0) && s(1).drop(256).forall(_ == 0))
+    // determinism
+    val again = VorbisDecode.decode(out.toByteArray)
+    assert(java.util.Arrays.equals(again,
+      VorbisDecode.decode(out.toByteArray)))
+  }
+
+  // ------------------------------------------------------------------
+  // robustness rows
+  // ------------------------------------------------------------------
+
+  test("page CRC corruption: header page → null; audio page → ragged") {
+    val good = VorbisBuild.silence(1, 8000, 5, mixedBlocks = false)
+    // corrupt one byte inside the setup page body (page 2 of 3)
+    val idPageLen = {
+      val id = VorbisBuild.page(0x67726166, 0, 0, 0x02,
+        Seq(VorbisBuild.idHeader(1, 8000)))
+      id.length
+    }
+    val bad1 = good.clone()
+    bad1(idPageLen + 40) = (bad1(idPageLen + 40) ^ 0x55).toByte
+    assert(VorbisDecode.decode(bad1) == null)
+    // corrupt the final (audio) page: all audio lost → null
+    val bad2 = good.clone()
+    bad2(bad2.length - 1) = (bad2(bad2.length - 1) ^ 0x55).toByte
+    assert(VorbisDecode.decode(bad2) == null)
+  }
+
+  test("mid-stream foreign serial stops the walk: ragged tail kept") {
+    val audio1 = Seq(
+      VorbisBuild.silentPacket(1, longBlock = false, prevLong = false,
+        nextLong = false),
+      VorbisBuild.silentPacket(1, longBlock = false, prevLong = false,
+        nextLong = false),
+      VorbisBuild.silentPacket(1, longBlock = false, prevLong = false,
+        nextLong = false))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VorbisBuild.page(5, 0, 0, 0x02,
+      Seq(VorbisBuild.idHeader(1, 8000))))
+    out.write(VorbisBuild.page(5, 1, 0, 0,
+      Seq(VorbisBuild.commentHeader(), VorbisBuild.setupHeader(1))))
+    out.write(VorbisBuild.page(5, 2, 2 * 128, 0,
+      audio1)) // not EOS
+    out.write(VorbisBuild.page(99, 3, 999, 0, audio1)) // foreign serial
+    val (_, _, s) = wavSamples(VorbisDecode.decode(out.toByteArray))
+    assert(s(0).length == 2 * 128) // only the first page's packets
+  }
+
+  test("EOP truncation mid-residue is a valid zero-filled packet") {
+    // a loud packet cut inside its residue bits still decodes; the
+    // remaining vectors are zero (spec §4.3) — same sample count
+    val full = VorbisBuild.loudPacket(7L)
+    val cut = java.util.Arrays.copyOf(full, full.length - 2)
+    val silent = VorbisBuild.silentPacket(1, longBlock = false,
+      prevLong = false, nextLong = false)
+    def stream(p: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(VorbisBuild.page(3, 0, 0, 0x02,
+        Seq(VorbisBuild.idHeader(1, 8000))))
+      out.write(VorbisBuild.page(3, 1, 0, 0,
+        Seq(VorbisBuild.commentHeader(), VorbisBuild.setupHeader(1))))
+      out.write(VorbisBuild.page(3, 2, 2 * 128, 0x04,
+        Seq(silent, p, silent)))
+      out.toByteArray
+    }
+    val (_, _, sFull) = wavSamples(VorbisDecode.decode(stream(full)))
+    val (_, _, sCut) = wavSamples(VorbisDecode.decode(stream(cut)))
+    assert(sFull(0).length == 256 && sCut(0).length == 256)
+    assert(sCut(0).exists(_ != 0) || sFull(0).exists(_ != 0))
+  }
+
+  test("packet spanning a page boundary reassembles") {
+    // pad a silent packet with ignored trailing bytes to 300 and
+    // split it 255/45 across two pages (continuation flag on page 2)
+    val base = VorbisBuild.silentPacket(1, longBlock = false,
+      prevLong = false, nextLong = false)
+    val padded = java.util.Arrays.copyOf(base, 300)
+    def rawPage(serial: Int, seq: Int, granule: Long, flags: Int,
+        lacing: Array[Int], body: Array[Byte]): Array[Byte] = {
+      val page = java.nio.ByteBuffer
+        .allocate(27 + lacing.length + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      page.put("OggS".getBytes("ISO-8859-1")).put(0.toByte)
+        .put(flags.toByte).putLong(granule).putInt(serial).putInt(seq)
+        .putInt(0).put(lacing.length.toByte)
+      lacing.foreach(l => page.put(l.toByte))
+      page.put(body)
+      val arr = page.array()
+      // decoder-independent CRC: reuse the builder's page() on a
+      // whole-packet twin is impossible here, so fold bitwise inline
+      var crc = 0
+      var i = 0
+      while (i < arr.length) {
+        crc ^= (arr(i) & 0xff) << 24
+        var k = 0
+        while (k < 8) {
+          crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7
+            else crc << 1
+          k += 1
+        }
+        i += 1
+      }
+      arr(22) = crc.toByte
+      arr(23) = (crc >> 8).toByte
+      arr(24) = (crc >> 16).toByte
+      arr(25) = (crc >> 24).toByte
+      arr
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VorbisBuild.page(11, 0, 0, 0x02,
+      Seq(VorbisBuild.idHeader(1, 8000))))
+    out.write(VorbisBuild.page(11, 1, 0, 0,
+      Seq(VorbisBuild.commentHeader(), VorbisBuild.setupHeader(1))))
+    out.write(rawPage(11, 2, -1L, 0, Array(255),
+      java.util.Arrays.copyOf(padded, 255)))
+    out.write(rawPage(11, 3, 2 * 128, 0x05,
+      Array(45, base.length, base.length),
+      java.util.Arrays.copyOfRange(padded, 255, 300) ++ base ++ base))
+    val (_, _, s) = wavSamples(VorbisDecode.decode(out.toByteArray))
+    assert(s(0).length == 2 * 128)
+    assert(s(0).forall(_ == 0))
+  }
+
+  test("final-page granule truncates the tail") {
+    val silent = VorbisBuild.silentPacket(1, longBlock = false,
+      prevLong = false, nextLong = false)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VorbisBuild.page(13, 0, 0, 0x02,
+      Seq(VorbisBuild.idHeader(1, 8000))))
+    out.write(VorbisBuild.page(13, 1, 0, 0,
+      Seq(VorbisBuild.commentHeader(), VorbisBuild.setupHeader(1))))
+    out.write(VorbisBuild.page(13, 2, 3 * 128 - 37, 0x04,
+      Seq(silent, silent, silent, silent)))
+    val (_, _, s) = wavSamples(VorbisDecode.decode(out.toByteArray))
+    assert(s(0).length == 3 * 128 - 37)
+  }
+
+  test("triage: foreign bytes, truncated headers, wrong magic → null") {
+    assert(VorbisDecode.decode(null) == null)
+    assert(VorbisDecode.decode(Array.emptyByteArray) == null)
+    assert(VorbisDecode.decode("OggS but not really a page at all, needs 58+ bytes to even try".getBytes("ISO-8859-1")) == null)
+    assert(VorbisDecode.decode(("x" * 200).getBytes("ISO-8859-1")) == null)
+    val good = VorbisBuild.silence(1, 8000, 4, mixedBlocks = false)
+    assert(VorbisDecode.decode(
+      java.util.Arrays.copyOf(good, 60)) == null)
+  }
+}
