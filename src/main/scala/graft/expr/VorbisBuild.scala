@@ -134,14 +134,15 @@ private[graft] object VorbisBuild {
   val ShortN: Int = 1 << Bs0Exp
   val LongN: Int = 1 << Bs1Exp
 
-  def idHeader(ch: Int, rate: Int): Array[Byte] = {
+  def idHeader(ch: Int, rate: Int, bs0Exp: Int = Bs0Exp,
+      bs1Exp: Int = Bs1Exp): Array[Byte] = {
     val bw = new Bw
     vorbisMagic(bw, 1)
     bw.put(0, 32) // version
     bw.put(ch, 8)
     bw.put(rate.toLong, 32)
     bw.put(0, 32).put(0, 32).put(0, 32) // bitrates
-    bw.put(Bs0Exp, 4).put(Bs1Exp, 4)
+    bw.put(bs0Exp, 4).put(bs1Exp, 4)
     bw.put(1, 1) // framing
     bw.result()
   }
@@ -169,7 +170,7 @@ private[graft] object VorbisBuild {
     */
   val VqMults: Array[Int] = Array(0, 3, 3, 0, 1, 2, 3, 3)
 
-  def setupHeader(ch: Int): Array[Byte] = {
+  def setupHeader(ch: Int, resEnd: Int = 32): Array[Byte] = {
     val bw = new Bw
     vorbisMagic(bw, 5)
     bw.put(3 - 1, 8) // three codebooks
@@ -216,11 +217,11 @@ private[graft] object VorbisBuild {
     bw.put(7, 4) // rangebits
     bw.put(32, 7).put(64, 7) // the two posts
 
-    // one residue: type 2, [0,32), psize 16, 2 classes, classbook 0
+    // one residue: type 2, [0,resEnd), psize 16, 2 classes, classbook 0
     bw.put(0, 6) // residue count − 1
     bw.put(2, 16) // type
     bw.put(0, 24) // begin
-    bw.put(32, 24) // end
+    bw.put(resEnd, 24) // end
     bw.put(16 - 1, 24) // partition size
     bw.put(2 - 1, 6) // classifications
     bw.put(0, 8) // classbook
@@ -297,6 +298,49 @@ private[graft] object VorbisBuild {
       part += 1
     }
     bw.result()
+  }
+
+  /** One loud packet with an arbitrary partition count — the dense
+    * arm for the wild-file IMDCT shape (every residue partition
+    * class 1). `nParts`·16 must equal the setup's `resEnd`.
+    */
+  def loudPacketWide(nParts: Int, seed: Long): Array[Byte] = {
+    val bw = new Bw
+    bw.put(0, 1).put(0, 1) // audio, mode 0
+    bw.put(1, 1).put(127, 7).put(127, 7)
+    var s = seed * 6364136223846793005L + 1442695040888963407L
+    bw.putCode(((s >>> 33) & 3).toInt, 2)
+    s = s * 6364136223846793005L + 1442695040888963407L
+    bw.putCode(((s >>> 33) & 3).toInt, 2)
+    var part = 0
+    while (part < nParts) {
+      bw.putCode(1, 1)
+      var l = 0
+      while (l < 8) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        bw.putCode(((s >>> 33) & 3).toInt, 2)
+        l += 1
+      }
+      part += 1
+    }
+    bw.result()
+  }
+
+  /** K all-loud packets at one block size 2^bsExp with the residue
+    * covering the whole spectrum — the dense wild-file shape the
+    * IMDCT dispatch probe measures. Mono.
+    */
+  def dense(rate: Int, k: Int, bsExp: Int, seed: Long): Array[Byte] = {
+    val n2 = 1 << (bsExp - 1)
+    val audio = (0 until k).map(i => loudPacketWide(n2 / 16, seed + i))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(0x67726166, 0, 0, 0x02,
+      Seq(idHeader(1, rate, bsExp, bsExp))))
+    out.write(page(0x67726166, 1, 0, 0,
+      Seq(commentHeader(), setupHeader(1, resEnd = n2))))
+    // each transition returns (n+n)/4 = n2 samples
+    out.write(page(0x67726166, 2, (k - 1).toLong * n2, 0x04, audio))
+    out.toByteArray
   }
 
   private def assemble(ch: Int, rate: Int, audio: Seq[Array[Byte]],

@@ -1021,7 +1021,7 @@ object VorbisDecode {
     * period, exact table lookups instead of 33M cos() calls on long
     * blocks. Cached per block size within one decode call.
     */
-  private def cosTable(n: Int): Array[Double] = {
+  private[graft] def cosTable(n: Int): Array[Double] = {
     val t = new Array[Double](4 * n)
     val step = math.Pi / (2.0 * n)
     var m = 0
@@ -1031,11 +1031,12 @@ object VorbisDecode {
 
   /** Direct IMDCT per spec §4.3.7: out[j] = Σ_k X[k]·cos(π/(2n)·
     * (2j+1+n/2)(2k+1)), j in [0,n), k in [0,n/2). Skips zero
-    * coefficients — the dominant case in the sparse fixtures and in
-    * real low-bitrate streams.
+    * coefficients — O(nnz·n), the winning shape for the sparse
+    * fixtures and real low-bitrate streams; dense spectra dispatch
+    * to [[FastImdct]] instead.
     */
-  private def imdct(spec: Array[Float], n: Int, tab: Array[Double],
-      out: Array[Double]): Unit = {
+  private[graft] def imdctDirect(spec: Array[Float], n: Int,
+      tab: Array[Double], out: Array[Double]): Unit = {
     val n2 = n / 2
     val period = 4 * n
     java.util.Arrays.fill(out, 0.0)
@@ -1054,6 +1055,129 @@ object VorbisDecode {
       k += 1
     }
   }
+
+  /** O(n log n) IMDCT for dense spectra (wild long-block Vorbis —
+    * 2048/8192 windows with most bins live, where the direct form's
+    * O(nnz·n) is the decoder's bottleneck). Derivation from the
+    * spec formula, all steps elementary:
+    *
+    *   y[j] = Re Σ_k X[k]·e^{-iα(2k+1)(2j+1+n/2)},  α = π/(2n)
+    *        = Re( W^{u_j} · Σ_k X[k]·e^{-iπ·k·u_j/n} ),
+    *          W = e^{-iα}, u_j = 2j+1+n/2  (odd, since n/2 is even)
+    *   with u_j = 2·m_j+1, m_j = j + n/4:
+    *   Σ_k X[k]·e^{-iπk(2m_j+1)/n}
+    *        = Σ_k (X[k]·e^{-iπk/n})·e^{-2πi·k·m_j/n}
+    *        = F[m_j mod n],   F = n-point DFT of the modulated input
+    *
+    * so one radix-2 FFT of size n plus O(n) twiddles replaces the
+    * O(n²/2) cosine accumulation. Exactness is pinned by VorbisSpec's
+    * differential against the direct form across every legal block
+    * size. State (twiddles, bit-reversal) is cached per block size
+    * within one decode call — same lifecycle as the cosine table.
+    */
+  private[graft] final class FastImdct(n: Int) {
+    private val n2 = n / 2
+    private val log2n = 31 - Integer.numberOfLeadingZeros(n)
+    // bit-reversal permutation
+    private val rev: Array[Int] = {
+      val r = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        r(i) = Integer.reverse(i) >>> (32 - log2n)
+        i += 1
+      }
+      r
+    }
+    // per-stage twiddles e^{-2πi·t/len} flattened: stage s has len=2^s
+    private val twRe = new Array[Double](n)
+    private val twIm = new Array[Double](n)
+    locally {
+      var half = 1
+      var base = 0
+      while (half < n) {
+        var t = 0
+        while (t < half) {
+          val a = -math.Pi * t / half
+          twRe(base + t) = math.cos(a)
+          twIm(base + t) = math.sin(a)
+          t += 1
+        }
+        base += half
+        half <<= 1
+      }
+    }
+    // input modulation e^{-iπk/n} and output twiddle
+    // W^{2j+1+n/2} = e^{-iπ(2j+1+n/2)/(2n)}
+    private val modRe = Array.tabulate(n2)(k => math.cos(-math.Pi * k / n))
+    private val modIm = Array.tabulate(n2)(k => math.sin(-math.Pi * k / n))
+    private val outRe = Array.tabulate(n)(j =>
+      math.cos(-math.Pi * (2.0 * j + 1 + n2) / (2.0 * n)))
+    private val outIm = Array.tabulate(n)(j =>
+      math.sin(-math.Pi * (2.0 * j + 1 + n2) / (2.0 * n)))
+    private val re = new Array[Double](n)
+    private val im = new Array[Double](n)
+
+    def run(spec: Array[Float], out: Array[Double]): Unit = {
+      // modulate + bit-reverse load (upper half is zero padding)
+      java.util.Arrays.fill(re, 0.0)
+      java.util.Arrays.fill(im, 0.0)
+      var k = 0
+      while (k < n2) {
+        val x = spec(k)
+        if (x != 0f) {
+          val p = rev(k)
+          re(p) = x * modRe(k)
+          im(p) = x * modIm(k)
+        }
+        k += 1
+      }
+      // iterative radix-2 DIT FFT, e^{-2πi/n} kernel
+      var half = 1
+      var base = 0
+      while (half < n) {
+        val step = half << 1
+        var start = 0
+        while (start < n) {
+          var t = 0
+          while (t < half) {
+            val i0 = start + t
+            val i1 = i0 + half
+            val wr = twRe(base + t)
+            val wi = twIm(base + t)
+            val xr = re(i1) * wr - im(i1) * wi
+            val xi = re(i1) * wi + im(i1) * wr
+            re(i1) = re(i0) - xr
+            im(i1) = im(i0) - xi
+            re(i0) += xr
+            im(i0) += xi
+            t += 1
+          }
+          start += step
+        }
+        base += half
+        half = step
+      }
+      // y[j] = Re( W^{u_j} · F[(j + n/4) mod n] )
+      val q = n / 4
+      var j = 0
+      while (j < n) {
+        val mj = (j + q) & (n - 1)
+        out(j) = outRe(j) * re(mj) - outIm(j) * im(mj)
+        j += 1
+      }
+    }
+  }
+
+  /** Path dispatch: the direct form wins only while the live-bin
+    * count is tiny. Probe-measured (VorbisProbe, SCALE.md round 14):
+    * the crossover sits at ≈ 4–5 live bins at EVERY block size —
+    * direct's per-bin cost grows with n (the 4n-entry table and the
+    * output buffer fall out of cache), which cancels the naive
+    * nnz·n vs n·log2 n scaling argument — so the threshold is a
+    * flat constant, not log-scaled. Below it, the all-zero /
+    * near-silent fast path also avoids ever allocating FFT state.
+    */
+  private[graft] val FastImdctNnzThreshold = 4
 
   /** The Vorbis window slope value: sin(π/2 · sin²(π/2·(i+0.5)/n)). */
   private def slope(i: Int, n: Int): Double = {
@@ -1117,6 +1241,7 @@ object VorbisDecode {
     var decodedAny = false
     val modeBits = ilog(setup.modes.length - 1)
     val tabCache = new java.util.HashMap[Integer, Array[Double]]()
+    val fastCache = new java.util.HashMap[Integer, FastImdct]()
     val residueVec = Array.ofDim[Float](ch, n2max)
     val imdctBuf = new Array[Double](setup.blockSizes(1))
 
@@ -1230,12 +1355,11 @@ object VorbisDecode {
           }
 
           // ---- dot product, IMDCT, window ----
-          var tab = tabCache.get(Integer.valueOf(n))
-          if (tab == null) { tab = cosTable(n); tabCache.put(n, tab) }
           val windowed = new Array[Array[Double]](ch)
           c = 0
           while (c < ch) {
             val spec = new Array[Float](n2)
+            var nnz = 0
             if (floorY(c) != null) {
               val f = setup.floors(mapping.submapFloor(mapping.mux(c)))
                 .asInstanceOf[Floor1]
@@ -1243,13 +1367,27 @@ object VorbisDecode {
               var i = 0
               while (i < n2) {
                 val r = residueVec(c)(i)
-                if (r != 0f) spec(i) = r * InverseDb(math.min(curve(i), 255))
+                if (r != 0f) {
+                  spec(i) = r * InverseDb(math.min(curve(i), 255))
+                  if (spec(i) != 0f) nnz += 1
+                }
                 i += 1
               }
             }
             val buf = if (n == setup.blockSizes(1)) imdctBuf
               else new Array[Double](n)
-            imdct(spec, n, tab, buf)
+            if (nnz > FastImdctNnzThreshold) {
+              var fi = fastCache.get(Integer.valueOf(n))
+              if (fi == null) {
+                fi = new FastImdct(n)
+                fastCache.put(n, fi)
+              }
+              fi.run(spec, buf)
+            } else {
+              var tab = tabCache.get(Integer.valueOf(n))
+              if (tab == null) { tab = cosTable(n); tabCache.put(n, tab) }
+              imdctDirect(spec, n, tab, buf)
+            }
             applyWindow(buf, n, setup.blockSizes(0), leftShort, rightShort)
             windowed(c) = java.util.Arrays.copyOf(buf, n)
             c += 1

@@ -418,6 +418,39 @@ class VorbisSpec extends AnyFunSuite {
     assert(s(0).length == 3 * 128 - 37)
   }
 
+  test("FFT IMDCT matches the direct form on every legal block size") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(64, 128, 256, 512, 1024, 2048, 4096, 8192)) {
+      val dense = Array.fill(n / 2)((rnd.nextFloat() - 0.5f) * 4f)
+      val sparse = Array.tabulate(n / 2)(i =>
+        if (i % 37 == 3) (rnd.nextFloat() - 0.5f) * 4f else 0f)
+      for (spec <- Seq(dense, sparse)) {
+        val tab = VorbisDecode.cosTable(n)
+        val a = new Array[Double](n)
+        VorbisDecode.imdctDirect(spec, n, tab, a)
+        val b = new Array[Double](n)
+        new VorbisDecode.FastImdct(n).run(spec, b)
+        val scale = math.max(1.0, a.map(math.abs).max)
+        val maxDiff = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+        assert(maxDiff <= 1e-9 * scale,
+          s"n=$n maxDiff=$maxDiff scale=$scale")
+      }
+    }
+  }
+
+  test("dense long-block stream decodes through the FFT path") {
+    // n=2048 all-loud full-spectrum: nnz ≈ n/2 ≫ 4·log2(n), so every
+    // block takes the FastImdct path; support/energy sanity plus
+    // determinism pin the path end to end
+    val clip = graft.expr.VorbisBuild.dense(8000, 6, 11, seed = 3L)
+    val (ch, _, s) = wavSamples(VorbisDecode.decode(clip))
+    assert(ch == 1)
+    assert(s(0).length == 5 * 1024)
+    assert(s(0).count(_ != 0) > 1000, "dense stream should be loud")
+    assert(java.util.Arrays.equals(VorbisDecode.decode(clip),
+      VorbisDecode.decode(clip)))
+  }
+
   test("triage: foreign bytes, truncated headers, wrong magic → null") {
     assert(VorbisDecode.decode(null) == null)
     assert(VorbisDecode.decode(Array.emptyByteArray) == null)
