@@ -640,8 +640,7 @@ object VorbisDecode {
           if (b >= nBooks) bad()
           // value books must be VQ-capable and divide the partition
           if (booksArr(b).lookupType == 0) bad()
-          if (psize % booksArr(b).dims != 0 && tpe != 0) bad()
-          if (tpe == 0 && psize % booksArr(b).dims != 0) bad()
+          if (psize % booksArr(b).dims != 0) bad()
           books(i)(p) = b
         }
         p += 1
@@ -677,7 +676,23 @@ object VorbisDecode {
     val cwPer = cb.dims
     val nVec = vecs.length
     val classif = Array.ofDim[Int](nVec, partCount + cwPer)
-    val tmp = new Array[Float](64)
+    // widest VQ vector any of this residue's books can emit (book
+    // dims divide psize by header validation, but psize itself
+    // bounds nothing — a crafted book may be psize-wide)
+    var maxDims = 1
+    locally {
+      var ci = 0
+      while (ci < res.books.length) {
+        var p = 0
+        while (p < 8) {
+          val b = res.books(ci)(p)
+          if (b >= 0 && books(b).dims > maxDims) maxDims = books(b).dims
+          p += 1
+        }
+        ci += 1
+      }
+    }
+    val tmp = new Array[Float](maxDims)
     var pass = 0
     while (pass < 8) {
       var part = 0

@@ -237,6 +237,115 @@ class VorbisSpec extends AnyFunSuite {
     assert(s(0).exists(v => math.abs(v) > 100))
   }
 
+  test("mixed-size loud differential: long block with short slopes, lap-aligned") {
+    // stream: [short silent][LONG loud][short silent][short silent] —
+    // the lap geometry's hardest case with real content. Expected
+    // output, derived independently: segment 0 (192 samples) =
+    // longBlock[64..256) (the long window is zero before its short
+    // left slope at 64, the silent short tail adds nothing),
+    // segment 1 (192) = longBlock[256..448) (right slope ends at
+    // 448, zero after), segment 2 (128) = zeros.
+    val bw = new VorbisBuild.Bw
+    bw.put(0, 1).put(1, 1) // audio, mode 1 (long)
+    bw.put(0, 1).put(0, 1) // prev short, next short
+    bw.put(1, 1).put(127, 7).put(127, 7) // floor nonzero, flat 127
+      .putCode(1, 2).putCode(2, 2) // posts: raw 1 → 126, raw 2 → 125
+    var part = 0
+    while (part < 2) {
+      bw.putCode(1, 1)
+      var l = 0
+      while (l < 8) { bw.putCode((l + part) % 4, 2); l += 1 }
+      part += 1
+    }
+    val longLoud = bw.result()
+    val silent = VorbisBuild.silentPacket(1, longBlock = false,
+      prevLong = false, nextLong = false)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VorbisBuild.page(21, 0, 0, 0x02,
+      Seq(VorbisBuild.idHeader(1, 8000))))
+    out.write(VorbisBuild.page(21, 1, 0, 0,
+      Seq(VorbisBuild.commentHeader(), VorbisBuild.setupHeader(1))))
+    out.write(VorbisBuild.page(21, 2, 512, 0x04,
+      Seq(silent, longLoud, silent, silent)))
+    val (_, _, s) = wavSamples(VorbisDecode.decode(out.toByteArray))
+    assert(s(0).length == 512)
+
+    // independent synthesis of the long block (n = 512, n2 = 256)
+    val res = new Array[Double](256)
+    part = 0
+    while (part < 2) {
+      var pos = part * 16
+      var l = 0
+      while (l < 8) {
+        val e = (l + part) % 4
+        res(pos) += VorbisBuild.VqMults(2 * e) - 2
+        res(pos + 1) += VorbisBuild.VqMults(2 * e + 1) - 2
+        pos += 2
+        l += 1
+      }
+      part += 1
+    }
+    val curve = new Array[Int](256)
+    line(0, 254, 32, 252, curve, 256) // post raw 1 → 126·2
+    line(32, 252, 64, 250, curve, 256) // post raw 2 → 125·2
+    line(64, 250, 128, 254, curve, 256)
+    var x = 128
+    while (x < 256) { curve(x) = 254; x += 1 }
+    val spec = Array.tabulate(256)(i =>
+      if (res(i) != 0.0) res(i) * invDb(curve(i)) else 0.0)
+    val block = new Array[Double](512)
+    var j = 0
+    while (j < 512) {
+      var acc = 0.0
+      var kk = 0
+      while (kk < 256) {
+        if (spec(kk) != 0.0)
+          acc += spec(kk) *
+            math.cos(math.Pi / 1024.0 * ((2L * j + 1 + 256) * (2 * kk + 1) % 2048))
+        kk += 1
+      }
+      // long window with SHORT slopes: zero before 64, ascending
+      // short slope [64,192), flat [192,320), descending [320,448),
+      // zero after
+      val w =
+        if (j < 64 || j >= 448) 0.0
+        else if (j < 192) {
+          val sl = math.sin(math.Pi / 2 * (j - 64 + 0.5) / 128)
+          math.sin(math.Pi / 2 * sl * sl)
+        } else if (j < 320) 1.0
+        else {
+          val sr = math.sin(math.Pi / 2 * (447 - j + 0.5) / 128)
+          math.sin(math.Pi / 2 * sr * sr)
+        }
+      block(j) = acc * w
+      j += 1
+    }
+    def q16(v: Double): Int = {
+      var q = math.round(v * 32767.0).toInt
+      if (q > 32767) q = 32767
+      if (q < -32768) q = -32768
+      q
+    }
+    var mism = 0
+    var i = 0
+    while (i < 192) { // segment 0 = block[64..256)
+      if (math.abs(q16(block(64 + i)) - s(0)(i)) > 1) mism += 1
+      i += 1
+    }
+    i = 0
+    while (i < 192) { // segment 1 = block[256..448) then zeros
+      if (math.abs(q16(block(256 + i)) - s(0)(192 + i)) > 1) mism += 1
+      i += 1
+    }
+    i = 384
+    while (i < 512) { // segment 2 exact zeros
+      if (s(0)(i) != 0) mism += 1
+      i += 1
+    }
+    assert(mism == 0, s"$mism samples diverge from the independent lap")
+    assert(s(0).exists(v => math.abs(v) > 100), "long block should be loud")
+  }
+
   test("loud-support lemma: a loud window's output confined to its segments") {
     val windows = 8
     // exactly one loud window, w = 3 → packet 7 → segments 6 and 7
