@@ -398,6 +398,346 @@ class VorbisSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // wild-file wire variants: the setup-header paths the standard
+  // fixture (unordered/non-sparse books, lookup 2, residue 2, one
+  // submap) never touches — each against an independent expectation
+  // ------------------------------------------------------------------
+
+  /** A test-side setup writer with the variant knobs: ordered
+    * classbook lengths, sparse floor-book lengths (trailing unused
+    * entries), lookup-type-1 + sequence_p value book, residue type
+    * 0/1/2 with arbitrary begin/end, and a two-submap mapping.
+    * Wire-compatible with [[VorbisBuild]]'s packets where the books'
+    * used entries coincide (2-bit codes 0–3).
+    */
+  private def setupVariant(ch: Int, resType: Int, begin: Int, end: Int,
+      lookup1: Boolean, orderedClassbook: Boolean,
+      sparseFloorBook: Boolean, submaps: Int): Array[Byte] = {
+    val bw = new VorbisBuild.Bw
+    bw.put(5, 8)
+    "vorbis".foreach(c => bw.put(c.toLong, 8))
+    bw.put(3 - 1, 8)
+
+    // book 0: classbook dims 1, entries 2, lengths 1/1
+    bw.put(0x564342, 24).put(1, 16).put(2, 24)
+    if (orderedClassbook) {
+      bw.put(1, 1) // ordered
+      bw.put(0, 5) // initial length 1
+      bw.put(2, 2) // ilog(2) = 2 bits: both entries at length 1
+    } else {
+      bw.put(0, 1).put(0, 1)
+      bw.put(0, 5).put(0, 5)
+    }
+    bw.put(0, 4)
+
+    // book 1: value book dims 2, entries 4, lengths 2×4
+    bw.put(0x564342, 24).put(2, 16).put(4, 24)
+    bw.put(0, 1).put(0, 1)
+    (0 until 4).foreach(_ => bw.put(1, 5))
+    if (lookup1) {
+      bw.put(1, 4) // lookup type 1: lookup1_values = 2
+      // minimum −1.5 = −3·2^(788−1−788): mantissa 3, exp 787, sign
+      bw.put(0x80000000L | (787L << 21) | 3L, 32)
+      bw.put((788L << 21) | 1L, 32) // delta 1.0
+      bw.put(2 - 1, 4) // value bits 2
+      bw.put(1, 1) // sequence_p ON
+      bw.put(0, 2).put(3, 2) // multiplicands [0, 3]
+    } else {
+      bw.put(2, 4)
+      bw.put(0x80000000L | (788L << 21) | 2L, 32) // −2.0
+      bw.put((788L << 21) | 1L, 32) // 1.0
+      bw.put(2 - 1, 4)
+      bw.put(0, 1)
+      VorbisBuild.VqMults.foreach(m => bw.put(m.toLong, 2))
+    }
+
+    // book 2: floor posts — sparse form has 6 entries, last two
+    // unused, so the USED entries are 0–3 with the same 2-bit codes
+    if (sparseFloorBook) {
+      bw.put(0x564342, 24).put(1, 16).put(6, 24)
+      bw.put(0, 1) // unordered
+      bw.put(1, 1) // sparse
+      (0 until 4).foreach { _ => bw.put(1, 1); bw.put(1, 5) } // used, len 2
+      bw.put(0, 1).put(0, 1) // two unused entries
+      bw.put(0, 4)
+    } else {
+      bw.put(0x564342, 24).put(1, 16).put(4, 24)
+      bw.put(0, 1).put(0, 1)
+      (0 until 4).foreach(_ => bw.put(1, 5))
+      bw.put(0, 4)
+    }
+
+    bw.put(0, 6).put(0, 16) // times
+
+    bw.put(0, 6) // one floor
+    bw.put(1, 16).put(1, 5).put(0, 4)
+    bw.put(2 - 1, 3).put(0, 2).put(2 + 1, 8)
+    bw.put(2 - 1, 2).put(7, 4).put(32, 7).put(64, 7)
+
+    bw.put(0, 6) // one residue
+    bw.put(resType, 16)
+    bw.put(begin, 24).put(end, 24)
+    bw.put(16 - 1, 24).put(2 - 1, 6).put(0, 8)
+    bw.put(0, 3).put(0, 1)
+    bw.put(1, 3).put(0, 1)
+    bw.put(1, 8)
+
+    bw.put(0, 6) // one mapping
+    bw.put(0, 16)
+    if (submaps > 1) bw.put(1, 1).put(submaps - 1, 4) else bw.put(0, 1)
+    bw.put(0, 1) // no coupling (variant tests isolate paths)
+    bw.put(0, 2)
+    if (submaps > 1) (0 until ch).foreach(c => bw.put(c % submaps, 4))
+    (0 until submaps).foreach(_ => bw.put(0, 8).put(0, 8).put(0, 8))
+
+    bw.put(2 - 1, 6) // two modes (short/long), as the standard setup
+    bw.put(0, 1).put(0, 16).put(0, 16).put(0, 8)
+    bw.put(1, 1).put(0, 16).put(0, 16).put(0, 8)
+    bw.put(1, 1)
+    bw.result()
+  }
+
+  private def streamWith(ch: Int, setup: Array[Byte],
+      audio: Seq[Array[Byte]], granule: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(VorbisBuild.page(31, 0, 0, 0x02,
+      Seq(VorbisBuild.idHeader(ch, 8000))))
+    out.write(VorbisBuild.page(31, 1, 0, 0,
+      Seq(VorbisBuild.commentHeader(), setup)))
+    out.write(VorbisBuild.page(31, 2, granule, 0x04, audio))
+    out.toByteArray
+  }
+
+  test("ordered + sparse codebooks and residue 1 ≡ residue 2 for mono") {
+    // identical packets under three setups: the standard one
+    // (unordered books, residue 2), an ordered-classbook + sparse-
+    // floor-book one (residue 2), and a residue-type-1 one. For
+    // mono, type 2's interleave is the identity, and the book wire
+    // variants must not change a single decoded sample.
+    val silent = VorbisBuild.silentPacket(1, longBlock = false,
+      prevLong = false, nextLong = false)
+    val audio = Seq(silent, VorbisBuild.loudPacket(17L), silent, silent)
+    val base = VorbisDecode.decode(
+      streamWith(1, VorbisBuild.setupHeader(1), audio, 3 * 128))
+    val variant = VorbisDecode.decode(streamWith(1,
+      setupVariant(1, resType = 2, begin = 0, end = 32, lookup1 = false,
+        orderedClassbook = true, sparseFloorBook = true, submaps = 1),
+      audio, 3 * 128))
+    val res1 = VorbisDecode.decode(streamWith(1,
+      setupVariant(1, resType = 1, begin = 0, end = 32, lookup1 = false,
+        orderedClassbook = false, sparseFloorBook = false, submaps = 1),
+      audio, 3 * 128))
+    assert(base != null && base.exists(_ != 0))
+    assert(java.util.Arrays.equals(base, variant),
+      "ordered/sparse codebook wire forms changed the decode")
+    assert(java.util.Arrays.equals(base, res1),
+      "residue type 1 must equal type 2 for mono")
+  }
+
+  test("lookup-type-1 VQ with sequence_p decodes to the index-division values") {
+    // value book entries under lookup 1 (values [0,3], min −1.5,
+    // delta 1, seq_p): e → (v0, v0+v1raw): e0 (−1.5,−3), e1 (1.5,0),
+    // e2 (−1.5,0), e3 (1.5,3). Same packet bits as the standard
+    // fixture, different VQ semantics — independent synthesis.
+    val silent = VorbisBuild.silentPacket(1, longBlock = false,
+      prevLong = false, nextLong = false)
+    // fixed entries: partition class 1 both, entries (l+part)%4
+    val bwp = new VorbisBuild.Bw
+    bwp.put(0, 1).put(0, 1)
+    bwp.put(1, 1).put(127, 7).put(127, 7).putCode(0, 2).putCode(0, 2)
+    var part = 0
+    while (part < 2) {
+      bwp.putCode(1, 1)
+      var l = 0
+      while (l < 8) { bwp.putCode((l + part) % 4, 2); l += 1 }
+      part += 1
+    }
+    val loud = bwp.result()
+    val audio = Seq(silent, loud, silent)
+    val wav = VorbisDecode.decode(streamWith(1,
+      setupVariant(1, resType = 2, begin = 0, end = 32, lookup1 = true,
+        orderedClassbook = false, sparseFloorBook = false, submaps = 1),
+      audio, 2 * 128))
+    val (_, _, s) = wavSamples(wav)
+    assert(s(0).length == 256)
+
+    val vq1 = Array(
+      Array(-1.5, -3.0), Array(1.5, 0.0), Array(-1.5, 0.0), Array(1.5, 3.0))
+    val res = new Array[Double](128)
+    part = 0
+    while (part < 2) {
+      var pos = part * 16
+      var l = 0
+      while (l < 8) {
+        val e = (l + part) % 4
+        res(pos) += vq1(e)(0)
+        res(pos + 1) += vq1(e)(1)
+        pos += 2
+        l += 1
+      }
+      part += 1
+    }
+    // floor: posts raw 0 → prediction stands (flat 127 → curve 254)
+    val spec = Array.tabulate(128)(i =>
+      if (res(i) != 0.0) res(i) * invDb(254) else 0.0)
+    val block = new Array[Double](256)
+    var j = 0
+    while (j < 256) {
+      var acc = 0.0
+      var kk = 0
+      while (kk < 128) {
+        if (spec(kk) != 0.0)
+          acc += spec(kk) *
+            math.cos(math.Pi / 512.0 * ((2L * j + 1 + 128) * (2 * kk + 1) % 1024))
+        kk += 1
+      }
+      val half = if (j < 128) j else 255 - j
+      val sl = math.sin(math.Pi / 2 * (half + 0.5) / 128)
+      block(j) = acc * math.sin(math.Pi / 2 * sl * sl)
+      j += 1
+    }
+    var mism = 0
+    var i = 0
+    while (i < 128) { // segment 0 = tail of silent + left of loud
+      val v = block(i)
+      var q = math.round(v * 32767.0).toInt
+      if (q > 32767) q = 32767
+      if (q < -32768) q = -32768
+      if (math.abs(q - s(0)(i)) > 1) mism += 1
+      i += 1
+    }
+    i = 0
+    while (i < 128) { // segment 1 = tail of loud
+      val v = block(128 + i)
+      var q = math.round(v * 32767.0).toInt
+      if (q > 32767) q = 32767
+      if (q < -32768) q = -32768
+      if (math.abs(q - s(0)(128 + i)) > 1) mism += 1
+      i += 1
+    }
+    assert(mism == 0, s"$mism samples diverge from lookup-1 synthesis")
+    assert(s(0).exists(_ != 0), "lookup-1 stream should be loud")
+  }
+
+  test("residue type 0 strides partitions and honors begin > 0") {
+    // same packet bits as a type-1/begin-0 stream, but type 0 with
+    // begin 16/end 48: partition p covers bins [16+16p, 32+16p) and
+    // entry l lands at stride positions (offset+l, offset+l+8)
+    val silent = VorbisBuild.silentPacket(1, longBlock = false,
+      prevLong = false, nextLong = false)
+    val bwp = new VorbisBuild.Bw
+    bwp.put(0, 1).put(0, 1)
+    bwp.put(1, 1).put(127, 7).put(127, 7).putCode(0, 2).putCode(0, 2)
+    var part = 0
+    while (part < 2) {
+      bwp.putCode(1, 1)
+      var l = 0
+      while (l < 8) { bwp.putCode((l * 3 + part) % 4, 2); l += 1 }
+      part += 1
+    }
+    val loud = bwp.result()
+    val audio = Seq(silent, loud, silent)
+    val wav = VorbisDecode.decode(streamWith(1,
+      setupVariant(1, resType = 0, begin = 16, end = 48, lookup1 = false,
+        orderedClassbook = false, sparseFloorBook = false, submaps = 1),
+      audio, 2 * 128))
+    val (_, _, s) = wavSamples(wav)
+    val res = new Array[Double](128)
+    part = 0
+    while (part < 2) {
+      val off = 16 + part * 16
+      var l = 0
+      while (l < 8) {
+        val e = (l * 3 + part) % 4
+        res(off + l) += VorbisBuild.VqMults(2 * e) - 2 // d = 0
+        res(off + l + 8) += VorbisBuild.VqMults(2 * e + 1) - 2 // d = 1
+        l += 1
+      }
+      part += 1
+    }
+    val spec = Array.tabulate(128)(i =>
+      if (res(i) != 0.0) res(i) * invDb(254) else 0.0)
+    val block = new Array[Double](256)
+    var j = 0
+    while (j < 256) {
+      var acc = 0.0
+      var kk = 0
+      while (kk < 128) {
+        if (spec(kk) != 0.0)
+          acc += spec(kk) *
+            math.cos(math.Pi / 512.0 * ((2L * j + 1 + 128) * (2 * kk + 1) % 1024))
+        kk += 1
+      }
+      val half = if (j < 128) j else 255 - j
+      val sl = math.sin(math.Pi / 2 * (half + 0.5) / 128)
+      block(j) = acc * math.sin(math.Pi / 2 * sl * sl)
+      j += 1
+    }
+    var mism = 0
+    var i = 0
+    while (i < 256) {
+      val v = if (i < 128) block(i) else block(i)
+      var q = math.round(block(i) * 32767.0).toInt
+      if (q > 32767) q = 32767
+      if (q < -32768) q = -32768
+      if (math.abs(q - s(0)(i)) > 1) mism += 1
+      i += 1
+    }
+    assert(mism == 0, s"$mism samples diverge from type-0 stride synthesis")
+    assert(s(0).exists(_ != 0))
+  }
+
+  test("two-submap mapping isolates channels like two mono streams") {
+    // stereo, submaps = 2, mux = [0, 1], no coupling: the packet is
+    // [floor ch0][floor ch1][residue submap 0][residue submap 1] and
+    // each channel must decode exactly as the mono stream carrying
+    // its floor + residue bits
+    val pkt = new VorbisBuild.Bw
+    pkt.put(0, 1).put(0, 1)
+    pkt.put(1, 1).put(127, 7).put(127, 7).putCode(1, 2).putCode(2, 2)
+    pkt.put(1, 1).put(96, 7).put(96, 7).putCode(3, 2).putCode(0, 2)
+    // submap 0 residue (ch0): classes 1/0 — only partition 0 loud
+    pkt.putCode(1, 1)
+    (0 until 8).foreach(l => pkt.putCode(l % 4, 2))
+    pkt.putCode(0, 1)
+    // submap 1 residue (ch1): classes 0/1
+    pkt.putCode(0, 1)
+    pkt.putCode(1, 1)
+    (0 until 8).foreach(l => pkt.putCode((l + 2) % 4, 2))
+    val silent2 = VorbisBuild.silentPacket(2, longBlock = false,
+      prevLong = false, nextLong = false)
+    val stereo = streamWith(2,
+      setupVariant(2, resType = 2, begin = 0, end = 32, lookup1 = false,
+        orderedClassbook = false, sparseFloorBook = false, submaps = 2),
+      Seq(silent2, pkt.result(), silent2), 2 * 128)
+    val (ch, _, s) = wavSamples(VorbisDecode.decode(stereo))
+    assert(ch == 2)
+
+    def mono(floorBits: VorbisBuild.Bw => Unit,
+        resBits: VorbisBuild.Bw => Unit): Array[Array[Int]] = {
+      val b = new VorbisBuild.Bw
+      b.put(0, 1).put(0, 1)
+      floorBits(b)
+      resBits(b)
+      val silent1 = VorbisBuild.silentPacket(1, longBlock = false,
+        prevLong = false, nextLong = false)
+      val w = VorbisDecode.decode(streamWith(1,
+        VorbisBuild.setupHeader(1), Seq(silent1, b.result(), silent1),
+        2 * 128))
+      wavSamples(w)._3
+    }
+    val m0 = mono(
+      b => { b.put(1, 1).put(127, 7).put(127, 7).putCode(1, 2).putCode(2, 2); () },
+      b => { b.putCode(1, 1); (0 until 8).foreach(l => b.putCode(l % 4, 2)); b.putCode(0, 1); () })
+    val m1 = mono(
+      b => { b.put(1, 1).put(96, 7).put(96, 7).putCode(3, 2).putCode(0, 2); () },
+      b => { b.putCode(0, 1); b.putCode(1, 1); (0 until 8).foreach(l => b.putCode((l + 2) % 4, 2)); () })
+    assert(s(0).sameElements(m0(0)), "submap-0 channel diverges from mono")
+    assert(s(1).sameElements(m1(0)), "submap-1 channel diverges from mono")
+    assert(s(0).exists(_ != 0) && s(1).exists(_ != 0))
+  }
+
+  // ------------------------------------------------------------------
   // robustness rows
   // ------------------------------------------------------------------
 
