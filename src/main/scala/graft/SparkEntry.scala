@@ -4194,6 +4194,97 @@ object SparkEntry {
       Multimodal.audioNearDup(decoded)
     }),
 
+    // Crawl → AUDIO composition (q191's audio sibling) through the
+    // native `graft_audio_decode` EXPRESSION — the seam's SQL-surface
+    // form, magic-dispatching WAV/FLAC/OGG/MP3 inside one
+    // whole-stage projection: WARC record walk → http split → audio
+    // content-type route → codec decode → native stats, ONE plan,
+    // one decode per payload, no seam hop and no UDF in the route.
+    // Two audio records per file: an OGG/Vorbis silence stream (the
+    // q200 construction — stats and lap-geometry counts replay
+    // relationally) and a PCM WAV whose samples are a relational
+    // formula (full loudness stats replay); an HTML record the route
+    // must drop.
+    "q202_crawl_audio_stats" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.operators.Warc
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      def bin(c: Column): Column = encode(c, "ISO-8859-1")
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def byteHex(c: Column): Column = lpad(hex(c), 2, "0")
+      val id = col("doc_id")
+      val genOgg = udf { (g: Long) =>
+        val ch = (g % 2 + 1).toInt
+        val rate = (g % 3) match {
+          case 0 => 8000; case 1 => 44100; case _ => 12000
+        }
+        graft.expr.VorbisBuild.silence(ch, rate, (g % 5 + 3).toInt,
+          mixedBlocks = (g / 2) % 2 == 0)
+      }
+      val n = (id % 40 + 16).cast(IntegerType)
+      def sval(k: Column): Column = {
+        val h = id * 64 + k.cast(LongType) * 2
+        pmod(shiftright(pmod(h * h, lit(1000003L)) * 48271, 8),
+          lit(60001L)) - 30000
+      }
+      val dataHex = array_join(
+        transform(sequence(lit(0), n - 1), k => {
+          val v = pmod(sval(k), lit(65536L))
+          concat(byteHex(pmod(v, lit(256L))),
+            byteHex(shiftright(v.cast(IntegerType), 8)))
+        }), "")
+      val wavP = concat(ascii("RIFF"), le32(n * 2 + 36), ascii("WAVE"),
+        ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
+        le32(lit(8000)), le32(lit(16000)), le16(lit(2)), le16(lit(16)),
+        ascii("data"), le32(n * 2), unhex(dataHex))
+      def rec(uri: Column, http: Column): Column = concat(
+        ascii("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        bin(uri),
+        ascii("\r\nContent-Type: application/http; msgtype=response" +
+          "\r\nContent-Length: "),
+        bin(length(http).cast(StringType)), ascii("\r\n\r\n"),
+        http, ascii("\r\n\r\n"))
+      val httpOgg = concat(
+        ascii("HTTP/1.1 200 OK\r\nContent-Type: audio/ogg\r\n\r\n"),
+        genOgg(id))
+      val httpWav = concat(
+        ascii("HTTP/1.1 200 OK\r\nContent-Type: audio/wav\r\n\r\n"),
+        wavP)
+      val httpHtml = ascii("HTTP/1.1 200 OK\r\nContent-Type: text/html" +
+        "\r\n\r\n<p>markup the audio route must drop</p>")
+      val warc = concat(
+        rec(concat(lit("http://example.com/audio/"), id.cast(StringType),
+          lit("/ogg")), httpOgg),
+        rec(concat(lit("http://example.com/audio/"), id.cast(StringType),
+          lit("/wav")), httpWav),
+        rec(concat(lit("http://example.com/page/"), id.cast(StringType)),
+          httpHtml))
+      val files = tp(s, dir, "documents")
+        .select(id.as("file_id"), warc.as("content"))
+      val m = call_function(graft.expr.AudioStats.FunctionName,
+        call_function(graft.expr.AudioDecodeExpr.FunctionName, col("body")))
+      Warc.binaryDocuments(files,
+          contentTypes = Seq("audio/ogg", "audio/wav"))
+        .select(col("file_id"), col("url"), m.as("_m"))
+        .select(col("file_id"), col("url"),
+          col("_m.format").as("format"),
+          col("_m.channels").as("channels"),
+          col("_m.sample_rate").as("sample_rate"),
+          col("_m.bit_depth").as("bit_depth"),
+          col("_m.n_frames").as("n_frames"),
+          col("_m.n_samples").as("n_samples"), col("_m.sum").as("sum"),
+          col("_m.sumsq").as("sumsq"), col("_m.peak").as("peak"),
+          col("_m.silent").as("silent"))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8032,6 +8123,48 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // two audio rows per file (the HTML record drops at the route):
+    // the OGG row replays q200's silence geometry, the WAV row the
+    // sample formula's loudness stats
+    "q202_crawl_audio_stats" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 2 + 1 AS ch,
+                  CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+                       ELSE 12000 END AS rate,
+                  doc_id % 5 + 3 AS k,
+                  CASE WHEN (doc_id // 2) % 2 = 0 THEN 192
+                       ELSE 128 END AS per,
+                  doc_id % 40 + 16 AS n
+           FROM documents),
+         e AS (SELECT *, (k - 1) * per AS ns FROM d),
+         sv AS (SELECT id, r.k AS kk,
+                  ((((id*64 + r.k*2)*(id*64 + r.k*2)) % 1000003)
+                    * 48271 >> 8) % 60001 - 30000 AS v
+                FROM e CROSS JOIN range(0, 56) r(k) WHERE r.k < n),
+         wagg AS (SELECT id, SUM(v) AS sm, SUM(v*v) AS sq,
+                         MAX(ABS(v)) AS pk
+                  FROM sv GROUP BY id),
+         rows_ AS (
+           SELECT id, 'http://example.com/audio/' || id || '/ogg' AS url,
+                  ch, rate, ns AS nf, ns*ch AS nsamp,
+                  CAST(0 AS BIGINT) AS sm, CAST(0 AS BIGINT) AS sq,
+                  0 AS pk, 1 AS silent
+           FROM e
+           UNION ALL
+           SELECT e.id, 'http://example.com/audio/' || e.id || '/wav',
+                  1, 8000, e.n, e.n, w.sm, w.sq, w.pk,
+                  CASE WHEN w.pk = 0 THEN 1 ELSE 0 END
+           FROM e JOIN wagg w ON w.id = e.id)
+       SELECT CAST(id AS BIGINT) AS file_id, url, 'wav' AS format,
+              CAST(ch AS INTEGER) AS channels,
+              CAST(rate AS INTEGER) AS sample_rate,
+              CAST(16 AS INTEGER) AS bit_depth,
+              CAST(nf AS BIGINT) AS n_frames,
+              CAST(nsamp AS BIGINT) AS n_samples,
+              CAST(sm AS BIGINT) AS sum, CAST(sq AS BIGINT) AS sumsq,
+              CAST(pk AS INTEGER) AS peak,
+              CAST(silent AS INTEGER) AS silent
+       FROM rows_""",
 
     // exact 4×4-block box means: the 2×2 thumbnail carries two u and
     // two u+30 cells

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Merges
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.Row
@@ -473,6 +473,38 @@ object StreamingIngest {
       sigTable: String, idCol: String = "media_id",
       contentCol: String = "content", gx: Int = 9, gy: Int = 7,
       buckets: Int = 32, batchId: Long = -1L): Unit = {
+    val sig = call_function(graft.expr.PixelGridSig.FunctionName,
+      col(contentCol), lit(gx), lit(gy)).getField("ahash")
+    sigDedupIngestBatch(batch, mediaPath, sigTable, idCol, sig,
+      buckets, batchId)
+  }
+
+  /** [[mediaDedupIngestBatch]]'s AUDIO sibling: cross-codec
+    * perceptual audio dedup-on-ingest. The signature is
+    * [[graft.expr.AudioEnvSig]]'s envelope-gradient ehash computed
+    * over [[graft.expr.AudioDecodeExpr]]'s native codec dispatch, so
+    * a WAV, an MP3, a FLAC and an OGG/Vorbis encode of ONE clip all
+    * land on one signature INSIDE the ingest projection — one
+    * whole-stage plan, no `udf(` (the grep-enforced StreamingIngest
+    * invariant), no seam hop. Identical dedup/index/commit shape to
+    * the image path (shared core), so the ScaleSpec plan proof —
+    * batch-bounded SHJ build side, broadcast anti, ≤1 exchange, no
+    * sort on the accumulated index — carries over verbatim.
+    */
+  def audioDedupIngestBatch(batch: DataFrame, mediaPath: String,
+      sigTable: String, idCol: String = "media_id",
+      contentCol: String = "content", nFrames: Int = 32,
+      buckets: Int = 32, batchId: Long = -1L): Unit = {
+    val sig = call_function(graft.expr.AudioEnvSig.FunctionName,
+      call_function(graft.expr.AudioDecodeExpr.FunctionName,
+        col(contentCol)), lit(nFrames)).getField("ehash")
+    sigDedupIngestBatch(batch, mediaPath, sigTable, idCol, sig,
+      buckets, batchId)
+  }
+
+  private def sigDedupIngestBatch(batch: DataFrame, mediaPath: String,
+      sigTable: String, idCol: String, sig: Column,
+      buckets: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val indexExists = spark.catalog.tableExists(sigTable)
     if (batchId >= 0 && indexExists) {
@@ -487,8 +519,6 @@ object StreamingIngest {
         !t.filter(col("_batch") === batchId).limit(1).isEmpty
       if (seen) return
     }
-    val sig = call_function(graft.expr.PixelGridSig.FunctionName,
-      col(contentCol), lit(gx), lit(gy)).getField("ahash")
     val sigs = batch.withColumn("_sig", sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

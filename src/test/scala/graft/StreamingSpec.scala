@@ -811,6 +811,58 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("audio ingest: cross-codec twins (WAV/FLAC/OGG) collapse at ingest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-audio-dd").toString
+    val table = "graft_test_audio_sigs"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // loud/quiet envelope patterns over 64 windows: loud windows are
+    // even and never adjacent, so cross-codec ehash equality is the
+    // gradient-sign argument the q185/q201 oracles pin
+    def samples(pat: Int => Boolean): Array[Int] =
+      Array.tabulate(256)(k => if (pat(k / 4)) 1000 else 0)
+    def wavClip(pat: Int => Boolean): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 512)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + 512)
+        .put("WAVE".getBytes("ISO-8859-1"))
+        .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("ISO-8859-1")).putInt(512)
+      samples(pat).foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    }
+    def flacClip(pat: Int => Boolean): Array[Byte] =
+      graft.expr.FlacBuild.encode(Array(samples(pat)), 8000, 16, 64,
+        "indep", "verbatim", partOrder = 0)
+    def oggClip(pat: Int => Boolean): Array[Byte] =
+      graft.expr.VorbisBuild.pattern(8000, 64, pat, seed = 11L)
+    val patA = (w: Int) => w % 4 == 0
+    val patB = (w: Int) => w % 8 == 2
+    val patC = (w: Int) => w % 8 == 4
+    def run(rows: (Long, Array[Byte])*): Unit =
+      StreamingIngest.audioDedupIngestBatch(
+        rows.toSeq.toDF("media_id", "content"),
+        s"$tmp/audio", table, "media_id", "content", nFrames = 64,
+        buckets = 4)
+    def ids(): Set[Long] =
+      spark.read.parquet(s"$tmp/audio").select("media_id")
+        .as[Long].collect().toSet
+    // batch 1: clip A in all three codecs (one survivor, lowest id),
+    // clip B, and junk (NULL sig passes — the triage contract)
+    run(1L -> wavClip(patA), 2L -> flacClip(patA), 3L -> oggClip(patA),
+      4L -> wavClip(patB), 5L -> "not audio at all".getBytes)
+    assert(ids() == Set(1L, 4L, 5L))
+    // batch 2: an OGG re-encode of B drops vs the INDEX; C survives
+    run(6L -> oggClip(patB), 7L -> flacClip(patC))
+    assert(ids() == Set(1L, 4L, 5L, 7L))
+    // replay self-filters
+    run(4L -> wavClip(patB), 7L -> flacClip(patC))
+    assert(ids() == Set(1L, 4L, 5L, 7L))
+    assert(spark.table(table).count() == 3) // A, B, C
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("session_window works as a watermarked stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
