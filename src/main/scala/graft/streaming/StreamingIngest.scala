@@ -587,6 +587,22 @@ object StreamingIngest {
           contentCol, gx, gy, buckets, batchId = id)
       }
 
+  /** Streaming wrapper over [[audioDedupIngestBatch]]. */
+  def audioDedupIngestSink(stream: DataFrame, mediaPath: String,
+      sigTable: String, checkpoint: String, idCol: String = "media_id",
+      contentCol: String = "content", nFrames: Int = 32,
+      buckets: Int = 32,
+      trigger: Trigger = Trigger.ProcessingTime("15 minutes"))
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        audioDedupIngestBatch(batch, mediaPath, sigTable, idCol,
+          contentCol, nFrames, buckets, batchId = id)
+      }
+
 
   /** `df.stat.bloomFilter` that survives an empty frame (Spark's
     * version NPEs there: its aggregate yields null for zero rows).
