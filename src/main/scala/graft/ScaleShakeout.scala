@@ -937,6 +937,92 @@ object ScaleShakeout {
       }
     }
 
+    // Crawl → AUDIO route (the q202 shape at scale): WARC files each
+    // carrying 1–3 audio responses across the codec tier — OGG/Vorbis
+    // (silence AND loud-pattern streams, short + mixed long blocks),
+    // FLAC (verbatim encode of a formula clip), raw WAV — plus an
+    // HTML record the route drops and 2% junk files; route → native
+    // graft_audio_decode dispatch → graft_audio_stats in one plan.
+    if (wanted("crawlAudio")) {
+      val warcPath = "target/scale_warc_audio.parquet"
+      val genAudio = udf { (id: Long) =>
+        if (id % 50 == 17) "not a warc at all".getBytes("UTF-8")
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          def rec(ctype: String, body: Array[Byte], slot: Int): Unit = {
+            val http = ("HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+              "\r\n\r\n").getBytes("ISO-8859-1") ++ body
+            bos.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://ex.com/$id/$slot\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n" +
+              "Content-Length: " + http.length + "\r\n\r\n")
+              .getBytes("UTF-8"))
+            bos.write(http)
+            bos.write("\r\n\r\n".getBytes("UTF-8"))
+          }
+          val nClips = 1 + (id % 3).toInt
+          var d = 0
+          while (d < nClips) {
+            val arm = (id * 7 + d) % 4
+            if (arm == 0)
+              rec("audio/ogg", graft.expr.VorbisBuild.silence(
+                (id % 2 + 1).toInt, 8000, (id % 5 + 3).toInt,
+                mixedBlocks = id % 4 < 2), d)
+            else if (arm == 1)
+              rec("audio/ogg", graft.expr.VorbisBuild.pattern(8000, 32,
+                w => w % 2 == 0 && (id * 31 + w) % 3 == 0 || w == 0,
+                seed = id * 13 + d), d)
+            else if (arm == 2) {
+              val vs = Array.tabulate(64 + (id % 64).toInt)(k =>
+                ((((id * 64 + k * 2) * (id * 64 + k * 2)) % 1000003L)
+                  * 48271L >> 8).toInt % 30001 - 15000)
+              rec("audio/flac", graft.expr.FlacBuild.encode(
+                Array(vs), 8000, 16, 64, "indep", "fixed2",
+                partOrder = 0), d)
+            } else {
+              val n = 64 + (id % 64).toInt
+              val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + n * 2)
+                .put("WAVE".getBytes("ISO-8859-1"))
+                .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+                .putShort(1).putShort(1).putInt(8000).putInt(16000)
+                .putShort(2).putShort(16)
+                .put("data".getBytes("ISO-8859-1")).putInt(n * 2)
+              var k = 0
+              while (k < n) {
+                bb.putShort((((id * 29 + k * 4099) % 20001) - 10000).toShort)
+                k += 1
+              }
+              rec("audio/wav", bb.array(), d)
+            }
+            d += 1
+          }
+          rec("text/html",
+            "<p>markup the audio route must drop</p>".getBytes("UTF-8"), 9)
+          bos.toByteArray
+        }
+      }
+      spark.range(nDocs)
+        .select(col("id").as("file_id"), genAudio(col("id")).as("content"))
+        .write.mode("overwrite").parquet(warcPath)
+      val files = spark.read.parquet(warcPath)
+      run("crawlAudio") {
+        val m = call_function(graft.expr.AudioStats.FunctionName,
+          call_function(graft.expr.AudioDecodeExpr.FunctionName,
+            col("body")))
+        graft.operators.Warc.binaryDocuments(files,
+            contentTypes = Seq("audio/ogg", "audio/flac", "audio/wav"))
+          .select(col("file_id"), col("url"), m.as("_m"))
+          .select(col("file_id"), col("url"),
+            col("_m.format").as("format"),
+            col("_m.channels").as("channels"),
+            col("_m.n_samples").as("n_samples"),
+            col("_m.sum").as("sum"), col("_m.sumsq").as("sumsq"),
+            col("_m.peak").as("peak"), col("_m.silent").as("silent"))
+      }
+    }
+
     if (wanted("sessionStats", "asofJoin")) {
     val nEvents = nDocs * 20
     spark.range(nEvents).select(
