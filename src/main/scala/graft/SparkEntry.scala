@@ -4285,6 +4285,84 @@ object SparkEntry {
           col("_m.silent").as("silent"))
     }),
 
+    // Container-tag extraction across ALL FOUR audio tag systems
+    // (ID3v2.3 text frames, FLAC VORBIS_COMMENT, OGG Vorbis comment
+    // packet, RIFF LIST/INFO) through the native graft_audio_tags
+    // expression, exploded to (key, value) rows the oracle replays
+    // relationally — the metadata filter/dedup-key feed of a crawl
+    // audio pipeline (group re-uploads by title, artist blocklists).
+    "q203_audio_tags" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        def be32(v: Int) = Array[Byte]((v >>> 24).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          (v & 0xff).toByte)
+        def syncsafe(v: Int) = Array[Byte](((v >> 21) & 0x7f).toByte,
+          ((v >> 14) & 0x7f).toByte, ((v >> 7) & 0x7f).toByte,
+          (v & 0x7f).toByte)
+        def a(x: String) = x.getBytes("ISO-8859-1")
+        val title = s"T$g"
+        val artist = s"A${g % 7}"
+        def comments(vendor: String): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(le32(vendor.length)); out.write(a(vendor))
+          out.write(le32(2))
+          Seq(s"TITLE=$title", s"ARTIST=$artist").foreach { kv =>
+            out.write(le32(kv.length)); out.write(a(kv))
+          }
+          out.toByteArray
+        }
+        (g % 4) match {
+          case 0 =>
+            def frame(fid: String, v: String) =
+              a(fid) ++ be32(v.length + 1) ++ Array[Byte](0, 0, 0) ++ a(v)
+            val frames = frame("TIT2", title) ++ frame("TPE1", artist)
+            a("ID3") ++ Array[Byte](3, 0, 0) ++
+              syncsafe(frames.length) ++ frames
+          case 1 =>
+            val base = graft.expr.FlacBuild.encode(
+              Array(Array.tabulate(64)(k => (k % 7) - 3)), 8000, 16, 64,
+              "indep", "fixed1", partOrder = 0)
+            base(4) = (base(4) & 0x7f).toByte
+            val cb = comments("gv")
+            val block = Array[Byte](0x84.toByte,
+              ((cb.length >> 16) & 0xff).toByte,
+              ((cb.length >> 8) & 0xff).toByte,
+              (cb.length & 0xff).toByte) ++ cb
+            base.take(42) ++ block ++ base.drop(42)
+          case 2 =>
+            val commentPkt = Array[Byte](3) ++ a("vorbis") ++
+              comments("ov") ++ Array[Byte](1)
+            graft.expr.VorbisBuild.page(7, 0, 0, 0x02,
+                Seq(graft.expr.VorbisBuild.idHeader(1, 8000))) ++
+              graft.expr.VorbisBuild.page(7, 1, 0, 0, Seq(commentPkt))
+          case _ =>
+            def info(iid: String, v: String) = {
+              val vb = a(v) ++ Array[Byte](0)
+              a(iid) ++ le32(vb.length) ++ vb ++
+                (if (vb.length % 2 == 1) Array[Byte](0)
+                 else Array.emptyByteArray)
+            }
+            val infoBody = a("INFO") ++ info("INAM", title) ++
+              info("IART", artist)
+            val fmt = a("fmt ") ++ le32(16) ++
+              Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+              Array[Byte](2, 0, 16, 0)
+            val data = a("data") ++ le32(2) ++ Array[Byte](0, 0)
+            val body = a("WAVE") ++ fmt ++
+              a("LIST") ++ le32(infoBody.length) ++ infoBody ++ data
+            a("RIFF") ++ le32(body.length) ++ body
+        }
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("media_id"),
+          explode(call_function(graft.expr.AudioTags.FunctionName,
+            gen(id))).as(Seq("tag_key", "tag_value")))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8123,6 +8201,28 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // one (key,value) row per tag; keys are raw frame/info ids for
+    // ID3/RIFF and lowercased for the vorbis-comment family (the
+    // spec's case-insensitive keys in canonical form) + 'vendor'
+    "q203_audio_tags" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 AS m,
+                  'T' || doc_id AS title, 'A' || (doc_id % 7) AS artist
+           FROM documents),
+         r AS (
+           SELECT id, 'TIT2' AS k, title AS v FROM d WHERE m = 0
+           UNION ALL SELECT id, 'TPE1', artist FROM d WHERE m = 0
+           UNION ALL SELECT id, 'vendor', 'gv' FROM d WHERE m = 1
+           UNION ALL SELECT id, 'title', title FROM d WHERE m = 1
+           UNION ALL SELECT id, 'artist', artist FROM d WHERE m = 1
+           UNION ALL SELECT id, 'vendor', 'ov' FROM d WHERE m = 2
+           UNION ALL SELECT id, 'title', title FROM d WHERE m = 2
+           UNION ALL SELECT id, 'artist', artist FROM d WHERE m = 2
+           UNION ALL SELECT id, 'INAM', title FROM d WHERE m = 3
+           UNION ALL SELECT id, 'IART', artist FROM d WHERE m = 3)
+       SELECT CAST(id AS BIGINT) AS media_id, k AS tag_key,
+              v AS tag_value
+       FROM r""",
 
     // two audio rows per file (the HTML record drops at the route):
     // the OGG row replays q200's silence geometry, the WAV row the
