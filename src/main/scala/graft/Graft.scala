@@ -108,6 +108,7 @@ object Graft {
     graft.expr.ResamplePcm.register(spark)
     graft.expr.AudioDecodeExpr.register(spark)
     graft.expr.AudioTags.register(spark)
+    graft.expr.ImageTags.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

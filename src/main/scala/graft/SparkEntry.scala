@@ -4363,6 +4363,99 @@ object SparkEntry {
             gen(id))).as(Seq("tag_key", "tag_value")))
     }),
 
+    // Image-container tag extraction across all four tag systems
+    // (JPEG Exif APP1 + COM, PNG tEXt/zTXt, GIF comment extension,
+    // WEBP EXIF chunk) through graft_image_tags — q203's image
+    // sibling; the zTXt arm round-trips java.util.zip deflate so the
+    // oracle replays VALUES while the bytes stay codec-private.
+    "q204_image_tags" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+        def be32(v: Int) = Array[Byte]((v >>> 24).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          (v & 0xff).toByte)
+        def a(x: String) = x.getBytes("ISO-8859-1")
+        val make = s"M${g % 7}"
+        val model = s"X$g"
+        val comment = s"C${g % 5}"
+        def tiffLE: Array[Byte] = {
+          // two ASCII entries; values inline when ≤4 incl. NUL, else
+          // in the data area after the IFD
+          val out = new java.io.ByteArrayOutputStream()
+          val mk = a(make) :+ 0.toByte
+          val md = a(model) :+ 0.toByte
+          val dataOff = 8 + 2 + 2 * 12 + 4
+          out.write(a("II")); out.write(Array[Byte](42, 0))
+          out.write(le32(8))
+          out.write(le16(2))
+          val blobs = new java.io.ByteArrayOutputStream()
+          Seq(0x010f -> mk, 0x0110 -> md).foreach { case (tag, vb) =>
+            out.write(le16(tag)); out.write(le16(2))
+            out.write(le32(vb.length))
+            if (vb.length <= 4) {
+              out.write(vb)
+              var i = vb.length
+              while (i < 4) { out.write(0); i += 1 }
+            } else {
+              out.write(le32(dataOff + blobs.size()))
+              blobs.write(vb)
+            }
+          }
+          out.write(le32(0))
+          out.write(blobs.toByteArray)
+          out.toByteArray
+        }
+        (g % 4) match {
+          case 0 =>
+            def chunk(typ: String, data: Array[Byte]) =
+              be32(data.length) ++ a(typ) ++ data ++ be32(0)
+            def deflate(sb: Array[Byte]) = {
+              val d = new java.util.zip.Deflater()
+              d.setInput(sb); d.finish()
+              val o = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](256)
+              while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+              d.end(); o.toByteArray
+            }
+            Array[Byte](0x89.toByte) ++ a("PNG\r\n") ++
+              Array[Byte](0x1a, 0x0a) ++
+              chunk("IHDR", be32(1) ++ be32(1) ++
+                Array[Byte](8, 0, 0, 0, 0)) ++
+              chunk("tEXt", a("Title") ++ Array[Byte](0) ++ a(model)) ++
+              chunk("zTXt", a("Author") ++ Array[Byte](0, 0) ++
+                deflate(a(make))) ++
+              chunk("IEND", Array.emptyByteArray)
+          case 1 =>
+            val exif = a("Exif") ++ Array[Byte](0, 0) ++ tiffLE
+            val com = a(comment)
+            Array[Byte](0xff.toByte, 0xd8.toByte) ++
+              Array[Byte](0xff.toByte, 0xe1.toByte,
+                ((exif.length + 2) >> 8).toByte,
+                ((exif.length + 2) & 0xff).toByte) ++ exif ++
+              Array[Byte](0xff.toByte, 0xfe.toByte, 0,
+                (com.length + 2).toByte) ++ com ++
+              Array[Byte](0xff.toByte, 0xd9.toByte)
+          case 2 =>
+            a("GIF89a") ++ le16(1) ++ le16(1) ++ Array[Byte](0, 0, 0) ++
+              Array[Byte](0x21, 0xfe.toByte, comment.length.toByte) ++
+              a(comment) ++ Array[Byte](0, 0x3b)
+          case _ =>
+            val exif = a("EXIF") ++ le32(tiffLE.length) ++ tiffLE ++
+              (if (tiffLE.length % 2 == 1) Array[Byte](0)
+               else Array.emptyByteArray)
+            a("RIFF") ++ le32(4 + exif.length) ++ a("WEBP") ++ exif
+        }
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("media_id"),
+          explode(call_function(graft.expr.ImageTags.FunctionName,
+            gen(id))).as(Seq("tag_key", "tag_value")))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8201,6 +8294,26 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // PNG keys are chunk keywords, JPEG/WEBP Exif keys the canonical
+    // names, comments under 'comment'
+    "q204_image_tags" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 AS m,
+                  'M' || (doc_id % 7) AS mk, 'X' || doc_id AS md,
+                  'C' || (doc_id % 5) AS cm
+           FROM documents),
+         r AS (
+           SELECT id, 'Title' AS k, md AS v FROM d WHERE m = 0
+           UNION ALL SELECT id, 'Author', mk FROM d WHERE m = 0
+           UNION ALL SELECT id, 'make', mk FROM d WHERE m = 1
+           UNION ALL SELECT id, 'model', md FROM d WHERE m = 1
+           UNION ALL SELECT id, 'comment', cm FROM d WHERE m = 1
+           UNION ALL SELECT id, 'comment', cm FROM d WHERE m = 2
+           UNION ALL SELECT id, 'make', mk FROM d WHERE m = 3
+           UNION ALL SELECT id, 'model', md FROM d WHERE m = 3)
+       SELECT CAST(id AS BIGINT) AS media_id, k AS tag_key,
+              v AS tag_value
+       FROM r""",
 
     // one (key,value) row per tag; keys are raw frame/info ids for
     // ID3/RIFF and lowercased for the vorbis-comment family (the
