@@ -109,6 +109,7 @@ object Graft {
     graft.expr.AudioDecodeExpr.register(spark)
     graft.expr.AudioTags.register(spark)
     graft.expr.ImageTags.register(spark)
+    graft.expr.VideoTags.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

@@ -4456,6 +4456,56 @@ object SparkEntry {
             gen(id))).as(Seq("tag_key", "tag_value")))
     }),
 
+    // Video-container tag extraction (MP4 iTunes-style ilst + AVI
+    // RIFF INFO) through graft_video_tags — the tag trilogy's video
+    // leg, q203/q204's sibling with the same explode shape.
+    "q205_video_tags" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        def be32(v: Int) = Array[Byte]((v >>> 24).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          (v & 0xff).toByte)
+        def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+          (v >> 16).toByte, (v >> 24).toByte)
+        def a(x: String) = x.getBytes("ISO-8859-1")
+        def boxB(typ: Array[Byte], payload: Array[Byte]) =
+          be32(8 + payload.length) ++ typ ++ payload
+        def box(typ: String, payload: Array[Byte]) = boxB(a(typ), payload)
+        def dataBox(text: String) = {
+          val tb = text.getBytes("UTF-8")
+          be32(16 + tb.length) ++ a("data") ++ be32(1) ++ be32(0) ++ tb
+        }
+        val title = s"T$g"
+        val artist = s"A${g % 7}"
+        if (g % 2 == 0) {
+          val nam = Array(0xA9.toByte) ++ a("nam")
+          val art = Array(0xA9.toByte) ++ a("ART")
+          val ilst = box("ilst", boxB(nam, dataBox(title)) ++
+            boxB(art, dataBox(artist)))
+          val meta = box("meta", be32(0) ++ ilst)
+          box("ftyp", a("isom") ++ be32(0) ++ a("isomiso2")) ++
+            box("moov", box("udta", meta))
+        } else {
+          def info(iid: String, v: String) = {
+            val vb = a(v) :+ 0.toByte
+            a(iid) ++ le32(vb.length) ++ vb ++
+              (if (vb.length % 2 == 1) Array[Byte](0)
+               else Array.emptyByteArray)
+          }
+          val infoBody = a("INFO") ++ info("INAM", title) ++
+            info("IART", artist)
+          val body = a("AVI ") ++
+            a("LIST") ++ le32(infoBody.length) ++ infoBody
+          a("RIFF") ++ le32(body.length) ++ body
+        }
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("media_id"),
+          explode(call_function(graft.expr.VideoTags.FunctionName,
+            gen(id))).as(Seq("tag_key", "tag_value")))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8294,6 +8344,21 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // MP4 well-known items map to canonical names; AVI keeps raw
+    // INFO ids (the two systems' native conventions)
+    "q205_video_tags" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 2 AS m,
+                  'T' || doc_id AS title, 'A' || (doc_id % 7) AS artist
+           FROM documents),
+         r AS (
+           SELECT id, 'title' AS k, title AS v FROM d WHERE m = 0
+           UNION ALL SELECT id, 'artist', artist FROM d WHERE m = 0
+           UNION ALL SELECT id, 'INAM', title FROM d WHERE m = 1
+           UNION ALL SELECT id, 'IART', artist FROM d WHERE m = 1)
+       SELECT CAST(id AS BIGINT) AS media_id, k AS tag_key,
+              v AS tag_value
+       FROM r""",
 
     // PNG keys are chunk keywords, JPEG/WEBP Exif keys the canonical
     // names, comments under 'comment'
