@@ -110,6 +110,7 @@ object Graft {
     graft.expr.AudioTags.register(spark)
     graft.expr.ImageTags.register(spark)
     graft.expr.VideoTags.register(spark)
+    graft.expr.TarEntries.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

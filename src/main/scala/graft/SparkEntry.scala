@@ -4506,6 +4506,69 @@ object SparkEntry {
             gen(id))).as(Seq("tag_key", "tag_value")))
     }),
 
+    // TAR archive → per-file document rows through graft_tar_entries
+    // (WarcRecords' archive sibling): each doc ships a source-dump
+    // tar — plain on even ids, gzip'd on odd — carrying K text files,
+    // a directory entry the walk skips and a GNU long-name file; the
+    // explode yields the document tier's input rows, all relational.
+    "q206_tar_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        def hdr(name: String, size: Long, typeflag: Char): Array[Byte] = {
+          val h = new Array[Byte](512)
+          def putStr(o: Int, len: Int, str: String): Unit = {
+            val bb = str.getBytes("UTF-8")
+            System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+          }
+          def putOctal(o: Int, len: Int, v: Long): Unit =
+            putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+          putStr(0, 100, name)
+          putOctal(100, 8, 420); putOctal(108, 8, 0); putOctal(116, 8, 0)
+          putOctal(124, 12, size); putOctal(136, 12, 1700000000L)
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          h(156) = typeflag.toByte
+          putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+          var sum = 0L
+          (0 until 512).foreach(i => sum += h(i) & 0xff)
+          putStr(148, 7, "%06o".format(sum) + " ")
+          h
+        }
+        def file(name: String, c: Array[Byte]): Array[Byte] = {
+          val pad = (512 - c.length % 512) % 512
+          hdr(name, c.length, '0') ++ c ++ new Array[Byte](pad)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val k = (g % 4 + 2).toInt
+        var j = 0
+        while (j < k) {
+          out.write(file(s"src/f$j.txt", s"c${g}_$j".getBytes("UTF-8")))
+          j += 1
+        }
+        out.write(hdr("src/sub/", 0, '5')) // directory: skipped
+        val longName = "long/" + ("p" * 120) + g
+        val nb = longName.getBytes("UTF-8")
+        val pad = (512 - nb.length % 512) % 512
+        out.write(hdr("././@LongLink", nb.length, 'L'))
+        out.write(nb); out.write(new Array[Byte](pad))
+        out.write(file("short", s"L$g".getBytes("UTF-8")))
+        out.write(new Array[Byte](1024))
+        val plain = out.toByteArray
+        if (g % 2 == 1) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(bos)
+          z.write(plain); z.close(); bos.toByteArray
+        } else plain
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            gen(id), lit(64))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          col("e.size").as("size"),
+          decode(col("e.content"), "UTF-8").as("text"))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8344,6 +8407,22 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // K regular files + the long-name file; the directory row never
+    // appears; gzip arm is byte-identical after inflate
+    "q206_tar_documents" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 + 2 AS k
+           FROM documents),
+         f AS (SELECT id, 'src/f' || r.j || '.txt' AS path,
+                 'c' || id || '_' || r.j AS text
+               FROM d CROSS JOIN range(0, 6) r(j) WHERE r.j < k
+               UNION ALL
+               SELECT id, 'long/' || repeat('p', 120) || id,
+                 'L' || id
+               FROM d)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              CAST(length(text) AS BIGINT) AS size, text
+       FROM f""",
 
     // MP4 well-known items map to canonical names; AVI keeps raw
     // INFO ids (the two systems' native conventions)
