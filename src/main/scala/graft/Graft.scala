@@ -111,6 +111,7 @@ object Graft {
     graft.expr.ImageTags.register(spark)
     graft.expr.VideoTags.register(spark)
     graft.expr.TarEntries.register(spark)
+    graft.expr.ZipEntries.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

@@ -4569,6 +4569,38 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // ZIP archive → per-file document rows through graft_zip_entries
+    // — q206's zip sibling over the SAME oracle shape; the fixture
+    // is written by the JDK's zip encoder, so the gate doubles as an
+    // independent-writer differential for the hand local-header walk.
+    "q207_zip_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        val k = (g % 4 + 2).toInt
+        var j = 0
+        while (j < k) {
+          z.putNextEntry(new java.util.zip.ZipEntry(s"src/f$j.txt"))
+          z.write(s"c${g}_$j".getBytes("UTF-8"))
+          z.closeEntry()
+          j += 1
+        }
+        z.putNextEntry(new java.util.zip.ZipEntry("src/sub/"))
+        z.closeEntry() // directory: skipped by the walk
+        z.close()
+        bos.toByteArray
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.ZipEntries.FunctionName,
+            gen(id))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          col("e.size").as("size"),
+          decode(col("e.content"), "UTF-8").as("text"))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8407,6 +8439,17 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // K regular files; the directory entry never appears
+    "q207_zip_documents" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 + 2 AS k
+           FROM documents),
+         f AS (SELECT id, 'src/f' || r.j || '.txt' AS path,
+                 'c' || id || '_' || r.j AS text
+               FROM d CROSS JOIN range(0, 6) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              CAST(length(text) AS BIGINT) AS size, text
+       FROM f""",
 
     // K regular files + the long-name file; the directory row never
     // appears; gzip arm is byte-identical after inflate
