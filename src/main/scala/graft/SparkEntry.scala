@@ -4601,6 +4601,74 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // tar.bz2 → per-file documents: q206's bzip2 arm through the
+    // CLEAN-ROOM bzip2 decoder (auto-detected by TarEntries' magic
+    // dispatch) — the source-dump format trifecta (tar, tar.gz,
+    // tar.bz2) all landing on one explode shape.
+    "q208_tar_bz2_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        def hdr(name: String, size: Long, typeflag: Char): Array[Byte] = {
+          val h = new Array[Byte](512)
+          def putStr(o: Int, len: Int, str: String): Unit = {
+            val bb = str.getBytes("UTF-8")
+            System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+          }
+          def putOctal(o: Int, len: Int, v: Long): Unit =
+            putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+          putStr(0, 100, name)
+          putOctal(100, 8, 420); putOctal(108, 8, 0); putOctal(116, 8, 0)
+          putOctal(124, 12, size); putOctal(136, 12, 1700000000L)
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          h(156) = typeflag.toByte
+          putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+          var sum = 0L
+          (0 until 512).foreach(i => sum += h(i) & 0xff)
+          putStr(148, 7, "%06o".format(sum) + " ")
+          h
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val k = (g % 4 + 2).toInt
+        var j = 0
+        while (j < k) {
+          val c = s"c${g}_$j".getBytes("UTF-8")
+          val pad = (512 - c.length % 512) % 512
+          out.write(hdr(s"src/f$j.txt", c.length, '0'))
+          out.write(c); out.write(new Array[Byte](pad))
+          j += 1
+        }
+        out.write(new Array[Byte](1024))
+        graft.expr.Bzip2Build.encode(out.toByteArray, 1)
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            gen(id), lit(64))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          col("e.size").as("size"),
+          decode(col("e.content"), "UTF-8").as("text"))
+    }),
+
+    // Wikipedia-dump-style ingestion: a bz2-compressed text payload
+    // per doc through graft_bunzip2 — the standalone expression gate
+    // (q208 covers the tar composition; this one the raw dump shape).
+    "q209_bz2_text" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        val text = s"<page><title>P$g</title><text>" +
+          (s"w${g % 97} " * ((g % 5).toInt + 1)) + "</text></page>"
+        graft.expr.Bzip2Build.encode(text.getBytes("UTF-8"), 1)
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("doc_id2"),
+          decode(call_function(graft.expr.Bunzip2Expr.FunctionName,
+            gen(id)), "UTF-8").as("text"))
+        .select(col("doc_id2").as("doc_id"), col("text"),
+          length(col("text")).as("n_chars"))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8439,6 +8507,30 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // same shape as q206 minus the long-name/directory arms; the
+    // bz2 layer is transparent to the oracle (decode → same tar)
+    "q208_tar_bz2_documents" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 + 2 AS k
+           FROM documents),
+         f AS (SELECT id, 'src/f' || r.j || '.txt' AS path,
+                 'c' || id || '_' || r.j AS text
+               FROM d CROSS JOIN range(0, 6) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              CAST(length(text) AS BIGINT) AS size, text
+       FROM f""",
+
+    // the dump text replays relationally through repeat()
+    "q209_bz2_text" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              '<page><title>P' || doc_id || '</title><text>' ||
+                repeat('w' || (doc_id % 97) || ' ', doc_id % 5 + 1) ||
+                '</text></page>' AS text,
+              CAST(length('<page><title>P' || doc_id ||
+                '</title><text>' ||
+                repeat('w' || (doc_id % 97) || ' ', doc_id % 5 + 1) ||
+                '</text></page>') AS INTEGER) AS n_chars
+       FROM documents""",
 
     // K regular files; the directory entry never appears
     "q207_zip_documents" ->

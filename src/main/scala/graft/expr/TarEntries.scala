@@ -134,7 +134,12 @@ object TarEntries {
     if (raw == null || raw.length < 18) return null
     val b =
       if ((raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) gunzip(raw)
-      else raw
+      else if (raw(0) == 'B' && raw(1) == 'Z' && raw(2) == 'h') {
+        // tar.bz2 — the clean-room decoder, same cap discipline
+        val d = Bzip2.decode(raw)
+        if (d == null) return null
+        d
+      } else raw
     if (b.length < 512) return null
     // recognition: a valid first-header checksum (ustar magic is
     // absent from pre-POSIX tars, so the checksum IS the magic)
