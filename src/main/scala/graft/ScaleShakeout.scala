@@ -1023,6 +1023,104 @@ object ScaleShakeout {
       }
     }
 
+    // Archive → documents route (the q206/q207/q208 shape at scale):
+    // mixed source dumps — plain tar, tar.gz, tar.bz2 (clean-room
+    // decoder), zip — each with 3–10 text files, 2% junk; explode to
+    // per-file rows + an exact-dedup stage (the source-dataset
+    // pipeline's first two steps).
+    if (wanted("archiveDocuments")) {
+      val arcPath = "target/scale_archives.parquet"
+      val genArc = udf { (id: Long) =>
+        if (id % 50 == 17) "not an archive at all".getBytes("UTF-8")
+        else {
+          def hdr(name: String, size: Long): Array[Byte] = {
+            val h = new Array[Byte](512)
+            def putStr(o: Int, len: Int, str: String): Unit = {
+              val bb = str.getBytes("UTF-8")
+              System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+            }
+            def putOctal(o: Int, len: Int, v: Long): Unit =
+              putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+            putStr(0, 100, name)
+            putOctal(100, 8, 420); putOctal(108, 8, 0); putOctal(116, 8, 0)
+            putOctal(124, 12, size); putOctal(136, 12, 1700000000L)
+            java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+            h(156) = '0'.toByte
+            putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+            var sum = 0L
+            (0 until 512).foreach(i => sum += h(i) & 0xff)
+            putStr(148, 7, "%06o".format(sum) + " ")
+            h
+          }
+          val rnd = new java.util.Random(id * 2654435761L + 17L)
+          val k = 3 + rnd.nextInt(8)
+          def contentOf(j: Int): Array[Byte] = {
+            // ~10% cross-archive duplicate families
+            val dup = (id * 13 + j) % 10 == 3
+            val seed = if (dup) 4242L + (id + j) % 64 else id * 131 + j
+            val r2 = new java.util.Random(seed)
+            val sb = new StringBuilder()
+            val words = 20 + r2.nextInt(200)
+            var w = 0
+            while (w < words) { sb.append("tok").append(r2.nextInt(30000)).append(' '); w += 1 }
+            sb.toString.getBytes("UTF-8")
+          }
+          val arm = id % 4
+          if (arm == 3) {
+            // zip via the JDK writer
+            val bos = new java.io.ByteArrayOutputStream()
+            val z = new java.util.zip.ZipOutputStream(bos)
+            var j = 0
+            while (j < k) {
+              z.putNextEntry(new java.util.zip.ZipEntry(s"src/f$j.txt"))
+              z.write(contentOf(j)); z.closeEntry(); j += 1
+            }
+            z.close(); bos.toByteArray
+          } else {
+            val out = new java.io.ByteArrayOutputStream()
+            var j = 0
+            while (j < k) {
+              val c = contentOf(j)
+              val pad = (512 - c.length % 512) % 512
+              out.write(hdr(s"src/f$j.txt", c.length))
+              out.write(c); out.write(new Array[Byte](pad))
+              j += 1
+            }
+            out.write(new Array[Byte](1024))
+            val plain = out.toByteArray
+            if (arm == 1) {
+              val gz = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(gz)
+              g.write(plain); g.close(); gz.toByteArray
+            } else if (arm == 2) graft.expr.Bzip2Build.encode(plain, 1)
+            else plain
+          }
+        }
+      }
+      spark.range(nDocs)
+        .select(col("id").as("file_id"), genArc(col("id")).as("content"))
+        .write.mode("overwrite").parquet(arcPath)
+      val files = spark.read.parquet(arcPath)
+      run("archiveDocuments") {
+        import org.apache.spark.sql.expressions.Window
+        val tarE = call_function(graft.expr.TarEntries.FunctionName,
+          col("content"), lit(64))
+        val zipE = call_function(graft.expr.ZipEntries.FunctionName,
+          col("content"))
+        val docs = files
+          .select(col("file_id"),
+            explode(coalesce(tarE, zipE)).as("e"))
+          .select(col("file_id"), col("e.path").as("path"),
+            md5(col("e.content")).as("text_md5"),
+            length(col("e.content")).as("n_bytes"))
+        val w = Window.partitionBy("text_md5")
+        docs.withColumn("kept",
+          (concat(col("file_id"), lit("/"), col("path")) ===
+            min(concat(col("file_id"), lit("/"), col("path"))).over(w))
+            .cast("int"))
+      }
+    }
+
     if (wanted("sessionStats", "asofJoin")) {
     val nEvents = nDocs * 20
     spark.range(nEvents).select(
