@@ -113,6 +113,7 @@ object Graft {
     graft.expr.TarEntries.register(spark)
     graft.expr.ZipEntries.register(spark)
     graft.expr.Bunzip2Expr.register(spark)
+    graft.expr.UnxzExpr.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

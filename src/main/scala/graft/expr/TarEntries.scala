@@ -139,6 +139,12 @@ object TarEntries {
         val d = Bzip2.decode(raw)
         if (d == null) return null
         d
+      } else if (raw(0) == 0xfd.toByte && raw(1) == '7' && raw(2) == 'z' &&
+          raw(3) == 'X' && raw(4) == 'Z') {
+        // tar.xz — the clean-room LZMA2 decoder
+        val d = Xz.decode(raw)
+        if (d == null) return null
+        d
       } else raw
     if (b.length < 512) return null
     // recognition: a valid first-header checksum (ustar magic is

@@ -1,0 +1,560 @@
+package graft.expr
+
+/** Clean-room XZ / LZMA2 decoder — completing the compression
+  * trifecta (gzip via the JDK, [[Bzip2]], this file) for the
+  * `.tar.xz` / `.xz` source-dump tier. LZMA is the other
+  * fully-algorithmic format: there are NO tabulated code books at
+  * all — every probability is an ADAPTIVE 11-bit model updated as
+  * bits decode, driven by a binary range coder; the only constants
+  * are structural (model counts, the 12-state transition rules, the
+  * position-slot geometry), all part of the public format
+  * description. Wire conventions are differentially pinned against
+  * REAL `xz`-produced streams in XzSpec (text, match-heavy, pure
+  * literals, empty, multi-block, 150 kB, and all four check types).
+  *
+  * Container (the public .xz file-format spec):
+  *  - stream header: magic FD 37 7A 58 5A 00, flags (check type:
+  *    none / CRC32 / CRC64 / SHA-256 — ALL FOUR verified here:
+  *    CRC32 via the JDK, CRC64 the reflected ECMA-182 polynomial,
+  *    SHA-256 via MessageDigest), CRC32 of the flags;
+  *  - blocks: size-coded headers (VLI fields, filter list — only the
+  *    LZMA2 filter 0x21 is accepted; delta/BCJ-filtered streams
+  *    triage), header CRC32 verified; block data; 4-byte padding;
+  *    the block check over the UNCOMPRESSED bytes, verified;
+  *  - the index (indicator 0x00) ends the block walk; index/footer
+  *    contents are not re-verified (every block already carried its
+  *    own verified check — the stronger per-payload gate).
+  *
+  * LZMA2 layer: chunked — uncompressed chunks (0x01 dict-reset /
+  * 0x02), LZMA chunks (0x80–0xFF control: 5 high bits of unpacked
+  * size, 2-bit reset mode selecting state / props / dict resets),
+  * end marker 0x00.
+  *
+  * LZMA proper: the binary range decoder (2^24 normalization, 5-bit
+  * adaptation shift), literal contexts (lc/lp/pb from the props
+  * byte), matched-literal decode after matches, the 12-state
+  * machine, match/rep/shortrep paths with the 4-slot rep history,
+  * length coders (choice/choice2 + 3/3/8-bit trees), position slots
+  * (6-bit tree per length class, reverse-bittree spec positions,
+  * 4-bit align field with direct bits between).
+  *
+  * Triage: wrong magic / unsupported filter chain / corrupt header
+  * CRC / failed block check / range-coder desync → null when no
+  * block decoded, ragged tail after a verified block (never invented
+  * bytes). Output capped at [[MaxOutBytes]]. Pure per-row
+  * projection behind the [[Unxz]] expression and [[TarEntries]]'
+  * magic dispatch.
+  */
+object Xz {
+
+  val MaxOutBytes: Int = 64 << 20
+
+  private object Bad extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def bad(): Nothing = throw Bad
+
+  // ------------------------------------------------------------------
+  // checks
+  // ------------------------------------------------------------------
+
+  private[graft] val Crc64Table: Array[Long] = {
+    val poly = 0xC96C5795D7870F42L // reflected ECMA-182
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      var r = i.toLong
+      var k = 0
+      while (k < 8) {
+        r = if ((r & 1L) != 0) (r >>> 1) ^ poly else r >>> 1
+        k += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private def crc64(b: Array[Byte], from: Int, until: Int): Long = {
+    var crc = -1L
+    var i = from
+    while (i < until) {
+      crc = (crc >>> 8) ^ Crc64Table(((crc ^ b(i)) & 0xff).toInt)
+      i += 1
+    }
+    ~crc
+  }
+
+  // ------------------------------------------------------------------
+  // LZMA2 machine (the output array IS the dictionary)
+  // ------------------------------------------------------------------
+
+  private final class Lzma2 {
+    var dict = new Array[Byte](1 << 16)
+    var dictLen = 0
+    private def ensure(n: Int): Unit = {
+      if (dictLen + n > dict.length) {
+        var cap = dict.length
+        while (cap < dictLen + n) cap <<= 1
+        if (cap > (MaxOutBytes << 1)) bad()
+        dict = java.util.Arrays.copyOf(dict, cap)
+      }
+      if (dictLen + n > MaxOutBytes) bad()
+    }
+    private def putByte(v: Int): Unit = {
+      ensure(1)
+      dict(dictLen) = v.toByte
+      dictLen += 1
+    }
+
+    private var lc = 0
+    private var lp = 0
+    private var pb = 0
+    private var isMatch: Array[Int] = _
+    private var isRep: Array[Int] = _
+    private var isRepG0: Array[Int] = _
+    private var isRepG1: Array[Int] = _
+    private var isRepG2: Array[Int] = _
+    private var isRep0Long: Array[Int] = _
+    private var posSlot: Array[Int] = _
+    private var specPos: Array[Int] = _
+    private var align: Array[Int] = _
+    private var lenChoice: Array[Int] = _
+    private var lenLow: Array[Int] = _
+    private var lenMid: Array[Int] = _
+    private var lenHigh: Array[Int] = _
+    private var repChoice: Array[Int] = _
+    private var repLow: Array[Int] = _
+    private var repMid: Array[Int] = _
+    private var repHigh: Array[Int] = _
+    private var literal: Array[Int] = _
+    private var state = 0
+    private var rep0 = 0
+    private var rep1 = 0
+    private var rep2 = 0
+    private var rep3 = 0
+    private var propsSet = false
+
+    def setProps(p: Int): Unit = {
+      if (p >= 9 * 5 * 5) bad()
+      lc = p % 9
+      lp = (p / 9) % 5
+      pb = p / 45
+      if (lc + lp > 4) bad()
+      propsSet = true
+    }
+
+    def resetState(): Unit = {
+      if (!propsSet) bad()
+      def fill(n: Int) = Array.fill(n)(1024)
+      isMatch = fill(12 << 4)
+      isRep = fill(12); isRepG0 = fill(12); isRepG1 = fill(12)
+      isRepG2 = fill(12); isRep0Long = fill(12 << 4)
+      posSlot = fill(4 * 64)
+      specPos = fill(115)
+      align = fill(16)
+      lenChoice = fill(2); lenLow = fill(16 * 8); lenMid = fill(16 * 8)
+      lenHigh = fill(256)
+      repChoice = fill(2); repLow = fill(16 * 8); repMid = fill(16 * 8)
+      repHigh = fill(256)
+      literal = fill(0x300 << (lc + lp))
+      state = 0
+      rep0 = 0; rep1 = 0; rep2 = 0; rep3 = 0
+    }
+
+    // ---- range decoder over input[rpos, rend) ----
+    private var in: Array[Byte] = _
+    private var rpos = 0
+    private var rend = 0
+    private var range = 0
+    private var code = 0
+    private def rdInit(input: Array[Byte], from: Int, until: Int): Unit = {
+      in = input
+      rpos = from
+      rend = until
+      if (rpos >= rend || in(rpos) != 0) bad()
+      rpos += 1
+      code = 0
+      var i = 0
+      while (i < 4) {
+        if (rpos >= rend) bad()
+        code = (code << 8) | (in(rpos) & 0xff)
+        rpos += 1
+        i += 1
+      }
+      range = 0xffffffff
+    }
+    private def nextIn(): Int = {
+      if (rpos >= rend) bad()
+      val v = in(rpos) & 0xff
+      rpos += 1
+      v
+    }
+    private def rdNormalize(): Unit =
+      if ((range & 0xff000000) == 0) {
+        range <<= 8
+        code = (code << 8) | nextIn()
+      }
+    private def bit(probs: Array[Int], idx: Int): Int = {
+      rdNormalize()
+      val p = probs(idx)
+      val bound = (range >>> 11) * p
+      if ((code ^ Int.MinValue) < (bound ^ Int.MinValue)) {
+        range = bound
+        probs(idx) = p + ((2048 - p) >>> 5)
+        0
+      } else {
+        range -= bound
+        code -= bound
+        probs(idx) = p - (p >>> 5)
+        1
+      }
+    }
+    private def tree(probs: Array[Int], off: Int, nBits: Int): Int = {
+      var m = 1
+      var i = 0
+      while (i < nBits) { m = (m << 1) | bit(probs, off + m); i += 1 }
+      m - (1 << nBits)
+    }
+    private def treeReverse(probs: Array[Int], off: Int, nBits: Int): Int = {
+      var m = 1
+      var sym = 0
+      var i = 0
+      while (i < nBits) {
+        val b = bit(probs, off + m)
+        m = (m << 1) | b
+        sym |= b << i
+        i += 1
+      }
+      sym
+    }
+    private def directBits(n: Int): Int = {
+      var res = 0
+      var i = n
+      while (i > 0) {
+        rdNormalize()
+        range = range >>> 1
+        code -= range
+        val t = 0 - (code >>> 31)
+        code += range & t
+        res = (res << 1) + t + 1
+        i -= 1
+      }
+      res
+    }
+    private def lenDecode(choice: Array[Int], low: Array[Int],
+        mid: Array[Int], high: Array[Int], posState: Int): Int =
+      if (bit(choice, 0) == 0) 2 + tree(low, posState * 8, 3)
+      else if (bit(choice, 1) == 0) 10 + tree(mid, posState * 8, 3)
+      else 18 + tree(high, 0, 8)
+
+    /** One LZMA chunk: `unpacked` bytes out of input[from, until);
+      * `dictStart` = window floor (set at dict resets).
+      */
+    def lzmaChunk(input: Array[Byte], from: Int, until: Int,
+        unpacked: Int, dictStart: Int): Unit = {
+      rdInit(input, from, until)
+      val pbMask = (1 << pb) - 1
+      val lpMask = (1 << lp) - 1
+      val limit = dictLen + unpacked
+      ensure(unpacked)
+      while (dictLen < limit) {
+        val posState = dictLen & pbMask
+        if (bit(isMatch, (state << 4) + posState) == 0) {
+          // ---- literal ----
+          val prev = if (dictLen == dictStart) 0 else dict(dictLen - 1) & 0xff
+          val base = (((dictLen & lpMask) << lc) +
+            (prev >>> (8 - lc))) * 0x300
+          var sym = 1
+          if (state < 7) {
+            while (sym < 0x100) sym = (sym << 1) | bit(literal, base + sym)
+          } else {
+            if (dictLen - rep0 - 1 < dictStart) bad()
+            var matchByte = dict(dictLen - rep0 - 1) & 0xff
+            var matched = true
+            while (sym < 0x100) {
+              if (matched) {
+                val mb = (matchByte >> 7) & 1
+                matchByte = (matchByte << 1) & 0xff
+                val b = bit(literal, base + ((1 + mb) << 8) + sym)
+                sym = (sym << 1) | b
+                if (mb != b) matched = false
+              } else sym = (sym << 1) | bit(literal, base + sym)
+            }
+          }
+          putByte(sym & 0xff)
+          state = if (state < 4) 0 else if (state < 10) state - 3
+            else state - 6
+        } else if (bit(isRep, state) == 0) {
+          // ---- new match ----
+          rep3 = rep2; rep2 = rep1; rep1 = rep0
+          val len = lenDecode(lenChoice, lenLow, lenMid, lenHigh, posState)
+          state = if (state < 7) 7 else 10
+          val lenState = math.min(len - 2, 3)
+          val slot = tree(posSlot, lenState * 64, 6)
+          if (slot < 4) rep0 = slot
+          else {
+            val nd = (slot >> 1) - 1
+            rep0 = (2 | (slot & 1)) << nd
+            if (slot < 14)
+              rep0 += treeReverse(specPos, rep0 - slot - 1, nd)
+            else {
+              rep0 += directBits(nd - 4) << 4
+              rep0 += treeReverse(align, 0, 4)
+            }
+          }
+          if (rep0 == -1) {
+            // end marker — only legal exactly at the chunk end
+            if (dictLen != limit) bad()
+            rep0 = rep1; rep1 = rep2; rep2 = rep3 // restore (unused)
+            return
+          }
+          copyMatch(rep0, len, dictStart, limit)
+        } else {
+          // ---- rep match ----
+          var shortRep = false
+          if (bit(isRepG0, state) == 0) {
+            if (bit(isRep0Long, (state << 4) + posState) == 0)
+              shortRep = true
+          } else {
+            var dist = 0
+            if (bit(isRepG1, state) == 0) dist = rep1
+            else if (bit(isRepG2, state) == 0) {
+              dist = rep2
+              rep2 = rep1
+            } else {
+              dist = rep3
+              rep3 = rep2
+              rep2 = rep1
+            }
+            rep1 = rep0
+            rep0 = dist
+          }
+          if (shortRep) {
+            state = if (state < 7) 9 else 11
+            if (dictLen - rep0 - 1 < dictStart) bad()
+            putByte(dict(dictLen - rep0 - 1) & 0xff)
+          } else {
+            val len = lenDecode(repChoice, repLow, repMid, repHigh,
+              posState)
+            state = if (state < 7) 8 else 11
+            copyMatch(rep0, len, dictStart, limit)
+          }
+        }
+      }
+      // packed-size mismatches surface as range-coder desync or at
+      // the block check — no separate consumption assertion needed
+    }
+
+    private def copyMatch(dist: Int, len: Int, dictStart: Int,
+        limit: Int): Unit = {
+      if (dist < 0 || dictLen - dist - 1 < dictStart) bad()
+      if (dictLen + len > limit) bad()
+      ensure(len)
+      var i = 0
+      var src = dictLen - dist - 1
+      while (i < len) {
+        dict(dictLen) = dict(src)
+        dictLen += 1
+        src += 1
+        i += 1
+      }
+    }
+
+    def uncompressed(input: Array[Byte], from: Int, len: Int): Unit = {
+      if (from + len > input.length) bad()
+      ensure(len)
+      System.arraycopy(input, from, dict, dictLen, len)
+      dictLen += len
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // LZMA2 chunk walk over one block's data [from, until)
+  // ------------------------------------------------------------------
+
+  /** Returns the offset just past the LZMA2 end marker. */
+  private def lzma2(b: Array[Byte], from: Int, until: Int,
+      z: Lzma2): Int = {
+    var o = from
+    var dictStart = z.dictLen
+    var done = false
+    while (!done) {
+      if (o >= until) bad()
+      val control = b(o) & 0xff
+      o += 1
+      if (control == 0) done = true
+      else if (control == 1 || control == 2) {
+        if (o + 2 > until) bad()
+        val size = (((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)) + 1
+        o += 2
+        if (control == 1) dictStart = z.dictLen // dict reset
+        if (o + size > until) bad()
+        z.uncompressed(b, o, size)
+        o += size
+      } else if (control >= 0x80) {
+        if (o + 4 > until) bad()
+        val unpacked = (((control & 0x1f) << 16) |
+          ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)) + 1
+        val packed = (((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)) + 1
+        o += 4
+        val mode = (control >> 5) & 3
+        if (mode >= 2) {
+          if (o >= until) bad()
+          z.setProps(b(o) & 0xff)
+          o += 1
+        }
+        if (mode == 3) dictStart = z.dictLen
+        if (mode >= 1) z.resetState()
+        if (o + packed > until) bad()
+        z.lzmaChunk(b, o, o + packed, unpacked, dictStart)
+        o += packed
+      } else bad()
+    }
+    o
+  }
+
+  // ------------------------------------------------------------------
+  // container walk
+  // ------------------------------------------------------------------
+
+  private def vli(b: Array[Byte], o0: Int): (Long, Int) = {
+    var v = 0L
+    var o = o0
+    var shift = 0
+    var done = false
+    while (!done) {
+      if (o >= b.length || shift > 56) bad()
+      val x = b(o) & 0xff
+      v |= (x & 0x7fL) << shift
+      o += 1
+      shift += 7
+      if ((x & 0x80) == 0) done = true
+    }
+    (v, o)
+  }
+
+  def decode(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 32) return null
+    if (!(b(0) == 0xfd.toByte && b(1) == '7' && b(2) == 'z' &&
+        b(3) == 'X' && b(4) == 'Z' && b(5) == 0)) return null
+    try {
+      // stream flags + their CRC32
+      val checkType = b(7) & 0xff
+      val flagsCrc = (b(8) & 0xffL) | ((b(9) & 0xffL) << 8) |
+        ((b(10) & 0xffL) << 16) | ((b(11) & 0xffL) << 24)
+      val c = new java.util.zip.CRC32()
+      c.update(b, 6, 2)
+      if (c.getValue != flagsCrc) return null
+      val checkLen = checkType match {
+        case 0x00 => 0
+        case 0x01 => 4 // CRC32
+        case 0x04 => 8 // CRC64
+        case 0x0a => 32 // SHA-256
+        case _ => return null // reserved/unsupported sizes
+      }
+
+      decodeBlocks(b, checkType, checkLen)
+    } catch {
+      case Bad | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+  }
+
+  private def decodeBlocks(b: Array[Byte], checkType: Int,
+      checkLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var blocks = 0
+    try {
+      var o = 12
+      var done = false
+      while (!done) {
+        if (o >= b.length) bad()
+        val hdrSizeByte = b(o) & 0xff
+        if (hdrSizeByte == 0) done = true // index indicator
+        else {
+          val hdrSize = (hdrSizeByte + 1) * 4
+          if (o + hdrSize > b.length) bad()
+          // header CRC32 (last 4 bytes, LE)
+          val hc = new java.util.zip.CRC32()
+          hc.update(b, o, hdrSize - 4)
+          val storedH = (b(o + hdrSize - 4) & 0xffL) |
+            ((b(o + hdrSize - 3) & 0xffL) << 8) |
+            ((b(o + hdrSize - 2) & 0xffL) << 16) |
+            ((b(o + hdrSize - 1) & 0xffL) << 24)
+          if (hc.getValue != storedH) bad()
+          val flags = b(o + 1) & 0xff
+          val nFilters = (flags & 3) + 1
+          var p = o + 2
+          if ((flags & 0x40) != 0) p = vli(b, p)._2 // compressed size
+          if ((flags & 0x80) != 0) p = vli(b, p)._2 // uncompressed size
+          var f = 0
+          var isLzma2 = false
+          while (f < nFilters) {
+            val (fid, p1) = vli(b, p)
+            val (propLen, p2) = vli(b, p1)
+            if (fid == 0x21 && nFilters == 1) isLzma2 = true
+            p = p2 + propLen.toInt
+            f += 1
+          }
+          if (!isLzma2) {
+            // BCJ/delta chains: out of scope, triage whole stream if
+            // nothing decoded yet
+            if (blocks == 0) return null
+            done = true
+          } else {
+            val z = new Lzma2
+            val before = out.size()
+            val dataStart = o + hdrSize
+            val dataEnd = lzma2(b, dataStart, b.length, z)
+            // block padding to 4-byte multiple of the COMPRESSED size
+            var q = dataEnd
+            while ((q - dataStart + hdrSize) % 4 != 0) {
+              if (q >= b.length || b(q) != 0) bad()
+              q += 1
+            }
+            // verify the block check over the uncompressed bytes
+            val data = java.util.Arrays.copyOf(z.dict, z.dictLen)
+            if (q + checkLen > b.length) bad()
+            checkType match {
+              case 0x01 =>
+                val cc = new java.util.zip.CRC32()
+                cc.update(data)
+                val stored = (b(q) & 0xffL) | ((b(q + 1) & 0xffL) << 8) |
+                  ((b(q + 2) & 0xffL) << 16) | ((b(q + 3) & 0xffL) << 24)
+                if (cc.getValue != stored) bad()
+              case 0x04 =>
+                var stored = 0L
+                var i = 0
+                while (i < 8) {
+                  stored |= (b(q + i) & 0xffL) << (8 * i)
+                  i += 1
+                }
+                if (crc64(data, 0, data.length) != stored) bad()
+              case 0x0a =>
+                val md = java.security.MessageDigest.getInstance("SHA-256")
+                val dg = md.digest(data)
+                var i = 0
+                while (i < 32) {
+                  if (dg(i) != b(q + i)) bad()
+                  i += 1
+                }
+              case _ => ()
+            }
+            if (out.size().toLong + data.length > MaxOutBytes) bad()
+            out.write(data, 0, data.length)
+            blocks += 1
+            o = q + checkLen
+            val _ = before
+          }
+        }
+      }
+      out.toByteArray
+    } catch {
+      case Bad | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException =>
+        // ragged tail: keep verified blocks, never invented bytes
+        if (blocks > 0) out.toByteArray else null
+    }
+  }
+}

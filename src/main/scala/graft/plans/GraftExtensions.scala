@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioDecodeExpr, AudioEnvSig, AudioMeta, AudioStats, AudioTags, ImageTags, VideoTags, TarEntries, ZipEntries, Bunzip2Expr, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, H264Frames, PdfText, ResamplePcm, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioDecodeExpr, AudioEnvSig, AudioMeta, AudioStats, AudioTags, ImageTags, VideoTags, TarEntries, ZipEntries, Bunzip2Expr, UnxzExpr, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, H264Frames, PdfText, ResamplePcm, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -192,6 +192,9 @@ object GraftExtensions {
       (FunctionIdentifier(Bunzip2Expr.FunctionName),
         info(Bunzip2Expr.FunctionName, classOf[Bunzip2Expr]),
         exprs => Bunzip2Expr(exprs(0))),
+      (FunctionIdentifier(UnxzExpr.FunctionName),
+        info(UnxzExpr.FunctionName, classOf[UnxzExpr]),
+        exprs => UnxzExpr(exprs(0))),
       (FunctionIdentifier(TarEntries.FunctionName),
         info(TarEntries.FunctionName, classOf[TarEntries]),
         exprs => TarEntries(exprs.head,

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential suite for the clean-room XZ/LZMA2 decoder: every
+  * fixture is REAL `xz`-tool output embedded as hex — the strongest
+  * wire pin available (range-coder conventions, adaptive-model
+  * update shifts, position-slot geometry, all four check types,
+  * multi-block framing were all produced by the reference encoder,
+  * none by this repo's code).
+  */
+class XzSpec extends AnyFunSuite {
+
+  import graft.expr.Xz
+  import XzSpecFixtures._
+
+  /** The generator X3/X9's payloads derive from (mirrors the
+    * fixture-generation script).
+    */
+  private def lcgBytes(n: Int, seed: Long): Array[Byte] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+  }
+
+  test("text at -9 (CRC64 default check)") {
+    assert(new String(Xz.decode(X1), "UTF-8") ==
+      "hello xz world, hello again and again")
+  }
+
+  test("match/rep-heavy payload") {
+    assert(new String(Xz.decode(X2), "UTF-8") ==
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaabbbbccddddddddddddd" * 20)
+  }
+
+  test("4 kB incompressible literals (uncompressed LZMA2 chunks)") {
+    assert(java.util.Arrays.equals(Xz.decode(X3), lcgBytes(4000, 99L)))
+  }
+
+  test("empty stream") {
+    val d = Xz.decode(X4)
+    assert(d != null && d.length == 0)
+  }
+
+  test("check types: CRC32, none, SHA-256 all verify") {
+    assert(new String(Xz.decode(X5), "UTF-8") == "check32 content here")
+    assert(new String(Xz.decode(X6), "UTF-8") == "checknone content")
+    assert(new String(Xz.decode(X7), "UTF-8") == "sha content here today")
+  }
+
+  test("multi-block stream (--block-size) concatenates in order") {
+    assert(new String(Xz.decode(X8), "UTF-8") ==
+      "The quick brown fox jumps over the lazy dog. " * 400)
+  }
+
+  test("150 kB five-symbol stream at -0") {
+    val expect = lcgBytes(150000, 7L).map(b => (65 + ((b & 0xff) % 5)).toByte)
+    assert(java.util.Arrays.equals(Xz.decode(X9), expect))
+  }
+
+  test("XzBuild store-mode writer round-trips (reference-validated form)") {
+    // the writer's output was additionally accepted by `xz -t` and
+    // decoded byte-exact by `unxz` during development
+    val rnd = new scala.util.Random(5)
+    for (len <- Seq(0, 1, 100, 70000, 200000)) {
+      val data = new Array[Byte](len)
+      rnd.nextBytes(data)
+      val dec = Xz.decode(graft.expr.XzBuild.store(data))
+      assert(dec != null && java.util.Arrays.equals(dec, data),
+        s"store roundtrip failed at len=$len")
+    }
+  }
+
+  test("corruption: flipped payload byte fails the block check → null") {
+    val bad = X1.clone()
+    bad(30) = (bad(30) ^ 0x20).toByte
+    assert(Xz.decode(bad) == null)
+    val badHdr = X1.clone()
+    badHdr(13) = (badHdr(13) ^ 1).toByte // inside the block header
+    assert(Xz.decode(badHdr) == null)
+  }
+
+  test("triage: wrong magic / truncation / garbage → null") {
+    assert(Xz.decode(null) == null)
+    assert(Xz.decode("not xz data at all, not even close!!".getBytes) == null)
+    assert(Xz.decode(java.util.Arrays.copyOf(X1, 40)) == null)
+    assert(Xz.decode(java.util.Arrays.copyOf(X1, 13)) == null)
+  }
+}
