@@ -504,7 +504,6 @@ object Xz {
             done = true
           } else {
             val z = new Lzma2
-            val before = out.size()
             val dataStart = o + hdrSize
             val dataEnd = lzma2(b, dataStart, b.length, z)
             // block padding to 4-byte multiple of the COMPRESSED size
@@ -545,7 +544,6 @@ object Xz {
             out.write(data, 0, data.length)
             blocks += 1
             o = q + checkLen
-            val _ = before
           }
         }
       }
