@@ -192,10 +192,17 @@ object TarEntries {
                   val recLen =
                     try new String(b, p, q - p, "UTF-8").toInt
                     catch { case _: Exception => -1 }
-                  if (recLen <= 0 || p + recLen > end) { p = end }
+                  // valLen can be negative for malformed records (e.g.
+                  // a declared length shorter than the "len " prefix
+                  // itself, like bytes "2 x"): the value spans
+                  // (q+1, p+recLen-1) and both bounds come from
+                  // untrusted input, so triage the record stream rather
+                  // than let String throw out of the task.
+                  val valLen = p + recLen - q - 2
+                  if (recLen <= 0 || p + recLen > end || q >= end ||
+                      valLen < 0) { p = end }
                   else {
-                    val rec = new String(b, q + 1, p + recLen - q - 2,
-                      "UTF-8")
+                    val rec = new String(b, q + 1, valLen, "UTF-8")
                     val eq = rec.indexOf('=')
                     if (eq > 0 && rec.substring(0, eq) == "path" &&
                         typeflag == 'x')

@@ -144,6 +144,13 @@ object Xz {
       propsSet = true
     }
 
+    /** True once resetState has allocated the probability arrays; the
+      * LZMA2 spec requires the first chunk after a dict reset to use
+      * reset mode 3, so a mode-0/1 first chunk is malformed input and
+      * must triage via bad() rather than dereference null state.
+      */
+    def stateReady: Boolean = isMatch != null
+
     def resetState(): Unit = {
       if (!propsSet) bad()
       def fill(n: Int) = Array.fill(n)(1024)
@@ -259,11 +266,16 @@ object Xz {
       val limit = dictLen + unpacked
       ensure(unpacked)
       while (dictLen < limit) {
-        val posState = dictLen & pbMask
+        // Position contexts count from the last dict reset, not the
+        // absolute output offset: xz-embedded zeroes dict.pos on
+        // dict_reset, so a spec-legal mid-block reset restarts the
+        // pos_state / literal-position counters.
+        val relPos = dictLen - dictStart
+        val posState = relPos & pbMask
         if (bit(isMatch, (state << 4) + posState) == 0) {
           // ---- literal ----
           val prev = if (dictLen == dictStart) 0 else dict(dictLen - 1) & 0xff
-          val base = (((dictLen & lpMask) << lc) +
+          val base = (((relPos & lpMask) << lc) +
             (prev >>> (8 - lc))) * 0x300
           var sym = 1
           if (state < 7) {
@@ -406,6 +418,7 @@ object Xz {
         }
         if (mode == 3) dictStart = z.dictLen
         if (mode >= 1) z.resetState()
+        else if (!z.stateReady) bad() // first chunk must carry a reset
         if (o + packed > until) bad()
         z.lzmaChunk(b, o, o + packed, unpacked, dictStart)
         o += packed

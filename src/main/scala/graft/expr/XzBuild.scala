@@ -46,7 +46,15 @@ private[graft] object XzBuild {
   /** Store `data` (≤ ~8 MB practical fixture sizes) as one block of
     * uncompressed LZMA2 chunks under a CRC64 check.
     */
-  def store(data: Array[Byte]): Array[Byte] = {
+  def store(data: Array[Byte]): Array[Byte] = storeRaw(data, null)
+
+  /** Same container as [[store]] but with a caller-supplied LZMA2
+    * block-data payload — lets regression tests put a malformed chunk
+    * sequence behind a structurally valid stream header / block
+    * header / index, so decoder triage paths are reachable.
+    */
+  def storeRaw(data: Array[Byte],
+      rawBlockData: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     // ---- stream header: magic + flags(check=CRC64) + CRC32(flags)
     out.write(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0))
@@ -71,20 +79,22 @@ private[graft] object XzBuild {
     out.write(hdr)
 
     // ---- block data: uncompressed LZMA2 chunks (≤ 64 KiB each)
-    val dataOut = new java.io.ByteArrayOutputStream()
-    var off = 0
-    var first = true
-    while (off < data.length) {
-      val n = math.min(1 << 16, data.length - off)
-      dataOut.write(if (first) 0x01 else 0x02) // dict reset on first
-      dataOut.write((n - 1) >> 8)
-      dataOut.write((n - 1) & 0xff)
-      dataOut.write(data, off, n)
-      off += n
-      first = false
+    val blockData = if (rawBlockData != null) rawBlockData else {
+      val dataOut = new java.io.ByteArrayOutputStream()
+      var off = 0
+      var first = true
+      while (off < data.length) {
+        val n = math.min(1 << 16, data.length - off)
+        dataOut.write(if (first) 0x01 else 0x02) // dict reset on first
+        dataOut.write((n - 1) >> 8)
+        dataOut.write((n - 1) & 0xff)
+        dataOut.write(data, off, n)
+        off += n
+        first = false
+      }
+      dataOut.write(0) // LZMA2 end marker
+      dataOut.toByteArray
     }
-    dataOut.write(0) // LZMA2 end marker
-    val blockData = dataOut.toByteArray
     out.write(blockData)
     var pad = 0
     while ((blockData.length + pad) % 4 != 0) { out.write(0); pad += 1 }

@@ -82,6 +82,24 @@ class XzSpec extends AnyFunSuite {
     assert(Xz.decode(badHdr) == null)
   }
 
+  test("first LZMA chunk without a state reset (mode 0) → null") {
+    // The LZMA2 spec requires the first chunk after a dict reset to
+    // carry reset mode 3; a mode-0 control (0x80) with no prior state
+    // must triage, not NPE on the never-allocated probability arrays.
+    val raw = Array[Byte](0x80.toByte, 0, 0, // unpacked = 1
+      0, 4, // packed = 5
+      1, 2, 3, 4, 5, // "range-coded" payload, never reached
+      0) // end marker
+    assert(Xz.decode(graft.expr.XzBuild.storeRaw(Array[Byte](9), raw))
+      == null)
+  }
+
+  test("first LZMA chunk with state reset but no props (mode 1) → null") {
+    val raw = Array[Byte](0xa0.toByte, 0, 0, 0, 4, 1, 2, 3, 4, 5, 0)
+    assert(Xz.decode(graft.expr.XzBuild.storeRaw(Array[Byte](9), raw))
+      == null)
+  }
+
   test("triage: wrong magic / truncation / garbage → null") {
     assert(Xz.decode(null) == null)
     assert(Xz.decode("not xz data at all, not even close!!".getBytes) == null)
