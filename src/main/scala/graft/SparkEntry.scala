@@ -4719,6 +4719,88 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // tar.zst → per-file documents: the archive tier's fourth
+    // compression arm through the clean-room Zstandard decoder
+    // (TarEntries magic dispatch; the fixture writer stores raw
+    // blocks in a full frame with declared content size + xxh64
+    // checksum — both verified by the decoder — while the
+    // FSE/Huffman compressed paths are pinned by ZstdSpec's
+    // real-tool streams at levels 1–19).
+    "q211_tar_zst_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        def hdr(name: String, size: Long): Array[Byte] = {
+          val h = new Array[Byte](512)
+          def putStr(o: Int, len: Int, str: String): Unit = {
+            val bb = str.getBytes("UTF-8")
+            System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+          }
+          def putOctal(o: Int, len: Int, v: Long): Unit =
+            putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+          putStr(0, 100, name)
+          putOctal(100, 8, 420); putOctal(108, 8, 0); putOctal(116, 8, 0)
+          putOctal(124, 12, size); putOctal(136, 12, 1700000000L)
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          h(156) = '0'.toByte
+          putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+          var sum = 0L
+          (0 until 512).foreach(i => sum += h(i) & 0xff)
+          putStr(148, 7, "%06o".format(sum) + " ")
+          h
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val k = (g % 4 + 2).toInt
+        var j = 0
+        while (j < k) {
+          val c = s"c${g}_$j".getBytes("UTF-8")
+          val pad = (512 - c.length % 512) % 512
+          out.write(hdr(s"src/f$j.txt", c.length))
+          out.write(c); out.write(new Array[Byte](pad))
+          j += 1
+        }
+        out.write(new Array[Byte](1024))
+        graft.expr.ZstdBuild.store(out.toByteArray)
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            gen(id), lit(64))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          col("e.size").as("size"),
+          decode(col("e.content"), "UTF-8").as("text"))
+    }),
+
+    // .jsonl.zst dataset-release ingestion: the dominant modern
+    // packaging — a zstd frame per shard, JSON lines inside —
+    // through graft_unzstd → line split → JSON field extraction,
+    // all one projection (no join-back, no shuffle before the
+    // explode).
+    "q212_jsonl_zst_text" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        val k = (g % 3 + 1).toInt
+        val sb = new StringBuilder
+        var j = 0
+        while (j < k) {
+          sb.append(s"""{"rec":$j,"text":"w${(g + j) % 97} end"}""")
+          sb.append('\n')
+          j += 1
+        }
+        graft.expr.ZstdBuild.store(sb.toString.getBytes("UTF-8"))
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          decode(call_function(graft.expr.UnzstdExpr.FunctionName,
+            gen(id)), "UTF-8").as("raw"))
+        .select(col("file_id"),
+          explode(split(rtrim(col("raw"), "\n"), "\n")).as("line"))
+        .select(col("file_id"),
+          get_json_object(col("line"), "$.rec").cast("long").as("rec"),
+          get_json_object(col("line"), "$.text").as("text"))
+    }),
+
     // WEBP through the THUMBNAIL tier: an 8×8 two-block VP8L decodes
     // through the shared walk and box-mean-resizes to 2×2 — block
     // means are exact (boxes align with the 4×4 blocks), so the
@@ -8557,6 +8639,28 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the zstd layer is transparent to the oracle (decode → same tar)
+    "q211_tar_zst_documents" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 + 2 AS k
+           FROM documents),
+         f AS (SELECT id, 'src/f' || r.j || '.txt' AS path,
+                 'c' || id || '_' || r.j AS text
+               FROM d CROSS JOIN range(0, 6) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              CAST(length(text) AS BIGINT) AS size, text
+       FROM f""",
+
+    // the jsonl lines replay relationally: one row per (shard, rec)
+    "q212_jsonl_zst_text" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 + 1 AS k
+           FROM documents),
+         f AS (SELECT id, r.j AS rec,
+                 'w' || ((id + r.j) % 97) || ' end' AS text
+               FROM d CROSS JOIN range(0, 3) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, CAST(rec AS BIGINT) AS rec,
+              text
+       FROM f""",
 
     // the xz layer is transparent to the oracle (decode → same tar)
     "q210_tar_xz_documents" ->

@@ -145,6 +145,12 @@ object TarEntries {
         val d = Xz.decode(raw)
         if (d == null) return null
         d
+      } else if (raw(0) == 0x28 && raw(1) == 0xb5.toByte &&
+          raw(2) == 0x2f && raw(3) == 0xfd.toByte) {
+        // tar.zst — the clean-room Zstandard decoder
+        val d = Zstd.decode(raw)
+        if (d == null) return null
+        d
       } else raw
     if (b.length < 512) return null
     // recognition: a valid first-header checksum (ustar magic is

@@ -1,0 +1,931 @@
+package graft.expr
+
+/** Clean-room Zstandard (RFC 8878) frame decoder — the fourth and
+  * most-used member of the compression tier (gzip via the JDK,
+  * [[Bzip2]], [[Xz]], this file): `.jsonl.zst` / `.tar.zst` is the
+  * dominant packaging of modern dataset releases. Wire conventions
+  * are differentially pinned against REAL `zstd`-produced streams in
+  * ZstdSpec (text, rep-heavy, incompressible, empty, RLE-ish,
+  * multi-block >128 KiB, levels 1/3/6/9/12/19, checksum on and off).
+  *
+  * Everything here is either algorithmic or structurally
+  * self-checked, meeting the repo's clean-room bar:
+  *  - FSE (tANS) decoding tables are built from normalized counts
+  *    that usually travel IN-STREAM (`FSE_Compressed` mode — the
+  *    bzip2 precedent: the format carries its own tables);
+  *  - the three PREDEFINED distributions are validated at class init
+  *    by the format's own invariant — counts (with "less-than-one"
+  *    −1 entries taking one cell) must sum to exactly
+  *    2^Accuracy_Log, and the spread step must visit every cell
+  *    exactly once (both checked; a wrong recollection cannot load);
+  *  - the literals/match-length code→(baseline, extra-bits) maps are
+  *    DERIVED by the cumulative recurrence baseline(c+1) =
+  *    baseline(c) + 2^bits(c) from their first elements (16, 35) —
+  *    the same construction the spec uses, so the table IS its
+  *    structural check (the MP3 Kraft-validation precedent);
+  *  - Huffman literals tables are canonical, carried in-stream as
+  *    weights (direct 4-bit or FSE-compressed with two interleaved
+  *    states), and must satisfy Kraft EQUALITY (sum of 2^(w−1)
+  *    completes to a power of two with a power-of-two remainder) —
+  *    enforced;
+  *  - the frame-level XXH64 content checksum (public xxHash spec) is
+  *    verified when present, and a declared Frame_Content_Size must
+  *    match the decoded length exactly.
+  *
+  * Subset boundaries (triage → null, never invented bytes):
+  * dictionary-referencing frames (nonzero Dictionary_ID — external
+  * state this engine cannot have), reserved block type 3, and
+  * streams whose window exceeds [[MaxOutBytes]]. Multiple
+  * concatenated frames and skippable frames are handled; any error
+  * fails the WHOLE input closed (a torn tail of a zstd frame has no
+  * per-block check to vouch for it, unlike xz blocks).
+  *
+  * Pure per-row projection behind [[UnzstdExpr]] and [[TarEntries]]'
+  * magic dispatch.
+  */
+object Zstd {
+
+  val MaxOutBytes: Int = 64 << 20
+
+  private object Bad extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+  private def bad(): Nothing = throw Bad
+
+  // ------------------------------------------------------------------
+  // xxHash64 (public spec; seed 0) — frame content checksum
+  // ------------------------------------------------------------------
+
+  private val XP1 = 0x9e3779b185ebca87L
+  private val XP2 = 0xc2b2ae3d27d4eb4fL
+  private val XP3 = 0x165667b19e3779f9L
+  private val XP4 = 0x85ebca77c2b2ae63L
+  private val XP5 = 0x27d4eb2f165667c5L
+
+  private def le64(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24) |
+      ((b(o + 4) & 0xffL) << 32) | ((b(o + 5) & 0xffL) << 40) |
+      ((b(o + 6) & 0xffL) << 48) | ((b(o + 7) & 0xffL) << 56)
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private[graft] def xxh64(b: Array[Byte], from: Int, until: Int): Long = {
+    val len = until - from
+    var o = from
+    var h = 0L
+    if (len >= 32) {
+      var v1 = XP1 + XP2
+      var v2 = XP2
+      var v3 = 0L
+      var v4 = -XP1
+      while (o + 32 <= until) {
+        v1 = java.lang.Long.rotateLeft(v1 + le64(b, o) * XP2, 31) * XP1
+        v2 = java.lang.Long.rotateLeft(v2 + le64(b, o + 8) * XP2, 31) * XP1
+        v3 = java.lang.Long.rotateLeft(v3 + le64(b, o + 16) * XP2, 31) * XP1
+        v4 = java.lang.Long.rotateLeft(v4 + le64(b, o + 24) * XP2, 31) * XP1
+        o += 32
+      }
+      h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      def merge(acc: Long, v: Long): Long =
+        (acc ^ (java.lang.Long.rotateLeft(v * XP2, 31) * XP1)) * XP1 + XP4
+      h = merge(h, v1); h = merge(h, v2); h = merge(h, v3); h = merge(h, v4)
+    } else h = XP5
+    h += len.toLong
+    while (o + 8 <= until) {
+      h ^= java.lang.Long.rotateLeft(le64(b, o) * XP2, 31) * XP1
+      h = java.lang.Long.rotateLeft(h, 27) * XP1 + XP4
+      o += 8
+    }
+    if (o + 4 <= until) {
+      h ^= le32(b, o) * XP1
+      h = java.lang.Long.rotateLeft(h, 23) * XP2 + XP3
+      o += 4
+    }
+    while (o < until) {
+      h ^= (b(o) & 0xffL) * XP5
+      h = java.lang.Long.rotateLeft(h, 11) * XP1
+      o += 1
+    }
+    h ^= h >>> 33
+    h *= XP2
+    h ^= h >>> 29
+    h *= XP3
+    h ^= h >>> 32
+    h
+  }
+
+  // ------------------------------------------------------------------
+  // bitstreams
+  // ------------------------------------------------------------------
+
+  /** zstd's backward bitstream: the encoder appends bit-fields
+    * LSB-first from offset 0 and closes with a 1-bit sentinel; the
+    * decoder starts at the sentinel and consumes toward offset 0,
+    * each read yielding the field's value directly (the last-written
+    * field is read first, its highest stream bit being the value's
+    * MSB). Peeks below offset 0 are zero-filled (legal for Huffman
+    * table lookups near exhaustion); CONSUMPTION below 0 is corrupt.
+    */
+  private final class Back(b: Array[Byte], start: Int, until: Int) {
+    var bitPos: Long = {
+      if (until <= start) bad()
+      val last = b(until - 1) & 0xff
+      if (last == 0) bad() // sentinel byte must be non-zero
+      (until - 1 - start).toLong * 8 +
+        (31 - Integer.numberOfLeadingZeros(last))
+    }
+
+    /** Bits [p, p+n) of the stream, bit p+k contributing << k;
+      * zero-filled outside [0, 8*(until-start)).
+      */
+    private def extract(p: Long, n: Int): Int = {
+      if (n == 0) return 0
+      val firstByte = Math.floorDiv(p, 8L).toInt
+      var acc = 0L
+      var i = 0
+      while (i < 8) {
+        val rel = firstByte + i
+        val idx = start + rel
+        if (rel >= 0 && idx < until) acc |= (b(idx) & 0xffL) << (8 * i)
+        i += 1
+      }
+      val shift = (p - firstByte.toLong * 8).toInt
+      ((acc >>> shift) & ((1L << n) - 1)).toInt
+    }
+
+    def read(n: Int): Int = {
+      bitPos -= n
+      if (bitPos < -64) bad() // way past exhaustion: corrupt
+      extract(bitPos, n)
+    }
+
+    def peek(n: Int): Int = extract(bitPos - n, n)
+
+    def skip(n: Int): Unit = bitPos -= n
+
+    def overdrawn: Boolean = bitPos < 0
+    def exhausted: Boolean = bitPos == 0
+  }
+
+  /** Forward LSB-first reader — FSE table descriptions and the
+    * Huffman weights header are the two forward-coded regions.
+    */
+  private final class Fwd(b: Array[Byte], start: Int, until: Int) {
+    private var pos = 0L // bit offset from start
+
+    def peek(n: Int): Int = {
+      val firstByte = (pos >> 3).toInt
+      var acc = 0L
+      var i = 0
+      while (i < 8) {
+        val idx = start + firstByte + i
+        if (idx < until) acc |= (b(idx) & 0xffL) << (8 * i)
+        i += 1
+      }
+      ((acc >>> (pos & 7).toInt) & ((1L << n) - 1)).toInt
+    }
+
+    def skip(n: Int): Unit = {
+      pos += n
+      if (start + ((pos + 7) >> 3) > until) bad()
+    }
+
+    def read(n: Int): Int = { val v = peek(n); skip(n); v }
+
+    /** Bytes consumed, rounded up to the byte boundary. */
+    def byteLen: Int = ((pos + 7) >> 3).toInt
+  }
+
+  // ------------------------------------------------------------------
+  // FSE
+  // ------------------------------------------------------------------
+
+  private final class FseTable(val tableLog: Int, val symbol: Array[Int],
+      val nb: Array[Int], val base: Array[Int])
+
+  /** Build the decoding table from normalized counts (−1 =
+    * less-than-one probability, one cell at the table top). The
+    * spread step (size/2 + size/8 + 3) is coprime with the
+    * power-of-two size, so it visits every cell exactly once —
+    * verified by requiring the walk to end back at position 0.
+    */
+  private def fseBuild(counts: Array[Int], nSyms: Int,
+      tableLog: Int): FseTable = {
+    val size = 1 << tableLog
+    val symbol = new Array[Int](size)
+    val nb = new Array[Int](size)
+    val base = new Array[Int](size)
+    var highThreshold = size - 1
+    var s = 0
+    while (s < nSyms) {
+      if (counts(s) == -1) {
+        symbol(highThreshold) = s
+        highThreshold -= 1
+      }
+      s += 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var pos = 0
+    s = 0
+    while (s < nSyms) {
+      var i = 0
+      while (i < counts(s)) {
+        symbol(pos) = s
+        do pos = (pos + step) & mask while (pos > highThreshold)
+        i += 1
+      }
+      s += 1
+    }
+    if (pos != 0) bad() // counts didn't fill the table exactly
+    val next = new Array[Int](nSyms)
+    s = 0
+    while (s < nSyms) {
+      next(s) = math.abs(counts(s))
+      s += 1
+    }
+    var c = 0
+    while (c < size) {
+      val sym = symbol(c)
+      val x = next(sym)
+      next(sym) += 1
+      val bits = tableLog - (31 - Integer.numberOfLeadingZeros(x))
+      nb(c) = bits
+      base(c) = (x << bits) - size
+      c += 1
+    }
+    new FseTable(tableLog, symbol, nb, base)
+  }
+
+  /** A degenerate one-cell table for RLE mode: every state is 0 and
+    * reads 0 bits.
+    */
+  private def fseRle(sym: Int): FseTable =
+    new FseTable(0, Array(sym), Array(0), Array(0))
+
+  /** Parse an in-stream FSE table description (forward bitstream):
+    * 4-bit Accuracy_Log−5, then counts in a shrinking-threshold
+    * variable-width code with 2-bit zero-repeat flags after a zero.
+    * Returns (table, bytes consumed).
+    */
+  private def fseParse(b: Array[Byte], from: Int, until: Int,
+      maxSym: Int, maxLog: Int): (FseTable, Int) = {
+    val in = new Fwd(b, from, until)
+    val tableLog = in.read(4) + 5
+    if (tableLog > maxLog) bad()
+    var remaining = (1 << tableLog) + 1
+    var threshold = 1 << tableLog
+    var nbBits = tableLog + 1
+    val counts = new Array[Int](maxSym + 1)
+    var charnum = 0
+    var prev0 = false
+    while (remaining > 1 && charnum <= maxSym) {
+      if (prev0) {
+        while (in.peek(2) == 3) {
+          in.skip(2)
+          charnum += 3
+          if (charnum > maxSym + 1) bad()
+        }
+        charnum += in.read(2)
+        if (charnum > maxSym) bad()
+        prev0 = false
+      } else {
+        val max = (2 * threshold - 1) - remaining
+        var count = in.peek(nbBits)
+        if ((count & (threshold - 1)) < max) {
+          count &= threshold - 1
+          in.skip(nbBits - 1)
+        } else {
+          count &= 2 * threshold - 1
+          if (count >= threshold) count -= max
+          in.skip(nbBits)
+        }
+        count -= 1 // shift to −1..remaining−1; −1 = less-than-one
+        remaining -= math.abs(count)
+        counts(charnum) = count
+        charnum += 1
+        prev0 = count == 0
+        while (remaining < threshold && remaining > 1) {
+          nbBits -= 1
+          threshold >>= 1
+        }
+      }
+    }
+    if (remaining != 1) bad()
+    (fseBuild(counts, charnum, tableLog), in.byteLen)
+  }
+
+  /** FSE decode step: emit the cell's symbol, advance the state. */
+  @inline private def fseNext(t: FseTable, state: Int, in: Back): Int =
+    t.base(state) + in.read(t.nb(state))
+
+  // ------------------------------------------------------------------
+  // predefined sequence distributions (structurally validated)
+  // ------------------------------------------------------------------
+
+  private def validated(counts: Array[Int], accuracyLog: Int): Array[Int] = {
+    var sum = 0
+    var i = 0
+    while (i < counts.length) {
+      sum += math.abs(counts(i)) // −1 occupies one cell
+      i += 1
+    }
+    require(sum == (1 << accuracyLog),
+      s"predefined FSE distribution fails its 2^AL structural check: " +
+        s"$sum != ${1 << accuracyLog}")
+    counts
+  }
+
+  private val LlDefaultLog = 6
+  private val OfDefaultLog = 5
+  private val MlDefaultLog = 6
+
+  private lazy val llDefault: FseTable = fseBuild(validated(Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1), LlDefaultLog), 36, LlDefaultLog)
+
+  private lazy val ofDefault: FseTable = fseBuild(validated(Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1), OfDefaultLog),
+    29, OfDefaultLog)
+
+  private lazy val mlDefault: FseTable = fseBuild(validated(Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1), MlDefaultLog), 53, MlDefaultLog)
+
+  // code → (baseline, extra bits), derived by the cumulative
+  // recurrence baseline(c+1) = baseline(c) + 2^bits(c) — the
+  // derivation is the structural check.
+  private val llExtraBits = Array(
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private val llBase: Array[Int] = {
+    val base = new Array[Int](llExtraBits.length)
+    base(0) = 16
+    var i = 1
+    while (i < base.length) {
+      base(i) = base(i - 1) + (1 << llExtraBits(i - 1))
+      i += 1
+    }
+    base
+  }
+  private val mlExtraBits = Array(
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  private val mlBase: Array[Int] = {
+    val base = new Array[Int](mlExtraBits.length)
+    base(0) = 35
+    var i = 1
+    while (i < base.length) {
+      base(i) = base(i - 1) + (1 << mlExtraBits(i - 1))
+      i += 1
+    }
+    base
+  }
+
+  // ------------------------------------------------------------------
+  // Huffman (canonical, weight-coded)
+  // ------------------------------------------------------------------
+
+  private final class HufTable(val tableLog: Int, val symbol: Array[Byte],
+      val nb: Array[Byte])
+
+  /** Build the canonical decode table from per-symbol weights (last
+    * weight implicit). Kraft EQUALITY enforced: the explicit weights'
+    * 2^(w−1) sum must leave a power-of-two remainder, and the filled
+    * table is exactly 2^maxBits cells.
+    */
+  private def hufBuild(weights: Array[Int], nWeights: Int): HufTable = {
+    var sum = 0L
+    var i = 0
+    while (i < nWeights) {
+      val w = weights(i)
+      if (w > 11) bad() // literals tree depth caps at 11
+      if (w > 0) sum += 1L << (w - 1)
+      i += 1
+    }
+    if (sum == 0) bad()
+    val maxBits = 64 - java.lang.Long.numberOfLeadingZeros(sum)
+    val tableLog = maxBits.toInt
+    if (tableLog > 11) bad()
+    val rest = (1L << tableLog) - sum
+    if (rest == 0 || (rest & (rest - 1)) != 0) bad() // must be a power of 2
+    val lastW = 64 - java.lang.Long.numberOfLeadingZeros(rest)
+    val all = java.util.Arrays.copyOf(weights, nWeights + 1)
+    all(nWeights) = lastW.toInt
+    val nSyms = nWeights + 1
+    if (nSyms > 256) bad()
+    // starting cell per weight, lowest weight (longest code) first
+    val rankCount = new Array[Int](13)
+    i = 0
+    while (i < nSyms) { rankCount(all(i)) += 1; i += 1 }
+    val rankStart = new Array[Int](13)
+    var next = 0
+    var w = 1
+    while (w <= 12) {
+      rankStart(w) = next
+      next += rankCount(w) << (w - 1)
+      w += 1
+    }
+    if (next != (1 << tableLog)) bad()
+    val size = 1 << tableLog
+    val symbol = new Array[Byte](size)
+    val nb = new Array[Byte](size)
+    i = 0
+    while (i < nSyms) {
+      val wi = all(i)
+      if (wi > 0) {
+        val len = 1 << (wi - 1)
+        val codeBits = (tableLog + 1 - wi).toByte
+        var p = rankStart(wi)
+        val end = p + len
+        while (p < end) {
+          symbol(p) = i.toByte
+          nb(p) = codeBits
+          p += 1
+        }
+        rankStart(wi) = end
+      }
+      i += 1
+    }
+    new HufTable(tableLog, symbol, nb)
+  }
+
+  /** Parse a Huffman tree description at b[from..until): direct
+    * 4-bit weights (header ≥ 128) or FSE-compressed weights decoded
+    * with two interleaved states from a backward bitstream. Returns
+    * (table, bytes consumed).
+    */
+  private def hufParse(b: Array[Byte], from: Int, until: Int): (HufTable, Int) = {
+    if (from >= until) bad()
+    val h = b(from) & 0xff
+    if (h >= 128) {
+      val nWeights = h - 127
+      val nBytes = (nWeights + 1) / 2
+      if (from + 1 + nBytes > until) bad()
+      val weights = new Array[Int](nWeights)
+      var i = 0
+      while (i < nWeights) {
+        val byte = b(from + 1 + i / 2) & 0xff
+        weights(i) = if (i % 2 == 0) byte >> 4 else byte & 0xf
+        i += 1
+      }
+      (hufBuild(weights, nWeights), 1 + nBytes)
+    } else {
+      val compEnd = from + 1 + h
+      if (compEnd > until) bad()
+      val (wt, hdrLen) = fseParse(b, from + 1, compEnd, 255, 6)
+      val in = new Back(b, from + 1 + hdrLen, compEnd)
+      var s1 = in.read(wt.tableLog)
+      var s2 = in.read(wt.tableLog)
+      if (in.overdrawn) bad()
+      val weights = new Array[Int](256)
+      var n = 0
+      var done = false
+      while (!done) {
+        // two interleaved states; when the stream overdraws, the
+        // OTHER state flushes its final symbol without updating
+        if (n >= 255) bad()
+        weights(n) = wt.symbol(s1); n += 1
+        s1 = fseNext(wt, s1, in)
+        if (in.overdrawn) {
+          if (n >= 255) bad()
+          weights(n) = wt.symbol(s2); n += 1
+          done = true
+        } else {
+          if (n >= 255) bad()
+          weights(n) = wt.symbol(s2); n += 1
+          s2 = fseNext(wt, s2, in)
+          if (in.overdrawn) {
+            if (n >= 255) bad()
+            weights(n) = wt.symbol(s1); n += 1
+            done = true
+          }
+        }
+      }
+      (hufBuild(weights, n), 1 + h)
+    }
+  }
+
+  /** Decode `outLen` literals from one backward Huffman stream. */
+  private def hufStream(t: HufTable, b: Array[Byte], from: Int, until: Int,
+      out: Array[Byte], outOff: Int, outLen: Int): Unit = {
+    val in = new Back(b, from, until)
+    var i = 0
+    while (i < outLen) {
+      val cell = in.peek(t.tableLog)
+      out(outOff + i) = t.symbol(cell)
+      in.skip(t.nb(cell))
+      if (in.overdrawn) bad()
+      i += 1
+    }
+    if (!in.exhausted) bad() // exact consumption, as the format requires
+  }
+
+  // ------------------------------------------------------------------
+  // per-frame decoder state
+  // ------------------------------------------------------------------
+
+  private val BlockMax = 128 << 10
+
+  private final class Frame {
+    var out = new Array[Byte](64 << 10)
+    var len = 0
+    // tables carried across blocks (Treeless literals / Repeat mode)
+    var huf: HufTable = null
+    var llT: FseTable = null
+    var ofT: FseTable = null
+    var mlT: FseTable = null
+    val rep = Array(1L, 4L, 8L)
+
+    def ensure(n: Int): Unit = {
+      if (len + n > MaxOutBytes) bad()
+      if (len + n > out.length) {
+        var cap = out.length
+        while (cap < len + n) cap <<= 1
+        out = java.util.Arrays.copyOf(out, math.min(cap, MaxOutBytes))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // block decode
+  // ------------------------------------------------------------------
+
+  /** Literals section: returns (litBuf, litLen, bytes consumed). */
+  private def literals(b: Array[Byte], from: Int, until: Int,
+      f: Frame): (Array[Byte], Int, Int) = {
+    if (from >= until) bad()
+    val b0 = b(from) & 0xff
+    val blockType = b0 & 3
+    if (blockType <= 1) {
+      // Raw (0) / RLE (1)
+      val sizeFormat = (b0 >> 2) & 3
+      var regen = 0
+      var hdr = 0
+      sizeFormat match {
+        case 0 | 2 => regen = b0 >> 3; hdr = 1
+        case 1 =>
+          if (from + 2 > until) bad()
+          regen = (b0 >> 4) | ((b(from + 1) & 0xff) << 4); hdr = 2
+        case 3 =>
+          if (from + 3 > until) bad()
+          regen = (b0 >> 4) | ((b(from + 1) & 0xff) << 4) |
+            ((b(from + 2) & 0xff) << 12)
+          hdr = 3
+      }
+      if (regen > BlockMax) bad()
+      val lit = new Array[Byte](regen)
+      if (blockType == 0) {
+        if (from + hdr + regen > until) bad()
+        System.arraycopy(b, from + hdr, lit, 0, regen)
+        (lit, regen, hdr + regen)
+      } else {
+        if (from + hdr + 1 > until) bad()
+        java.util.Arrays.fill(lit, b(from + hdr))
+        (lit, regen, hdr + 1)
+      }
+    } else {
+      // Compressed (2) / Treeless (3)
+      val sizeFormat = (b0 >> 2) & 3
+      var regen = 0
+      var comp = 0
+      var hdr = 0
+      var fourStreams = true
+      sizeFormat match {
+        case 0 | 1 =>
+          if (from + 3 > until) bad()
+          fourStreams = sizeFormat == 1
+          val v = b0 >> 4 | ((b(from + 1) & 0xff) << 4) |
+            ((b(from + 2) & 0xff) << 12)
+          regen = v & 0x3ff
+          comp = v >> 10
+          hdr = 3
+        case 2 =>
+          if (from + 4 > until) bad()
+          val v = (b0 >> 4).toLong | ((b(from + 1) & 0xffL) << 4) |
+            ((b(from + 2) & 0xffL) << 12) | ((b(from + 3) & 0xffL) << 20)
+          regen = (v & 0x3fff).toInt
+          comp = (v >> 14).toInt
+          hdr = 4
+        case 3 =>
+          if (from + 5 > until) bad()
+          val v = (b0 >> 4).toLong | ((b(from + 1) & 0xffL) << 4) |
+            ((b(from + 2) & 0xffL) << 12) | ((b(from + 3) & 0xffL) << 20) |
+            ((b(from + 4) & 0xffL) << 28)
+          regen = (v & 0x3ffff).toInt
+          comp = (v >> 18).toInt
+          hdr = 5
+      }
+      if (regen > BlockMax) bad()
+      val sectionEnd = from + hdr + comp
+      if (sectionEnd > until) bad()
+      var p = from + hdr
+      val table =
+        if (blockType == 2) {
+          val (t, used) = hufParse(b, p, sectionEnd)
+          p += used
+          f.huf = t
+          t
+        } else {
+          if (f.huf == null) bad() // Treeless without a prior table
+          f.huf
+        }
+      val lit = new Array[Byte](regen)
+      if (!fourStreams) {
+        hufStream(table, b, p, sectionEnd, lit, 0, regen)
+      } else {
+        if (p + 6 > sectionEnd) bad()
+        val s1 = ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+        val s2 = ((b(p + 2) & 0xff) | ((b(p + 3) & 0xff) << 8))
+        val s3 = ((b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8))
+        val streamsStart = p + 6
+        val s4 = sectionEnd - streamsStart - s1 - s2 - s3
+        if (s4 <= 0) bad()
+        val per = (regen + 3) / 4
+        val last = regen - 3 * per
+        if (last < 0) bad()
+        var off = streamsStart
+        hufStream(table, b, off, off + s1, lit, 0, per); off += s1
+        hufStream(table, b, off, off + s2, lit, per, per); off += s2
+        hufStream(table, b, off, off + s3, lit, 2 * per, per); off += s3
+        hufStream(table, b, off, sectionEnd, lit, 3 * per, last)
+      }
+      (lit, regen, hdr + comp)
+    }
+  }
+
+  /** One sequence-coding table per the 2-bit mode. */
+  private def seqTable(b: Array[Byte], p0: Int, until: Int, mode: Int,
+      predefined: => FseTable, prev: FseTable, maxSym: Int,
+      maxLog: Int): (FseTable, Int) = mode match {
+    case 0 => (predefined, 0)
+    case 1 =>
+      if (p0 >= until) bad()
+      val sym = b(p0) & 0xff
+      if (sym > maxSym) bad()
+      (fseRle(sym), 1)
+    case 2 =>
+      val (t, used) = fseParse(b, p0, until, maxSym, maxLog)
+      (t, used)
+    case _ =>
+      if (prev == null) bad() // Repeat without a prior table
+      (prev, 0)
+  }
+
+  private def decodeCompressedBlock(b: Array[Byte], from: Int, until: Int,
+      f: Frame): Unit = {
+    val (lit, litLen, litUsed) = literals(b, from, until, f)
+    var p = from + litUsed
+    if (p >= until) bad()
+    // sequence count
+    val s0 = b(p) & 0xff
+    var nbSeq = 0
+    if (s0 == 0) { nbSeq = 0; p += 1 }
+    else if (s0 < 128) { nbSeq = s0; p += 1 }
+    else if (s0 < 255) {
+      if (p + 2 > until) bad()
+      nbSeq = ((s0 - 128) << 8) | (b(p + 1) & 0xff)
+      p += 2
+    } else {
+      if (p + 3 > until) bad()
+      nbSeq = (b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8) | 0x7f00
+      p += 3
+    }
+    if (nbSeq == 0) {
+      f.ensure(litLen)
+      System.arraycopy(lit, 0, f.out, f.len, litLen)
+      f.len += litLen
+      return
+    }
+    if (p >= until) bad()
+    val modes = b(p) & 0xff
+    if ((modes & 3) != 0) bad() // reserved bits
+    p += 1
+    val (llT, u1) = seqTable(b, p, until, modes >> 6, llDefault, f.llT, 35, 9)
+    p += u1
+    val (ofT, u2) = seqTable(b, p, until, (modes >> 4) & 3, ofDefault,
+      f.ofT, 31, 8)
+    p += u2
+    val (mlT, u3) = seqTable(b, p, until, (modes >> 2) & 3, mlDefault,
+      f.mlT, 52, 9)
+    p += u3
+    f.llT = llT; f.ofT = ofT; f.mlT = mlT
+
+    val in = new Back(b, p, until)
+    var llS = in.read(llT.tableLog)
+    var ofS = in.read(ofT.tableLog)
+    var mlS = in.read(mlT.tableLog)
+    if (in.overdrawn) bad()
+    var litPos = 0
+    val blockStart = f.len
+    var i = 0
+    while (i < nbSeq) {
+      val ofCode = ofT.symbol(ofS)
+      val mlCode = mlT.symbol(mlS)
+      val llCode = llT.symbol(llS)
+      if (ofCode > 31 || mlCode > 52 || llCode > 35) bad()
+      // value extra bits read in offset → match → literals order
+      val offVal = (1L << ofCode) + (
+        if (ofCode > 0) in.read(ofCode).toLong & 0xffffffffL else 0L)
+      val ml =
+        if (mlCode < 32) mlCode + 3
+        else mlBase(mlCode - 32) + in.read(mlExtraBits(mlCode - 32))
+      val ll =
+        if (llCode < 16) llCode
+        else llBase(llCode - 16) + in.read(llExtraBits(llCode - 16))
+      if (in.overdrawn) bad()
+      // repcode resolution
+      var offset = 0L
+      if (offVal > 3) {
+        offset = offVal - 3
+        f.rep(2) = f.rep(1); f.rep(1) = f.rep(0); f.rep(0) = offset
+      } else {
+        val idx = (if (ll == 0) offVal + 1 else offVal).toInt
+        idx match {
+          case 1 => offset = f.rep(0)
+          case 2 =>
+            offset = f.rep(1); f.rep(1) = f.rep(0); f.rep(0) = offset
+          case 3 =>
+            offset = f.rep(2); f.rep(2) = f.rep(1); f.rep(1) = f.rep(0)
+            f.rep(0) = offset
+          case _ => // ll == 0 && offVal == 3: rep1 − 1
+            offset = f.rep(0) - 1
+            if (offset <= 0) bad()
+            f.rep(2) = f.rep(1); f.rep(1) = f.rep(0); f.rep(0) = offset
+        }
+      }
+      // execute: literals copy, then match copy (may self-overlap)
+      if (litPos + ll > litLen) bad()
+      if (f.len + ll + ml - blockStart > BlockMax) bad()
+      f.ensure(ll + ml)
+      System.arraycopy(lit, litPos, f.out, f.len, ll)
+      litPos += ll
+      f.len += ll
+      if (offset > f.len) bad() // beyond frame start: needs a dictionary
+      var src = f.len - offset.toInt
+      var k = 0
+      while (k < ml) {
+        f.out(f.len) = f.out(src)
+        f.len += 1
+        src += 1
+        k += 1
+      }
+      // state updates (skipped after the last sequence), LL→ML→OF
+      if (i < nbSeq - 1) {
+        llS = fseNext(llT, llS, in)
+        mlS = fseNext(mlT, mlS, in)
+        ofS = fseNext(ofT, ofS, in)
+        if (in.overdrawn) bad()
+      }
+      i += 1
+    }
+    if (!in.exhausted) bad()
+    val tail = litLen - litPos
+    if (tail < 0) bad()
+    if (f.len + tail - blockStart > BlockMax) bad()
+    f.ensure(tail)
+    System.arraycopy(lit, litPos, f.out, f.len, tail)
+    f.len += tail
+  }
+
+  // ------------------------------------------------------------------
+  // frame walk
+  // ------------------------------------------------------------------
+
+  def decode(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 4) return null
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var o = 0
+      var frames = 0
+      while (o < b.length) {
+        if (o + 4 > b.length) bad()
+        val magic = le32(b, o)
+        if ((magic & 0xfffffff0L) == 0x184d2a50L) {
+          // skippable frame
+          if (o + 8 > b.length) bad()
+          val sz = le32(b, o + 4)
+          o += 8 + sz.toInt
+          if (o < 0 || o > b.length) bad()
+        } else if (magic == 0xfd2fb528L) {
+          o = decodeFrame(b, o + 4, out)
+          frames += 1
+        } else {
+          if (frames == 0) return null // not zstd at all
+          bad() // torn/garbage tail: fail the whole input closed
+        }
+      }
+      if (frames == 0) return null
+      out.toByteArray
+    } catch {
+      case Bad | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+  }
+
+  /** Decode one frame starting just past its magic; returns the
+    * offset past the frame.
+    */
+  private def decodeFrame(b: Array[Byte], start: Int,
+      sink: java.io.ByteArrayOutputStream): Int = {
+    var o = start
+    if (o >= b.length) bad()
+    val fhd = b(o) & 0xff
+    o += 1
+    if ((fhd & 0x08) != 0) bad() // reserved bit
+    val singleSegment = (fhd & 0x20) != 0
+    val hasChecksum = (fhd & 0x04) != 0
+    val dictIdLen = (fhd & 3) match {
+      case 0 => 0
+      case 1 => 1
+      case 2 => 2
+      case _ => 4
+    }
+    var windowSize = 0L
+    if (!singleSegment) {
+      if (o >= b.length) bad()
+      val wd = b(o) & 0xff
+      o += 1
+      windowSize = (1L << (10 + (wd >> 3))) +
+        ((1L << (10 + (wd >> 3))) >> 3) * (wd & 7)
+    }
+    if (dictIdLen > 0) {
+      if (o + dictIdLen > b.length) bad()
+      var dictId = 0L
+      var i = 0
+      while (i < dictIdLen) {
+        dictId |= (b(o + i) & 0xffL) << (8 * i)
+        i += 1
+      }
+      o += dictIdLen
+      if (dictId != 0) bad() // dictionary frames: external state
+    }
+    var contentSize = -1L
+    val fcsLen = (fhd >> 6) match {
+      case 0 => if (singleSegment) 1 else 0
+      case 1 => 2
+      case 2 => 4
+      case _ => 8
+    }
+    if (fcsLen > 0) {
+      if (o + fcsLen > b.length) bad()
+      contentSize = 0L
+      var i = 0
+      while (i < fcsLen) {
+        contentSize |= (b(o + i) & 0xffL) << (8 * i)
+        i += 1
+      }
+      if (fcsLen == 2) contentSize += 256
+      o += fcsLen
+    }
+    if (singleSegment) windowSize = contentSize
+    if (contentSize > MaxOutBytes || windowSize > MaxOutBytes) bad()
+
+    val f = new Frame
+    var last = false
+    while (!last) {
+      if (o + 3 > b.length) bad()
+      val hdr = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16)
+      o += 3
+      last = (hdr & 1) != 0
+      val blockType = (hdr >> 1) & 3
+      val blockSize = hdr >> 3
+      blockType match {
+        case 0 => // raw
+          if (o + blockSize > b.length || blockSize > BlockMax) bad()
+          f.ensure(blockSize)
+          System.arraycopy(b, o, f.out, f.len, blockSize)
+          f.len += blockSize
+          o += blockSize
+        case 1 => // RLE: size = regenerated count, payload 1 byte
+          if (o + 1 > b.length || blockSize > BlockMax) bad()
+          f.ensure(blockSize)
+          java.util.Arrays.fill(f.out, f.len, f.len + blockSize, b(o))
+          f.len += blockSize
+          o += 1
+        case 2 =>
+          if (o + blockSize > b.length || blockSize > BlockMax) bad()
+          decodeCompressedBlock(b, o, o + blockSize, f)
+          o += blockSize
+        case _ => bad() // reserved
+      }
+    }
+    if (contentSize >= 0 && f.len != contentSize) bad()
+    if (hasChecksum) {
+      if (o + 4 > b.length) bad()
+      val want = le32(b, o)
+      o += 4
+      if ((xxh64(f.out, 0, f.len) & 0xffffffffL) != want) bad()
+    }
+    sink.write(f.out, 0, f.len)
+    if (sink.size() > MaxOutBytes) bad()
+    o
+  }
+}

@@ -108,6 +108,13 @@ class TarEntriesSpec extends AnyFunSuite {
     assert(entryList(t) == Seq(("pax/override/path.rs", 11L, "fn main(){}")))
   }
 
+  test("tar.zst detected by magic and decoded") {
+    val plain = tar(fileEntry("z.txt", ascii("zz")),
+      fileEntry("deep/a.md", ascii("# hi")))
+    val zst = graft.expr.ZstdBuild.store(plain)
+    assert(entryList(zst) == Seq(("z.txt", 2L, "zz"), ("deep/a.md", 4L, "# hi")))
+  }
+
   test("malformed PAX record with negative value length is triaged") {
     // "2 x" declares a record length (2) shorter than the "len space"
     // prefix itself, so the value span is negative — the walk must
