@@ -4771,6 +4771,36 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // .7z source dumps → per-file documents: the archive tier's
+    // container trio completed (tar/zip/7z). The fixture alternates
+    // Copy and store-mode-LZMA2 solid folders (built by the
+    // independent SevenZipBuild writer); the compressed LZMA/LZMA2
+    // coder paths inside folders are pinned by SevenZipSpec's real
+    // liblzma raw streams. Directories and empty files exercise the
+    // kEmptyStream/kEmptyFile vectors.
+    "q213_7z_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        import graft.expr.SevenZipBuild
+        val k = (g % 4 + 2).toInt
+        val files = (0 until k).map(j =>
+          SevenZipBuild.Entry(s"src/f$j.txt",
+            s"c${g}_$j".getBytes("UTF-8"))) :+
+          SevenZipBuild.Entry("docs", null, dir = true) :+
+          SevenZipBuild.Entry("docs/empty.md", Array.emptyByteArray)
+        SevenZipBuild.build(files, lzma2 = g % 2 == 1,
+          encodedHeader = g % 3 == 0)
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.SevenZip.FunctionName,
+            gen(id), lit(64))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          col("e.size").as("size"),
+          decode(col("e.content"), "UTF-8").as("text"))
+    }),
+
     // .jsonl.zst dataset-release ingestion: the dominant modern
     // packaging — a zstd frame per shard, JSON lines inside —
     // through graft_unzstd → line split → JSON field extraction,
@@ -8647,6 +8677,20 @@ object SparkEntry {
          f AS (SELECT id, 'src/f' || r.j || '.txt' AS path,
                  'c' || id || '_' || r.j AS text
                FROM d CROSS JOIN range(0, 6) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              CAST(length(text) AS BIGINT) AS size, text
+       FROM f""",
+
+    // K regular files + the empty file; the directory never appears;
+    // the 7z layer (either coder, either header form) is transparent
+    "q213_7z_documents" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 4 + 2 AS k
+           FROM documents),
+         f AS (SELECT id, 'src/f' || r.j || '.txt' AS path,
+                 'c' || id || '_' || r.j AS text
+               FROM d CROSS JOIN range(0, 6) r(j) WHERE r.j < k
+               UNION ALL
+               SELECT id, 'docs/empty.md', '' FROM d)
        SELECT CAST(id AS BIGINT) AS file_id, path,
               CAST(length(text) AS BIGINT) AS size, text
        FROM f""",

@@ -1,0 +1,211 @@
+package graft.expr
+
+/** Independent 7z WRITER for fixture construction — implemented from
+  * the container description alone, sharing no parsing machinery
+  * with [[SevenZip]] (numbers, bit vectors, CRCs and the header tree
+  * are all re-derived here, so entries(build(·)) is a genuine
+  * structural differential). Emits one solid folder holding every
+  * non-empty file, coded as Copy or as store-mode LZMA2
+  * (uncompressed chunks — a valid LZMA2 stream built WITHOUT the
+  * decoder), plus directories and empty files through the
+  * kEmptyStream/kEmptyFile vectors; optional EncodedHeader wrapping
+  * (the header itself shipped as a Copy-coded folder). The
+  * compressed LZMA/LZMA2 coder paths are pinned separately by real
+  * liblzma raw streams via [[withPackedFolder]].
+  */
+private[graft] object SevenZipBuild {
+
+  final case class Entry(name: String, content: Array[Byte],
+      dir: Boolean = false)
+
+  private def crc32(b: Array[Byte], from: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, from, len)
+    c.getValue
+  }
+
+  private final class W {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def bytes(b: Array[Byte]): Unit = out.write(b)
+    /** 7z variable-length number (shortest form). */
+    def num(v: Long): Unit = {
+      require(v >= 0)
+      var extra = 0
+      while (extra < 8 && (v >>> (8 * extra)) > ((0x80L >> extra) - 1) &&
+          extra < 8) extra += 1
+      var firstMask = 0
+      var i = 0
+      while (i < extra) { firstMask |= 0x80 >> i; i += 1 }
+      val high = if (extra < 8) (v >>> (8 * extra)).toInt else 0
+      u8(firstMask | high)
+      i = 0
+      while (i < extra) { u8(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def le32(v: Long): Unit = { var i = 0; while (i < 4) { u8(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def le64(v: Long): Unit = { var i = 0; while (i < 8) { u8(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    /** MSB-first bit vector. */
+    def bits(v: Seq[Boolean]): Unit = {
+      var i = 0
+      var cur = 0
+      v.foreach { b =>
+        if (b) cur |= 0x80 >> (i % 8)
+        i += 1
+        if (i % 8 == 0) { u8(cur); cur = 0 }
+      }
+      if (i % 8 != 0) u8(cur)
+    }
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  /** Store-mode LZMA2: the payload as uncompressed chunks + end
+    * marker (a spec-valid LZMA2 stream, no encoder needed).
+    */
+  private def lzma2Store(data: Array[Byte]): Array[Byte] = {
+    val w = new W
+    var off = 0
+    var first = true
+    while (off < data.length) {
+      val n = math.min(1 << 16, data.length - off)
+      w.u8(if (first) 0x01 else 0x02)
+      w.u8((n - 1) >> 8); w.u8((n - 1) & 0xff)
+      w.out.write(data, off, n)
+      off += n
+      first = false
+    }
+    w.u8(0)
+    w.result
+  }
+
+  /** Header tree for one folder of `coderId`-coded data. */
+  private def header(entries: Seq[Entry], packSize: Long, unpacked: Long,
+      subSizes: Seq[Long], subCrcs: Seq[Long], coderId: Long,
+      props: Array[Byte], packPos: Long): Array[Byte] = {
+    val w = new W
+    w.u8(0x01) // kHeader
+    if (packSize > 0) {
+      w.u8(0x04) // kMainStreamsInfo
+      w.u8(0x06) // kPackInfo
+      w.num(packPos); w.num(1)
+      w.u8(0x09); w.num(packSize) // kSize
+      w.u8(0x00)
+      w.u8(0x07) // kUnpackInfo
+      w.u8(0x0b); w.num(1); w.u8(0) // kFolder, 1 folder, internal
+      w.num(1) // one coder
+      val idLen = math.max(1,
+        (64 - java.lang.Long.numberOfLeadingZeros(coderId) + 7) / 8).toInt
+      w.u8(idLen | (if (props.nonEmpty) 0x20 else 0))
+      var i = idLen - 1
+      while (i >= 0) { w.u8(((coderId >> (8 * i)) & 0xff).toInt); i -= 1 }
+      if (props.nonEmpty) { w.num(props.length); w.bytes(props) }
+      w.u8(0x0c); w.num(unpacked) // kCodersUnpackSize
+      w.u8(0x00)
+      w.u8(0x08) // kSubStreamsInfo
+      w.u8(0x0d); w.num(subSizes.length) // kNumUnpackStream
+      w.u8(0x09) // kSize: first n−1
+      subSizes.dropRight(1).foreach(w.num)
+      w.u8(0x0a) // kCRC: all substreams (no folder CRC was written)
+      w.u8(1) // all defined
+      subCrcs.foreach(w.le32)
+      w.u8(0x00)
+      w.u8(0x00)
+    }
+    // FilesInfo
+    w.u8(0x05)
+    w.num(entries.length)
+    val anyEmpty = entries.exists(e => e.dir || e.content.isEmpty)
+    if (anyEmpty) {
+      val v = entries.map(e => e.dir || e.content.isEmpty)
+      val body = new W
+      body.bits(v)
+      w.num(0x0e); w.num(body.result.length); w.bytes(body.result)
+      val emptyFiles = entries.filter(e => e.dir || e.content.isEmpty)
+        .map(!_.dir)
+      if (emptyFiles.exists(x => x)) {
+        val body2 = new W
+        body2.bits(emptyFiles)
+        w.num(0x0f); w.num(body2.result.length); w.bytes(body2.result)
+      }
+    }
+    val nameBody = new W
+    nameBody.u8(0) // internal
+    entries.foreach { e =>
+      e.name.foreach { ch => nameBody.u8(ch & 0xff); nameBody.u8(ch >> 8) }
+      nameBody.u8(0); nameBody.u8(0)
+    }
+    w.num(0x11); w.num(nameBody.result.length); w.bytes(nameBody.result)
+    w.u8(0x00) // end FilesInfo
+    w.u8(0x00) // end Header
+    w.result
+  }
+
+  private def container(packed: Array[Byte], nextHeader: Array[Byte]):
+      Array[Byte] = {
+    val w = new W
+    w.bytes(Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c))
+    w.u8(0); w.u8(4) // version
+    val startHeader = new W
+    startHeader.le64(packed.length.toLong) // next header offset
+    startHeader.le64(nextHeader.length.toLong)
+    startHeader.le32(crc32(nextHeader, 0, nextHeader.length))
+    val sh = startHeader.result
+    w.le32(crc32(sh, 0, sh.length))
+    w.bytes(sh)
+    w.bytes(packed)
+    w.bytes(nextHeader)
+    w.result
+  }
+
+  /** Build an archive: one solid folder (Copy or store-mode LZMA2)
+    * for the non-empty files, empty files and directories via the
+    * FilesInfo vectors. `encodedHeader` wraps the header itself as a
+    * Copy-coded folder behind kEncodedHeader.
+    */
+  def build(entries: Seq[Entry], lzma2: Boolean = false,
+      encodedHeader: Boolean = false): Array[Byte] = {
+    val streamed = entries.filter(e => !e.dir && e.content.nonEmpty)
+    val unpacked = streamed.map(_.content.length.toLong).sum
+    val cat = new java.io.ByteArrayOutputStream()
+    streamed.foreach(e => cat.write(e.content))
+    val data = cat.toByteArray
+    val packed = if (lzma2) lzma2Store(data) else data
+    val coderId = if (lzma2) 0x21L else 0x00L
+    val props = if (lzma2) Array[Byte](40) else Array.emptyByteArray
+    val hdr = header(entries, packed.length.toLong, unpacked,
+      streamed.map(_.content.length.toLong),
+      streamed.map(e => crc32(e.content, 0, e.content.length)),
+      coderId, props, 0L)
+    if (!encodedHeader) container(packed, hdr)
+    else {
+      // ship the header as a Copy folder appended after the pack data
+      val w = new W
+      w.u8(0x17) // kEncodedHeader
+      w.u8(0x06); w.num(packed.length.toLong); w.num(1) // pack at offset
+      w.u8(0x09); w.num(hdr.length.toLong); w.u8(0x00)
+      w.u8(0x07); w.u8(0x0b); w.num(1); w.u8(0)
+      w.num(1); w.u8(1); w.u8(0x00) // one Copy coder
+      w.u8(0x0c); w.num(hdr.length.toLong)
+      w.u8(0x0a); w.u8(1); w.le32(crc32(hdr, 0, hdr.length)) // folder CRC
+      w.u8(0x00)
+      w.u8(0x00)
+      container(packed ++ hdr, w.result)
+    }
+  }
+
+  /** Archive whose single folder's PACKED bytes are caller-supplied
+    * (e.g. a REAL liblzma raw LZMA1/LZMA2 stream), with explicit
+    * coder id/props — pins the compressed coder paths inside the
+    * container walk.
+    */
+  def withPackedFolder(names: Seq[String], contents: Seq[Array[Byte]],
+      packed: Array[Byte], coderId: Long,
+      props: Array[Byte]): Array[Byte] = {
+    val entries = names.zip(contents).map { case (n, c) => Entry(n, c) }
+    val unpacked = contents.map(_.length.toLong).sum
+    val hdr = header(entries, packed.length.toLong, unpacked,
+      contents.map(_.length.toLong),
+      contents.map(c => crc32(c, 0, c.length)),
+      coderId, props, 0L)
+    container(packed, hdr)
+  }
+}

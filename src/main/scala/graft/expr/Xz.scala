@@ -428,6 +428,44 @@ object Xz {
   }
 
   // ------------------------------------------------------------------
+  // raw coder entry points (the 7z container reuses the machine)
+  // ------------------------------------------------------------------
+
+  /** Raw LZMA2 chunk stream — the payload of a 7z LZMA2-coded folder
+    * (liblzma's FORMAT_RAW/FILTER_LZMA2 shape, end marker included).
+    * Null on any error; output capped at [[MaxOutBytes]].
+    */
+  private[graft] def lzma2Raw(b: Array[Byte], from: Int,
+      until: Int): Array[Byte] =
+    try {
+      val z = new Lzma2
+      lzma2(b, from, until, z)
+      java.util.Arrays.copyOf(z.dict, z.dictLen)
+    } catch {
+      case Bad | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+
+  /** Raw LZMA1 stream with an explicit props byte — the 7z LZMA
+    * coder's payload. Size-bounded: decodes exactly `unpackSize`
+    * bytes (7z always knows the folder's unpack size, so the
+    * optional end marker is never consumed). Null on any error.
+    */
+  private[graft] def lzma1Raw(props: Int, b: Array[Byte], from: Int,
+      until: Int, unpackSize: Int): Array[Byte] =
+    try {
+      if (unpackSize < 0 || unpackSize > MaxOutBytes) return null
+      val z = new Lzma2
+      z.setProps(props)
+      z.resetState()
+      z.lzmaChunk(b, from, until, unpackSize, 0)
+      java.util.Arrays.copyOf(z.dict, z.dictLen)
+    } catch {
+      case Bad | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+
+  // ------------------------------------------------------------------
   // container walk
   // ------------------------------------------------------------------
 

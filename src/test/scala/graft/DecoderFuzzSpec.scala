@@ -56,6 +56,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Bzip2" -> (b => graft.expr.Bzip2.decode(b)),
     "Xz" -> (b => graft.expr.Xz.decode(b)),
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
+    "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
     "ResizePixels" -> (b => graft.expr.ResizePixels.resize(b, 7, 5)),
     "ResamplePcm" -> (b => graft.expr.ResamplePcm.resample(b, 8000)),
     "Vp8lDecode" -> (b => graft.expr.Vp8lDecode.decode(b)),
@@ -87,6 +88,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Array[Byte](16, 0, 0, 0, 0x2F), // VP8L chunk + signature,
     Array[Byte](0, 0, 0, 1, 0x67), // H.264 start code + SPS header
     Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte), // zstd frame magic
+    Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
     "ID3\u0004\u0000\u0000\u0000\u0000\u0000\u0010".getBytes("ISO-8859-1"))
 
   private def sweep(name: String, f: Array[Byte] => Any,
