@@ -4771,6 +4771,39 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // Encrypted-PDF extraction: per doc, an RC4-40 / RC4-128 /
+    // AES-128 standard-security-handler document (empty user
+    // password — the wild "permissions-only" encryption) built by
+    // the independent PdfCryptBuild writer must extract exactly like
+    // its plaintext twin; the oracle replays the text relationally.
+    // The /U gate inside PdfCrypt re-derives the key per document,
+    // so every row differentially validates the whole algorithm
+    // stack (MD5 chain, RC4/AES, pad constant).
+    "q214_pdf_encrypted" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        import graft.sources.PdfCryptBuild
+        val mode = (g % 3).toInt
+        val (r, v, bits, aes) = mode match {
+          case 0 => (2, 1, 40, false)
+          case 1 => (3, 2, 128, false)
+          case _ => (4, 4, 128, true)
+        }
+        PdfCryptBuild.build(r, v, bits, aes, Array.emptyByteArray,
+          Seq(safe, s"page $g"), s"cipher arm $mode ok")
+      }
+      val id = col("doc_id")
+      // ASCII-only, delimiter/keyword-free text (q176's discipline)
+      val safe = substring(
+        regexp_replace(regexp_replace(regexp_replace(
+          coalesce(col("text"), lit("")),
+          "[^ -~]", " "), "[()\\\\]", " "), "stream|endobj|beginbf", " "),
+        1, 80)
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(call_function(graft.expr.PdfText.FunctionName,
+          gen(id, safe)), 1, 200).as("pdf_text"))
+    }),
+
     // .7z source dumps → per-file documents: the archive tier's
     // container trio completed (tar/zip/7z). The fixture alternates
     // Copy and store-mode-LZMA2 solid folders (built by the
@@ -8669,6 +8702,20 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the encryption layer is transparent: the oracle replays the
+    // plaintext construction (q176's sanitization discipline)
+    "q214_pdf_encrypted" ->
+      """SELECT doc_id,
+            substr(
+              substr(regexp_replace(regexp_replace(regexp_replace(
+                  COALESCE(text, ''),
+                  '[^ -~]', ' ', 'g'), '[()\\]', ' ', 'g'),
+                  'stream|endobj|beginbf', ' ', 'g'), 1, 80)
+              || chr(10) || 'page ' || doc_id || chr(10)
+              || 'cipher arm ' || (doc_id % 3) || ' ok' || chr(10),
+            1, 200) AS pdf_text
+       FROM documents""",
 
     // the zstd layer is transparent to the oracle (decode → same tar)
     "q211_tar_zst_documents" ->

@@ -322,10 +322,17 @@ object Documents {
     * PDF or no text stream parses; the file reader converts null back
     * to its typed error.
     */
-  private[graft] def pdfToText(bytes: Array[Byte]): String = {
-    if (bytes == null || bytes.length < 5 || bytes.length > MaxPdfBytes ||
-        new String(bytes, 0, 5, StandardCharsets.ISO_8859_1) != "%PDF-")
+  private[graft] def pdfToText(rawBytes: Array[Byte]): String = {
+    if (rawBytes == null || rawBytes.length < 5 ||
+        rawBytes.length > MaxPdfBytes ||
+        new String(rawBytes, 0, 5, StandardCharsets.ISO_8859_1) != "%PDF-")
       return null
+    // standard-security-handler pass: encrypted-with-empty-user-
+    // password documents decrypt in structure; real passwords /
+    // unsupported handlers triage to null (PdfCrypt verifies /U
+    // before trusting any key)
+    val bytes = PdfCrypt.decrypt(rawBytes)
+    if (bytes == null) return null
     // ISO-8859-1 maps bytes 1:1 to chars: string search over binary is safe
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     // the keyword "stream", not the tail of "endstream"

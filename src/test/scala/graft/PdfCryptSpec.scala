@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Encrypted-PDF tests: the INDEPENDENT write-side encryptor
+  * [[graft.sources.PdfCryptBuild]] (its own RC4 and Algorithm
+  * 2/3/4/5 implementations, streams encrypted as the file is built —
+  * no parsing shared with [[graft.sources.PdfCrypt]]'s decrypt side)
+  * produces RC4-40 (R2), RC4-128 (R3 and V4 /CFM /V2) and AES-128
+  * (R4/AESV2) documents whose extracted text must equal their
+  * plaintext twin's; a non-empty user password and a corrupted /U
+  * must fail closed.
+  */
+class PdfCryptSpec extends AnyFunSuite {
+
+  import graft.sources.{Documents, PdfCryptBuild}
+
+  private def iso(s: String) = s.getBytes("ISO-8859-1")
+
+  private val Lines = Seq("Encrypted body text", "second line")
+  private val ExpectText = "Encrypted body text\nsecond line\nflate secret\n"
+
+  private def buildPdf(r: Int, v: Int, nBits: Int, aes: Boolean,
+      userPw: Array[Byte] = Array.emptyByteArray): Array[Byte] =
+    PdfCryptBuild.build(r, v, nBits, aes, userPw, Lines, "flate secret")
+
+  test("RC4-40 (V1/R2) extracts like its plaintext twin") {
+    assert(Documents.pdfToText(buildPdf(2, 1, 40, aes = false)) == ExpectText)
+  }
+
+  test("RC4-128 (V2/R3) extracts like its plaintext twin") {
+    assert(Documents.pdfToText(buildPdf(3, 2, 128, aes = false)) == ExpectText)
+  }
+
+  test("RC4-128 via V4 crypt filters (/CFM /V2)") {
+    assert(Documents.pdfToText(buildPdf(4, 4, 128, aes = false)) == ExpectText)
+  }
+
+  test("AES-128-CBC (V4/R4 /AESV2) extracts like its plaintext twin") {
+    assert(Documents.pdfToText(buildPdf(4, 4, 128, aes = true)) == ExpectText)
+  }
+
+  test("a real (non-empty) user password fails closed to null") {
+    assert(Documents.pdfToText(
+      buildPdf(3, 2, 128, aes = false, userPw = iso("secret"))) == null)
+  }
+
+  test("corrupted /U fails the gate before any decryption") {
+    val b = buildPdf(3, 2, 128, aes = false)
+    val s = new String(b, "ISO-8859-1")
+    val uAt = s.indexOf("/U <")
+    b(uAt + 4) = (if (b(uAt + 4) == '0') '1' else '0').toByte
+    assert(Documents.pdfToText(b) == null)
+  }
+
+  test("V5 (AES-256) stays out of subset → null, not garbage") {
+    val b = buildPdf(3, 2, 128, aes = false)
+    val s = new String(b, "ISO-8859-1")
+    val patched = s.replace("/V 2 /R 3", "/V 5 /R 6")
+    assert(Documents.pdfToText(iso(patched)) == null)
+  }
+
+  test("plaintext documents pass through the crypt layer unchanged") {
+    val content =
+      "BT /F1 12 Tf 72 720 Td (Encrypted body text) Tj T* (second line) Tj T* ET"
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(iso(s))
+    w("%PDF-1.4\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    assert(Documents.pdfToText(bos.toByteArray) ==
+      "Encrypted body text\nsecond line\n")
+  }
+}
