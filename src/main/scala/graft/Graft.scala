@@ -101,6 +101,7 @@ object Graft {
     graft.expr.EpubText.register(spark)
     graft.expr.PdfText.register(spark)
     graft.expr.DocxText.register(spark)
+    graft.expr.DocText.register(spark)
     graft.expr.BpeEncode.register(spark)
     graft.expr.ExifOrientation.register(spark)
     graft.expr.OrientPixels.register(spark)

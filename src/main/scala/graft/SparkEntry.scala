@@ -4771,6 +4771,27 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // Legacy .doc extraction: per doc, a Word97 compound file built
+    // by the independent DocBuild writer (CFB sectors + FIB + piece
+    // table) with the doc's text split across a CP1252 piece and a
+    // UTF-16 piece — graft_doc_text must reassemble them in CP
+    // order; the oracle replays the construction relationally.
+    "q215_doc_text" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        graft.expr.DocBuild.doc(Seq(
+          (safe + "\r", true), // CP1252 piece
+          (s"unicode tail é中 $g\r", false))) // UTF-16 piece
+      }
+      val id = col("doc_id")
+      // printable-ASCII text (the CP1252 piece must round-trip 1:1)
+      val safe = substring(regexp_replace(
+        coalesce(col("text"), lit("")), "[^ -~]", " "), 1, 80)
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(call_function(graft.expr.DocText.FunctionName,
+          gen(id, safe)), 1, 200).as("doc_text"))
+    }),
+
     // Encrypted-PDF extraction: per doc, an RC4-40 / RC4-128 /
     // AES-128 standard-security-handler document (empty user
     // password — the wild "permissions-only" encryption) built by
@@ -8702,6 +8723,17 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // both pieces replay relationally; \r becomes \n
+    "q215_doc_text" ->
+      """SELECT doc_id,
+            substr(
+              substr(regexp_replace(COALESCE(text, ''),
+                  '[^ -~]', ' ', 'g'), 1, 80)
+              || chr(10) || 'unicode tail ' || chr(233) || chr(20013)
+              || ' ' || doc_id || chr(10),
+            1, 200) AS doc_text
+       FROM documents""",
 
     // the encryption layer is transparent: the oracle replays the
     // plaintext construction (q176's sanitization discipline)

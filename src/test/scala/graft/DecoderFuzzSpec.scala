@@ -57,6 +57,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Xz" -> (b => graft.expr.Xz.decode(b)),
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
     "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
+    "DocText" -> (b => graft.expr.DocText.parse(b)),
     "ResizePixels" -> (b => graft.expr.ResizePixels.resize(b, 7, 5)),
     "ResamplePcm" -> (b => graft.expr.ResamplePcm.resample(b, 8000)),
     "Vp8lDecode" -> (b => graft.expr.Vp8lDecode.decode(b)),
@@ -89,6 +90,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0, 0, 0, 1, 0x67), // H.264 start code + SPS header
     Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte), // zstd frame magic
     Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
+    Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
+      0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte), // CFB (.doc)
     "ID3\u0004\u0000\u0000\u0000\u0000\u0000\u0010".getBytes("ISO-8859-1"))
 
   private def sweep(name: String, f: Array[Byte] => Any,
