@@ -69,6 +69,42 @@ object Bench {
       try Graft.table(spark, sfDir, t).limit(1000).count()
       catch { case _: Throwable => () }
     }
+    // Sentinel pre-check (round-15 bench discipline, VERDICT r14 item
+    // 7): the r14 artifact was captured in a 2.6-3x degraded host
+    // window while a 1.15x window existed the same session. Measure
+    // the three drift canaries BEFORE the timed passes against their
+    // recorded quiet floors (the r14 quiet full-run drift block); if
+    // the window reads degraded (>1.3x), wait and re-probe a bounded
+    // number of times, then proceed and STAMP the artifact with
+    // window_quality + sentinel_ratio so a degraded capture is never
+    // mistaken for a code regression.
+    val quietFloor = Map(
+      "q02_filter_project" -> 0.185,
+      "q20_ts_bucket" -> 0.186,
+      "q39_frame_sample" -> 0.144)
+    def sentinelRatio(): Double = quietFloor.map { case (name, floor) =>
+      val fn = SparkEntry.queries(name)
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try forceAll(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      samples.min / floor
+    }.max
+    var ratio = sentinelRatio()
+    var waits = sys.env.get("SPARK_GRAFT_SENTINEL_WAITS")
+      .flatMap(_.toIntOption).getOrElse(2)
+    while (ratio > 1.3 && waits > 0) {
+      System.err.println(f"[bench] degraded window (sentinel ${ratio}%.2fx" +
+        " quiet floor); waiting 45s for the host to settle")
+      Thread.sleep(45000)
+      ratio = sentinelRatio()
+      waits -= 1
+    }
+    val windowQuality = if (ratio <= 1.3) "clean" else "degraded"
+    System.err.println(
+      f"[bench] sentinel window: ${ratio}%.2fx quiet floor -> $windowQuality")
+
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val full = sys.env.contains("SPARK_GRAFT_BENCH_FULL")
     val named =
@@ -133,7 +169,7 @@ object Bench {
     val drift = canaries.flatMap(c => results.get(c).map(v => "\"" + c + "\":" + num(v)))
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"drift":$drift,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"window_quality":"$windowQuality","sentinel_ratio":${num(ratio)},"drift":$drift,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also drop the line as a repo artifact so the numbers stay
     // readable even if the harness's stdout capture mangles the log.

@@ -1437,6 +1437,172 @@ object ScaleShakeout {
         s" $seen still present, $rewritten rewritten (expect 0)")
       spark.sql(s"DROP TABLE IF EXISTS $sigTable")
     }
+
+    // archive tier COMPOSED with document dedup-on-ingest (round 15 —
+    // the r14 verdict's item 6): streaming arrival of ARCHIVES →
+    // entries explode (tar/tar.gz/tar.bz2/zip/tar.zst/7z, all six
+    // container arms through the magic dispatch) → dedupIngestBatch
+    // over the per-file text. Claims under test: (a) the explode +
+    // decompress term stays linear and spill-free inside the ingest
+    // plan; (b) re-PACKAGED duplicates (same file text arriving in a
+    // DIFFERENT archive format) drop against the index, fresh
+    // archives survive; (c) a REPLAYED arrival batch self-filters to
+    // zero appends; (d) committed docs/postings files are never
+    // rewritten (byte-identity by listing).
+    if (wanted("archiveIngestBuild", "archiveIngestArrival")) {
+      val nArch = math.max(nDocs / 5, 500L)
+      val arcPath = "target/scale_arcingest_files.parquet"
+      val docsPath = "target/scale_arcingest_docs.parquet"
+      val table = "scale_arcingest_postings"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(docsPath), true)
+      fs.delete(new org.apache.hadoop.fs.Path(docsPath + "_bloom"), false)
+      // one file's text: family-seeded so a REPACKAGED twin (same
+      // family in another archive/format) is an exact dup
+      def fileText(fam: Long): String = {
+        val r2 = new java.util.Random(fam * 2654435761L + 29L)
+        val sb = new StringBuilder()
+        val words = 30 + r2.nextInt(170)
+        var w = 0
+        while (w < words) {
+          sb.append("tok").append(r2.nextInt(30000)).append(' ')
+          w += 1
+        }
+        sb.toString
+      }
+      // arm = archive format; famOff shifts the content families
+      val genArc = udf { (id: Long, famOff: Long, armShift: Int) =>
+        val rnd = new java.util.Random(id * 6364136223846793005L + 47L)
+        val k = 3 + rnd.nextInt(6)
+        val entries = (0 until k).map(j =>
+          s"src/f$j.txt" -> fileText(famOff + id * 16 + j)
+            .getBytes("UTF-8"))
+        ((id + armShift) % 6).toInt match {
+          case 5 => // 7z (copy / store-LZMA2 alternating)
+            graft.expr.SevenZipBuild.build(entries.map { case (n, c) =>
+              graft.expr.SevenZipBuild.Entry(n, c) }, lzma2 = id % 2 == 1)
+          case arm =>
+            val out = new java.io.ByteArrayOutputStream()
+            if (arm == 3) {
+              val z = new java.util.zip.ZipOutputStream(out)
+              entries.foreach { case (n, c) =>
+                z.putNextEntry(new java.util.zip.ZipEntry(n))
+                z.write(c); z.closeEntry()
+              }
+              z.close()
+              out.toByteArray
+            } else {
+              def hdr(name: String, size: Long): Array[Byte] = {
+                val h = new Array[Byte](512)
+                def putStr(o: Int, len: Int, str: String): Unit = {
+                  val bb = str.getBytes("UTF-8")
+                  System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+                }
+                def putOctal(o: Int, len: Int, v: Long): Unit =
+                  putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+                putStr(0, 100, name)
+                putOctal(100, 8, 420); putOctal(108, 8, 0)
+                putOctal(116, 8, 0); putOctal(124, 12, size)
+                putOctal(136, 12, 1700000000L)
+                java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+                h(156) = '0'.toByte
+                putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+                var sum = 0L
+                (0 until 512).foreach(i => sum += h(i) & 0xff)
+                putStr(148, 7, "%06o".format(sum) + " ")
+                h
+              }
+              entries.foreach { case (n, c) =>
+                out.write(hdr(n, c.length))
+                out.write(c)
+                out.write(new Array[Byte]((512 - c.length % 512) % 512))
+              }
+              out.write(new Array[Byte](1024))
+              val plain = out.toByteArray
+              arm match {
+                case 1 =>
+                  val gz = new java.io.ByteArrayOutputStream()
+                  val g = new java.util.zip.GZIPOutputStream(gz)
+                  g.write(plain); g.close(); gz.toByteArray
+                case 2 => graft.expr.Bzip2Build.encode(plain, 1)
+                case 4 => graft.expr.ZstdBuild.store(plain)
+                case _ => plain
+              }
+            }
+        }
+      }
+      def archives(n: Long, idOff: Long, famOff: Long): DataFrame =
+        spark.range(n).select((col("id") + idOff).as("file_id"),
+          genArc(col("id") + idOff, lit(famOff), lit(0)).as("content"))
+      def ingest(files: DataFrame): DataFrame = {
+        val tarE = call_function(graft.expr.TarEntries.FunctionName,
+          col("content"), lit(64))
+        val zipE = call_function(graft.expr.ZipEntries.FunctionName,
+          col("content"))
+        val sevenE = call_function(graft.expr.SevenZip.FunctionName,
+          col("content"), lit(64))
+        val batch = files
+          .select(col("file_id"), explode(coalesce(tarE, zipE, sevenE))
+            .as("e"))
+          .select(xxhash64(concat(col("file_id").cast("string"),
+            lit(":"), col("e.path"))).as("doc_id"),
+            decode(col("e.content"), "UTF-8").as("text"))
+        graft.streaming.StreamingIngest.dedupIngestBatch(batch, docsPath,
+          table, "doc_id", "text", n = 3, threshold = 0.7,
+          maxDocFreq = 100L, buckets = 32, useBloom = true,
+          bloomCapacity = 1L << 25)
+        spark.read.parquet(docsPath)
+      }
+      archives(nArch, 0L, 0L).write.mode("overwrite").parquet(arcPath)
+      val built = spark.read.parquet(arcPath)
+      run("archiveIngestBuild")(ingest(built))
+      val builtDocs = spark.read.parquet(docsPath).count()
+      val committed = fs.listFiles(
+        new org.apache.hadoop.fs.Path(docsPath), true)
+      val before = scala.collection.mutable.Map[String, Long]()
+      while (committed.hasNext) {
+        val f = committed.next()
+        before(f.getPath.toString) = f.getLen
+      }
+      // arrival: 2% new archives — half REPACKAGES of indexed
+      // archives (SAME text families as built ids 0…, armShift 3
+      // moves every one to a different container/compression: a tar
+      // family re-arrives as zip, a .tar.bz2 as 7z, …), half fresh
+      // families; materialized outside the timed region
+      val nArr = math.max(nArch / 50, 8L)
+      val dups = spark.range(nArr).select(
+        (col("id") + 10000000L).as("file_id"),
+        genArc(col("id"), lit(0L), lit(3)).as("content"))
+      val fresh = archives(nArr, 20000000L, 1L << 40)
+      dups.unionAll(fresh).write.mode("overwrite")
+        .parquet("target/scale_arcingest_batch.parquet")
+      val arrival = spark.read.parquet("target/scale_arcingest_batch.parquet")
+      run("archiveIngestArrival")(ingest(arrival))
+      val afterArrival = spark.read.parquet(docsPath).count()
+      println(s"  archiveIngest docs: built=$builtDocs " +
+        s"afterArrival=$afterArrival " +
+        s"(dups repackaged from ${nArr} archives must add 0)")
+      // replay: the SAME arrival batch again must self-filter to zero
+      run("archiveIngestReplay")(ingest(arrival))
+      val afterReplay = spark.read.parquet(docsPath).count()
+      println(s"  archiveIngest replay: $afterArrival -> $afterReplay " +
+        s"(expect equal)")
+      val after = fs.listFiles(new org.apache.hadoop.fs.Path(docsPath), true)
+      var rewritten = 0
+      var seen = 0
+      while (after.hasNext) {
+        val f = after.next()
+        before.get(f.getPath.toString).foreach { len =>
+          seen += 1
+          if (len != f.getLen) rewritten += 1
+        }
+      }
+      println(s"  archiveIngest immutability: ${before.size} committed " +
+        s"files, $seen still present, $rewritten rewritten (expect 0)")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
     spark.stop()
   }
 }

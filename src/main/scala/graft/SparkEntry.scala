@@ -4793,8 +4793,8 @@ object SparkEntry {
     }),
 
     // Encrypted-PDF extraction: per doc, an RC4-40 / RC4-128 /
-    // AES-128 standard-security-handler document (empty user
-    // password — the wild "permissions-only" encryption) built by
+    // AES-128 / AES-256 standard-security-handler document (empty
+    // user password — the wild "permissions-only" encryption) built by
     // the independent PdfCryptBuild writer must extract exactly like
     // its plaintext twin; the oracle replays the text relationally.
     // The /U gate inside PdfCrypt re-derives the key per document,
@@ -4804,14 +4804,19 @@ object SparkEntry {
       Graft.tune(s)
       val gen = udf { (g: Long, safe: String) =>
         import graft.sources.PdfCryptBuild
-        val mode = (g % 3).toInt
-        val (r, v, bits, aes) = mode match {
-          case 0 => (2, 1, 40, false)
-          case 1 => (3, 2, 128, false)
-          case _ => (4, 4, 128, true)
+        val mode = (g % 4).toInt
+        val lines = Seq(safe, s"page $g")
+        val flate = s"cipher arm $mode ok"
+        mode match {
+          case 0 => PdfCryptBuild.build(2, 1, 40, aes = false,
+            Array.emptyByteArray, lines, flate)
+          case 1 => PdfCryptBuild.build(3, 2, 128, aes = false,
+            Array.emptyByteArray, lines, flate)
+          case 2 => PdfCryptBuild.build(4, 4, 128, aes = true,
+            Array.emptyByteArray, lines, flate)
+          case _ => PdfCryptBuild.buildV5(6, Array.emptyByteArray,
+            lines, flate) // AES-256
         }
-        PdfCryptBuild.build(r, v, bits, aes, Array.emptyByteArray,
-          Seq(safe, s"page $g"), s"cipher arm $mode ok")
       }
       val id = col("doc_id")
       // ASCII-only, delimiter/keyword-free text (q176's discipline)
@@ -8745,7 +8750,7 @@ object SparkEntry {
                   '[^ -~]', ' ', 'g'), '[()\\]', ' ', 'g'),
                   'stream|endobj|beginbf', ' ', 'g'), 1, 80)
               || chr(10) || 'page ' || doc_id || chr(10)
-              || 'cipher arm ' || (doc_id % 3) || ' ok' || chr(10),
+              || 'cipher arm ' || (doc_id % 4) || ' ok' || chr(10),
             1, 200) AS pdf_text
        FROM documents""",
 

@@ -65,6 +65,18 @@ package graft.expr
   *    B.2) is nonetheless implemented and spec-tested through the
   *    [[registerBigTableForTest]] seam, which is also the drop-in
   *    point for verified table data.
+  *
+  *    PERMANENT BOUNDARY (recorded round 15): this environment was
+  *    searched exhaustively for real MP3 bytes that could
+  *    differentially validate the recalled linbits matrices (the
+  *    bit-exact part2_3_length consumption of real encoder granules
+  *    is a strong per-table gate) — the single MP3 on the box is
+  *    digital silence whose 135 granule table_selects are ALL table
+  *    0, and no MP3 encoder (lame/ffmpeg/sox) exists offline to
+  *    make one. With zero egress this cannot change, so tables
+  *    11/13/15/16–31 stay triaged for good; any future environment
+  *    with validation bytes can ship them through the registry seam
+  *    without touching the decode path.
   *  - '''Synthesis prototype window''' (Table B.3, 512 tabulated
   *    coefficients): stood in by a Kaiser-windowed sinc lowpass at
   *    the spec's π/64 cutoff, DC-gain self-calibrated to 1 at class

@@ -23,8 +23,12 @@ import java.nio.charset.StandardCharsets
   * image; XRef streams, which the spec leaves in the clear, are
   * skipped): the text extractor reads content/CMap/font streams
   * exclusively, so dictionary strings can stay encrypted without
-  * affecting extraction. V5/R5–R6 (AES-256), crypt filters other
-  * than the standard ones, and documents whose /U check rejects the
+  * affecting extraction. V5/R5–R6 (AES-256) is ALSO supported — the
+  * modern handler is again fully algorithmic (R6's Algorithm-2.B
+  * SHA-256/384/512 + AES-CBC hash chain, the file key unwrapped from
+  * /UE under the key-salt hash), and its /U hash comparison is an
+  * even stronger gate than the legacy RC4 one. Crypt filters other
+  * than the standard ones and documents whose /U check rejects the
   * empty password triage to null.
   */
 private[graft] object PdfCrypt {
@@ -125,6 +129,51 @@ private[graft] object PdfCrypt {
     } else null
   }
 
+  /** Algorithm 2.B (R6): the iterated SHA-256/384/512 + AES-128-CBC
+    * hash; R5 uses the plain SHA-256. `udata` is empty for the user
+    * password path.
+    */
+  private[graft] def hash2b(r: Int, pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    def sha(n: Int, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(s"SHA-$n")
+      parts.foreach(d.update)
+      d.digest()
+    }
+    var k = sha(256, pwd, salt, udata)
+    if (r == 5) return k
+    var round = 0
+    var done = false
+    var lastE: Int = 0
+    while (!done) {
+      val unit = pwd ++ k ++ udata
+      val k1 = new Array[Byte](unit.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(unit, 0, k1, i * unit.length, unit.length)
+        i += 1
+      }
+      val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      val e = cipher.doFinal(k1)
+      var mod = 0
+      i = 0
+      while (i < 16) { mod += e(i) & 0xff; i += 1 }
+      k = (mod % 3) match {
+        case 0 => sha(256, e)
+        case 1 => sha(384, e)
+        case _ => sha(512, e)
+      }
+      lastE = e(e.length - 1) & 0xff
+      round += 1
+      if (round >= 64 && lastE <= round - 32) done = true
+      if (round > 1024) return null // malformed loop guard
+    }
+    java.util.Arrays.copyOf(k, 32)
+  }
+
   private def intAfter(s: String, key: String, default: Int): Int = {
     val m = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(key) + "\\s*(-?\\d+)").matcher(s)
@@ -154,6 +203,35 @@ private[graft] object PdfCrypt {
       val r = intAfter(dict, "/R", 2)
       val p = intAfter(dict, "/P", -1)
       val lengthBits = intAfter(dict, "/Length", 40)
+      if (v == 5) {
+        // AES-256 (PDF 2.0 / Acrobat 9+): the /U hash gates the empty
+        // user password; the file key unwraps from /UE
+        if (r != 5 && r != 6) return null
+        if (!dict.contains("/AESV3")) return null
+        val uAt5 = dict.indexOf("/U")
+        val ueAt = dict.indexOf("/UE")
+        if (uAt5 < 0 || ueAt < 0) return null
+        val uStr5 = pdfString(dict, uAt5 + 2)
+        val ueStr = pdfString(dict, ueAt + 3)
+        if (uStr5 == null || ueStr == null || uStr5._1.length < 48 ||
+            ueStr._1.length < 32) return null
+        val u = uStr5._1
+        val valSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+        val keySalt = java.util.Arrays.copyOfRange(u, 40, 48)
+        val none = Array.emptyByteArray
+        val h = hash2b(r, none, valSalt, none)
+        if (h == null || !java.util.Arrays.equals(h,
+            java.util.Arrays.copyOf(u, 32))) return null
+        val inter = hash2b(r, none, keySalt, none)
+        if (inter == null) return null
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(inter, "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        val fileKey = c.doFinal(ueStr._1.take(32))
+        return rebuildWithDecryptedStreams(bytes, raw, encObj, fileKey,
+          32, aes = true, v5 = true)
+      }
       if (v < 1 || v > 4 || r < 2 || r > 4) return null
       val aes = v == 4 && dict.contains("/AESV2")
       if (v == 4 && !aes && !dict.contains("/V2")) return null
@@ -207,14 +285,16 @@ private[graft] object PdfCrypt {
         }
       if (!uOk) return null
 
-      rebuildWithDecryptedStreams(bytes, raw, encObj, key, n, aes)
+      rebuildWithDecryptedStreams(bytes, raw, encObj, key, n, aes,
+        v5 = false)
     } catch {
       case _: RuntimeException => null
     }
   }
 
   private def objectKey(key: Array[Byte], n: Int, obj: Int, gen: Int,
-      aes: Boolean): Array[Byte] = {
+      aes: Boolean, v5: Boolean): Array[Byte] = {
+    if (v5) return key // AES-256 uses the file key directly
     val tail = Array[Byte](obj.toByte, (obj >> 8).toByte, (obj >> 16).toByte,
       gen.toByte, (gen >> 8).toByte)
     val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54)
@@ -240,7 +320,8 @@ private[graft] object PdfCrypt {
     * stream payload decrypted under its per-object key.
     */
   private def rebuildWithDecryptedStreams(bytes: Array[Byte], raw: String,
-      encObj: Int, key: Array[Byte], n: Int, aes: Boolean): Array[Byte] = {
+      encObj: Int, key: Array[Byte], n: Int, aes: Boolean,
+      v5: Boolean): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     val om = java.util.regex.Pattern.compile(
       "(\\d+)\\s+(\\d+)\\s+obj\\b").matcher(raw)
@@ -284,7 +365,7 @@ private[graft] object PdfCrypt {
           }
           val skip = objNum == encObj || dict.contains("/XRef")
           if (!skip) {
-            val okey = objectKey(key, n, objNum, genNum, aes)
+            val okey = objectKey(key, n, objNum, genNum, aes, v5)
             val plain =
               if (aes) aesDecrypt(okey, bytes, s, e)
               else rc4(okey, bytes, s, e)

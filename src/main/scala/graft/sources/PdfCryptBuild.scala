@@ -95,6 +95,92 @@ private[graft] object PdfCryptBuild {
 
   private def iso(s: String) = s.getBytes("ISO-8859-1")
 
+  /** Algorithm 2.B on the WRITE side (own loop structure): R5 plain
+    * SHA-256; R6 the iterated SHA-2 family + AES-128-CBC chain.
+    */
+  private def hashV5(r: Int, pwd: Array[Byte],
+      salt: Array[Byte]): Array[Byte] = {
+    def sha(n: Int)(parts: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(s"SHA-$n").digest(parts)
+    var k = sha(256)(pwd ++ salt)
+    if (r == 5) return k
+    var i = 0
+    var stop = false
+    while (!stop) {
+      val block = pwd ++ k
+      val k1 = Array.fill(64)(block).flatten
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      k = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => sha(256)(e)
+        case 1 => sha(384)(e)
+        case _ => sha(512)(e)
+      }
+      i += 1
+      stop = i >= 64 && (e.last & 0xff) <= i - 32
+    }
+    k.take(32)
+  }
+
+  /** A V5 (AES-256, R5/R6) document: file key wrapped in /UE under
+    * the key-salt hash, /U = validation hash + salts. Streams are
+    * AES-256-CBC under the file key directly.
+    */
+  def buildV5(r: Int, userPw: Array[Byte], lines: Seq[String],
+      flateLine: String): Array[Byte] = {
+    val pwd = userPw.take(127)
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 3 + 7).toByte)
+    val valSalt = Array.tabulate[Byte](8)(i => (40 + i).toByte)
+    val keySalt = Array.tabulate[Byte](8)(i => (80 + i).toByte)
+    val u = hashV5(r, pwd, valSalt) ++ valSalt ++ keySalt
+    val inter = hashV5(r, pwd, keySalt)
+    val cUe = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    cUe.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(inter, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    val ue = cUe.doFinal(fileKey)
+    // owner fields: spec-shaped placeholders (the empty-user-password
+    // reader never validates them)
+    val o = Array.fill[Byte](48)(0x11)
+    val oe = Array.fill[Byte](32)(0x22)
+    def encStream(obj: Int, plain: Array[Byte]): Array[Byte] =
+      aesEncrypt(fileKey, plain,
+        Array.tabulate(16)(i => (obj * 11 + i).toByte))
+    val content = "BT /F1 12 Tf 72 720 Td " +
+      lines.map(l => s"($l) Tj T* ").mkString + "ET"
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      val in = iso(s"BT 72 700 Td ($flateLine) Tj ET")
+      d.setInput(in); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val s4 = encStream(4, iso(content))
+    val s5 = encStream(5, deflated)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(iso(s))
+    w("%PDF-2.0\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n")
+    w(s"4 0 obj << /Length ${s4.length} >> stream\n")
+    bos.write(s4); w("\nendstream endobj\n")
+    w(s"5 0 obj << /Length ${s5.length} /Filter /FlateDecode >> stream\n")
+    bos.write(s5); w("\nendstream endobj\n")
+    w(s"6 0 obj << /Filter /Standard /V 5 /R $r /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+      "/StmF /StdCF /StrF /StdCF /P -44 " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> /O <${hex(o)}> /OE <${hex(oe)}> " +
+      ">> endobj\n")
+    w("trailer << /Root 1 0 R /Encrypt 6 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** An encrypted two-stream document: a raw content stream showing
     * `lines` (PDF-safe text expected), then a Flate stream showing
     * `flateLine`. Deterministic (fixed /ID, IV derived from the

@@ -53,10 +53,36 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(Documents.pdfToText(b) == null)
   }
 
-  test("V5 (AES-256) stays out of subset → null, not garbage") {
+  test("AES-256 (V5/R6) extracts like its plaintext twin") {
+    val b = PdfCryptBuild.buildV5(6, Array.emptyByteArray, Lines,
+      "flate secret")
+    assert(Documents.pdfToText(b) == ExpectText)
+  }
+
+  test("AES-256 (V5/R5, the deprecated plain-SHA256 variant)") {
+    val b = PdfCryptBuild.buildV5(5, Array.emptyByteArray, Lines,
+      "flate secret")
+    assert(Documents.pdfToText(b) == ExpectText)
+  }
+
+  test("V5 with a real user password fails the /U hash gate → null") {
+    val b = PdfCryptBuild.buildV5(6, iso("secret"), Lines, "flate secret")
+    assert(Documents.pdfToText(b) == null)
+  }
+
+  test("V5 corrupted /U hash fails closed → null") {
+    val b = PdfCryptBuild.buildV5(6, Array.emptyByteArray, Lines,
+      "flate secret")
+    val s = new String(b, "ISO-8859-1")
+    val uAt = s.indexOf("/U <")
+    b(uAt + 4) = (if (b(uAt + 4) == '0') '1' else '0').toByte
+    assert(Documents.pdfToText(b) == null)
+  }
+
+  test("unknown revisions stay out of subset → null, not garbage") {
     val b = buildPdf(3, 2, 128, aes = false)
     val s = new String(b, "ISO-8859-1")
-    val patched = s.replace("/V 2 /R 3", "/V 5 /R 6")
+    val patched = s.replace("/V 2 /R 3", "/V 6 /R 7")
     assert(Documents.pdfToText(iso(patched)) == null)
   }
 
