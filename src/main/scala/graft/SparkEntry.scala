@@ -4771,6 +4771,104 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // HTTP transport decode: real crawl responses arrive chunked
+    // and/or Content-Encoded (gzip is the web default); the body must
+    // extract identically across identity / chunked / gzip /
+    // chunked+gzip / deflate / zstd wire forms. The oracle replays
+    // the plaintext construction — the five transport wrappers are
+    // transparent.
+    "q217_http_transport" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        val doc = s"<p>transport t${g % 83} body $g</p>"
+        val raw = doc.getBytes("UTF-8")
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(bos)
+          z.write(b); z.close(); bos.toByteArray
+        }
+        def chunk(b: Array[Byte]): Array[Byte] = {
+          val cut = math.min(7, b.length)
+          ascii(cut.toHexString + "\r\n") ++ b.take(cut) ++
+            ascii("\r\n" + (b.length - cut).toHexString + "\r\n") ++
+            b.drop(cut) ++ ascii("\r\n0\r\n\r\n")
+        }
+        def deflate(b: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater()
+          d.setInput(b); d.finish()
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1024)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end(); bos.toByteArray
+        }
+        val ct = "Content-Type: text/html; charset=utf-8\r\n"
+        (g % 6).toInt match {
+          case 0 => ascii(s"HTTP/1.1 200 OK\r\n$ct\r\n") ++ raw
+          case 1 => ascii(s"HTTP/1.1 200 OK\r\n${ct}" +
+            "Transfer-Encoding: chunked\r\n\r\n") ++ chunk(raw)
+          case 2 => ascii(s"HTTP/1.1 200 OK\r\n${ct}" +
+            "Content-Encoding: gzip\r\n\r\n") ++ gz(raw)
+          case 3 => ascii(s"HTTP/1.1 200 OK\r\n${ct}" +
+            "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n") ++
+            chunk(gz(raw))
+          case 4 => ascii(s"HTTP/1.1 200 OK\r\n${ct}" +
+            "Content-Encoding: deflate\r\n\r\n") ++ deflate(raw)
+          case _ => ascii(s"HTTP/1.1 200 OK\r\n${ct}" +
+            "Content-Encoding: zstd\r\n\r\n") ++
+            graft.expr.ZstdBuild.store(raw)
+        }
+      }
+      val id = col("doc_id")
+      val h = call_function(graft.expr.HttpText.FunctionName, gen(id))
+      tp(s, dir, "documents")
+        .select(id.as("doc_id"), h.as("h"))
+        .select(col("doc_id"), col("h.http_status").as("status"),
+          col("h.charset").as("charset"), col("h.text").as("text"))
+    }),
+
+    // Mixed-compression shard ingestion: one dataset drop, FIVE
+    // packaging arms (plain / gzip / bzip2 / xz / zstd) through ONE
+    // magic-dispatched expression — coalesce(graft_decompress(c), c)
+    // is the whole read path, no per-format branching in the
+    // pipeline. Every line must land identically whatever the shard
+    // wrapper was.
+    "q216_shards_mixed" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        val k = (g % 3 + 1).toInt
+        val sb = new StringBuilder
+        var j = 0
+        while (j < k) {
+          sb.append(s"""{"rec":$j,"text":"s${(g * 7 + j) % 89} end"}""")
+          sb.append('\n')
+          j += 1
+        }
+        val plain = sb.toString.getBytes("UTF-8")
+        (g % 5).toInt match {
+          case 0 => plain
+          case 1 =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val z = new java.util.zip.GZIPOutputStream(bos)
+            z.write(plain); z.close(); bos.toByteArray
+          case 2 => graft.expr.Bzip2Build.encode(plain, 1)
+          case 3 => graft.expr.XzBuild.store(plain)
+          case _ => graft.expr.ZstdBuild.store(plain)
+        }
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"), gen(id).as("blob"))
+        .select(col("file_id"), decode(coalesce(
+          call_function(graft.expr.Decompress.FunctionName, col("blob")),
+          col("blob")), "UTF-8").as("raw"))
+        .select(col("file_id"),
+          explode(split(rtrim(col("raw"), "\n"), "\n")).as("line"))
+        .select(col("file_id"),
+          get_json_object(col("line"), "$.rec").cast("long").as("rec"),
+          get_json_object(col("line"), "$.text").as("text"))
+    }),
+
     // Legacy .doc extraction: per doc, a Word97 compound file built
     // by the independent DocBuild writer (CFB sectors + FIB + piece
     // table) with the doc's text split across a CP1252 piece and a
@@ -8728,6 +8826,25 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // all six wire forms replay as the same plaintext
+    "q217_http_transport" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(200 AS INTEGER) AS status, 'utf-8' AS charset,
+              '<p>transport t' || (doc_id % 83) || ' body ' || doc_id
+                || '</p>' AS text
+       FROM documents""",
+
+    // the five wrappers are all transparent to the oracle
+    "q216_shards_mixed" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 + 1 AS k
+           FROM documents),
+         f AS (SELECT id, r.j AS rec,
+                 's' || ((id * 7 + r.j) % 89) || ' end' AS text
+               FROM d CROSS JOIN range(0, 3) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, CAST(rec AS BIGINT) AS rec,
+              text
+       FROM f""",
 
     // both pieces replay relationally; \r becomes \n
     "q215_doc_text" ->

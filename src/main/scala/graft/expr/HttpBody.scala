@@ -66,9 +66,9 @@ object HttpBody {
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length == 0) return null
     val (status, contentType, _, bodyFrom) = HttpText.headerInfo(b)
-    val body =
-      if (bodyFrom >= b.length) Array.emptyByteArray
-      else java.util.Arrays.copyOfRange(b, bodyFrom, b.length)
+    // chunked framing removed, Content-Encoding decompressed — a
+    // crawl's application/pdf response is routinely gzip-on-the-wire
+    val body = HttpText.decodedBody(b, bodyFrom)
     new GenericInternalRow(Array[Any](status,
       UTF8String.fromString(contentType), body))
   }

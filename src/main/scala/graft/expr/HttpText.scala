@@ -149,6 +149,98 @@ object HttpText {
     (status, contentType, ctRaw, bodyFrom)
   }
 
+  /** `Transfer-Encoding: chunked` framing removal. LENIENT: malformed
+    * framing returns the input unchanged (a body mislabeled chunked
+    * should still extract), a torn tail keeps the chunks already
+    * assembled — the same never-an-error posture as the charset
+    * decode. Chunk extensions (`;…`) and trailers are ignored.
+    */
+  private[expr] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < b.length) {
+      var size = 0L
+      var digits = 0
+      var q = p
+      while (q < b.length && Character.digit(b(q).toChar, 16) >= 0 &&
+          digits <= 8) {
+        size = size * 16 + Character.digit(b(q).toChar, 16)
+        digits += 1
+        q += 1
+      }
+      if (digits == 0 || digits > 8) return b // not chunked framing
+      while (q < b.length && b(q) != '\r' && b(q) != '\n') q += 1 // ext
+      if (q + 1 >= b.length || b(q) != '\r' || b(q + 1) != '\n')
+        return if (size == 0) out.toByteArray else b
+      q += 2
+      if (size == 0) return out.toByteArray // trailers ignored
+      if (q + size > b.length) { // torn tail: keep assembled + rest
+        out.write(b, q, b.length - q)
+        return out.toByteArray
+      }
+      out.write(b, q, size.toInt)
+      p = (q + size).toInt
+      if (p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n') p += 2
+      else if (p >= b.length) return out.toByteArray
+      else return b // data where CRLF must be: not chunked framing
+    }
+    out.toByteArray
+  }
+
+  private def inflateBody(b: Array[Byte], raw: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(raw)
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 << 10)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return out.toByteArray
+        out.write(buf, 0, n)
+        if (out.size() > Decompress.MaxOutBytes) return null
+      }
+      out.toByteArray
+    } catch {
+      case _: Exception => null
+    } finally inf.end()
+  }
+
+  /** Shared body extraction: the raw tail after the header boundary,
+    * de-chunked when `Transfer-Encoding: chunked`, then decompressed
+    * per `Content-Encoding` (gzip / deflate incl. the raw-deflate
+    * servers / bzip2 / xz / zstd). Unknown or failed encodings keep
+    * the raw bytes — the downstream extractor triages; br (brotli)
+    * stays raw by the clean-room bar (its static dictionary is
+    * tabulated spec data).
+    */
+  private[expr] def decodedBody(b: Array[Byte], bodyFrom: Int): Array[Byte] = {
+    var body: Array[Byte] =
+      if (bodyFrom >= b.length) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(b, bodyFrom, b.length)
+    if (body.isEmpty) return body
+    val head = new String(b, 0, math.min(bodyFrom, b.length),
+      StandardCharsets.ISO_8859_1)
+    val te = "(?im)^transfer-encoding:\\s*([^\r\n]*)".r
+      .findFirstMatchIn(head).map(_.group(1).toLowerCase).getOrElse("")
+    if (te.contains("chunked")) body = dechunk(body)
+    val ce = "(?im)^content-encoding:\\s*([^\r\n]*)".r
+      .findFirstMatchIn(head).map(_.group(1).trim.toLowerCase)
+      .getOrElse("")
+    val dec = ce match {
+      case "" | "identity" => body
+      case "gzip" | "x-gzip" => Decompress.gunzip(body)
+      case "deflate" =>
+        val zlib = inflateBody(body, raw = false)
+        if (zlib != null && zlib.nonEmpty) zlib
+        else inflateBody(body, raw = true)
+      case "bzip2" => Bzip2.decode(body)
+      case "xz" => Xz.decode(body)
+      case "zstd" => Zstd.decode(body)
+      case _ => body // br/unknown: kept raw
+    }
+    if (dec == null) body else dec
+  }
+
   /** bytes → (status, content_type, charset, text) InternalRow, or
     * null on null/empty input. Static for codegen.
     */
@@ -158,26 +250,26 @@ object HttpText {
     val hinted = "(?i)charset=\"?([A-Za-z0-9_.:-]+)".r
       .findFirstMatchIn(ctRaw).map(_.group(1).toLowerCase).orNull
 
+    val body = decodedBody(b, bodyFrom)
     // charset precedence: BOM > header hint > utf-8 sniff > cp1252
-    val remaining = b.length - bodyFrom
+    val remaining = body.length
     val (csName, cs, skip) =
-      if (remaining >= 3 && (b(bodyFrom) & 0xFF) == 0xEF &&
-        (b(bodyFrom + 1) & 0xFF) == 0xBB && (b(bodyFrom + 2) & 0xFF) == 0xBF)
+      if (remaining >= 3 && (body(0) & 0xFF) == 0xEF &&
+        (body(1) & 0xFF) == 0xBB && (body(2) & 0xFF) == 0xBF)
         ("utf-8", StandardCharsets.UTF_8, 3)
-      else if (remaining >= 2 && (b(bodyFrom) & 0xFF) == 0xFF &&
-        (b(bodyFrom + 1) & 0xFF) == 0xFE)
+      else if (remaining >= 2 && (body(0) & 0xFF) == 0xFF &&
+        (body(1) & 0xFF) == 0xFE)
         ("utf-16le", StandardCharsets.UTF_16LE, 2)
-      else if (remaining >= 2 && (b(bodyFrom) & 0xFF) == 0xFE &&
-        (b(bodyFrom + 1) & 0xFF) == 0xFF)
+      else if (remaining >= 2 && (body(0) & 0xFF) == 0xFE &&
+        (body(1) & 0xFF) == 0xFF)
         ("utf-16be", StandardCharsets.UTF_16BE, 2)
       else {
         val h = if (hinted == null) null else charsetFor(hinted)
         if (h != null) (hinted, h, 0)
-        else if (validUtf8(b, bodyFrom)) ("utf-8", StandardCharsets.UTF_8, 0)
+        else if (validUtf8(body, 0)) ("utf-8", StandardCharsets.UTF_8, 0)
         else ("windows-1252", Cp1252, 0)
       }
-    val text = if (bodyFrom + skip >= b.length) ""
-      else decode(b, bodyFrom + skip, cs)
+    val text = if (skip >= body.length) "" else decode(body, skip, cs)
 
     new GenericInternalRow(Array[Any](status,
       UTF8String.fromString(contentType),

@@ -25,10 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * when defined) are VERIFIED — a flipped payload byte fails the
   * folder closed rather than emitting wrong bytes.
   *
+  * Folder shapes: a single 1-in/1-out coder, or a two-coder LINEAR
+  * chain (packed → LZMA/LZMA2/Copy → bind pair → delta or BCJ-x86
+  * filter → output, the default `7z -mf=…` layout; the filters
+  * invert through the same [[Xz]] routines the xz block walk uses).
   * Subset boundaries (triage, keeping other folders' entries):
-  * folders with chained/branching coders (BCJ, delta), bzip2- or
-  * AES-coded folders. Not a 7z / corrupt structure → NULL, never an
-  * error. Bomb guards mirror TarEntries: per-entry cap
+  * branching coders (BCJ2), bzip2- or AES-coded folders. Not a 7z /
+  * corrupt structure → NULL, never an error. Bomb guards mirror TarEntries: per-entry cap
   * [[TarEntries.MaxEntryBytes]], per-archive cap
   * [[TarEntries.MaxTotalBytes]], `maxEntries` rows.
   *
@@ -163,11 +166,13 @@ object SevenZip {
     var substreamSizes: Array[Long] = _
     var substreamCrcs: Array[Long] = _ // −1 = undefined
 
-    /** The out-stream no bind pair consumes = the folder's output. */
+    /** The out-stream no bind pair consumes = the folder's output
+      * (bind pairs are (InIndex, OutIndex): OutIndex is consumed).
+      */
     def mainOutSize: Long = {
       var i = 0
       while (i < unpackSizes.length) {
-        if (!bindPairs.exists(_._1 == i)) return unpackSizes(i)
+        if (!bindPairs.exists(_._2 == i)) return unpackSizes(i)
         i += 1
       }
       bad()
@@ -337,20 +342,51 @@ object SevenZip {
     if (nPacked < 1) bad()
     f.packedIndices =
       if (nPacked == 1) {
-        // the single packed stream is the in-stream no bind pair feeds
-        val used = f.bindPairs.map(_._2).toSet
+        // the single packed stream is the in-stream no bind pair
+        // feeds (bind pairs are (InIndex, OutIndex))
+        val used = f.bindPairs.map(_._1).toSet
         Array((0 until totalIn).find(i => !used.contains(i)).getOrElse(bad()))
       } else Array.fill(nPacked)(c.num().toInt)
     f
   }
 
-  /** Decode one folder's output, or null for out-of-subset coders. */
+  /** One 1-in/1-out BASE coder over the packed slice. */
+  private def decodeCoder(coder: Coder, b: Array[Byte], fi: Int, ui: Int,
+      outSize: Long): Array[Byte] = coder.id match {
+    case 0x00 => // Copy
+      if (ui - fi != outSize) null
+      else java.util.Arrays.copyOfRange(b, fi, ui)
+    case 0x21 => // LZMA2 (props = dict size code, not needed to decode)
+      Xz.lzma2Raw(b, fi, ui)
+    case 0x030101 => // LZMA (props: lclppb byte + 4-byte dict size)
+      if (coder.props.length < 1) null
+      else Xz.lzma1Raw(coder.props(0) & 0xff, b, fi, ui, outSize.toInt)
+    case _ => null // bzip2/AES/unknown: out of subset
+  }
+
+  /** Apply a 1-in/1-out FILTER coder (decode direction) in place;
+    * false = unsupported filter.
+    */
+  private def applyFilter(coder: Coder, buf: Array[Byte]): Boolean =
+    coder.id match {
+      case 0x03 => // delta
+        if (coder.props.length != 1) return false
+        Xz.deltaDecode(buf, (coder.props(0) & 0xff) + 1)
+        true
+      case 0x03030103L => // BCJ x86
+        Xz.bcjX86Decode(buf, 0L)
+        true
+      case _ => false // BCJ2 and friends: out of subset
+    }
+
+  /** Decode one folder's output, or null for out-of-subset coders.
+    * Supported shapes: a single 1-in/1-out coder, or a two-coder
+    * LINEAR chain (packed → base coder → bind pair → filter coder →
+    * folder output — the default `7z -mf=Delta`/`-mf=BCJ` layout).
+    */
   private def decodeFolder(b: Array[Byte], f: Folder, packStart: Long,
       packSizes: Array[Long]): Array[Byte] = {
-    // subset: exactly one coder, one in, one out
-    if (f.coders.length != 1 || f.coders(0).numIn != 1 ||
-        f.coders(0).numOut != 1) return null
-    val coder = f.coders(0)
+    if (f.coders.exists(c => c.numIn != 1 || c.numOut != 1)) return null
     val outSize = f.mainOutSize
     if (outSize > TarEntries.MaxTotalBytes) return null
     val from = packStart
@@ -358,17 +394,22 @@ object SevenZip {
     if (from < 0 || until > b.length || from > until) return null
     val fi = from.toInt
     val ui = until.toInt
-    val out: Array[Byte] = coder.id match {
-      case 0x00 => // Copy
-        if (ui - fi != outSize) return null
-        java.util.Arrays.copyOfRange(b, fi, ui)
-      case 0x21 => // LZMA2 (props = dict size code, not needed to decode)
-        Xz.lzma2Raw(b, fi, ui)
-      case 0x030101 => // LZMA (props: lclppb byte + 4-byte dict size)
-        if (coder.props.length < 1) return null
-        Xz.lzma1Raw(coder.props(0) & 0xff, b, fi, ui, outSize.toInt)
-      case _ => null // BCJ/delta/bzip2/AES: out of subset
-    }
+    val out: Array[Byte] =
+      if (f.coders.length == 1) {
+        decodeCoder(f.coders(0), b, fi, ui, outSize)
+      } else if (f.coders.length == 2 && f.bindPairs.length == 1 &&
+          f.packedIndices.length == 1) {
+        // with 1-in/1-out coders, global in/out index i = coder i
+        val base = f.packedIndices(0)
+        val (bindIn, bindOut) = f.bindPairs(0)
+        if (bindOut != base || bindIn == base || base > 1 || bindIn > 1)
+          return null
+        val mid = decodeCoder(f.coders(base), b, fi, ui,
+          f.unpackSizes(base))
+        if (mid == null || mid.length != f.unpackSizes(base)) return null
+        if (!applyFilter(f.coders(bindIn), mid)) return null
+        mid
+      } else null
     if (out == null || out.length != outSize) return null
     if (f.crcDefined) {
       val crc = new java.util.zip.CRC32()

@@ -77,10 +77,14 @@ private[graft] object SevenZipBuild {
     w.result
   }
 
-  /** Header tree for one folder of `coderId`-coded data. */
-  private def header(entries: Seq[Entry], packSize: Long, unpacked: Long,
-      subSizes: Seq[Long], subCrcs: Seq[Long], coderId: Long,
-      props: Array[Byte], packPos: Long): Array[Byte] = {
+  /** Header tree for one folder: `chain` is (coderId, props,
+    * outSize) per coder; two-coder chains bind coder 0's output into
+    * coder 1's input (the linear filter layout).
+    */
+  private def header(entries: Seq[Entry], packSize: Long,
+      chain: Seq[(Long, Array[Byte], Long)],
+      subSizes: Seq[Long], subCrcs: Seq[Long],
+      packPos: Long): Array[Byte] = {
     val w = new W
     w.u8(0x01) // kHeader
     if (packSize > 0) {
@@ -91,14 +95,18 @@ private[graft] object SevenZipBuild {
       w.u8(0x00)
       w.u8(0x07) // kUnpackInfo
       w.u8(0x0b); w.num(1); w.u8(0) // kFolder, 1 folder, internal
-      w.num(1) // one coder
-      val idLen = math.max(1,
-        (64 - java.lang.Long.numberOfLeadingZeros(coderId) + 7) / 8).toInt
-      w.u8(idLen | (if (props.nonEmpty) 0x20 else 0))
-      var i = idLen - 1
-      while (i >= 0) { w.u8(((coderId >> (8 * i)) & 0xff).toInt); i -= 1 }
-      if (props.nonEmpty) { w.num(props.length); w.bytes(props) }
-      w.u8(0x0c); w.num(unpacked) // kCodersUnpackSize
+      w.num(chain.length)
+      chain.foreach { case (coderId, props, _) =>
+        val idLen = math.max(1,
+          (64 - java.lang.Long.numberOfLeadingZeros(coderId) + 7) / 8).toInt
+        w.u8(idLen | (if (props.nonEmpty) 0x20 else 0))
+        var i = idLen - 1
+        while (i >= 0) { w.u8(((coderId >> (8 * i)) & 0xff).toInt); i -= 1 }
+        if (props.nonEmpty) { w.num(props.length); w.bytes(props) }
+      }
+      if (chain.length == 2) { w.num(1); w.num(0) } // bind in 1 <- out 0
+      w.u8(0x0c) // kCodersUnpackSize: one per out-stream, coder order
+      chain.foreach { case (_, _, outSize) => w.num(outSize) }
       w.u8(0x00)
       w.u8(0x08) // kSubStreamsInfo
       w.u8(0x0d); w.num(subSizes.length) // kNumUnpackStream
@@ -171,10 +179,10 @@ private[graft] object SevenZipBuild {
     val packed = if (lzma2) lzma2Store(data) else data
     val coderId = if (lzma2) 0x21L else 0x00L
     val props = if (lzma2) Array[Byte](40) else Array.emptyByteArray
-    val hdr = header(entries, packed.length.toLong, unpacked,
+    val hdr = header(entries, packed.length.toLong,
+      Seq((coderId, props, unpacked)),
       streamed.map(_.content.length.toLong),
-      streamed.map(e => crc32(e.content, 0, e.content.length)),
-      coderId, props, 0L)
+      streamed.map(e => crc32(e.content, 0, e.content.length)), 0L)
     if (!encodedHeader) container(packed, hdr)
     else {
       // ship the header as a Copy folder appended after the pack data
@@ -202,10 +210,30 @@ private[graft] object SevenZipBuild {
       props: Array[Byte]): Array[Byte] = {
     val entries = names.zip(contents).map { case (n, c) => Entry(n, c) }
     val unpacked = contents.map(_.length.toLong).sum
-    val hdr = header(entries, packed.length.toLong, unpacked,
+    val hdr = header(entries, packed.length.toLong,
+      Seq((coderId, props, unpacked)),
       contents.map(_.length.toLong),
-      contents.map(c => crc32(c, 0, c.length)),
-      coderId, props, 0L)
+      contents.map(c => crc32(c, 0, c.length)), 0L)
+    container(packed, hdr)
+  }
+
+  /** Archive whose single folder is a two-coder LINEAR chain
+    * (packed → base coder → filter coder → files): e.g. a real
+    * liblzma raw [delta|x86, LZMA2] stream as the packed payload,
+    * base = LZMA2, filter = 7z's delta (0x03) or BCJ x86
+    * (0x03030103). `midSize` is the base coder's output size (the
+    * still-filtered bytes).
+    */
+  def withChainedFolder(names: Seq[String], contents: Seq[Array[Byte]],
+      packed: Array[Byte], baseId: Long, baseProps: Array[Byte],
+      filterId: Long, filterProps: Array[Byte],
+      midSize: Long): Array[Byte] = {
+    val entries = names.zip(contents).map { case (n, c) => Entry(n, c) }
+    val unpacked = contents.map(_.length.toLong).sum
+    val hdr = header(entries, packed.length.toLong,
+      Seq((baseId, baseProps, midSize), (filterId, filterProps, unpacked)),
+      contents.map(_.length.toLong),
+      contents.map(c => crc32(c, 0, c.length)), 0L)
     container(packed, hdr)
   }
 }

@@ -428,6 +428,90 @@ object Xz {
   }
 
   // ------------------------------------------------------------------
+  // pre-filters (delta, BCJ x86) — inverse/decoder direction
+  // ------------------------------------------------------------------
+
+  /** Delta filter inverse: the encoder stored byte differences at
+    * `dist`; decoding is the running byte-wise sum.
+    */
+  private[graft] def deltaDecode(buf: Array[Byte], dist: Int): Unit = {
+    var i = dist
+    while (i < buf.length) {
+      buf(i) = (buf(i) + buf(i - dist)).toByte
+      i += 1
+    }
+  }
+
+  /** BCJ x86 filter inverse: the encoder rewrote the rel32 targets of
+    * near CALL/JMP (E8/E9) to absolute; decoding maps them back to
+    * relative. The mask machinery suppresses conversions whose
+    * preceding bytes were themselves E8/E9 opcodes with same-byte
+    * history — the published filter's false-positive damper — and a
+    * target qualifies only when its high byte is 00/FF. Validated by
+    * the block check over the filtered-back bytes plus real
+    * `xz --x86` streams in XzSpec.
+    */
+  private[graft] def bcjX86Decode(buf: Array[Byte], ip0: Long): Unit = {
+    val allowed = Array(true, true, true, false, true, false, false, false)
+    val bits = Array(0, 1, 2, 2, 3, 3, 3, 3)
+    @inline def msb(x: Int): Boolean = x == 0 || x == 0xff
+    if (buf.length <= 4) return
+    val limit = buf.length - 4
+    var prevMask = 0
+    var prevPos = -1L
+    var i = 0
+    while (i < limit) {
+      if ((buf(i) & 0xfe) != 0xe8) i += 1
+      else {
+        val off = i - prevPos
+        var masked = false
+        if (off > 3) prevMask = 0
+        else {
+          prevMask = (prevMask << (off.toInt - 1)) & 7
+          if (prevMask != 0) {
+            val bNear = buf(i + 4 - bits(prevMask)) & 0xff
+            if (!allowed(prevMask) || msb(bNear)) {
+              prevPos = i
+              prevMask = ((prevMask << 1) | 1) & 7
+              masked = true
+            }
+          }
+        }
+        if (masked) i += 1
+        else {
+          prevPos = i
+          if (msb(buf(i + 4) & 0xff)) {
+            var src = (buf(i + 1) & 0xff) | ((buf(i + 2) & 0xff) << 8) |
+              ((buf(i + 3) & 0xff) << 16) | ((buf(i + 4) & 0xff) << 24)
+            var dest = 0
+            var settled = false
+            while (!settled) {
+              dest = (src.toLong - (ip0 + i + 5)).toInt
+              if (prevMask == 0) settled = true
+              else {
+                val sh = bits(prevMask) * 8
+                val bTest = (dest >>> (24 - sh)) & 0xff
+                if (!msb(bTest)) settled = true
+                else src = dest ^ ((1 << (32 - sh)) - 1)
+              }
+            }
+            dest &= 0x01ffffff
+            if ((dest & 0x01000000) != 0) dest |= 0xfe000000
+            buf(i + 1) = dest.toByte
+            buf(i + 2) = (dest >> 8).toByte
+            buf(i + 3) = (dest >> 16).toByte
+            buf(i + 4) = (dest >> 24).toByte
+            i += 5
+          } else {
+            prevMask = ((prevMask << 1) | 1) & 7
+            i += 1
+          }
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // raw coder entry points (the 7z container reuses the machine)
   // ------------------------------------------------------------------
 
@@ -540,17 +624,25 @@ object Xz {
           if ((flags & 0x40) != 0) p = vli(b, p)._2 // compressed size
           if ((flags & 0x80) != 0) p = vli(b, p)._2 // uncompressed size
           var f = 0
-          var isLzma2 = false
+          // filter chain: ids + props, listed in ENCODE order; the
+          // supported shape is zero or more pre-filters (0x03 delta,
+          // 0x04 BCJ x86) followed by LZMA2 last — after the LZMA2
+          // decode the pre-filters invert in reverse order
+          val chain = new Array[(Long, Array[Byte])](nFilters)
           while (f < nFilters) {
             val (fid, p1) = vli(b, p)
             val (propLen, p2) = vli(b, p1)
-            if (fid == 0x21 && nFilters == 1) isLzma2 = true
+            if (propLen < 0 || propLen > 16) bad()
+            chain(f) = (fid, java.util.Arrays.copyOfRange(b, p2,
+              p2 + propLen.toInt))
             p = p2 + propLen.toInt
             f += 1
           }
+          val isLzma2 = chain.last._1 == 0x21 &&
+            chain.init.forall(c => c._1 == 0x03 || c._1 == 0x04)
           if (!isLzma2) {
-            // BCJ/delta chains: out of scope, triage whole stream if
-            // nothing decoded yet
+            // other BCJ variants / unknown filters: out of scope,
+            // triage whole stream if nothing decoded yet
             if (blocks == 0) return null
             done = true
           } else {
@@ -565,6 +657,25 @@ object Xz {
             }
             // verify the block check over the uncompressed bytes
             val data = java.util.Arrays.copyOf(z.dict, z.dictLen)
+            // invert the pre-filters in reverse encode order; the
+            // block check below runs over the FILTERED-BACK bytes,
+            // so a wrong inverse cannot survive it
+            var fi = chain.length - 2
+            while (fi >= 0) {
+              val (fid, props) = chain(fi)
+              if (fid == 0x03) {
+                if (props.length != 1) bad()
+                deltaDecode(data, (props(0) & 0xff) + 1)
+              } else {
+                val ip0 =
+                  if (props.length >= 4)
+                    (props(0) & 0xffL) | ((props(1) & 0xffL) << 8) |
+                      ((props(2) & 0xffL) << 16) | ((props(3) & 0xffL) << 24)
+                  else 0L
+                bcjX86Decode(data, ip0)
+              }
+              fi -= 1
+            }
             if (q + checkLen > b.length) bad()
             checkType match {
               case 0x01 =>

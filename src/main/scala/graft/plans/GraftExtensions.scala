@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioDecodeExpr, AudioEnvSig, AudioMeta, AudioStats, AudioTags, ImageTags, VideoTags, TarEntries, ZipEntries, Bunzip2Expr, UnxzExpr, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, H264Frames, PdfText, ResamplePcm, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioDecodeExpr, AudioEnvSig, AudioMeta, AudioStats, AudioTags, ImageTags, VideoTags, TarEntries, ZipEntries, SevenZip, SevenZipEntries, Bunzip2Expr, UnxzExpr, UnzstdExpr, DecompressExpr, Decompress, DocText, DocTextExpr, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, H264Frames, PdfText, ResamplePcm, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -201,6 +201,21 @@ object GraftExtensions {
           if (exprs.length > 1)
             ExprArgs.intLit(TarEntries.FunctionName, "maxEntries", exprs(1))
           else 4096)),
+      (FunctionIdentifier(UnzstdExpr.FunctionName),
+        info(UnzstdExpr.FunctionName, classOf[UnzstdExpr]),
+        exprs => UnzstdExpr(exprs(0))),
+      (FunctionIdentifier(Decompress.FunctionName),
+        info(Decompress.FunctionName, classOf[DecompressExpr]),
+        exprs => DecompressExpr(exprs(0))),
+      (FunctionIdentifier(SevenZip.FunctionName),
+        info(SevenZip.FunctionName, classOf[SevenZipEntries]),
+        exprs => SevenZipEntries(exprs.head,
+          if (exprs.length > 1)
+            ExprArgs.intLit(SevenZip.FunctionName, "maxEntries", exprs(1))
+          else 4096)),
+      (FunctionIdentifier(DocText.FunctionName),
+        info(DocText.FunctionName, classOf[DocTextExpr]),
+        exprs => DocTextExpr(exprs(0))),
       (FunctionIdentifier(VecDistance.L2SqName),
         info(VecDistance.L2SqName, classOf[L2SqDistance]),
         exprs => L2SqDistance(exprs(0), exprs(1))),

@@ -1307,6 +1307,76 @@ class ExprConfigSpec extends SparkSpec {
     assert(OrientPixels.orient(null, 1) == null)
   }
 
+  test("http transport decode: chunked framing + Content-Encoding") {
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def textOf(b: Array[Byte]) =
+      graft.expr.HttpText.parse(b).getUTF8String(3).toString
+    def bodyOf(b: Array[Byte]) = graft.expr.HttpBody.parse(b).getBinary(2)
+    val doc = "<html>transport body émile</html>"
+    val raw = doc.getBytes("UTF-8")
+    // chunked: two chunks with an extension, trailers ignored
+    val cut = 11
+    val chunked = ascii("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      cut.toHexString + ";ext=1\r\n") ++ raw.take(cut) ++
+      ascii("\r\n" + (raw.length - cut).toHexString + "\r\n") ++
+      raw.drop(cut) ++ ascii("\r\n0\r\nX-Trailer: t\r\n\r\n")
+    assert(textOf(chunked) == doc)
+    // gzip Content-Encoding (the crawl default)
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(raw); g.close(); bos.toByteArray
+    }
+    val gzipped = ascii("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      "Content-Encoding: gzip\r\n\r\n") ++ gz
+    assert(textOf(gzipped) == doc)
+    // chunked + gzipped composed (transfer THEN content decode)
+    val both = ascii("HTTP/1.1 200 OK\r\n" +
+      "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n" +
+      gz.length.toHexString + "\r\n") ++ gz ++ ascii("\r\n0\r\n\r\n")
+    assert(textOf(both) == doc)
+    // zlib deflate AND raw deflate both decode
+    def deflate(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(raw); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    for (nowrap <- Seq(false, true)) {
+      val p = ascii("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\n") ++ deflate(nowrap)
+      assert(textOf(p) == doc, s"deflate nowrap=$nowrap")
+    }
+    // zstd on the binary sibling: a compressed PDF body arrives as bytes
+    val pdfish = Array[Byte](0x25, 0x50, 0x44, 0x46, 0xFF.toByte, 0x00)
+    val zb = ascii("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: application/pdf\r\nContent-Encoding: zstd\r\n\r\n") ++
+      graft.expr.ZstdBuild.store(pdfish)
+    assert(bodyOf(zb).toSeq == pdfish.toSeq)
+    // unknown/brotli encodings keep the raw bytes (fail-open transport)
+    val br = ascii("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n" +
+      "Content-Type: text/html\r\n\r\nNOT BROTLI")
+    assert(new String(bodyOf(br), "ISO-8859-1") == "NOT BROTLI")
+    // malformed chunk framing: body returned unchanged, never an error
+    val badChunk = ascii("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\nContent-Type: text/plain\r\n\r\n" +
+      "zz not chunked at all")
+    assert(new String(bodyOf(badChunk), "ISO-8859-1") ==
+      "zz not chunked at all")
+    // torn chunked tail keeps what arrived
+    val torn = ascii("HTTP/1.1 200 OK\r\n" +
+      "Transfer-Encoding: chunked\r\nContent-Type: text/plain\r\n\r\n" +
+      "5\r\nhello\r\nff\r\nworld but torn")
+    assert(new String(bodyOf(torn), "ISO-8859-1") == "helloworld but torn")
+  }
+
   test("graft_http_body: binary body split for non-text crawl payloads") {
     def parse(b: Array[Byte]) = Option(graft.expr.HttpBody.parse(b))
     def ascii(s: String) = s.getBytes("ISO-8859-1")

@@ -89,6 +89,48 @@ class SevenZipSpec extends AnyFunSuite {
       ("README.md", corpusB.length.toLong, corpusB)))
   }
 
+  test("chained folder: real liblzma [delta dist=1, LZMA2] stream") {
+    // raw stream produced by liblzma with the delta pre-filter; the
+    // 7z chain is packed → LZMA2 → bind → delta(0x03) → files
+    val data = Array.tabulate[Byte](2000)(i => ((i * 7) % 251).toByte)
+    val packed = hx(
+      "e007cf00225d0000024b02ff31db2e412a5c143093451def1a4685e1d7a079cabfe07faa932d2ae20000")
+    val z = SevenZipBuild.withChainedFolder(
+      Seq("ramp.bin"), Seq(data), packed,
+      0x21L, Array[Byte](40), 0x03L, Array[Byte](0), data.length.toLong)
+    val es = entryList(z)
+    assert(es.map(e => (e._1, e._2)) == Seq(("ramp.bin", 2000L)))
+    assert(es.head._3 == new String(data, "UTF-8"))
+  }
+
+  test("chained folder: real liblzma [BCJ x86, LZMA2] stream") {
+    val code = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < 300) {
+      code.write(Array[Byte](0x55, 0x89.toByte, 0xe5.toByte))
+      val rel = (i * 24) % 4096 - 2048
+      code.write(0xe8)
+      code.write(rel & 0xff); code.write((rel >> 8) & 0xff)
+      code.write((rel >> 16) & 0xff); code.write((rel >> 24) & 0xff)
+      code.write(Array[Byte](0x5d, 0xc3.toByte))
+      i += 1
+    }
+    val data = code.toByteArray
+    val packed = hx(
+      "e00bb701a35d002aa258ae8043f11676ad95f9a01fe31ff7acfd654b3cbef7528bafe626d81c765748f81d1d872f2d1f7e84babb9d7bf6cd4f13db4122a062156ec688fc7b0fed8b1c50981e9af6bab8525dd91682dc22eeca8850a6f3fd1db592036d5355666dabe3000dd9920570cb8331c96d76e30d2649a3a5e3897161573421a0d316e0b1453ca5f3635ca4d4fc0d7beb7498fdbbd7c514cfb77da6c7c5f040488ee301f7d0fc4b2b331465771f6834271a14a502a623c7782cec259e0a11b2abc4e8dfaa867c597b43d62ff51f335fb691e4ffcf528218c7a97ae2ac0f997e741a82fd7040aead78d43d2ef8ecd14e4af066175d16c16d09fb75468bc20f0287b0e5fc117cb9c89b5ecdfdc43fcb127d8995dfa1f898e3755645be461487a24ed68cfdbce302c34fda3e7a53bba6ce0b2aac04fcfc5cf68b06d7c8b6bcbc7ce4f99afc7445e58ea6647a6cee4ba058d07a07f9205bb80d0324a7e005584e98778cfb39b8033f1d46928d7461fba200e86420610696fa16b45484e518c77c72398b4028075847083d094b03ba79356b6ae9a6da45dea08fe51bf1cd0de08ab12569682bb769a20000")
+    val z = SevenZipBuild.withChainedFolder(
+      Seq("prog.o"), Seq(data), packed,
+      0x21L, Array[Byte](40), 0x03030103L, Array.emptyByteArray,
+      data.length.toLong)
+    // byte-exact comparison (machine code is not UTF-8 text)
+    val arr = graft.expr.SevenZip.entries(z, 16)
+    assert(arr != null && arr.numElements() == 1)
+    val row = arr.getStruct(0, 3)
+    assert(row.getUTF8String(0).toString == "prog.o")
+    assert(row.getLong(1) == data.length.toLong)
+    assert(java.util.Arrays.equals(row.getBinary(2), data))
+  }
+
   test("corrupt folder payload fails closed via substream CRC") {
     val z = SevenZipBuild.build(Seq(Entry("a.txt", ascii("alpha"))))
     // flip a byte inside the packed (copy) region, just after the

@@ -82,6 +82,37 @@ class XzSpec extends AnyFunSuite {
     assert(Xz.decode(badHdr) == null)
   }
 
+  test("delta filter chains (dist=1 and dist=4) decode and pass checks") {
+    val ramp = Array.tabulate[Byte](3000)(i => ((i * 7) % 251).toByte)
+    assert(java.util.Arrays.equals(Xz.decode(XD1), ramp))
+    val quad = new Array[Byte](3200)
+    var i = 0
+    while (i < 800) {
+      quad(4 * i) = ((i % 200) + 10).toByte
+      quad(4 * i + 1) = 0
+      quad(4 * i + 2) = (i % 100).toByte
+      quad(4 * i + 3) = 1
+      i += 1
+    }
+    assert(java.util.Arrays.equals(Xz.decode(XD4), quad))
+  }
+
+  test("BCJ x86 filter chain decodes real `xz --x86` output") {
+    // 400 units of push ebp / mov ebp,esp / call rel32 / pop ebp / ret
+    val code = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < 400) {
+      code.write(Array[Byte](0x55, 0x89.toByte, 0xe5.toByte))
+      val rel = (i * 16) % 4096 - 2048
+      code.write(0xe8)
+      code.write(rel & 0xff); code.write((rel >> 8) & 0xff)
+      code.write((rel >> 16) & 0xff); code.write((rel >> 24) & 0xff)
+      code.write(Array[Byte](0x5d, 0xc3.toByte))
+      i += 1
+    }
+    assert(java.util.Arrays.equals(Xz.decode(XB1), code.toByteArray))
+  }
+
   test("first LZMA chunk without a state reset (mode 0) → null") {
     // The LZMA2 spec requires the first chunk after a dict reset to
     // carry reset mode 3; a mode-0 control (0x80) with no prior state
