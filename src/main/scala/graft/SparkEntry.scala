@@ -4771,6 +4771,68 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
+    // Mixed document dump: one corpus, FIVE formats (PDF, DOCX, RTF,
+    // EPUB, legacy .doc) through ONE magic-dispatched
+    // graft_document_text — the extraction analogue of q216's
+    // decompress dispatch. Whitespace-normalized so the five
+    // extractors' newline conventions collapse to one oracle form.
+    "q218_documents_mixed" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def zipOf(entries: (String, String)*): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          entries.foreach { case (n, c) =>
+            z.putNextEntry(new java.util.zip.ZipEntry(n))
+            z.write(c.getBytes("UTF-8")); z.closeEntry()
+          }
+          z.close(); bos.toByteArray
+        }
+        (g % 5).toInt match {
+          case 0 => // PDF: raw content stream, two text lines
+            val content = s"BT /F1 12 Tf ($safe) Tj T* (page $g) Tj ET"
+            ascii("%PDF-1.4\n" +
+              s"4 0 obj << /Length ${content.length} >> stream\n" +
+              content + "\nendstream endobj\n" +
+              "trailer << /Root 1 0 R >>\n%%EOF\n")
+          case 1 => // DOCX: OPC zip, two paragraphs
+            zipOf("word/document.xml" ->
+              ("<w:document xmlns:w=\"http://schemas.openxmlformats.org" +
+                s"/wordprocessingml/2006/main\"><w:body><w:p><w:r><w:t>" +
+                s"$safe</w:t></w:r></w:p><w:p><w:r><w:t>page $g</w:t>" +
+                "</w:r></w:p></w:body></w:document>"))
+          case 2 => // RTF
+            ascii(s"{\\rtf1 $safe\\par page $g\\par}")
+          case 3 => // EPUB: container -> OPF -> one chapter
+            zipOf(
+              "mimetype" -> "application/epub+zip",
+              "META-INF/container.xml" ->
+                ("<container><rootfiles><rootfile full-path=\"content.opf\"" +
+                  " media-type=\"application/oebps-package+xml\"/>" +
+                  "</rootfiles></container>"),
+              "content.opf" ->
+                ("<package><manifest><item id=\"c1\" href=\"ch1.xhtml\"" +
+                  " media-type=\"application/xhtml+xml\"/></manifest>" +
+                  "<spine><itemref idref=\"c1\"/></spine></package>"),
+              "ch1.xhtml" ->
+                s"<html><body><p>$safe</p><p>page $g</p></body></html>")
+          case _ => // legacy .doc
+            graft.expr.DocBuild.doc(Seq((s"$safe\rpage $g\r", true)))
+        }
+      }
+      val id = col("doc_id")
+      // lowercase alnum+space only: safe in PDF strings, RTF groups,
+      // XML text and CP1252 pieces alike
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 80)
+      val extracted = call_function(graft.expr.DocumentText.FunctionName,
+        gen(id, safe))
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(trim(regexp_replace(extracted, "\\s+", " ")), 1, 160)
+          .as("doc_text"))
+    }),
+
     // HTTP transport decode: real crawl responses arrive chunked
     // and/or Content-Encoded (gzip is the web default); the body must
     // extract identically across identity / chunked / gzip /
@@ -8826,6 +8888,16 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // after whitespace collapse all five formats replay as one form
+    "q218_documents_mixed" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            substr(trim(regexp_replace(
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 80)
+              || ' page ' || doc_id, '\s+', ' ', 'g')), 1, 160)
+              AS doc_text
+       FROM documents""",
 
     // all six wire forms replay as the same plaintext
     "q217_http_transport" ->

@@ -58,6 +58,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
     "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
     "DocText" -> (b => graft.expr.DocText.parse(b)),
+    "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
+    "Decompress" -> (b => graft.expr.Decompress.decode(b)),
     "ResizePixels" -> (b => graft.expr.ResizePixels.resize(b, 7, 5)),
     "ResamplePcm" -> (b => graft.expr.ResamplePcm.resample(b, 8000)),
     "Vp8lDecode" -> (b => graft.expr.Vp8lDecode.decode(b)),

@@ -1307,6 +1307,26 @@ class ExprConfigSpec extends SparkSpec {
     assert(OrientPixels.orient(null, 1) == null)
   }
 
+  test("graft_document_text dispatch boundaries: non-documents → null") {
+    def p(b: Array[Byte]) = graft.expr.DocumentText.parse(b)
+    // a plain zip is an archive, not a document
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("data.csv"))
+    z.write("a,b\n1,2\n".getBytes); z.closeEntry(); z.close()
+    assert(p(bos.toByteArray) == null)
+    // plain text / markdown must NOT round-trip through a parser
+    assert(p("# heading\nplain text".getBytes) == null)
+    // an .xls-shaped CFB (no WordDocument) → null through the doc arm
+    assert(p(graft.expr.DocBuild.cfb(
+      Seq("Workbook" -> Array.fill[Byte](64)(3)))) == null)
+    assert(p(null) == null)
+    // an encrypted PDF routes through the crypt-aware extractor
+    val enc = graft.sources.PdfCryptBuild.build(3, 2, 128, aes = false,
+      Array.emptyByteArray, Seq("dispatched fine"), "flate line")
+    assert(p(enc).toString == "dispatched fine\nflate line\n")
+  }
+
   test("http transport decode: chunked framing + Content-Encoding") {
     def ascii(s: String) = s.getBytes("ISO-8859-1")
     def textOf(b: Array[Byte]) =
