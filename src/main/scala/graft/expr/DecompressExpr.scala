@@ -80,6 +80,12 @@ object Decompress {
         b(3) == 'X') Xz.decode(b)
     else if (b(0) == 0x28 && b(1) == 0xb5.toByte && b(2) == 0x2f &&
         b(3) == 0xfd.toByte) Zstd.decode(b)
+    else if ((b(0) & 0xff) < 225 && b.length >= 18 && b(13) == 0)
+      // .lzma "alone" has no magic: gate on a valid props byte and
+      // the raw LZMA stream's mandatory 0x00 first byte, then let
+      // decodeAlone's structural checks (size field, end marker,
+      // range-coder decode) reject impostors
+      Xz.decodeAlone(b)
     else null
   }
 

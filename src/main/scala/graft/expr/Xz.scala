@@ -258,13 +258,18 @@ object Xz {
     /** One LZMA chunk: `unpacked` bytes out of input[from, until);
       * `dictStart` = window floor (set at dict resets).
       */
+    /** Set when an end marker terminated an [[eosAnywhere]] chunk. */
+    var eosHit = false
+
     def lzmaChunk(input: Array[Byte], from: Int, until: Int,
-        unpacked: Int, dictStart: Int): Unit = {
+        unpacked: Int, dictStart: Int, eosAnywhere: Boolean = false): Unit = {
       rdInit(input, from, until)
       val pbMask = (1 << pb) - 1
       val lpMask = (1 << lp) - 1
       val limit = dictLen + unpacked
-      ensure(unpacked)
+      // size-unknown streams (.lzma alone end-marker mode) grow on
+      // demand instead of reserving the whole cap upfront
+      ensure(if (eosAnywhere) math.min(unpacked, 1 << 16) else unpacked)
       while (dictLen < limit) {
         // Position contexts count from the last dict reset, not the
         // absolute output offset: xz-embedded zeroes dict.pos on
@@ -316,8 +321,10 @@ object Xz {
             }
           }
           if (rep0 == -1) {
-            // end marker — only legal exactly at the chunk end
-            if (dictLen != limit) bad()
+            // end marker — only legal exactly at the chunk end,
+            // except in end-marker mode where it IS the end
+            if (dictLen != limit && !eosAnywhere) bad()
+            eosHit = true
             rep0 = rep1; rep1 = rep2; rep2 = rep3 // restore (unused)
             return
           }
@@ -529,6 +536,41 @@ object Xz {
       case Bad | _: ArrayIndexOutOfBoundsException |
           _: NegativeArraySizeException => null
     }
+
+  /** The .lzma "alone" format (pre-.xz LZMA_Alone, still common in
+    * old dumps and kernel images): a 13-byte header — props byte,
+    * LE32 dictionary size, LE64 uncompressed size with all-FF
+    * meaning "unknown, end-marker terminated" — then one raw LZMA1
+    * stream. Both size modes ship; in end-marker mode the stream
+    * must actually END with the marker (a cap-hit or truncation is
+    * corrupt, never a partial success). Null on any error.
+    */
+  private[graft] def decodeAlone(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 18) return null
+    try {
+      val props = b(0) & 0xff
+      if (props >= 9 * 5 * 5) return null
+      var size = 0L
+      var i = 0
+      while (i < 8) { size |= (b(5 + i) & 0xffL) << (8 * i); i += 1 }
+      val known = size != -1L
+      if (known && (size < 0 || size > MaxOutBytes)) return null
+      val z = new Lzma2
+      z.setProps(props)
+      z.resetState()
+      if (known) {
+        z.lzmaChunk(b, 13, b.length, size.toInt, 0)
+        if (z.dictLen != size) return null
+      } else {
+        z.lzmaChunk(b, 13, b.length, MaxOutBytes, 0, eosAnywhere = true)
+        if (!z.eosHit) return null
+      }
+      java.util.Arrays.copyOf(z.dict, z.dictLen)
+    } catch {
+      case Bad | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => null
+    }
+  }
 
   /** Raw LZMA1 stream with an explicit props byte — the 7z LZMA
     * coder's payload. Size-bounded: decodes exactly `unpackSize`

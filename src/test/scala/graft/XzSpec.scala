@@ -113,6 +113,31 @@ class XzSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Xz.decode(XB1), code.toByteArray))
   }
 
+  test(".lzma alone format: end-marker mode, size-known mode, triage") {
+    val text = ("alone format lzma payload, repeated payload payload " * 40)
+      .getBytes("ISO-8859-1")
+    // real `xz --format=lzma -9` output (size field all-FF = unknown)
+    val a1 = ("5d00000004ffffffffffffffff00309b0a4324c8b6080a49bf62d8fda43f" +
+      "dc10a4adc6708ed81ebb54c62b27c0dfb7c2938f25c6f346aeedc8d6b5c30d94f1" +
+      "3cb334c38cdffffffaa42000").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(java.util.Arrays.equals(graft.expr.Xz.decodeAlone(a1), text))
+    // the same real body behind a KNOWN-size header
+    val a2 = a1.clone()
+    var i = 0
+    while (i < 8) {
+      a2(5 + i) = ((text.length.toLong >> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    assert(java.util.Arrays.equals(graft.expr.Xz.decodeAlone(a2), text))
+    // graft_decompress dispatches it despite the missing magic
+    assert(java.util.Arrays.equals(graft.expr.Decompress.decode(a1), text))
+    // truncation in end-marker mode: no marker → null, never partial
+    assert(graft.expr.Xz.decodeAlone(
+      java.util.Arrays.copyOf(a1, a1.length - 6)) == null)
+    assert(graft.expr.Xz.decodeAlone("definitely not lzma".getBytes) == null)
+  }
+
   test("first LZMA chunk without a state reset (mode 0) → null") {
     // The LZMA2 spec requires the first chunk after a dict reset to
     // carry reset mode 3; a mode-0 control (0x80) with no prior state
