@@ -4771,11 +4771,12 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
-    // Mixed document dump: one corpus, FIVE formats (PDF, DOCX, RTF,
-    // EPUB, legacy .doc) through ONE magic-dispatched
-    // graft_document_text — the extraction analogue of q216's
-    // decompress dispatch. Whitespace-normalized so the five
-    // extractors' newline conventions collapse to one oracle form.
+    // Mixed document dump: one corpus, SEVEN formats (PDF, DOCX,
+    // RTF, EPUB, legacy .doc, PPTX, XLSX) through ONE
+    // magic-dispatched graft_document_text — the extraction analogue
+    // of q216's decompress dispatch. Whitespace-normalized so the
+    // extractors' newline/tab conventions collapse to one oracle
+    // form.
     "q218_documents_mixed" -> ((s, dir) => {
       Graft.tune(s)
       val gen = udf { (g: Long, safe: String) =>
@@ -4789,7 +4790,7 @@ object SparkEntry {
           }
           z.close(); bos.toByteArray
         }
-        (g % 5).toInt match {
+        (g % 7).toInt match {
           case 0 => // PDF: raw content stream, two text lines
             val content = s"BT /F1 12 Tf ($safe) Tj T* (page $g) Tj ET"
             ascii("%PDF-1.4\n" +
@@ -4817,8 +4818,23 @@ object SparkEntry {
                   "<spine><itemref idref=\"c1\"/></spine></package>"),
               "ch1.xhtml" ->
                 s"<html><body><p>$safe</p><p>page $g</p></body></html>")
-          case _ => // legacy .doc
+          case 4 => // legacy .doc
             graft.expr.DocBuild.doc(Seq((s"$safe\rpage $g\r", true)))
+          case 5 => // PPTX: one slide, two paragraphs
+            val a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+            zipOf("ppt/slides/slide1.xml" ->
+              (s"<p:sld xmlns:p=\"x:p\" xmlns:a=\"$a\"><p:txBody>" +
+                s"<a:p><a:r><a:t>$safe</a:t></a:r></a:p>" +
+                s"<a:p><a:r><a:t>page $g</a:t></a:r></a:p>" +
+                "</p:txBody></p:sld>"))
+          case _ => // XLSX: two rows of inline strings
+            val sx =
+              "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+            zipOf("xl/worksheets/sheet1.xml" ->
+              (s"<worksheet xmlns=\"$sx\"><sheetData>" +
+                s"<row><c t=\"inlineStr\"><is><t>$safe</t></is></c></row>" +
+                s"<row><c t=\"inlineStr\"><is><t>page $g</t></is></c>" +
+                "</row></sheetData></worksheet>"))
         }
       }
       val id = col("doc_id")

@@ -10,8 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `graft_document_text(content)` → string — ONE magic-dispatched
   * text-extraction surface over the document tier
   * ([[Decompress]]'s document sibling): a mixed dump of
-  * PDF / DOCX / EPUB / RTF / legacy-.doc blobs extracts through one
-  * expression with no per-format branching in the pipeline.
+  * PDF / DOCX / PPTX / XLSX / EPUB / RTF / legacy-.doc blobs
+  * extracts through one expression with no per-format branching in
+  * the pipeline.
   *
   * Dispatch: `%PDF-` → the PDF extractor (incl. the encrypted-PDF
   * handler); `PK\3\4` zips discriminate DOCX vs EPUB by their
@@ -77,6 +78,10 @@ object DocumentText {
     else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
       if (containsAscii(b, "word/document.xml"))
         DocxText.parse(b, includeTables = false)
+      else if (containsAscii(b, "ppt/slides/slide"))
+        OfficeText.pptx(b)
+      else if (containsAscii(b, "xl/worksheets/sheet"))
+        OfficeText.xlsx(b)
       else if (containsAscii(b, "application/epub+zip") ||
           containsAscii(b, "META-INF/container.xml"))
         EpubText.parse(b)

@@ -59,6 +59,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
     "DocText" -> (b => graft.expr.DocText.parse(b)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
+    "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
+    "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
     "Decompress" -> (b => graft.expr.Decompress.decode(b)),
     "ResizePixels" -> (b => graft.expr.ResizePixels.resize(b, 7, 5)),
     "ResamplePcm" -> (b => graft.expr.ResamplePcm.resample(b, 8000)),
