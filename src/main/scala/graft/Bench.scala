@@ -101,9 +101,7 @@ object Bench {
       ratio = sentinelRatio()
       waits -= 1
     }
-    val windowQuality = if (ratio <= 1.3) "clean" else "degraded"
-    System.err.println(
-      f"[bench] sentinel window: ${ratio}%.2fx quiet floor -> $windowQuality")
+    System.err.println(f"[bench] pre-run sentinel: ${ratio}%.2fx quiet floor")
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val full = sys.env.contains("SPARK_GRAFT_BENCH_FULL")
@@ -168,6 +166,19 @@ object Bench {
     val canaries = Seq("q02_filter_project", "q20_ts_bucket", "q39_frame_sample")
     val drift = canaries.flatMap(c => results.get(c).map(v => "\"" + c + "\":" + num(v)))
       .mkString("{", ",", "}")
+    // window_quality judges the MEASURED window, not the pre-probe:
+    // the timed passes' own canary minima (min-of-3+ spread samples)
+    // are far less noisy than the two-sample pre-run probe, which
+    // stays in the artifact as sentinel_ratio for the wait decision's
+    // audit trail
+    val inRunRatio = canaries.flatMap(c =>
+      results.get(c).zip(quietFloor.get(c)).map { case (v, f) => v / f })
+      .foldLeft(0.0)(math.max)
+    val windowQuality = // pre-probe only if no canary ran (custom set)
+      if ((if (inRunRatio > 0) inRunRatio else ratio) <= 1.3) "clean"
+      else "degraded"
+    System.err.println(
+      f"[bench] in-run window: ${inRunRatio}%.2fx quiet floor -> $windowQuality")
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"window_quality":"$windowQuality","sentinel_ratio":${num(ratio)},"drift":$drift,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
