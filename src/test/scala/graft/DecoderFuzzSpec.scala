@@ -134,7 +134,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     decoders.foreach { case (n, f) => sweep(n, f, cases) }
   }
 
-  test("every truncation of a valid WAV/AVI/RTF container never throws") {
+  test("every truncation of valid WAV/AVI/RTF/FLAC/zstd/7z/CFB containers never throws") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)
@@ -150,7 +150,14 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val rtf = ascii("{\\rtf1{\\fonttbl{\\f0 A;}}text \\u26085?\\'e9\\par}")
     val flac = graft.expr.FlacBuild.encode(
       Array(Array.tabulate(96)(i => (i * 37) % 256 - 128)), 8000, 16, 96)
-    for (valid <- Seq(wav, avi, rtf, flac); cut <- 0 to valid.length) {
+    val zstd = graft.expr.ZstdBuild.store(
+      "truncation sweep zstd payload".getBytes)
+    val sevenZ = graft.expr.SevenZipBuild.build(Seq(
+      graft.expr.SevenZipBuild.Entry("a.txt", "seven".getBytes)),
+      lzma2 = true)
+    val doc = graft.expr.DocBuild.doc(Seq(("cfb sweep\r", true)))
+    for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, doc);
+        cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
     }
