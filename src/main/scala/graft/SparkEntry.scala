@@ -4849,6 +4849,76 @@ object SparkEntry {
           .as("doc_text"))
     }),
 
+    // Archive-of-documents composition: a .tar.zst whose members are
+    // THEMSELVES documents (PDF / DOCX / RTF), the real shape of a
+    // source-dump drop — clean-room zstd → tar walk → explode →
+    // magic-dispatched extraction, three round-15 tiers in ONE
+    // single-scan plan with no join-back.
+    "q219_archived_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def hdr(name: String, size: Long): Array[Byte] = {
+          val h = new Array[Byte](512)
+          def putStr(o: Int, len: Int, str: String): Unit = {
+            val bb = str.getBytes("UTF-8")
+            System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+          }
+          def putOctal(o: Int, len: Int, v: Long): Unit =
+            putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+          putStr(0, 100, name)
+          putOctal(100, 8, 420); putOctal(108, 8, 0); putOctal(116, 8, 0)
+          putOctal(124, 12, size); putOctal(136, 12, 1700000000L)
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          h(156) = '0'.toByte
+          putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+          var sum = 0L
+          (0 until 512).foreach(i => sum += h(i) & 0xff)
+          putStr(148, 7, "%06o".format(sum) + " ")
+          h
+        }
+        def pdfDoc(line: String): Array[Byte] = {
+          val content = s"BT /F1 12 Tf ($line) Tj ET"
+          ascii("%PDF-1.4\n" +
+            s"4 0 obj << /Length ${content.length} >> stream\n" +
+            content + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+        }
+        def docxDoc(line: String): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+          z.write(("<w:document xmlns:w=\"http://schemas.openxmlformats" +
+            s".org/wordprocessingml/2006/main\"><w:body><w:p><w:r><w:t>" +
+            s"$line</w:t></w:r></w:p></w:body></w:document>")
+            .getBytes("UTF-8"))
+          z.closeEntry(); z.close(); bos.toByteArray
+        }
+        def rtfDoc(line: String): Array[Byte] =
+          ascii(s"{\\rtf1 $line\\par}")
+        val out = new java.io.ByteArrayOutputStream()
+        Seq("a.pdf" -> pdfDoc(s"$safe pdf $g"),
+          "b.docx" -> docxDoc(s"$safe docx $g"),
+          "c.rtf" -> rtfDoc(s"$safe rtf $g")).foreach { case (n, c) =>
+          out.write(hdr(s"docs/$n", c.length))
+          out.write(c)
+          out.write(new Array[Byte]((512 - c.length % 512) % 512))
+        }
+        out.write(new Array[Byte](1024))
+        graft.expr.ZstdBuild.store(out.toByteArray)
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            gen(id, safe), lit(16))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("e.content")), "\\s+", " ")), 1, 120).as("doc_text"))
+    }),
+
     // HTTP transport decode: real crawl responses arrive chunked
     // and/or Content-Encoded (gzip is the web default); the body must
     // extract identically across identity / chunked / gzip /
@@ -8904,6 +8974,22 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // three rows per shard, one per member format; the zstd + tar +
+    // extraction layers are all transparent to the oracle
+    "q219_archived_documents" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         f AS (SELECT id, 'docs/a.pdf' AS path, 'pdf' AS kind FROM d
+               UNION ALL SELECT id, 'docs/b.docx', 'docx' FROM d
+               UNION ALL SELECT id, 'docs/c.rtf', 'rtf' FROM d)
+       SELECT CAST(f.id AS BIGINT) AS file_id, f.path,
+              substr(trim(regexp_replace(
+                d.safe || ' ' || f.kind || ' ' || f.id,
+                '\s+', ' ', 'g')), 1, 120) AS doc_text
+       FROM f JOIN d ON f.id = d.id""",
 
     // after whitespace collapse all five formats replay as one form
     "q218_documents_mixed" ->
