@@ -694,7 +694,9 @@ object Zstd {
       p += 2
     } else {
       if (p + 3 > until) bad()
-      nbSeq = (b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8) | 0x7f00
+      // RFC 8878 §3.1.1.3.2.1: byte1 + (byte2<<8) + 0x7F00 — an
+      // addition, not an OR (the 16-bit literal can overlap 0x7F00)
+      nbSeq = ((b(p + 1) & 0xff) | ((b(p + 2) & 0xff) << 8)) + 0x7f00
       p += 3
     }
     if (nbSeq == 0) {
@@ -810,9 +812,13 @@ object Zstd {
         if ((magic & 0xfffffff0L) == 0x184d2a50L) {
           // skippable frame
           if (o + 8 > b.length) bad()
+          // advance in Long arithmetic: sz is an unsigned 32-bit
+          // field, so Int wrap-around (sz near 2^32) must not be
+          // able to leave `o` unchanged or negative
           val sz = le32(b, o + 4)
-          o += 8 + sz.toInt
-          if (o < 0 || o > b.length) bad()
+          val next = o.toLong + 8L + sz
+          if (next <= o || next > b.length) bad()
+          o = next.toInt
         } else if (magic == 0xfd2fb528L) {
           o = decodeFrame(b, o + 4, out)
           frames += 1

@@ -288,7 +288,11 @@ private[graft] object PdfCrypt {
       rebuildWithDecryptedStreams(bytes, raw, encObj, key, n, aes,
         v5 = false)
     } catch {
-      case _: RuntimeException => null
+      // javax.crypto throws CHECKED exceptions (InvalidKeyException
+      // on a non-16/32-byte AES key from an odd /Length, etc.) —
+      // they must not escape and fail the Spark task on one
+      // poisoned row; the contract is NULL, never error
+      case _: Exception => null
     }
   }
 
@@ -305,6 +309,11 @@ private[graft] object PdfCrypt {
   private def aesDecrypt(okey: Array[Byte], data: Array[Byte], from: Int,
       until: Int): Array[Byte] = {
     if (until - from < 32 || (until - from) % 16 != 0) return null
+    // AES accepts only 16/24/32-byte keys; a V4/AESV2 dict with an
+    // off-spec /Length (e.g. the 40-bit default) derives a shorter
+    // object key — reject before Cipher.init throws a checked
+    // InvalidKeyException
+    if (okey.length != 16 && okey.length != 32) return null
     val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
     cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
       new javax.crypto.spec.SecretKeySpec(okey, "AES"),

@@ -45,6 +45,43 @@ class PdfCryptSpec extends AnyFunSuite {
       buildPdf(3, 2, 128, aes = false, userPw = iso("secret"))) == null)
   }
 
+  test("V4/AESV2 with an off-spec short /Length fails closed, not thrown") {
+    // /Length 40 under /AESV2 derives a 10-byte object key — AES
+    // rejects it with a CHECKED InvalidKeyException, which must not
+    // escape decrypt() and fail the Spark task on one poisoned row.
+    // The /U gate passes (it is RC4-based and accepts the 5-byte
+    // file key), so decryption genuinely reaches the AES path.
+    val n = 5
+    val id0 = (1 to 16).map(_.toByte).toArray
+    val pw = Array.emptyByteArray
+    val o = PdfCryptBuild.computeO(pw, pw, 4, n)
+    val p = -44
+    val key = PdfCryptBuild.fileKey(pw, o, p, id0, 4, n)
+    val u = PdfCryptBuild.computeU(key, id0, 4)
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val garbage = Array.tabulate(32)(i => (i * 37 + 5).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(iso(s))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${garbage.length} >> stream\n")
+    bos.write(garbage); w("\nendstream endobj\n")
+    w("6 0 obj << /Filter /Standard /V 4 /R 4 /Length 40 " +
+      "/CF << /StdCF << /CFM /AESV2 /Length 5 >> >> " +
+      "/StmF /StdCF /StrF /StdCF " +
+      s"/P $p /O <${hex(o)}> /U <${hex(u)}> >> endobj\n")
+    w(s"trailer << /Root 1 0 R /Encrypt 6 0 R /ID [<${hex(id0)}> " +
+      s"<${hex(id0)}>] >>\n%%EOF\n")
+    val doc = bos.toByteArray
+    // must not throw; the undecryptable stream is left as-is and the
+    // extractor triages downstream (null or degraded text, never error)
+    val out = graft.sources.PdfCrypt.decrypt(doc)
+    assert(out == null || !java.util.Arrays.equals(out, garbage))
+    Documents.pdfToText(doc) // NULL-never-error contract end-to-end
+  }
+
   test("corrupted /U fails the gate before any decryption") {
     val b = buildPdf(3, 2, 128, aes = false)
     val s = new String(b, "ISO-8859-1")

@@ -115,6 +115,13 @@ class TarEntriesSpec extends AnyFunSuite {
     assert(entryList(zst) == Seq(("z.txt", 2L, "zz"), ("deep/a.md", 4L, "# hi")))
   }
 
+  test("tar.zst leading with a skippable frame still dispatches") {
+    val plain = tar(fileEntry("z.txt", ascii("zz")))
+    val skip = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 3, 0, 0, 0, 9, 9, 9)
+    val zst = skip ++ graft.expr.ZstdBuild.store(plain)
+    assert(entryList(zst) == Seq(("z.txt", 2L, "zz")))
+  }
+
   test("malformed PAX record with negative value length is triaged") {
     // "2 x" declares a record length (2) shorter than the "len space"
     // prefix itself, so the value span is negative — the walk must

@@ -138,6 +138,39 @@ class ZstdSpec extends AnyFunSuite {
       "hello zstd world, hello again and again")
   }
 
+  test("crafted skippable frame with wrap-around size cannot hang") {
+    // sz = 0xFFFFFFF8: Int arithmetic adds 0 (8 + sz.toInt wraps) and
+    // the frame walk would re-read the same magic forever; the Long
+    // advance must fail it closed instead
+    val evil = Array[Byte](0x50, 0x2a, 0x4d, 0x18,
+      0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 1, 2, 3, 4)
+    assert(Zstd.decode(evil) == null)
+    // and one whose declared size overruns the buffer by a byte
+    val over = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 2, 0, 0, 0, 9)
+    assert(Zstd.decode(over) == null)
+  }
+
+  test("file leading with a skippable frame dispatches (decompress + tar.zst)") {
+    val skip = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 3, 0, 0, 0, 9, 9, 9)
+    assert(new String(graft.expr.Decompress.decode(skip ++ Z1), "UTF-8") ==
+      "hello zstd world, hello again and again")
+  }
+
+  test("long-form sequence count: real stream, 36701 sequences in one block") {
+    // zstd-1.5.7 at --zstd=strat=9,mml=3 over a 4096-token stream: one
+    // 128 KiB block carries 36701 sequences, so the 3-byte count form
+    // (0xFF b1 b2 → b1+(b2<<8)+0x7F00) exercises the ADDITION carry —
+    // an OR would read 32605 and desync. The frame's own xxh64 gates
+    // the output; the sha-256 pins it to the original input bytes.
+    val in = getClass.getResourceAsStream("/graft/zstd_longform_nbseq.zst")
+    val z = in.readAllBytes(); in.close()
+    val out = Zstd.decode(z)
+    assert(out != null && out.length == 132288)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    assert(md.digest(out).map("%02x".format(_)).mkString ==
+      "4ed0e18888fcab72e42b7dd061a312c658f072abfea0ad275d89edf3b8060b0f")
+  }
+
   test("corruption: flipped payload byte fails closed → null") {
     val c = Z2.clone()
     c(20) = (c(20) ^ 0x41).toByte
