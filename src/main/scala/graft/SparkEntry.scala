@@ -4919,6 +4919,41 @@ object SparkEntry {
               col("e.content")), "\\s+", " ")), 1, 120).as("doc_text"))
     }),
 
+    // Legacy-office corpus: BIFF8 .xls (SST shared strings spilling
+    // into CONTINUE, RK-packed ints, IEEE NUMBER cells, multi-sheet)
+    // and PowerPoint-97 .ppt (TextBytesAtom/TextCharsAtom) built by
+    // the independent LegacyOfficeBuild writer, all through the ONE
+    // magic-dispatched graft_document_text — the CFB arm routes by
+    // directory-entry name. The oracle replays each arm's text
+    // construction relationally (row/tab and paragraph conventions).
+    "q220_legacy_office" -> ((s, dir) => {
+      Graft.tune(s)
+      import graft.expr.LegacyOfficeBuild.{I, N, S => LS}
+      val gen = udf { (g: Long, safe: String) =>
+        (g % 3).toInt match {
+          case 0 => // .xls: shared strings + RK int + NUMBER (x.5)
+            graft.expr.LegacyOfficeBuild.xls(Seq(Seq(
+              Seq(LS(safe), I((g % 89).toInt)),
+              Seq(LS("total"), N((g % 13).toDouble + 0.5)))),
+              maxSstData = 64)
+          case 1 => // .ppt: two paragraphs, one per line
+            graft.expr.LegacyOfficeBuild.ppt(Seq(Seq(safe, s"slide $g")))
+          case _ => // .xls multi-sheet with a UTF-16 SST tail
+            graft.expr.LegacyOfficeBuild.xls(Seq(
+              Seq(Seq(LS(safe))),
+              Seq(Seq(LS("unicode é中 tail"), I((g % 7).toInt)))),
+              maxSstData = 64)
+        }
+      }
+      val id = col("doc_id")
+      val safe = concat(lit("body "), substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 60))
+      val extracted = call_function(graft.expr.DocumentText.FunctionName,
+        gen(id, safe))
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(extracted, 1, 200).as("office_text"))
+    }),
+
     // HTTP transport decode: real crawl responses arrive chunked
     // and/or Content-Encoded (gzip is the web default); the body must
     // extract identically across identity / chunked / gzip /
@@ -8974,6 +9009,23 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // each legacy arm's container is transparent: the oracle replays
+    // the row/tab (.xls) and paragraph (.ppt) text conventions
+    "q220_legacy_office" ->
+      """WITH d AS (SELECT doc_id,
+              'body ' || substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 60) AS safe
+           FROM documents)
+       SELECT doc_id,
+         substr(CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN safe || chr(9) || (doc_id % 89) || chr(10) ||
+             'total' || chr(9) || (doc_id % 13) || '.5' || chr(10)
+           WHEN 1 THEN safe || chr(10) || 'slide ' || doc_id || chr(10)
+           ELSE safe || chr(10) || 'unicode é中 tail' || chr(9) ||
+             (doc_id % 7) || chr(10)
+         END, 1, 200) AS office_text
+       FROM d""",
 
     // three rows per shard, one per member format; the zstd + tar +
     // extraction layers are all transparent to the oracle

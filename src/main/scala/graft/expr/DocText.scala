@@ -254,6 +254,13 @@ object DocText {
   def parse(b: Array[Byte]): UTF8String = {
     val cfb = Cfb.parse(b)
     if (cfb == null) return null
+    fromCfb(cfb)
+  }
+
+  /** Extraction over an already-parsed container — [[DocumentText]]
+    * dispatches a CFB once across the .doc/.xls/.ppt arms.
+    */
+  private[graft] def fromCfb(cfb: Cfb.File): UTF8String = {
     val word = cfb.streams.getOrElse("WordDocument", return null)
     if (word.length < 0x20 || le16(word, 0) != 0xa5ec) return null
     val flags = le16(word, 0x0a)

@@ -10,15 +10,17 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `graft_document_text(content)` → string — ONE magic-dispatched
   * text-extraction surface over the document tier
   * ([[Decompress]]'s document sibling): a mixed dump of
-  * PDF / DOCX / PPTX / XLSX / EPUB / RTF / legacy-.doc blobs
+  * PDF / DOCX / PPTX / XLSX / EPUB / RTF / legacy .doc/.xls/.ppt blobs
   * extracts through one expression with no per-format branching in
   * the pipeline.
   *
   * Dispatch: `%PDF-` → the PDF extractor (incl. the encrypted-PDF
   * handler); `PK\3\4` zips discriminate DOCX vs EPUB by their
   * defining entry names in the LOCAL headers (stored uncompressed,
-  * so a byte scan is exact); `{\rtf` → RTF; the CFB signature →
-  * Word97 .doc. Unrecognized magic → NULL — plain text/markdown
+  * so a byte scan is exact); `{\rtf` → RTF; the CFB signature parses
+  * the container once and routes by directory-entry name —
+  * `WordDocument` → .doc, `Workbook` → BIFF8 .xls,
+  * `PowerPoint Document` → .ppt. Unrecognized magic → NULL — plain text/markdown
   * columns should not round-trip through a document parser, and a
   * binary blob that merely decodes as UTF-8 is not a document.
   * Each arm inherits its extractor's triage contract (NULL, never
@@ -89,9 +91,18 @@ object DocumentText {
     } else if (b(0) == '{' && b(1) == '\\' && b(2) == 'r' && b(3) == 't' &&
         b(4) == 'f')
       RtfToText.extract(UTF8String.fromBytes(b))
-    else if (Cfb.isCfb(b))
-      DocText.parse(b)
-    else null
+    else if (Cfb.isCfb(b)) {
+      // one container parse, routed by directory-entry name: Word,
+      // Excel 97 (BIFF8) and PowerPoint 97 share the CFB shell
+      val cfb = Cfb.parse(b)
+      if (cfb == null) null
+      else if (cfb.streams.contains("WordDocument")) DocText.fromCfb(cfb)
+      else if (cfb.streams.contains("Workbook"))
+        LegacyOffice.xlsFromCfb(cfb)
+      else if (cfb.streams.contains("PowerPoint Document"))
+        LegacyOffice.pptFromCfb(cfb)
+      else null // .msi / BIFF5 "Book" / unknown CFB: out of subset
+    } else null
   }
 
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,280 @@
+package graft.expr
+
+/** Independent BIFF8 `.xls` and PowerPoint-97 `.ppt` WRITERS for
+  * fixture construction — their own record emission (SST CONTINUE
+  * splitting at character boundaries with per-segment high-byte
+  * flags, RK packing, atom framing); nothing shared with
+  * [[LegacyOffice]]'s readers, so parse(build(·)) is a genuine
+  * structural differential. The CFB shell reuses [[DocBuild.cfb]]
+  * (the writer allocates chains; the [[Cfb]] reader walks them — the
+  * two sides were already independent for the .doc differential).
+  */
+private[graft] object LegacyOfficeBuild {
+
+  sealed trait Cell
+  /** String via the shared-string table (SST + LABELSST). */
+  final case class S(v: String) extends Cell
+  /** String inline in the cell record (LABEL). */
+  final case class SInline(v: String) extends Cell
+  /** IEEE double (NUMBER). */
+  final case class N(v: Double) extends Cell
+  /** 30-bit integer (RK; consecutive runs of 2+ pack as MULRK). */
+  final case class I(v: Int) extends Cell
+  /** value/100 with integral v*100 (the RK fX100 encoding). */
+  final case class X100(v: Double) extends Cell
+  /** Boolean (BOOLERR). */
+  final case class B(v: Boolean) extends Cell
+
+  private final class W(val out: java.io.ByteArrayOutputStream =
+      new java.io.ByteArrayOutputStream()) {
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def le32(v: Long): Unit = {
+      var i = 0
+      while (i < 4) { u8(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def bytes(b: Array[Byte]): Unit = out.write(b)
+    def result: Array[Byte] = out.toByteArray
+  }
+
+  private def cp1252(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+
+  // ------------------------------------------------------------------
+  // .xls
+  // ------------------------------------------------------------------
+
+  private def record(w: W, id: Int, payload: Array[Byte]): Unit = {
+    w.le16(id); w.le16(payload.length); w.bytes(payload)
+  }
+
+  private def bof(dt: Int): Array[Byte] = {
+    val w = new W
+    w.le16(0x0600) // BIFF8
+    w.le16(dt)
+    w.le16(0x0dbb); w.le16(0x07cc) // build id / year (cosmetic)
+    w.le32(0); w.le32(0)
+    w.result
+  }
+
+  /** The SST record with CONTINUE spill: splits only at character
+    * boundaries; each continuation segment that resumes character
+    * data re-leads with a fresh high-byte flag computed over the
+    * REMAINING characters (so an ASCII prefix stays compressed and
+    * the segment after the boundary can switch to UTF-16).
+    */
+  private def sstRecords(strings: Seq[String], total: Int,
+      maxData: Int): Seq[(Int, Array[Byte])] = {
+    val recs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var cur = new W
+    var first = true
+    def flush(): Unit = {
+      recs += ((if (first) 0x00fc else 0x003c, cur.result))
+      first = false
+      cur = new W
+    }
+    cur.le32(total.toLong)
+    cur.le32(strings.length.toLong)
+    strings.foreach { s =>
+      if (cur.out.size() + 3 > maxData) flush()
+      val hiAll = s.exists(_ > 0xff)
+      cur.le16(s.length)
+      cur.u8(if (hiAll) 1 else 0)
+      var pos = 0
+      var hi = hiAll
+      while (pos < s.length) {
+        val width = if (hi) 2 else 1
+        var room = (maxData - cur.out.size()) / width
+        if (room == 0) {
+          flush()
+          hi = s.substring(pos).exists(_ > 0xff)
+          cur.u8(if (hi) 1 else 0)
+          room = (maxData - cur.out.size()) / (if (hi) 2 else 1)
+        }
+        val take = math.min(s.length - pos, room)
+        var k = 0
+        while (k < take) {
+          val c = s.charAt(pos + k)
+          if (hi) cur.le16(c) else cur.bytes(cp1252(c.toString))
+          k += 1
+        }
+        pos += take
+      }
+    }
+    flush()
+    recs.toSeq
+  }
+
+  /** The RK encoding, or None when it cannot hold the value
+    * losslessly (Excel falls back to a NUMBER record then).
+    */
+  private def rkBits(c: Cell): Option[Int] = c match {
+    case I(v) =>
+      if (v >= -(1 << 29) && v < (1 << 29)) Some((v << 2) | 2) else None
+    case X100(v) =>
+      val scaled = math.rint(v * 100).toLong
+      if (scaled.toDouble / 100 == v &&
+          scaled >= -(1L << 29) && scaled < (1L << 29))
+        Some((scaled.toInt << 2) | 3)
+      else {
+        val bits = java.lang.Double.doubleToLongBits(v * 100)
+        if ((bits & 0x3ffffffffL) == 0) // low 34 bits drop losslessly
+          Some(((bits >>> 32).toInt & 0xfffffffc) | 1)
+        else None
+      }
+    case _ => None
+  }
+
+  /** Assemble a BIFF8 workbook: globals (BOF, SST, EOF) then one
+    * substream per sheet. `maxSstData` shrinks the SST record budget
+    * to force CONTINUE splits in tests (Excel's real cap is 8224).
+    */
+  def xls(sheets: Seq[Seq[Seq[Cell]]], maxSstData: Int = 8224):
+      Array[Byte] = {
+    // shared strings in first-appearance order
+    val sstIndex = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    var totalUses = 0
+    sheets.foreach(_.foreach(_.foreach {
+      case S(v) =>
+        totalUses += 1
+        if (!sstIndex.contains(v)) sstIndex(v) = sstIndex.size
+      case _ => ()
+    }))
+
+    val w = new W
+    record(w, 0x0809, bof(0x0005)) // globals BOF
+    if (sstIndex.nonEmpty)
+      sstRecords(sstIndex.keys.toSeq, totalUses, maxSstData)
+        .foreach { case (id, p) => record(w, id, p) }
+    record(w, 0x000a, Array.emptyByteArray) // globals EOF
+
+    sheets.foreach { rows =>
+      record(w, 0x0809, bof(0x0010)) // worksheet BOF
+      rows.zipWithIndex.foreach { case (cells, r) =>
+        def number(r: Int, c: Int, v: Double): Unit = {
+          val p = new W
+          p.le16(r); p.le16(c); p.le16(0x000f)
+          val bits = java.lang.Double.doubleToLongBits(v)
+          p.le32(bits & 0xffffffffL); p.le32(bits >>> 32)
+          record(w, 0x0203, p.result)
+        }
+        var c = 0
+        while (c < cells.length) {
+          cells(c) match {
+            case I(_) if c + 1 < cells.length &&
+                cells(c + 1).isInstanceOf[I] &&
+                rkBits(cells(c)).isDefined && rkBits(cells(c + 1)).isDefined =>
+              // run of 2+ RK-able integer cells → MULRK
+              var e = c
+              while (e < cells.length && cells(e).isInstanceOf[I] &&
+                  rkBits(cells(e)).isDefined) e += 1
+              val p = new W
+              p.le16(r); p.le16(c)
+              (c until e).foreach { k =>
+                p.le16(0x000f) // ixfe
+                p.le32(rkBits(cells(k)).get.toLong & 0xffffffffL)
+              }
+              p.le16(e - 1)
+              record(w, 0x00bd, p.result)
+              c = e - 1
+            case i @ I(v) =>
+              rkBits(i) match {
+                case Some(rk) =>
+                  val p = new W
+                  p.le16(r); p.le16(c); p.le16(0x000f)
+                  p.le32(rk.toLong & 0xffffffffL)
+                  record(w, 0x027e, p.result)
+                case None => number(r, c, v.toDouble)
+              }
+            case x @ X100(v) =>
+              rkBits(x) match {
+                case Some(rk) =>
+                  val p = new W
+                  p.le16(r); p.le16(c); p.le16(0x000f)
+                  p.le32(rk.toLong & 0xffffffffL)
+                  record(w, 0x027e, p.result)
+                case None => number(r, c, v) // Excel's lossless fallback
+              }
+            case N(v) =>
+              number(r, c, v)
+            case S(v) =>
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              p.le32(sstIndex(v).toLong)
+              record(w, 0x00fd, p.result)
+            case SInline(v) =>
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              val hi = v.exists(_ > 0xff)
+              p.le16(v.length); p.u8(if (hi) 1 else 0)
+              if (hi) v.foreach(p.le16(_)) else p.bytes(cp1252(v))
+              record(w, 0x0204, p.result)
+            case B(v) =>
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              p.u8(if (v) 1 else 0); p.u8(0) // fError = 0
+              record(w, 0x0205, p.result)
+          }
+          c += 1
+        }
+      }
+      record(w, 0x000a, Array.emptyByteArray) // sheet EOF
+    }
+    DocBuild.cfb(Seq("Workbook" -> w.result))
+  }
+
+  /** An encrypted-workbook shell: BOF then FILEPASS — the reader must
+    * triage, never mis-decode.
+    */
+  def xlsEncrypted(): Array[Byte] = {
+    val w = new W
+    record(w, 0x0809, bof(0x0005))
+    val fp = new W
+    fp.le16(1); fp.le16(1); fp.le16(1) // RC4 CryptoAPI marker
+    record(w, 0x002f, fp.result)
+    record(w, 0x000a, Array.emptyByteArray)
+    DocBuild.cfb(Seq("Workbook" -> w.result))
+  }
+
+  // ------------------------------------------------------------------
+  // .ppt
+  // ------------------------------------------------------------------
+
+  private def pptRec(w: W, verInst: Int, typ: Int,
+      payload: Array[Byte]): Unit = {
+    w.le16(verInst); w.le16(typ)
+    w.le32(payload.length.toLong)
+    w.bytes(payload)
+  }
+
+  /** One SlideContainer per slide, each text shape a TextHeaderAtom +
+    * TextCharsAtom (any char > 0xFF) or TextBytesAtom; paragraphs
+    * \r-separated inside one atom, the PowerPoint convention.
+    */
+  def ppt(slides: Seq[Seq[String]]): Array[Byte] = {
+    val stream = new W
+    slides.foreach { paras =>
+      val inner = new W
+      // SlideAtom stand-in the reader skips (non-text atom)
+      pptRec(inner, 0x0002, 0x03ef, new Array[Byte](24))
+      paras.grouped(2).foreach { group =>
+        val text = group.mkString("\r")
+        val hdr = new W
+        hdr.le32(0) // txtype: title/body/other — cosmetic here
+        pptRec(inner, 0x0000, 0x0f9f, hdr.result) // TextHeaderAtom
+        if (text.exists(_ > 0xff)) {
+          val p = new W
+          text.foreach(p.le16(_))
+          pptRec(inner, 0x0000, 0x0fa0, p.result) // TextCharsAtom
+        } else
+          pptRec(inner, 0x0000, 0x0fa8, cp1252(text)) // TextBytesAtom
+      }
+      pptRec(stream, 0x000f, 0x03ee, inner.result) // SlideContainer
+    }
+    val currentUser = new W
+    currentUser.le32(20); currentUser.le32(0xe391c05fL) // magic token
+    DocBuild.cfb(Seq(
+      "PowerPoint Document" -> stream.result,
+      "Current User" -> currentUser.result))
+  }
+}

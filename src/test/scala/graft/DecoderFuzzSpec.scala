@@ -58,6 +58,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
     "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
     "DocText" -> (b => graft.expr.DocText.parse(b)),
+    "XlsText" -> (b => graft.expr.LegacyOffice.xls(b)),
+    "PptText" -> (b => graft.expr.LegacyOffice.ppt(b)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
     "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
     "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
@@ -156,7 +158,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       graft.expr.SevenZipBuild.Entry("a.txt", "seven".getBytes)),
       lzma2 = true)
     val doc = graft.expr.DocBuild.doc(Seq(("cfb sweep\r", true)))
-    for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, doc);
+    val xlsB = graft.expr.LegacyOfficeBuild.xls(Seq(Seq(
+      Seq(graft.expr.LegacyOfficeBuild.S("sweep"),
+        graft.expr.LegacyOfficeBuild.I(3)))), maxSstData = 8)
+    val pptB = graft.expr.LegacyOfficeBuild.ppt(Seq(Seq("sweep para")))
+    for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, doc, xlsB, pptB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
