@@ -121,6 +121,7 @@ object Graft {
     graft.expr.DocumentText.register(spark)
     graft.expr.OfficeText.register(spark)
     graft.expr.LegacyOffice.register(spark)
+    graft.expr.OdfText.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

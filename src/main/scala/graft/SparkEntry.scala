@@ -4954,6 +4954,76 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // ODF corpus: odt / ods / odp (the LibreOffice-export family)
+    // through the same ONE graft_document_text — the zip arm
+    // discriminates by the spec-mandated STORED mimetype entry. The
+    // oracle replays the paragraph (odt/odp) and row/tab (ods)
+    // conventions relationally.
+    "q221_odf_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        val O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        val T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+        val Tb = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+        val D = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+        def odfZip(mime: String, content: String): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          val mb = mime.getBytes("UTF-8")
+          val e = new java.util.zip.ZipEntry("mimetype")
+          e.setMethod(java.util.zip.ZipEntry.STORED)
+          e.setSize(mb.length); e.setCompressedSize(mb.length)
+          val crc = new java.util.zip.CRC32(); crc.update(mb)
+          e.setCrc(crc.getValue)
+          z.putNextEntry(e); z.write(mb); z.closeEntry()
+          z.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+          z.write(content.getBytes("UTF-8")); z.closeEntry()
+          z.close(); bos.toByteArray
+        }
+        (g % 3).toInt match {
+          case 0 => // odt: two paragraphs with a span
+            odfZip("application/vnd.oasis.opendocument.text",
+              s"""<office:document-content xmlns:office="$O"""" +
+                s""" xmlns:text="$T"><office:body><office:text>""" +
+                s"<text:p><text:span>$safe</text:span></text:p>" +
+                s"<text:p>page $g</text:p>" +
+                "</office:text></office:body></office:document-content>")
+          case 1 => // ods: two rows, cells tab-joined
+            odfZip("application/vnd.oasis.opendocument.spreadsheet",
+              s"""<office:document-content xmlns:office="$O"""" +
+                s""" xmlns:text="$T" xmlns:table="$Tb"><office:body>""" +
+                "<office:spreadsheet><table:table><table:table-row>" +
+                s"<table:table-cell><text:p>$safe</text:p>" +
+                "</table:table-cell><table:table-cell>" +
+                s"<text:p>r${g % 89}</text:p></table:table-cell>" +
+                "</table:table-row><table:table-row>" +
+                "<table:table-cell><text:p>total</text:p>" +
+                "</table:table-cell><table:table-cell>" +
+                s"<text:p>${g % 13}</text:p></table:table-cell>" +
+                "</table:table-row></table:table></office:spreadsheet>" +
+                "</office:body></office:document-content>")
+          case _ => // odp: two pages of framed paragraphs
+            odfZip("application/vnd.oasis.opendocument.presentation",
+              s"""<office:document-content xmlns:office="$O"""" +
+                s""" xmlns:text="$T" xmlns:draw="$D"><office:body>""" +
+                "<office:presentation><draw:page><draw:frame>" +
+                s"<draw:text-box><text:p>$safe</text:p></draw:text-box>" +
+                "</draw:frame></draw:page><draw:page><draw:frame>" +
+                s"<draw:text-box><text:p>closing $g</text:p>" +
+                "</draw:text-box></draw:frame></draw:page>" +
+                "</office:presentation></office:body>" +
+                "</office:document-content>")
+        }
+      }
+      val id = col("doc_id")
+      val safe = concat(lit("body "), substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 60))
+      val extracted = call_function(graft.expr.DocumentText.FunctionName,
+        gen(id, safe))
+      tp(s, dir, "documents").select(id.as("doc_id"),
+        substring(extracted, 1, 200).as("odf_text"))
+    }),
+
     // HTTP transport decode: real crawl responses arrive chunked
     // and/or Content-Encoded (gzip is the web default); the body must
     // extract identically across identity / chunked / gzip /
@@ -9009,6 +9079,22 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the ODF containers are transparent: the oracle replays the
+    // paragraph (odt/odp) and row/tab (ods) conventions
+    "q221_odf_documents" ->
+      """WITH d AS (SELECT doc_id,
+              'body ' || substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 60) AS safe
+           FROM documents)
+       SELECT doc_id,
+         substr(CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN safe || chr(10) || 'page ' || doc_id || chr(10)
+           WHEN 1 THEN safe || chr(9) || 'r' || (doc_id % 89) || chr(10)
+             || 'total' || chr(9) || (doc_id % 13) || chr(10)
+           ELSE safe || chr(10) || 'closing ' || doc_id || chr(10)
+         END, 1, 200) AS odf_text
+       FROM d""",
 
     // each legacy arm's container is transparent: the oracle replays
     // the row/tab (.xls) and paragraph (.ppt) text conventions

@@ -84,6 +84,10 @@ object DocumentText {
         OfficeText.pptx(b)
       else if (containsAscii(b, "xl/worksheets/sheet"))
         OfficeText.xlsx(b)
+      else if (containsAscii(b, "application/vnd.oasis.opendocument"))
+        // the ODF mimetype entry is stored uncompressed by spec, so
+        // the literal string is visible to the byte scan
+        OdfText.parse(b)
       else if (containsAscii(b, "application/epub+zip") ||
           containsAscii(b, "META-INF/container.xml"))
         EpubText.parse(b)

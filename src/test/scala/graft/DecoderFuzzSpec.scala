@@ -60,6 +60,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "DocText" -> (b => graft.expr.DocText.parse(b)),
     "XlsText" -> (b => graft.expr.LegacyOffice.xls(b)),
     "PptText" -> (b => graft.expr.LegacyOffice.ppt(b)),
+    "OdfText" -> (b => graft.expr.OdfText.parse(b)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
     "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
     "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
@@ -162,7 +163,25 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Seq(graft.expr.LegacyOfficeBuild.S("sweep"),
         graft.expr.LegacyOfficeBuild.I(3)))), maxSstData = 8)
     val pptB = graft.expr.LegacyOfficeBuild.ppt(Seq(Seq("sweep para")))
-    for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, doc, xlsB, pptB);
+    val odfB = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      val mb = "application/vnd.oasis.opendocument.text".getBytes("UTF-8")
+      val e = new java.util.zip.ZipEntry("mimetype")
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(mb.length); e.setCompressedSize(mb.length)
+      val crc = new java.util.zip.CRC32(); crc.update(mb)
+      e.setCrc(crc.getValue)
+      z.putNextEntry(e); z.write(mb); z.closeEntry()
+      z.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+      z.write(("<office:document-content xmlns:office=\"o\" " +
+        "xmlns:text=\"t\"><office:body><office:text>" +
+        "<text:p>sweep</text:p></office:text></office:body>" +
+        "</office:document-content>").getBytes("UTF-8"))
+      z.closeEntry(); z.close(); bos.toByteArray
+    }
+    for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, doc, xlsB, pptB,
+        odfB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
