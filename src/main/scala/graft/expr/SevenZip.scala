@@ -25,12 +25,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * when defined) are VERIFIED — a flipped payload byte fails the
   * folder closed rather than emitting wrong bytes.
   *
-  * Folder shapes: a single 1-in/1-out coder, or a two-coder LINEAR
-  * chain (packed → LZMA/LZMA2/Copy → bind pair → delta or BCJ-x86
-  * filter → output, the default `7z -mf=…` layout; the filters
-  * invert through the same [[Xz]] routines the xz block walk uses).
+  * Folder shapes: the coder GRAPH evaluates generally — each coder
+  * input resolves to a packed stream or a bound output — covering
+  * single coders, two-coder linear chains (packed → LZMA/LZMA2/Copy
+  * → bind pair → delta or BCJ-x86 filter, the default `7z -mf=…`
+  * layout; filters invert through the same [[Xz]] routines the xz
+  * block walk uses) and the four-input BCJ2 branching layout
+  * (`7z -m0=BCJ2`: main/call/jump coder outputs + a raw range-coded
+  * control stream). No offline 7z tool exists in this environment to
+  * emit real BCJ2 pin streams, so BCJ2 is gated by the independent
+  * [[SevenZipBuild]] writer differential (the .doc precedent) —
+  * its own range encoder and branch scanner against this decoder.
   * Subset boundaries (triage, keeping other folders' entries):
-  * branching coders (BCJ2), bzip2- or AES-coded folders. Not a 7z /
+  * bzip2-, PPMd- or AES-coded folders. Not a 7z /
   * corrupt structure → NULL, never an error. Bomb guards mirror TarEntries: per-entry cap
   * [[TarEntries.MaxEntryBytes]], per-archive cap
   * [[TarEntries.MaxTotalBytes]], `maxEntries` rows.
@@ -379,37 +386,227 @@ object SevenZip {
       case _ => false // BCJ2 and friends: out of subset
     }
 
+  /** LZMA-style binary range decoder over a byte slice — the BCJ2
+    * control stream's coder (11-bit probabilities, 5 move bits,
+    * 2^24 normalization; the leading zero byte is skipped).
+    */
+  private final class RangeDec(b: Array[Byte], var p: Int, val end: Int) {
+    var range: Long = 0xffffffffL
+    var code: Long = 0L
+    if (p >= end || b(p) != 0) bad()
+    p += 1
+    var i = 0
+    while (i < 4) {
+      code = (code << 8) | (if (p < end) { val v = b(p) & 0xffL; p += 1; v }
+        else bad())
+      i += 1
+    }
+    def bit(probs: Array[Int], idx: Int): Int = {
+      val prob = probs(idx)
+      val bound = (range >>> 11) * prob
+      var out = 0
+      if (code < bound) {
+        range = bound
+        probs(idx) = prob + ((2048 - prob) >> 5)
+      } else {
+        range -= bound
+        code -= bound
+        probs(idx) = prob - (prob >> 5)
+        out = 1
+      }
+      if (range < (1L << 24)) {
+        range = (range << 8) & 0xffffffffL
+        code = ((code << 8) & 0xffffffffL) |
+          (if (p < end) { val v = b(p) & 0xffL; p += 1; v } else 0L)
+      }
+      out
+    }
+  }
+
+  /** BCJ2 (method 0x0303011B): four input streams — main, call,
+    * jump, and a range-coded control stream deciding per branch
+    * opcode (E8 / E9 / 0F 8x jcc) whether the next four output bytes
+    * are an absolute big-endian address from the call/jump stream,
+    * rewritten to the x86-relative little-endian form. E8's control
+    * probability is contexted on the byte before the opcode
+    * (2 + 256 adaptive probabilities).
+    */
+  private def bcj2Decode(main: Array[Byte], call: Array[Byte],
+      jump: Array[Byte], rc: Array[Byte], outSize: Long): Array[Byte] = {
+    if (outSize < 0 || outSize > TarEntries.MaxTotalBytes) return null
+    val out = new Array[Byte](outSize.toInt)
+    val dec = new RangeDec(rc, 0, rc.length)
+    val probs = Array.fill(2 + 256)(1024)
+    var mi = 0
+    var ci = 0
+    var ji = 0
+    var o = 0
+    var prev = 0
+    while (o < out.length) {
+      if (mi >= main.length) bad()
+      val b = main(mi) & 0xff
+      mi += 1
+      out(o) = b.toByte
+      o += 1
+      val isBranch = (b & 0xfe) == 0xe8 ||
+        (prev == 0x0f && (b & 0xf0) == 0x80)
+      if (isBranch) {
+        val idx = if (b == 0xe8) 2 + prev else if (b == 0xe9) 1 else 0
+        if (dec.bit(probs, idx) != 0) {
+          if (o + 4 > out.length) bad()
+          val src =
+            if (b == 0xe8) {
+              if (ci + 4 > call.length) bad()
+              val v = ((call(ci) & 0xffL) << 24) |
+                ((call(ci + 1) & 0xffL) << 16) |
+                ((call(ci + 2) & 0xffL) << 8) | (call(ci + 3) & 0xffL)
+              ci += 4
+              v
+            } else {
+              if (ji + 4 > jump.length) bad()
+              val v = ((jump(ji) & 0xffL) << 24) |
+                ((jump(ji + 1) & 0xffL) << 16) |
+                ((jump(ji + 2) & 0xffL) << 8) | (jump(ji + 3) & 0xffL)
+              ji += 4
+              v
+            }
+          val dest = (src - (o.toLong + 4)) & 0xffffffffL
+          out(o) = (dest & 0xff).toByte
+          out(o + 1) = ((dest >> 8) & 0xff).toByte
+          out(o + 2) = ((dest >> 16) & 0xff).toByte
+          out(o + 3) = ((dest >> 24) & 0xff).toByte
+          o += 4
+          prev = ((dest >> 24) & 0xff).toInt
+        } else prev = b
+      } else prev = b
+    }
+    out
+  }
+
+  private val Bcj2Id = 0x0303011bL
+
   /** Decode one folder's output, or null for out-of-subset coders.
-    * Supported shapes: a single 1-in/1-out coder, or a two-coder
-    * LINEAR chain (packed → base coder → bind pair → filter coder →
-    * folder output — the default `7z -mf=Delta`/`-mf=BCJ` layout).
+    * The folder is a GRAPH: each coder's inputs resolve to a packed
+    * stream slice or another coder's output via the bind pairs, and
+    * the folder's output is the one out-stream no bind pair
+    * consumes. This covers the single-coder and two-coder linear
+    * layouts and the four-input BCJ2 branching layout
+    * (main/call/jump coders + raw control stream) in one walk.
     */
   private def decodeFolder(b: Array[Byte], f: Folder, packStart: Long,
       packSizes: Array[Long]): Array[Byte] = {
-    if (f.coders.exists(c => c.numIn != 1 || c.numOut != 1)) return null
     val outSize = f.mainOutSize
     if (outSize > TarEntries.MaxTotalBytes) return null
-    val from = packStart
-    val until = packStart + packSizes(0)
-    if (from < 0 || until > b.length || from > until) return null
-    val fi = from.toInt
-    val ui = until.toInt
-    val out: Array[Byte] =
-      if (f.coders.length == 1) {
-        decodeCoder(f.coders(0), b, fi, ui, outSize)
-      } else if (f.coders.length == 2 && f.bindPairs.length == 1 &&
-          f.packedIndices.length == 1) {
-        // with 1-in/1-out coders, global in/out index i = coder i
-        val base = f.packedIndices(0)
-        val (bindIn, bindOut) = f.bindPairs(0)
-        if (bindOut != base || bindIn == base || base > 1 || bindIn > 1)
-          return null
-        val mid = decodeCoder(f.coders(base), b, fi, ui,
-          f.unpackSizes(base))
-        if (mid == null || mid.length != f.unpackSizes(base)) return null
-        if (!applyFilter(f.coders(bindIn), mid)) return null
-        mid
-      } else null
+    if (f.packedIndices.length != packSizes.length) return null
+
+    val totalIn = f.coders.map(_.numIn).sum
+    val totalOut = f.coders.map(_.numOut).sum
+    // pack-slice offsets in file order
+    val packOffs = new Array[Long](packSizes.length)
+    var acc = packStart
+    var k = 0
+    while (k < packSizes.length) {
+      packOffs(k) = acc
+      if (packSizes(k) < 0) return null
+      acc += packSizes(k)
+      k += 1
+    }
+    if (packStart < 0 || acc > b.length) return null
+    // global in index → packed stream ordinal / bound out stream
+    val packOfIn = Array.fill(totalIn)(-1)
+    f.packedIndices.zipWithIndex.foreach { case (in, pk) =>
+      if (in < 0 || in >= totalIn || packOfIn(in) >= 0) return null
+      packOfIn(in) = pk
+    }
+    val boundOut = Array.fill(totalIn)(-1)
+    f.bindPairs.foreach { case (in, outI) =>
+      if (in < 0 || in >= totalIn || outI < 0 || outI >= totalOut ||
+          boundOut(in) >= 0 || packOfIn(in) >= 0) return null
+      boundOut(in) = outI
+    }
+    // out stream → owning coder; coder → first global in/out index
+    val coderOfOut = new Array[Int](totalOut)
+    val firstIn = new Array[Int](f.coders.length)
+    val firstOut = new Array[Int](f.coders.length)
+    var inAcc = 0
+    var outAcc = 0
+    var ciX = 0
+    while (ciX < f.coders.length) {
+      firstIn(ciX) = inAcc
+      firstOut(ciX) = outAcc
+      var j = 0
+      while (j < f.coders(ciX).numOut) {
+        coderOfOut(outAcc + j) = ciX
+        j += 1
+      }
+      inAcc += f.coders(ciX).numIn
+      outAcc += f.coders(ciX).numOut
+      ciX += 1
+    }
+
+    val memo = new Array[Array[Byte]](totalOut)
+    def inBytes(gIn: Int, depth: Int): Array[Byte] = {
+      if (packOfIn(gIn) >= 0) {
+        val pk = packOfIn(gIn)
+        java.util.Arrays.copyOfRange(b, packOffs(pk).toInt,
+          (packOffs(pk) + packSizes(pk)).toInt)
+      } else if (boundOut(gIn) >= 0) outBytes(boundOut(gIn), depth)
+      else null
+    }
+    def outBytes(gOut: Int, depth: Int): Array[Byte] = {
+      if (depth > 16) return null
+      if (memo(gOut) != null) return memo(gOut)
+      val ci = coderOfOut(gOut)
+      val coder = f.coders(ci)
+      val size = f.unpackSizes(gOut)
+      if (size < 0 || size > TarEntries.MaxTotalBytes) return null
+      val res: Array[Byte] = coder.id match {
+        case Bcj2Id =>
+          if (coder.numIn != 4 || coder.numOut != 1) null
+          else {
+            val main = inBytes(firstIn(ci), depth + 1)
+            val call = inBytes(firstIn(ci) + 1, depth + 1)
+            val jmp = inBytes(firstIn(ci) + 2, depth + 1)
+            val rc = inBytes(firstIn(ci) + 3, depth + 1)
+            if (main == null || call == null || jmp == null || rc == null)
+              null
+            else
+              // a torn stream triages THIS folder; siblings survive
+              try bcj2Decode(main, call, jmp, rc, size)
+              catch { case Bad => null }
+          }
+        case 0x03 | 0x03030103L =>
+          if (coder.numIn != 1 || coder.numOut != 1) null
+          else {
+            val in = inBytes(firstIn(ci), depth + 1)
+            if (in == null || in.length != size) null
+            else {
+              val buf = in.clone()
+              if (applyFilter(coder, buf)) buf else null
+            }
+          }
+        case _ =>
+          if (coder.numIn != 1 || coder.numOut != 1) null
+          else {
+            val in = inBytes(firstIn(ci), depth + 1)
+            if (in == null) null
+            else decodeCoder(coder, in, 0, in.length, size)
+          }
+      }
+      if (res == null || res.length != size) return null
+      memo(gOut) = res
+      res
+    }
+
+    // the folder's output: the out-stream no bind pair consumes
+    var mainOut = -1
+    var oi = 0
+    while (oi < totalOut && mainOut < 0) {
+      if (!f.bindPairs.exists(_._2 == oi)) mainOut = oi
+      oi += 1
+    }
+    if (mainOut < 0) return null
+    val out = outBytes(mainOut, 0)
     if (out == null || out.length != outSize) return null
     if (f.crcDefined) {
       val crc = new java.util.zip.CRC32()

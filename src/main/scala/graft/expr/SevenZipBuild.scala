@@ -217,6 +217,181 @@ private[graft] object SevenZipBuild {
     container(packed, hdr)
   }
 
+  // ------------------------------------------------------------------
+  // BCJ2 write side: an independent branch scanner + LZMA-style
+  // binary range ENCODER (the reader has only the decoder) so
+  // entries(buildBcj2(·)) is a genuine differential for the
+  // four-stream layout.
+  // ------------------------------------------------------------------
+
+  private final class RangeEnc {
+    val out = new java.io.ByteArrayOutputStream()
+    private var low = 0L
+    private var range = 0xffffffffL
+    private var cache = 0
+    private var cacheSize = 1L
+    private def shiftLow(): Unit = {
+      if (low < 0xff000000L || (low >>> 32) != 0) {
+        var temp = cache
+        var continue = true
+        while (continue) {
+          out.write(((temp + (low >>> 32)) & 0xff).toInt)
+          temp = 0xff
+          cacheSize -= 1
+          continue = cacheSize != 0
+        }
+        cache = ((low >>> 24) & 0xff).toInt
+      }
+      cacheSize += 1
+      low = (low << 8) & 0xffffffffL
+    }
+    def bit(probs: Array[Int], idx: Int, b: Int): Unit = {
+      val prob = probs(idx)
+      val bound = (range >>> 11) * prob
+      if (b == 0) {
+        range = bound
+        probs(idx) = prob + ((2048 - prob) >> 5)
+      } else {
+        low += bound
+        range -= bound
+        probs(idx) = prob - (prob >> 5)
+      }
+      while (range < (1L << 24)) {
+        range = (range << 8) & 0xffffffffL
+        shiftLow()
+      }
+    }
+    def flush(): Array[Byte] = {
+      var i = 0
+      while (i < 5) { shiftLow(); i += 1 }
+      out.toByteArray
+    }
+  }
+
+  /** Split `data` into BCJ2's four streams: branch opcodes whose
+    * following rel32 looks like an address (high byte 00/FF, the
+    * real encoder's heuristic) convert to big-endian absolute in the
+    * call/jump stream with a 1 bit in the control stream; every
+    * other branch opcode codes a 0 bit.
+    */
+  private[graft] def bcj2Encode(data: Array[Byte]):
+      (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    val main = new java.io.ByteArrayOutputStream()
+    val call = new java.io.ByteArrayOutputStream()
+    val jump = new java.io.ByteArrayOutputStream()
+    val rc = new RangeEnc
+    val probs = Array.fill(2 + 256)(1024)
+    var i = 0
+    var prev = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      main.write(b)
+      val isBranch = (b & 0xfe) == 0xe8 ||
+        (prev == 0x0f && (b & 0xf0) == 0x80)
+      if (isBranch) {
+        val idx = if (b == 0xe8) 2 + prev else if (b == 0xe9) 1 else 0
+        val canConvert = i + 4 < data.length
+        val hi = if (canConvert) data(i + 4) & 0xff else 0
+        val convert = canConvert && (hi == 0x00 || hi == 0xff)
+        rc.bit(probs, idx, if (convert) 1 else 0)
+        if (convert) {
+          val rel = (data(i + 1) & 0xffL) | ((data(i + 2) & 0xffL) << 8) |
+            ((data(i + 3) & 0xffL) << 16) | ((data(i + 4) & 0xffL) << 24)
+          val abs = (rel + i + 5) & 0xffffffffL
+          val sink = if (b == 0xe8) call else jump
+          sink.write(((abs >> 24) & 0xff).toInt)
+          sink.write(((abs >> 16) & 0xff).toInt)
+          sink.write(((abs >> 8) & 0xff).toInt)
+          sink.write((abs & 0xff).toInt)
+          prev = (data(i + 4) & 0xff)
+          i += 5
+        } else { prev = b; i += 1 }
+      } else { prev = b; i += 1 }
+    }
+    (main.toByteArray, call.toByteArray, jump.toByteArray, rc.flush())
+  }
+
+  /** Archive whose single folder is the BCJ2 branching layout: four
+    * coders (three Copy or store-LZMA2 carrying main/call/jump + the
+    * 4-in/1-out BCJ2), three bind pairs, four packed streams (the
+    * control stream feeds BCJ2 directly). Header emission is
+    * re-derived here, independent of the reader's graph walk.
+    */
+  def buildBcj2(entries: Seq[Entry], lzma2: Boolean = false):
+      Array[Byte] = {
+    val streamed = entries.filter(e => !e.dir && e.content.nonEmpty)
+    val cat = new java.io.ByteArrayOutputStream()
+    streamed.foreach(e => cat.write(e.content))
+    val data = cat.toByteArray
+    val (mainS, callS, jumpS, rcS) = bcj2Encode(data)
+    def pack(s: Array[Byte]): Array[Byte] =
+      if (lzma2) lzma2Store(s) else s
+    val packs = Seq(pack(mainS), pack(callS), pack(jumpS), rcS)
+    val carrierId = if (lzma2) 0x21L else 0x00L
+    val carrierProps =
+      if (lzma2) Array[Byte](40) else Array.emptyByteArray
+
+    val w = new W
+    w.u8(0x01) // kHeader
+    w.u8(0x04) // kMainStreamsInfo
+    w.u8(0x06) // kPackInfo
+    w.num(0L); w.num(packs.length.toLong)
+    w.u8(0x09); packs.foreach(p => w.num(p.length.toLong)) // kSize
+    w.u8(0x00)
+    w.u8(0x07) // kUnpackInfo
+    w.u8(0x0b); w.num(1); w.u8(0) // kFolder, 1 folder, internal
+    w.num(4) // four coders
+    // coders 0..2: the 1-in/1-out carriers (main, call, jump)
+    (0 until 3).foreach { _ =>
+      w.u8(1 | (if (carrierProps.nonEmpty) 0x20 else 0))
+      w.u8(carrierId.toInt)
+      if (carrierProps.nonEmpty) {
+        w.num(carrierProps.length.toLong); w.bytes(carrierProps)
+      }
+    }
+    // coder 3: BCJ2, complex (4 in / 1 out), id 0x0303011B
+    w.u8(4 | 0x10)
+    w.u8(0x03); w.u8(0x03); w.u8(0x01); w.u8(0x1b)
+    w.num(4); w.num(1)
+    // bind pairs (InIndex, OutIndex): BCJ2 ins 3,4,5 ← outs 0,1,2
+    w.num(3); w.num(0)
+    w.num(4); w.num(1)
+    w.num(5); w.num(2)
+    // packed indices (4 > 1, so listed): carrier ins 0,1,2 + rc in 6
+    w.num(0); w.num(1); w.num(2); w.num(6)
+    w.u8(0x0c) // kCodersUnpackSize: per out-stream in coder order
+    w.num(mainS.length.toLong)
+    w.num(callS.length.toLong)
+    w.num(jumpS.length.toLong)
+    w.num(data.length.toLong)
+    w.u8(0x00)
+    w.u8(0x08) // kSubStreamsInfo
+    w.u8(0x0d); w.num(streamed.length.toLong) // kNumUnpackStream
+    w.u8(0x09) // kSize: first n−1
+    streamed.dropRight(1).foreach(e => w.num(e.content.length.toLong))
+    w.u8(0x0a) // kCRC
+    w.u8(1)
+    streamed.foreach(e => w.le32(crc32(e.content, 0, e.content.length)))
+    w.u8(0x00)
+    w.u8(0x00)
+    // FilesInfo: names only (no empties in the BCJ2 fixtures)
+    w.u8(0x05)
+    w.num(entries.length.toLong)
+    val nameBody = new W
+    nameBody.u8(0)
+    entries.foreach { e =>
+      e.name.foreach { ch => nameBody.u8(ch & 0xff); nameBody.u8(ch >> 8) }
+      nameBody.u8(0); nameBody.u8(0)
+    }
+    w.num(0x11); w.num(nameBody.result.length.toLong)
+    w.bytes(nameBody.result)
+    w.u8(0x00)
+    w.u8(0x00)
+    val packed = new java.io.ByteArrayOutputStream()
+    packs.foreach(packed.write)
+    container(packed.toByteArray, w.result)
+  }
+
   /** Archive whose single folder is a two-coder LINEAR chain
     * (packed → base coder → filter coder → files): e.g. a real
     * liblzma raw [delta|x86, LZMA2] stream as the packed payload,

@@ -158,6 +158,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val sevenZ = graft.expr.SevenZipBuild.build(Seq(
       graft.expr.SevenZipBuild.Entry("a.txt", "seven".getBytes)),
       lzma2 = true)
+    val sevenZBcj2 = graft.expr.SevenZipBuild.buildBcj2(Seq(
+      graft.expr.SevenZipBuild.Entry("b.bin",
+        Array[Byte](0x41, 0xe8.toByte, 1, 2, 3, 0, 0x42,
+          0xe9.toByte, 4, 5, 6, 0xff.toByte, 0x0f, 0x85.toByte,
+          7, 8, 9, 0))))
     val doc = graft.expr.DocBuild.doc(Seq(("cfb sweep\r", true)))
     val xlsB = graft.expr.LegacyOfficeBuild.xls(Seq(Seq(
       Seq(graft.expr.LegacyOfficeBuild.S("sweep"),
@@ -180,8 +185,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
         "</office:document-content>").getBytes("UTF-8"))
       z.closeEntry(); z.close(); bos.toByteArray
     }
-    for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, doc, xlsB, pptB,
-        odfB);
+    for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
+        xlsB, pptB, odfB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }

@@ -131,6 +131,93 @@ class SevenZipSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(row.getBinary(2), data))
   }
 
+  /** x86-looking payload: E8/E9 calls whose rel32 high byte is 00/FF
+    * (converted, control bit 1), branch opcodes mid-data that are NOT
+    * addresses (bit 0), a 0F 8x jcc, and E8 bytes with every
+    * preceding-byte context to move the adaptive probabilities.
+    */
+  private def x86ish(seed: Int, n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var s = seed.toLong
+    while (out.size < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val r = ((s >>> 33) & 0xff).toInt
+      (r % 7) match {
+        case 0 => // converted call: rel32 with high byte 00
+          out.write(r); out.write(0xe8)
+          out.write(r ^ 0x55); out.write(r ^ 0x2a); out.write(r % 31)
+          out.write(0x00)
+        case 1 => // converted jump: rel32 with high byte FF (negative)
+          out.write(0xe9)
+          out.write(r); out.write(0xd0 | (r & 0x0f)); out.write(0xff)
+          out.write(0xff)
+        case 2 => // jcc (0F 8x) converted
+          out.write(0x0f); out.write(0x80 | (r & 0x0f))
+          out.write(r); out.write(0); out.write(0); out.write(0x00)
+        case 3 => // E8 that is NOT an address (bit 0)
+          out.write(r); out.write(0xe8)
+          out.write(0x11); out.write(0x22); out.write(0x33); out.write(0x44)
+        case _ => // plain bytes (including stray 0F without 8x)
+          out.write(r); out.write(0x0f); out.write(r ^ 0xa5)
+      }
+    }
+    out.toByteArray.take(n)
+  }
+
+  test("BCJ2 branching folder (copy carriers) round-trips") {
+    val a = x86ish(7, 3000)
+    val b = ascii("plain second member")
+    val z = SevenZipBuild.buildBcj2(Seq(
+      Entry("bin/app.exe", a), Entry("notes.txt", b)))
+    val got = SevenZip.entries(z, 16)
+    assert(got != null && got.numElements() == 2)
+    val r0 = got.getStruct(0, 3)
+    assert(r0.getUTF8String(0).toString == "bin/app.exe")
+    assert(java.util.Arrays.equals(r0.getBinary(2), a))
+    val r1 = got.getStruct(1, 3)
+    assert(new String(r1.getBinary(2), "UTF-8") == "plain second member")
+  }
+
+  test("BCJ2 folder with LZMA2 carriers round-trips") {
+    val a = x86ish(11, 9000)
+    val z = SevenZipBuild.buildBcj2(Seq(Entry("x.so", a)), lzma2 = true)
+    val got = SevenZip.entries(z, 16)
+    assert(got != null && got.numElements() == 1)
+    assert(java.util.Arrays.equals(got.getStruct(0, 3).getBinary(2), a))
+  }
+
+  test("BCJ2: opcode-dense edge shapes round-trip") {
+    // trailing E8 with no room, consecutive E8s, E9 at position 0,
+    // an 0F at the very end
+    for (payload <- Seq(
+      Array[Byte](0xe9.toByte, 1, 2, 3, 0),
+      ascii("AB") ++ Array[Byte](0xe8.toByte, 0xe8.toByte, 0xe8.toByte,
+        5, 6, 0) ++ ascii("tail") ++ Array[Byte](0xe8.toByte),
+      x86ish(3, 64) ++ Array[Byte](0x0f.toByte),
+      Array[Byte](0x0f, 0x88.toByte, 9, 9, 9, 0xff.toByte, 0x0f))) {
+      val z = SevenZipBuild.buildBcj2(Seq(Entry("edge.bin", payload)))
+      val got = SevenZip.entries(z, 4)
+      assert(got != null && got.numElements() == 1)
+      assert(java.util.Arrays.equals(got.getStruct(0, 3).getBinary(2),
+        payload))
+    }
+  }
+
+  test("BCJ2: corrupt control stream triages the folder, not the walk") {
+    val a = x86ish(5, 2000)
+    val z = SevenZipBuild.buildBcj2(Seq(Entry("app.bin", a)))
+    // flip a byte inside the packed main stream (starts at offset 32
+    // with copy carriers): the rc bits desync or the substream CRC
+    // mismatches — both must triage, never throw or emit wrong bytes
+    val c = z.clone()
+    val probe = 32 + 10
+    c(probe) = (c(probe) ^ 0x40).toByte
+    val got = SevenZip.entries(c, 16)
+    // either the CRC kills the substream (empty walk survives) or the
+    // header CRC catches it first (null); both fail closed
+    assert(got == null || got.numElements() == 0)
+  }
+
   test("corrupt folder payload fails closed via substream CRC") {
     val z = SevenZipBuild.build(Seq(Entry("a.txt", ascii("alpha"))))
     // flip a byte inside the packed (copy) region, just after the
