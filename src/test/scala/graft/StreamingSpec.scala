@@ -863,6 +863,97 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("document ingest: archives of documents, cross-FORMAT duplicates drop") {
+    // the round-15 archive-ingest composition grown into the document
+    // tier: archives arrive, entries explode, graft_document_text is
+    // the normalization feeding dedupIngestBatch — so the same text
+    // arriving as .pdf in one archive and as .docx/.doc/.odt in a
+    // later one is an exact duplicate and drops against the index
+    val tmp = java.nio.file.Files.createTempDirectory("graft-doc-dd").toString
+    val table = "graft_test_docingest_postings"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def ascii(s: String) = s.getBytes("ISO-8859-1")
+    def pdfDoc(line: String): Array[Byte] = {
+      val content = s"BT /F1 12 Tf ($line) Tj ET"
+      ascii("%PDF-1.4\n" +
+        s"4 0 obj << /Length ${content.length} >> stream\n" +
+        content + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    }
+    def docxDoc(line: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      z.write(("<w:document xmlns:w=\"http://schemas.openxmlformats" +
+        s".org/wordprocessingml/2006/main\"><w:body><w:p><w:r><w:t>" +
+        s"$line</w:t></w:r></w:p></w:body></w:document>").getBytes("UTF-8"))
+      z.closeEntry(); z.close(); bos.toByteArray
+    }
+    def docDoc(line: String): Array[Byte] =
+      graft.expr.DocBuild.doc(Seq((line + "\r", true)))
+    def rtfDoc(line: String): Array[Byte] = ascii(s"{\\rtf1 $line\\par}")
+    def tarOf(entries: (String, Array[Byte])*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (name, c) =>
+        val h = new Array[Byte](512)
+        def putStr(o: Int, len: Int, str: String): Unit = {
+          val bb = str.getBytes("UTF-8")
+          System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+        }
+        def putOctal(o: Int, len: Int, v: Long): Unit =
+          putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+        putStr(0, 100, name)
+        putOctal(100, 8, 420); putOctal(108, 8, 0); putOctal(116, 8, 0)
+        putOctal(124, 12, c.length); putOctal(136, 12, 1700000000L)
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        h(156) = '0'.toByte
+        putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+        var sum = 0L
+        (0 until 512).foreach(i => sum += h(i) & 0xff)
+        putStr(148, 7, "%06o".format(sum) + " ")
+        out.write(h); out.write(c)
+        out.write(new Array[Byte]((512 - c.length % 512) % 512))
+      }
+      out.write(new Array[Byte](1024))
+      out.toByteArray
+    }
+    def ingest(rows: (Long, Array[Byte])*): Unit = {
+      val files = rows.toSeq.toDF("file_id", "content")
+      val batch = files
+        .select(col("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            col("content"), lit(16))).as("e"))
+        .select(xxhash64(concat(col("file_id").cast("string"),
+          lit(":"), col("e.path"))).as("doc_id"),
+          // whitespace-collapsed extraction: the formats' newline
+          // conventions differ, the words do not
+          trim(regexp_replace(call_function(
+            graft.expr.DocumentText.FunctionName, col("e.content")),
+            "\\s+", " ")).as("text"))
+      StreamingIngest.dedupIngestBatch(batch, s"$tmp/docs", table,
+        "doc_id", "text", n = 3, threshold = 0.7, maxDocFreq = 0L,
+        buckets = 8)
+    }
+    def texts(): Set[String] =
+      spark.read.parquet(s"$tmp/docs").select("text")
+        .as[String].collect().toSet
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "one two three four five six seven"
+    val t3 = "fresh words entirely novel content here"
+    // batch 1: t1 as PDF and t2 as DOCX, plus t1 AGAIN as .doc in the
+    // SAME archive (within-batch cross-format dup: one survivor)
+    ingest(1L -> tarOf("a.pdf" -> pdfDoc(t1), "b.docx" -> docxDoc(t2),
+      "c.doc" -> docDoc(t1)))
+    assert(texts() == Set(t1, t2))
+    // batch 2: t1 re-arrives as RTF in a NEW archive (drops vs the
+    // index), t3 arrives fresh as .doc (lands)
+    ingest(2L -> tarOf("d.rtf" -> rtfDoc(t1), "e.doc" -> docDoc(t3)))
+    assert(texts() == Set(t1, t2, t3))
+    // replay self-filters
+    ingest(2L -> tarOf("d.rtf" -> rtfDoc(t1), "e.doc" -> docDoc(t3)))
+    assert(texts() == Set(t1, t2, t3))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("session_window works as a watermarked stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp)]
