@@ -132,18 +132,48 @@ object Bench {
       Caches.release(spark)
       spark.sharedState.cacheManager.clearCache()
     }
-    val p1 = onePass("1/4", named)
-    clear()
-    val p2 = onePass("2/4", named)
-    clear()
-    val p3 = onePass("3/4", named)
-    val min3 = p1.map { case (k, v) =>
-      k -> math.min(v, math.min(p2.getOrElse(k, v), p3.getOrElse(k, v)))
+    val canaries = Seq("q02_filter_project", "q20_ts_bucket", "q39_frame_sample")
+    def inRun(results: Map[String, Double]): Double =
+      canaries.flatMap(c =>
+        results.get(c).zip(quietFloor.get(c)).map { case (v, f) => v / f })
+        .foldLeft(0.0)(math.max)
+    def measureOnce(): (Map[String, Double], Double) = {
+      val p1 = onePass("1/4", named)
+      clear()
+      val p2 = onePass("2/4", named)
+      clear()
+      val p3 = onePass("3/4", named)
+      val min3 = p1.map { case (k, v) =>
+        k -> math.min(v, math.min(p2.getOrElse(k, v), p3.getOrElse(k, v)))
+      }
+      clear()
+      val stillSlow = named.filter { case (name, _) => min3.getOrElse(name, 0.0) > 1.2 }
+      val p4 = onePass("4/4", stillSlow)
+      val res = min3.map { case (k, v) => k -> math.min(v, p4.getOrElse(k, v)) }
+      (res, inRun(res))
     }
-    clear()
-    val stillSlow = named.filter { case (name, _) => min3.getOrElse(name, 0.0) > 1.2 }
-    val p4 = onePass("4/4", stillSlow)
-    val results = min3.map { case (k, v) => k -> math.min(v, p4.getOrElse(k, v)) }
+    // Round-16 bench discipline (VERDICT r15 item 5): the r15 driver
+    // artifact landed degraded even though the pre-probe gate waited,
+    // because the stamp is computed AFTER the passes. When the in-run
+    // canary minima read degraded, RE-RUN the timed passes (bounded)
+    // and keep the better-windowed attempt; every attempt's ratio
+    // stays in the artifact tail as the retry's audit trail.
+    var (results, inRunRatio) = measureOnce()
+    val attemptRatios = scala.collection.mutable.ArrayBuffer(inRunRatio)
+    val maxRetries = sys.env.get("SPARK_GRAFT_DEGRADED_RETRIES")
+      .flatMap(_.toIntOption).getOrElse(1)
+    var retries = 0
+    while (inRunRatio > 1.3 && retries < maxRetries) {
+      System.err.println(f"[bench] timed run landed degraded " +
+        f"(in-run ${inRunRatio}%.2fx quiet floor); waiting 45s and " +
+        "re-running the timed passes once")
+      Thread.sleep(45000)
+      clear()
+      val (r2, ir2) = measureOnce()
+      attemptRatios += ir2
+      if (ir2 < inRunRatio) { results = r2; inRunRatio = ir2 }
+      retries += 1
+    }
     // Millisecond precision keeps the single JSON line short enough to
     // survive log-tail truncation on the consumer side. Locale.ROOT
     // formatting: under a comma-decimal default locale (de_DE etc.)
@@ -163,7 +193,6 @@ object Bench {
     // in multi-minute windows), so per-query deltas can be judged
     // against the canary ratio instead of read raw (README, bench
     // protocol).
-    val canaries = Seq("q02_filter_project", "q20_ts_bucket", "q39_frame_sample")
     val drift = canaries.flatMap(c => results.get(c).map(v => "\"" + c + "\":" + num(v)))
       .mkString("{", ",", "}")
     // window_quality judges the MEASURED window, not the pre-probe:
@@ -171,16 +200,14 @@ object Bench {
     // are far less noisy than the two-sample pre-run probe, which
     // stays in the artifact as sentinel_ratio for the wait decision's
     // audit trail
-    val inRunRatio = canaries.flatMap(c =>
-      results.get(c).zip(quietFloor.get(c)).map { case (v, f) => v / f })
-      .foldLeft(0.0)(math.max)
     val windowQuality = // pre-probe only if no canary ran (custom set)
       if ((if (inRunRatio > 0) inRunRatio else ratio) <= 1.3) "clean"
       else "degraded"
     System.err.println(
       f"[bench] in-run window: ${inRunRatio}%.2fx quiet floor -> $windowQuality")
+    val retryTrail = attemptRatios.map(num).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"window_quality":"$windowQuality","sentinel_ratio":${num(ratio)},"drift":$drift,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","workload":"$workload","n_queries":${named.size},"window_quality":"$windowQuality","sentinel_ratio":${num(ratio)},"degraded_retries":$retries,"attempt_ratios":$retryTrail,"drift":$drift,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also drop the line as a repo artifact so the numbers stay
     // readable even if the harness's stdout capture mangles the log.
