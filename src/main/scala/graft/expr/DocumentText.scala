@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the pipeline.
   *
   * Dispatch: `%PDF-` → the PDF extractor (incl. the encrypted-PDF
-  * handler); `PK\3\4` zips discriminate DOCX vs EPUB by their
-  * defining entry names in the LOCAL headers (stored uncompressed,
-  * so a byte scan is exact); `{\rtf` → RTF; the CFB signature parses
+  * handler); `PK\3\4` zips are walked ONCE and discriminated by
+  * their actual entry names (DOCX/PPTX/XLSX defining entries, the
+  * ODF/EPUB stored `mimetype`), the inflated entries handed straight
+  * to the winning extractor; `{\rtf` → RTF; the CFB signature parses
   * the container once and routes by directory-entry name —
   * `WordDocument` → .doc, `Workbook` → BIFF8 .xls,
   * `PowerPoint Document` → .ppt. Unrecognized magic → NULL — plain text/markdown
@@ -57,40 +58,34 @@ case class DocumentTextExpr(child: Expression) extends UnaryExpression {
 object DocumentText {
   val FunctionName = "graft_document_text"
 
-  /** ASCII needle scan over raw bytes — zip entry NAMES sit
-    * uncompressed in local headers, so presence is exact.
-    */
-  private def containsAscii(b: Array[Byte], needle: String): Boolean = {
-    val n = needle.getBytes("ISO-8859-1")
-    var i = 0
-    while (i + n.length <= b.length) {
-      var k = 0
-      while (k < n.length && b(i + k) == n(k)) k += 1
-      if (k == n.length) return true
-      i += 1
-    }
-    false
-  }
-
   def parse(b: Array[Byte]): UTF8String = {
     if (b == null || b.length < 5) return null
     if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' &&
         b(4) == '-')
       PdfText.parse(b)
     else if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
-      if (containsAscii(b, "word/document.xml"))
-        DocxText.parse(b, includeTables = false)
-      else if (containsAscii(b, "ppt/slides/slide"))
-        OfficeText.pptx(b)
-      else if (containsAscii(b, "xl/worksheets/sheet"))
-        OfficeText.xlsx(b)
-      else if (containsAscii(b, "application/vnd.oasis.opendocument"))
-        // the ODF mimetype entry is stored uncompressed by spec, so
-        // the literal string is visible to the byte scan
-        OdfText.parse(b)
-      else if (containsAscii(b, "application/epub+zip") ||
-          containsAscii(b, "META-INF/container.xml"))
-        EpubText.parse(b)
+      // ONE zip walk for the whole zip family: discriminate on the
+      // actual entry NAMES (exact — stronger than scanning raw bytes,
+      // which can false-positive on compressed data), then hand the
+      // already-inflated entries to the winning extractor. Replaces
+      // up to five O(n·m) whole-blob scans + a second walk inside the
+      // extractor with one pass.
+      val entries = EpubText.zipEntries(b)
+      val keys = entries.keySet
+      if (keys.contains("word/document.xml"))
+        DocxText.parseEntries(entries, includeTables = false)
+      else if (keys.exists(_.startsWith("ppt/slides/slide")))
+        OfficeText.pptxEntries(entries)
+      else if (keys.exists(_.startsWith("xl/worksheets/sheet")))
+        OfficeText.xlsxEntries(entries)
+      else if (entries.get("mimetype").exists(m =>
+          new String(m, "ISO-8859-1").trim
+            .startsWith("application/vnd.oasis.opendocument")))
+        OdfText.parseEntries(entries)
+      else if (entries.get("mimetype").exists(m =>
+          new String(m, "ISO-8859-1").trim == "application/epub+zip") ||
+          keys.contains("META-INF/container.xml"))
+        EpubText.parseEntries(entries)
       else null // a plain zip is an archive, not a document
     } else if (b(0) == '{' && b(1) == '\\' && b(2) == 'r' && b(3) == 't' &&
         b(4) == 'f')

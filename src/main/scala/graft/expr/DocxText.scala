@@ -69,7 +69,15 @@ object DocxText {
   def parse(b: Array[Byte], includeTables: Boolean): UTF8String = {
     if (b == null || b.length < 30) return null
     if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return null
-    val entries = EpubText.zipEntries(b)
+    parseEntries(EpubText.zipEntries(b), includeTables)
+  }
+
+  /** Extraction over an already-walked zip (shared with
+    * [[DocumentText]]'s single-walk dispatch).
+    */
+  private[expr] def parseEntries(
+      entries: scala.collection.mutable.LinkedHashMap[String, Array[Byte]],
+      includeTables: Boolean): UTF8String = {
     entries.get("word/document.xml") match {
       case None => null
       case Some(xml) =>

@@ -162,7 +162,15 @@ object EpubText {
   def parse(b: Array[Byte]): UTF8String = {
     if (b == null || b.length < 30) return null
     if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return null
-    val entries = zipEntries(b)
+    parseEntries(zipEntries(b))
+  }
+
+  /** Extraction over an already-walked zip — [[DocumentText]]
+    * dispatches one walk across all five zip-family arms.
+    */
+  private[expr] def parseEntries(
+      entries: scala.collection.mutable.LinkedHashMap[String, Array[Byte]])
+      : UTF8String = {
     if (entries.isEmpty) return null
     def read(n: String): Option[String] =
       entries.get(n).map(new String(_, StandardCharsets.UTF_8))

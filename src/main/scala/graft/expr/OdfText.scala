@@ -189,7 +189,12 @@ object OdfText {
   def parse(b: Array[Byte]): UTF8String = {
     if (b == null || b.length < 30) return null
     if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return null
-    val entries = EpubText.zipEntries(b)
+    parseEntries(EpubText.zipEntries(b))
+  }
+
+  private[expr] def parseEntries(
+      entries: scala.collection.mutable.LinkedHashMap[String, Array[Byte]])
+      : UTF8String = {
     val mime = entries.get("mimetype") match {
       case Some(m) => new String(m, "ISO-8859-1").trim
       case None => return null

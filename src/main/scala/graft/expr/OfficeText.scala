@@ -133,7 +133,12 @@ object OfficeText {
   def pptx(b: Array[Byte]): UTF8String = {
     if (b == null || b.length < 30) return null
     if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return null
-    val entries = EpubText.zipEntries(b)
+    pptxEntries(EpubText.zipEntries(b))
+  }
+
+  private[expr] def pptxEntries(
+      entries: scala.collection.mutable.LinkedHashMap[String, Array[Byte]])
+      : UTF8String = {
     val slides = numericOrder(entries.keys, "ppt/slides/slide")
     if (slides.isEmpty) return null
     val out = new StringBuilder
@@ -147,7 +152,12 @@ object OfficeText {
   def xlsx(b: Array[Byte]): UTF8String = {
     if (b == null || b.length < 30) return null
     if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return null
-    val entries = EpubText.zipEntries(b)
+    xlsxEntries(EpubText.zipEntries(b))
+  }
+
+  private[expr] def xlsxEntries(
+      entries: scala.collection.mutable.LinkedHashMap[String, Array[Byte]])
+      : UTF8String = {
     val sheets = numericOrder(entries.keys, "xl/worksheets/sheet")
     if (sheets.isEmpty) return null
     // shared strings: each si flattens its t runs (rich text)
