@@ -4771,12 +4771,12 @@ object SparkEntry {
           decode(col("e.content"), "UTF-8").as("text"))
     }),
 
-    // Mixed document dump: one corpus, SEVEN formats (PDF, DOCX,
-    // RTF, EPUB, legacy .doc, PPTX, XLSX) through ONE
-    // magic-dispatched graft_document_text — the extraction analogue
-    // of q216's decompress dispatch. Whitespace-normalized so the
-    // extractors' newline/tab conventions collapse to one oracle
-    // form.
+    // Mixed document dump: one corpus, TEN formats (PDF, DOCX, RTF,
+    // EPUB, legacy .doc, PPTX, XLSX, legacy .xls, legacy .ppt, ODF
+    // odt) through ONE magic-dispatched graft_document_text — the
+    // extraction analogue of q216's decompress dispatch.
+    // Whitespace-normalized so the extractors' newline/tab
+    // conventions collapse to one oracle form.
     "q218_documents_mixed" -> ((s, dir) => {
       Graft.tune(s)
       val gen = udf { (g: Long, safe: String) =>
@@ -4790,13 +4790,39 @@ object SparkEntry {
           }
           z.close(); bos.toByteArray
         }
-        (g % 7).toInt match {
+        (g % 10).toInt match {
           case 0 => // PDF: raw content stream, two text lines
             val content = s"BT /F1 12 Tf ($safe) Tj T* (page $g) Tj ET"
             ascii("%PDF-1.4\n" +
               s"4 0 obj << /Length ${content.length} >> stream\n" +
               content + "\nendstream endobj\n" +
               "trailer << /Root 1 0 R >>\n%%EOF\n")
+          case 7 => // legacy BIFF8 .xls: two shared-string rows
+            graft.expr.LegacyOfficeBuild.xls(Seq(Seq(
+              Seq(graft.expr.LegacyOfficeBuild.S(safe)),
+              Seq(graft.expr.LegacyOfficeBuild.S(s"page $g")))))
+          case 8 => // legacy PowerPoint 97: two paragraphs
+            graft.expr.LegacyOfficeBuild.ppt(Seq(Seq(safe, s"page $g")))
+          case 9 => // ODF odt: two paragraphs, stored mimetype
+            val O = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+            val T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+            val bos = new java.io.ByteArrayOutputStream()
+            val z = new java.util.zip.ZipOutputStream(bos)
+            val mb = "application/vnd.oasis.opendocument.text"
+              .getBytes("UTF-8")
+            val e = new java.util.zip.ZipEntry("mimetype")
+            e.setMethod(java.util.zip.ZipEntry.STORED)
+            e.setSize(mb.length); e.setCompressedSize(mb.length)
+            val crc = new java.util.zip.CRC32(); crc.update(mb)
+            e.setCrc(crc.getValue)
+            z.putNextEntry(e); z.write(mb); z.closeEntry()
+            z.putNextEntry(new java.util.zip.ZipEntry("content.xml"))
+            z.write((s"""<office:document-content xmlns:office="$O"""" +
+              s""" xmlns:text="$T"><office:body><office:text>""" +
+              s"<text:p>$safe</text:p><text:p>page $g</text:p>" +
+              "</office:text></office:body></office:document-content>")
+              .getBytes("UTF-8"))
+            z.closeEntry(); z.close(); bos.toByteArray
           case 1 => // DOCX: OPC zip, two paragraphs
             zipOf("word/document.xml" ->
               ("<w:document xmlns:w=\"http://schemas.openxmlformats.org" +

@@ -96,11 +96,12 @@ object DocumentText {
       val cfb = Cfb.parse(b)
       if (cfb == null) null
       else if (cfb.streams.contains("WordDocument")) DocText.fromCfb(cfb)
-      else if (cfb.streams.contains("Workbook"))
+      else if (cfb.streams.contains("Workbook") ||
+          cfb.streams.contains("Book"))
         LegacyOffice.xlsFromCfb(cfb)
       else if (cfb.streams.contains("PowerPoint Document"))
         LegacyOffice.pptFromCfb(cfb)
-      else null // .msi / BIFF5 "Book" / unknown CFB: out of subset
+      else null // .msi / unknown CFB: out of subset
     } else null
   }
 

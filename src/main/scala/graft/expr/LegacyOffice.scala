@@ -16,13 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    split at CHARACTER boundaries only, each continuation segment
   *    re-leading with a fresh high-byte flag so the encoding can
   *    switch mid-string), LABELSST, inline LABEL, NUMBER (IEEE
-  *    double), RK / MULRK (the packed 30-bit int / x100 encodings)
-  *    and BOOLERR. Output mirrors the XLSX convention exactly: one
-  *    line per row, cells tab-joined in column order, sheets in
-  *    stream order; numbers render integral-as-integer so a value
-  *    round-trips identically through .xls and .xlsx. A FILEPASS
-  *    record (encryption) triages to NULL, as does a BIFF5 `Book`
-  *    stream (different string wire format, out of subset).
+  *    double), RK / MULRK (the packed 30-bit int / x100 encodings),
+  *    RSTRING and BOOLERR. Output mirrors the XLSX convention
+  *    exactly: one line per row, cells tab-joined in column order,
+  *    sheets in stream order; numbers render integral-as-integer so
+  *    a value round-trips identically through .xls and .xlsx.
+  *    BIFF5/7 (Excel 5.0/95, the `Book` stream) decodes through the
+  *    same record walk with its inline CP1252 byte strings (no
+  *    SST). A FILEPASS record (encryption) triages to NULL.
   *
   *  - `graft_ppt_text`: PowerPoint 97–2003 over the
   *    `PowerPoint Document` stream — a recursive record walk
@@ -106,10 +107,14 @@ object LegacyOffice {
   }
 
   private[graft] def xlsFromCfb(cfb: Cfb.File): UTF8String = {
-    // BIFF5 files name the stream "Book" and use byte strings — a
-    // different wire format, triaged rather than half-decoded
-    val wb = cfb.streams.getOrElse("Workbook", return null)
-    try xlsStream(wb) catch {
+    // BIFF8 names the stream "Workbook"; BIFF5/7 (Excel 5.0/95)
+    // names it "Book" and uses inline CP1252 byte strings with no
+    // SST — same record walk, different string wire format
+    val (wb, biff5) = cfb.streams.get("Workbook") match {
+      case Some(w) => (w, false)
+      case None => (cfb.streams.getOrElse("Book", return null), true)
+    }
+    try xlsStream(wb, biff5) catch {
       case _: ArrayIndexOutOfBoundsException |
           _: NegativeArraySizeException => null
     }
@@ -231,7 +236,7 @@ object LegacyOffice {
     d
   }
 
-  private def xlsStream(wb: Array[Byte]): UTF8String = {
+  private def xlsStream(wb: Array[Byte], biff5: Boolean): UTF8String = {
     var sst: IndexedSeq[String] = null
     // cells of the CURRENT worksheet substream: (row, col, text-or-isst)
     var cells: scala.collection.mutable.ArrayBuffer[(Int, Int, String, Int)] =
@@ -299,22 +304,34 @@ object LegacyOffice {
           if (rl < 10) return null
           cells += ((le16(wb, d), le16(wb, d + 2), null,
             le32(wb, d + 6).toInt))
-        case 0x0204 if cells != null => // LABEL: inline XLUnicodeString
-          if (rl < 9) return null
-          val cch = le16(wb, d + 6)
-          val hi = (wb(d + 8) & 1) != 0
-          val width = if (hi) 2 else 1
-          if (9 + cch * width > rl) return null
-          val s =
-            if (hi) {
-              val sb = new java.lang.StringBuilder
-              var k = 0
-              while (k < cch) {
-                sb.append(le16(wb, d + 9 + 2 * k).toChar); k += 1
-              }
-              sb.toString
-            } else new String(wb, d + 9, cch, Cp1252)
-          cells += ((le16(wb, d), le16(wb, d + 2), s, -1))
+        case 0x0204 | 0x00d6 if cells != null =>
+          // LABEL / RSTRING: inline string. BIFF8 = XLUnicodeString
+          // (cch + flags byte); BIFF5 = CP1252 ByteString (cch only).
+          // RSTRING's trailing formatting runs sit past the chars and
+          // are simply not read.
+          if (biff5) {
+            if (rl < 8) return null
+            val cch = le16(wb, d + 6)
+            if (8 + cch > rl) return null
+            cells += ((le16(wb, d), le16(wb, d + 2),
+              new String(wb, d + 8, cch, Cp1252), -1))
+          } else {
+            if (rl < 9) return null
+            val cch = le16(wb, d + 6)
+            val hi = (wb(d + 8) & 1) != 0
+            val width = if (hi) 2 else 1
+            if (9 + cch * width > rl) return null
+            val s =
+              if (hi) {
+                val sb = new java.lang.StringBuilder
+                var k = 0
+                while (k < cch) {
+                  sb.append(le16(wb, d + 9 + 2 * k).toChar); k += 1
+                }
+                sb.toString
+              } else new String(wb, d + 9, cch, Cp1252)
+            cells += ((le16(wb, d), le16(wb, d + 2), s, -1))
+          }
         case 0x0203 if cells != null => // NUMBER
           if (rl < 14) return null
           val bits = le32(wb, d + 6) | (le32(wb, d + 10) << 32)

@@ -223,6 +223,104 @@ private[graft] object LegacyOfficeBuild {
     DocBuild.cfb(Seq("Workbook" -> w.result))
   }
 
+  /** BIFF5/7 (Excel 5.0/95) workbook: the `Book` stream, inline
+    * CP1252 byte strings (no SST — every S/SInline becomes a BIFF5
+    * LABEL), numeric records unchanged. Non-CP1252 characters have
+    * no representation in this format; the writer substitutes '?'
+    * like Excel 95 did.
+    */
+  def xls5(sheets: Seq[Seq[Seq[Cell]]]): Array[Byte] = {
+    val w = new W
+    def bof5(dt: Int): Array[Byte] = {
+      val b = new W
+      b.le16(0x0500); b.le16(dt); b.le16(0x0dbb); b.le16(0x07cb)
+      b.result
+    }
+    record(w, 0x0809, bof5(0x0005))
+    record(w, 0x000a, Array.emptyByteArray)
+    sheets.foreach { rows =>
+      record(w, 0x0809, bof5(0x0010))
+      rows.zipWithIndex.foreach { case (cells, r) =>
+        cells.zipWithIndex.foreach { case (cell, c) =>
+          cell match {
+            case S(v0) =>
+              val v = v0.map(ch => if (ch > 0xff) '?' else ch)
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              p.le16(v.length); p.bytes(cp1252(v))
+              record(w, 0x0204, p.result)
+            case SInline(v0) =>
+              val v = v0.map(ch => if (ch > 0xff) '?' else ch)
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              p.le16(v.length); p.bytes(cp1252(v))
+              record(w, 0x0204, p.result)
+            case N(v) =>
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              val bits = java.lang.Double.doubleToLongBits(v)
+              p.le32(bits & 0xffffffffL); p.le32(bits >>> 32)
+              record(w, 0x0203, p.result)
+            case i @ I(v) =>
+              rkBits(i) match {
+                case Some(rk) =>
+                  val p = new W
+                  p.le16(r); p.le16(c); p.le16(0x000f)
+                  p.le32(rk.toLong & 0xffffffffL)
+                  record(w, 0x027e, p.result)
+                case None =>
+                  val p = new W
+                  p.le16(r); p.le16(c); p.le16(0x000f)
+                  val bits = java.lang.Double.doubleToLongBits(v.toDouble)
+                  p.le32(bits & 0xffffffffL); p.le32(bits >>> 32)
+                  record(w, 0x0203, p.result)
+              }
+            case x @ X100(v) =>
+              rkBits(x) match {
+                case Some(rk) =>
+                  val p = new W
+                  p.le16(r); p.le16(c); p.le16(0x000f)
+                  p.le32(rk.toLong & 0xffffffffL)
+                  record(w, 0x027e, p.result)
+                case None =>
+                  val p = new W
+                  p.le16(r); p.le16(c); p.le16(0x000f)
+                  val bits = java.lang.Double.doubleToLongBits(v)
+                  p.le32(bits & 0xffffffffL); p.le32(bits >>> 32)
+                  record(w, 0x0203, p.result)
+              }
+            case B(v) =>
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              p.u8(if (v) 1 else 0); p.u8(0)
+              record(w, 0x0205, p.result)
+          }
+        }
+      }
+      record(w, 0x000a, Array.emptyByteArray)
+    }
+    DocBuild.cfb(Seq("Book" -> w.result))
+  }
+
+  /** BIFF8 RSTRING (0x00D6): a LABEL-shaped record with trailing
+    * formatting runs the reader must skip.
+    */
+  def rstringSheet(row: Int, col: Int, v: String): Array[Byte] = {
+    val w = new W
+    record(w, 0x0809, bof(0x0005))
+    record(w, 0x000a, Array.emptyByteArray)
+    record(w, 0x0809, bof(0x0010))
+    val p = new W
+    p.le16(row); p.le16(col); p.le16(0x000f)
+    val hi = v.exists(_ > 0xff)
+    p.le16(v.length); p.u8(if (hi) 1 else 0)
+    if (hi) v.foreach(p.le16(_)) else p.bytes(cp1252(v))
+    p.le16(1); p.le16(0); p.le16(5) // one formatting run (ich, ifnt)
+    record(w, 0x00d6, p.result)
+    record(w, 0x000a, Array.emptyByteArray)
+    DocBuild.cfb(Seq("Workbook" -> w.result))
+  }
+
   /** An encrypted-workbook shell: BOF then FILEPASS — the reader must
     * triage, never mis-decode.
     */

@@ -90,11 +90,30 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(a != null && m != null && a.toString == m.toString)
   }
 
-  test("xls triage: FILEPASS, BIFF5 Book stream, torn records, non-CFB") {
+  test("BIFF5 (Excel 5.0/95) Book stream: inline byte strings decode") {
+    val b = xls5(Seq(Seq(
+      Seq(S("ninety five"), I(42), N(3.5)),
+      Seq(SInline("café bytes"), X100(1.27)))))
+    assert(LegacyOffice.xls(b).toString ==
+      "ninety five\t42\t3.5\ncafé bytes\t1.27\n")
+    assert(DocumentText.parse(b).toString ==
+      "ninety five\t42\t3.5\ncafé bytes\t1.27\n")
+    // characters outside CP1252 had no representation in Excel 95:
+    // the independent writer substitutes '?' exactly like Excel did
+    val u = xls5(Seq(Seq(Seq(S("has 中文 here")))))
+    assert(LegacyOffice.xls(u).toString == "has ?? here\n")
+  }
+
+  test("BIFF8 RSTRING: formatting runs past the chars are skipped") {
+    val b = rstringSheet(0, 0, "rich string cell")
+    assert(LegacyOffice.xls(b).toString == "rich string cell\n")
+  }
+
+  test("xls triage: FILEPASS, torn records, junk Book stream, non-CFB") {
     assert(LegacyOffice.xls(xlsEncrypted()) == null)
     assert(LegacyOffice.xls(null) == null)
     assert(LegacyOffice.xls("not a cfb".getBytes) == null)
-    // a CFB whose only stream is BIFF5-named: out of subset
+    // a Book stream that is not BIFF at all: no BOF → null
     val book = graft.expr.DocBuild.cfb(Seq("Book" -> Array[Byte](9, 8)))
     assert(LegacyOffice.xls(book) == null)
     assert(DocumentText.parse(book) == null)
