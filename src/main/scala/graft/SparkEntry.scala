@@ -4980,6 +4980,75 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // BCJ2-coded source-dump composition: each doc's files ship in a
+    // 7z whose single folder is the four-stream BCJ2 branching
+    // layout (7z's default heavy preset for executables) — a PDF, an
+    // RTF and a BINARY member with real x86 branch opcodes (the
+    // member that makes BCJ2 non-trivial: its E8/E9 rel32s convert
+    // to absolutes in the call/jump streams and back). The graph
+    // walk decodes the folder, the documents extract, the binary
+    // triages to NULL and is filtered — one single-scan plan.
+    "q222_bcj2_archive" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def pdfDoc(line: String): Array[Byte] = {
+          val content = s"BT /F1 12 Tf ($line) Tj ET"
+          ascii("%PDF-1.4\n" +
+            s"4 0 obj << /Length ${content.length} >> stream\n" +
+            content + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+        }
+        // branch-dense bytes: converted calls/jumps (rel32 high byte
+        // 00/FF), non-address E8s, jcc — the full control-bit mix
+        val bin = {
+          val out = new java.io.ByteArrayOutputStream()
+          val rnd = new java.util.Random(g * 2654435761L + 17L)
+          while (out.size < 600) {
+            rnd.nextInt(5) match {
+              case 0 =>
+                out.write(rnd.nextInt(256)); out.write(0xe8)
+                out.write(rnd.nextInt(256)); out.write(rnd.nextInt(256))
+                out.write(rnd.nextInt(31)); out.write(0x00)
+              case 1 =>
+                out.write(0xe9); out.write(rnd.nextInt(256))
+                out.write(rnd.nextInt(256)); out.write(0xff)
+                out.write(0xff)
+              case 2 =>
+                out.write(0x0f); out.write(0x80 | rnd.nextInt(16))
+                out.write(rnd.nextInt(256)); out.write(0); out.write(0)
+                out.write(0x00)
+              case 3 =>
+                out.write(rnd.nextInt(256)); out.write(0xe8)
+                out.write(0x11); out.write(0x22); out.write(0x33)
+                out.write(0x44)
+              case _ =>
+                out.write(rnd.nextInt(256)); out.write(0x0f)
+            }
+          }
+          out.toByteArray
+        }
+        graft.expr.SevenZipBuild.buildBcj2(Seq(
+          graft.expr.SevenZipBuild.Entry("docs/a.pdf",
+            pdfDoc(s"$safe pdf $g")),
+          graft.expr.SevenZipBuild.Entry("bin/app.exe", bin),
+          graft.expr.SevenZipBuild.Entry("docs/c.rtf",
+            ascii(s"{\\rtf1 $safe rtf $g\\par}"))),
+          lzma2 = g % 2 == 1)
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.SevenZip.FunctionName,
+            gen(id, safe), lit(16))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("e.content")), "\\s+", " ")), 1, 120).as("doc_text"))
+        .where(col("doc_text").isNotNull)
+    }),
+
     // ODF corpus: odt / ods / odp (the LibreOffice-export family)
     // through the same ONE graft_document_text — the zip arm
     // discriminates by the spec-mandated STORED mimetype entry. The
@@ -9105,6 +9174,22 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the BCJ2 folder and the extraction layer are both transparent:
+    // two document rows per archive (the binary member triages NULL
+    // and is filtered in-plan)
+    "q222_bcj2_archive" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         f AS (SELECT id, 'docs/a.pdf' AS path, 'pdf' AS kind FROM d
+               UNION ALL SELECT id, 'docs/c.rtf', 'rtf' FROM d)
+       SELECT CAST(f.id AS BIGINT) AS file_id, f.path,
+              substr(trim(regexp_replace(
+                d.safe || ' ' || f.kind || ' ' || f.id,
+                '\s+', ' ', 'g')), 1, 120) AS doc_text
+       FROM f JOIN d ON f.id = d.id""",
 
     // the ODF containers are transparent: the oracle replays the
     // paragraph (odt/odp) and row/tab (ods) conventions
