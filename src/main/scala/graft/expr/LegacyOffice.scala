@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    re-leading with a fresh high-byte flag so the encoding can
   *    switch mid-string), LABELSST, inline LABEL, NUMBER (IEEE
   *    double), RK / MULRK (the packed 30-bit int / x100 encodings),
-  *    RSTRING and BOOLERR. Output mirrors the XLSX convention
+  *    RSTRING, BOOLERR and FORMULA cached results (the inline
+  *    double, or the tagged string/boolean/empty forms with the
+  *    string value in the following STRING record — the cached
+  *    result IS the visible text of a formula cell). Output mirrors
+  *    the XLSX convention
   *    exactly: one line per row, cells tab-joined in column order,
   *    sheets in stream order; numbers render integral-as-integer so
   *    a value round-trips identically through .xls and .xlsx.
@@ -30,10 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (containers carry recVer 0xF) collecting TextCharsAtom
   *    (UTF-16LE) and TextBytesAtom (CP1252) payloads in stream
   *    order, one line per paragraph (the \r / vertical-tab separators),
-  *    the PPTX convention. Stream order is document order for
-  *    single-edit files (this subset does not chase the
-  *    PersistDirectory's incremental-save indirection; multi-edit
-  *    decks replay every edit's text in stream order).
+  *    the PPTX convention. Incrementally-saved decks resolve through
+  *    the CurrentUserAtom → UserEditAtom chain → PersistDirectory
+  *    walk, so only LIVE objects contribute (stale slide versions
+  *    from earlier edits are skipped; newest definition of each
+  *    persist id wins); files without a parseable directory fall
+  *    back to the linear stream walk, and encrypted decks triage.
   *
   * Both are NULL-never-error per-row projections;
   * [[DocumentText]] routes CFBs here by directory-entry name.
@@ -241,6 +247,8 @@ object LegacyOffice {
     // cells of the CURRENT worksheet substream: (row, col, text-or-isst)
     var cells: scala.collection.mutable.ArrayBuffer[(Int, Int, String, Int)] =
       null
+    // a string-valued FORMULA waiting for its STRING record
+    var pendingFormula: (Int, Int) = null
     val out = new java.lang.StringBuilder
 
     def flushSheet(): Unit = {
@@ -358,6 +366,55 @@ object LegacyOffice {
             // booleans render as the sibling XLSX stores them: 1 / 0
             cells += ((le16(wb, d), le16(wb, d + 2),
               if (wb(d + 6) != 0) "1" else "0", -1))
+        case 0x0006 if cells != null =>
+          // FORMULA: the CACHED result is the visible text. An IEEE
+          // double sits inline unless bytes 12-13 read 0xFFFF, in
+          // which case byte 6 tags the kind: 0 = string (the value
+          // follows in a STRING record), 1 = boolean, 2 = error
+          // (emits nothing), 3 = empty string.
+          if (rl < 14) return null
+          val row = le16(wb, d)
+          val colF = le16(wb, d + 2)
+          if (le16(wb, d + 12) == 0xffff) {
+            (wb(d + 6) & 0xff) match {
+              case 0 => pendingFormula = ((row, colF))
+              case 1 => cells += ((row, colF,
+                if (wb(d + 8) != 0) "1" else "0", -1))
+              case 3 => cells += ((row, colF, "", -1))
+              case _ => () // error result: emits nothing
+            }
+          } else {
+            val bits = le32(wb, d + 6) | (le32(wb, d + 10) << 32)
+            cells += ((row, colF,
+              fmtNum(java.lang.Double.longBitsToDouble(bits)), -1))
+          }
+        case 0x0207 if cells != null && pendingFormula != null =>
+          // STRING: the preceding FORMULA's cached string value —
+          // BIFF8 XLUnicodeString, BIFF5 byte string
+          val (row, colF) = pendingFormula
+          pendingFormula = null
+          if (biff5) {
+            if (rl < 2) return null
+            val cch = le16(wb, d)
+            if (2 + cch > rl) return null
+            cells += ((row, colF, new String(wb, d + 2, cch, Cp1252), -1))
+          } else {
+            if (rl < 3) return null
+            val cch = le16(wb, d)
+            val hi = (wb(d + 2) & 1) != 0
+            val width = if (hi) 2 else 1
+            if (3 + cch * width > rl) return null
+            val sv =
+              if (hi) {
+                val sb = new java.lang.StringBuilder
+                var k = 0
+                while (k < cch) {
+                  sb.append(le16(wb, d + 3 + 2 * k).toChar); k += 1
+                }
+                sb.toString
+              } else new String(wb, d + 3, cch, Cp1252)
+            cells += ((row, colF, sv, -1))
+          }
         case _ => ()
       }
       if (out.length > MaxTextChars) return null
@@ -381,10 +438,86 @@ object LegacyOffice {
   private[graft] def pptFromCfb(cfb: Cfb.File): UTF8String = {
     val doc = cfb.streams.getOrElse("PowerPoint Document", return null)
     val out = new java.lang.StringBuilder
-    try walkPpt(doc, 0, doc.length, 0, out) catch {
+    try {
+      // an encrypted deck (CurrentUserAtom header token 0xF3D1C4DF)
+      // triages outright — a linear walk over ciphertext is garbage
+      cfb.streams.get("Current User").foreach { cu =>
+        if (cu.length >= 16 && le16(cu, 2) == 0x0ff6 &&
+            le32(cu, 12) == 0xf3d1c4dfL) return null
+      }
+      // incrementally-saved decks REPLAY old edits in the stream; the
+      // Current User → UserEditAtom chain → PersistDirectory walk
+      // reads only the LIVE objects. Decks without a parseable
+      // directory (incl. this repo's simple fixtures) fall back to
+      // the linear walk.
+      if (!pptViaPersist(cfb, doc, out)) {
+        out.setLength(0)
+        walkPpt(doc, 0, doc.length, 0, out)
+      }
+    } catch {
       case _: ArrayIndexOutOfBoundsException => return null
     }
     if (out.length == 0) null else UTF8String.fromString(out.toString)
+  }
+
+  /** The MS-PPT incremental-save walk: CurrentUserAtom (the
+    * `Current User` stream) → offsetToCurrentEdit → UserEditAtom
+    * chain (newest first via offsetLastEdit) → each edit's
+    * PersistDirectoryAtom; the newest definition of each persist id
+    * wins, and only LIVE objects contribute text (stale slide
+    * versions from earlier edits are skipped). Live objects emit in
+    * ascending persist-id order (creation order — the subset's
+    * document order). False = no parseable directory (caller falls
+    * back to the linear walk; encrypted decks were already triaged).
+    */
+  private def pptViaPersist(cfb: Cfb.File, doc: Array[Byte],
+      out: java.lang.StringBuilder): Boolean = {
+    val cu = cfb.streams.getOrElse("Current User", return false)
+    if (cu.length < 28) return false
+    if (le16(cu, 2) != 0x0ff6) return false // CurrentUserAtom
+    if (le32(cu, 12) != 0xe391c05fL) return false // encrypted/unknown
+    var editOff = le32(cu, 16)
+    val live = new java.util.TreeMap[Long, Long]()
+    var guard = 0
+    while (editOff != 0 && guard < 4096) {
+      if (editOff < 0 || editOff + 36 > doc.length) return false
+      if (le16(doc, editOff.toInt + 2) != 0x0ff5) return false
+      val payload = editOff.toInt + 8
+      val offsetLastEdit = le32(doc, payload + 8)
+      val dirOff = le32(doc, payload + 12)
+      if (dirOff <= 0 || dirOff + 8 > doc.length) return false
+      if (le16(doc, dirOff.toInt + 2) != 0x1772) return false
+      val dlen = le32(doc, dirOff.toInt + 4)
+      var p = dirOff.toInt + 8
+      val dend = p + dlen.toInt
+      if (dlen < 0 || dend > doc.length) return false
+      while (p + 4 <= dend) {
+        val packed = le32(doc, p); p += 4
+        val pid = packed & 0xfffffL
+        val cnt = (packed >>> 20).toInt
+        var k = 0
+        while (k < cnt) {
+          if (p + 4 > dend) return false
+          val off = le32(doc, p); p += 4
+          // newest → oldest: the first definition seen wins
+          if (!live.containsKey(pid + k)) live.put(pid + k, off)
+          k += 1
+        }
+      }
+      if (offsetLastEdit >= editOff) return false // must strictly rewind
+      editOff = offsetLastEdit
+      guard += 1
+    }
+    if (live.isEmpty) return false
+    live.forEach { (_, off) =>
+      if (off >= 0 && off + 8 <= doc.length) {
+        val len = le32(doc, off.toInt + 4)
+        val end = off + 8 + len
+        if (len >= 0 && end <= doc.length)
+          walkPpt(doc, off.toInt, end.toInt, 0, out)
+      }
+    }
+    true
   }
 
   /** One line per paragraph: \r and vertical-tab separate; a trailing

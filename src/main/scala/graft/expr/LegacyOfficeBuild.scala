@@ -24,6 +24,12 @@ private[graft] object LegacyOfficeBuild {
   final case class X100(v: Double) extends Cell
   /** Boolean (BOOLERR). */
   final case class B(v: Boolean) extends Cell
+  /** Formula with a cached numeric result (FORMULA). */
+  final case class FNum(v: Double) extends Cell
+  /** Formula with a cached string result (FORMULA + STRING). */
+  final case class FStr(v: String) extends Cell
+  /** Formula with a cached boolean result (FORMULA, tag 1). */
+  final case class FBool(v: Boolean) extends Cell
 
   private final class W(val out: java.io.ByteArrayOutputStream =
       new java.io.ByteArrayOutputStream()) {
@@ -214,6 +220,9 @@ private[graft] object LegacyOfficeBuild {
               p.le16(r); p.le16(c); p.le16(0x000f)
               p.u8(if (v) 1 else 0); p.u8(0) // fError = 0
               record(w, 0x0205, p.result)
+            case f: FNum => formula(w, r, c, f)
+            case f: FStr => formula(w, r, c, f)
+            case f: FBool => formula(w, r, c, f)
           }
           c += 1
         }
@@ -221,6 +230,41 @@ private[graft] object LegacyOfficeBuild {
       record(w, 0x000a, Array.emptyByteArray) // sheet EOF
     }
     DocBuild.cfb(Seq("Workbook" -> w.result))
+  }
+
+  /** FORMULA record (+ STRING for cached strings): the 8-byte cached
+    * slot, flags, chn, and a minimal parsed expression (ptgInt 7).
+    */
+  private def formula(w: W, r: Int, c: Int, cell: Cell): Unit = {
+    val p = new W
+    p.le16(r); p.le16(c); p.le16(0x000f)
+    cell match {
+      case FNum(v) =>
+        val bits = java.lang.Double.doubleToLongBits(v)
+        p.le32(bits & 0xffffffffL); p.le32(bits >>> 32)
+      case FStr(_) =>
+        p.u8(0); p.u8(0); p.u8(0); p.u8(0); p.u8(0); p.u8(0)
+        p.le16(0xffff)
+      case FBool(v) =>
+        p.u8(1); p.u8(0); p.u8(if (v) 1 else 0)
+        p.u8(0); p.u8(0); p.u8(0)
+        p.le16(0xffff)
+      case _ => throw new IllegalArgumentException
+    }
+    p.le16(0) // grbit
+    p.le32(0) // chn
+    p.le16(3) // cce
+    p.u8(0x1e); p.le16(7) // ptgInt 7 — a plausible parsed expression
+    record(w, 0x0006, p.result)
+    cell match {
+      case FStr(v) =>
+        val sp = new W
+        val hi = v.exists(_ > 0xff)
+        sp.le16(v.length); sp.u8(if (hi) 1 else 0)
+        if (hi) v.foreach(sp.le16(_)) else sp.bytes(cp1252(v))
+        record(w, 0x0207, sp.result)
+      case _ => ()
+    }
   }
 
   /** BIFF5/7 (Excel 5.0/95) workbook: the `Book` stream, inline
@@ -294,6 +338,35 @@ private[graft] object LegacyOfficeBuild {
               p.le16(r); p.le16(c); p.le16(0x000f)
               p.u8(if (v) 1 else 0); p.u8(0)
               record(w, 0x0205, p.result)
+            case FNum(v) =>
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              val bits = java.lang.Double.doubleToLongBits(v)
+              p.le32(bits & 0xffffffffL); p.le32(bits >>> 32)
+              p.le16(0); p.le32(0); p.le16(3)
+              p.u8(0x1e); p.le16(7)
+              record(w, 0x0006, p.result)
+            case FStr(v0) =>
+              val v = v0.map(ch => if (ch > 0xff) '?' else ch)
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              p.u8(0); p.u8(0); p.u8(0); p.u8(0); p.u8(0); p.u8(0)
+              p.le16(0xffff)
+              p.le16(0); p.le32(0); p.le16(3)
+              p.u8(0x1e); p.le16(7)
+              record(w, 0x0006, p.result)
+              val sp = new W // BIFF5 STRING: a byte string
+              sp.le16(v.length); sp.bytes(cp1252(v))
+              record(w, 0x0207, sp.result)
+            case FBool(v) =>
+              val p = new W
+              p.le16(r); p.le16(c); p.le16(0x000f)
+              p.u8(1); p.u8(0); p.u8(if (v) 1 else 0)
+              p.u8(0); p.u8(0); p.u8(0)
+              p.le16(0xffff)
+              p.le16(0); p.le32(0); p.le16(3)
+              p.u8(0x1e); p.le16(7)
+              record(w, 0x0006, p.result)
           }
         }
       }
@@ -345,34 +418,106 @@ private[graft] object LegacyOfficeBuild {
     w.bytes(payload)
   }
 
+  private def slideContainer(stream: W, paras: Seq[String]): Unit = {
+    val inner = new W
+    // SlideAtom stand-in the reader skips (non-text atom)
+    pptRec(inner, 0x0002, 0x03ef, new Array[Byte](24))
+    paras.grouped(2).foreach { group =>
+      val text = group.mkString("\r")
+      val hdr = new W
+      hdr.le32(0) // txtype: title/body/other — cosmetic here
+      pptRec(inner, 0x0000, 0x0f9f, hdr.result) // TextHeaderAtom
+      if (text.exists(_ > 0xff)) {
+        val p = new W
+        text.foreach(p.le16(_))
+        pptRec(inner, 0x0000, 0x0fa0, p.result) // TextCharsAtom
+      } else
+        pptRec(inner, 0x0000, 0x0fa8, cp1252(text)) // TextBytesAtom
+    }
+    pptRec(stream, 0x000f, 0x03ee, inner.result) // SlideContainer
+  }
+
   /** One SlideContainer per slide, each text shape a TextHeaderAtom +
     * TextCharsAtom (any char > 0xFF) or TextBytesAtom; paragraphs
-    * \r-separated inside one atom, the PowerPoint convention.
+    * \r-separated inside one atom, the PowerPoint convention. No
+    * persist directory — the reader's linear fallback shape.
     */
   def ppt(slides: Seq[Seq[String]]): Array[Byte] = {
     val stream = new W
-    slides.foreach { paras =>
-      val inner = new W
-      // SlideAtom stand-in the reader skips (non-text atom)
-      pptRec(inner, 0x0002, 0x03ef, new Array[Byte](24))
-      paras.grouped(2).foreach { group =>
-        val text = group.mkString("\r")
-        val hdr = new W
-        hdr.le32(0) // txtype: title/body/other — cosmetic here
-        pptRec(inner, 0x0000, 0x0f9f, hdr.result) // TextHeaderAtom
-        if (text.exists(_ > 0xff)) {
-          val p = new W
-          text.foreach(p.le16(_))
-          pptRec(inner, 0x0000, 0x0fa0, p.result) // TextCharsAtom
-        } else
-          pptRec(inner, 0x0000, 0x0fa8, cp1252(text)) // TextBytesAtom
-      }
-      pptRec(stream, 0x000f, 0x03ee, inner.result) // SlideContainer
-    }
+    slides.foreach(slideContainer(stream, _))
     val currentUser = new W
     currentUser.le32(20); currentUser.le32(0xe391c05fL) // magic token
     DocBuild.cfb(Seq(
       "PowerPoint Document" -> stream.result,
       "Current User" -> currentUser.result))
+  }
+
+  /** An INCREMENTALLY-SAVED deck: each edit appends its slide
+    * containers, a PersistDirectoryAtom mapping the persist ids it
+    * defines/replaces, and a UserEditAtom chaining to the previous
+    * edit; the CurrentUserAtom (a real record this time, unlike
+    * [[ppt]]'s bare token blob) points at the NEWEST edit. The
+    * reader must emit only live objects — a replaced slide's stale
+    * text stays in the stream but must not appear.
+    */
+  def pptIncremental(edits: Seq[Seq[(Int, Seq[String])]]): Array[Byte] = {
+    val stream = new W
+    var prevEdit = 0L
+    edits.foreach { edit =>
+      val offsets = edit.map { case (pid, paras) =>
+        val off = stream.out.size()
+        slideContainer(stream, paras)
+        pid -> off
+      }
+      val dirOff = stream.out.size()
+      val dp = new W
+      offsets.foreach { case (pid, off) =>
+        dp.le32((1L << 20) | pid) // cPersist=1 in bits 20.., id low 20
+        dp.le32(off.toLong)
+      }
+      pptRec(stream, 0x0000, 0x1772, dp.result) // PersistDirectoryAtom
+      val editOff = stream.out.size()
+      val up = new W
+      up.le32(0) // lastSlideIdRef
+      up.le16(0); up.u8(0); up.u8(3) // version fields
+      up.le32(prevEdit) // offsetLastEdit: 0 terminates the chain
+      up.le32(dirOff.toLong)
+      up.le32(1) // docPersistIdRef
+      up.le32(1000) // persistIdSeed
+      up.le16(0); up.le16(0)
+      pptRec(stream, 0x0000, 0x0ff5, up.result) // UserEditAtom
+      prevEdit = editOff.toLong
+    }
+    val cu = new W
+    cu.le16(0); cu.le16(0x0ff6) // CurrentUserAtom record header
+    val body = new W
+    body.le32(20) // size
+    body.le32(0xe391c05fL) // headerToken: not encrypted
+    body.le32(prevEdit) // offsetToCurrentEdit
+    body.le16(0); body.le16(0) // lenUserName, docFileVersion
+    body.u8(3); body.u8(0); body.le16(0) // major/minor/unused
+    cu.le32(body.result.length.toLong)
+    cu.bytes(body.result)
+    DocBuild.cfb(Seq(
+      "PowerPoint Document" -> stream.result,
+      "Current User" -> cu.result))
+  }
+
+  /** The encrypted-deck shell: a CurrentUserAtom whose header token
+    * is the MS-PPT encryption marker — the reader must triage.
+    */
+  def pptEncrypted(): Array[Byte] = {
+    val stream = new W
+    slideContainer(stream, Seq("cipher text"))
+    val cu = new W
+    cu.le16(0); cu.le16(0x0ff6)
+    val body = new W
+    body.le32(20); body.le32(0xf3d1c4dfL); body.le32(0)
+    body.le16(0); body.le16(0); body.u8(3); body.u8(0); body.le16(0)
+    cu.le32(body.result.length.toLong)
+    cu.bytes(body.result)
+    DocBuild.cfb(Seq(
+      "PowerPoint Document" -> stream.result,
+      "Current User" -> cu.result))
   }
 }

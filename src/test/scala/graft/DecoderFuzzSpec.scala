@@ -168,6 +168,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Seq(graft.expr.LegacyOfficeBuild.S("sweep"),
         graft.expr.LegacyOfficeBuild.I(3)))), maxSstData = 8)
     val pptB = graft.expr.LegacyOfficeBuild.ppt(Seq(Seq("sweep para")))
+    val pptInc = graft.expr.LegacyOfficeBuild.pptIncremental(Seq(
+      Seq(2 -> Seq("first")), Seq(2 -> Seq("second"))))
     val odfB = {
       val bos = new java.io.ByteArrayOutputStream()
       val z = new java.util.zip.ZipOutputStream(bos)
@@ -186,7 +188,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       z.closeEntry(); z.close(); bos.toByteArray
     }
     for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
-        xlsB, pptB, odfB);
+        xlsB, pptB, pptInc, odfB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }

@@ -102,6 +102,22 @@ class LegacyOfficeSpec extends AnyFunSuite {
     // the independent writer substitutes '?' exactly like Excel did
     val u = xls5(Seq(Seq(Seq(S("has 中文 here")))))
     assert(LegacyOffice.xls(u).toString == "has ?? here\n")
+    // BIFF5 FORMULA cached results (byte-string STRING record)
+    val f = xls5(Seq(Seq(Seq(FNum(6.0), FStr("cached"), FBool(false)))))
+    assert(LegacyOffice.xls(f).toString == "6\tcached\t0\n")
+  }
+
+  test("xls: FORMULA cached results are the visible text") {
+    // numeric, string (via the following STRING record), boolean and
+    // a plain cell after the formula pair (the pending-string state
+    // must not leak)
+    val b = xls(Seq(Seq(
+      Seq(FNum(12.0), FStr("concatenated"), FBool(true), S("after")),
+      Seq(FNum(0.125), FStr("café 中文")))))
+    assert(LegacyOffice.xls(b).toString ==
+      "12\tconcatenated\t1\tafter\n0.125\tcafé 中文\n")
+    assert(DocumentText.parse(b).toString ==
+      "12\tconcatenated\t1\tafter\n0.125\tcafé 中文\n")
   }
 
   test("BIFF8 RSTRING: formatting runs past the chars are skipped") {
@@ -154,6 +170,29 @@ class LegacyOfficeSpec extends AnyFunSuite {
     val a = DocumentText.parse(legacy)
     val m = DocumentText.parse(modern)
     assert(a != null && m != null && a.toString == m.toString)
+  }
+
+  test("ppt incremental save: only LIVE persist objects emit text") {
+    // edit 1 creates slides 2 and 3; edit 2 REPLACES slide 2 and adds
+    // slide 4. The stale "original title" bytes remain in the stream
+    // (a linear walk would emit them) but the persist walk must not.
+    val deck = pptIncremental(Seq(
+      Seq(2 -> Seq("original title", "old bullet"), 3 -> Seq("slide two")),
+      Seq(2 -> Seq("revised title"), 4 -> Seq("slide three"))))
+    assert(LegacyOffice.ppt(deck).toString ==
+      "revised title\nslide two\nslide three\n")
+    assert(DocumentText.parse(deck).toString ==
+      "revised title\nslide two\nslide three\n")
+    // a single-edit incremental deck equals its linear twin
+    val one = pptIncremental(Seq(Seq(2 -> Seq("only slide", "bullet"))))
+    val linear = ppt(Seq(Seq("only slide", "bullet")))
+    assert(LegacyOffice.ppt(one).toString ==
+      LegacyOffice.ppt(linear).toString)
+  }
+
+  test("ppt encrypted deck triages to null, never a ciphertext walk") {
+    assert(LegacyOffice.ppt(pptEncrypted()) == null)
+    assert(DocumentText.parse(pptEncrypted()) == null)
   }
 
   test("ppt triage: no text atoms, torn record, wrong stream") {
