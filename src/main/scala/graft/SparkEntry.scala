@@ -4954,9 +4954,9 @@ object SparkEntry {
     // construction relationally (row/tab and paragraph conventions).
     "q220_legacy_office" -> ((s, dir) => {
       Graft.tune(s)
-      import graft.expr.LegacyOfficeBuild.{I, N, S => LS}
+      import graft.expr.LegacyOfficeBuild.{FNum, FStr, I, N, S => LS}
       val gen = udf { (g: Long, safe: String) =>
-        (g % 3).toInt match {
+        (g % 5).toInt match {
           case 0 => // .xls: shared strings + RK int + NUMBER (x.5)
             graft.expr.LegacyOfficeBuild.xls(Seq(Seq(
               Seq(LS(safe), I((g % 89).toInt)),
@@ -4964,11 +4964,20 @@ object SparkEntry {
               maxSstData = 64)
           case 1 => // .ppt: two paragraphs, one per line
             graft.expr.LegacyOfficeBuild.ppt(Seq(Seq(safe, s"slide $g")))
-          case _ => // .xls multi-sheet with a UTF-16 SST tail
+          case 2 => // .xls multi-sheet with a UTF-16 SST tail
             graft.expr.LegacyOfficeBuild.xls(Seq(
               Seq(Seq(LS(safe))),
               Seq(Seq(LS("unicode é中 tail"), I((g % 7).toInt)))),
               maxSstData = 64)
+          case 3 => // BIFF5 Book stream with FORMULA cached results
+            graft.expr.LegacyOfficeBuild.xls5(Seq(Seq(
+              Seq(LS(safe), FNum((g % 89).toDouble)),
+              Seq(LS("total"), FStr(s"f${g % 7}")))))
+          case _ => // incrementally-saved .ppt: the stale slide text
+            // stays in the stream; only the live edit may extract
+            graft.expr.LegacyOfficeBuild.pptIncremental(Seq(
+              Seq(2 -> Seq("stale draft title")),
+              Seq(2 -> Seq(safe), 3 -> Seq(s"slide $g"))))
         }
       }
       val id = col("doc_id")
@@ -9215,12 +9224,15 @@ object SparkEntry {
                 '[^a-z0-9 ]', ' ', 'g'), 1, 60) AS safe
            FROM documents)
        SELECT doc_id,
-         substr(CASE CAST(doc_id % 3 AS INTEGER)
+         substr(CASE CAST(doc_id % 5 AS INTEGER)
            WHEN 0 THEN safe || chr(9) || (doc_id % 89) || chr(10) ||
              'total' || chr(9) || (doc_id % 13) || '.5' || chr(10)
            WHEN 1 THEN safe || chr(10) || 'slide ' || doc_id || chr(10)
-           ELSE safe || chr(10) || 'unicode é中 tail' || chr(9) ||
+           WHEN 2 THEN safe || chr(10) || 'unicode é中 tail' || chr(9) ||
              (doc_id % 7) || chr(10)
+           WHEN 3 THEN safe || chr(9) || (doc_id % 89) || chr(10) ||
+             'total' || chr(9) || 'f' || (doc_id % 7) || chr(10)
+           ELSE safe || chr(10) || 'slide ' || doc_id || chr(10)
          END, 1, 200) AS office_text
        FROM d""",
 
