@@ -4989,6 +4989,67 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // Crawl-attachment triage: WARC responses carry BOTH pages and
+    // binary document attachments; one plan walks the records, splits
+    // the HTTP layer, routes PDFs through graft_document_text and
+    // pages through graft_http_text — kind decided by whether the
+    // document extractor recognized the payload. The full chain
+    // (WARC → HTTP → document) is three tiers in one single-scan
+    // plan, all fixture construction RELATIONAL (no udf).
+    "q223_warc_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      val htmlBody = concat(ascii("<p>crawl page "),
+        encode(id.cast("string"), "UTF-8").cast(BinaryType),
+        ascii("</p>"))
+      val pdfLine = concat(encode(concat(safe, lit(" pdf ")), "UTF-8")
+        .cast(BinaryType),
+        encode(id.cast("string"), "UTF-8").cast(BinaryType))
+      val pdfContent = concat(ascii("BT /F1 12 Tf ("), pdfLine,
+        ascii(") Tj ET"))
+      val pdfBody = concat(ascii("%PDF-1.4\n4 0 obj << /Length "),
+        encode(length(pdfContent.cast("string")).cast("string"), "UTF-8")
+          .cast(BinaryType),
+        ascii(" >> stream\n"), pdfContent,
+        ascii("\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"))
+      def http(ctype: String, body: Column): Column =
+        concat(ascii(s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n"),
+          body)
+      def warcRec(uriTail: String, http0: Column): Column =
+        concat(ascii("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/" + uriTail),
+          encode(id.cast("string"), "UTF-8").cast(BinaryType),
+          ascii("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            "Content-Type: application/http; msgtype=response\r\n" +
+            "Content-Length: "),
+          encode(length(http0.cast("string")).cast("string"), "UTF-8")
+            .cast(BinaryType),
+          ascii("\r\n\r\n"), http0, ascii("\r\n\r\n"))
+      val warc = concat(
+        warcRec("page/", http("text/html; charset=utf-8", htmlBody)),
+        warcRec("doc/", http("application/pdf", pdfBody)))
+      tp(s, dir, "documents")
+        .select(id.as("file_id"), explode(call_function(
+          graft.expr.WarcRecords.FunctionName, warc, lit(8))).as("r"))
+        .select(col("file_id"), col("r.target_uri").as("uri"),
+          call_function(graft.expr.HttpBody.FunctionName,
+            col("r.payload")).as("b"),
+          call_function(graft.expr.HttpText.FunctionName,
+            col("r.payload")).as("h"))
+        .select(col("file_id"), col("uri"),
+          call_function(graft.expr.DocumentText.FunctionName,
+            col("b.body")).as("dt"),
+          col("h.text").as("ht"))
+        .select(col("file_id"), col("uri"),
+          when(col("dt").isNotNull, lit("document"))
+            .otherwise(lit("page")).as("kind"),
+          substring(trim(regexp_replace(coalesce(col("dt"), col("ht")),
+            "\\s+", " ")), 1, 120).as("text"))
+    }),
+
     // BCJ2-coded source-dump composition: each doc's files ship in a
     // 7z whose single folder is the four-stream BCJ2 branching
     // layout (7z's default heavy preset for executables) — a PDF, an
@@ -9183,6 +9244,26 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // WARC + HTTP + PDF layers are all transparent; two rows per
+    // crawl file, kind decided by the document dispatch
+    "q223_warc_documents" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents)
+       SELECT CAST(id AS BIGINT) AS file_id,
+              'http://example.com/page/' || id AS uri,
+              'page' AS kind,
+              '<p>crawl page ' || id || '</p>' AS text
+       FROM d
+       UNION ALL
+       SELECT CAST(id AS BIGINT) AS file_id,
+              'http://example.com/doc/' || id AS uri,
+              'document' AS kind,
+              substr(trim(regexp_replace(safe || ' pdf ' || id,
+                '\s+', ' ', 'g')), 1, 120) AS text
+       FROM d""",
 
     // the BCJ2 folder and the extraction layer are both transparent:
     // two document rows per archive (the binary member triages NULL
