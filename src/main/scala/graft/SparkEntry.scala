@@ -4989,6 +4989,47 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // Mail-dump corpus: mbox archives of RFC-5322 messages — subject
+    // RFC-2047 B-encoded over the doc text, quoted-printable and
+    // multipart/alternative bodies — through graft_mbox_messages →
+    // graft_eml_text. All construction relational (Spark's base64
+    // builds the encoded word in-plan; the oracle replays the
+    // DECODED form, so the encoding layers are transparent).
+    "q224_mail_corpus" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      val id = col("doc_id")
+      val safe = concat(lit("m "), substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40))
+      val idB = encode(id.cast("string"), "UTF-8").cast(BinaryType)
+      val subjWord = concat(ascii("=?UTF-8?B?"),
+        encode(base64(encode(concat(lit("re "), safe), "UTF-8")), "UTF-8")
+          .cast(BinaryType),
+        ascii("?="))
+      val msg1 = concat(
+        ascii("From: alice@example.com\nSubject: "), subjWord,
+        ascii("\nContent-Type: text/plain; charset=utf-8\n" +
+          "Content-Transfer-Encoding: quoted-printable\n\n" +
+          "body =C3=A9 "), idB, ascii(" ok\n"))
+      val msg2 = concat(
+        ascii("From: bob@example.com\nSubject: thread "),
+        encode((id % 7).cast("string"), "UTF-8").cast(BinaryType),
+        ascii("\nMIME-Version: 1.0\n" +
+          "Content-Type: multipart/alternative; boundary=\"bq\"\n\n" +
+          "--bq\nContent-Type: text/html\n\n<p>html ignored "), idB,
+        ascii("</p>\n--bq\nContent-Type: text/plain\n\nplain part "),
+        idB, ascii("\n--bq--\n"))
+      val mbox = concat(
+        ascii("From alice Mon Jan  1 00:00:00 2026\n"), msg1,
+        ascii("\nFrom bob Mon Jan  1 00:01:00 2026\n"), msg2)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"), posexplode(call_function(
+          graft.expr.EmlText.MboxName, mbox, lit(8))))
+        .select(col("file_id"), col("pos"),
+          substring(call_function(graft.expr.EmlText.FunctionName,
+            col("col")), 1, 160).as("mail_text"))
+    }),
+
     // Crawl-attachment triage: WARC responses carry BOTH pages and
     // binary document attachments; one plan walks the records, splits
     // the HTTP layer, routes PDFs through graft_document_text and
@@ -9244,6 +9285,25 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the 2047/QP/base64/multipart layers are all transparent: the
+    // oracle replays the decoded text forms
+    "q224_mail_corpus" ->
+      """WITH d AS (SELECT doc_id AS id,
+              'm ' || substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents)
+       SELECT CAST(id AS BIGINT) AS file_id, 0 AS pos,
+              substr('Subject: re ' || safe || chr(10) || chr(10) ||
+                'body ' || chr(233) || ' ' || id || ' ok' || chr(10),
+                1, 160) AS mail_text
+       FROM d
+       UNION ALL
+       SELECT CAST(id AS BIGINT) AS file_id, 1 AS pos,
+              substr('Subject: thread ' || (id % 7) || chr(10) ||
+                chr(10) || 'plain part ' || id || chr(10),
+                1, 160) AS mail_text
+       FROM d""",
 
     // WARC + HTTP + PDF layers are all transparent; two rows per
     // crawl file, kind decided by the document dispatch

@@ -61,6 +61,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "XlsText" -> (b => graft.expr.LegacyOffice.xls(b)),
     "PptText" -> (b => graft.expr.LegacyOffice.ppt(b)),
     "OdfText" -> (b => graft.expr.OdfText.parse(b)),
+    "EmlText" -> (b => graft.expr.EmlText.parse(b)),
+    "MboxMessages" -> (b => graft.expr.EmlText.mbox(b, 16)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
     "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
     "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
@@ -170,6 +172,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val pptB = graft.expr.LegacyOfficeBuild.ppt(Seq(Seq("sweep para")))
     val pptInc = graft.expr.LegacyOfficeBuild.pptIncremental(Seq(
       Seq(2 -> Seq("first")), Seq(2 -> Seq("second"))))
+    val mboxB = ("From a Mon Jan 1 00:00:00 2026\n" +
+      "From: a@x\nSubject: =?UTF-8?B?c3dlZXA=?=\n" +
+      "Content-Type: multipart/alternative; boundary=zz\n\n" +
+      "--zz\nContent-Type: text/plain\n" +
+      "Content-Transfer-Encoding: quoted-printable\n\nsw=65ep\n" +
+      "--zz--\n").getBytes("ISO-8859-1")
     val odfB = {
       val bos = new java.io.ByteArrayOutputStream()
       val z = new java.util.zip.ZipOutputStream(bos)
@@ -188,7 +196,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       z.closeEntry(); z.close(); bos.toByteArray
     }
     for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
-        xlsB, pptB, pptInc, odfB);
+        xlsB, pptB, pptInc, odfB, mboxB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
