@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the winning extractor; `{\rtf` → RTF; the CFB signature parses
   * the container once and routes by directory-entry name —
   * `WordDocument` → .doc, `Workbook` → BIFF8 .xls,
-  * `PowerPoint Document` → .ppt. Unrecognized magic → NULL — plain text/markdown
+  * `PowerPoint Document` → .ppt; RFC-5322 messages dispatch on a
+  * conservative structural sniff (mbox envelope or a mail-defining
+  * first header, re-checked by the extractor). Unrecognized magic → NULL — plain text/markdown
   * columns should not round-trip through a document parser, and a
   * binary blob that merely decodes as UTF-8 is not a document.
   * Each arm inherits its extractor's triage contract (NULL, never
@@ -58,6 +60,19 @@ case class DocumentTextExpr(child: Expression) extends UnaryExpression {
 object DocumentText {
   val FunctionName = "graft_document_text"
 
+  /** RFC-5322 sniff: the first line is an mbox envelope or a
+    * mail-defining header. Conservative on purpose — ordinary text
+    * must keep returning NULL.
+    */
+  private def looksLikeMail(b: Array[Byte]): Boolean = {
+    val n = math.min(b.length, 16)
+    val head = new String(b, 0, n, "ISO-8859-1")
+      .toLowerCase(java.util.Locale.ROOT)
+    head.startsWith("from ") || head.startsWith("from:") ||
+      head.startsWith("return-path:") || head.startsWith("received:") ||
+      head.startsWith("subject:") || head.startsWith("mime-version:")
+  }
+
   def parse(b: Array[Byte]): UTF8String = {
     if (b == null || b.length < 5) return null
     if (b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' &&
@@ -90,6 +105,10 @@ object DocumentText {
     } else if (b(0) == '{' && b(1) == '\\' && b(2) == 'r' && b(3) == 't' &&
         b(4) == 'f')
       RtfToText.extract(UTF8String.fromBytes(b))
+    else if (looksLikeMail(b))
+      // RFC-5322 has no magic; the gate is structural — a header
+      // block with a mail-defining header (EmlText re-checks)
+      EmlText.parse(b)
     else if (Cfb.isCfb(b)) {
       // one container parse, routed by directory-entry name: Word,
       // Excel 97 (BIFF8) and PowerPoint 97 share the CFB shell

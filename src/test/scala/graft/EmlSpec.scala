@@ -130,6 +130,19 @@ class EmlSpec extends AnyFunSuite {
     assert(EmlText.parse(torn).toString == "Subject: T\n\n")
   }
 
+  test("graft_document_text dispatches mail, plain text still NULL") {
+    import graft.expr.DocumentText
+    val m = iso("From: d@example.com\nSubject: Via dispatch\n\nbody\n")
+    assert(DocumentText.parse(m).toString ==
+      "Subject: Via dispatch\n\nbody\n")
+    // ordinary prose — even colon-bearing — stays NULL
+    assert(DocumentText.parse(iso("plain text, not a document")) == null)
+    assert(DocumentText.parse(iso("note: this has a colon\nbut no mail"))
+      == null)
+    // a From:-leading line WITHOUT a header block stays NULL too
+    assert(DocumentText.parse(iso("From: the start of a novel")) == null)
+  }
+
   test("both functions evaluate through SQL and codegen") {
     val spark = SparkSpec.session
     Graft.tune(spark)
