@@ -178,9 +178,15 @@ object OdfText {
         cell = cell.getNextSibling
       }
       if (texts.exists(_.nonEmpty)) {
-        // trailing empties collapse (the repeated-filler convention)
+        // trailing empties collapse (the repeated-filler convention);
+        // number-rows-repeated re-emits non-empty rows (capped) the
+        // same way repeated cells do
         val last = texts.lastIndexWhere(_.nonEmpty)
-        out.append(texts.take(last + 1).mkString("\t")).append('\n')
+        val line = texts.take(last + 1).mkString("\t")
+        val rep = math.min(math.max(
+          attrByLocal(row, "number-rows-repeated", 1), 1), MaxCellRepeat)
+        var k = 0
+        while (k < rep) { out.append(line).append('\n'); k += 1 }
       }
       r += 1
     }

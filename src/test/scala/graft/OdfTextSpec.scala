@@ -88,6 +88,15 @@ class OdfTextSpec extends AnyFunSuite {
       "alpha\t42.5\nx\tx\tx\n\tmid second para\n")
     assert(DocumentText.parse(b).toString ==
       "alpha\t42.5\nx\tx\tx\n\tmid second para\n")
+    // number-rows-repeated re-emits non-empty rows; a million-row
+    // empty filler block (the LibreOffice tail) emits nothing
+    val r = ods(
+      "<table:table><table:table-row table:number-rows-repeated=\"3\">" +
+        "<table:table-cell><text:p>thrice</text:p></table:table-cell>" +
+        "</table:table-row>" +
+        "<table:table-row table:number-rows-repeated=\"1048576\"/>" +
+        "</table:table>")
+    assert(OdfText.parse(r).toString == "thrice\nthrice\nthrice\n")
   }
 
   test("odp: pages' frame paragraphs in document order") {

@@ -948,9 +948,21 @@ class StreamingSpec extends SparkSpec {
     // index), t3 arrives fresh as .doc (lands)
     ingest(2L -> tarOf("d.rtf" -> rtfDoc(t1), "e.doc" -> docDoc(t3)))
     assert(texts() == Set(t1, t2, t3))
+    // batch 3: t2 re-arrives as the BODY of an .eml message (the mail
+    // arm of the document dispatch; near-dup at jaccard ~0.78 against
+    // the DOCX original despite the Subject prefix) — drops; a fresh
+    // mail lands with its subject+body form
+    def emlDoc(subject: String, body: String): Array[Byte] =
+      (s"From: x@example.com\nSubject: $subject\n\n$body\n")
+        .getBytes("ISO-8859-1")
+    ingest(3L -> tarOf("f.eml" -> emlDoc("re", t2),
+      "g.eml" -> emlDoc("fresh", "completely new mail body words here")))
+    val after3 = texts()
+    assert(after3.size == 4 && after3.exists(_.contains("new mail body")))
     // replay self-filters
-    ingest(2L -> tarOf("d.rtf" -> rtfDoc(t1), "e.doc" -> docDoc(t3)))
-    assert(texts() == Set(t1, t2, t3))
+    ingest(3L -> tarOf("f.eml" -> emlDoc("re", t2),
+      "g.eml" -> emlDoc("fresh", "completely new mail body words here")))
+    assert(texts() == after3)
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
