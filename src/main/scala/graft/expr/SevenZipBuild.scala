@@ -326,11 +326,27 @@ private[graft] object SevenZipBuild {
     val (mainS, callS, jumpS, rcS) = bcj2Encode(data)
     def pack(s: Array[Byte]): Array[Byte] =
       if (lzma2) lzma2Store(s) else s
-    val packs = Seq(pack(mainS), pack(callS), pack(jumpS), rcS)
-    val carrierId = if (lzma2) 0x21L else 0x00L
-    val carrierProps =
-      if (lzma2) Array[Byte](40) else Array.emptyByteArray
+    bcj2Container(entries,
+      Seq(pack(mainS), pack(callS), pack(jumpS), rcS),
+      mainS.length, callS.length, jumpS.length,
+      if (lzma2) 0x21L else 0x00L,
+      if (lzma2) Array[Byte](40) else Array.emptyByteArray)
+  }
 
+  /** BCJ2 archive from caller-supplied PACKED carrier streams (e.g.
+    * REAL liblzma raw LZMA2 over main/call/jump with an externally
+    * produced control stream) — pins the branching layout against
+    * fully independent producers.
+    */
+  def bcj2Container(entries: Seq[Entry], packs: Seq[Array[Byte]],
+      mainLen: Int, callLen: Int, jumpLen: Int, carrierId: Long,
+      carrierProps: Array[Byte]): Array[Byte] = {
+    val streamed = entries.filter(e => !e.dir && e.content.nonEmpty)
+    val data = {
+      val cat = new java.io.ByteArrayOutputStream()
+      streamed.foreach(e => cat.write(e.content))
+      cat.toByteArray
+    }
     val w = new W
     w.u8(0x01) // kHeader
     w.u8(0x04) // kMainStreamsInfo
@@ -360,9 +376,9 @@ private[graft] object SevenZipBuild {
     // packed indices (4 > 1, so listed): carrier ins 0,1,2 + rc in 6
     w.num(0); w.num(1); w.num(2); w.num(6)
     w.u8(0x0c) // kCodersUnpackSize: per out-stream in coder order
-    w.num(mainS.length.toLong)
-    w.num(callS.length.toLong)
-    w.num(jumpS.length.toLong)
+    w.num(mainLen.toLong)
+    w.num(callLen.toLong)
+    w.num(jumpLen.toLong)
     w.num(data.length.toLong)
     w.u8(0x00)
     w.u8(0x08) // kSubStreamsInfo
