@@ -253,7 +253,7 @@ object EmlText {
       val flat =
         if (mt == "text/html")
           graft.sources.Documents.htmlToTextString(text)
-        else text.replace("\r\n", "\n")
+        else stripUuencode(text.replace("\r\n", "\n"))
       val trimmed = flat.trim
       if (trimmed.nonEmpty) {
         out.append(trimmed)
@@ -279,10 +279,20 @@ object EmlText {
     var start = -1
     while (pos >= 0 && pos <= text.length) {
       val at = text.indexOf(delim, pos)
+      // a delimiter LINE: line start, and after the boundary only
+      // "--" (closing), whitespace, or the line end — "--XX" must
+      // not match inside "--XXY"
+      def tailOk: Boolean = {
+        val t = at + delim.length
+        t >= text.length || text.charAt(t) == '\r' ||
+          text.charAt(t) == '\n' || text.charAt(t) == ' ' ||
+          text.charAt(t) == '\t' ||
+          text.regionMatches(t, "--", 0, 2)
+      }
       if (at < 0) {
         if (start >= 0) out += ((from + start, until))
         pos = -1
-      } else if (at == 0 || text.charAt(at - 1) == '\n') {
+      } else if ((at == 0 || text.charAt(at - 1) == '\n') && tailOk) {
         if (start >= 0) {
           var e = at
           // the CRLF before the delimiter belongs to it
@@ -297,6 +307,25 @@ object EmlText {
       } else pos = at + delim.length
     }
     out.toSeq
+  }
+
+  /** Pre-MIME mailing-list bodies inline uuencoded attachments
+    * (`begin 644 name` … `end`); they are binary payload, not text —
+    * the block strips from the extracted form.
+    */
+  private def stripUuencode(s: String): String = {
+    if (!s.contains("\nbegin ") && !s.startsWith("begin ")) return s
+    val out = new java.lang.StringBuilder
+    var inBlock = false
+    s.split('\n').foreach { line =>
+      if (!inBlock &&
+          line.matches("begin [0-7]{3,4} .*")) inBlock = true
+      else if (inBlock && line == "end") inBlock = false
+      else if (!inBlock) { out.append(line); out.append('\n') }
+    }
+    // split() drops the trailing empty segment; normalize the tail
+    val r = out.toString
+    if (s.endsWith("\n") || r.isEmpty) r else r.stripSuffix("\n")
   }
 
   private def emitSubject(hs: java.util.LinkedHashMap[String, String],

@@ -98,6 +98,35 @@ class EmlSpec extends AnyFunSuite {
       "Subject: Mixed\n\nintro text\nnested alt\nclosing html\n")
   }
 
+  test("uuencoded blocks strip from plain bodies (pre-MIME lists)") {
+    val m = iso("From: u@example.com\nSubject: Uu\n\n" +
+      "the patch follows\n" +
+      "begin 644 patch.bin\n" +
+      "M4$L#!!0````(`*5C:5,`````\n" +
+      "`\n" +
+      "end\n" +
+      "thanks for reviewing\n")
+    assert(EmlText.parse(m).toString ==
+      "Subject: Uu\n\nthe patch follows\nthanks for reviewing\n")
+    // a body merely MENTIONING 'begin' mid-line is untouched
+    val n = iso("From: u@example.com\nSubject: Uu2\n\n" +
+      "we begin 644 times a day\n")
+    assert(EmlText.parse(n).toString ==
+      "Subject: Uu2\n\nwe begin 644 times a day\n")
+  }
+
+  test("a boundary that PREFIXES another string does not false-match") {
+    // body lines starting with --XXY must not terminate parts of
+    // boundary XX (RFC 2046: the delimiter is a full line)
+    val m = iso("From: p@example.com\nSubject: Pfx\n" +
+      "Content-Type: multipart/mixed; boundary=XX\n\n" +
+      "--XX\nContent-Type: text/plain\n\nkeep this\n--XXY not a delim\n" +
+      "and this\n" +
+      "--XX--\n")
+    assert(EmlText.parse(m).toString ==
+      "Subject: Pfx\n\nkeep this\n--XXY not a delim\nand this\n")
+  }
+
   test("mbox splits messages and unescapes >From quoting") {
     val mbox = iso("From alice Mon Jan  1 00:00:00 2026\n" +
       "From: alice@example.com\nSubject: One\n\n" +
