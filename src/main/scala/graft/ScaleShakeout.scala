@@ -1638,7 +1638,10 @@ object ScaleShakeout {
       // render one family's text as a document; fmt picks the format
       def renderDoc(fam: Long, fmt: Int): Array[Byte] = {
         val line = docText(fam)
-        (fmt % 4) match {
+        (fmt % 5) match {
+          case 4 => // RFC-5322 message, the text as the body
+            (s"From: gen@example.com\nSubject: fam\n\n$line\n")
+              .getBytes("ISO-8859-1")
           case 0 =>
             val content = s"BT /F1 12 Tf ($line) Tj ET"
             ("%PDF-1.4\n" +
@@ -1665,9 +1668,9 @@ object ScaleShakeout {
           armShift: Int) =>
         val rnd = new java.util.Random(id * 6364136223846793005L + 53L)
         val k = 2 + rnd.nextInt(4)
-        val exts = Array("pdf", "docx", "rtf", "doc")
+        val exts = Array("pdf", "docx", "rtf", "doc", "eml")
         val entries = (0 until k).map { j =>
-          val fmt = (id + j + fmtShift).toInt & 3
+          val fmt = (((id + j + fmtShift) % 5) + 5).toInt % 5
           s"docs/f$j.${exts(fmt)}" -> renderDoc(famOff + id * 16 + j, fmt)
         }
         if (((id + armShift) & 1L) == 0L) {
