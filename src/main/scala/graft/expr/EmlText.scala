@@ -337,8 +337,11 @@ object EmlText {
     }
   }
 
+  /** Input cap shared with the archive tier's bomb guards. */
+  val MaxInputBytes: Long = TarEntries.MaxTotalBytes
+
   def parse(b: Array[Byte]): UTF8String = {
-    if (b == null || b.length < 8) return null
+    if (b == null || b.length < 8 || b.length > MaxInputBytes) return null
     try {
       var from = 0
       // a stray mbox envelope line on a single message is tolerated
@@ -365,7 +368,7 @@ object EmlText {
 
   /** mbox → messages (envelope lines stripped, `>From ` unescaped). */
   def mbox(b: Array[Byte], max: Int): GenericArrayData = {
-    if (b == null || b.length < 6) return null
+    if (b == null || b.length < 6 || b.length > MaxInputBytes) return null
     if (!(b(0) == 'F' && b(1) == 'r' && b(2) == 'o' && b(3) == 'm' &&
         b(4) == ' ')) return null
     val text = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
