@@ -310,8 +310,11 @@ object LegacyOffice {
           if (sst == null) return null
         case 0x00fd if cells != null => // LABELSST
           if (rl < 10) return null
-          cells += ((le16(wb, d), le16(wb, d + 2), null,
-            le32(wb, d + 6).toInt))
+          val isst = le32(wb, d + 6)
+          // a wrapped index would collide with the inline-text
+          // sentinel (-1) and leak a literal "null" — fail closed
+          if (isst > Int.MaxValue) return null
+          cells += ((le16(wb, d), le16(wb, d + 2), null, isst.toInt))
         case 0x0204 | 0x00d6 if cells != null =>
           // LABEL / RSTRING: inline string. BIFF8 = XLUnicodeString
           // (cch + flags byte); BIFF5 = CP1252 ByteString (cch only).

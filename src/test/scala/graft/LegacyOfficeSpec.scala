@@ -125,6 +125,31 @@ class LegacyOfficeSpec extends AnyFunSuite {
     assert(LegacyOffice.xls(b).toString == "rich string cell\n")
   }
 
+  test("xls: a wrapped LABELSST index fails closed, never emits 'null'") {
+    // craft a workbook whose LABELSST carries isst = 0xFFFFFFFF: the
+    // wrapped Int collides with the inline-text sentinel and would
+    // have emitted the literal string "null"
+    val b = xls(Seq(Seq(Seq(S("anchor")))))
+    val cfb = {
+      // rebuild the same workbook stream with a poisoned LABELSST
+      val w = new java.io.ByteArrayOutputStream()
+      def rec(id: Int, p: Array[Byte]): Unit = {
+        w.write(id & 0xff); w.write(id >> 8)
+        w.write(p.length & 0xff); w.write(p.length >> 8)
+        w.write(p)
+      }
+      rec(0x0809, Array[Byte](0, 6, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+      rec(0x000a, Array.emptyByteArray)
+      rec(0x0809, Array[Byte](0, 6, 0x10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+      rec(0x00fd, Array[Byte](0, 0, 0, 0, 0x0f, 0,
+        0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+      rec(0x000a, Array.emptyByteArray)
+      graft.expr.DocBuild.cfb(Seq("Workbook" -> w.toByteArray))
+    }
+    assert(LegacyOffice.xls(b) != null) // the sane twin still decodes
+    assert(LegacyOffice.xls(cfb) == null)
+  }
+
   test("xls triage: FILEPASS, torn records, junk Book stream, non-CFB") {
     assert(LegacyOffice.xls(xlsEncrypted()) == null)
     assert(LegacyOffice.xls(null) == null)
