@@ -2,10 +2,10 @@ package graft.expr
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Email text extraction — `graft_eml_text(content)` over RFC-5322
@@ -81,9 +81,52 @@ case class MboxMessages(child: Expression, maxMessages: Int)
       MboxMessages = copy(child = newChild)
 }
 
+/** `graft_eml_attachments(content[, max])` — the attachments a
+  * message carries, as `array<struct<name, mime, content>>`: MIME
+  * leaves marked attachment (or carrying a filename, or any
+  * non-text media type), Content-Transfer-Encoding decoded; nested
+  * `message/rfc822` messages contribute THEIR attachments; valid
+  * uuencoded blocks inside inline text bodies (the pre-MIME
+  * mailing-list convention) decode and surface under the name on
+  * their `begin` line. Not a message / nothing attached → NULL.
+  */
+case class EmlAttachments(child: Expression, maxAttachments: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(EmlText.AttachmentSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"${EmlText.AttachmentsName} expects binary, got " +
+          child.dataType.catalogString)
+    else if (maxAttachments < 1 || maxAttachments > 4096)
+      TypeCheckResult.TypeCheckFailure(
+        s"${EmlText.AttachmentsName} max must be in [1, 4096]: " +
+          s"$maxAttachments")
+    else TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(v: Any): Any =
+    EmlText.attachments(v.asInstanceOf[Array[Byte]], maxAttachments)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expr.EmlText.attachments($c, $maxAttachments);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression):
+      EmlAttachments = copy(child = newChild)
+}
+
 object EmlText {
   val FunctionName = "graft_eml_text"
   val MboxName = "graft_mbox_messages"
+  val AttachmentsName = "graft_eml_attachments"
+
+  val AttachmentSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
 
   val MaxTextChars: Int = 16 << 20
   private val MaxDepth = 8
@@ -239,16 +282,8 @@ object EmlText {
         }
         return
       }
-      val cte = Option(hs.get("content-transfer-encoding")).getOrElse("")
-        .trim.toLowerCase(java.util.Locale.ROOT)
-      val raw = java.util.Arrays.copyOfRange(b, bodyFrom, bodyUntil)
-      val decoded = cte match {
-        case "base64" =>
-          try java.util.Base64.getMimeDecoder.decode(raw)
-          catch { case _: Exception => return } // torn part: nothing
-        case "quoted-printable" => qpDecode(raw, soft = true)
-        case _ => raw
-      }
+      val decoded = decodeBody(b, bodyFrom, bodyUntil, hs)
+      if (decoded == null) return // torn part: nothing
       val text = new String(decoded, charsetOf(param(ct, "charset")))
       val flat =
         if (mt == "text/html")
@@ -260,6 +295,23 @@ object EmlText {
         out.append('\n')
       }
     } // other leaves (attachments, images): contribute nothing
+  }
+
+  /** Content-Transfer-Encoding decode of one leaf body; null on a
+    * torn base64 part (fail-closed per part, never per message).
+    */
+  private def decodeBody(b: Array[Byte], bodyFrom: Int, bodyUntil: Int,
+      hs: java.util.LinkedHashMap[String, String]): Array[Byte] = {
+    val cte = Option(hs.get("content-transfer-encoding")).getOrElse("")
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    val raw = java.util.Arrays.copyOfRange(b, bodyFrom, bodyUntil)
+    cte match {
+      case "base64" =>
+        try java.util.Base64.getMimeDecoder.decode(raw)
+        catch { case _: Exception => null }
+      case "quoted-printable" => qpDecode(raw, soft = true)
+      case _ => raw
+    }
   }
 
   private def subEntity(b: Array[Byte], span: (Int, Int), depth: Int,
@@ -328,6 +380,175 @@ object EmlText {
     if (s.endsWith("\n") || r.isEmpty) r else r.stripSuffix("\n")
   }
 
+  /** Strict uudecode of the `begin MODE name` … `end` blocks in an
+    * inline text body. Each data line's first char encodes its
+    * payload length n ∈ [1,45] ((c−0x20)&0x3F, backtick = 0); the
+    * line must supply ⌈n/3⌉·4 chars in [0x20,0x60] (historic
+    * encoders drop trailing spaces — missing tail chars pad as
+    * spaces). A zero-length line closes the data; `end` closes the
+    * block. Any violation invalidates the WHOLE block (it stays
+    * binary noise, not a half-decoded attachment).
+    */
+  private[graft] def uuBlocks(s: String): Seq[(String, Array[Byte])] = {
+    if (!s.contains("\nbegin ") && !s.startsWith("begin ")) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    val lines = s.split('\n')
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.matches("begin [0-7]{3,4} .+")) {
+        val name = line.substring(line.indexOf(' ', 6) + 1)
+        val bytes = new java.io.ByteArrayOutputStream()
+        var ok = true
+        var closed = false
+        var sawTerminator = false
+        i += 1
+        while (ok && !closed && i < lines.length) {
+          val dl = lines(i)
+          if (sawTerminator) {
+            if (dl == "end") closed = true
+            else ok = false
+          } else if (dl.isEmpty || dl == "`" || dl == " ") {
+            sawTerminator = true // zero-length line: data over
+          } else if (dl == "end") {
+            closed = true // tolerated: encoders that skip the 0-line
+          } else {
+            val n = (dl.charAt(0) - 0x20) & 0x3f
+            val needed = (n + 2) / 3 * 4
+            if (n < 1 || n > 45 || dl.length > 1 + needed) ok = false
+            else {
+              var c = 0
+              val quad = new Array[Int](4)
+              var emitted = 0
+              while (ok && emitted < n) {
+                var k = 0
+                while (ok && k < 4) {
+                  val ch = if (1 + c + k < dl.length) dl.charAt(1 + c + k)
+                    else ' ' // dropped trailing spaces
+                  if (ch < 0x20 || ch > 0x60) ok = false
+                  else quad(k) = (ch - 0x20) & 0x3f
+                  k += 1
+                }
+                if (ok) {
+                  val w = (quad(0) << 18) | (quad(1) << 12) |
+                    (quad(2) << 6) | quad(3)
+                  var j = 0
+                  while (j < 3 && emitted < n) {
+                    bytes.write((w >>> (16 - 8 * j)) & 0xff)
+                    emitted += 1; j += 1
+                  }
+                }
+                c += 4
+              }
+            }
+            i += 1
+          }
+          if (sawTerminator && !closed && ok) i += 1
+          else if (closed) () // outer loop advances below
+        }
+        if (ok && closed && bytes.size > 0 &&
+            bytes.size <= TarEntries.MaxEntryBytes)
+          out += ((name, bytes.toByteArray))
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Bounded attachment sink shared by the recursive walk. */
+  private final class AttCollector(max: Int) {
+    val rows = new java.util.ArrayList[GenericInternalRow]()
+    private var total = 0L
+    def full: Boolean = rows.size >= max || total >= TarEntries.MaxTotalBytes
+    def add(name: String, mime: String, content: Array[Byte]): Unit = {
+      if (full || content.length > TarEntries.MaxEntryBytes ||
+          total + content.length > TarEntries.MaxTotalBytes) return
+      total += content.length
+      rows.add(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(name), UTF8String.fromString(mime), content)))
+    }
+  }
+
+  /** Attachment walk — the structural mirror of [[entity]]: every
+    * multipart branch recurses (alternative branches can carry
+    * related attachments), rfc822 leaves contribute their nested
+    * message's attachments, text leaves contribute their valid
+    * uuencoded blocks, and everything else with an attachment
+    * marker (disposition / filename / non-text media type) decodes
+    * its transfer encoding and lands as-is.
+    */
+  private def collectAtts(b: Array[Byte], bodyFrom: Int, bodyUntil: Int,
+      hs: java.util.LinkedHashMap[String, String], depth: Int,
+      acc: AttCollector): Unit = {
+    if (depth > MaxDepth || acc.full) return
+    val ct = Option(hs.get("content-type")).getOrElse("text/plain")
+    val mt = mimeType(ct)
+    if (mt.startsWith("multipart/")) {
+      val boundary = param(ct, "boundary")
+      if (boundary.isEmpty) return
+      splitMultipart(b, bodyFrom, bodyUntil, boundary).foreach { span =>
+        val h = headers(b, span._1)
+        if (h != null) collectAtts(b, h._2, span._2, h._1, depth + 1, acc)
+      }
+    } else if (mt == "message/rfc822") {
+      val h = headers(b, bodyFrom)
+      if (h != null) collectAtts(b, h._2, bodyUntil, h._1, depth + 1, acc)
+    } else {
+      val cd = Option(hs.get("content-disposition")).getOrElse("")
+      val fname = {
+        val f = param(cd, "filename")
+        if (f.nonEmpty) f else param(ct, "name")
+      }
+      val isAttachment = mimeType(cd) == "attachment" || fname.nonEmpty ||
+        !(mt == "text/plain" || mt == "text/html")
+      if (isAttachment) {
+        val decoded = decodeBody(b, bodyFrom, bodyUntil, hs)
+        if (decoded != null)
+          acc.add(if (fname.nonEmpty) fname else s"part${acc.rows.size}",
+            mt, decoded)
+      } else {
+        val decoded = decodeBody(b, bodyFrom, bodyUntil, hs)
+        if (decoded != null) {
+          val text = new String(decoded, charsetOf(param(ct, "charset")))
+            .replace("\r\n", "\n")
+          uuBlocks(text).foreach { case (nm, bytes) =>
+            acc.add(nm, "application/octet-stream", bytes)
+          }
+        }
+      }
+    }
+  }
+
+  /** A mail message has at least one defining header. */
+  private def isMessage(
+      hs: java.util.LinkedHashMap[String, String]): Boolean =
+    hs.containsKey("from") || hs.containsKey("subject") ||
+      hs.containsKey("received") || hs.containsKey("date") ||
+      hs.containsKey("mime-version")
+
+  def attachments(b: Array[Byte], max: Int): GenericArrayData = {
+    if (b == null || b.length < 8 || b.length > MaxInputBytes) return null
+    try {
+      var from = 0
+      if (b(0) == 'F' && b(1) == 'r' && b(2) == 'o' && b(3) == 'm' &&
+          b(4) == ' ') {
+        while (from < b.length && b(from) != '\n') from += 1
+        from += 1
+      }
+      val h = headers(b, from)
+      if (h == null || !isMessage(h._1)) return null
+      val acc = new AttCollector(max)
+      collectAtts(b, h._2, b.length, h._1, 0, acc)
+      if (acc.rows.isEmpty) return null
+      val arr = new Array[Any](acc.rows.size)
+      var i = 0
+      while (i < acc.rows.size) { arr(i) = acc.rows.get(i); i += 1 }
+      new GenericArrayData(arr)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+  }
+
   private def emitSubject(hs: java.util.LinkedHashMap[String, String],
       out: java.lang.StringBuilder): Unit = {
     val subj = hs.get("subject")
@@ -351,11 +572,7 @@ object EmlText {
         from += 1
       }
       val h = headers(b, from)
-      if (h == null) return null
-      // a mail message has at least one of the defining headers
-      if (!(h._1.containsKey("from") || h._1.containsKey("subject") ||
-          h._1.containsKey("received") || h._1.containsKey("date") ||
-          h._1.containsKey("mime-version"))) return null
+      if (h == null || !isMessage(h._1)) return null
       val out = new java.lang.StringBuilder
       emitSubject(h._1, out)
       entity(b, h._2, b.length, h._1, 0, out)
@@ -408,5 +625,10 @@ object EmlText {
         if (exprs.length > 1)
           ExprArgs.intLit(MboxName, "max", exprs(1))
         else 4096), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AttachmentsName, exprs => EmlAttachments(exprs(0),
+        if (exprs.length > 1)
+          ExprArgs.intLit(AttachmentsName, "max", exprs(1))
+        else 256), "built-in")
   }
 }

@@ -172,6 +172,133 @@ class EmlSpec extends AnyFunSuite {
     assert(DocumentText.parse(iso("From: the start of a novel")) == null)
   }
 
+  test("attachments: disposition, filename fallback, non-text media") {
+    val pdf = "%PDF-1.4 fake body"
+    val m = iso("From: a@example.com\nSubject: Att\n" +
+      "Content-Type: multipart/mixed; boundary=bb\n\n" +
+      "--bb\nContent-Type: text/plain\n\ncover note\n" +
+      "--bb\nContent-Type: application/pdf\n" +
+      "Content-Disposition: attachment; filename=\"report.pdf\"\n" +
+      "Content-Transfer-Encoding: base64\n\n" + b64(pdf) + "\n" +
+      // filename only via Content-Type name= (no disposition)
+      "--bb\nContent-Type: text/csv; name=data.csv\n\na,b\n1,2\n" +
+      // non-text media type with no name at all
+      "--bb\nContent-Type: image/png\n" +
+      "Content-Transfer-Encoding: base64\n\n" + b64("PNGBYTES") + "\n" +
+      "--bb--\n")
+    val arr = EmlText.attachments(m, 16)
+    assert(arr != null && arr.numElements() == 3)
+    val r0 = arr.getStruct(0, 3)
+    assert(r0.getUTF8String(0).toString == "report.pdf")
+    assert(r0.getUTF8String(1).toString == "application/pdf")
+    assert(new String(r0.getBinary(2), "ISO-8859-1") == pdf)
+    val r1 = arr.getStruct(1, 3)
+    assert(r1.getUTF8String(0).toString == "data.csv")
+    assert(r1.getUTF8String(1).toString == "text/csv")
+    assert(new String(r1.getBinary(2), "ISO-8859-1") == "a,b\n1,2")
+    val r2 = arr.getStruct(2, 3)
+    assert(r2.getUTF8String(0).toString == "part2") // no name anywhere
+    assert(r2.getUTF8String(1).toString == "image/png")
+    assert(new String(r2.getBinary(2), "ISO-8859-1") == "PNGBYTES")
+    // inline text leaves are NOT attachments; no attachments → NULL
+    val plain = iso("From: a@example.com\nSubject: P\n\njust text\n")
+    assert(EmlText.attachments(plain, 16) == null)
+  }
+
+  test("attachments: nested message/rfc822 contributes its own") {
+    val inner = "From: i@example.com\nSubject: Inner\n" +
+      "Content-Type: multipart/mixed; boundary=ii\n\n" +
+      "--ii\nContent-Type: text/plain\n\ninner body\n" +
+      "--ii\nContent-Type: application/zip\n" +
+      "Content-Disposition: attachment; filename=inner.zip\n\nZIPDATA\n" +
+      "--ii--\n"
+    val m = iso("From: o@example.com\nSubject: Fwd\n" +
+      "Content-Type: multipart/mixed; boundary=oo\n\n" +
+      "--oo\nContent-Type: text/plain\n\nsee attached mail\n" +
+      "--oo\nContent-Type: message/rfc822\n\n" + inner +
+      "--oo--\n")
+    val arr = EmlText.attachments(m, 16)
+    assert(arr != null && arr.numElements() == 1)
+    val r0 = arr.getStruct(0, 3)
+    assert(r0.getUTF8String(0).toString == "inner.zip")
+    assert(new String(r0.getBinary(2), "ISO-8859-1") == "ZIPDATA")
+  }
+
+  test("uudecode pinned against Python binascii.b2a_uu (space pad)") {
+    // enc is the verbatim output of CPython binascii.b2a_uu over
+    // bytes(range(100)) + b'tail-bytes!' in 45-byte lines — a fully
+    // external producer (the decoder shares nothing with it)
+    val enc =
+      "M  $\" P0%!@<(\"0H+# T.#Q 1$A,4%187&!D:&QP='A\\@(2(C)\"4F)R@I*BLL\n" +
+      "M+2XO,#$R,S0U-C<X.3H[/#T^/T!!0D-$149'2$E*2TQ-3D]045)35%565UA9\n" +
+      "56EM<75Y?8&%B8W1A:6PM8GET97,A\n"
+    val expected = (0 until 100).map(_.toByte).toArray ++
+      "tail-bytes!".getBytes("ISO-8859-1")
+    val m = iso("From: u@example.com\nSubject: UuPin\n\n" +
+      "data follows\n" +
+      "begin 644 blob.bin\n" + enc + "`\nend\n" +
+      "regards\n")
+    val arr = EmlText.attachments(m, 16)
+    assert(arr != null && arr.numElements() == 1)
+    val r0 = arr.getStruct(0, 3)
+    assert(r0.getUTF8String(0).toString == "blob.bin")
+    assert(r0.getUTF8String(1).toString == "application/octet-stream")
+    assert(java.util.Arrays.equals(r0.getBinary(2), expected))
+    // the text side still strips the block
+    assert(EmlText.parse(m).toString ==
+      "Subject: UuPin\n\ndata follows\nregards\n")
+  }
+
+  test("uudecode pinned against binascii backtick variant") {
+    // binascii.b2a_uu(..., backtick=True) over an RTF payload
+    val enc = ">>UQR=&8Q('5U96YC;V1E9\"!R=&8@8F]D>5QP87)]\n"
+    val expected = "{\\rtf1 uuencoded rtf body\\par}"
+    val m = iso("From: u@example.com\nSubject: Bt\n\n" +
+      "begin 644 note.rtf\n" + enc + "`\nend\n")
+    val arr = EmlText.attachments(m, 16)
+    assert(arr != null && arr.numElements() == 1)
+    assert(new String(arr.getStruct(0, 3).getBinary(2), "ISO-8859-1")
+      == expected)
+  }
+
+  test("uudecode: stripped trailing pad, malformed blocks fail closed") {
+    // a transport that strips trailing spaces must not break decode:
+    // 'ab' encodes to '\"86(  ' (two pad spaces) — strip them
+    val m = iso("From: u@example.com\nSubject: S\n\n" +
+      "begin 644 t.bin\n\"86(\n`\nend\n")
+    val arr = EmlText.attachments(m, 16)
+    assert(arr != null && arr.numElements() == 1)
+    assert(new String(arr.getStruct(0, 3).getBinary(2), "ISO-8859-1")
+      == "ab")
+    // out-of-range char in a data line: whole block invalid
+    val bad = iso("From: u@example.com\nSubject: B\n\n" +
+      "begin 644 x.bin\n\"8~(\n`\nend\n")
+    assert(EmlText.attachments(bad, 16) == null)
+    // a data line LONGER than its length char allows: invalid
+    val long = iso("From: u@example.com\nSubject: L\n\n" +
+      "begin 644 y.bin\n\"86(86(86(\n`\nend\n")
+    assert(EmlText.attachments(long, 16) == null)
+    // an unterminated block (no end): invalid
+    val open = iso("From: u@example.com\nSubject: O\n\n" +
+      "begin 644 z.bin\n\"86(\n")
+    assert(EmlText.attachments(open, 16) == null)
+  }
+
+  test("attachments: torn base64 part skipped, siblings survive") {
+    val m = iso("From: a@example.com\nSubject: Torn\n" +
+      "Content-Type: multipart/mixed; boundary=bb\n\n" +
+      "--bb\nContent-Type: application/pdf\n" +
+      "Content-Disposition: attachment; filename=bad.pdf\n" +
+      "Content-Transfer-Encoding: base64\n\n!!!not base64!!!\n" +
+      "--bb\nContent-Type: application/rtf\n" +
+      "Content-Disposition: attachment; filename=ok.rtf\n\n" +
+      "{\\rtf1 fine\\par}\n" +
+      "--bb--\n")
+    val arr = EmlText.attachments(m, 16)
+    assert(arr != null && arr.numElements() == 1)
+    assert(arr.getStruct(0, 3).getUTF8String(0).toString == "ok.rtf")
+  }
+
   test("both functions evaluate through SQL and codegen") {
     val spark = SparkSpec.session
     Graft.tune(spark)
