@@ -4989,6 +4989,91 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // Mail-attachment composition: messages carry their documents —
+    // a base64 PDF and DOCX as MIME attachment parts, plus a
+    // pre-MIME uuencoded RTF block inside the inline text body.
+    // graft_eml_attachments surfaces all three, graft_document_text
+    // extracts each: mail → attachment → document in one single-scan
+    // plan. The fixture uuencoder is independent of the decoder
+    // (which is ALSO pinned against CPython binascii in EmlSpec);
+    // the MIME/uuencode layers are transparent to the oracle.
+    "q225_mail_attachments" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def pdfDoc(line: String): Array[Byte] = {
+          val content = s"BT /F1 12 Tf ($line) Tj ET"
+          ascii("%PDF-1.4\n" +
+            s"4 0 obj << /Length ${content.length} >> stream\n" +
+            content + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+        }
+        def docxDoc(line: String): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+          z.write(("<w:document xmlns:w=\"http://schemas.openxmlformats" +
+            s".org/wordprocessingml/2006/main\"><w:body><w:p><w:r><w:t>" +
+            s"$line</w:t></w:r></w:p></w:body></w:document>")
+            .getBytes("UTF-8"))
+          z.closeEntry(); z.close(); bos.toByteArray
+        }
+        // fixture-side uuencoder (backtick variant), independent of
+        // the decode direction
+        def uuencode(name: String, data: Array[Byte]): String = {
+          def ch(v: Int): Char = if (v == 0) '`' else (0x20 + v).toChar
+          val sb = new StringBuilder(s"begin 644 $name\n")
+          var i = 0
+          while (i < data.length) {
+            val n = math.min(45, data.length - i)
+            sb.append(ch(n))
+            var j = 0
+            while (j < n) {
+              val b0 = data(i + j) & 0xff
+              val b1 = if (j + 1 < n) data(i + j + 1) & 0xff else 0
+              val b2 = if (j + 2 < n) data(i + j + 2) & 0xff else 0
+              val w = (b0 << 16) | (b1 << 8) | b2
+              sb.append(ch((w >> 18) & 0x3f)).append(ch((w >> 12) & 0x3f))
+                .append(ch((w >> 6) & 0x3f)).append(ch(w & 0x3f))
+              j += 3
+            }
+            sb.append('\n')
+            i += n
+          }
+          sb.append("`\nend")
+          sb.toString
+        }
+        val b64 = java.util.Base64.getMimeEncoder(60,
+          "\n".getBytes("ISO-8859-1"))
+        ascii(s"From: corpus@example.com\nSubject: docs $g\n" +
+          "MIME-Version: 1.0\n" +
+          "Content-Type: multipart/mixed; boundary=bb\n\n" +
+          s"--bb\nContent-Type: text/plain\n\ncover note $g\n" +
+          uuencode("note.rtf", ascii(s"{\\rtf1 $safe rtf $g\\par}")) +
+          "\n--bb\nContent-Type: application/pdf\n" +
+          "Content-Disposition: attachment; filename=report.pdf\n" +
+          "Content-Transfer-Encoding: base64\n\n" +
+          b64.encodeToString(pdfDoc(s"$safe pdf $g")) +
+          "\n--bb\nContent-Type: application/vnd.openxmlformats-" +
+          "officedocument.wordprocessingml.document\n" +
+          "Content-Disposition: attachment; filename=memo.docx\n" +
+          "Content-Transfer-Encoding: base64\n\n" +
+          b64.encodeToString(docxDoc(s"$safe docx $g")) +
+          "\n--bb--\n")
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.EmlText.AttachmentsName,
+            gen(id, safe), lit(16))).as("a"))
+        .select(col("file_id"), col("a.name").as("name"),
+          col("a.mime").as("mime"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("a.content")), "\\s+", " ")), 1, 120).as("doc_text"))
+    }),
+
     // Mail-dump corpus: mbox archives of RFC-5322 messages — subject
     // RFC-2047 B-encoded over the doc text, quoted-printable and
     // multipart/alternative bodies — through graft_mbox_messages →
@@ -9285,6 +9370,27 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the MIME attachment and uuencode layers are transparent: three
+    // extracted documents per message, names and texts replayed
+    "q225_mail_attachments" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         f AS (SELECT id, 'note.rtf' AS name,
+                      'application/octet-stream' AS mime, 'rtf' AS kind
+               FROM d
+               UNION ALL SELECT id, 'report.pdf', 'application/pdf',
+                      'pdf' FROM d
+               UNION ALL SELECT id, 'memo.docx',
+                      'application/vnd.openxmlformats-officedocument' ||
+                      '.wordprocessingml.document', 'docx' FROM d)
+       SELECT CAST(f.id AS BIGINT) AS file_id, f.name, f.mime,
+              substr(trim(regexp_replace(
+                d.safe || ' ' || f.kind || ' ' || f.id,
+                '\s+', ' ', 'g')), 1, 120) AS doc_text
+       FROM f JOIN d ON f.id = d.id""",
 
     // the 2047/QP/base64/multipart layers are all transparent: the
     // oracle replays the decoded text forms
