@@ -4989,6 +4989,38 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // mboxcl mail dumps: qmail-style archives declare Content-Length
+    // instead of escaping body "From " lines. The first message's
+    // body carries a hostile unescaped "From " line after a blank
+    // line — exactly where delimiter scanning would tear it — so the
+    // counted split must win and keep the body verbatim. All
+    // construction relational; the transport layer is transparent.
+    "q226_mboxcl_corpus" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      val id = col("doc_id")
+      val idB = encode(id.cast("string"), "UTF-8").cast(BinaryType)
+      val body1 = concat(ascii("quote follows\n\nFrom the archive of "),
+        idB, ascii("\nend quote\n"))
+      val msg1 = concat(
+        ascii("From: a@example.com\nSubject: cl "), idB,
+        ascii("\nContent-Length: "),
+        encode(length(body1.cast("string")).cast("string"), "UTF-8")
+          .cast(BinaryType),
+        ascii("\n\n"), body1)
+      val msg2 = concat(ascii("From: b@example.com\nSubject: plain "),
+        encode((id % 7).cast("string"), "UTF-8").cast(BinaryType),
+        ascii("\n\nclosing body "), idB, ascii("\n"))
+      val mbox = concat(ascii("From a Mon Jan  1 00:00:00 2026\n"), msg1,
+        ascii("From b Mon Jan  1 00:01:00 2026\n"), msg2)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"), posexplode(call_function(
+          graft.expr.EmlText.MboxName, mbox, lit(8))))
+        .select(col("file_id"), col("pos"),
+          substring(call_function(graft.expr.EmlText.FunctionName,
+            col("col")), 1, 160).as("mail_text"))
+    }),
+
     // Mail-attachment composition: messages carry their documents —
     // a base64 PDF and DOCX as MIME attachment parts, plus a
     // pre-MIME uuencoded RTF block inside the inline text body.
@@ -9370,6 +9402,23 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the counted mboxcl split is transparent: the oracle replays
+    // both messages' decoded forms, hostile From line included
+    "q226_mboxcl_corpus" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents)
+       SELECT CAST(id AS BIGINT) AS file_id, 0 AS pos,
+              substr('Subject: cl ' || id || chr(10) || chr(10) ||
+                'quote follows' || chr(10) || chr(10) ||
+                'From the archive of ' || id || chr(10) ||
+                'end quote' || chr(10), 1, 160) AS mail_text
+       FROM d
+       UNION ALL
+       SELECT CAST(id AS BIGINT) AS file_id, 1 AS pos,
+              substr('Subject: plain ' || (id % 7) || chr(10) ||
+                chr(10) || 'closing body ' || id || chr(10),
+                1, 160) AS mail_text
+       FROM d""",
 
     // the MIME attachment and uuencode layers are transparent: three
     // extracted documents per message, names and texts replayed

@@ -583,7 +583,41 @@ object EmlText {
     }
   }
 
-  /** mbox → messages (envelope lines stripped, `>From ` unescaped). */
+  /** mboxcl: when a message declares `Content-Length:` and the
+    * declared body end lands exactly on the next envelope line (or
+    * EOF), that end wins over delimiter scanning — the variant
+    * exists precisely so bodies may carry UNESCAPED `From ` lines.
+    * Returns the absolute body-end offset, or −1 when the header is
+    * absent or does not corroborate (fall back to the scan).
+    */
+  private def contentLengthEnd(b: Array[Byte], text: String,
+      from: Int): Int = {
+    val h = headers(b, from)
+    if (h == null) return -1
+    val v = h._1.get("content-length")
+    if (v == null) return -1
+    val len = try v.trim.toLong catch {
+      case _: NumberFormatException => return -1
+    }
+    if (len < 0) return -1
+    val end = h._2.toLong + len
+    if (end > text.length) return -1
+    val e = end.toInt
+    var e2 = e
+    var skipped = 0
+    while (skipped < 2 && e2 < text.length &&
+        (text.charAt(e2) == '\n' || text.charAt(e2) == '\r')) {
+      e2 += 1; skipped += 1
+    }
+    val lineStart = skipped >= 1 ||
+      (e > from && text.charAt(e - 1) == '\n')
+    if (e == text.length || e2 >= text.length ||
+        (lineStart && text.regionMatches(e2, "From ", 0, 5))) e else -1
+  }
+
+  /** mbox → messages (envelope lines stripped, `>From ` unescaped;
+    * a corroborated `Content-Length:` splits verbatim — mboxcl).
+    */
   def mbox(b: Array[Byte], max: Int): GenericArrayData = {
     if (b == null || b.length < 6 || b.length > MaxInputBytes) return null
     if (!(b(0) == 'F' && b(1) == 'r' && b(2) == 'o' && b(3) == 'm' &&
@@ -596,18 +630,33 @@ object EmlText {
       if (lineEnd < 0) pos = -1
       else {
         val bodyStart = lineEnd + 1
-        // next envelope: "\nFrom " after a blank line, or EOF
-        var next = text.indexOf("\n\nFrom ", bodyStart)
-        var msgEnd = if (next < 0) text.length else next + 1
-        if (next < 0) {
-          next = text.indexOf("\n\r\nFrom ", bodyStart)
-          if (next >= 0) msgEnd = next + 2
+        val clEnd = contentLengthEnd(b, text, bodyStart)
+        if (clEnd >= 0) {
+          // mboxcl: counted body, kept VERBATIM (no >From unquoting —
+          // the variant does not escape)
+          out.add(text.substring(bodyStart, clEnd).getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+          var e2 = clEnd
+          var skipped = 0
+          while (skipped < 2 && e2 < text.length &&
+              (text.charAt(e2) == '\n' || text.charAt(e2) == '\r')) {
+            e2 += 1; skipped += 1
+          }
+          pos = if (e2 >= text.length) -1 else e2
+        } else {
+          // next envelope: "\nFrom " after a blank line, or EOF
+          var next = text.indexOf("\n\nFrom ", bodyStart)
+          var msgEnd = if (next < 0) text.length else next + 1
+          if (next < 0) {
+            next = text.indexOf("\n\r\nFrom ", bodyStart)
+            if (next >= 0) msgEnd = next + 2
+          }
+          val body = text.substring(bodyStart, msgEnd)
+            .replace("\n>From ", "\nFrom ")
+          out.add(body.getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+          pos = if (next < 0) -1 else msgEnd + 1
         }
-        val body = text.substring(bodyStart, msgEnd)
-          .replace("\n>From ", "\nFrom ")
-        out.add(body.getBytes(
-          java.nio.charset.StandardCharsets.ISO_8859_1))
-        pos = if (next < 0) -1 else msgEnd + 1
       }
     }
     if (out.isEmpty) return null

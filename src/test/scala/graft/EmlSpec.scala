@@ -142,6 +142,58 @@ class EmlSpec extends AnyFunSuite {
     assert(m2.toString == "Subject: Two\n\nsecond body\n")
   }
 
+  test("mboxcl: Content-Length splits verbatim across hostile bodies") {
+    // the body carries an UNESCAPED "From " line after a blank line —
+    // exactly what breaks delimiter scanning and what mboxcl exists
+    // for; the counted split must win and keep the body verbatim
+    val body1 = "quote follows\n\nFrom the archive it reads\nend quote\n"
+    val mbox = iso("From a Mon Jan  1 00:00:00 2026\n" +
+      "From: a@example.com\nSubject: CL\n" +
+      s"Content-Length: ${body1.length}\n\n" + body1 +
+      "From b Mon Jan  1 00:01:00 2026\n" +
+      "From: b@example.com\nSubject: Two\n\nsecond body\n")
+    val arr = EmlText.mbox(mbox, 16)
+    assert(arr != null && arr.numElements() == 2)
+    assert(EmlText.parse(arr.getBinary(0)).toString ==
+      "Subject: CL\n\n" +
+        "quote follows\n\nFrom the archive it reads\nend quote\n")
+    assert(EmlText.parse(arr.getBinary(1)).toString ==
+      "Subject: Two\n\nsecond body\n")
+    // mboxcl bodies do NOT unquote >From (the variant never escapes)
+    val body2 = ">From stays literal\n"
+    val mb2 = iso("From a Mon Jan  1 00:00:00 2026\n" +
+      "From: a@example.com\nSubject: V\n" +
+      s"Content-Length: ${body2.length}\n\n" + body2)
+    val a2 = EmlText.mbox(mb2, 4)
+    assert(a2 != null && a2.numElements() == 1)
+    assert(EmlText.parse(a2.getBinary(0)).toString ==
+      "Subject: V\n\n>From stays literal\n")
+  }
+
+  test("mboxcl: a lying Content-Length falls back to delimiter scan") {
+    // the declared length lands mid-body (no From line there), so the
+    // scan rules apply and the blank-line+From split happens
+    val mbox = iso("From a Mon Jan  1 00:00:00 2026\n" +
+      "From: a@example.com\nSubject: Lie\n" +
+      "Content-Length: 3\n\n" +
+      "first body\n" +
+      "\nFrom b Mon Jan  1 00:01:00 2026\n" +
+      "From: b@example.com\nSubject: Two\n\nsecond body\n")
+    val arr = EmlText.mbox(mbox, 16)
+    assert(arr != null && arr.numElements() == 2)
+    assert(EmlText.parse(arr.getBinary(0)).toString ==
+      "Subject: Lie\n\nfirst body\n")
+    assert(EmlText.parse(arr.getBinary(1)).toString ==
+      "Subject: Two\n\nsecond body\n")
+    // an over-long Content-Length (past EOF) also falls back
+    val over = iso("From a Mon Jan  1 00:00:00 2026\n" +
+      "From: a@example.com\nSubject: O\nContent-Length: 99999\n\nbody\n")
+    val a2 = EmlText.mbox(over, 4)
+    assert(a2 != null && a2.numElements() == 1)
+    assert(EmlText.parse(a2.getBinary(0)).toString ==
+      "Subject: O\n\nbody\n")
+  }
+
   test("a single message tolerates a stray mbox envelope line") {
     val m = iso("From alice Mon Jan 1 00:00:00 2026\n" +
       "From: alice@example.com\nSubject: Stray\n\nbody\n")
