@@ -117,6 +117,9 @@ object OdfText {
               while (i < c) { sb.append(' '); i += 1 }
             case "tab" => sb.append('\t')
             case "line-break" => sb.append('\n')
+            // reviewer comments anchored inside a paragraph are not
+            // body text (the DOCX convention: comments don't extract)
+            case "annotation" | "annotation-end" => ()
             case _ => paraText(child, sb)
           }
         case _ => ()
@@ -136,6 +139,9 @@ object OdfText {
             val before = out.length
             paraText(child, out)
             if (out.length > before) out.append('\n')
+          // annotations hold text:p paragraphs of their own — reviewer
+          // comments, not document body; skip the subtree
+          case "annotation" | "annotation-end" => ()
           case _ => collectParas(child, out)
         }
       }

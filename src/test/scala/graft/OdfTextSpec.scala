@@ -112,6 +112,28 @@ class OdfTextSpec extends AnyFunSuite {
       "deck title\npoint one\nclosing\n")
   }
 
+  test("annotations (reviewer comments) do not extract as body text") {
+    // office:annotation carries its own text:p paragraphs — both as a
+    // paragraph SIBLING and anchored INSIDE a paragraph they must not
+    // leak into the extracted form (the DOCX comment convention)
+    val b = odt(
+      "<text:p>before</text:p>" +
+      s"""<office:annotation><text:p>sibling comment</text:p>""" +
+      "</office:annotation>" +
+      "<text:p>mid<office:annotation><text:p>inline comment</text:p>" +
+      "</office:annotation>dle</text:p>" +
+      "<text:p>after</text:p>")
+    assert(OdfText.parse(b).toString == "before\nmiddle\nafter\n")
+    // ods: a cell's annotation paragraph is not cell content
+    val sheet = ods(
+      "<table:table><table:table-row>" +
+        "<table:table-cell><office:annotation><text:p>note</text:p>" +
+        "</office:annotation><text:p>v1</text:p></table:table-cell>" +
+        "<table:table-cell><text:p>v2</text:p></table:table-cell>" +
+        "</table:table-row></table:table>")
+    assert(OdfText.parse(sheet).toString == "v1\tv2\n")
+  }
+
   test("odt/docx twin identity: same paragraphs, identical extraction") {
     val w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
     val bos = new java.io.ByteArrayOutputStream()
