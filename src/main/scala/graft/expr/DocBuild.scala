@@ -26,20 +26,57 @@ private[graft] object DocBuild {
   }
 
   /** Assemble a v3 (512-byte sector) compound file from named
-    * streams; `name` order becomes directory order after root.
+    * streams; `name` order becomes directory order after root. A
+    * `/` in a name nests the stream under storage entries (created
+    * on first use), and every level links a real sibling chain off
+    * its parent's child pointer — the tree shape Outlook `.msg`
+    * containers use, so parse(build(·)) exercises the reader's
+    * directory-tree walk.
     */
   def cfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
     val sectorSize = 512
-    val minis = streams.filter(_._2.length < 4096)
-    val regulars = streams.filter(_._2.length >= 4096)
+
+    // ---- directory tree: node 0 is root; storages materialize on
+    // first use; children keep insertion order
+    final class Node(val name: String, val objType: Int,
+      val data: Array[Byte])
+    val nodes = scala.collection.mutable.ArrayBuffer[Node](
+      new Node("Root Entry", 5, null))
+    val pathIdx = scala.collection.mutable.Map[String, Int]("" -> 0)
+    val children = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    def childList(p: Int) =
+      children.getOrElseUpdate(p, scala.collection.mutable.ArrayBuffer.empty)
+    streams.foreach { case (path, data) =>
+      val parts = path.split('/')
+      var parent = 0
+      var k = 0
+      while (k < parts.length - 1) {
+        val key = parts.take(k + 1).mkString("/")
+        parent = pathIdx.getOrElseUpdate(key, {
+          val idx = nodes.length
+          nodes += new Node(parts(k), 1, null)
+          childList(if (k == 0) 0 else pathIdx(parts.take(k).mkString("/"))) += idx
+          idx
+        })
+        k += 1
+      }
+      val idx = nodes.length
+      nodes += new Node(parts.last, 2, data)
+      childList(parent) += idx
+    }
+    val streamNodes = nodes.toSeq.filter(_.objType == 2)
+    val minis = streamNodes.filter(_.data.length < 4096)
+    val regulars = streamNodes.filter(_.data.length >= 4096)
 
     // ---- mini stream + miniFAT
     val miniData = new W
     val miniFat = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val miniStarts = scala.collection.mutable.Map.empty[String, Long]
-    minis.foreach { case (name, data) =>
+    val miniStarts = new java.util.IdentityHashMap[Node, Long]()
+    minis.foreach { node =>
+      val data = node.data
       val nSect = math.max(1, (data.length + 63) / 64)
-      miniStarts(name) = miniFat.length.toLong
+      miniStarts.put(node, miniFat.length.toLong)
       var i = 0
       while (i < nSect) {
         miniFat += (if (i == nSect - 1) EndOfChain
@@ -70,9 +107,8 @@ private[graft] object DocBuild {
       start
     }
 
-    val regStarts = regulars.map { case (name, data) =>
-      name -> addChain(data)
-    }.toMap
+    val regStarts = new java.util.IdentityHashMap[Node, Long]()
+    regulars.foreach(node => regStarts.put(node, addChain(node.data)))
     val miniStreamStart = addChain(miniData.result)
     val miniFatBytes = {
       val w = new W
@@ -83,9 +119,11 @@ private[graft] object DocBuild {
     val miniFatStart =
       if (miniFat.nonEmpty) addChain(miniFatBytes) else EndOfChain
 
-    // ---- directory
+    // ---- directory: each node's siblings link as a right-leaning
+    // chain off the parent's child pointer (a valid if unbalanced
+    // binary tree — readers must follow both sibling arms)
     def dirEntry(w: W, name: String, objType: Int, start: Long,
-        size: Long, child: Long): Unit = {
+        size: Long, child: Long, right: Long): Unit = {
       val base = w.out.size()
       name.foreach(c => w.le16(c))
       w.le16(0) // terminator
@@ -94,7 +132,7 @@ private[graft] object DocBuild {
       w.u8(objType)
       w.u8(1) // black
       w.le32(Free) // left
-      w.le32(Free) // right
+      w.le32(right)
       w.le32(child)
       var i = 0
       while (i < 16 + 4 + 8 + 8) { w.u8(0); i += 1 } // clsid/state/times
@@ -102,13 +140,27 @@ private[graft] object DocBuild {
       w.le32(size)
       w.le32(0) // size high
     }
+    def firstChild(idx: Int): Long =
+      children.get(idx).flatMap(_.headOption).map(_.toLong).getOrElse(Free)
+    def rightOf(idx: Int): Long = {
+      // the next sibling in the parent's insertion order
+      children.valuesIterator.flatMap { sibs =>
+        val at = sibs.indexOf(idx)
+        if (at >= 0 && at + 1 < sibs.length) Some(sibs(at + 1).toLong)
+        else None
+      }.nextOption().getOrElse(Free)
+    }
     val dirW = new W
     dirEntry(dirW, "Root Entry", 5, miniStreamStart,
-      miniData.result.length.toLong, if (streams.nonEmpty) 1 else Free)
-    streams.foreach { case (name, data) =>
-      val start =
-        if (data.length < 4096) miniStarts(name) else regStarts(name)
-      dirEntry(dirW, name, 2, start, data.length.toLong, Free)
+      miniData.result.length.toLong, firstChild(0), Free)
+    nodes.zipWithIndex.drop(1).foreach { case (node, idx) =>
+      val (start, size) =
+        if (node.objType == 1) (Free, 0L)
+        else if (node.data.length < 4096)
+          (miniStarts.get(node), node.data.length.toLong)
+        else (regStarts.get(node), node.data.length.toLong)
+      dirEntry(dirW, node.name, node.objType, start, size,
+        firstChild(idx), rightOf(idx))
     }
     dirW.pad(sectorSize)
     val dirStart = addChain(dirW.result)

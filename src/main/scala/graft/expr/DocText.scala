@@ -201,21 +201,72 @@ private[graft] object Cfb {
         else out.toByteArray
       }
 
+      // ---- directory TREE: each storage's children hang off its
+      // child pointer as a binary sibling tree (left/right). Streams
+      // under a storage get path-qualified names ("storage/stream" —
+      // Outlook .msg attachment substorages repeat stream names, so
+      // bare names collide). Entries the tree does not reach stay
+      // top-level: real writers always link the tree, while flat
+      // fixture containers (siblings all FREESECT) keep their
+      // established bare names.
+      val nEntries = dir.length / 128
+      def entryName(idx: Int): String = {
+        val o = idx * 128
+        val nameLen = le16(dir, o + 64)
+        if (nameLen < 2 || nameLen > 64) return null
+        val sb = new StringBuilder
+        var k = 0
+        while (k < nameLen - 2) {
+          sb.append(((dir(o + k) & 0xff) |
+            ((dir(o + k + 1) & 0xff) << 8)).toChar)
+          k += 2
+        }
+        sb.toString
+      }
+      val prefix = new Array[String](nEntries)
+      val seen = new Array[Boolean](nEntries)
+      var rootIdx = -1
+      e = 0
+      while (e + 128 <= dir.length) {
+        if ((dir(e + 66) & 0xff) == 5 && rootIdx < 0) rootIdx = e / 128
+        e += 128
+      }
+      if (rootIdx >= 0) {
+        // storages to expand, with their accumulated path prefix;
+        // depth bounded by the fact each storage is visited once
+        val pending = new java.util.ArrayDeque[(Int, String)]()
+        pending.add((rootIdx, ""))
+        seen(rootIdx) = true
+        while (!pending.isEmpty) {
+          val (sIdx, pfx) = pending.poll()
+          val stack = new java.util.ArrayDeque[Long]()
+          stack.push(le32(dir, sIdx * 128 + 76)) // child
+          while (!stack.isEmpty) {
+            val c = stack.pop()
+            if (c >= 0 && c < nEntries && c < 0xfffffffaL && !seen(c.toInt)) {
+              val idx = c.toInt
+              seen(idx) = true
+              prefix(idx) = pfx
+              stack.push(le32(dir, idx * 128 + 68)) // left sibling
+              stack.push(le32(dir, idx * 128 + 72)) // right sibling
+              if ((dir(idx * 128 + 66) & 0xff) == 1 && pfx.length < 1024) {
+                val nm = entryName(idx)
+                if (nm != null) pending.add((idx, pfx + nm + "/"))
+              }
+            }
+          }
+        }
+      }
+
       val streams = scala.collection.mutable.Map.empty[String, Array[Byte]]
       e = 0
       while (e + 128 <= dir.length) {
         val objType = dir(e + 66) & 0xff
         if (objType == 2) { // stream
-          val nameLen = le16(dir, e + 64) // bytes incl. terminator
-          if (nameLen >= 2 && nameLen <= 64) {
-            val sb = new StringBuilder
-            var k = 0
-            while (k < nameLen - 2) {
-              sb.append(((dir(e + k) & 0xff) |
-                ((dir(e + k + 1) & 0xff) << 8)).toChar)
-              k += 2
-            }
-            val name = sb.toString
+          val bare = entryName(e / 128)
+          if (bare != null) {
+            val pfx = prefix(e / 128)
+            val name = if (pfx == null) bare else pfx + bare
             val start = le32(dir, e + 116)
             val size = le32(dir, e + 120)
             if (size >= 0 && size <= MaxStreamBytes &&
