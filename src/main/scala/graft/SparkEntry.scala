@@ -4989,6 +4989,63 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // Outlook .msg corpus: compound-file messages (the [MS-OXMSG]
+    // __substg1.0_ property streams + attachment storages MsgBuild
+    // writes independently) — graft_document_text routes the CFB msg
+    // arm for the message text (outer subject/body, then the embedded
+    // message's, the rfc822 convention), and graft_msg_attachments
+    // surfaces the by-value PDF plus the embedded message's DOCX
+    // (nesting recursion), each extracted by graft_document_text:
+    // msg → attachment → document in one single-scan plan. The CFB
+    // directory-tree walk is load-bearing here — the two attachment
+    // storages repeat their substream names.
+    "q227_msg_corpus" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def pdfDoc(line: String): Array[Byte] = {
+          val content = s"BT /F1 12 Tf ($line) Tj ET"
+          ascii("%PDF-1.4\n" +
+            s"4 0 obj << /Length ${content.length} >> stream\n" +
+            content + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+        }
+        def docxDoc(line: String): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+          z.write(("<w:document xmlns:w=\"http://schemas.openxmlformats" +
+            s".org/wordprocessingml/2006/main\"><w:body><w:p><w:r><w:t>" +
+            s"$line</w:t></w:r></w:p></w:body></w:document>")
+            .getBytes("UTF-8"))
+          z.closeEntry(); z.close(); bos.toByteArray
+        }
+        val inner = graft.expr.MsgBuild.msgEntries(s"fwd ${g % 5}",
+          s"inner $g",
+          atts = Seq(("deep.docx", "application/vnd.openxmlformats-" +
+            "officedocument.wordprocessingml.document",
+            docxDoc(s"d $safe $g"))))
+        graft.expr.MsgBuild.msg(s"msg ${g % 7}", s"note $safe end $g",
+          atts = Seq(("report.pdf", "application/pdf",
+            pdfDoc(s"p $safe $g"))),
+          embedded = Seq(inner))
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      val msgBytes = gen(id, safe)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          substring(call_function(graft.expr.DocumentText.FunctionName,
+            msgBytes), 1, 160).as("msg_text"),
+          explode(call_function(graft.expr.MsgText.AttachmentsName,
+            msgBytes, lit(8))).as("a"))
+        .select(col("file_id"), col("msg_text"),
+          col("a.name").as("name"), col("a.mime").as("mime"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("a.content")), "\\s+", " ")), 1, 120).as("att_text"))
+    }),
+
     // mboxcl mail dumps: qmail-style archives declare Content-Length
     // instead of escaping body "From " lines. The first message's
     // body carries a hostile unescaped "From " line after a blank
@@ -9402,6 +9459,31 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the compound-file, property-stream, and embedded-message layers
+    // are transparent: the oracle replays the message text (outer
+    // then embedded subject/body) and both attachments' decoded forms
+    "q227_msg_corpus" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         m AS (SELECT id, safe,
+              substr('Subject: msg ' || (id % 7) || chr(10) || chr(10) ||
+                'note ' || safe || ' end ' || id || chr(10) ||
+                'Subject: fwd ' || (id % 5) || chr(10) || chr(10) ||
+                'inner ' || id || chr(10), 1, 160) AS msg_text
+           FROM d),
+         f AS (SELECT id, 'report.pdf' AS name,
+                      'application/pdf' AS mime, 'p' AS kind FROM d
+               UNION ALL SELECT id, 'deep.docx',
+                      'application/vnd.openxmlformats-officedocument' ||
+                      '.wordprocessingml.document', 'd' FROM d)
+       SELECT CAST(f.id AS BIGINT) AS file_id, m.msg_text, f.name, f.mime,
+              substr(trim(regexp_replace(
+                f.kind || ' ' || m.safe || ' ' || f.id,
+                '\s+', ' ', 'g')), 1, 120) AS att_text
+       FROM f JOIN m ON f.id = m.id""",
 
     // the counted mboxcl split is transparent: the oracle replays
     // both messages' decoded forms, hostile From line included

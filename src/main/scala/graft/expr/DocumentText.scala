@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * to the winning extractor; `{\rtf` → RTF; the CFB signature parses
   * the container once and routes by directory-entry name —
   * `WordDocument` → .doc, `Workbook` → BIFF8 .xls,
-  * `PowerPoint Document` → .ppt; RFC-5322 messages dispatch on a
+  * `PowerPoint Document` → .ppt, `__substg1.0_*` property streams →
+  * Outlook .msg; RFC-5322 messages dispatch on a
   * conservative structural sniff (mbox envelope or a mail-defining
   * first header, re-checked by the extractor). Unrecognized magic → NULL — plain text/markdown
   * columns should not round-trip through a document parser, and a
@@ -120,6 +121,7 @@ object DocumentText {
         LegacyOffice.xlsFromCfb(cfb)
       else if (cfb.streams.contains("PowerPoint Document"))
         LegacyOffice.pptFromCfb(cfb)
+      else if (MsgText.isMsg(cfb)) MsgText.fromCfb(cfb)
       else null // .msi / unknown CFB: out of subset
     } else null
   }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.expr.{AudioDecodeExpr, AudioEnvSig, AudioMeta, AudioStats, AudioTags, ImageTags, VideoTags, TarEntries, ZipEntries, SevenZip, SevenZipEntries, Bunzip2Expr, UnxzExpr, UnzstdExpr, DecompressExpr, Decompress, DocText, DocTextExpr, DocumentText, DocumentTextExpr, OfficeText, PptxText, XlsxText, LegacyOffice, XlsTextExpr, PptTextExpr, OdfText, OdfTextExpr, EmlText, EmlTextExpr, MboxMessages, EmlAttachments, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, H264Frames, PdfText, ResamplePcm, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
+import graft.expr.{AudioDecodeExpr, AudioEnvSig, AudioMeta, AudioStats, AudioTags, ImageTags, VideoTags, TarEntries, ZipEntries, SevenZip, SevenZipEntries, Bunzip2Expr, UnxzExpr, UnzstdExpr, DecompressExpr, Decompress, DocText, DocTextExpr, DocumentText, DocumentTextExpr, OfficeText, PptxText, XlsxText, LegacyOffice, XlsTextExpr, PptTextExpr, OdfText, OdfTextExpr, EmlText, EmlTextExpr, MboxMessages, EmlAttachments, MsgText, MsgTextExpr, MsgAttachments, AviFrames, BpeEncode, DocxText, ExifOrientation, OrientPixels, EpubText, HttpBody, HttpText, Mp4Frames, H264Frames, PdfText, ResamplePcm, ResizePixels, RtfToText, SigL1, VideoMeta, WarcRecords, GifFrames, BloomMightContain, CmsSketchAgg, CosineSimilarity, DotProduct, ExprArgs, ImageMeta, KmvQuantileAgg, KmvSketchAgg, L2SqDistance, LangIdWide, MinHashSignature, NfcNormalize, OrderedPairs, PixelGridSig, PixelStats, PostingPairsAgg, SimHash60, VecArgmaxCos, VecArgmin, VecArgminL2, VecDistance, WinnowFingerprints, WordGramHashes, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -248,6 +248,15 @@ object GraftExtensions {
         exprs => EmlAttachments(exprs(0),
           if (exprs.length > 1)
             ExprArgs.intLit(EmlText.AttachmentsName, "max", exprs(1))
+          else 256)),
+      (FunctionIdentifier(MsgText.FunctionName),
+        info(MsgText.FunctionName, classOf[MsgTextExpr]),
+        exprs => MsgTextExpr(exprs(0))),
+      (FunctionIdentifier(MsgText.AttachmentsName),
+        info(MsgText.AttachmentsName, classOf[MsgAttachments]),
+        exprs => MsgAttachments(exprs(0),
+          if (exprs.length > 1)
+            ExprArgs.intLit(MsgText.AttachmentsName, "max", exprs(1))
           else 256)),
       (FunctionIdentifier(VecDistance.L2SqName),
         info(VecDistance.L2SqName, classOf[L2SqDistance]),

@@ -63,6 +63,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "OdfText" -> (b => graft.expr.OdfText.parse(b)),
     "EmlText" -> (b => graft.expr.EmlText.parse(b)),
     "MboxMessages" -> (b => graft.expr.EmlText.mbox(b, 16)),
+    "EmlAttachments" -> (b => graft.expr.EmlText.attachments(b, 16)),
+    "MsgText" -> (b => graft.expr.MsgText.parse(b)),
+    "MsgAttachments" -> (b => graft.expr.MsgText.attachments(b, 16)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
     "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
     "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
@@ -195,8 +198,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
         "</office:document-content>").getBytes("UTF-8"))
       z.closeEntry(); z.close(); bos.toByteArray
     }
+    val msgB = graft.expr.MsgBuild.msg("sweep", "msg body",
+      atts = Seq(("a.txt", "text/plain", "att".getBytes("UTF-8"))))
     for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
-        xlsB, pptB, pptInc, odfB, mboxB);
+        xlsB, pptB, pptInc, odfB, mboxB, msgB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
