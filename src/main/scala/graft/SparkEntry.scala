@@ -4989,6 +4989,66 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // Exchange-mail composition: messages whose documents ride INSIDE
+    // winmail.dat — an RFC-5322 message carries an application/ms-tnef
+    // part; graft_eml_attachments surfaces it, graft_tnef_text reads
+    // the encapsulated subject/body (alternating the plain-attribute
+    // and MAPI-property encodings by row parity — extraction must be
+    // identical), and graft_tnef_attachments surfaces the PDF (by
+    // value, MAPI long-name preferred over the 8.3 title) and RTF
+    // (a MAPI PidTagAttachDataBinary value), each extracted by
+    // graft_document_text: mail → tnef → document in one plan.
+    "q228_tnef_mail" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def pdfDoc(line: String): Array[Byte] = {
+          val content = s"BT /F1 12 Tf ($line) Tj ET"
+          ascii("%PDF-1.4\n" +
+            s"4 0 obj << /Length ${content.length} >> stream\n" +
+            content + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+        }
+        val tnef = graft.expr.TnefBuild.tnef(s"tnef ${g % 7}",
+          s"inner note $safe $g", viaMapi = g % 2 == 0,
+          atts = Seq(
+            graft.expr.TnefBuild.Attach("REPORT~1.PDF",
+              longName = "report.pdf", mime = "application/pdf",
+              content = pdfDoc(s"p $safe $g")),
+            graft.expr.TnefBuild.Attach("readme.rtf",
+              mime = "application/rtf",
+              content = ascii(s"{\\rtf1 $safe rtf $g\\par}"),
+              byValue = false)))
+        val b64 = java.util.Base64.getMimeEncoder(60,
+          "\n".getBytes("ISO-8859-1"))
+        ascii(s"From: exch@example.com\nSubject: exch $g\n" +
+          "MIME-Version: 1.0\n" +
+          "Content-Type: multipart/mixed; boundary=tt\n\n" +
+          s"--tt\nContent-Type: text/plain\n\ncover $g\n" +
+          "--tt\nContent-Type: application/ms-tnef\n" +
+          "Content-Disposition: attachment; filename=winmail.dat\n" +
+          "Content-Transfer-Encoding: base64\n\n" +
+          b64.encodeToString(tnef) + "\n--tt--\n")
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.EmlText.AttachmentsName,
+            gen(id, safe), lit(8))).as("w"))
+        .where(col("w.name") === "winmail.dat")
+        .select(col("file_id"),
+          substring(call_function(graft.expr.Tnef.FunctionName,
+            col("w.content")), 1, 160).as("tnef_text"),
+          explode(call_function(graft.expr.Tnef.AttachmentsName,
+            col("w.content"), lit(8))).as("a"))
+        .select(col("file_id"), col("tnef_text"),
+          col("a.name").as("name"), col("a.mime").as("mime"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("a.content")), "\\s+", " ")), 1, 120).as("att_text"))
+    }),
+
     // Outlook .msg corpus: compound-file messages (the [MS-OXMSG]
     // __substg1.0_ property streams + attachment storages MsgBuild
     // writes independently) — graft_document_text routes the CFB msg
@@ -9459,6 +9519,30 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the mail, base64, tnef-attribute and MAPI layers are all
+    // transparent (and the two tnef encodings must agree): the oracle
+    // replays the encapsulated text and both documents' decoded forms
+    "q228_tnef_mail" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         m AS (SELECT id, safe,
+              substr('Subject: tnef ' || (id % 7) || chr(10) || chr(10) ||
+                'inner note ' || safe || ' ' || id || chr(10),
+                1, 160) AS tnef_text
+           FROM d),
+         f AS (SELECT id, 'report.pdf' AS name,
+                      'application/pdf' AS mime, 0 AS kind FROM d
+               UNION ALL SELECT id, 'readme.rtf',
+                      'application/rtf', 1 FROM d)
+       SELECT CAST(f.id AS BIGINT) AS file_id, m.tnef_text, f.name, f.mime,
+              substr(trim(regexp_replace(
+                CASE f.kind WHEN 0 THEN 'p ' || m.safe || ' ' || f.id
+                  ELSE m.safe || ' rtf ' || f.id END,
+                '\s+', ' ', 'g')), 1, 120) AS att_text
+       FROM f JOIN m ON f.id = m.id""",
 
     // the compound-file, property-stream, and embedded-message layers
     // are transparent: the oracle replays the message text (outer

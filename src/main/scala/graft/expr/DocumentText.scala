@@ -106,6 +106,8 @@ object DocumentText {
     } else if (b(0) == '{' && b(1) == '\\' && b(2) == 'r' && b(3) == 't' &&
         b(4) == 'f')
       RtfToText.extract(UTF8String.fromBytes(b))
+    else if (Tnef.isTnef(b))
+      Tnef.parse(b) // winmail.dat: checksum-verified attribute walk
     else if (looksLikeMail(b))
       // RFC-5322 has no magic; the gate is structural — a header
       // block with a mail-defining header (EmlText re-checks)

@@ -66,6 +66,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "EmlAttachments" -> (b => graft.expr.EmlText.attachments(b, 16)),
     "MsgText" -> (b => graft.expr.MsgText.parse(b)),
     "MsgAttachments" -> (b => graft.expr.MsgText.attachments(b, 16)),
+    "TnefText" -> (b => graft.expr.Tnef.parse(b)),
+    "TnefAttachments" -> (b => graft.expr.Tnef.attachments(b, 16)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
     "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
     "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
@@ -101,6 +103,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Array[Byte](16, 0, 0, 0, 0x2F), // VP8L chunk + signature,
     Array[Byte](0, 0, 0, 1, 0x67), // H.264 start code + SPS header
     Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte), // zstd frame magic
+    Array[Byte](0x78, 0x9F.toByte, 0x3E, 0x22), // TNEF signature
     Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
     Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
       0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte), // CFB (.doc)
@@ -200,8 +203,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
     }
     val msgB = graft.expr.MsgBuild.msg("sweep", "msg body",
       atts = Seq(("a.txt", "text/plain", "att".getBytes("UTF-8"))))
+    val tnefB = graft.expr.TnefBuild.tnef("sweep", "tnef body",
+      viaMapi = true, atts = Seq(graft.expr.TnefBuild.Attach("a.txt",
+        mime = "text/plain", content = "att".getBytes("UTF-8"))))
     for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
-        xlsB, pptB, pptInc, odfB, mboxB, msgB);
+        xlsB, pptB, pptInc, odfB, mboxB, msgB, tnefB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
