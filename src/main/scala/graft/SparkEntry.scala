@@ -4989,6 +4989,45 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // .jsonl.lz4 shards: the parquet/kafka-ecosystem light packaging,
+    // rotating the three real wire shapes by row — a standard frame,
+    // a frame with block checksums + declared content size (both
+    // verified in-plan), and the legacy format — all through the ONE
+    // magic-dispatched graft_decompress (q216's lz4 sibling; the
+    // decoder itself is pinned against real lz4-1.9.4 streams in
+    // Lz4Spec). The shard body repeats tokens so blocks carry real
+    // matches, not literal-only runs.
+    "q229_jsonl_lz4_text" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        val k = (g % 3 + 1).toInt
+        val sb = new StringBuilder
+        var j = 0
+        while (j < k) {
+          sb.append(s"""{"rec":$j,"text":"w${(g + j) % 97} lz4 end"}""")
+          sb.append('\n')
+          j += 1
+        }
+        val raw = sb.toString.getBytes("UTF-8")
+        (g % 3).toInt match {
+          case 0 => graft.expr.Lz4Build.frame(raw)
+          case 1 => graft.expr.Lz4Build.frame(raw, blockCk = true,
+            contentSize = true)
+          case _ => graft.expr.Lz4Build.legacy(raw)
+        }
+      }
+      val id = col("doc_id")
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          decode(call_function(graft.expr.Decompress.FunctionName,
+            gen(id)), "UTF-8").as("raw"))
+        .select(col("file_id"),
+          explode(split(rtrim(col("raw"), "\n"), "\n")).as("line"))
+        .select(col("file_id"),
+          get_json_object(col("line"), "$.rec").cast("long").as("rec"),
+          get_json_object(col("line"), "$.text").as("text"))
+    }),
+
     // Exchange-mail composition: messages whose documents ride INSIDE
     // winmail.dat — an RFC-5322 message carries an application/ms-tnef
     // part; graft_eml_attachments surfaces it, graft_tnef_text reads
@@ -9519,6 +9558,18 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the three lz4 wire shapes are transparent: the oracle replays
+    // the shard lines relationally
+    "q229_jsonl_lz4_text" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 + 1 AS k
+           FROM documents),
+         f AS (SELECT id, r.j AS rec,
+                 'w' || ((id + r.j) % 97) || ' lz4 end' AS text
+               FROM d CROSS JOIN range(0, 3) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, CAST(rec AS BIGINT) AS rec,
+              text
+       FROM f""",
 
     // the mail, base64, tnef-attribute and MAPI layers are all
     // transparent (and the two tnef encodings must agree): the oracle

@@ -80,11 +80,14 @@ object Decompress {
         b(3) == 'X') Xz.decode(b)
     else if (b(0) == 0x28 && b(1) == 0xb5.toByte && b(2) == 0x2f &&
         b(3) == 0xfd.toByte) Zstd.decode(b)
+    else if (Lz4.isLz4(b)) Lz4.decode(b)
     else if ((b(0) & 0xf0) == 0x50 && b(1) == 0x2a && b(2) == 0x4d &&
-        b(3) == 0x18)
-      // legal zstd files may LEAD with a skippable frame
-      // (le32 & 0xFFFFFFF0 == 0x184D2A50); the decoder walks past it
-      Zstd.decode(b)
+        b(3) == 0x18) {
+      // zstd AND lz4 files may LEAD with a skippable frame (the two
+      // formats share the 0x184D2A5x magic family); peek past the
+      // skippables to pick the decoder
+      if (Lz4.leadsToLz4(b)) Lz4.decode(b) else Zstd.decode(b)
+    }
     else if ((b(0) & 0xff) < 225 && b.length >= 18 && b(13) == 0)
       // .lzma "alone" has no magic: gate on a valid props byte and
       // the raw LZMA stream's mandatory 0x00 first byte, then let

@@ -145,13 +145,19 @@ object TarEntries {
         val d = Xz.decode(raw)
         if (d == null) return null
         d
+      } else if (Lz4.isLz4(raw)) {
+        // tar.lz4 — the clean-room LZ4 decoder
+        val d = Lz4.decode(raw)
+        if (d == null) return null
+        d
       } else if ((raw(0) == 0x28 && raw(1) == 0xb5.toByte &&
           raw(2) == 0x2f && raw(3) == 0xfd.toByte) ||
           ((raw(0) & 0xf0) == 0x50 && raw(1) == 0x2a &&
             raw(2) == 0x4d && raw(3) == 0x18)) {
-        // tar.zst — the clean-room Zstandard decoder (a legal .zst
-        // may lead with a skippable frame, magic 0x184D2A5x LE)
-        val d = Zstd.decode(raw)
+        // tar.zst / tar.lz4 — zstd and lz4 share the skippable-frame
+        // magic family, so a skippable-leading file peeks past them
+        val d = if (Lz4.leadsToLz4(raw)) Lz4.decode(raw)
+          else Zstd.decode(raw)
         if (d == null) return null
         d
       } else raw

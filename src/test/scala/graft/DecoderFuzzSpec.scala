@@ -56,6 +56,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Bzip2" -> (b => graft.expr.Bzip2.decode(b)),
     "Xz" -> (b => graft.expr.Xz.decode(b)),
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
+    "Lz4" -> (b => graft.expr.Lz4.decode(b)),
     "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
     "DocText" -> (b => graft.expr.DocText.parse(b)),
     "XlsText" -> (b => graft.expr.LegacyOffice.xls(b)),
@@ -104,6 +105,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0, 0, 0, 1, 0x67), // H.264 start code + SPS header
     Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte), // zstd frame magic
     Array[Byte](0x78, 0x9F.toByte, 0x3E, 0x22), // TNEF signature
+    Array[Byte](0x04, 0x22, 0x4D, 0x18), // lz4 frame magic
+    Array[Byte](0x02, 0x21, 0x4C, 0x18), // lz4 legacy magic
     Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
     Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
       0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte), // CFB (.doc)
