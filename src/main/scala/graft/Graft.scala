@@ -117,6 +117,7 @@ object Graft {
     graft.expr.UnxzExpr.register(spark)
     graft.expr.UnzstdExpr.register(spark)
     graft.expr.UnLz4Expr.register(spark)
+    graft.expr.UnSnappyExpr.register(spark)
     graft.expr.SevenZip.register(spark)
     graft.expr.Decompress.register(spark)
     graft.expr.DocumentText.register(spark)

@@ -4989,6 +4989,43 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // .snappy shards, BOTH wire shapes: framed files (the hadoop
+    // convention, stream-identifier magic) dispatch through
+    // graft_decompress; RAW snappy payloads (the parquet-page shape,
+    // NO magic) fall through to graft_unsnappy — the
+    // coalesce(decompress, unsnappy) composition is exactly how a
+    // mixed drop reads. The decoder is differentially pinned against
+    // snappy-java (Spark's own parquet codec) in SnappySpec.
+    "q230_jsonl_snappy_text" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long) =>
+        val k = (g % 3 + 1).toInt
+        val sb = new StringBuilder
+        var j = 0
+        while (j < k) {
+          sb.append(s"""{"rec":$j,"text":"w${(g + j) % 97} sz end"}""")
+          sb.append('\n')
+          j += 1
+        }
+        val raw = sb.toString.getBytes("UTF-8")
+        if (g % 2 == 0) graft.expr.SnappyBuild.framed(raw)
+        else graft.expr.SnappyBuild.raw(raw)
+      }
+      val id = col("doc_id")
+      val blob = gen(id)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          decode(coalesce(
+            call_function(graft.expr.Decompress.FunctionName, blob),
+            call_function(graft.expr.UnSnappyExpr.FunctionName, blob)),
+            "UTF-8").as("raw"))
+        .select(col("file_id"),
+          explode(split(rtrim(col("raw"), "\n"), "\n")).as("line"))
+        .select(col("file_id"),
+          get_json_object(col("line"), "$.rec").cast("long").as("rec"),
+          get_json_object(col("line"), "$.text").as("text"))
+    }),
+
     // .jsonl.lz4 shards: the parquet/kafka-ecosystem light packaging,
     // rotating the three real wire shapes by row — a standard frame,
     // a frame with block checksums + declared content size (both
@@ -9558,6 +9595,18 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // both snappy wire shapes are transparent: the oracle replays
+    // the shard lines relationally
+    "q230_jsonl_snappy_text" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 3 + 1 AS k
+           FROM documents),
+         f AS (SELECT id, r.j AS rec,
+                 'w' || ((id + r.j) % 97) || ' sz end' AS text
+               FROM d CROSS JOIN range(0, 3) r(j) WHERE r.j < k)
+       SELECT CAST(id AS BIGINT) AS file_id, CAST(rec AS BIGINT) AS rec,
+              text
+       FROM f""",
 
     // the three lz4 wire shapes are transparent: the oracle replays
     // the shard lines relationally

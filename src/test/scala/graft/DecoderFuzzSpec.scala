@@ -57,6 +57,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Xz" -> (b => graft.expr.Xz.decode(b)),
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
     "Lz4" -> (b => graft.expr.Lz4.decode(b)),
+    "Snappy" -> (b => graft.expr.Snappy.decode(b)),
     "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
     "DocText" -> (b => graft.expr.DocText.parse(b)),
     "XlsText" -> (b => graft.expr.LegacyOffice.xls(b)),
@@ -107,6 +108,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0x78, 0x9F.toByte, 0x3E, 0x22), // TNEF signature
     Array[Byte](0x04, 0x22, 0x4D, 0x18), // lz4 frame magic
     Array[Byte](0x02, 0x21, 0x4C, 0x18), // lz4 legacy magic
+    Array[Byte](0xff.toByte, 6, 0, 0) ++
+      "sNaPpY".getBytes("ISO-8859-1"), // snappy framing identifier
     Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
     Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
       0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte), // CFB (.doc)
@@ -209,8 +212,13 @@ class DecoderFuzzSpec extends AnyFunSuite {
     val tnefB = graft.expr.TnefBuild.tnef("sweep", "tnef body",
       viaMapi = true, atts = Seq(graft.expr.TnefBuild.Attach("a.txt",
         mime = "text/plain", content = "att".getBytes("UTF-8"))))
+    val lz4B = graft.expr.Lz4Build.frame(
+      "fuzz lz4 alpha alpha alpha".getBytes("UTF-8"), blockCk = true,
+      contentSize = true)
+    val szB = graft.expr.SnappyBuild.framed(
+      "fuzz sz alpha alpha alpha".getBytes("UTF-8"))
     for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
-        xlsB, pptB, pptInc, odfB, mboxB, msgB, tnefB);
+        xlsB, pptB, pptInc, odfB, mboxB, msgB, tnefB, lz4B, szB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
