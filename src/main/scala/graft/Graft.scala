@@ -127,6 +127,7 @@ object Graft {
     graft.expr.EmlText.register(spark)
     graft.expr.MsgText.register(spark)
     graft.expr.Tnef.register(spark)
+    graft.expr.VcardText.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

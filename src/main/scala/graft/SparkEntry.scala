@@ -4989,6 +4989,45 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // Contact/calendar corpus: vCard exports (single and multi-card)
+    // and iCalendar files through the ONE magic-dispatched
+    // graft_document_text — the content-line tier next to mail. All
+    // construction RELATIONAL (Column-only, no udf): the fixtures
+    // are the wire text itself, so the oracle replays the extraction
+    // conventions (property whitelist in document order, blank line
+    // between cards/components) directly.
+    "q231_contact_calendar" -> ((s, dir) => {
+      Graft.tune(s)
+      def ascii(x: String): Column = lit(x.getBytes("ISO-8859-1"))
+      val id = col("doc_id")
+      val idB = encode(id.cast("string"), "UTF-8").cast(BinaryType)
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      val safeB = encode(safe, "UTF-8").cast(BinaryType)
+      val m7 = encode((id % 7).cast("string"), "UTF-8").cast(BinaryType)
+      val m5 = encode((id % 5).cast("string"), "UTF-8").cast(BinaryType)
+      val vcardSingle = concat(
+        ascii("BEGIN:VCARD\nVERSION:3.0\nFN:user "), idB,
+        ascii("\nORG:o "), safeB, ascii(" e\nEMAIL:u"), idB,
+        ascii("@example.org\nPHOTO;ENCODING=b:AAAA\nEND:VCARD\n"))
+      val vcardMulti = concat(
+        ascii("BEGIN:VCARD\nFN:first "), idB,
+        ascii("\nEND:VCARD\nBEGIN:VCARD\nFN:second "), m7,
+        ascii("\nNOTE:n "), safeB, ascii(" e\nEND:VCARD\n"))
+      val ics = concat(
+        ascii("BEGIN:VCALENDAR\nVERSION:2.0\nBEGIN:VEVENT\nUID:u@x\n" +
+          "DTSTART:20260817T090000Z\nSUMMARY:ev "), m7,
+        ascii("\nDESCRIPTION:d "), safeB, ascii(" e\nLOCATION:room "),
+        m5, ascii("\nEND:VEVENT\nEND:VCALENDAR\n"))
+      val blob = when(id % 3 === 0, vcardSingle)
+        .when(id % 3 === 1, vcardMulti)
+        .otherwise(ics)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          substring(call_function(graft.expr.DocumentText.FunctionName,
+            blob), 1, 200).as("card_text"))
+    }),
+
     // .snappy shards, BOTH wire shapes: framed files (the hadoop
     // convention, stream-identifier magic) dispatch through
     // graft_decompress; RAW snappy payloads (the parquet-page shape,
@@ -9595,6 +9634,25 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the content-line layer is transparent: the oracle replays the
+    // extraction conventions (whitelist order, blank separators)
+    "q231_contact_calendar" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents)
+       SELECT CAST(id AS BIGINT) AS file_id,
+         substr(CASE CAST(id % 3 AS INTEGER)
+           WHEN 0 THEN 'user ' || id || chr(10) || 'o ' || safe ||
+             ' e' || chr(10) || 'u' || id || '@example.org' || chr(10)
+           WHEN 1 THEN 'first ' || id || chr(10) || chr(10) ||
+             'second ' || (id % 7) || chr(10) || 'n ' || safe || ' e' ||
+             chr(10)
+           ELSE 'ev ' || (id % 7) || chr(10) || 'd ' || safe || ' e' ||
+             chr(10) || 'room ' || (id % 5) || chr(10)
+         END, 1, 200) AS card_text
+       FROM d""",
 
     // both snappy wire shapes are transparent: the oracle replays
     // the shard lines relationally

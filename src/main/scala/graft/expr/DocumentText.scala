@@ -108,6 +108,10 @@ object DocumentText {
       RtfToText.extract(UTF8String.fromBytes(b))
     else if (Tnef.isTnef(b))
       Tnef.parse(b) // winmail.dat: checksum-verified attribute walk
+    else if (VcardText.startsWithIgnoreCase(b, "BEGIN:VCARD"))
+      VcardText.vcard(b)
+    else if (VcardText.startsWithIgnoreCase(b, "BEGIN:VCALENDAR"))
+      VcardText.ics(b)
     else if (looksLikeMail(b))
       // RFC-5322 has no magic; the gate is structural — a header
       // block with a mail-defining header (EmlText re-checks)

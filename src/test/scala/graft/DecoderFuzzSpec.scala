@@ -70,6 +70,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "MsgAttachments" -> (b => graft.expr.MsgText.attachments(b, 16)),
     "TnefText" -> (b => graft.expr.Tnef.parse(b)),
     "TnefAttachments" -> (b => graft.expr.Tnef.attachments(b, 16)),
+    "VcardText" -> (b => graft.expr.VcardText.vcard(b)),
+    "IcsText" -> (b => graft.expr.VcardText.ics(b)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
     "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
     "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
@@ -110,6 +112,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0x02, 0x21, 0x4C, 0x18), // lz4 legacy magic
     Array[Byte](0xff.toByte, 6, 0, 0) ++
       "sNaPpY".getBytes("ISO-8859-1"), // snappy framing identifier
+    "BEGIN:VCARD\r\n".getBytes("ISO-8859-1"),
+    "BEGIN:VCALENDAR\r\n".getBytes("ISO-8859-1"),
     Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
     Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
       0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte), // CFB (.doc)
