@@ -1638,10 +1638,12 @@ object ScaleShakeout {
       // render one family's text as a document; fmt picks the format
       def renderDoc(fam: Long, fmt: Int): Array[Byte] = {
         val line = docText(fam)
-        (fmt % 5) match {
+        (fmt % 6) match {
           case 4 => // RFC-5322 message, the text as the body
             (s"From: gen@example.com\nSubject: fam\n\n$line\n")
               .getBytes("ISO-8859-1")
+          case 5 => // Outlook .msg, same Subject-prefix shape as eml
+            graft.expr.MsgBuild.msg("fam", line)
           case 0 =>
             val content = s"BT /F1 12 Tf ($line) Tj ET"
             ("%PDF-1.4\n" +
@@ -1668,9 +1670,9 @@ object ScaleShakeout {
           armShift: Int) =>
         val rnd = new java.util.Random(id * 6364136223846793005L + 53L)
         val k = 2 + rnd.nextInt(4)
-        val exts = Array("pdf", "docx", "rtf", "doc", "eml")
+        val exts = Array("pdf", "docx", "rtf", "doc", "eml", "msg")
         val entries = (0 until k).map { j =>
-          val fmt = (((id + j + fmtShift) % 5) + 5).toInt % 5
+          val fmt = (((id + j + fmtShift) % 6) + 6).toInt % 6
           s"docs/f$j.${exts(fmt)}" -> renderDoc(famOff + id * 16 + j, fmt)
         }
         if (((id + armShift) & 1L) == 0L) {

@@ -963,6 +963,22 @@ class StreamingSpec extends SparkSpec {
     ingest(3L -> tarOf("f.eml" -> emlDoc("re", t2),
       "g.eml" -> emlDoc("fresh", "completely new mail body words here")))
     assert(texts() == after3)
+    // batch 4: a longer document lands as DOCX; batch 5 re-delivers
+    // it as an Outlook .msg (the compound-file mail arm — the same
+    // Subject-prefix near-dup shape as .eml, but an entirely binary
+    // container; jaccard ~0.82, the prefix dilutes in a longer
+    // body) — drops, while a fresh .msg lands
+    val t4 = "long base sentence carrying enough tokens that the " +
+      "subject prefix stays a near duplicate"
+    ingest(4L -> tarOf("h.docx" -> docxDoc(t4)))
+    assert(texts().size == 5)
+    ingest(5L -> tarOf(
+      "i.msg" -> graft.expr.MsgBuild.msg("re", t4),
+      "j.msg" -> graft.expr.MsgBuild.msg("fresh",
+        "outlook container novel words entirely")))
+    val after5 = texts()
+    assert(after5.size == 6 &&
+      after5.exists(_.contains("outlook container novel")))
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
