@@ -113,6 +113,8 @@ object Graft {
     graft.expr.VideoTags.register(spark)
     graft.expr.TarEntries.register(spark)
     graft.expr.ZipEntries.register(spark)
+    graft.expr.ArEntries.register(spark)
+    graft.expr.CpioEntries.register(spark)
     graft.expr.Bunzip2Expr.register(spark)
     graft.expr.UnxzExpr.register(spark)
     graft.expr.UnzstdExpr.register(spark)

@@ -4989,6 +4989,125 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // Debian packages: .deb = ar(debian-binary, control.tar.*,
+    // data.tar.*) — the ar walk surfaces the members, the data tar
+    // front-decompresses through the shared tar dispatch, and the
+    // payload documents extract: package → ar → tar.gz → document in
+    // one single-scan plan (source-dump corpora carry .deb files
+    // directly; the ar walk itself is pinned against real
+    // binutils/dpkg-deb output in ArCpioSpec).
+    "q232_deb_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          entries.foreach { case (name, c) =>
+            val h = new Array[Byte](512)
+            def putStr(o: Int, len: Int, str: String): Unit = {
+              val bb = str.getBytes("UTF-8")
+              System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+            }
+            def putOctal(o: Int, len: Int, v: Long): Unit =
+              putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+            putStr(0, 100, name)
+            putOctal(100, 8, 420); putOctal(108, 8, 0)
+            putOctal(116, 8, 0); putOctal(124, 12, c.length)
+            putOctal(136, 12, 1700000000L)
+            java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+            h(156) = '0'.toByte
+            putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+            var sum = 0L
+            (0 until 512).foreach(i => sum += h(i) & 0xff)
+            putStr(148, 7, "%06o".format(sum) + " ")
+            out.write(h); out.write(c)
+            out.write(new Array[Byte]((512 - c.length % 512) % 512))
+          }
+          out.write(new Array[Byte](1024))
+          out.toByteArray
+        }
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(bos)
+          z.write(b); z.close(); bos.toByteArray
+        }
+        def pdfDoc(line: String): Array[Byte] = {
+          val content = s"BT /F1 12 Tf ($line) Tj ET"
+          ascii("%PDF-1.4\n" +
+            s"4 0 obj << /Length ${content.length} >> stream\n" +
+            content + "\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+        }
+        val control = tarOf(Seq("./control" ->
+          ascii(s"Package: p$g\nVersion: 1.0\n")))
+        val data = tarOf(Seq(
+          "./usr/share/doc/readme.rtf" ->
+            ascii(s"{\\rtf1 $safe rtf $g\\par}"),
+          "./usr/share/doc/spec.pdf" -> pdfDoc(s"p $safe $g")))
+        graft.expr.ArBuild.ar(Seq(
+          "debian-binary" -> ascii("2.0\n"),
+          "control.tar.gz" -> gz(control),
+          "data.tar.gz" -> gz(data)))
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.ArEntries.FunctionName,
+            gen(id, safe), lit(8))).as("m"))
+        .where(col("m.path").startsWith("data.tar"))
+        .select(col("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            col("m.content"), lit(16))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("e.content")), "\\s+", " ")), 1, 120).as("doc_text"))
+    }),
+
+    // RPM-payload-style cpio shards: newc archives (gzipped, the
+    // rpm2cpio convention) alternate with crc-form archives whose
+    // per-file byte sums the walk VERIFIES in-plan; payload
+    // documents extract through the dispatch. Pinned against real
+    // bsdtar newc/odc output in ArCpioSpec.
+    "q233_cpio_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(bos)
+          z.write(b); z.close(); bos.toByteArray
+        }
+        val entries = Seq(
+          "docs/a.rtf" -> ascii(s"{\\rtf1 $safe rtf $g\\par}"),
+          "docs/b.docx" -> {
+            val bos = new java.io.ByteArrayOutputStream()
+            val z = new java.util.zip.ZipOutputStream(bos)
+            z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+            z.write(("<w:document xmlns:w=\"http://schemas.openxml" +
+              "formats.org/wordprocessingml/2006/main\"><w:body><w:p>" +
+              s"<w:r><w:t>d $safe $g</w:t></w:r></w:p></w:body>" +
+              "</w:document>").getBytes("UTF-8"))
+            z.closeEntry(); z.close(); bos.toByteArray
+          })
+        if (g % 2 == 0)
+          gz(graft.expr.ArBuild.cpio(entries))
+        else graft.expr.ArBuild.cpio(entries, crcForm = true)
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.CpioEntries.FunctionName,
+            gen(id, safe), lit(16))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("e.content")), "\\s+", " ")), 1, 120).as("doc_text"))
+    }),
+
     // Contact/calendar corpus: vCard exports (single and multi-card)
     // and iCalendar files through the ONE magic-dispatched
     // graft_document_text — the content-line tier next to mail. All
@@ -9634,6 +9753,39 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the ar + gzip + tar layers are transparent: two payload
+    // documents per package, paths and decoded forms replayed
+    "q232_deb_documents" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         f AS (SELECT id, './usr/share/doc/readme.rtf' AS path,
+                      safe || ' rtf ' || id AS raw FROM d
+               UNION ALL SELECT id, './usr/share/doc/spec.pdf',
+                      'p ' || safe || ' ' || id FROM d)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              substr(trim(regexp_replace(raw, '\s+', ' ', 'g')),
+                1, 120) AS doc_text
+       FROM f""",
+
+    // the cpio (and gzip) layers are transparent: two documents per
+    // shard; the crc-form arm proves the byte-sum verification
+    // passes on well-formed archives
+    "q233_cpio_documents" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         f AS (SELECT id, 'docs/a.rtf' AS path,
+                      safe || ' rtf ' || id AS raw FROM d
+               UNION ALL SELECT id, 'docs/b.docx',
+                      'd ' || safe || ' ' || id FROM d)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              substr(trim(regexp_replace(raw, '\s+', ' ', 'g')),
+                1, 120) AS doc_text
+       FROM f""",
 
     // the content-line layer is transparent: the oracle replays the
     // extraction conventions (whitelist order, blank separators)

@@ -53,6 +53,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "VideoTags" -> (b => graft.expr.VideoTags.tags(b)),
     "TarEntries" -> (b => graft.expr.TarEntries.entries(b, 64)),
     "ZipEntries" -> (b => graft.expr.ZipEntries.entries(b)),
+    "ArEntries" -> (b => graft.expr.ArEntries.entries(b, 64)),
+    "CpioEntries" -> (b => graft.expr.CpioEntries.entries(b, 64)),
     "Bzip2" -> (b => graft.expr.Bzip2.decode(b)),
     "Xz" -> (b => graft.expr.Xz.decode(b)),
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
@@ -114,6 +116,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "sNaPpY".getBytes("ISO-8859-1"), // snappy framing identifier
     "BEGIN:VCARD\r\n".getBytes("ISO-8859-1"),
     "BEGIN:VCALENDAR\r\n".getBytes("ISO-8859-1"),
+    "!<arch>\n".getBytes("ISO-8859-1"),
+    "070701".getBytes("ISO-8859-1"),
+    "070707".getBytes("ISO-8859-1"),
     Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
     Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,
       0xA1.toByte, 0xB1.toByte, 0x1A, 0xE1.toByte), // CFB (.doc)
@@ -221,8 +226,14 @@ class DecoderFuzzSpec extends AnyFunSuite {
       contentSize = true)
     val szB = graft.expr.SnappyBuild.framed(
       "fuzz sz alpha alpha alpha".getBytes("UTF-8"))
+    val arB = graft.expr.ArBuild.ar(Seq(
+      "a.txt" -> "fuzz ar".getBytes("UTF-8"),
+      "a_longer_than_fifteen_name.txt" -> "fuzz two".getBytes("UTF-8")))
+    val cpioB = graft.expr.ArBuild.cpio(Seq(
+      "a.txt" -> "fuzz cpio".getBytes("UTF-8")), crcForm = true)
     for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
-        xlsB, pptB, pptInc, odfB, mboxB, msgB, tnefB, lz4B, szB);
+        xlsB, pptB, pptInc, odfB, mboxB, msgB, tnefB, lz4B, szB,
+        arB, cpioB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
