@@ -4989,6 +4989,61 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // .tar.Z — Unix compress, the LAST classic member of the
+    // decompress dispatch: old source dumps still ship it. The LZW
+    // writer here is the independent CompressBuild (its output is
+    // ALSO accepted by the real uncompress in LzwSpec; the read
+    // direction is pinned by real libarchive .tar.Z fixtures);
+    // periodic CLEAR codes exercise the eight-code realign in-plan.
+    "q234_tar_z_documents" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          entries.foreach { case (name, c) =>
+            val h = new Array[Byte](512)
+            def putStr(o: Int, len: Int, str: String): Unit = {
+              val bb = str.getBytes("UTF-8")
+              System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+            }
+            def putOctal(o: Int, len: Int, v: Long): Unit =
+              putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+            putStr(0, 100, name)
+            putOctal(100, 8, 420); putOctal(108, 8, 0)
+            putOctal(116, 8, 0); putOctal(124, 12, c.length)
+            putOctal(136, 12, 1700000000L)
+            java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+            h(156) = '0'.toByte
+            putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+            var sum = 0L
+            (0 until 512).foreach(i => sum += h(i) & 0xff)
+            putStr(148, 7, "%06o".format(sum) + " ")
+            out.write(h); out.write(c)
+            out.write(new Array[Byte]((512 - c.length % 512) % 512))
+          }
+          out.write(new Array[Byte](1024))
+          out.toByteArray
+        }
+        val tar = tarOf(Seq(
+          "old/a.rtf" -> ascii(s"{\\rtf1 $safe rtf $g\\par}"),
+          "old/b.rtf" -> ascii(s"{\\rtf1 second $g\\par}")))
+        graft.expr.CompressBuild.compress(tar,
+          clearEvery = if (g % 2 == 0) 0 else 192)
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            gen(id, safe), lit(16))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("e.content")), "\\s+", " ")), 1, 120).as("doc_text"))
+    }),
+
     // Debian packages: .deb = ar(debian-binary, control.tar.*,
     // data.tar.*) — the ar walk surfaces the members, the data tar
     // front-decompresses through the shared tar dispatch, and the
@@ -9753,6 +9808,22 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the LZW + tar layers are transparent: two documents per
+    // archive, both CLEAR-bearing and clean streams replayed the same
+    "q234_tar_z_documents" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents),
+         f AS (SELECT id, 'old/a.rtf' AS path,
+                      safe || ' rtf ' || id AS raw FROM d
+               UNION ALL SELECT id, 'old/b.rtf',
+                      'second ' || id FROM d)
+       SELECT CAST(id AS BIGINT) AS file_id, path,
+              substr(trim(regexp_replace(raw, '\s+', ' ', 'g')),
+                1, 120) AS doc_text
+       FROM f""",
 
     // the ar + gzip + tar layers are transparent: two payload
     // documents per package, paths and decoded forms replayed

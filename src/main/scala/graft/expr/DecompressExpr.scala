@@ -82,6 +82,7 @@ object Decompress {
         b(3) == 0xfd.toByte) Zstd.decode(b)
     else if (Lz4.isLz4(b)) Lz4.decode(b)
     else if (Snappy.isFramed(b)) Snappy.decode(b)
+    else if (Lzw.isLzw(b)) Lzw.decode(b) // Unix compress .Z
     else if ((b(0) & 0xf0) == 0x50 && b(1) == 0x2a && b(2) == 0x4d &&
         b(3) == 0x18) {
       // zstd AND lz4 files may LEAD with a skippable frame (the two

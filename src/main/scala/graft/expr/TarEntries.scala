@@ -155,6 +155,11 @@ object TarEntries {
         val d = Snappy.decode(raw)
         if (d == null) return null
         d
+      } else if (Lzw.isLzw(raw)) {
+        // tar.Z — Unix compress
+        val d = Lzw.decode(raw)
+        if (d == null) return null
+        d
       } else if ((raw(0) == 0x28 && raw(1) == 0xb5.toByte &&
           raw(2) == 0x2f && raw(3) == 0xfd.toByte) ||
           ((raw(0) & 0xf0) == 0x50 && raw(1) == 0x2a &&

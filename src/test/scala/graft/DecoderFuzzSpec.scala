@@ -60,6 +60,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "Zstd" -> (b => graft.expr.Zstd.decode(b)),
     "Lz4" -> (b => graft.expr.Lz4.decode(b)),
     "Snappy" -> (b => graft.expr.Snappy.decode(b)),
+    "Lzw" -> (b => graft.expr.Lzw.decode(b)),
     "SevenZip" -> (b => graft.expr.SevenZip.entries(b, 64)),
     "DocText" -> (b => graft.expr.DocText.parse(b)),
     "XlsText" -> (b => graft.expr.LegacyOffice.xls(b)),
@@ -117,6 +118,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "BEGIN:VCARD\r\n".getBytes("ISO-8859-1"),
     "BEGIN:VCALENDAR\r\n".getBytes("ISO-8859-1"),
     "!<arch>\n".getBytes("ISO-8859-1"),
+    Array[Byte](0x1f, 0x9d.toByte, 0x90.toByte), // compress .Z
     "070701".getBytes("ISO-8859-1"),
     "070707".getBytes("ISO-8859-1"),
     Array[Byte]('7', 'z', 0xBC.toByte, 0xAF.toByte, 0x27, 0x1C), // 7z
@@ -231,9 +233,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       "a_longer_than_fifteen_name.txt" -> "fuzz two".getBytes("UTF-8")))
     val cpioB = graft.expr.ArBuild.cpio(Seq(
       "a.txt" -> "fuzz cpio".getBytes("UTF-8")), crcForm = true)
+    val lzwB = graft.expr.CompressBuild.compress(
+      ("fuzz lzw alpha " * 40).getBytes("UTF-8"), clearEvery = 30)
     for (valid <- Seq(wav, avi, rtf, flac, zstd, sevenZ, sevenZBcj2, doc,
         xlsB, pptB, pptInc, odfB, mboxB, msgB, tnefB, lz4B, szB,
-        arB, cpioB);
+        arB, cpioB, lzwB);
         cut <- 0 to valid.length) {
       val b = valid.take(cut)
       decoders.foreach { case (n, f) => sweep(s"$n@cut$cut", f, Iterator(b)) }
