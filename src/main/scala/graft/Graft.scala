@@ -130,6 +130,7 @@ object Graft {
     graft.expr.MsgText.register(spark)
     graft.expr.Tnef.register(spark)
     graft.expr.VcardText.register(spark)
+    graft.expr.LatexText.register(spark)
     graft.expr.CmsSketchAgg.register(spark)
     graft.expr.KmvQuantileAgg.register(spark)
     graft.plans.TableFunctions.register(spark)

@@ -4989,6 +4989,73 @@ object SparkEntry {
         substring(extracted, 1, 200).as("office_text"))
     }),
 
+    // arXiv-style source bundles: per-paper .tar.gz of TeX sources +
+    // figure binaries — the tar walk explodes, the ONE dispatch
+    // routes .tex through the LaTeX prose extractor (sections line,
+    // math/references drop, wrappers unwrap) while the figure binary
+    // triages NULL and filters in-plan. The normalization wrapper
+    // (ws-collapse) is applied on BOTH sides as in every document
+    // query, so the oracle replays the prose relationally.
+    "q235_arxiv_bundles" -> ((s, dir) => {
+      Graft.tune(s)
+      val gen = udf { (g: Long, safe: String) =>
+        def ascii(x: String) = x.getBytes("ISO-8859-1")
+        def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          entries.foreach { case (name, c) =>
+            val h = new Array[Byte](512)
+            def putStr(o: Int, len: Int, str: String): Unit = {
+              val bb = str.getBytes("UTF-8")
+              System.arraycopy(bb, 0, h, o, math.min(bb.length, len))
+            }
+            def putOctal(o: Int, len: Int, v: Long): Unit =
+              putStr(o, len, ("%0" + (len - 1) + "o").format(v))
+            putStr(0, 100, name)
+            putOctal(100, 8, 420); putOctal(108, 8, 0)
+            putOctal(116, 8, 0); putOctal(124, 12, c.length)
+            putOctal(136, 12, 1700000000L)
+            java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+            h(156) = '0'.toByte
+            putStr(257, 6, "ustar"); h(263) = '0'; h(264) = '0'
+            var sum = 0L
+            (0 until 512).foreach(i => sum += h(i) & 0xff)
+            putStr(148, 7, "%06o".format(sum) + " ")
+            out.write(h); out.write(c)
+            out.write(new Array[Byte]((512 - c.length % 512) % 512))
+          }
+          out.write(new Array[Byte](1024))
+          out.toByteArray
+        }
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(bos)
+          z.write(b); z.close(); bos.toByteArray
+        }
+        val tex = "\\documentclass{article}\n" +
+          "% generated fixture\n" +
+          "\\usepackage{amsmath}\n" +
+          "\\begin{document}\n" +
+          s"\\section{Intro ${g % 7}}\n" +
+          s"We \\emph{note} that $$x_$g > 0$$ always: $safe end $g.\n" +
+          "\\end{document}\n"
+        gz(tarOf(Seq(
+          s"paper$g/main.tex" -> ascii(tex),
+          s"paper$g/fig1.png" -> Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))))
+      }
+      val id = col("doc_id")
+      val safe = substring(regexp_replace(
+        lower(coalesce(col("text"), lit(""))), "[^a-z0-9 ]", " "), 1, 40)
+      tp(s, dir, "documents")
+        .select(id.as("file_id"),
+          explode(call_function(graft.expr.TarEntries.FunctionName,
+            gen(id, safe), lit(16))).as("e"))
+        .select(col("file_id"), col("e.path").as("path"),
+          substring(trim(regexp_replace(
+            call_function(graft.expr.DocumentText.FunctionName,
+              col("e.content")), "\\s+", " ")), 1, 160).as("tex_text"))
+        .where(col("tex_text").isNotNull)
+    }),
+
     // .tar.Z — Unix compress, the LAST classic member of the
     // decompress dispatch: old source dumps still ship it. The LZW
     // writer here is the independent CompressBuild (its output is
@@ -9808,6 +9875,21 @@ object SparkEntry {
        JOIN eh h1 ON h1.id = c.id1
        JOIN eh h2 ON h2.id = c.id2
        WHERE bit_count(xor(h1.h, h2.h)) <= 6""",
+
+    // the gzip + tar + TeX layers are transparent: one prose row per
+    // bundle (the figure member triages out in-plan)
+    "q235_arxiv_bundles" ->
+      """WITH d AS (SELECT doc_id AS id,
+              substr(regexp_replace(lower(COALESCE(text, '')),
+                '[^a-z0-9 ]', ' ', 'g'), 1, 40) AS safe
+           FROM documents)
+       SELECT CAST(id AS BIGINT) AS file_id,
+              'paper' || id || '/main.tex' AS path,
+              substr(trim(regexp_replace(
+                'Intro ' || (id % 7) || ' We note that always: ' ||
+                safe || ' end ' || id || '.',
+                '\s+', ' ', 'g')), 1, 160) AS tex_text
+       FROM d""",
 
     // the LZW + tar layers are transparent: two documents per
     // archive, both CLEAR-bearing and clean streams replayed the same

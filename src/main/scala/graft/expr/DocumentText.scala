@@ -112,6 +112,8 @@ object DocumentText {
       VcardText.vcard(b)
     else if (VcardText.startsWithIgnoreCase(b, "BEGIN:VCALENDAR"))
       VcardText.ics(b)
+    else if (LatexText.looksLikeTex(b))
+      LatexText.parse(b) // .tex: \documentclass / \begin{document}
     else if (looksLikeMail(b))
       // RFC-5322 has no magic; the gate is structural — a header
       // block with a mail-defining header (EmlText re-checks)

@@ -75,6 +75,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "TnefAttachments" -> (b => graft.expr.Tnef.attachments(b, 16)),
     "VcardText" -> (b => graft.expr.VcardText.vcard(b)),
     "IcsText" -> (b => graft.expr.VcardText.ics(b)),
+    "LatexText" -> (b => graft.expr.LatexText.parse(b)),
     "DocumentText" -> (b => graft.expr.DocumentText.parse(b)),
     "PptxText" -> (b => graft.expr.OfficeText.pptx(b)),
     "XlsxText" -> (b => graft.expr.OfficeText.xlsx(b)),
@@ -116,6 +117,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     Array[Byte](0xff.toByte, 6, 0, 0) ++
       "sNaPpY".getBytes("ISO-8859-1"), // snappy framing identifier
     "BEGIN:VCARD\r\n".getBytes("ISO-8859-1"),
+    "\\documentclass{article}\n\\begin{document}\n"
+      .getBytes("ISO-8859-1"),
     "BEGIN:VCALENDAR\r\n".getBytes("ISO-8859-1"),
     "!<arch>\n".getBytes("ISO-8859-1"),
     Array[Byte](0x1f, 0x9d.toByte, 0x90.toByte), // compress .Z
