@@ -1479,7 +1479,7 @@ object ScaleShakeout {
         val entries = (0 until k).map(j =>
           s"src/f$j.txt" -> fileText(famOff + id * 16 + j)
             .getBytes("UTF-8"))
-        ((id + armShift) % 6).toInt match {
+        ((id + armShift) % 9).toInt match {
           case 5 => // 7z (copy / store-LZMA2 alternating)
             graft.expr.SevenZipBuild.build(entries.map { case (n, c) =>
               graft.expr.SevenZipBuild.Entry(n, c) }, lzma2 = id % 2 == 1)
@@ -1528,6 +1528,11 @@ object ScaleShakeout {
                   g.write(plain); g.close(); gz.toByteArray
                 case 2 => graft.expr.Bzip2Build.encode(plain, 1)
                 case 4 => graft.expr.ZstdBuild.store(plain)
+                case 6 => graft.expr.Lz4Build.frame(plain,
+                  blockCk = id % 2 == 0, contentSize = true)
+                case 7 => graft.expr.SnappyBuild.framed(plain)
+                case 8 => graft.expr.CompressBuild.compress(plain,
+                  clearEvery = if (id % 2 == 0) 0 else 256)
                 case _ => plain
               }
             }
