@@ -67,6 +67,21 @@ object Graft {
     // before it buffers everything on-heap.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (1 << 15).toString)
+    // InferFiltersFromGenerate synthesizes `size(g) > 0 AND isnotnull(g)`
+    // below every explode — and because the generator inputs here are
+    // EXPENSIVE native expressions (graft_shingles, winnow fingerprints,
+    // minhash signatures, container walks), the inferred predicate
+    // re-evaluates the full expression once in the pushed Filter and
+    // again in the Generate: the r16 baseline plans show
+    // `wordshingles(text)` twice in every dedup-family stage (q23/q71/
+    // q78/q89 `*_before.txt`). The filter only pre-drops rows explode
+    // drops anyway (null/empty arrays), so output is identical — but the
+    // duplicate evaluation doubles the corpus-scan stage of every
+    // shingle/token pipeline at any scale. Excluded session-wide: every
+    // graft generator input is either trivially cheap (sequence) or
+    // expensive-and-never-prunable, so the rule can only cost here.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     graft.expr.CosineSimilarity.register(spark)
     graft.expr.VecDistance.register(spark)
@@ -79,6 +94,7 @@ object Graft {
     graft.expr.BloomMightContain.register(spark)
     graft.expr.KmvSketchAgg.register(spark)
     graft.expr.OrderedPairs.register(spark)
+    graft.expr.OrderedPairsGen.register(spark)
     graft.expr.PostingPairsAgg.register(spark)
     graft.expr.NfcNormalize.register(spark)
     graft.expr.ImageMeta.register(spark)

@@ -537,7 +537,9 @@ object SparkEntry {
     // EQUALS exact all-pairs — oracle-checkable end to end.
     "q37_simhash_pairs" -> ((s, dir) => {
       Graft.tune(s)
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      // tp: the tokenize+simhash projection runs below the band
+      // exchange — parallelize the scan stage (r16)
+      Dedup.simhashPairs(tp(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .select(col("id1"), col("id2"), col("hamming").cast(LongType).as("hamming"))
     }),
 
@@ -1034,9 +1036,12 @@ object SparkEntry {
     // Okapi BM25 against the resume query — the lexical first-stage
     // retriever next to the embedding ANN path; saturated tf (k1) and
     // length normalization (b) with decimal-exact accumulation
+    // tp: bm25's per-term occurrence projection is evaluated twice (the
+    // one-row stats aggregate + the scorer) in the scan stage — a
+    // single-row-group file would run both serially (r16 StageProf)
     "q119_bm25" -> ((s, dir) => {
       Graft.tune(s)
-      TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text", ResumeQ)
+      TfIdf.bm25(tp(s, dir, "documents"), "doc_id", "text", ResumeQ)
     }),
 
     // SQL surface for the temporal family: the as-of join runs as a
@@ -1395,6 +1400,9 @@ object SparkEntry {
     // the end-to-end curation pipeline: token gate → test-set
     // decontamination → exact dedup → sequence packing, each stage the
     // already-verified operator, composed — what a user actually runs
+    // stays on t (NOT tp — measured r16): the composite's many small
+    // stages overlap; tp's repartition exchange + extra AQE boundaries
+    // regressed the bench 1.86 → 2.27 s
     "q71_curation_pipeline" -> ((s, dir) => {
       Graft.tune(s)
       val docs = t(s, dir, "documents")
@@ -1746,6 +1754,10 @@ object SparkEntry {
       Multimodal.frameSamplePlan(media, everyMs = 1000)
     }),
 
+    // stays on t (NOT tp — measured r16): the three tokenize consumers
+    // run as independent single-task stages that overlap in time,
+    // while tp's repartition added an exchange + AQE boundaries and
+    // regressed the bench 1.33 → 1.96 s
     "q36_tfidf_similarity" -> ((s, dir) => {
       Graft.tune(s)
       TfIdf.similarity(t(s, dir, "documents"), "doc_id", "text", ResumeQ)

@@ -205,9 +205,18 @@ object Dedup {
     */
   private val PairAggLeafBytesPerPartition = 2L * 1024 * 1024
 
+  /** PIN the posting exchange even when the leaf-bytes floor doesn't
+    * engage (small inputs): the downstream PostingPairsAgg fans out
+    * quadratically per group, and an un-pinned ENSURE_REQUIREMENTS
+    * exchange gets AQE-coalesced by its INPUT bytes — the expansion
+    * then runs on 1-4 tasks regardless of core count (the bandedPairs
+    * lesson; measured r16: q61's expansion stage collapsed to ONE
+    * 1.4 s task at sf0.1). A pinned repartition at the session default
+    * is what a right-sized cluster stage would use anyway.
+    */
   private def scaledOnShingle(p: DataFrame): DataFrame =
-    Scale.partitionsForLeafBytes(p, PairAggLeafBytesPerPartition)
-      .map(n => p.repartition(n, col("_s"))).getOrElse(p)
+    p.repartition(
+      Scale.fanoutPartitions(p, PairAggLeafBytesPerPartition), col("_s"))
 
   private def pairCountsFromPostings(p: DataFrame,
       maxDocFreq: Long): DataFrame =
@@ -349,16 +358,20 @@ object Dedup {
     // band-bucket collect_lists are per-task state that grows with
     // corpus size under a pinned partition count (band rows are
     // fewer than postings, so leaf bytes over-provision — the safe
-    // direction; no-op at bench scale)
-    Scale.partitionsForLeafBytes(banded, PairAggLeafBytesPerPartition)
-      .map(n => banded.repartition(n, col("_band"), col("_key")))
-      .getOrElse(banded)
+    // direction). ALWAYS pinned (session default floor): the pair
+    // expansion downstream fans out quadratically, and an un-pinned
+    // exchange gets AQE-coalesced by its input bytes onto 1-4 tasks
+    // (see scaledOnShingle).
+    banded.repartition(
+        Scale.fanoutPartitions(banded, PairAggLeafBytesPerPartition),
+        col("_band"), col("_key"))
       .groupBy(col("_band"), col("_key"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
-      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      // lazy generator, not explode(graft_pairs(...)): no materialized
+      // quadratic pair array per bucket (see expr/OrderedPairsGen)
+      .select(call_function(graft.expr.OrderedPairsGen.FunctionName,
+        col("_ids")))
       .distinct()
 
   /** LSH candidate pairs: documents colliding in at least one of `bands`
@@ -440,14 +453,19 @@ object Dedup {
           .filter(col("_df") > maxDocFreq).select("_fp")
         fps.join(broadcast(hot), Seq("_fp"), "left_anti")
       }
-    val pairs = Scale.partitionsForLeafBytes(kept, PairAggLeafBytesPerPartition)
-      .map(n => kept.repartition(n, col("_fp"))).getOrElse(kept)
+    // pinned even when the floor doesn't engage — the fingerprint
+    // lists expand quadratically downstream (see scaledOnShingle;
+    // measured r16: this exchange AQE-coalesced to ONE task at sf0.1)
+    val pairs = kept.repartition(
+        Scale.fanoutPartitions(kept, PairAggLeafBytesPerPartition),
+        col("_fp"))
       .groupBy("_fp")
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
-      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      // lazy generator, not explode(graft_pairs(...)): no materialized
+      // quadratic pair array per list (see expr/OrderedPairsGen)
+      .select(call_function(graft.expr.OrderedPairsGen.FunctionName,
+        col("_ids")))
     // the pair expansion is the VOLUME amplifier (cap² per shared
     // fingerprint: 405.8M pair rows from 44.7M postings at 100×), and
     // map-side partial aggregation barely collapses it — a pair's
@@ -456,8 +474,9 @@ object Dedup {
     // wider floor (half the posting granularity): the 32-task final
     // agg at 100× spilled 41 GB and took 167 s; widened it is
     // spill-free
-    Scale.partitionsForLeafBytes(pairs, PairAggLeafBytesPerPartition / 2)
-      .map(n => pairs.repartition(n, col("id1"), col("id2"))).getOrElse(pairs)
+    pairs.repartition(
+        Scale.fanoutPartitions(pairs, PairAggLeafBytesPerPartition / 2),
+        col("id1"), col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -731,7 +750,10 @@ object Dedup {
       .select(col("_id"), col("_fp"), col("_band"),
         call_function("shiftright", col("_fp"), col("_band") * chunk)
           .bitwiseAND(lit((1L << chunk) - 1)).as("_key"))
-    banded.groupBy(col("_band"), col("_key"))
+    banded.repartition(
+        Scale.fanoutPartitions(banded, PairAggLeafBytesPerPartition),
+        col("_band"), col("_key"))
+      .groupBy(col("_band"), col("_key"))
       .agg(sort_array(collect_list(struct(col("_id"), col("_fp")))).as("_xs"))
       .filter(size(col("_xs")) > 1)
       .select(explode(flatten(transform(col("_xs"), (x, i) =>

@@ -48,18 +48,15 @@ object Multimodal {
     */
   private def bandedPairs(banded: DataFrame, maxBucket: Int,
       keys: Column*): DataFrame = {
-    val spread = Scale
-      .partitionsForLeafBytes(banded, PairLeafBytesPerPartition)
-      .map(n => banded.repartition(n, keys: _*))
-      .getOrElse(banded.repartition(
-        banded.sparkSession.sessionState.conf.numShufflePartitions,
-        keys: _*))
+    val spread = banded.repartition(
+      Scale.fanoutPartitions(banded, PairLeafBytesPerPartition), keys: _*)
     spread.groupBy(keys: _*)
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
-      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      // lazy generator, not explode(graft_pairs(...)): no materialized
+      // quadratic pair array per bucket (see expr/OrderedPairsGen)
+      .select(call_function(graft.expr.OrderedPairsGen.FunctionName,
+        col("_ids")))
       .distinct()
   }
 
@@ -162,9 +159,17 @@ object Multimodal {
     val g = call_function(graft.expr.PixelGridSig.FunctionName,
       col(contentCol), lit(gx), lit(gy))
     // three consumers (banding + both verify joins) — pin so the
-    // decode pass runs once, not per consumer
+    // decode pass runs once, not per consumer. The decode rides
+    // through explode(array(...)) — a single-row Generate — because a
+    // plain Project alias lets the isNotNull triage filter push BELOW
+    // the projection (and below any parallelizing exchange in `media`):
+    // the full fixture+decode expression is then evaluated twice per
+    // row, once of those on the pre-repartition task layout (measured
+    // on q153: the whole corpus decode ran single-task inside the
+    // pushed filter). Predicates cannot push through a Generate, so
+    // the decode provably runs once, above the exchange.
     val sigs = graft.Caches.own(
-      media.select(col("media_id").as("_id"), g.as("_g"))
+      media.select(col("media_id").as("_id"), explode(array(g)).as("_g"))
         .filter(col("_g").isNotNull)
         .select(col("_id"), col("_g.sig").as("_sig"), col("_g.ahash").as("_h")))
     val banded = sigs.select(col("_id"), col("_h"),
@@ -230,8 +235,11 @@ object Multimodal {
     require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
     val g = call_function(graft.expr.PixelGridSig.FunctionName,
       col(contentCol), lit(gx), lit(gy))
+    // explode(array(...)) Generate barrier — see imageNearDup: keeps
+    // the isNotNull triage from duplicating the decode below the
+    // parallelizing exchange.
     val sigs = graft.Caches.own(
-      media.select(col("media_id").as("_id"), g.as("_g"))
+      media.select(col("media_id").as("_id"), explode(array(g)).as("_g"))
         .filter(col("_g").isNotNull)
         .select(col("_id"), col("_g.dhash").as("_h")))
     val liveBits = (gx - 1) * gy
@@ -334,8 +342,11 @@ object Multimodal {
     require(maxBucket > 1, s"maxBucket must exceed 1: $maxBucket")
     val g = call_function(graft.expr.AudioEnvSig.FunctionName,
       col(contentCol), lit(nFrames))
+    // explode(array(...)) Generate barrier — see imageNearDup: keeps
+    // the isNotNull triage from duplicating the PCM decode below the
+    // parallelizing exchange.
     val sigs = graft.Caches.own(
-      media.select(col("media_id").as("_id"), g.as("_g"))
+      media.select(col("media_id").as("_id"), explode(array(g)).as("_g"))
         .filter(col("_g").isNotNull)
         .select(col("_id"), col("_g.ehash").as("_h")))
     val liveBits = nFrames - 1
@@ -427,8 +438,10 @@ object Multimodal {
       // entropy-coded positions stay null (the decoder contract)
       call_function(graft.expr.H264Frames.FunctionName,
         col(contentCol), lit(maxFrames)))
+    // no isNotNull pre-filter: posexplode (outer=false) already drops
+    // null frame sequences, and the filter's pushdown would duplicate
+    // the four container walks below the projection (see imageNearDup)
     media.select(col("media_id"), fs.as("_fs"))
-      .filter(col("_fs").isNotNull)
       .select(col("media_id"),
         posexplode(col("_fs")).as(Seq("frame_idx", "frame")))
   }
@@ -474,8 +487,12 @@ object Multimodal {
       call_function(graft.expr.H264Frames.FunctionName,
         col(contentCol), lit(maxFrames)))
     // typed boundary is Seq[Array[Byte]]: the encoder's nested-array
-    // deserializer rejects Array[Array[Byte]] (UnsafeArrayData.array)
-    media.select(col("media_id").cast(LongType), fs.as("_fs"))
+    // deserializer rejects Array[Array[Byte]] (UnsafeArrayData.array).
+    // explode(array(...)) Generate barrier — see imageNearDup: the
+    // null guard for the decoder seam must not re-evaluate the four
+    // container walks below the projection.
+    media.select(col("media_id").cast(LongType),
+        explode(array(fs)).as("_fs"))
       .filter(col("_fs").isNotNull)
       .as[(Long, Seq[Array[Byte]])]
       .mapPartitions(it => it.map { case (id, enc) =>
@@ -560,8 +577,12 @@ object Multimodal {
     val meta = call_function(graft.expr.PixelStats.FunctionName, col("frame"))
     // per decodable frame: integer mean scaled by 256 (exact: div of
     // longs; sum <= 255 * 64Mi samples keeps sum*256 < 2^63)
+    // explode(array(...)) Generate barrier — see imageNearDup: keeps
+    // the decodable-frame triage from duplicating the pixel decode
+    // below the projection.
     val frames = framesDf
-      .select(col("media_id").as("_id"), col("frame_idx"), meta.as("_m"))
+      .select(col("media_id").as("_id"), col("frame_idx"),
+        explode(array(meta)).as("_m"))
       .filter(col("_m").isNotNull)
       .select(col("_id"), col("frame_idx"),
         call_function("div", col("_m.sum") * 256,
@@ -688,18 +709,16 @@ object Multimodal {
     // without it AQE sees a few KB of bucket lists, coalesces to ONE
     // task, and the whole candidate explosion runs serially (measured
     // 45 s of a 49 s run at 50k videos)
-    val spread = Scale
-      .partitionsForLeafBytes(banded, PairLeafBytesPerPartition)
-      .map(n => banded.repartition(n, col("_band"), col("_w"), col("_key")))
-      .getOrElse(banded.repartition(
-        banded.sparkSession.sessionState.conf.numShufflePartitions,
-        col("_band"), col("_w"), col("_key")))
+    val spread = banded.repartition(
+      Scale.fanoutPartitions(banded, PairLeafBytesPerPartition),
+      col("_band"), col("_w"), col("_key"))
     val cands = spread.groupBy(col("_band"), col("_w"), col("_key"))
       .agg(sort_array(collect_list(col("_id"))).as("_ids"))
       .filter(size(col("_ids")) > 1 && size(col("_ids")) <= maxBucket)
-      .select(explode(call_function(graft.expr.OrderedPairs.FunctionName,
-        col("_ids"))).as("_p"))
-      .select(col("_p.id1").as("id1"), col("_p.id2").as("id2"))
+      // lazy generator, not explode(graft_pairs(...)): no materialized
+      // quadratic pair array per bucket (see expr/OrderedPairsGen)
+      .select(call_function(graft.expr.OrderedPairsGen.FunctionName,
+        col("_ids")))
       .distinct()
     cands
       .join(sigs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")

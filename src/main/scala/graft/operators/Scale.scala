@@ -26,22 +26,59 @@ object Scale {
   def partitionsForLeafBytes(df: DataFrame,
       bytesPerPartition: Long): Option[Int] = {
     val default = df.sparkSession.sessionState.conf.numShufflePartitions
+    val need = saneLeafBytes(df)
+      .map(b => math.min(
+        math.ceil(b.toDouble / bytesPerPartition), 4096.0).toInt)
+      .getOrElse(default)
+    if (need > default) Some(need) else None
+  }
+
+  /** Leaf scan bytes of the plan, or None when a stats-less leaf
+    * (LogicalRDD, a streaming micro-batch relation) reports
+    * defaultSizeInBytes = Long.MaxValue — anything past 1 PiB is an
+    * "unknown", not a size.
+    */
+  private def saneLeafBytes(df: DataFrame): Option[Long] = {
     val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    // a stats-less leaf (LogicalRDD, a streaming micro-batch relation)
-    // reports defaultSizeInBytes = Long.MaxValue — taking that at face
-    // value would pin every floored shuffle at the 4096 cap for a
-    // few-thousand-row micro-batch (and AQE cannot coalesce a pinned
-    // repartition). Anything past 1 PiB is an "unknown", not a size:
-    // keep the session default.
-    val sane = leafBytes.isValidLong && leafBytes.toLong >= 0 &&
-      leafBytes.toLong <= (1L << 50)
-    val need =
-      if (sane)
-        math.min(math.ceil(
-          leafBytes.toLong.toDouble / bytesPerPartition), 4096.0).toInt
-      else default
-    if (need > default) Some(need) else None
+    if (leafBytes.isValidLong && leafBytes.toLong >= 0 &&
+      leafBytes.toLong <= (1L << 50)) Some(leafBytes.toLong)
+    else None
+  }
+
+  /** Exchange width for the pair-expansion kernels — shuffles whose
+    * DOWNSTREAM fans out quadratically per group, so the width must be
+    * pinned (an ENSURE_REQUIREMENTS exchange gets AQE-coalesced by its
+    * INPUT bytes and the expansion lands on 1-2 tasks; measured r16:
+    * q61's expansion collapsed to one 1.4 s task at sf0.1). But pinning
+    * straight to the session default over-splits SMALL inputs: 32
+    * concurrent collect_list+expand+count tasks in one JVM measured 2×
+    * SLOWER than 8 on the same data (allocation-rate contention — the
+    * per-task aggregation state multiplies while the per-task work
+    * shrinks). So the width tracks DATA, bounded by the session
+    * parallelism, and keeps the established at-scale floor:
+    *
+    *   max( ceil(leaf / bytesPerPartition),          — the 100× floor
+    *        min(default, ceil(leaf / (bpp/16))) )    — small-input term
+    *
+    * At sf0.1 (1.3 MB leaf, bpp 2 MB): max(1, min(32, 11)) = 11 — near
+    * the measured optimum (8-16); at the 100× shakeout (119 MB): the
+    * floor term wins with the calibrated 60; on a cluster whose
+    * session default is thousands, small batches stay narrow instead
+    * of scattering a KB-sized fan-out over the whole fleet. Stats-less
+    * leaves (streaming micro-batches) keep the session default.
+    */
+  def fanoutPartitions(df: DataFrame, bytesPerPartition: Long): Int = {
+    val default = df.sparkSession.sessionState.conf.numShufflePartitions
+    saneLeafBytes(df) match {
+      case Some(leaf) =>
+        val floor = math.min(
+          math.ceil(leaf.toDouble / bytesPerPartition), 4096.0).toInt
+        val small = math.max(1, math.min(default.toDouble,
+          math.ceil(leaf.toDouble / (bytesPerPartition / 16))).toInt)
+        math.max(floor, small)
+      case None => default
+    }
   }
 
   /** Salted equi-join for skewed keys: the build side is replicated
