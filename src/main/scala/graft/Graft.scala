@@ -95,6 +95,7 @@ object Graft {
     graft.expr.KmvSketchAgg.register(spark)
     graft.expr.OrderedPairs.register(spark)
     graft.expr.OrderedPairsGen.register(spark)
+    graft.expr.PackBytes.register(spark)
     graft.expr.PostingPairsAgg.register(spark)
     graft.expr.NfcNormalize.register(spark)
     graft.expr.ImageMeta.register(spark)

@@ -78,20 +78,24 @@ object SparkEntry {
     val hC = (g % 6 + 7).cast(IntegerType)
     val stride = wC * 3
     val n = stride * hC
-    val bytesHex = array_join(transform(sequence(lit(0), n - 1), k => {
-      val y = (k / stride).cast(IntegerType)
-      val j = pmod(k, stride)
-      val base = pmod(g * 37 + y * 31 + j * 13, lit(251L))
-      lpad(hex(base +
-        when(v === 1 && pmod(k, lit(23)) === 0, lit(4L)).otherwise(lit(0L))),
-        2, "0")
-    }), "")
+    // r16: byte packing via graft_pack_bytes over the long array — the
+    // same per-pixel values, one binary write instead of the per-byte
+    // lpad∘hex string pipeline (byte-identical; ~40 % of the fixture
+    // stage's allocation was hex-string garbage)
+    val bytes = call_function(graft.expr.PackBytes.FunctionName,
+      transform(sequence(lit(0), n - 1), k => {
+        val y = (k / stride).cast(IntegerType)
+        val j = pmod(k, stride)
+        val base = pmod(g * 37 + y * 31 + j * 13, lit(251L))
+        base +
+          when(v === 1 && pmod(k, lit(23)) === 0, lit(4L)).otherwise(lit(0L))
+      }), lit(1), lit(0))
     val header = encode(concat(lit("P6\n"), wC.cast(StringType), lit(" "),
       hC.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
     when(pmod(g, lit(7L)) === 3,
         encode(concat(lit("txt:"), coalesce(text, lit(""))), "UTF-8")
           .cast(BinaryType))
-      .otherwise(concat(header, unhex(bytesHex)))
+      .otherwise(concat(header, bytes))
   }
 
   /** The DuckDB replay of [[ppmContent]]'s decoded BLOCK MEANS (9×7
@@ -2401,7 +2405,7 @@ object SparkEntry {
         pmod(id * 7 + y * 31 + j * 13, lit(256L))
       // filtered scanlines, f(y) = y%4: filt = raw − predictor (mod
       // 256), exactly the spec §9 forward direction the decoder undoes
-      val rawVals = flatten(transform(sequence(lit(0), hC - 1), y => {
+      val rawValsExpr = flatten(transform(sequence(lit(0), hC - 1), y => {
         val f = pmod(y, lit(4))
         concat(array(f.cast(LongType)),
           transform(sequence(lit(0), stride - 1), j => {
@@ -2414,8 +2418,16 @@ object SparkEntry {
               .otherwise(pmod(v - floor((a + b) / 2).cast(LongType), lit(256L)))
           }))
       }))
-      val rawBytes = unhex(array_join(
-        transform(rawVals, b => lpad(hex(b), 2, "0")), ""))
+      // r16: the scanline array feeds THREE consumers (bytes, adler32
+      // s1, adler32 s2) — materialize it once per row through an
+      // explode(array(...)) Generate barrier (computed only for the
+      // PNG arms; the projection-collapse rules would otherwise inline
+      // the whole nested-transform tree into each consumer)
+      val withRv = tp(s, dir, "documents").select(id, col("text"),
+        explode(array(when(m <= 1, rawValsExpr))).as("_rv"))
+      val rawVals = col("_rv")
+      val rawBytes = call_function(graft.expr.PackBytes.FunctionName,
+        rawVals, lit(1), lit(0))
       val len = hC * (stride + 1)
       // real adler32 over the raw stream: s1 = 1+Σb, s2 = L+Σ(L−i)·b_i
       val s1 = pmod(aggregate(rawVals, lit(1L), (acc, x) => acc + x),
@@ -2442,15 +2454,16 @@ object SparkEntry {
       val ppmHeader = encode(concat(lit("P6\n"), wC.cast(StringType),
         lit(" "), hC.cast(StringType), lit("\n255\n")), "UTF-8")
         .cast(BinaryType)
-      val ppm = concat(ppmHeader, unhex(array_join(
+      val ppm = concat(ppmHeader, call_function(
+        graft.expr.PackBytes.FunctionName,
         transform(sequence(lit(0), wC * hC * 3 - 1), k =>
-          lpad(hex(V((k / stride).cast(IntegerType), pmod(k, stride))),
-            2, "0")), "")))
+          V((k / stride).cast(IntegerType), pmod(k, stride))),
+        lit(1), lit(0)))
       val content = when(m <= 1, png)
         .when(m === 2, ppm)
         .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
           "UTF-8").cast(BinaryType))
-      val media = tp(s, dir, "documents").select(id.as("media_id"),
+      val media = withRv.select(id.as("media_id"),
         lit("image").as("kind"), content.as("content"))
       Multimodal.pixelStats(media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
@@ -2541,7 +2554,10 @@ object SparkEntry {
       val g = (id / 2).cast(LongType)
       val gain = when(pmod(id, lit(2L)) === 1, lit(2L)).otherwise(lit(1L))
       val n = (g % 32 + 64).cast(IntegerType) // frames; same for the pair
-      val dataHex = array_join(
+      // r16: 16-bit LE sample packing via graft_pack_bytes — same raw
+      // values, one binary write instead of two lpad∘hex strings per
+      // sample (byte-identical)
+      val data = call_function(graft.expr.PackBytes.FunctionName,
         transform(sequence(lit(0), n - 1), k => {
           // silence groups: all-zero samples (the expression must NULL
           // them); others: gain*((g*37 + k*7919) % 8191 - 4095), well
@@ -2549,15 +2565,13 @@ object SparkEntry {
           val v = when(pmod(g, lit(13L)) === 0, lit(0L))
             .otherwise(gain *
               (pmod(g * 37 + k.cast(LongType) * 7919, lit(8191L)) - 4095))
-          val raw = pmod(v, lit(65536L)) // two's complement 16-bit
-          concat(lpad(hex(pmod(raw, lit(256L))), 2, "0"),
-            lpad(hex(shiftright(raw.cast(IntegerType), 8)), 2, "0"))
-        }), "")
+          pmod(v, lit(65536L)) // two's complement 16-bit
+        }), lit(2), lit(0))
       val ds = (n * 2).cast(IntegerType)
       val wav = concat(ascii("RIFF"), le32(ds + 36), ascii("WAVE"),
         ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)),
         le32(lit(16000)), le32(lit(32000)), le16(lit(2)), le16(lit(16)),
-        ascii("data"), le32(ds), unhex(dataHex))
+        ascii("data"), le32(ds), data)
       val media = tp(s, dir, "documents")
         .select(id.as("media_id"), lit("audio").as("kind"),
           wav.as("content"))
@@ -2597,10 +2611,12 @@ object SparkEntry {
       val pad = pmod(frameSize, lit(2))
       val chunksHex = array_join(
         transform(sequence(lit(0), nFr - 1), f => {
-          val pixHex = array_join(
+          // r16: per-pixel bytes packed natively, then one hex() —
+          // identical string to the per-byte lpad∘hex join
+          val pixHex = hex(call_function(graft.expr.PackBytes.FunctionName,
             transform(sequence(lit(0), pixCount - 1), k =>
-              lpad(hex(pmod(id * 37 + f.cast(LongType) * 101 +
-                k.cast(LongType) * 13, lit(251L))), 2, "0")), "")
+              pmod(id * 37 + f.cast(LongType) * 101 +
+                k.cast(LongType) * 13, lit(251L))), lit(1), lit(0)))
           concat(lit(hexOf("00dc")), le32hex(frameSize), headerHex, pixHex,
             when(pad === 1, lit("00")).otherwise(lit("")))
         }), "")
@@ -2659,19 +2675,23 @@ object SparkEntry {
       val pad = pmod(payloadSize, lit(2))
       val chunksHex = array_join(
         transform(sequence(lit(0), nFr - 1), f => {
+          // r16: per-pixel bytes packed natively, then one hex() —
+          // identical strings to the per-byte lpad∘hex joins
           val body = when(f === 0,
             // keyframe: GKEY + the complete PPM
-            concat(lit(hexOf("GKEY")), headerHex, array_join(
-              transform(sequence(lit(0), pixCount - 1), k =>
-                lpad(hex(pix(f, k)), 2, "0")), "")))
+            concat(lit(hexOf("GKEY")), headerHex,
+              hex(call_function(graft.expr.PackBytes.FunctionName,
+                transform(sequence(lit(0), pixCount - 1), k => pix(f, k)),
+                lit(1), lit(0)))))
             .otherwise(
               // delta: GDLT + zero bytes over the header region +
               // per-byte pixel deltas vs the previous frame (mod 256)
               concat(lit(hexOf("GDLT")),
-                repeat(lit("00"), length(headerBin)), array_join(
+                repeat(lit("00"), length(headerBin)),
+                hex(call_function(graft.expr.PackBytes.FunctionName,
                   transform(sequence(lit(0), pixCount - 1), k =>
-                    lpad(hex(pmod(pix(f, k) - pix(f - 1, k), lit(256L))),
-                      2, "0")), "")))
+                    pmod(pix(f, k) - pix(f - 1, k), lit(256L))),
+                  lit(1), lit(0)))))
           concat(lit(hexOf("00dc")), le32hex(payloadSize), body,
             when(pad === 1, lit("00")).otherwise(lit("")))
         }), "")
@@ -2731,10 +2751,13 @@ object SparkEntry {
         h.cast(StringType), lit("\n255\n")), "UTF-8").cast(BinaryType)
       val headerHex = hex(headerBin)
       val frameSize = length(headerBin) + pixCount
-      def pixHex(f: Column): Column = array_join(
-        transform(sequence(lit(0), pixCount - 1), k =>
-          lpad(hex(pmod(id * 37 + f.cast(LongType) * 101 +
-            k.cast(LongType) * 13, lit(251L))), 2, "0")), "")
+      // r16: per-pixel bytes packed natively, then one hex() —
+      // identical string to the per-byte lpad∘hex join
+      def pixHex(f: Column): Column =
+        hex(call_function(graft.expr.PackBytes.FunctionName,
+          transform(sequence(lit(0), pixCount - 1), k =>
+            pmod(id * 37 + f.cast(LongType) * 101 +
+              k.cast(LongType) * 13, lit(251L))), lit(1), lit(0)))
       // --- AVI half (q157's construction)
       val pad = pmod(frameSize, lit(2))
       val chunksHex = array_join(
@@ -2870,29 +2893,28 @@ object SparkEntry {
       val n16 = id % 40 + 5
       val ba16 = ch16 * 2
       val ds16 = ba16 * n16
-      val dataHex16 = array_join(
-        transform(sequence(lit(0), (n16 * ch16 - 1).cast(IntegerType)), k => {
-          val r = when(pmod(id, lit(11L)) === 0, lit(0L))
-            .otherwise(pmod(id * 31 + k.cast(LongType) * 7919, lit(65536L)))
-          concat(lpad(hex(pmod(r, lit(256L))), 2, "0"),
-            lpad(hex(shiftright(r.cast(IntegerType), 8)), 2, "0"))
-        }), "")
+      // r16: 16-bit LE packing via graft_pack_bytes (byte-identical)
+      val data16 = call_function(graft.expr.PackBytes.FunctionName,
+        transform(sequence(lit(0), (n16 * ch16 - 1).cast(IntegerType)), k =>
+          when(pmod(id, lit(11L)) === 0, lit(0L))
+            .otherwise(pmod(id * 31 + k.cast(LongType) * 7919, lit(65536L)))),
+        lit(2), lit(0))
       val wav16 = concat(ascii("RIFF"), le32(ds16 + 36), ascii("WAVE"),
         ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(ch16), le32(rate16),
         le32(rate16 * ba16), le16(ba16), le16(lit(16)),
-        ascii("data"), le32(ds16), unhex(dataHex16))
+        ascii("data"), le32(ds16), data16)
       // 8-bit unsigned mono: rate = (id%3+1)*11025, frames = id%60+10;
       // byte k = (id*13 + k*101) % 256 (recentered by -128 at decode)
       val rate8 = (id % 3 + 1) * 11025
       val n8 = id % 60 + 10
-      val dataHex8 = array_join(
+      val data8 = call_function(graft.expr.PackBytes.FunctionName,
         transform(sequence(lit(0), (n8 - 1).cast(IntegerType)), k =>
-          lpad(hex(pmod(id * 13 + k.cast(LongType) * 101, lit(256L))), 2, "0")),
-        "")
+          pmod(id * 13 + k.cast(LongType) * 101, lit(256L))),
+        lit(1), lit(0))
       val wav8 = concat(ascii("RIFF"), le32(n8 + 36), ascii("WAVE"),
         ascii("fmt "), le32(lit(16)), le16(lit(1)), le16(lit(1)), le32(rate8),
         le32(rate8), le16(lit(1)), le16(lit(8)),
-        ascii("data"), le32(n8), unhex(dataHex8))
+        ascii("data"), le32(n8), data8)
       val content = when(m === 0, wav16)
         .when(m === 1, wav8)
         .otherwise(encode(concat(lit("txt:"), coalesce(col("text"), lit(""))),
@@ -2931,12 +2953,12 @@ object SparkEntry {
       val m = id % 3
       val rate = ((id % 4 + 1) * 8000).cast(IntegerType)
       val n = (id % 50 + 5).cast(IntegerType)
-      val dataHex = array_join(
+      val data = call_function(graft.expr.PackBytes.FunctionName,
         transform(sequence(lit(0), n - 1), k =>
-          lpad(hex(when(pmod(id, lit(11L)) === 0, lit(0L))
+          when(pmod(id, lit(11L)) === 0, lit(0L))
             .otherwise(pmod(id * 31 + k.cast(LongType) * 7919, lit(256L)))),
-            2, "0")), "")
-      val gaud = concat(ascii("GAUD"), le32(rate), unhex(dataHex))
+        lit(1), lit(0))
+      val gaud = concat(ascii("GAUD"), le32(rate), data)
       val foreign = concat(ascii("MPGA"),
         encode(id.cast(StringType), "UTF-8").cast(BinaryType))
       val content = when(m === 0, gaud)
