@@ -6179,10 +6179,20 @@ object SparkEntry {
       def pOf(k: Column): Column = lit(128L) +
         aggregate(sequence(lit(0), k.cast(IntegerType)), lit(0L),
           (acc, j) => acc + diffOf(j)) * 2
+      // r16: materialize the per-block DC values and prefix-summed
+      // pixel levels ONCE per doc through a Generate barrier — the PPM
+      // arm previously re-ran the O(blocks) pOf prefix aggregate (a
+      // deep interpreted tree) for every pixel ROW × block, and the
+      // projection-collapse rules would re-inline the whole tree into
+      // every consumer. Values unchanged (same formulas, evaluated
+      // once); bytes verified identical by the oracle gate.
+      val withArrs = tp(s, dir, "documents").select(col("doc_id"),
+        explode(array(struct(
+          transform(sequence(lit(0), n - 1), k => v4(k)).as("v4s"),
+          transform(sequence(lit(0), n - 1), k => pOf(k)).as("ps")))).as("_a"))
       // JPEG arm: q179's one-byte-per-block construction
-      val entropyHex = array_join(
-        transform(sequence(lit(0), n - 1), k =>
-          byteHex(v4(k) * 4)), "")
+      val entropyHex = hex(call_function(graft.expr.PackBytes.FunctionName,
+        transform(col("_a.v4s"), x => x * 4), lit(1), lit(0)))
       def be16(c: Column): Column = lpad(hex(c), 4, "0")
       val jpeg = unhex(concat(
         lit("FFD8"),
@@ -6193,18 +6203,20 @@ object SparkEntry {
         lit("FFC40014" + "10" + "0001" + "00" * 14 + "00"),
         lit("FFDA0008" + "01" + "0100" + "00" + "3F" + "00"),
         entropyHex, lit("FFD9")))
-      // PPM arm: the identical pixel layout, 8×8 flat blocks
+      // PPM arm: the identical pixel layout, 8×8 flat blocks (block
+      // levels read from the materialized prefix-sum array)
       def rowHex(y: Column): Column = array_join(
         transform(sequence(lit(0), bw - 1), bx =>
-          repeat(byteHex(pOf(
-            shiftright(y, 3).cast(LongType) * bw + bx)), 24)), "")
+          repeat(byteHex(element_at(col("_a.ps"),
+            (shiftright(y, 3).cast(LongType) * bw + bx).cast(IntegerType)
+              + 1)), 24)), "")
       val ppm = concat(
         encode(concat(lit("P6\n"), (bw * 8).cast(StringType), lit(" "),
           (bh * 8).cast(StringType), lit("\n255\n")), "UTF-8")
           .cast(BinaryType),
         unhex(array_join(
           transform(sequence(lit(0), bh * 8 - 1), y => rowHex(y)), "")))
-      val media = tp(s, dir, "documents")
+      val media = withArrs
         .select(explode(array(
           struct((g * 2).as("media_id"), jpeg.as("content")),
           struct((g * 2 + 1).as("media_id"), ppm.as("content")))).as("m"))
