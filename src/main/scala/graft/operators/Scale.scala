@@ -37,10 +37,38 @@ object Scale {
     * (LogicalRDD, a streaming micro-batch relation) reports
     * defaultSizeInBytes = Long.MaxValue — anything past 1 PiB is an
     * "unknown", not a size.
+    *
+    * Cached subtrees are seen THROUGH, not at face value: an
+    * InMemoryRelation over a projection reports the projection's
+    * ESTIMATE (the width-ratio heuristic collapses narrow projections
+    * of text — the same failure partitionsForLeafBytes documents for
+    * plan-level sizeInBytes), so a cache-fed kernel would read a
+    * KB-sized "leaf" for an MB-sized source (measured r16: q24's
+    * banded exchange sized to TWO partitions because the shingle-set
+    * cache estimated 260 KB over a 1.3 MB scan). Descend into the
+    * cached physical plan and charge its FILE scan bytes instead.
     */
   private def saneLeafBytes(df: DataFrame): Option[Long] = {
-    val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // physical descent mirrors countExchanges: AQE wrappers are leaf
+    // nodes that hide their subtree from plain collect
+    def fileBytes(p: SparkPlan): BigInt = p match {
+      case a: AdaptiveSparkPlanExec => fileBytes(a.executedPlan)
+      case q: QueryStageExec => fileBytes(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        BigInt(f.relation.location.sizeInBytes)
+      case other => other.children.map(fileBytes).sum
+    }
+    def bytesOf(plan: LogicalPlan): BigInt = plan.collectLeaves().map {
+      case imr: InMemoryRelation =>
+        val fb = fileBytes(imr.cachedPlan)
+        if (fb > 0) fb else imr.stats.sizeInBytes
+      case l => l.stats.sizeInBytes
+    }.sum
+    val leafBytes = bytesOf(df.queryExecution.optimizedPlan)
     if (leafBytes.isValidLong && leafBytes.toLong >= 0 &&
       leafBytes.toLong <= (1L << 50)) Some(leafBytes.toLong)
     else None
