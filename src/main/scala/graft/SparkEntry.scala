@@ -1410,8 +1410,17 @@ object SparkEntry {
     "q71_curation_pipeline" -> ((s, dir) => {
       Graft.tune(s)
       val docs = t(s, dir, "documents")
+      // token-count gate behind an explode(array(...)) Generate barrier:
+      // as a plain filter, between() re-runs the tokenizer once per
+      // conjunct (the r17 before-plan shows the split+lower pipeline
+      // TWICE in each of the two corpus Filters — decontaminate plans
+      // the gated corpus on both sides of its anti-join). Behind the
+      // barrier each subtree tokenizes once; rows kept are identical.
       val gated = docs.filter(col("source") =!= "src0")
-        .filter(TextAnalysis.tokenCount(col("text")).between(5, 10000))
+        .select(col("doc_id"), col("text"),
+          explode(array(TextAnalysis.tokenCount(col("text")))).as("_tc"))
+        .filter(col("_tc").between(5, 10000))
+        .select(col("doc_id"), col("text"))
       val clean = Corpus.decontaminate(gated,
         docs.filter(col("source") === "src0"), "doc_id", "text", n = 3)
       val deduped = Dedup.exactDedup(clean, "doc_id", "text")

@@ -219,8 +219,17 @@ object Corpus {
     // the log-prob join exchange on the SAME (a, b) key from the same
     // child, so the exchange is reused rather than the corpus being
     // re-extracted.
-    val inst = bigramsFromToks(bigramToks(df, idCol, textCol))
+    // A/B knob (graft.ABConf): persist the hashed instance stream so
+    // its two consumers (bigram histogram + log-prob join probe) read
+    // one materialization instead of re-extracting — 3 longs/row, the
+    // favorable case for the columnar cache (vs the token arrays and
+    // decimal postings that measured slower cached)
+    val inst0 = bigramsFromToks(bigramToks(df, idCol, textCol))
       .select(col("_id"), xxhash64(col("_a")).as("_a"), xxhash64(col("_b")).as("_b"))
+    val inst =
+      if (df.sparkSession.conf.getOption("spark.graft.lm.cacheInst").contains("1"))
+        inst0.transform(graft.Caches.own)
+      else inst0
     // token strings hash to 64-bit keys before any exchange (the
     // dedup-posting treatment): histograms and both log-prob joins
     // shuffle 8-byte keys, never strings — same accepted ~V²/2⁶⁵
@@ -545,12 +554,20 @@ object Corpus {
     */
   /** (_id, _tk): tokenized docs that can form at least one bigram —
     * the shared front of [[pmiBigrams]] and [[bigramLmScore]].
+    *
+    * The token array comes through an `explode(array(...))` Generate
+    * barrier (the media-decode pattern): as a plain projection, the
+    * `size(_tk) >= 2` gate collapses into a Filter on the raw text that
+    * re-runs the tokenizer once per conjunct BELOW the parallelizing
+    * exchange (the r16-style q115 plan shows the split+lower pipeline
+    * three times per subtree, two of them single-task). Behind the
+    * Generate the tokenizer runs exactly once, above the exchange.
     */
   private def bigramToks(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol).as("_id"),
-        graft.functions.TextAnalysis.tokens(
-          coalesce(col(textCol), lit(""))).as("_tk"))
+        explode(array(graft.functions.TextAnalysis.tokens(
+          coalesce(col(textCol), lit(""))))).as("_tk"))
       .filter(size(col("_tk")) >= 2)
 
   /** (_id, _a, _b): within-document adjacent token pairs — shared by

@@ -31,6 +31,25 @@ object TfIdf {
   private def smoothIdf(df0: Column): Column =
     log((col("_nd") + lit(1)).cast(DoubleType) / (df0 + lit(1))) + lit(1.0)
 
+  /** Document frequency per term off a (_id, _t, _tf) tf frame.
+    *
+    * `sum(least(_tf, 1))` is exactly `count(1)` — every tf row has
+    * `_tf >= 1` by construction (it is a groupBy-count), so each row
+    * contributes exactly 1 — but unlike `count(1)` it REFERENCES `_tf`,
+    * which keeps column pruning from rewriting the shared tf subtree
+    * underneath: with `count(1)`, the df branch's copy of tf drops its
+    * count buffer, the two (_id,_t) shuffle children stop being
+    * canonically equal, and the whole scan→tokenize→explode→partial-agg
+    * →Exchange pipeline is executed TWICE per query (the r17 q97/q36
+    * before-plans show two full corpus subtrees). With the reference
+    * kept, both consumers sit on one ReusedExchange: one tokenize pass,
+    * one corpus shuffle, at any scale. (`count(_tf)` would not work:
+    * NullPropagation rewrites count over a non-nullable column back to
+    * `count(1)`.)
+    */
+  private def docFreq(tf: DataFrame): DataFrame =
+    tf.groupBy("_t").agg(sum(least(col("_tf"), lit(1L))).as("_df"))
+
   /** (idCol, sim): TF-IDF cosine similarity in [0,1], 6dp, for every
     * document (0.0 when nothing overlaps).
     */
@@ -60,7 +79,7 @@ object TfIdf {
       .select(col(idCol).as("_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("_t"))
     val tf = postings.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
-    val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val dfreq = docFreq(tf)
 
     val weights = tf.crossJoin(nRow).join(dfreq, "_t")
       .select(col("_id"), col("_t"),
@@ -229,7 +248,7 @@ object TfIdf {
   private def rankFromTf(tf: DataFrame, nDocsRow: DataFrame, k: Int,
       outIdCol: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val dfreq = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val dfreq = docFreq(tf)
     // plain join: AQE broadcasts the vocabulary-bounded df side when
     // it is actually tiny, and otherwise swaps the sort-merge join for
     // a shuffled hash join by real build size (Graft.tune enables the
