@@ -165,8 +165,24 @@ object Corpus {
         explode(graft.functions.TextAnalysis.tokens(
           coalesce(col(textCol), lit("")))).as("_t0"))
       .select(col("_id"), xxhash64(col("_t0")).as("_t"))
-    val counts = toks(df).groupBy("_t").agg(count(lit(1)).as("_cnt"))
-      .transform(graft.Caches.own)
+    // ONE instance exchange for the histogram and the score probe (the
+    // q115/bigramLmScore restructure — see there for the
+    // greatest/least-references-_id device and the skew note: the
+    // probe always shuffled raw instances on _t, so clustering the
+    // histogram on the same exchange adds no new skew surface). The
+    // vocabulary cache is dropped in this form: a cached plan is its
+    // own query execution, so exchange reuse cannot cross it — the
+    // shared form instead re-runs the vocabulary-bounded aggregate
+    // above the one exchange per consumer. A/B knob (graft.ABConf):
+    // spark.graft.lm.sharedExchange=0 restores cached+two-subtree.
+    val shared = !df.sparkSession.conf
+      .getOption("spark.graft.lm.sharedExchange").contains("0")
+    val tokAll = if (shared) toks(df).repartition(col("_t")) else toks(df)
+    val counts0 = tokAll.groupBy("_t").agg(
+      (if (shared) sum(greatest(lit(1L), least(col("_id"), lit(1L))))
+      else count(lit(1))).as("_cnt"))
+    val counts =
+      if (shared) counts0 else counts0.transform(graft.Caches.own)
     // T and V stay IN the plan as a one-row aggregate of the persisted
     // histogram, broadcast into the log-prob projection — a driver
     // action here would cost a whole job round-trip before the scoring
@@ -186,7 +202,7 @@ object Corpus {
     // logp's partitioning descends from the histogram cross-join and
     // the conversion measurably does not fire here — the 10× shakeout
     // sorts the corpus stream again without the hint (SCALE.md).
-    toks(df)
+    tokAll
       .join(logp.hint("shuffle_hash"), col("_t") === col("_vt"))
       .groupBy(col("_id").as(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -226,10 +242,30 @@ object Corpus {
     // decimal postings that measured slower cached)
     val inst0 = bigramsFromToks(bigramToks(df, idCol, textCol))
       .select(col("_id"), xxhash64(col("_a")).as("_a"), xxhash64(col("_b")).as("_b"))
-    val inst =
+    val inst1 =
       if (df.sparkSession.conf.getOption("spark.graft.lm.cacheInst").contains("1"))
         inst0.transform(graft.Caches.own)
       else inst0
+    // ONE instance exchange for both consumers: the log-prob join
+    // already shuffles the raw instances on (_a,_b); repartitioning
+    // them there explicitly lets the bigram histogram aggregate run
+    // COMPLETE above the same exchange instead of re-deriving the
+    // corpus (scan+tokenize+posexplode) a second time for its own
+    // partial-agg shuffle. The histogram references _id through
+    // greatest(1, least(_id, 1)) — exactly 1 for every row (least
+    // caps at 1, greatest floors at 1, and greatest skips a null _id),
+    // i.e. count(1) — because with a bare count(1) column pruning
+    // would strip _id below the repartition on the histogram branch
+    // and the two exchange subtrees would stop being canonically
+    // equal (the q97/docFreq lesson). Skew note: the hot-bigram
+    // exposure of partitioning raw instances on (_a,_b) already
+    // existed on the join's probe side; this removes the duplicate
+    // corpus pass without adding any new skew surface.
+    // A/B knob (graft.ABConf): spark.graft.lm.sharedExchange=0
+    // restores the two-subtree form.
+    val shared = !df.sparkSession.conf
+      .getOption("spark.graft.lm.sharedExchange").contains("0")
+    val inst = if (shared) inst1.repartition(col("_a"), col("_b")) else inst1
     // token strings hash to 64-bit keys before any exchange (the
     // dedup-posting treatment): histograms and both log-prob joins
     // shuffle 8-byte keys, never strings — same accepted ~V²/2⁶⁵
@@ -245,7 +281,9 @@ object Corpus {
     val vocabRow = broadcast(uni.agg(
       count(lit(1)).cast(DoubleType).as("_V")))
     val bg = inst.groupBy(col("_a"), col("_b"))
-      .agg(count(lit(1)).as("_cab"))
+      .agg((if (shared)
+        sum(greatest(lit(1L), least(col("_id"), lit(1L))))
+      else count(lit(1))).as("_cab"))
     val logp = bg.join(uni.select(col("_t").as("_a"), col("_ca")), "_a")
       .crossJoin(vocabRow)
       .select(col("_a").as("_la"), col("_b").as("_lb"),

@@ -83,6 +83,18 @@ class EnrichmentBoundarySpec extends SparkSpec {
     val plan = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
+    // r17: the df branch references _tf (sum(least(_tf,1)) ≡ count(1))
+    // precisely so both tf consumers stay canonically equal below the
+    // (_id,_t) shuffle and the whole scan→tokenize→explode→partial-agg
+    // pipeline runs ONCE. Pin the reuse: after execution the adaptive
+    // plan must contain a reused tf exchange (a regression re-plans
+    // the corpus subtree twice and silently doubles the tokenize).
+    val q = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ShuffleQueryStage") &&
+      finalPlan.contains("ReusedExchange"),
+      s"tf exchange not reused:\n$finalPlan")
   }
 
   test("llm response parsing: json, percent fallback, junk") {
