@@ -33,6 +33,12 @@ object Scratch {
       spark.stop(); return
     }
     for (q <- args.drop(1)) {
+      // "conf:key=value" args set a session conf in place (e.g. the
+      // graft.ABConf knobs, to print a knob-off variant's plan)
+      if (q.startsWith("conf:")) {
+        val Array(k, v) = q.drop(5).split("=", 2)
+        spark.conf.set(k, v)
+      } else {
       val df = if (q == "entry") SparkEntry.entry(spark)
         else SparkEntry.queries(q)(spark, dir)
       println(s"===== $q =====")
@@ -50,6 +56,7 @@ object Scratch {
         df.agg(count(lit(1)), sum(xxhash64(cols.toIndexedSeq: _*))).head().getLong(0)
       }
       println(f"[time] $q ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      }
     }
     spark.stop()
   }

@@ -156,11 +156,28 @@ object TfIdf {
     if (terms.isEmpty)
       return docs.select(col(idCol), lit(0.0).as("bm25"))
     val ts = graft.functions.TextAnalysis.tokens(coalesce(col(textCol), lit("")))
-    val base = docs.select(col(idCol), ts.as("_ts"))
+    val base0 = docs.select(col(idCol), ts.as("_ts"))
       .select(Seq(col(idCol), size(col("_ts")).cast(LongType).as("_dl")) ++
         terms.indices.map(i =>
           size(filter(col("_ts"), x => x === lit(terms(i))))
             .cast(LongType).as(s"_tf$i")): _*)
+    // the occurrence projection feeds TWO consumers (the one-row stats
+    // aggregate and the scorer), and the stats ride a broadcast
+    // subquery — a boundary exchange reuse cannot cross — so the
+    // tokenize + per-term HOF filters run twice per query. Pinning the
+    // projection (terms+2 LONGS per doc, the favorable columnar-cache
+    // case) halves that, but measured locally NEUTRAL (same-JVM A/B
+    // min 0.39 vs 0.40, med 0.45 vs 0.47 — the tp'd passes overlap on
+    // idle cores) AND the pin sits between a caller's filter and the
+    // parquet scan, killing scan pushdown for filtered consumers (the
+    // ScaleSpec TVF-pushdown gate: a `doc_id < 3` retrieval must prune
+    // at the scan, not decode the corpus into a cache first). Default
+    // recompute; opt in with spark.graft.bm25.cacheBase=1 for
+    // unfiltered corpus-wide scoring on a busy cluster.
+    val base =
+      if (docs.sparkSession.conf.getOption("spark.graft.bm25.cacheBase")
+          .contains("1")) base0.transform(graft.Caches.own)
+      else base0
     val statAggs =
       Seq(sum(col("_dl")).cast(DoubleType).as("_ttok")) ++
         terms.indices.map(i =>
